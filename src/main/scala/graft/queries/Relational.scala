@@ -1,0 +1,382 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Reference-parity relational queries (SURVEY.md §2.1-2.7), one per
+  * operator, each paired with a DuckDB oracle in [[Relational.oracle]].
+  *
+  * Float-determinism convention: any aggregate whose result depends on
+  * summation ORDER (sum/avg of doubles) is computed through
+  * DECIMAL(38,10) — exact and associative, so Spark's parallel partial
+  * aggregation and DuckDB's sequential scan produce bit-identical
+  * values — then cast back to double the same way on both sides.
+  * Row-level double arithmetic (a*b, 1-x) is identical IEEE on both
+  * engines and needs no such treatment. min/max/count are order-free.
+  *
+  * Every query ends in a deterministic ORDER BY over a unique key so
+  * row order matches the oracle exactly.
+  */
+object Relational {
+  private val D = DecimalType(38, 10)
+  /** Exact associative sum of a double expression, returned as double. */
+  private def dsum(c: Column): Column = sum(c.cast(D)).cast("double")
+  /** Exact average: decimal sum / count, divided in double space. */
+  private def davg(c: Column): Column = sum(c.cast(D)).cast("double") / count(lit(1))
+
+  def t(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  // -------------------------------------------------------------------
+  // q01: the reference's flagship — TPC-H Q1 adaptation
+  // (reference: client.py:259-331). Exercises scan, filter, projection
+  // with arithmetic+literals+aliases, groupBy, sum/avg/count, orderBy:
+  // 6 of the 7 reference operators in one pipeline.
+  // -------------------------------------------------------------------
+  def q01TpchQ1(spark: SparkSession, dir: String): DataFrame = {
+    val li = t(spark, dir, "lineitem")
+    // money columns are exact 2-decimal values: cast them to DECIMAL
+    // FIRST, then multiply in decimal space — fully exact, so Spark's
+    // partial aggregation order and DuckDB's scan order can't diverge.
+    // (Casting a *computed* double to decimal instead would double-round
+    // differently across engines.)
+    val price = col("l_extendedprice").cast(DecimalType(12, 2))
+    val disc = col("l_discount").cast(DecimalType(3, 2))
+    val tax = col("l_tax").cast(DecimalType(3, 2))
+    val one = lit(1).cast(DecimalType(3, 2))
+    li.filter(col("l_shipdate") <= lit("1998-12-01").cast("timestamp"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        dsum(col("l_quantity")).as("sum_qty"),
+        dsum(col("l_extendedprice")).as("sum_base_price"),
+        sum(price * (one - disc)).cast("double").as("sum_disc_price"),
+        sum(price * (one - disc) * (one + tax)).cast("double").as("sum_charge"),
+        davg(col("l_quantity")).as("avg_qty"),
+        davg(col("l_extendedprice")).as("avg_price"),
+        davg(col("l_discount")).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy(asc("l_returnflag"), asc("l_linestatus"))
+  }
+  val q01Sql: String =
+    """SELECT l_returnflag, l_linestatus,
+      |  CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(38,10))) AS VARCHAR) AS DOUBLE) AS sum_qty,
+      |  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,10))) AS VARCHAR) AS DOUBLE) AS sum_base_price,
+      |  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))) AS VARCHAR) AS DOUBLE) AS sum_disc_price,
+      |  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2))) * (CAST(1 AS DECIMAL(3,2)) + CAST(l_tax AS DECIMAL(3,2)))) AS VARCHAR) AS DOUBLE) AS sum_charge,
+      |  CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(38,10))) AS VARCHAR) AS DOUBLE) / COUNT(*) AS avg_qty,
+      |  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,10))) AS VARCHAR) AS DOUBLE) / COUNT(*) AS avg_price,
+      |  CAST(CAST(SUM(CAST(l_discount AS DECIMAL(38,10))) AS VARCHAR) AS DOUBLE) / COUNT(*) AS avg_disc,
+      |  COUNT(*) AS count_order
+      |FROM lineitem
+      |WHERE l_shipdate <= TIMESTAMP '1998-12-01 00:00:00'
+      |GROUP BY l_returnflag, l_linestatus
+      |ORDER BY l_returnflag, l_linestatus""".stripMargin
+
+  // -------------------------------------------------------------------
+  // q02: projection + expression language — source/constant/alias and
+  // all four arithmetic ops incl. int/int divide → double
+  // (reference: src/dataframe.rs:105-111, src/block.rs:81-107,496-501).
+  // -------------------------------------------------------------------
+  def q02SelectArith(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem").select(
+      col("l_orderkey"), col("l_linenumber"),
+      (col("l_quantity") + col("l_tax")).as("qty_plus_tax"),
+      (col("l_extendedprice") - col("l_discount")).as("price_minus_disc"),
+      (col("l_extendedprice") * col("l_discount")).as("disc_amt"),
+      (col("l_orderkey") / lit(7L)).as("key_div"),
+      lit(42L).as("const_col"))
+    .orderBy(asc("l_orderkey"), asc("l_linenumber"))
+  val q02Sql: String =
+    """SELECT l_orderkey, l_linenumber,
+      |  l_quantity + l_tax AS qty_plus_tax,
+      |  l_extendedprice - l_discount AS price_minus_disc,
+      |  l_extendedprice * l_discount AS disc_amt,
+      |  l_orderkey / 7 AS key_div,
+      |  CAST(42 AS BIGINT) AS const_col
+      |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin
+
+  // -------------------------------------------------------------------
+  // q03: chained single-column filters covering all 5 comparators
+  // (reference: src/value.rs:214-233; chaining per src/dataframe.rs:339).
+  // Catalyst collapses the chain into one scan predicate (CombineFilters
+  // + parquet pushdown).
+  // -------------------------------------------------------------------
+  def q03FilterChain(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .filter(col("l_quantity") > lit(10.0))
+      .filter(col("l_discount") <= lit(0.05))
+      .filter(col("l_returnflag") === lit("R"))
+      .filter(col("l_linenumber") < lit(5))
+      .filter(col("l_tax") >= lit(0.02))
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+        col("l_discount"), col("l_returnflag"), col("l_tax"))
+      .orderBy(asc("l_orderkey"), asc("l_linenumber"))
+  val q03Sql: String =
+    """SELECT l_orderkey, l_linenumber, l_quantity, l_discount, l_returnflag, l_tax
+      |FROM lineitem
+      |WHERE l_quantity > 10.0 AND l_discount <= 0.05 AND l_returnflag = 'R'
+      |  AND l_linenumber < 5 AND l_tax >= 0.02
+      |ORDER BY l_orderkey, l_linenumber""".stripMargin
+
+  // -------------------------------------------------------------------
+  // q04: multi-column ascending sort, nulls-first — the reference's
+  // only sort (src/dataframe.rs:351-371, NaN-first src/block.rs:218-230)
+  // -------------------------------------------------------------------
+  def q04OrderBy(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .select(col("l_returnflag"), col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+      .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_shipdate"),
+        asc("l_orderkey"), asc("l_linenumber"))
+  val q04Sql: String =
+    """SELECT l_returnflag, l_shipdate, l_orderkey, l_linenumber
+      |FROM lineitem
+      |ORDER BY l_returnflag ASC NULLS FIRST, l_shipdate ASC NULLS FIRST,
+      |  l_orderkey, l_linenumber""".stripMargin
+
+  // -------------------------------------------------------------------
+  // q05: ungrouped (global) aggregation — whole column → 1 row
+  // (reference: src/dataframe.rs:407-446 non-grouped path;
+  // aggregators src/aggregate.rs:27-35)
+  // -------------------------------------------------------------------
+  def q05GlobalAgg(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem").agg(
+      count(lit(1)).as("n_rows"),
+      dsum(col("l_quantity")).as("sum_qty"),
+      davg(col("l_extendedprice")).as("avg_price"),
+      min(col("l_shipdate")).as("min_ship"),
+      max(col("l_shipdate")).as("max_ship"),
+      min(col("l_extendedprice")).as("min_price"),
+      max(col("l_extendedprice")).as("max_price"))
+  val q05Sql: String =
+    """SELECT COUNT(*) AS n_rows,
+      |  CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(38,10))) AS VARCHAR) AS DOUBLE) AS sum_qty,
+      |  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,10))) AS VARCHAR) AS DOUBLE) / COUNT(*) AS avg_price,
+      |  MIN(l_shipdate) AS min_ship, MAX(l_shipdate) AS max_ship,
+      |  MIN(l_extendedprice) AS min_price, MAX(l_extendedprice) AS max_price
+      |FROM lineitem""".stripMargin
+
+  // -------------------------------------------------------------------
+  // q06: grouped aggregation over a second table (orders) — hash
+  // aggregate with map-side partial aggregation; at 100 TB this is a
+  // single shuffle on the group keys.
+  // -------------------------------------------------------------------
+  def q06GroupAgg(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "orders")
+      .groupBy(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(
+        count(lit(1)).as("n_orders"),
+        dsum(col("o_totalprice")).as("sum_total"),
+        min(col("o_totalprice")).as("min_total"),
+        max(col("o_totalprice")).as("max_total"),
+        min(col("o_orderdate")).as("first_date"))
+      .orderBy(asc("o_orderstatus"), asc("o_orderpriority"))
+  val q06Sql: String =
+    """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders,
+      |  CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(38,10))) AS VARCHAR) AS DOUBLE) AS sum_total,
+      |  MIN(o_totalprice) AS min_total, MAX(o_totalprice) AS max_total,
+      |  MIN(o_orderdate) AS first_date
+      |FROM orders GROUP BY o_orderstatus, o_orderpriority
+      |ORDER BY o_orderstatus, o_orderpriority""".stripMargin
+
+  // -------------------------------------------------------------------
+  // q07: single-key equi inner join, BOTH key columns kept, ordered by
+  // the left key (reference: src/dataframe.rs:448-476). Spark picks
+  // the physical join; at this shape (orders ⋈ customer) AQE
+  // broadcast-joins the smaller side automatically.
+  // -------------------------------------------------------------------
+  def q07JoinInner(spark: SparkSession, dir: String): DataFrame = {
+    val o = t(spark, dir, "orders")
+    val c = t(spark, dir, "customer")
+    o.join(c, o("o_custkey") === c("c_custkey"), "inner")
+      .select(col("o_orderkey"), col("o_custkey"), col("c_custkey"),
+        col("c_name"), col("c_mktsegment"), col("o_totalprice"))
+      .orderBy(asc("o_orderkey"))
+  }
+  val q07Sql: String =
+    """SELECT o_orderkey, o_custkey, c_custkey, c_name, c_mktsegment, o_totalprice
+      |FROM orders JOIN customer ON o_custkey = c_custkey
+      |ORDER BY o_orderkey""".stripMargin
+
+  // -------------------------------------------------------------------
+  // q08: fact ⋈ dimension with explicit broadcast — the 100 TB-scale
+  // pattern: never shuffle the fact table for a small dimension.
+  // -------------------------------------------------------------------
+  def q08JoinBroadcastAgg(spark: SparkSession, dir: String): DataFrame = {
+    val li = t(spark, dir, "lineitem")
+    val p = t(spark, dir, "part")
+    li.join(broadcast(p), li("l_partkey") === p("p_partkey"), "inner")
+      .groupBy(col("p_brand"))
+      .agg(
+        count(lit(1)).as("n_items"),
+        sum(col("l_extendedprice").cast(DecimalType(12, 2)) *
+          (lit(1).cast(DecimalType(3, 2)) - col("l_discount").cast(DecimalType(3, 2))))
+          .cast("double").as("revenue"))
+      .orderBy(asc("p_brand"))
+  }
+  val q08Sql: String =
+    """SELECT p_brand, COUNT(*) AS n_items,
+      |  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))) AS VARCHAR) AS DOUBLE) AS revenue
+      |FROM lineitem JOIN part ON l_partkey = p_partkey
+      |GROUP BY p_brand ORDER BY p_brand""".stripMargin
+
+  // -------------------------------------------------------------------
+  // q09: take/limit (reference wire action Take, src/api.rs:43 —
+  // unimplemented there, implemented here as limit over a sort)
+  // -------------------------------------------------------------------
+  def q09Take(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
+      .orderBy(asc("l_orderkey"), asc("l_linenumber"))
+      .limit(100)
+  val q09Sql: String =
+    """SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+      |ORDER BY l_orderkey, l_linenumber LIMIT 100""".stripMargin
+
+  // -------------------------------------------------------------------
+  // q10: count action (reference wire action Count, src/api.rs:42)
+  // -------------------------------------------------------------------
+  def q10Count(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem").agg(count(lit(1)).as("n"))
+  val q10Sql: String = "SELECT COUNT(*) AS n FROM lineitem"
+
+  // -------------------------------------------------------------------
+  // q11: union — the reference only has block-level union inside its
+  // CSV reader (src/block.rs:181, src/reader.rs:119-129); exposed here
+  // as the DataFrame-level operator it implies.
+  // -------------------------------------------------------------------
+  def q11Union(spark: SparkSession, dir: String): DataFrame = {
+    val o = t(spark, dir, "orders")
+    val hi = o.filter(col("o_totalprice") > lit(400000.0))
+      .select(col("o_orderkey"), col("o_totalprice"), lit("high").as("bucket"))
+    val lo = o.filter(col("o_totalprice") < lit(50000.0))
+      .select(col("o_orderkey"), col("o_totalprice"), lit("low").as("bucket"))
+    hi.union(lo).orderBy(asc("o_orderkey"))
+  }
+  val q11Sql: String =
+    """SELECT * FROM (
+      |  SELECT o_orderkey, o_totalprice, 'high' AS bucket FROM orders WHERE o_totalprice > 400000.0
+      |  UNION ALL
+      |  SELECT o_orderkey, o_totalprice, 'low' AS bucket FROM orders WHERE o_totalprice < 50000.0
+      |) ORDER BY o_orderkey""".stripMargin
+
+  // -------------------------------------------------------------------
+  // q12: distinct (group-by-all-columns special case; the reference's
+  // keys-only group_by, tests/lib.rs:179-185)
+  // -------------------------------------------------------------------
+  def q12Distinct(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .select(col("l_returnflag"), col("l_linestatus"))
+      .distinct()
+      .orderBy(asc("l_returnflag"), asc("l_linestatus"))
+  val q12Sql: String =
+    """SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem
+      |ORDER BY l_returnflag, l_linestatus""".stripMargin
+
+  // -------------------------------------------------------------------
+  // q13: top-k — descending sort + limit (beyond the reference's
+  // ascending-only order_by; Spark executes as TakeOrderedAndProject,
+  // a per-partition heap + driver merge: no global sort at 100 TB)
+  // -------------------------------------------------------------------
+  def q13TopK(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_totalprice"))
+      .orderBy(desc("o_totalprice"), asc("o_orderkey"))
+      .limit(50)
+  val q13Sql: String =
+    """SELECT o_orderkey, o_totalprice FROM orders
+      |ORDER BY o_totalprice DESC, o_orderkey LIMIT 50""".stripMargin
+
+  // -------------------------------------------------------------------
+  // q14: the reference's two-phase grouping made visible — group_by
+  // nests values into List(T) columns, aggregate collapses them with
+  // per-list kernels (reference: src/dataframe.rs:373-446,
+  // src/block.rs:942-1093). Spark: collect_list + array HOFs
+  // (sort_array for determinism; aggregate() HOF accumulates in
+  // DECIMAL so the fold is exact). Oracle states the equivalent
+  // direct aggregates.
+  // -------------------------------------------------------------------
+  def q14GroupTwoPhase(spark: SparkSession, dir: String): DataFrame = {
+    val li = t(spark, dir, "lineitem")
+    val listed = li
+      .groupBy(col("l_linenumber"))
+      .agg(sort_array(collect_list(col("l_quantity"))).as("qtys"))
+    listed.select(
+      col("l_linenumber"),
+      aggregate(col("qtys"), lit(0).cast(D), (a, x) => (a + x.cast(D)).cast(D))
+        .cast("double").as("qty_sum"),
+      element_at(col("qtys"), 1).as("qty_first_sorted"),
+      array_max(col("qtys")).as("qty_max"),
+      array_min(col("qtys")).as("qty_min"),
+      size(col("qtys")).cast("long").as("n"))
+      .orderBy(asc("l_linenumber"))
+  }
+  val q14Sql: String =
+    """SELECT l_linenumber,
+      |  CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(38,10))) AS VARCHAR) AS DOUBLE) AS qty_sum,
+      |  MIN(l_quantity) AS qty_first_sorted,
+      |  MAX(l_quantity) AS qty_max,
+      |  MIN(l_quantity) AS qty_min,
+      |  COUNT(*) AS n
+      |FROM lineitem GROUP BY l_linenumber ORDER BY l_linenumber""".stripMargin
+
+  // -------------------------------------------------------------------
+  // q15: multi-way join across the star schema (region→nation→customer
+  // →orders) with dimension broadcasts — TPC-H-Q5-ish shape.
+  // -------------------------------------------------------------------
+  def q15StarJoin(spark: SparkSession, dir: String): DataFrame = {
+    val r = t(spark, dir, "region")
+    val n = t(spark, dir, "nation")
+    val c = t(spark, dir, "customer")
+    val o = t(spark, dir, "orders")
+    o.join(c, o("o_custkey") === c("c_custkey"))
+      .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+      .groupBy(col("r_name"), col("n_name"))
+      .agg(count(lit(1)).as("n_orders"),
+        dsum(col("o_totalprice")).as("sum_total"))
+      .orderBy(asc("r_name"), asc("n_name"))
+  }
+  val q15Sql: String =
+    """SELECT r_name, n_name, COUNT(*) AS n_orders,
+      |  CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(38,10))) AS VARCHAR) AS DOUBLE) AS sum_total
+      |FROM orders
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN nation ON c_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |GROUP BY r_name, n_name ORDER BY r_name, n_name""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q01_tpch_q1" -> (q01TpchQ1 _),
+    "q02_select_arith" -> (q02SelectArith _),
+    "q03_filter_chain" -> (q03FilterChain _),
+    "q04_orderby_multi" -> (q04OrderBy _),
+    "q05_global_agg" -> (q05GlobalAgg _),
+    "q06_group_agg" -> (q06GroupAgg _),
+    "q07_join_inner" -> (q07JoinInner _),
+    "q08_join_broadcast_agg" -> (q08JoinBroadcastAgg _),
+    "q09_take_limit" -> (q09Take _),
+    "q10_count" -> (q10Count _),
+    "q11_union" -> (q11Union _),
+    "q12_distinct" -> (q12Distinct _),
+    "q13_topk_desc" -> (q13TopK _),
+    "q14_group_two_phase" -> (q14GroupTwoPhase _),
+    "q15_star_join" -> (q15StarJoin _))
+
+  val oracle: Map[String, String] = Map(
+    "q01_tpch_q1" -> q01Sql,
+    "q02_select_arith" -> q02Sql,
+    "q03_filter_chain" -> q03Sql,
+    "q04_orderby_multi" -> q04Sql,
+    "q05_global_agg" -> q05Sql,
+    "q06_group_agg" -> q06Sql,
+    "q07_join_inner" -> q07Sql,
+    "q08_join_broadcast_agg" -> q08Sql,
+    "q09_take_limit" -> q09Sql,
+    "q10_count" -> q10Sql,
+    "q11_union" -> q11Sql,
+    "q12_distinct" -> q12Sql,
+    "q13_topk_desc" -> q13Sql,
+    "q14_group_two_phase" -> q14Sql,
+    "q15_star_join" -> q15Sql)
+}

@@ -1,0 +1,91 @@
+#!/usr/bin/env python3
+"""Local stand-in for the driver's DuckDB-oracle compare.
+
+Reads verify output dir (one parquet dir per query + oracle_sql.json),
+runs each oracle SQL in DuckDB over the sf parquet tables, and compares:
+row count, column names (sorted), and per-value hash. Mirrors the
+documented driver behavior: columns sorted by name before hashing.
+"""
+import sys, json, glob, os
+import duckdb
+import pyarrow.parquet as pq
+
+TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+
+def norm(v):
+    if isinstance(v, float):
+        return repr(v)
+    return str(v)
+
+def table_hash(rows, cols):
+    import hashlib
+    h = hashlib.sha256()
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    for row in rows:
+        for i in order:
+            h.update(norm(row[i]).encode())
+            h.update(b"\x00")
+        h.update(b"\x01")
+    return h.hexdigest()
+
+def main(sf_dir, out_dir):
+    con = duckdb.connect()
+    for t in TABLES:
+        p = f"{sf_dir}/{t}.parquet"
+        if os.path.exists(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
+    oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    n_pass = n_fail = 0
+    for name in sorted(os.listdir(out_dir)):
+        d = os.path.join(out_dir, name)
+        if not os.path.isdir(d):
+            continue
+        files = glob.glob(f"{d}/*.parquet")
+        if not files:
+            print(f"FAIL {name}: no parquet written"); n_fail += 1; continue
+        spark_tbl = pq.read_table(files[0])
+        spark_cols = spark_tbl.column_names
+        spark_rows = [tuple(r.values()) for r in spark_tbl.to_pylist()]
+        if name not in oracle:
+            print(f"ROWS {name}: {len(spark_rows)} rows (no oracle)")
+            continue
+        try:
+            res = con.execute(oracle[name])
+            duck_cols = [c[0] for c in res.description]
+            duck_rows = res.fetchall()
+        except Exception as e:
+            print(f"FAIL {name}: oracle error {e}"); n_fail += 1; continue
+        ok = True
+        if sorted(spark_cols) != sorted(duck_cols):
+            print(f"FAIL {name}: cols spark={sorted(spark_cols)} duck={sorted(duck_cols)}")
+            ok = False
+        elif len(spark_rows) != len(duck_rows):
+            print(f"FAIL {name}: rows spark={len(spark_rows)} duck={len(duck_rows)}")
+            ok = False
+        else:
+            hs = table_hash(spark_rows, spark_cols)
+            hd = table_hash(duck_rows, duck_cols)
+            if hs != hd:
+                print(f"FAIL {name}: hash mismatch")
+                order_s = sorted(range(len(spark_cols)), key=lambda i: spark_cols[i])
+                order_d = sorted(range(len(duck_cols)), key=lambda i: duck_cols[i])
+                shown = 0
+                for i, (rs, rd) in enumerate(zip(spark_rows, duck_rows)):
+                    vs = [norm(rs[j]) for j in order_s]
+                    vd = [norm(rd[j]) for j in order_d]
+                    if vs != vd:
+                        print(f"  row {i}: spark={vs}")
+                        print(f"          duck ={vd}")
+                        shown += 1
+                        if shown >= 3: break
+                ok = False
+        if ok:
+            print(f"PASS {name} ({len(spark_rows)} rows)")
+            n_pass += 1
+        else:
+            n_fail += 1
+    print(f"\n{n_pass} pass, {n_fail} fail")
+    return 1 if n_fail else 0
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1], sys.argv[2]))
