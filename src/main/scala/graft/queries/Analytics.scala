@@ -1,0 +1,253 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Beyond-reference analytics over the `events` table (SURVEY.md §2.8,
+  * §2.10 — the reference has no window machinery at all): ranking /
+  * lag-lead windows, running aggregates, tumbling time windows,
+  * gap-based sessionization, conditional pivots, rollup, semi/anti and
+  * outer joins, and JSON extraction.
+  *
+  * Scale notes: every window partitions by `user_id` — at 100 TB that
+  * is one shuffle on a high-cardinality key with no skew (user
+  * activity is bounded); time-window aggregation is a single hash
+  * aggregate on (hour, type). Running sums use the same exact-DECIMAL
+  * convention as [[Relational]].
+  */
+object Analytics {
+  private val DV = DecimalType(20, 6) // events.value is ≤6-decimal clean
+
+  /** events.parquet carries TIMESTAMP(NANOS) which Spark 4 refuses by
+    * default; read nanos as long and convert exactly (integer `div`,
+    * values are microsecond-clean) to a session-TZ timestamp.
+    */
+  private def ev(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = spark.read.parquet(s"$dir/events.parquet")
+    if (raw.schema("ts").dataType == LongType)
+      raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    else raw
+  }
+
+  /** Deterministic per-user event order: ts then unique event_id. */
+  private val wUser = Window.partitionBy(col("user_id"))
+    .orderBy(asc("ts"), asc("event_id"))
+
+  // -------------------------------------------------------------------
+  // q16: ranking + lag/lead navigation windows
+  // -------------------------------------------------------------------
+  def q16WindowRank(spark: SparkSession, dir: String): DataFrame =
+    ev(spark, dir).select(
+      col("event_id"), col("user_id"), col("ts"), col("event_type"),
+      row_number().over(wUser).as("rn"),
+      lag(col("event_id"), 1).over(wUser).as("prev_event_id"),
+      lead(col("event_id"), 1).over(wUser).as("next_event_id"))
+      .orderBy(asc("event_id"))
+  val q16Sql: String =
+    """SELECT event_id, user_id, ts, event_type,
+      |  ROW_NUMBER() OVER w AS rn,
+      |  LAG(event_id, 1) OVER w AS prev_event_id,
+      |  LEAD(event_id, 1) OVER w AS next_event_id
+      |FROM events
+      |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+      |ORDER BY event_id""".stripMargin
+
+  // -------------------------------------------------------------------
+  // q17: running (cumulative) aggregates — frame-bounded window
+  // -------------------------------------------------------------------
+  def q17RunningAgg(spark: SparkSession, dir: String): DataFrame = {
+    val wRun = wUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ev(spark, dir).select(
+      col("event_id"), col("user_id"), col("ts"),
+      sum(col("value").cast(DV)).over(wRun).cast("double").as("running_value"),
+      count(lit(1)).over(wRun).as("running_n"),
+      max(col("value")).over(wRun).as("running_max"))
+      .orderBy(asc("event_id"))
+  }
+  val q17Sql: String =
+    """SELECT event_id, user_id, ts,
+      |  CAST(CAST(SUM(CAST(value AS DECIMAL(20,6))) OVER w AS VARCHAR) AS DOUBLE) AS running_value,
+      |  COUNT(*) OVER w AS running_n,
+      |  MAX(value) OVER w AS running_max
+      |FROM events
+      |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+      |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |ORDER BY event_id""".stripMargin
+
+  // -------------------------------------------------------------------
+  // q18: tumbling time-window aggregation (batch form of the streaming
+  // hourly rollup; see graft.streaming for the readStream twin)
+  // -------------------------------------------------------------------
+  def q18TimeWindow(spark: SparkSession, dir: String): DataFrame =
+    ev(spark, dir)
+      .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(col("value").cast(DV)).cast("double").as("sum_value"),
+        countDistinct(col("user_id")).as("n_users"))
+      .orderBy(asc("hour"), asc("event_type"))
+  val q18Sql: String =
+    """SELECT DATE_TRUNC('hour', ts) AS hour, event_type,
+      |  COUNT(*) AS n_events,
+      |  CAST(CAST(SUM(CAST(value AS DECIMAL(20,6))) AS VARCHAR) AS DOUBLE) AS sum_value,
+      |  COUNT(DISTINCT user_id) AS n_users
+      |FROM events GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin
+
+  // -------------------------------------------------------------------
+  // q19: gap-based sessionization — 30-min inactivity closes a session.
+  // Exact integer epoch-microsecond arithmetic on both engines.
+  // -------------------------------------------------------------------
+  def q19Sessionize(spark: SparkSession, dir: String): DataFrame = {
+    val gapUs = 1800L * 1000000L
+    val prevTs = lag(col("ts"), 1).over(wUser)
+    val newSession = when(prevTs.isNull, lit(0))
+      .when(unix_micros(col("ts")) - unix_micros(prevTs) > gapUs, lit(1))
+      .otherwise(lit(0))
+    val wRun = wUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ev(spark, dir)
+      .withColumn("new_sess", newSession)
+      .withColumn("session_idx", sum(col("new_sess")).over(wRun))
+      .groupBy(col("user_id"), col("session_idx"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        min(col("ts")).as("session_start"),
+        max(col("ts")).as("session_end"),
+        sum(col("value").cast(DV)).cast("double").as("session_value"))
+      .orderBy(asc("user_id"), asc("session_idx"))
+  }
+  val q19Sql: String =
+    """WITH flagged AS (
+      |  SELECT user_id, ts, value,
+      |    CASE WHEN LAG(ts) OVER w IS NULL THEN 0
+      |         WHEN EPOCH_US(ts) - EPOCH_US(LAG(ts) OVER w) > 1800000000 THEN 1
+      |         ELSE 0 END AS new_sess
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+      |), sessed AS (
+      |  SELECT user_id, ts, value,
+      |    SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
+      |  FROM flagged
+      |)
+      |SELECT user_id, session_idx, COUNT(*) AS n_events,
+      |  MIN(ts) AS session_start, MAX(ts) AS session_end,
+      |  CAST(CAST(SUM(CAST(value AS DECIMAL(20,6))) AS VARCHAR) AS DOUBLE) AS session_value
+      |FROM sessed GROUP BY user_id, session_idx
+      |ORDER BY user_id, session_idx""".stripMargin
+
+  // -------------------------------------------------------------------
+  // q20: conditional pivot — per-user event-type counts as columns
+  // (portable manual pivot: identical in Spark and ANSI SQL)
+  // -------------------------------------------------------------------
+  def q20Pivot(spark: SparkSession, dir: String): DataFrame = {
+    def cnt(t: String) = sum(when(col("event_type") === lit(t), 1).otherwise(0)).as(s"n_$t")
+    ev(spark, dir)
+      .groupBy(col("user_id"))
+      .agg(cnt("click"), cnt("view"), cnt("purchase"), cnt("signup"), cnt("error"))
+      .orderBy(asc("user_id"))
+  }
+  val q20Sql: String =
+    """SELECT user_id,
+      |  SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS n_click,
+      |  SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS n_view,
+      |  SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS n_purchase,
+      |  SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS n_signup,
+      |  SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS n_error
+      |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
+
+  // -------------------------------------------------------------------
+  // q21: rollup (hierarchical grouping sets) over lineitem
+  // -------------------------------------------------------------------
+  def q21Rollup(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/lineitem.parquet")
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("l_quantity").cast(DecimalType(20, 2))).cast("double").as("sum_qty"))
+      .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus"))
+  val q21Sql: String =
+    """SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+      |  CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(20,2))) AS VARCHAR) AS DOUBLE) AS sum_qty
+      |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+      |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin
+
+  // -------------------------------------------------------------------
+  // q22: semi/anti joins — customers with ≥1 order above a threshold
+  // (semi) and customers with no orders at all (anti), tagged + unioned
+  // -------------------------------------------------------------------
+  def q22SemiAnti(spark: SparkSession, dir: String): DataFrame = {
+    val c = spark.read.parquet(s"$dir/customer.parquet")
+    val o = spark.read.parquet(s"$dir/orders.parquet")
+    val big = o.filter(col("o_totalprice") > lit(300000.0))
+    val semi = c.join(big, c("c_custkey") === big("o_custkey"), "left_semi")
+      .select(col("c_custkey"), lit("has_big_order").as("tag"))
+    val anti = c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+      .select(col("c_custkey"), lit("no_orders").as("tag"))
+    semi.union(anti).orderBy(asc("c_custkey"), asc("tag"))
+  }
+  val q22Sql: String =
+    """SELECT * FROM (
+      |  SELECT c_custkey, 'has_big_order' AS tag FROM customer
+      |  WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 300000.0)
+      |  UNION ALL
+      |  SELECT c_custkey, 'no_orders' AS tag FROM customer
+      |  WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+      |) ORDER BY c_custkey, tag""".stripMargin
+
+  // -------------------------------------------------------------------
+  // q23: left outer join with null-aware aggregation — order counts per
+  // customer including order-less customers
+  // -------------------------------------------------------------------
+  def q23OuterJoin(spark: SparkSession, dir: String): DataFrame = {
+    val c = spark.read.parquet(s"$dir/customer.parquet")
+    val o = spark.read.parquet(s"$dir/orders.parquet")
+    c.join(o, c("c_custkey") === o("o_custkey"), "left")
+      .groupBy(col("c_custkey"), col("c_mktsegment"))
+      .agg(
+        count(col("o_orderkey")).as("n_orders"), // counts non-null only
+        sum(col("o_totalprice").cast(DecimalType(20, 2))).cast("double").as("sum_total"))
+      .orderBy(asc("c_custkey"))
+  }
+  val q23Sql: String =
+    """SELECT c_custkey, c_mktsegment, COUNT(o_orderkey) AS n_orders,
+      |  CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(20,2))) AS VARCHAR) AS DOUBLE) AS sum_total
+      |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+      |GROUP BY c_custkey, c_mktsegment ORDER BY c_custkey""".stripMargin
+
+  // -------------------------------------------------------------------
+  // q24: JSON extraction from the props column (semi-structured data —
+  // absent in the reference, table-stakes for a 100 TB pipeline)
+  // -------------------------------------------------------------------
+  def q24Json(spark: SparkSession, dir: String): DataFrame =
+    ev(spark, dir).select(
+      col("event_id"),
+      get_json_object(col("props"), "$.k").cast("long").as("prop_k"))
+      .orderBy(asc("event_id"))
+  val q24Sql: String =
+    """SELECT event_id, CAST(props->>'$.k' AS BIGINT) AS prop_k
+      |FROM events ORDER BY event_id""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q16_window_rank" -> (q16WindowRank _),
+    "q17_running_agg" -> (q17RunningAgg _),
+    "q18_time_window" -> (q18TimeWindow _),
+    "q19_sessionize" -> (q19Sessionize _),
+    "q20_pivot" -> (q20Pivot _),
+    "q21_rollup" -> (q21Rollup _),
+    "q22_semi_anti_join" -> (q22SemiAnti _),
+    "q23_outer_join_agg" -> (q23OuterJoin _),
+    "q24_json_extract" -> (q24Json _))
+
+  val oracle: Map[String, String] = Map(
+    "q16_window_rank" -> q16Sql,
+    "q17_running_agg" -> q17Sql,
+    "q18_time_window" -> q18Sql,
+    "q19_sessionize" -> q19Sql,
+    "q20_pivot" -> q20Sql,
+    "q21_rollup" -> q21Sql,
+    "q22_semi_anti_join" -> q22Sql,
+    "q23_outer_join_agg" -> q23Sql,
+    "q24_json_extract" -> q24Sql)
+}
