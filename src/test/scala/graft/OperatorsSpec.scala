@@ -1,0 +1,145 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators._
+
+/** Specs for the pipeline operator modules: text analysis, dedup,
+  * similarity, multimodal. Uses planted fixtures with known answers.
+  */
+class OperatorsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("tokenization and text stats") {
+    val df = Seq("the quick  brown fox", "a b").toDF("text")
+    val got = df.select(
+      TextAnalysis.tokenCount(col("text")).as("n"),
+      TextAnalysis.uniqueTokenCount(col("text")).as("u"),
+      TextAnalysis.avgTokenLen(col("text")).as("l")).collect()
+    assert(got(0).getLong(0) === 4L)
+    assert(got(0).getLong(1) === 4L)
+    assert(got(0).getDouble(2) === 16.0 / 4)
+    assert(got(1).getLong(0) === 2L)
+  }
+
+  test("shingles produce n-k+1 hashes and are order-sensitive") {
+    val df = Seq("a b c d e", "b a c d e").toDF("text")
+    val got = df.select(TextAnalysis.shingles(col("text"), 3).as("sh")).collect()
+    assert(got(0).getSeq[Long](0).length === 3)
+    // different word order → different shingle hashes
+    assert(got(0).getSeq[Long](0) !== got(1).getSeq[Long](0))
+  }
+
+  test("fingerprint is whitespace-normalizing and deterministic") {
+    val df = Seq("hello  world", "hello world", "hello mars").toDF("text")
+    val fps = df.select(TextAnalysis.fingerprint(col("text"))).collect().map(_.getLong(0))
+    assert(fps(0) === fps(1))
+    assert(fps(0) !== fps(2))
+  }
+
+  test("langId picks the language with most stopword hits") {
+    val df = Seq(
+      "the cat is on the mat with a hat",
+      "der hund ist mit der katze und das haus",
+      "le chat est dans la maison pour le chien",
+      "el perro y el gato para la casa como una").toDF("text")
+    val got = df.select(TextAnalysis.langId(col("text"))).collect().map(_.getString(0))
+    assert(got.toSeq === Seq("en", "de", "fr", "es"))
+  }
+
+  test("quality score is in [0,1] and favors long diverse text") {
+    val df = Seq(
+      "the of and a to in is on for with " * 20, // long, stopword-rich, repetitive
+      "x").toDF("text")
+    val got = df.select(TextAnalysis.qualityScore(col("text"))).collect().map(_.getDouble(0))
+    assert(got.forall(s => s >= 0.0 && s <= 1.0))
+    assert(got(0) > got(1))
+  }
+
+  test("exact dedup groups identical normalized text") {
+    val df = Seq(
+      (1L, "same text here"), (2L, "same  text here"), (3L, "different")).toDF("doc_id", "text")
+    val got = Dedup.exact(df, "doc_id", "text").orderBy("keep_id").collect()
+    assert(got.map(r => (r.getLong(1), r.getLong(2))).toSeq === Seq((1L, 2L), (3L, 1L)))
+  }
+
+  test("minhash LSH finds planted near-duplicates") {
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+      "lambda mu nu xi omicron pi rho sigma tau upsilon"
+    val nearDup = base.replace("sigma", "sygma")
+    val other = "one two three four five six seven eight nine ten eleven " +
+      "twelve thirteen fourteen fifteen sixteen seventeen eighteen nineteen twenty"
+    val df = Seq((1L, base), (2L, nearDup), (3L, other), (4L, base))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.minhashLshPairs(df, "doc_id", "text",
+      k = 3, numHashes = 32, bands = 16, threshold = 0.3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 4L))) // exact dup always found
+    assert(pairs.contains((1L, 2L)) || pairs.contains((2L, 4L))) // near dup
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L)) // disjoint doc excluded
+  }
+
+  test("simhash: identical text → distance 0; similar → small; disjoint → large") {
+    val df = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "alpha beta gamma delta epsilon zeta eta iota"),
+      (3L, "completely unrelated words entirely elsewhere tonight"))
+      .toDF("doc_id", "text")
+    val sigs = Dedup.simhashSignatures(df, "doc_id", "text")
+      .orderBy("doc_id").collect().map(_.getLong(1))
+    assert(java.lang.Long.bitCount(sigs(0) ^ sigs(1)) <
+      java.lang.Long.bitCount(sigs(0) ^ sigs(2)))
+  }
+
+  test("jaccard pairs: exact ground truth") {
+    val df = Seq((1L, "a b c d e f"), (2L, "a b c d e g"), (3L, "x y z w v u"))
+      .toDF("doc_id", "text")
+    val got = Dedup.ngramJaccardPairs(df, "doc_id", "text", k = 2, threshold = 0.1, maxId = 10L)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.toSeq === Seq((1L, 2L))) // shares 4 of 6 bigrams ≈ 0.5
+  }
+
+  test("cosine and brute-force top-k are exact") {
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f)),
+      (1L, Array(0.9f, 0.1f, 0.0f)),
+      (2L, Array(0.0f, 1.0f, 0.0f)),
+      (3L, Array(-1.0f, 0.0f, 0.0f))).toDF("vec_id", "embedding")
+    val q = vecs.filter(col("vec_id") === 0L)
+    val got = Similarity.bruteForceTopK(q, vecs, "vec_id", "vec_id",
+      "embedding", "embedding", 3).orderBy("rank").collect()
+    assert(got.map(_.getLong(1)).toSeq === Seq(1L, 2L, 3L)) // by cosine desc
+    assert(math.abs(got(1).getDouble(2)) < 1e-12) // orthogonal → 0
+    assert(math.abs(got(2).getDouble(2) + 1.0) < 1e-12) // opposite → -1
+  }
+
+  test("lsh topk recall vs brute force on real embeddings") {
+    val e = spark.read.parquet(s"$sf/embeddings.parquet")
+    val q = e.filter(col("vec_id") < 5)
+    val exact = Similarity.bruteForceTopK(q, e, "vec_id", "vec_id",
+      "embedding", "embedding", 5)
+      .select("query_id", "cand_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = Similarity.lshTopK(q, e, "vec_id", "vec_id",
+      "embedding", "embedding", 5, numPlanes = 4, dim = 64)
+      .select("query_id", "cand_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact intersect approx).size.toDouble / exact.size
+    assert(recall > 0.2, s"LSH recall $recall too low") // 4 planes, 1-bit probes
+  }
+
+  test("multimodal decode stub is deterministic and feature stats flow") {
+    val a = Multimodal.MediaCodec.decodeStub("hello".getBytes)
+    val b = Multimodal.MediaCodec.decodeStub("hello".getBytes)
+    assert(a.toSeq === b.toSeq)
+    assert(a.length === 16)
+    val stats = Multimodal.featureStats(spark, sf).collect()
+    assert(stats.map(_.getString(0)).toSeq === Seq("audio", "image", "video"))
+    assert(stats.map(_.getLong(1)).sum === 500L)
+  }
+
+  test("media frame sampling and resize stubs preserve batch shape") {
+    val payload = (0 until 100).map(_.toByte).toArray
+    assert(Multimodal.MediaCodec.resizeStub(payload, 10).length === 10)
+    val frames = Multimodal.MediaCodec.frameSampleStub(payload, 10, 2)
+    assert(frames.length === 5)
+    assert(frames(0).length === 10)
+  }
+}

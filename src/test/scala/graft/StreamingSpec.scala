@@ -1,0 +1,34 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Structured Streaming specs: the streaming hourly rollup must agree
+  * with its batch twin, and stateful per-user counts must match a
+  * batch groupBy. */
+class StreamingSpec extends SparkSpec {
+
+  test("streaming hourly rollup equals batch aggregation") {
+    val streamed = graft.streaming.EventStreams
+      .hourlyRollupBatchDriven(spark, sf)
+      .collect()
+    val batch = graft.queries.Analytics.q18TimeWindow(spark, sf)
+      .select(col("hour"), col("event_type"), col("n_events"), col("sum_value"))
+      .collect()
+    assert(streamed.length === batch.length)
+    val sKeys = streamed.map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2))).toSet
+    val bKeys = batch.map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2))).toSet
+    assert(sKeys === bKeys)
+  }
+
+  test("stateful streaming user counts equal batch counts") {
+    val streamed = graft.streaming.EventStreams
+      .statefulUserCounts(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val batch = spark.read
+      .parquet(s"$sf/events.parquet")
+      .groupBy(col("user_id")).agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(streamed === batch)
+  }
+}
