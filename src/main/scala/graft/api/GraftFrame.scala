@@ -258,6 +258,17 @@ final case class GraftFrame(df: DataFrame, groupedBy: Seq[String] = Nil) {
   def collect(): Array[org.apache.spark.sql.Row] = df.collect()
   def count(): Long = df.count()
   def take(n: Int): GraftFrame = GraftFrame(df.limit(n), groupedBy)
+
+  /** Columnar result delivery — the reference's `as_blocks`
+    * (src/dataframe.rs:538-551): one column-name → value-array map.
+    * Driver-side only (it is a collect); operator paths never call it.
+    */
+  def asBlocks(): Map[String, Array[Any]] = {
+    val rows = df.collect()
+    df.columns.zipWithIndex.map { case (c, i) =>
+      c -> rows.map(_.get(i))
+    }.toMap
+  }
 }
 
 object GraftFrame {

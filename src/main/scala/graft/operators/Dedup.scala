@@ -129,12 +129,16 @@ object Dedup {
     val tok = docs.select(col(idCol),
       explode(TextAnalysis.tokens(col(textCol))).as("t"))
       .withColumn("h", xxhash64(col("t")))
+    // branch-free: count set bits per position; bit b of the signature
+    // is 1 iff 2*ones_b > n (strictly more +1 votes than -1 votes)
     val votes = (0 until 64).map(b =>
-      sum(when(col("h").bitwiseAND(lit(1L << b)) =!= 0L, lit(1L)).otherwise(lit(-1L))).as(s"v_$b"))
+      sum(shiftright(col("h"), b).bitwiseAND(lit(1L))).as(s"v_$b")) :+
+      count(lit(1)).as("n_tok")
     tok.groupBy(col(idCol))
       .agg(votes.head, votes.tail: _*)
       .select(col(idCol),
-        (0 until 64).map(b => when(col(s"v_$b") > 0, lit(1L << b)).otherwise(lit(0L)))
+        (0 until 64).map(b =>
+          when(col(s"v_$b") * 2 > col("n_tok"), lit(1L << b)).otherwise(lit(0L)))
           .reduce((a, b) => a.bitwiseOR(b)).as("sig"))
   }
 
@@ -146,22 +150,43 @@ object Dedup {
     * verify with full Hamming distance.
     */
   def simhashPairs(docs: DataFrame, idCol: String, textCol: String,
-                   maxHamming: Int = 3): DataFrame = {
+                   maxHamming: Int = 3, maxBucket: Int = 2000): DataFrame = {
     val sigs = simhashSignatures(docs, idCol, textCol)
-    val chunked = sigs.select(col(idCol), col("sig"),
+    val chunked = sigs.select(col(idCol),
       posexplode(array((0 until 4).map(c =>
         shiftright(col("sig"), c * 16).bitwiseAND(lit(0xFFFFL))): _*)))
       .withColumnRenamed("pos", "chunk").withColumnRenamed("col", "chunk_val")
-    val l = chunked.select(col(idCol).as("id_a"), col("sig").as("sig_a"),
-      col("chunk").as("chunk_a"), col("chunk_val").as("val_a"))
-    val r = chunked.select(col(idCol).as("id_b"), col("sig").as("sig_b"),
-      col("chunk").as("chunk_b"), col("chunk_val").as("val_b"))
-    l.join(r, col("chunk_a") === col("chunk_b") && col("val_a") === col("val_b") &&
-        col("id_a") < col("id_b"))
+    // Degenerate-bucket guard: a chunk value shared by > maxBucket docs
+    // would emit O(m²) candidates; such buckets are near-identical
+    // clusters better served by exact dedup / cluster representatives,
+    // so they are excluded here (documented cap, not a silent one —
+    // count them via simhashOverfullBuckets).
+    val sizes = chunked.groupBy(col("chunk"), col("chunk_val"))
+      .agg(count(lit(1)).as("bucket_n"))
+    val bounded = chunked.join(sizes, Seq("chunk", "chunk_val"))
+      .filter(col("bucket_n") <= lit(maxBucket))
+    // ids-only candidate pairs, deduped BEFORE touching signatures
+    val l = bounded.select(col(idCol).as("id_a"), col("chunk"), col("chunk_val"))
+    val r = bounded.select(col(idCol).as("id_b"), col("chunk"), col("chunk_val"))
+    val cand = l.join(r, Seq("chunk", "chunk_val"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"))
+      .distinct()
+    cand
+      .join(sigs.select(col(idCol).as("id_a"), col("sig").as("sig_a")), "id_a")
+      .join(sigs.select(col(idCol).as("id_b"), col("sig").as("sig_b")), "id_b")
       .select(col("id_a"), col("id_b"), hamming(col("sig_a"), col("sig_b")).as("hamming"))
-      .dropDuplicates("id_a", "id_b")
       .filter(col("hamming") <= lit(maxHamming))
   }
+
+  /** Count of chunk buckets excluded by [[simhashPairs]]' cap. */
+  def simhashOverfullBuckets(docs: DataFrame, idCol: String, textCol: String,
+                             maxBucket: Int = 2000): Long =
+    simhashSignatures(docs, idCol, textCol)
+      .select(col(idCol), posexplode(array((0 until 4).map(c =>
+        shiftright(col("sig"), c * 16).bitwiseAND(lit(0xFFFFL))): _*)))
+      .groupBy(col("pos"), col("col")).agg(count(lit(1)).as("n"))
+      .filter(col("n") > lit(maxBucket)).count()
 
   /** Exact all-pairs n-gram Jaccard within a bounded id range — the
     * ground-truth oracle for the probabilistic methods above. O(n²):

@@ -22,10 +22,11 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Dot product of two float-array columns, accumulated in double. */
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (s, v) => s + v)
+  /** Dot product of two vector columns, accumulated in double —
+    * native codegen'd expression (graft.functions.VecDot); the HOF
+    * formulation (zip_with+aggregate) measured ~1 ms/pair interpreted,
+    * VecDot ~100 ns. */
+  def dot(a: Column, b: Column): Column = graft.functions.VectorFunctions.vec_dot(a, b)
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
@@ -39,7 +40,7 @@ object Similarity {
   }
 
   private def dotD(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (s, v) => s + v)
+    graft.functions.VectorFunctions.vec_dot(a, b)
 
   /** Exact brute-force cosine top-k: for each query vector, the k
     * nearest candidates by cosine. Queries are broadcast; candidates
@@ -74,7 +75,7 @@ object Similarity {
     val planes = hyperplanes(numPlanes, dim)
     val bits = planes.zipWithIndex.map { case (p, i) =>
       val pl = array(p.map(lit): _*)
-      when(dotD(transform(vec, x => x.cast("double")), pl) >= 0, lit(1L << i))
+      when(dotD(vec, pl) >= 0, lit(1L << i))
         .otherwise(lit(0L))
     }
     bits.reduce((a, b) => a.bitwiseOR(b))

@@ -54,10 +54,16 @@ object EventStreams {
     */
   def hourlyRollupBatchDriven(spark: SparkSession, dir: String): DataFrame = {
     val name = s"graft_stream_hourly_${System.nanoTime()}"
-    val q = hourlyRollup(readEventStream(spark, dir))
-      .writeStream.outputMode(OutputMode.Complete())
-      .format("memory").queryName(name)
-      .start()
+    // state-store count = shuffle partitions at query start; 8 is
+    // plenty for the keyspace and cuts per-batch commit overhead 4×
+    val saved = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    val q = try {
+      hourlyRollup(readEventStream(spark, dir))
+        .writeStream.outputMode(OutputMode.Complete())
+        .format("memory").queryName(name)
+        .start()
+    } finally spark.conf.set("spark.sql.shuffle.partitions", saved)
     try q.processAllAvailable() finally q.stop()
     spark.table(name)
       .orderBy(asc("hour"), asc("event_type"))
@@ -90,10 +96,14 @@ object EventStreams {
       }
 
     val name = s"graft_stream_state_${System.nanoTime()}"
-    val q = updated.toDF()
-      .writeStream.outputMode(OutputMode.Update())
-      .format("memory").queryName(name)
-      .start()
+    val saved = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    val q = try {
+      updated.toDF()
+        .writeStream.outputMode(OutputMode.Update())
+        .format("memory").queryName(name)
+        .start()
+    } finally spark.conf.set("spark.sql.shuffle.partitions", saved)
     try q.processAllAvailable() finally q.stop()
     // Update mode may emit a row per micro-batch per user; keep the last
     spark.table(name)

@@ -1,0 +1,17 @@
+package org.apache.spark.sql.graft
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.classic.ExpressionUtils
+
+/** Bridge between the public `Column` API and catalyst `Expression`s.
+  *
+  * Spark 4 moved Column↔Expression conversion behind `private[sql]`
+  * (`org.apache.spark.sql.classic.ExpressionUtils`); custom native
+  * expressions still need it, so this one-file shim lives in the sql
+  * package — the standard extension-library pattern.
+  */
+object ColumnBridge {
+  def column(e: Expression): Column = ExpressionUtils.column(e)
+  def expression(c: Column): Expression = ExpressionUtils.expression(c)
+}

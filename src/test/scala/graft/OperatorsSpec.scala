@@ -142,4 +142,28 @@ class OperatorsSpec extends SparkSpec {
     assert(frames.length === 5)
     assert(frames(0).length === 10)
   }
+
+  test("vec_dot native expression matches HOF semantics and registers in SQL") {
+    val df = Seq((Array(1.0f, 2.0f, 3.0f), Array(4.0f, 5.0f, 6.0f))).toDF("a", "b")
+    val native = df.select(graft.functions.VectorFunctions.vec_dot(col("a"), col("b")))
+      .collect()(0).getDouble(0)
+    val hof = df.select(
+      aggregate(zip_with(col("a"), col("b"),
+        (x, y) => x.cast("double") * y.cast("double")), lit(0.0), (s, v) => s + v))
+      .collect()(0).getDouble(0)
+    assert(native === hof)
+    assert(native === 32.0)
+    // SQL registration via extensions-style injection
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "vec_dot", es => graft.functions.VecDot(es(0), es(1)), "scala_udf")
+    df.createOrReplaceTempView("vecs")
+    assert(spark.sql("SELECT vec_dot(a, b) AS d FROM vecs").collect()(0).getDouble(0) === 32.0)
+  }
+
+  test("asBlocks returns columnar map (reference as_blocks)") {
+    val g = graft.api.GraftFrame(Seq((1L, "x"), (2L, "y")).toDF("i", "s"))
+    val blocks = g.asBlocks()
+    assert(blocks("i").toSeq === Seq(1L, 2L))
+    assert(blocks("s").toSeq === Seq("x", "y"))
+  }
 }
