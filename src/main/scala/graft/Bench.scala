@@ -23,8 +23,27 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    // warmup (untimed): touch every table + exercise codegen paths
+    // warmup (untimed): exercise codegen paths once
     try SparkEntry.entry(spark).count() catch { case _: Throwable => }
+
+    // The reference memoizes columns across queries in its Pool
+    // (reference: src/pool.rs:37-95); the Spark analog is caching the
+    // base scans — CacheManager then substitutes the InMemoryRelation
+    // into every query plan that scans the same files. Default OFF:
+    // measured 4× SLOWER here — InMemoryTableScan of string/array
+    // columns loses to the parquet vectorized reader, and cache
+    // substitution changes the codegen shape of the text/vector
+    // queries. Local parquet IS the fast path; at cluster scale cache
+    // selectively (small dims), never wide text/embedding columns.
+    if (sys.env.getOrElse("SPARK_GRAFT_CACHE", "0") == "1") {
+      Seq("lineitem", "orders", "customer", "part", "supplier",
+        "nation", "region", "documents", "embeddings").foreach { t =>
+        try {
+          val df = spark.read.parquet(s"$sfDir/$t.parquet")
+          df.cache(); df.count()
+        } catch { case _: Throwable => }
+      }
+    }
 
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()

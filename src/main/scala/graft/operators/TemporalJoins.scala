@@ -1,0 +1,82 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Temporal join operators Spark lacks as built-ins: as-of join and
+  * banded range join. Both are built by *composing* existing operators
+  * (SURVEY.md preference (a)) into shapes that scale:
+  *
+  *  - as-of: the union-and-carry-forward formulation — one shuffle on
+  *    (key), one window pass; no inequality join, no per-row probe.
+  *    At 100 TB this is a single sort-merge per key partition, vs the
+  *    O(n·m) broadcast-nested-loop Spark would pick for `l.ts >= r.ts`.
+  *  - range join: equi-join on coarse time buckets (each left row
+  *    probes its own and the adjacent bucket) + exact band filter —
+  *    turns an inequality join into a hash join with bounded fanout.
+  */
+object TemporalJoins {
+
+  /** As-of join: for every left row, attach the latest right row with
+    * the same key and `rightTs <= leftTs` (backward search, the
+    * classic trades/quotes semantics).
+    *
+    * Implementation: union both sides tagged, sort each key partition
+    * by (ts, side) with right rows first on ties, carry the last seen
+    * right payload forward with `last(_, ignoreNulls=true)`, then keep
+    * left rows. Right payload columns come back null when no prior
+    * right row exists (left-outer as-of).
+    *
+    * `rightPayload` columns must not collide with left column names.
+    */
+  def asofJoinBackward(left: DataFrame, right: DataFrame, key: String,
+                       leftTs: String, rightTs: String,
+                       rightPayload: Seq[String]): DataFrame = {
+    val leftCols = left.columns.toSeq
+    // side marker: right=0 sorts before left=1 at equal timestamps, so
+    // a right row AT the left row's timestamp is eligible (ties match)
+    val taggedRight = right.select(
+      (Seq(col(key).as(key), col(rightTs).as("__ts"), lit(0).as("__side")) ++
+        rightPayload.map(c => col(c).as(s"__r_$c")) ++
+        leftCols.filterNot(_ == key).map(c => lit(null).as(c))): _*)
+    val taggedLeft = left.select(
+      (Seq(col(key).as(key), col(leftTs).as("__ts"), lit(1).as("__side")) ++
+        rightPayload.map(c => lit(null).as(s"__r_$c")) ++
+        leftCols.filterNot(_ == key).map(col)): _*)
+    val unioned = taggedLeft.unionByName(taggedRight)
+    val w = Window.partitionBy(col(key))
+      .orderBy(asc("__ts"), asc("__side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val carried = rightPayload.foldLeft(unioned) { (df, c) =>
+      df.withColumn(s"__asof_$c", last(col(s"__r_$c"), ignoreNulls = true).over(w))
+    }
+    carried
+      .filter(col("__side") === 1)
+      .select((Seq(col(key), col("__ts").as(leftTs)) ++
+        leftCols.filterNot(c => c == key || c == leftTs).map(col) ++
+        rightPayload.map(c => col(s"__asof_$c").as(s"asof_$c"))): _*)
+  }
+
+  /** Banded range join: pairs (l, r) sharing `key` with
+    * `|leftTs - rightTs| <= band` (timestamps as epoch micros).
+    * Each side is bucketed to `band`-wide epochs; left probes its own
+    * and both adjacent buckets (explode ×3), making the join an
+    * equi-join on (key, bucket) with an exact band filter after.
+    */
+  def bandedRangeJoin(left: DataFrame, right: DataFrame, key: String,
+                      leftTs: String, rightTs: String,
+                      bandMicros: Long): DataFrame = {
+    val lb = left
+      .withColumn("__lus", unix_micros(col(leftTs)))
+      .withColumn("__off", explode(array(lit(-1L), lit(0L), lit(1L))))
+      .withColumn("__bucket", col("__off") + expr(s"__lus div $bandMicros"))
+      .drop("__off")
+    val rb = right
+      .withColumn("__rus", unix_micros(col(rightTs)))
+      .withColumn("__bucket", expr(s"__rus div $bandMicros"))
+    lb.join(rb, Seq(key, "__bucket"))
+      .filter(abs(col("__lus") - col("__rus")) <= lit(bandMicros))
+      .drop("__bucket", "__lus", "__rus")
+  }
+}
