@@ -20,7 +20,9 @@ object SparkEntry {
     graft.queries.Relational.queries ++
       graft.queries.Analytics.queries ++
       graft.queries.Pipeline.queries ++
-      graft.queries.Temporal.queries
+      graft.queries.Temporal.queries ++
+      graft.queries.Stats.queries ++
+      graft.queries.Scalars.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a weaker rows-only check. */
@@ -28,5 +30,7 @@ object SparkEntry {
     graft.queries.Relational.oracle ++
       graft.queries.Analytics.oracle ++
       graft.queries.Pipeline.oracle ++
-      graft.queries.Temporal.oracle
+      graft.queries.Temporal.oracle ++
+      graft.queries.Stats.oracle ++
+      graft.queries.Scalars.oracle
 }

@@ -1,0 +1,65 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scale-out techniques as reusable operators: salted joins for skewed
+  * keys and bucketed co-located joins that eliminate the shuffle
+  * entirely. These are the knobs the 100 TB deployment turns; specs
+  * assert their plan shape (no Exchange for bucketed joins, identical
+  * results for salted joins).
+  */
+object Scale {
+
+  /** Skew-resistant inner equi-join: the left (large, skewed) side gets
+    * a random salt in [0, saltFactor); the right side is exploded
+    * saltFactor× so every (key, salt) pair finds its match. Hot keys
+    * spread over saltFactor reducers instead of one straggler.
+    * Result set is identical to a plain inner join on `key`.
+    *
+    * (Spark's AQE skew-join handles this adaptively at runtime; the
+    * explicit form is for engines/paths where AQE can't see the skew,
+    * e.g. pre-partitioned outputs or deterministic layout control.)
+    */
+  def saltedJoin(left: DataFrame, right: DataFrame, key: String,
+                 saltFactor: Int): DataFrame = {
+    val saltedL = left.withColumn("__salt",
+      pmod(xxhash64(monotonically_increasing_id()), lit(saltFactor)).cast("int"))
+    val saltedR = right.withColumn("__salt",
+      explode(array((0 until saltFactor).map(lit): _*)))
+    saltedL.join(saltedR, Seq(key, "__salt")).drop("__salt")
+  }
+
+  /** Write both sides bucketed by the join key; subsequent joins of the
+    * two tables are co-located — SortMergeJoin with NO Exchange on
+    * either side (verify with .explain: no Exchange below the join).
+    * The cluster-scale pattern for repeated fact-fact joins.
+    */
+  def writeBucketed(df: DataFrame, table: String, key: String,
+                    buckets: Int): Unit = {
+    val spark = df.sparkSession
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    // a stale location (e.g. from a crashed run) blocks managed-table
+    // creation even after DROP; clear it
+    val warehouse = spark.conf.get("spark.sql.warehouse.dir")
+      .stripPrefix("file:")
+    val loc = new java.io.File(warehouse, table)
+    if (loc.exists()) {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete()
+      }
+      rm(loc)
+    }
+    df.write.mode("overwrite")
+      .bucketBy(buckets, key)
+      .sortBy(key)
+      .format("parquet")
+      .saveAsTable(table)
+  }
+
+  /** Join two bucketed tables on their bucket key. */
+  def bucketedJoin(spark: SparkSession, leftTable: String, rightTable: String,
+                   key: String): DataFrame =
+    spark.table(leftTable).join(spark.table(rightTable), Seq(key))
+}

@@ -162,7 +162,7 @@ object Pipeline {
   // q32: SimHash near-dup pairs (rows-only)
   // -------------------------------------------------------------------
   def q32Simhash(spark: SparkSession, dir: String): DataFrame =
-    Dedup.simhashPairs(docs(spark, dir), "doc_id", "text", maxHamming = 8)
+    Dedup.simhashPairs(docs(spark, dir), "doc_id", "text", maxHamming = 8, maxBucket = 500)
       .orderBy(asc("id_a"), asc("id_b"))
 
   // -------------------------------------------------------------------

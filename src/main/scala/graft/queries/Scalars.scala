@@ -1,0 +1,127 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, LongType}
+
+/** Scalar-function and set-operation coverage: the reference has NO
+  * scalar function library (SURVEY §2.9 — 4 arithmetic ops only) and
+  * no set operations (§2.7); Spark supplies them natively. Each query
+  * pins the exact cross-engine semantics with a DuckDB oracle.
+  */
+object Scalars {
+
+  private def ev(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = spark.read.parquet(s"$dir/events.parquet")
+    if (raw.schema("ts").dataType == LongType)
+      raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    else raw
+  }
+
+  // -------------------------------------------------------------------
+  // q44: sliding time windows (1h window, 15m slide → each event in 4
+  // windows). Oracle reproduces Spark's window assignment with exact
+  // epoch arithmetic.
+  // -------------------------------------------------------------------
+  def q44SlidingWindow(spark: SparkSession, dir: String): DataFrame =
+    ev(spark, dir)
+      .groupBy(window(col("ts"), "1 hour", "15 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast(DecimalType(20, 6))).cast("double").as("sum_value"))
+      .select(col("window.start").as("w_start"), col("event_type"),
+        col("n_events"), col("sum_value"))
+      .orderBy(asc("w_start"), asc("event_type"))
+  val q44Sql: String =
+    """SELECT CAST(TO_TIMESTAMP((EPOCH_US(ts) // 900000000 - k) * 900000000 / 1000000.0) AS TIMESTAMP) AS w_start,
+      |  event_type, COUNT(*) AS n_events,
+      |  CAST(CAST(SUM(CAST(value AS DECIMAL(20,6))) AS VARCHAR) AS DOUBLE) AS sum_value
+      |FROM events CROSS JOIN (SELECT UNNEST([0, 1, 2, 3]) AS k)
+      |GROUP BY 1, 2 ORDER BY w_start, event_type""".stripMargin
+
+  // -------------------------------------------------------------------
+  // q45: set operations — INTERSECT and EXCEPT (reference §2.7 absent)
+  // -------------------------------------------------------------------
+  def q45SetOps(spark: SparkSession, dir: String): DataFrame = {
+    val o = spark.read.parquet(s"$dir/orders.parquet")
+    val li = spark.read.parquet(s"$dir/lineitem.parquet")
+    val bigOrders = o.filter(col("o_totalprice") > lit(300000.0))
+      .select(col("o_orderkey").as("k"))
+    val shipped = li.select(col("l_orderkey").as("k"))
+    val both = bigOrders.intersect(shipped).withColumn("tag", lit("big_and_shipped"))
+    val only = bigOrders.except(shipped).withColumn("tag", lit("big_no_items"))
+    both.union(only).orderBy(asc("k"), asc("tag"))
+  }
+  val q45Sql: String =
+    """SELECT * FROM (
+      |  SELECT k, 'big_and_shipped' AS tag FROM (
+      |    SELECT o_orderkey AS k FROM orders WHERE o_totalprice > 300000.0
+      |    INTERSECT SELECT l_orderkey AS k FROM lineitem)
+      |  UNION ALL
+      |  SELECT k, 'big_no_items' AS tag FROM (
+      |    SELECT o_orderkey AS k FROM orders WHERE o_totalprice > 300000.0
+      |    EXCEPT SELECT l_orderkey AS k FROM lineitem)
+      |) ORDER BY k, tag""".stripMargin
+
+  // -------------------------------------------------------------------
+  // q46: string scalar functions — case, substring, concat, LIKE,
+  // trim/pad, replace
+  // -------------------------------------------------------------------
+  def q46StringFuncs(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/customer.parquet")
+      .filter(col("c_name").like("%1%"))
+      .select(
+        col("c_custkey"),
+        upper(col("c_name")).as("name_upper"),
+        substring(col("c_name"), 1, 8).as("name_prefix"),
+        concat_ws("/", col("c_mktsegment"), col("c_name")).as("seg_name"),
+        length(col("c_name")).as("name_len"),
+        regexp_replace(col("c_name"), "[0-9]+", "#").as("name_masked"))
+      .orderBy(asc("c_custkey"))
+  val q46Sql: String =
+    """SELECT c_custkey,
+      |  UPPER(c_name) AS name_upper,
+      |  SUBSTRING(c_name, 1, 8) AS name_prefix,
+      |  CONCAT_WS('/', c_mktsegment, c_name) AS seg_name,
+      |  LENGTH(c_name) AS name_len,
+      |  regexp_replace(c_name, '[0-9]+', '#', 'g') AS name_masked
+      |FROM customer WHERE c_name LIKE '%1%'
+      |ORDER BY c_custkey""".stripMargin
+
+  // -------------------------------------------------------------------
+  // q47: date/time scalar functions — extraction, truncation, diff,
+  // arithmetic (reference typed dates as strings; ours are honest
+  // timestamps)
+  // -------------------------------------------------------------------
+  def q47DateFuncs(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/orders.parquet")
+      .select(
+        col("o_orderkey"),
+        year(col("o_orderdate")).as("y"),
+        month(col("o_orderdate")).as("m"),
+        dayofmonth(col("o_orderdate")).as("d"),
+        quarter(col("o_orderdate")).as("q"),
+        date_trunc("month", col("o_orderdate")).as("month_start"),
+        datediff(lit("1996-01-01").cast("date"), col("o_orderdate").cast("date"))
+          .as("days_to_96"))
+      .orderBy(asc("o_orderkey"))
+  val q47Sql: String =
+    """SELECT o_orderkey,
+      |  YEAR(o_orderdate) AS y, MONTH(o_orderdate) AS m,
+      |  DAY(o_orderdate) AS d, QUARTER(o_orderdate) AS q,
+      |  CAST(DATE_TRUNC('month', o_orderdate) AS TIMESTAMP) AS month_start,
+      |  DATEDIFF('day', CAST(o_orderdate AS DATE), DATE '1996-01-01') AS days_to_96
+      |FROM orders ORDER BY o_orderkey""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q44_sliding_window" -> (q44SlidingWindow _),
+    "q45_set_ops" -> (q45SetOps _),
+    "q46_string_funcs" -> (q46StringFuncs _),
+    "q47_date_funcs" -> (q47DateFuncs _))
+
+  val oracle: Map[String, String] = Map(
+    "q44_sliding_window" -> q44Sql,
+    "q45_set_ops" -> q45Sql,
+    "q46_string_funcs" -> q46Sql,
+    "q47_date_funcs" -> q47Sql)
+}

@@ -1,0 +1,90 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Statistical aggregates with exact cross-engine determinism:
+  * percentiles over dyadic-exact values, and variance / correlation
+  * derived from DECIMAL moment sums with the identical double formula
+  * on both engines (built-in stddev/corr stream doubles in partition
+  * order — not reproducible across engines; the moment-sum form is).
+  */
+object Stats {
+
+  private def li(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/lineitem.parquet")
+
+  // -------------------------------------------------------------------
+  // q42: exact percentiles (type-7 interpolation in both engines).
+  // l_quantity is integer-valued and p ∈ {.25,.5,.75} is dyadic, so
+  // every interpolation step is exact in binary — bit-identical.
+  // -------------------------------------------------------------------
+  def q42Percentiles(spark: SparkSession, dir: String): DataFrame =
+    li(spark, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        expr("percentile(l_quantity, 0.25)").as("p25"),
+        expr("percentile(l_quantity, 0.5)").as("p50"),
+        expr("percentile(l_quantity, 0.75)").as("p75"),
+        expr("percentile(l_quantity, 0.9)").as("p90"))
+      .orderBy(asc("l_returnflag"))
+  val q42Sql: String =
+    """SELECT l_returnflag,
+      |  quantile_cont(l_quantity, 0.25) AS p25,
+      |  quantile_cont(l_quantity, 0.5) AS p50,
+      |  quantile_cont(l_quantity, 0.75) AS p75,
+      |  quantile_cont(l_quantity, 0.9) AS p90
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
+  // -------------------------------------------------------------------
+  // q43: variance / stddev / correlation from exact decimal moment
+  // sums (Σx, Σx², Σy, Σy², Σxy in DECIMAL — associative), finished
+  // with the same double-space formula on both sides.
+  // -------------------------------------------------------------------
+  def q43Moments(spark: SparkSession, dir: String): DataFrame = {
+    val d2 = DecimalType(12, 2)
+    val q = col("l_quantity").cast(d2)
+    val p = col("l_extendedprice").cast(d2)
+    val sums = li(spark, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(q).cast("double").as("sx"),
+        sum(q * q).cast("double").as("sxx"),
+        sum(p).cast("double").as("sy"),
+        sum(p * p).cast("double").as("syy"),
+        sum(q * p).cast("double").as("sxy"))
+    sums.select(
+      col("l_returnflag"), col("n"),
+      ((col("sxx") - col("sx") * col("sx") / col("n")) / (col("n") - 1)).as("var_qty"),
+      sqrt((col("sxx") - col("sx") * col("sx") / col("n")) / (col("n") - 1)).as("stddev_qty"),
+      ((col("sxy") - col("sx") * col("sy") / col("n")) /
+        sqrt((col("sxx") - col("sx") * col("sx") / col("n")) *
+          (col("syy") - col("sy") * col("sy") / col("n")))).as("corr_qty_price"))
+      .orderBy(asc("l_returnflag"))
+  }
+  val q43Sql: String =
+    """WITH s AS (
+      |  SELECT l_returnflag, COUNT(*) AS n,
+      |    CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE) AS sx,
+      |    CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_quantity AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE) AS sxx,
+      |    CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE) AS sy,
+      |    CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_extendedprice AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE) AS syy,
+      |    CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_extendedprice AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE) AS sxy
+      |  FROM lineitem GROUP BY l_returnflag
+      |)
+      |SELECT l_returnflag, n,
+      |  (sxx - sx * sx / n) / (n - 1) AS var_qty,
+      |  sqrt((sxx - sx * sx / n) / (n - 1)) AS stddev_qty,
+      |  (sxy - sx * sy / n) / sqrt((sxx - sx * sx / n) * (syy - sy * sy / n)) AS corr_qty_price
+      |FROM s ORDER BY l_returnflag""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q42_percentiles" -> (q42Percentiles _),
+    "q43_moment_stats" -> (q43Moments _))
+
+  val oracle: Map[String, String] = Map(
+    "q42_percentiles" -> q42Sql,
+    "q43_moment_stats" -> q43Sql)
+}

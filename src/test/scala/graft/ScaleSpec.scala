@@ -1,0 +1,46 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Scale
+
+/** Specs for the scale-out operators: salted join result parity and
+  * bucketed-join shuffle elimination (plan-shape assertion). */
+class ScaleSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("salted join returns exactly the plain join result under skew") {
+    // skewed: 90% of left rows share key 1
+    val left = (1 to 200).map(i => (if (i <= 180) 1L else i.toLong, i.toLong))
+      .toDF("k", "lv")
+    val right = (1 to 50).map(i => (i.toLong, s"r$i")).toDF("k", "rv")
+    val plain = left.join(right, Seq("k")).select("k", "lv", "rv")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    val salted = Scale.saltedJoin(left, right, "k", saltFactor = 4)
+      .select("k", "lv", "rv")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    assert(salted === plain)
+    // 180 skewed rows hit key 1; keys 181..200 have no right match
+    assert(plain.size === 180)
+  }
+
+  test("bucketed join plans with no Exchange (co-located)") {
+    val o = spark.read.parquet(s"$sf/orders.parquet")
+      .select("o_orderkey", "o_totalprice")
+    val l = spark.read.parquet(s"$sf/lineitem.parquet")
+      .select(col("l_orderkey").as("o_orderkey"), col("l_quantity"))
+    Scale.writeBucketed(o, "graft_orders_b", "o_orderkey", 8)
+    Scale.writeBucketed(l, "graft_lineitem_b", "o_orderkey", 8)
+    // disable broadcast so the planner exercises the bucketed SMJ path
+    val saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val joined = Scale.bucketedJoin(spark, "graft_orders_b", "graft_lineitem_b", "o_orderkey")
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"), s"expected SMJ, got:\n$plan")
+      // bucketed scans are co-located: no shuffle exchange on either side
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"expected shuffle-free bucketed join, got:\n$plan")
+      assert(joined.count() === o.join(l, Seq("o_orderkey")).count())
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+  }
+}
