@@ -31,19 +31,43 @@ object Dedup {
       .groupBy(col("fp"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
 
+  /** Exploded distinct k-word shingle hashes: one (id, sh) row per
+    * distinct shingle. Built with posexplode + window `lead` — a
+    * Column-HOF formulation (transform + slice + array_join, all
+    * interpreted per element) measured 100× slower at 50k docs; this
+    * shape stays in efficient generated/vectorized operators. One
+    * shuffle on the id (the window), reused by every consumer.
+    */
+  def shingleHashes(docs: DataFrame, idCol: String, textCol: String,
+                    k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = docs.select(col(idCol),
+      posexplode(TextAnalysis.tokens(col(textCol))))
+      .withColumnRenamed("pos", "p").withColumnRenamed("col", "t")
+    val w = Window.partitionBy(col(idCol)).orderBy(asc("p"))
+    val parts = (1 until k).map(j => lead(col("t"), j).over(w))
+    toks
+      .withColumn("sh", xxhash64(concat_ws(" ", (col("t") +: parts): _*)))
+      .withColumn("last_t", lead(col("t"), k - 1).over(w))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy(col(idCol))))
+      // drop trailing positions that have no full k-gram (unless the
+      // doc is shorter than k — then keep its single truncated shingle,
+      // matching TextAnalysis.shingles)
+      .filter(col("last_t").isNotNull || (col("p") === 0 && col("n") < k))
+      .select(col(idCol), col("sh"))
+      .distinct()
+  }
+
   /** MinHash signature matrix: H independent min-hashes over k-word
     * shingles. One row per doc, signature as array<bigint>. Seeds are
     * mixed in via xxhash64(shingle_hash, seed) — deterministic.
     *
-    * Shape: explode shingles → hash-aggregate H `min` columns — all
-    * whole-stage-codegen'd (a nested HOF formulation measured ~40×
-    * slower), one shuffle of (id, 8-byte shingle hash) pairs with
-    * map-side partial mins.
+    * Shape: [[shingleHashes]] → hash-aggregate H `min` columns — all
+    * codegen'd, with map-side partial mins.
     */
   def minhashSignatures(docs: DataFrame, idCol: String, textCol: String,
                         k: Int, numHashes: Int): DataFrame = {
-    val exploded = docs.select(col(idCol),
-      explode(array_distinct(TextAnalysis.shingles(col(textCol), k))).as("sh"))
+    val exploded = shingleHashes(docs, idCol, textCol, k)
     val aggs = (0 until numHashes).map(s => min(xxhash64(col("sh"), lit(s))).as(s"mh_$s"))
     exploded.groupBy(col(idCol))
       .agg(aggs.head, aggs.tail: _*)
@@ -81,17 +105,22 @@ object Dedup {
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"))
       .distinct()
-    // (3) exact verification: re-attach the two shingle sets by id,
-    // compute the intersection ONCE per pair
-    val sets = docs.select(col(idCol),
-      array_distinct(TextAnalysis.shingles(col(textCol), k)).as("sh"))
-    val verified = cand
+    // (3) exact verification: attach each candidate's shingle set
+    // (built via the codegen-friendly shingleHashes path, no HOFs) and
+    // intersect once per pair. Bounded by the candidate count — an
+    // inverted-index count formulation was tried and regresses badly
+    // when exact-dup clusters make most docs candidates (its posting
+    // self-join materializes co-occurrence for all candidate-doc
+    // pairs, not just candidate pairs). Run exact dedup FIRST on
+    // dup-heavy corpora; see tools.ScaleStress.
+    val sets = shingleHashes(docs, idCol, textCol, k)
+      .groupBy(col(idCol)).agg(collect_set(col("sh")).as("sh"))
+    cand
       .join(sets.select(col(idCol).as("id_a"), col("sh").as("sh_a")), "id_a")
       .join(sets.select(col(idCol).as("id_b"), col("sh").as("sh_b")), "id_b")
       .withColumn("n_inter", size(array_intersect(col("sh_a"), col("sh_b"))))
       .withColumn("jaccard", col("n_inter").cast("double") /
         (size(col("sh_a")) + size(col("sh_b")) - col("n_inter")).cast("double"))
-    verified
       .filter(col("jaccard") >= lit(threshold))
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
@@ -202,10 +231,9 @@ object Dedup {
     */
   def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
                         k: Int, threshold: Double, maxId: Long): DataFrame = {
-    val base = docs.filter(col(idCol) < lit(maxId))
-      .select(col(idCol), array_distinct(TextAnalysis.shingles(col(textCol), k)).as("sh"))
-    val sizes = base.select(col(idCol), size(col("sh")).as("n"))
-    val postings = base.select(col(idCol), explode(col("sh")).as("s"))
+    val postings = shingleHashes(docs.filter(col(idCol) < lit(maxId)),
+      idCol, textCol, k).withColumnRenamed("sh", "s")
+    val sizes = postings.groupBy(col(idCol)).agg(count(lit(1)).as("n"))
     val inter = postings.select(col(idCol).as("id_a"), col("s"))
       .join(postings.select(col(idCol).as("id_b"), col("s")), "s")
       .filter(col("id_a") < col("id_b"))

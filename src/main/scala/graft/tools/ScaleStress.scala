@@ -1,0 +1,70 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scale-up stress: replicates the documents table N× (with distinct
+  * ids and salted near-duplicate variants) and times the dedup ladder,
+  * to observe how each operator's cost curves toward the 100 TB
+  * design point. Results land in PERF.md.
+  */
+object ScaleStress {
+  def main(args: Array[String]): Unit = {
+    val factor = args.headOption.map(_.toInt).getOrElse(10)
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val base = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
+    val n = base.count()
+    // replicate with distinct ids; every 7th copy perturbs the text
+    // (planted near-dups for the LSH paths to find). Materialized to
+    // parquet — NOT .cache(): the columnar memory cache of wide string
+    // columns reads slower than the parquet vectorized reader.
+    val stressPath = "/tmp/graft_stress_docs"
+    base
+      .crossJoin(spark.range(factor).toDF("rep"))
+      .select(
+        (col("doc_id") + col("rep") * lit(1000000L)).as("doc_id"),
+        when(pmod(col("rep"), lit(7)) === 1,
+          concat(col("text"), lit(" perturbed tail token")))
+          .otherwise(col("text")).as("text"))
+      .repartition(32)
+      .write.mode("overwrite").parquet(stressPath)
+    val docs: DataFrame = spark.read.parquet(stressPath)
+    val total = docs.count()
+    println(s"[stress] base=$n x$factor -> $total docs")
+
+    def timed(name: String)(f: => Long): Unit = {
+      val t0 = System.nanoTime()
+      val rows = f
+      println(f"[stress] $name: ${(System.nanoTime() - t0) / 1e9}%.1f s ($rows rows)")
+    }
+
+    timed("exact dedup")(
+      graft.operators.Dedup.exact(docs, "doc_id", "text").count())
+    timed("minhash signatures")(
+      graft.operators.Dedup.minhashSignatures(docs, "doc_id", "text", 3, 32).count())
+    timed("minhash LSH pairs (raw)")(
+      graft.operators.Dedup.minhashLshPairs(docs, "doc_id", "text", 3, 32, 8, 0.5).count())
+    // the realistic pipeline order: exact dedup FIRST, then near-dup
+    // LSH over the survivors — exact-dup clusters otherwise flood the
+    // candidate space with trivial pairs
+    timed("minhash LSH pairs (after exact dedup)") {
+      val keep = graft.operators.Dedup.exact(docs, "doc_id", "text")
+        .select(col("keep_id").as("doc_id"))
+      val survivors = docs.join(keep, "doc_id")
+      graft.operators.Dedup.minhashLshPairs(survivors, "doc_id", "text", 3, 32, 8, 0.5).count()
+    }
+    timed("simhash signatures")(
+      graft.operators.Dedup.simhashSignatures(docs, "doc_id", "text").count())
+    timed("simhash pairs (cap 500)")(
+      graft.operators.Dedup.simhashPairs(docs, "doc_id", "text", 3, 500).count())
+    timed("text stats scan")(
+      docs.select(graft.operators.TextAnalysis.qualityScore(col("text")).as("q"))
+        .agg(sum("q")).count())
+    spark.stop()
+  }
+}
