@@ -86,7 +86,10 @@ object Relational {
       (col("l_extendedprice") * col("l_discount")).as("disc_amt"),
       (col("l_orderkey") / lit(7L)).as("key_div"),
       lit(42L).as("const_col"))
-    .orderBy(asc("l_orderkey"), asc("l_linenumber"))
+    // (l_orderkey, l_linenumber) is NOT unique in the synthetic data:
+    // sort by every output column so tied rows are interchangeable
+    .orderBy(asc("l_orderkey"), asc("l_linenumber"), asc("qty_plus_tax"),
+      asc("price_minus_disc"), asc("disc_amt"))
   val q02Sql: String =
     """SELECT l_orderkey, l_linenumber,
       |  l_quantity + l_tax AS qty_plus_tax,
@@ -94,7 +97,8 @@ object Relational {
       |  l_extendedprice * l_discount AS disc_amt,
       |  l_orderkey / 7 AS key_div,
       |  CAST(42 AS BIGINT) AS const_col
-      |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin
+      |FROM lineitem ORDER BY l_orderkey, l_linenumber, qty_plus_tax,
+      |  price_minus_disc, disc_amt""".stripMargin
 
   // -------------------------------------------------------------------
   // q03: chained single-column filters covering all 5 comparators
@@ -111,13 +115,14 @@ object Relational {
       .filter(col("l_tax") >= lit(0.02))
       .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
         col("l_discount"), col("l_returnflag"), col("l_tax"))
-      .orderBy(asc("l_orderkey"), asc("l_linenumber"))
+      .orderBy(asc("l_orderkey"), asc("l_linenumber"), asc("l_quantity"),
+        asc("l_discount"), asc("l_tax"))
   val q03Sql: String =
     """SELECT l_orderkey, l_linenumber, l_quantity, l_discount, l_returnflag, l_tax
       |FROM lineitem
       |WHERE l_quantity > 10.0 AND l_discount <= 0.05 AND l_returnflag = 'R'
       |  AND l_linenumber < 5 AND l_tax >= 0.02
-      |ORDER BY l_orderkey, l_linenumber""".stripMargin
+      |ORDER BY l_orderkey, l_linenumber, l_quantity, l_discount, l_tax""".stripMargin
 
   // -------------------------------------------------------------------
   // q04: multi-column ascending sort, nulls-first — the reference's
@@ -128,6 +133,8 @@ object Relational {
       .select(col("l_returnflag"), col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
       .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_shipdate"),
         asc("l_orderkey"), asc("l_linenumber"))
+      // all four output columns participate in the sort: full rows that
+      // still tie are identical and interchangeable
   val q04Sql: String =
     """SELECT l_returnflag, l_shipdate, l_orderkey, l_linenumber
       |FROM lineitem
@@ -227,11 +234,11 @@ object Relational {
   def q09Take(spark: SparkSession, dir: String): DataFrame =
     t(spark, dir, "lineitem")
       .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
-      .orderBy(asc("l_orderkey"), asc("l_linenumber"))
+      .orderBy(asc("l_orderkey"), asc("l_linenumber"), asc("l_quantity"))
       .limit(100)
   val q09Sql: String =
     """SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
-      |ORDER BY l_orderkey, l_linenumber LIMIT 100""".stripMargin
+      |ORDER BY l_orderkey, l_linenumber, l_quantity LIMIT 100""".stripMargin
 
   // -------------------------------------------------------------------
   // q10: count action (reference wire action Count, src/api.rs:42)
@@ -346,7 +353,92 @@ object Relational {
       |JOIN region ON n_regionkey = r_regionkey
       |GROUP BY r_name, n_name ORDER BY r_name, n_name""".stripMargin
 
+  // -------------------------------------------------------------------
+  // q49: TPC-H Q6 — the canonical filter+sum forecast-revenue query.
+  // Revenue product computed in exact decimal space.
+  // -------------------------------------------------------------------
+  def q49TpchQ6(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .filter(col("l_shipdate") >= lit("1995-01-01").cast("timestamp"))
+      .filter(col("l_shipdate") < lit("1996-01-01").cast("timestamp"))
+      .filter(col("l_discount") >= lit(0.02)).filter(col("l_discount") <= lit(0.04))
+      .filter(col("l_quantity") < lit(24.0))
+      .agg(sum(col("l_extendedprice").cast(DecimalType(12, 2)) *
+        col("l_discount").cast(DecimalType(3, 2))).cast("double").as("revenue"),
+        count(lit(1)).as("n"))
+  val q49Sql: String =
+    """SELECT CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_discount AS DECIMAL(3,2))) AS VARCHAR) AS DOUBLE) AS revenue,
+      |  COUNT(*) AS n
+      |FROM lineitem
+      |WHERE l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
+      |  AND l_shipdate < TIMESTAMP '1996-01-01 00:00:00'
+      |  AND l_discount >= 0.02 AND l_discount <= 0.04
+      |  AND l_quantity < 24.0""".stripMargin
+
+  // -------------------------------------------------------------------
+  // q50: TPC-H Q3 shape — top-10 orders by discounted revenue for a
+  // market segment before a date. Fact-fact join + top-k on an exact
+  // decimal-derived measure.
+  // -------------------------------------------------------------------
+  def q50TpchQ3(spark: SparkSession, dir: String): DataFrame = {
+    val c = t(spark, dir, "customer").filter(col("c_mktsegment") === lit("BUILDING"))
+    val o = t(spark, dir, "orders")
+      .filter(col("o_orderdate") < lit("1995-06-01").cast("timestamp"))
+    val li = t(spark, dir, "lineitem")
+      .filter(col("l_shipdate") > lit("1995-06-01").cast("timestamp"))
+    li.join(o, li("l_orderkey") === o("o_orderkey"))
+      .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .groupBy(col("l_orderkey"), col("o_orderdate"))
+      .agg(sum(col("l_extendedprice").cast(DecimalType(12, 2)) *
+        (lit(1).cast(DecimalType(3, 2)) - col("l_discount").cast(DecimalType(3, 2))))
+        .cast("double").as("revenue"))
+      .orderBy(desc("revenue"), asc("l_orderkey"))
+      .limit(10)
+  }
+  val q50Sql: String =
+    """SELECT l_orderkey, o_orderdate,
+      |  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))) AS VARCHAR) AS DOUBLE) AS revenue
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |WHERE c_mktsegment = 'BUILDING'
+      |  AND o_orderdate < TIMESTAMP '1995-06-01 00:00:00'
+      |  AND l_shipdate > TIMESTAMP '1995-06-01 00:00:00'
+      |GROUP BY l_orderkey, o_orderdate
+      |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin
+
+  // -------------------------------------------------------------------
+  // q51: TPC-H Q17 shape — rows exceeding their group average
+  // (correlated-subquery semantics expressed as a self-aggregate join;
+  // the average is decimal-exact so the comparison is portable).
+  // -------------------------------------------------------------------
+  def q51AboveGroupAvg(spark: SparkSession, dir: String): DataFrame = {
+    val li = t(spark, dir, "lineitem")
+    val avgs = li.groupBy(col("l_partkey").as("p_key"))
+      .agg((sum(col("l_quantity").cast(DecimalType(12, 2))).cast("double") /
+        count(lit(1))).as("avg_qty"))
+    li.join(broadcast(avgs), li("l_partkey") === avgs("p_key"))
+      .filter(col("l_quantity") > lit(1.5) * col("avg_qty"))
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
+        col("l_quantity"), col("avg_qty"))
+      .orderBy(asc("l_orderkey"), asc("l_linenumber"), asc("l_partkey"),
+        asc("l_quantity"))
+  }
+  val q51Sql: String =
+    """SELECT l_orderkey, l_linenumber, l_partkey, l_quantity, avg_qty
+      |FROM lineitem
+      |JOIN (
+      |  SELECT l_partkey AS p_key,
+      |    CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE) / COUNT(*) AS avg_qty
+      |  FROM lineitem GROUP BY l_partkey
+      |) ON l_partkey = p_key
+      |WHERE l_quantity > 1.5 * avg_qty
+      |ORDER BY l_orderkey, l_linenumber, l_partkey, l_quantity""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q49_tpch_q6" -> (q49TpchQ6 _),
+    "q50_tpch_q3" -> (q50TpchQ3 _),
+    "q51_above_group_avg" -> (q51AboveGroupAvg _),
     "q01_tpch_q1" -> (q01TpchQ1 _),
     "q02_select_arith" -> (q02SelectArith _),
     "q03_filter_chain" -> (q03FilterChain _),
@@ -364,6 +456,9 @@ object Relational {
     "q15_star_join" -> (q15StarJoin _))
 
   val oracle: Map[String, String] = Map(
+    "q49_tpch_q6" -> q49Sql,
+    "q50_tpch_q3" -> q50Sql,
+    "q51_above_group_avg" -> q51Sql,
     "q01_tpch_q1" -> q01Sql,
     "q02_select_arith" -> q02Sql,
     "q03_filter_chain" -> q03Sql,

@@ -113,15 +113,50 @@ object Scalars {
       |  DATEDIFF('day', CAST(o_orderdate AS DATE), DATE '1996-01-01') AS days_to_96
       |FROM orders ORDER BY o_orderkey""".stripMargin
 
+  // -------------------------------------------------------------------
+  // q48: built-in session_window (30-min gap) — must agree with the
+  // manual lag/cumsum sessionization (q19); the oracle is that CTE.
+  // (Checked: no user has an exactly-30-min gap, so the >= / >
+  // boundary difference between the two formulations cannot bite.)
+  // -------------------------------------------------------------------
+  def q48SessionWindow(spark: SparkSession, dir: String): DataFrame =
+    ev(spark, dir)
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast(DecimalType(20, 6))).cast("double").as("session_value"))
+      .select(col("user_id"), col("session_window.start").as("session_start"),
+        col("n_events"), col("session_value"))
+      .orderBy(asc("user_id"), asc("session_start"))
+  val q48Sql: String =
+    """WITH flagged AS (
+      |  SELECT user_id, ts, value,
+      |    CASE WHEN LAG(ts) OVER w IS NULL THEN 0
+      |         WHEN EPOCH_US(ts) - EPOCH_US(LAG(ts) OVER w) > 1800000000 THEN 1
+      |         ELSE 0 END AS new_sess
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+      |), sessed AS (
+      |  SELECT user_id, ts, value,
+      |    SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
+      |  FROM flagged
+      |)
+      |SELECT user_id, MIN(ts) AS session_start, COUNT(*) AS n_events,
+      |  CAST(CAST(SUM(CAST(value AS DECIMAL(20,6))) AS VARCHAR) AS DOUBLE) AS session_value
+      |FROM sessed GROUP BY user_id, session_idx
+      |ORDER BY user_id, session_start""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q44_sliding_window" -> (q44SlidingWindow _),
     "q45_set_ops" -> (q45SetOps _),
     "q46_string_funcs" -> (q46StringFuncs _),
-    "q47_date_funcs" -> (q47DateFuncs _))
+    "q47_date_funcs" -> (q47DateFuncs _),
+    "q48_session_window" -> (q48SessionWindow _))
 
   val oracle: Map[String, String] = Map(
     "q44_sliding_window" -> q44Sql,
     "q45_set_ops" -> q45Sql,
     "q46_string_funcs" -> q46Sql,
-    "q47_date_funcs" -> q47Sql)
+    "q47_date_funcs" -> q47Sql,
+    "q48_session_window" -> q48Sql)
 }
