@@ -111,6 +111,43 @@ object Similarity {
       .filter(col("rank") <= lit(k))
   }
 
+  /** IVF (inverted-file) approximate top-k: a coarse quantizer of
+    * `numCells` deterministic pseudo-random unit centroids partitions
+    * the candidate space; each candidate lands in its nearest cell,
+    * each query probes its `nProbe` nearest cells and exact-reranks
+    * within them. Centroids are seeded (not trained) — at production
+    * scale swap in k-means centroids; the partition/probe/rerank
+    * plumbing is identical. All scoring runs on the native VecDot.
+    */
+  def ivfTopK(queries: DataFrame, candidates: DataFrame,
+              idQ: String, idC: String, vecQ: String, vecC: String,
+              k: Int, numCells: Int = 16, nProbe: Int = 4,
+              dim: Int = 64): DataFrame = {
+    val cents = hyperplanes(numCells, dim)
+    def cellScores(vec: Column): Seq[Column] = cents.zipWithIndex.map {
+      case (c, i) =>
+        struct(dotD(vec, array(c.map(lit): _*)).as("s"), lit(i).as("cell"))
+    }
+    // candidate → argmax cell (greatest over (score, cell) structs)
+    val c = candidates.select(col(idC).as("cand_id"), normalized(col(vecC)).as("cv"))
+      .withColumn("cell", greatest(cellScores(col("cv")): _*).getField("cell"))
+    // query → top nProbe cells via explode + window rank
+    val qBase = queries.select(col(idQ).as("query_id"), normalized(col(vecQ)).as("qv"))
+    val probes = qBase
+      .select(col("query_id"), col("qv"), explode(array(cellScores(col("qv")): _*)).as("sc"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("query_id")).orderBy(desc("sc.s"), asc("sc.cell"))))
+      .filter(col("rk") <= lit(nProbe))
+      .select(col("query_id"), col("qv"), col("sc.cell").as("cell"))
+    val scored = c.join(broadcast(probes), Seq("cell"))
+      .filter(col("query_id") =!= col("cand_id"))
+      .select(col("query_id"), col("cand_id"), dotD(col("qv"), col("cv")).as("cosine"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(desc("cosine"), asc("cand_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= lit(k))
+  }
+
   /** Embedding-space near-duplicate pairs: all pairs above a cosine
     * threshold, found via LSH buckets (exact verify). Near-dups have
     * cosine ≈ 1 ⇒ identical LSH signs with high probability, so

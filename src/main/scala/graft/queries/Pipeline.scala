@@ -234,6 +234,19 @@ object Pipeline {
   }
 
   // -------------------------------------------------------------------
+  // q52: IVF approximate top-k (rows-only — approximate by design;
+  // deterministic seeded centroids)
+  // -------------------------------------------------------------------
+  def q52AnnIvf(spark: SparkSession, dir: String): DataFrame = {
+    val e = emb(spark, dir)
+    val q = e.filter(pmod(col("vec_id"), lit(50)) === 0)
+    Similarity.ivfTopK(q, e, "vec_id", "vec_id", "embedding", "embedding",
+      k = 10, numCells = 16, nProbe = 4, dim = 64)
+      .select(col("query_id"), col("cand_id"), col("rank"))
+      .orderBy(asc("query_id"), asc("rank"))
+  }
+
+  // -------------------------------------------------------------------
   // q36: embedding-space near-dup pairs (rows-only)
   // -------------------------------------------------------------------
   def q36CosineNearDup(spark: SparkSession, dir: String): DataFrame =
@@ -292,6 +305,7 @@ object Pipeline {
     "q33_ngram_jaccard" -> (q33NgramJaccard _),
     "q34_cosine_topk" -> (q34CosineTopK _),
     "q35_ann_lsh" -> (q35AnnLsh _),
+    "q52_ann_ivf" -> (q52AnnIvf _),
     "q36_cosine_neardup" -> (q36CosineNearDup _),
     "q37_multimodal" -> (q37Multimodal _),
     "q38_stream_hourly" -> (q38StreamHourly _),

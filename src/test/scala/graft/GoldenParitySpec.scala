@@ -196,4 +196,9 @@ class GoldenParitySpec extends SparkSpec {
     val sorted = g.orderBy("f").collect()
     assert(sorted(0).isNullAt(0)) // null (was NaN) first
   }
+
+  // driver smoke: flagship entry returns rows
+  test("SparkEntry.entry returns rows at sf0.001") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
 }

@@ -166,4 +166,17 @@ class OperatorsSpec extends SparkSpec {
     assert(blocks("i").toSeq === Seq(1L, 2L))
     assert(blocks("s").toSeq === Seq("x", "y"))
   }
+
+  test("ivf topk recall vs brute force on real embeddings") {
+    val e = spark.read.parquet(s"$sf/embeddings.parquet")
+    val q = e.filter(col("vec_id") < 5)
+    val exact = Similarity.bruteForceTopK(q, e, "vec_id", "vec_id",
+      "embedding", "embedding", 5)
+      .select("query_id", "cand_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = Similarity.ivfTopK(q, e, "vec_id", "vec_id",
+      "embedding", "embedding", 5, numCells = 16, nProbe = 4, dim = 64)
+      .select("query_id", "cand_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact intersect approx).size.toDouble / exact.size
+    assert(recall > 0.2, s"IVF recall $recall too low")
+  }
 }
