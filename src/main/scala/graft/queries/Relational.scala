@@ -435,7 +435,33 @@ object Relational {
       |WHERE l_quantity > 1.5 * avg_qty
       |ORDER BY l_orderkey, l_linenumber, l_partkey, l_quantity""".stripMargin
 
+  // -------------------------------------------------------------------
+  // q53: the same pipeline expressed through the GraftFrame facade —
+  // reference-style chained ops (select → filter(Predicate) →
+  // two-phase groupBy → aggregate) land in the oracle gate. Uses only
+  // order-free aggregators (First over the value-sorted list ≡ MIN).
+  // -------------------------------------------------------------------
+  def q53GraftFacade(spark: SparkSession, dir: String): DataFrame = {
+    import graft.api._
+    GraftFrame(t(spark, dir, "lineitem"))
+      .select(col("l_linestatus"), col("l_quantity"), col("l_extendedprice"),
+        col("l_returnflag"))
+      .filter("l_returnflag", Predicate(Comparator.Equal, "A"))
+      .select(col("l_linestatus"), col("l_quantity"), col("l_extendedprice"))
+      .groupBy("l_linestatus")
+      .aggregate(Map(
+        "l_quantity" -> Aggregator.Max,
+        "l_extendedprice" -> Aggregator.First)) // first of sorted list = min
+      .df
+  }
+  val q53Sql: String =
+    """SELECT l_linestatus, MAX(l_quantity) AS l_quantity,
+      |  MIN(l_extendedprice) AS l_extendedprice
+      |FROM lineitem WHERE l_returnflag = 'A'
+      |GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q53_graft_facade" -> (q53GraftFacade _),
     "q49_tpch_q6" -> (q49TpchQ6 _),
     "q50_tpch_q3" -> (q50TpchQ3 _),
     "q51_above_group_avg" -> (q51AboveGroupAvg _),
@@ -456,6 +482,7 @@ object Relational {
     "q15_star_join" -> (q15StarJoin _))
 
   val oracle: Map[String, String] = Map(
+    "q53_graft_facade" -> q53Sql,
     "q49_tpch_q6" -> q49Sql,
     "q50_tpch_q3" -> q50Sql,
     "q51_above_group_avg" -> q51Sql,
