@@ -120,7 +120,7 @@ object Analytics {
   }
   val q19Sql: String =
     """WITH flagged AS (
-      |  SELECT user_id, ts, value,
+      |  SELECT user_id, event_id, ts, value,
       |    CASE WHEN LAG(ts) OVER w IS NULL THEN 0
       |         WHEN EPOCH_US(ts) - EPOCH_US(LAG(ts) OVER w) > 1800000000 THEN 1
       |         ELSE 0 END AS new_sess
@@ -128,8 +128,8 @@ object Analytics {
       |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
       |), sessed AS (
       |  SELECT user_id, ts, value,
-      |    SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
-      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
+      |    CAST(SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_idx
       |  FROM flagged
       |)
       |SELECT user_id, session_idx, COUNT(*) AS n_events,
@@ -151,11 +151,11 @@ object Analytics {
   }
   val q20Sql: String =
     """SELECT user_id,
-      |  SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS n_click,
-      |  SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS n_view,
-      |  SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS n_purchase,
-      |  SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS n_signup,
-      |  SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS n_error
+      |  CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n_click,
+      |  CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS n_view,
+      |  CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase,
+      |  CAST(SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS n_signup,
+      |  CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_error
       |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
 
   // -------------------------------------------------------------------

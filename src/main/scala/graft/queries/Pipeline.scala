@@ -266,7 +266,7 @@ object Pipeline {
     """SELECT CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image'
       |            WHEN 1 THEN 'audio' ELSE 'video' END AS media_type,
       |  COUNT(*) AS n_media,
-      |  SUM(STRLEN(text)) AS total_bytes,
+      |  CAST(SUM(STRLEN(text)) AS BIGINT) AS total_bytes,
       |  MIN(STRLEN(text)) AS min_bytes,
       |  MAX(STRLEN(text)) AS max_bytes
       |FROM documents GROUP BY 1 ORDER BY media_type""".stripMargin

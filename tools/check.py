@@ -7,6 +7,7 @@ row count, column names (sorted), and per-value hash. Mirrors the
 documented driver behavior: columns sorted by name before hashing.
 """
 import sys, json, glob, os
+from decimal import Decimal
 import duckdb
 import pyarrow.parquet as pq
 
@@ -15,6 +16,8 @@ TABLES = "region nation customer supplier part orders lineitem events documents 
 def norm(v):
     if isinstance(v, float):
         return repr(v)
+    if isinstance(v, Decimal):  # DuckDB HUGEINT via Arrow — driver floats these
+        return repr(float(v))
     return str(v)
 
 def table_hash(rows, cols):
@@ -50,9 +53,14 @@ def main(sf_dir, out_dir):
             print(f"ROWS {name}: {len(spark_rows)} rows (no oracle)")
             continue
         try:
+            # Arrow fetch: DuckDB HUGEINT (bare integer SUM) surfaces as
+            # decimal128, which norm() floats — reproducing the driver's
+            # "123.0" vs "123" hash drift instead of masking it the way
+            # fetchall()'s Python ints did (round-1 lesson).
             res = con.execute(oracle[name])
-            duck_cols = [c[0] for c in res.description]
-            duck_rows = res.fetchall()
+            duck_tbl = res.fetch_arrow_table()
+            duck_cols = duck_tbl.column_names
+            duck_rows = [tuple(r.values()) for r in duck_tbl.to_pylist()]
         except Exception as e:
             print(f"FAIL {name}: oracle error {e}"); n_fail += 1; continue
         ok = True
