@@ -31,6 +31,18 @@ object Dedup {
       .groupBy(col("fp"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
 
+  /** Docs filtered to one representative (lowest id) per distinct
+    * content — the prescribed front-end of every near-dup pass on a
+    * dup-heavy corpus (PERF.md lesson 5: exact-dedup FIRST; measured
+    * 6× on ScaleStress). Shape: [[exact]]'s 16-byte/row aggregate,
+    * then an ids-only semi-join back — text bytes shuffle only once,
+    * keyed by id.
+    */
+  def exactRepresentatives(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.join(
+      exact(docs, idCol, textCol).select(col("keep_id").as(idCol)),
+      Seq(idCol), "left_semi")
+
   /** Exploded distinct k-word shingle hashes: one (id, sh) row per
     * distinct shingle. Built with posexplode + window `lead` — a
     * Column-HOF formulation (transform + slice + array_join, all
@@ -88,7 +100,10 @@ object Dedup {
     */
   def minhashLshPairs(docs: DataFrame, idCol: String, textCol: String,
                       k: Int = 3, numHashes: Int = 32, bands: Int = 8,
-                      threshold: Double = 0.5): DataFrame = {
+                      threshold: Double = 0.5, maxBucket: Int = 2000): DataFrame = {
+    require(numHashes % bands == 0,
+      s"numHashes ($numHashes) must be a multiple of bands ($bands): " +
+        "truncated trailing hashes would silently flatten the S-curve")
     val rowsPerBand = numHashes / bands
     // (1) banded signatures: only (id, band, 8-byte band_sig) rows flow
     // into the self-join — shingle sets stay out of the shuffle.
@@ -98,9 +113,20 @@ object Dedup {
           b => xxhash64(array_join(slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)), ",")))))
       .withColumnRenamed("pos", "band")
       .withColumnRenamed("col", "band_sig")
+    // Degenerate-bucket guard (same cap as simhashPairs): a band
+    // signature shared by > maxBucket docs would put an O(m²) pair
+    // explosion on one reducer — at 100 TB a single boilerplate-heavy
+    // signature is enough. Such buckets are near-identical clusters
+    // better handled by exact dedup first (see exactRepresentatives);
+    // the cap is documented, not silent — count via
+    // minhashOverfullBuckets.
+    val sizes = banded.groupBy(col("band"), col("band_sig"))
+      .agg(count(lit(1)).as("bucket_n"))
+    val bounded = banded.join(sizes, Seq("band", "band_sig"))
+      .filter(col("bucket_n") <= lit(maxBucket))
     // (2) candidate id pairs, deduped across bands BEFORE verification
-    val l = banded.select(col(idCol).as("id_a"), col("band"), col("band_sig"))
-    val r = banded.select(col(idCol).as("id_b"), col("band"), col("band_sig"))
+    val l = bounded.select(col(idCol).as("id_a"), col("band"), col("band_sig"))
+    val r = bounded.select(col(idCol).as("id_b"), col("band"), col("band_sig"))
     val cand = l.join(r, Seq("band", "band_sig"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"))
@@ -123,6 +149,19 @@ object Dedup {
         (size(col("sh_a")) + size(col("sh_b")) - col("n_inter")).cast("double"))
       .filter(col("jaccard") >= lit(threshold))
       .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
+  /** Count of band buckets excluded by [[minhashLshPairs]]' cap. */
+  def minhashOverfullBuckets(docs: DataFrame, idCol: String, textCol: String,
+                             k: Int = 3, numHashes: Int = 32, bands: Int = 8,
+                             maxBucket: Int = 2000): Long = {
+    val rowsPerBand = numHashes / bands
+    minhashSignatures(docs, idCol, textCol, k, numHashes)
+      .select(col(idCol),
+        posexplode(transform(sequence(lit(0), lit(bands - 1)),
+          b => xxhash64(array_join(slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)), ",")))))
+      .groupBy(col("pos"), col("col")).agg(count(lit(1)).as("n"))
+      .filter(col("n") > lit(maxBucket)).count()
   }
 
   /** Exact Jaccard similarity of two hashed-shingle arrays. */

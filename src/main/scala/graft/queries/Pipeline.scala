@@ -151,11 +151,16 @@ object Pipeline {
 
   // -------------------------------------------------------------------
   // q31: MinHash+LSH near-dup candidate pairs (hash-dependent →
-  // rows-only registration; determinism guaranteed by seeded hashes)
+  // rows-only registration; determinism guaranteed by seeded hashes).
+  // Pipeline order matters at scale: exact-dedup to cluster
+  // representatives FIRST, then band only the representatives —
+  // exact-dup clusters otherwise flood the band buckets with O(m²)
+  // identical pairs (PERF.md lesson 5; ScaleStress measured 6×).
   // -------------------------------------------------------------------
   def q31MinhashLsh(spark: SparkSession, dir: String): DataFrame =
-    Dedup.minhashLshPairs(docs(spark, dir), "doc_id", "text",
-      k = 3, numHashes = 32, bands = 8, threshold = 0.2)
+    Dedup.minhashLshPairs(
+      Dedup.exactRepresentatives(docs(spark, dir), "doc_id", "text"),
+      "doc_id", "text", k = 3, numHashes = 32, bands = 8, threshold = 0.2)
       .orderBy(asc("id_a"), asc("id_b"))
 
   // -------------------------------------------------------------------
