@@ -81,9 +81,16 @@ sealed trait Aggregator {
   /** Aggregate over an already-grouped list column
     * (reference list-block kernels: src/block.rs:942-1093). Uses array
     * higher-order functions — stays inside codegen, no UDF.
+    * Sum keeps the reference's output-type rule (src/aggregate.rs:96-102):
+    * Int lists fold in long, Float lists in double.
     */
-  def overList(c: Column): Column = this match {
-    case Aggregator.Sum     => aggregate(c, lit(0L).cast("double"), (a, x) => a + x)
+  def overList(c: Column, elem: DataType): Column = this match {
+    case Aggregator.Sum     =>
+      val zero = elem match {
+        case ByteType | ShortType | IntegerType | LongType => lit(0L)
+        case _                                             => lit(0.0)
+      }
+      aggregate(c, zero, (a, x) => a + x)
     case Aggregator.Average =>
       aggregate(c, lit(0.0), (a, x) => a + x) / size(c).cast("double")
     case Aggregator.Count   => size(c).cast("long")
@@ -120,7 +127,11 @@ class GraftException(msg: String) extends RuntimeException(msg)
   * Everything is lazy and fully distributed: no collect() in any
   * operator path, no driver-side state — safe at 100 TB.
   */
-final case class GraftFrame(df: DataFrame, groupedBy: Seq[String] = Nil) {
+final case class GraftFrame(df: DataFrame, groupedBy: Seq[String] = Nil,
+                            strictArith: Boolean = false) {
+  import org.apache.spark.sql.graft.ColumnBridge
+  import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, BinaryArithmetic, Expression, Literal, SortOrder}
+  import org.apache.spark.sql.catalyst.analysis.{UnresolvedAttribute, UnresolvedStar}
 
   private def requireCols(names: Seq[String], what: String): Unit = {
     val have = df.columns.toSet
@@ -129,22 +140,83 @@ final case class GraftFrame(df: DataFrame, groupedBy: Seq[String] = Nil) {
       throw new GraftException(s"$what: missing column(s) ${missing.mkString(", ")} in schema [${df.columns.mkString(", ")}]")
   }
 
+  /** Opt into the reference's strict same-type arithmetic
+    * (src/block.rs:89-107: Int∘Int or Float∘Float only — mixing is
+    * `Error::TypeMismatch`, never silently coerced). Default (non-strict)
+    * keeps Spark's standard numeric coercion, SURVEY.md §7.5.
+    */
+  def strict: GraftFrame = copy(strictArith = true)
+
+  /** Numeric family of an expression against this frame's schema:
+    * 'i' integral, 'f' floating, unknown → None (non-numeric or not
+    * statically resolvable pre-analysis). Mixed-family arithmetic
+    * throws when [[strictArith]] — the reference's block.rs:89-107
+    * error surface, raised at plan-build time like all facade checks.
+    */
+  private def arithFamily(e: Expression): Option[Char] = {
+    def famOf(t: DataType): Option[Char] = t match {
+      case ByteType | ShortType | IntegerType | LongType => Some('i')
+      case FloatType | DoubleType                        => Some('f')
+      case _                                             => None
+    }
+    def mixed(l: Expression, r: Expression, what: String): Option[Char] =
+      (arithFamily(l), arithFamily(r)) match {
+        case (Some(x), Some(y)) if x != y =>
+          throw new GraftException(
+            s"arithmetic type mismatch (strict mode, reference src/block.rs:89-107): " +
+              s"Int and Float operands in $what")
+        case (x, y) => x.orElse(y)
+      }
+    e match {
+      case a: UnresolvedAttribute =>
+        df.schema.fields.find(_.name == a.name).map(_.dataType).flatMap(famOf)
+      case l: Literal      => famOf(l.dataType)
+      case Alias(child, _) => arithFamily(child)
+      case b: BinaryArithmetic => mixed(b.left, b.right, b.sql)
+      // Column API `+ - * /` arrive as unresolved function calls, not
+      // BinaryArithmetic, until analysis runs (columnNodeSupport.scala)
+      case f: org.apache.spark.sql.catalyst.analysis.UnresolvedFunction
+          if Set("+", "-", "*", "/").contains(f.nameParts.last) && f.arguments.size == 2 =>
+        mixed(f.arguments.head, f.arguments(1), f.nameParts.last)
+      case other =>
+        other.children.foreach(arithFamily) // visit nested arithmetic
+        None
+    }
+  }
+
+  private def checkStrict(exprs: Seq[Column]): Unit =
+    if (strictArith) exprs.foreach(c => arithFamily(ColumnBridge.structuralExpression(c)))
+
   /** Projection. Every output expression must carry a name — the
     * reference rejects unaliased computed exprs
-    * (Error::AliasRequired, src/dataframe.rs:317-318). Spark names
-    * every expression, but we enforce that computed expressions were
-    * explicitly aliased to keep the reference's contract.
+    * (Error::AliasRequired, src/dataframe.rs:317-318). Bare column
+    * references and stars pass through; any computed expression must be
+    * explicitly aliased or this throws at plan-build time.
     */
-  def select(exprs: Column*): GraftFrame = GraftFrame(df.select(exprs: _*))
+  def select(exprs: Column*): GraftFrame = {
+    checkStrict(exprs)
+    exprs.foreach { c =>
+      ColumnBridge.structuralExpression(c) match {
+        case _: Alias | _: Attribute | _: UnresolvedAttribute | _: UnresolvedStar => ()
+        case e => throw new GraftException(
+          s"select: computed expression requires an explicit alias " +
+            s"(reference Error::AliasRequired, src/dataframe.rs:317-318): ${e.sql}")
+      }
+    }
+    GraftFrame(df.select(exprs: _*), Nil, strictArith)
+  }
 
   /** Filter one named column by a predicate
     * (reference: src/dataframe.rs:339-349). Chain for conjunctions.
     */
   def filter(column: String, p: Predicate): GraftFrame = {
     requireCols(Seq(column), "filter")
-    GraftFrame(df.filter(p.toColumn(column)), groupedBy)
+    copy(df = df.filter(p.toColumn(column)))
   }
-  def filter(cond: Column): GraftFrame = GraftFrame(df.filter(cond), groupedBy)
+  def filter(cond: Column): GraftFrame = {
+    checkStrict(Seq(cond))
+    copy(df = df.filter(cond))
+  }
 
   /** Multi-column ascending sort, nulls first — matching the
     * reference's NaN-first ordering (src/block.rs:218-230; Spark's
@@ -154,7 +226,7 @@ final case class GraftFrame(df: DataFrame, groupedBy: Seq[String] = Nil) {
   def orderBy(columns: String*): GraftFrame = {
     if (columns.isEmpty) throw new GraftException("orderBy: empty column list")
     requireCols(columns, "orderBy")
-    GraftFrame(df.orderBy(columns.map(c => asc_nulls_first(c)): _*))
+    copy(df = df.orderBy(columns.map(c => asc_nulls_first(c)): _*))
   }
 
   /** The reference's two-phase grouping: `group_by` physically nests
@@ -176,15 +248,15 @@ final case class GraftFrame(df: DataFrame, groupedBy: Seq[String] = Nil) {
       .agg(aggs.head, aggs.tail: _*)
       .select((keys ++ nonKeys).map(col): _*)
       .orderBy(keys.map(asc_nulls_first): _*)
-    GraftFrame(listed, keys)
+    copy(df = listed, groupedBy = keys)
   }
 
   /** Keys-only grouping (distinct keys, sorted) — the reference allows
     * group_by with no non-key columns (tests/lib.rs:179-185).
     */
   private def groupKeysOnly(keys: Seq[String]): GraftFrame =
-    GraftFrame(df.select(keys.map(col): _*).distinct()
-      .orderBy(keys.map(asc_nulls_first): _*), keys)
+    copy(df = df.select(keys.map(col): _*).distinct()
+      .orderBy(keys.map(asc_nulls_first): _*), groupedBy = keys)
 
   /** Apply one aggregator per column. Validation mirrors the reference
     * (src/dataframe.rs:407-446): aggregating a group key is an error;
@@ -204,18 +276,22 @@ final case class GraftFrame(df: DataFrame, groupedBy: Seq[String] = Nil) {
       throw new GraftException(s"aggregate: missing aggregate(s) for ${missing.mkString(", ")}")
     if (groupedBy.isEmpty) {
       val exprs = nonKeys.map { c => aggs(c).scalar(col(c)).as(c) }
-      GraftFrame(df.agg(exprs.head, exprs.tail: _*))
+      copy(df = df.agg(exprs.head, exprs.tail: _*), groupedBy = Nil)
     } else {
       // grouped frame: each non-key column is array-typed; collapse per
       // group with array HOFs (stays in whole-stage codegen)
       val exprs = groupedBy.map(col) ++ nonKeys.map { c =>
         val a = aggs(c)
+        val elem = df.schema(c).dataType match {
+          case ArrayType(t, _) => t
+          case t               => t
+        }
         (a match {
           case Aggregator.Count => size(col(c)).cast("long")
-          case _                => a.overList(col(c))
+          case _                => a.overList(col(c), elem)
         }).as(c)
       }
-      GraftFrame(df.select(exprs: _*))
+      copy(df = df.select(exprs: _*), groupedBy = Nil)
     }
   }
 
@@ -229,9 +305,9 @@ final case class GraftFrame(df: DataFrame, groupedBy: Seq[String] = Nil) {
     if (aggs.isEmpty) groupKeysOnly(keys)
     else {
       val exprs = aggs.toSeq.map { case (c, a) => a.scalar(col(c)).as(c) }
-      GraftFrame(df.groupBy(keys.map(col): _*)
+      copy(df = df.groupBy(keys.map(col): _*)
         .agg(exprs.head, exprs.tail: _*)
-        .orderBy(keys.map(asc_nulls_first): _*))
+        .orderBy(keys.map(asc_nulls_first): _*), groupedBy = Nil)
     }
   }
 
@@ -250,14 +326,14 @@ final case class GraftFrame(df: DataFrame, groupedBy: Seq[String] = Nil) {
     val overlap = df.columns.toSet.intersect(right.df.columns.toSet)
     if (overlap.nonEmpty)
       throw new GraftException(s"join: duplicate column name(s) ${overlap.mkString(", ")}")
-    GraftFrame(df.join(right.df, df(leftKey) === right.df(rightKey), "inner")
-      .orderBy(asc_nulls_first(leftKey)))
+    copy(df = df.join(right.df, df(leftKey) === right.df(rightKey), "inner")
+      .orderBy(asc_nulls_first(leftKey)), groupedBy = Nil)
   }
 
   // ---- actions (reference wire actions: src/api.rs:40-44) ----
   def collect(): Array[org.apache.spark.sql.Row] = df.collect()
   def count(): Long = df.count()
-  def take(n: Int): GraftFrame = GraftFrame(df.limit(n), groupedBy)
+  def take(n: Int): GraftFrame = copy(df = df.limit(n))
 
   /** Columnar result delivery — the reference's `as_blocks`
     * (src/dataframe.rs:538-551): one column-name → value-array map.

@@ -14,4 +14,11 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object ColumnBridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** Eagerly-converted catalyst tree. [[expression]] returns a lazy
+    * `ColumnNodeExpression` wrapper (fine for execution, opaque for
+    * inspection); plan-build-time validation needs the real node tree.
+    */
+  def structuralExpression(c: Column): Expression =
+    org.apache.spark.sql.classic.ColumnNodeToExpressionConverter(c.node)
 }

@@ -118,12 +118,61 @@ class GoldenParitySpec extends SparkSpec {
       Seq((1L, 1L, Seq(10L, 30L)), (1L, 2L, Seq(20L))))
   }
 
-  // tests/lib.rs:261-275 — group then aggregate over list columns
+  // tests/lib.rs:261-275 — group then aggregate over list columns.
+  // Sum output type follows the reference rule (src/aggregate.rs:96-102):
+  // Int list → Int (long), not silently widened to double.
   test("groupBy then aggregate collapses lists") {
     val got = boolInt.groupBy("bool")
       .aggregate(Map("int" -> Aggregator.Sum)).collect()
-    assert(got.map(r => (r.getBoolean(0), r.getDouble(1))).toSeq ===
-      Seq((false, 2.0), (true, 4.0)))
+    assert(got.map(r => (r.getBoolean(0), r.getLong(1))).toSeq ===
+      Seq((false, 2L), (true, 4L)))
+  }
+
+  // src/aggregate.rs:96-102 — grouped Sum over a Float list stays double
+  test("grouped Sum keeps Int->Int and Float->Float output types") {
+    val df = GraftFrame(Seq((true, 1L, 0.5), (true, 2L, 0.25), (false, 3L, 1.0))
+      .toDF("k", "i", "f"))
+    val got = df.groupBy("k")
+      .aggregate(Map("i" -> Aggregator.Sum, "f" -> Aggregator.Sum))
+    val schema = got.df.schema
+    assert(schema("i").dataType === org.apache.spark.sql.types.LongType)
+    assert(schema("f").dataType === org.apache.spark.sql.types.DoubleType)
+    val rows = got.collect()
+    assert(rows.map(r => (r.getBoolean(0), r.getLong(1), r.getDouble(2))).toSeq ===
+      Seq((false, 3L, 1.0), (true, 3L, 0.75)))
+  }
+
+  // src/dataframe.rs:317-318 — Error::AliasRequired: computed select
+  // expressions must be explicitly aliased; bare column refs pass.
+  test("select rejects unaliased computed expressions (AliasRequired)") {
+    val e = intercept[GraftException] {
+      boolInt.select(col("int") + lit(1L))
+    }
+    assert(e.getMessage.contains("AliasRequired"))
+    // aliased computed expr and bare refs are fine
+    assert(boolInt.select(col("bool"), (col("int") + lit(1L)).as("succ"))
+      .collect().length === 3)
+  }
+
+  // src/block.rs:89-107 — strict mode reproduces the reference's
+  // same-type arithmetic rule: Int∘Float mixing is a type error;
+  // Int∘Int (incl. div → float, src/block.rs:496-501) stays legal.
+  test("strict mode rejects Int/Float mixed arithmetic") {
+    val e = intercept[GraftException] {
+      boolInt.strict.select((col("int") + lit(1.5)).as("bad"))
+    }
+    assert(e.getMessage.contains("type mismatch"))
+    // same-family arithmetic passes in strict mode...
+    assert(boolInt.strict.select((col("int") * lit(2L)).as("ok"))
+      .collect().map(_.getLong(0)).toSeq === Seq(2L, 4L, 6L))
+    // ...and the default (non-strict) frame keeps Spark coercion
+    assert(boolInt.select((col("int") + lit(1.5)).as("ok"))
+      .collect().map(_.getDouble(0)).toSeq === Seq(2.5, 3.5, 4.5))
+    // strictness survives chaining through other operators
+    val e2 = intercept[GraftException] {
+      boolInt.strict.filter(col("int") + lit(0.5) > lit(1L))
+    }
+    assert(e2.getMessage.contains("type mismatch"))
   }
 
   // tests/lib.rs:277-323 — each aggregator, ungrouped (global)
