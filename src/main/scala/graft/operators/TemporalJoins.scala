@@ -32,21 +32,29 @@ object TemporalJoins {
     */
   def asofJoinBackward(left: DataFrame, right: DataFrame, key: String,
                        leftTs: String, rightTs: String,
-                       rightPayload: Seq[String]): DataFrame = {
+                       rightPayload: Seq[String],
+                       rightTieBreak: Option[String] = None): DataFrame = {
     val leftCols = left.columns.toSeq
     // side marker: right=0 sorts before left=1 at equal timestamps, so
-    // a right row AT the left row's timestamp is eligible (ties match)
+    // a right row AT the left row's timestamp is eligible (ties match).
+    // rightTieBreak (a unique right column, e.g. event_id) makes the
+    // pick among right rows sharing (key, ts) deterministic — highest
+    // wins — and guarantees all payload columns come from the SAME
+    // right row; without it, per-column `last` under a tied sort is
+    // partition-order-dependent.
+    val tb = rightTieBreak.map(c => col(c).as("__tb")).getOrElse(lit(null).as("__tb"))
     val taggedRight = right.select(
-      (Seq(col(key).as(key), col(rightTs).as("__ts"), lit(0).as("__side")) ++
+      (Seq(col(key).as(key), col(rightTs).as("__ts"), lit(0).as("__side"), tb) ++
         rightPayload.map(c => col(c).as(s"__r_$c")) ++
         leftCols.filterNot(_ == key).map(c => lit(null).as(c))): _*)
     val taggedLeft = left.select(
-      (Seq(col(key).as(key), col(leftTs).as("__ts"), lit(1).as("__side")) ++
+      (Seq(col(key).as(key), col(leftTs).as("__ts"), lit(1).as("__side"),
+        lit(null).as("__tb")) ++
         rightPayload.map(c => lit(null).as(s"__r_$c")) ++
         leftCols.filterNot(_ == key).map(col)): _*)
     val unioned = taggedLeft.unionByName(taggedRight)
     val w = Window.partitionBy(col(key))
-      .orderBy(asc("__ts"), asc("__side"))
+      .orderBy(asc("__ts"), asc("__side"), asc_nulls_last("__tb"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val carried = rightPayload.foldLeft(unioned) { (df, c) =>
       df.withColumn(s"__asof_$c", last(col(s"__r_$c"), ignoreNulls = true).over(w))

@@ -40,17 +40,24 @@ object Scalars {
       |GROUP BY 1, 2 ORDER BY w_start, event_type""".stripMargin
 
   // -------------------------------------------------------------------
-  // q45: set operations — INTERSECT and EXCEPT (reference §2.7 absent)
+  // q45: set operations — INTERSECT and EXCEPT (reference §2.7 absent).
+  // Written as one distinct per side + a single left-outer join rather
+  // than intersect + except, which would each shuffle the full lineitem
+  // key set independently (2× the dominant shuffle for identical
+  // output: every distinct big-order key, tagged by membership).
   // -------------------------------------------------------------------
   def q45SetOps(spark: SparkSession, dir: String): DataFrame = {
     val o = spark.read.parquet(s"$dir/orders.parquet")
     val li = spark.read.parquet(s"$dir/lineitem.parquet")
-    val bigOrders = o.filter(col("o_totalprice") > lit(300000.0))
-      .select(col("o_orderkey").as("k"))
-    val shipped = li.select(col("l_orderkey").as("k"))
-    val both = bigOrders.intersect(shipped).withColumn("tag", lit("big_and_shipped"))
-    val only = bigOrders.except(shipped).withColumn("tag", lit("big_no_items"))
-    both.union(only).orderBy(asc("k"), asc("tag"))
+    val big = o.filter(col("o_totalprice") > lit(300000.0))
+      .select(col("o_orderkey").as("k")).distinct()
+    val shipped = li.select(col("l_orderkey").as("k")).distinct()
+      .withColumn("hit", lit(1))
+    big.join(shipped, Seq("k"), "left_outer")
+      .select(col("k"),
+        when(col("hit").isNotNull, lit("big_and_shipped"))
+          .otherwise(lit("big_no_items")).as("tag"))
+      .orderBy(asc("k"), asc("tag"))
   }
   val q45Sql: String =
     """SELECT * FROM (

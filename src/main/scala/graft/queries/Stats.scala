@@ -80,9 +80,33 @@ object Stats {
       |  (sxy - sx * sy / n) / sqrt((sxx - sx * sx / n) * (syy - sy * sy / n)) AS corr_qty_price
       |FROM s ORDER BY l_returnflag""".stripMargin
 
+  // -------------------------------------------------------------------
+  // q54: approximate percentiles — the 100 TB twin of q42. Exact
+  // percentile() is a per-group sort (full shuffle of every value; the
+  // sf0.1 calibration query); approx_percentile streams a bounded
+  // GK sketch per partition and merges — constant memory per group,
+  // one map-side-combined aggregation, no value sort. accuracy=10000
+  // (~0.01% rank error). Sketch merge order is not cross-engine
+  // reproducible → rows-only gate + ApproxPercentileSpec tolerance
+  // check against the exact q42 answer.
+  // -------------------------------------------------------------------
+  def q54ApproxPercentiles(spark: SparkSession, dir: String): DataFrame =
+    li(spark, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(expr(
+        "approx_percentile(l_quantity, array(0.25, 0.5, 0.75, 0.9), 10000)")
+        .as("pcts"))
+      .select(col("l_returnflag"),
+        element_at(col("pcts"), 1).as("p25"),
+        element_at(col("pcts"), 2).as("p50"),
+        element_at(col("pcts"), 3).as("p75"),
+        element_at(col("pcts"), 4).as("p90"))
+      .orderBy(asc("l_returnflag"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q42_percentiles" -> (q42Percentiles _),
-    "q43_moment_stats" -> (q43Moments _))
+    "q43_moment_stats" -> (q43Moments _),
+    "q54_approx_percentiles" -> (q54ApproxPercentiles _))
 
   val oracle: Map[String, String] = Map(
     "q42_percentiles" -> q42Sql,

@@ -31,7 +31,7 @@ object Temporal {
     val clicks = e.filter(col("event_type") === "click")
       .select(col("user_id"), col("ts"), col("event_id"))
     TemporalJoins.asofJoinBackward(purchases, clicks, "user_id", "ts", "ts",
-        rightPayload = Seq("event_id", "ts"))
+        rightPayload = Seq("event_id", "ts"), rightTieBreak = Some("event_id"))
       .select(col("event_id"), col("user_id"), col("ts"),
         col("asof_event_id").as("click_id"), col("asof_ts").as("click_ts"))
       .orderBy(asc("event_id"))

@@ -82,6 +82,9 @@ object EventStreams {
       .select(col("user_id"), col("value"))
       .as[(Long, Double)]
 
+    // state carries the full UserAgg; emissions carry only the columns
+    // the query returns (user, n) — the sink and its final collapse
+    // never see unqueried state fields
     val updated = events
       .groupByKey(_._1)
       .mapGroupsWithState(GroupStateTimeout.NoTimeout()) {
@@ -90,22 +93,23 @@ object EventStreams {
           var n = prev.n_events
           var v = prev.total_value
           rows.foreach { r => n += 1; v += r._2 }
-          val next = UserAgg(user, n, v)
-          state.update(next)
-          next
+          state.update(UserAgg(user, n, v))
+          (user, n)
       }
 
     val name = s"graft_stream_state_${System.nanoTime()}"
     val saved = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "8")
     val q = try {
-      updated.toDF()
+      updated.toDF("user_id", "n_events")
         .writeStream.outputMode(OutputMode.Update())
         .format("memory").queryName(name)
         .start()
     } finally spark.conf.set("spark.sql.shuffle.partitions", saved)
     try q.processAllAvailable() finally q.stop()
-    // Update mode may emit a row per micro-batch per user; keep the last
+    // Update mode emits a row per micro-batch per user; n_events is
+    // monotone, so max == the final state. With the default file
+    // source (all files in one trigger) this collapses 1 row/user.
     spark.table(name)
       .groupBy(col("user_id"))
       .agg(max(col("n_events")).as("n_events"))

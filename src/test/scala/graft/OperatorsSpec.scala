@@ -125,6 +125,24 @@ class OperatorsSpec extends SparkSpec {
     assert(recall > 0.2, s"LSH recall $recall too low") // 4 planes, 1-bit probes
   }
 
+  // q54's rows-only gate is backed here: the GK sketch at accuracy
+  // 10000 must land within one quantity unit of the exact sort-based
+  // percentile on every group/percentile pair.
+  test("approx percentiles track exact percentiles within tolerance") {
+    val exact = graft.queries.Stats.q42Percentiles(spark, sf).collect()
+    val approx = graft.queries.Stats.q54ApproxPercentiles(spark, sf).collect()
+    assert(exact.length === approx.length)
+    exact.zip(approx).foreach { case (e, a) =>
+      assert(e.getString(0) === a.getString(0))
+      (1 to 4).foreach { i =>
+        val ev = e.getDouble(i)
+        val av = a.get(i).toString.toDouble
+        assert(math.abs(ev - av) <= 1.0,
+          s"group ${e.getString(0)} p$i: exact $ev vs approx $av")
+      }
+    }
+  }
+
   test("multimodal decode stub is deterministic and feature stats flow") {
     val a = Multimodal.MediaCodec.decodeStub("hello".getBytes)
     val b = Multimodal.MediaCodec.decodeStub("hello".getBytes)
