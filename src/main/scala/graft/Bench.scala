@@ -23,8 +23,15 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    // warmup (untimed): exercise codegen paths once
+    // warmup (untimed): exercise codegen paths once. entry() covers the
+    // relational scan/filter/agg shapes; the sf0.001 minhash pass covers
+    // the text/dedup shapes (tokenize, window lead, xxhash64, 32-way
+    // min hash-agg, band self-join) whose generated-code compile + JIT
+    // otherwise lands on the first timed dedup query — measured 3×
+    // first-run inflation on q31 (9.7s cold vs 3.0s warm at sf0.1).
     try SparkEntry.entry(spark).count() catch { case _: Throwable => }
+    try graft.queries.Pipeline.q31MinhashLsh(spark, "/root/testdata/sf0.001")
+      .count() catch { case _: Throwable => }
 
     // The reference memoizes columns across queries in its Pool
     // (reference: src/pool.rs:37-95); the Spark analog is caching the
