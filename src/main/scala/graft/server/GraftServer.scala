@@ -1,0 +1,133 @@
+package graft.server
+
+import com.fasterxml.jackson.databind.JsonNode
+import com.sun.net.httpserver.{HttpExchange, HttpHandler, HttpServer}
+import org.apache.spark.sql.SparkSession
+import graft.api.GraftException
+
+import java.net.InetSocketAddress
+import java.nio.charset.StandardCharsets
+import java.util.concurrent.Executors
+
+/** The reference engine's remote usage mode: an HTTP JSON API serving
+  * `POST /call` (reference: src/api.rs:149-168; the Python client DSL
+  * in client.py:194-245 is the canonical consumer). Same endpoint,
+  * same request/response JSON, same status codes (201 Created on
+  * success, 400 on protocol/plan errors, 404 elsewhere) — a reference
+  * client.py pointed at this server runs unchanged.
+  *
+  * Differences, all documented in [[Wire]]:
+  *  - the `dataframe` state token is our lineage encoding (clients
+  *    round-trip it opaquely, so this is invisible to them);
+  *  - `Count` and `Take` are implemented (the reference server panics
+  *    on them — src/api.rs:77 `unimplemented!()`);
+  *  - Float NaN crosses the wire as JSON null.
+  *
+  * Built on the JDK's HttpServer (zero added dependencies). One shared
+  * SparkSession; requests build lazy plans and only Actions execute.
+  */
+object GraftServer {
+
+  /** Handle one parsed request body → (status, response JSON/text). */
+  def handle(spark: SparkSession, body: JsonNode): (Int, String) =
+    try {
+      val state = body.get("dataframe")
+      val fn = body.get("function")
+      if (fn == null || !fn.isObject || fn.size() != 1)
+        throw new GraftException(s"malformed function: $fn")
+      val tag = fn.fieldNames().next()
+      tag match {
+        case "Read" | "Op" =>
+          // plan-building: validate eagerly (the facade throws on bad
+          // schema/alias/keys like the reference), execute nothing
+          val entry = if (tag == "Read") fn else fn.get("Op")
+          val priorOps =
+            if (state == null || state.isNull) Wire.arr()
+            else {
+              Wire.replay(spark, state) // re-validate the prior lineage
+              state.get("ops").deepCopy[com.fasterxml.jackson.databind.node.ArrayNode]()
+            }
+          val frame =
+            if (tag == "Read") Wire.applyOp(spark, null, entry)
+            else Wire.applyOp(spark, Wire.replay(spark, state), entry)
+          frame.df.schema // force analysis so plan errors surface now
+          val newState = Wire.obj()
+          newState.set[JsonNode]("ops", priorOps.add(entry.deepCopy[JsonNode]()))
+          val resp = Wire.obj()
+          resp.set[JsonNode]("dataframe", newState)
+          resp.set[JsonNode]("blocks", Wire.obj())
+          (201, Wire.render(resp))
+        case "Action" =>
+          val frame = Wire.replay(spark, state)
+          val action = fn.get("Action")
+          val blocks =
+            if (action.isTextual && action.asText() == "Collect")
+              Wire.blocksOf(frame.df.collect(), frame.df.schema)
+            else if (action.isTextual && action.asText() == "Count") {
+              val b = Wire.obj(); val a = Wire.arr().add(frame.count())
+              val tagged = Wire.obj(); tagged.set[JsonNode]("Int", a)
+              b.set[JsonNode]("count", tagged); b
+            } else if (action.isObject && action.has("Take")) {
+              val limited = frame.take(action.get("Take").asInt())
+              Wire.blocksOf(limited.df.collect(), limited.df.schema)
+            } else throw new GraftException(s"unknown action: $action")
+          val resp = Wire.obj()
+          resp.set[JsonNode]("dataframe", state.deepCopy[JsonNode]())
+          resp.set[JsonNode]("blocks", blocks)
+          (201, Wire.render(resp))
+        case other =>
+          throw new GraftException(s"unknown function tag: $other")
+      }
+    } catch {
+      // 400 like the reference (src/api.rs:25-28: every error is
+      // BadRequest with a debug-printed message body)
+      case e: GraftException => (400, s"DataFrame(${e.getMessage})")
+      case e: org.apache.spark.sql.AnalysisException => (400, s"DataFrame(${e.getMessage})")
+      case e: Throwable =>
+        e.printStackTrace()
+        (500, s"Internal(${e.getClass.getSimpleName}: ${e.getMessage})")
+    }
+
+  /** Start the server; returns it (caller stops). Port 0 = ephemeral. */
+  def start(spark: SparkSession, port: Int): HttpServer = {
+    val server = HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
+    server.createContext("/call", new HttpHandler {
+      override def handle(x: HttpExchange): Unit = {
+        val (status, payload) =
+          if (x.getRequestMethod != "POST") (404, "not found")
+          else try {
+            val body = new String(x.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
+            GraftServer.handle(spark, Wire.parse(body))
+          } catch {
+            case _: com.fasterxml.jackson.core.JacksonException => (400, "MalformedJSON")
+            case e: Throwable => (500, s"Internal(${e.getClass.getSimpleName}: ${e.getMessage})")
+          }
+        val bytes = payload.getBytes(StandardCharsets.UTF_8)
+        x.getResponseHeaders.set("Content-Type",
+          if (status == 201) "application/json" else "text/plain")
+        x.sendResponseHeaders(status, bytes.length.toLong)
+        val os = x.getResponseBody
+        try os.write(bytes) finally os.close()
+      }
+    })
+    server.setExecutor(Executors.newFixedThreadPool(8))
+    server.start()
+    server
+  }
+
+  def main(args: Array[String]): Unit = {
+    val port = args.headOption.map(_.toInt).getOrElse(3000)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .appName("graft-server")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    start(spark, port)
+    println(s"[graft-server] listening on http://127.0.0.1:$port/call")
+    Thread.currentThread().join()
+  }
+}

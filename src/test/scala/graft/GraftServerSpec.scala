@@ -1,0 +1,136 @@
+package graft
+
+import graft.server.{GraftServer, Wire}
+
+import java.net.URI
+import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+import java.nio.charset.StandardCharsets
+import java.nio.file.Files
+
+/** End-to-end spec for the HTTP wire protocol: starts the real server
+  * (ephemeral port) and drives it with the exact JSON the reference's
+  * Python client emits (client.py:200-245) — the example_small flow
+  * (client.py:249-256), plus join/order/group/take/count and the
+  * protocol error surface.
+  */
+class GraftServerSpec extends SparkSpec {
+
+  private lazy val server = {
+    val s = GraftServer.start(spark, 0)
+    sys.addShutdownHook(s.stop(0))
+    s
+  }
+  private lazy val uri =
+    URI.create(s"http://127.0.0.1:${server.getAddress.getPort}/call")
+  private val http = HttpClient.newHttpClient()
+
+  private def post(body: String): (Int, String) = {
+    val req = HttpRequest.newBuilder(uri)
+      .POST(HttpRequest.BodyPublishers.ofString(body, StandardCharsets.UTF_8))
+      .build()
+    val res = http.send(req, HttpResponse.BodyHandlers.ofString())
+    (res.statusCode(), res.body())
+  }
+
+  /** POST, assert 201, return the response `dataframe` state JSON. */
+  private def callOk(df: String, function: String): (String, String) = {
+    val (status, body) = post(s"""{"dataframe": $df, "function": $function}""")
+    assert(status === 201, s"expected 201, got $status: $body")
+    val node = Wire.parse(body)
+    (Wire.render(node.get("dataframe")), Wire.render(node.get("blocks")))
+  }
+
+  // headerless |-separated CSV like the reference's data/small.csv
+  private lazy val csvPath = {
+    val p = Files.createTempFile("graft_small", ".csv")
+    Files.write(p, "1|foo|true\n2|bar|false\n3|baz|true\n"
+      .getBytes(StandardCharsets.UTF_8))
+    p.toAbsolutePath.toString
+  }
+  private val schemaJson =
+    """{"columns": [{"name": "int", "type_": "Int"},
+      |             {"name": "string", "type_": "String"},
+      |             {"name": "bool", "type_": "Bool"}]}""".stripMargin
+
+  private def readState: String =
+    callOk("null", s"""{"Read": ["csv", "$csvPath", $schemaJson]}""")._1
+
+  // client.py example_small: read → filter(bool == true) →
+  // select([c('int')]) → aggregate({int: Average}) → collect
+  test("wire: example_small flow (filter/select/aggregate/collect)") {
+    val s1 = readState
+    val s2 = callOk(s1,
+      """{"Op": {"Filter": ["bool",
+        |  {"comparator": "Equal", "value": {"Bool": true}}]}}""".stripMargin)._1
+    val s3 = callOk(s2, """{"Op": {"Select": [{"Source": "int"}]}}""")._1
+    val s4 = callOk(s3, """{"Op": {"Aggregation": {"int": "Average"}}}""")._1
+    val (_, blocks) = callOk(s4, """{"Action": "Collect"}""")
+    assert(Wire.parse(blocks).get("int").get("Float").get(0).asDouble() === 2.0)
+  }
+
+  test("wire: select arithmetic with alias, float constant encoding") {
+    val s1 = readState
+    // (int * 10).alias('tens') + the client's phantom float form
+    val s2 = callOk(s1,
+      """{"Op": {"Select": [
+        |  {"Alias": ["tens", {"Operation": ["Multiply",
+        |    {"Source": "int"}, {"Constant": {"Int": 10}}]}]},
+        |  {"Alias": ["halves", {"Operation": ["Divide",
+        |    {"Source": "int"},
+        |    {"Constant": {"Float": {"value": 2.0, "phantom": null}}}]}]}
+        |]}}""".stripMargin)._1
+    val (_, blocks) = callOk(s2, """{"Action": "Collect"}""")
+    val b = Wire.parse(blocks)
+    assert(b.get("tens").get("Int").get(2).asLong() === 30L)
+    assert(b.get("halves").get("Float").get(1).asDouble() === 1.0)
+  }
+
+  test("wire: group_by nests lists; order_by sorts") {
+    val s1 = readState
+    val s2 = callOk(s1, """{"Op": {"Select": [{"Source": "bool"}, {"Source": "int"}]}}""")._1
+    val s3 = callOk(s2, """{"Op": {"GroupBy": ["bool"]}}""")._1
+    val (_, blocks) = callOk(s3, """{"Action": "Collect"}""")
+    val b = Wire.parse(blocks)
+    assert(b.get("int").get("IntList").get(1).get(0).asLong() === 1L)
+    val s4 = callOk(s2, """{"Op": {"OrderBy": ["int"]}}""")._1
+    val (_, blocks2) = callOk(s4, """{"Action": "Count"}""")
+    assert(Wire.parse(blocks2).get("count").get("Int").get(0).asLong() === 3L)
+  }
+
+  test("wire: join round-trips a right-side lineage; take limits") {
+    val s1 = readState
+    val right = callOk(s1,
+      """{"Op": {"Select": [
+        |  {"Alias": ["k", {"Operation": ["Add",
+        |    {"Source": "int"}, {"Constant": {"Int": 0}}]}]},
+        |  {"Alias": ["negated", {"Operation": ["Subtract",
+        |    {"Constant": {"Int": 0}}, {"Source": "int"}]}]}]}}""".stripMargin)._1
+    val joined = callOk(s1, s"""{"Op": {"Join": [$right, "int", "k"]}}""")._1
+    val (_, blocks) = callOk(joined, """{"Action": {"Take": 2}}""")
+    val b = Wire.parse(blocks)
+    assert(b.get("negated").get("Int").get(0).asLong() === -1L)
+    assert(b.get("int").get("Int").size() === 2)
+  }
+
+  test("wire: protocol and plan errors are 400 with a message") {
+    // malformed JSON
+    assert(post("{nope")._1 === 400)
+    // unaliased computed expr → the facade's AliasRequired, as 400
+    val s1 = readState
+    val (st, body) = post(s"""{"dataframe": $s1, "function":
+      {"Op": {"Select": [{"Operation": ["Add",
+        {"Source": "int"}, {"Source": "int"}]}]}}}""")
+    assert(st === 400)
+    assert(body.contains("AliasRequired"))
+    // missing dataframe for an Op
+    assert(post("""{"dataframe": null, "function":
+      {"Op": {"OrderBy": ["int"]}}}""")._1 === 400)
+    // unknown column at plan-build time
+    assert(post(s"""{"dataframe": $s1, "function":
+      {"Op": {"Filter": ["nope",
+        {"comparator": "Equal", "value": {"Int": 1}}]}}}""")._1 === 400)
+    // non-POST and wrong path
+    val get = HttpRequest.newBuilder(uri).GET().build()
+    assert(http.send(get, HttpResponse.BodyHandlers.ofString()).statusCode() === 404)
+  }
+}
