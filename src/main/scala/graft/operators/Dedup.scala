@@ -164,6 +164,52 @@ object Dedup {
       .filter(col("n") > lit(maxBucket)).count()
   }
 
+  /** Connected components over a pair list — the step that turns
+    * near-dup PAIRS into a doc→cluster assignment (keep one doc per
+    * cluster). Distributed min-label propagation: each round every
+    * node takes the minimum label in its neighborhood
+    * (join edges→labels, min-aggregate, least with own label), until
+    * no label changes. Rounds = component diameter; near-dup clusters
+    * are star-/clique-shaped (diameter ≤ ~3), so this converges in a
+    * handful of rounds — on path-shaped graphs prefer a
+    * large-star/small-star variant (O(log n) rounds).
+    *
+    * Scale shape: per round one shuffle of (8-byte id, 8-byte label)
+    * edges + one hash aggregate; lineage truncated per round
+    * (localCheckpoint — swap for checkpoint(dir) on a cluster) so
+    * plans stay flat; only the per-round change COUNT reaches the
+    * driver. Output: (id, cluster) for every id present in `pairs`,
+    * cluster = min id of the component.
+    */
+  def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
+                          maxIters: Int = 20): DataFrame = {
+    val edges = pairs
+      .select(col(aCol).cast("long").as("src"), col(bCol).cast("long").as("dst"))
+      .union(pairs.select(col(bCol).cast("long").as("src"), col(aCol).cast("long").as("dst")))
+      .distinct()
+      .localCheckpoint(true)
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("cluster", col("id"))
+      .localCheckpoint(true)
+    var iter = 0
+    var changed = 1L
+    while (changed > 0 && iter < maxIters) {
+      val nbrMin = edges
+        .join(labels.select(col("id").as("dst"), col("cluster").as("nbr")), Seq("dst"))
+        .groupBy(col("src")).agg(min(col("nbr")).as("nbr_min"))
+      val next = labels
+        .join(nbrMin.select(col("src").as("id"), col("nbr_min")), Seq("id"), "left_outer")
+        .select(col("id"),
+          least(col("cluster"), coalesce(col("nbr_min"), col("cluster"))).as("cluster"),
+          (col("nbr_min") < col("cluster")).as("ch"))
+        .localCheckpoint(true)
+      changed = next.filter(col("ch")).count()
+      labels = next.select(col("id"), col("cluster"))
+      iter += 1
+    }
+    labels
+  }
+
   /** Exact Jaccard similarity of two hashed-shingle arrays. */
   def jaccard(a: Column, b: Column): Column = {
     val ad = array_distinct(a)

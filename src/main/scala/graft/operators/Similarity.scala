@@ -111,19 +111,56 @@ object Similarity {
       .filter(col("rank") <= lit(k))
   }
 
+  /** Spherical k-means training for the IVF coarse quantizer —
+    * distributed Lloyd iterations entirely in DataFrame ops. Each
+    * round: assign every (normalized) vector to its argmax-dot
+    * centroid (map-only, VecDot × numCells), then recompute centroids
+    * as the normalized per-cell mean via posexplode + one hash
+    * aggregate on (cell, dim-position). Only the numCells×dim model —
+    * never data — reaches the driver, so the same code trains on
+    * 10^5 or 10^10 vectors. Seeded deterministic init; empty cells
+    * keep their previous centroid.
+    */
+  def trainCentroids(data: DataFrame, vecCol: String, numCells: Int,
+                     iters: Int, dim: Int): Array[Array[Double]] = {
+    var cents = hyperplanes(numCells, dim)
+    val vs = data.select(normalized(col(vecCol)).as("v"))
+    for (_ <- 0 until iters) {
+      val scores = cents.zipWithIndex.map { case (c, i) =>
+        struct(dotD(col("v"), array(c.map(lit): _*)).as("s"), lit(i).as("cell"))
+      }
+      val stats = vs
+        .withColumn("cell", greatest(scores: _*).getField("cell"))
+        .select(col("cell"), posexplode(col("v")))
+        .groupBy(col("cell"), col("pos"))
+        .agg(sum(col("col")).as("s"))
+        .collect() // numCells × dim rows — the model, not the data
+      val next = cents.map(_.clone())
+      stats.groupBy(_.getInt(0)).foreach { case (cell, rows) =>
+        val mean = new Array[Double](dim)
+        rows.foreach(r => mean(r.getInt(1)) = r.getDouble(2))
+        val n = math.sqrt(mean.map(x => x * x).sum)
+        if (n > 0) next(cell) = mean.map(_ / n)
+      }
+      cents = next
+    }
+    cents
+  }
+
   /** IVF (inverted-file) approximate top-k: a coarse quantizer of
-    * `numCells` deterministic pseudo-random unit centroids partitions
-    * the candidate space; each candidate lands in its nearest cell,
-    * each query probes its `nProbe` nearest cells and exact-reranks
-    * within them. Centroids are seeded (not trained) — at production
-    * scale swap in k-means centroids; the partition/probe/rerank
-    * plumbing is identical. All scoring runs on the native VecDot.
+    * `numCells` unit centroids partitions the candidate space; each
+    * candidate lands in its nearest cell, each query probes its
+    * `nProbe` nearest cells and exact-reranks within them. Centroids
+    * default to the deterministic seeded init; pass
+    * [[trainCentroids]]' output for a trained quantizer (what q52
+    * does). All scoring runs on the native VecDot.
     */
   def ivfTopK(queries: DataFrame, candidates: DataFrame,
               idQ: String, idC: String, vecQ: String, vecC: String,
               k: Int, numCells: Int = 16, nProbe: Int = 4,
-              dim: Int = 64): DataFrame = {
-    val cents = hyperplanes(numCells, dim)
+              dim: Int = 64,
+              centroids: Option[Array[Array[Double]]] = None): DataFrame = {
+    val cents = centroids.getOrElse(hyperplanes(numCells, dim))
     def cellScores(vec: Column): Seq[Column] = cents.zipWithIndex.map {
       case (c, i) =>
         struct(dotD(vec, array(c.map(lit): _*)).as("s"), lit(i).as("cell"))

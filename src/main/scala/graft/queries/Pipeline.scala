@@ -239,14 +239,18 @@ object Pipeline {
   }
 
   // -------------------------------------------------------------------
-  // q52: IVF approximate top-k (rows-only — approximate by design;
-  // deterministic seeded centroids)
+  // q52: IVF approximate top-k (rows-only — approximate by design).
+  // The quantizer is TRAINED on the candidate corpus: two distributed
+  // spherical-Lloyd rounds (deterministic seeded init), model-only
+  // driver traffic. nProbe=4/16 cells, exact VecDot rerank in-cell.
   // -------------------------------------------------------------------
   def q52AnnIvf(spark: SparkSession, dir: String): DataFrame = {
     val e = emb(spark, dir)
     val q = e.filter(pmod(col("vec_id"), lit(50)) === 0)
+    val cents = Similarity.trainCentroids(e, "embedding",
+      numCells = 16, iters = 2, dim = 64)
     Similarity.ivfTopK(q, e, "vec_id", "vec_id", "embedding", "embedding",
-      k = 10, numCells = 16, nProbe = 4, dim = 64)
+      k = 10, numCells = 16, nProbe = 4, dim = 64, centroids = Some(cents))
       .select(col("query_id"), col("cand_id"), col("rank"))
       .orderBy(asc("query_id"), asc("rank"))
   }
@@ -298,6 +302,44 @@ object Pipeline {
     """SELECT user_id, COUNT(*) AS n_events
       |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
 
+  // -------------------------------------------------------------------
+  // q55: near-dup pairs → doc→cluster assignment (connected
+  // components by min-label propagation) over the deterministic exact
+  // n-gram Jaccard pairs of q33's bounded block. Oracle: DuckDB
+  // recursive-CTE transitive closure over the identical pair set —
+  // a REAL cross-engine check of the clustering, not rows-only.
+  // -------------------------------------------------------------------
+  def q55NeardupClusters(spark: SparkSession, dir: String): DataFrame =
+    Dedup.connectedComponents(
+      Dedup.ngramJaccardPairs(docs(spark, dir), "doc_id", "text",
+        k = 3, threshold = 0.05, maxId = 300L)
+        .select(col("id_a"), col("id_b")),
+      "id_a", "id_b")
+      .select(col("id").as("doc_id"), col("cluster"))
+      .orderBy(asc("doc_id"))
+  val q55Sql: String =
+    """WITH RECURSIVE sh AS (
+      |  SELECT doc_id, list_distinct(list_transform(
+      |    range(1, GREATEST(LEN(toks) - 2, 1) + 1),
+      |    i -> array_to_string(toks[i:i+2], ' '))) AS s
+      |  FROM (SELECT doc_id, string_split_regex(TRIM(text), '\s+') AS toks
+      |        FROM documents WHERE doc_id < 300)
+      |), pairs AS (
+      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      |  WHERE CAST(LEN(list_intersect(a.s, b.s)) AS DOUBLE)
+      |      / (LEN(a.s) + LEN(b.s) - LEN(list_intersect(a.s, b.s))) >= 0.05
+      |), edges AS (
+      |  SELECT id_a AS src, id_b AS dst FROM pairs
+      |  UNION SELECT id_b, id_a FROM pairs
+      |), reach AS (
+      |  SELECT src AS id, src AS r FROM edges
+      |  UNION
+      |  SELECT e.src AS id, r.r FROM edges e JOIN reach r ON e.dst = r.id
+      |)
+      |SELECT id AS doc_id, MIN(r) AS cluster
+      |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q25_text_stats" -> (q25TextStats _),
     "q26_token_freq" -> (q26TokenFreq _),
@@ -314,7 +356,8 @@ object Pipeline {
     "q36_cosine_neardup" -> (q36CosineNearDup _),
     "q37_multimodal" -> (q37Multimodal _),
     "q38_stream_hourly" -> (q38StreamHourly _),
-    "q39_stream_stateful" -> (q39StreamStateful _))
+    "q39_stream_stateful" -> (q39StreamStateful _),
+    "q55_neardup_clusters" -> (q55NeardupClusters _))
 
   val oracle: Map[String, String] = Map(
     "q25_text_stats" -> q25Sql,
@@ -327,5 +370,6 @@ object Pipeline {
     "q34_cosine_topk" -> q34Sql,
     "q37_multimodal" -> q37Sql,
     "q38_stream_hourly" -> q38Sql,
-    "q39_stream_stateful" -> q39Sql)
+    "q39_stream_stateful" -> q39Sql,
+    "q55_neardup_clusters" -> q55Sql)
 }

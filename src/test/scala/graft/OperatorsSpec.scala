@@ -197,4 +197,32 @@ class OperatorsSpec extends SparkSpec {
     val recall = (exact intersect approx).size.toDouble / exact.size
     assert(recall > 0.2, s"IVF recall $recall too low")
   }
+
+  test("trained IVF centroids are unit-norm and recall >= seeded") {
+    val e = spark.read.parquet(s"$sf/embeddings.parquet")
+    val q = e.filter(col("vec_id") < 5)
+    def topk(cents: Option[Array[Array[Double]]]) =
+      Similarity.ivfTopK(q, e, "vec_id", "vec_id", "embedding", "embedding",
+        5, numCells = 16, nProbe = 4, dim = 64, centroids = cents)
+        .select("query_id", "cand_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = Similarity.bruteForceTopK(q, e, "vec_id", "vec_id",
+      "embedding", "embedding", 5)
+      .select("query_id", "cand_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val cents = Similarity.trainCentroids(e, "embedding",
+      numCells = 16, iters = 2, dim = 64)
+    cents.foreach { c =>
+      assert(math.abs(math.sqrt(c.map(x => x * x).sum) - 1.0) < 1e-9)
+    }
+    val seeded = (exact intersect topk(None)).size.toDouble / exact.size
+    val trained = (exact intersect topk(Some(cents))).size.toDouble / exact.size
+    // Lloyd rounds move centroids toward the data manifold; recall must
+    // not regress (it typically improves substantially on real data)
+    assert(trained >= seeded, s"trained recall $trained < seeded $seeded")
+    // training is deterministic: same data + seed → same model
+    val again = Similarity.trainCentroids(e, "embedding",
+      numCells = 16, iters = 2, dim = 64)
+    assert(cents.map(_.toSeq).toSeq === again.map(_.toSeq).toSeq)
+  }
 }
