@@ -1,0 +1,139 @@
+"""End-to-end check of the remote usage mode: starts the graft HTTP
+server (tools/run.sh graft.server.GraftServer) on a free port, drives
+it with the stdlib client DSL (tools/client.py), and asserts results.
+
+Run from /root/repo after `sbt compile`:
+
+    python3 tools/client_e2e.py [sf_dir]
+
+Covers the reference client's canonical flows (client.py:248-331):
+example_small (filter/select/aggregate/collect), arithmetic select
+with alias + float constant, group_by nesting, join, order_by,
+count/take, the parquet read, and the 400 error surface.
+"""
+
+import os
+import socket
+import subprocess
+import sys
+import tempfile
+import time
+import urllib.request
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+import client
+from client import (Type, Schema, Comparator, Value, Predicate,
+                    Aggregator, ColumnExpr, GraftError, Df, c)
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+SF = sys.argv[1] if len(sys.argv) > 1 else '/root/testdata/sf0.001'
+
+
+def free_port():
+    with socket.socket() as s:
+        s.bind(('127.0.0.1', 0))
+        return s.getsockname()[1]
+
+
+def wait_listening(uri, proc, timeout=120):
+    deadline = time.time() + timeout
+    while time.time() < deadline:
+        if proc.poll() is not None:
+            raise RuntimeError('server died: rc=%d' % proc.returncode)
+        try:
+            urllib.request.urlopen(uri.replace('/call', '/'), timeout=1)
+            return
+        except urllib.error.HTTPError:
+            return  # any HTTP response means it's up
+        except Exception:
+            time.sleep(0.5)
+    raise RuntimeError('server did not come up in %ds' % timeout)
+
+
+def main():
+    port = free_port()
+    uri = 'http://127.0.0.1:%d/call' % port
+    client.URI = uri  # module default used by Df.call
+    env = dict(os.environ, SPARK_GRAFT_CPUS='4')
+    proc = subprocess.Popen(
+        [os.path.join(REPO, 'tools', 'run.sh'),
+         'graft.server.GraftServer', str(port)],
+        cwd=REPO, env=env,
+        stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL)
+    try:
+        wait_listening(uri, proc)
+        run_checks()
+    finally:
+        proc.terminate()
+        proc.wait(timeout=30)
+    print('client_e2e: all checks passed')
+
+
+def run_checks():
+    # --- example_small (reference client.py:248-257) over a CSV ---
+    with tempfile.NamedTemporaryFile('w', suffix='.csv', delete=False) as f:
+        f.write('1|one|true\n2|two|false\n3|three|true\n4|four|false\n')
+        csv_path = f.name
+    schema = Schema([('int', Type.INT),
+                     ('string', Type.STRING),
+                     ('bool', Type.BOOL)])
+    small = Df.from_csv(csv_path, schema, uri=client.URI)
+    avg = small.filter('bool', Predicate(Comparator.EQUAL, Value(True))) \
+               .select([c('int')]) \
+               .aggregate({'int': Aggregator.AVERAGE}) \
+               .collect()
+    assert avg == {'int': {'Float': [2.0]}}, avg
+
+    # --- arithmetic select, alias, float constant ---
+    doubled = small.select([(c('int') * c(Value(2))).alias('d'),
+                            (c('int') / c(Value(4))).alias('q')]) \
+                   .order_by(['d']).collect()
+    assert doubled['d'] == {'Int': [2, 4, 6, 8]}, doubled
+    assert doubled['q'] == {'Float': [0.25, 0.5, 0.75, 1.0]}, doubled
+
+    # --- count / take (unimplemented in the reference server) ---
+    assert small.count() == {'count': {'Int': [4]}}
+    took = small.order_by(['int']).take(2)
+    assert took['int'] == {'Int': [1, 2]}, took
+
+    # --- parquet read + group_by nesting + join (driver testdata) ---
+    nation = Df.from_parquet(os.path.join(SF, 'nation.parquet'),
+                             uri=client.URI)
+    region = Df.from_parquet(os.path.join(SF, 'region.parquet'),
+                             uri=client.URI)
+    # the reference's aggregate validation requires an aggregator for
+    # every non-grouped column — project down before grouping
+    per_region = nation.join(region, 'n_regionkey', 'r_regionkey') \
+                       .select([c('r_name'), c('n_nationkey')]) \
+                       .group_by(['r_name']) \
+                       .aggregate({'n_nationkey': Aggregator.COUNT}) \
+                       .order_by(['r_name']).collect()
+    assert per_region['n_nationkey'] == {'Int': [5, 5, 5, 5, 5]}, per_region
+    assert per_region['r_name']['String'] == sorted(
+        per_region['r_name']['String']), per_region
+
+    # group_by without aggregate nests values into lists
+    nested = nation.select([c('n_regionkey'), c('n_nationkey')]) \
+                   .group_by(['n_regionkey']).order_by(['n_regionkey']) \
+                   .collect()
+    assert nested['n_nationkey']['IntList'][0] == sorted(
+        nested['n_nationkey']['IntList'][0]), nested
+
+    # --- error surface: unknown column is a 400 with a message ---
+    try:
+        small.filter('nope', Predicate(Comparator.EQUAL, Value(1)))
+        raise AssertionError('expected GraftError for unknown column')
+    except GraftError as e:
+        assert 'nope' in str(e), e
+
+    # --- lineage is stateless: a stale token still replays ---
+    again = small.filter('bool', Predicate(Comparator.EQUAL, Value(True))) \
+                 .select([c('int')]) \
+                 .aggregate({'int': Aggregator.SUM}).collect()
+    assert again == {'int': {'Int': [4]}}, again
+
+    os.unlink(csv_path)
+
+
+if __name__ == '__main__':
+    main()
