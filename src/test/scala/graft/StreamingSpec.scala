@@ -20,6 +20,23 @@ class StreamingSpec extends SparkSpec {
     assert(sKeys === bKeys)
   }
 
+  test("streaming dedup equals batch distinct") {
+    val streamed = graft.streaming.EventStreams
+      .streamingDedup(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val batch = spark.read
+      .parquet(s"$sf/events.parquet")
+      .select(col("user_id"), col("event_type")).distinct()
+      .groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(streamed === batch)
+    // and duplicates were actually present to drop (the test is vacuous
+    // if the bounded stream happens to be duplicate-free)
+    val raw = spark.read.parquet(s"$sf/events.parquet").count()
+    assert(streamed.values.sum < raw)
+  }
+
   test("stateful streaming user counts equal batch counts") {
     val streamed = graft.streaming.EventStreams
       .statefulUserCounts(spark, sf).collect()
