@@ -58,6 +58,20 @@ object ScaleStress {
       val survivors = docs.join(keep, "doc_id")
       graft.operators.Dedup.minhashLshPairs(survivors, "doc_id", "text", 3, 32, 8, 0.5).count()
     }
+    // full near-dup pipeline tail: pairs → clusters. The replicated
+    // corpus has huge exact-dup components, so this also stresses the
+    // label-propagation rounds on wide stars.
+    timed("connected components (exact-dup + LSH pairs)") {
+      val pairs = graft.operators.Dedup
+        .minhashLshPairs(
+          {
+            val keep = graft.operators.Dedup.exact(docs, "doc_id", "text")
+              .select(col("keep_id").as("doc_id"))
+            docs.join(keep, "doc_id")
+          }, "doc_id", "text", 3, 32, 8, 0.5)
+        .select(col("id_a"), col("id_b"))
+      graft.operators.Dedup.connectedComponents(pairs, "id_a", "id_b").count()
+    }
     timed("simhash signatures")(
       graft.operators.Dedup.simhashSignatures(docs, "doc_id", "text").count())
     timed("simhash pairs (cap 500)")(
