@@ -22,7 +22,8 @@ object SparkEntry {
       graft.queries.Pipeline.queries ++
       graft.queries.Temporal.queries ++
       graft.queries.Stats.queries ++
-      graft.queries.Scalars.queries
+      graft.queries.Scalars.queries ++
+      graft.queries.Curation.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a weaker rows-only check. */
@@ -32,5 +33,6 @@ object SparkEntry {
       graft.queries.Pipeline.oracle ++
       graft.queries.Temporal.oracle ++
       graft.queries.Stats.oracle ++
-      graft.queries.Scalars.oracle
+      graft.queries.Scalars.oracle ++
+      graft.queries.Curation.oracle
 }

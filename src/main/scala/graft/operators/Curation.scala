@@ -1,0 +1,189 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.operators.{TextAnalysis => TA}
+
+/** Dataset-curation operators for a large-scale training-data
+  * pipeline: deterministic splits, benchmark decontamination,
+  * repetition (Gopher-style) quality metrics, sequence packing for a
+  * fixed token budget, PII redaction, and a deterministic global
+  * training-order shuffle.
+  *
+  * Beyond-reference surface (the reference engine — SURVEY.md §2 —
+  * has no text/curation operators at all). Every operator here is
+  * either a pure `Column` expression (map-only, zero shuffle) or a
+  * key-partitioned shuffle (explode→groupBy on (doc, gram) keys,
+  * window over hash buckets) — no driver-side loops, no UDFs, no
+  * all-pairs joins, so each scales to 100 TB by adding executors.
+  *
+  * Cross-engine portability rule: anything gated by the DuckDB oracle
+  * avoids engine-specific hashes (xxhash64) in favor of exact integer
+  * arithmetic (multiplicative hashing below) or md5 (identical hex on
+  * both engines).
+  */
+object Curation {
+
+  /** Portable multiplicative hash → [0, 2^32). Plain 64-bit integer
+    * arithmetic that never overflows for ids < ~3.4e9 (2^63 /
+    * 2654435761), so DuckDB (which errors on BIGINT overflow rather
+    * than wrapping) computes bit-identical values. One LCG mixing
+    * round on top of Knuth's multiplicative constant spreads
+    * sequential ids across low-order bits (we bucket by `% n`, not by
+    * high bits).
+    */
+  def portableHash(id: Column, seed: Long): Column = {
+    // Seed is added BEFORE the multiply: x*C mod 2^32 scrambles
+    // ordering, so distinct seeds give genuinely different orders
+    // (an additive post-multiply seed would only shift every hash by
+    // the same constant, preserving relative order).
+    val h1 = pmod((id + lit(seed)) * lit(2654435761L), lit(4294967296L))
+    pmod(h1 * lit(69069L) + lit(1L), lit(4294967296L))
+  }
+
+  /** SQL text of [[portableHash]] for oracle parity. */
+  def portableHashSql(idExpr: String, seed: Long): String =
+    s"((((($idExpr + $seed) * 2654435761) % 4294967296) * 69069 + 1) % 4294967296)"
+
+  /** Deterministic train/val/test assignment by hash bucket — the
+    * standard leakage-safe split: membership depends only on the row
+    * id and seed, never on partitioning or row order, so re-runs and
+    * backfills land every row in the same split. trainPct+valPct < 100;
+    * the remainder is test.
+    */
+  def splitAssign(id: Column, seed: Long, trainPct: Int, valPct: Int): Column = {
+    val bucket = pmod(portableHash(id, seed), lit(100L))
+    when(bucket < lit(trainPct.toLong), lit("train"))
+      .when(bucket < lit((trainPct + valPct).toLong), lit("val"))
+      .otherwise(lit("test"))
+  }
+
+  /** Word n-grams as strings (joined by a single space) — the portable
+    * (oracle-checkable) counterpart of [[TextAnalysis.shingles]]'
+    * xxhash64 fingerprints. Shorter-than-n documents yield their one
+    * truncated gram (same GREATEST(...,1) convention as the dedup
+    * shingles and the q33 oracle).
+    */
+  def ngramStrings(text: Column, n: Int): Column = {
+    val toks = TA.tokens(text)
+    val idx = sequence(lit(1), greatest(size(toks) - lit(n - 1), lit(1)))
+    transform(idx, i => array_join(slice(toks, i, lit(n)), " "))
+  }
+
+  /** Benchmark decontamination: find training documents sharing ≥ 1
+    * word n-gram with any document of the (small) eval set — the
+    * standard n-gram-overlap contamination check run before training.
+    *
+    * Shape for 100 TB: the eval side is tiny by construction (a
+    * benchmark suite), so its distinct n-gram set is broadcast; the
+    * training side explodes to (doc, gram) rows and hash-joins against
+    * the broadcast — a map-side join, no shuffle of the corpus, and
+    * the per-doc overlap count is a partial-aggregated groupBy on
+    * doc_id alone. Returns (id, n_overlap, n_grams, overlap_frac) for
+    * contaminated docs only.
+    */
+  def decontaminate(train: DataFrame, evalDocs: DataFrame, idCol: String,
+      textCol: String, n: Int): DataFrame = {
+    val evalGrams = evalDocs
+      .select(explode(ngramStrings(col(textCol), n)).as("gram"))
+      .distinct()
+    val trainGrams = train
+      .select(col(idCol), array_distinct(ngramStrings(col(textCol), n)).as("grams"))
+      .select(col(idCol), explode(col("grams")).as("gram"), size(col("grams")).as("n_grams"))
+    trainGrams
+      .join(broadcast(evalGrams), "gram")
+      .groupBy(col(idCol), col("n_grams"))
+      .agg(count(lit(1)).as("n_overlap"))
+      .select(col(idCol), col("n_overlap"),
+        col("n_grams").cast("long").as("n_grams"),
+        (col("n_overlap").cast("double") / col("n_grams")).as("overlap_frac"))
+  }
+
+  /** Gopher-style repetition metrics per document:
+    *   - dup_token_frac: 1 − distinct/total tokens (pure expression)
+    *   - top_bigram_frac: occurrences of the most frequent bigram /
+    *     total bigrams
+    *   - dup_bigram_frac: fraction of bigram occurrences whose bigram
+    *     appears more than once
+    * The bigram stats explode to (doc, bigram) and aggregate twice on
+    * keys that include the doc id — partial aggregation applies and
+    * no single reducer ever sees more than one document's grams.
+    */
+  def repetitionMetrics(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val perDoc = df.select(col(idCol),
+      TA.tokenCount(col(textCol)).as("n_tok"),
+      TA.uniqueTokenCount(col(textCol)).as("n_uniq"),
+      ngramStrings(col(textCol), 2).as("bigrams"))
+    val counts = perDoc
+      .select(col(idCol), explode(col("bigrams")).as("bigram"))
+      .groupBy(col(idCol), col("bigram"))
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy(col(idCol))
+      .agg(max(col("cnt")).as("top_cnt"),
+        sum(col("cnt")).as("total_bg"),
+        sum(when(col("cnt") > 1, col("cnt")).otherwise(lit(0L))).as("dup_bg"))
+    perDoc.select(col(idCol),
+        (lit(1.0) - col("n_uniq").cast("double") / col("n_tok")).as("dup_token_frac"))
+      .join(counts, idCol)
+      .select(col(idCol), col("dup_token_frac"),
+        (col("top_cnt").cast("double") / col("total_bg")).as("top_bigram_frac"),
+        (col("dup_bg").cast("double") / col("total_bg")).as("dup_bigram_frac"))
+  }
+
+  /** Greedy-by-bucket sequence packing: assign documents to
+    * fixed-token-budget training sequences. Documents are spread over
+    * `buckets` independent packing streams by portable hash, then
+    * packed in id order within each stream by running token count —
+    * bin = floor(exclusive-cumsum / budget). This is the distributed
+    * form of greedy packing: each bucket packs independently (one
+    * window per bucket, fully parallel), at the cost of at most one
+    * under-filled sequence per bucket.
+    *
+    * Returns one row per (bucket, bin): n_docs and n_tokens packed.
+    */
+  def packSequences(df: DataFrame, idCol: String, tokensCol: Column,
+      budget: Long, buckets: Int, seed: Long): DataFrame = {
+    val bucket = pmod(portableHash(col(idCol), seed), lit(buckets.toLong))
+    val w = Window.partitionBy(col("bucket")).orderBy(col(idCol))
+    df.select(col(idCol), tokensCol.as("n_tok"), bucket.as("bucket"))
+      .withColumn("cum", sum(col("n_tok")).over(w))
+      .withColumn("bin", floor((col("cum") - col("n_tok")).cast("double") / lit(budget.toDouble)).cast("long"))
+      .groupBy(col("bucket"), col("bin"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"))
+  }
+
+  // PII patterns — kept to syntax shared by Java regex and RE2
+  // (no lookarounds, no backrefs), so Spark and the DuckDB oracle
+  // redact identically.
+  val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val ipv4Re = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+
+  /** Count of email-shaped substrings. */
+  def emailCount(text: Column): Column = regexp_count(text, lit(emailRe))
+
+  /** Count of IPv4-shaped substrings (after email removal, so an IP
+    * inside an email host doesn't double-count). */
+  def ipCount(text: Column): Column =
+    regexp_count(regexp_replace(text, emailRe, "<EMAIL>"), lit(ipv4Re))
+
+  /** Redact emails then IPs — order matters (emails may contain
+    * dotted-quad-shaped hosts). Map-only expression work. */
+  def redactPii(text: Column): Column =
+    regexp_replace(regexp_replace(text, emailRe, "<EMAIL>"), ipv4Re, "<IP>")
+
+  /** Deterministic global training-order shuffle: total order by
+    * (portableHash(id), id). At scale this is exactly a total-order
+    * sort — Spark range-partitions on the hash key, so the "shuffle"
+    * is one balanced exchange and the order is reproducible from the
+    * seed alone, independent of input partitioning.
+    */
+  def orderShuffle(df: DataFrame, idCol: String, seed: Long): DataFrame = {
+    val h = portableHash(col(idCol), seed)
+    df.select(col(idCol), h.as("shuffle_key"))
+      .orderBy(col("shuffle_key"), col(idCol))
+    // No global row_number here: a position column would force a
+    // single-partition window. Callers that need positions should
+    // `limit(k)` first (tiny set) or zip per range-partition.
+  }
+}

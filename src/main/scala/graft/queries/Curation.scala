@@ -1,0 +1,232 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.operators.{Curation => C, TextAnalysis => TA}
+
+/** Dataset-curation queries (q57-q63): the train-time data-management
+  * layer a 100 TB pipeline needs on top of the analysis/dedup surface —
+  * benchmark decontamination, repetition filtering, leakage-safe
+  * splits, sequence packing, PII redaction, the curation funnel, and
+  * the deterministic training-order shuffle. All seven are DuckDB
+  * oracle-gated (exact integer hashing / md5 / shared-regex design —
+  * no engine-specific hash functions in any gated output).
+  */
+object Curation {
+
+  private def docs(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/documents.parquet")
+
+  // DuckDB fragment: whitespace tokens of `text` (same as q25/q33).
+  private val toksSql = raw"string_split_regex(TRIM(text), '\s+')"
+
+  // -------------------------------------------------------------------
+  // q57: benchmark decontamination — training docs sharing a 5-gram
+  // with the (deterministic) eval subset doc_id % 97 == 0. Eval grams
+  // broadcast; corpus never shuffles.
+  // -------------------------------------------------------------------
+  def q57Decontaminate(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    C.decontaminate(
+        d.filter(col("doc_id") % 97 =!= 0),
+        d.filter(col("doc_id") % 97 === 0),
+        "doc_id", "text", n = 5)
+      .orderBy(asc("doc_id"))
+  }
+  val q57Sql: String =
+    raw"""WITH grams AS (
+      |  SELECT doc_id, list_distinct(list_transform(
+      |    range(1, GREATEST(LEN(t) - 4, 1) + 1),
+      |    i -> array_to_string(t[i:i+4], ' '))) AS g
+      |  FROM (SELECT doc_id, $toksSql AS t FROM documents)
+      |), eval_g AS (
+      |  SELECT DISTINCT UNNEST(g) AS gram FROM grams WHERE doc_id % 97 = 0
+      |), train_g AS (
+      |  SELECT doc_id, LEN(g) AS n_grams, UNNEST(g) AS gram
+      |  FROM grams WHERE doc_id % 97 <> 0
+      |)
+      |SELECT doc_id, COUNT(*) AS n_overlap, CAST(n_grams AS BIGINT) AS n_grams,
+      |  CAST(COUNT(*) AS DOUBLE) / n_grams AS overlap_frac
+      |FROM train_g JOIN eval_g USING (gram)
+      |GROUP BY doc_id, n_grams ORDER BY doc_id""".stripMargin
+
+  // -------------------------------------------------------------------
+  // q58: Gopher-style repetition metrics per document. Pure int
+  // divisions into double — bit-identical across engines, no rounding.
+  // -------------------------------------------------------------------
+  def q58Repetition(spark: SparkSession, dir: String): DataFrame =
+    C.repetitionMetrics(docs(spark, dir), "doc_id", "text")
+      .orderBy(asc("doc_id"))
+  val q58Sql: String =
+    raw"""WITH base AS (
+      |  SELECT doc_id, LEN(t) AS n_tok, LEN(list_distinct(t)) AS n_uniq,
+      |    list_transform(range(1, GREATEST(LEN(t) - 1, 1) + 1),
+      |      i -> array_to_string(t[i:i+1], ' ')) AS bg
+      |  FROM (SELECT doc_id, $toksSql AS t FROM documents)
+      |), cnts AS (
+      |  SELECT doc_id, bigram, COUNT(*) AS cnt
+      |  FROM (SELECT doc_id, UNNEST(bg) AS bigram FROM base)
+      |  GROUP BY doc_id, bigram
+      |), agg AS (
+      |  SELECT doc_id, MAX(cnt) AS top_cnt, SUM(cnt) AS total_bg,
+      |    SUM(CASE WHEN cnt > 1 THEN cnt ELSE 0 END) AS dup_bg
+      |  FROM cnts GROUP BY doc_id
+      |)
+      |SELECT b.doc_id,
+      |  CAST(1 AS DOUBLE) - CAST(n_uniq AS DOUBLE) / n_tok AS dup_token_frac,
+      |  CAST(top_cnt AS DOUBLE) / total_bg AS top_bigram_frac,
+      |  CAST(dup_bg AS DOUBLE) / total_bg AS dup_bigram_frac
+      |FROM base b JOIN agg a USING (doc_id) ORDER BY doc_id""".stripMargin
+
+  // -------------------------------------------------------------------
+  // q59: leakage-safe deterministic split, stratification report.
+  // 80/10/10 by portable multiplicative hash of doc_id.
+  // -------------------------------------------------------------------
+  def q59HashSplit(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .select(C.splitAssign(col("doc_id"), seed = 42L, trainPct = 80, valPct = 10).as("split"),
+        col("lang"))
+      .groupBy(col("split"), col("lang"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(asc("split"), asc("lang"))
+  val q59Sql: String = {
+    val bucket = s"(${C.portableHashSql("doc_id", 42L)} % 100)"
+    s"""SELECT CASE WHEN $bucket < 80 THEN 'train'
+       |            WHEN $bucket < 90 THEN 'val'
+       |            ELSE 'test' END AS split,
+       |  lang, COUNT(*) AS n
+       |FROM documents GROUP BY 1, 2 ORDER BY split, lang""".stripMargin
+  }
+
+  // -------------------------------------------------------------------
+  // q60: sequence packing — 512-token bins over 8 hash buckets,
+  // greedy within bucket by doc_id order (one parallel window pass).
+  // -------------------------------------------------------------------
+  def q60PackSequences(spark: SparkSession, dir: String): DataFrame =
+    C.packSequences(docs(spark, dir), "doc_id", TA.tokenCount(col("text")),
+        budget = 512L, buckets = 8, seed = 7L)
+      .select(col("bucket"), col("bin"), col("n_docs"),
+        col("n_tokens").cast("long").as("n_tokens"))
+      .orderBy(asc("bucket"), asc("bin"))
+  val q60Sql: String = {
+    val bucket = s"(${C.portableHashSql("doc_id", 7L)} % 8)"
+    raw"""WITH t AS (
+      |  SELECT doc_id, $bucket AS bucket, LEN($toksSql) AS n_tok
+      |  FROM documents
+      |), c AS (
+      |  SELECT bucket, n_tok,
+      |    SUM(n_tok) OVER (PARTITION BY bucket ORDER BY doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      |  FROM t
+      |)
+      |SELECT bucket, CAST(FLOOR((cum - n_tok) / 512.0) AS BIGINT) AS bin,
+      |  COUNT(*) AS n_docs, CAST(SUM(n_tok) AS BIGINT) AS n_tokens
+      |FROM c GROUP BY 1, 2 ORDER BY bucket, bin""".stripMargin
+  }
+
+  // -------------------------------------------------------------------
+  // q61: PII redaction. The corpus contains no PII, so both engines
+  // append the same deterministic contact string per doc and the gate
+  // checks the shared-regex redaction logic end-to-end (counts +
+  // redacted length vary with doc_id/source).
+  // -------------------------------------------------------------------
+  def q61PiiRedact(spark: SparkSession, dir: String): DataFrame = {
+    val synth = concat(col("text"),
+      lit(" contact user"), col("doc_id").cast("string"),
+      lit("@"), col("source"), lit(".net from 10."),
+      (col("doc_id") % 200).cast("string"), lit(".0."),
+      (col("doc_id") % 250).cast("string"), lit(" bye"))
+    docs(spark, dir).select(
+        col("doc_id"),
+        C.emailCount(synth).cast("long").as("n_emails"),
+        C.ipCount(synth).cast("long").as("n_ips"),
+        length(C.redactPii(synth)).cast("long").as("redacted_len"))
+      .orderBy(asc("doc_id"))
+  }
+  val q61Sql: String = {
+    val synth = "text || ' contact user' || CAST(doc_id AS VARCHAR) || '@' || source" +
+      " || '.net from 10.' || CAST(doc_id % 200 AS VARCHAR) || '.0.'" +
+      " || CAST(doc_id % 250 AS VARCHAR) || ' bye'"
+    val email = raw"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+    val ip = raw"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+    s"""SELECT doc_id,
+       |  CAST(LEN(regexp_extract_all($synth, '$email')) AS BIGINT) AS n_emails,
+       |  CAST(LEN(regexp_extract_all(regexp_replace($synth, '$email', '<EMAIL>', 'g'), '$ip')) AS BIGINT) AS n_ips,
+       |  CAST(LENGTH(regexp_replace(regexp_replace($synth, '$email', '<EMAIL>', 'g'), '$ip', '<IP>', 'g')) AS BIGINT) AS redacted_len
+       |FROM documents ORDER BY doc_id""".stripMargin
+  }
+
+  // -------------------------------------------------------------------
+  // q62: curation funnel — one scan, conditional aggregates per stage:
+  // raw → source blocklist → lang → length/diversity quality → exact
+  // dedup (md5 of whitespace-normalized text; portable, unlike
+  // xxhash64). One row, five counters.
+  // -------------------------------------------------------------------
+  private val blockedSources = Seq("src0", "src7", "src13")
+  def q62CurationFunnel(spark: SparkSession, dir: String): DataFrame = {
+    val notBlocked = !col("source").isInCollection(blockedSources)
+    val langOk = notBlocked && col("lang") === "en"
+    val qualOk = langOk && col("n_chars").between(150, 450) &&
+      (TA.uniqueTokenCount(col("text")).cast("double") / TA.tokenCount(col("text"))) >= 0.55
+    val normMd5 = md5(regexp_replace(trim(col("text")), "\\s+", " ").cast("binary"))
+    docs(spark, dir).agg(
+      count(lit(1)).as("n_raw"),
+      count(when(notBlocked, 1)).as("n_blocklist"),
+      count(when(langOk, 1)).as("n_lang"),
+      count(when(qualOk, 1)).as("n_quality"),
+      countDistinct(when(qualOk, normMd5)).as("n_dedup"))
+  }
+  val q62Sql: String = {
+    val blocked = blockedSources.map(s => s"'$s'").mkString(", ")
+    val nb = s"source NOT IN ($blocked)"
+    val lo = s"$nb AND lang = 'en'"
+    val toks = toksSql
+    val qo = s"$lo AND n_chars BETWEEN 150 AND 450 AND " +
+      s"CAST(LEN(list_distinct($toks)) AS DOUBLE) / LEN($toks) >= 0.55"
+    raw"""SELECT COUNT(*) AS n_raw,
+      |  COUNT(CASE WHEN $nb THEN 1 END) AS n_blocklist,
+      |  COUNT(CASE WHEN $lo THEN 1 END) AS n_lang,
+      |  COUNT(CASE WHEN $qo THEN 1 END) AS n_quality,
+      |  COUNT(DISTINCT CASE WHEN $qo
+      |    THEN md5(regexp_replace(TRIM(text), '\s+', ' ', 'g')) END) AS n_dedup
+      |FROM documents""".stripMargin
+  }
+
+  // -------------------------------------------------------------------
+  // q63: deterministic training-order shuffle — first 100 positions of
+  // the seed-42 epoch order. Sort is the scale path (range exchange);
+  // positions assigned only after the 100-row limit.
+  // -------------------------------------------------------------------
+  def q63OrderShuffle(spark: SparkSession, dir: String): DataFrame =
+    C.orderShuffle(docs(spark, dir), "doc_id", seed = 42L)
+      .limit(100)
+      .withColumn("position",
+        row_number().over(Window.orderBy(col("shuffle_key"), col("doc_id"))).cast("long"))
+      .select(col("position"), col("doc_id"), col("shuffle_key"))
+      .orderBy(asc("position"))
+  val q63Sql: String = {
+    val h = C.portableHashSql("doc_id", 42L)
+    s"""SELECT CAST(ROW_NUMBER() OVER (ORDER BY $h, doc_id) AS BIGINT) AS position,
+       |  doc_id, $h AS shuffle_key
+       |FROM documents ORDER BY position LIMIT 100""".stripMargin
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q57_decontaminate" -> (q57Decontaminate _),
+    "q58_repetition" -> (q58Repetition _),
+    "q59_hash_split" -> (q59HashSplit _),
+    "q60_pack_sequences" -> (q60PackSequences _),
+    "q61_pii_redact" -> (q61PiiRedact _),
+    "q62_curation_funnel" -> (q62CurationFunnel _),
+    "q63_order_shuffle" -> (q63OrderShuffle _))
+
+  val oracle: Map[String, String] = Map(
+    "q57_decontaminate" -> q57Sql,
+    "q58_repetition" -> q58Sql,
+    "q59_hash_split" -> q59Sql,
+    "q60_pack_sequences" -> q60Sql,
+    "q61_pii_redact" -> q61Sql,
+    "q62_curation_funnel" -> q62Sql,
+    "q63_order_shuffle" -> q63Sql)
+}

@@ -1,0 +1,114 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Curation
+
+/** Specs for the dataset-curation operators: planted fixtures with
+  * known answers for splits, decontamination, repetition metrics,
+  * packing and redaction.
+  */
+class CurationSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("splitAssign is deterministic and roughly proportional") {
+    val ids = (0L until 10000L).toDF("id")
+    val split = Curation.splitAssign(col("id"), seed = 42L, trainPct = 80, valPct = 10)
+    val counts = ids.select(split.as("s")).groupBy("s").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts("train") > 7500 && counts("train") < 8500)
+    assert(counts("val") > 700 && counts("val") < 1300)
+    assert(counts("test") > 700 && counts("test") < 1300)
+    // re-evaluation yields the identical assignment (pure function of id+seed)
+    val again = ids.select(split.as("s")).groupBy("s").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(again === counts)
+  }
+
+  test("splitAssign changes with seed but not with row order") {
+    val ids = (0L until 1000L).toDF("id")
+    val a = ids.select(col("id"), Curation.splitAssign(col("id"), 1L, 80, 10).as("s"))
+    val b = ids.orderBy(rand(7)).select(col("id"), Curation.splitAssign(col("id"), 1L, 80, 10).as("s"))
+    assert(a.except(b).count() === 0) // order-independent
+    val c = ids.select(Curation.splitAssign(col("id"), 2L, 80, 10).as("s"))
+    // a different seed reassigns at least one row
+    assert(a.select("s").collect().map(_.getString(0)).toSeq !==
+      c.collect().map(_.getString(0)).toSeq)
+  }
+
+  test("decontaminate flags the planted overlap and only it") {
+    val train = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),   // contains eval 5-gram
+      (2L, "one two three four five six seven"),     // disjoint
+      (3L, "alpha beta gamma x y z")                  // shares only a 3-gram prefix
+    ).toDF("doc_id", "text")
+    val eval = Seq((100L, "alpha beta gamma delta epsilon")).toDF("doc_id", "text")
+    val got = Curation.decontaminate(train, eval, "doc_id", "text", n = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got.keySet === Set(1L))
+    assert(got(1L) === 1L) // exactly the one shared 5-gram
+  }
+
+  test("repetitionMetrics on a fully repetitive vs a diverse doc") {
+    val df = Seq(
+      (1L, "spam spam spam spam spam"),  // 1 distinct token, 1 distinct bigram
+      (2L, "a b c d e")                   // all distinct
+    ).toDF("doc_id", "text")
+    val m = Curation.repetitionMetrics(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
+    val (dupTok1, topBg1, dupBg1) = m(1L)
+    assert(dupTok1 === 0.8)   // 1 - 1/5
+    assert(topBg1 === 1.0)    // "spam spam" is every bigram
+    assert(dupBg1 === 1.0)
+    val (dupTok2, topBg2, dupBg2) = m(2L)
+    assert(dupTok2 === 0.0)
+    assert(topBg2 === 0.25)   // 4 bigrams, all unique
+    assert(dupBg2 === 0.0)
+  }
+
+  test("packSequences: every bin within budget except possibly by last doc") {
+    val docs = (0L until 500L).map(i => (i, 10L + (i % 90))).toDF("doc_id", "n_tok")
+    val budget = 200L
+    val packed = Curation.packSequences(docs, "doc_id", col("n_tok"), budget, buckets = 4, seed = 1L)
+      .collect()
+    assert(packed.map(_.getLong(2)).sum === 500L) // every doc packed exactly once
+    // a bin overflows the budget only by (at most) its final document:
+    // exclusive-cumsum binning ⇒ bin total < budget + max single doc (99+10)
+    packed.foreach { r => assert(r.getLong(3) < budget + 100L) }
+    // bins within a bucket are contiguous 0..max
+    packed.groupBy(_.getLong(0)).foreach { case (_, rows) =>
+      val bins = rows.map(_.getLong(1)).sorted
+      assert(bins === (0L until bins.length).toArray.toSeq)
+    }
+  }
+
+  test("redactPii masks emails and IPs, counts are consistent") {
+    val df = Seq(
+      "write to alice.smith+x@example.co.uk or 192.168.0.1 today",
+      "no pii here at all",
+      "two mails a@b.io c@d.org one ip 8.8.8.8").toDF("text")
+    val got = df.select(
+      Curation.emailCount(col("text")).as("e"),
+      Curation.ipCount(col("text")).as("i"),
+      Curation.redactPii(col("text")).as("r")).collect()
+    assert(got(0).getInt(0) === 1 && got(0).getInt(1) === 1)
+    assert(got(0).getString(2) === "write to <EMAIL> or <IP> today")
+    assert(got(1).getInt(0) === 0 && got(1).getInt(1) === 0)
+    assert(got(1).getString(2) === "no pii here at all")
+    assert(got(2).getInt(0) === 2 && got(2).getInt(1) === 1)
+    assert(got(2).getString(2) === "two mails <EMAIL> <EMAIL> one ip <IP>")
+  }
+
+  test("orderShuffle is a deterministic permutation keyed by seed") {
+    val ids = (0L until 1000L).toDF("doc_id")
+    val a = Curation.orderShuffle(ids, "doc_id", 5L).select("doc_id")
+      .collect().map(_.getLong(0)).toSeq
+    val b = Curation.orderShuffle(ids, "doc_id", 5L).select("doc_id")
+      .collect().map(_.getLong(0)).toSeq
+    assert(a === b)                          // reproducible
+    assert(a.sorted === (0L until 1000L))    // a permutation
+    assert(a !== (0L until 1000L).toSeq)     // actually shuffled
+    val c = Curation.orderShuffle(ids, "doc_id", 6L).select("doc_id")
+      .collect().map(_.getLong(0)).toSeq
+    assert(a !== c)                          // seed-dependent
+  }
+}
