@@ -352,6 +352,22 @@ object Pipeline {
     """SELECT event_type, COUNT(DISTINCT user_id) AS n_uniq
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  // -------------------------------------------------------------------
+  // q64: stream-stream join with watermarks — click→purchase
+  // attribution within 30 minutes; oracle is the identical batch
+  // self-join (see EventStreams.clickPurchaseAttribution).
+  // -------------------------------------------------------------------
+  def q64StreamJoin(spark: SparkSession, dir: String): DataFrame =
+    graft.streaming.EventStreams.clickPurchaseAttribution(spark, dir)
+  val q64Sql: String =
+    """SELECT c.user_id, COUNT(*) AS n_pairs,
+      |  CAST(SUM(epoch_us(p.ts) - epoch_us(c.ts)) AS BIGINT) AS sum_delay_us
+      |FROM events c JOIN events p
+      |  ON p.user_id = c.user_id
+      |  AND c.event_type = 'click' AND p.event_type = 'purchase'
+      |  AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE
+      |GROUP BY c.user_id ORDER BY c.user_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q25_text_stats" -> (q25TextStats _),
     "q26_token_freq" -> (q26TokenFreq _),
@@ -370,7 +386,8 @@ object Pipeline {
     "q38_stream_hourly" -> (q38StreamHourly _),
     "q39_stream_stateful" -> (q39StreamStateful _),
     "q55_neardup_clusters" -> (q55NeardupClusters _),
-    "q56_stream_dedup" -> (q56StreamDedup _))
+    "q56_stream_dedup" -> (q56StreamDedup _),
+    "q64_stream_join" -> (q64StreamJoin _))
 
   val oracle: Map[String, String] = Map(
     "q25_text_stats" -> q25Sql,
@@ -385,5 +402,6 @@ object Pipeline {
     "q38_stream_hourly" -> q38Sql,
     "q39_stream_stateful" -> q39Sql,
     "q55_neardup_clusters" -> q55Sql,
-    "q56_stream_dedup" -> q56Sql)
+    "q56_stream_dedup" -> q56Sql,
+    "q64_stream_join" -> q64Sql)
 }

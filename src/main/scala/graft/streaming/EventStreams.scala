@@ -152,4 +152,47 @@ object EventStreams {
       .agg(max(col("n_events")).as("n_events"))
       .orderBy(asc("user_id"))
   }
+
+  /** Stream-stream inner join with watermarks — click→purchase
+    * attribution: every purchase within 30 minutes after a click by
+    * the same user. The event-time range condition is what lets Spark
+    * expire join state: each side keeps only rows within
+    * watermark + range of the frontier, so an unbounded pair of
+    * streams joins in bounded state (state partitioned by user_id —
+    * scales out with executors).
+    *
+    * Oracle: the identical batch self-join (the bounded file stream
+    * delivers everything inside one watermark horizon, so streaming
+    * output == batch join exactly; timestamps are micro-aligned so
+    * micros arithmetic matches DuckDB's nanos).
+    */
+  def clickPurchaseAttribution(spark: SparkSession, dir: String): DataFrame = {
+    val name = s"graft_stream_join_${System.nanoTime()}"
+    val saved = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    val q = try {
+      val clicks = readEventStream(spark, dir)
+        .filter(col("event_type") === "click")
+        .select(col("user_id").as("c_user"), col("ts").as("c_ts"))
+        .withWatermark("c_ts", "1 hour")
+      val purchases = readEventStream(spark, dir)
+        .filter(col("event_type") === "purchase")
+        .select(col("user_id").as("p_user"), col("ts").as("p_ts"))
+        .withWatermark("p_ts", "1 hour")
+      clicks.join(purchases,
+          col("c_user") === col("p_user") &&
+            col("p_ts") >= col("c_ts") &&
+            col("p_ts") <= col("c_ts") + expr("INTERVAL 30 MINUTES"))
+        .select(col("c_user").as("user_id"),
+          (unix_micros(col("p_ts")) - unix_micros(col("c_ts"))).as("delay_us"))
+        .writeStream.outputMode(OutputMode.Append())
+        .format("memory").queryName(name)
+        .start()
+    } finally spark.conf.set("spark.sql.shuffle.partitions", saved)
+    try q.processAllAvailable() finally q.stop()
+    spark.table(name)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_pairs"), sum(col("delay_us")).as("sum_delay_us"))
+      .orderBy(asc("user_id"))
+  }
 }

@@ -48,4 +48,27 @@ class StreamingSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
     assert(streamed === batch)
   }
+
+  test("stream-stream join attribution equals batch self-join") {
+    val streamed = graft.streaming.EventStreams
+      .clickPurchaseAttribution(spark, sf).collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2)))).toMap
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val ev = spark.read.parquet(s"$sf/events.parquet")
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("c_ts"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"))
+    val batch = clicks.join(purchases,
+        col("c_user") === col("p_user") &&
+          col("p_ts") >= col("c_ts") &&
+          col("p_ts") <= col("c_ts") + expr("INTERVAL 30 MINUTES"))
+      .groupBy(col("c_user"))
+      .agg(count(lit(1)).as("n"),
+        sum(unix_micros(col("p_ts")) - unix_micros(col("c_ts"))).as("d"))
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2)))).toMap
+    assert(streamed === batch)
+    assert(streamed.nonEmpty) // pairs actually exist at this sf
+  }
 }
