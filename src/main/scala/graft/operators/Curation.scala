@@ -59,16 +59,33 @@ object Curation {
       .otherwise(lit("test"))
   }
 
-  /** Word n-grams as strings (joined by a single space) — the portable
-    * (oracle-checkable) counterpart of [[TextAnalysis.shingles]]'
-    * xxhash64 fingerprints. Shorter-than-n documents yield their one
-    * truncated gram (same GREATEST(...,1) convention as the dedup
-    * shingles and the q33 oracle).
+  /** Word n-grams as (id, gram) rows — the portable (oracle-checkable)
+    * counterpart of [[Dedup.shingleHashes]]' xxhash64 rows, built the
+    * same codegen-friendly way: posexplode + window `lead` +
+    * `concat_ws`, entirely inside whole-stage codegen. (The obvious
+    * alternative — `transform(sequence(...), i => array_join(slice(
+    * toks, i, n)))` — is an interpreted HOF with the tokenizer
+    * re-inlined per gram position: measured 6× slower plus a 30 s
+    * cold-codegen hit. PERF.md lesson: HOF lambdas never go in a
+    * per-gram hot path.)
+    *
+    * One row per gram OCCURRENCE (callers `.distinct()` for set
+    * semantics). Shorter-than-n documents yield their one truncated
+    * gram — same GREATEST(...,1) convention as the dedup shingles and
+    * the q33/q57 oracles. Shuffles (id, token) pairs once, partitioned
+    * by id — documents are bounded, so no reducer hot-spot at 100 TB.
     */
-  def ngramStrings(text: Column, n: Int): Column = {
-    val toks = TA.tokens(text)
-    val idx = sequence(lit(1), greatest(size(toks) - lit(n - 1), lit(1)))
-    transform(idx, i => array_join(slice(toks, i, lit(n)), " "))
+  def ngramRows(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
+    val toks = df.select(col(idCol), posexplode(TA.tokens(col(textCol))))
+      .withColumnRenamed("pos", "p").withColumnRenamed("col", "t")
+    val w = Window.partitionBy(col(idCol)).orderBy(asc("p"))
+    val parts = (1 until n).map(j => lead(col("t"), j).over(w))
+    toks
+      .withColumn("gram", concat_ws(" ", (col("t") +: parts): _*))
+      .withColumn("last_t", lead(col("t"), n - 1).over(w))
+      .withColumn("n_tok", count(lit(1)).over(Window.partitionBy(col(idCol))))
+      .filter(col("last_t").isNotNull || (col("p") === 0 && col("n_tok") < n))
+      .select(col(idCol), col("gram"))
   }
 
   /** Benchmark decontamination: find training documents sharing ≥ 1
@@ -85,18 +102,16 @@ object Curation {
     */
   def decontaminate(train: DataFrame, evalDocs: DataFrame, idCol: String,
       textCol: String, n: Int): DataFrame = {
-    val evalGrams = evalDocs
-      .select(explode(ngramStrings(col(textCol), n)).as("gram"))
-      .distinct()
-    val trainGrams = train
-      .select(col(idCol), array_distinct(ngramStrings(col(textCol), n)).as("grams"))
-      .select(col(idCol), explode(col("grams")).as("gram"), size(col("grams")).as("n_grams"))
+    val evalGrams = ngramRows(evalDocs, idCol, textCol, n)
+      .select(col("gram")).distinct()
+    val trainGrams = ngramRows(train, idCol, textCol, n)
+      .distinct() // gram SET per doc
+      .withColumn("n_grams", count(lit(1)).over(Window.partitionBy(col(idCol))))
     trainGrams
       .join(broadcast(evalGrams), "gram")
       .groupBy(col(idCol), col("n_grams"))
       .agg(count(lit(1)).as("n_overlap"))
-      .select(col(idCol), col("n_overlap"),
-        col("n_grams").cast("long").as("n_grams"),
+      .select(col(idCol), col("n_overlap"), col("n_grams"),
         (col("n_overlap").cast("double") / col("n_grams")).as("overlap_frac"))
   }
 
@@ -111,20 +126,16 @@ object Curation {
     * no single reducer ever sees more than one document's grams.
     */
   def repetitionMetrics(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val perDoc = df.select(col(idCol),
-      TA.tokenCount(col(textCol)).as("n_tok"),
-      TA.uniqueTokenCount(col(textCol)).as("n_uniq"),
-      ngramStrings(col(textCol), 2).as("bigrams"))
-    val counts = perDoc
-      .select(col(idCol), explode(col("bigrams")).as("bigram"))
-      .groupBy(col(idCol), col("bigram"))
+    val counts = ngramRows(df, idCol, textCol, 2) // one row per occurrence
+      .groupBy(col(idCol), col("gram"))
       .agg(count(lit(1)).as("cnt"))
       .groupBy(col(idCol))
       .agg(max(col("cnt")).as("top_cnt"),
         sum(col("cnt")).as("total_bg"),
         sum(when(col("cnt") > 1, col("cnt")).otherwise(lit(0L))).as("dup_bg"))
-    perDoc.select(col(idCol),
-        (lit(1.0) - col("n_uniq").cast("double") / col("n_tok")).as("dup_token_frac"))
+    df.select(col(idCol),
+        (lit(1.0) - TA.uniqueTokenCount(col(textCol)).cast("double")
+          / TA.tokenCount(col(textCol))).as("dup_token_frac"))
       .join(counts, idCol)
       .select(col(idCol), col("dup_token_frac"),
         (col("top_cnt").cast("double") / col("total_bg")).as("top_bigram_frac"),
