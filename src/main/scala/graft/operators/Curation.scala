@@ -164,6 +164,29 @@ object Curation {
       .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"))
   }
 
+  /** TF-IDF top-k terms per document, integer-exact: score =
+    * tf · floor(ln((N+1)/(df+1))·1e6). Fixed-point idf means the score
+    * and the ranking are engine-independent (no float-sum ordering
+    * anywhere). Shuffles on (doc, term) then (term); N is a one-row
+    * broadcast; the final top-k is a per-doc window — every stage
+    * partial-aggregates, so the shape holds at corpus scale.
+    */
+  def tfidfTopK(df: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
+    val tf = df.select(col(idCol), explode(TA.tokens(col(textCol))).as("term"))
+      .groupBy(col(idCol), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val n = df.agg(count(lit(1)).as("n"))
+    tf.join(dfreq, "term").crossJoin(broadcast(n))
+      .select(col(idCol), col("term"), col("tf"), col("df"),
+        (col("tf") * floor(log((col("n") + lit(1.0)) / (col("df") + lit(1.0))) * lit(1000000.0))
+          .cast("long")).as("score_fixed"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col(idCol))
+          .orderBy(desc("score_fixed"), asc("term"))).cast("long"))
+      .filter(col("rk") <= k)
+  }
+
   // PII patterns — kept to syntax shared by Java regex and RE2
   // (no lookarounds, no backrefs), so Spark and the DuckDB oracle
   // redact identically.

@@ -368,6 +368,87 @@ object Pipeline {
       |  AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE
       |GROUP BY c.user_id ORDER BY c.user_id""".stripMargin
 
+  // -------------------------------------------------------------------
+  // q65: TF-IDF top-3 terms per document. Scores in fixed point
+  // (floor(ln((N+1)/(df+1))·1e6) · tf) so the rank AND the score are
+  // integer-exact across engines. Shuffle keys are (doc,term) and
+  // (term) — partial-aggregated, no hot reducer at corpus scale; N is
+  // a 1-row broadcast.
+  // -------------------------------------------------------------------
+  def q65Tfidf(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Curation.tfidfTopK(docs(spark, dir), "doc_id", "text", k = 3)
+      .orderBy(asc("doc_id"), asc("rk"))
+  val q65Sql: String =
+    raw"""WITH tf AS (
+      |  SELECT doc_id, term, COUNT(*) AS tf
+      |  FROM (SELECT doc_id, UNNEST(string_split_regex(TRIM(text), '\s+')) AS term
+      |        FROM documents)
+      |  GROUP BY doc_id, term
+      |), dfq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+      |n AS (SELECT COUNT(*) AS n FROM documents),
+      |scored AS (
+      |  SELECT doc_id, term, tf, df,
+      |    tf * CAST(FLOOR(LN((n + 1.0) / (df + 1.0)) * 1000000) AS BIGINT) AS score_fixed
+      |  FROM tf JOIN dfq USING (term) CROSS JOIN n
+      |), ranked AS (
+      |  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY doc_id
+      |    ORDER BY score_fixed DESC, term) AS BIGINT) AS rk
+      |  FROM scored
+      |)
+      |SELECT doc_id, term, tf, df, score_fixed, rk
+      |FROM ranked WHERE rk <= 3 ORDER BY doc_id, rk""".stripMargin
+
+  // -------------------------------------------------------------------
+  // q66: per-language vocabulary statistics (exact). The 100 TB twin
+  // is q68's HyperLogLog sketch — same query, approx_count_distinct,
+  // no per-language distinct-token shuffle.
+  // -------------------------------------------------------------------
+  def q66Vocab(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .select(col("lang"), explode(TA.tokens(col("text"))).as("term"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_tokens"), countDistinct(col("term")).as("vocab"))
+      .orderBy(asc("lang"))
+  val q66Sql: String =
+    raw"""SELECT lang, COUNT(*) AS n_tokens, COUNT(DISTINCT term) AS vocab
+      |FROM (SELECT lang, UNNEST(string_split_regex(TRIM(text), '\s+')) AS term
+      |      FROM documents)
+      |GROUP BY lang ORDER BY lang""".stripMargin
+
+  // -------------------------------------------------------------------
+  // q67: per-label embedding centroids in fixed point — posexplode to
+  // (label, dim) and sum floor(x·1e7) as integers, so the float-sum
+  // order-dependence that breaks cross-engine float parity never
+  // arises. 640 groups, map-side partial aggregation; the scale shape
+  // for any per-class embedding statistic.
+  // -------------------------------------------------------------------
+  def q67Centroids(spark: SparkSession, dir: String): DataFrame =
+    emb(spark, dir)
+      .select(col("label"), posexplode(col("embedding")))
+      .select(col("label"), (col("pos") + 1).cast("long").as("dim"),
+        floor(col("col").cast("double") * lit(10000000.0)).cast("long").as("fx"))
+      .groupBy(col("label"), col("dim"))
+      .agg(count(lit(1)).as("n"), sum(col("fx")).as("sum_fixed"))
+      .orderBy(asc("label"), asc("dim"))
+  val q67Sql: String =
+    """SELECT label, CAST(dim AS BIGINT) AS dim, COUNT(*) AS n,
+      |  CAST(SUM(CAST(FLOOR(CAST(x AS DOUBLE) * 10000000) AS BIGINT)) AS BIGINT) AS sum_fixed
+      |FROM (SELECT label, generate_subscripts(embedding, 1) AS dim,
+      |        UNNEST(embedding) AS x FROM embeddings)
+      |GROUP BY label, dim ORDER BY label, dim""".stripMargin
+
+  // -------------------------------------------------------------------
+  // q68: HyperLogLog vocabulary estimate — the sketch twin of q66
+  // (rows-only: HLL values are engine-specific; OperatorsSpec bounds
+  // the relative error against the exact count).
+  // -------------------------------------------------------------------
+  def q68VocabApprox(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .select(col("lang"), explode(TA.tokens(col("text"))).as("term"))
+      .groupBy(col("lang"))
+      .agg(approx_count_distinct(col("term"), 0.01).as("vocab_est"))
+      .orderBy(asc("lang"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q25_text_stats" -> (q25TextStats _),
     "q26_token_freq" -> (q26TokenFreq _),
@@ -387,7 +468,11 @@ object Pipeline {
     "q39_stream_stateful" -> (q39StreamStateful _),
     "q55_neardup_clusters" -> (q55NeardupClusters _),
     "q56_stream_dedup" -> (q56StreamDedup _),
-    "q64_stream_join" -> (q64StreamJoin _))
+    "q64_stream_join" -> (q64StreamJoin _),
+    "q65_tfidf" -> (q65Tfidf _),
+    "q66_vocab" -> (q66Vocab _),
+    "q67_centroids" -> (q67Centroids _),
+    "q68_vocab_approx" -> (q68VocabApprox _))
 
   val oracle: Map[String, String] = Map(
     "q25_text_stats" -> q25Sql,
@@ -403,5 +488,8 @@ object Pipeline {
     "q39_stream_stateful" -> q39Sql,
     "q55_neardup_clusters" -> q55Sql,
     "q56_stream_dedup" -> q56Sql,
-    "q64_stream_join" -> q64Sql)
+    "q64_stream_join" -> q64Sql,
+    "q65_tfidf" -> q65Sql,
+    "q66_vocab" -> q66Sql,
+    "q67_centroids" -> q67Sql)
 }

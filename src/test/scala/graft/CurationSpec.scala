@@ -98,6 +98,35 @@ class CurationSpec extends SparkSpec {
     assert(got(2).getString(2) === "two mails <EMAIL> <EMAIL> one ip <IP>")
   }
 
+  test("HLL vocab estimate within 5% of exact per-language count") {
+    val exact = graft.queries.Pipeline.q66Vocab(spark, sf)
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    val approx = graft.queries.Pipeline.q68VocabApprox(spark, sf)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(approx.keySet === exact.keySet)
+    exact.foreach { case (lang, v) =>
+      val est = approx(lang)
+      assert(math.abs(est - v).toDouble / v <= 0.05,
+        s"$lang: est $est vs exact $v")
+    }
+  }
+
+  test("tfidf ranks corpus-rare terms above ubiquitous ones") {
+    // 'common' appears in all 4 docs (idf = ln(5/5) = 0); doc-specific
+    // terms appear once (idf = ln(5/2) > 0) — each doc's top term must
+    // be its own rare term, never 'common', despite equal tf
+    val df = Seq(
+      (1L, "common rare1"), (2L, "common rare2"),
+      (3L, "common rare3"), (4L, "common rare4")).toDF("doc_id", "text")
+    val top1 = Curation.tfidfTopK(df, "doc_id", "text", 1)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(top1 === Map(1L -> "rare1", 2L -> "rare2", 3L -> "rare3", 4L -> "rare4"))
+    // and the common term scores exactly 0 (tf * floor(ln(1)*1e6))
+    val all = Curation.tfidfTopK(df, "doc_id", "text", 2)
+      .collect().filter(_.getString(1) == "common")
+    assert(all.nonEmpty && all.forall(_.getLong(4) === 0L))
+  }
+
   test("orderShuffle is a deterministic permutation keyed by seed") {
     val ids = (0L until 1000L).toDF("doc_id")
     val a = Curation.orderShuffle(ids, "doc_id", 5L).select("doc_id")
