@@ -58,4 +58,18 @@ object Sources {
     val w = df.write.mode("overwrite")
     (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).parquet(path)
   }
+
+  /** JSON-lines read — schema required, like the CSV source (inference
+    * would scan the data twice; at 100 TB schema-on-read is declared,
+    * not discovered). One JSON object per line; the line-splittable
+    * format parallelizes across executors exactly as CSV spans do.
+    */
+  def jsonl(spark: SparkSession, path: String, schema: StructType): GraftFrame =
+    GraftFrame(spark.read.schema(schema).json(path))
+
+  /** JSON-lines sink (one object per line, partitionable). */
+  def writeJsonl(df: DataFrame, path: String, partitionBy: Seq[String] = Nil): Unit = {
+    val w = df.write.mode("overwrite")
+    (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).json(path)
+  }
 }

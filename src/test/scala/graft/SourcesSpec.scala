@@ -1,0 +1,42 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.sources.Sources
+
+/** Source/sink specs beyond the CSV golden test: JSONL round-trip and
+  * partitioned-parquet partition pruning (the 100 TB layout: partition
+  * by a low-cardinality curation key so per-slice queries read only
+  * their slice).
+  */
+class SourcesSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("jsonl round-trip preserves schema and values") {
+    val dir = Files.createTempDirectory("graft_jsonl").toString
+    val df = Seq((1L, "hello", 0.5), (2L, "world", 1.5)).toDF("id", "s", "v")
+    Sources.writeJsonl(df, dir)
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("s", StringType),
+      StructField("v", DoubleType)))
+    val back = Sources.jsonl(spark, dir, schema).df
+      .orderBy("id").collect()
+    assert(back.map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSeq ===
+      Seq((1L, "hello", 0.5), (2L, "world", 1.5)))
+  }
+
+  test("partitioned parquet write prunes partitions on read") {
+    val dir = Files.createTempDirectory("graft_part").toString
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    Sources.writeParquet(docs, dir, partitionBy = Seq("lang"))
+    val back = spark.read.parquet(dir).filter(col("lang") === "en")
+    val plan = back.queryExecution.executedPlan.toString
+    // the lang predicate must be a partition filter (pruning whole
+    // directories), not a row-level data filter post-scan
+    val pf = plan.linesIterator.find(_.contains("PartitionFilters")).getOrElse("")
+    assert(pf.contains("lang") && pf.contains("en"),
+      s"expected lang=en in PartitionFilters, got:\n$plan")
+    assert(back.count() === docs.filter(col("lang") === "en").count())
+  }
+}
