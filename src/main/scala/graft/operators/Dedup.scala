@@ -44,48 +44,35 @@ object Dedup {
       Seq(idCol), "left_semi")
 
   /** Exploded distinct k-word shingle hashes: one (id, sh) row per
-    * distinct shingle. Built with posexplode + window `lead` — a
-    * Column-HOF formulation (transform + slice + array_join, all
-    * interpreted per element) measured 100× slower at 50k docs; this
-    * shape stays in efficient generated/vectorized operators. One
-    * shuffle on the id (the window), reused by every consumer.
+    * distinct shingle — now a MAP-ONLY projection over the native
+    * [[graft.functions.TextHash.shingleHashSet]] kernel (hash values
+    * bit-identical to the xxhash64(concat_ws(...)) formulation, so
+    * oracled consumers are unchanged). Two earlier formulations are
+    * documented in PERF.md: the Column-HOF one (interpreted, 100×
+    * slower at 50k docs) and the posexplode + window `lead` one
+    * (codegen'd but paying a (doc, token) shuffle for the window).
+    * This one shuffles nothing.
     */
   def shingleHashes(docs: DataFrame, idCol: String, textCol: String,
-                    k: Int): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val toks = docs.select(col(idCol),
-      posexplode(TextAnalysis.tokens(col(textCol))))
-      .withColumnRenamed("pos", "p").withColumnRenamed("col", "t")
-    val w = Window.partitionBy(col(idCol)).orderBy(asc("p"))
-    val parts = (1 until k).map(j => lead(col("t"), j).over(w))
-    toks
-      .withColumn("sh", xxhash64(concat_ws(" ", (col("t") +: parts): _*)))
-      .withColumn("last_t", lead(col("t"), k - 1).over(w))
-      .withColumn("n", count(lit(1)).over(Window.partitionBy(col(idCol))))
-      // drop trailing positions that have no full k-gram (unless the
-      // doc is shorter than k — then keep its single truncated shingle,
-      // matching TextAnalysis.shingles)
-      .filter(col("last_t").isNotNull || (col("p") === 0 && col("n") < k))
-      .select(col(idCol), col("sh"))
-      .distinct()
-  }
+                    k: Int): DataFrame =
+    docs.select(col(idCol),
+      explode(graft.functions.TextHashFunctions
+        .shingle_hash_set(col(textCol), k)).as("sh"))
 
   /** MinHash signature matrix: H independent min-hashes over k-word
     * shingles. One row per doc, signature as array<bigint>. Seeds are
     * mixed in via xxhash64(shingle_hash, seed) — deterministic.
     *
-    * Shape: [[shingleHashes]] → hash-aggregate H `min` columns — all
-    * codegen'd, with map-side partial mins.
+    * Map-only: the native [[graft.functions.TextHash.minhashSig]]
+    * kernel computes all H mins in one pass per document — no token
+    * explode, no window, no hash-aggregate. Signature generation at
+    * 100 TB is pure scan parallelism.
     */
   def minhashSignatures(docs: DataFrame, idCol: String, textCol: String,
-                        k: Int, numHashes: Int): DataFrame = {
-    val exploded = shingleHashes(docs, idCol, textCol, k)
-    val aggs = (0 until numHashes).map(s => min(xxhash64(col("sh"), lit(s))).as(s"mh_$s"))
-    exploded.groupBy(col(idCol))
-      .agg(aggs.head, aggs.tail: _*)
-      .select(col(idCol),
-        array((0 until numHashes).map(i => col(s"mh_$i")): _*).as("sig"))
-  }
+                        k: Int, numHashes: Int): DataFrame =
+    docs.select(col(idCol),
+      graft.functions.TextHashFunctions
+        .minhash_sig(col(textCol), k, numHashes).as("sig"))
 
   /** LSH banding: split the H-wide signature into B bands of R rows;
     * band signature = hash of the band slice. Docs sharing ANY band
@@ -104,13 +91,13 @@ object Dedup {
     require(numHashes % bands == 0,
       s"numHashes ($numHashes) must be a multiple of bands ($bands): " +
         "truncated trailing hashes would silently flatten the S-curve")
-    val rowsPerBand = numHashes / bands
-    // (1) banded signatures: only (id, band, 8-byte band_sig) rows flow
-    // into the self-join — shingle sets stay out of the shuffle.
-    val banded = minhashSignatures(docs, idCol, textCol, k, numHashes)
+    // (1) banded signatures: map-only native kernel; only (id, band,
+    // 8-byte band_sig) rows flow into the self-join — shingle sets and
+    // text stay out of every shuffle.
+    val banded = docs
       .select(col(idCol),
-        posexplode(transform(sequence(lit(0), lit(bands - 1)),
-          b => xxhash64(array_join(slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)), ",")))))
+        posexplode(graft.functions.TextHashFunctions
+          .minhash_band_sigs(col(textCol), k, numHashes, bands)))
       .withColumnRenamed("pos", "band")
       .withColumnRenamed("col", "band_sig")
     // Degenerate-bucket guard (same cap as simhashPairs): a band
@@ -132,15 +119,15 @@ object Dedup {
       .select(col("id_a"), col("id_b"))
       .distinct()
     // (3) exact verification: attach each candidate's shingle set
-    // (built via the codegen-friendly shingleHashes path, no HOFs) and
+    // (map-only native kernel — no explode/collect_set round-trip) and
     // intersect once per pair. Bounded by the candidate count — an
     // inverted-index count formulation was tried and regresses badly
     // when exact-dup clusters make most docs candidates (its posting
     // self-join materializes co-occurrence for all candidate-doc
     // pairs, not just candidate pairs). Run exact dedup FIRST on
     // dup-heavy corpora; see tools.ScaleStress.
-    val sets = shingleHashes(docs, idCol, textCol, k)
-      .groupBy(col(idCol)).agg(collect_set(col("sh")).as("sh"))
+    val sets = docs.select(col(idCol),
+      graft.functions.TextHashFunctions.shingle_hash_set(col(textCol), k).as("sh"))
     cand
       .join(sets.select(col(idCol).as("id_a"), col("sh").as("sh_a")), "id_a")
       .join(sets.select(col(idCol).as("id_b"), col("sh").as("sh_b")), "id_b")
@@ -154,15 +141,13 @@ object Dedup {
   /** Count of band buckets excluded by [[minhashLshPairs]]' cap. */
   def minhashOverfullBuckets(docs: DataFrame, idCol: String, textCol: String,
                              k: Int = 3, numHashes: Int = 32, bands: Int = 8,
-                             maxBucket: Int = 2000): Long = {
-    val rowsPerBand = numHashes / bands
-    minhashSignatures(docs, idCol, textCol, k, numHashes)
+                             maxBucket: Int = 2000): Long =
+    docs
       .select(col(idCol),
-        posexplode(transform(sequence(lit(0), lit(bands - 1)),
-          b => xxhash64(array_join(slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)), ",")))))
+        posexplode(graft.functions.TextHashFunctions
+          .minhash_band_sigs(col(textCol), k, numHashes, bands)))
       .groupBy(col("pos"), col("col")).agg(count(lit(1)).as("n"))
       .filter(col("n") > lit(maxBucket)).count()
-  }
 
   /** Connected components over a pair list — the step that turns
     * near-dup PAIRS into a doc→cluster assignment (keep one doc per
@@ -220,41 +205,18 @@ object Dedup {
 
   /** 64-bit SimHash: per-token hash votes on each bit; the signature's
     * bit i is 1 iff the vote sum (+1 when bit set, −1 when clear) is
-    * positive. Column-expression form (HOF fold) — fine for ad-hoc use;
-    * [[simhashSignatures]] is the codegen'd bulk path.
+    * positive. Native single-pass kernel
+    * ([[graft.functions.TextHash.simhash64]]) — bit-identical to the
+    * earlier exploded 64-vote-sum hash-aggregate, without its
+    * (id, token-hash) shuffle.
     */
-  def simhash(text: Column): Column = {
-    val toks = TextAnalysis.tokens(text)
-    val hashes = transform(toks, t => xxhash64(t))
-    val bits = (0 until 64).map { b =>
-      val votes = aggregate(hashes, lit(0L),
-        (acc, h) => acc + when(h.bitwiseAND(lit(1L << b)) =!= 0L, lit(1L)).otherwise(lit(-1L)))
-      when(votes > 0, lit(1L << b)).otherwise(lit(0L))
-    }
-    bits.reduce((a, b) => a.bitwiseOR(b))
-  }
+  def simhash(text: Column): Column =
+    graft.functions.TextHashFunctions.simhash64(text)
 
-  /** Bulk SimHash signatures: explode tokens → one hash-aggregate with
-    * 64 codegen'd vote sums → reassemble the 64-bit signature. One
-    * shuffle of (id, token-hash); map-side partial aggregation makes
-    * the reduce side proportional to |docs|, not |tokens|.
-    */
-  def simhashSignatures(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val tok = docs.select(col(idCol),
-      explode(TextAnalysis.tokens(col(textCol))).as("t"))
-      .withColumn("h", xxhash64(col("t")))
-    // branch-free: count set bits per position; bit b of the signature
-    // is 1 iff 2*ones_b > n (strictly more +1 votes than -1 votes)
-    val votes = (0 until 64).map(b =>
-      sum(shiftright(col("h"), b).bitwiseAND(lit(1L))).as(s"v_$b")) :+
-      count(lit(1)).as("n_tok")
-    tok.groupBy(col(idCol))
-      .agg(votes.head, votes.tail: _*)
-      .select(col(idCol),
-        (0 until 64).map(b =>
-          when(col(s"v_$b") * 2 > col("n_tok"), lit(1L << b)).otherwise(lit(0L)))
-          .reduce((a, b) => a.bitwiseOR(b)).as("sig"))
-  }
+  /** Bulk SimHash signatures — a map-only projection of [[simhash]];
+    * signature generation at 100 TB is pure scan parallelism. */
+  def simhashSignatures(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol), simhash(col(textCol)).as("sig"))
 
   /** Hamming distance between two 64-bit signatures. */
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
