@@ -93,23 +93,32 @@ object Dedup {
         "truncated trailing hashes would silently flatten the S-curve")
     // (1) banded signatures: map-only native kernel; only (id, band,
     // 8-byte band_sig) rows flow into the self-join — shingle sets and
-    // text stay out of every shuffle.
+    // text stay out of every shuffle. The frame is persisted: it is
+    // 24 bytes/row (id, band, band_sig — narrow, so PERF.md lesson 4
+    // about wide columnar caches does not apply) and is consumed by
+    // three branches (bucket guard + both self-join sides); without
+    // the cache each branch re-scans the full corpus and re-runs the
+    // kernel, because per-branch pushed filters defeat exchange reuse
+    // (observed: 6 parquet scans in one pair query).
     val banded = docs
       .select(col(idCol),
         posexplode(graft.functions.TextHashFunctions
           .minhash_band_sigs(col(textCol), k, numHashes, bands)))
       .withColumnRenamed("pos", "band")
       .withColumnRenamed("col", "band_sig")
+      .persist()
     // Degenerate-bucket guard (same cap as simhashPairs): a band
     // signature shared by > maxBucket docs would put an O(m²) pair
     // explosion on one reducer — at 100 TB a single boilerplate-heavy
     // signature is enough. Such buckets are near-identical clusters
     // better handled by exact dedup first (see exactRepresentatives);
     // the cap is documented, not silent — count via
-    // minhashOverfullBuckets.
-    val sizes = banded.groupBy(col("band"), col("band_sig"))
-      .agg(count(lit(1)).as("bucket_n"))
-    val bounded = banded.join(sizes, Seq("band", "band_sig"))
+    // minhashOverfullBuckets. Window count = one pass over the
+    // (band, band_sig) shuffle, no sizes-aggregate self-join.
+    val bounded = banded
+      .withColumn("bucket_n", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("band"), col("band_sig"))))
       .filter(col("bucket_n") <= lit(maxBucket))
     // (2) candidate id pairs, deduped across bands BEFORE verification
     val l = bounded.select(col(idCol).as("id_a"), col("band"), col("band_sig"))
@@ -227,7 +236,14 @@ object Dedup {
     */
   def simhashPairs(docs: DataFrame, idCol: String, textCol: String,
                    maxHamming: Int = 3, maxBucket: Int = 2000): DataFrame = {
-    val sigs = simhashSignatures(docs, idCol, textCol)
+    // The signature frame is persisted: 16 bytes/row (id, sig — narrow,
+    // PERF.md lesson 4 is about wide columnar caches) and consumed by
+    // four branches (chunk explode feeding the bucket guard and both
+    // self-join sides, plus both verification joins). Without the
+    // cache every branch re-scans the corpus and re-runs the kernel —
+    // per-branch pushed filters (inferred isnotnull on join keys)
+    // defeat exchange reuse, observed as 6 parquet scans per query.
+    val sigs = simhashSignatures(docs, idCol, textCol).persist()
     val chunked = sigs.select(col(idCol),
       posexplode(array((0 until 4).map(c =>
         shiftright(col("sig"), c * 16).bitwiseAND(lit(0xFFFFL))): _*)))
@@ -236,10 +252,12 @@ object Dedup {
     // would emit O(m²) candidates; such buckets are near-identical
     // clusters better served by exact dedup / cluster representatives,
     // so they are excluded here (documented cap, not a silent one —
-    // count them via simhashOverfullBuckets).
-    val sizes = chunked.groupBy(col("chunk"), col("chunk_val"))
-      .agg(count(lit(1)).as("bucket_n"))
-    val bounded = chunked.join(sizes, Seq("chunk", "chunk_val"))
+    // count them via simhashOverfullBuckets). Window count = one pass
+    // over the (chunk, chunk_val) shuffle, no sizes-aggregate join.
+    val bounded = chunked
+      .withColumn("bucket_n", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("chunk"), col("chunk_val"))))
       .filter(col("bucket_n") <= lit(maxBucket))
     // ids-only candidate pairs, deduped BEFORE touching signatures
     val l = bounded.select(col(idCol).as("id_a"), col("chunk"), col("chunk_val"))
