@@ -23,7 +23,8 @@ object SparkEntry {
       graft.queries.Temporal.queries ++
       graft.queries.Stats.queries ++
       graft.queries.Scalars.queries ++
-      graft.queries.Curation.queries
+      graft.queries.Curation.queries ++
+      graft.queries.Sampling.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a weaker rows-only check. */
@@ -34,5 +35,6 @@ object SparkEntry {
       graft.queries.Temporal.oracle ++
       graft.queries.Stats.oracle ++
       graft.queries.Scalars.oracle ++
-      graft.queries.Curation.oracle
+      graft.queries.Curation.oracle ++
+      graft.queries.Sampling.oracle
 }

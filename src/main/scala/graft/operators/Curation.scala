@@ -220,4 +220,57 @@ object Curation {
     // single-partition window. Callers that need positions should
     // `limit(k)` first (tiny set) or zip per range-partition.
   }
+
+  /** Bigram occurrences as (id, w1, w2) rows — posexplode + window
+    * `lead`, the codegen shape (see [[ngramRows]]). Documents shorter
+    * than two tokens produce no rows.
+    */
+  def bigramRows(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = df.select(col(idCol), posexplode(TA.tokens(col(textCol))))
+      .withColumnRenamed("pos", "p").withColumnRenamed("col", "w1")
+    toks
+      .withColumn("w2",
+        lead(col("w1"), 1).over(Window.partitionBy(col(idCol)).orderBy(asc("p"))))
+      .filter(col("w2").isNotNull)
+      .select(col(idCol), col("w1"), col("w2"))
+  }
+
+  /** Statistical-LM quality scoring (the CCNet-style curation filter):
+    * train an add-one-smoothed bigram language model on the corpus
+    * itself, then score every document by its total bigram
+    * log-probability — outlier (low-probability) documents are
+    * boilerplate, gibberish, or wrong-language and get filtered.
+    *
+    *   P(w2 | w1) = (B(w1,w2) + 1) / (U(w1) + V)
+    *
+    * with B/U corpus bigram/unigram occurrence counts and V the
+    * unigram vocabulary size. Scores are fixed-point
+    * Σ floor(1e6·ln P) (PERF.md lesson 7): integer sums are
+    * associative, so shuffle order can't drift the result and the
+    * DuckDB oracle compares exactly.
+    *
+    * Shape for 100 TB: counts are partial-aggregated explodes (the
+    * shuffle carries (gram, count), never documents); scoring joins
+    * each bigram occurrence to the two count tables by key. Both are
+    * plain hash joins; for a production corpus, cap the LM to the
+    * top-V grams by count and `broadcast` it — the scoring pass then
+    * becomes map-only. Returns (id, n_bigrams, sum_fp_logprob).
+    */
+  def bigramLmScore(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val bg = bigramRows(df, idCol, textCol)
+    val tokens = df.select(explode(TA.tokens(col(textCol))).as("w"))
+    val uni = tokens.groupBy(col("w")).agg(count(lit(1)).as("u_cnt"))
+    val vocab = uni.agg(count(lit(1)).as("v"))
+    val big = bg.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("b_cnt"))
+    bg
+      .join(big, Seq("w1", "w2"))
+      .join(uni.withColumnRenamed("w", "w1"), Seq("w1"))
+      .crossJoin(broadcast(vocab))
+      .select(col(idCol),
+        floor(lit(1e6) * log(
+          (col("b_cnt") + lit(1L)).cast("double") /
+            (col("u_cnt") + col("v")).cast("double"))).as("fp"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("fp")).as("sum_fp_logprob"))
+  }
 }

@@ -1,0 +1,90 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.operators.{Curation => C}
+
+/** Sampling and data-mixing operators for training-data pipelines:
+  * deterministic stratified sampling, per-group caps, and corpus
+  * mixing by per-stratum rates. Beyond-reference surface (the
+  * reference engine has no sampling operators; its only row-subset
+  * op is `take`, SURVEY.md §2.6).
+  *
+  * Everything is deterministic by construction — membership depends
+  * only on (row id, seed) through [[Curation.portableHash]], never on
+  * partitioning, row order, or a per-run RNG — so backfills and
+  * re-runs keep identical samples (the property `Sample.seed`-style
+  * RNG sampling loses the moment partitioning changes), and the
+  * DuckDB oracle can replay the exact arithmetic.
+  */
+object Sampling {
+
+  /** Keep-row predicate sampling at `rate` ∈ [0,1]: hash the id into
+    * [0, 2^32) and keep the fraction below rate·2^32. Map-only, zero
+    * shuffle — at 100 TB this is pure scan parallelism and composes
+    * with predicate pushdown (the hash filter rides the scan).
+    */
+  def sampleAt(id: Column, seed: Long, rate: Double): Column =
+    C.portableHash(id, seed) < lit(math.floor(rate * 4294967296.0).toLong)
+
+  /** SQL text of [[sampleAt]] for oracle parity. */
+  def sampleAtSql(idExpr: String, seed: Long, rate: Double): String =
+    s"${C.portableHashSql(idExpr, seed)} < ${math.floor(rate * 4294967296.0).toLong}"
+
+  /** Stratified / mixing sample: per-stratum keep rates (e.g. mix
+    * sources at different proportions, downsample a dominant
+    * language). Strata absent from `rates` fall back to
+    * `defaultRate`. Still map-only: the rate lookup is a CASE chain
+    * over the stratum column, the membership test one hash compare.
+    */
+  def stratifiedSample(df: DataFrame, idCol: String, strataCol: String,
+                       rates: Map[String, Double], defaultRate: Double,
+                       seed: Long): DataFrame = {
+    val rateCol = rates.foldLeft(lit(math.floor(defaultRate * 4294967296.0).toLong)) {
+      case (acc, (s, r)) =>
+        when(col(strataCol) === lit(s), lit(math.floor(r * 4294967296.0).toLong))
+          .otherwise(acc)
+    }
+    df.filter(C.portableHash(col(idCol), seed) < rateCol)
+  }
+
+  /** Cap each group at `n` rows, preferring rows by `orderCols`
+    * (ties MUST be broken by a unique column for determinism).
+    *
+    * Two-phase, skew-safe: a single `row_number` window per group
+    * funnels every row of a hot group through one reducer — at 100 TB
+    * a boilerplate-heavy source with 10¹⁰ rows is one task. Instead:
+    * phase 1 salts each group into `salts` sub-partitions by id hash
+    * and keeps the top-n per (group, salt); phase 2 ranks the
+    * ≤ salts·n survivors per group. The global per-group top-n under
+    * a total order is contained in the union of per-salt top-n, so
+    * the result is EXACTLY the single-window answer, but no reducer
+    * ever sees more than max(group_rows/salts, salts·n) rows.
+    */
+  def capPerGroup(df: DataFrame, idCol: String, groupCol: String, n: Int,
+                  orderCols: Seq[Column], salts: Int = 16,
+                  seed: Long = 99L): DataFrame = {
+    val salted = df.withColumn("__salt",
+      pmod(C.portableHash(col(idCol), seed), lit(salts.toLong)))
+    val w1 = Window.partitionBy(col(groupCol), col("__salt")).orderBy(orderCols: _*)
+    val survivors = salted
+      .withColumn("__r1", row_number().over(w1))
+      .filter(col("__r1") <= lit(n))
+      .drop("__salt", "__r1")
+    val w2 = Window.partitionBy(col(groupCol)).orderBy(orderCols: _*)
+    survivors
+      .withColumn("rank_in_group", row_number().over(w2).cast("long"))
+      .filter(col("rank_in_group") <= lit(n))
+  }
+
+  /** Deterministic exact-size global sample: the `n` rows with the
+    * smallest (hash, id). Plans as TakeOrderedAndProject — each
+    * partition keeps its local top-n, only n·partitions rows reach
+    * the driver-side merge; no global sort materializes.
+    */
+  def takeSample(df: DataFrame, idCol: String, n: Int, seed: Long): DataFrame =
+    df.withColumn("sample_key", C.portableHash(col(idCol), seed))
+      .orderBy(asc("sample_key"), asc(idCol))
+      .limit(n)
+}

@@ -1,0 +1,112 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.operators.{Curation => C, Sampling => S}
+
+/** Sampling / data-mixing queries (q69-q71): deterministic stratified
+  * sampling for corpus mixing, skew-safe per-group caps, and
+  * statistical-LM quality scoring — the subset-selection layer of a
+  * training-data pipeline. All DuckDB oracle-gated (portable integer
+  * hash, exact window ranks, fixed-point log-probabilities).
+  */
+object Sampling {
+
+  private def docs(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/documents.parquet")
+
+  private val toksSql = raw"string_split_regex(TRIM(text), '\s+')"
+
+  // -------------------------------------------------------------------
+  // q69: stratified mixing sample — downsample dominant 'en' to 50%,
+  // keep 'zh' at 80%, everything else at 25%; membership by portable
+  // hash so the oracle replays the exact arithmetic. Map-only (the
+  // rate CASE + one hash compare ride the scan); per-(lang, source)
+  // kept-counts and id-sums make the gate membership-exact.
+  // -------------------------------------------------------------------
+  private val mixRates = Map("en" -> 0.5, "zh" -> 0.8)
+  private val mixDefault = 0.25
+  private val mixSeed = 11L
+
+  def q69StratifiedSample(spark: SparkSession, dir: String): DataFrame =
+    S.stratifiedSample(docs(spark, dir), "doc_id", "lang",
+        mixRates, mixDefault, mixSeed)
+      .groupBy(col("lang"), col("source"))
+      .agg(count(lit(1)).as("n_kept"), sum(col("doc_id")).as("sum_ids"))
+      .orderBy(asc("lang"), asc("source"))
+
+  val q69Sql: String = {
+    def thr(r: Double) = math.floor(r * 4294967296.0).toLong
+    val h = C.portableHashSql("doc_id", mixSeed)
+    s"""SELECT lang, source, COUNT(*) AS n_kept,
+       |  CAST(SUM(doc_id) AS BIGINT) AS sum_ids
+       |FROM documents
+       |WHERE $h < CASE lang WHEN 'en' THEN ${thr(0.5)}
+       |                     WHEN 'zh' THEN ${thr(0.8)}
+       |                     ELSE ${thr(0.25)} END
+       |GROUP BY lang, source ORDER BY lang, source""".stripMargin
+  }
+
+  // -------------------------------------------------------------------
+  // q70: per-source cap — keep the 10 longest docs per source
+  // (n_chars desc, doc_id tie-break). Runs the two-phase salted
+  // window (no hot-group reducer; see Sampling.capPerGroup), which is
+  // provably identical to the single-window rank the oracle computes.
+  // -------------------------------------------------------------------
+  def q70GroupCap(spark: SparkSession, dir: String): DataFrame =
+    S.capPerGroup(docs(spark, dir), "doc_id", "source", 10,
+        Seq(col("n_chars").desc, col("doc_id").asc))
+      .select(col("doc_id"), col("source"), col("n_chars"), col("rank_in_group"))
+      .orderBy(asc("source"), asc("rank_in_group"))
+
+  val q70Sql: String =
+    """WITH r AS (
+      |  SELECT doc_id, source, n_chars,
+      |    ROW_NUMBER() OVER (PARTITION BY source
+      |      ORDER BY n_chars DESC, doc_id) AS rank_in_group
+      |  FROM documents)
+      |SELECT doc_id, source, n_chars, CAST(rank_in_group AS BIGINT) AS rank_in_group
+      |FROM r WHERE rank_in_group <= 10 ORDER BY source, rank_in_group""".stripMargin
+
+  // -------------------------------------------------------------------
+  // q71: bigram-LM quality score — add-one-smoothed bigram model
+  // trained on the corpus itself, every document scored by its total
+  // fixed-point log-probability (PERF.md lesson 7: Σ floor(1e6·ln P)
+  // is an associative integer sum, so the oracle compares exactly).
+  // -------------------------------------------------------------------
+  def q71BigramLm(spark: SparkSession, dir: String): DataFrame =
+    C.bigramLmScore(docs(spark, dir), "doc_id", "text")
+      .orderBy(asc("doc_id"))
+
+  val q71Sql: String =
+    raw"""WITH toks AS (
+      |  SELECT doc_id, $toksSql AS t FROM documents
+      |), pos AS (
+      |  SELECT doc_id, t, UNNEST(range(1, LEN(t))) AS i FROM toks
+      |), bg AS (
+      |  SELECT doc_id, t[i] AS w1, t[i + 1] AS w2 FROM pos
+      |), uni AS (
+      |  SELECT w, COUNT(*) AS u_cnt
+      |  FROM (SELECT UNNEST(t) AS w FROM toks) GROUP BY w
+      |), v AS (
+      |  SELECT COUNT(*) AS v_size FROM uni
+      |), big AS (
+      |  SELECT w1, w2, COUNT(*) AS b_cnt FROM bg GROUP BY w1, w2
+      |)
+      |SELECT doc_id, COUNT(*) AS n_bigrams,
+      |  CAST(SUM(FLOOR(1e6 * LN(
+      |    CAST(b_cnt + 1 AS DOUBLE) / (u_cnt + v_size)))) AS BIGINT)
+      |    AS sum_fp_logprob
+      |FROM bg JOIN big USING (w1, w2) JOIN uni ON bg.w1 = uni.w CROSS JOIN v
+      |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q69_stratified_sample" -> (q69StratifiedSample _),
+    "q70_group_cap" -> (q70GroupCap _),
+    "q71_bigram_lm" -> (q71BigramLm _))
+
+  val oracle: Map[String, String] = Map(
+    "q69_stratified_sample" -> q69Sql,
+    "q70_group_cap" -> q70Sql,
+    "q71_bigram_lm" -> q71Sql)
+}

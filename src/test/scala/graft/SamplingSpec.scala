@@ -1,0 +1,84 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Curation, Sampling}
+
+/** Specs for the sampling / mixing operators: determinism, nesting,
+  * the two-phase cap's exact equivalence to the single-window rank,
+  * and the bigram LM's hand-checkable fixture.
+  */
+class SamplingSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("sampleAt is deterministic, order-independent and roughly proportional") {
+    val ids = (0L until 10000L).toDF("id")
+    val kept = ids.filter(Sampling.sampleAt(col("id"), 3L, 0.3)).count()
+    assert(kept > 2700 && kept < 3300)
+    val shuffled = ids.orderBy(rand(5)).filter(Sampling.sampleAt(col("id"), 3L, 0.3))
+    assert(shuffled.count() === kept)
+  }
+
+  test("samples nest: rate 0.2 is a subset of rate 0.6 at the same seed") {
+    val ids = (0L until 5000L).toDF("id")
+    val small = ids.filter(Sampling.sampleAt(col("id"), 9L, 0.2))
+    val large = ids.filter(Sampling.sampleAt(col("id"), 9L, 0.6))
+    assert(small.except(large).count() === 0)
+    assert(small.count() < large.count())
+  }
+
+  test("stratifiedSample applies per-stratum rates") {
+    val df = (0L until 6000L).map(i => (i, if (i % 2 == 0) "a" else "b"))
+      .toDF("id", "s")
+    val out = Sampling.stratifiedSample(df, "id", "s",
+      Map("a" -> 0.9), defaultRate = 0.1, seed = 4L)
+      .groupBy("s").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out("a") > 2500 && out("a") <= 3000) // ~90% of 3000
+    assert(out("b") > 150 && out("b") < 450)    // ~10% of 3000
+  }
+
+  test("capPerGroup equals the single-window rank exactly, under skew") {
+    // one hot group (5000 rows) + small groups; value ties to force
+    // the doc-id tie-break through both phases
+    val rows = (0L until 5000L).map(i => (i, "hot", i % 7)) ++
+      (5000L until 5030L).map(i => (i, "cold", i % 3))
+    val df = rows.toDF("id", "g", "v")
+    val capped = Sampling.capPerGroup(df, "id", "g", 12,
+        Seq(col("v").desc, col("id").asc), salts = 8)
+      .select("id", "g", "rank_in_group")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("g")).orderBy(col("v").desc, col("id").asc)
+    val reference = df.withColumn("rank_in_group", row_number().over(w).cast("long"))
+      .filter(col("rank_in_group") <= 12).select("id", "g", "rank_in_group")
+    assert(capped.except(reference).count() === 0)
+    assert(reference.except(capped).count() === 0)
+  }
+
+  test("takeSample returns exactly n rows and is seed-stable") {
+    val df = (0L until 2000L).toDF("id")
+    val a = Sampling.takeSample(df, "id", 50, 13L).select("id")
+      .collect().map(_.getLong(0)).toSeq
+    val b = Sampling.takeSample(df.orderBy(rand(2)), "id", 50, 13L).select("id")
+      .collect().map(_.getLong(0)).toSeq
+    assert(a.length === 50)
+    assert(a === b) // same rows in the same order, input order ignored
+    val c = Sampling.takeSample(df, "id", 50, 14L).select("id")
+      .collect().map(_.getLong(0)).toSeq
+    assert(a !== c) // seed changes the sample
+  }
+
+  test("bigramLmScore: frequent bigrams score higher; counts are exact") {
+    val docs = Seq(
+      (1L, "the cat sat"),          // bigrams: (the,cat) (cat,sat)
+      (2L, "the cat ran"),          // bigrams: (the,cat) (cat,ran)
+      (3L, "xyzzy plugh"))          // singleton bigram
+      .toDF("doc_id", "text")
+    val out = Curation.bigramLmScore(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(out(1L)._1 === 2 && out(2L)._1 === 2 && out(3L)._1 === 1)
+    // doc 1 and 2 share the frequent (the,cat) bigram; doc 3's lone
+    // hapax bigram must score strictly lower per-bigram
+    val perBigram3 = out(3L)._2.toDouble / out(3L)._1
+    val perBigram1 = out(1L)._2.toDouble / out(1L)._1
+    assert(perBigram1 > perBigram3)
+  }
+}
