@@ -229,7 +229,54 @@ object Analytics {
     """SELECT event_id, CAST(props->>'$.k' AS BIGINT) AS prop_k
       |FROM events ORDER BY event_id""".stripMargin
 
+  // -------------------------------------------------------------------
+  // q72: distribution / navigation window functions — ntile quartiles,
+  // percent_rank, cume_dist and nth_value per customer over orders.
+  // Unique (o_totalprice desc, o_orderkey) order makes every one
+  // deterministic; percent_rank/cume_dist are exact integer-ratio
+  // doubles, identical IEEE on both engines.
+  // -------------------------------------------------------------------
+  def q72WindowNav(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(desc("o_totalprice"), asc("o_orderkey"))
+    spark.read.parquet(s"$dir/orders.parquet").select(
+        col("o_orderkey"), col("o_custkey"),
+        ntile(4).over(w).cast("long").as("quartile"),
+        percent_rank().over(w).as("pct_rank"),
+        cume_dist().over(w).as("cume"),
+        nth_value(col("o_orderkey"), 2).over(w).as("second_key"))
+      .orderBy(asc("o_orderkey"))
+  }
+  val q72Sql: String =
+    """SELECT o_orderkey, o_custkey,
+      |  CAST(NTILE(4) OVER w AS BIGINT) AS quartile,
+      |  PERCENT_RANK() OVER w AS pct_rank,
+      |  CUME_DIST() OVER w AS cume,
+      |  NTH_VALUE(o_orderkey, 2) OVER w AS second_key
+      |FROM orders
+      |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)
+      |ORDER BY o_orderkey""".stripMargin
+
+  // -------------------------------------------------------------------
+  // q73: CUBE grouping sets — all four (flag, status) grouping
+  // combinations in one pass (Expand + single hash aggregate, the
+  // same partial-agg shape as rollup q21).
+  // -------------------------------------------------------------------
+  def q73Cube(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/lineitem.parquet")
+      .cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("l_extendedprice").cast(DecimalType(20, 2))).cast("double").as("sum_price"))
+      .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus"))
+  val q73Sql: String =
+    """SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+      |  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(20,2))) AS VARCHAR) AS DOUBLE) AS sum_price
+      |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+      |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q72_window_nav" -> (q72WindowNav _),
+    "q73_cube" -> (q73Cube _),
     "q16_window_rank" -> (q16WindowRank _),
     "q17_running_agg" -> (q17RunningAgg _),
     "q18_time_window" -> (q18TimeWindow _),
@@ -241,6 +288,8 @@ object Analytics {
     "q24_json_extract" -> (q24Json _))
 
   val oracle: Map[String, String] = Map(
+    "q72_window_nav" -> q72Sql,
+    "q73_cube" -> q73Sql,
     "q16_window_rank" -> q16Sql,
     "q17_running_agg" -> q17Sql,
     "q18_time_window" -> q18Sql,

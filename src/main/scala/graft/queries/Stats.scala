@@ -103,12 +103,36 @@ object Stats {
         element_at(col("pcts"), 4).as("p90"))
       .orderBy(asc("l_returnflag"))
 
+  // -------------------------------------------------------------------
+  // q74: heavy hitters — top-20 most-referenced parts via the native
+  // batched Misra-Gries aggregate (functions.SpaceSavingTopK): fixed
+  // memory per task, mergeable partial summaries, only capacity-sized
+  // states cross the shuffle. capacity=4096 exceeds the sf0.01 part
+  // cardinality (~2000), so every count is exact and the DuckDB
+  // oracle compares bit-for-bit; at sf0.1 (~20k parts) the same query
+  // runs in the genuine sketch regime (spec-tested error bounds).
+  // -------------------------------------------------------------------
+  def q74HeavyHitters(spark: SparkSession, dir: String): DataFrame =
+    li(spark, dir)
+      .select(col("l_partkey").cast("string").as("pk"))
+      .agg(graft.functions.SketchFunctions
+        .space_saving_topk(col("pk"), 20, 4096).as("top"))
+      .select(explode(col("top")).as("e"))
+      .select(col("e.key").as("part_key"), col("e.cnt").as("n"))
+      .orderBy(desc("n"), asc("part_key"))
+  val q74Sql: String =
+    """SELECT CAST(l_partkey AS VARCHAR) AS part_key, COUNT(*) AS n
+      |FROM lineitem GROUP BY 1
+      |ORDER BY n DESC, part_key LIMIT 20""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q42_percentiles" -> (q42Percentiles _),
     "q43_moment_stats" -> (q43Moments _),
-    "q54_approx_percentiles" -> (q54ApproxPercentiles _))
+    "q54_approx_percentiles" -> (q54ApproxPercentiles _),
+    "q74_heavy_hitters" -> (q74HeavyHitters _))
 
   val oracle: Map[String, String] = Map(
     "q42_percentiles" -> q42Sql,
-    "q43_moment_stats" -> q43Sql)
+    "q43_moment_stats" -> q43Sql,
+    "q74_heavy_hitters" -> q74Sql)
 }

@@ -1,0 +1,56 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.SketchFunctions.space_saving_topk
+
+/** Specs for the native Misra-Gries heavy-hitters aggregate: exact in
+  * the under-capacity regime, bounded-undercount in the sketch
+  * regime, stable under repartitioning (mergeable summaries).
+  */
+class SketchSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("exact regime: distinct keys under capacity reproduce groupBy counts") {
+    val df = (0L until 20000L).map(i => s"k${i % 50}").toDF("k")
+    val out = df.agg(space_saving_topk(col("k"), 10, 256).as("t"))
+      .select(explode(col("t")).as("e"))
+      .select(col("e.key"), col("e.cnt"), col("e.err"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(out.length === 10)
+    assert(out.forall(_._3 === 0L)) // no eviction -> no error
+    val exact = df.groupBy("k").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    out.foreach { case (k, cnt, _) => assert(cnt === exact(k)) }
+  }
+
+  test("sketch regime: heavy keys survive capacity pressure with bounded undercount") {
+    // 3 planted heavy keys (5000 each) in a sea of 20000 singletons:
+    // distinct = 20003 >> capacity = 64
+    val heavy = (0 until 15000).map(i => s"hot${i % 3}")
+    val noise = (0 until 20000).map(i => s"rare$i")
+    val df = (heavy ++ noise).toDF("k").repartition(8)
+    val n = heavy.size + noise.size
+    val cap = 64
+    val rows = df.agg(space_saving_topk(col("k"), 3, cap).as("t"))
+      .select(explode(col("t")).as("e"))
+      .select(col("e.key"), col("e.cnt"), col("e.err"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(rows.map(_._1).toSet === Set("hot0", "hot1", "hot2"))
+    rows.foreach { case (_, cnt, err) =>
+      assert(cnt <= 5000L)               // MG never overcounts
+      assert(cnt + err >= 5000L)         // undercount bounded by err
+      assert(err <= (n / cap).toLong * 8L) // per-partition bound, summed
+    }
+  }
+
+  test("result is identical across input partitionings in the exact regime") {
+    val base = (0L until 5000L).map(i => s"k${i % 100}")
+    def run(parts: Int) =
+      base.toDF("k").repartition(parts)
+        .agg(space_saving_topk(col("k"), 100, 512).as("t"))
+        .select(explode(col("t")).as("e"))
+        .select(col("e.key"), col("e.cnt"))
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(run(1) === run(13))
+  }
+}
