@@ -185,6 +185,55 @@ object Similarity {
       .filter(col("rank") <= lit(k))
   }
 
+  /** Argmax-cell assignment against a fixed centroid model (the IVF
+    * coarse quantizer's map-only step, shared by [[ivfTopK]] and
+    * [[semanticDedup]]). */
+  def assignCells(df: DataFrame, idCol: String, vecCol: String,
+                  cents: Array[Array[Double]]): DataFrame = {
+    val scores = cents.zipWithIndex.map { case (c, i) =>
+      struct(dotD(col("v"), array(c.map(lit): _*)).as("s"), lit(i).as("cell"))
+    }
+    df.select(col(idCol).as("id"), normalized(col(vecCol)).as("v"))
+      .withColumn("cell", greatest(scores: _*).getField("cell"))
+  }
+
+  /** Semantic deduplication (the SemDeDup recipe): cluster the
+    * embedding space with the k-means coarse quantizer, compare pairs
+    * ONLY within a cell (semantic near-dups share a cell by
+    * construction — they are nearly the same point), connect the
+    * ≥ threshold pairs into duplicate groups, and keep the lowest id
+    * per group.
+    *
+    * Scale shape: training touches only the numCells×dim model
+    * ([[trainCentroids]]); assignment is map-only; the within-cell
+    * self-join is an equi-join on the cell id, guarded by `maxCell`
+    * (an over-full cell means the quantizer is too coarse — raise
+    * numCells — rather than letting one reducer take O(m²) pairs);
+    * group connection is [[Dedup.connectedComponents]]' per-round
+    * (id, label) shuffles. Returns (id, cluster, keep).
+    */
+  def semanticDedup(df: DataFrame, idCol: String, vecCol: String,
+                    threshold: Double, numCells: Int = 16, iters: Int = 4,
+                    dim: Int = 64, maxCell: Int = 10000): DataFrame = {
+    val cents = trainCentroids(df, vecCol, numCells, iters, dim)
+    val assigned = assignCells(df, idCol, vecCol, cents)
+      .withColumn("cell_n", count(lit(1)).over(
+        Window.partitionBy(col("cell"))))
+      .filter(col("cell_n") <= lit(maxCell))
+      .persist() // narrow-ish (id, unit vec, cell); read by both join sides
+    val l = assigned.select(col("id").as("id_a"), col("v").as("v_a"), col("cell"))
+    val r = assigned.select(col("id").as("id_b"), col("v").as("v_b"), col("cell"))
+    val pairs = l.join(r, Seq("cell"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), dotD(col("v_a"), col("v_b")).as("cosine"))
+      .filter(col("cosine") >= lit(threshold))
+    val cc = Dedup.connectedComponents(pairs, "id_a", "id_b")
+    df.select(col(idCol).as("id")).join(cc, Seq("id"), "left_outer")
+      .select(col("id"),
+        coalesce(col("cluster"), col("id")).as("cluster"))
+      .withColumn("keep", (col("id") === col("cluster")).cast("boolean"))
+  }
+
   /** Embedding-space near-duplicate pairs: all pairs above a cosine
     * threshold, found via LSH buckets (exact verify). Near-dups have
     * cosine ≈ 1 ⇒ identical LSH signs with high probability, so

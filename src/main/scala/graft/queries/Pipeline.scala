@@ -265,6 +265,22 @@ object Pipeline {
       .orderBy(asc("id_a"), asc("id_b"))
 
   // -------------------------------------------------------------------
+  // q75: semantic dedup (SemDeDup) — k-means-cell-blocked embedding
+  // near-dup groups, keep-lowest-id per group (rows-only: the trained
+  // quantizer isn't SQL-replayable; OperatorsSpec plants near-identical
+  // vectors and checks the keep set). Summarized to kept/dropped
+  // counts per cluster-size band so the output is tiny and stable.
+  // -------------------------------------------------------------------
+  def q75SemanticDedup(spark: SparkSession, dir: String): DataFrame =
+    Similarity.semanticDedup(emb(spark, dir), "vec_id", "embedding",
+        threshold = 0.5, numCells = 16, iters = 2, dim = 64)
+      .groupBy(col("cluster"))
+      .agg(count(lit(1)).as("sz"), sum(col("keep").cast("long")).as("n_keep"))
+      .groupBy(col("sz"))
+      .agg(count(lit(1)).as("n_clusters"), sum(col("n_keep")).as("n_kept"))
+      .orderBy(asc("sz"))
+
+  // -------------------------------------------------------------------
   // q37: multimodal pipeline — binary payloads + typed metadata,
   // partition-wise (stub) decode, per-type stats. Oracle reproduces the
   // metadata/byte stats (the decode stub's inputs) in SQL.
@@ -472,7 +488,8 @@ object Pipeline {
     "q65_tfidf" -> (q65Tfidf _),
     "q66_vocab" -> (q66Vocab _),
     "q67_centroids" -> (q67Centroids _),
-    "q68_vocab_approx" -> (q68VocabApprox _))
+    "q68_vocab_approx" -> (q68VocabApprox _),
+    "q75_semantic_dedup" -> (q75SemanticDedup _))
 
   val oracle: Map[String, String] = Map(
     "q25_text_stats" -> q25Sql,

@@ -125,6 +125,30 @@ class OperatorsSpec extends SparkSpec {
     assert(recall > 0.2, s"LSH recall $recall too low") // 4 planes, 1-bit probes
   }
 
+  // q75's rows-only gate is backed here: planted near-identical
+  // vectors must land in one cluster with the lowest id kept;
+  // well-separated vectors must all survive as their own cluster.
+  test("semanticDedup keeps one representative per planted near-dup group") {
+    val rnd = new scala.util.Random(1)
+    def jitter(base: Array[Float]): Array[Float] =
+      base.map(x => x + (rnd.nextFloat() - 0.5f) * 1e-3f)
+    val a = Array.fill(64)(rnd.nextFloat() - 0.5f)
+    val b = Array.fill(64)(rnd.nextFloat() - 0.5f)
+    val dups = (0L until 4L).map(i => (i, jitter(a))) ++       // group A: ids 0-3
+      (10L until 13L).map(i => (i, jitter(b))) :+              // group B: ids 10-12
+      (20L, Array.fill(64)(rnd.nextFloat() - 0.5f))            // singleton
+    val df = dups.toDF("vec_id", "embedding")
+    val out = Similarity.semanticDedup(df, "vec_id", "embedding",
+        threshold = 0.99, numCells = 4, iters = 2, dim = 64)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    val byId = out.map(r => r._1 -> r).toMap
+    assert(out.length === 8)
+    (0L until 4L).foreach(i => assert(byId(i)._2 === 0L))   // group A → cluster 0
+    (10L until 13L).foreach(i => assert(byId(i)._2 === 10L))
+    assert(byId(20L)._2 === 20L && byId(20L)._3)
+    assert(out.count(_._3) === 3) // exactly one keeper per group
+  }
+
   // q54's rows-only gate is backed here: the GK sketch at accuracy
   // 10000 must land within one quantity unit of the exact sort-based
   // percentile on every group/percentile pair.
