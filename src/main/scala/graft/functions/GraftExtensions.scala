@@ -4,19 +4,47 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-/** SparkSessionExtensions wiring: registers the native vector
-  * functions into the SQL function registry, so
-  * `spark.sql("SELECT vec_dot(a, b) ...")` works next to the
-  * DataFrame-level [[VectorFunctions]].
+/** SparkSessionExtensions wiring: registers the native vector, text
+  * hashing and sketch functions into the SQL function registry, so
+  * `spark.sql("SELECT vec_dot(a, b) ...")`, `simhash64(text)`,
+  * `minhash_sig(text, 3, 32)` and `space_saving_topk(key, 20, 4096)`
+  * work next to the DataFrame-level [[VectorFunctions]] /
+  * [[TextHashFunctions]] / [[SketchFunctions]].
   *
   * Use: `SparkSession.builder().withExtensions(new GraftExtensions)`
   * or config `spark.sql.extensions=graft.functions.GraftExtensions`.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  private def intLit(e: Expression, what: String): Int = e match {
+    case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+    case other => throw new IllegalArgumentException(
+      s"$what must be an integer literal, got $other")
+  }
+
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectFunction((
       new FunctionIdentifier("vec_dot"),
       new ExpressionInfo(classOf[VecDot].getName, "vec_dot"),
       (children: Seq[Expression]) => VecDot(children(0), children(1))))
+    e.injectFunction((
+      new FunctionIdentifier("simhash64"),
+      new ExpressionInfo(classOf[SimHash64].getName, "simhash64"),
+      (children: Seq[Expression]) => SimHash64(children.head)))
+    e.injectFunction((
+      new FunctionIdentifier("shingle_hash_set"),
+      new ExpressionInfo(classOf[ShingleHashSet].getName, "shingle_hash_set"),
+      (children: Seq[Expression]) =>
+        ShingleHashSet(children(0), intLit(children(1), "k"))))
+    e.injectFunction((
+      new FunctionIdentifier("minhash_sig"),
+      new ExpressionInfo(classOf[MinHashSig].getName, "minhash_sig"),
+      (children: Seq[Expression]) => MinHashSig(children(0),
+        intLit(children(1), "k"), intLit(children(2), "numHashes"))))
+    e.injectFunction((
+      new FunctionIdentifier("space_saving_topk"),
+      new ExpressionInfo(classOf[SpaceSavingTopK].getName, "space_saving_topk"),
+      (children: Seq[Expression]) => SpaceSavingTopK(children(0),
+        intLit(children(1), "k"), intLit(children(2), "capacity"))
+        .toAggregateExpression()))
   }
 }

@@ -202,6 +202,39 @@ class OperatorsSpec extends SparkSpec {
     assert(spark.sql("SELECT vec_dot(a, b) AS d FROM vecs").collect()(0).getDouble(0) === 32.0)
   }
 
+  test("GraftExtensions registers native text/vector/sketch functions for SQL") {
+    val orig = spark
+    org.apache.spark.sql.SparkSession.clearActiveSession()
+    org.apache.spark.sql.SparkSession.clearDefaultSession()
+    val s2 = org.apache.spark.sql.SparkSession.builder()
+      .master("local[2]")
+      .withExtensions(new graft.functions.GraftExtensions)
+      .getOrCreate()
+    try {
+      import s2.implicits._
+      val df = Seq((1L, "a b a b a b"), (2L, "c d c d e f")).toDF("id", "text")
+      df.createOrReplaceTempView("ext_t")
+      val viaSql = s2.sql(
+        """SELECT simhash64(text) AS s, minhash_sig(text, 2, 8) AS m,
+          |  shingle_hash_set(text, 2) AS sh FROM ext_t ORDER BY id""".stripMargin)
+        .collect()
+      val viaApi = df.select(
+          graft.functions.TextHashFunctions.simhash64(col("text")).as("s"),
+          graft.functions.TextHashFunctions.minhash_sig(col("text"), 2, 8).as("m"),
+          graft.functions.TextHashFunctions.shingle_hash_set(col("text"), 2).as("sh"))
+        .collect()
+      assert(viaSql.map(_.getLong(0)).toSeq === viaApi.map(_.getLong(0)).toSeq)
+      assert(viaSql.map(_.getSeq[Long](1)).toSeq === viaApi.map(_.getSeq[Long](1)).toSeq)
+      val hh = s2.sql(
+        "SELECT space_saving_topk(text, 1, 8) AS t FROM ext_t").collect()(0)
+        .getSeq[org.apache.spark.sql.Row](0)
+      assert(hh.length === 1 && hh.head.getLong(1) === 1L) // two distinct texts, cnt 1
+    } finally {
+      org.apache.spark.sql.SparkSession.setActiveSession(orig)
+      org.apache.spark.sql.SparkSession.setDefaultSession(orig)
+    }
+  }
+
   test("asBlocks returns columnar map (reference as_blocks)") {
     val g = graft.api.GraftFrame(Seq((1L, "x"), (2L, "y")).toDF("i", "s"))
     val blocks = g.asBlocks()

@@ -26,6 +26,20 @@ class SourcesSpec extends SparkSpec {
       Seq((1L, "hello", 0.5), (2L, "world", 1.5)))
   }
 
+  test("orc round-trip preserves values and pushes filters to the scan") {
+    val dir = Files.createTempDirectory("graft_orc").toString
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    Sources.writeOrc(docs, dir)
+    val back = Sources.orc(spark, dir).df
+    assert(back.count() === docs.count())
+    val filtered = back.filter(col("doc_id") < 50).select("doc_id", "lang")
+    val scan = filtered.queryExecution.executedPlan.toString
+    assert(scan.contains("PushedFilters: [IsNotNull(doc_id), LessThan(doc_id,50)]"),
+      s"ORC scan did not push the filter:\n$scan")
+    assert(filtered.count() ===
+      docs.filter(col("doc_id") < 50).count())
+  }
+
   test("partitioned parquet write prunes partitions on read") {
     val dir = Files.createTempDirectory("graft_part").toString
     val docs = spark.read.parquet(s"$sf/documents.parquet")
