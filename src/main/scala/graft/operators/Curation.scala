@@ -273,4 +273,38 @@ object Curation {
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_bigrams"), sum(col("fp")).as("sum_fp_logprob"))
   }
+
+  /** The 100 TB shape of [[bigramLmScore]]: cap the LM to the
+    * `maxVocab` highest-count bigrams (heavy tail truncates to the
+    * add-one floor — every out-of-model bigram scores as B = 0, i.e.
+    * ln(1/(U+V)), which only needs the much smaller unigram table),
+    * then BROADCAST both model tables. Scoring becomes two map-side
+    * joins — the corpus text is scanned once and never shuffled; only
+    * the capped model crosses the cluster.
+    *
+    * When `maxVocab` exceeds the true bigram vocabulary the cap never
+    * binds and the scores equal [[bigramLmScore]] exactly (spec-
+    * checked); under pressure the score is a lower bound (missing
+    * bigrams floor at B = 0).
+    */
+  def bigramLmScoreBroadcast(df: DataFrame, idCol: String, textCol: String,
+                             maxVocab: Int): DataFrame = {
+    val bg = bigramRows(df, idCol, textCol)
+    val tokens = df.select(explode(TA.tokens(col(textCol))).as("w"))
+    val uni = tokens.groupBy(col("w")).agg(count(lit(1)).as("u_cnt"))
+    val vocab = uni.agg(count(lit(1)).as("v"))
+    val big = bg.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("b_cnt"))
+      .orderBy(desc("b_cnt"), asc("w1"), asc("w2")) // deterministic cap
+      .limit(maxVocab)
+    bg
+      .join(broadcast(big), Seq("w1", "w2"), "left_outer")
+      .join(broadcast(uni.withColumnRenamed("w", "w1")), Seq("w1"))
+      .crossJoin(broadcast(vocab))
+      .select(col(idCol),
+        floor(lit(1e6) * log(
+          (coalesce(col("b_cnt"), lit(0L)) + lit(1L)).cast("double") /
+            (col("u_cnt") + col("v")).cast("double"))).as("fp"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("fp")).as("sum_fp_logprob"))
+  }
 }

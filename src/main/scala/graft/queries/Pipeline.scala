@@ -309,6 +309,19 @@ object Pipeline {
       |FROM events GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin
 
   // -------------------------------------------------------------------
+  // q78: stream-static enrichment — events enriched with the customer
+  // dimension inside the streaming engine (broadcast per micro-batch),
+  // aggregated per (segment, type). Oracle is the identical batch join.
+  // -------------------------------------------------------------------
+  def q78StreamEnrich(spark: SparkSession, dir: String): DataFrame =
+    graft.streaming.EventStreams.enrichedSegmentRollup(spark, dir)
+  val q78Sql: String =
+    """SELECT c_mktsegment, event_type, COUNT(*) AS n_events,
+      |  CAST(CAST(SUM(CAST(value AS DECIMAL(20,6))) AS VARCHAR) AS DOUBLE) AS sum_value
+      |FROM events JOIN customer ON user_id = c_custkey
+      |GROUP BY 1, 2 ORDER BY c_mktsegment, event_type""".stripMargin
+
+  // -------------------------------------------------------------------
   // q39: stateful streaming (mapGroupsWithState) — per-user event
   // counts; oracle is the batch equivalent
   // -------------------------------------------------------------------
@@ -489,7 +502,8 @@ object Pipeline {
     "q66_vocab" -> (q66Vocab _),
     "q67_centroids" -> (q67Centroids _),
     "q68_vocab_approx" -> (q68VocabApprox _),
-    "q75_semantic_dedup" -> (q75SemanticDedup _))
+    "q75_semantic_dedup" -> (q75SemanticDedup _),
+    "q78_stream_enrich" -> (q78StreamEnrich _))
 
   val oracle: Map[String, String] = Map(
     "q25_text_stats" -> q25Sql,
@@ -505,6 +519,7 @@ object Pipeline {
     "q39_stream_stateful" -> q39Sql,
     "q55_neardup_clusters" -> q55Sql,
     "q56_stream_dedup" -> q56Sql,
+    "q78_stream_enrich" -> q78Sql,
     "q64_stream_join" -> q64Sql,
     "q65_tfidf" -> q65Sql,
     "q66_vocab" -> q66Sql,

@@ -436,6 +436,82 @@ object Relational {
       |ORDER BY l_orderkey, l_linenumber, l_partkey, l_quantity""".stripMargin
 
   // -------------------------------------------------------------------
+  // q76: TPC-H Q5 shape — local-supplier volume: the six-table join
+  // with the nation-colocation condition (c_nationkey = s_nationkey).
+  // The fact table streams once; customer/supplier/nation/region are
+  // all explicit broadcasts, so the only shuffles are the lineitem ⋈
+  // orders join and the final 5-group aggregate.
+  // -------------------------------------------------------------------
+  def q76TpchQ5(spark: SparkSession, dir: String): DataFrame = {
+    val r = t(spark, dir, "region").filter(col("r_name") === lit("ASIA"))
+    val n = t(spark, dir, "nation")
+      .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+    val c = t(spark, dir, "customer")
+      .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+    val s = t(spark, dir, "supplier")
+    val o = t(spark, dir, "orders")
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+    t(spark, dir, "lineitem")
+      .join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(s), col("l_suppkey") === col("s_suppkey") &&
+        col("c_nationkey") === col("s_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(sum(col("l_extendedprice").cast(DecimalType(12, 2)) *
+        (lit(1).cast(DecimalType(3, 2)) - col("l_discount").cast(DecimalType(3, 2))))
+        .cast("double").as("revenue"))
+      .orderBy(desc("revenue"), asc("n_name"))
+  }
+  val q76Sql: String =
+    """SELECT n_name,
+      |  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))) AS VARCHAR) AS DOUBLE) AS revenue
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+      |JOIN nation ON c_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |WHERE r_name = 'ASIA'
+      |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+      |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin
+
+  // -------------------------------------------------------------------
+  // q77: TPC-H Q10 shape — returned-item customer ranking: revenue
+  // lost to returns per customer in a quarter, top 20. Fact-fact join
+  // + two broadcast dims + top-k (TakeOrderedAndProject).
+  // -------------------------------------------------------------------
+  def q77TpchQ10(spark: SparkSession, dir: String): DataFrame = {
+    val o = t(spark, dir, "orders")
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1996-04-01").cast("timestamp"))
+    val li = t(spark, dir, "lineitem").filter(col("l_returnflag") === lit("R"))
+    val n = t(spark, dir, "nation")
+    li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(t(spark, dir, "customer")), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("c_custkey"), col("c_name"), col("n_name"))
+      .agg(sum(col("l_extendedprice").cast(DecimalType(12, 2)) *
+        (lit(1).cast(DecimalType(3, 2)) - col("l_discount").cast(DecimalType(3, 2))))
+        .cast("double").as("revenue"))
+      .orderBy(desc("revenue"), asc("c_custkey"))
+      .limit(20)
+  }
+  val q77Sql: String =
+    """SELECT c_custkey, c_name, n_name,
+      |  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))) AS VARCHAR) AS DOUBLE) AS revenue
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN nation ON c_nationkey = n_nationkey
+      |WHERE l_returnflag = 'R'
+      |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |  AND o_orderdate < TIMESTAMP '1996-04-01 00:00:00'
+      |GROUP BY c_custkey, c_name, n_name
+      |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin
+
+  // -------------------------------------------------------------------
   // q53: the same pipeline expressed through the GraftFrame facade —
   // reference-style chained ops (select → filter(Predicate) →
   // two-phase groupBy → aggregate) land in the oracle gate. Uses only
@@ -462,6 +538,8 @@ object Relational {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q53_graft_facade" -> (q53GraftFacade _),
+    "q76_tpch_q5" -> (q76TpchQ5 _),
+    "q77_tpch_q10" -> (q77TpchQ10 _),
     "q49_tpch_q6" -> (q49TpchQ6 _),
     "q50_tpch_q3" -> (q50TpchQ3 _),
     "q51_above_group_avg" -> (q51AboveGroupAvg _),
@@ -483,6 +561,8 @@ object Relational {
 
   val oracle: Map[String, String] = Map(
     "q53_graft_facade" -> q53Sql,
+    "q76_tpch_q5" -> q76Sql,
+    "q77_tpch_q10" -> q77Sql,
     "q49_tpch_q6" -> q49Sql,
     "q50_tpch_q3" -> q50Sql,
     "q51_above_group_avg" -> q51Sql,

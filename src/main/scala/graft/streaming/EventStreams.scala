@@ -153,6 +153,36 @@ object EventStreams {
       .orderBy(asc("user_id"))
   }
 
+  /** Stream-static enrichment join: the event stream joined to the
+    * (batch) customer dimension — the standard streaming-ETL enrich
+    * step. The static side is re-planned per micro-batch as a
+    * broadcast hash join (no state store involvement, no watermark
+    * needed on the dimension), so an unbounded stream enriches at
+    * scan speed and dimension updates between batches are picked up.
+    * Aggregated per (segment, event_type) in Complete mode.
+    */
+  def enrichedSegmentRollup(spark: SparkSession, dir: String): DataFrame = {
+    val name = s"graft_stream_enrich_${System.nanoTime()}"
+    val cust = spark.read.parquet(s"$dir/customer.parquet")
+      .select(col("c_custkey"), col("c_mktsegment"))
+    val saved = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    val q = try {
+      readEventStream(spark, dir)
+        .join(broadcast(cust), col("user_id") === col("c_custkey"))
+        .groupBy(col("c_mktsegment"), col("event_type"))
+        .agg(
+          count(lit(1)).as("n_events"),
+          sum(col("value").cast(DecimalType(20, 6))).cast("double").as("sum_value"))
+        .writeStream.outputMode(OutputMode.Complete())
+        .format("memory").queryName(name)
+        .start()
+    } finally spark.conf.set("spark.sql.shuffle.partitions", saved)
+    try q.processAllAvailable() finally q.stop()
+    spark.table(name)
+      .orderBy(asc("c_mktsegment"), asc("event_type"))
+  }
+
   /** Stream-stream inner join with watermarks — click→purchase
     * attribution: every purchase within 30 minutes after a click by
     * the same user. The event-time range condition is what lets Spark

@@ -66,6 +66,20 @@ class SamplingSpec extends SparkSpec {
     assert(a !== c) // seed changes the sample
   }
 
+  test("broadcast-capped LM equals the full join when the cap doesn't bind, floors when it does") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val full = Curation.bigramLmScore(docs, "doc_id", "text")
+    val uncapped = Curation.bigramLmScoreBroadcast(docs, "doc_id", "text", 1000000)
+    assert(full.except(uncapped).count() === 0)
+    assert(uncapped.except(full).count() === 0)
+    // a binding cap can only lower (never raise) a document's score
+    val capped = Curation.bigramLmScoreBroadcast(docs, "doc_id", "text", 5)
+      .withColumnRenamed("sum_fp_logprob", "capped_fp").drop("n_bigrams")
+    val joined = full.join(capped, "doc_id")
+      .filter(col("capped_fp") > col("sum_fp_logprob"))
+    assert(joined.count() === 0)
+  }
+
   test("bigramLmScore: frequent bigrams score higher; counts are exact") {
     val docs = Seq(
       (1L, "the cat sat"),          // bigrams: (the,cat) (cat,sat)

@@ -71,4 +71,22 @@ class StreamingSpec extends SparkSpec {
     assert(streamed === batch)
     assert(streamed.nonEmpty) // pairs actually exist at this sf
   }
+
+  test("stream-static enrichment equals the batch dimension join") {
+    val streamed = graft.streaming.EventStreams
+      .enrichedSegmentRollup(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getDouble(3))).toMap
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val ev = spark.read.parquet(s"$sf/events.parquet")
+    val cust = spark.read.parquet(s"$sf/customer.parquet")
+    val batch = ev.join(cust, col("user_id") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast(org.apache.spark.sql.types.DecimalType(20, 6)))
+          .cast("double").as("s"))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getDouble(3))).toMap
+    assert(streamed === batch)
+    assert(streamed.nonEmpty)
+  }
 }
