@@ -62,4 +62,36 @@ object Scale {
   def bucketedJoin(spark: SparkSession, leftTable: String, rightTable: String,
                    key: String): DataFrame =
     spark.table(leftTable).join(spark.table(rightTable), Seq(key))
+
+  /** Upsert / MERGE: updates win per key, unmatched base rows survive,
+    * brand-new keys insert — last-writer-wins CDC merge without a
+    * table format. One anti join (keys only on the build side) + a
+    * union: the base table streams through once.
+    *
+    * At 100 TB this is the partition-overwrite pattern: partition (or
+    * bucket) both sides by the key, merge only the partitions the
+    * update batch touches, and the anti join co-locates instead of
+    * shuffling the base.
+    */
+  def upsert(base: DataFrame, updates: DataFrame, keys: Seq[String]): DataFrame =
+    updates.unionByName(
+      base.join(updates.select(keys.map(col): _*).distinct(),
+        keys, "left_anti"))
+
+  /** Incremental aggregate maintenance: merge a delta's PARTIAL
+    * aggregate state into a materialized base aggregate instead of
+    * recomputing over all data — the mergeability contract every
+    * distributive aggregate (count, sum, min, max) satisfies. Both
+    * inputs are (group-keys, count, sum) frames as produced by
+    * [[partialAgg]]; the merge is one small shuffle on the group keys,
+    * proportional to |groups|, not |rows|.
+    */
+  def partialAgg(df: DataFrame, groupCol: String, valueCol: Column): DataFrame =
+    df.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n"), sum(valueCol).as("s"))
+
+  def mergePartials(base: DataFrame, delta: DataFrame, groupCol: String): DataFrame =
+    base.unionByName(delta)
+      .groupBy(col(groupCol))
+      .agg(sum(col("n")).as("n"), sum(col("s")).as("s"))
 }

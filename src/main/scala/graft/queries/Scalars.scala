@@ -153,7 +153,73 @@ object Scalars {
       |FROM sessed GROUP BY user_id, session_idx
       |ORDER BY user_id, session_start""".stripMargin
 
+  // -------------------------------------------------------------------
+  // q79: upsert / MERGE (last-writer-wins CDC): every 10th order gets
+  // an updated status ('U') with doubled price, every 97th key inserts
+  // as a new order (key + 1,000,000, status 'N'); unmatched base rows
+  // survive. One keys-only anti join + union — the base streams once.
+  // Summarized per status so the updated/inserted/surviving partitions
+  // are each separately visible to the gate.
+  // -------------------------------------------------------------------
+  def q79UpsertMerge(spark: SparkSession, dir: String): DataFrame = {
+    val o = spark.read.parquet(s"$dir/orders.parquet")
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+    val updates = o.filter(col("o_orderkey") % 10 === 0)
+      .select(col("o_orderkey"), lit("U").as("o_orderstatus"),
+        (col("o_totalprice") * 2).as("o_totalprice"))
+      .unionByName(o.filter(col("o_orderkey") % 97 === 0)
+        .select((col("o_orderkey") + 1000000L).as("o_orderkey"),
+          lit("N").as("o_orderstatus"), col("o_totalprice")))
+    graft.operators.Scale.upsert(o, updates, Seq("o_orderkey"))
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("o_totalprice").cast(DecimalType(20, 2))).cast("double").as("sum_price"))
+      .orderBy(asc("o_orderstatus"))
+  }
+  val q79Sql: String =
+    """WITH updates AS (
+      |  SELECT o_orderkey, 'U' AS o_orderstatus, o_totalprice * 2 AS o_totalprice
+      |  FROM orders WHERE o_orderkey % 10 = 0
+      |  UNION ALL
+      |  SELECT o_orderkey + 1000000, 'N', o_totalprice
+      |  FROM orders WHERE o_orderkey % 97 = 0
+      |), merged AS (
+      |  SELECT * FROM updates
+      |  UNION ALL
+      |  SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+      |  WHERE o_orderkey NOT IN (SELECT o_orderkey FROM updates)
+      |)
+      |SELECT o_orderstatus, COUNT(*) AS n,
+      |  CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(20,2))) AS VARCHAR) AS DOUBLE) AS sum_price
+      |FROM merged GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // -------------------------------------------------------------------
+  // q80: incremental aggregate maintenance — the delta's PARTIAL
+  // aggregate merges into the materialized base aggregate; the oracle
+  // recomputes over all rows. Proves the mergeability contract the
+  // engine's backfill path relies on (merge cost ∝ |groups|, not
+  // |rows|).
+  // -------------------------------------------------------------------
+  def q80IncrementalAgg(spark: SparkSession, dir: String): DataFrame = {
+    val li = spark.read.parquet(s"$dir/lineitem.parquet")
+    val qty = col("l_quantity").cast(DecimalType(20, 2))
+    val base = graft.operators.Scale.partialAgg(
+      li.filter(col("l_orderkey") % 5 =!= 0), "l_returnflag", qty)
+    val delta = graft.operators.Scale.partialAgg(
+      li.filter(col("l_orderkey") % 5 === 0), "l_returnflag", qty)
+    graft.operators.Scale.mergePartials(base, delta, "l_returnflag")
+      .select(col("l_returnflag"), col("n"),
+        col("s").cast("double").as("sum_qty"))
+      .orderBy(asc("l_returnflag"))
+  }
+  val q80Sql: String =
+    """SELECT l_returnflag, COUNT(*) AS n,
+      |  CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(20,2))) AS VARCHAR) AS DOUBLE) AS sum_qty
+      |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q79_upsert_merge" -> (q79UpsertMerge _),
+    "q80_incremental_agg" -> (q80IncrementalAgg _),
     "q44_sliding_window" -> (q44SlidingWindow _),
     "q45_set_ops" -> (q45SetOps _),
     "q46_string_funcs" -> (q46StringFuncs _),
@@ -161,6 +227,8 @@ object Scalars {
     "q48_session_window" -> (q48SessionWindow _))
 
   val oracle: Map[String, String] = Map(
+    "q79_upsert_merge" -> q79Sql,
+    "q80_incremental_agg" -> q80Sql,
     "q44_sliding_window" -> q44Sql,
     "q45_set_ops" -> q45Sql,
     "q46_string_funcs" -> q46Sql,

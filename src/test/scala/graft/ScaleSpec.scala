@@ -43,4 +43,32 @@ class ScaleSpec extends SparkSpec {
       assert(joined.count() === o.join(l, Seq("o_orderkey")).count())
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
   }
+
+  test("upsert: updates win per key, inserts land, unmatched base survives") {
+    val base = Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0))
+      .toDF("k", "status", "v")
+    val updates = Seq((2L, "b2", 25.0), (9L, "new", 90.0))
+      .toDF("k", "status", "v")
+    val merged = Scale.upsert(base, updates, Seq("k"))
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getDouble(2))).toMap
+    assert(merged === Map(
+      1L -> ("a", 10.0), 2L -> ("b2", 25.0), 3L -> ("c", 30.0),
+      9L -> ("new", 90.0)))
+  }
+
+  test("mergePartials(base, delta) equals the aggregate over all rows") {
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+    val qty = col("l_quantity").cast(org.apache.spark.sql.types.DecimalType(20, 2))
+    val base = Scale.partialAgg(li.filter(col("l_orderkey") % 3 =!= 0), "l_returnflag", qty)
+    val delta = Scale.partialAgg(li.filter(col("l_orderkey") % 3 === 0), "l_returnflag", qty)
+    val merged = Scale.mergePartials(base, delta, "l_returnflag")
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDecimal(2))).toMap
+    val full = Scale.partialAgg(li, "l_returnflag", qty)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDecimal(2))).toMap
+    assert(merged.keySet === full.keySet)
+    full.foreach { case (k, (n, s)) =>
+      assert(merged(k)._1 === n)
+      assert(merged(k)._2.compareTo(s) === 0) // decimal-exact, scale-insensitive
+    }
+  }
 }
