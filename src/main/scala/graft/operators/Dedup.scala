@@ -165,8 +165,8 @@ object Dedup {
     * (join edges→labels, min-aggregate, least with own label), until
     * no label changes. Rounds = component diameter; near-dup clusters
     * are star-/clique-shaped (diameter ≤ ~3), so this converges in a
-    * handful of rounds — on path-shaped graphs prefer a
-    * large-star/small-star variant (O(log n) rounds).
+    * handful of rounds — on path-shaped graphs use
+    * [[connectedComponentsAlternating]] (O(log n) rounds).
     *
     * Scale shape: per round one shuffle of (8-byte id, 8-byte label)
     * edges + one hash aggregate; lineage truncated per round
@@ -202,6 +202,72 @@ object Dedup {
       iter += 1
     }
     labels
+  }
+
+  /** Connected components via alternating large-star / small-star
+    * rounds (the MapReduce CC algorithm of Kiveris et al., "Connected
+    * Components in MapReduce and Beyond", SoCC'14) — converges in
+    * O(log n) rounds on ANY graph shape, where [[connectedComponents]]'
+    * min-label propagation needs diameter rounds (fine for clique/star
+    * near-dup clusters, hopeless for path-shaped chains).
+    *
+    *  - large-star: every node links its strictly-greater neighbors to
+    *    the minimum of its neighborhood (incl. itself).
+    *  - small-star: every node links its ≤ neighbors and itself to the
+    *    minimum of that parent set.
+    *
+    * Each half-round is one (center → neighbors) shuffle + a min
+    * aggregate — same per-round cost shape as min-label propagation;
+    * the win is the round COUNT. Converged when the edge set is a
+    * fixpoint (every edge then points child → component root).
+    */
+  def connectedComponentsAlternating(pairs: DataFrame, aCol: String,
+                                     bCol: String, maxIters: Int = 30): DataFrame = {
+    def canon(e: DataFrame): DataFrame = e
+      .filter(col("u") =!= col("v"))
+      .select(least(col("u"), col("v")).as("u"),
+        greatest(col("u"), col("v")).as("v"))
+      .distinct()
+    val ids = pairs
+      .select(col(aCol).cast("long").as("id"))
+      .union(pairs.select(col(bCol).cast("long").as("id")))
+      .distinct()
+      .localCheckpoint(true)
+    var edges = canon(pairs.select(col(aCol).cast("long").as("u"),
+        col(bCol).cast("long").as("v")))
+      .localCheckpoint(true)
+    var iter = 0
+    var done = false
+    while (!done && iter < maxIters) {
+      // large-star: centers see ALL neighbors; greater neighbors → min
+      val bidir = edges.union(edges.select(col("v").as("u"), col("u").as("v")))
+        .toDF("c", "n")
+      val mins = bidir.groupBy(col("c"))
+        .agg(least(min(col("n")), first(col("c"))).as("m"))
+      val ls = canon(bidir.join(mins, Seq("c"))
+        .filter(col("n") > col("c"))
+        .select(col("n").as("u"), col("m").as("v")))
+      // small-star: centers see ≤ neighbors; parents ∪ self → min
+      val bidir2 = ls.union(ls.select(col("v").as("u"), col("u").as("v")))
+        .toDF("c", "n")
+      val parents = bidir2.filter(col("n") <= col("c"))
+      val mins2 = parents.groupBy(col("c"))
+        .agg(least(min(col("n")), first(col("c"))).as("m"))
+      val ss = canon(
+        parents.join(mins2, Seq("c"))
+          .select(col("n").as("u"), col("m").as("v"))
+          .union(mins2.select(col("c").as("u"), col("m").as("v"))))
+        .localCheckpoint(true)
+      done = ss.count() == edges.count() &&
+        ss.except(edges).count() == 0
+      edges = ss
+      iter += 1
+    }
+    // converged: every edge is (root, child); label children by root,
+    // roots (and any node only ever seen as a root) by themselves
+    val labels = edges.groupBy(col("v").as("id")).agg(min(col("u")).as("cluster"))
+    ids.join(labels, Seq("id"), "left_outer")
+      .select(col("id"), coalesce(col("cluster"), col("id")).as("cluster"))
   }
 
   /** Exact Jaccard similarity of two hashed-shingle arrays. */

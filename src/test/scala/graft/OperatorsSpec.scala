@@ -125,6 +125,26 @@ class OperatorsSpec extends SparkSpec {
     assert(recall > 0.2, s"LSH recall $recall too low") // 4 planes, 1-bit probes
   }
 
+  test("alternating CC labels a 200-node path in few rounds; agrees with min-label") {
+    // path 0-1-2-...-199: diameter 199 — min-label propagation cannot
+    // converge inside its default 20 rounds, the alternating
+    // large-star/small-star algorithm must (O(log n) rounds)
+    val path = (0L until 199L).map(i => (i, i + 1)).toDF("a", "b")
+    val alt = Dedup.connectedComponentsAlternating(path, "a", "b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(alt.size === 200)
+    assert(alt.values.forall(_ === 0L))
+    // parity on a mixed graph (two cliques + a bridge + a singleton pair)
+    val g = Seq((1L, 2L), (2L, 3L), (3L, 1L), (10L, 11L), (11L, 12L),
+      (3L, 10L), (50L, 51L)).toDF("a", "b")
+    val viaAlt = Dedup.connectedComponentsAlternating(g, "a", "b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val viaProp = Dedup.connectedComponents(g, "a", "b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(viaAlt === viaProp)
+    assert(viaAlt(12L) === 1L && viaAlt(51L) === 50L)
+  }
+
   // q75's rows-only gate is backed here: planted near-identical
   // vectors must land in one cluster with the lowest id kept;
   // well-separated vectors must all survive as their own cluster.
