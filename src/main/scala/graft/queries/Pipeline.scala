@@ -309,6 +309,25 @@ object Pipeline {
       |FROM events GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin
 
   // -------------------------------------------------------------------
+  // q81: BPE-ish tokenization — the regex pre-tokenizer count next to
+  // the whitespace count (word runs and punctuation runs split apart,
+  // the shape a subword tokenizer's pre-tokenization pass produces).
+  // Shared-regex design: `\w+|[^\w\s]+` means the same thing to Java
+  // regex and RE2, so the oracle replays it exactly. Map-only.
+  // -------------------------------------------------------------------
+  def q81BpeTokens(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir).select(
+      col("doc_id"),
+      TA.tokenCount(col("text")).as("n_ws_tokens"),
+      size(TA.bpeishTokens(col("text"))).cast("long").as("n_bpeish_tokens"))
+      .orderBy(asc("doc_id"))
+  val q81Sql: String =
+    raw"""SELECT doc_id,
+      |  LEN(string_split_regex(TRIM(text), '\s+')) AS n_ws_tokens,
+      |  LEN(regexp_extract_all(text, '[\w]+|[^\w\s]+')) AS n_bpeish_tokens
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  // -------------------------------------------------------------------
   // q78: stream-static enrichment — events enriched with the customer
   // dimension inside the streaming engine (broadcast per micro-batch),
   // aggregated per (segment, type). Oracle is the identical batch join.
@@ -340,6 +359,20 @@ object Pipeline {
   // -------------------------------------------------------------------
   def q55NeardupClusters(spark: SparkSession, dir: String): DataFrame =
     Dedup.connectedComponents(
+      Dedup.ngramJaccardPairs(docs(spark, dir), "doc_id", "text",
+        k = 3, threshold = 0.05, maxId = 300L)
+        .select(col("id_a"), col("id_b")),
+      "id_a", "id_b")
+      .select(col("id").as("doc_id"), col("cluster"))
+      .orderBy(asc("doc_id"))
+
+  // -------------------------------------------------------------------
+  // q82: the SAME clustering through the alternating large-star /
+  // small-star algorithm — component labels are algorithm-independent,
+  // so the identical recursive-CTE oracle gates both implementations.
+  // -------------------------------------------------------------------
+  def q82NeardupClustersAlt(spark: SparkSession, dir: String): DataFrame =
+    Dedup.connectedComponentsAlternating(
       Dedup.ngramJaccardPairs(docs(spark, dir), "doc_id", "text",
         k = 3, threshold = 0.05, maxId = 300L)
         .select(col("id_a"), col("id_b")),
@@ -503,7 +536,9 @@ object Pipeline {
     "q67_centroids" -> (q67Centroids _),
     "q68_vocab_approx" -> (q68VocabApprox _),
     "q75_semantic_dedup" -> (q75SemanticDedup _),
-    "q78_stream_enrich" -> (q78StreamEnrich _))
+    "q78_stream_enrich" -> (q78StreamEnrich _),
+    "q81_bpe_tokens" -> (q81BpeTokens _),
+    "q82_neardup_clusters_alt" -> (q82NeardupClustersAlt _))
 
   val oracle: Map[String, String] = Map(
     "q25_text_stats" -> q25Sql,
@@ -520,6 +555,8 @@ object Pipeline {
     "q55_neardup_clusters" -> q55Sql,
     "q56_stream_dedup" -> q56Sql,
     "q78_stream_enrich" -> q78Sql,
+    "q81_bpe_tokens" -> q81Sql,
+    "q82_neardup_clusters_alt" -> q55Sql,
     "q64_stream_join" -> q64Sql,
     "q65_tfidf" -> q65Sql,
     "q66_vocab" -> q66Sql,
