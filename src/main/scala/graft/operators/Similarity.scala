@@ -33,11 +33,10 @@ object Similarity {
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 
   /** L2-normalize once before joining — cosine of normalized vectors is
-    * a plain dot product, saving two norms per candidate pair. */
-  def normalized(a: Column): Column = {
-    val n = norm(a)
-    transform(a, x => x.cast("double") / n)
-  }
+    * a plain dot product, saving two norms per candidate pair. Native
+    * codegen'd kernel (the `transform` HOF runs interpreted per
+    * element; same IEEE result bit-for-bit). */
+  def normalized(a: Column): Column = graft.functions.VectorFunctions.vec_normalize(a)
 
   private def dotD(a: Column, b: Column): Column =
     graft.functions.VectorFunctions.vec_dot(a, b)
@@ -70,16 +69,12 @@ object Similarity {
     }
   }
 
-  /** H-bit random-hyperplane signature of a vector column. */
-  def lshSignature(vec: Column, numPlanes: Int, dim: Int): Column = {
-    val planes = hyperplanes(numPlanes, dim)
-    val bits = planes.zipWithIndex.map { case (p, i) =>
-      val pl = array(p.map(lit): _*)
-      when(dotD(vec, pl) >= 0, lit(1L << i))
-        .otherwise(lit(0L))
-    }
-    bits.reduce((a, b) => a.bitwiseOR(b))
-  }
+  /** H-bit random-hyperplane signature of a vector column — one native
+    * sign-bits kernel over the constant plane matrix (the per-plane
+    * `when(vec_dot ≥ 0)` tree costs planning/codegen time proportional
+    * to numPlanes × dim literal nodes). */
+  def lshSignature(vec: Column, numPlanes: Int, dim: Int): Column =
+    graft.functions.VectorFunctions.vec_mat_signbits(vec, hyperplanes(numPlanes, dim))
 
   /** Approximate top-k: LSH-bucket join (with multi-probe over single
     * bit flips for recall), exact cosine rerank inside buckets.
@@ -126,11 +121,8 @@ object Similarity {
     var cents = hyperplanes(numCells, dim)
     val vs = data.select(normalized(col(vecCol)).as("v"))
     for (_ <- 0 until iters) {
-      val scores = cents.zipWithIndex.map { case (c, i) =>
-        struct(dotD(col("v"), array(c.map(lit): _*)).as("s"), lit(i).as("cell"))
-      }
       val stats = vs
-        .withColumn("cell", greatest(scores: _*).getField("cell"))
+        .withColumn("cell", graft.functions.VectorFunctions.vec_mat_argmax(col("v"), cents))
         .select(col("cell"), posexplode(col("v")))
         .groupBy(col("cell"), col("pos"))
         .agg(sum(col("col")).as("s"))
@@ -161,21 +153,19 @@ object Similarity {
               dim: Int = 64,
               centroids: Option[Array[Array[Double]]] = None): DataFrame = {
     val cents = centroids.getOrElse(hyperplanes(numCells, dim))
-    def cellScores(vec: Column): Seq[Column] = cents.zipWithIndex.map {
-      case (c, i) =>
-        struct(dotD(vec, array(c.map(lit): _*)).as("s"), lit(i).as("cell"))
-    }
-    // candidate → argmax cell (greatest over (score, cell) structs)
+    import graft.functions.VectorFunctions.{vec_mat_argmax, vec_mat_dots}
+    // candidate → argmax cell (native kernel over the centroid matrix)
     val c = candidates.select(col(idC).as("cand_id"), normalized(col(vecC)).as("cv"))
-      .withColumn("cell", greatest(cellScores(col("cv")): _*).getField("cell"))
-    // query → top nProbe cells via explode + window rank
+      .withColumn("cell", vec_mat_argmax(col("cv"), cents))
+    // query → top nProbe cells via posexplode of the score array + rank
     val qBase = queries.select(col(idQ).as("query_id"), normalized(col(vecQ)).as("qv"))
     val probes = qBase
-      .select(col("query_id"), col("qv"), explode(array(cellScores(col("qv")): _*)).as("sc"))
+      .select(col("query_id"), col("qv"),
+        posexplode(vec_mat_dots(col("qv"), cents)).as(Seq("cell", "s")))
       .withColumn("rk", row_number().over(
-        Window.partitionBy(col("query_id")).orderBy(desc("sc.s"), asc("sc.cell"))))
+        Window.partitionBy(col("query_id")).orderBy(desc("s"), asc("cell"))))
       .filter(col("rk") <= lit(nProbe))
-      .select(col("query_id"), col("qv"), col("sc.cell").as("cell"))
+      .select(col("query_id"), col("qv"), col("cell"))
     val scored = c.join(broadcast(probes), Seq("cell"))
       .filter(col("query_id") =!= col("cand_id"))
       .select(col("query_id"), col("cand_id"), dotD(col("qv"), col("cv")).as("cosine"))
@@ -189,13 +179,9 @@ object Similarity {
     * coarse quantizer's map-only step, shared by [[ivfTopK]] and
     * [[semanticDedup]]). */
   def assignCells(df: DataFrame, idCol: String, vecCol: String,
-                  cents: Array[Array[Double]]): DataFrame = {
-    val scores = cents.zipWithIndex.map { case (c, i) =>
-      struct(dotD(col("v"), array(c.map(lit): _*)).as("s"), lit(i).as("cell"))
-    }
+                  cents: Array[Array[Double]]): DataFrame =
     df.select(col(idCol).as("id"), normalized(col(vecCol)).as("v"))
-      .withColumn("cell", greatest(scores: _*).getField("cell"))
-  }
+      .withColumn("cell", graft.functions.VectorFunctions.vec_mat_argmax(col("v"), cents))
 
   /** Semantic deduplication (the SemDeDup recipe): cluster the
     * embedding space with the k-means coarse quantizer, compare pairs
