@@ -46,5 +46,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[Expression]) => SpaceSavingTopK(children(0),
         intLit(children(1), "k"), intLit(children(2), "capacity"))
         .toAggregateExpression()))
+    e.injectFunction((
+      new FunctionIdentifier("bloom_agg"),
+      new ExpressionInfo(classOf[BloomAgg].getName, "bloom_agg"),
+      (children: Seq[Expression]) => BloomAgg(children(0),
+        intLit(children(1), "numBits"), intLit(children(2), "numHashes"))
+        .toAggregateExpression()))
+    e.injectFunction((
+      new FunctionIdentifier("bloom_might_contain"),
+      new ExpressionInfo(classOf[BloomMightContain].getName, "bloom_might_contain"),
+      (children: Seq[Expression]) => BloomMightContain(children(0), children(1),
+        intLit(children(2), "numHashes"))))
   }
 }

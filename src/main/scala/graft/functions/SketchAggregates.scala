@@ -8,6 +8,7 @@ import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
@@ -174,9 +175,182 @@ case class SpaceSavingTopK(child: Expression, k: Int, capacity: Int,
   override def prettyName: String = "space_saving_topk"
 }
 
+/** Bloom-filter bit math shared by the aggregate (interpreted update
+  * path) and the probe expression (codegen mirrors it exactly).
+  * Double hashing (Kirsch–Mitzenmacher): bit_i of key x is
+  * (h1 + i·h2) mod numBits with h1 = x, h2 = fmix64(x) | 1 — the
+  * caller pre-hashes arbitrary values to a long with `xxhash64`, so
+  * the filter itself only ever sees 8-byte keys.
+  *
+  * Bit layout: bit b lives at byte (b >>> 3), mask (1 << (b & 7)) of
+  * the serialized array — the aggregate's long words are emitted
+  * little-endian so the probe can address the binary directly.
+  */
+object BloomHash {
+  def mix64(x0: Long): Long = {
+    var h = x0
+    h ^= h >>> 33; h *= 0xff51afd7ed558ccdL
+    h ^= h >>> 33; h *= 0xc4ceb9fe1a85ec53L
+    h ^= h >>> 33; h
+  }
+  def bitOf(x: Long, i: Int, numBits: Long): Long =
+    ((x + i.toLong * (mix64(x) | 1L)) & Long.MaxValue) % numBits
+}
+
+/** Mutable Bloom buffer: a fixed array of words; mergeable by OR. */
+final class BloomBuf(val numBits: Int) {
+  val words = new Array[Long]((numBits + 63) >>> 6)
+  def add(x: Long, numHashes: Int): Unit = {
+    var i = 0
+    while (i < numHashes) {
+      val b = BloomHash.bitOf(x, i, numBits.toLong)
+      words((b >>> 6).toInt) |= (1L << (b & 63)) // (1L << s) uses s mod 64
+      i += 1
+    }
+  }
+  def orIn(o: BloomBuf): Unit = {
+    var i = 0
+    while (i < words.length) { words(i) |= o.words(i); i += 1 }
+  }
+  /** little-endian so byte (b>>>3) / mask (1<<(b&7)) addresses bit b */
+  def toBytes: Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(words.length * 8)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.asLongBuffer().put(words)
+    bb.array()
+  }
+}
+
+/** `bloom_agg(hash64, numBits, numHashes)` — build a Bloom filter over
+  * a pre-hashed long column; returns the filter as BINARY
+  * (numBits/8 bytes, independent of key count).
+  *
+  * The 100 TB shape this enables: a membership set (eval-benchmark
+  * n-grams, a blocklist, yesterday's doc fingerprints) compressed to
+  * ~10 bits/key and broadcast as ONE scalar value, probed map-side by
+  * a codegen'd expression — where broadcasting the keys themselves as
+  * a hash relation costs 50+ bytes/key and a join. No false negatives
+  * ever; false positives at rate ~(1-e^(-kn/m))^k are removed by an
+  * exact confirm join over the (pre-filtered, now tiny) survivor set.
+  */
+case class BloomAgg(child: Expression, numBits: Int, numHashes: Int,
+    mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[BloomBuf] {
+
+  require(numBits >= 64 && numBits % 64 == 0,
+    s"numBits ($numBits) must be a positive multiple of 64")
+  require(numHashes > 0, s"numHashes ($numHashes) must be > 0")
+
+  override def children: Seq[Expression] = child :: Nil
+  override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): Expression =
+    copy(child = c.head)
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case LongType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"bloom_agg takes a pre-hashed BIGINT key (use xxhash64), got ${t.sql}")
+  }
+
+  override def nullable: Boolean = false
+  override def dataType: DataType = BinaryType
+
+  override def createAggregationBuffer(): BloomBuf = new BloomBuf(numBits)
+
+  override def update(buffer: BloomBuf, input: InternalRow): BloomBuf = {
+    val v = child.eval(input)
+    if (v != null) buffer.add(v.asInstanceOf[Long], numHashes)
+    buffer
+  }
+
+  override def merge(buffer: BloomBuf, other: BloomBuf): BloomBuf = {
+    buffer.orIn(other); buffer
+  }
+
+  override def eval(buffer: BloomBuf): Any = buffer.toBytes
+
+  override def serialize(buffer: BloomBuf): Array[Byte] = buffer.toBytes
+
+  override def deserialize(bytes: Array[Byte]): BloomBuf = {
+    val s = new BloomBuf(numBits)
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.asLongBuffer().get(s.words)
+    s
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): BloomAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): BloomAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override def prettyName: String = "bloom_agg"
+}
+
+/** `bloom_might_contain(filter, hash64)` — probe a [[BloomAgg]] binary
+  * with a pre-hashed long key. numBits is derived from the binary's
+  * length, so filter and probe can't disagree on sizing; numHashes
+  * must match the build side. Codegen'd tight loop (the probe sits on
+  * the full-corpus side of the pre-filter — the hot path).
+  */
+case class BloomMightContain(left: Expression, right: Expression, numHashes: Int)
+  extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+
+  override def dataType: DataType = BooleanType
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (BinaryType, LongType) => TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"bloom_might_contain requires (binary, bigint), got ${l.sql}, ${r.sql}")
+    }
+
+  override def nullSafeEval(f: Any, v: Any): Any = {
+    val bytes = f.asInstanceOf[Array[Byte]]
+    val x = v.asInstanceOf[Long]
+    val numBits = bytes.length.toLong << 3
+    var i = 0
+    while (i < numHashes) {
+      val b = BloomHash.bitOf(x, i, numBits)
+      if ((bytes((b >>> 3).toInt) & (1 << (b & 7))) == 0) return false
+      i += 1
+    }
+    true
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (f, v) => {
+      val nb = ctx.freshName("nb")
+      val h2 = ctx.freshName("h2")
+      val i = ctx.freshName("i")
+      val b = ctx.freshName("b")
+      val ok = ctx.freshName("ok")
+      // mirrors BloomHash.mix64 / bitOf exactly
+      s"""
+         |long $nb = ((long) $f.length) << 3;
+         |long $h2 = $v;
+         |$h2 ^= $h2 >>> 33; $h2 *= 0xff51afd7ed558ccdL;
+         |$h2 ^= $h2 >>> 33; $h2 *= 0xc4ceb9fe1a85ec53L;
+         |$h2 ^= $h2 >>> 33; $h2 |= 1L;
+         |boolean $ok = true;
+         |for (int $i = 0; $i < $numHashes; $i++) {
+         |  long $b = (($v + (long) $i * $h2) & Long.MAX_VALUE) % $nb;
+         |  if (($f[(int)($b >>> 3)] & (1 << ($b & 7))) == 0) { $ok = false; break; }
+         |}
+         |${ev.value} = $ok;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+  override def prettyName: String = "bloom_might_contain"
+}
+
 object SketchFunctions {
   import org.apache.spark.sql.graft.ColumnBridge.{column, expression}
 
   def space_saving_topk(key: Column, k: Int, capacity: Int): Column =
     column(SpaceSavingTopK(expression(key), k, capacity).toAggregateExpression())
+
+  def bloom_agg(hash64: Column, numBits: Int, numHashes: Int): Column =
+    column(BloomAgg(expression(hash64), numBits, numHashes).toAggregateExpression())
+
+  def bloom_might_contain(filter: Column, hash64: Column, numHashes: Int): Column =
+    column(BloomMightContain(expression(filter), expression(hash64), numHashes))
 }

@@ -115,6 +115,44 @@ object Curation {
         (col("n_overlap").cast("double") / col("n_grams")).as("overlap_frac"))
   }
 
+  /** [[decontaminate]] with a Bloom pre-filter: the eval gram set is
+    * first folded into a ~numBits-bit Bloom filter ([[graft.functions
+    * .BloomAgg]]) and broadcast as ONE scalar; every training gram
+    * probes it map-side (codegen'd `bloom_might_contain` on
+    * `xxhash64(gram)`) and only the survivors — true overlaps plus the
+    * filter's ~(1-e^(-kn/m))^k false positives — reach the exact
+    * confirm join. Output is IDENTICAL to [[decontaminate]] (the
+    * confirm join removes false positives; Bloom filters have no false
+    * negatives), so the same DuckDB oracle gates both.
+    *
+    * Why this matters at 100 TB: the exact join broadcasts the eval
+    * grams as a hash relation (~50+ bytes/key); the Bloom costs ~10
+    * bits/key and its probe is a handful of ALU ops — so the corpus-
+    * side explode stream is pre-thinned at scan speed, and the hash
+    * relation only sees the tiny survivor set. Same pattern serves
+    * blocklists and yesterday's-fingerprint incremental dedup.
+    */
+  def decontaminateBloom(train: DataFrame, evalDocs: DataFrame, idCol: String,
+      textCol: String, n: Int, numBits: Int = 1 << 20,
+      numHashes: Int = 7): DataFrame = {
+    import graft.functions.SketchFunctions.{bloom_agg, bloom_might_contain}
+    val evalGrams = ngramRows(evalDocs, idCol, textCol, n)
+      .select(col("gram")).distinct()
+    val bloom = evalGrams.agg(
+      bloom_agg(xxhash64(col("gram")), numBits, numHashes).as("__bloom"))
+    val trainGrams = ngramRows(train, idCol, textCol, n)
+      .distinct() // gram SET per doc
+      .withColumn("n_grams", count(lit(1)).over(Window.partitionBy(col(idCol))))
+    trainGrams
+      .join(broadcast(bloom)) // 1-row cross join: the filter as a scalar
+      .filter(bloom_might_contain(col("__bloom"), xxhash64(col("gram")), numHashes))
+      .join(broadcast(evalGrams), "gram") // exact confirm: kills false positives
+      .groupBy(col(idCol), col("n_grams"))
+      .agg(count(lit(1)).as("n_overlap"))
+      .select(col(idCol), col("n_overlap"), col("n_grams"),
+        (col("n_overlap").cast("double") / col("n_grams")).as("overlap_frac"))
+  }
+
   /** Gopher-style repetition metrics per document:
     *   - dup_token_frac: 1 − distinct/total tokens (pure expression)
     *   - top_bigram_frac: occurrences of the most frequent bigram /

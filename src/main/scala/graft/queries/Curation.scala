@@ -212,7 +212,23 @@ object Curation {
        |FROM documents ORDER BY position LIMIT 100""".stripMargin
   }
 
+  // -------------------------------------------------------------------
+  // q83: Bloom-prefiltered decontamination — same eval split, same
+  // output, same oracle as q57: the Bloom pass (no false negatives)
+  // only thins the corpus side before the exact confirm join, so any
+  // divergence from q57's oracle is a filter-correctness bug.
+  // -------------------------------------------------------------------
+  def q83BloomDecontaminate(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    C.decontaminateBloom(
+        d.filter(col("doc_id") % 97 =!= 0),
+        d.filter(col("doc_id") % 97 === 0),
+        "doc_id", "text", n = 5, numBits = 1 << 20, numHashes = 7)
+      .orderBy(asc("doc_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q83_bloom_decontaminate" -> (q83BloomDecontaminate _),
     "q57_decontaminate" -> (q57Decontaminate _),
     "q58_repetition" -> (q58Repetition _),
     "q59_hash_split" -> (q59HashSplit _),
@@ -222,6 +238,7 @@ object Curation {
     "q63_order_shuffle" -> (q63OrderShuffle _))
 
   val oracle: Map[String, String] = Map(
+    "q83_bloom_decontaminate" -> q57Sql, // identical output by design
     "q57_decontaminate" -> q57Sql,
     "q58_repetition" -> q58Sql,
     "q59_hash_split" -> q59Sql,

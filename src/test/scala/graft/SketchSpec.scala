@@ -53,4 +53,39 @@ class SketchSpec extends SparkSpec {
         .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
     assert(run(1) === run(13))
   }
+
+  import graft.functions.SketchFunctions.{bloom_agg, bloom_might_contain}
+
+  test("bloom: no false negatives, FP rate near theory, mergeable across partitions") {
+    val numBits = 1 << 16 // 64 Kbit over 4000 keys ≈ 16 bits/key
+    val k = 7
+    val members = (0 until 4000).map(i => s"member$i")
+    val bloomRow = members.toDF("s").repartition(11) // force partial merges
+      .agg(bloom_agg(xxhash64(col("s")), numBits, k).as("b"))
+    // every member must probe true — Bloom's one hard guarantee
+    val misses = members.toDF("s").join(broadcast(bloomRow))
+      .filter(!bloom_might_contain(col("b"), xxhash64(col("s")), k))
+      .count()
+    assert(misses === 0L)
+    // non-members: FP rate should be near (1 - e^(-kn/m))^k ≈ 0.09% at
+    // these params; assert an order-of-magnitude bound, not the exact value
+    val fps = (0 until 20000).map(i => s"outsider$i").toDF("s")
+      .join(broadcast(bloomRow))
+      .filter(bloom_might_contain(col("b"), xxhash64(col("s")), k))
+      .count()
+    assert(fps < 200L, s"false-positive count $fps way above theory")
+  }
+
+  test("bloom-prefiltered decontamination equals the exact operator") {
+    val docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    val train = docs.filter(col("doc_id") % 97 =!= 0)
+    val ev = docs.filter(col("doc_id") % 97 === 0)
+    val exact = graft.operators.Curation
+      .decontaminate(train, ev, "doc_id", "text", 5)
+      .orderBy("doc_id").collect().toSeq
+    val bloomed = graft.operators.Curation
+      .decontaminateBloom(train, ev, "doc_id", "text", 5)
+      .orderBy("doc_id").collect().toSeq
+    assert(bloomed === exact)
+  }
 }
