@@ -274,7 +274,33 @@ object Analytics {
       |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
       |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin
 
+  // -------------------------------------------------------------------
+  // q84: Z-order (Morton) curve key — the data-layout clustering key
+  // (operators.Layout / functions.InterleaveBits), gated exactly: the
+  // oracle rebuilds the bit interleave as a sum of 32 shift terms.
+  // The layout machinery itself (stats pass → binning → range-
+  // partitioned sorted write → file-skipping win) is spec-tested in
+  // LayoutSpec; this query pins the curve math both engines agree on.
+  // -------------------------------------------------------------------
+  def q84ZorderCurve(spark: SparkSession, dir: String): DataFrame =
+    ev(spark, dir)
+      .select(col("event_id"), col("user_id"),
+        graft.functions.LayoutFunctions.interleave_bits(
+          (col("user_id") % 65536).cast("int"),
+          (col("event_id") % 65536).cast("int")).as("zval"))
+      .orderBy(asc("zval"), asc("event_id"), asc("user_id"))
+      .limit(200)
+  val q84Sql: String = {
+    val terms = (0 until 16).flatMap { j =>
+      Seq(s"((((user_id % 65536) >> $j) & 1) << ${2 * j})",
+        s"((((event_id % 65536) >> $j) & 1) << ${2 * j + 1})")
+    }.mkString(" + ")
+    s"""SELECT event_id, user_id, CAST($terms AS BIGINT) AS zval
+       |FROM events ORDER BY zval, event_id, user_id LIMIT 200""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q84_zorder_curve" -> (q84ZorderCurve _),
     "q72_window_nav" -> (q72WindowNav _),
     "q73_cube" -> (q73Cube _),
     "q16_window_rank" -> (q16WindowRank _),
@@ -288,6 +314,7 @@ object Analytics {
     "q24_json_extract" -> (q24Json _))
 
   val oracle: Map[String, String] = Map(
+    "q84_zorder_curve" -> q84Sql,
     "q72_window_nav" -> q72Sql,
     "q73_cube" -> q73Sql,
     "q16_window_rank" -> q16Sql,
