@@ -345,4 +345,75 @@ object Curation {
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_bigrams"), sum(col("fp")).as("sum_fp_logprob"))
   }
+
+  /** Cross-document boilerplate detection: per document, the fraction
+    * of its distinct word n-grams that appear in ≥ `minDocs` distinct
+    * documents. Repeated-everywhere n-grams are boilerplate (headers,
+    * footers, license blocks, navigation chrome) — a high fraction
+    * marks a templated page; the gram list itself drives strip rules.
+    *
+    * Shape for 100 TB: distinct (doc, gram) explode → gram doc-count
+    * (partial-aggregated on the gram key, counts only cross the
+    * shuffle) → join occurrences back on gram → per-doc fraction.
+    * Both aggregates partial-combine; no broadcast assumption on the
+    * boilerplate set (a templated corpus can have a huge one).
+    */
+  def boilerplateStats(df: DataFrame, idCol: String, textCol: String,
+                       n: Int, minDocs: Int): DataFrame = {
+    val grams = ngramRows(df, idCol, textCol, n).distinct()
+    val docCounts = grams.groupBy(col("gram"))
+      .agg(count(lit(1)).as("n_docs")) // distinct by construction
+    grams
+      .join(docCounts, Seq("gram"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_grams"),
+        sum((col("n_docs") >= lit(minDocs)).cast("long")).as("n_boiler"))
+      .select(col(idCol), col("n_grams"), col("n_boiler"),
+        (col("n_boiler").cast("double") / col("n_grams")).as("boiler_frac"))
+  }
+
+  /** Sub-document (chunk / "paragraph") exact deduplication: split
+    * each document into consecutive `chunkTokens`-token chunks, keep
+    * the FIRST occurrence of every distinct chunk corpus-wide (first =
+    * lowest (doc, chunk_idx)), and reassemble each document from its
+    * surviving chunks. The standard pipeline stage for boilerplate
+    * paragraphs repeated across pages — doc-level dedup misses them,
+    * span-level removal catches them.
+    *
+    * Shape for 100 TB: tokens explode once (posexplode — never
+    * re-tokenized per chunk, the q57/q58 projection-collapse lesson);
+    * chunks form by partial-aggregated groupBy (doc, chunk_idx); the
+    * keep-first decision is `min(struct(doc, idx))` per chunk — also
+    * partial-aggregated, so a boilerplate chunk with 10^6 copies
+    * combines map-side instead of flooding one reducer (a window
+    * PARTITION BY chunk would). Winner rows already carry their text:
+    * no join back, and dropped chunks never shuffle again.
+    */
+  def chunkDedup(df: DataFrame, idCol: String, textCol: String,
+                 chunkTokens: Int): DataFrame = {
+    val chunks = df
+      .select(col(idCol), posexplode(TA.tokens(col(textCol))))
+      .withColumn("chunk_idx", (col("pos") / lit(chunkTokens)).cast("long"))
+      .groupBy(col(idCol), col("chunk_idx"))
+      .agg(array_join(transform(
+        array_sort(collect_list(struct(col("pos"), col("col")))),
+        s => s.getField("col")), " ").as("chunk"))
+    val winners = chunks
+      .groupBy(col("chunk"))
+      .agg(min(struct(col(idCol), col("chunk_idx"))).as("w"))
+      .select(col("w").getField(idCol).as(idCol),
+        col("w").getField("chunk_idx").as("chunk_idx"), col("chunk"))
+    val perDoc = chunks.groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_chunks"))
+    winners
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_kept"),
+        array_join(transform(
+          array_sort(collect_list(struct(col("chunk_idx"), col("chunk")))),
+          s => s.getField("chunk")), " ").as("text_dedup"))
+      .join(perDoc, Seq(idCol), "right_outer")
+      .select(col(idCol), col("n_chunks"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("text_dedup"), lit("")).as("text_dedup"))
+  }
 }

@@ -227,7 +227,66 @@ object Curation {
       .orderBy(asc("doc_id"))
   }
 
+  // -------------------------------------------------------------------
+  // q85: cross-document boilerplate n-grams — per-doc fraction of
+  // distinct 5-grams appearing in >= 3 distinct documents.
+  // -------------------------------------------------------------------
+  def q85Boilerplate(spark: SparkSession, dir: String): DataFrame =
+    C.boilerplateStats(docs(spark, dir), "doc_id", "text", n = 5, minDocs = 3)
+      .orderBy(asc("doc_id"))
+  val q85Sql: String =
+    raw"""WITH grams AS (
+      |  SELECT doc_id, UNNEST(list_distinct(list_transform(
+      |    range(1, GREATEST(LEN(t) - 4, 1) + 1),
+      |    i -> array_to_string(t[i:i+4], ' ')))) AS gram
+      |  FROM (SELECT doc_id, $toksSql AS t FROM documents)
+      |), dc AS (
+      |  SELECT gram, COUNT(*) AS n_docs FROM grams GROUP BY gram
+      |)
+      |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams,
+      |  CAST(SUM(CASE WHEN n_docs >= 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_boiler,
+      |  CAST(SUM(CASE WHEN n_docs >= 3 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS boiler_frac
+      |FROM grams JOIN dc USING (gram)
+      |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  // -------------------------------------------------------------------
+  // q86: sub-document chunk dedup — 10-token chunks, keep-first
+  // corpus-wide, documents reassembled from surviving chunks.
+  // -------------------------------------------------------------------
+  def q86ChunkDedup(spark: SparkSession, dir: String): DataFrame =
+    C.chunkDedup(docs(spark, dir), "doc_id", "text", chunkTokens = 10)
+      .orderBy(asc("doc_id"))
+  val q86Sql: String =
+    raw"""WITH t AS (
+      |  SELECT doc_id, $toksSql AS toks FROM documents
+      |), pos AS (
+      |  SELECT doc_id, toks,
+      |    UNNEST(range(0, CAST(CEIL(LEN(toks) / 10.0) AS BIGINT))) AS i
+      |  FROM t
+      |), chunks AS (
+      |  SELECT doc_id, i AS chunk_idx,
+      |    array_to_string(toks[(i*10+1):(i*10+10)], ' ') AS chunk
+      |  FROM pos
+      |), winners AS (
+      |  SELECT doc_id, chunk_idx, chunk FROM (
+      |    SELECT doc_id, chunk_idx, chunk,
+      |      ROW_NUMBER() OVER (PARTITION BY chunk ORDER BY doc_id, chunk_idx) AS rn
+      |    FROM chunks)
+      |  WHERE rn = 1
+      |), perdoc AS (
+      |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_chunks FROM chunks GROUP BY doc_id
+      |), keptagg AS (
+      |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_kept,
+      |    STRING_AGG(chunk, ' ' ORDER BY chunk_idx) AS text_dedup
+      |  FROM winners GROUP BY doc_id
+      |)
+      |SELECT doc_id, n_chunks, COALESCE(n_kept, 0) AS n_kept,
+      |  COALESCE(text_dedup, '') AS text_dedup
+      |FROM perdoc LEFT JOIN keptagg USING (doc_id) ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q85_boilerplate" -> (q85Boilerplate _),
+    "q86_chunk_dedup" -> (q86ChunkDedup _),
     "q83_bloom_decontaminate" -> (q83BloomDecontaminate _),
     "q57_decontaminate" -> (q57Decontaminate _),
     "q58_repetition" -> (q58Repetition _),
@@ -238,6 +297,8 @@ object Curation {
     "q63_order_shuffle" -> (q63OrderShuffle _))
 
   val oracle: Map[String, String] = Map(
+    "q85_boilerplate" -> q85Sql,
+    "q86_chunk_dedup" -> q86Sql,
     "q83_bloom_decontaminate" -> q57Sql, // identical output by design
     "q57_decontaminate" -> q57Sql,
     "q58_repetition" -> q58Sql,

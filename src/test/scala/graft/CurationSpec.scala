@@ -127,6 +127,45 @@ class CurationSpec extends SparkSpec {
     assert(all.nonEmpty && all.forall(_.getLong(4) === 0L))
   }
 
+  test("boilerplateStats flags the planted cross-doc 5-gram") {
+    // "one two three four five" appears in 3 docs; everything else unique
+    val boiler = "one two three four five"
+    val df = Seq(
+      (1L, s"$boiler alpha beta gamma delta"),
+      (2L, s"epsilon $boiler zeta eta theta"),
+      (3L, s"iota kappa $boiler lambda mu"),
+      (4L, "nu xi omicron pi rho sigma tau upsilon")).toDF("doc_id", "text")
+    val out = graft.operators.Curation
+      .boilerplateStats(df, "doc_id", "text", n = 5, minDocs = 3)
+      .orderBy("doc_id").collect()
+    // docs 1-3 each contain >=1 boilerplate gram; doc 4 none
+    assert(out.length === 4)
+    (0 to 2).foreach { i =>
+      assert(out(i).getAs[Long]("n_boiler") >= 1L, s"doc ${i + 1}")
+    }
+    assert(out(3).getAs[Long]("n_boiler") === 0L)
+    assert(out(3).getAs[Double]("boiler_frac") === 0.0)
+  }
+
+  test("chunkDedup keeps first occurrence corpus-wide and reassembles in order") {
+    // chunkTokens=2: doc 1 = [a b][c d][e f]; doc 2 = [c d][x y];
+    // doc 3 = [a b][a b] (self-dup); doc 4 entirely made of dup chunks
+    val df = Seq(
+      (1L, "a b c d e f"),
+      (2L, "c d x y"),
+      (3L, "a b a b"),
+      (4L, "c d a b")).toDF("doc_id", "text")
+    val out = graft.operators.Curation
+      .chunkDedup(df, "doc_id", "text", chunkTokens = 2)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getAs[Long]("n_chunks"),
+        r.getAs[Long]("n_kept"), r.getAs[String]("text_dedup")))
+    assert(out(0) === ((1L, 3L, 3L, "a b c d e f"))) // first owner keeps all
+    assert(out(1) === ((2L, 2L, 1L, "x y")))          // "c d" lost to doc 1
+    assert(out(2) === ((3L, 2L, 0L, "")))             // both chunks owned by doc 1
+    assert(out(3) === ((4L, 2L, 0L, "")))             // all chunks seen earlier
+  }
+
   test("orderShuffle is a deterministic permutation keyed by seed") {
     val ids = (0L until 1000L).toDF("doc_id")
     val a = Curation.orderShuffle(ids, "doc_id", 5L).select("doc_id")
