@@ -45,6 +45,7 @@ object Bench {
       graft.streaming.EventStreams.streamingDedup _,
       graft.streaming.EventStreams.clickPurchaseAttribution _,
       graft.streaming.EventStreams.enrichedSegmentRollup _,
+      graft.streaming.EventStreams.streamingUpsert _,
       graft.queries.Pipeline.q75SemanticDedup _
     ).foreach { f => try f(spark, warmDir).count() catch { case _: Throwable => } }
 

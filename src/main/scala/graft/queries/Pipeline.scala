@@ -431,6 +431,24 @@ object Pipeline {
       |GROUP BY c.user_id ORDER BY c.user_id""".stripMargin
 
   // -------------------------------------------------------------------
+  // q87: streaming CDC upsert — foreachBatch merge sink, final state
+  // = latest row per (user_id, event_type) by (ts, event_id). The
+  // merge resolves by event time, so the result is batch-split
+  // invariant and the plain batch window query below is an EXACT
+  // oracle for the streaming pipeline's final table.
+  // -------------------------------------------------------------------
+  def q87StreamUpsert(spark: SparkSession, dir: String): DataFrame =
+    graft.streaming.EventStreams.streamingUpsert(spark, dir)
+  val q87Sql: String =
+    """SELECT user_id, event_type, event_id AS last_event_id,
+      |  value AS last_value
+      |FROM (SELECT user_id, event_type, event_id, value,
+      |        ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+      |          ORDER BY ts DESC, event_id DESC) AS rn
+      |      FROM events)
+      |WHERE rn = 1 ORDER BY user_id, event_type""".stripMargin
+
+  // -------------------------------------------------------------------
   // q65: TF-IDF top-3 terms per document. Scores in fixed point
   // (floor(ln((N+1)/(df+1))·1e6) · tf) so the rank AND the score are
   // integer-exact across engines. Shuffle keys are (doc,term) and
@@ -531,6 +549,7 @@ object Pipeline {
     "q55_neardup_clusters" -> (q55NeardupClusters _),
     "q56_stream_dedup" -> (q56StreamDedup _),
     "q64_stream_join" -> (q64StreamJoin _),
+    "q87_stream_upsert" -> (q87StreamUpsert _),
     "q65_tfidf" -> (q65Tfidf _),
     "q66_vocab" -> (q66Vocab _),
     "q67_centroids" -> (q67Centroids _),
@@ -558,6 +577,7 @@ object Pipeline {
     "q81_bpe_tokens" -> q81Sql,
     "q82_neardup_clusters_alt" -> q55Sql,
     "q64_stream_join" -> q64Sql,
+    "q87_stream_upsert" -> q87Sql,
     "q65_tfidf" -> q65Sql,
     "q66_vocab" -> q66Sql,
     "q67_centroids" -> q67Sql)

@@ -124,4 +124,55 @@ class StreamingSpec extends SparkSpec {
     assert(ids.length === 150)
     assert(ids.toSet === (0L until 150L).toSet) // no duplicates, no gaps
   }
+
+  test("streaming upsert final state equals batch latest-per-key") {
+    val streamed = graft.streaming.EventStreams
+      .streamingUpsert(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val batch = spark.read.parquet(s"$sf/events.parquet")
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy("user_id", "event_type")
+          .orderBy(desc("ts"), desc("event_id"))))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("event_type"), col("event_id"), col("value"))
+      .orderBy("user_id", "event_type")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    assert(streamed.toSeq === batch.toSeq)
+  }
+
+  test("streaming upsert is batch-split invariant (out-of-order multi-batch replay)") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    // same 9 rows; key (1,"a") is updated in every batch, and the batch
+    // order delivers its NEWEST event in the MIDDLE batch — event-time
+    // resolution must still win over arrival order
+    val rows = Seq(
+      // (user_id, event_type, ts_micros, event_id, value)
+      (1L, "a", 1000L, 1L, 1.0), (1L, "a", 5000L, 9L, 9.0), (1L, "a", 3000L, 5L, 5.0),
+      (2L, "b", 2000L, 2L, 2.0), (2L, "b", 2000L, 7L, 7.0), // ts tie → event_id
+      (3L, "c", 4000L, 3L, 3.0))
+    def run(batches: Seq[Seq[(Long, String, Long, Long, Double)]]): Seq[(Long, String, Long, Double)] = {
+      implicit val sqlCtx = spark.sqlContext
+      val mem = MemoryStream[(Long, String, Long, Long, Double)]
+      val events = mem.toDF()
+        .select(col("_1").as("user_id"), col("_2").as("event_type"),
+          timestamp_micros(col("_3")).as("ts"), col("_4").as("event_id"),
+          col("_5").as("value"))
+      graft.streaming.EventStreams.upsertSinkDrain(spark, events) { q =>
+        batches.foreach { b => mem.addData(b); q.processAllAvailable() }
+      }.collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSeq
+    }
+    val oneBatch = run(Seq(rows))
+    val threeBatches = run(Seq(
+      Seq(rows(0), rows(3)),           // old (1,a); (2,b) first tie row
+      Seq(rows(1), rows(5)),           // NEWEST (1,a) arrives mid-stream
+      Seq(rows(2), rows(4))))          // stale (1,a) + higher-id tie LAST
+    assert(oneBatch === threeBatches)
+    assert(oneBatch.toSet === Set(
+      (1L, "a", 9L, 9.0),   // max ts wins despite arrival order
+      (2L, "b", 7L, 7.0),   // ts tie → max event_id
+      (3L, "c", 3L, 3.0)))
+  }
 }
