@@ -91,6 +91,51 @@ object Multimodal {
     }
   }
 
+  /** A transcoded media row: old/new payload sizes travel with the new
+    * payload so accounting needs no second pass over the blobs. */
+  case class TranscodedMedia(media_id: Long, media_type: String,
+                             n_in: Long, n_out: Long, payload: Array[Byte])
+
+  /** Type-dispatched transcode pass — the resize / frame-sample stage
+    * of an ingest pipeline: images are resized (bounded bytes), videos
+    * are frame-sampled (every `vidEvery`-th `vidChunk`-byte "frame"),
+    * audio passes through. Same partition-wise batch shape as
+    * [[extractFeatures]]: map-only over the scan, blobs never shuffle,
+    * and the (stub) codec calls are the single swap point for real
+    * JPEG/ffmpeg decoders.
+    */
+  def transcode(media: Dataset[MediaRow], imgMaxBytes: Int = 256,
+                vidChunk: Int = 64, vidEvery: Int = 2): Dataset[TranscodedMedia] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        val out = r.media_type match {
+          case "image" => MediaCodec.resizeStub(r.payload, imgMaxBytes)
+          case "video" => MediaCodec.frameSampleStub(r.payload, vidChunk, vidEvery)
+            .flatten
+          case _ => r.payload
+        }
+        TranscodedMedia(r.media_id, r.media_type,
+          r.payload.length.toLong, out.length.toLong, out)
+      }
+    }
+  }
+
+  /** Byte accounting of the transcode pass per media type — the
+    * before/after sizes are pure functions of the payload length and
+    * the (deterministic) stub policies, so a DuckDB oracle reproduces
+    * them exactly from STRLEN(text): the gate proves the type
+    * dispatch, chunk arithmetic, and batch plumbing — not the codec.
+    */
+  def transcodeStats(spark: SparkSession, dir: String): DataFrame =
+    transcode(mediaTable(spark, dir)).toDF()
+      .groupBy(col("media_type"))
+      .agg(
+        count(lit(1)).as("n_media"),
+        sum(col("n_in")).as("bytes_in"),
+        sum(col("n_out")).as("bytes_out"))
+      .orderBy(asc("media_type"))
+
   /** End-to-end multimodal pipeline: manufacture media → batch decode →
     * per-type feature statistics. Only the 16-float features reach the
     * aggregate — payloads stay in their scan partitions.

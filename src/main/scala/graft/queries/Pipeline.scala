@@ -297,6 +297,42 @@ object Pipeline {
       |FROM documents GROUP BY 1 ORDER BY media_type""".stripMargin
 
   // -------------------------------------------------------------------
+  // q88: multimodal transcode accounting — image resize / video
+  // frame-sample / audio passthrough, bytes in/out per type. The stub
+  // policies are pure functions of payload length, so DuckDB rebuilds
+  // the exact byte math (incl. the every-2nd-64-byte-chunk sum) from
+  // STRLEN(text): the gate proves dispatch + chunk arithmetic +
+  // partition-wise plumbing, not the codec.
+  // -------------------------------------------------------------------
+  def q88MultimodalTranscode(spark: SparkSession, dir: String): DataFrame =
+    Multimodal.transcodeStats(spark, dir)
+  val q88Sql: String =
+    """WITH m AS (
+      |  SELECT doc_id, STRLEN(text) AS nb,
+      |    CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image'
+      |         WHEN 1 THEN 'audio' ELSE 'video' END AS media_type
+      |  FROM documents
+      |), vid AS (
+      |  SELECT doc_id,
+      |    SUM(CASE WHEN i % 2 = 0 THEN LEAST(64, nb - 64 * i) ELSE 0 END) AS n_out
+      |  FROM (SELECT doc_id, nb,
+      |          UNNEST(range(0, CAST(CEIL(nb / 64.0) AS BIGINT))) AS i
+      |        FROM m WHERE media_type = 'video')
+      |  GROUP BY doc_id
+      |), sized AS (
+      |  SELECT m.media_type, m.nb,
+      |    CASE m.media_type
+      |      WHEN 'image' THEN LEAST(m.nb, 256)
+      |      WHEN 'audio' THEN m.nb
+      |      ELSE COALESCE(v.n_out, 0) END AS n_out
+      |  FROM m LEFT JOIN vid v USING (doc_id)
+      |)
+      |SELECT media_type, COUNT(*) AS n_media,
+      |  CAST(SUM(nb) AS BIGINT) AS bytes_in,
+      |  CAST(SUM(n_out) AS BIGINT) AS bytes_out
+      |FROM sized GROUP BY media_type ORDER BY media_type""".stripMargin
+
+  // -------------------------------------------------------------------
   // q38: Structured Streaming hourly rollup (real streaming engine,
   // memory sink, drained synchronously) — oracle is plain batch SQL
   // -------------------------------------------------------------------
@@ -544,6 +580,7 @@ object Pipeline {
     "q52_ann_ivf" -> (q52AnnIvf _),
     "q36_cosine_neardup" -> (q36CosineNearDup _),
     "q37_multimodal" -> (q37Multimodal _),
+    "q88_multimodal_transcode" -> (q88MultimodalTranscode _),
     "q38_stream_hourly" -> (q38StreamHourly _),
     "q39_stream_stateful" -> (q39StreamStateful _),
     "q55_neardup_clusters" -> (q55NeardupClusters _),
@@ -569,6 +606,7 @@ object Pipeline {
     "q33_ngram_jaccard" -> q33Sql,
     "q34_cosine_topk" -> q34Sql,
     "q37_multimodal" -> q37Sql,
+    "q88_multimodal_transcode" -> q88Sql,
     "q38_stream_hourly" -> q38Sql,
     "q39_stream_stateful" -> q39Sql,
     "q55_neardup_clusters" -> q55Sql,
