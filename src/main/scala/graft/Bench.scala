@@ -46,7 +46,8 @@ object Bench {
       graft.streaming.EventStreams.clickPurchaseAttribution _,
       graft.streaming.EventStreams.enrichedSegmentRollup _,
       graft.streaming.EventStreams.streamingUpsert _,
-      graft.queries.Pipeline.q75SemanticDedup _
+      graft.queries.Pipeline.q75SemanticDedup _,
+      graft.queries.Curation.q83BloomDecontaminate _
     ).foreach { f => try f(spark, warmDir).count() catch { case _: Throwable => } }
 
     // The reference memoizes columns across queries in its Pool
