@@ -299,7 +299,54 @@ object Analytics {
        |FROM events ORDER BY zval, event_id, user_id LIMIT 200""".stripMargin
   }
 
+  // -------------------------------------------------------------------
+  // q89: sequential event funnel — per user, the furthest stage of
+  // view → click-after-view → purchase-after-click reached (min-after
+  // chaining, NOT mere presence: each stage's event must follow the
+  // previous stage's earliest completion). Three aggregates + joins,
+  // all keyed on user_id — co-partitioned, no window over the full
+  // event stream.
+  // -------------------------------------------------------------------
+  def q89EventFunnel(spark: SparkSession, dir: String): DataFrame = {
+    val e = ev(spark, dir).select(col("user_id"), col("event_type"), col("ts"))
+    val t1 = e.filter(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t1"))
+    val t2 = e.filter(col("event_type") === "click").join(t1, "user_id")
+      .filter(col("ts") > col("t1"))
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t2"))
+    val t3 = e.filter(col("event_type") === "purchase").join(t2, "user_id")
+      .filter(col("ts") > col("t2"))
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t3"))
+    t1.join(t2.select(col("user_id"), col("t2")), Seq("user_id"), "left_outer")
+      .join(t3.select(col("user_id"), col("t3")), Seq("user_id"), "left_outer")
+      .select(col("user_id"),
+        (lit(1) + col("t2").isNotNull.cast("int")
+          + col("t3").isNotNull.cast("int")).cast("int").as("funnel_stage"))
+      .orderBy(asc("user_id"))
+  }
+  val q89Sql: String =
+    """WITH t1 AS (
+      |  SELECT user_id, MIN(ts) AS t1 FROM events
+      |  WHERE event_type = 'view' GROUP BY user_id
+      |), t2 AS (
+      |  SELECT e.user_id, MIN(e.ts) AS t2 FROM events e
+      |  JOIN t1 ON e.user_id = t1.user_id
+      |  WHERE e.event_type = 'click' AND e.ts > t1.t1 GROUP BY e.user_id
+      |), t3 AS (
+      |  SELECT e.user_id, MIN(e.ts) AS t3 FROM events e
+      |  JOIN t2 ON e.user_id = t2.user_id
+      |  WHERE e.event_type = 'purchase' AND e.ts > t2.t2 GROUP BY e.user_id
+      |)
+      |SELECT t1.user_id,
+      |  CAST(1 + CASE WHEN t2.user_id IS NOT NULL THEN 1 ELSE 0 END
+      |         + CASE WHEN t3.user_id IS NOT NULL THEN 1 ELSE 0 END AS INT) AS funnel_stage
+      |FROM t1
+      |LEFT JOIN t2 ON t1.user_id = t2.user_id
+      |LEFT JOIN t3 ON t1.user_id = t3.user_id
+      |ORDER BY t1.user_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q89_event_funnel" -> (q89EventFunnel _),
     "q84_zorder_curve" -> (q84ZorderCurve _),
     "q72_window_nav" -> (q72WindowNav _),
     "q73_cube" -> (q73Cube _),
@@ -314,6 +361,7 @@ object Analytics {
     "q24_json_extract" -> (q24Json _))
 
   val oracle: Map[String, String] = Map(
+    "q89_event_funnel" -> q89Sql,
     "q84_zorder_curve" -> q84Sql,
     "q72_window_nav" -> q72Sql,
     "q73_cube" -> q73Sql,

@@ -125,14 +125,56 @@ object Stats {
       |FROM lineitem GROUP BY 1
       |ORDER BY n DESC, part_key LIMIT 20""".stripMargin
 
+  // -------------------------------------------------------------------
+  // q90: one-pass column profiler — the ANALYZE-style table profile
+  // (count / distinct / min / max / mean per column) computed in a
+  // single scan with a multi-column aggregate, unpivoted to one row
+  // per column. Means go through DECIMAL sums (exact, associative);
+  // the final double division is the identical (double ÷ int64) op on
+  // both engines.
+  // -------------------------------------------------------------------
+  def q90ColumnProfile(spark: SparkSession, dir: String): DataFrame = {
+    val d2 = DecimalType(20, 2)
+    val cols = Seq("l_quantity", "l_extendedprice", "l_discount")
+    val aggs = cols.flatMap { c =>
+      Seq(count(col(c)).as(s"n_$c"),
+        countDistinct(col(c)).as(s"d_$c"),
+        min(col(c)).cast("double").as(s"mn_$c"),
+        max(col(c)).cast("double").as(s"mx_$c"),
+        (sum(col(c).cast(d2)).cast("double") / count(col(c))).as(s"avg_$c"))
+    }
+    val one = li(spark, dir).agg(aggs.head, aggs.tail: _*)
+    // unpivot the single stat row with explode(array(struct…)) — ONE
+    // scan + ONE aggregate for all profiled columns, not one per column
+    one.select(explode(array(cols.map { c =>
+        struct(lit(c).as("col_name"), col(s"n_$c").as("n_rows"),
+          col(s"d_$c").as("n_distinct"), col(s"mn_$c").as("min_v"),
+          col(s"mx_$c").as("max_v"), col(s"avg_$c").as("avg_v"))
+      }: _*)).as("r"))
+      .select(col("r.*"))
+      .orderBy(asc("col_name"))
+  }
+  val q90Sql: String = {
+    def one(c: String) =
+      s"""SELECT '$c' AS col_name, COUNT($c) AS n_rows,
+         |  COUNT(DISTINCT $c) AS n_distinct,
+         |  CAST(MIN($c) AS DOUBLE) AS min_v, CAST(MAX($c) AS DOUBLE) AS max_v,
+         |  CAST(CAST(SUM(CAST($c AS DECIMAL(20,2))) AS VARCHAR) AS DOUBLE) / COUNT($c) AS avg_v
+         |FROM lineitem""".stripMargin
+    Seq("l_quantity", "l_extendedprice", "l_discount").map(one)
+      .mkString("", "\nUNION ALL\n", "\nORDER BY col_name")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q42_percentiles" -> (q42Percentiles _),
     "q43_moment_stats" -> (q43Moments _),
     "q54_approx_percentiles" -> (q54ApproxPercentiles _),
-    "q74_heavy_hitters" -> (q74HeavyHitters _))
+    "q74_heavy_hitters" -> (q74HeavyHitters _),
+    "q90_column_profile" -> (q90ColumnProfile _))
 
   val oracle: Map[String, String] = Map(
     "q42_percentiles" -> q42Sql,
     "q43_moment_stats" -> q43Sql,
-    "q74_heavy_hitters" -> q74Sql)
+    "q74_heavy_hitters" -> q74Sql,
+    "q90_column_profile" -> q90Sql)
 }
