@@ -357,17 +357,22 @@ object Curation {
     * footers, license blocks, navigation chrome) — a high fraction
     * marks a templated page; the gram list itself drives strip rules.
     *
-    * Shape for 100 TB: distinct (doc, gram) explode → gram doc-count
-    * (partial-aggregated on the gram key, counts only cross the
-    * shuffle) → join occurrences back on gram → per-doc fraction.
-    * Both aggregates partial-combine; no broadcast assumption on the
+    * Shape for 100 TB: the per-doc distinct gram-hash SET comes out of
+    * the native `shingle_hash_set` kernel — one map-only pass, no
+    * tokenize/window/distinct shuffles — so grams travel as 8-byte
+    * hashes from birth and the counts never touch text (same
+    * fingerprint convention as exact dedup; the ngramRows+distinct
+    * formulation measured 10.8 s vs 4.4 s at 50 k docs). Both
+    * aggregates partial-combine; no broadcast assumption on the
     * boilerplate set (a templated corpus can have a huge one).
     */
   def boilerplateStats(df: DataFrame, idCol: String, textCol: String,
                        n: Int, minDocs: Int): DataFrame = {
-    val grams = ngramRows(df, idCol, textCol, n).distinct()
+    val grams = df.select(col(idCol), explode(
+      graft.functions.TextHashFunctions.shingle_hash_set(col(textCol), n))
+      .as("gram"))
     val docCounts = grams.groupBy(col("gram"))
-      .agg(count(lit(1)).as("n_docs")) // distinct by construction
+      .agg(count(lit(1)).as("n_docs")) // per-doc sets → distinct doc count
     grams
       .join(docCounts, Seq("gram"))
       .groupBy(col(idCol))

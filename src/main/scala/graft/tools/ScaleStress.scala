@@ -79,6 +79,15 @@ object ScaleStress {
     timed("text stats scan")(
       docs.select(graft.operators.TextAnalysis.qualityScore(col("text")).as("q"))
         .agg(sum("q")).count())
+    timed("chunk dedup (10-token chunks, keep-first)")(
+      graft.operators.Curation.chunkDedup(docs, "doc_id", "text", 10).count())
+    timed("boilerplate stats (5-grams in >= 3 docs)")(
+      graft.operators.Curation.boilerplateStats(docs, "doc_id", "text", 5, 3).count())
+    timed("bloom decontaminate (vs doc_id % 97 eval split)")(
+      graft.operators.Curation.decontaminateBloom(
+        docs.filter(col("doc_id") % 97 =!= 0),
+        docs.filter(col("doc_id") % 97 === 0),
+        "doc_id", "text", n = 5).count())
     spark.stop()
   }
 }
