@@ -345,7 +345,115 @@ object Analytics {
       |LEFT JOIN t3 ON t1.user_id = t3.user_id
       |ORDER BY t1.user_id""".stripMargin
 
+  // -------------------------------------------------------------------
+  // q91: full outer join — per-user click and purchase counts with
+  // neither side required (both null directions exercised + coalesced).
+  // -------------------------------------------------------------------
+  def q91FullOuter(spark: SparkSession, dir: String): DataFrame = {
+    val e = ev(spark, dir)
+    val clicks = e.filter(col("event_type") === "click")
+      .groupBy(col("user_id")).agg(count(lit(1)).as("n_clicks"))
+    val purchases = e.filter(col("event_type") === "purchase")
+      .groupBy(col("user_id")).agg(count(lit(1)).as("n_purchases"))
+    clicks.join(purchases, Seq("user_id"), "full_outer")
+      .select(col("user_id"),
+        coalesce(col("n_clicks"), lit(0L)).as("n_clicks"),
+        coalesce(col("n_purchases"), lit(0L)).as("n_purchases"))
+      .orderBy(asc("user_id"))
+  }
+  val q91Sql: String =
+    """WITH c AS (
+      |  SELECT user_id, COUNT(*) AS n_clicks FROM events
+      |  WHERE event_type = 'click' GROUP BY user_id
+      |), p AS (
+      |  SELECT user_id, COUNT(*) AS n_purchases FROM events
+      |  WHERE event_type = 'purchase' GROUP BY user_id
+      |)
+      |SELECT COALESCE(c.user_id, p.user_id) AS user_id,
+      |  COALESCE(n_clicks, 0) AS n_clicks,
+      |  COALESCE(n_purchases, 0) AS n_purchases
+      |FROM c FULL JOIN p ON c.user_id = p.user_id
+      |ORDER BY user_id""".stripMargin
+
+  // -------------------------------------------------------------------
+  // q92: time-series resample / gap filling — a dense hourly grid
+  // (sequence over the observed range × the type dimension) left-joined
+  // to the sparse hourly counts, absent slots filled with 0. The grid
+  // is generated, never scanned; the event table is aggregated before
+  // the join, so the fill is a join of two SMALL frames at any scale.
+  // -------------------------------------------------------------------
+  def q92Resample(spark: SparkSession, dir: String): DataFrame = {
+    val e = ev(spark, dir).select(col("ts"), col("event_type"))
+    val hourly = e.groupBy(date_trunc("hour", col("ts")).as("hour"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    val grid = e.agg(date_trunc("hour", min(col("ts"))).as("mn"),
+        date_trunc("hour", max(col("ts"))).as("mx"))
+      .select(explode(sequence(col("mn"), col("mx"),
+        expr("INTERVAL 1 HOUR"))).as("hour"))
+    val types = e.select(col("event_type")).distinct()
+    grid.crossJoin(broadcast(types))
+      .join(hourly, Seq("hour", "event_type"), "left_outer")
+      .select(col("hour"), col("event_type"),
+        coalesce(col("n"), lit(0L)).as("n"))
+      .orderBy(asc("hour"), asc("event_type"))
+  }
+  val q92Sql: String =
+    """WITH b AS (
+      |  SELECT DATE_TRUNC('hour', MIN(ts)) AS mn,
+      |         DATE_TRUNC('hour', MAX(ts)) AS mx FROM events
+      |), grid AS (
+      |  SELECT UNNEST(generate_series(mn, mx, INTERVAL 1 HOUR)) AS hour FROM b
+      |), types AS (
+      |  SELECT DISTINCT event_type FROM events
+      |), h AS (
+      |  SELECT DATE_TRUNC('hour', ts) AS hour, event_type, COUNT(*) AS n
+      |  FROM events GROUP BY 1, 2
+      |)
+      |SELECT CAST(g.hour AS TIMESTAMP) AS hour, t.event_type,
+      |  COALESCE(h.n, 0) AS n
+      |FROM grid g CROSS JOIN types t
+      |LEFT JOIN h ON h.hour = g.hour AND h.event_type = t.event_type
+      |ORDER BY hour, t.event_type""".stripMargin
+
+  // -------------------------------------------------------------------
+  // q93: cohort retention — users grouped by first-seen week, counted
+  // per whole-week offset they return in. All joins/aggregates keyed by
+  // user_id or the tiny (cohort, week) pair; integer day arithmetic so
+  // both engines bucket identically.
+  // -------------------------------------------------------------------
+  def q93CohortRetention(spark: SparkSession, dir: String): DataFrame = {
+    val e = ev(spark, dir).select(col("user_id"), col("ts"))
+    val firsts = e.groupBy(col("user_id")).agg(min(col("ts")).as("t0"))
+    e.join(firsts, "user_id")
+      .select(
+        to_date(date_trunc("week", col("t0"))).as("cohort_week"),
+        floor(datediff(to_date(col("ts")), to_date(col("t0"))) / lit(7.0))
+          .cast("int").as("week_n"),
+        col("user_id"))
+      .distinct()
+      .groupBy(col("cohort_week"), col("week_n"))
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy(asc("cohort_week"), asc("week_n"))
+  }
+  val q93Sql: String =
+    """WITH f AS (
+      |  SELECT user_id, MIN(ts) AS t0 FROM events GROUP BY user_id
+      |), a AS (
+      |  SELECT DISTINCT
+      |    CAST(DATE_TRUNC('week', f.t0) AS DATE) AS cohort_week,
+      |    CAST(FLOOR(date_diff('day', CAST(f.t0 AS DATE), CAST(e.ts AS DATE)) / 7.0) AS INT) AS week_n,
+      |    e.user_id
+      |  FROM events e JOIN f ON e.user_id = f.user_id
+      |)
+      |SELECT cohort_week, week_n, COUNT(*) AS n_users
+      |FROM a GROUP BY cohort_week, week_n
+      |ORDER BY cohort_week, week_n""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q91_full_outer" -> (q91FullOuter _),
+    "q92_resample" -> (q92Resample _),
+    "q93_cohort_retention" -> (q93CohortRetention _),
     "q89_event_funnel" -> (q89EventFunnel _),
     "q84_zorder_curve" -> (q84ZorderCurve _),
     "q72_window_nav" -> (q72WindowNav _),
@@ -361,6 +469,9 @@ object Analytics {
     "q24_json_extract" -> (q24Json _))
 
   val oracle: Map[String, String] = Map(
+    "q91_full_outer" -> q91Sql,
+    "q92_resample" -> q92Sql,
+    "q93_cohort_retention" -> q93Sql,
     "q89_event_funnel" -> q89Sql,
     "q84_zorder_curve" -> q84Sql,
     "q72_window_nav" -> q72Sql,
