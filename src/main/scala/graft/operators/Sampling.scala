@@ -87,4 +87,29 @@ object Sampling {
     df.withColumn("sample_key", C.portableHash(col(idCol), seed))
       .orderBy(asc("sample_key"), asc(idCol))
       .limit(n)
+
+  /** Mixture resampling toward TARGET source weights — the
+    * training-mix step: given desired proportions per stratum and a
+    * total budget, derive each stratum's keep-rate from its ACTUAL
+    * row count (rate_s = min(1, w_s·target / n_s)) and apply the
+    * deterministic hash sample. An over-represented source is thinned
+    * toward its weight; an under-represented one caps at rate 1
+    * (sampling can't invent rows — upweight at training time instead).
+    * Strata not in `weights` drop (rate 0).
+    *
+    * Scale shape: the count pass is one partial-aggregated groupBy
+    * whose result (per-stratum counts = the model) is collected to
+    * compute the rate thresholds, then membership is the same map-only
+    * hash compare as [[stratifiedSample]] — zero shuffle of the data.
+    */
+  def mixtureSample(df: DataFrame, idCol: String, strataCol: String,
+                    weights: Map[String, Double], totalTarget: Long,
+                    seed: Long): DataFrame = {
+    val counts = df.groupBy(col(strataCol)).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val rates = weights.collect { case (s, w) if counts.contains(s) =>
+      s -> math.min(1.0, w * totalTarget / counts(s))
+    }
+    stratifiedSample(df, idCol, strataCol, rates, defaultRate = 0.0, seed)
+  }
 }

@@ -100,13 +100,55 @@ object Sampling {
       |FROM bg JOIN big USING (w1, w2) JOIN uni ON bg.w1 = uni.w CROSS JOIN v
       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  // -------------------------------------------------------------------
+  // q94: mixture resampling toward target source weights — rates
+  // derived from ACTUAL per-source counts (min(1, w·target/n_s)), so
+  // the oracle recomputes the identical thresholds from SQL counts:
+  // same double ops in the same order, floor'd to the same integer
+  // hash threshold. Budget = |docs| div 5 keeps the query meaningful
+  // at every scale factor.
+  // -------------------------------------------------------------------
+  private val mixWeights = Seq("src0" -> 0.4, "src1" -> 0.3, "src2" -> 0.2)
+
+  def q94MixtureSample(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    S.mixtureSample(d, "doc_id", "source", mixWeights.toMap,
+        totalTarget = d.count() / 5, seed = 7L)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_sampled"), sum(col("doc_id")).as("sum_ids"))
+      .orderBy(asc("source"))
+  }
+  val q94Sql: String = {
+    val h = C.portableHashSql("doc_id", 7L)
+    val cases = mixWeights.map { case (s, w) =>
+      s"WHEN '$s' THEN CAST(FLOOR(LEAST(1.0, $w * tt / ns) * 4294967296.0) AS BIGINT)"
+    }.mkString("\n      |    ")
+    s"""WITH t AS (
+       |  SELECT COUNT(*) // 5 AS tt FROM documents
+       |), n AS (
+       |  SELECT source, COUNT(*) AS ns FROM documents GROUP BY source
+       |), r AS (
+       |  SELECT source, CASE source
+       |    $cases
+       |    ELSE 0 END AS thr
+       |  FROM n CROSS JOIN t
+       |)
+       |SELECT d.source, COUNT(*) AS n_sampled,
+       |  CAST(SUM(d.doc_id) AS BIGINT) AS sum_ids
+       |FROM documents d JOIN r ON d.source = r.source
+       |WHERE $h < r.thr
+       |GROUP BY d.source ORDER BY d.source""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q69_stratified_sample" -> (q69StratifiedSample _),
     "q70_group_cap" -> (q70GroupCap _),
-    "q71_bigram_lm" -> (q71BigramLm _))
+    "q71_bigram_lm" -> (q71BigramLm _),
+    "q94_mixture_sample" -> (q94MixtureSample _))
 
   val oracle: Map[String, String] = Map(
     "q69_stratified_sample" -> q69Sql,
     "q70_group_cap" -> q70Sql,
-    "q71_bigram_lm" -> q71Sql)
+    "q71_bigram_lm" -> q71Sql,
+    "q94_mixture_sample" -> q94Sql)
 }

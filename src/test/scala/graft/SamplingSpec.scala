@@ -80,6 +80,29 @@ class SamplingSpec extends SparkSpec {
     assert(joined.count() === 0)
   }
 
+  test("mixtureSample thins over-represented strata and caps rate at 1") {
+    import spark.implicits._
+    // a: 8000 rows, b: 1500, c: 500; target 50/30/20 of 5000 →
+    // rates: a = 2500/8000, b = 1, c = 1 (can't invent rows)
+    val df = ((0 until 8000).map(i => (i.toLong, "a")) ++
+      (8000 until 9500).map(i => (i.toLong, "b")) ++
+      (9500 until 10000).map(i => (i.toLong, "c"))).toDF("id", "s")
+    val out = graft.operators.Sampling
+      .mixtureSample(df, "id", "s", Map("a" -> 0.5, "b" -> 0.3, "c" -> 0.2),
+        totalTarget = 5000L, seed = 11L)
+      .groupBy("s").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out("b") === 1500L) // rate capped at 1: every row kept
+    assert(out("c") === 500L)
+    // hash-thinned to ~2500 of 8000; the portable hash is near-uniform
+    assert(out("a") > 2200L && out("a") < 2800L, s"a=${out("a")}")
+    // determinism
+    val again = graft.operators.Sampling
+      .mixtureSample(df, "id", "s", Map("a" -> 0.5, "b" -> 0.3, "c" -> 0.2),
+        totalTarget = 5000L, seed = 11L).count()
+    assert(again === out.values.sum)
+  }
+
   test("bigramLmScore: frequent bigrams score higher; counts are exact") {
     val docs = Seq(
       (1L, "the cat sat"),          // bigrams: (the,cat) (cat,sat)
