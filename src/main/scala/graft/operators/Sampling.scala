@@ -52,15 +52,23 @@ object Sampling {
   /** Cap each group at `n` rows, preferring rows by `orderCols`
     * (ties MUST be broken by a unique column for determinism).
     *
-    * Two-phase, skew-safe: a single `row_number` window per group
-    * funnels every row of a hot group through one reducer — at 100 TB
-    * a boilerplate-heavy source with 10¹⁰ rows is one task. Instead:
-    * phase 1 salts each group into `salts` sub-partitions by id hash
-    * and keeps the top-n per (group, salt); phase 2 ranks the
-    * ≤ salts·n survivors per group. The global per-group top-n under
-    * a total order is contained in the union of per-salt top-n, so
-    * the result is EXACTLY the single-window answer, but no reducer
+    * Two-phase: phase 1 salts each group into `salts` sub-partitions
+    * by id hash and keeps the top-n per (group, salt); phase 2 ranks
+    * the ≤ salts·n survivors per group. The global per-group top-n
+    * under a total order is contained in the union of per-salt top-n,
+    * so the result is EXACTLY the single-window answer, and no reducer
     * ever sees more than max(group_rows/salts, salts·n) rows.
+    *
+    * Honesty note (verified against the physical plan): since Spark
+    * 3.5 the optimizer already inserts a PARTIAL `WindowGroupLimit`
+    * below the exchange for `row_number() ≤ n` filters — each map
+    * partition forwards at most n rows per group, so the plain
+    * single-window formulation is itself skew-bounded at
+    * n × mapPartitions rows per reducer. This operator remains (a) the
+    * exact-parity harness that proves that plan's answer under skew
+    * (SamplingSpec), and (b) the manual recipe for rank functions the
+    * built-in rewrite does not cover (e.g. per-group top-n by a
+    * non-row_number preference with RANGE semantics).
     */
   def capPerGroup(df: DataFrame, idCol: String, groupCol: String, n: Int,
                   orderCols: Seq[Column], salts: Int = 16,
