@@ -43,6 +43,29 @@ object Dedup {
       exact(docs, idCol, textCol).select(col("keep_id").as(idCol)),
       Seq(idCol), "left_semi")
 
+  /** Incremental (cross-snapshot) exact dedup — the daily-ingest
+    * pattern: of a NEW batch, keep one representative (lowest id) per
+    * distinct content that was NOT already present in the prior
+    * corpus. Within-batch dedup is a fingerprint min-aggregate; the
+    * against-prior check is an anti join on 8-byte fingerprints —
+    * text never shuffles on either side. At 100 TB the prior side is
+    * a persisted fingerprint table (not a rescan), optionally fronted
+    * by a Bloom filter of yesterday's fingerprints (the
+    * [[graft.functions.BloomAgg]] pattern) to thin the anti join's
+    * probe side map-side.
+    */
+  def incrementalExact(newDocs: DataFrame, prior: DataFrame,
+                       idCol: String, textCol: String): DataFrame = {
+    val priorFp = prior
+      .select(TextAnalysis.fingerprint(col(textCol)).as("fp")).distinct()
+    newDocs
+      .select(col(idCol), TextAnalysis.fingerprint(col(textCol)).as("fp"))
+      .groupBy(col("fp"))
+      .agg(min(col(idCol)).as(idCol), count(lit(1)).as("n_copies"))
+      .join(priorFp, Seq("fp"), "left_anti")
+      .select(col(idCol), col("n_copies"))
+  }
+
   /** Exploded distinct k-word shingle hashes: one (id, sh) row per
     * distinct shingle — now a MAP-ONLY projection over the native
     * [[graft.functions.TextHash.shingleHashSet]] kernel (hash values

@@ -297,6 +297,35 @@ object Pipeline {
       |FROM documents GROUP BY 1 ORDER BY media_type""".stripMargin
 
   // -------------------------------------------------------------------
+  // q95: incremental exact dedup — "yesterday" = even doc_ids,
+  // "today's batch" = odd doc_ids; keep first-in-batch of each content
+  // never seen before. Anti join on fingerprints; the oracle rebuilds
+  // it from normalized text (hash-free, same q30 convention).
+  // -------------------------------------------------------------------
+  def q95IncrementalDedup(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    Dedup.incrementalExact(
+        d.filter(col("doc_id") % 2 === 1),
+        d.filter(col("doc_id") % 2 === 0),
+        "doc_id", "text")
+      .orderBy(asc("doc_id"))
+  }
+  val q95Sql: String =
+    """WITH norm AS (
+      |  SELECT doc_id, regexp_replace(TRIM(text), '\s+', ' ', 'g') AS nt
+      |  FROM documents
+      |), prior AS (
+      |  SELECT DISTINCT nt FROM norm WHERE doc_id % 2 = 0
+      |), batch AS (
+      |  SELECT MIN(doc_id) AS doc_id, COUNT(*) AS n_copies, nt
+      |  FROM norm WHERE doc_id % 2 = 1 GROUP BY nt
+      |)
+      |SELECT b.doc_id, b.n_copies
+      |FROM batch b LEFT JOIN prior p ON b.nt = p.nt
+      |WHERE p.nt IS NULL
+      |ORDER BY b.doc_id""".stripMargin
+
+  // -------------------------------------------------------------------
   // q88: multimodal transcode accounting — image resize / video
   // frame-sample / audio passthrough, bytes in/out per type. The stub
   // policies are pure functions of payload length, so DuckDB rebuilds
@@ -581,6 +610,7 @@ object Pipeline {
     "q36_cosine_neardup" -> (q36CosineNearDup _),
     "q37_multimodal" -> (q37Multimodal _),
     "q88_multimodal_transcode" -> (q88MultimodalTranscode _),
+    "q95_incremental_dedup" -> (q95IncrementalDedup _),
     "q38_stream_hourly" -> (q38StreamHourly _),
     "q39_stream_stateful" -> (q39StreamStateful _),
     "q55_neardup_clusters" -> (q55NeardupClusters _),
@@ -607,6 +637,7 @@ object Pipeline {
     "q34_cosine_topk" -> q34Sql,
     "q37_multimodal" -> q37Sql,
     "q88_multimodal_transcode" -> q88Sql,
+    "q95_incremental_dedup" -> q95Sql,
     "q38_stream_hourly" -> q38Sql,
     "q39_stream_stateful" -> q39Sql,
     "q55_neardup_clusters" -> q55Sql,
