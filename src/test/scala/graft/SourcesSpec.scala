@@ -53,4 +53,48 @@ class SourcesSpec extends SparkSpec {
       s"expected lang=en in PartitionFilters, got:\n$plan")
     assert(back.count() === docs.filter(col("lang") === "en").count())
   }
+
+  test("parquet schema evolution: mergeSchema unions snapshots with added columns") {
+    val dir = Files.createTempDirectory("graft_evolve").toString
+    // day 1 writes (id, a); day 2 adds a column (id, a, b)
+    Seq((1L, "x"), (2L, "y")).toDF("id", "a")
+      .write.parquet(s"$dir/day=1")
+    Seq((3L, "z", 30L)).toDF("id", "a", "b")
+      .write.parquet(s"$dir/day=2")
+    val merged = spark.read.option("mergeSchema", "true").parquet(dir)
+    assert(merged.columns.toSet === Set("id", "a", "b", "day"))
+    val rows = merged.orderBy("id")
+      .collect().map(r => (r.getLong(0), r.getAs[Any]("b")))
+    assert(rows(0)._2 === null) // day-1 rows read null for the new column
+    assert(rows(2)._2 === 30L)
+  }
+
+  test("malformed JSONL: permissive mode quarantines bad lines, dropmalformed skips them") {
+    val dir = Files.createTempDirectory("graft_badjson").toString
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$dir/data.jsonl"),
+      """{"id": 1, "v": "ok"}
+        |not json at all
+        |{"id": 2, "v": "also ok"}
+        |{"id": "wrongtype and unclosed
+        |""".stripMargin)
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("v", StringType),
+      StructField("_corrupt_record", StringType)))
+    val permissive = spark.read.schema(schema)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .json(s"$dir/data.jsonl")
+    // cache before splitting on _corrupt_record: Spark requires the
+    // corrupt-record column not be the only one referenced post-parse
+    permissive.cache()
+    val good = permissive.filter(col("_corrupt_record").isNull)
+    val bad = permissive.filter(col("_corrupt_record").isNotNull)
+    assert(good.count() === 2L)
+    assert(bad.count() === 2L)
+    permissive.unpersist()
+    val dropped = spark.read
+      .schema(StructType(Seq(StructField("id", LongType), StructField("v", StringType))))
+      .option("mode", "DROPMALFORMED").json(s"$dir/data.jsonl")
+    assert(dropped.count() === 2L)
+  }
 }
