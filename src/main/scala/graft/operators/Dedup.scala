@@ -54,6 +54,35 @@ object Dedup {
     * [[graft.functions.BloomAgg]] pattern) to thin the anti join's
     * probe side map-side.
     */
+  /** Fuzzy-key near-dup pairs by bounded edit distance — the
+    * title/URL/short-field matcher: block on a `blockPrefix`-char
+    * prefix (equi-join — typo'd strings usually share a prefix; for
+    * typo-in-prefix recall, union a second pass blocked on a suffix
+    * or sorted-token key), cap degenerate blocks, and verify with the
+    * codegen'd built-in `levenshtein` AFTER the equi-join (a distance
+    * predicate must never be the join condition — PERF.md lesson 2).
+    * O(k²) DP per surviving candidate pair is fine BECAUSE keys are
+    * short fields, never documents.
+    */
+  def editDistancePairs(df: DataFrame, idCol: String, keyCol: String,
+                        maxDist: Int, blockPrefix: Int = 8,
+                        maxBucket: Int = 1000): DataFrame = {
+    val keys = df
+      .select(col(idCol).as("id"), col(keyCol).as("k"))
+      .withColumn("bucket", substring(col("k"), 1, blockPrefix))
+      .withColumn("bucket_n", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("bucket"))))
+      .filter(col("bucket_n") <= lit(maxBucket))
+      .drop("bucket_n")
+    val l = keys.select(col("id").as("id_a"), col("k").as("k_a"), col("bucket"))
+    val r = keys.select(col("id").as("id_b"), col("k").as("k_b"), col("bucket"))
+    l.join(r, Seq("bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("dist", levenshtein(col("k_a"), col("k_b")))
+      .filter(col("dist") <= lit(maxDist))
+      .select(col("id_a"), col("id_b"), col("dist"))
+  }
+
   def incrementalExact(newDocs: DataFrame, prior: DataFrame,
                        idCol: String, textCol: String): DataFrame = {
     val priorFp = prior

@@ -326,6 +326,31 @@ object Pipeline {
       |ORDER BY b.doc_id""".stripMargin
 
   // -------------------------------------------------------------------
+  // q96: fuzzy-key dedup — bounded edit distance over the 24-char
+  // document prefix, blocked on the 8-char prefix. Both engines run
+  // the classic Wagner-Fischer DP, so distances oracle exactly; the
+  // bucket-cap window is mirrored in SQL.
+  // -------------------------------------------------------------------
+  def q96FuzzyKeyPairs(spark: SparkSession, dir: String): DataFrame =
+    Dedup.editDistancePairs(
+        docs(spark, dir).withColumn("key24", substring(col("text"), 1, 24)),
+        "doc_id", "key24", maxDist = 3, blockPrefix = 8, maxBucket = 1000)
+      .orderBy(asc("id_a"), asc("id_b"))
+  val q96Sql: String =
+    """WITH k AS (
+      |  SELECT doc_id, SUBSTRING(text, 1, 24) AS kk,
+      |    SUBSTRING(text, 1, 8) AS bucket FROM documents
+      |), capped AS (
+      |  SELECT * FROM k QUALIFY COUNT(*) OVER (PARTITION BY bucket) <= 1000
+      |)
+      |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+      |  CAST(levenshtein(a.kk, b.kk) AS INT) AS dist
+      |FROM capped a JOIN capped b
+      |  ON a.bucket = b.bucket AND a.doc_id < b.doc_id
+      |WHERE levenshtein(a.kk, b.kk) <= 3
+      |ORDER BY id_a, id_b""".stripMargin
+
+  // -------------------------------------------------------------------
   // q88: multimodal transcode accounting — image resize / video
   // frame-sample / audio passthrough, bytes in/out per type. The stub
   // policies are pure functions of payload length, so DuckDB rebuilds
@@ -611,6 +636,7 @@ object Pipeline {
     "q37_multimodal" -> (q37Multimodal _),
     "q88_multimodal_transcode" -> (q88MultimodalTranscode _),
     "q95_incremental_dedup" -> (q95IncrementalDedup _),
+    "q96_fuzzy_key_pairs" -> (q96FuzzyKeyPairs _),
     "q38_stream_hourly" -> (q38StreamHourly _),
     "q39_stream_stateful" -> (q39StreamStateful _),
     "q55_neardup_clusters" -> (q55NeardupClusters _),
@@ -638,6 +664,7 @@ object Pipeline {
     "q37_multimodal" -> q37Sql,
     "q88_multimodal_transcode" -> q88Sql,
     "q95_incremental_dedup" -> q95Sql,
+    "q96_fuzzy_key_pairs" -> q96Sql,
     "q38_stream_hourly" -> q38Sql,
     "q39_stream_stateful" -> q39Sql,
     "q55_neardup_clusters" -> q55Sql,
