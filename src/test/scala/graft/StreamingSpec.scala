@@ -125,6 +125,33 @@ class StreamingSpec extends SparkSpec {
     assert(ids.toSet === (0L until 150L).toSet) // no duplicates, no gaps
   }
 
+  test("RocksDB state store provider: watermarked rollup agrees with default store") {
+    // the 100 TB state backend: state spills to local RocksDB instead
+    // of executor heap. Same query, same answer — only the provider
+    // differs; this pins that the engine's streaming queries run
+    // unmodified on the scale configuration.
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val rocks = graft.streaming.EventStreams
+        .hourlyRollupBatchDriven(spark, sf)
+        .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2))).toSet
+      spark.conf.unset(key)
+      val default = graft.streaming.EventStreams
+        .hourlyRollupBatchDriven(spark, sf)
+        .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2))).toSet
+      assert(rocks === default)
+      assert(rocks.nonEmpty)
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
+
   test("streaming upsert final state equals batch latest-per-key") {
     val streamed = graft.streaming.EventStreams
       .streamingUpsert(spark, sf).collect()
