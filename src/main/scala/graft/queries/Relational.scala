@@ -536,7 +536,32 @@ object Relational {
       |FROM lineitem WHERE l_returnflag = 'A'
       |GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin
 
+  // -------------------------------------------------------------------
+  // q97: the SQL entry point — ONE dialect-portable SQL string runs
+  // unchanged on graft (spark.sql over registered temp views) AND as
+  // its own DuckDB oracle. Money is summed in integer cents
+  // (ROUND(x*100) — 2-decimal-clean inputs make every rounding mode
+  // agree) so the identical text is also hash-identical; the outer
+  // CAST keeps DuckDB's SUM off HUGEINT.
+  // -------------------------------------------------------------------
+  private val q97Text: String =
+    """SELECT n_name, COUNT(*) AS n_orders,
+      |  CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS revenue_cents
+      |FROM orders
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN nation ON c_nationkey = n_nationkey
+      |GROUP BY n_name ORDER BY n_name""".stripMargin
+
+  def q97SqlEntry(spark: SparkSession, dir: String): DataFrame = {
+    Seq("orders", "customer", "nation").foreach { t =>
+      spark.read.parquet(s"$dir/$t.parquet").createOrReplaceTempView(t)
+    }
+    spark.sql(q97Text)
+  }
+  val q97Sql: String = q97Text
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q97_sql_entry" -> (q97SqlEntry _),
     "q53_graft_facade" -> (q53GraftFacade _),
     "q76_tpch_q5" -> (q76TpchQ5 _),
     "q77_tpch_q10" -> (q77TpchQ10 _),
@@ -560,6 +585,7 @@ object Relational {
     "q15_star_join" -> (q15StarJoin _))
 
   val oracle: Map[String, String] = Map(
+    "q97_sql_entry" -> q97Sql,
     "q53_graft_facade" -> q53Sql,
     "q76_tpch_q5" -> q76Sql,
     "q77_tpch_q10" -> q77Sql,
