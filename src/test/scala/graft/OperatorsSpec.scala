@@ -222,6 +222,60 @@ class OperatorsSpec extends SparkSpec {
     assert(spark.sql("SELECT vec_dot(a, b) AS d FROM vecs").collect()(0).getDouble(0) === 32.0)
   }
 
+  test("vec-mat kernels match reference math; normalize is bit-identical to HOF") {
+    import graft.functions.VectorFunctions._
+    val mat = Array(
+      Array(1.0, 0.0, 0.0, 0.0),
+      Array(0.0, 1.0, 0.0, 0.0),
+      Array(0.5, 0.5, 0.5, 0.5))
+    val v = Array(0.2f, 0.9f, 0.1f, 0.3f)
+    val df = Seq(Tuple1(v)).toDF("v")
+    // dots: row-by-row dot products
+    val dots = df.select(vec_mat_dots(col("v"), mat)).collect()(0)
+      .getSeq[Double](0)
+    val expect = mat.map(row =>
+      row.zip(v.map(_.toDouble)).map { case (a, b) => a * b }.sum)
+    assert(dots.toArray.zip(expect).forall { case (a, b) => math.abs(a - b) < 1e-12 })
+    // argmax: row 1 has the max dot (0.9); signbits: all dots >= 0
+    assert(df.select(vec_mat_argmax(col("v"), mat)).collect()(0).getInt(0) === 1)
+    assert(df.select(vec_mat_signbits(col("v"), mat)).collect()(0).getLong(0) === 7L)
+    // argmax tie rule: equal scores keep the HIGHEST row (greatest-struct parity)
+    val tie = Seq(Tuple1(Array(1.0f, 1.0f))).toDF("v")
+    val tieMat = Array(Array(0.5, 0.5), Array(0.5, 0.5))
+    assert(tie.select(vec_mat_argmax(col("v"), tieMat)).collect()(0).getInt(0) === 1)
+    // normalize: bit-identical to the transform HOF it replaced
+    val nrm = df.select(vec_normalize(col("v"))).collect()(0).getSeq[Double](0)
+    val hof = df.select(transform(col("v"),
+        x => x.cast("double") / sqrt(aggregate(transform(col("v"),
+          y => y.cast("double") * y.cast("double")), lit(0.0), (s, y) => s + y))))
+      .collect()(0).getSeq[Double](0)
+    assert(nrm === hof)
+  }
+
+  test("interleave_bits and bloom probe agree between codegen and interpreted eval") {
+    import graft.functions._
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    // interpreted eval of InterleaveBits vs the DataFrame (codegen) path
+    val expr = InterleaveBits(Seq(Literal(12345), Literal(54321)))
+    val interpreted = expr.eval(null).asInstanceOf[Long]
+    val codegen = Seq((12345, 54321)).toDF("a", "b")
+      .select(LayoutFunctions.interleave_bits(col("a"), col("b")))
+      .collect()(0).getLong(0)
+    assert(interpreted === codegen)
+    // bloom: interpreted probe of a built filter agrees with codegen
+    val keys = (0L until 100L)
+    val buf = new BloomBuf(1 << 12)
+    keys.foreach(buf.add(_, 5))
+    val bytes = buf.toBytes
+    val probe = BloomMightContain(Literal(bytes), Literal(42L), 5)
+    assert(probe.eval(null) === true)
+    val viaDf = keys.toDF("k")
+      .select(SketchFunctions.bloom_might_contain(
+        lit(bytes), col("k"), 5).as("hit"))
+      .collect().forall(_.getBoolean(0))
+    assert(viaDf)
+  }
+
   test("GraftExtensions registers native text/vector/sketch functions for SQL") {
     val orig = spark
     org.apache.spark.sql.SparkSession.clearActiveSession()
