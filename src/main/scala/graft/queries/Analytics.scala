@@ -450,7 +450,65 @@ object Analytics {
       |FROM a GROUP BY cohort_week, week_n
       |ORDER BY cohort_week, week_n""".stripMargin
 
+  // -------------------------------------------------------------------
+  // q98: per-group top-k via the PLAIN window-rank formulation — the
+  // plan Spark ≥ 3.5 skew-bounds itself with a Partial
+  // WindowGroupLimit below the exchange (verified; PERF.md lesson 11).
+  // Complements q70, which proves the salted two-phase variant returns
+  // the identical answer.
+  // -------------------------------------------------------------------
+  def q98WindowTopK(spark: SparkSession, dir: String): DataFrame = {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val w = Window.partitionBy(col("source"))
+      .orderBy(desc("n_chars"), asc("doc_id"))
+    docs.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 3)
+      .select(col("source"), col("rk").cast("long").as("rk"),
+        col("doc_id"), col("n_chars"))
+      .orderBy(asc("source"), asc("rk"))
+  }
+  val q98Sql: String =
+    """SELECT source, CAST(rk AS BIGINT) AS rk, doc_id, n_chars
+      |FROM (SELECT source, doc_id, n_chars,
+      |        ROW_NUMBER() OVER (PARTITION BY source
+      |          ORDER BY n_chars DESC, doc_id) AS rk
+      |      FROM documents)
+      |WHERE rk <= 3 ORDER BY source, rk""".stripMargin
+
+  // -------------------------------------------------------------------
+  // q99: null-safe equality join (`<=>` / IS NOT DISTINCT FROM) —
+  // NULL keys match each other instead of vanishing, the semantics
+  // CDC/merge pipelines need for nullable business keys.
+  // -------------------------------------------------------------------
+  def q99NullSafeJoin(spark: SparkSession, dir: String): DataFrame = {
+    val li = spark.read.parquet(s"$dir/lineitem.parquet")
+    // manufacture a nullable key: linenumber 3 → NULL
+    def keyed(alias: String) = li.select(
+      nullif(col("l_linenumber"), lit(3)).as(s"k_$alias"),
+      col("l_orderkey").as(s"o_$alias"))
+    val a = keyed("a").groupBy(col("k_a"))
+      .agg(count(lit(1)).as("n_a"))
+    val b = keyed("b").groupBy(col("k_b"))
+      .agg(count(lit(1)).as("n_b"))
+    a.join(b, col("k_a") <=> col("k_b"))
+      .select(col("k_a").as("k"), col("n_a"), col("n_b"))
+      .orderBy(asc_nulls_first("k"))
+  }
+  val q99Sql: String =
+    """WITH a AS (
+      |  SELECT NULLIF(l_linenumber, 3) AS k_a, COUNT(*) AS n_a
+      |  FROM lineitem GROUP BY 1
+      |), b AS (
+      |  SELECT NULLIF(l_linenumber, 3) AS k_b, COUNT(*) AS n_b
+      |  FROM lineitem GROUP BY 1
+      |)
+      |SELECT k_a AS k, n_a, n_b
+      |FROM a JOIN b ON k_a IS NOT DISTINCT FROM k_b
+      |ORDER BY k NULLS FIRST""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q98_window_topk" -> (q98WindowTopK _),
+    "q99_null_safe_join" -> (q99NullSafeJoin _),
     "q91_full_outer" -> (q91FullOuter _),
     "q92_resample" -> (q92Resample _),
     "q93_cohort_retention" -> (q93CohortRetention _),
@@ -469,6 +527,8 @@ object Analytics {
     "q24_json_extract" -> (q24Json _))
 
   val oracle: Map[String, String] = Map(
+    "q98_window_topk" -> q98Sql,
+    "q99_null_safe_join" -> q99Sql,
     "q91_full_outer" -> q91Sql,
     "q92_resample" -> q92Sql,
     "q93_cohort_retention" -> q93Sql,
