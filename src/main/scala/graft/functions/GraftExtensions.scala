@@ -57,5 +57,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[BloomMightContain].getName, "bloom_might_contain"),
       (children: Seq[Expression]) => BloomMightContain(children(0), children(1),
         intLit(children(2), "numHashes"))))
+    // post-pushdown lint: similarity measures must not be the sole join
+    // condition (see SimilarityJoinGuard)
+    e.injectOptimizerRule(session => SimilarityJoinGuard(session))
   }
 }

@@ -309,6 +309,50 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("SimilarityJoinGuard flags similarity-only join conditions, passes bucketed shapes") {
+    val orig = spark
+    org.apache.spark.sql.SparkSession.clearActiveSession()
+    org.apache.spark.sql.SparkSession.clearDefaultSession()
+    val s2 = org.apache.spark.sql.SparkSession.builder()
+      .master("local[2]")
+      .withExtensions(new graft.functions.GraftExtensions)
+      .getOrCreate()
+    try {
+      import s2.implicits._
+      val l = Seq((1L, Array(1.0f, 0.0f)), (2L, Array(0.0f, 1.0f))).toDF("id_a", "va")
+      val r = Seq((3L, Array(1.0f, 0.0f))).toDF("id_b", "vb")
+      val simJoin = l.join(r,
+        graft.functions.VectorFunctions.vec_dot(col("va"), col("vb")) > 0.9)
+      s2.conf.set("spark.graft.similarityJoinGuard", "strict")
+      val ex = intercept[Exception](simJoin.collect())
+      def rootMsg(t: Throwable): String =
+        if (t.getCause == null) String.valueOf(t.getMessage) else rootMsg(t.getCause)
+      assert((String.valueOf(ex.getMessage) + rootMsg(ex)).contains("equi-conjunct"))
+      // correct shape: equi-join on a bucket + similarity as a filter —
+      // passes strict even after Catalyst pushes the filter into the
+      // join condition. (The bucket must be data-derived: a literal
+      // bucket constant-folds away and the join genuinely degenerates
+      // to the nested loop the guard exists to flag.)
+      val lb = l.withColumn("bucket", pmod(col("id_a"), lit(2)))
+      val rb = r.withColumn("bucket", pmod(col("id_b"), lit(2)))
+      val bucketed = lb.join(rb, Seq("bucket"))
+        .filter(graft.functions.VectorFunctions.vec_dot(col("va"), col("vb")) > 0.9)
+      assert(bucketed.count() === 1L)
+      // warn mode: the bad shape still runs (tiny data, lint only).
+      // Re-build the Dataset: Spark 4's QueryExecution memoizes phase
+      // FAILURES (LazyTry), so the strict-mode failure above would be
+      // rethrown from the cached plan regardless of the new conf.
+      s2.conf.set("spark.graft.similarityJoinGuard", "warn")
+      val simJoin2 = l.join(r,
+        graft.functions.VectorFunctions.vec_dot(col("va"), col("vb")) > 0.9)
+      assert(simJoin2.collect().length === 1)
+    } finally {
+      s2.conf.unset("spark.graft.similarityJoinGuard")
+      org.apache.spark.sql.SparkSession.setActiveSession(orig)
+      org.apache.spark.sql.SparkSession.setDefaultSession(orig)
+    }
+  }
+
   test("asBlocks returns columnar map (reference as_blocks)") {
     val g = graft.api.GraftFrame(Seq((1L, "x"), (2L, "y")).toDF("i", "s"))
     val blocks = g.asBlocks()
