@@ -506,7 +506,38 @@ object Analytics {
       |FROM a JOIN b ON k_a IS NOT DISTINCT FROM k_b
       |ORDER BY k NULLS FIRST""".stripMargin
 
+  // -------------------------------------------------------------------
+  // q100: time-RANGE rolling window — per user, events and value-sum
+  // inside the trailing 1 hour of EVENT TIME (range frame, not row
+  // frame: simultaneous/burst events all count, gaps shrink the
+  // window). Spark ranges over unix micros; DuckDB over INTERVAL —
+  // identical inclusive [t-1h, t] semantics. Value sums through
+  // DECIMAL (events.value is ≤6-decimal clean).
+  // -------------------------------------------------------------------
+  def q100RollingWindow(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("us"))
+      .rangeBetween(-3600L * 1000000L, 0L)
+    ev(spark, dir)
+      .select(col("user_id"), col("event_id"),
+        unix_micros(col("ts")).as("us"), col("value"))
+      .select(col("user_id"), col("event_id"),
+        count(lit(1)).over(w).as("n_1h"),
+        sum(col("value").cast(DecimalType(20, 6))).over(w)
+          .cast("double").as("sum_1h"))
+      .orderBy(asc("user_id"), asc("event_id"))
+  }
+  val q100Sql: String =
+    """SELECT user_id, event_id,
+      |  COUNT(*) OVER w AS n_1h,
+      |  CAST(CAST(SUM(CAST(value AS DECIMAL(20,6))) OVER w AS VARCHAR) AS DOUBLE) AS sum_1h
+      |FROM events
+      |WINDOW w AS (PARTITION BY user_id ORDER BY ts
+      |  RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+      |ORDER BY user_id, event_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q100_rolling_window" -> (q100RollingWindow _),
     "q98_window_topk" -> (q98WindowTopK _),
     "q99_null_safe_join" -> (q99NullSafeJoin _),
     "q91_full_outer" -> (q91FullOuter _),
@@ -527,6 +558,7 @@ object Analytics {
     "q24_json_extract" -> (q24Json _))
 
   val oracle: Map[String, String] = Map(
+    "q100_rolling_window" -> q100Sql,
     "q98_window_topk" -> q98Sql,
     "q99_null_safe_join" -> q99Sql,
     "q91_full_outer" -> q91Sql,
