@@ -88,6 +88,33 @@ object ScaleStress {
         docs.filter(col("doc_id") % 97 =!= 0),
         docs.filter(col("doc_id") % 97 === 0),
         "doc_id", "text", n = 5).count())
+
+    // vector path at factor× scale: replicate embeddings with
+    // deterministic per-replica jitter (vec_id-seeded hash noise) so
+    // replicas are near- but not exact-duplicates — the SemDeDup shape.
+    val embBase = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
+    val embPath = "/tmp/graft_stress_emb"
+    embBase.crossJoin(spark.range(factor).toDF("rep"))
+      .select(
+        (col("vec_id") + col("rep") * lit(1000000L)).as("vec_id"),
+        transform(col("embedding"), x =>
+          x + (pmod(xxhash64(col("vec_id"), col("rep")), lit(1000L)).cast("double")
+            - lit(500.0)) / lit(50000.0)).as("embedding"))
+      .repartition(32)
+      .write.mode("overwrite").parquet(embPath)
+    val emb = spark.read.parquet(embPath)
+    println(s"[stress] embeddings x$factor -> ${emb.count()} vectors")
+    timed("k-means training (16 cells, 2 iters)")(
+      { graft.operators.Similarity.trainCentroids(emb, "embedding", 16, 2, 64); 0L })
+    timed("semantic dedup (SemDeDup, th=0.995)")(
+      graft.operators.Similarity.semanticDedup(emb, "vec_id", "embedding",
+        threshold = 0.995, numCells = 16, iters = 2, dim = 64)
+        .filter(!col("keep")).count())
+    timed("IVF top-5 (trained quantizer, 100 queries)")(
+      graft.operators.Similarity.ivfTopK(
+        emb.filter(col("vec_id") < 100), emb, "vec_id", "vec_id",
+        "embedding", "embedding", k = 5, numCells = 16, nProbe = 4,
+        dim = 64).count())
     spark.stop()
   }
 }
