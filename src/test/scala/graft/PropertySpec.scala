@@ -57,4 +57,69 @@ class PropertySpec extends Properties("graft") {
         joined == lc.map { case (k, n) => n.toLong * rc.getOrElse(k, 0).toLong }.sum
       }
     }
+
+  // ---- native kernel invariants (pure JVM eval paths — no Spark jobs,
+  // so these run at full ScalaCheck sample counts) ----
+
+  private val dim16 = Gen.chooseNum(0L, 65535L)
+
+  property("interleave_bits is invertible on 16-bit pairs") =
+    Prop.forAll(dim16, dim16) { (u, e) =>
+      val z = graft.functions.InterleaveBits(Seq(
+        org.apache.spark.sql.catalyst.expressions.Literal(u),
+        org.apache.spark.sql.catalyst.expressions.Literal(e)))
+        .eval(null).asInstanceOf[Long]
+      var (du, de) = (0L, 0L)
+      for (j <- 0 until 16) {
+        du |= ((z >>> (2 * j)) & 1L) << j
+        de |= ((z >>> (2 * j + 1)) & 1L) << j
+      }
+      du == u && de == e
+    }
+
+  property("bloom filter never false-negatives") =
+    Prop.forAll(Gen.listOfN(200, Gen.long), Gen.oneOf(1 << 10, 1 << 12, 1 << 14)) {
+      (keys, bits) =>
+        val buf = new graft.functions.BloomBuf(bits)
+        keys.foreach(buf.add(_, 5))
+        val probe = graft.functions.BloomMightContain(
+          org.apache.spark.sql.catalyst.expressions.Literal(buf.toBytes),
+          org.apache.spark.sql.catalyst.expressions.Literal(0L), 5)
+        keys.forall { k =>
+          graft.functions.BloomMightContain(
+            org.apache.spark.sql.catalyst.expressions.Literal(buf.toBytes),
+            org.apache.spark.sql.catalyst.expressions.Literal(k), 5)
+            .eval(null).asInstanceOf[Boolean]
+        } && probe.dataType == org.apache.spark.sql.types.BooleanType
+    }
+
+  property("bloom merge(or) == build over union") =
+    Prop.forAll(Gen.listOfN(80, Gen.long), Gen.listOfN(80, Gen.long)) { (a, b) =>
+      val bits = 1 << 12
+      val ba = new graft.functions.BloomBuf(bits); a.foreach(ba.add(_, 5))
+      val bb = new graft.functions.BloomBuf(bits); b.foreach(bb.add(_, 5))
+      ba.orIn(bb)
+      val u = new graft.functions.BloomBuf(bits); (a ++ b).foreach(u.add(_, 5))
+      java.util.Arrays.equals(ba.toBytes, u.toBytes)
+    }
+
+  private val vecGen = Gen.listOfN(8, Gen.chooseNum(-10.0, 10.0))
+
+  property("vec_mat_argmax agrees with a linear scan of vec_mat_dots") =
+    Prop.forAll(vecGen, Gen.listOfN(5, vecGen)) { (v, rows) =>
+      import org.apache.spark.sql.catalyst.expressions.Literal
+      import org.apache.spark.sql.catalyst.util.GenericArrayData
+      import org.apache.spark.sql.types._
+      val vLit = Literal.create(v.toArray, ArrayType(DoubleType, false))
+      val mLit = Literal.create(rows.flatten.toArray, ArrayType(DoubleType, false))
+      val dots = graft.functions.VecMatDots(vLit, mLit, rows.size)
+        .eval(null).asInstanceOf[GenericArrayData].toDoubleArray()
+      val arg = graft.functions.VecMatArgmax(vLit, mLit, rows.size)
+        .eval(null).asInstanceOf[Int]
+      // >= keeps the LAST max (highest row) — mirror that rule
+      val expect = dots.zipWithIndex.foldLeft((Double.NegativeInfinity, 0)) {
+        case ((bs, bi), (s, i)) => if (s >= bs) (s, i) else (bs, bi)
+      }._2
+      arg == expect
+    }
 }
