@@ -40,7 +40,11 @@ object Explain {
       "q84_zorder_curve" -> "interleave_bits is one codegen'd node in the project — no shiftleft/bitwiseOR tree, no shuffle before the top-k sort",
       "q85_boilerplate" -> "distinct (doc,gram) → gram doc-count: both hash-aggregates partial-combine; the count join is a plain shuffle join (no broadcast assumption on the boilerplate set)",
       "q86_chunk_dedup" -> "keep-first = min(struct(doc,idx)) hash-aggregate — partial-combines map-side where a chunk-partitioned window would single-reducer every hot boilerplate chunk",
-      "q75_semantic_dedup" -> "cell assignment via native VecMatArgmax over the trained centroid matrix (one expression node, not 16×64 literals); within-cell self-join guarded by cell-size cap; CC rounds shuffle (id,label) only")
+      "q75_semantic_dedup" -> "cell assignment via native VecMatArgmax over the trained centroid matrix (one expression node, not 16×64 literals); within-cell self-join guarded by cell-size cap; CC rounds shuffle (id,label) only",
+      "q92_resample" -> "the dense grid is GENERATED (sequence+explode over a 1-row bounds aggregate) and cross-joined with the broadcast type dimension; the event table is pre-aggregated before the fill join — two small frames join regardless of data scale",
+      "q96_fuzzy_key_pairs" -> "equi-join on the 8-char prefix block (hash join), levenshtein verified as a post-join filter — never a nested-loop condition; degenerate blocks capped by a window count",
+      "q98_window_topk" -> "Partial WindowGroupLimit BELOW the exchange: every map partition forwards ≤ k rows per group before the shuffle — the builtin skew bound (PERF.md lesson 11)",
+      "q100_rolling_window" -> "single shuffle on user_id; RANGE frame over unix-micros order — one running-window pass, no self-join against the trailing hour")
 
     val sb = new StringBuilder
     sb.append("# EXPLAINS — physical plans of representative queries\n\n")
