@@ -536,7 +536,32 @@ object Analytics {
       |  RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
       |ORDER BY user_id, event_id""".stripMargin
 
+  // -------------------------------------------------------------------
+  // q101: explicit GROUPING SETS (arbitrary combos — completes the
+  // rollup (q21) / cube (q73) family) with a portable grouping id
+  // built from GROUPING() bits on both engines.
+  // -------------------------------------------------------------------
+  def q101GroupingSets(spark: SparkSession, dir: String): DataFrame = {
+    val li = spark.read.parquet(s"$dir/lineitem.parquet")
+    li.groupingSets(
+        Seq(Seq(col("l_returnflag"), col("l_linestatus")),
+          Seq(col("l_returnflag")), Seq.empty[Column]),
+        col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n"),
+        (grouping(col("l_returnflag")) * 2 + grouping(col("l_linestatus")))
+          .cast("int").as("gid"))
+      .orderBy(asc("gid"), asc_nulls_first("l_returnflag"),
+        asc_nulls_first("l_linestatus"))
+  }
+  val q101Sql: String =
+    """SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+      |  CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS INT) AS gid
+      |FROM lineitem
+      |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+      |ORDER BY gid, l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q101_grouping_sets" -> (q101GroupingSets _),
     "q100_rolling_window" -> (q100RollingWindow _),
     "q98_window_topk" -> (q98WindowTopK _),
     "q99_null_safe_join" -> (q99NullSafeJoin _),
@@ -558,6 +583,7 @@ object Analytics {
     "q24_json_extract" -> (q24Json _))
 
   val oracle: Map[String, String] = Map(
+    "q101_grouping_sets" -> q101Sql,
     "q100_rolling_window" -> q100Sql,
     "q98_window_topk" -> q98Sql,
     "q99_null_safe_join" -> q99Sql,
