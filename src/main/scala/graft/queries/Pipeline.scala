@@ -297,6 +297,47 @@ object Pipeline {
       |FROM documents GROUP BY 1 ORDER BY media_type""".stripMargin
 
   // -------------------------------------------------------------------
+  // q102: sliding-window STREAMING rollup — the streaming twin of the
+  // batch sliding query q44; same oracle SQL (exact epoch arithmetic).
+  // -------------------------------------------------------------------
+  def q102StreamSliding(spark: SparkSession, dir: String): DataFrame =
+    graft.streaming.EventStreams.slidingRollupBatchDriven(spark, dir)
+
+  // -------------------------------------------------------------------
+  // q103: decontamination APPLY — the removal step: clean per-source
+  // counts after anti-joining the contaminated ids out of the train
+  // split. Composes q57's detection with the left-anti application.
+  // -------------------------------------------------------------------
+  def q103DecontaminateApply(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    val train = d.filter(col("doc_id") % 97 =!= 0)
+    val contaminated = graft.operators.Curation.decontaminate(
+        train, d.filter(col("doc_id") % 97 === 0), "doc_id", "text", n = 5)
+      .select(col("doc_id"))
+    train.join(contaminated, Seq("doc_id"), "left_anti")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_clean"))
+      .orderBy(asc("source"))
+  }
+  val q103Sql: String =
+    raw"""WITH grams AS (
+      |  SELECT doc_id, list_distinct(list_transform(
+      |    range(1, GREATEST(LEN(t) - 4, 1) + 1),
+      |    i -> array_to_string(t[i:i+4], ' '))) AS g
+      |  FROM (SELECT doc_id, string_split_regex(TRIM(text), '\s+') AS t FROM documents)
+      |), eval_g AS (
+      |  SELECT DISTINCT UNNEST(g) AS gram FROM grams WHERE doc_id % 97 = 0
+      |), train_g AS (
+      |  SELECT doc_id, UNNEST(g) AS gram FROM grams WHERE doc_id % 97 <> 0
+      |), contaminated AS (
+      |  SELECT DISTINCT doc_id FROM train_g JOIN eval_g USING (gram)
+      |)
+      |SELECT d.source, COUNT(*) AS n_clean
+      |FROM documents d LEFT JOIN contaminated c ON d.doc_id = c.doc_id
+      |WHERE d.doc_id % 97 <> 0 AND c.doc_id IS NULL
+      |GROUP BY d.source ORDER BY d.source""".stripMargin
+
+  // -------------------------------------------------------------------
   // q95: incremental exact dedup — "yesterday" = even doc_ids,
   // "today's batch" = odd doc_ids; keep first-in-batch of each content
   // never seen before. Anti join on fingerprints; the oracle rebuilds
@@ -636,6 +677,8 @@ object Pipeline {
     "q37_multimodal" -> (q37Multimodal _),
     "q88_multimodal_transcode" -> (q88MultimodalTranscode _),
     "q95_incremental_dedup" -> (q95IncrementalDedup _),
+    "q102_stream_sliding" -> (q102StreamSliding _),
+    "q103_decontaminate_apply" -> (q103DecontaminateApply _),
     "q96_fuzzy_key_pairs" -> (q96FuzzyKeyPairs _),
     "q38_stream_hourly" -> (q38StreamHourly _),
     "q39_stream_stateful" -> (q39StreamStateful _),
@@ -664,6 +707,8 @@ object Pipeline {
     "q37_multimodal" -> q37Sql,
     "q88_multimodal_transcode" -> q88Sql,
     "q95_incremental_dedup" -> q95Sql,
+    "q102_stream_sliding" -> Scalars.q44Sql, // identical output to the batch sliding window
+    "q103_decontaminate_apply" -> q103Sql,
     "q96_fuzzy_key_pairs" -> q96Sql,
     "q38_stream_hourly" -> q38Sql,
     "q39_stream_stateful" -> q39Sql,

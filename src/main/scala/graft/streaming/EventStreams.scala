@@ -69,6 +69,34 @@ object EventStreams {
       .orderBy(asc("hour"), asc("event_type"))
   }
 
+  /** Sliding-window streaming rollup (1 h window, 15 min slide —
+    * every event lands in 4 overlapping windows): same engine path as
+    * [[hourlyRollup]] but with 4× the window state per key, bounded
+    * identically by the watermark. Output equals the batch sliding
+    * query (q44) exactly, which is the oracle.
+    */
+  def slidingRollupBatchDriven(spark: SparkSession, dir: String): DataFrame = {
+    val name = s"graft_stream_sliding_${System.nanoTime()}"
+    val saved = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    val q = try {
+      readEventStream(spark, dir)
+        .withWatermark("ts", "2 hours")
+        .groupBy(window(col("ts"), "1 hour", "15 minutes"), col("event_type"))
+        .agg(
+          count(lit(1)).as("n_events"),
+          sum(col("value").cast(DecimalType(20, 6))).cast("double").as("sum_value"))
+        .select(col("window.start").as("w_start"), col("event_type"),
+          col("n_events"), col("sum_value"))
+        .writeStream.outputMode(OutputMode.Complete())
+        .format("memory").queryName(name)
+        .start()
+    } finally spark.conf.set("spark.sql.shuffle.partitions", saved)
+    try q.processAllAvailable() finally q.stop()
+    spark.table(name)
+      .orderBy(asc("w_start"), asc("event_type"))
+  }
+
   /** Streaming deduplication — the ingest-dedup stage of a training
     * pipeline run as a stream: duplicate records are dropped AS THEY
     * ARRIVE, with state bounded by the event-time watermark
