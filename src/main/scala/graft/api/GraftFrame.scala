@@ -275,7 +275,7 @@ final case class GraftFrame(df: DataFrame, groupedBy: Seq[String] = Nil,
     if (missing.nonEmpty)
       throw new GraftException(s"aggregate: missing aggregate(s) for ${missing.mkString(", ")}")
     if (groupedBy.isEmpty) {
-      val exprs = nonKeys.map { c => aggs(c).scalar(col(c)).as(c) }
+      val exprs = nonKeys.toIndexedSeq.map { c => aggs(c).scalar(col(c)).as(c) }
       copy(df = df.agg(exprs.head, exprs.tail: _*), groupedBy = Nil)
     } else {
       // grouped frame: each non-key column is array-typed; collapse per

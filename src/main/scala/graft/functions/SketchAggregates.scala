@@ -308,7 +308,7 @@ case class BloomMightContain(left: Expression, right: Expression, numHashes: Int
     var i = 0
     while (i < numHashes) {
       val b = BloomHash.bitOf(x, i, numBits)
-      if ((bytes((b >>> 3).toInt) & (1 << (b & 7))) == 0) return false
+      if ((bytes((b >>> 3).toInt) & (1 << (b & 7).toInt)) == 0) return false
       i += 1
     }
     true
