@@ -126,6 +126,33 @@ object Stats {
       |ORDER BY n DESC, part_key LIMIT 20""".stripMargin
 
   // -------------------------------------------------------------------
+  // q104: GROUPED heavy hitters — top-3 tokens per language via the
+  // mergeable Misra-Gries aggregate under groupBy (one sketch per
+  // group, partial-merged map-side). Capacity far exceeds the token
+  // vocabulary, so the exact regime holds and the window-rank oracle
+  // matches exactly; under capacity pressure the sketch regime is
+  // covered by SketchSpec.
+  // -------------------------------------------------------------------
+  def q104GroupedHeavyHitters(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("lang"),
+        explode(graft.operators.TextAnalysis.tokens(col("text"))).as("tok"))
+      .groupBy(col("lang"))
+      .agg(graft.functions.SketchFunctions
+        .space_saving_topk(col("tok"), 3, 4096).as("top"))
+      .select(col("lang"), explode(col("top")).as("e"))
+      .select(col("lang"), col("e.key").as("token"), col("e.cnt").as("n"))
+      .orderBy(asc("lang"), desc("n"), asc("token"))
+  val q104Sql: String =
+    raw"""SELECT lang, token, n FROM (
+      |  SELECT lang, token, COUNT(*) AS n,
+      |    ROW_NUMBER() OVER (PARTITION BY lang ORDER BY COUNT(*) DESC, token) AS rk
+      |  FROM (SELECT lang, UNNEST(string_split_regex(TRIM(text), '\s+')) AS token
+      |        FROM documents)
+      |  GROUP BY lang, token)
+      |WHERE rk <= 3 ORDER BY lang, n DESC, token""".stripMargin
+
+  // -------------------------------------------------------------------
   // q90: one-pass column profiler — the ANALYZE-style table profile
   // (count / distinct / min / max / mean per column) computed in a
   // single scan with a multi-column aggregate, unpivoted to one row
@@ -170,11 +197,13 @@ object Stats {
     "q43_moment_stats" -> (q43Moments _),
     "q54_approx_percentiles" -> (q54ApproxPercentiles _),
     "q74_heavy_hitters" -> (q74HeavyHitters _),
-    "q90_column_profile" -> (q90ColumnProfile _))
+    "q90_column_profile" -> (q90ColumnProfile _),
+    "q104_grouped_heavy_hitters" -> (q104GroupedHeavyHitters _))
 
   val oracle: Map[String, String] = Map(
     "q42_percentiles" -> q42Sql,
     "q43_moment_stats" -> q43Sql,
     "q74_heavy_hitters" -> q74Sql,
-    "q90_column_profile" -> q90Sql)
+    "q90_column_profile" -> q90Sql,
+    "q104_grouped_heavy_hitters" -> q104Sql)
 }
