@@ -217,7 +217,30 @@ object Scalars {
       |  CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(20,2))) AS VARCHAR) AS DOUBLE) AS sum_qty
       |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // -------------------------------------------------------------------
+  // q105: salted skew join under the oracle gate — the salt spreads a
+  // hot key across saltFactor sub-partitions (left rows get one salt,
+  // the dimension replicates across all); physical-only, so the plain
+  // join SQL is an exact oracle. Value sums through DECIMAL.
+  // -------------------------------------------------------------------
+  def q105SaltedJoin(spark: SparkSession, dir: String): DataFrame = {
+    val e = ev(spark, dir).select(col("user_id"), col("value"))
+    val c = spark.read.parquet(s"$dir/customer.parquet")
+      .select(col("c_custkey").as("user_id"), col("c_mktsegment"))
+    graft.operators.Scale.saltedJoin(e, c, "user_id", saltFactor = 8)
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast(DecimalType(20, 6))).cast("double").as("sum_value"))
+      .orderBy(asc("c_mktsegment"))
+  }
+  val q105Sql: String =
+    """SELECT c_mktsegment, COUNT(*) AS n,
+      |  CAST(CAST(SUM(CAST(value AS DECIMAL(20,6))) AS VARCHAR) AS DOUBLE) AS sum_value
+      |FROM events e JOIN customer c ON e.user_id = c.c_custkey
+      |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q105_salted_join" -> (q105SaltedJoin _),
     "q79_upsert_merge" -> (q79UpsertMerge _),
     "q80_incremental_agg" -> (q80IncrementalAgg _),
     "q44_sliding_window" -> (q44SlidingWindow _),
@@ -227,6 +250,7 @@ object Scalars {
     "q48_session_window" -> (q48SessionWindow _))
 
   val oracle: Map[String, String] = Map(
+    "q105_salted_join" -> q105Sql,
     "q79_upsert_merge" -> q79Sql,
     "q80_incremental_agg" -> q80Sql,
     "q44_sliding_window" -> q44Sql,
