@@ -153,6 +153,34 @@ object Stats {
       |WHERE rk <= 3 ORDER BY lang, n DESC, token""".stripMargin
 
   // -------------------------------------------------------------------
+  // q106: equal-width histogram — 10 bins over l_extendedprice in
+  // integer CENTS with data-derived bounds. Every step is integer
+  // arithmetic (ROUND(x*100) on 2-decimal-clean money, then
+  // (c-mn)*10 div (mx-mn+1)), so binning is bit-identical across
+  // engines with no float edge cases at bin boundaries.
+  // -------------------------------------------------------------------
+  def q106Histogram(spark: SparkSession, dir: String): DataFrame = {
+    val cents = li(spark, dir).select(
+      round(col("l_extendedprice") * 100).cast("long").as("c"))
+    val stats = cents.agg(min(col("c")).as("mn"), max(col("c")).as("mx"))
+    cents.crossJoin(broadcast(stats))
+      .select(expr("(c - mn) * 10 div (mx - mn + 1)").as("bin"), col("c"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"), sum(col("c")).as("sum_cents"))
+      .orderBy(asc("bin"))
+  }
+  val q106Sql: String =
+    """WITH cents AS (
+      |  SELECT CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS c FROM lineitem
+      |), s AS (
+      |  SELECT MIN(c) AS mn, MAX(c) AS mx FROM cents
+      |)
+      |SELECT (c - mn) * 10 // (mx - mn + 1) AS bin,
+      |  COUNT(*) AS n, CAST(SUM(c) AS BIGINT) AS sum_cents
+      |FROM cents CROSS JOIN s
+      |GROUP BY 1 ORDER BY bin""".stripMargin
+
+  // -------------------------------------------------------------------
   // q90: one-pass column profiler — the ANALYZE-style table profile
   // (count / distinct / min / max / mean per column) computed in a
   // single scan with a multi-column aggregate, unpivoted to one row
@@ -198,12 +226,14 @@ object Stats {
     "q54_approx_percentiles" -> (q54ApproxPercentiles _),
     "q74_heavy_hitters" -> (q74HeavyHitters _),
     "q90_column_profile" -> (q90ColumnProfile _),
-    "q104_grouped_heavy_hitters" -> (q104GroupedHeavyHitters _))
+    "q104_grouped_heavy_hitters" -> (q104GroupedHeavyHitters _),
+    "q106_histogram" -> (q106Histogram _))
 
   val oracle: Map[String, String] = Map(
     "q42_percentiles" -> q42Sql,
     "q43_moment_stats" -> q43Sql,
     "q74_heavy_hitters" -> q74Sql,
     "q90_column_profile" -> q90Sql,
-    "q104_grouped_heavy_hitters" -> q104Sql)
+    "q104_grouped_heavy_hitters" -> q104Sql,
+    "q106_histogram" -> q106Sql)
 }
