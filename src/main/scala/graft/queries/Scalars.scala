@@ -239,7 +239,35 @@ object Scalars {
       |FROM events e JOIN customer c ON e.user_id = c.c_custkey
       |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
 
+  // -------------------------------------------------------------------
+  // q107: partitioned-layout round trip — write events partitioned by
+  // event_type (the 100 TB curation-key layout), read back through the
+  // partition-pruned scan (only the click/purchase directories are
+  // touched — PartitionFilters, spec-asserted in SourcesSpec), and
+  // aggregate. The oracle reads the ORIGINAL table: the gate proves
+  // layout fidelity — partitioning must not change any answer.
+  // -------------------------------------------------------------------
+  def q107PartitionedRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    val out = java.nio.file.Files
+      .createTempDirectory("graft_part_rt").toString
+    ev(spark, dir)
+      .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+      .write.mode("overwrite").partitionBy("event_type").parquet(out)
+    spark.read.parquet(out)
+      .filter(col("event_type").isin("click", "purchase"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast(DecimalType(20, 6))).cast("double").as("sum_value"))
+      .orderBy(asc("event_type"))
+  }
+  val q107Sql: String =
+    """SELECT event_type, COUNT(*) AS n,
+      |  CAST(CAST(SUM(CAST(value AS DECIMAL(20,6))) AS VARCHAR) AS DOUBLE) AS sum_value
+      |FROM events WHERE event_type IN ('click', 'purchase')
+      |GROUP BY event_type ORDER BY event_type""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q107_partitioned_roundtrip" -> (q107PartitionedRoundtrip _),
     "q105_salted_join" -> (q105SaltedJoin _),
     "q79_upsert_merge" -> (q79UpsertMerge _),
     "q80_incremental_agg" -> (q80IncrementalAgg _),
@@ -250,6 +278,7 @@ object Scalars {
     "q48_session_window" -> (q48SessionWindow _))
 
   val oracle: Map[String, String] = Map(
+    "q107_partitioned_roundtrip" -> q107Sql,
     "q105_salted_join" -> q105Sql,
     "q79_upsert_merge" -> q79Sql,
     "q80_incremental_agg" -> q80Sql,
