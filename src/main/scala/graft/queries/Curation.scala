@@ -284,7 +284,31 @@ object Curation {
       |  COALESCE(text_dedup, '') AS text_dedup
       |FROM perdoc LEFT JOIN keptagg USING (doc_id) ORDER BY doc_id""".stripMargin
 
+  // -------------------------------------------------------------------
+  // q108: token-budget truncation — clip every document to its first
+  // 30 tokens (the max-sequence-length preprocessing step). One
+  // tokenize + one slice per document (no per-position work, so the
+  // projection-collapse trap of PERF.md lesson 6 does not apply).
+  // -------------------------------------------------------------------
+  def q108TruncateTokens(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.{TextAnalysis => TA}
+    docs(spark, dir)
+      .select(col("doc_id"), TA.tokens(col("text")).as("toks"))
+      .select(col("doc_id"),
+        size(col("toks")).cast("long").as("n_tokens"),
+        least(size(col("toks")), lit(30)).cast("long").as("n_kept"),
+        array_join(slice(col("toks"), 1, 30), " ").as("text_trunc"))
+      .orderBy(asc("doc_id"))
+  }
+  val q108Sql: String =
+    raw"""SELECT doc_id, CAST(LEN(t) AS BIGINT) AS n_tokens,
+      |  CAST(LEAST(LEN(t), 30) AS BIGINT) AS n_kept,
+      |  array_to_string(t[1:30], ' ') AS text_trunc
+      |FROM (SELECT doc_id, $toksSql AS t FROM documents)
+      |ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q108_truncate_tokens" -> (q108TruncateTokens _),
     "q85_boilerplate" -> (q85Boilerplate _),
     "q86_chunk_dedup" -> (q86ChunkDedup _),
     "q83_bloom_decontaminate" -> (q83BloomDecontaminate _),
@@ -297,6 +321,7 @@ object Curation {
     "q63_order_shuffle" -> (q63OrderShuffle _))
 
   val oracle: Map[String, String] = Map(
+    "q108_truncate_tokens" -> q108Sql,
     "q85_boilerplate" -> q85Sql,
     "q86_chunk_dedup" -> q86Sql,
     "q83_bloom_decontaminate" -> q57Sql, // identical output by design
