@@ -143,9 +143,13 @@ object Curation {
     // joined column instead costs a per-row UnsafeRow.getBinary COPY of
     // the whole filter on every probe (measured 25 s vs 1.5 s at sf0.1
     // for a 128 KB filter × 10^5 grams).
-    val bloomBytes = evalGrams.agg(
+    val bloomBytes = try evalGrams.agg(
         bloom_agg(xxhash64(col("gram")), numBits, numHashes).as("b"))
       .collect()(0).getAs[Array[Byte]](0)
+    // unpersist immediately: the confirm join below recomputes the
+    // (tiny) eval gram set once rather than pinning cached partitions
+    // for the lifetime of a 100-query session JVM
+    finally evalGrams.unpersist()
     val trainGrams = ngramRows(train, idCol, textCol, n)
       .distinct() // gram SET per doc
       .withColumn("n_grams", count(lit(1)).over(Window.partitionBy(col(idCol))))

@@ -288,6 +288,7 @@ object Dedup {
     var edges = canon(pairs.select(col(aCol).cast("long").as("u"),
         col(bCol).cast("long").as("v")))
       .localCheckpoint(true)
+    var edgeCount = edges.count()
     var iter = 0
     var done = false
     while (!done && iter < maxIters) {
@@ -310,9 +311,16 @@ object Dedup {
           .select(col("n").as("u"), col("m").as("v"))
           .union(mins2.select(col("c").as("u"), col("m").as("v"))))
         .localCheckpoint(true)
-      done = ss.count() == edges.count() &&
-        ss.except(edges).count() == 0
+      // fixpoint = set equality; both sides are canon'd (distinct), so
+      // |ss| == |edges| plus ss ⊆ edges suffices. One count over the
+      // just-checkpointed ss (carried to the next round as edgeCount)
+      // and one anti-join probe — not the two full counts + except()
+      // of the earlier shape (halves the per-round fixpoint overhead).
+      val ssCount = ss.count()
+      done = ssCount == edgeCount &&
+        ss.join(edges, Seq("u", "v"), "left_anti").isEmpty
       edges = ss
+      edgeCount = ssCount
       iter += 1
     }
     // converged: every edge is (root, child); label children by root,
@@ -326,8 +334,8 @@ object Dedup {
   def jaccard(a: Column, b: Column): Column = {
     val ad = array_distinct(a)
     val bd = array_distinct(b)
-    val inter = size(array_intersect(ad, bd)).cast("double")
-    inter / (size(ad) + size(bd) - size(array_intersect(ad, bd))).cast("double")
+    val inter = size(array_intersect(ad, bd))
+    inter.cast("double") / (size(ad) + size(bd) - inter).cast("double")
   }
 
   /** 64-bit SimHash: per-token hash votes on each bit; the signature's

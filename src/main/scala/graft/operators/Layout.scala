@@ -40,6 +40,9 @@ object Layout {
       max(col(d)).cast("double").as(s"mx_$d")))
     val stats = df.agg(aggCols.head, aggCols.tail: _*).collect()(0)
     val binCols = dims.zipWithIndex.map { case (d, i) =>
+      require(!stats.isNullAt(2 * i) && !stats.isNullAt(2 * i + 1),
+        s"zorder: dimension '$d' has no non-null values " +
+          "(empty input or all-null column) — cannot derive a bin range")
       binned(col(d), stats.getDouble(2 * i), stats.getDouble(2 * i + 1))
     }
     df.withColumn("__z", interleave_bits(binCols: _*))

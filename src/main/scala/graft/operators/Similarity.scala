@@ -92,7 +92,9 @@ object Similarity {
       col("sig"))
       .select(col("query_id"), col("qv"),
         when(col("flip") === -1, col("sig"))
-          .otherwise(col("sig").bitwiseXOR(pow(lit(2.0), col("flip")).cast("long"))).as("bucket"))
+          // integer bit shift (codegen'd, exact for all 64 bits) — the
+          // earlier pow(2.0, flip) round-tripped the mask through a double
+          .otherwise(col("sig").bitwiseXOR(expr("shiftleft(CAST(1 AS BIGINT), flip)"))).as("bucket"))
       .dropDuplicates("query_id", "bucket")
     val c = candidates.select(col(idC).as("cand_id"), normalized(col(vecC)).as("cv"),
       lshSignature(col(vecC), numPlanes, dim).as("bucket"))

@@ -248,8 +248,7 @@ object Scalars {
   // layout fidelity — partitioning must not change any answer.
   // -------------------------------------------------------------------
   def q107PartitionedRoundtrip(spark: SparkSession, dir: String): DataFrame = {
-    val out = java.nio.file.Files
-      .createTempDirectory("graft_part_rt").toString
+    val out = graft.util.TempDirs.scratch("graft_part_rt")
     ev(spark, dir)
       .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
       .write.mode("overwrite").partitionBy("event_type").parquet(out)

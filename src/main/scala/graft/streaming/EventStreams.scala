@@ -247,8 +247,7 @@ object EventStreams {
   def upsertSinkDrain(spark: SparkSession, events: DataFrame)(
       feed: org.apache.spark.sql.streaming.StreamingQuery => Unit): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val target = java.nio.file.Files
-      .createTempDirectory("graft_stream_upsert").toString
+    val target = graft.util.TempDirs.scratch("graft_stream_upsert")
     val keys = Seq("user_id", "event_type")
     @volatile var cur: Option[String] = None
     val saved = spark.conf.get("spark.sql.shuffle.partitions")
@@ -269,14 +268,21 @@ object EventStreams {
           }
           val path = s"$target/v$batchId"
           merged.write.mode("overwrite").parquet(path)
+          val prev = cur
           cur = Some(path)
+          // the superseded snapshot is fully folded into `path` — drop
+          // it so a long-running stream holds at most one extra version
+          prev.foreach(p => graft.util.TempDirs.deleteRecursively(new java.io.File(p)))
           ()
         }
         .start()
     } finally spark.conf.set("spark.sql.shuffle.partitions", saved)
     try feed(q) finally q.stop()
+    // zero-batch stream: return an explicitly-schemaed empty frame (the
+    // schema-less emptyDataFrame would make the select below throw)
     cur.map(spark.read.parquet(_)).getOrElse(
-        spark.emptyDataFrame)
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], events.schema))
       .select(col("user_id"), col("event_type"),
         col("event_id").as("last_event_id"), col("value").as("last_value"))
       .orderBy(asc("user_id"), asc("event_type"))
