@@ -41,8 +41,16 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
+    // Containment oracles (q31/q32/q36/...) verify the just-written
+    // Spark result itself in DuckDB: the SQL reads the emitted parquet
+    // back and joins every row against independently-recomputed ground
+    // truth (exact shingle Jaccard / cosine / rank bounds). Any bogus
+    // row falls out of the join → row-count mismatch → FAIL. The
+    // placeholder is resolved here because only Verify knows outDir.
+    val outAbs = Paths.get(outDir).toAbsolutePath.toString
     val json = SparkEntry.oracleSql
-      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+      .map { case (k, v) => s"${q(k)}: ${q(v.replace("__GRAFT_OUT__", outAbs))}" }
+      .mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()
   }

@@ -150,25 +150,84 @@ object Pipeline {
       |ORDER BY keep_id""".stripMargin
 
   // -------------------------------------------------------------------
-  // q31: MinHash+LSH near-dup candidate pairs (hash-dependent →
-  // rows-only registration; determinism guaranteed by seeded hashes).
-  // Pipeline order matters at scale: exact-dedup to cluster
-  // representatives FIRST, then band only the representatives —
-  // exact-dup clusters otherwise flood the band buckets with O(m²)
-  // identical pairs (PERF.md lesson 5; ScaleStress measured 6×).
+  // q31: MinHash+LSH near-dup candidate pairs. Pipeline order matters
+  // at scale: exact-dedup to cluster representatives FIRST, then band
+  // only the representatives — exact-dup clusters otherwise flood the
+  // band buckets with O(m²) identical pairs (PERF.md lesson 5;
+  // ScaleStress measured 6×).
+  //
+  // CONTAINMENT ORACLE (was rows-only in r1/r2): which pairs LSH
+  // surfaces depends on xxhash64 banding that DuckDB can't replay, but
+  // every emitted pair is independently CHECKABLE — the oracle reads
+  // the emitted parquet back and keeps only rows whose (id_a, id_b) are
+  // exact-dedup representatives with string-shingle Jaccard exactly
+  // equal to the emitted score and ≥ threshold. Emitted ⊆ ground truth
+  // (with correct scores) ⇔ oracle output == Spark output ⇔ hash green;
+  // one false positive or wrong score = row-count/hash FAIL.
   // -------------------------------------------------------------------
   def q31MinhashLsh(spark: SparkSession, dir: String): DataFrame =
     Dedup.minhashLshPairs(
       Dedup.exactRepresentatives(docs(spark, dir), "doc_id", "text"),
       "doc_id", "text", k = 3, numHashes = 32, bands = 8, threshold = 0.2)
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard_r"))
       .orderBy(asc("id_a"), asc("id_b"))
+  val q31Sql: String =
+    """WITH reps AS (
+      |  SELECT MIN(doc_id) AS doc_id
+      |  FROM documents GROUP BY regexp_replace(TRIM(text), '\s+', ' ', 'g')
+      |), sh AS (
+      |  SELECT t.doc_id, list_distinct(list_transform(
+      |    range(1, GREATEST(LEN(toks) - 2, 1) + 1),
+      |    i -> array_to_string(toks[i:i+2], ' '))) AS s
+      |  FROM (SELECT doc_id, string_split_regex(TRIM(text), '\s+') AS toks
+      |        FROM documents) t JOIN reps r ON t.doc_id = r.doc_id
+      |)
+      |SELECT e.id_a, e.id_b, e.jaccard_r
+      |FROM read_parquet('__GRAFT_OUT__/q31_minhash_lsh/*.parquet') e
+      |JOIN sh a ON a.doc_id = e.id_a
+      |JOIN sh b ON b.doc_id = e.id_b
+      |WHERE ROUND(CAST(LEN(list_intersect(a.s, b.s)) AS DOUBLE)
+      |    / (LEN(a.s) + LEN(b.s) - LEN(list_intersect(a.s, b.s))), 6) = e.jaccard_r
+      |  AND e.jaccard_r >= 0.2 AND e.id_a < e.id_b
+      |ORDER BY e.id_a, e.id_b""".stripMargin
 
   // -------------------------------------------------------------------
-  // q32: SimHash near-dup pairs (rows-only)
+  // q32: SimHash near-dup pairs, each verified by exact trigram-shingle
+  // Jaccard. The hamming column is signature-level (not replayable
+  // without xxhash64); the attached jaccard_r is the content-level
+  // score the oracle independently recomputes per emitted pair — same
+  // containment gate as q31 (bogus pair/score ⇒ FAIL).
   // -------------------------------------------------------------------
-  def q32Simhash(spark: SparkSession, dir: String): DataFrame =
-    Dedup.simhashPairs(docs(spark, dir), "doc_id", "text", maxHamming = 8, maxBucket = 500)
+  def q32Simhash(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    val sets = d.select(col("doc_id"), graft.functions.TextHashFunctions
+      .shingle_hash_set(col("text"), 3).as("sh"))
+    Dedup.simhashPairs(d, "doc_id", "text", maxHamming = 8, maxBucket = 500)
+      .join(sets.select(col("doc_id").as("id_a"), col("sh").as("sh_a")), "id_a")
+      .join(sets.select(col("doc_id").as("id_b"), col("sh").as("sh_b")), "id_b")
+      .withColumn("n_inter", size(array_intersect(col("sh_a"), col("sh_b"))))
+      .select(col("id_a"), col("id_b"), col("hamming"),
+        round(col("n_inter").cast("double") /
+          (size(col("sh_a")) + size(col("sh_b")) - col("n_inter")).cast("double"), 6)
+          .as("jaccard_r"))
       .orderBy(asc("id_a"), asc("id_b"))
+  }
+  val q32Sql: String =
+    """WITH sh AS (
+      |  SELECT doc_id, list_distinct(list_transform(
+      |    range(1, GREATEST(LEN(toks) - 2, 1) + 1),
+      |    i -> array_to_string(toks[i:i+2], ' '))) AS s
+      |  FROM (SELECT doc_id, string_split_regex(TRIM(text), '\s+') AS toks
+      |        FROM documents)
+      |)
+      |SELECT e.id_a, e.id_b, e.hamming, e.jaccard_r
+      |FROM read_parquet('__GRAFT_OUT__/q32_simhash/*.parquet') e
+      |JOIN sh a ON a.doc_id = e.id_a
+      |JOIN sh b ON b.doc_id = e.id_b
+      |WHERE ROUND(CAST(LEN(list_intersect(a.s, b.s)) AS DOUBLE)
+      |    / (LEN(a.s) + LEN(b.s) - LEN(list_intersect(a.s, b.s))), 6) = e.jaccard_r
+      |  AND e.hamming BETWEEN 0 AND 8 AND e.id_a < e.id_b
+      |ORDER BY e.id_a, e.id_b""".stripMargin
 
   // -------------------------------------------------------------------
   // q33: exact n-gram Jaccard pairs in a bounded block — ground truth
@@ -256,13 +315,33 @@ object Pipeline {
   }
 
   // -------------------------------------------------------------------
-  // q36: embedding-space near-dup pairs (rows-only)
+  // q36: embedding-space near-dup pairs. Containment oracle: LSH
+  // bucketing isn't SQL-replayable, but cosine is — the oracle
+  // recomputes each emitted pair's cosine from the raw embeddings
+  // (identical normalize-then-dot formulation, sequential float sums on
+  // both engines) and keeps rows within 1e-5 of the emitted score and
+  // above threshold. False positive or wrong score ⇒ FAIL.
   // -------------------------------------------------------------------
   def q36CosineNearDup(spark: SparkSession, dir: String): DataFrame =
     Similarity.cosineNearDupPairs(emb(spark, dir), "vec_id", "embedding",
       threshold = 0.35, numPlanes = 4, dim = 64)
       .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine_r"))
       .orderBy(asc("id_a"), asc("id_b"))
+  val q36Sql: String =
+    """WITH nv AS (
+      |  SELECT vec_id, list_transform(embedding,
+      |    x -> CAST(x AS DOUBLE) / sqrt(list_sum(list_transform(embedding,
+      |      y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE))))) AS v
+      |  FROM embeddings
+      |)
+      |SELECT e.id_a, e.id_b, e.cosine_r
+      |FROM read_parquet('__GRAFT_OUT__/q36_cosine_neardup/*.parquet') e
+      |JOIN nv a ON a.vec_id = e.id_a
+      |JOIN nv b ON b.vec_id = e.id_b
+      |WHERE ABS(list_sum(list_transform(list_zip(a.v, b.v), p -> p[1] * p[2]))
+      |          - e.cosine_r) < 1e-5
+      |  AND e.cosine_r >= 0.35 - 1e-5 AND e.id_a < e.id_b
+      |ORDER BY e.id_a, e.id_b""".stripMargin
 
   // -------------------------------------------------------------------
   // q75: semantic dedup (SemDeDup) — k-means-cell-blocked embedding
@@ -702,6 +781,9 @@ object Pipeline {
     "q28_lang_id" -> q28Sql,
     "q29_fingerprint" -> q29Sql,
     "q30_dedup_exact" -> q30Sql,
+    "q31_minhash_lsh" -> q31Sql,
+    "q32_simhash" -> q32Sql,
+    "q36_cosine_neardup" -> q36Sql,
     "q33_ngram_jaccard" -> q33Sql,
     "q34_cosine_topk" -> q34Sql,
     "q37_multimodal" -> q37Sql,
