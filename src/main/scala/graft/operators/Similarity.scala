@@ -76,25 +76,33 @@ object Similarity {
   def lshSignature(vec: Column, numPlanes: Int, dim: Int): Column =
     graft.functions.VectorFunctions.vec_mat_signbits(vec, hyperplanes(numPlanes, dim))
 
-  /** Approximate top-k: LSH-bucket join (with multi-probe over single
-    * bit flips for recall), exact cosine rerank inside buckets.
-    * The scale path: candidate set per query shrinks by ~2^H, and the
-    * join is a hash join on an 8-byte key instead of a cross join.
+  /** Approximate top-k: LSH-bucket join with multi-probe, exact cosine
+    * rerank inside buckets. `probeBits` controls the probe radius: each
+    * query probes its own bucket plus every bucket within that Hamming
+    * distance of its signature (1 + H + H(H−1)/2 buckets at radius 2) —
+    * the standard multi-probe recall/cost dial, as literal XOR masks
+    * (pure codegen'd integer ops).
+    * The scale path: candidate set per query shrinks by
+    * ~2^H / #probes, and the join is a hash join on an 8-byte key
+    * instead of a cross join.
     */
   def lshTopK(queries: DataFrame, candidates: DataFrame,
               idQ: String, idC: String, vecQ: String, vecC: String,
-              k: Int, numPlanes: Int = 8, dim: Int = 64): DataFrame = {
+              k: Int, numPlanes: Int = 8, dim: Int = 64,
+              probeBits: Int = 1): DataFrame = {
+    val masks: Seq[Long] =
+      Seq(0L) ++
+        (if (probeBits >= 1) (0 until numPlanes).map(i => 1L << i) else Nil) ++
+        (if (probeBits >= 2)
+          for { i <- 0 until numPlanes; j <- (i + 1) until numPlanes }
+            yield (1L << i) | (1L << j)
+         else Nil)
     val q = queries.select(col(idQ).as("query_id"), normalized(col(vecQ)).as("qv"),
       lshSignature(col(vecQ), numPlanes, dim).as("sig"))
-    // multi-probe: each query also probes buckets at Hamming distance 1
     val probes = q.select(col("query_id"), col("qv"),
-      explode(array(lit(-1) +: (0 until numPlanes).map(lit): _*)).as("flip"),
-      col("sig"))
+        explode(array(masks.map(lit(_)): _*)).as("mask"), col("sig"))
       .select(col("query_id"), col("qv"),
-        when(col("flip") === -1, col("sig"))
-          // integer bit shift (codegen'd, exact for all 64 bits) — the
-          // earlier pow(2.0, flip) round-tripped the mask through a double
-          .otherwise(col("sig").bitwiseXOR(expr("shiftleft(CAST(1 AS BIGINT), flip)"))).as("bucket"))
+        col("sig").bitwiseXOR(col("mask")).as("bucket"))
       .dropDuplicates("query_id", "bucket")
     val c = candidates.select(col(idC).as("cand_id"), normalized(col(vecC)).as("cv"),
       lshSignature(col(vecC), numPlanes, dim).as("bucket"))

@@ -285,32 +285,71 @@ object Pipeline {
       |ORDER BY query_id, rank""".stripMargin
 
   // -------------------------------------------------------------------
-  // q35: LSH-bucketed approximate top-k (rows-only — approximate by
-  // design; deterministic via seeded hyperplanes)
+  // q35: LSH-bucketed approximate top-k, self-certifying (was rows-only
+  // in r1/r2): every ANN result row carries `hit` = membership in the
+  // EXACT top-10 (computed in-plan by the q34-oracled brute-force
+  // path). The oracle recomputes exact top-10 in DuckDB, re-derives
+  // `hit` per emitted row (independent per-row verification), and
+  // additionally requires the total hit count to clear the recall
+  // floor — a recall drop or a mislabeled row both FAIL the gate.
   // -------------------------------------------------------------------
   def q35AnnLsh(spark: SparkSession, dir: String): DataFrame = {
     val e = emb(spark, dir)
     val q = e.filter(pmod(col("vec_id"), lit(50)) === 0)
-    Similarity.lshTopK(q, e, "vec_id", "vec_id", "embedding", "embedding",
-      k = 10, numPlanes = 8, dim = 64)
+    val ann = Similarity.lshTopK(q, e, "vec_id", "vec_id", "embedding", "embedding",
+        k = 10, numPlanes = 6, dim = 64, probeBits = 2)
       .select(col("query_id"), col("cand_id"), col("rank"))
+    val exact = Similarity.bruteForceTopK(q, e, "vec_id", "vec_id",
+        "embedding", "embedding", 10)
+      .select(col("query_id"), col("cand_id"), lit(true).as("hit"))
+    ann.join(exact, Seq("query_id", "cand_id"), "left_outer")
+      .select(col("query_id"), col("cand_id"), col("rank"),
+        coalesce(col("hit"), lit(false)).as("hit"))
       .orderBy(asc("query_id"), asc("rank"))
   }
 
+  private def annOracle(name: String, recallFloor: Double): String =
+    s"""WITH nv AS (
+       |  SELECT vec_id, list_transform(embedding,
+       |    x -> CAST(x AS DOUBLE) / sqrt(list_sum(list_transform(embedding,
+       |      y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE))))) AS v
+       |  FROM embeddings
+       |), ex AS (
+       |  SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+       |    ROW_NUMBER() OVER (PARTITION BY q.vec_id
+       |      ORDER BY list_sum(list_transform(list_zip(q.v, c.v), p -> p[1] * p[2])) DESC,
+       |        c.vec_id) AS rk
+       |  FROM nv q JOIN nv c ON q.vec_id % 50 = 0 AND q.vec_id != c.vec_id
+       |), topk AS (SELECT query_id, cand_id FROM ex WHERE rk <= 10)
+       |SELECT e.query_id, e.cand_id, e.rank, (t.cand_id IS NOT NULL) AS hit
+       |FROM read_parquet('__GRAFT_OUT__/$name/*.parquet') e
+       |LEFT JOIN topk t ON t.query_id = e.query_id AND t.cand_id = e.cand_id
+       |WHERE (SELECT COUNT(*)
+       |       FROM read_parquet('__GRAFT_OUT__/$name/*.parquet') e2
+       |       JOIN topk t2 ON t2.query_id = e2.query_id AND t2.cand_id = e2.cand_id)
+       |    >= $recallFloor * (SELECT COUNT(DISTINCT query_id) FROM topk) * 10
+       |ORDER BY e.query_id, e.rank""".stripMargin
+
   // -------------------------------------------------------------------
-  // q52: IVF approximate top-k (rows-only — approximate by design).
-  // The quantizer is TRAINED on the candidate corpus: two distributed
-  // spherical-Lloyd rounds (deterministic seeded init), model-only
-  // driver traffic. nProbe=4/16 cells, exact VecDot rerank in-cell.
+  // q52: IVF approximate top-k, self-certifying like q35. The quantizer
+  // is TRAINED on the candidate corpus: two distributed spherical-Lloyd
+  // rounds (deterministic seeded init), model-only driver traffic.
+  // nProbe=8/16 cells, exact VecDot rerank in-cell.
   // -------------------------------------------------------------------
   def q52AnnIvf(spark: SparkSession, dir: String): DataFrame = {
     val e = emb(spark, dir)
     val q = e.filter(pmod(col("vec_id"), lit(50)) === 0)
     val cents = Similarity.trainCentroids(e, "embedding",
       numCells = 16, iters = 2, dim = 64)
-    Similarity.ivfTopK(q, e, "vec_id", "vec_id", "embedding", "embedding",
-      k = 10, numCells = 16, nProbe = 4, dim = 64, centroids = Some(cents))
+    val ann = Similarity.ivfTopK(q, e, "vec_id", "vec_id", "embedding", "embedding",
+        k = 10, numCells = 16, nProbe = 8, dim = 64, centroids = Some(cents))
       .select(col("query_id"), col("cand_id"), col("rank"))
+    val exact = Similarity.bruteForceTopK(q, e, "vec_id", "vec_id",
+        "embedding", "embedding", 10)
+      .select(col("query_id"), col("cand_id"), lit(true).as("hit"))
+    ann.join(exact, Seq("query_id", "cand_id"), "left_outer")
+      .select(col("query_id"), col("cand_id"), col("rank"),
+        coalesce(col("hit"), lit(false)).as("hit"))
       .orderBy(asc("query_id"), asc("rank"))
   }
 
@@ -345,10 +384,14 @@ object Pipeline {
 
   // -------------------------------------------------------------------
   // q75: semantic dedup (SemDeDup) — k-means-cell-blocked embedding
-  // near-dup groups, keep-lowest-id per group (rows-only: the trained
-  // quantizer isn't SQL-replayable; OperatorsSpec plants near-identical
-  // vectors and checks the keep set). Summarized to kept/dropped
-  // counts per cluster-size band so the output is tiny and stable.
+  // near-dup groups, keep-lowest-id per group (the trained quantizer
+  // isn't SQL-replayable; OperatorsSpec plants near-identical vectors
+  // and checks the keep set). Summarized to kept/dropped counts per
+  // cluster-size band so the output is tiny and stable. Invariant
+  // oracle (was rows-only): exactly one kept doc per cluster, positive
+  // band sizes, and MASS CONSERVATION — Σ sz·n_clusters must equal the
+  // embeddings row count in DuckDB (no vector silently dropped by cell
+  // caps or the CC join). Violation drops rows ⇒ FAIL.
   // -------------------------------------------------------------------
   def q75SemanticDedup(spark: SparkSession, dir: String): DataFrame =
     Similarity.semanticDedup(emb(spark, dir), "vec_id", "embedding",
@@ -358,6 +401,14 @@ object Pipeline {
       .groupBy(col("sz"))
       .agg(count(lit(1)).as("n_clusters"), sum(col("n_keep")).as("n_kept"))
       .orderBy(asc("sz"))
+  val q75Sql: String =
+    """SELECT e.sz, e.n_clusters, e.n_kept
+      |FROM read_parquet('__GRAFT_OUT__/q75_semantic_dedup/*.parquet') e
+      |WHERE e.n_kept = e.n_clusters AND e.sz >= 1 AND e.n_clusters >= 1
+      |  AND (SELECT SUM(sz * n_clusters)
+      |       FROM read_parquet('__GRAFT_OUT__/q75_semantic_dedup/*.parquet'))
+      |    = (SELECT COUNT(*) FROM embeddings)
+      |ORDER BY e.sz""".stripMargin
 
   // -------------------------------------------------------------------
   // q37: multimodal pipeline — binary payloads + typed metadata,
@@ -728,9 +779,13 @@ object Pipeline {
       |GROUP BY label, dim ORDER BY label, dim""".stripMargin
 
   // -------------------------------------------------------------------
-  // q68: HyperLogLog vocabulary estimate — the sketch twin of q66
-  // (rows-only: HLL values are engine-specific; OperatorsSpec bounds
-  // the relative error against the exact count).
+  // q68: HyperLogLog vocabulary estimate — the sketch twin of q66.
+  // Tolerance oracle (was rows-only): HLL register values are
+  // engine-specific, but the ESTIMATE is checkable — the oracle
+  // computes the exact per-language vocabulary in DuckDB and keeps an
+  // emitted row only if the estimate is within 5% of it (rsd=0.01, so
+  // 5% is ≥5 sigma of headroom). An estimate outside the bound drops
+  // the row ⇒ row-count FAIL.
   // -------------------------------------------------------------------
   def q68VocabApprox(spark: SparkSession, dir: String): DataFrame =
     docs(spark, dir)
@@ -738,6 +793,18 @@ object Pipeline {
       .groupBy(col("lang"))
       .agg(approx_count_distinct(col("term"), 0.01).as("vocab_est"))
       .orderBy(asc("lang"))
+  val q68Sql: String =
+    raw"""WITH exact AS (
+      |  SELECT lang, COUNT(DISTINCT term) AS vocab
+      |  FROM (SELECT lang, UNNEST(string_split_regex(TRIM(text), '\s+')) AS term
+      |        FROM documents)
+      |  GROUP BY lang
+      |)
+      |SELECT e.lang, e.vocab_est
+      |FROM read_parquet('__GRAFT_OUT__/q68_vocab_approx/*.parquet') e
+      |JOIN exact g ON g.lang = e.lang
+      |WHERE ABS(e.vocab_est - g.vocab) <= 0.05 * g.vocab
+      |ORDER BY e.lang""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q25_text_stats" -> (q25TextStats _),
@@ -784,6 +851,12 @@ object Pipeline {
     "q31_minhash_lsh" -> q31Sql,
     "q32_simhash" -> q32Sql,
     "q36_cosine_neardup" -> q36Sql,
+    // floors = measured sf0.01 recall (0.45 / 0.70) minus a regression
+    // margin; the per-row `hit` check is exact regardless of the floor
+    "q35_ann_lsh" -> annOracle("q35_ann_lsh", 0.3),
+    "q52_ann_ivf" -> annOracle("q52_ann_ivf", 0.5),
+    "q68_vocab_approx" -> q68Sql,
+    "q75_semantic_dedup" -> q75Sql,
     "q33_ngram_jaccard" -> q33Sql,
     "q34_cosine_topk" -> q34Sql,
     "q37_multimodal" -> q37Sql,

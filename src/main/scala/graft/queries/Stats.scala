@@ -87,8 +87,14 @@ object Stats {
   // GK sketch per partition and merges — constant memory per group,
   // one map-side-combined aggregation, no value sort. accuracy=10000
   // (~0.01% rank error). Sketch merge order is not cross-engine
-  // reproducible → rows-only gate + ApproxPercentileSpec tolerance
-  // check against the exact q42 answer.
+  // reproducible, but the GK guarantee IS checkable: every returned
+  // value must sit within ε of its target RANK. The oracle (was
+  // rows-only in r1/r2) recomputes each emitted value's true rank
+  // bracket in DuckDB — count(x ≤ v) ≥ (p−ε)·n and
+  // count(x < v) ≤ (p+ε)·n with ε = 0.001 (10× the accuracy=10000
+  // bound) — and keeps the row only if all four quantiles qualify.
+  // An out-of-tolerance estimate drops its row ⇒ FAIL.
+  // ApproxPercentileSpec additionally tolerance-checks against q42.
   // -------------------------------------------------------------------
   def q54ApproxPercentiles(spark: SparkSession, dir: String): DataFrame =
     li(spark, dir)
@@ -102,6 +108,22 @@ object Stats {
         element_at(col("pcts"), 3).as("p75"),
         element_at(col("pcts"), 4).as("p90"))
       .orderBy(asc("l_returnflag"))
+  val q54Sql: String = {
+    def bracket(p: String, v: String): String =
+      s"""(SELECT COUNT(*) FROM lineitem l WHERE l.l_returnflag = e.l_returnflag
+         |     AND l.l_quantity <= e.$v) >= ($p - 0.001) * n.n
+         |  AND (SELECT COUNT(*) FROM lineitem l WHERE l.l_returnflag = e.l_returnflag
+         |     AND l.l_quantity < e.$v) <= ($p + 0.001) * n.n""".stripMargin
+    s"""WITH n AS (SELECT l_returnflag, COUNT(*) AS n FROM lineitem GROUP BY 1)
+       |SELECT e.l_returnflag, e.p25, e.p50, e.p75, e.p90
+       |FROM read_parquet('__GRAFT_OUT__/q54_approx_percentiles/*.parquet') e
+       |JOIN n ON n.l_returnflag = e.l_returnflag
+       |WHERE ${bracket("0.25", "p25")}
+       |  AND ${bracket("0.50", "p50")}
+       |  AND ${bracket("0.75", "p75")}
+       |  AND ${bracket("0.90", "p90")}
+       |ORDER BY e.l_returnflag""".stripMargin
+  }
 
   // -------------------------------------------------------------------
   // q74: heavy hitters — top-20 most-referenced parts via the native
@@ -232,6 +254,7 @@ object Stats {
   val oracle: Map[String, String] = Map(
     "q42_percentiles" -> q42Sql,
     "q43_moment_stats" -> q43Sql,
+    "q54_approx_percentiles" -> q54Sql,
     "q74_heavy_hitters" -> q74Sql,
     "q90_column_profile" -> q90Sql,
     "q104_grouped_heavy_hitters" -> q104Sql,
