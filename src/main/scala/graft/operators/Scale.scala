@@ -36,32 +36,32 @@ object Scale {
     * The cluster-scale pattern for repeated fact-fact joins.
     */
   def writeBucketed(df: DataFrame, table: String, key: String,
-                    buckets: Int): Unit = {
+                    buckets: Int, path: Option[String] = None): Unit = {
     val spark = df.sparkSession
     spark.sql(s"DROP TABLE IF EXISTS $table")
-    // a stale location (e.g. from a crashed run) blocks managed-table
-    // creation even after DROP; clear it
+    // a stale location (e.g. from a crashed run) blocks table creation
+    // even after DROP; clear it
     val warehouse = spark.conf.get("spark.sql.warehouse.dir")
       .stripPrefix("file:")
-    val loc = new java.io.File(warehouse, table)
-    if (loc.exists()) {
-      def rm(f: java.io.File): Unit = {
-        if (f.isDirectory) f.listFiles().foreach(rm)
-        f.delete()
-      }
-      rm(loc)
-    }
-    df.write.mode("overwrite")
+    val loc = new java.io.File(path.getOrElse(new java.io.File(warehouse, table).toString))
+    if (loc.exists()) graft.util.TempDirs.deleteRecursively(loc)
+    val w = df.write.mode("overwrite")
       .bucketBy(buckets, key)
       .sortBy(key)
       .format("parquet")
-      .saveAsTable(table)
+    // explicit path → EXTERNAL table (scratch location); else managed
+    path.fold(w)(p => w.option("path", p)).saveAsTable(table)
   }
 
-  /** Join two bucketed tables on their bucket key. */
+  /** Join two bucketed tables on their bucket key. The merge hint pins
+    * the co-located SortMergeJoin this layout exists for — at demo
+    * scale the planner would otherwise broadcast the smaller side and
+    * never exercise the exchange-free path (at 100 TB both sides are
+    * fact tables and SMJ is the only option anyway). */
   def bucketedJoin(spark: SparkSession, leftTable: String, rightTable: String,
                    key: String): DataFrame =
-    spark.table(leftTable).join(spark.table(rightTable), Seq(key))
+    spark.table(leftTable).hint("merge")
+      .join(spark.table(rightTable), Seq(key))
 
   /** Upsert / MERGE: updates win per key, unmatched base rows survive,
     * brand-new keys insert — last-writer-wins CDC merge without a

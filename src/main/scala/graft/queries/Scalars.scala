@@ -265,8 +265,45 @@ object Scalars {
       |FROM events WHERE event_type IN ('click', 'purchase')
       |GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  // -------------------------------------------------------------------
+  // q109: bucketed co-located join — both sides written bucketed+sorted
+  // on the join key (16 buckets, external scratch location), then
+  // joined and aggregated ON THE BUCKET KEY: the join runs with NO
+  // Exchange and NO Sort on either side, and the aggregate reuses the
+  // same clustering (the only shuffle in the plan is the final
+  // deterministic ORDER BY). This is the repeated fact-fact join
+  // pattern at 100 TB: pay the layout once, join shuffle-free forever.
+  // Oracle: the identical plain join in DuckDB — bucketing must not
+  // change any answer.
+  // -------------------------------------------------------------------
+  def q109BucketedJoin(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Scale
+    val base = graft.util.TempDirs.scratch("graft_bucketed")
+    val orders = spark.read.parquet(s"$dir/orders.parquet")
+      .select(col("o_orderkey"), col("o_orderpriority"))
+    val items = spark.read.parquet(s"$dir/lineitem.parquet")
+      .select(col("l_orderkey").as("o_orderkey"), col("l_extendedprice"))
+    Scale.writeBucketed(orders, "graft_b_orders", "o_orderkey", 16,
+      Some(s"$base/orders"))
+    Scale.writeBucketed(items, "graft_b_lineitem", "o_orderkey", 16,
+      Some(s"$base/lineitem"))
+    Scale.bucketedJoin(spark, "graft_b_orders", "graft_b_lineitem", "o_orderkey")
+      .groupBy(col("o_orderkey"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_items"),
+        sum(col("l_extendedprice").cast(DecimalType(20, 2))).cast("double")
+          .as("revenue"))
+      .orderBy(asc("o_orderkey"))
+  }
+  val q109Sql: String =
+    """SELECT o_orderkey, o_orderpriority, COUNT(*) AS n_items,
+      |  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(20,2))) AS VARCHAR) AS DOUBLE) AS revenue
+      |FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+      |GROUP BY o_orderkey, o_orderpriority
+      |ORDER BY o_orderkey""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q107_partitioned_roundtrip" -> (q107PartitionedRoundtrip _),
+    "q109_bucketed_join" -> (q109BucketedJoin _),
     "q105_salted_join" -> (q105SaltedJoin _),
     "q79_upsert_merge" -> (q79UpsertMerge _),
     "q80_incremental_agg" -> (q80IncrementalAgg _),
@@ -278,6 +315,7 @@ object Scalars {
 
   val oracle: Map[String, String] = Map(
     "q107_partitioned_roundtrip" -> q107Sql,
+    "q109_bucketed_join" -> q109Sql,
     "q105_salted_join" -> q105Sql,
     "q79_upsert_merge" -> q79Sql,
     "q80_incremental_agg" -> q80Sql,

@@ -44,7 +44,8 @@ object Explain {
       "q92_resample" -> "the dense grid is GENERATED (sequence+explode over a 1-row bounds aggregate) and cross-joined with the broadcast type dimension; the event table is pre-aggregated before the fill join — two small frames join regardless of data scale",
       "q96_fuzzy_key_pairs" -> "equi-join on the 8-char prefix block (hash join), levenshtein verified as a post-join filter — never a nested-loop condition; degenerate blocks capped by a window count",
       "q98_window_topk" -> "Partial WindowGroupLimit BELOW the exchange: every map partition forwards ≤ k rows per group before the shuffle — the builtin skew bound (PERF.md lesson 11)",
-      "q100_rolling_window" -> "single shuffle on user_id; RANGE frame over unix-micros order — one running-window pass, no self-join against the trailing hour")
+      "q100_rolling_window" -> "single shuffle on user_id; RANGE frame over unix-micros order — one running-window pass, no self-join against the trailing hour",
+      "q109_bucketed_join" -> "bucketed layout satisfies the SortMergeJoin AND the bucket-key aggregate: no hashpartitioning Exchange anywhere — the only shuffle is the final deterministic ORDER BY (the pay-layout-once fact-fact join at 100 TB)")
 
     val sb = new StringBuilder
     sb.append("# EXPLAINS — physical plans of representative queries\n\n")

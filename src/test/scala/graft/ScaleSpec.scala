@@ -44,6 +44,22 @@ class ScaleSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
   }
 
+  test("q109 registered query: join AND aggregate reuse the bucket clustering") {
+    val saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val df = graft.queries.Scalars.q109BucketedJoin(spark, sf)
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"), s"expected SMJ, got:\n$plan")
+      // the bucket layout satisfies the join AND the groupBy on the
+      // bucket key: the ONLY exchange in the plan is the final
+      // deterministic ORDER BY (range partitioning)
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"expected hash-shuffle-free plan, got:\n$plan")
+      assert(df.limit(1).count() === 1L)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+  }
+
   test("upsert: updates win per key, inserts land, unmatched base survives") {
     val base = Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0))
       .toDF("k", "status", "v")
