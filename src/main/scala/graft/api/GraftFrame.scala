@@ -335,6 +335,18 @@ final case class GraftFrame(df: DataFrame, groupedBy: Seq[String] = Nil,
   def count(): Long = df.count()
   def take(n: Int): GraftFrame = copy(df = df.limit(n))
 
+  /** Pool memoization parity (reference src/pool.rs:57-62: every
+    * computed column is keyed by hash and reused across queries in a
+    * session). Spark's equivalent is explicit: mark this frame's
+    * result for cross-query reuse — the first action materializes it,
+    * later queries over the same frame read the cached partitions
+    * instead of re-executing the subtree (SURVEY.md §4). MEMORY_AND_DISK
+    * by default, like the pool (which holds blocks for the process
+    * lifetime); call [[uncache]] when the session moves on.
+    */
+  def cache(): GraftFrame = { df.persist(); this }
+  def uncache(): GraftFrame = { df.unpersist(); this }
+
   /** Columnar result delivery — the reference's `as_blocks`
     * (src/dataframe.rs:538-551): one column-name → value-array map.
     * Driver-side only (it is a collect); operator paths never call it.

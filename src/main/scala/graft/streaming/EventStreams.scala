@@ -135,9 +135,18 @@ object EventStreams {
   }
 
   /** Per-user running session state via mapGroupsWithState: counts
-    * events per user with a processing-time session timeout —
-    * demonstrates arbitrary stateful streaming. Returns the final
-    * per-user state after draining the (bounded) stream.
+    * events per user — demonstrates arbitrary stateful streaming.
+    * Returns the final per-user state after draining the (bounded)
+    * stream.
+    *
+    * Sink semantics (the honest shape, replacing an earlier max()
+    * collapse that leaned on n_events being monotone): Update-mode
+    * emissions are UPSERTS — each emitted row replaces the sink's row
+    * for that key. The sink here is an in-memory keyed table standing
+    * in for the KV store (Cassandra/RocksDB/lakehouse MERGE) a
+    * deployment writes to; arrival order within a key is batch order,
+    * exactly what foreachBatch delivers. State in the state store stays
+    * watermark/timeout-bounded; the sink table is |users|-sized.
     */
   case class UserAgg(user_id: Long, n_events: Long, total_value: Double)
 
@@ -148,8 +157,8 @@ object EventStreams {
       .as[(Long, Double)]
 
     // state carries the full UserAgg; emissions carry only the columns
-    // the query returns (user, n) — the sink and its final collapse
-    // never see unqueried state fields
+    // the query returns (user, n) — the sink never sees unqueried
+    // state fields
     val updated = events
       .groupByKey(_._1)
       .mapGroupsWithState(GroupStateTimeout.NoTimeout()) {
@@ -162,22 +171,24 @@ object EventStreams {
           (user, n)
       }
 
-    val name = s"graft_stream_state_${System.nanoTime()}"
+    // keyed upsert sink: one entry per user, last write (= latest
+    // micro-batch) wins — mapGroupsWithState emits at most one row per
+    // group per batch, so within-batch order is immaterial
+    val table = new java.util.concurrent.ConcurrentHashMap[Long, Long]()
     val saved = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "8")
     val q = try {
       updated.toDF("user_id", "n_events")
         .writeStream.outputMode(OutputMode.Update())
-        .format("memory").queryName(name)
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          batch.collect().foreach(r => table.put(r.getLong(0), r.getLong(1)))
+          ()
+        }
         .start()
     } finally spark.conf.set("spark.sql.shuffle.partitions", saved)
     try q.processAllAvailable() finally q.stop()
-    // Update mode emits a row per micro-batch per user; n_events is
-    // monotone, so max == the final state. With the default file
-    // source (all files in one trigger) this collapses 1 row/user.
-    spark.table(name)
-      .groupBy(col("user_id"))
-      .agg(max(col("n_events")).as("n_events"))
+    import scala.jdk.CollectionConverters._
+    table.asScala.toSeq.toDF("user_id", "n_events")
       .orderBy(asc("user_id"))
   }
 

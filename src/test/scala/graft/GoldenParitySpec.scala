@@ -247,6 +247,24 @@ class GoldenParitySpec extends SparkSpec {
   }
 
   // driver smoke: flagship entry returns rows
+  // reference src/pool.rs:57-62 — computed columns are memoized in the
+  // process pool and reused across queries in a session; the Spark
+  // equivalent is the explicit cache() mark on the shared frame
+  test("cache() memoizes a shared subtree across queries (pool parity)") {
+    val shared = boolInt.select(
+      (col("int") * lit(10L)).as("mul"), col("bool")).cache()
+    try {
+      // two downstream "session queries" over the same cached frame
+      assert(shared.filter("mul", Predicate(Comparator.GreaterThan, 10L))
+        .collect().map(_.getLong(0)).toSeq.sorted === Seq(20L, 30L))
+      assert(shared.count() === 3L)
+      // the mark is a real InMemoryRelation in the second query's plan
+      assert(shared.df.queryExecution.withCachedData.toString
+        .contains("InMemoryRelation"),
+        "expected cached subtree reuse in the plan")
+    } finally shared.uncache()
+  }
+
   test("SparkEntry.entry returns rows at sf0.001") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
