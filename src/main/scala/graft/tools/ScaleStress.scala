@@ -45,10 +45,23 @@ object ScaleStress {
 
     timed("exact dedup")(
       graft.operators.Dedup.exact(docs, "doc_id", "text").count())
+    // force the signature computation: a bare count() would let the
+    // optimizer prune the sig column and time only the scan
     timed("minhash signatures")(
-      graft.operators.Dedup.minhashSignatures(docs, "doc_id", "text", 3, 32).count())
-    timed("minhash LSH pairs (raw)")(
-      graft.operators.Dedup.minhashLshPairs(docs, "doc_id", "text", 3, 32, 8, 0.5).count())
+      graft.operators.Dedup.minhashSignatures(docs, "doc_id", "text", 3, 32)
+        .select(element_at(col("sig"), 1).as("s1"))
+        .agg(count(lit(1)).as("n"), expr("bit_xor(s1)"))
+        .collect()(0).getLong(0))
+    // the raw (no exact-dedup-first) LSH line exists to MEASURE the
+    // anti-pattern; above ~20× replication its cost is O(copies²) per
+    // exact-dup cluster by construction — skip it and let the
+    // pipeline-ordered line below carry the number
+    if (factor <= 20)
+      timed("minhash LSH pairs (raw)")(
+        graft.operators.Dedup.minhashLshPairs(docs, "doc_id", "text", 3, 32, 8, 0.5).count())
+    else
+      println(s"[stress] minhash LSH pairs (raw): skipped at $factor× " +
+        "(O(copies²) anti-pattern — exact-dedup-first is the prescribed order)")
     // the realistic pipeline order: exact dedup FIRST, then near-dup
     // LSH over the survivors — exact-dup clusters otherwise flood the
     // candidate space with trivial pairs
@@ -73,12 +86,18 @@ object ScaleStress {
       graft.operators.Dedup.connectedComponents(pairs, "id_a", "id_b").count()
     }
     timed("simhash signatures")(
-      graft.operators.Dedup.simhashSignatures(docs, "doc_id", "text").count())
+      graft.operators.Dedup.simhashSignatures(docs, "doc_id", "text")
+        .agg(count(lit(1)).as("n"), expr("bit_xor(sig)"))
+        .collect()(0).getLong(0))
     timed("simhash pairs (cap 500)")(
       graft.operators.Dedup.simhashPairs(docs, "doc_id", "text", 3, 500).count())
-    timed("text stats scan")(
+    timed("text stats scan") {
+      // collect the sum itself — count() over the aggregate lets the
+      // optimizer prune the quality expression away
       docs.select(graft.operators.TextAnalysis.qualityScore(col("text")).as("q"))
-        .agg(sum("q")).count())
+        .agg(sum("q")).collect()
+      docs.count()
+    }
     timed("chunk dedup (10-token chunks, keep-first)")(
       graft.operators.Curation.chunkDedup(docs, "doc_id", "text", 10).count())
     timed("boilerplate stats (5-grams in >= 3 docs)")(
@@ -94,7 +113,11 @@ object ScaleStress {
     // replicas are near- but not exact-duplicates — the SemDeDup shape.
     val embBase = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
     val embPath = "/tmp/graft_stress_emb"
-    embBase.crossJoin(spark.range(factor).toDF("rep"))
+    // vector stress targets ~200k vectors (100× of the 2k base) — the
+    // SemDeDup pair join is quadratic in cell occupancy, so the cell
+    // count below scales with the corpus, not the other way round
+    val embFactor = factor
+    embBase.crossJoin(spark.range(embFactor).toDF("rep"))
       .select(
         (col("vec_id") + col("rep") * lit(1000000L)).as("vec_id"),
         transform(col("embedding"), x =>
@@ -103,17 +126,22 @@ object ScaleStress {
       .repartition(32)
       .write.mode("overwrite").parquet(embPath)
     val emb = spark.read.parquet(embPath)
-    println(s"[stress] embeddings x$factor -> ${emb.count()} vectors")
-    timed("k-means training (16 cells, 2 iters)")(
-      { graft.operators.Similarity.trainCentroids(emb, "embedding", 16, 2, 64); 0L })
+    val nVec = emb.count()
+    // quantizer granularity follows the corpus: ~2000 vectors/cell
+    // keeps the within-cell pair join linear-ish in corpus size (the
+    // operator's own guidance: over-full cells = quantizer too coarse)
+    val cells = math.max(16, (nVec / 2000L).toInt)
+    println(s"[stress] embeddings x$embFactor -> $nVec vectors, $cells cells")
+    timed(s"k-means training ($cells cells, 2 iters)")(
+      { graft.operators.Similarity.trainCentroids(emb, "embedding", cells, 2, 64); 0L })
     timed("semantic dedup (SemDeDup, th=0.995)")(
       graft.operators.Similarity.semanticDedup(emb, "vec_id", "embedding",
-        threshold = 0.995, numCells = 16, iters = 2, dim = 64)
+        threshold = 0.995, numCells = cells, iters = 2, dim = 64)
         .filter(!col("keep")).count())
     timed("IVF top-5 (trained quantizer, 100 queries)")(
       graft.operators.Similarity.ivfTopK(
         emb.filter(col("vec_id") < 100), emb, "vec_id", "vec_id",
-        "embedding", "embedding", k = 5, numCells = 16, nProbe = 4,
+        "embedding", "embedding", k = 5, numCells = cells, nProbe = math.max(4, cells / 8),
         dim = 64).count())
     spark.stop()
   }
