@@ -135,7 +135,12 @@ object Similarity {
         .withColumn("cell", graft.functions.VectorFunctions.vec_mat_argmax(col("v"), cents))
         .select(col("cell"), posexplode(col("v")))
         .groupBy(col("cell"), col("pos"))
-        .agg(sum(col("col")).as("s"))
+        // DECIMAL sum: exact and associative, so the trained model is
+        // bit-identical regardless of shuffle merge order (a double sum
+        // could flip boundary vectors' cells between runs and wobble
+        // the q52/q75 recall/keep sets)
+        .agg(sum(col("col").cast(org.apache.spark.sql.types.DecimalType(30, 15)))
+          .cast("double").as("s"))
         .collect() // numCells × dim rows — the model, not the data
       val next = cents.map(_.clone())
       stats.groupBy(_.getInt(0)).foreach { case (cell, rows) =>
