@@ -399,5 +399,12 @@ class OperatorsSpec extends SparkSpec {
     val again = Similarity.trainCentroids(e, "embedding",
       numCells = 16, iters = 2, dim = 64)
     assert(cents.map(_.toSeq).toSeq === again.map(_.toSeq).toSeq)
+    // ...and BIT-identical under a different physical partitioning:
+    // the per-cell sums go through exact DECIMAL (associative), so
+    // shuffle merge order cannot wobble the model (a double sum would
+    // differ in ulps here and flip boundary cells)
+    val repart = Similarity.trainCentroids(e.repartition(7), "embedding",
+      numCells = 16, iters = 2, dim = 64)
+    assert(cents.map(_.toSeq).toSeq === repart.map(_.toSeq).toSeq)
   }
 }
