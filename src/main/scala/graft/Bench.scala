@@ -47,7 +47,10 @@ object Bench {
       graft.streaming.EventStreams.enrichedSegmentRollup _,
       graft.streaming.EventStreams.streamingUpsert _,
       graft.queries.Pipeline.q75SemanticDedup _,
-      graft.queries.Curation.q83BloomDecontaminate _
+      graft.queries.Curation.q83BloomDecontaminate _,
+      // bucketed saveAsTable (write commit protocol + bucket-sorted
+      // file write) and the co-located SMJ compile their own shapes
+      graft.queries.Scalars.q109BucketedJoin _
     ).foreach { f => try f(spark, warmDir).count() catch { case _: Throwable => } }
 
     // The reference memoizes columns across queries in its Pool
