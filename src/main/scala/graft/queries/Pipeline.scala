@@ -806,7 +806,42 @@ object Pipeline {
       |WHERE ABS(e.vocab_est - g.vocab) <= 0.05 * g.vocab
       |ORDER BY e.lang""".stripMargin
 
+  // -------------------------------------------------------------------
+  // q110: mergeable sketch tables — the incremental-statistics pattern
+  // at 100 TB: each ingest "snapshot" (doc_id % 4 here) pre-aggregates
+  // a per-language HLL sketch of its vocabulary; the corpus-wide
+  // distinct count is then a UNION OF SKETCHES (bytes, not token
+  // streams) — adding a snapshot never rescans history. Uses Spark's
+  // native DataSketches HLL (hll_sketch_agg / hll_union_agg /
+  // hll_sketch_estimate). Tolerance oracle like q68: the merged
+  // estimate must land within 5% of DuckDB's exact distinct count —
+  // sketch merge is lossless (union of registers), so the merged
+  // accuracy equals single-pass accuracy.
+  // -------------------------------------------------------------------
+  def q110SketchUnion(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .select(col("lang"), pmod(col("doc_id"), lit(4)).as("snapshot"),
+        explode(TA.tokens(col("text"))).as("term"))
+      .groupBy(col("lang"), col("snapshot"))
+      .agg(expr("hll_sketch_agg(term, 14)").as("sk")) // the persisted sketch table
+      .groupBy(col("lang"))
+      .agg(expr("hll_sketch_estimate(hll_union_agg(sk))").as("vocab_est"))
+      .orderBy(asc("lang"))
+  val q110Sql: String =
+    raw"""WITH exact AS (
+      |  SELECT lang, COUNT(DISTINCT term) AS vocab
+      |  FROM (SELECT lang, UNNEST(string_split_regex(TRIM(text), '\s+')) AS term
+      |        FROM documents)
+      |  GROUP BY lang
+      |)
+      |SELECT e.lang, e.vocab_est
+      |FROM read_parquet('__GRAFT_OUT__/q110_sketch_union/*.parquet') e
+      |JOIN exact g ON g.lang = e.lang
+      |WHERE ABS(e.vocab_est - g.vocab) <= 0.05 * g.vocab
+      |ORDER BY e.lang""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q110_sketch_union" -> (q110SketchUnion _),
     "q25_text_stats" -> (q25TextStats _),
     "q26_token_freq" -> (q26TokenFreq _),
     "q27_quality_score" -> (q27Quality _),
@@ -857,6 +892,7 @@ object Pipeline {
     "q52_ann_ivf" -> annOracle("q52_ann_ivf", 0.5),
     "q68_vocab_approx" -> q68Sql,
     "q75_semantic_dedup" -> q75Sql,
+    "q110_sketch_union" -> q110Sql,
     "q33_ngram_jaccard" -> q33Sql,
     "q34_cosine_topk" -> q34Sql,
     "q37_multimodal" -> q37Sql,

@@ -111,6 +111,28 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("sketch-table union is lossless: merged snapshots == single pass") {
+    import org.apache.spark.sql.functions._
+    val terms = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("lang"), pmod(col("doc_id"), lit(4)).as("snap"),
+        explode(graft.operators.TextAnalysis.tokens(col("text"))).as("term"))
+    // per-snapshot sketch table, then union-merged (what q110 registers)
+    val merged = terms
+      .groupBy(col("lang"), col("snap"))
+      .agg(expr("hll_sketch_agg(term, 14)").as("sk"))
+      .groupBy(col("lang"))
+      .agg(expr("hll_sketch_estimate(hll_union_agg(sk))").as("est"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // one pass over everything, same lgK
+    val single = terms
+      .groupBy(col("lang"))
+      .agg(expr("hll_sketch_estimate(hll_sketch_agg(term, 14))").as("est"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // union of HLL registers is exactly the register-wise max — the
+    // merged estimate is identical to the single-pass estimate
+    assert(merged === single)
+  }
+
   test("tfidf ranks corpus-rare terms above ubiquitous ones") {
     // 'common' appears in all 4 docs (idf = ln(5/5) = 0); doc-specific
     // terms appear once (idf = ln(5/2) > 0) — each doc's top term must
