@@ -194,6 +194,52 @@ object Curation {
   }
 
   // -------------------------------------------------------------------
+  // q111: per-source adaptive quality filter — keep each source's top
+  // quality quartile. The threshold is ADAPTIVE per source (a fixed
+  // global cutoff over-prunes clean sources and under-prunes noisy
+  // ones) and is computed distributively: one window pass per source
+  // partition (percent_rank), no collected stats, no global sort —
+  // the shape survives any number of sources at 100 TB. percent_rank's
+  // (rank−1)/(n−1) is identical integer-derived arithmetic in both
+  // engines, so the oracle is exact.
+  // -------------------------------------------------------------------
+  def q111QualityQuantile(spark: SparkSession, dir: String): DataFrame = {
+    val scored = docs(spark, dir).select(col("source"),
+      TA.qualityScore(col("text")).as("quality"))
+    scored
+      .withColumn("pr", percent_rank().over(
+        Window.partitionBy(col("source")).orderBy(col("quality"))))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        count(when(col("pr") >= 0.75, 1)).as("n_kept"))
+      .orderBy(asc("source"))
+  }
+  val q111Sql: String = {
+    val en = TA.stopwords("en").map(w => s"'$w'").mkString(", ")
+    s"""WITH t AS (
+       |  SELECT source,
+       |    CAST(LENGTH(text) AS DOUBLE) AS n_chars,
+       |    CAST(LEN(string_split_regex(TRIM(text), '\\s+')) AS DOUBLE) AS n_tokens,
+       |    CAST(LEN(list_distinct(string_split_regex(TRIM(text), '\\s+'))) AS DOUBLE) AS n_uniq,
+       |    CAST(LEN(list_filter(string_split_regex(TRIM(text), '\\s+'),
+       |      tk -> tk IN ($en))) AS DOUBLE) AS n_stop
+       |  FROM documents
+       |), q AS (
+       |  SELECT source,
+       |    0.4 * LEAST(1.0, n_chars / 500.0)
+       |    + 0.3 * LEAST(1.0, (n_stop / n_tokens) * 3.0)
+       |    + 0.3 * (n_uniq / n_tokens) AS quality
+       |  FROM t
+       |), r AS (
+       |  SELECT source, PERCENT_RANK() OVER (PARTITION BY source ORDER BY quality) AS pr
+       |  FROM q
+       |)
+       |SELECT source, COUNT(*) AS n_docs,
+       |  COUNT(CASE WHEN pr >= 0.75 THEN 1 END) AS n_kept
+       |FROM r GROUP BY source ORDER BY source""".stripMargin
+  }
+
+  // -------------------------------------------------------------------
   // q63: deterministic training-order shuffle — first 100 positions of
   // the seed-42 epoch order. Sort is the scale path (range exchange);
   // positions assigned only after the 100-row limit.
@@ -318,7 +364,8 @@ object Curation {
     "q60_pack_sequences" -> (q60PackSequences _),
     "q61_pii_redact" -> (q61PiiRedact _),
     "q62_curation_funnel" -> (q62CurationFunnel _),
-    "q63_order_shuffle" -> (q63OrderShuffle _))
+    "q63_order_shuffle" -> (q63OrderShuffle _),
+    "q111_quality_quantile" -> (q111QualityQuantile _))
 
   val oracle: Map[String, String] = Map(
     "q108_truncate_tokens" -> q108Sql,
@@ -331,5 +378,6 @@ object Curation {
     "q60_pack_sequences" -> q60Sql,
     "q61_pii_redact" -> q61Sql,
     "q62_curation_funnel" -> q62Sql,
-    "q63_order_shuffle" -> q63Sql)
+    "q63_order_shuffle" -> q63Sql,
+    "q111_quality_quantile" -> q111Sql)
 }
