@@ -45,7 +45,9 @@ object Explain {
       "q96_fuzzy_key_pairs" -> "equi-join on the 8-char prefix block (hash join), levenshtein verified as a post-join filter — never a nested-loop condition; degenerate blocks capped by a window count",
       "q98_window_topk" -> "Partial WindowGroupLimit BELOW the exchange: every map partition forwards ≤ k rows per group before the shuffle — the builtin skew bound (PERF.md lesson 11)",
       "q100_rolling_window" -> "single shuffle on user_id; RANGE frame over unix-micros order — one running-window pass, no self-join against the trailing hour",
-      "q109_bucketed_join" -> "bucketed layout satisfies the SortMergeJoin AND the bucket-key aggregate: no hashpartitioning Exchange anywhere — the only shuffle is the final deterministic ORDER BY (the pay-layout-once fact-fact join at 100 TB)")
+      "q109_bucketed_join" -> "bucketed layout satisfies the SortMergeJoin AND the bucket-key aggregate: no hashpartitioning Exchange anywhere — the only shuffle is the final deterministic ORDER BY (the pay-layout-once fact-fact join at 100 TB)",
+      "q110_sketch_union" -> "two-level sketch aggregation: per-snapshot HLL partials merge via hll_union_agg — sketch BYTES cross the second shuffle, never token streams; adding a snapshot never rescans history",
+      "q111_quality_quantile" -> "adaptive per-source threshold in ONE window pass (percent_rank partitioned by source) — no collected stats, no global sort; the count aggregate reuses the window's partitioning")
 
     val sb = new StringBuilder
     sb.append("# EXPLAINS — physical plans of representative queries\n\n")
