@@ -317,11 +317,15 @@ object EventStreams {
     val saved = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "8")
     val q = try {
-      val clicks = readEventStream(spark, dir)
+      // both sides derive from ONE streaming source: the file source
+      // scans each micro-batch once and the self-join splits it by
+      // event type (each side still keeps its own watermarked state)
+      val events = readEventStream(spark, dir)
+      val clicks = events
         .filter(col("event_type") === "click")
         .select(col("user_id").as("c_user"), col("ts").as("c_ts"))
         .withWatermark("c_ts", "1 hour")
-      val purchases = readEventStream(spark, dir)
+      val purchases = events
         .filter(col("event_type") === "purchase")
         .select(col("user_id").as("p_user"), col("ts").as("p_ts"))
         .withWatermark("p_ts", "1 hour")
