@@ -301,9 +301,62 @@ object Scalars {
       |GROUP BY o_orderkey, o_orderpriority
       |ORDER BY o_orderkey""".stripMargin
 
+  // -------------------------------------------------------------------
+  // q112: CSV round trip — the REFERENCE'S primary format (headerless,
+  // `|`-separated, schema declared never inferred) gated at driver
+  // level: write customers as pipe-CSV, read back through the
+  // reference-parity Sources.csv path, aggregate with the decimal
+  // convention. The oracle reads the ORIGINAL parquet — format
+  // fidelity means the answer must not change. Doubles survive the
+  // text round trip exactly (shortest-repr print, exact parse).
+  // -------------------------------------------------------------------
+  def q112CsvRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val out = graft.util.TempDirs.scratch("graft_csv_rt")
+    spark.read.parquet(s"$dir/customer.parquet")
+      .select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal"))
+      .write.mode("overwrite").option("header", "false").option("sep", "|")
+      .csv(out)
+    val schema = StructType(Seq(
+      StructField("c_custkey", LongType),
+      StructField("c_mktsegment", StringType),
+      StructField("c_acctbal", DoubleType)))
+    graft.sources.Sources.csv(spark, out, schema).df
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("c_acctbal").cast(DecimalType(20, 2))).cast("double").as("sum_bal"))
+      .orderBy(asc("c_mktsegment"))
+  }
+  val q112Sql: String =
+    """SELECT c_mktsegment, COUNT(*) AS n,
+      |  CAST(CAST(SUM(CAST(c_acctbal AS DECIMAL(20,2))) AS VARCHAR) AS DOUBLE) AS sum_bal
+      |FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
+
+  // -------------------------------------------------------------------
+  // q113: ORC round trip — the second columnar format, written
+  // PARTITIONED by event_type and read back through the pruned scan
+  // (the ORC twin of q107's parquet layout gate; same oracle shape:
+  // the layout must not change any answer).
+  // -------------------------------------------------------------------
+  def q113OrcRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    val out = graft.util.TempDirs.scratch("graft_orc_rt")
+    graft.sources.Sources.writeOrc(
+      ev(spark, dir).select(col("event_id"), col("user_id"),
+        col("event_type"), col("value")),
+      out, partitionBy = Seq("event_type"))
+    graft.sources.Sources.orc(spark, out).df
+      .filter(col("event_type").isin("click", "purchase"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast(DecimalType(20, 6))).cast("double").as("sum_value"))
+      .orderBy(asc("event_type"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q107_partitioned_roundtrip" -> (q107PartitionedRoundtrip _),
     "q109_bucketed_join" -> (q109BucketedJoin _),
+    "q112_csv_roundtrip" -> (q112CsvRoundtrip _),
+    "q113_orc_roundtrip" -> (q113OrcRoundtrip _),
     "q105_salted_join" -> (q105SaltedJoin _),
     "q79_upsert_merge" -> (q79UpsertMerge _),
     "q80_incremental_agg" -> (q80IncrementalAgg _),
@@ -316,6 +369,9 @@ object Scalars {
   val oracle: Map[String, String] = Map(
     "q107_partitioned_roundtrip" -> q107Sql,
     "q109_bucketed_join" -> q109Sql,
+    "q112_csv_roundtrip" -> q112Sql,
+    "q113_orc_roundtrip" -> q107Sql, // identical output to the parquet layout gate
+
     "q105_salted_join" -> q105Sql,
     "q79_upsert_merge" -> q79Sql,
     "q80_incremental_agg" -> q80Sql,
