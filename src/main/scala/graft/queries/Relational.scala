@@ -560,7 +560,41 @@ object Relational {
   }
   val q97Sql: String = q97Text
 
+  // -------------------------------------------------------------------
+  // q114: the in-memory source (reference from_vecs!, src/dataframe.rs:
+  // 271-284) gated at driver level: a deterministic literal dataset
+  // built in memory, run through the GraftFrame facade (select with
+  // arithmetic → filter → two-phase-style group aggregate), with the
+  // IDENTICAL literal rows inlined into the oracle as a VALUES table.
+  // No file source anywhere on the Spark side — this is the gate for
+  // data born in the session.
+  // -------------------------------------------------------------------
+  private val q114Rows: Seq[(Long, Long, Double)] =
+    (1L to 100L).map(i => (i, i % 7, ((i * 37) % 100) / 4.0))
+
+  def q114InMemory(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val frame = graft.sources.Sources.inMemory(
+      q114Rows.toDF("id", "cat", "v"))
+    frame
+      .select(col("id"), col("cat"), (col("v") * lit(2.0)).as("v2"))
+      .filter(col("id") <= lit(90L))
+      .df
+      .groupBy(col("cat"))
+      .agg(count(lit(1)).as("n"), dsum(col("v2")).as("sum_v2"))
+      .orderBy(asc("cat"))
+  }
+  val q114Sql: String = {
+    val values = q114Rows.map { case (i, c, v) => s"($i, $c, $v)" }.mkString(", ")
+    s"""SELECT cat, COUNT(*) AS n,
+       |  CAST(CAST(SUM(CAST(CAST(v AS DOUBLE) * 2.0 AS DECIMAL(38,10))) AS VARCHAR) AS DOUBLE) AS sum_v2
+       |FROM (VALUES $values) t(id, cat, v)
+       |WHERE id <= 90
+       |GROUP BY cat ORDER BY cat""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q114_inmemory" -> (q114InMemory _),
     "q97_sql_entry" -> (q97SqlEntry _),
     "q53_graft_facade" -> (q53GraftFacade _),
     "q76_tpch_q5" -> (q76TpchQ5 _),
@@ -585,6 +619,7 @@ object Relational {
     "q15_star_join" -> (q15StarJoin _))
 
   val oracle: Map[String, String] = Map(
+    "q114_inmemory" -> q114Sql,
     "q97_sql_entry" -> q97Sql,
     "q53_graft_facade" -> q53Sql,
     "q76_tpch_q5" -> q76Sql,

@@ -352,11 +352,47 @@ object Scalars {
       .orderBy(asc("event_type"))
   }
 
+  // -------------------------------------------------------------------
+  // q115: JSONL round trip — the line-splittable semi-structured
+  // format, schema declared never inferred (inference would scan the
+  // data twice; at 100 TB schema-on-read is declared). Documents
+  // metadata (incl. free text with whatever characters the corpus
+  // holds — JSON escaping must round-trip them) written as JSONL,
+  // read back through Sources.jsonl, aggregated per (lang, source).
+  // Oracle reads the ORIGINAL parquet: format fidelity means the
+  // answer must not change.
+  // -------------------------------------------------------------------
+  def q115JsonlRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val out = graft.util.TempDirs.scratch("graft_jsonl_rt")
+    graft.sources.Sources.writeJsonl(
+      spark.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"), col("lang"), col("source"), col("text")),
+      out)
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("lang", StringType),
+      StructField("source", StringType),
+      StructField("text", StringType)))
+    graft.sources.Sources.jsonl(spark, out, schema).df
+      .groupBy(col("lang"), col("source"))
+      .agg(count(lit(1)).as("n"),
+        sum(length(col("text")).cast("long")).as("sum_chars"),
+        min(col("doc_id")).as("min_id"))
+      .orderBy(asc("lang"), asc("source"))
+  }
+  val q115Sql: String =
+    """SELECT lang, source, COUNT(*) AS n,
+      |  CAST(SUM(LENGTH(text)) AS BIGINT) AS sum_chars,
+      |  MIN(doc_id) AS min_id
+      |FROM documents GROUP BY lang, source ORDER BY lang, source""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q107_partitioned_roundtrip" -> (q107PartitionedRoundtrip _),
     "q109_bucketed_join" -> (q109BucketedJoin _),
     "q112_csv_roundtrip" -> (q112CsvRoundtrip _),
     "q113_orc_roundtrip" -> (q113OrcRoundtrip _),
+    "q115_jsonl_roundtrip" -> (q115JsonlRoundtrip _),
     "q105_salted_join" -> (q105SaltedJoin _),
     "q79_upsert_merge" -> (q79UpsertMerge _),
     "q80_incremental_agg" -> (q80IncrementalAgg _),
@@ -371,6 +407,7 @@ object Scalars {
     "q109_bucketed_join" -> q109Sql,
     "q112_csv_roundtrip" -> q112Sql,
     "q113_orc_roundtrip" -> q107Sql, // identical output to the parquet layout gate
+    "q115_jsonl_roundtrip" -> q115Sql,
 
     "q105_salted_join" -> q105Sql,
     "q79_upsert_merge" -> q79Sql,
