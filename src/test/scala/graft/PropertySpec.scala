@@ -58,6 +58,45 @@ class PropertySpec extends Properties("graft") {
       }
     }
 
+  // generated mini-corpora: 12 docs of 3-12 words from a 20-word
+  // vocabulary — dense enough that shingle overlaps (and thus LSH
+  // candidates) actually occur
+  private val corpusGen: Gen[List[(Long, String)]] = {
+    val word = Gen.oneOf((0 until 20).map(i => s"w$i"))
+    Gen.listOfN(12, Gen.chooseNum(3, 12).flatMap(n =>
+      Gen.listOfN(n, word).map(_.mkString(" "))))
+      .map(_.zipWithIndex.map { case (t, i) => (i.toLong, t) })
+  }
+
+  property("LSH pairs ⊆ exact n-gram Jaccard pairs with equal scores") =
+    Prop.forAll(corpusGen) { corpus =>
+      val docs = corpus.toDF("doc_id", "text")
+      val lsh = graft.operators.Dedup
+        .minhashLshPairs(docs, "doc_id", "text", k = 2, numHashes = 16,
+          bands = 8, threshold = 0.3)
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+      val exact = graft.operators.Dedup
+        .ngramJaccardPairs(docs, "doc_id", "text", k = 2, threshold = 0.3,
+          maxId = Long.MaxValue)
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+      // every LSH-emitted pair must exist in the exact set with the
+      // identical verified Jaccard (LSH may MISS pairs, never invent)
+      lsh.forall { case (pair, j) => exact.get(pair).contains(j) }
+    }
+
+  property("both CC algorithms produce the identical clustering") =
+    Prop.forAll(Gen.listOfN(15,
+        Gen.zip(Gen.chooseNum(0L, 9L), Gen.chooseNum(0L, 9L)))) { edges =>
+      val good = edges.filter { case (a, b) => a != b }
+      good.isEmpty || {
+        val pairs = good.toDF("id_a", "id_b")
+        def lab(df: org.apache.spark.sql.DataFrame) = df.collect()
+          .map(r => r.getLong(0) -> r.getLong(1)).toMap
+        lab(graft.operators.Dedup.connectedComponents(pairs, "id_a", "id_b")) ==
+          lab(graft.operators.Dedup.connectedComponentsAlternating(pairs, "id_a", "id_b"))
+      }
+    }
+
   // ---- native kernel invariants (pure JVM eval paths — no Spark jobs,
   // so these run at full ScalaCheck sample counts) ----
 
