@@ -242,7 +242,60 @@ object Stats {
       .mkString("", "\nUNION ALL\n", "\nORDER BY col_name")
   }
 
+  // -------------------------------------------------------------------
+  // q116: distribution drift between corpus snapshots — the
+  // data-quality monitor a production ingest runs on every batch:
+  // reference snapshot (even doc_ids) vs current (odd), document
+  // lengths binned into 10 fixed-width integer bins over the GLOBAL
+  // range (q106's all-integer binning — no float bin edges), per-bin
+  // χ² contribution (cur − E)²/E with E scaled from the reference.
+  // χ² and not PSI on purpose: +,−,×,÷ are IEEE-identical on both
+  // engines in expression order, while PSI's ln() is libm-
+  // implementation-defined and would flake the hash gate. Shape: two
+  // scans collapse to one with conditional aggregation; 10 groups
+  // regardless of corpus size.
+  // -------------------------------------------------------------------
+  def q116DriftChi2(spark: SparkSession, dir: String): DataFrame = {
+    val d = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), col("n_chars"))
+    val stats = d.agg(min(col("n_chars")).as("mn"), max(col("n_chars")).as("mx"))
+    val binned = d.crossJoin(broadcast(stats))
+      .select(expr("(n_chars - mn) * 10 div (mx - mn + 1)").as("bin"),
+        (col("doc_id") % 2 === 0).as("is_ref"))
+      .groupBy(col("bin"))
+      .agg(count(when(col("is_ref"), 1)).as("ref_n"),
+        count(when(!col("is_ref"), 1)).as("cur_n"))
+    val totals = binned.agg(sum(col("ref_n")).as("ref_t"), sum(col("cur_n")).as("cur_t"))
+    binned.crossJoin(broadcast(totals))
+      .filter(col("ref_n") > 0)
+      .select(col("bin"), col("ref_n"), col("cur_n"),
+        round((col("cur_n") - col("ref_n").cast("double") * col("cur_t") / col("ref_t"))
+          * (col("cur_n") - col("ref_n").cast("double") * col("cur_t") / col("ref_t"))
+          / (col("ref_n").cast("double") * col("cur_t") / col("ref_t")), 6)
+          .as("chi2_contrib"))
+      .orderBy(asc("bin"))
+  }
+  val q116Sql: String =
+    """WITH b AS (
+      |  SELECT (n_chars - mn) * 10 // (mx - mn + 1) AS bin,
+      |    doc_id % 2 = 0 AS is_ref
+      |  FROM documents CROSS JOIN
+      |    (SELECT MIN(n_chars) AS mn, MAX(n_chars) AS mx FROM documents)
+      |), c AS (
+      |  SELECT bin, COUNT(CASE WHEN is_ref THEN 1 END) AS ref_n,
+      |    COUNT(CASE WHEN NOT is_ref THEN 1 END) AS cur_n
+      |  FROM b GROUP BY bin
+      |), t AS (SELECT SUM(ref_n) AS ref_t, SUM(cur_n) AS cur_t FROM c)
+      |SELECT bin, ref_n, cur_n,
+      |  ROUND((cur_n - CAST(ref_n AS DOUBLE) * cur_t / ref_t)
+      |    * (cur_n - CAST(ref_n AS DOUBLE) * cur_t / ref_t)
+      |    / (CAST(ref_n AS DOUBLE) * cur_t / ref_t), 6) AS chi2_contrib
+      |FROM c CROSS JOIN t
+      |WHERE ref_n > 0
+      |ORDER BY bin""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q116_drift_chi2" -> (q116DriftChi2 _),
     "q42_percentiles" -> (q42Percentiles _),
     "q43_moment_stats" -> (q43Moments _),
     "q54_approx_percentiles" -> (q54ApproxPercentiles _),
@@ -252,6 +305,7 @@ object Stats {
     "q106_histogram" -> (q106Histogram _))
 
   val oracle: Map[String, String] = Map(
+    "q116_drift_chi2" -> q116Sql,
     "q42_percentiles" -> q42Sql,
     "q43_moment_stats" -> q43Sql,
     "q54_approx_percentiles" -> q54Sql,
