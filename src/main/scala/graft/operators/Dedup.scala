@@ -221,40 +221,59 @@ object Dedup {
     * [[connectedComponentsAlternating]] (O(log n) rounds).
     *
     * Scale shape: per round one shuffle of (8-byte id, 8-byte label)
-    * edges + one hash aggregate; lineage truncated per round
-    * (localCheckpoint — swap for checkpoint(dir) on a cluster) so
-    * plans stay flat; only the per-round change COUNT reaches the
-    * driver. Output: (id, cluster) for every id present in `pairs`,
-    * cluster = min id of the component.
+    * edges + one hash aggregate; lineage truncated per round so plans
+    * stay flat; only the per-round change COUNT reaches the driver.
+    * Truncation is `localCheckpoint` (executor memory) by default —
+    * pass `checkpointDir` on a real cluster to write round snapshots
+    * to reliable storage instead (survives executor loss; the
+    * localCheckpoint variant recomputes-from-nothing if an executor
+    * holding a block dies mid-algorithm). Output: (id, cluster) for
+    * every id present in `pairs`, cluster = min id of the component.
     */
   def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
-                          maxIters: Int = 20): DataFrame = {
-    val edges = pairs
+                          maxIters: Int = 20,
+                          checkpointDir: Option[String] = None): DataFrame = {
+    val cut = truncator(pairs, checkpointDir)
+    val edges = cut(pairs
       .select(col(aCol).cast("long").as("src"), col(bCol).cast("long").as("dst"))
       .union(pairs.select(col(bCol).cast("long").as("src"), col(aCol).cast("long").as("dst")))
-      .distinct()
-      .localCheckpoint(true)
-    var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("cluster", col("id"))
-      .localCheckpoint(true)
+      .distinct())
+    var labels = cut(edges.select(col("src").as("id")).distinct()
+      .withColumn("cluster", col("id")))
     var iter = 0
     var changed = 1L
     while (changed > 0 && iter < maxIters) {
       val nbrMin = edges
         .join(labels.select(col("id").as("dst"), col("cluster").as("nbr")), Seq("dst"))
         .groupBy(col("src")).agg(min(col("nbr")).as("nbr_min"))
-      val next = labels
+      val next = cut(labels
         .join(nbrMin.select(col("src").as("id"), col("nbr_min")), Seq("id"), "left_outer")
         .select(col("id"),
           least(col("cluster"), coalesce(col("nbr_min"), col("cluster"))).as("cluster"),
-          (col("nbr_min") < col("cluster")).as("ch"))
-        .localCheckpoint(true)
+          (col("nbr_min") < col("cluster")).as("ch")))
       changed = next.filter(col("ch")).count()
       labels = next.select(col("id"), col("cluster"))
       iter += 1
     }
     labels
   }
+
+  /** Per-round lineage truncation for the iterative CC algorithms:
+    * eager `localCheckpoint` by default (single-JVM / tests), eager
+    * reliable `checkpoint` under `dir` when given (cluster mode —
+    * snapshots live in HDFS/S3, so a lost executor costs one re-read,
+    * not a full recompute of all prior rounds). The checkpoint dir is
+    * set once per call; each truncated frame lands in its own rdd-N
+    * subdirectory. */
+  private def truncator(sample: DataFrame,
+                        dir: Option[String]): DataFrame => DataFrame =
+    dir match {
+      case Some(d) =>
+        sample.sparkSession.sparkContext.setCheckpointDir(d)
+        df => df.checkpoint(eager = true)
+      case None =>
+        df => df.localCheckpoint(true)
+    }
 
   /** Connected components via alternating large-star / small-star
     * rounds (the MapReduce CC algorithm of Kiveris et al., "Connected
@@ -274,20 +293,20 @@ object Dedup {
     * fixpoint (every edge then points child → component root).
     */
   def connectedComponentsAlternating(pairs: DataFrame, aCol: String,
-                                     bCol: String, maxIters: Int = 30): DataFrame = {
+                                     bCol: String, maxIters: Int = 30,
+                                     checkpointDir: Option[String] = None): DataFrame = {
+    val cut = truncator(pairs, checkpointDir)
     def canon(e: DataFrame): DataFrame = e
       .filter(col("u") =!= col("v"))
       .select(least(col("u"), col("v")).as("u"),
         greatest(col("u"), col("v")).as("v"))
       .distinct()
-    val ids = pairs
+    val ids = cut(pairs
       .select(col(aCol).cast("long").as("id"))
       .union(pairs.select(col(bCol).cast("long").as("id")))
-      .distinct()
-      .localCheckpoint(true)
-    var edges = canon(pairs.select(col(aCol).cast("long").as("u"),
-        col(bCol).cast("long").as("v")))
-      .localCheckpoint(true)
+      .distinct())
+    var edges = cut(canon(pairs.select(col(aCol).cast("long").as("u"),
+        col(bCol).cast("long").as("v"))))
     var edgeCount = edges.count()
     var iter = 0
     var done = false
@@ -306,11 +325,10 @@ object Dedup {
       val parents = bidir2.filter(col("n") <= col("c"))
       val mins2 = parents.groupBy(col("c"))
         .agg(least(min(col("n")), first(col("c"))).as("m"))
-      val ss = canon(
+      val ss = cut(canon(
         parents.join(mins2, Seq("c"))
           .select(col("n").as("u"), col("m").as("v"))
-          .union(mins2.select(col("c").as("u"), col("m").as("v"))))
-        .localCheckpoint(true)
+          .union(mins2.select(col("c").as("u"), col("m").as("v")))))
       // fixpoint = set equality; both sides are canon'd (distinct), so
       // |ss| == |edges| plus ss ⊆ edges suffices. One count over the
       // just-checkpointed ss (carried to the next round as edgeCount)

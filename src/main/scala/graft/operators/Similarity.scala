@@ -45,13 +45,25 @@ object Similarity {
     * nearest candidates by cosine. Queries are broadcast; candidates
     * are never shuffled — the plan is scan → broadcast-nested-loop →
     * window top-k on the query key.
+    *
+    * `excludeSelf` contract: when true (default), a candidate whose id
+    * EQUALS the query's id is excluded — the right semantics when
+    * queries are drawn from the candidate table (q34/q35/q52), and a
+    * no-op when the id spaces are disjoint. Callers whose query ids
+    * coincidentally collide with UNRELATED candidate ids must pass
+    * false, or an innocent candidate silently vanishes from that
+    * query's ranking (and with disjoint id spaces + excludeSelf a
+    * query can never see its own duplicate as neighbor 1 — that row
+    * was never excluded; the flag only ever removes id-equal pairs).
     */
   def bruteForceTopK(queries: DataFrame, candidates: DataFrame,
                      idQ: String, idC: String, vecQ: String, vecC: String,
-                     k: Int): DataFrame = {
+                     k: Int, excludeSelf: Boolean = true): DataFrame = {
     val q = queries.select(col(idQ).as("query_id"), normalized(col(vecQ)).as("qv"))
     val c = candidates.select(col(idC).as("cand_id"), normalized(col(vecC)).as("cv"))
-    val scored = c.join(broadcast(q), col("query_id") =!= col("cand_id"))
+    val joined = c.join(broadcast(q),
+      if (excludeSelf) col("query_id") =!= col("cand_id") else lit(true))
+    val scored = joined
       .select(col("query_id"), col("cand_id"), dotD(col("qv"), col("cv")).as("cosine"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(desc("cosine"), asc("cand_id"))
@@ -212,11 +224,22 @@ object Similarity {
     * numCells — rather than letting one reducer take O(m²) pairs);
     * group connection is [[Dedup.connectedComponents]]' per-round
     * (id, label) shuffles. Returns (id, cluster, keep).
+    *
+    * `numCells ≤ 0` (the default) auto-scales the quantizer with the
+    * corpus: max(16, n/2000) cells, so the expected cell is ~2000
+    * vectors and the within-cell self-join cost per cell stays flat as
+    * the corpus grows — the cells-follow-corpus contract that was
+    * previously a manual dial. The count is one extra O(1)-result
+    * pass; pass an explicit numCells to pin the model size (what the
+    * deterministic q75 gate does).
     */
   def semanticDedup(df: DataFrame, idCol: String, vecCol: String,
-                    threshold: Double, numCells: Int = 16, iters: Int = 4,
+                    threshold: Double, numCells: Int = 0, iters: Int = 4,
                     dim: Int = 64, maxCell: Int = 10000): DataFrame = {
-    val cents = trainCentroids(df, vecCol, numCells, iters, dim)
+    val cells =
+      if (numCells > 0) numCells
+      else math.max(16L, df.count() / 2000L).toInt
+    val cents = trainCentroids(df, vecCol, cells, iters, dim)
     val assigned = assignCells(df, idCol, vecCol, cents)
       .withColumn("cell_n", count(lit(1)).over(
         Window.partitionBy(col("cell"))))

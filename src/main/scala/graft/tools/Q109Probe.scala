@@ -26,14 +26,22 @@ object Q109Probe {
       if (d.isDirectory) d.listFiles().count(_.getName.startsWith("part-")) else 0
     }
     for (round <- 1 to 2) {
+      // baseline arm: the RAW bucketBy write, every input task writing
+      // slices of every bucket — Scale.writeBucketed pre-repartitions
+      // internally now, so the baseline must bypass it to stay a
+      // baseline (it was silently identical to the fast arm for a
+      // while; the 2.5× below is only reproducible via this raw path)
       val t1 = graft.util.TempDirs.scratch("q109p_a")
-      timed(s"r$round write as-is")(
-        Scale.writeBucketed(items, "q109p_a", "o_orderkey", 16, Some(s"$t1/t")))
+      timed(s"r$round write raw bucketBy") {
+        spark.sql("DROP TABLE IF EXISTS q109p_a")
+        items.write.mode("overwrite")
+          .bucketBy(16, "o_orderkey").sortBy("o_orderkey")
+          .format("parquet").option("path", s"$t1/t").saveAsTable("q109p_a")
+      }
       println(s"[q109probe]   files: ${files(s"$t1/t")}")
       val t2 = graft.util.TempDirs.scratch("q109p_b")
-      timed(s"r$round write pre-repartitioned")(
-        Scale.writeBucketed(items.repartition(16, col("o_orderkey")),
-          "q109p_b", "o_orderkey", 16, Some(s"$t2/t")))
+      timed(s"r$round write pre-repartitioned (Scale.writeBucketed)")(
+        Scale.writeBucketed(items, "q109p_b", "o_orderkey", 16, Some(s"$t2/t")))
       println(s"[q109probe]   files: ${files(s"$t2/t")}")
     }
     spark.stop()

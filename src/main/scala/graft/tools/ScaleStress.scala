@@ -134,9 +134,12 @@ object ScaleStress {
     println(s"[stress] embeddings x$embFactor -> $nVec vectors, $cells cells")
     timed(s"k-means training ($cells cells, 2 iters)")(
       { graft.operators.Similarity.trainCentroids(emb, "embedding", cells, 2, 64); 0L })
-    timed("semantic dedup (SemDeDup, th=0.995)")(
+    // no explicit numCells: the operator's auto-scale default derives
+    // max(16, n/2000) itself — the cells-follow-corpus contract is now
+    // the default path, not a manual dial
+    timed("semantic dedup (SemDeDup, th=0.995, auto cells)")(
       graft.operators.Similarity.semanticDedup(emb, "vec_id", "embedding",
-        threshold = 0.995, numCells = cells, iters = 2, dim = 64)
+        threshold = 0.995, iters = 2, dim = 64)
         .filter(!col("keep")).count())
     timed("IVF top-5 (trained quantizer, 100 queries)")(
       graft.operators.Similarity.ivfTopK(

@@ -4,11 +4,21 @@ import java.io.File
 import java.nio.file.Files
 
 /** Scratch directories for operators that materialize intermediate
-  * layouts (partitioned round-trips, streaming upsert versions). Every
-  * directory created here is deleted on JVM exit, so repeated
-  * Verify/Bench runs in one process don't leak disk under /tmp.
+  * layouts (partitioned round-trips, streaming upsert versions).
+  *
+  * Lifecycle: ONE JVM shutdown hook drains a registry of every scratch
+  * dir ever created (not a hook per call), and a new scratch for a
+  * prefix eagerly deletes the previous scratch of the SAME prefix —
+  * so a long-lived JVM (sbt session, repeated Verify/Bench runs) holds
+  * at most one live scratch per prefix instead of accumulating
+  * lineitem-sized copies until exit. Eager reuse is safe because every
+  * caller fully consumes its result before the query runs again
+  * (Verify writes each result to parquet immediately; specs collect).
   */
 object TempDirs {
+
+  private val registry = new java.util.concurrent.ConcurrentHashMap[String, File]()
+  private val hookInstalled = new java.util.concurrent.atomic.AtomicBoolean(false)
 
   def deleteRecursively(f: File): Unit = {
     if (f.isDirectory) {
@@ -19,10 +29,17 @@ object TempDirs {
     ()
   }
 
-  /** Create a temp directory and register it for deletion at JVM exit. */
+  /** Create a temp directory, registered for deletion at JVM exit; the
+    * previous scratch of the same prefix (if any) is deleted NOW. */
   def scratch(prefix: String): String = {
+    if (hookInstalled.compareAndSet(false, true)) {
+      Runtime.getRuntime.addShutdownHook(new Thread(() => {
+        registry.values().forEach(deleteRecursively(_))
+      }))
+    }
     val dir = Files.createTempDirectory(prefix).toFile
-    Runtime.getRuntime.addShutdownHook(new Thread(() => deleteRecursively(dir)))
+    val prev = registry.put(prefix, dir)
+    if (prev != null) deleteRecursively(prev)
     dir.toString
   }
 }

@@ -145,6 +145,29 @@ class OperatorsSpec extends SparkSpec {
     assert(viaAlt(12L) === 1L && viaAlt(51L) === 50L)
   }
 
+  test("CC with reliable checkpointDir matches localCheckpoint and writes snapshots") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_cc_ck").toString
+    val g = Seq((1L, 2L), (2L, 3L), (10L, 11L), (3L, 10L), (50L, 51L))
+      .toDF("a", "b")
+    val local = Dedup.connectedComponents(g, "a", "b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val reliable = Dedup.connectedComponents(g, "a", "b", checkpointDir = Some(dir))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(reliable === local)
+    val altReliable = Dedup.connectedComponentsAlternating(g, "a", "b",
+        checkpointDir = Some(dir))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(altReliable === local)
+    // round snapshots actually landed in reliable storage (rdd-N dirs)
+    def rddDirs(f: java.io.File): Int =
+      if (f.isDirectory)
+        (if (f.getName.startsWith("rdd-")) 1 else 0) +
+          Option(f.listFiles()).getOrElse(Array.empty).map(rddDirs).sum
+      else 0
+    assert(rddDirs(new java.io.File(dir)) > 0)
+    graft.util.TempDirs.deleteRecursively(new java.io.File(dir))
+  }
+
   // q75's rows-only gate is backed here: planted near-identical
   // vectors must land in one cluster with the lowest id kept;
   // well-separated vectors must all survive as their own cluster.

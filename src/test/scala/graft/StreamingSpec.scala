@@ -49,6 +49,32 @@ class StreamingSpec extends SparkSpec {
     assert(streamed === batch)
   }
 
+  test("stateful streaming sink is file-backed — no driver-side micro-batch data") {
+    // r3 verdict item #1: the q39 sink must be the q87-style keyed
+    // versioned file target, not a driver ConcurrentHashMap. The
+    // returned frame must therefore READ BACK from the parquet sink
+    // (a FileSourceScan over the scratch dir), not be rebuilt from
+    // driver-local rows (a LocalRelation).
+    val df = graft.streaming.EventStreams.statefulUserCounts(spark, sf)
+    val plan = df.queryExecution.optimizedPlan
+    val fileScanPaths = plan.collect {
+      case l: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        l.relation match {
+          case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+            fs.location.rootPaths.map(_.toString)
+          case _ => Seq.empty
+        }
+    }.flatten
+    assert(fileScanPaths.exists(_.contains("graft_stream_stateful")),
+      s"expected a parquet scan over the versioned sink, got: $plan")
+    val localRelations = plan.collect {
+      case l: org.apache.spark.sql.catalyst.plans.logical.LocalRelation
+          if l.data.nonEmpty => l
+    }
+    assert(localRelations.isEmpty,
+      "driver-side rows leaked into the q39 result plan")
+  }
+
   test("stream-stream join attribution equals batch self-join") {
     val streamed = graft.streaming.EventStreams
       .clickPurchaseAttribution(spark, sf).collect()
