@@ -169,9 +169,53 @@ object Wire {
           case "Join" =>
             frame.join(replay(spark, v.get(0)),
               v.get(1).asText(), v.get(2).asText())
+          // ---- beyond-reference verbs (not in the reference protocol;
+          // r3 verdict item: the first operators a remote user reaches
+          // for that the Read/Op/Action surface can't express). Same
+          // externally-tagged encoding; replayed to the operator
+          // library, so the wire stays a thin codec. ----
+          case "DedupExact" =>
+            // {"DedupExact": [idCol, textCol]} → frame filtered to one
+            // representative (lowest id) per distinct content; schema
+            // unchanged, so it composes with every downstream op
+            val (idCol, textCol) = (v.get(0).asText(), v.get(1).asText())
+            requireWireCols(frame, Seq(idCol, textCol), "DedupExact")
+            GraftFrame(graft.operators.Dedup
+              .exactRepresentatives(frame.df, idCol, textCol))
+          case "MinhashPairs" =>
+            // {"MinhashPairs": [idCol, textCol, threshold]} → the
+            // MinHash-LSH near-dup pairs (id_a, id_b, jaccard), exact-
+            // verified at `threshold` (plain JSON number, no phantom)
+            val (idCol, textCol) = (v.get(0).asText(), v.get(1).asText())
+            requireWireCols(frame, Seq(idCol, textCol), "MinhashPairs")
+            GraftFrame(graft.operators.Dedup
+              .minhashLshPairs(frame.df, idCol, textCol,
+                threshold = v.get(2).asDouble()))
+          case "WindowTopK" =>
+            // {"WindowTopK": [partitionCol, orderCol, k]} → top-k rows
+            // per partition by orderCol DESC, with a 1-based "rank"
+            // column appended (ties broken by the order column only —
+            // deterministic when (partition, order) pairs are unique)
+            val (p, o) = (v.get(0).asText(), v.get(1).asText())
+            requireWireCols(frame, Seq(p, o), "WindowTopK")
+            val w = org.apache.spark.sql.expressions.Window
+              .partitionBy(col(p)).orderBy(desc(o))
+            GraftFrame(frame.df
+              .withColumn("rank", row_number().over(w))
+              .filter(col("rank") <= lit(v.get(2).asInt())))
           case o => throw new GraftException(s"operation: unknown op $o")
         }
     }
+
+  private def requireWireCols(frame: GraftFrame, names: Seq[String],
+                              what: String): Unit = {
+    val have = frame.df.columns.toSet
+    val missing = names.filterNot(have)
+    if (missing.nonEmpty)
+      throw new GraftException(
+        s"$what: missing column(s) ${missing.mkString(", ")} " +
+          s"in schema [${frame.df.columns.mkString(", ")}]")
+  }
 
   // ---- result blocks (reference AnyBlock, src/block.rs:109-119) ----
 

@@ -112,6 +112,41 @@ class GraftServerSpec extends SparkSpec {
     assert(b.get("int").get("Int").size() === 2)
   }
 
+  test("wire: beyond-reference verbs — DedupExact, MinhashPairs, WindowTopK") {
+    val base = "alpha bravo charlie delta echo foxtrot golf hotel india " +
+      "juliet kilo lima mike november oscar papa quebec romeo sierra"
+    val p = Files.createTempFile("graft_dup", ".csv")
+    Files.write(p,
+      (s"1|$base tango\n" +          // rep of the near-dup pair
+        s"2|$base tango\n" +         // exact dup of 1
+        s"3|$base uniform\n" +       // near dup of 1 (jaccard ~0.89)
+        "4|totally different words sharing nothing with the corpus\n")
+        .getBytes(StandardCharsets.UTF_8))
+    val dupSchema =
+      """{"columns": [{"name": "id", "type_": "Int"},
+        |             {"name": "text", "type_": "String"}]}""".stripMargin
+    val s1 = callOk("null",
+      s"""{"Read": ["csv", "${p.toAbsolutePath}", $dupSchema]}""")._1
+    // dedup_exact keeps the lowest id per distinct content
+    val reps = callOk(s1, """{"Op": {"DedupExact": ["id", "text"]}}""")._1
+    val (_, cnt) = callOk(reps, """{"Action": "Count"}""")
+    assert(Wire.parse(cnt).get("count").get("Int").get(0).asLong() === 3L)
+    // composition on the wire: dedup → near-dup pairs
+    val pairs = callOk(reps, """{"Op": {"MinhashPairs": ["id", "text", 0.5]}}""")._1
+    val (_, pb) = callOk(pairs, """{"Action": "Collect"}""")
+    val pn = Wire.parse(pb)
+    assert(pn.get("id_a").get("Int").get(0).asLong() === 1L)
+    assert(pn.get("id_b").get("Int").get(0).asLong() === 3L)
+    assert(pn.get("jaccard").get("Float").get(0).asDouble() > 0.85)
+    // window top-k: highest id per distinct text, rank appended
+    val topk = callOk(s1, """{"Op": {"WindowTopK": ["text", "id", 1]}}""")._1
+    val (_, tb) = callOk(topk, """{"Action": "Count"}""")
+    assert(Wire.parse(tb).get("count").get("Int").get(0).asLong() === 3L)
+    // validation: missing column is a plan-time 400
+    assert(post(s"""{"dataframe": $s1, "function":
+      {"Op": {"DedupExact": ["nope", "text"]}}}""")._1 === 400)
+  }
+
   test("wire: protocol and plan errors are 400 with a message") {
     // malformed JSON
     assert(post("{nope")._1 === 400)

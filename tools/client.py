@@ -215,6 +215,21 @@ class Df:
     def join(self, right, left_col, right_col):
         return self._op({'Join': [right.dataframe, left_col, right_col]})
 
+    # --- beyond-reference verbs (graft server-side operator library;
+    # the reference protocol has no equivalent) ---
+
+    def dedup_exact(self, id_col, text_col):
+        """Keep one representative (lowest id) per distinct content."""
+        return self._op({'DedupExact': [id_col, text_col]})
+
+    def minhash_pairs(self, id_col, text_col, threshold):
+        """MinHash-LSH near-dup pairs (id_a, id_b, jaccard >= threshold)."""
+        return self._op({'MinhashPairs': [id_col, text_col, threshold]})
+
+    def window_topk(self, partition_col, order_col, k):
+        """Top-k rows per partition by order_col desc, + 'rank' column."""
+        return self._op({'WindowTopK': [partition_col, order_col, k]})
+
     def collect(self):
         return Df.call(self.dataframe, {'Action': 'Collect'}, self.uri).values
 

@@ -119,6 +119,33 @@ def run_checks():
     assert nested['n_nationkey']['IntList'][0] == sorted(
         nested['n_nationkey']['IntList'][0]), nested
 
+    # --- beyond-reference verbs: dedup / near-dup / window top-k ---
+    base = ('alpha bravo charlie delta echo foxtrot golf hotel india '
+            'juliet kilo lima mike november oscar papa quebec romeo sierra')
+    with tempfile.NamedTemporaryFile('w', suffix='.csv', delete=False) as f:
+        f.write('1|%s tango\n' % base)     # rep of the near-dup pair
+        f.write('2|%s tango\n' % base)     # exact dup of 1 (dropped)
+        f.write('3|%s uniform\n' % base)   # near dup of 1 (j ~ 0.89)
+        f.write('4|totally different words that share nothing at all '
+                'with the phonetic alphabet corpus above here\n')
+        dup_path = f.name
+    dup_schema = Schema([('id', Type.INT), ('text', Type.STRING)])
+    corpus = Df.from_csv(dup_path, dup_schema, uri=client.URI)
+    reps = corpus.dedup_exact('id', 'text')
+    assert reps.count() == {'count': {'Int': [3]}}
+    kept = reps.select([c('id')]).order_by(['id']).collect()
+    assert kept['id'] == {'Int': [1, 3, 4]}, kept
+    # pipeline composition on the wire: dedup -> near-dup pairs
+    pairs = reps.minhash_pairs('id', 'text', 0.5).collect()
+    assert pairs['id_a'] == {'Int': [1]}, pairs
+    assert pairs['id_b'] == {'Int': [3]}, pairs
+    assert pairs['jaccard']['Float'][0] > 0.85, pairs
+    # window top-k: highest id per distinct text
+    topk = corpus.window_topk('text', 'id', 1).order_by(['id']).collect()
+    assert topk['id'] == {'Int': [2, 3, 4]}, topk
+    assert topk['rank'] == {'Int': [1, 1, 1]}, topk
+    os.unlink(dup_path)
+
     # --- error surface: unknown column is a 400 with a message ---
     try:
         small.filter('nope', Predicate(Comparator.EQUAL, Value(1)))
