@@ -204,7 +204,9 @@ object Pipeline {
       |WHERE ROUND(CAST(LEN(list_intersect(a.s, b.s)) AS DOUBLE)
       |    / (LEN(a.s) + LEN(b.s) - LEN(list_intersect(a.s, b.s))), 6) = e.jaccard_r
       |  AND e.jaccard_r >= 0.2 AND e.id_a < e.id_b
-      |ORDER BY e.id_a, e.id_b""".stripMargin
+      |UNION ALL SELECT -1, -1, -1.0 WHERE (SELECT COUNT(*)
+      |  FROM read_parquet('__GRAFT_OUT__/q31_minhash_lsh/*.parquet')) = 0
+      |ORDER BY id_a, id_b""".stripMargin
 
   // -------------------------------------------------------------------
   // q32: SimHash near-dup pairs, each verified by exact trigram-shingle
@@ -242,7 +244,9 @@ object Pipeline {
       |WHERE ROUND(CAST(LEN(list_intersect(a.s, b.s)) AS DOUBLE)
       |    / (LEN(a.s) + LEN(b.s) - LEN(list_intersect(a.s, b.s))), 6) = e.jaccard_r
       |  AND e.hamming BETWEEN 0 AND 8 AND e.id_a < e.id_b
-      |ORDER BY e.id_a, e.id_b""".stripMargin
+      |UNION ALL SELECT -1, -1, -1, -1.0 WHERE (SELECT COUNT(*)
+      |  FROM read_parquet('__GRAFT_OUT__/q32_simhash/*.parquet')) = 0
+      |ORDER BY id_a, id_b""".stripMargin
 
   // -------------------------------------------------------------------
   // q33: exact n-gram Jaccard pairs in a bounded block — ground truth
@@ -323,6 +327,24 @@ object Pipeline {
       .orderBy(asc("query_id"), asc("rank"))
   }
 
+  /** Oracle for the self-certifying ANN gates (q35/q52). Three layers:
+    *  1. per-row `hit` re-derivation — every emitted row's membership
+    *     in the exact top-10 is recomputed from raw embeddings. Rows
+    *     whose cosine sits within 1e-12 of the rank-10 BOUNDARY score
+    *     accept the emitted label instead: a 1-ulp VecDot-vs-list_sum
+    *     divergence at the boundary must not flip the gate (advisor
+    *     item r3; q34 shows the engines agree in practice — this only
+    *     de-flakes the razor edge). The join to `ex` is INNER, so a
+    *     fabricated (query, cand) pair now falls out ⇒ row-count FAIL
+    *     (stronger than the old LEFT JOIN, which passed bogus pairs
+    *     labeled hit=false).
+    *  2. recall floor over the strict exact top-10 (boundary rows move
+    *     the count by ≤1 per query; floors carry ≥0.15 margin).
+    *  3. empty-output guard: a regression that silently emits ZERO
+    *     rows previously passed vacuously (0 == 0); now the oracle
+    *     emits a sentinel row exactly when the output is empty, forcing
+    *     a row-count mismatch.
+    */
   private def annOracle(name: String, recallFloor: Double): String =
     s"""WITH nv AS (
        |  SELECT vec_id, list_transform(embedding,
@@ -331,19 +353,27 @@ object Pipeline {
        |  FROM embeddings
        |), ex AS (
        |  SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+       |    list_sum(list_transform(list_zip(q.v, c.v), p -> p[1] * p[2])) AS cos,
        |    ROW_NUMBER() OVER (PARTITION BY q.vec_id
        |      ORDER BY list_sum(list_transform(list_zip(q.v, c.v), p -> p[1] * p[2])) DESC,
        |        c.vec_id) AS rk
        |  FROM nv q JOIN nv c ON q.vec_id % 50 = 0 AND q.vec_id != c.vec_id
-       |), topk AS (SELECT query_id, cand_id FROM ex WHERE rk <= 10)
-       |SELECT e.query_id, e.cand_id, e.rank, (t.cand_id IS NOT NULL) AS hit
+       |), topk AS (SELECT query_id, cand_id FROM ex WHERE rk <= 10
+       |), bnd AS (SELECT query_id, MIN(cos) AS c10 FROM ex WHERE rk <= 10 GROUP BY query_id)
+       |SELECT e.query_id, e.cand_id, e.rank,
+       |  CASE WHEN ABS(x.cos - bnd.c10) <= 1e-12 THEN e.hit
+       |       ELSE (x.rk <= 10) END AS hit
        |FROM read_parquet('__GRAFT_OUT__/$name/*.parquet') e
-       |LEFT JOIN topk t ON t.query_id = e.query_id AND t.cand_id = e.cand_id
+       |JOIN ex x ON x.query_id = e.query_id AND x.cand_id = e.cand_id
+       |JOIN bnd ON bnd.query_id = e.query_id
        |WHERE (SELECT COUNT(*)
        |       FROM read_parquet('__GRAFT_OUT__/$name/*.parquet') e2
        |       JOIN topk t2 ON t2.query_id = e2.query_id AND t2.cand_id = e2.cand_id)
        |    >= $recallFloor * (SELECT COUNT(DISTINCT query_id) FROM topk) * 10
-       |ORDER BY e.query_id, e.rank""".stripMargin
+       |UNION ALL
+       |SELECT -1, -1, -1, false WHERE (SELECT COUNT(*)
+       |  FROM read_parquet('__GRAFT_OUT__/$name/*.parquet')) = 0
+       |ORDER BY query_id, rank""".stripMargin
 
   // -------------------------------------------------------------------
   // q52: IVF approximate top-k, self-certifying like q35. The quantizer
@@ -395,7 +425,9 @@ object Pipeline {
       |WHERE ABS(list_sum(list_transform(list_zip(a.v, b.v), p -> p[1] * p[2]))
       |          - e.cosine_r) < 1e-5
       |  AND e.cosine_r >= 0.35 - 1e-5 AND e.id_a < e.id_b
-      |ORDER BY e.id_a, e.id_b""".stripMargin
+      |UNION ALL SELECT -1, -1, -1.0 WHERE (SELECT COUNT(*)
+      |  FROM read_parquet('__GRAFT_OUT__/q36_cosine_neardup/*.parquet')) = 0
+      |ORDER BY id_a, id_b""".stripMargin
 
   // -------------------------------------------------------------------
   // q75: semantic dedup (SemDeDup) — k-means-cell-blocked embedding
@@ -423,7 +455,9 @@ object Pipeline {
       |  AND (SELECT SUM(sz * n_clusters)
       |       FROM read_parquet('__GRAFT_OUT__/q75_semantic_dedup/*.parquet'))
       |    = (SELECT COUNT(*) FROM embeddings)
-      |ORDER BY e.sz""".stripMargin
+      |UNION ALL SELECT -1, -1, -1 WHERE (SELECT COUNT(*)
+      |  FROM read_parquet('__GRAFT_OUT__/q75_semantic_dedup/*.parquet')) = 0
+      |ORDER BY sz""".stripMargin
 
   // -------------------------------------------------------------------
   // q37: multimodal pipeline — binary payloads + typed metadata,
@@ -886,7 +920,9 @@ object Pipeline {
       |FROM read_parquet('__GRAFT_OUT__/q68_vocab_approx/*.parquet') e
       |JOIN exact g ON g.lang = e.lang
       |WHERE ABS(e.vocab_est - g.vocab) <= 0.05 * g.vocab
-      |ORDER BY e.lang""".stripMargin
+      |UNION ALL SELECT '__empty__', -1 WHERE (SELECT COUNT(*)
+      |  FROM read_parquet('__GRAFT_OUT__/q68_vocab_approx/*.parquet')) = 0
+      |ORDER BY lang""".stripMargin
 
   // -------------------------------------------------------------------
   // q110: mergeable sketch tables — the incremental-statistics pattern
@@ -920,7 +956,9 @@ object Pipeline {
       |FROM read_parquet('__GRAFT_OUT__/q110_sketch_union/*.parquet') e
       |JOIN exact g ON g.lang = e.lang
       |WHERE ABS(e.vocab_est - g.vocab) <= 0.05 * g.vocab
-      |ORDER BY e.lang""".stripMargin
+      |UNION ALL SELECT '__empty__', -1 WHERE (SELECT COUNT(*)
+      |  FROM read_parquet('__GRAFT_OUT__/q110_sketch_union/*.parquet')) = 0
+      |ORDER BY lang""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q110_sketch_union" -> (q110SketchUnion _),

@@ -122,7 +122,9 @@ object Stats {
        |  AND ${bracket("0.50", "p50")}
        |  AND ${bracket("0.75", "p75")}
        |  AND ${bracket("0.90", "p90")}
-       |ORDER BY e.l_returnflag""".stripMargin
+       |UNION ALL SELECT '~', -1.0, -1.0, -1.0, -1.0 WHERE (SELECT COUNT(*)
+       |  FROM read_parquet('__GRAFT_OUT__/q54_approx_percentiles/*.parquet')) = 0
+       |ORDER BY l_returnflag""".stripMargin
   }
 
   // -------------------------------------------------------------------

@@ -52,6 +52,15 @@ def main(sf_dir, out_dir):
         if name not in oracle:
             print(f"ROWS {name}: {len(spark_rows)} rows (no oracle)")
             continue
+        # containment oracles (SQL reads the emitted output back) pass
+        # vacuously when the output is empty — the oracle SQL carries a
+        # sentinel-row guard for that, and this is the belt-and-braces:
+        # an empty emitted result for a self-referential oracle is a FAIL
+        # even if the SQL comparison would agree.
+        if not spark_rows and os.path.abspath(out_dir) in oracle[name]:
+            print(f"FAIL {name}: empty output for a containment-oracled query")
+            n_fail += 1
+            continue
         try:
             # Arrow fetch: DuckDB HUGEINT (bare integer SUM) surfaces as
             # decimal128, which norm() floats — reproducing the driver's
