@@ -403,6 +403,37 @@ object Curation {
     * PARTITION BY chunk would). Winner rows already carry their text:
     * no join back, and dropped chunks never shuffle again.
     */
+  /** Sliding-window document chunker with overlap — the
+    * context-window preparation step (RAG indexing / long-document
+    * pretraining): token windows of `chunkTokens`, advancing by
+    * `stride` (< chunkTokens ⇒ consecutive chunks overlap by
+    * chunkTokens − stride tokens, so no boundary-straddling span is
+    * ever split without a copy that contains it whole). Chunk starts
+    * are 0, stride, 2·stride, … while start < n_tokens, so every
+    * document yields ≥ 1 chunk and every token lands in ≥ 1 chunk.
+    *
+    * Map-only: tokens → `sequence` of starts → posexplode → `slice` —
+    * pure scan parallelism, no shuffle; at 100 TB the chunk stream
+    * feeds packing (packSequences) or dedup (chunkDedup) directly.
+    * Output: (id, chunk_id, n_tokens, chunk_text), one row per chunk.
+    */
+  def chunkSliding(df: DataFrame, idCol: String, textCol: String,
+                   chunkTokens: Int, stride: Int): DataFrame = {
+    require(stride >= 1 && chunkTokens >= stride,
+      s"need 1 <= stride ($stride) <= chunkTokens ($chunkTokens): " +
+        "a stride above the chunk size would silently drop tokens")
+    df
+      .select(col(idCol), TA.tokens(col(textCol)).as("toks"))
+      .select(col(idCol), col("toks"),
+        posexplode(sequence(lit(0),
+          greatest(size(col("toks")) - 1, lit(0)), lit(stride))))
+      .select(col(idCol), col("pos").cast("long").as("chunk_id"),
+        slice(col("toks"), col("col") + 1, lit(chunkTokens)).as("chunk"))
+      .select(col(idCol), col("chunk_id"),
+        size(col("chunk")).cast("long").as("n_tokens"),
+        array_join(col("chunk"), " ").as("chunk_text"))
+  }
+
   def chunkDedup(df: DataFrame, idCol: String, textCol: String,
                  chunkTokens: Int): DataFrame = {
     val chunks = df

@@ -240,6 +240,35 @@ object Curation {
   }
 
   // -------------------------------------------------------------------
+  // q118: sliding-window chunking with overlap — the context-window
+  // preparation step (RAG indexing / long-doc pretraining): 64-token
+  // chunks advancing by 48 (16-token overlap). Map-only explode (no
+  // shuffle; the ORDER BY is the gate's determinism, not the
+  // operator's). Chunk content gates exactly via a portable md5 of the
+  // joined token window — both engines slice the same whitespace token
+  // array, so the digest, count, and chunk grid must all agree.
+  // -------------------------------------------------------------------
+  def q118ChunkSliding(spark: SparkSession, dir: String): DataFrame =
+    C.chunkSliding(docs(spark, dir), "doc_id", "text",
+        chunkTokens = 64, stride = 48)
+      .select(col("doc_id"), col("chunk_id"), col("n_tokens"),
+        md5(col("chunk_text")).as("chunk_md5"))
+      .orderBy(asc("doc_id"), asc("chunk_id"))
+  val q118Sql: String =
+    raw"""WITH t AS (
+      |  SELECT doc_id, string_split_regex(TRIM(text), '\s+') AS toks
+      |  FROM documents
+      |), s AS (
+      |  SELECT doc_id, toks,
+      |    UNNEST(range(0, CAST(CEIL(LEN(toks) / 48.0) AS BIGINT))) AS k
+      |  FROM t
+      |)
+      |SELECT doc_id, CAST(k AS BIGINT) AS chunk_id,
+      |  CAST(LEN(toks[k*48+1 : k*48+64]) AS BIGINT) AS n_tokens,
+      |  md5(array_to_string(toks[k*48+1 : k*48+64], ' ')) AS chunk_md5
+      |FROM s ORDER BY doc_id, chunk_id""".stripMargin
+
+  // -------------------------------------------------------------------
   // q63: deterministic training-order shuffle — first 100 positions of
   // the seed-42 epoch order. Sort is the scale path (range exchange);
   // positions assigned only after the 100-row limit.
@@ -365,7 +394,8 @@ object Curation {
     "q61_pii_redact" -> (q61PiiRedact _),
     "q62_curation_funnel" -> (q62CurationFunnel _),
     "q63_order_shuffle" -> (q63OrderShuffle _),
-    "q111_quality_quantile" -> (q111QualityQuantile _))
+    "q111_quality_quantile" -> (q111QualityQuantile _),
+    "q118_chunk_sliding" -> (q118ChunkSliding _))
 
   val oracle: Map[String, String] = Map(
     "q108_truncate_tokens" -> q108Sql,
@@ -379,5 +409,6 @@ object Curation {
     "q61_pii_redact" -> q61Sql,
     "q62_curation_funnel" -> q62Sql,
     "q63_order_shuffle" -> q63Sql,
-    "q111_quality_quantile" -> q111Sql)
+    "q111_quality_quantile" -> q111Sql,
+    "q118_chunk_sliding" -> q118Sql)
 }

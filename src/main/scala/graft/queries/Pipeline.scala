@@ -399,6 +399,68 @@ object Pipeline {
   }
 
   // -------------------------------------------------------------------
+  // q119: int8-QUANTIZED brute-force top-k — the bandwidth path for
+  // exact search at 100 TB: symmetric per-vector quantization of the
+  // unit vector (floor(x/max|x|·127) ∈ [-127,127]) shrinks every
+  // embedding 4-8× before it is scanned/broadcast, and the rerank
+  // becomes an integer dot product (SIMD-friendly; here the same
+  // native VecDot over small-integer doubles — products ≤ 127², sums
+  // ≪ 2^53, so every intermediate is EXACT). That exactness is the
+  // gate's power: unlike float cosine, the full quantized ranking is
+  // bit-replayable in DuckDB — rank-for-rank, score-for-score — no
+  // containment weakening needed. Quantization loss vs float top-10 is
+  // pinned by OperatorsSpec (recall ≥ 0.8 measured vs q34's exact).
+  // -------------------------------------------------------------------
+  def q119QuantizedAnn(spark: SparkSession, dir: String): DataFrame = {
+    val e = emb(spark, dir)
+    val nv = e.select(col("vec_id"),
+      Similarity.normalized(col("embedding")).as("v"))
+    // interpreted HOF is fine here: one map-only pass per vector, not
+    // the per-pair hot path (that is VecDot below — PERF.md lesson 3)
+    val qz = nv
+      .withColumn("m", array_max(transform(col("v"), x => abs(x))))
+      .select(col("vec_id"),
+        // cast back to double: VecDot's input type, and integer values
+        // up to 127 are exact in double anyway
+        transform(col("v"),
+          x => floor(x / col("m") * lit(127.0)).cast("double")).as("qv"))
+    val q = qz.filter(pmod(col("vec_id"), lit(50)) === 0)
+      .select(col("vec_id").as("query_id"), col("qv"))
+    val c = qz.select(col("vec_id").as("cand_id"), col("qv").as("cv"))
+    val scored = c.join(broadcast(q), col("query_id") =!= col("cand_id"))
+      .select(col("query_id"), col("cand_id"),
+        graft.functions.VectorFunctions.vec_dot(col("qv"), col("cv")).as("dot"))
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(desc("dot"), asc("cand_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= lit(10))
+      .select(col("query_id"), col("cand_id"), col("rank"),
+        col("dot").cast("long").as("dot_q"))
+      .orderBy(asc("query_id"), asc("rank"))
+  }
+  val q119Sql: String =
+    """WITH nv AS (
+      |  SELECT vec_id, list_transform(embedding,
+      |    x -> CAST(x AS DOUBLE) / sqrt(list_sum(list_transform(embedding,
+      |      y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE))))) AS v
+      |  FROM embeddings
+      |), qz AS (
+      |  SELECT vec_id, list_transform(v,
+      |    x -> FLOOR(x / list_max(list_transform(v, y -> ABS(y))) * 127)) AS q
+      |  FROM nv
+      |), scored AS (
+      |  SELECT a.vec_id AS query_id, b.vec_id AS cand_id,
+      |    CAST(list_sum(list_transform(list_zip(a.q, b.q), p -> p[1] * p[2])) AS BIGINT) AS dot_q,
+      |    ROW_NUMBER() OVER (PARTITION BY a.vec_id
+      |      ORDER BY list_sum(list_transform(list_zip(a.q, b.q), p -> p[1] * p[2])) DESC,
+      |        b.vec_id) AS rank
+      |  FROM qz a JOIN qz b ON a.vec_id % 50 = 0 AND a.vec_id != b.vec_id
+      |)
+      |SELECT query_id, cand_id, rank, dot_q FROM scored WHERE rank <= 10
+      |ORDER BY query_id, rank""".stripMargin
+
+  // -------------------------------------------------------------------
   // q36: embedding-space near-dup pairs. Containment oracle: LSH
   // bucketing isn't SQL-replayable, but cosine is — the oracle
   // recomputes each emitted pair's cosine from the raw embeddings
@@ -730,7 +792,10 @@ object Pipeline {
   // -------------------------------------------------------------------
   def q117DedupPipeline(spark: SparkSession, dir: String): DataFrame = {
     val d = docs(spark, dir).filter(col("doc_id") < 300)
-    val reps = Dedup.exactRepresentatives(d, "doc_id", "text")
+    // persisted: LSH consumes reps through two branches (band
+    // signatures + exact-verify shingle sets), each of which would
+    // otherwise re-run the fingerprint aggregate + semi-join
+    val reps = Dedup.exactRepresentatives(d, "doc_id", "text").persist()
     val pairs = Dedup.minhashLshPairs(reps, "doc_id", "text",
         k = 3, numHashes = 64, bands = 64, threshold = 0.2)
       .select(col("id_a"), col("id_b"))
@@ -995,7 +1060,8 @@ object Pipeline {
     "q78_stream_enrich" -> (q78StreamEnrich _),
     "q81_bpe_tokens" -> (q81BpeTokens _),
     "q82_neardup_clusters_alt" -> (q82NeardupClustersAlt _),
-    "q117_dedup_pipeline" -> (q117DedupPipeline _))
+    "q117_dedup_pipeline" -> (q117DedupPipeline _),
+    "q119_quantized_ann" -> (q119QuantizedAnn _))
 
   val oracle: Map[String, String] = Map(
     "q25_text_stats" -> q25Sql,
@@ -1034,5 +1100,6 @@ object Pipeline {
     "q65_tfidf" -> q65Sql,
     "q66_vocab" -> q66Sql,
     "q67_centroids" -> q67Sql,
-    "q117_dedup_pipeline" -> q117Sql)
+    "q117_dedup_pipeline" -> q117Sql,
+    "q119_quantized_ann" -> q119Sql)
 }

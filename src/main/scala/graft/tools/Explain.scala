@@ -47,7 +47,8 @@ object Explain {
       "q100_rolling_window" -> "single shuffle on user_id; RANGE frame over unix-micros order — one running-window pass, no self-join against the trailing hour",
       "q109_bucketed_join" -> "bucketed layout satisfies the SortMergeJoin AND the bucket-key aggregate: no hashpartitioning Exchange anywhere — the only shuffle is the final deterministic ORDER BY (the pay-layout-once fact-fact join at 100 TB)",
       "q110_sketch_union" -> "two-level sketch aggregation: per-snapshot HLL partials merge via hll_union_agg — sketch BYTES cross the second shuffle, never token streams; adding a snapshot never rescans history",
-      "q111_quality_quantile" -> "adaptive per-source threshold in ONE window pass (percent_rank partitioned by source) — no collected stats, no global sort; the count aggregate reuses the window's partitioning")
+      "q111_quality_quantile" -> "adaptive per-source threshold in ONE window pass (percent_rank partitioned by source) — no collected stats, no global sort; the count aggregate reuses the window's partitioning",
+      "q117_dedup_pipeline" -> "the composed dedup pipeline: exact-rep semi-join (8-byte fingerprints in the exchange) feeds 64-band LSH; keep-list maps back through a fingerprint join — text bytes never shuffle in ANY stage of the composition")
 
     val sb = new StringBuilder
     sb.append("# EXPLAINS — physical plans of representative queries\n\n")

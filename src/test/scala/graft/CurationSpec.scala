@@ -188,6 +188,31 @@ class CurationSpec extends SparkSpec {
     assert(out(3) === ((4L, 2L, 0L, "")))             // all chunks seen earlier
   }
 
+  test("chunkSliding: overlap grid, full coverage, short-tail clamp") {
+    // 10 tokens, chunk 4, stride 3 → starts 0,3,6,9:
+    // [t0..t3] [t3..t6] [t6..t9] [t9] — every token covered, each
+    // boundary token in two chunks, last chunk clamps to 1 token
+    val toks = (0 until 10).map(i => s"t$i")
+    val df = Seq((1L, toks.mkString(" "))).toDF("doc_id", "text")
+    val got = Curation.chunkSliding(df, "doc_id", "text", 4, 3)
+      .orderBy("chunk_id").collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getString(3)))
+    assert(got.toSeq === Seq(
+      (0L, 4L, "t0 t1 t2 t3"),
+      (1L, 4L, "t3 t4 t5 t6"),
+      (2L, 4L, "t6 t7 t8 t9"),
+      (3L, 1L, "t9")))
+    // single short doc still yields exactly one chunk
+    val one = Curation.chunkSliding(
+      Seq((2L, "only two")).toDF("doc_id", "text"), "doc_id", "text", 64, 48)
+      .collect()
+    assert(one.length === 1 && one(0).getLong(2) === 2L)
+    // stride > chunk size must be rejected (it would drop tokens)
+    intercept[IllegalArgumentException] {
+      Curation.chunkSliding(df, "doc_id", "text", 4, 5)
+    }
+  }
+
   test("orderShuffle is a deterministic permutation keyed by seed") {
     val ids = (0L until 1000L).toDF("doc_id")
     val a = Curation.orderShuffle(ids, "doc_id", 5L).select("doc_id")

@@ -125,6 +125,20 @@ class OperatorsSpec extends SparkSpec {
     assert(recall > 0.2, s"LSH recall $recall too low") // 4 planes, 1-bit probes
   }
 
+  test("int8-quantized ranking recalls the float exact top-10 (q119 vs q34)") {
+    // quantization loss is bounded: the integer ranking must recover
+    // most of the float top-10 — pins the recall the q119 Scaladoc
+    // claims (measured 0.97 at sf0.01; floor 0.8 allows data drift)
+    val exact = graft.queries.Pipeline.q34CosineTopK(spark, sf)
+      .select("query_id", "cand_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val quant = graft.queries.Pipeline.q119QuantizedAnn(spark, sf)
+      .select("query_id", "cand_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact intersect quant).size.toDouble / exact.size
+    assert(recall >= 0.8, s"quantized recall $recall below 0.8")
+  }
+
   test("alternating CC labels a 200-node path in few rounds; agrees with min-label") {
     // path 0-1-2-...-199: diameter 199 — min-label propagation cannot
     // converge inside its default 20 rounds, the alternating
