@@ -48,6 +48,10 @@ object Bench {
       graft.streaming.EventStreams.streamingUpsert _,
       graft.queries.Pipeline.q75SemanticDedup _,
       graft.queries.Curation.q83BloomDecontaminate _,
+      // the composed dedup pipeline compiles the alternating-CC and
+      // 64-band signature shapes, which its bench slot (first dedup
+      // query in sort order) would otherwise pay cold
+      graft.queries.Pipeline.q117DedupPipeline _,
       // bucketed saveAsTable (write commit protocol + bucket-sorted
       // file write) and the co-located SMJ compile their own shapes
       graft.queries.Scalars.q109BucketedJoin _

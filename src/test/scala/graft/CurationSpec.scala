@@ -213,6 +213,18 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("chunkSliding is map-only: no exchange in the physical plan") {
+    // the operator's scale contract — chunking 100 TB is pure scan
+    // parallelism; any shuffle here would be a regression
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val plan = Curation.chunkSliding(docs, "doc_id", "text", 64, 48)
+      .queryExecution.executedPlan
+    val exchanges = plan.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }
+    assert(exchanges.isEmpty, s"unexpected shuffle in chunkSliding plan:\n$plan")
+  }
+
   test("orderShuffle is a deterministic permutation keyed by seed") {
     val ids = (0L until 1000L).toDF("doc_id")
     val a = Curation.orderShuffle(ids, "doc_id", 5L).select("doc_id")
