@@ -162,6 +162,60 @@ object Curation {
         (col("n_overlap").cast("double") / col("n_grams")).as("overlap_frac"))
   }
 
+  /** Fuzzy (near-duplicate) decontamination: flag training documents
+    * whose shingle-set Jaccard against ANY eval document clears
+    * `threshold` — the contamination mode exact n-gram overlap misses
+    * (light paraphrase, whitespace/punctuation drift, truncation).
+    * Completes the decontamination ladder: [[decontaminate]] (exact
+    * grams) → [[decontaminateBloom]] (exact, Bloom-prefiltered) → this
+    * (near-dup).
+    *
+    * Mechanism: MinHash-LSH banding on BOTH corpora (the same map-only
+    * native kernel as [[graft.operators.Dedup.minhashLshPairs]]), then
+    * an equi-join on (band, band_sig) with the eval side BROADCAST —
+    * an eval suite is tiny by construction, so the 100 TB training
+    * corpus never shuffles: banding is scan parallelism, the candidate
+    * join is map-side, and only surviving (train_id, eval_id)
+    * candidates (bounded by true contamination + S-curve false
+    * positives) reach the exact-Jaccard verify, which re-attaches
+    * shingle sets via one narrow join on the train side and a second
+    * broadcast on the eval side. No self-join ⇒ no O(m²) bucket
+    * blowup, so no bucket cap is needed here (an exact-dup cluster in
+    * TRAIN costs |cluster|×|eval-bucket| rows, linear in the cluster).
+    *
+    * Returns (train_id, eval_id, jaccard) for every cross pair the
+    * banding surfaces with jaccard ≥ threshold. Deterministic: minhash
+    * banding is seeded xxhash64, fixed at build time.
+    */
+  def fuzzyDecontaminate(train: DataFrame, evalDocs: DataFrame,
+      idCol: String, textCol: String, k: Int = 3, numHashes: Int = 32,
+      bands: Int = 8, threshold: Double = 0.5): DataFrame = {
+    import graft.functions.TextHashFunctions.{minhash_band_sigs, shingle_hash_set}
+    require(numHashes % bands == 0,
+      s"numHashes ($numHashes) must be a multiple of bands ($bands)")
+    def banded(df: DataFrame, as: String) = df
+      .select(col(idCol).as(as),
+        posexplode(minhash_band_sigs(col(textCol), k, numHashes, bands)))
+      .withColumnRenamed("pos", "band")
+      .withColumnRenamed("col", "band_sig")
+    val cand = banded(train, "train_id")
+      .join(broadcast(banded(evalDocs, "eval_id")), Seq("band", "band_sig"))
+      .select(col("train_id"), col("eval_id"))
+      .distinct()
+    val trainSets = train.select(col(idCol).as("train_id"),
+      shingle_hash_set(col(textCol), k).as("sh_t"))
+    val evalSets = evalDocs.select(col(idCol).as("eval_id"),
+      shingle_hash_set(col(textCol), k).as("sh_e"))
+    cand
+      .join(trainSets, "train_id")
+      .join(broadcast(evalSets), "eval_id")
+      .withColumn("n_inter", size(array_intersect(col("sh_t"), col("sh_e"))))
+      .withColumn("jaccard", col("n_inter").cast("double") /
+        (size(col("sh_t")) + size(col("sh_e")) - col("n_inter")).cast("double"))
+      .filter(col("jaccard") >= lit(threshold))
+      .select(col("train_id"), col("eval_id"), col("jaccard"))
+  }
+
   /** Gopher-style repetition metrics per document:
     *   - dup_token_frac: 1 − distinct/total tokens (pure expression)
     *   - top_bigram_frac: occurrences of the most frequent bigram /

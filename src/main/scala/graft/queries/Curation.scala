@@ -52,6 +52,59 @@ object Curation {
       |GROUP BY doc_id, n_grams ORDER BY doc_id""".stripMargin
 
   // -------------------------------------------------------------------
+  // q120: FUZZY decontamination — training docs whose trigram-shingle
+  // Jaccard vs any eval doc clears 0.5, surfaced by MinHash-LSH banding
+  // with the eval side broadcast (the corpus never shuffles). The eval
+  // split doc_id % 3 == 0 is deliberately coarse so it cross-splits the
+  // corpus's planted near-dup clusters (all at J ≥ 0.9 — deep in the
+  // S-curve's ~1.0 recall region for 8 bands × 4 rows); a real eval
+  // suite is far smaller, which only strengthens the broadcast shape.
+  //
+  // CONTAINMENT + RECALL ORACLE (q31/q35 pattern): DuckDB recomputes
+  // the full cross-split exact-Jaccard truth set (feasible at oracle
+  // scale), keeps only emitted rows matching a true pair with the
+  // exact score (bogus pair or wrong score ⇒ row falls out ⇒ FAIL),
+  // requires emitted∩truth ≥ 0.8·|truth| (recall floor; measured 1.0
+  // at sf0.01 — every true pair sits at J ≥ 0.9), and carries the
+  // empty-output sentinel.
+  // -------------------------------------------------------------------
+  def q120FuzzyDecontaminate(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    C.fuzzyDecontaminate(
+        d.filter(col("doc_id") % 3 =!= 0),
+        d.filter(col("doc_id") % 3 === 0),
+        "doc_id", "text", k = 3, numHashes = 32, bands = 8, threshold = 0.5)
+      .select(col("train_id"), col("eval_id"),
+        round(col("jaccard"), 6).as("jaccard_r"))
+      .orderBy(asc("train_id"), asc("eval_id"))
+  }
+  val q120Sql: String =
+    raw"""WITH sh AS (
+      |  SELECT doc_id, list_distinct(list_transform(
+      |    range(1, GREATEST(LEN(t) - 2, 1) + 1),
+      |    i -> array_to_string(t[i:i+2], ' '))) AS s
+      |  FROM (SELECT doc_id, $toksSql AS t FROM documents)
+      |), truth AS (
+      |  SELECT tr.doc_id AS train_id, ev.doc_id AS eval_id,
+      |    ROUND(CAST(LEN(list_intersect(tr.s, ev.s)) AS DOUBLE)
+      |      / (LEN(tr.s) + LEN(ev.s) - LEN(list_intersect(tr.s, ev.s))), 6) AS j
+      |  FROM sh tr JOIN sh ev ON tr.doc_id % 3 <> 0 AND ev.doc_id % 3 = 0
+      |  WHERE CAST(LEN(list_intersect(tr.s, ev.s)) AS DOUBLE)
+      |      / (LEN(tr.s) + LEN(ev.s) - LEN(list_intersect(tr.s, ev.s))) >= 0.5
+      |)
+      |SELECT e.train_id, e.eval_id, e.jaccard_r
+      |FROM read_parquet('__GRAFT_OUT__/q120_fuzzy_decontaminate/*.parquet') e
+      |JOIN truth t ON t.train_id = e.train_id AND t.eval_id = e.eval_id
+      |  AND t.j = e.jaccard_r
+      |WHERE (SELECT COUNT(*)
+      |    FROM read_parquet('__GRAFT_OUT__/q120_fuzzy_decontaminate/*.parquet') e2
+      |    JOIN truth t2 ON t2.train_id = e2.train_id AND t2.eval_id = e2.eval_id)
+      |  >= 0.8 * (SELECT COUNT(*) FROM truth)
+      |UNION ALL SELECT -1, -1, -1.0 WHERE (SELECT COUNT(*)
+      |  FROM read_parquet('__GRAFT_OUT__/q120_fuzzy_decontaminate/*.parquet')) = 0
+      |ORDER BY train_id, eval_id""".stripMargin
+
+  // -------------------------------------------------------------------
   // q58: Gopher-style repetition metrics per document. Pure int
   // divisions into double — bit-identical across engines, no rounding.
   // -------------------------------------------------------------------
@@ -395,7 +448,8 @@ object Curation {
     "q62_curation_funnel" -> (q62CurationFunnel _),
     "q63_order_shuffle" -> (q63OrderShuffle _),
     "q111_quality_quantile" -> (q111QualityQuantile _),
-    "q118_chunk_sliding" -> (q118ChunkSliding _))
+    "q118_chunk_sliding" -> (q118ChunkSliding _),
+    "q120_fuzzy_decontaminate" -> (q120FuzzyDecontaminate _))
 
   val oracle: Map[String, String] = Map(
     "q108_truncate_tokens" -> q108Sql,
@@ -410,5 +464,6 @@ object Curation {
     "q62_curation_funnel" -> q62Sql,
     "q63_order_shuffle" -> q63Sql,
     "q111_quality_quantile" -> q111Sql,
-    "q118_chunk_sliding" -> q118Sql)
+    "q118_chunk_sliding" -> q118Sql,
+    "q120_fuzzy_decontaminate" -> q120Sql)
 }

@@ -213,16 +213,44 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("fuzzyDecontaminate flags near-dup cross pairs above threshold only") {
+    val train = Seq(
+      // identical to eval 100 ⇒ Jaccard exactly 1.0, every band collides
+      (1L, "the quick brown fox jumps over the lazy dog while rain falls on the quiet town square tonight"),
+      (2L, "completely different content about catalyst optimizer internals and shuffle partitioning strategy here"),
+      // shares only the 6-word prefix ⇒ Jaccard well below 0.5
+      (3L, "the quick brown fox jumps over something else entirely now")
+    ).toDF("doc_id", "text")
+    val evalDocs = Seq(
+      (100L, "the quick brown fox jumps over the lazy dog while rain falls on the quiet town square tonight")
+    ).toDF("doc_id", "text")
+    val got = Curation.fuzzyDecontaminate(train, evalDocs, "doc_id", "text",
+        threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(got.map(t => (t._1, t._2)).toSet === Set((1L, 100L)))
+    assert(got.head._3 === 1.0)
+    // scale contract: both eval-side joins are explicit broadcasts (the
+    // training corpus never shuffles toward the eval suite), and the
+    // similarity predicate stays a residual filter on an equi-join —
+    // never a nested-loop/cartesian condition (PERF.md lesson 2)
+    val plan = Curation.fuzzyDecontaminate(train, evalDocs, "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    assert("BroadcastHashJoin".r.findAllIn(plan).size >= 2,
+      s"expected eval-side broadcast joins in:\n$plan")
+    assert(!plan.contains("NestedLoop") && !plan.contains("Cartesian"),
+      s"similarity predicate leaked into a non-equi join:\n$plan")
+  }
+
   test("chunkSliding is map-only: no exchange in the physical plan") {
     // the operator's scale contract — chunking 100 TB is pure scan
     // parallelism; any shuffle here would be a regression
     val docs = spark.read.parquet(s"$sf/documents.parquet")
+    // plan STRING, not collect(): AQE wraps the tree in a leaf
+    // AdaptiveSparkPlanExec, so node-collect silently sees nothing
     val plan = Curation.chunkSliding(docs, "doc_id", "text", 64, 48)
-      .queryExecution.executedPlan
-    val exchanges = plan.collect {
-      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
-    }
-    assert(exchanges.isEmpty, s"unexpected shuffle in chunkSliding plan:\n$plan")
+      .queryExecution.executedPlan.toString
+    assert(!plan.replace("BroadcastExchange", "").contains("Exchange"),
+      s"unexpected shuffle in chunkSliding plan:\n$plan")
   }
 
   test("orderShuffle is a deterministic permutation keyed by seed") {
