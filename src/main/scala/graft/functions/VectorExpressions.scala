@@ -377,6 +377,100 @@ case class VecMatSignBits(vec: Expression, mat: Expression, numRows: Int)
     copy(vec = newLeft, mat = newRight)
 }
 
+/** Elementwise fixed-point vector sum aggregate: each input vector's
+  * components are scaled by `scale` and floored to longs, then summed
+  * per position into an `Array[Long]` buffer → `array<bigint>` of
+  * length `dim`. Exact and associative (long adds), so the result is
+  * bit-identical regardless of partial-aggregation merge order — the
+  * property k-means training needs for deterministic models.
+  *
+  * Why an aggregate and not posexplode+sum: a projection feeding a
+  * Generate gets pulled ABOVE it by the optimizer, so any expensive
+  * expression computed alongside the explode (the argmax cell
+  * assignment) is re-evaluated once PER ELEMENT — measured 64× the
+  * work (38.8 s vs 2.2+1.6 s for the parts; PERF.md lesson 6's
+  * projection-collapse trap, Generate edition). The aggregate keeps
+  * the row narrow: 12.8 M exploded rows never exist, partial
+  * aggregation ships numCells × dim longs per task.
+  *
+  * Overflow: components are assumed |x| ≤ scale-safe (normalized
+  * vectors with scale 1e12 ⇒ per-row ≤ 1e12, so ≥ 9.2 M rows per
+  * (cell) group before Long.MAX — and partial sums bound the group
+  * size per task far below that in practice; callers at larger n
+  * lower `scale`).
+  */
+case class VecFixedSum(child: Expression, dim: Int, scale: Double,
+    mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
+  extends org.apache.spark.sql.catalyst.expressions.aggregate
+    .TypedImperativeAggregate[Array[Long]] {
+
+  require(dim > 0 && scale > 0)
+
+  override def children: Seq[Expression] = child :: Nil
+  override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): Expression =
+    copy(child = c.head)
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType | DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"vec_fixed_sum requires array<float|double>, got ${t.sql}")
+  }
+
+  private def isFloat = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+
+  override def nullable: Boolean = false
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def createAggregationBuffer(): Array[Long] = new Array[Long](dim)
+
+  override def update(buffer: Array[Long], input: InternalRow): Array[Long] = {
+    val v = child.eval(input)
+    if (v != null) {
+      val a = v.asInstanceOf[ArrayData]
+      val n = math.min(a.numElements(), dim)
+      var i = 0
+      while (i < n) {
+        val x = if (isFloat) a.getFloat(i).toDouble else a.getDouble(i)
+        buffer(i) += math.floor(x * scale).toLong
+        i += 1
+      }
+    }
+    buffer
+  }
+
+  override def merge(buffer: Array[Long], other: Array[Long]): Array[Long] = {
+    var i = 0
+    while (i < dim) { buffer(i) += other(i); i += 1 }
+    buffer
+  }
+
+  override def eval(buffer: Array[Long]): Any =
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(buffer.clone())
+
+  override def serialize(buffer: Array[Long]): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(8 * dim)
+    var i = 0
+    while (i < dim) { bb.putLong(buffer(i)); i += 1 }
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): Array[Long] = {
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+    val out = new Array[Long](dim)
+    var i = 0
+    while (i < dim) { out(i) = bb.getLong(); i += 1 }
+    out
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): VecFixedSum =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): VecFixedSum =
+    copy(inputAggBufferOffset = newOffset)
+  override def prettyName: String = "vec_fixed_sum"
+}
+
 /** Column-level entry points for the native vector expressions. */
 object VectorFunctions {
   import org.apache.spark.sql.graft.ColumnBridge.{column, expression}
@@ -403,4 +497,8 @@ object VectorFunctions {
   /** H-bit hyperplane sign signature against the constant matrix. */
   def vec_mat_signbits(v: Column, mat: Array[Array[Double]]): Column =
     column(VecMatSignBits(expression(v), expression(flat(mat)), mat.length))
+
+  /** Exact fixed-point elementwise sum of a vector column (aggregate). */
+  def vec_fixed_sum(v: Column, dim: Int, scale: Double = 1e12): Column =
+    column(VecFixedSum(expression(v), dim, scale).toAggregateExpression())
 }

@@ -143,21 +143,29 @@ object Similarity {
     var cents = hyperplanes(numCells, dim)
     val vs = data.select(normalized(col(vecCol)).as("v"))
     for (_ <- 0 until iters) {
+      // FIXED-POINT vector-sum aggregate (q67's fixed-point convention
+      // as a native [[graft.functions.VecFixedSum]]): floor(x·1e12)
+      // per component summed as longs — exact and associative, so the
+      // trained model is bit-identical regardless of shuffle merge
+      // order (a double sum could flip boundary vectors' cells between
+      // runs and wobble the q52/q75 recall/keep sets). The former
+      // posexplode + decimal(30,15)-sum formulation was ~30× slower at
+      // ×100 scale for TWO stacked reasons (KMeansProbe isolates both):
+      // the optimizer pulls the argmax projection above the Generate
+      // and re-evaluates it per exploded ELEMENT (64×, PERF.md lesson
+      // 6), and the decimal cast allocates a BigDecimal per component.
+      // Here the 12.8 M-row explode never exists; partial aggregation
+      // ships numCells × dim longs per task. The 1e12 scale cancels in
+      // the normalization below.
       val stats = vs
         .withColumn("cell", graft.functions.VectorFunctions.vec_mat_argmax(col("v"), cents))
-        .select(col("cell"), posexplode(col("v")))
-        .groupBy(col("cell"), col("pos"))
-        // DECIMAL sum: exact and associative, so the trained model is
-        // bit-identical regardless of shuffle merge order (a double sum
-        // could flip boundary vectors' cells between runs and wobble
-        // the q52/q75 recall/keep sets)
-        .agg(sum(col("col").cast(org.apache.spark.sql.types.DecimalType(30, 15)))
-          .cast("double").as("s"))
-        .collect() // numCells × dim rows — the model, not the data
+        .groupBy(col("cell"))
+        .agg(graft.functions.VectorFunctions.vec_fixed_sum(col("v"), dim).as("s"))
+        .collect() // numCells rows of dim longs — the model, not the data
       val next = cents.map(_.clone())
-      stats.groupBy(_.getInt(0)).foreach { case (cell, rows) =>
-        val mean = new Array[Double](dim)
-        rows.foreach(r => mean(r.getInt(1)) = r.getDouble(2))
+      stats.foreach { r =>
+        val cell = r.getInt(0)
+        val mean = r.getSeq[Long](1).map(_.toDouble).toArray
         val n = math.sqrt(mean.map(x => x * x).sum)
         if (n > 0) next(cell) = mean.map(_ / n)
       }
