@@ -95,6 +95,34 @@ object Dedup {
       .select(col(idCol), col("n_copies"))
   }
 
+  /** Snapshot diff (batch CDC): classify every key across two snapshot
+    * versions as `added` / `removed` / `changed` by comparing md5
+    * payload fingerprints; unchanged keys are dropped, so the output
+    * is the change feed a downstream incremental consumer applies —
+    * its size is the CHURN, not the corpus.
+    *
+    * Scale shape: fingerprints are computed map-side (md5 is the repo's
+    * cross-engine hash — identical hex in every engine), so the
+    * full-outer join shuffles only (key, 32-char fp) pairs — payloads
+    * never shuffle. At 100 TB this is one co-partitionable shuffle of
+    * ~48 B/row; with both snapshots bucketed on `key` (see
+    * [[graft.operators.Scale.writeBucketed]]) it is exchange-free.
+    */
+  def snapshotDiff(oldSnap: DataFrame, newSnap: DataFrame,
+                   keyCol: String, payloadCol: String): DataFrame = {
+    val o = oldSnap.select(col(keyCol).as("key"),
+      md5(col(payloadCol).cast("string")).as("old_fp"))
+    val n = newSnap.select(col(keyCol).as("key"),
+      md5(col(payloadCol).cast("string")).as("new_fp"))
+    o.join(n, Seq("key"), "full_outer")
+      .withColumn("change",
+        when(col("old_fp").isNull, lit("added"))
+          .when(col("new_fp").isNull, lit("removed"))
+          .when(col("old_fp") =!= col("new_fp"), lit("changed")))
+      .filter(col("change").isNotNull)
+      .select(col("key"), col("change"), col("old_fp"), col("new_fp"))
+  }
+
   /** Exploded distinct k-word shingle hashes: one (id, sh) row per
     * distinct shingle — now a MAP-ONLY projection over the native
     * [[graft.functions.TextHash.shingleHashSet]] kernel (hash values

@@ -608,6 +608,42 @@ object Pipeline {
       |ORDER BY b.doc_id""".stripMargin
 
   // -------------------------------------------------------------------
+  // q121: snapshot diff (batch CDC) — "v1" drops doc_id % 5 == 4, "v2"
+  // drops % 5 == 0 and revises % 7 == 0 payloads, so all three change
+  // classes occur: added (% 5 == 4), removed (% 5 == 0), changed
+  // (% 7 == 0 in both). md5 fingerprints oracle exactly (identical hex
+  // in both engines); unchanged keys — the 100 TB common case — never
+  // appear.
+  // -------------------------------------------------------------------
+  def q121SnapshotDiff(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    Dedup.snapshotDiff(
+        d.filter(col("doc_id") % 5 =!= 4).select(col("doc_id"), col("text")),
+        d.filter(col("doc_id") % 5 =!= 0).select(col("doc_id"),
+          when(col("doc_id") % 7 === 0, concat(col("text"), lit(" [rev2]")))
+            .otherwise(col("text")).as("text")),
+        "doc_id", "text")
+      .orderBy(asc("key"))
+  }
+  val q121Sql: String =
+    """WITH o AS (
+      |  SELECT doc_id AS key, md5(text) AS old_fp
+      |  FROM documents WHERE doc_id % 5 <> 4
+      |), n AS (
+      |  SELECT doc_id AS key,
+      |    md5(CASE WHEN doc_id % 7 = 0 THEN text || ' [rev2]' ELSE text END) AS new_fp
+      |  FROM documents WHERE doc_id % 5 <> 0
+      |)
+      |SELECT COALESCE(o.key, n.key) AS key,
+      |  CASE WHEN o.key IS NULL THEN 'added'
+      |       WHEN n.key IS NULL THEN 'removed'
+      |       WHEN o.old_fp <> n.new_fp THEN 'changed' END AS change,
+      |  o.old_fp, n.new_fp
+      |FROM o FULL OUTER JOIN n ON o.key = n.key
+      |WHERE o.key IS NULL OR n.key IS NULL OR o.old_fp <> n.new_fp
+      |ORDER BY key""".stripMargin
+
+  // -------------------------------------------------------------------
   // q96: fuzzy-key dedup — bounded edit distance over the 24-char
   // document prefix, blocked on the 8-char prefix. Both engines run
   // the classic Wagner-Fischer DP, so distances oracle exactly; the
@@ -1043,6 +1079,7 @@ object Pipeline {
     "q37_multimodal" -> (q37Multimodal _),
     "q88_multimodal_transcode" -> (q88MultimodalTranscode _),
     "q95_incremental_dedup" -> (q95IncrementalDedup _),
+    "q121_snapshot_diff" -> (q121SnapshotDiff _),
     "q102_stream_sliding" -> (q102StreamSliding _),
     "q103_decontaminate_apply" -> (q103DecontaminateApply _),
     "q96_fuzzy_key_pairs" -> (q96FuzzyKeyPairs _),
@@ -1085,6 +1122,7 @@ object Pipeline {
     "q37_multimodal" -> q37Sql,
     "q88_multimodal_transcode" -> q88Sql,
     "q95_incremental_dedup" -> q95Sql,
+    "q121_snapshot_diff" -> q121Sql,
     "q102_stream_sliding" -> Scalars.q44Sql, // identical output to the batch sliding window
     "q103_decontaminate_apply" -> q103Sql,
     "q96_fuzzy_key_pairs" -> q96Sql,

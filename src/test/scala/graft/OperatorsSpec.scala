@@ -62,6 +62,18 @@ class OperatorsSpec extends SparkSpec {
     assert(got.map(r => (r.getLong(1), r.getLong(2))).toSeq === Seq((1L, 2L), (3L, 1L)))
   }
 
+  test("snapshotDiff classifies added/removed/changed and drops unchanged") {
+    val v1 = Seq((1L, "aaa"), (2L, "bbb"), (3L, "ccc")).toDF("doc_id", "text")
+    val v2 = Seq((2L, "bbb"), (3L, "ccc revised"), (4L, "ddd")).toDF("doc_id", "text")
+    val got = Dedup.snapshotDiff(v1, v2, "doc_id", "text")
+      .orderBy("key").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.isNullAt(2), r.isNullAt(3)))
+    assert(got.toSeq === Seq(
+      (1L, "removed", false, true),
+      (3L, "changed", false, false),
+      (4L, "added", true, false)))
+  }
+
   test("minhash LSH finds planted near-duplicates") {
     val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
       "lambda mu nu xi omicron pi rho sigma tau upsilon"
