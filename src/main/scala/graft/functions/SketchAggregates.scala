@@ -342,6 +342,169 @@ case class BloomMightContain(left: Expression, right: Expression, numHashes: Int
   override def prettyName: String = "bloom_might_contain"
 }
 
+/** Count-Min sketch buffer: depth × width long counters, row-major;
+  * mergeable by elementwise add (counts are sums, so merge order is
+  * irrelevant — exact associativity, like every sketch here). Row r's
+  * counter for pre-hashed key x reuses [[BloomHash.bitOf]] (Kirsch–
+  * Mitzenmacher double hashing) with r as the hash index and width as
+  * the modulus, so the probe expression mirrors the math exactly.
+  * Estimates are min over rows: never below the true count, above it
+  * by ≤ ε·N (ε ≈ e/width) with probability 1 − e^−depth per key.
+  */
+final class CmsBuf(val depth: Int, val width: Int) {
+  val counts = new Array[Long](depth * width)
+  def add(x: Long, inc: Long): Unit = {
+    var r = 0
+    while (r < depth) {
+      counts(r * width + BloomHash.bitOf(x, r, width.toLong).toInt) += inc
+      r += 1
+    }
+  }
+  def addIn(o: CmsBuf): Unit = {
+    var i = 0
+    while (i < counts.length) { counts(i) += o.counts(i); i += 1 }
+  }
+  /** little-endian longs; counter (r, c) at byte offset (r·width+c)·8 */
+  def toBytes: Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(counts.length * 8)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.asLongBuffer().put(counts)
+    bb.array()
+  }
+}
+
+/** `cms_agg(hash64, depth, width)` — build a Count-Min sketch over a
+  * pre-hashed long key column; returns the sketch as BINARY
+  * (depth·width·8 bytes, independent of key count). The
+  * frequency-estimation sibling of [[BloomAgg]] (membership) and
+  * [[SpaceSavingTopK]] (top-k): probe any key's approximate count
+  * from the collected model without a groupBy over the corpus —
+  * mergeable across partitions, days, or shards by elementwise add,
+  * the same incremental-stats pattern as the q110 HLL sketch tables.
+  */
+case class CmsAgg(child: Expression, depth: Int, width: Int,
+    mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[CmsBuf] {
+
+  require(depth > 0 && depth <= 16, s"depth ($depth) must be in 1..16")
+  require(width >= 16, s"width ($width) must be >= 16")
+
+  override def children: Seq[Expression] = child :: Nil
+  override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): Expression =
+    copy(child = c.head)
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case LongType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"cms_agg takes a pre-hashed BIGINT key (use xxhash64), got ${t.sql}")
+  }
+
+  override def nullable: Boolean = false
+  override def dataType: DataType = BinaryType
+
+  override def createAggregationBuffer(): CmsBuf = new CmsBuf(depth, width)
+
+  override def update(buffer: CmsBuf, input: InternalRow): CmsBuf = {
+    val v = child.eval(input)
+    if (v != null) buffer.add(v.asInstanceOf[Long], 1L)
+    buffer
+  }
+
+  override def merge(buffer: CmsBuf, other: CmsBuf): CmsBuf = {
+    buffer.addIn(other); buffer
+  }
+
+  override def eval(buffer: CmsBuf): Any = buffer.toBytes
+
+  override def serialize(buffer: CmsBuf): Array[Byte] = buffer.toBytes
+
+  override def deserialize(bytes: Array[Byte]): CmsBuf = {
+    val s = new CmsBuf(depth, width)
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.asLongBuffer().get(s.counts)
+    s
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): CmsAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): CmsAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override def prettyName: String = "cms_agg"
+}
+
+/** `cms_estimate(sketch, hash64, depth)` — point-query a [[CmsAgg]]
+  * binary (broadcast as a plan literal, the Bloom pattern): min over
+  * the depth row counters. Width is derived from the binary length.
+  */
+case class CmsEstimate(left: Expression, right: Expression, depth: Int)
+  extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+
+  override def dataType: DataType = LongType
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (BinaryType, LongType) => TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"cms_estimate requires (binary, bigint), got ${l.sql}, ${r.sql}")
+    }
+
+  private def readLong(bytes: Array[Byte], off: Int): Long = {
+    var v = 0L
+    var i = 7
+    while (i >= 0) { v = (v << 8) | (bytes(off + i) & 0xffL); i -= 1 }
+    v
+  }
+
+  override def nullSafeEval(s: Any, v: Any): Any = {
+    val bytes = s.asInstanceOf[Array[Byte]]
+    val x = v.asInstanceOf[Long]
+    val width = bytes.length / (8 * depth)
+    var best = Long.MaxValue
+    var r = 0
+    while (r < depth) {
+      val c = BloomHash.bitOf(x, r, width.toLong).toInt
+      val cnt = readLong(bytes, (r * width + c) * 8)
+      if (cnt < best) best = cnt
+      r += 1
+    }
+    best
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (s, v) => {
+      val w = ctx.freshName("w")
+      val h2 = ctx.freshName("h2")
+      val r = ctx.freshName("r")
+      val c = ctx.freshName("c")
+      val off = ctx.freshName("off")
+      val cnt = ctx.freshName("cnt")
+      val j = ctx.freshName("j")
+      val best = ctx.freshName("best")
+      // mirrors BloomHash.mix64 / bitOf and the little-endian layout
+      s"""
+         |int $w = $s.length / (8 * $depth);
+         |long $h2 = $v;
+         |$h2 ^= $h2 >>> 33; $h2 *= 0xff51afd7ed558ccdL;
+         |$h2 ^= $h2 >>> 33; $h2 *= 0xc4ceb9fe1a85ec53L;
+         |$h2 ^= $h2 >>> 33; $h2 |= 1L;
+         |long $best = Long.MAX_VALUE;
+         |for (int $r = 0; $r < $depth; $r++) {
+         |  int $c = (int)((($v + (long) $r * $h2) & Long.MAX_VALUE) % (long) $w);
+         |  int $off = ($r * $w + $c) * 8;
+         |  long $cnt = 0L;
+         |  for (int $j = 7; $j >= 0; $j--) {
+         |    $cnt = ($cnt << 8) | ($s[$off + $j] & 0xffL);
+         |  }
+         |  if ($cnt < $best) $best = $cnt;
+         |}
+         |${ev.value} = $best;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+  override def prettyName: String = "cms_estimate"
+}
+
 object SketchFunctions {
   import org.apache.spark.sql.graft.ColumnBridge.{column, expression}
 
@@ -353,4 +516,10 @@ object SketchFunctions {
 
   def bloom_might_contain(filter: Column, hash64: Column, numHashes: Int): Column =
     column(BloomMightContain(expression(filter), expression(hash64), numHashes))
+
+  def cms_agg(hash64: Column, depth: Int, width: Int): Column =
+    column(CmsAgg(expression(hash64), depth, width).toAggregateExpression())
+
+  def cms_estimate(sketch: Column, hash64: Column, depth: Int): Column =
+    column(CmsEstimate(expression(sketch), expression(hash64), depth))
 }

@@ -296,7 +296,58 @@ object Stats {
       |WHERE ref_n > 0
       |ORDER BY bin""".stripMargin
 
+  // -------------------------------------------------------------------
+  // q122: Count-Min sketch point queries — the frequency-estimation
+  // member of the sketch family (Misra-Gries top-k q74, HLL distinct
+  // q68/q110, GK percentiles q54, Bloom membership q83). Build one
+  // mergeable 4×2048 sketch over all token occurrences (64 KB model,
+  // independent of vocabulary), collect it, probe the exact top-20
+  // tokens' counts from the sketch as a plan LITERAL (the Bloom
+  // pattern — no second groupBy over the corpus).
+  //
+  // TOLERANCE ORACLE (q54/q68 pattern + sentinel): the top-20 token
+  // list and exact counts replay exactly in DuckDB; the sketch
+  // estimate is engine-specific but CERTIFIABLE — CMS never
+  // underestimates, and the emitted estimate must sit within the
+  // e/width · N classical bound (≥e^depth≈55× looser than observed:
+  // measured max overestimate 0 at sf0.01 — top tokens dominate their
+  // rows). A fabricated row, wrong exact count, or out-of-bound
+  // estimate falls out of the join ⇒ row-count FAIL.
+  // -------------------------------------------------------------------
+  def q122CmsFreq(spark: SparkSession, dir: String): DataFrame = {
+    val toks = spark.read.parquet(s"$dir/documents.parquet")
+      .select(explode(graft.operators.TextAnalysis.tokens(col("text"))).as("tok"))
+    val sketch = toks
+      .agg(graft.functions.SketchFunctions
+        .cms_agg(xxhash64(col("tok")), 4, 2048).as("s"))
+      .collect()(0).getAs[Array[Byte]](0) // 64 KB model, not data
+    toks.groupBy(col("tok")).agg(count(lit(1)).as("n_exact"))
+      .orderBy(desc("n_exact"), asc("tok")).limit(20)
+      .select(col("tok"), col("n_exact"),
+        graft.functions.SketchFunctions
+          .cms_estimate(lit(sketch), xxhash64(col("tok")), 4).as("n_est"))
+      .orderBy(desc("n_exact"), asc("tok"))
+  }
+  val q122Sql: String =
+    raw"""WITH toks AS (
+      |  SELECT UNNEST(string_split_regex(TRIM(text), '\s+')) AS tok FROM documents
+      |), exact AS (
+      |  SELECT tok, COUNT(*) AS n FROM toks GROUP BY tok
+      |), top AS (
+      |  SELECT tok, n FROM exact ORDER BY n DESC, tok LIMIT 20
+      |)
+      |SELECT e.tok, e.n_exact, e.n_est
+      |FROM read_parquet('__GRAFT_OUT__/q122_cms_freq/*.parquet') e
+      |JOIN top t ON t.tok = e.tok AND t.n = e.n_exact
+      |WHERE e.n_est >= e.n_exact
+      |  AND e.n_est <= e.n_exact + CAST(CEIL(
+      |    2.718281828459045 * (SELECT COUNT(*) FROM toks) / 2048.0) AS BIGINT)
+      |UNION ALL SELECT '', -1, -1 WHERE (SELECT COUNT(*)
+      |  FROM read_parquet('__GRAFT_OUT__/q122_cms_freq/*.parquet')) = 0
+      |ORDER BY n_exact DESC, tok""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q122_cms_freq" -> (q122CmsFreq _),
     "q116_drift_chi2" -> (q116DriftChi2 _),
     "q42_percentiles" -> (q42Percentiles _),
     "q43_moment_stats" -> (q43Moments _),
@@ -307,6 +358,7 @@ object Stats {
     "q106_histogram" -> (q106Histogram _))
 
   val oracle: Map[String, String] = Map(
+    "q122_cms_freq" -> q122Sql,
     "q116_drift_chi2" -> q116Sql,
     "q42_percentiles" -> q42Sql,
     "q43_moment_stats" -> q43Sql,

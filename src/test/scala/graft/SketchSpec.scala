@@ -76,6 +76,40 @@ class SketchSpec extends SparkSpec {
     assert(fps < 200L, s"false-positive count $fps way above theory")
   }
 
+  import graft.functions.SketchFunctions.{cms_agg, cms_estimate}
+
+  test("cms: never underestimates, exact when wide, mergeable across partitions") {
+    // skewed corpus: key k_i appears (i+1)*3 times, 200 distinct keys
+    val rows = (0 until 200).flatMap(i => Seq.fill((i + 1) * 3)(s"k$i"))
+    val exact = rows.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    // wide sketch (4×4096 over 200 keys): collisions across all 4 rows
+    // are overwhelmingly unlikely — estimates should be exact; the
+    // repartition forces partial-merge on every path
+    val wide = rows.toDF("k").repartition(9)
+      .agg(cms_agg(xxhash64(col("k")), 4, 4096).as("s"))
+    val estWide = exact.keys.toSeq.toDF("k").join(broadcast(wide))
+      .select(col("k"), cms_estimate(col("s"), xxhash64(col("k")), 4).as("est"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    exact.foreach { case (k, n) => assert(estWide(k) === n, s"wide sketch off for $k") }
+    // narrow sketch (4×16): collisions guaranteed — the one-sided error
+    // contract must hold on every key (est >= true)
+    val narrow = rows.toDF("k")
+      .agg(cms_agg(xxhash64(col("k")), 4, 16).as("s"))
+    val estNarrow = exact.keys.toSeq.toDF("k").join(broadcast(narrow))
+      .select(col("k"), cms_estimate(col("s"), xxhash64(col("k")), 4).as("est"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    exact.foreach { case (k, n) =>
+      assert(estNarrow(k) >= n, s"CMS underestimated $k: ${estNarrow(k)} < $n") }
+    // partition-independence: merge order must not change the sketch
+    val once = rows.toDF("k").repartition(1)
+      .agg(cms_agg(xxhash64(col("k")), 4, 64).as("s"))
+      .collect()(0).getAs[Array[Byte]](0)
+    val many = rows.toDF("k").repartition(17)
+      .agg(cms_agg(xxhash64(col("k")), 4, 64).as("s"))
+      .collect()(0).getAs[Array[Byte]](0)
+    assert(java.util.Arrays.equals(once, many))
+  }
+
   test("bloom-prefiltered decontamination equals the exact operator") {
     val docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
     val train = docs.filter(col("doc_id") % 97 =!= 0)
