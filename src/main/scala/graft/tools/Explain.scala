@@ -48,7 +48,10 @@ object Explain {
       "q109_bucketed_join" -> "bucketed layout satisfies the SortMergeJoin AND the bucket-key aggregate: no hashpartitioning Exchange anywhere — the only shuffle is the final deterministic ORDER BY (the pay-layout-once fact-fact join at 100 TB)",
       "q110_sketch_union" -> "two-level sketch aggregation: per-snapshot HLL partials merge via hll_union_agg — sketch BYTES cross the second shuffle, never token streams; adding a snapshot never rescans history",
       "q111_quality_quantile" -> "adaptive per-source threshold in ONE window pass (percent_rank partitioned by source) — no collected stats, no global sort; the count aggregate reuses the window's partitioning",
-      "q117_dedup_pipeline" -> "the composed dedup pipeline: exact-rep semi-join (8-byte fingerprints in the exchange) feeds 64-band LSH; keep-list maps back through a fingerprint join — text bytes never shuffle in ANY stage of the composition")
+      "q117_dedup_pipeline" -> "the composed dedup pipeline: exact-rep semi-join (8-byte fingerprints in the exchange) feeds 64-band LSH; keep-list maps back through a fingerprint join — text bytes never shuffle in ANY stage of the composition",
+      "q120_fuzzy_decontaminate" -> "cross-corpus LSH: both sides band map-only; the eval side is BROADCAST at candidate AND verify joins — the training corpus never shuffles toward the eval suite; jaccard is a residual filter on the equi-join, never a nested-loop condition",
+      "q121_snapshot_diff" -> "md5 fingerprints computed map-side in both scans: the full-outer join exchanges (key, 32-char fp) only — payloads never shuffle; output is the churn, not the corpus",
+      "q122_cms_freq" -> "ObjectHashAggregate over mergeable 64 KB CMS buffers (partial-combines map-side); estimates probe the collected sketch as a plan LITERAL via codegen'd cms_estimate — no second corpus aggregation")
 
     val sb = new StringBuilder
     sb.append("# EXPLAINS — physical plans of representative queries\n\n")
