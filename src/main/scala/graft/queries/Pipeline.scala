@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis => TA}
+import graft.operators.{Dedup, Graph, Multimodal, Similarity, TextAnalysis => TA}
 
 /** Training-data pipeline queries: text analysis, dedup, similarity
   * search, multimodal, streaming — the beyond-reference surface over
@@ -644,6 +644,70 @@ object Pipeline {
       |ORDER BY key""".stripMargin
 
   // -------------------------------------------------------------------
+  // q123: fixed-point PageRank over the customer↔supplier trade graph
+  // (orders ⋈ lineitem; both directions, so no dangling mass; node ids
+  // disambiguated as cust·2 / supp·2+1). Three power iterations in
+  // exact BIGINT fixed-point — every add/div is integral, so the
+  // DuckDB oracle UNROLLS the identical three rounds and compares
+  // bit-for-bit. The graph-centrality sibling of the CC gates
+  // (q55/q82): per-round (id, long) shuffles, truncated lineage.
+  // -------------------------------------------------------------------
+  def q123PageRank(spark: SparkSession, dir: String): DataFrame = {
+    val o = spark.read.parquet(s"$dir/orders.parquet")
+      .select(col("o_orderkey"), col("o_custkey"))
+    val l = spark.read.parquet(s"$dir/lineitem.parquet")
+      .select(col("l_orderkey"), col("l_suppkey"))
+    val fwd = o.join(l, col("o_orderkey") === col("l_orderkey"))
+      .select((col("o_custkey") * 2).as("src"), (col("l_suppkey") * 2 + 1).as("dst"))
+    val edges = fwd.union(fwd.select(col("dst").as("src"), col("src").as("dst")))
+    Graph.pageRankFixed(edges, "src", "dst", iters = 3)
+      .orderBy(asc("id"))
+  }
+  val q123Sql: String =
+    """WITH fwd AS (
+      |  SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+      |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+      |), e AS (
+      |  SELECT src, dst FROM fwd UNION SELECT dst, src FROM fwd
+      |), nodes AS (
+      |  SELECT DISTINCT src AS id FROM e UNION SELECT DISTINCT dst FROM e
+      |), deg AS (
+      |  SELECT src, COUNT(*) AS dg FROM e GROUP BY src
+      |), params AS (
+      |  SELECT COUNT(*) AS n, CAST(1000000000 AS BIGINT) // COUNT(*) AS r_init,
+      |    (CAST(15 AS BIGINT) * CAST(1000000000 AS BIGINT))
+      |      // (CAST(100 AS BIGINT) * COUNT(*)) AS base
+      |  FROM nodes
+      |), r0 AS (
+      |  SELECT id, (SELECT r_init FROM params) AS r FROM nodes
+      |), r1 AS (
+      |  SELECT n.id, (SELECT base FROM params)
+      |    + (85 * COALESCE(SUM(r0.r // d.dg), 0)) // 100 AS r
+      |  FROM nodes n
+      |  LEFT JOIN e ON e.dst = n.id
+      |  LEFT JOIN r0 ON r0.id = e.src
+      |  LEFT JOIN deg d ON d.src = e.src
+      |  GROUP BY n.id
+      |), r2 AS (
+      |  SELECT n.id, (SELECT base FROM params)
+      |    + (85 * COALESCE(SUM(r1.r // d.dg), 0)) // 100 AS r
+      |  FROM nodes n
+      |  LEFT JOIN e ON e.dst = n.id
+      |  LEFT JOIN r1 ON r1.id = e.src
+      |  LEFT JOIN deg d ON d.src = e.src
+      |  GROUP BY n.id
+      |), r3 AS (
+      |  SELECT n.id, (SELECT base FROM params)
+      |    + (85 * COALESCE(SUM(r2.r // d.dg), 0)) // 100 AS r
+      |  FROM nodes n
+      |  LEFT JOIN e ON e.dst = n.id
+      |  LEFT JOIN r2 ON r2.id = e.src
+      |  LEFT JOIN deg d ON d.src = e.src
+      |  GROUP BY n.id
+      |)
+      |SELECT id, CAST(r AS BIGINT) AS rank_fx FROM r3 ORDER BY id""".stripMargin
+
+  // -------------------------------------------------------------------
   // q96: fuzzy-key dedup — bounded edit distance over the 24-char
   // document prefix, blocked on the 8-char prefix. Both engines run
   // the classic Wagner-Fischer DP, so distances oracle exactly; the
@@ -1080,6 +1144,7 @@ object Pipeline {
     "q88_multimodal_transcode" -> (q88MultimodalTranscode _),
     "q95_incremental_dedup" -> (q95IncrementalDedup _),
     "q121_snapshot_diff" -> (q121SnapshotDiff _),
+    "q123_pagerank" -> (q123PageRank _),
     "q102_stream_sliding" -> (q102StreamSliding _),
     "q103_decontaminate_apply" -> (q103DecontaminateApply _),
     "q96_fuzzy_key_pairs" -> (q96FuzzyKeyPairs _),
@@ -1123,6 +1188,7 @@ object Pipeline {
     "q88_multimodal_transcode" -> q88Sql,
     "q95_incremental_dedup" -> q95Sql,
     "q121_snapshot_diff" -> q121Sql,
+    "q123_pagerank" -> q123Sql,
     "q102_stream_sliding" -> Scalars.q44Sql, // identical output to the batch sliding window
     "q103_decontaminate_apply" -> q103Sql,
     "q96_fuzzy_key_pairs" -> q96Sql,

@@ -62,6 +62,30 @@ class OperatorsSpec extends SparkSpec {
     assert(got.map(r => (r.getLong(1), r.getLong(2))).toSeq === Seq((1L, 2L), (3L, 1L)))
   }
 
+  test("pageRankFixed matches a hand-rolled fixed-point reference") {
+    val edges = Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 1L)).toDF("s", "d")
+    val got = Graph.pageRankFixed(edges, "s", "d", iters = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // identical integral arithmetic in plain Scala (long division = div)
+    val scale = 1000000000L
+    val nodes = Seq(1L, 2L, 3L)
+    val deg = Map(1L -> 1L, 2L -> 2L, 3L -> 1L)
+    val out = Map(1L -> Seq(2L), 2L -> Seq(1L, 3L), 3L -> Seq(1L))
+    val base = 15L * scale / (100L * nodes.size)
+    var r = nodes.map(_ -> scale / nodes.size).toMap
+    for (_ <- 0 until 3) {
+      val contrib = scala.collection.mutable.Map[Long, Long]().withDefaultValue(0L)
+      for ((u, vs) <- out; v <- vs) contrib(v) += r(u) / deg(u)
+      r = nodes.map(v => v -> (base + 85L * contrib(v) / 100L)).toMap
+    }
+    assert(got === r)
+    // partition-independence: long adds are associative, so the ranks
+    // must be bit-identical under any input layout
+    val again = Graph.pageRankFixed(edges.repartition(7), "s", "d", iters = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(again === got)
+  }
+
   test("snapshotDiff classifies added/removed/changed and drops unchanged") {
     val v1 = Seq((1L, "aaa"), (2L, "bbb"), (3L, "ccc")).toDF("doc_id", "text")
     val v2 = Seq((2L, "bbb"), (3L, "ccc revised"), (4L, "ddd")).toDF("doc_id", "text")
