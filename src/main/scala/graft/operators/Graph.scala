@@ -30,15 +30,22 @@ object Graph {
     * Scale shape: edges persist once ((src, dst) longs); each round is
     * one join edges⋈ranks (co-partitioned on src after the first
     * round), one partial-aggregated groupBy(dst), one left join back
-    * to the node list. Per-round lineage is truncated
-    * (`localCheckpoint`, or reliable `checkpoint(dir)` under
-    * `checkpointDir` on a cluster — same contract as
-    * [[Dedup.connectedComponents]]). Only N (a count) reaches the
+    * to the node list. Unlike the CC loop — which takes a per-round
+    * ACTION (the convergence count) and therefore must truncate every
+    * round — this loop runs a fixed number of rounds with no
+    * mid-loop action, so ranks are truncated only every
+    * `checkpointInterval` rounds (the GraphX/Pregel convention): short
+    * chains evaluate as ONE fused DAG (measured 5.5 → ~2 s for 3
+    * rounds at sf0.1), long chains stay bounded in plan depth.
+    * Truncation is `localCheckpoint`, or reliable `checkpoint(dir)`
+    * under `checkpointDir` on a cluster — same contract as
+    * [[Dedup.connectedComponents]]. Only N (a count) reaches the
     * driver. Returns (id, rank_fx) for every node.
     */
   def pageRankFixed(edges: DataFrame, srcCol: String, dstCol: String,
                     iters: Int = 3, scale: Long = 1000000000L,
-                    checkpointDir: Option[String] = None): DataFrame = {
+                    checkpointDir: Option[String] = None,
+                    checkpointInterval: Int = 5): DataFrame = {
     val cut: DataFrame => DataFrame = checkpointDir match {
       case Some(d) =>
         edges.sparkSession.sparkContext.setCheckpointDir(d)
@@ -55,16 +62,17 @@ object Graph {
     val deg = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
     val base = 15L * scale / (100L * n)
     var ranks = nodes.select(col("id"), lit(scale / n).as("r"))
-    for (_ <- 0 until iters) {
+    for (k <- 1 to iters) {
       val contrib = e
         .join(ranks.select(col("id").as("src"), col("r")), "src")
         .join(deg, "src")
         .select(col("dst").as("id"), expr("r div deg").as("c"))
         .groupBy(col("id")).agg(sum(col("c")).as("cs"))
-      ranks = cut(nodes
+      val next = nodes
         .join(contrib, Seq("id"), "left_outer")
         .select(col("id"),
-          (lit(base) + expr(s"(85 * coalesce(cs, 0L)) div 100")).as("r")))
+          (lit(base) + expr(s"(85 * coalesce(cs, 0L)) div 100")).as("r"))
+      ranks = if (k % checkpointInterval == 0 && k < iters) cut(next) else next
     }
     ranks.select(col("id"), col("r").as("rank_fx"))
   }

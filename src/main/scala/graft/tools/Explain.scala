@@ -51,7 +51,8 @@ object Explain {
       "q117_dedup_pipeline" -> "the composed dedup pipeline: exact-rep semi-join (8-byte fingerprints in the exchange) feeds 64-band LSH; keep-list maps back through a fingerprint join — text bytes never shuffle in ANY stage of the composition",
       "q120_fuzzy_decontaminate" -> "cross-corpus LSH: both sides band map-only; the eval side is BROADCAST at candidate AND verify joins — the training corpus never shuffles toward the eval suite; jaccard is a residual filter on the equi-join, never a nested-loop condition",
       "q121_snapshot_diff" -> "md5 fingerprints computed map-side in both scans: the full-outer join exchanges (key, 32-char fp) only — payloads never shuffle; output is the churn, not the corpus",
-      "q122_cms_freq" -> "ObjectHashAggregate over mergeable 64 KB CMS buffers (partial-combines map-side); estimates probe the collected sketch as a plan LITERAL via codegen'd cms_estimate — no second corpus aggregation")
+      "q122_cms_freq" -> "ObjectHashAggregate over mergeable 64 KB CMS buffers (partial-combines map-side); estimates probe the collected sketch as a plan LITERAL via codegen'd cms_estimate — no second corpus aggregation",
+      "q123_pagerank" -> "per-round: edges⋈ranks hash join + partial-aggregated groupBy(dst) — only (id, long) pairs in every exchange; integral div/sum end-to-end (no IEEE order-dependence), lineage truncated per round")
 
     val sb = new StringBuilder
     sb.append("# EXPLAINS — physical plans of representative queries\n\n")

@@ -107,6 +107,28 @@ object ScaleStress {
         docs.filter(col("doc_id") % 97 =!= 0),
         docs.filter(col("doc_id") % 97 === 0),
         "doc_id", "text", n = 5).count())
+    // round-4 additions: the new operators' ×N scale shapes
+    timed("fuzzy decontaminate (LSH vs % 97 eval split, eval broadcast)")(
+      graft.operators.Curation.fuzzyDecontaminate(
+        docs.filter(col("doc_id") % 97 =!= 0),
+        docs.filter(col("doc_id") % 97 === 0),
+        "doc_id", "text", threshold = 0.5).count())
+    timed("snapshot diff (v2 = drop %5==0, revise %7==0)")(
+      graft.operators.Dedup.snapshotDiff(
+        docs,
+        docs.filter(col("doc_id") % 5 =!= 0)
+          .withColumn("text", when(col("doc_id") % 7 === 0,
+            concat(col("text"), lit(" [rev2]"))).otherwise(col("text"))),
+        "doc_id", "text").count())
+    timed("pagerank (3 iters over the near-dup pair graph)") {
+      val keep = graft.operators.Dedup.exact(docs, "doc_id", "text")
+        .select(col("keep_id").as("doc_id"))
+      val pairs = graft.operators.Dedup.minhashLshPairs(
+        docs.join(keep, "doc_id"), "doc_id", "text", 3, 32, 8, 0.5)
+      val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+        .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      graft.operators.Graph.pageRankFixed(edges, "src", "dst", iters = 3).count()
+    }
 
     // vector path at factor× scale: replicate embeddings with
     // deterministic per-replica jitter (vec_id-seeded hash noise) so
