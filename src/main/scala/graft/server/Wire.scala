@@ -203,6 +203,17 @@ object Wire {
             GraftFrame(frame.df
               .withColumn("rank", row_number().over(w))
               .filter(col("rank") <= lit(v.get(2).asInt())))
+          case "SnapshotDiff" =>
+            // {"SnapshotDiff": [<read-spec>, keyCol, payloadCol]} →
+            // added/removed/changed change feed of THIS frame (old)
+            // vs the replayed frame (new): (key, change, old_fp,
+            // new_fp). Fingerprints are md5, computed map-side.
+            val newSnap = replay(spark, v.get(0))
+            val (keyCol, payCol) = (v.get(1).asText(), v.get(2).asText())
+            requireWireCols(frame, Seq(keyCol, payCol), "SnapshotDiff")
+            requireWireCols(newSnap, Seq(keyCol, payCol), "SnapshotDiff")
+            GraftFrame(graft.operators.Dedup
+              .snapshotDiff(frame.df, newSnap.df, keyCol, payCol))
           case o => throw new GraftException(s"operation: unknown op $o")
         }
     }

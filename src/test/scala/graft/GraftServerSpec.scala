@@ -147,6 +147,34 @@ class GraftServerSpec extends SparkSpec {
       {"Op": {"DedupExact": ["nope", "text"]}}}""")._1 === 400)
   }
 
+  test("wire: SnapshotDiff verb diffs two read lineages") {
+    val mk = (rows: String, tag: String) => {
+      val p = Files.createTempFile(s"graft_snap_$tag", ".csv")
+      Files.write(p, rows.getBytes(StandardCharsets.UTF_8))
+      p.toAbsolutePath
+    }
+    val schema =
+      """{"columns": [{"name": "id", "type_": "Int"},
+        |             {"name": "text", "type_": "String"}]}""".stripMargin
+    val oldP = mk("1|aaa\n2|bbb\n3|ccc\n", "old")
+    val newP = mk("2|bbb\n3|ccc revised\n4|ddd\n", "new")
+    val oldS = callOk("null", s"""{"Read": ["csv", "$oldP", $schema]}""")._1
+    val newS = callOk("null", s"""{"Read": ["csv", "$newP", $schema]}""")._1
+    // the new snapshot rides inside the verb as a full lineage state,
+    // exactly like Join's right side
+    val diff = callOk(oldS,
+      s"""{"Op": {"SnapshotDiff": [$newS, "id", "text"]}}""")._1
+    val (_, db) = callOk(diff, """{"Action": "Collect"}""")
+    val d = Wire.parse(db)
+    val changes = (0 until 3).map(i =>
+      d.get("key").get("Int").get(i).asLong() ->
+        d.get("change").get("String").get(i).asText()).toMap
+    assert(changes === Map(1L -> "removed", 3L -> "changed", 4L -> "added"))
+    // missing key column in either side is a plan-time 400
+    assert(post(s"""{"dataframe": $oldS, "function":
+      {"Op": {"SnapshotDiff": [$newS, "nope", "text"]}}}""")._1 === 400)
+  }
+
   test("wire: protocol and plan errors are 400 with a message") {
     // malformed JSON
     assert(post("{nope")._1 === 400)

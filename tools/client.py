@@ -230,6 +230,12 @@ class Df:
         """Top-k rows per partition by order_col desc, + 'rank' column."""
         return self._op({'WindowTopK': [partition_col, order_col, k]})
 
+    def snapshot_diff(self, new_snapshot, key_col, payload_col):
+        """Batch CDC: (key, change, old_fp, new_fp) of self (old) vs
+        new_snapshot (another Df), unchanged keys dropped."""
+        return self._op(
+            {'SnapshotDiff': [new_snapshot.dataframe, key_col, payload_col]})
+
     def collect(self):
         return Df.call(self.dataframe, {'Action': 'Collect'}, self.uri).values
 

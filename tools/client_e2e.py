@@ -144,6 +144,20 @@ def run_checks():
     topk = corpus.window_topk('text', 'id', 1).order_by(['id']).collect()
     assert topk['id'] == {'Int': [2, 3, 4]}, topk
     assert topk['rank'] == {'Int': [1, 1, 1]}, topk
+    # snapshot diff: corpus (old) vs a revised copy (new) — id 2 drops
+    # out, id 3's text changes, id 5 appears; unchanged ids are absent
+    with tempfile.NamedTemporaryFile('w', suffix='.csv', delete=False) as f:
+        f.write('1|%s tango\n' % base)
+        f.write('3|%s revised entirely\n' % base)
+        f.write('4|totally different words that share nothing at all '
+                'with the phonetic alphabet corpus above here\n')
+        f.write('5|a brand new doc\n')
+        v2_path = f.name
+    v2 = Df.from_csv(v2_path, dup_schema, uri=client.URI)
+    diff = corpus.snapshot_diff(v2, 'id', 'text').order_by(['key']).collect()
+    assert diff['key'] == {'Int': [2, 3, 5]}, diff
+    assert diff['change'] == {'String': ['removed', 'changed', 'added']}, diff
+    os.unlink(v2_path)
     os.unlink(dup_path)
 
     # --- error surface: unknown column is a 400 with a message ---
