@@ -268,6 +268,32 @@ object Relational {
       |) ORDER BY o_orderkey""".stripMargin
 
   // -------------------------------------------------------------------
+  // q124: schema-drift union — unionByName(allowMissingColumns): two
+  // corpus snapshots whose schemas diverged (v1 carries lang, v2
+  // carries n_chars) align by COLUMN NAME with null fill, the
+  // schema-evolution shape every long-lived multi-snapshot corpus
+  // hits (positional union q11 would silently mis-align here). Exact
+  // oracle: the null-filled projections are replayed explicitly.
+  // -------------------------------------------------------------------
+  def q124SchemaDriftUnion(spark: SparkSession, dir: String): DataFrame = {
+    val d = spark.read.parquet(s"$dir/documents.parquet")
+    val v1 = d.filter(col("doc_id") % 2 === 0)
+      .select(col("doc_id"), col("lang"), lit("v1").as("snap"))
+    val v2 = d.filter(col("doc_id") % 2 === 1)
+      .select(col("doc_id"), col("n_chars"), lit("v2").as("snap"))
+    v1.unionByName(v2, allowMissingColumns = true)
+      .orderBy(asc("doc_id"))
+  }
+  val q124Sql: String =
+    """SELECT * FROM (
+      |  SELECT doc_id, lang, 'v1' AS snap, NULL AS n_chars
+      |  FROM documents WHERE doc_id % 2 = 0
+      |  UNION ALL
+      |  SELECT doc_id, NULL AS lang, 'v2' AS snap, CAST(n_chars AS BIGINT) AS n_chars
+      |  FROM documents WHERE doc_id % 2 = 1
+      |) ORDER BY doc_id""".stripMargin
+
+  // -------------------------------------------------------------------
   // q12: distinct (group-by-all-columns special case; the reference's
   // keys-only group_by, tests/lib.rs:179-185)
   // -------------------------------------------------------------------
@@ -613,6 +639,7 @@ object Relational {
     "q09_take_limit" -> (q09Take _),
     "q10_count" -> (q10Count _),
     "q11_union" -> (q11Union _),
+    "q124_schema_drift_union" -> (q124SchemaDriftUnion _),
     "q12_distinct" -> (q12Distinct _),
     "q13_topk_desc" -> (q13TopK _),
     "q14_group_two_phase" -> (q14GroupTwoPhase _),
@@ -638,6 +665,7 @@ object Relational {
     "q09_take_limit" -> q09Sql,
     "q10_count" -> q10Sql,
     "q11_union" -> q11Sql,
+    "q124_schema_drift_union" -> q124Sql,
     "q12_distinct" -> q12Sql,
     "q13_topk_desc" -> q13Sql,
     "q14_group_two_phase" -> q14Sql,
