@@ -57,6 +57,22 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[BloomMightContain].getName, "bloom_might_contain"),
       (children: Seq[Expression]) => BloomMightContain(children(0), children(1),
         intLit(children(2), "numHashes"))))
+    e.injectFunction((
+      new FunctionIdentifier("cms_agg"),
+      new ExpressionInfo(classOf[CmsAgg].getName, "cms_agg"),
+      (children: Seq[Expression]) => CmsAgg(children(0),
+        intLit(children(1), "depth"), intLit(children(2), "width"))
+        .toAggregateExpression()))
+    e.injectFunction((
+      new FunctionIdentifier("cms_estimate"),
+      new ExpressionInfo(classOf[CmsEstimate].getName, "cms_estimate"),
+      (children: Seq[Expression]) => CmsEstimate(children(0), children(1),
+        intLit(children(2), "depth"))))
+    e.injectFunction((
+      new FunctionIdentifier("vec_fixed_sum"),
+      new ExpressionInfo(classOf[VecFixedSum].getName, "vec_fixed_sum"),
+      (children: Seq[Expression]) => VecFixedSum(children(0),
+        intLit(children(1), "dim"), 1e12).toAggregateExpression()))
     // post-pushdown lint: similarity measures must not be the sole join
     // condition (see SimilarityJoinGuard)
     e.injectOptimizerRule(session => SimilarityJoinGuard(session))

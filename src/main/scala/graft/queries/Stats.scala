@@ -129,18 +129,22 @@ object Stats {
 
   // -------------------------------------------------------------------
   // q74: heavy hitters — top-20 most-referenced parts via the native
-  // batched Misra-Gries aggregate (functions.SpaceSavingTopK): fixed
-  // memory per task, mergeable partial summaries, only capacity-sized
-  // states cross the shuffle. capacity=4096 exceeds the sf0.01 part
-  // cardinality (~2000), so every count is exact and the DuckDB
-  // oracle compares bit-for-bit; at sf0.1 (~20k parts) the same query
-  // runs in the genuine sketch regime (spec-tested error bounds).
+  // batched Misra-Gries aggregate (functions.SketchFunctions
+  // .space_saving_topk): fixed memory per task, mergeable partial
+  // summaries, only capacity-sized states cross the shuffle.
+  // capacity=32768 exceeds the part cardinality at BOTH sf0.01 (~2k)
+  // and sf0.1 (~20k), so the gate holds bit-for-bit at either scale
+  // (an sf0.1 sweep showed 4096 flips into the sketch regime there,
+  // where a FLAT distribution — top count ≈ 53 vs the N/capacity ≈ 146
+  // guarantee threshold — makes exact-top-20 unrecoverable by ANY
+  // bounded-memory sketch; that regime's error bounds are SketchSpec's
+  // job, not this gate's).
   // -------------------------------------------------------------------
   def q74HeavyHitters(spark: SparkSession, dir: String): DataFrame =
     li(spark, dir)
       .select(col("l_partkey").cast("string").as("pk"))
       .agg(graft.functions.SketchFunctions
-        .space_saving_topk(col("pk"), 20, 4096).as("top"))
+        .space_saving_topk(col("pk"), 20, 32768).as("top"))
       .select(explode(col("top")).as("e"))
       .select(col("e.key").as("part_key"), col("e.cnt").as("n"))
       .orderBy(desc("n"), asc("part_key"))

@@ -376,6 +376,19 @@ class OperatorsSpec extends SparkSpec {
         "SELECT space_saving_topk(text, 1, 8) AS t FROM ext_t").collect()(0)
         .getSeq[org.apache.spark.sql.Row](0)
       assert(hh.length === 1 && hh.head.getLong(1) === 1L) // two distinct texts, cnt 1
+      // round-4 additions: CMS build + probe, fixed-point vector sum
+      val est = s2.sql(
+        """SELECT cms_estimate(
+          |  (SELECT cms_agg(xxhash64(text), 4, 64) FROM ext_t),
+          |  xxhash64('a b a b a b'), 4) AS e""".stripMargin)
+        .collect()(0).getLong(0)
+      assert(est === 1L) // one occurrence of that exact text
+      val vsum = s2.sql(
+        """SELECT vec_fixed_sum(v, 2) AS s FROM (VALUES
+          |  (array(CAST(1.5 AS DOUBLE), CAST(-0.25 AS DOUBLE))),
+          |  (array(CAST(0.5 AS DOUBLE), CAST(0.75 AS DOUBLE)))) AS t(v)""".stripMargin)
+        .collect()(0).getSeq[Long](0)
+      assert(vsum === Seq(2000000000000L, 500000000000L)) // floor(x*1e12) sums
     } finally {
       org.apache.spark.sql.SparkSession.setActiveSession(orig)
       org.apache.spark.sql.SparkSession.setDefaultSession(orig)
