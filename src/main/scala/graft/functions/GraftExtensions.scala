@@ -69,6 +69,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[Expression]) => CmsEstimate(children(0), children(1),
         intLit(children(2), "depth"))))
     e.injectFunction((
+      new FunctionIdentifier("kmv_agg"),
+      new ExpressionInfo(classOf[KmvAgg].getName, "kmv_agg"),
+      (children: Seq[Expression]) => KmvAgg(children(0),
+        intLit(children(1), "k")).toAggregateExpression()))
+    e.injectFunction((
       new FunctionIdentifier("vec_fixed_sum"),
       new ExpressionInfo(classOf[VecFixedSum].getName, "vec_fixed_sum"),
       (children: Seq[Expression]) => VecFixedSum(children(0),

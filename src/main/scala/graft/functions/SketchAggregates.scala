@@ -505,6 +505,112 @@ case class CmsEstimate(left: Expression, right: Expression, depth: Int)
   override def prettyName: String = "cms_estimate"
 }
 
+/** KMV (k-minimum-values / bottom-k theta) buffer: the k smallest
+  * DISTINCT hash values seen so far. Set semantics fall out for free
+  * (duplicates collapse in the tree), merge is union-with-cap, and —
+  * unlike HLL — two sketches support INTERSECTION estimates: with a
+  * shared hash function, the bottom-k of the union is a uniform sample
+  * of the union, so |{x ∈ A∩B : x ≤ θ}| / k estimates the Jaccard
+  * (Beyer et al., "On Synopses for Distinct-Value Estimation Under
+  * Multiset Operations", SIGMOD'07; the DataSketches theta family).
+  *
+  * Deterministic by construction: the result depends only on the SET
+  * of input hashes, never on partitioning or arrival order — so with a
+  * portable hash (md5-derived) the whole sketch replays bit-identical
+  * in another engine, giving these estimates an EXACT oracle.
+  */
+final class KmvBuf(val k: Int) {
+  val set = new java.util.TreeSet[java.lang.Long]()
+  def add(h: Long): Unit = {
+    if (set.size < k) { set.add(h); () }
+    else if (h < set.last()) {
+      if (set.add(h)) { set.remove(set.last()); () }
+    }
+  }
+  def mergeIn(o: KmvBuf): Unit = {
+    val it = o.set.iterator()
+    while (it.hasNext) add(it.next())
+  }
+  /** ascending array of the ≤ k retained values */
+  def toArray: Array[Long] = {
+    val arr = new Array[Long](set.size)
+    var i = 0
+    val it = set.iterator()
+    while (it.hasNext) { arr(i) = it.next(); i += 1 }
+    arr
+  }
+}
+
+/** `kmv_agg(hash64, k)` — bottom-k distinct-value sketch over a
+  * pre-hashed BIGINT column; returns the k smallest distinct hashes as
+  * a sorted ARRAY<BIGINT> (8k bytes max, independent of cardinality).
+  *
+  * The 100 TB shape: per-group distinct statistics and CROSS-GROUP set
+  * overlap (vocabulary intersection between sources, train/eval
+  * contamination mass, snapshot churn) from one pass — only k-value
+  * sketches cross the shuffle, never the value universe, and sketches
+  * from different days/shards merge losslessly (union-with-cap). HLL
+  * (q68/q110) gives cheaper distinct counts but cannot intersect;
+  * KMV is the member of the sketch family that does sets.
+  */
+case class KmvAgg(child: Expression, k: Int,
+    mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[KmvBuf] {
+
+  require(k > 0 && k <= 65536, s"k ($k) must be in 1..65536")
+
+  override def children: Seq[Expression] = child :: Nil
+  override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): Expression =
+    copy(child = c.head)
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case LongType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"kmv_agg takes a pre-hashed BIGINT key, got ${t.sql}")
+  }
+
+  override def nullable: Boolean = false
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def createAggregationBuffer(): KmvBuf = new KmvBuf(k)
+
+  override def update(buffer: KmvBuf, input: InternalRow): KmvBuf = {
+    val v = child.eval(input)
+    if (v != null) buffer.add(v.asInstanceOf[Long])
+    buffer
+  }
+
+  override def merge(buffer: KmvBuf, other: KmvBuf): KmvBuf = {
+    buffer.mergeIn(other); buffer
+  }
+
+  override def eval(buffer: KmvBuf): Any = new GenericArrayData(buffer.toArray)
+
+  override def serialize(buffer: KmvBuf): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    val out = new DataOutputStream(bos)
+    out.writeInt(buffer.set.size)
+    val it = buffer.set.iterator()
+    while (it.hasNext) out.writeLong(it.next())
+    out.flush()
+    bos.toByteArray
+  }
+
+  override def deserialize(bytes: Array[Byte]): KmvBuf = {
+    val in = new DataInputStream(new ByteArrayInputStream(bytes))
+    val s = new KmvBuf(k)
+    val n = in.readInt()
+    var i = 0
+    while (i < n) { s.set.add(in.readLong()); i += 1 }
+    s
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): KmvAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): KmvAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override def prettyName: String = "kmv_agg"
+}
+
 object SketchFunctions {
   import org.apache.spark.sql.graft.ColumnBridge.{column, expression}
 
@@ -522,4 +628,7 @@ object SketchFunctions {
 
   def cms_estimate(sketch: Column, hash64: Column, depth: Int): Column =
     column(CmsEstimate(expression(sketch), expression(hash64), depth))
+
+  def kmv_agg(hash64: Column, k: Int): Column =
+    column(KmvAgg(expression(hash64), k).toAggregateExpression())
 }

@@ -75,8 +75,10 @@ object Curation {
     * the q33/q57 oracles. Shuffles (id, token) pairs once, partitioned
     * by id — documents are bounded, so no reducer hot-spot at 100 TB.
     */
-  def ngramRows(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
-    val toks = df.select(col(idCol), posexplode(TA.tokens(col(textCol))))
+  def ngramRows(df: DataFrame, idCol: String, textCol: String, n: Int,
+      carry: Seq[String] = Nil): DataFrame = {
+    val keep = col(idCol) +: carry.map(col)
+    val toks = df.select(keep :+ posexplode(TA.tokens(col(textCol))): _*)
       .withColumnRenamed("pos", "p").withColumnRenamed("col", "t")
     val w = Window.partitionBy(col(idCol)).orderBy(asc("p"))
     val parts = (1 until n).map(j => lead(col("t"), j).over(w))
@@ -85,7 +87,7 @@ object Curation {
       .withColumn("last_t", lead(col("t"), n - 1).over(w))
       .withColumn("n_tok", count(lit(1)).over(Window.partitionBy(col(idCol))))
       .filter(col("last_t").isNotNull || (col("p") === 0 && col("n_tok") < n))
-      .select(col(idCol), col("gram"))
+      .select(keep :+ col("gram"): _*)
   }
 
   /** Benchmark decontamination: find training documents sharing ≥ 1

@@ -350,7 +350,124 @@ object Stats {
       |  FROM read_parquet('__GRAFT_OUT__/q122_cms_freq/*.parquet')) = 0
       |ORDER BY n_exact DESC, tok""".stripMargin
 
+  // -------------------------------------------------------------------
+  // q125: KMV (bottom-k / theta) distinct sketches with SET operations —
+  // cross-source content overlap. Per source, one kmv_agg(hash, 256)
+  // sketch over its 3-gram shingles (set semantics are inherent: the
+  // sketch keeps the 256 smallest DISTINCT hashes); for every source
+  // pair, the theta-sketch estimators for |A∪B|, |A∩B| and Jaccard
+  // from the sketches alone. This is the sketch-family member HLL
+  // (q68/q110) cannot provide: HLL counts distincts but cannot
+  // intersect; KMV sketches of a SHARED hash function can.
+  //
+  // 100 TB shape: one corpus pass, map-side partial sketches, only
+  // ≤2 KB per (source) group crosses the shuffle; the pairwise stage
+  // runs on #sources² sketch rows (model-sized), never on data. The
+  // answered question — which dumps/mirrors duplicate each other's
+  // content, what fraction of a new crawl is already covered — is the
+  // source-level complement of the per-document dedup ladder (q30+).
+  //
+  // EXACT oracle (not a tolerance gate): every number here is a
+  // deterministic pure function of the input SET under a portable hash
+  // (15 hex chars of md5 → 60-bit int; same value in DuckDB via
+  // CAST('0x'||… AS BIGINT)), so DuckDB replays sketches, thetas and
+  // estimates bit-identically: integer comparisons, then one IEEE
+  // double division + FLOOR on each estimate (same expression shape on
+  // both engines). θ = min(θ_A, θ_B, kth(union)) per the standard KMV
+  // union/intersection construction (Beyer et al., SIGMOD'07).
+  // -------------------------------------------------------------------
+  def q125KmvOverlap(spark: SparkSession, dir: String): DataFrame = {
+    val k = 256
+    val maxL = lit(Long.MaxValue)
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val grams = graft.operators.Curation.ngramRows(
+      docs.select(col("doc_id"), col("source"), col("text")),
+      "doc_id", "text", 3, carry = Seq("source"))
+    val h = conv(substring(md5(col("gram").cast("binary")), 1, 15), 16, 10)
+      .cast("long")
+    val sk = grams.groupBy(col("source"))
+      .agg(graft.functions.SketchFunctions.kmv_agg(h, k).as("s"))
+    val a = sk.select(col("source").as("src_a"), col("s").as("sa"))
+    val b = sk.select(col("source").as("src_b"), col("s").as("sb"))
+    // (k-1-ish)·2^60/θ with nv = |union sample below θ|; exact when no
+    // sketch saturated (θ = "infinity" ⇒ the sketches ARE the sets)
+    val est = floor((col("nv").cast("double") - lit(1.0))
+      * lit(1152921504606846976.0) / col("theta").cast("double")).cast("long")
+    a.join(broadcast(b), col("src_a") < col("src_b"))
+      .withColumn("ka", size(col("sa")).cast("long"))
+      .withColumn("kb", size(col("sb")).cast("long"))
+      .withColumn("u_all", array_sort(array_union(col("sa"), col("sb"))))
+      .withColumn("theta_a",
+        when(size(col("sa")) >= k, element_at(col("sa"), k)).otherwise(maxL))
+      .withColumn("theta_b",
+        when(size(col("sb")) >= k, element_at(col("sb"), k)).otherwise(maxL))
+      .withColumn("theta_u",
+        when(size(col("u_all")) >= k, element_at(col("u_all"), k)).otherwise(maxL))
+      .withColumn("theta", least(col("theta_a"), col("theta_b"), col("theta_u")))
+      .withColumn("nv",
+        size(filter(col("u_all"), x => x <= col("theta"))).cast("long"))
+      .withColumn("m", size(filter(array_intersect(col("sa"), col("sb")),
+        x => x <= col("theta"))).cast("long"))
+      .withColumn("union_est", when(col("theta") === maxL, col("nv")).otherwise(est))
+      .withColumn("inter_est", when(col("theta") === maxL, col("m"))
+        .otherwise(floor(col("m").cast("double") * est.cast("double")
+          / col("nv").cast("double")).cast("long")))
+      .withColumn("jaccard_fp", expr("(10000 * m) div nv"))
+      .select(col("src_a"), col("src_b"), col("ka"), col("kb"), col("nv"),
+        col("m"), col("union_est"), col("inter_est"), col("jaccard_fp"))
+      .orderBy(asc("src_a"), asc("src_b"))
+  }
+  val q125Sql: String =
+    raw"""WITH grams AS (
+      |  SELECT source, UNNEST(list_transform(
+      |    range(1, GREATEST(LEN(t) - 2, 1) + 1),
+      |    i -> array_to_string(t[i:i+2], ' '))) AS gram
+      |  FROM (SELECT source, string_split_regex(TRIM(text), '\s+') AS t
+      |        FROM documents)
+      |), h AS (
+      |  SELECT DISTINCT source,
+      |    CAST(('0x' || substring(md5(gram), 1, 15)) AS BIGINT) AS h
+      |  FROM grams
+      |), sk AS (
+      |  SELECT source, (list_sort(list(DISTINCT h)))[1:256] AS s
+      |  FROM h GROUP BY source
+      |), pairs AS (
+      |  SELECT a.source AS src_a, b.source AS src_b, a.s AS sa, b.s AS sb
+      |  FROM sk a JOIN sk b ON a.source < b.source
+      |), c1 AS (
+      |  SELECT src_a, src_b, sa, sb, len(sa) AS ka, len(sb) AS kb,
+      |    list_sort(list_distinct(list_concat(sa, sb))) AS u_all,
+      |    list_intersect(sa, sb) AS inter_all
+      |  FROM pairs
+      |), c2 AS (
+      |  SELECT *, LEAST(
+      |    CASE WHEN ka >= 256 THEN sa[256] ELSE 9223372036854775807 END,
+      |    CASE WHEN kb >= 256 THEN sb[256] ELSE 9223372036854775807 END,
+      |    CASE WHEN len(u_all) >= 256 THEN u_all[256]
+      |         ELSE 9223372036854775807 END) AS theta
+      |  FROM c1
+      |), c3 AS (
+      |  SELECT src_a, src_b, ka, kb, theta,
+      |    len(list_filter(u_all, x -> x <= theta)) AS nv,
+      |    len(list_filter(inter_all, x -> x <= theta)) AS m
+      |  FROM c2
+      |)
+      |SELECT src_a, src_b, CAST(ka AS BIGINT) AS ka, CAST(kb AS BIGINT) AS kb,
+      |  CAST(nv AS BIGINT) AS nv, CAST(m AS BIGINT) AS m,
+      |  CASE WHEN theta = 9223372036854775807 THEN CAST(nv AS BIGINT)
+      |    ELSE CAST(FLOOR((CAST(nv AS DOUBLE) - 1.0) * 1152921504606846976.0
+      |      / CAST(theta AS DOUBLE)) AS BIGINT) END AS union_est,
+      |  CASE WHEN theta = 9223372036854775807 THEN CAST(m AS BIGINT)
+      |    ELSE CAST(FLOOR(CAST(m AS DOUBLE)
+      |      * FLOOR((CAST(nv AS DOUBLE) - 1.0) * 1152921504606846976.0
+      |        / CAST(theta AS DOUBLE))
+      |      / CAST(nv AS DOUBLE)) AS BIGINT) END AS inter_est,
+      |  (10000 * CAST(m AS BIGINT)) // CAST(nv AS BIGINT) AS jaccard_fp
+      |FROM c3
+      |ORDER BY src_a, src_b""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q125_kmv_overlap" -> (q125KmvOverlap _),
     "q122_cms_freq" -> (q122CmsFreq _),
     "q116_drift_chi2" -> (q116DriftChi2 _),
     "q42_percentiles" -> (q42Percentiles _),
@@ -362,6 +479,7 @@ object Stats {
     "q106_histogram" -> (q106Histogram _))
 
   val oracle: Map[String, String] = Map(
+    "q125_kmv_overlap" -> q125Sql,
     "q122_cms_freq" -> q122Sql,
     "q116_drift_chi2" -> q116Sql,
     "q42_percentiles" -> q42Sql,

@@ -97,6 +97,42 @@ object EventStreams {
       .orderBy(asc("w_start"), asc("event_type"))
   }
 
+  /** Streaming SESSION windows (30-min gap) — gap-based sessionization
+    * run on the real streaming engine: session state per user grows and
+    * MERGES as events arrive (adjacent sessions closer than the gap
+    * collapse into one), bounded by the event-time watermark exactly
+    * like the fixed windows in [[hourlyRollup]] — but with dynamic,
+    * data-dependent window extents (Spark's session_window state store
+    * merge path, not the static window-assign path).
+    *
+    * Scale shape: state per (user, open session) only; the watermark
+    * closes sessions whose gap horizon has passed, so an unbounded
+    * stream sessionizes in bounded memory across 1000 executors. On the
+    * bounded test stream the result equals the batch session_window
+    * query (q48), whose lag/cumsum CTE is the oracle.
+    */
+  def sessionRollupBatchDriven(spark: SparkSession, dir: String): DataFrame = {
+    val name = s"graft_stream_session_${System.nanoTime()}"
+    val saved = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    val q = try {
+      readEventStream(spark, dir)
+        .withWatermark("ts", "2 hours")
+        .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(col("value").cast(DecimalType(20, 6))).cast("double")
+            .as("session_value"))
+        .select(col("user_id"), col("session_window.start").as("session_start"),
+          col("n_events"), col("session_value"))
+        .writeStream.outputMode(OutputMode.Complete())
+        .format("memory").queryName(name)
+        .start()
+    } finally spark.conf.set("spark.sql.shuffle.partitions", saved)
+    try q.processAllAvailable() finally q.stop()
+    spark.table(name)
+      .orderBy(asc("user_id"), asc("session_start"))
+  }
+
   /** Streaming deduplication — the ingest-dedup stage of a training
     * pipeline run as a stream: duplicate records are dropped AS THEY
     * ARRIVE, with state bounded by the event-time watermark

@@ -110,6 +110,48 @@ class SketchSpec extends SparkSpec {
     assert(java.util.Arrays.equals(once, many))
   }
 
+  import graft.functions.SketchFunctions.kmv_agg
+
+  test("kmv: exact regime returns the full sorted distinct hash set") {
+    val df = (0L until 5000L).map(i => i % 100).toDF("v")
+    val got = df.agg(kmv_agg(xxhash64(col("v")), 256).as("s"))
+      .collect()(0).getSeq[Long](0)
+    val want = df.select(xxhash64(col("v")).as("h")).distinct()
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(got === want) // 100 distinct < k=256: sketch IS the set, sorted
+  }
+
+  test("kmv: saturated regime estimates distinct count within KMV error, " +
+    "identical across partitionings") {
+    // 50k distinct values, k=512 -> stderr ~ 1/sqrt(k) ~ 4.4%; assert 15%
+    val n = 50000L
+    val df = (0L until n).toDF("v")
+    def sketch(parts: Int): Seq[Long] =
+      df.repartition(parts).agg(kmv_agg(xxhash64(col("v")), 512).as("s"))
+        .collect()(0).getSeq[Long](0)
+    val s1 = sketch(1)
+    assert(s1 === sketch(19)) // merge-with-cap is partition-invariant
+    assert(s1.length === 512 && s1 === s1.sorted)
+    // KMV estimator over the 64-bit signed hash domain shifted to unsigned
+    val kth = s1.last.toDouble - Long.MinValue.toDouble
+    val est = (512 - 1) * (math.pow(2, 64) / kth)
+    assert(math.abs(est - n) / n < 0.15, s"est $est vs true $n")
+  }
+
+  test("kmv: union of sub-sketches equals the sketch of the union") {
+    val aDf = (0L until 3000L).map(i => ("a", i)).toDF("g", "v")
+    val bDf = (2000L until 6000L).map(i => ("b", i)).toDF("g", "v")
+    val whole = aDf.union(bDf).agg(kmv_agg(xxhash64(col("v")), 128).as("s"))
+      .collect()(0).getSeq[Long](0)
+    // per-group sketches re-aggregated (exercises merge() across rows)
+    val merged = aDf.union(bDf).groupBy("g")
+      .agg(kmv_agg(xxhash64(col("v")), 128).as("s"))
+      .select(explode(col("s")).as("h"))
+      .agg(kmv_agg(col("h"), 128).as("s"))
+      .collect()(0).getSeq[Long](0)
+    assert(merged === whole) // bottom-k of a union = bottom-k of bottom-ks
+  }
+
   test("bloom-prefiltered decontamination equals the exact operator") {
     val docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
     val train = docs.filter(col("doc_id") % 97 =!= 0)
