@@ -46,6 +46,7 @@ object Bench {
       graft.streaming.EventStreams.clickPurchaseAttribution _,
       graft.streaming.EventStreams.enrichedSegmentRollup _,
       graft.streaming.EventStreams.streamingUpsert _,
+      graft.streaming.EventStreams.sessionRollupBatchDriven _,
       graft.queries.Pipeline.q75SemanticDedup _,
       graft.queries.Curation.q83BloomDecontaminate _,
       // the composed dedup pipeline compiles the alternating-CC and

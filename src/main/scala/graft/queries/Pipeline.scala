@@ -545,6 +545,16 @@ object Pipeline {
     graft.streaming.EventStreams.slidingRollupBatchDriven(spark, dir)
 
   // -------------------------------------------------------------------
+  // q126: streaming SESSION windows — gap-based sessionization on the
+  // real streaming engine (dynamic window extents, session-merge state
+  // path) with watermark-bounded state. Oracle: the batch q48
+  // lag/cumsum sessionization CTE — streaming and batch must agree
+  // exactly on the bounded stream.
+  // -------------------------------------------------------------------
+  def q126StreamSession(spark: SparkSession, dir: String): DataFrame =
+    graft.streaming.EventStreams.sessionRollupBatchDriven(spark, dir)
+
+  // -------------------------------------------------------------------
   // q103: decontamination APPLY — the removal step: clean per-source
   // counts after anti-joining the contaminated ids out of the train
   // split. Composes q57's detection with the left-anti application.
@@ -1146,6 +1156,7 @@ object Pipeline {
     "q121_snapshot_diff" -> (q121SnapshotDiff _),
     "q123_pagerank" -> (q123PageRank _),
     "q102_stream_sliding" -> (q102StreamSliding _),
+    "q126_stream_session" -> (q126StreamSession _),
     "q103_decontaminate_apply" -> (q103DecontaminateApply _),
     "q96_fuzzy_key_pairs" -> (q96FuzzyKeyPairs _),
     "q38_stream_hourly" -> (q38StreamHourly _),
@@ -1190,6 +1201,7 @@ object Pipeline {
     "q121_snapshot_diff" -> q121Sql,
     "q123_pagerank" -> q123Sql,
     "q102_stream_sliding" -> Scalars.q44Sql, // identical output to the batch sliding window
+    "q126_stream_session" -> Scalars.q48Sql, // identical output to the batch session window
     "q103_decontaminate_apply" -> q103Sql,
     "q96_fuzzy_key_pairs" -> q96Sql,
     "q38_stream_hourly" -> q38Sql,

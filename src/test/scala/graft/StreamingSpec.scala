@@ -20,6 +20,17 @@ class StreamingSpec extends SparkSpec {
     assert(sKeys === bKeys)
   }
 
+  test("streaming session windows equal the batch session_window query") {
+    val streamed = graft.streaming.EventStreams
+      .sessionRollupBatchDriven(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2), r.getDouble(3)))
+    val batch = graft.queries.Scalars.q48SessionWindow(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2), r.getDouble(3)))
+    assert(streamed.toSeq === batch.toSeq)
+    // dynamic-extent merging actually happened: some session holds >1 event
+    assert(streamed.exists(_._3 > 1L))
+  }
+
   test("streaming dedup equals batch distinct") {
     val streamed = graft.streaming.EventStreams
       .streamingDedup(spark, sf).collect()
