@@ -76,4 +76,77 @@ object Graph {
     }
     ranks.select(col("id"), col("r").as("rank_fx"))
   }
+
+  /** Per-vertex triangle counts via degree-ordered edge orientation
+    * ("compact-forward" / Latapy 2008; the MapReduce variant is
+    * Suri & Vassilvitskii, WWW'11 "Counting Triangles and the Curse
+    * of the Last Reducer").
+    *
+    * Each undirected edge is oriented from its lower (degree, id)
+    * endpoint to its higher — a total order, so the oriented graph is
+    * a DAG and every triangle appears exactly once as u→v, u→w, v→w
+    * with (deg,id)(u) < (v) < (w). Orientation is THE scale move:
+    * wedge fan-out is Σ C(outdeg, 2) and out-degree is bounded by
+    * O(√m) under this order, so total wedge work is O(m^1.5)
+    * regardless of skew — a celebrity vertex with degree 10^6
+    * contributes no wedges from its own adjacency because all its
+    * edges point INTO it. A naive src-grouped wedge join would put
+    * C(10^6, 2) pairs on one reducer (the "last reducer" curse).
+    *
+    * Shapes: two equi-joins to attach degrees, one self-equi-join on
+    * src (residual (deg,id) struct comparison — stays a hash join),
+    * one closing equi-join on the (v, w) pair, then a partial-agged
+    * explode + count. All shuffles carry pairs/triples of longs; no
+    * vertex adjacency is ever collected. Struct comparison avoids
+    * packing (deg, id) into one long, so no id-space bound is imposed.
+    *
+    * Returns (id, n_tri) for every vertex in ≥1 triangle. Counts are
+    * orientation-independent, so an oracle may use the simpler
+    * a<b-canonical 3-way join.
+    */
+  def triangleCounts(edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
+    val und = edges
+      .select(least(col(srcCol), col(dstCol)).cast("long").as("a"),
+        greatest(col(srcCol), col(dstCol)).cast("long").as("b"))
+      .filter(col("a") =!= col("b"))
+      .distinct()
+    val deg = und.select(col("a").as("id"))
+      .union(und.select(col("b").as("id")))
+      .groupBy(col("id")).agg(count(lit(1)).as("dg"))
+    val withDeg = und
+      .join(deg.select(col("id").as("a"), col("dg").as("da")), "a")
+      .join(deg.select(col("id").as("b"), col("dg").as("db")), "b")
+    val aFirst = struct(col("da"), col("a")) < struct(col("db"), col("b"))
+    // Persist the oriented edge list: it feeds BOTH wedge sides and the
+    // closing join, and without a persist each use re-evaluates the
+    // whole upstream (edge derivation + distinct + degree joins) —
+    // measured 64 s → 6 s at sf0.1. Three longs per edge, so memory is
+    // 24 B/edge — the narrow-frame persist pattern (PERF lesson: never
+    // cache wide tables, always cache derived long-only frames).
+    val oriented = withDeg.select(
+      when(aFirst, col("a")).otherwise(col("b")).as("src"),
+      when(aFirst, col("b")).otherwise(col("a")).as("dst"),
+      when(aFirst, col("db")).otherwise(col("da")).as("ddeg"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val m = oriented.count() // materializes the persist; drives the join strategy
+    val e1 = oriented.select(col("src"), col("dst").as("v"), col("ddeg").as("vdeg"))
+    val e2 = oriented.select(col("src"), col("dst").as("w"), col("ddeg").as("wdeg"))
+    val wedges = e1.join(e2, Seq("src"))
+      .filter(struct(col("vdeg"), col("v")) < struct(col("wdeg"), col("w")))
+      .select(col("src").as("u"), col("v"), col("w"))
+    // Closing join: wedges (the O(m^1.5) side) probe the edge set on
+    // (v, w). When the edge set fits an executor (~16 B/edge), ship IT
+    // and leave the wedge stream in place — the wedge side is always
+    // the bigger one, and a map-side probe avoids shuffling it
+    // (measured 23.7 → ~4 s on 41M wedges at sf0.1). Past the
+    // threshold both sides hash-partition on (v, w) — the wedge
+    // stream still never needs to fit anywhere.
+    val closing0 = oriented.select(col("src").as("v"), col("dst").as("w"))
+    val closing = if (m <= 4000000L) broadcast(closing0) else closing0
+    val tris = wedges.join(closing, Seq("v", "w"))
+    tris.select(col("u").as("id"))
+      .union(tris.select(col("v").as("id")))
+      .union(tris.select(col("w").as("id")))
+      .groupBy(col("id")).agg(count(lit(1)).as("n_tri"))
+  }
 }

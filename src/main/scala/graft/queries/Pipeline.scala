@@ -718,6 +718,46 @@ object Pipeline {
       |SELECT id, CAST(r AS BIGINT) AS rank_fx FROM r3 ORDER BY id""".stripMargin
 
   // -------------------------------------------------------------------
+  // q127: per-part triangle counts over the high-quantity co-purchase
+  // graph (parts sharing an order, lines with l_quantity > 25 — the
+  // filter keeps the bench graph at ~300k edges / 205k triangles at
+  // sf0.1 instead of 1.2M / 1.9M; the operator itself has no such
+  // restriction). Spark runs degree-ordered orientation
+  // (Graph.triangleCounts — O(m^1.5) wedge work, skew-immune); the
+  // oracle runs the naive a<b-canonical 3-way join, valid because
+  // per-vertex counts are orientation-independent. All-integer, so
+  // the two decompositions agree bit-for-bit.
+  // -------------------------------------------------------------------
+  def q127Triangles(spark: SparkSession, dir: String): DataFrame = {
+    val li = spark.read.parquet(s"$dir/lineitem.parquet")
+      .filter(col("l_quantity") > 25)
+      .select(col("l_orderkey"), col("l_partkey"))
+    val e = li.as("x").join(li.as("y"),
+        col("x.l_orderkey") === col("y.l_orderkey") &&
+          col("x.l_partkey") < col("y.l_partkey"))
+      .select(col("x.l_partkey").as("src"), col("y.l_partkey").as("dst"))
+    Graph.triangleCounts(e, "src", "dst").orderBy(asc("id"))
+  }
+  val q127Sql: String =
+    """WITH li AS (
+      |  SELECT l_orderkey, l_partkey FROM lineitem WHERE l_quantity > 25
+      |), e AS (
+      |  SELECT DISTINCT a.l_partkey AS a, b.l_partkey AS b
+      |  FROM li a JOIN li b
+      |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      |), t AS (
+      |  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+      |  FROM e e1 JOIN e e2 ON e1.b = e2.a
+      |       JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
+      |), v AS (
+      |  SELECT x AS id FROM t
+      |  UNION ALL SELECT y FROM t
+      |  UNION ALL SELECT z FROM t
+      |)
+      |SELECT id, CAST(COUNT(*) AS BIGINT) AS n_tri
+      |FROM v GROUP BY id ORDER BY id""".stripMargin
+
+  // -------------------------------------------------------------------
   // q96: fuzzy-key dedup — bounded edit distance over the 24-char
   // document prefix, blocked on the 8-char prefix. Both engines run
   // the classic Wagner-Fischer DP, so distances oracle exactly; the
@@ -1155,6 +1195,7 @@ object Pipeline {
     "q95_incremental_dedup" -> (q95IncrementalDedup _),
     "q121_snapshot_diff" -> (q121SnapshotDiff _),
     "q123_pagerank" -> (q123PageRank _),
+    "q127_triangles" -> (q127Triangles _),
     "q102_stream_sliding" -> (q102StreamSliding _),
     "q126_stream_session" -> (q126StreamSession _),
     "q103_decontaminate_apply" -> (q103DecontaminateApply _),
@@ -1200,6 +1241,7 @@ object Pipeline {
     "q95_incremental_dedup" -> q95Sql,
     "q121_snapshot_diff" -> q121Sql,
     "q123_pagerank" -> q123Sql,
+    "q127_triangles" -> q127Sql,
     "q102_stream_sliding" -> Scalars.q44Sql, // identical output to the batch sliding window
     "q126_stream_session" -> Scalars.q48Sql, // identical output to the batch session window
     "q103_decontaminate_apply" -> q103Sql,

@@ -86,6 +86,24 @@ class OperatorsSpec extends SparkSpec {
     assert(again === got)
   }
 
+  test("triangleCounts on known graphs: K4, K4+pendant, path") {
+    // K4: every vertex is in C(3,2)=3 triangles; 4 triangles total.
+    val k4 = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L))
+      .toDF("s", "d")
+    val got = Graph.triangleCounts(k4, "s", "d").orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got === Seq((1L, 3L), (2L, 3L), (3L, 3L), (4L, 3L)))
+    // pendant vertex 5 attached to 4 joins no triangle; duplicate and
+    // reversed edges must not double-count
+    val noisy = k4.union(Seq((4L, 5L), (2L, 1L), (1L, 2L)).toDF("s", "d"))
+    val got2 = Graph.triangleCounts(noisy, "s", "d").orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got2 === Seq((1L, 3L), (2L, 3L), (3L, 3L), (4L, 3L)))
+    // a path has no triangles → empty result
+    val path = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("s", "d")
+    assert(Graph.triangleCounts(path, "s", "d").count() === 0L)
+  }
+
   test("snapshotDiff classifies added/removed/changed and drops unchanged") {
     val v1 = Seq((1L, "aaa"), (2L, "bbb"), (3L, "ccc")).toDF("doc_id", "text")
     val v2 = Seq((2L, "bbb"), (3L, "ccc revised"), (4L, "ddd")).toDF("doc_id", "text")
