@@ -120,4 +120,37 @@ object Sampling {
     }
     stratifiedSample(df, idCol, strataCol, rates, defaultRate = 0.0, seed)
   }
+
+  /** Weighted sampling without replacement via PRIORITY SAMPLING
+    * (Duffield, Lund & Thorup, "Priority sampling for estimation of
+    * arbitrary subset sums", JACM 54(6), 2007): row i gets priority
+    * q_i = w_i / u_i with u_i uniform on (0,1]; the k highest
+    * priorities form the sample. Inclusion probability is ∝ weight
+    * (truncated at 1), and with the threshold τ = (k+1)-th priority,
+    * max(w_i, τ) is an unbiased subset-sum estimator — the standard
+    * one-pass weighted sample for skewed data (heavy rows enter with
+    * certainty, light rows proportionally).
+    *
+    * Determinism: u_i is the portable integer hash shifted to
+    * [1, 2^32] — priority is one IEEE double division of two exact
+    * integers, so correctly rounded and bit-identical on any engine;
+    * ties break on id. Same cross-engine contract as
+    * [[stratifiedSample]], extended to real-weighted rows.
+    *
+    * Scale shape: map-only priority computation; `orderBy.limit(k)`
+    * plans as TakeOrderedAndProject — each partition keeps a local
+    * top-k heap and only k·partitions rows reach the merge. No global
+    * sort, no shuffle of the data.
+    *
+    * `weightCents` must be an integral-valued column (money through
+    * DECIMAL·100 — exact in doubles below 2^53).
+    */
+  def prioritySample(df: DataFrame, idCol: String, weightCents: Column,
+                     k: Int, seed: Long): DataFrame =
+    df.withColumn("w_cents", weightCents.cast("long"))
+      .withColumn("priority",
+        col("w_cents").cast("double") /
+          (C.portableHash(col(idCol), seed) + lit(1L)).cast("double"))
+      .orderBy(desc("priority"), asc(idCol))
+      .limit(k)
 }

@@ -2,6 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 import graft.operators.{Curation => C, Sampling => S}
 
 /** Sampling / data-mixing queries (q69-q71): deterministic stratified
@@ -140,15 +141,47 @@ object Sampling {
        |GROUP BY d.source ORDER BY d.source""".stripMargin
   }
 
+  // -------------------------------------------------------------------
+  // q128: weighted sampling without replacement — priority sampling
+  // (Duffield-Lund-Thorup): 200 orders with probability ∝ o_totalprice.
+  // priority = w_cents / u is ONE IEEE division of two exact integers
+  // (weight through DECIMAL·100, u from the portable hash), so the
+  // oracle replays it bit-for-bit; ties break on o_orderkey. Plans as
+  // TakeOrderedAndProject — map-only, no global sort, k·partitions
+  // rows to the merge.
+  // -------------------------------------------------------------------
+  def q128PrioritySample(spark: SparkSession, dir: String): DataFrame = {
+    val orders = spark.read.parquet(s"$dir/orders.parquet")
+      .select(col("o_orderkey"),
+        (col("o_totalprice").cast(DecimalType(12, 2)) * 100).cast("long").as("w_cents"))
+    S.prioritySample(orders, "o_orderkey", col("w_cents"), k = 200, seed = 42L)
+      .select(col("o_orderkey"), col("w_cents"), col("priority"))
+      .orderBy(desc("priority"), asc("o_orderkey"))
+  }
+  val q128Sql: String = {
+    val u = s"(${graft.operators.Curation.portableHashSql("o_orderkey", 42L)} + 1)"
+    raw"""WITH s AS (
+      |  SELECT o_orderkey,
+      |    CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS w_cents,
+      |    $u AS u
+      |  FROM orders
+      |)
+      |SELECT o_orderkey, w_cents,
+      |  CAST(w_cents AS DOUBLE) / CAST(u AS DOUBLE) AS priority
+      |FROM s ORDER BY priority DESC, o_orderkey LIMIT 200""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q69_stratified_sample" -> (q69StratifiedSample _),
     "q70_group_cap" -> (q70GroupCap _),
     "q71_bigram_lm" -> (q71BigramLm _),
-    "q94_mixture_sample" -> (q94MixtureSample _))
+    "q94_mixture_sample" -> (q94MixtureSample _),
+    "q128_priority_sample" -> (q128PrioritySample _))
 
   val oracle: Map[String, String] = Map(
     "q69_stratified_sample" -> q69Sql,
     "q70_group_cap" -> q70Sql,
     "q71_bigram_lm" -> q71Sql,
-    "q94_mixture_sample" -> q94Sql)
+    "q94_mixture_sample" -> q94Sql,
+    "q128_priority_sample" -> q128Sql)
 }

@@ -118,4 +118,26 @@ class SamplingSpec extends SparkSpec {
     val perBigram1 = out(1L)._2.toDouble / out(1L)._1
     assert(perBigram1 > perBigram3)
   }
+
+  test("prioritySample matches a Scala replay, favors weight, plans as TakeOrdered") {
+    // ids 1..400: even ids carry 100x the weight of odd ids
+    val rows = (1L to 400L).map(i => (i, if (i % 2 == 0) 100000L else 1000L))
+    val df = rows.toDF("id", "w")
+    val got = Sampling.prioritySample(df, "id", col("w"), k = 50, seed = 7L)
+      .collect().map(_.getLong(0)).toSet
+    // exact replay of the portable hash + one double division
+    def hash(id: Long, seed: Long): Long = {
+      val h1 = math.floorMod((id + seed) * 2654435761L, 4294967296L)
+      math.floorMod(h1 * 69069L + 1L, 4294967296L)
+    }
+    val expect = rows.map { case (id, w) => (id, w.toDouble / (hash(id, 7L) + 1L).toDouble) }
+      .sortBy { case (id, p) => (-p, id) }.take(50).map(_._1).toSet
+    assert(got === expect)
+    // heavy rows dominate: ≥ 80% of the sample should be even ids
+    assert(got.count(_ % 2 == 0) >= 40)
+    // scale shape: top-k must plan as TakeOrdered, not a global Sort
+    val plan = Sampling.prioritySample(df, "id", col("w"), k = 50, seed = 7L)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"))
+  }
 }
