@@ -290,6 +290,53 @@ object Curation {
       .filter(col("rk") <= k)
   }
 
+  /** BM25 document ranking for a fixed query term set, integer-exact.
+    *
+    * Okapi BM25 (Robertson et al., TREC-3) with k1 = 6/5 and b = 3/4
+    * — rational constants chosen so the whole score clears to int64:
+    *   idf_fx  = floor(ln((2N+2)/(2df+1)) · 1e6)     (Lucene's
+    *             ln(1 + (N−df+.5)/(df+.5)) with the .5s cleared)
+    *   score   = Σ_t (idf_fx·44·tf·T) div (20·tf·T + 6·T + 18·dl·N)
+    * where dl = doc length, T = total corpus tokens, N = doc count —
+    * substituting avgdl = T/N and multiplying through by 20T turns
+    * the tf-saturation fraction into one integral division. Besides
+    * determinism this keeps ranking engine-independent: no float-sum
+    * order anywhere (same discipline as [[tfidfTopK]]). Bound:
+    * idf_fx·44·tf·T < 2^63 holds to T ≈ 3·10^8 tokens per corpus
+    * shard at tf ≤ 50; shard-and-merge beyond (scores are per-doc
+    * sums, so shards merge by add).
+    *
+    * Scale shape: tokens explode → filter to query terms BEFORE any
+    * shuffle (the per-(doc,term) aggregate only sees query-term hits);
+    * dl is a map-only expression; df and (N, T) are partial-aggregated
+    * with the 1-row totals broadcast. Top-k plans as TakeOrdered.
+    */
+  def bm25TopK(df: DataFrame, idCol: String, textCol: String,
+               queryTerms: Seq[String], k: Int): DataFrame = {
+    import graft.operators.{TextAnalysis => TA}
+    val withDl = df.select(col(idCol), TA.tokenCount(col(textCol)).as("dl"),
+      explode(TA.tokens(col(textCol))).as("term"))
+      .filter(col("term").isin(queryTerms: _*))
+    val tf = withDl.groupBy(col(idCol), col("term"))
+      .agg(count(lit(1)).as("tf"), first(col("dl")).as("dl"))
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val totals = df.agg(count(lit(1)).as("n"),
+      sum(TA.tokenCount(col(textCol))).as("t_tok"))
+    val scored = tf.join(dfreq, "term").crossJoin(broadcast(totals))
+      .select(col(idCol), col("term"), col("tf"), col("dl"),
+        (floor(log((lit(2) * col("n") + lit(2)).cast("double") /
+            (lit(2) * col("df") + lit(1)).cast("double")) * lit(1000000.0)).cast("long"))
+          .as("idf_fx"),
+        col("n"), col("t_tok"))
+      .select(col(idCol),
+        expr("(idf_fx * 44 * tf * t_tok) div (20 * tf * t_tok + 6 * t_tok + 18 * dl * n)")
+          .as("term_score"))
+    scored.groupBy(col(idCol))
+      .agg(sum(col("term_score")).as("bm25_fx"))
+      .orderBy(desc("bm25_fx"), asc(idCol))
+      .limit(k)
+  }
+
   // PII patterns — kept to syntax shared by Java regex and RE2
   // (no lookarounds, no backrefs), so Spark and the DuckDB oracle
   // redact identically.

@@ -1071,6 +1071,43 @@ object Pipeline {
       |FROM ranked WHERE rk <= 3 ORDER BY doc_id, rk""".stripMargin
 
   // -------------------------------------------------------------------
+  // q129: BM25 retrieval — top-20 documents for the query
+  // {spark, hash, scan}. Okapi BM25 with k1=6/5, b=3/4 cleared to
+  // pure int64 arithmetic (Curation.bm25TopK): fixed-point idf ×
+  // rational tf-saturation as one integral division, so score AND
+  // rank replay bit-for-bit in the oracle. The retrieval-scoring
+  // sibling of q65's TF-IDF.
+  // -------------------------------------------------------------------
+  def q129Bm25(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Curation.bm25TopK(docs(spark, dir), "doc_id", "text",
+        Seq("spark", "hash", "scan"), k = 20)
+      .orderBy(desc("bm25_fx"), asc("doc_id"))
+  val q129Sql: String =
+    raw"""WITH d AS (
+      |  SELECT doc_id,
+      |    ARRAY_LENGTH(string_split_regex(TRIM(text), '\s+')) AS dl,
+      |    string_split_regex(TRIM(text), '\s+') AS toks
+      |  FROM documents
+      |), toks AS (
+      |  SELECT doc_id, dl, UNNEST(toks) AS term FROM d
+      |), hits AS (
+      |  SELECT doc_id, term, COUNT(*) AS tf, MIN(dl) AS dl
+      |  FROM toks WHERE term IN ('spark', 'hash', 'scan')
+      |  GROUP BY doc_id, term
+      |), dfq AS (SELECT term, COUNT(*) AS df FROM hits GROUP BY term),
+      |tot AS (SELECT COUNT(*) AS n, CAST(SUM(dl) AS BIGINT) AS t_tok FROM d),
+      |scored AS (
+      |  SELECT h.doc_id,
+      |    (CAST(FLOOR(LN(CAST(2 * n + 2 AS DOUBLE) / CAST(2 * df + 1 AS DOUBLE))
+      |        * 1000000) AS BIGINT) * 44 * tf * t_tok)
+      |      // (20 * tf * t_tok + 6 * t_tok + 18 * dl * n) AS term_score
+      |  FROM hits h JOIN dfq USING (term) CROSS JOIN tot
+      |)
+      |SELECT doc_id, CAST(SUM(term_score) AS BIGINT) AS bm25_fx
+      |FROM scored GROUP BY doc_id
+      |ORDER BY bm25_fx DESC, doc_id LIMIT 20""".stripMargin
+
+  // -------------------------------------------------------------------
   // q66: per-language vocabulary statistics (exact). The 100 TB twin
   // is q68's HyperLogLog sketch — same query, approx_count_distinct,
   // no per-language distinct-token shuffle.
@@ -1196,6 +1233,7 @@ object Pipeline {
     "q121_snapshot_diff" -> (q121SnapshotDiff _),
     "q123_pagerank" -> (q123PageRank _),
     "q127_triangles" -> (q127Triangles _),
+    "q129_bm25" -> (q129Bm25 _),
     "q102_stream_sliding" -> (q102StreamSliding _),
     "q126_stream_session" -> (q126StreamSession _),
     "q103_decontaminate_apply" -> (q103DecontaminateApply _),
@@ -1242,6 +1280,7 @@ object Pipeline {
     "q121_snapshot_diff" -> q121Sql,
     "q123_pagerank" -> q123Sql,
     "q127_triangles" -> q127Sql,
+    "q129_bm25" -> q129Sql,
     "q102_stream_sliding" -> Scalars.q44Sql, // identical output to the batch sliding window
     "q126_stream_session" -> Scalars.q48Sql, // identical output to the batch session window
     "q103_decontaminate_apply" -> q103Sql,

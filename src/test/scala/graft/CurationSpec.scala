@@ -253,6 +253,28 @@ class CurationSpec extends SparkSpec {
       s"unexpected shuffle in chunkSliding plan:\n$plan")
   }
 
+  test("bm25TopK matches a Scala replay and ranks tf/dl sensibly") {
+    val docs = Seq(
+      (1L, "spark spark spark filler filler filler filler filler"), // tf=3, dl=8
+      (2L, "spark filler"),                                         // tf=1, dl=2
+      (3L, "spark spark filler filler filler filler filler filler filler filler " +
+        "filler filler filler filler filler filler"),               // tf=2, dl=16
+      (4L, "filler filler"))                                        // no hit
+      .toDF("doc_id", "text")
+    val got = Curation.bm25TopK(docs, "doc_id", "text", Seq("spark"), k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    // exact integer replay: N=4, T=8+2+16+2=28; 'spark' hits docs 1-3
+    val n = 4L; val t = 28L; val df = 3L
+    val idf = math.floor(math.log((2.0 * n + 2) / (2.0 * df + 1)) * 1e6).toLong
+    def score(tf: Long, dl: Long): Long =
+      idf * 44 * tf * t / (20 * tf * t + 6 * t + 18 * dl * n)
+    val expect = Seq(1L -> score(3, 8), 2L -> score(1, 2), 3L -> score(2, 16))
+      .sortBy { case (id, s) => (-s, id) }
+    assert(got.toSeq === expect)
+    // doc 4 (no query term) must be absent; higher tf at equal dl wins
+    assert(!got.map(_._1).contains(4L))
+  }
+
   test("orderShuffle is a deterministic permutation keyed by seed") {
     val ids = (0L until 1000L).toDF("doc_id")
     val a = Curation.orderShuffle(ids, "doc_id", 5L).select("doc_id")
