@@ -466,7 +466,60 @@ object Stats {
       |FROM c3
       |ORDER BY src_a, src_b""".stripMargin
 
+  // -------------------------------------------------------------------
+  // q130: z-score outlier counts per event type, INTEGER-EXACT — the
+  // anomaly-detection member of the stats family. |v − mean| > kσ is
+  // cleared of all division, sqrt and float casts by multiplying
+  // through by n:  (n·v − Σv)² > k²·(n·Σv² − (Σv)²)  — every term is
+  // an exact integral (v = value·1e6 through DECIMAL; squares through
+  // DECIMAL(19,0) on the Spark side, HUGEINT in the oracle), so the
+  // per-row verdicts and counts match bit-for-bit with no IEEE
+  // boundary anywhere (contrast q43, which finishes in double space).
+  // Scale: one partial-agged stats pass, 5-row broadcast back over
+  // the data, map-only verdicts, one final partial-agged count.
+  // -------------------------------------------------------------------
+  def q130Outliers(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val d19 = DecimalType(19, 0)
+    val base = spark.read.parquet(s"$dir/events.parquet")
+      .select(col("event_type"),
+        (col("value").cast(DecimalType(18, 6)) * 1000000).cast("long").as("v"))
+    val stats = base.groupBy(col("event_type")).agg(
+      count(lit(1)).as("n"),
+      sum(col("v")).as("s1"),
+      sum(col("v").cast(d19) * col("v").cast(d19)).as("s2"))
+    val dev = col("n") * col("v") - col("s1")
+    val lhs = dev.cast(d19) * dev.cast(d19)
+    val spread = col("n").cast(d19) * col("s2") -
+      col("s1").cast(d19) * col("s1").cast(d19)
+    base.join(broadcast(stats), "event_type")
+      .groupBy(col("event_type"))
+      .agg(min(col("n")).as("n"),
+        count(when(lhs > lit(4).cast(d19) * spread, 1)).as("n_out2"),
+        count(when(lhs > lit(9).cast(d19) * spread, 1)).as("n_out3"))
+      .orderBy(asc("event_type"))
+  }
+  val q130Sql: String =
+    """WITH base AS (
+      |  SELECT event_type,
+      |    CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS v
+      |  FROM events
+      |), st AS (
+      |  SELECT event_type, COUNT(*) AS n,
+      |    SUM(CAST(v AS HUGEINT)) AS s1,
+      |    SUM(CAST(v AS HUGEINT) * CAST(v AS HUGEINT)) AS s2
+      |  FROM base GROUP BY event_type
+      |)
+      |SELECT b.event_type, MIN(st.n) AS n,
+      |  COUNT(CASE WHEN (st.n * b.v - st.s1) * (st.n * b.v - st.s1)
+      |    > 4 * (st.n * st.s2 - st.s1 * st.s1) THEN 1 END) AS n_out2,
+      |  COUNT(CASE WHEN (st.n * b.v - st.s1) * (st.n * b.v - st.s1)
+      |    > 9 * (st.n * st.s2 - st.s1 * st.s1) THEN 1 END) AS n_out3
+      |FROM base b JOIN st USING (event_type)
+      |GROUP BY b.event_type ORDER BY b.event_type""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q130_outliers" -> (q130Outliers _),
     "q125_kmv_overlap" -> (q125KmvOverlap _),
     "q122_cms_freq" -> (q122CmsFreq _),
     "q116_drift_chi2" -> (q116DriftChi2 _),
@@ -479,6 +532,7 @@ object Stats {
     "q106_histogram" -> (q106Histogram _))
 
   val oracle: Map[String, String] = Map(
+    "q130_outliers" -> q130Sql,
     "q125_kmv_overlap" -> q125Sql,
     "q122_cms_freq" -> q122Sql,
     "q116_drift_chi2" -> q116Sql,

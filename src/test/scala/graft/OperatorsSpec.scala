@@ -104,6 +104,26 @@ class OperatorsSpec extends SparkSpec {
     assert(Graph.triangleCounts(path, "s", "d").count() === 0L)
   }
 
+  test("q130 outlier counts equal an exact BigInt replay at sf0.001") {
+    val dir = "/root/testdata/sf0.001"
+    val got = graft.queries.Stats.q130Outliers(spark, dir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val rows = spark.read.parquet(s"$dir/events.parquet")
+      .select(col("event_type"),
+        (col("value").cast(org.apache.spark.sql.types.DecimalType(18, 6)) * 1000000)
+          .cast("long").as("v"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val expect = rows.groupBy(_._1).map { case (et, g) =>
+      val vs = g.map(x => BigInt(x._2))
+      val n = BigInt(vs.length); val s1 = vs.sum; val s2 = vs.map(v => v * v).sum
+      val spread = n * s2 - s1 * s1
+      def out(k: Int) = vs.count(v => { val d = n * v - s1; d * d > k * k * spread })
+      et -> ((vs.length.toLong, out(2).toLong, out(3).toLong))
+    }
+    assert(got === expect)
+  }
+
   test("snapshotDiff classifies added/removed/changed and drops unchanged") {
     val v1 = Seq((1L, "aaa"), (2L, "bbb"), (3L, "ccc")).toDF("doc_id", "text")
     val v2 = Seq((2L, "bbb"), (3L, "ccc revised"), (4L, "ddd")).toDF("doc_id", "text")
