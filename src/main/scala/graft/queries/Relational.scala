@@ -538,6 +538,75 @@ object Relational {
       |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin
 
   // -------------------------------------------------------------------
+  // q131: TPC-H Q8 shape — national market share: BRAZIL's share of
+  // AMERICA-customer revenue for MEDIUM parts by order year. The
+  // widest join in the registry (lineitem ⋈ part ⋈ orders ⋈ customer
+  // ⋈ nation ⋈ region ⋈ supplier ⋈ nation): the fact table streams
+  // once through one shuffle join (orders) with every dimension an
+  // explicit broadcast; part prunes 6/7 of the fact rows map-side
+  // BEFORE the shuffle. Numerator and denominator are exact decimal
+  // sums; the share is one IEEE division of two identically-derived
+  // doubles, so it matches bit-for-bit.
+  // -------------------------------------------------------------------
+  def q131TpchQ8(spark: SparkSession, dir: String): DataFrame = {
+    val p = t(spark, dir, "part").filter(col("p_type") === lit("MEDIUM"))
+      .select(col("p_partkey"))
+    val r = t(spark, dir, "region").filter(col("r_name") === lit("AMERICA"))
+    val n1 = t(spark, dir, "nation")
+      .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_nationkey").as("c_nkey"))
+    val c = t(spark, dir, "customer")
+      .join(broadcast(n1), col("c_nationkey") === col("c_nkey"))
+      .select(col("c_custkey"))
+    val n2 = t(spark, dir, "nation")
+      .select(col("n_nationkey").as("s_nkey"), col("n_name").as("supp_nation"))
+    val s = t(spark, dir, "supplier")
+      .join(broadcast(n2), col("s_nationkey") === col("s_nkey"))
+      .select(col("s_suppkey"), col("supp_nation"))
+    val o = t(spark, dir, "orders")
+      .filter(col("o_orderdate") >= lit("1995-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+    val vol = col("l_extendedprice").cast(DecimalType(12, 2)) *
+      (lit(1).cast(DecimalType(3, 2)) - col("l_discount").cast(DecimalType(3, 2)))
+    t(spark, dir, "lineitem")
+      .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(s), col("l_suppkey") === col("s_suppkey"))
+      .groupBy(year(col("o_orderdate")).cast("long").as("o_year"))
+      .agg(
+        coalesce(sum(when(col("supp_nation") === lit("BRAZIL"), vol))
+          .cast("double"), lit(0.0)).as("brazil_volume"),
+        sum(vol).cast("double").as("total_volume"))
+      .withColumn("mkt_share", col("brazil_volume") / col("total_volume"))
+      .orderBy(asc("o_year"))
+  }
+  val q131Sql: String =
+    """WITH agg AS (
+      |  SELECT CAST(YEAR(o_orderdate) AS BIGINT) AS o_year,
+      |    COALESCE(CAST(CAST(SUM(CASE WHEN n2.n_name = 'BRAZIL'
+      |      THEN CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2))) END)
+      |      AS VARCHAR) AS DOUBLE), 0.0) AS brazil_volume,
+      |    CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2))))
+      |      AS VARCHAR) AS DOUBLE) AS total_volume
+      |  FROM lineitem
+      |  JOIN part ON l_partkey = p_partkey
+      |  JOIN orders ON l_orderkey = o_orderkey
+      |  JOIN customer ON o_custkey = c_custkey
+      |  JOIN nation n1 ON c_nationkey = n1.n_nationkey
+      |  JOIN region ON n1.n_regionkey = r_regionkey
+      |  JOIN supplier ON l_suppkey = s_suppkey
+      |  JOIN nation n2 ON s_nationkey = n2.n_nationkey
+      |  WHERE p_type = 'MEDIUM' AND r_name = 'AMERICA'
+      |    AND o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+      |    AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+      |  GROUP BY 1
+      |)
+      |SELECT o_year, brazil_volume, total_volume,
+      |  brazil_volume / total_volume AS mkt_share
+      |FROM agg ORDER BY o_year""".stripMargin
+
+  // -------------------------------------------------------------------
   // q53: the same pipeline expressed through the GraftFrame facade —
   // reference-style chained ops (select → filter(Predicate) →
   // two-phase groupBy → aggregate) land in the oracle gate. Uses only
@@ -625,6 +694,7 @@ object Relational {
     "q53_graft_facade" -> (q53GraftFacade _),
     "q76_tpch_q5" -> (q76TpchQ5 _),
     "q77_tpch_q10" -> (q77TpchQ10 _),
+    "q131_tpch_q8" -> (q131TpchQ8 _),
     "q49_tpch_q6" -> (q49TpchQ6 _),
     "q50_tpch_q3" -> (q50TpchQ3 _),
     "q51_above_group_avg" -> (q51AboveGroupAvg _),
@@ -651,6 +721,7 @@ object Relational {
     "q53_graft_facade" -> q53Sql,
     "q76_tpch_q5" -> q76Sql,
     "q77_tpch_q10" -> q77Sql,
+    "q131_tpch_q8" -> q131Sql,
     "q49_tpch_q6" -> q49Sql,
     "q50_tpch_q3" -> q50Sql,
     "q51_above_group_avg" -> q51Sql,
