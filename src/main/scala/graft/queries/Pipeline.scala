@@ -1108,6 +1108,38 @@ object Pipeline {
       |ORDER BY bm25_fx DESC, doc_id LIMIT 20""".stripMargin
 
   // -------------------------------------------------------------------
+  // q132: boolean conjunctive search (AND of {spark, merge, window}) —
+  // posting-list intersection by COUNT, the scalable form: distinct
+  // (doc, term) hits for query terms only, then one partial-agged
+  // count==|Q| filter. No k-way self-join of posting lists, no
+  // term-skew hotspot (each doc contributes ≤|Q| rows to the count).
+  // The boolean-retrieval sibling of q129's ranked BM25.
+  // -------------------------------------------------------------------
+  def q132BooleanSearch(spark: SparkSession, dir: String): DataFrame = {
+    val terms = Seq("spark", "merge", "window")
+    docs(spark, dir)
+      .select(col("doc_id"), col("lang"),
+        explode(array_distinct(TA.tokens(col("text")))).as("term"))
+      .filter(col("term").isin(terms: _*))
+      .groupBy(col("doc_id"), col("lang"))
+      .agg(count(lit(1)).as("n_hit"))
+      .filter(col("n_hit") === terms.size)
+      .select(col("doc_id"), col("lang"))
+      .orderBy(asc("doc_id"))
+  }
+  val q132Sql: String =
+    raw"""SELECT doc_id, lang
+      |FROM (
+      |  SELECT doc_id, lang, COUNT(DISTINCT term) AS n_hit
+      |  FROM (SELECT doc_id, lang,
+      |          UNNEST(string_split_regex(TRIM(text), '\s+')) AS term
+      |        FROM documents)
+      |  WHERE term IN ('spark', 'merge', 'window')
+      |  GROUP BY doc_id, lang
+      |)
+      |WHERE n_hit = 3 ORDER BY doc_id""".stripMargin
+
+  // -------------------------------------------------------------------
   // q66: per-language vocabulary statistics (exact). The 100 TB twin
   // is q68's HyperLogLog sketch — same query, approx_count_distinct,
   // no per-language distinct-token shuffle.
@@ -1234,6 +1266,7 @@ object Pipeline {
     "q123_pagerank" -> (q123PageRank _),
     "q127_triangles" -> (q127Triangles _),
     "q129_bm25" -> (q129Bm25 _),
+    "q132_boolean_search" -> (q132BooleanSearch _),
     "q102_stream_sliding" -> (q102StreamSliding _),
     "q126_stream_session" -> (q126StreamSession _),
     "q103_decontaminate_apply" -> (q103DecontaminateApply _),
@@ -1281,6 +1314,7 @@ object Pipeline {
     "q123_pagerank" -> q123Sql,
     "q127_triangles" -> q127Sql,
     "q129_bm25" -> q129Sql,
+    "q132_boolean_search" -> q132Sql,
     "q102_stream_sliding" -> Scalars.q44Sql, // identical output to the batch sliding window
     "q126_stream_session" -> Scalars.q48Sql, // identical output to the batch session window
     "q103_decontaminate_apply" -> q103Sql,
