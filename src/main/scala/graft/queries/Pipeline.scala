@@ -1023,6 +1023,39 @@ object Pipeline {
       |GROUP BY c.user_id ORDER BY c.user_id""".stripMargin
 
   // -------------------------------------------------------------------
+  // q133: LEFT OUTER stream-stream join — q64's attribution plus the
+  // null-emission path: clicks with no purchase in-window surface only
+  // after the watermark CLOSES their window (c_ts + 30min strictly
+  // before min(max c_ts, max p_ts) − 1h); later clicks are held in
+  // state, not emitted. The oracle recomputes that horizon exactly, so
+  // the gate pins outer-join state-eviction semantics.
+  // -------------------------------------------------------------------
+  def q133StreamLeftOuter(spark: SparkSession, dir: String): DataFrame =
+    graft.streaming.EventStreams.clickPurchaseLeftOuter(spark, dir)
+  val q133Sql: String =
+    """WITH c AS (SELECT user_id, ts FROM events WHERE event_type = 'click'),
+      |p AS (SELECT user_id, ts FROM events WHERE event_type = 'purchase'),
+      |wm AS (
+      |  SELECT LEAST((SELECT MAX(ts) FROM c), (SELECT MAX(ts) FROM p))
+      |    - INTERVAL 1 HOUR AS w
+      |), j AS (
+      |  SELECT c.user_id, c.ts AS c_ts, p.ts AS p_ts
+      |  FROM c LEFT JOIN p
+      |    ON p.user_id = c.user_id
+      |    AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE
+      |), agg AS (
+      |  SELECT user_id,
+      |    COUNT(CASE WHEN p_ts IS NOT NULL THEN 1 END) AS n_matched,
+      |    COUNT(CASE WHEN p_ts IS NULL
+      |      AND c_ts + INTERVAL 30 MINUTE < (SELECT w FROM wm)
+      |      THEN 1 END) AS n_unmatched
+      |  FROM j GROUP BY user_id
+      |)
+      |SELECT user_id, n_matched, n_unmatched FROM agg
+      |WHERE n_matched > 0 OR n_unmatched > 0
+      |ORDER BY user_id""".stripMargin
+
+  // -------------------------------------------------------------------
   // q87: streaming CDC upsert — foreachBatch merge sink, final state
   // = latest row per (user_id, event_type) by (ts, event_id). The
   // merge resolves by event time, so the result is batch-split
@@ -1276,6 +1309,7 @@ object Pipeline {
     "q55_neardup_clusters" -> (q55NeardupClusters _),
     "q56_stream_dedup" -> (q56StreamDedup _),
     "q64_stream_join" -> (q64StreamJoin _),
+    "q133_stream_left_outer" -> (q133StreamLeftOuter _),
     "q87_stream_upsert" -> (q87StreamUpsert _),
     "q65_tfidf" -> (q65Tfidf _),
     "q66_vocab" -> (q66Vocab _),
@@ -1327,6 +1361,7 @@ object Pipeline {
     "q81_bpe_tokens" -> q81Sql,
     "q82_neardup_clusters_alt" -> q55Sql,
     "q64_stream_join" -> q64Sql,
+    "q133_stream_left_outer" -> q133Sql,
     "q87_stream_upsert" -> q87Sql,
     "q65_tfidf" -> q65Sql,
     "q66_vocab" -> q66Sql,

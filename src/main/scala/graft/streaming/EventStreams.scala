@@ -369,6 +369,50 @@ object EventStreams {
     * output == batch join exactly; timestamps are micro-aligned so
     * micros arithmetic matches DuckDB's nanos).
     */
+  /** LEFT OUTER stream-stream join — click→purchase attribution that
+    * also surfaces clicks with NO purchase in their 30-minute window.
+    * The outer side is the genuinely streaming-hard half: a null-
+    * matched row can only be emitted once the global watermark proves
+    * no matching purchase can still arrive, i.e. when the click's
+    * window has closed (c_ts + 30 min < min(max c_ts, max p_ts) − 1 h).
+    * Clicks whose window is still open at end-of-stream are *held in
+    * state, not emitted* — the oracle mirrors exactly that horizon
+    * arithmetic, so this gate pins Spark's outer-join eviction
+    * semantics, not just the join predicate. State is bounded by
+    * watermark + range on both sides and partitioned by user_id.
+    */
+  def clickPurchaseLeftOuter(spark: SparkSession, dir: String): DataFrame = {
+    val name = s"graft_stream_louter_${System.nanoTime()}"
+    val saved = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    val q = try {
+      val events = readEventStream(spark, dir)
+      val clicks = events
+        .filter(col("event_type") === "click")
+        .select(col("user_id").as("c_user"), col("ts").as("c_ts"))
+        .withWatermark("c_ts", "1 hour")
+      val purchases = events
+        .filter(col("event_type") === "purchase")
+        .select(col("user_id").as("p_user"), col("ts").as("p_ts"))
+        .withWatermark("p_ts", "1 hour")
+      clicks.join(purchases,
+          col("c_user") === col("p_user") &&
+            col("p_ts") >= col("c_ts") &&
+            col("p_ts") <= col("c_ts") + expr("INTERVAL 30 MINUTES"),
+          "left_outer")
+        .select(col("c_user").as("user_id"), col("p_ts").isNotNull.as("matched"))
+        .writeStream.outputMode(OutputMode.Append())
+        .format("memory").queryName(name)
+        .start()
+    } finally spark.conf.set("spark.sql.shuffle.partitions", saved)
+    try q.processAllAvailable() finally q.stop()
+    spark.table(name)
+      .groupBy(col("user_id"))
+      .agg(count(when(col("matched"), 1)).as("n_matched"),
+        count(when(!col("matched"), 1)).as("n_unmatched"))
+      .orderBy(asc("user_id"))
+  }
+
   def clickPurchaseAttribution(spark: SparkSession, dir: String): DataFrame = {
     val name = s"graft_stream_join_${System.nanoTime()}"
     val saved = spark.conf.get("spark.sql.shuffle.partitions")

@@ -86,6 +86,40 @@ class StreamingSpec extends SparkSpec {
       "driver-side rows leaked into the q39 result plan")
   }
 
+  test("left-outer stream-stream join: matches + watermark-closed unmatched only") {
+    val streamed = graft.streaming.EventStreams
+      .clickPurchaseLeftOuter(spark, sf).collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2)))).toMap
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val ev = spark.read.parquet(s"$sf/events.parquet")
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("c_ts"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"))
+    // the final global watermark: min of the two sides' max event time, −1h
+    val wm = math.min(
+      clicks.agg(max(unix_micros(col("c_ts")))).collect()(0).getLong(0),
+      purchases.agg(max(unix_micros(col("p_ts")))).collect()(0).getLong(0)) - 3600L * 1000000L
+    val joined = clicks.join(purchases,
+        col("c_user") === col("p_user") &&
+          col("p_ts") >= col("c_ts") &&
+          col("p_ts") <= col("c_ts") + expr("INTERVAL 30 MINUTES"), "left_outer")
+    val batch = joined
+      .groupBy(col("c_user"))
+      .agg(count(when(col("p_ts").isNotNull, 1)).as("m"),
+        count(when(col("p_ts").isNull &&
+          unix_micros(col("c_ts")) + 1800L * 1000000L < wm, 1)).as("u"))
+      .filter(col("m") > 0 || col("u") > 0)
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2)))).toMap
+    assert(streamed === batch)
+    // the outer path and the hold-back must both actually occur
+    assert(streamed.values.exists(_._2 > 0), "no unmatched clicks emitted")
+    val allUnmatched = joined.filter(col("p_ts").isNull).count()
+    assert(allUnmatched > streamed.values.map(_._2).sum,
+      "watermark horizon never held a click back — gate is vacuous")
+  }
+
   test("stream-stream join attribution equals batch self-join") {
     val streamed = graft.streaming.EventStreams
       .clickPurchaseAttribution(spark, sf).collect()
