@@ -55,7 +55,12 @@ object Bench {
       graft.queries.Pipeline.q117DedupPipeline _,
       // bucketed saveAsTable (write commit protocol + bucket-sorted
       // file write) and the co-located SMJ compile their own shapes
-      graft.queries.Scalars.q109BucketedJoin _
+      graft.queries.Scalars.q109BucketedJoin _,
+      // triangle counting compiles ~8 distinct shapes (orientation,
+      // persist, wedge join, closing broadcast) — 12 s cold vs 3 s
+      // warm at sf0.1; streaming outer join adds the eviction path
+      graft.queries.Pipeline.q127Triangles _,
+      graft.queries.Pipeline.q133StreamLeftOuter _
     ).foreach { f => try f(spark, warmDir).count() catch { case _: Throwable => } }
 
     // The reference memoizes columns across queries in its Pool

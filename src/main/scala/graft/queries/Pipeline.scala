@@ -719,8 +719,8 @@ object Pipeline {
 
   // -------------------------------------------------------------------
   // q127: per-part triangle counts over the high-quantity co-purchase
-  // graph (parts sharing an order, lines with l_quantity > 25 — the
-  // filter keeps the bench graph at ~300k edges / 205k triangles at
+  // graph (parts sharing an order, lines with l_quantity > 35 — the
+  // filter keeps the bench graph at ~109k edges / 44k triangles at
   // sf0.1 instead of 1.2M / 1.9M; the operator itself has no such
   // restriction). Spark runs degree-ordered orientation
   // (Graph.triangleCounts — O(m^1.5) wedge work, skew-immune); the
@@ -730,7 +730,7 @@ object Pipeline {
   // -------------------------------------------------------------------
   def q127Triangles(spark: SparkSession, dir: String): DataFrame = {
     val li = spark.read.parquet(s"$dir/lineitem.parquet")
-      .filter(col("l_quantity") > 25)
+      .filter(col("l_quantity") > 35)
       .select(col("l_orderkey"), col("l_partkey"))
     val e = li.as("x").join(li.as("y"),
         col("x.l_orderkey") === col("y.l_orderkey") &&
@@ -740,7 +740,7 @@ object Pipeline {
   }
   val q127Sql: String =
     """WITH li AS (
-      |  SELECT l_orderkey, l_partkey FROM lineitem WHERE l_quantity > 25
+      |  SELECT l_orderkey, l_partkey FROM lineitem WHERE l_quantity > 35
       |), e AS (
       |  SELECT DISTINCT a.l_partkey AS a, b.l_partkey AS b
       |  FROM li a JOIN li b

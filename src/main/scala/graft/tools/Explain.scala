@@ -52,7 +52,13 @@ object Explain {
       "q120_fuzzy_decontaminate" -> "cross-corpus LSH: both sides band map-only; the eval side is BROADCAST at candidate AND verify joins — the training corpus never shuffles toward the eval suite; jaccard is a residual filter on the equi-join, never a nested-loop condition",
       "q121_snapshot_diff" -> "md5 fingerprints computed map-side in both scans: the full-outer join exchanges (key, 32-char fp) only — payloads never shuffle; output is the churn, not the corpus",
       "q122_cms_freq" -> "ObjectHashAggregate over mergeable 64 KB CMS buffers (partial-combines map-side); estimates probe the collected sketch as a plan LITERAL via codegen'd cms_estimate — no second corpus aggregation",
-      "q123_pagerank" -> "per-round: edges⋈ranks hash join + partial-aggregated groupBy(dst) — only (id, long) pairs in every exchange; integral div/sum end-to-end (no IEEE order-dependence), lineage truncated per round")
+      "q123_pagerank" -> "per-round: edges⋈ranks hash join + partial-aggregated groupBy(dst) — only (id, long) pairs in every exchange; integral div/sum end-to-end (no IEEE order-dependence), lineage truncated per round",
+      "q127_triangles" -> "degree-ordered orientation from a persisted 24-byte/edge frame; wedge self-join on src (struct residual stays a hash join) probes the BROADCAST closing edge set — the O(m^1.5) wedge stream never shuffles at this size, and past the broadcast gate it hash-partitions on (v,w) without ever needing to fit in memory",
+      "q128_priority_sample" -> "weighted top-k as TakeOrderedAndProject: per-partition heaps forward k rows each — priority is one map-side division, no sort, no shuffle of the data",
+      "q129_bm25" -> "query terms filter the token stream BEFORE the (doc,term) aggregate; df and the 1-row (N,T) totals broadcast back; the score is one integral-division project and the top-k is TakeOrdered — all-int64 BM25",
+      "q130_outliers" -> "one partial-agged moments pass, 5-row broadcast back over the fact stream, verdicts as map-side DECIMAL comparisons (no sqrt, no division), final partial-agged counts",
+      "q131_tpch_q8" -> "the widest join in the registry: part prunes the fact scan map-side before any exchange; every dimension broadcasts (at this sf the filtered orders side broadcasts too, so the 8-table join has ZERO shuffle joins — at cluster scale orders becomes the one shuffle join and the fact table still streams once); the only Exchanges are the 2-group aggregate and the final sort",
+      "q132_boolean_search" -> "conjunctive search as posting-COUNT intersection: isin filter inside the scan, distinct (doc,term) partial-aggregates, count==|Q| — no k-way posting join, no term-skew reducer")
 
     val sb = new StringBuilder
     sb.append("# EXPLAINS — physical plans of representative queries\n\n")
