@@ -129,6 +129,21 @@ object ScaleStress {
         .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
       graft.operators.Graph.pageRankFixed(edges, "src", "dst", iters = 3).count()
     }
+    // triangle counting at ×N: an 8-edges-per-vertex hashed graph with
+    // PLANTED SKEW — edge 0 of every vertex targets one of 1024 hub
+    // ids, giving hubs ~n/1024 degree (≈500 at 100×) while the other 7
+    // edges spread uniformly. Degree-ordered orientation must keep
+    // wedge work O(m^1.5) with no hot reducer: a hub's edges all point
+    // INTO it, so its adjacency never fans out a wedge set.
+    timed(s"triangle counts (${8 * total} hashed edges, 1k hubs)") {
+      val edges = docs.select(col("doc_id").as("src"),
+        explode(array((0 until 8).map(i =>
+          pmod(xxhash64(col("doc_id"), lit(i)),
+            lit(if (i == 0) 1024L else total))): _*)).as("dst"))
+      graft.operators.Graph.triangleCounts(edges, "src", "dst")
+        .agg(sum(col("n_tri")), count(lit(1)))
+        .collect()(0).getLong(1)
+    }
 
     // vector path at factor× scale: replicate embeddings with
     // deterministic per-replica jitter (vec_id-seeded hash noise) so
