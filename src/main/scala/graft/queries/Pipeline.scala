@@ -1277,8 +1277,57 @@ object Pipeline {
       |  FROM read_parquet('__GRAFT_OUT__/q110_sketch_union/*.parquet')) = 0
       |ORDER BY lang""".stripMargin
 
+  // -------------------------------------------------------------------
+  // q134: trailing-6-hour distinct users per hour via HLL sketch
+  // ALGEBRA — the windowed form of q110's incremental-stats pattern.
+  // One pass builds the per-hour sketch table (720 × ~KB rows — the
+  // model, independent of event volume); each sketch then explodes to
+  // the ≤6 target hours it contributes to (map-only on sketch BYTES,
+  // equi-join groupBy — never a range join, never a rescan of events)
+  // and union-merges per target. An exact COUNT(DISTINCT) over a
+  // trailing window would reshuffle raw user ids once per window
+  // position; here event data is touched exactly once. Tolerance
+  // oracle vs DuckDB's exact trailing distinct (±5%; lgK=14 ⇒ ~1σ
+  // 0.8%), sentinel-guarded.
+  // -------------------------------------------------------------------
+  def q134SlidingDistinct(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = spark.read.parquet(s"$dir/events.parquet")
+    val ev = raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .select(date_trunc("hour", col("ts")).as("hour"), col("user_id"))
+    val sk = ev.groupBy(col("hour"))
+      .agg(expr("hll_sketch_agg(user_id, 14)").as("sk"))
+    val hours = sk.select(col("hour").as("target"))
+    sk.select(col("hour"), col("sk"), explode(sequence(lit(0), lit(5))).as("i"))
+      .select(expr("timestampadd(HOUR, i, hour)").as("target"), col("sk"))
+      .join(hours, "target")
+      .groupBy(col("target").as("hour"))
+      .agg(expr("hll_sketch_estimate(hll_union_agg(sk))").as("users_6h_est"))
+      .orderBy(asc("hour"))
+  }
+  val q134Sql: String =
+    """WITH e AS (
+      |  SELECT CAST(DATE_TRUNC('hour', ts) AS TIMESTAMP) AS hour, user_id
+      |  FROM events
+      |), hours AS (SELECT DISTINCT hour FROM e),
+      |exact AS (
+      |  SELECT h.hour, COUNT(DISTINCT e.user_id) AS exact_u
+      |  FROM hours h JOIN e
+      |    ON e.hour >= h.hour - INTERVAL 5 HOUR AND e.hour <= h.hour
+      |  GROUP BY h.hour
+      |)
+      |SELECT g.hour, g.users_6h_est
+      |FROM read_parquet('__GRAFT_OUT__/q134_sliding_distinct/*.parquet') g
+      |JOIN exact x ON x.hour = g.hour
+      |WHERE ABS(g.users_6h_est - x.exact_u) <= 0.05 * x.exact_u
+      |UNION ALL SELECT TIMESTAMP '1970-01-01 00:00:00', CAST(-1 AS BIGINT)
+      |  WHERE (SELECT COUNT(*)
+      |    FROM read_parquet('__GRAFT_OUT__/q134_sliding_distinct/*.parquet')) = 0
+      |ORDER BY hour""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q110_sketch_union" -> (q110SketchUnion _),
+    "q134_sliding_distinct" -> (q134SlidingDistinct _),
     "q25_text_stats" -> (q25TextStats _),
     "q26_token_freq" -> (q26TokenFreq _),
     "q27_quality_score" -> (q27Quality _),
@@ -1339,6 +1388,7 @@ object Pipeline {
     "q68_vocab_approx" -> q68Sql,
     "q75_semantic_dedup" -> q75Sql,
     "q110_sketch_union" -> q110Sql,
+    "q134_sliding_distinct" -> q134Sql,
     "q33_ngram_jaccard" -> q33Sql,
     "q34_cosine_topk" -> q34Sql,
     "q37_multimodal" -> q37Sql,
