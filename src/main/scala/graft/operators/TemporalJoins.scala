@@ -66,6 +66,46 @@ object TemporalJoins {
         rightPayload.map(c => col(s"__asof_$c").as(s"asof_$c"))): _*)
   }
 
+  /** Forward as-of join: for every left row, attach the EARLIEST right
+    * row with `rightTs >= leftTs` (same key) — the time-to-next-event
+    * direction ([[asofJoinBackward]] mirrored). Same single-shuffle
+    * union + one-window-scan shape: no inequality join, no per-row
+    * probe; the carry runs over `[currentRow, unboundedFollowing)`
+    * with `first(ignoreNulls)`. Left rows sort BEFORE right rows at
+    * equal timestamps (ties match, mirroring backward's tie rule);
+    * `rightTieBreak` asc makes the pick among right rows sharing
+    * (key, ts) deterministic — lowest wins — and pins all payload
+    * columns to the same right row.
+    */
+  def asofJoinForward(left: DataFrame, right: DataFrame, key: String,
+                      leftTs: String, rightTs: String,
+                      rightPayload: Seq[String],
+                      rightTieBreak: Option[String] = None): DataFrame = {
+    val leftCols = left.columns.toSeq
+    val tb = rightTieBreak.map(c => col(c).as("__tb")).getOrElse(lit(null).as("__tb"))
+    val taggedRight = right.select(
+      (Seq(col(key).as(key), col(rightTs).as("__ts"), lit(1).as("__side"), tb) ++
+        rightPayload.map(c => col(c).as(s"__r_$c")) ++
+        leftCols.filterNot(_ == key).map(c => lit(null).as(c))): _*)
+    val taggedLeft = left.select(
+      (Seq(col(key).as(key), col(leftTs).as("__ts"), lit(0).as("__side"),
+        lit(null).as("__tb")) ++
+        rightPayload.map(c => lit(null).as(s"__r_$c")) ++
+        leftCols.filterNot(_ == key).map(col)): _*)
+    val unioned = taggedLeft.unionByName(taggedRight)
+    val w = Window.partitionBy(col(key))
+      .orderBy(asc("__ts"), asc("__side"), asc_nulls_last("__tb"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val carried = rightPayload.foldLeft(unioned) { (df, c) =>
+      df.withColumn(s"__asof_$c", first(col(s"__r_$c"), ignoreNulls = true).over(w))
+    }
+    carried
+      .filter(col("__side") === 0)
+      .select((Seq(col(key), col("__ts").as(leftTs)) ++
+        leftCols.filterNot(c => c == key || c == leftTs).map(col) ++
+        rightPayload.map(c => col(s"__asof_$c").as(s"asof_$c"))): _*)
+  }
+
   /** Banded range join: pairs (l, r) sharing `key` with
     * `|leftTs - rightTs| <= band` (timestamps as epoch micros).
     * Each side is bucketed to `band`-wide epochs; left probes its own

@@ -68,11 +68,42 @@ object Temporal {
       | AND ABS(EPOCH_US(a.ts) - EPOCH_US(b.ts)) <= 300000000
       |ORDER BY id_a, id_b""".stripMargin
 
+  // -------------------------------------------------------------------
+  // q135: FORWARD as-of join — for each click, the next (or
+  // simultaneous) purchase of the same user, plus the time-to-convert.
+  // Same single-shuffle union + one-window-scan shape as q40, carry
+  // direction mirrored; oracled against DuckDB's native forward ASOF
+  // (p.ts <= c.ts inequality).
+  // -------------------------------------------------------------------
+  def q135AsofForward(spark: SparkSession, dir: String): DataFrame = {
+    val e = ev(spark, dir)
+    val clicks = e.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts"), col("event_id"))
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), col("event_id"))
+    TemporalJoins.asofJoinForward(clicks, purchases, "user_id", "ts", "ts",
+        rightPayload = Seq("event_id", "ts"), rightTieBreak = Some("event_id"))
+      .select(col("event_id"), col("user_id"), col("ts"),
+        col("asof_event_id").as("purchase_id"),
+        (unix_micros(col("asof_ts")) - unix_micros(col("ts"))).as("wait_us"))
+      .orderBy(asc("event_id"))
+  }
+  val q135Sql: String =
+    """SELECT c.event_id, c.user_id, c.ts,
+      |  p.event_id AS purchase_id,
+      |  epoch_us(p.ts) - epoch_us(c.ts) AS wait_us
+      |FROM (SELECT * FROM events WHERE event_type = 'click') c
+      |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+      |  ON c.user_id = p.user_id AND c.ts <= p.ts
+      |ORDER BY c.event_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q40_asof_join" -> (q40AsofJoin _),
-    "q41_range_join" -> (q41RangeJoin _))
+    "q41_range_join" -> (q41RangeJoin _),
+    "q135_asof_forward" -> (q135AsofForward _))
 
   val oracle: Map[String, String] = Map(
     "q40_asof_join" -> q40Sql,
-    "q41_range_join" -> q41Sql)
+    "q41_range_join" -> q41Sql,
+    "q135_asof_forward" -> q135Sql)
 }

@@ -21,6 +21,27 @@ class TemporalJoinsSpec extends SparkSpec {
       Seq((1L, 10L, 100.0), (1L, 20L, 120.0), (2L, 5L, -1.0)))
   }
 
+  test("asof forward join picks earliest right row at-or-after left ts") {
+    val clicks = Seq((1L, 10L, "c1"), (1L, 20L, "c2"), (2L, 5L, "c3"))
+      .toDF("k", "ts", "click")
+    val buys = Seq((1L, 12L, 100L), (1L, 20L, 120L), (1L, 30L, 130L), (3L, 1L, 999L))
+      .toDF("k", "ts", "pid")
+    val got = TemporalJoins.asofJoinForward(clicks, buys, "k", "ts", "ts",
+      rightPayload = Seq("pid"), rightTieBreak = Some("pid"))
+      .orderBy("k", "ts").collect()
+    // c1@10 → buy@12 (100); c2@20 → buy@20 (120, tie inclusive);
+    // c3 (k=2) → no buy → null
+    assert(got.map(r => (r.getLong(0), r.getLong(1),
+      if (r.isNullAt(3)) -1L else r.getLong(3))).toSeq ===
+      Seq((1L, 10L, 100L), (1L, 20L, 120L), (2L, 5L, -1L)))
+    // deterministic tie pick among right rows sharing (k, ts): lowest pid
+    val dupBuys = Seq((1L, 12L, 101L), (1L, 12L, 100L)).toDF("k", "ts", "pid")
+    val tied = TemporalJoins.asofJoinForward(clicks, dupBuys, "k", "ts", "ts",
+      rightPayload = Seq("pid"), rightTieBreak = Some("pid"))
+      .filter(col("ts") === 10L).collect()
+    assert(tied(0).getLong(3) === 100L)
+  }
+
   test("banded range join equals naive inequality join") {
     val a = Seq((1L, 100L, 1L), (1L, 500L, 2L), (2L, 100L, 3L))
       .toDF("k", "us_a", "id_a")
