@@ -518,8 +518,60 @@ object Stats {
       |FROM base b JOIN st USING (event_type)
       |GROUP BY b.event_type ORDER BY b.event_type""".stripMargin
 
+  // -------------------------------------------------------------------
+  // q136: trimmed & winsorized statistics — the robust-aggregation
+  // sibling of q130's outlier counts (clip influence instead of
+  // flagging it). Per flag over l_quantity: the IQR [p25, p75] (dyadic
+  // percentiles over integers — interpolation exact in binary, q42's
+  // guarantee), the trimmed mean over in-range rows, and the
+  // winsorized sum with out-of-range values clamped to the fences.
+  // Clamped values are dyadic quarters, so summing through
+  // DECIMAL(12,2) is exact and both engines agree bit-for-bit. Shape:
+  // one percentile pass, 3-row broadcast back, map-only clamp, one
+  // partial-agged aggregate.
+  // -------------------------------------------------------------------
+  def q136RobustStats(spark: SparkSession, dir: String): DataFrame = {
+    val d2 = DecimalType(12, 2)
+    val base = li(spark, dir).select(col("l_returnflag"), col("l_quantity"))
+    val fences = base.groupBy(col("l_returnflag")).agg(
+      expr("percentile(l_quantity, 0.25)").as("p25"),
+      expr("percentile(l_quantity, 0.75)").as("p75"))
+    base.join(broadcast(fences), "l_returnflag")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        min(col("p25")).as("p25"),
+        min(col("p75")).as("p75"),
+        count(when(col("l_quantity").between(col("p25"), col("p75")), 1))
+          .as("n_kept"),
+        (sum(when(col("l_quantity").between(col("p25"), col("p75")),
+            col("l_quantity").cast(d2))).cast("double") /
+          count(when(col("l_quantity").between(col("p25"), col("p75")), 1)))
+          .as("trimmed_mean"),
+        sum(greatest(least(col("l_quantity"), col("p75")), col("p25")).cast(d2))
+          .cast("double").as("winsorized_sum"))
+      .orderBy(asc("l_returnflag"))
+  }
+  val q136Sql: String =
+    """WITH f AS (
+      |  SELECT l_returnflag,
+      |    quantile_cont(l_quantity, 0.25) AS p25,
+      |    quantile_cont(l_quantity, 0.75) AS p75
+      |  FROM lineitem GROUP BY l_returnflag
+      |)
+      |SELECT l.l_returnflag, MIN(p25) AS p25, MIN(p75) AS p75,
+      |  COUNT(CASE WHEN l_quantity BETWEEN p25 AND p75 THEN 1 END) AS n_kept,
+      |  CAST(CAST(SUM(CASE WHEN l_quantity BETWEEN p25 AND p75
+      |      THEN CAST(l_quantity AS DECIMAL(12,2)) END) AS VARCHAR) AS DOUBLE)
+      |    / COUNT(CASE WHEN l_quantity BETWEEN p25 AND p75 THEN 1 END)
+      |    AS trimmed_mean,
+      |  CAST(CAST(SUM(CAST(GREATEST(LEAST(l_quantity, p75), p25)
+      |      AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE) AS winsorized_sum
+      |FROM lineitem l JOIN f ON l.l_returnflag = f.l_returnflag
+      |GROUP BY l.l_returnflag ORDER BY l.l_returnflag""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q130_outliers" -> (q130Outliers _),
+    "q136_robust_stats" -> (q136RobustStats _),
     "q125_kmv_overlap" -> (q125KmvOverlap _),
     "q122_cms_freq" -> (q122CmsFreq _),
     "q116_drift_chi2" -> (q116DriftChi2 _),
@@ -533,6 +585,7 @@ object Stats {
 
   val oracle: Map[String, String] = Map(
     "q130_outliers" -> q130Sql,
+    "q136_robust_stats" -> q136Sql,
     "q125_kmv_overlap" -> q125Sql,
     "q122_cms_freq" -> q122Sql,
     "q116_drift_chi2" -> q116Sql,
