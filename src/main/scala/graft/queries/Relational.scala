@@ -688,8 +688,198 @@ object Relational {
        |GROUP BY cat ORDER BY cat""".stripMargin
   }
 
+  // -------------------------------------------------------------------
+  // q137: TPC-H Q17 shape — small-quantity revenue for one brand. The
+  // classic CORRELATED scalar subquery (qty < 0.2 * avg(qty) of the
+  // same part) decorrelated the Spark-first way: one partial+final
+  // hash aggregate over lineitem per part (sum/count in integer
+  // cents), joined back to the brand's fact rows. The predicate is
+  // rewritten divide-free — qty < 0.2*sum/cnt ⟺ qty_cents*5*cnt <
+  // sum_cents — so the gate is pure int64 comparison, exact on both
+  // engines. At 100 TB the per-part aggregate is the map-side-combined
+  // shuffle you'd want; no row-at-a-time subquery ever exists.
+  // (reference has no subqueries; this extends §2.4-2.5 composition.)
+  // -------------------------------------------------------------------
+  def q137TpchQ17(spark: SparkSession, dir: String): DataFrame = {
+    val cents = round(col("l_quantity") * lit(100)).cast("long")
+    val brandParts = t(spark, dir, "part")
+      .filter(col("p_brand") === lit("Brand#4")).select(col("p_partkey"))
+    val li = t(spark, dir, "lineitem")
+    val perPart = li
+      .join(broadcast(brandParts), col("l_partkey") === col("p_partkey"))
+      .groupBy(col("l_partkey").as("pp_key"))
+      .agg(sum(cents).as("sum_cents"), count(lit(1)).as("cnt"))
+    li.join(broadcast(brandParts), col("l_partkey") === col("p_partkey"))
+      .join(broadcast(perPart), col("l_partkey") === col("pp_key"))
+      .filter(cents * lit(5) * col("cnt") < col("sum_cents"))
+      .agg(
+        (dsum(col("l_extendedprice")) / lit(7.0)).as("avg_yearly"),
+        count(lit(1)).as("n_small"))
+  }
+  val q137Sql: String =
+    """WITH pa AS (
+      |  SELECT l_partkey AS pp_key,
+      |    SUM(CAST(ROUND(l_quantity * 100) AS BIGINT)) AS sum_cents,
+      |    COUNT(*) AS cnt
+      |  FROM lineitem
+      |  WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_brand = 'Brand#4')
+      |  GROUP BY 1
+      |)
+      |SELECT CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,10))) AS VARCHAR) AS DOUBLE) / 7.0 AS avg_yearly,
+      |  COUNT(*) AS n_small
+      |FROM lineitem
+      |JOIN part ON l_partkey = p_partkey
+      |JOIN pa ON l_partkey = pp_key
+      |WHERE p_brand = 'Brand#4'
+      |  AND CAST(ROUND(l_quantity * 100) AS BIGINT) * 5 * cnt < sum_cents""".stripMargin
+
+  // -------------------------------------------------------------------
+  // q138: TPC-H Q13 shape (custdist) — how many customers placed
+  // exactly k qualifying orders, including k=0. The left-join-then-
+  // count-distribution pattern done aggregate-first: orders are
+  // pre-aggregated per customer BEFORE touching the customer table
+  // (shuffles counts, not order rows), the left join fills absent
+  // customers with 0, and a second tiny aggregate builds the
+  // distribution. Pure integers — exact everywhere.
+  // -------------------------------------------------------------------
+  def q138TpchQ13(spark: SparkSession, dir: String): DataFrame = {
+    val perCust = t(spark, dir, "orders")
+      .filter(col("o_orderpriority") =!= lit("1-URGENT"))
+      .groupBy(col("o_custkey")).agg(count(lit(1)).as("n_orders"))
+    t(spark, dir, "customer")
+      .join(perCust, col("c_custkey") === col("o_custkey"), "left")
+      .select(coalesce(col("n_orders"), lit(0L)).as("c_count"))
+      .groupBy(col("c_count")).agg(count(lit(1)).as("custdist"))
+      .orderBy(desc("custdist"), desc("c_count"))
+  }
+  val q138Sql: String =
+    """WITH pc AS (
+      |  SELECT o_custkey, COUNT(*) AS n_orders
+      |  FROM orders WHERE o_orderpriority <> '1-URGENT' GROUP BY 1
+      |)
+      |SELECT COALESCE(n_orders, 0) AS c_count, COUNT(*) AS custdist
+      |FROM customer LEFT JOIN pc ON c_custkey = o_custkey
+      |GROUP BY 1 ORDER BY custdist DESC, c_count DESC""".stripMargin
+
+  // -------------------------------------------------------------------
+  // q139: TPC-H Q18 shape (large-volume orders) — the IN-subquery-
+  // with-HAVING pattern as an aggregate-then-join: per-order quantity
+  // sums in integer cents (exact, map-side combined), HAVING as a
+  // post-aggregate filter, then one shuffle join to orders and a
+  // broadcast of customer. qty_sum returns to double by /100.0 —
+  // one exact IEEE division per row.
+  // -------------------------------------------------------------------
+  def q139TpchQ18(spark: SparkSession, dir: String): DataFrame = {
+    val big = t(spark, dir, "lineitem")
+      .groupBy(col("l_orderkey"))
+      .agg(sum(round(col("l_quantity") * lit(100)).cast("long")).as("qc"))
+      .filter(col("qc") > lit(25000L))
+    t(spark, dir, "orders")
+      .join(big, col("o_orderkey") === col("l_orderkey"))
+      .join(broadcast(t(spark, dir, "customer")),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+        col("o_orderdate"), col("o_totalprice"),
+        (col("qc") / lit(100.0)).as("qty_sum"))
+      .orderBy(desc("o_totalprice"), asc("o_orderdate"), asc("o_orderkey"))
+  }
+  val q139Sql: String =
+    """WITH big AS (
+      |  SELECT l_orderkey, SUM(CAST(ROUND(l_quantity * 100) AS BIGINT)) AS qc
+      |  FROM lineitem GROUP BY 1 HAVING qc > 25000
+      |)
+      |SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+      |  qc / 100.0 AS qty_sum
+      |FROM orders JOIN big ON o_orderkey = l_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |ORDER BY o_totalprice DESC, o_orderdate, o_orderkey""".stripMargin
+
+  // -------------------------------------------------------------------
+  // q140: TPC-H Q22 shape (global-scalar + anti-join) — market
+  // segments of high-balance customers who never placed an URGENT
+  // order. The uncorrelated scalar subquery (avg positive balance)
+  // becomes a one-row broadcast frame; the comparison is divide-free
+  // (bal_cents * n > sum_cents ⟺ bal > avg); NOT EXISTS is a
+  // left-anti join against the pre-filtered orders. Money stays in
+  // integer cents until one final /100.0.
+  // -------------------------------------------------------------------
+  def q140TpchQ22(spark: SparkSession, dir: String): DataFrame = {
+    val cust = t(spark, dir, "customer")
+    val balCents = round(col("c_acctbal") * lit(100)).cast("long")
+    val scalar = cust.filter(col("c_acctbal") > lit(0.0))
+      .agg(sum(balCents).as("s"), count(lit(1)).as("n"))
+    val urgent = t(spark, dir, "orders")
+      .filter(col("o_orderpriority") === lit("1-URGENT"))
+      .select(col("o_custkey"))
+    cust.crossJoin(broadcast(scalar))
+      .filter(balCents * col("n") > col("s"))
+      .join(urgent, col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("numcust"),
+        (sum(balCents) / lit(100.0)).as("totacctbal"))
+      .orderBy(asc("c_mktsegment"))
+  }
+  val q140Sql: String =
+    """WITH s AS (
+      |  SELECT SUM(CAST(ROUND(c_acctbal * 100) AS BIGINT)) AS s, COUNT(*) AS n
+      |  FROM customer WHERE c_acctbal > 0
+      |)
+      |SELECT c_mktsegment, COUNT(*) AS numcust,
+      |  SUM(CAST(ROUND(c_acctbal * 100) AS BIGINT)) / 100.0 AS totacctbal
+      |FROM customer, s
+      |WHERE CAST(ROUND(c_acctbal * 100) AS BIGINT) * n > s.s
+      |  AND NOT EXISTS (SELECT 1 FROM orders
+      |    WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+      |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
+
+  // -------------------------------------------------------------------
+  // q141: TPC-H Q21 shape (suppliers who kept orders waiting) — the
+  // triple-correlated EXISTS / NOT EXISTS collapsed into ONE aggregate
+  // pass: per order, count distinct suppliers and distinct suppliers
+  // with returned ('R') lines; a supplier "waits" when it is the SOLE
+  // R-supplier in a multi-supplier order. Three correlated subqueries
+  // become one extra groupBy — the decorrelation a 100 TB plan needs
+  // (the naive EXISTS pair is two additional fact-fact joins).
+  // -------------------------------------------------------------------
+  def q141TpchQ21(spark: SparkSession, dir: String): DataFrame = {
+    val li = t(spark, dir, "lineitem")
+    val perOrder = li.groupBy(col("l_orderkey").as("po_key"))
+      .agg(
+        countDistinct(col("l_suppkey")).as("n_supp"),
+        countDistinct(when(col("l_returnflag") === lit("R"),
+          col("l_suppkey"))).as("n_r_supp"))
+      .filter(col("n_supp") > lit(1) && col("n_r_supp") === lit(1))
+    li.filter(col("l_returnflag") === lit("R"))
+      .select(col("l_orderkey"), col("l_suppkey"))
+      .join(perOrder, col("l_orderkey") === col("po_key"))
+      .select(col("l_orderkey"), col("l_suppkey")).distinct()
+      .join(broadcast(t(spark, dir, "supplier")),
+        col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("s_name")).agg(count(lit(1)).as("numwait"))
+      .orderBy(desc("numwait"), asc("s_name"))
+  }
+  val q141Sql: String =
+    """WITH po AS (
+      |  SELECT l_orderkey AS po_key,
+      |    COUNT(DISTINCT l_suppkey) AS n_supp,
+      |    COUNT(DISTINCT CASE WHEN l_returnflag = 'R' THEN l_suppkey END) AS n_r_supp
+      |  FROM lineitem GROUP BY 1
+      |), sole AS (
+      |  SELECT DISTINCT l_orderkey, l_suppkey
+      |  FROM lineitem JOIN po ON l_orderkey = po_key
+      |  WHERE l_returnflag = 'R' AND n_supp > 1 AND n_r_supp = 1
+      |)
+      |SELECT s_name, COUNT(*) AS numwait
+      |FROM sole JOIN supplier ON l_suppkey = s_suppkey
+      |GROUP BY s_name ORDER BY numwait DESC, s_name""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q114_inmemory" -> (q114InMemory _),
+    "q137_tpch_q17" -> (q137TpchQ17 _),
+    "q138_tpch_q13" -> (q138TpchQ13 _),
+    "q139_tpch_q18" -> (q139TpchQ18 _),
+    "q140_tpch_q22" -> (q140TpchQ22 _),
+    "q141_tpch_q21" -> (q141TpchQ21 _),
     "q97_sql_entry" -> (q97SqlEntry _),
     "q53_graft_facade" -> (q53GraftFacade _),
     "q76_tpch_q5" -> (q76TpchQ5 _),
@@ -717,6 +907,11 @@ object Relational {
 
   val oracle: Map[String, String] = Map(
     "q114_inmemory" -> q114Sql,
+    "q137_tpch_q17" -> q137Sql,
+    "q138_tpch_q13" -> q138Sql,
+    "q139_tpch_q18" -> q139Sql,
+    "q140_tpch_q22" -> q140Sql,
+    "q141_tpch_q21" -> q141Sql,
     "q97_sql_entry" -> q97Sql,
     "q53_graft_facade" -> q53Sql,
     "q76_tpch_q5" -> q76Sql,
