@@ -569,7 +569,122 @@ object Stats {
       |FROM lineitem l JOIN f ON l.l_returnflag = f.l_returnflag
       |GROUP BY l.l_returnflag ORDER BY l.l_returnflag""".stripMargin
 
+  // -------------------------------------------------------------------
+  // q142: grouped least-squares regression (value vs. time) from exact
+  // integer moment sums — the distributed-friendly formulation of
+  // per-group model fitting. x = whole hours since 2024-01-01 (int64),
+  // y = value in millionths (int64, ≤6-decimal-clean); Σx, Σx², Σy,
+  // Σxy stay in int64 (bounds checked: x ≤ 8.8e3, y ≤ 5.6e8 ⇒
+  // Σxy ≤ 5e17 per group), Σy² alone needs 128-bit so it runs through
+  // DECIMAL(38,0) on Spark and HUGEINT in DuckDB. The normal-equation
+  // combinations (n·Σxy − ΣxΣy etc., up to ~3e27) are computed exactly
+  // in 38-digit space, and only the final slope / intercept / r²
+  // divisions happen in doubles — the same IEEE expression tree on
+  // both engines. One partial+final hash aggregate; nothing else
+  // shuffles. Built-in regr_slope/corr stream doubles in partition
+  // order and are NOT cross-engine reproducible; this form is.
+  // -------------------------------------------------------------------
+  def q142GroupLinreg(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val d38 = DecimalType(38, 0)
+    val base = spark.read.parquet(s"$dir/events.parquet")
+      .select(col("event_type"),
+        expr("(ts div 1000 - 1704067200000000L) div 3600000000L").as("x"),
+        (col("value").cast(DecimalType(18, 6)) * 1000000).cast("long").as("v6"))
+    val sums = base.groupBy(col("event_type")).agg(
+      count(lit(1)).as("n"),
+      sum(col("x")).as("sx"),
+      sum(col("x") * col("x")).as("sxx"),
+      sum(col("v6")).as("sy6"),
+      sum(col("x") * col("v6")).as("sxy6"),
+      sum(col("v6").cast(d38) * col("v6").cast(d38)).as("syy12"))
+    val num6 = (col("n").cast(d38) * col("sxy6").cast(d38) -
+      col("sx").cast(d38) * col("sy6").cast(d38)).cast("double")
+    val den = (col("n").cast(d38) * col("sxx").cast(d38) -
+      col("sx").cast(d38) * col("sx").cast(d38)).cast("double")
+    val syyTerm = (col("n").cast(d38) * col("syy12") -
+      col("sy6").cast(d38) * col("sy6").cast(d38)).cast("double")
+    sums.select(
+        col("event_type"), col("n"),
+        (num6 / den / lit(1e6)).as("slope"),
+        ((col("sy6").cast("double") - num6 / den * col("sx").cast("double")) /
+          col("n").cast("double") / lit(1e6)).as("intercept"),
+        (num6 * num6 / (den * syyTerm)).as("r2"))
+      .orderBy(asc("event_type"))
+  }
+  val q142Sql: String =
+    """WITH b AS (
+      |  SELECT event_type,
+      |    (epoch_us(ts) - 1704067200000000) // 3600000000 AS x,
+      |    CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS v6
+      |  FROM events
+      |), s AS (
+      |  SELECT event_type, COUNT(*) AS n,
+      |    CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(x*x) AS BIGINT) AS sxx,
+      |    CAST(SUM(v6) AS BIGINT) AS sy6, CAST(SUM(x*v6) AS BIGINT) AS sxy6,
+      |    SUM(CAST(v6 AS HUGEINT) * v6) AS syy12
+      |  FROM b GROUP BY 1
+      |), c AS (
+      |  SELECT event_type, n,
+      |    CAST(CAST(CAST(n AS HUGEINT)*sxy6 - CAST(sx AS HUGEINT)*sy6 AS VARCHAR) AS DOUBLE) AS num6,
+      |    CAST(CAST(CAST(n AS HUGEINT)*sxx - CAST(sx AS HUGEINT)*sx AS VARCHAR) AS DOUBLE) AS den,
+      |    CAST(CAST(CAST(n AS HUGEINT)*syy12 - CAST(sy6 AS HUGEINT)*sy6 AS VARCHAR) AS DOUBLE) AS syyterm,
+      |    CAST(sy6 AS DOUBLE) AS sy6d, CAST(sx AS DOUBLE) AS sxd
+      |  FROM s
+      |)
+      |SELECT event_type, n,
+      |  num6 / den / 1e6 AS slope,
+      |  (sy6d - num6 / den * sxd) / CAST(n AS DOUBLE) / 1e6 AS intercept,
+      |  num6 * num6 / (den * syyterm) AS r2
+      |FROM c ORDER BY event_type""".stripMargin
+
+  // -------------------------------------------------------------------
+  // q143: source-concentration metrics per language — Herfindahl
+  // index, Gini impurity, and top-source share of the documents
+  // corpus. All three are RATIONAL in the group counts (Σc², max c,
+  // N²), so the whole computation is exact int64 followed by one IEEE
+  // division per output column — no logs, no cross-engine libm risk
+  // (ln differs by ulps between JVM and C; entropy is deliberately
+  // NOT used here). Two stacked partial-agged aggregates: counts per
+  // (lang, source) — the only shuffle, ~languages×sources rows — then
+  // per-lang combination. The curation use: flag languages whose
+  // corpus is dominated by few sources before training.
+  // -------------------------------------------------------------------
+  def q143Concentration(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/documents.parquet")
+      .groupBy(col("lang"), col("source")).agg(count(lit(1)).as("c"))
+      .groupBy(col("lang"))
+      .agg(
+        sum(col("c")).as("n_docs"),
+        count(lit(1)).as("n_sources"),
+        sum(col("c") * col("c")).as("sum_c2"),
+        max(col("c")).as("max_c"))
+      .select(
+        col("lang"), col("n_docs"), col("n_sources"),
+        (col("sum_c2").cast("double") /
+          (col("n_docs") * col("n_docs")).cast("double")).as("hhi"),
+        (lit(1.0) - col("sum_c2").cast("double") /
+          (col("n_docs") * col("n_docs")).cast("double")).as("gini_impurity"),
+        (col("max_c").cast("double") / col("n_docs").cast("double"))
+          .as("top_share"))
+      .orderBy(asc("lang"))
+  val q143Sql: String =
+    """WITH cs AS (
+      |  SELECT lang, source, COUNT(*) AS c FROM documents GROUP BY 1, 2
+      |), s AS (
+      |  SELECT lang, CAST(SUM(c) AS BIGINT) AS n_docs, COUNT(*) AS n_sources,
+      |    CAST(SUM(c*c) AS BIGINT) AS sum_c2, MAX(c) AS max_c
+      |  FROM cs GROUP BY 1
+      |)
+      |SELECT lang, n_docs, n_sources,
+      |  CAST(sum_c2 AS DOUBLE) / CAST(n_docs * n_docs AS DOUBLE) AS hhi,
+      |  1.0 - CAST(sum_c2 AS DOUBLE) / CAST(n_docs * n_docs AS DOUBLE) AS gini_impurity,
+      |  CAST(max_c AS DOUBLE) / CAST(n_docs AS DOUBLE) AS top_share
+      |FROM s ORDER BY lang""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q142_group_linreg" -> (q142GroupLinreg _),
+    "q143_concentration" -> (q143Concentration _),
     "q130_outliers" -> (q130Outliers _),
     "q136_robust_stats" -> (q136RobustStats _),
     "q125_kmv_overlap" -> (q125KmvOverlap _),
@@ -584,6 +699,8 @@ object Stats {
     "q106_histogram" -> (q106Histogram _))
 
   val oracle: Map[String, String] = Map(
+    "q142_group_linreg" -> q142Sql,
+    "q143_concentration" -> q143Sql,
     "q130_outliers" -> q130Sql,
     "q136_robust_stats" -> q136Sql,
     "q125_kmv_overlap" -> q125Sql,
