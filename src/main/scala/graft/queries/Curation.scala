@@ -435,7 +435,89 @@ object Curation {
       |FROM (SELECT doc_id, $toksSql AS t FROM documents)
       |ORDER BY doc_id""".stripMargin
 
+  // -------------------------------------------------------------------
+  // q145: data-quality constraint audit — the Deequ-style validation
+  // report a pipeline runs before training: domain checks, null
+  // checks, key uniqueness, referential integrity, and timestamp
+  // sanity, each emitted as (constraint, violations). Every check is
+  // an independent partial-agged aggregate (or aggregate-first anti
+  // join for the FK) unioned into one tiny report frame — at 100 TB
+  // each constraint is one scan-and-count over pruned columns, no
+  // wide shuffles, and the checks parallelize as separate stages of
+  // one job. Counts are pure integers; a healthy corpus reports 0s
+  // and the gate certifies the ZEROS are genuine, not skipped checks.
+  // -------------------------------------------------------------------
+  def q145ConstraintAudit(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val li = spark.read.parquet(s"$dir/lineitem.parquet")
+    val ords = spark.read.parquet(s"$dir/orders.parquet")
+    val cust = spark.read.parquet(s"$dir/customer.parquet")
+    val d = docs(spark, dir)
+    val evts = spark.read.parquet(s"$dir/events.parquet")
+      .select(expr("ts div 1000").as("us"))
+    def check(name: String, df: DataFrame): DataFrame =
+      df.select(lit(name).as("check_name"),
+        coalesce(col("violations"), lit(0L)).as("violations"))
+    val rep = Seq(
+      check("customer.c_custkey_unique",
+        cust.groupBy(col("c_custkey")).agg(count(lit(1)).as("c"))
+          .agg(sum(col("c") - 1).as("violations"))),
+      check("documents.text_nonempty",
+        d.agg(count(when(col("text").isNull ||
+          length(col("text")) === 0, 1)).as("violations"))),
+      check("events.ts_within_2024",
+        evts.agg(count(when(col("us") < lit(1704067200000000L) ||
+          col("us") >= lit(1735689600000000L), 1)).as("violations"))),
+      check("lineitem.l_discount_in_unit_range",
+        li.agg(count(when(col("l_discount") < 0.0 ||
+          col("l_discount") > 1.0, 1)).as("violations"))),
+      check("lineitem.l_quantity_positive",
+        li.agg(count(when(col("l_quantity") <= 0.0, 1)).as("violations"))),
+      check("lineitem.l_shipdate_not_null",
+        li.agg(count(when(col("l_shipdate").isNull, 1)).as("violations"))),
+      check("orders.o_custkey_fk_customer",
+        ords.select(col("o_custkey"))
+          .join(cust.select(col("c_custkey")),
+            col("o_custkey") === col("c_custkey"), "left_anti")
+          .agg(count(lit(1)).as("violations")))
+    ).reduce(_.unionAll(_))
+    rep.orderBy(asc("check_name"))
+  }
+  val q145Sql: String =
+    """SELECT * FROM (
+      |  SELECT 'customer.c_custkey_unique' AS check_name,
+      |    CAST(COALESCE(SUM(c - 1), 0) AS BIGINT) AS violations
+      |  FROM (SELECT COUNT(*) AS c FROM customer GROUP BY c_custkey)
+      |  UNION ALL
+      |  SELECT 'documents.text_nonempty',
+      |    CAST(COUNT(CASE WHEN text IS NULL OR LENGTH(text) = 0 THEN 1 END) AS BIGINT)
+      |  FROM documents
+      |  UNION ALL
+      |  SELECT 'events.ts_within_2024',
+      |    CAST(COUNT(CASE WHEN epoch_us(ts) < 1704067200000000
+      |      OR epoch_us(ts) >= 1735689600000000 THEN 1 END) AS BIGINT)
+      |  FROM events
+      |  UNION ALL
+      |  SELECT 'lineitem.l_discount_in_unit_range',
+      |    CAST(COUNT(CASE WHEN l_discount < 0.0 OR l_discount > 1.0 THEN 1 END) AS BIGINT)
+      |  FROM lineitem
+      |  UNION ALL
+      |  SELECT 'lineitem.l_quantity_positive',
+      |    CAST(COUNT(CASE WHEN l_quantity <= 0.0 THEN 1 END) AS BIGINT)
+      |  FROM lineitem
+      |  UNION ALL
+      |  SELECT 'lineitem.l_shipdate_not_null',
+      |    CAST(COUNT(CASE WHEN l_shipdate IS NULL THEN 1 END) AS BIGINT)
+      |  FROM lineitem
+      |  UNION ALL
+      |  SELECT 'orders.o_custkey_fk_customer', CAST(COUNT(*) AS BIGINT)
+      |  FROM orders LEFT JOIN customer ON o_custkey = c_custkey
+      |  WHERE c_custkey IS NULL
+      |)
+      |ORDER BY check_name""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q145_constraint_audit" -> (q145ConstraintAudit _),
     "q108_truncate_tokens" -> (q108TruncateTokens _),
     "q85_boilerplate" -> (q85Boilerplate _),
     "q86_chunk_dedup" -> (q86ChunkDedup _),
@@ -452,6 +534,7 @@ object Curation {
     "q120_fuzzy_decontaminate" -> (q120FuzzyDecontaminate _))
 
   val oracle: Map[String, String] = Map(
+    "q145_constraint_audit" -> q145Sql,
     "q108_truncate_tokens" -> q108Sql,
     "q85_boilerplate" -> q85Sql,
     "q86_chunk_dedup" -> q86Sql,

@@ -97,13 +97,117 @@ object Temporal {
       |  ON c.user_id = p.user_id AND c.ts <= p.ts
       |ORDER BY c.event_id""".stripMargin
 
+  // -------------------------------------------------------------------
+  // q144: time-weighted average per user — the irregular-time-series
+  // mean (each reading weighted by how long it was current: a sensor /
+  // metrics staple that plain AVG gets wrong). One window pass per
+  // user for lead(ts) over the unique total order (ts, event_id); the
+  // hold duration Δ is exact integer micros; Σ(value·Δ) runs in
+  // DECIMAL(38,0) (v6·Δ ≤ 5.6e8·2.6e12 ≈ 1.5e21 overflows int64) and
+  // only the final TWA division is double. The last reading per user
+  // has no successor and drops out — open-interval convention, same
+  // on both engines. One user_id shuffle; everything else map-side.
+  // -------------------------------------------------------------------
+  def q144TimeWeightedAvg(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d38 = org.apache.spark.sql.types.DecimalType(38, 0)
+    val e = ev(spark, dir).select(
+      col("user_id"), col("event_id"),
+      unix_micros(col("ts")).as("us"),
+      (col("value").cast(org.apache.spark.sql.types.DecimalType(18, 6)) *
+        1000000).cast("long").as("v6"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(asc("us"), asc("event_id"))
+    e.withColumn("nxt", lead(col("us"), 1).over(w))
+      .filter(col("nxt").isNotNull)
+      .withColumn("d", col("nxt") - col("us"))
+      .groupBy(col("user_id"))
+      .agg(
+        count(lit(1)).as("n_intervals"),
+        sum(col("d")).as("span_us"),
+        sum(col("v6").cast(d38) * col("d").cast(d38)).as("wsum"))
+      .select(col("user_id"), col("n_intervals"), col("span_us"),
+        (col("wsum").cast("double") / col("span_us").cast("double") /
+          lit(1e6)).as("twa"))
+      .orderBy(asc("user_id"))
+  }
+  val q144Sql: String =
+    """WITH b AS (
+      |  SELECT user_id, event_id, epoch_us(ts) AS us,
+      |    CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS v6,
+      |    lead(epoch_us(ts)) OVER (PARTITION BY user_id
+      |      ORDER BY epoch_us(ts), event_id) AS nxt
+      |  FROM events
+      |), s AS (
+      |  SELECT user_id, COUNT(*) AS n_intervals,
+      |    CAST(SUM(nxt - us) AS BIGINT) AS span_us,
+      |    SUM(CAST(v6 AS HUGEINT) * (nxt - us)) AS wsum
+      |  FROM b WHERE nxt IS NOT NULL GROUP BY 1
+      |)
+      |SELECT user_id, n_intervals, span_us,
+      |  CAST(CAST(wsum AS VARCHAR) AS DOUBLE) / CAST(span_us AS DOUBLE) / 1e6 AS twa
+      |FROM s ORDER BY user_id""".stripMargin
+
+  // -------------------------------------------------------------------
+  // q146: interval-overlap join — co-activity: pairs of users whose
+  // daily activity intervals [first event, last event] overlap, with
+  // the total overlapping time. The interval-interval join Spark
+  // lacks, done the scale-safe way: intervals are constructed INSIDE
+  // day buckets (pure integer day = us div 86400e6 — no timezone
+  // semantics anywhere), so the pair join is an EQUI-join on day with
+  // the overlap predicate as a post-filter — never an inequality-only
+  // nested loop (CLAUDE.md rule 6). Per-day pair fan-out is
+  // users²/2 per bucket, the blocking knob a 100 TB run tunes by
+  // narrowing the bucket. Exact integer micros throughout.
+  // -------------------------------------------------------------------
+  def q146IntervalOverlap(spark: SparkSession, dir: String): DataFrame = {
+    val e = ev(spark, dir).select(col("user_id"),
+      unix_micros(col("ts")).as("us"))
+      .withColumn("day", expr("us div 86400000000L"))
+    val iv = e.groupBy(col("user_id"), col("day"))
+      .agg(min(col("us")).as("s"), max(col("us")).as("e"))
+    val a = iv.select(col("day"), col("user_id").as("u1"),
+      col("s").as("s1"), col("e").as("e1"))
+    val b = iv.select(col("day"), col("user_id").as("u2"),
+      col("s").as("s2"), col("e").as("e2"))
+    a.join(b, Seq("day"))
+      .filter(col("u1") < col("u2"))
+      .withColumn("ov",
+        least(col("e1"), col("e2")) - greatest(col("s1"), col("s2")))
+      .filter(col("ov") > lit(0L))
+      .groupBy(col("u1"), col("u2"))
+      .agg(count(lit(1)).as("days_overlapped"),
+        sum(col("ov")).as("overlap_us"))
+      .orderBy(desc("overlap_us"), asc("u1"), asc("u2"))
+      .limit(100)
+  }
+  val q146Sql: String =
+    """WITH iv AS (
+      |  SELECT user_id, epoch_us(ts) // 86400000000 AS day,
+      |    MIN(epoch_us(ts)) AS s, MAX(epoch_us(ts)) AS e
+      |  FROM events GROUP BY 1, 2
+      |), p AS (
+      |  SELECT a.user_id AS u1, b.user_id AS u2,
+      |    LEAST(a.e, b.e) - GREATEST(a.s, b.s) AS ov
+      |  FROM iv a JOIN iv b ON a.day = b.day AND a.user_id < b.user_id
+      |)
+      |SELECT u1, u2, COUNT(*) AS days_overlapped,
+      |  CAST(SUM(ov) AS BIGINT) AS overlap_us
+      |FROM p WHERE ov > 0
+      |GROUP BY u1, u2
+      |ORDER BY overlap_us DESC, u1, u2 LIMIT 100""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q40_asof_join" -> (q40AsofJoin _),
     "q41_range_join" -> (q41RangeJoin _),
-    "q135_asof_forward" -> (q135AsofForward _))
+    "q135_asof_forward" -> (q135AsofForward _),
+    "q144_time_weighted_avg" -> (q144TimeWeightedAvg _),
+    "q146_interval_overlap" -> (q146IntervalOverlap _))
 
   val oracle: Map[String, String] = Map(
     "q40_asof_join" -> q40Sql,
     "q41_range_join" -> q41Sql,
-    "q135_asof_forward" -> q135Sql)
+    "q135_asof_forward" -> q135Sql,
+    "q144_time_weighted_avg" -> q144Sql,
+    "q146_interval_overlap" -> q146Sql)
 }
