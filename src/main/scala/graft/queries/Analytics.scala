@@ -560,7 +560,49 @@ object Analytics {
       |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
       |ORDER BY gid, l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin
 
+  // -------------------------------------------------------------------
+  // q147: Markov transition matrix over the per-user event sequence —
+  // the behavioral-model / next-event-prediction staple. One lead()
+  // window pass per user (the only data-sized shuffle, keyed by
+  // user_id) produces (from, to) bigram counts; the transition
+  // probability normalizes by the from-row total via a second window
+  // over the TINY (types²)-row aggregate, so no second data shuffle.
+  // Counts are exact int64 and the single division is the same IEEE op
+  // on both engines — no float-order risk anywhere.
+  // -------------------------------------------------------------------
+  def q147MarkovTransitions(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(asc("us"), asc("event_id"))
+    val counts = ev(spark, dir)
+      .select(col("user_id"), col("event_id"),
+        unix_micros(col("ts")).as("us"), col("event_type"))
+      .withColumn("to_type", lead(col("event_type"), 1).over(w))
+      .filter(col("to_type").isNotNull)
+      .groupBy(col("event_type").as("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("n"))
+    val wFrom = Window.partitionBy(col("from_type"))
+    counts
+      .withColumn("prob",
+        col("n").cast("double") / sum(col("n")).over(wFrom).cast("double"))
+      .orderBy(asc("from_type"), asc("to_type"))
+  }
+  val q147Sql: String =
+    """WITH b AS (
+      |  SELECT event_type AS from_type,
+      |    lead(event_type) OVER (PARTITION BY user_id
+      |      ORDER BY epoch_us(ts), event_id) AS to_type
+      |  FROM events
+      |), c AS (
+      |  SELECT from_type, to_type, COUNT(*) AS n
+      |  FROM b WHERE to_type IS NOT NULL GROUP BY 1, 2
+      |)
+      |SELECT from_type, to_type, n,
+      |  CAST(n AS DOUBLE) /
+      |    CAST(SUM(n) OVER (PARTITION BY from_type) AS DOUBLE) AS prob
+      |FROM c ORDER BY from_type, to_type""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q147_markov_transitions" -> (q147MarkovTransitions _),
     "q101_grouping_sets" -> (q101GroupingSets _),
     "q100_rolling_window" -> (q100RollingWindow _),
     "q98_window_topk" -> (q98WindowTopK _),
@@ -583,6 +625,7 @@ object Analytics {
     "q24_json_extract" -> (q24Json _))
 
   val oracle: Map[String, String] = Map(
+    "q147_markov_transitions" -> q147Sql,
     "q101_grouping_sets" -> q101Sql,
     "q100_rolling_window" -> q100Sql,
     "q98_window_topk" -> q98Sql,
