@@ -20,17 +20,10 @@ import org.apache.spark.sql.types._
 object Analytics {
   private val DV = DecimalType(20, 6) // events.value is ≤6-decimal clean
 
-  /** events.parquet carries TIMESTAMP(NANOS) which Spark 4 refuses by
-    * default; read nanos as long and convert exactly (integer `div`,
-    * values are microsecond-clean) to a session-TZ timestamp.
-    */
-  private def ev(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val raw = spark.read.parquet(s"$dir/events.parquet")
-    if (raw.schema("ts").dataType == LongType)
-      raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    else raw
-  }
+  /** Shared encoding-aware events reader — `ts` is TIMESTAMP_LTZ
+    * whatever the file's physical encoding (see [[graft.sources.Events]]). */
+  private def ev(spark: SparkSession, dir: String): DataFrame =
+    graft.sources.Events.ev(spark, dir)
 
   /** Deterministic per-user event order: ts then unique event_id. */
   private val wUser = Window.partitionBy(col("user_id"))

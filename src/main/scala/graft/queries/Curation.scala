@@ -448,13 +448,12 @@ object Curation {
   // and the gate certifies the ZEROS are genuine, not skipped checks.
   // -------------------------------------------------------------------
   def q145ConstraintAudit(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val li = spark.read.parquet(s"$dir/lineitem.parquet")
     val ords = spark.read.parquet(s"$dir/orders.parquet")
     val cust = spark.read.parquet(s"$dir/customer.parquet")
     val d = docs(spark, dir)
-    val evts = spark.read.parquet(s"$dir/events.parquet")
-      .select(expr("ts div 1000").as("us"))
+    val evts = graft.sources.Events.ev(spark, dir)
+      .select(unix_micros(col("ts")).as("us"))
     def check(name: String, df: DataFrame): DataFrame =
       df.select(lit(name).as("check_name"),
         coalesce(col("violations"), lit(0L)).as("violations"))

@@ -1291,9 +1291,7 @@ object Pipeline {
   // 0.8%), sentinel-guarded.
   // -------------------------------------------------------------------
   def q134SlidingDistinct(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val raw = spark.read.parquet(s"$dir/events.parquet")
-    val ev = raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val ev = graft.sources.Events.ev(spark, dir)
       .select(date_trunc("hour", col("ts")).as("hour"), col("user_id"))
     val sk = ev.groupBy(col("hour"))
       .agg(expr("hll_sketch_agg(user_id, 14)").as("sk"))

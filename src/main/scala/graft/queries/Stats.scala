@@ -585,11 +585,10 @@ object Stats {
   // order and are NOT cross-engine reproducible; this form is.
   // -------------------------------------------------------------------
   def q142GroupLinreg(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val d38 = DecimalType(38, 0)
-    val base = spark.read.parquet(s"$dir/events.parquet")
+    val base = graft.sources.Events.ev(spark, dir)
       .select(col("event_type"),
-        expr("(ts div 1000 - 1704067200000000L) div 3600000000L").as("x"),
+        expr("(unix_micros(ts) - 1704067200000000L) div 3600000000L").as("x"),
         (col("value").cast(DecimalType(18, 6)) * 1000000).cast("long").as("v6"))
     val sums = base.groupBy(col("event_type")).agg(
       count(lit(1)).as("n"),

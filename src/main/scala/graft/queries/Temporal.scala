@@ -11,13 +11,8 @@ import graft.operators.TemporalJoins
   */
 object Temporal {
 
-  private def ev(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val raw = spark.read.parquet(s"$dir/events.parquet")
-    if (raw.schema("ts").dataType == LongType)
-      raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    else raw
-  }
+  private def ev(spark: SparkSession, dir: String): DataFrame =
+    graft.sources.Events.ev(spark, dir)
 
   // -------------------------------------------------------------------
   // q40: as-of join — for each purchase, the latest prior (or

@@ -16,25 +16,12 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   */
 object EventStreams {
 
-  /** events schema (ts as LONG nanos — see Analytics.ev note). */
-  val eventSchemaNanos: StructType = StructType(Seq(
-    StructField("event_id", LongType),
-    StructField("ts", LongType),
-    StructField("user_id", LongType),
-    StructField("event_type", StringType),
-    StructField("value", DoubleType),
-    StructField("props", StringType)))
-
-  private def readEventStream(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    // the streaming file source requires a DIRECTORY; select the events
-    // file from the sf dir with a glob filter
-    spark.readStream
-      .schema(eventSchemaNanos)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(dir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
-  }
+  /** Streaming events source: schema probed from the batch footer
+    * (never hard-coded — a stale schema silently misreads a
+    * regenerated file), `ts` normalized to TIMESTAMP_LTZ by the shared
+    * [[graft.sources.Events]] reader. */
+  private def readEventStream(spark: SparkSession, dir: String): DataFrame =
+    graft.sources.Events.readStream(spark, dir)
 
   /** Tumbling 1-hour windowed aggregation with a 2-hour watermark —
     * the streaming twin of the batch hourly rollup (q18). */

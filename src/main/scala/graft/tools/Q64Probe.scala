@@ -14,12 +14,7 @@ object Q64Probe {
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
-    def read(d: String): DataFrame = {
-      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      spark.readStream.schema(graft.streaming.EventStreams.eventSchemaNanos)
-        .option("pathGlobFilter", "events.parquet").parquet(d)
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    }
+    def read(d: String): DataFrame = graft.sources.Events.readStream(spark, d)
     def run(name: String, d: String, shared: Boolean): Unit = {
       val t0 = System.nanoTime()
       val ev = read(d)

@@ -14,9 +14,7 @@ object StreamProbe {
       println(f"[probe] $name: ${(System.nanoTime() - t0) / 1e9}%.1f s ($rows rows)")
     }
     // warm the parquet read + codegen paths
-    timed("warm batch read")(spark.read
-      .schema(graft.streaming.EventStreams.eventSchemaNanos)
-      .option("pathGlobFilter", "events.parquet").parquet(dir).count())
+    timed("warm batch read")(graft.sources.Events.ev(spark, dir).count())
     timed("q56 streamingDedup")(
       graft.streaming.EventStreams.streamingDedup(spark, dir).count())
     timed("q64 clickPurchase")(

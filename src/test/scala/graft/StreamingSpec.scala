@@ -90,9 +90,7 @@ class StreamingSpec extends SparkSpec {
     val streamed = graft.streaming.EventStreams
       .clickPurchaseLeftOuter(spark, sf).collect()
       .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2)))).toMap
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val ev = spark.read.parquet(s"$sf/events.parquet")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val ev = graft.sources.Events.ev(spark, sf)
     val clicks = ev.filter(col("event_type") === "click")
       .select(col("user_id").as("c_user"), col("ts").as("c_ts"))
     val purchases = ev.filter(col("event_type") === "purchase")
@@ -124,9 +122,7 @@ class StreamingSpec extends SparkSpec {
     val streamed = graft.streaming.EventStreams
       .clickPurchaseAttribution(spark, sf).collect()
       .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2)))).toMap
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val ev = spark.read.parquet(s"$sf/events.parquet")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val ev = graft.sources.Events.ev(spark, sf)
     val clicks = ev.filter(col("event_type") === "click")
       .select(col("user_id").as("c_user"), col("ts").as("c_ts"))
     val purchases = ev.filter(col("event_type") === "purchase")
