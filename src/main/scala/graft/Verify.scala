@@ -27,6 +27,17 @@ object Verify {
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        // a crashed query must show up as a FAILING correctness row,
+        // not silently vanish from the report (round-4: 10 crashed
+        // queries were absent from CORRECTNESS_r04 and went unnoticed).
+        // A 1-row marker with an impossible schema guarantees a
+        // schema+hash mismatch against any oracle.
+        try {
+          import spark.implicits._
+          Seq(s"${e.getClass.getName}: ${String.valueOf(e.getMessage).take(500)}")
+            .toDF("__graft_query_crashed")
+            .coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
+        } catch { case _: Throwable => () }
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)

@@ -594,7 +594,30 @@ object Analytics {
       |    CAST(SUM(n) OVER (PARTITION BY from_type) AS DOUBLE) AS prob
       |FROM c ORDER BY from_type, to_type""".stripMargin
 
+  // -------------------------------------------------------------------
+  // q148: events timeline canary — pins the REAL date range against the
+  // oracle's independent read of the file. The round-4 ts-encoding
+  // regression silently collapsed all timestamps into 1970-01-20; this
+  // query makes any such collapse (or a unit slip: ms/us/ns confusion
+  // shifts min/max by 1000×) a loud hash FAIL instead of 15 scattered
+  // downstream breakages. Scale: one partial-agged min/max/count scan.
+  // -------------------------------------------------------------------
+  def q148EventsSpan(spark: SparkSession, dir: String): DataFrame =
+    ev(spark, dir).agg(
+      min(col("ts")).as("ts_min"),
+      max(col("ts")).as("ts_max"),
+      count(lit(1)).as("n_events"),
+      sum(when(year(col("ts")) === 2024, 1L).otherwise(0L)).as("n_2024"))
+  val q148Sql: String =
+    """SELECT CAST(MIN(ts) AS TIMESTAMP) AS ts_min,
+      |  CAST(MAX(ts) AS TIMESTAMP) AS ts_max,
+      |  COUNT(*) AS n_events,
+      |  CAST(SUM(CASE WHEN EXTRACT(year FROM ts) = 2024
+      |    THEN 1 ELSE 0 END) AS BIGINT) AS n_2024
+      |FROM events""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q148_events_span" -> (q148EventsSpan _),
     "q147_markov_transitions" -> (q147MarkovTransitions _),
     "q101_grouping_sets" -> (q101GroupingSets _),
     "q100_rolling_window" -> (q100RollingWindow _),
@@ -618,6 +641,7 @@ object Analytics {
     "q24_json_extract" -> (q24Json _))
 
   val oracle: Map[String, String] = Map(
+    "q148_events_span" -> q148Sql,
     "q147_markov_transitions" -> q147Sql,
     "q101_grouping_sets" -> q101Sql,
     "q100_rolling_window" -> q100Sql,

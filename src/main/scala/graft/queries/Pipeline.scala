@@ -547,12 +547,41 @@ object Pipeline {
   // -------------------------------------------------------------------
   // q126: streaming SESSION windows — gap-based sessionization on the
   // real streaming engine (dynamic window extents, session-merge state
-  // path) with watermark-bounded state. Oracle: the batch q48
-  // lag/cumsum sessionization CTE — streaming and batch must agree
-  // exactly on the bounded stream.
+  // path), APPEND output: each session emits exactly once when the
+  // watermark (max event time − 2h) passes its end (last event +
+  // 30-min gap), to a distributed parquet sink — no driver-side
+  // materialization, and state is evicted as sessions close (the
+  // 100 TB-safe shape; Complete-mode memory sink was unbounded in
+  // |users|). Oracle: the q48 lag/cumsum sessionization CTE filtered
+  // by the SAME recomputed horizon; the held-back tail is asserted
+  // non-empty in StreamingSpec.
   // -------------------------------------------------------------------
   def q126StreamSession(spark: SparkSession, dir: String): DataFrame =
     graft.streaming.EventStreams.sessionRollupBatchDriven(spark, dir)
+  val q126Sql: String =
+    """WITH flagged AS (
+      |  SELECT user_id, ts, value,
+      |    CASE WHEN LAG(ts) OVER w IS NULL THEN 0
+      |         WHEN EPOCH_US(ts) - EPOCH_US(LAG(ts) OVER w) > 1800000000 THEN 1
+      |         ELSE 0 END AS new_sess
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+      |), sessed AS (
+      |  SELECT user_id, ts, value,
+      |    SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
+      |  FROM flagged
+      |), sess AS (
+      |  SELECT user_id, MIN(ts) AS session_start, COUNT(*) AS n_events,
+      |    CAST(CAST(SUM(CAST(value AS DECIMAL(20,6))) AS VARCHAR) AS DOUBLE)
+      |      AS session_value,
+      |    MAX(EPOCH_US(ts)) + 1800000000 AS end_us
+      |  FROM sessed GROUP BY user_id, session_idx
+      |)
+      |SELECT user_id, session_start, n_events, session_value
+      |FROM sess
+      |WHERE end_us <= (SELECT MAX(EPOCH_US(ts)) - 7200000000 FROM events)
+      |ORDER BY user_id, session_start""".stripMargin
 
   // -------------------------------------------------------------------
   // q103: decontamination APPLY — the removal step: clean per-source
@@ -1398,7 +1427,7 @@ object Pipeline {
     "q129_bm25" -> q129Sql,
     "q132_boolean_search" -> q132Sql,
     "q102_stream_sliding" -> Scalars.q44Sql, // identical output to the batch sliding window
-    "q126_stream_session" -> Scalars.q48Sql, // identical output to the batch session window
+    "q126_stream_session" -> q126Sql,
     "q103_decontaminate_apply" -> q103Sql,
     "q96_fuzzy_key_pairs" -> q96Sql,
     "q38_stream_hourly" -> q38Sql,

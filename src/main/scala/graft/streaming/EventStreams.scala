@@ -92,14 +92,20 @@ object EventStreams {
     * data-dependent window extents (Spark's session_window state store
     * merge path, not the static window-assign path).
     *
-    * Scale shape: state per (user, open session) only; the watermark
-    * closes sessions whose gap horizon has passed, so an unbounded
-    * stream sessionizes in bounded memory across 1000 executors. On the
-    * bounded test stream the result equals the batch session_window
-    * query (q48), whose lag/cumsum CTE is the oracle.
+    * Scale shape: state per (user, open session) only; APPEND output
+    * mode means the watermark both emits and EVICTS each session once
+    * its gap horizon passes, and the sink is a distributed parquet
+    * write — nothing is ever materialized on the driver (the former
+    * Complete-mode memory sink collected the whole per-user result
+    * table every trigger: unbounded in |users| at 100 TB). On the
+    * bounded test stream the emitted set is exactly the batch q48
+    * sessions whose end (last event + 30-min gap) the final watermark
+    * (max event time − 2 h) passed — the oracle recomputes that
+    * horizon, and the held-back tail is asserted non-empty in
+    * StreamingSpec so the gate can't go vacuous.
     */
   def sessionRollupBatchDriven(spark: SparkSession, dir: String): DataFrame = {
-    val name = s"graft_stream_session_${System.nanoTime()}"
+    val target = graft.util.TempDirs.scratch("graft_stream_session")
     val saved = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "8")
     val q = try {
@@ -111,13 +117,27 @@ object EventStreams {
             .as("session_value"))
         .select(col("user_id"), col("session_window.start").as("session_start"),
           col("n_events"), col("session_value"))
-        .writeStream.outputMode(OutputMode.Complete())
-        .format("memory").queryName(name)
+        .writeStream.outputMode(OutputMode.Append())
+        .format("parquet")
+        .option("path", s"$target/out")
+        .option("checkpointLocation", s"$target/ckpt")
         .start()
     } finally spark.conf.set("spark.sql.shuffle.partitions", saved)
     try q.processAllAvailable() finally q.stop()
-    spark.table(name)
-      .orderBy(asc("user_id"), asc("session_start"))
+    val outDir = new java.io.File(s"$target/out")
+    val hasRows = Option(outDir.listFiles())
+      .exists(_.exists(f => f.getName.endsWith(".parquet")))
+    if (hasRows)
+      spark.read.parquet(s"$target/out")
+        .orderBy(asc("user_id"), asc("session_start"))
+    else
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        StructType(Seq(
+          StructField("user_id", LongType),
+          StructField("session_start", TimestampType),
+          StructField("n_events", LongType),
+          StructField("session_value", DoubleType))))
   }
 
   /** Streaming deduplication — the ingest-dedup stage of a training

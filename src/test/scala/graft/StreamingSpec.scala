@@ -20,15 +20,32 @@ class StreamingSpec extends SparkSpec {
     assert(sKeys === bKeys)
   }
 
-  test("streaming session windows equal the batch session_window query") {
+  test("streaming session windows equal the watermark-closed batch sessions") {
     val streamed = graft.streaming.EventStreams
       .sessionRollupBatchDriven(spark, sf).collect()
       .map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2), r.getDouble(3)))
-    val batch = graft.queries.Scalars.q48SessionWindow(spark, sf).collect()
-      .map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2), r.getDouble(3)))
-    assert(streamed.toSeq === batch.toSeq)
+    // append-mode semantics: a session emits iff the final watermark
+    // (max event time − 2h) passed its end (last event + 30-min gap)
+    val ev = graft.sources.Events.ev(spark, sf)
+    val wm = ev.agg(max(unix_micros(col("ts")))).collect()(0).getLong(0) -
+      7200L * 1000000L
+    val batchAll = ev
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast(org.apache.spark.sql.types.DecimalType(20, 6)))
+          .cast("double").as("session_value"))
+    val batchClosed = batchAll
+      .filter(unix_micros(col("session_window.end")) <= wm)
+      .select(col("user_id"), col("session_window.start"),
+        col("n_events"), col("session_value"))
+      .orderBy(col("user_id"), col("session_window.start"))
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2), r.getDouble(3)))
+    assert(streamed.toSeq === batchClosed.toSeq)
     // dynamic-extent merging actually happened: some session holds >1 event
     assert(streamed.exists(_._3 > 1L))
+    // the watermark horizon actually held sessions back — non-vacuous gate
+    assert(batchAll.count() > streamed.length,
+      "no session was held back by the watermark — horizon gate is vacuous")
   }
 
   test("streaming dedup equals batch distinct") {
