@@ -159,13 +159,30 @@ object Temporal {
     val e = ev(spark, dir).select(col("user_id"),
       unix_micros(col("ts")).as("us"))
       .withColumn("day", expr("us div 86400000000L"))
+    // tiny (|users|·days rows, 4 longs) — persist so the pair join's
+    // two sides don't each rescan and re-aggregate the raw events
     val iv = e.groupBy(col("user_id"), col("day"))
       .agg(min(col("us")).as("s"), max(col("us")).as("e"))
+      .persist()
+    // Repartition the probe side by u1 BEFORE the day join (45k-row
+    // shuffle): the broadcast join preserves that partitioning, so
+    // every (u1,·) pair row lands where its group lives and the
+    // pair aggregation runs as ONE exchange-free hash agg with small
+    // per-partition maps. Without this, the (user,day)-partitioned
+    // probe side made the partial agg see ~rows≈groups (2M-entry maps,
+    // sort fallback) and shuffled all ~34M pair rows. The partition
+    // count MUST be explicit: the probe side is tiny (~1.4 MB) and an
+    // AQE-coalescible repartition(col) collapses it to ONE partition —
+    // which serializes the 30M-row pair stage it feeds (measured 5.9 s
+    // single-threaded vs 1.8 s at 32). Small input, huge flatMap-out:
+    // size-based coalescing sees only the input bytes.
     val a = iv.select(col("day"), col("user_id").as("u1"),
       col("s").as("s1"), col("e").as("e1"))
+      .repartition(spark.conf.get("spark.sql.shuffle.partitions").toInt,
+        col("u1"))
     val b = iv.select(col("day"), col("user_id").as("u2"),
       col("s").as("s2"), col("e").as("e2"))
-    a.join(b, Seq("day"))
+    a.join(broadcast(b), Seq("day"))
       .filter(col("u1") < col("u2"))
       .withColumn("ov",
         least(col("e1"), col("e2")) - greatest(col("s1"), col("s2")))
