@@ -60,7 +60,9 @@ object Bench {
       // persist, wedge join, closing broadcast) — 12 s cold vs 3 s
       // warm at sf0.1; streaming outer join adds the eviction path
       graft.queries.Pipeline.q127Triangles _,
-      graft.queries.Pipeline.q133StreamLeftOuter _
+      graft.queries.Pipeline.q133StreamLeftOuter _,
+      // full-outer stream-stream join compiles its own eviction shape
+      graft.queries.Pipeline.q151StreamFullOuter _
     ).foreach { f => try f(spark, warmDir).count() catch { case _: Throwable => } }
 
     // The reference memoizes columns across queries in its Pool

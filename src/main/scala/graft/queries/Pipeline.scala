@@ -1061,6 +1061,58 @@ object Pipeline {
   // -------------------------------------------------------------------
   def q133StreamLeftOuter(spark: SparkSession, dir: String): DataFrame =
     graft.streaming.EventStreams.clickPurchaseLeftOuter(spark, dir)
+
+  // -------------------------------------------------------------------
+  // q151: FULL OUTER stream-stream join — completes the watermarked
+  // join matrix (inner q64, left outer q133). Unmatched clicks emit
+  // when the watermark closes their 30-min window (same horizon as
+  // q133); unmatched purchases emit when the watermark passes their
+  // event time (p_ts strictly before the horizon — no earlier click
+  // can still arrive, since clicks precede their purchases in the
+  // join condition). Both eviction horizons are recomputed exactly in
+  // the oracle; StreamingSpec asserts both outer paths fire AND both
+  // hold-backs are non-vacuous. Sink is a distributed parquet write.
+  // -------------------------------------------------------------------
+  def q151StreamFullOuter(spark: SparkSession, dir: String): DataFrame =
+    graft.streaming.EventStreams.clickPurchaseFullOuter(spark, dir)
+  val q151Sql: String =
+    """WITH c AS (SELECT user_id, ts FROM events WHERE event_type = 'click'),
+      |p AS (SELECT user_id, ts FROM events WHERE event_type = 'purchase'),
+      |wm AS (
+      |  SELECT LEAST((SELECT MAX(ts) FROM c), (SELECT MAX(ts) FROM p))
+      |    - INTERVAL 1 HOUR AS w
+      |), m AS (
+      |  SELECT c.user_id, COUNT(*) AS n FROM c JOIN p
+      |    ON p.user_id = c.user_id
+      |    AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE
+      |  GROUP BY c.user_id
+      |), uc AS (
+      |  SELECT user_id, COUNT(*) AS n FROM c
+      |  WHERE NOT EXISTS (SELECT 1 FROM p
+      |      WHERE p.user_id = c.user_id
+      |      AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE)
+      |    AND c.ts + INTERVAL 30 MINUTE < (SELECT w FROM wm)
+      |  GROUP BY user_id
+      |), up AS (
+      |  SELECT user_id, COUNT(*) AS n FROM p
+      |  WHERE NOT EXISTS (SELECT 1 FROM c
+      |      WHERE c.user_id = p.user_id
+      |      AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE)
+      |    AND p.ts < (SELECT w FROM wm)
+      |  GROUP BY user_id
+      |), u AS (
+      |  SELECT user_id FROM m UNION SELECT user_id FROM uc
+      |  UNION SELECT user_id FROM up
+      |)
+      |SELECT u.user_id,
+      |  COALESCE(m.n, 0) AS n_matched,
+      |  COALESCE(uc.n, 0) AS n_unmatched_clicks,
+      |  COALESCE(up.n, 0) AS n_unmatched_purchases
+      |FROM u
+      |LEFT JOIN m ON m.user_id = u.user_id
+      |LEFT JOIN uc ON uc.user_id = u.user_id
+      |LEFT JOIN up ON up.user_id = u.user_id
+      |ORDER BY u.user_id""".stripMargin
   val q133Sql: String =
     """WITH c AS (SELECT user_id, ts FROM events WHERE event_type = 'click'),
       |p AS (SELECT user_id, ts FROM events WHERE event_type = 'purchase'),
@@ -1386,6 +1438,7 @@ object Pipeline {
     "q56_stream_dedup" -> (q56StreamDedup _),
     "q64_stream_join" -> (q64StreamJoin _),
     "q133_stream_left_outer" -> (q133StreamLeftOuter _),
+    "q151_stream_full_outer" -> (q151StreamFullOuter _),
     "q87_stream_upsert" -> (q87StreamUpsert _),
     "q65_tfidf" -> (q65Tfidf _),
     "q66_vocab" -> (q66Vocab _),
@@ -1439,6 +1492,7 @@ object Pipeline {
     "q82_neardup_clusters_alt" -> q55Sql,
     "q64_stream_join" -> q64Sql,
     "q133_stream_left_outer" -> q133Sql,
+    "q151_stream_full_outer" -> q151Sql,
     "q87_stream_upsert" -> q87Sql,
     "q65_tfidf" -> q65Sql,
     "q66_vocab" -> q66Sql,

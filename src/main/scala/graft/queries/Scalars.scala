@@ -382,7 +382,105 @@ object Scalars {
       |  MIN(doc_id) AS min_id
       |FROM documents GROUP BY lang, source ORDER BY lang, source""".stripMargin
 
+  // -------------------------------------------------------------------
+  // q149: DYNAMIC partition pruning — the 100 TB star-join staple,
+  // fact-partitioned-by-date ⋈ date-dim. The fact table is laid out
+  // partitioned by day; the dim is a runtime-built day dimension
+  // filtered to Mondays — a LITERAL filter (Catalyst's
+  // isLikelySelective requires one; an attr-vs-attr comparison
+  // disqualifies the join from DPP) whose qualifying day set is still
+  // unknowable at plan time. Catalyst injects a dynamicpruning#N
+  // subquery into the fact scan's PartitionFilters (ScaleSpec asserts
+  // it, plus some-but-not-all pruning) and only ~1/7 of the
+  // directories are read — at 100 TB, the difference between scanning
+  // the lake and scanning the qualifying partitions. Oracle: the same
+  // join on the RAW table — pruning must not change any answer.
+  // -------------------------------------------------------------------
+  def q149DynamicPruning(spark: SparkSession, dir: String): DataFrame = {
+    val out = graft.util.TempDirs.scratch("graft_dpp")
+    ev(spark, dir)
+      .select(col("event_id"), col("user_id"), col("value"),
+        to_date(col("ts")).as("day"))
+      .write.mode("overwrite").partitionBy("day").parquet(out)
+    val fact = spark.read.parquet(out) // partition col read back as DATE
+    val dim = ev(spark, dir)
+      .select(to_date(col("ts")).as("day")).distinct()
+      .filter(dayofweek(col("day")) === 2) // Monday
+    fact.join(broadcast(dim), Seq("day"))
+      .groupBy(col("day"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast(DecimalType(20, 6))).cast("double").as("sum_value"))
+      .orderBy(asc("day"))
+  }
+  val q149Sql: String =
+    """WITH d AS (
+      |  SELECT DISTINCT CAST(ts AS DATE) AS day
+      |  FROM events WHERE EXTRACT(dow FROM ts) = 1
+      |)
+      |SELECT CAST(e.ts AS DATE) AS day, COUNT(*) AS n,
+      |  CAST(CAST(SUM(CAST(e.value AS DECIMAL(20,6))) AS VARCHAR) AS DOUBLE) AS sum_value
+      |FROM events e JOIN d ON CAST(e.ts AS DATE) = d.day
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // -------------------------------------------------------------------
+  // q150: runtime BLOOM-FILTER join (semi-join reduction) — Catalyst's
+  // InjectRuntimeFilter builds a bloom filter over the selective build
+  // side (URGENT orders) and pushes a BloomFilterMightContain probe
+  // into the lineitem scan, so ~80% of fact rows drop BEFORE the join
+  // shuffle. At 100 TB this is THE lever for selective fact-fact
+  // joins: shuffle bytes shrink by the filter's selectivity, not by
+  // luck. Local thresholds (10 GB scan floor) are lowered inside the
+  // query and restored after the plan MATERIALIZES (the result is
+  // computed to scratch inside the conf window — conf must be live at
+  // optimization time, and must not leak into other queries' plans);
+  // broadcast is disabled in the window so the join actually shuffles
+  // (a broadcast join needs no runtime filter). ScaleSpec asserts
+  // bloom_filter_agg / BloomFilterMightContain in the executed plan.
+  // Oracle: the identical plain join — a bloom filter has no false
+  // negatives, so the answer must not change.
+  // -------------------------------------------------------------------
+  def q150BloomJoin(spark: SparkSession, dir: String): DataFrame = {
+    val out = graft.util.TempDirs.scratch("graft_bloomjoin")
+    val saved = Seq(
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.optimizer.runtime.bloomFilter.enabled",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold")
+      .map(k => k -> spark.conf.getOption(k))
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+      spark.conf.set(
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+      spark.conf.set(
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "64MB")
+      val li = spark.read.parquet(s"$dir/lineitem.parquet")
+        .select(col("l_orderkey"), col("l_extendedprice"))
+      val urgent = spark.read.parquet(s"$dir/orders.parquet")
+        .filter(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_orderkey"), col("o_custkey"))
+      li.join(urgent, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_custkey"))
+        .agg(count(lit(1)).as("n_items"),
+          sum(col("l_extendedprice").cast(DecimalType(20, 2))).cast("double")
+            .as("revenue"))
+        .write.mode("overwrite").parquet(out)
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+    spark.read.parquet(out).orderBy(asc("o_custkey"))
+  }
+  val q150Sql: String =
+    """SELECT o_custkey, COUNT(*) AS n_items,
+      |  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(20,2))) AS VARCHAR) AS DOUBLE) AS revenue
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |WHERE o_orderpriority = '1-URGENT'
+      |GROUP BY o_custkey ORDER BY o_custkey""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q149_dynamic_pruning" -> (q149DynamicPruning _),
+    "q150_bloom_join" -> (q150BloomJoin _),
     "q107_partitioned_roundtrip" -> (q107PartitionedRoundtrip _),
     "q109_bucketed_join" -> (q109BucketedJoin _),
     "q112_csv_roundtrip" -> (q112CsvRoundtrip _),
@@ -398,6 +496,8 @@ object Scalars {
     "q48_session_window" -> (q48SessionWindow _))
 
   val oracle: Map[String, String] = Map(
+    "q149_dynamic_pruning" -> q149Sql,
+    "q150_bloom_join" -> q150Sql,
     "q107_partitioned_roundtrip" -> q107Sql,
     "q109_bucketed_join" -> q109Sql,
     "q112_csv_roundtrip" -> q112Sql,

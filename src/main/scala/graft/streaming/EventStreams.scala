@@ -420,6 +420,52 @@ object EventStreams {
       .orderBy(asc("user_id"))
   }
 
+  /** FULL OUTER stream-stream join — completes the watermarked join
+    * matrix (inner = q64, left outer = q133): matched click-purchase
+    * pairs emit on match; unmatched clicks emit null-padded once the
+    * watermark closes their 30-min match window; unmatched purchases
+    * emit null-padded once the watermark passes their event time (no
+    * earlier click can still arrive). State on both sides is evicted
+    * at the same horizons, and the sink is a distributed parquet
+    * write — bounded state, nothing driver-side, at any |users|.
+    */
+  def clickPurchaseFullOuter(spark: SparkSession, dir: String): DataFrame = {
+    val target = graft.util.TempDirs.scratch("graft_stream_fouter")
+    val saved = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    val q = try {
+      val events = readEventStream(spark, dir)
+      val clicks = events
+        .filter(col("event_type") === "click")
+        .select(col("user_id").as("c_user"), col("ts").as("c_ts"))
+        .withWatermark("c_ts", "1 hour")
+      val purchases = events
+        .filter(col("event_type") === "purchase")
+        .select(col("user_id").as("p_user"), col("ts").as("p_ts"))
+        .withWatermark("p_ts", "1 hour")
+      clicks.join(purchases,
+          col("c_user") === col("p_user") &&
+            col("p_ts") >= col("c_ts") &&
+            col("p_ts") <= col("c_ts") + expr("INTERVAL 30 MINUTES"),
+          "full_outer")
+        .select(coalesce(col("c_user"), col("p_user")).as("user_id"),
+          col("c_ts").isNotNull.as("has_click"),
+          col("p_ts").isNotNull.as("has_purchase"))
+        .writeStream.outputMode(OutputMode.Append())
+        .format("parquet")
+        .option("path", s"$target/out")
+        .option("checkpointLocation", s"$target/ckpt")
+        .start()
+    } finally spark.conf.set("spark.sql.shuffle.partitions", saved)
+    try q.processAllAvailable() finally q.stop()
+    spark.read.parquet(s"$target/out")
+      .groupBy(col("user_id"))
+      .agg(count(when(col("has_click") && col("has_purchase"), 1)).as("n_matched"),
+        count(when(!col("has_purchase"), 1)).as("n_unmatched_clicks"),
+        count(when(!col("has_click"), 1)).as("n_unmatched_purchases"))
+      .orderBy(asc("user_id"))
+  }
+
   def clickPurchaseAttribution(spark: SparkSession, dir: String): DataFrame = {
     val name = s"graft_stream_join_${System.nanoTime()}"
     val saved = spark.conf.get("spark.sql.shuffle.partitions")

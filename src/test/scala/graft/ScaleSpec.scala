@@ -60,6 +60,70 @@ class ScaleSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
   }
 
+  test("q149: dynamic partition pruning fires on the partitioned fact scan") {
+    // same shape as the registered query: partitioned fact, runtime-
+    // computed dim filter — the fact scan must carry a dynamicpruning
+    // subquery in its PartitionFilters
+    val out = graft.util.TempDirs.scratch("graft_dpp_spec")
+    val ev = graft.sources.Events.ev(spark, sf)
+    ev.select(col("event_id"), col("value"), to_date(col("ts")).as("day"))
+      .write.mode("overwrite").partitionBy("day").parquet(out)
+    val fact = spark.read.parquet(out)
+    val dim = ev.select(to_date(col("ts")).as("day")).distinct()
+      .filter(dayofweek(col("day")) === 2)
+    val joined = fact.join(broadcast(dim), Seq("day"))
+      .groupBy(col("day")).agg(count(lit(1)).as("n"))
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.toLowerCase.contains("dynamicpruning"),
+      s"expected dynamic partition pruning in fact scan, got:\n${plan.take(4000)}")
+    // pruning must not change the answer, and must actually prune
+    val got = joined.collect().map(r => r.getDate(0).toString -> r.getLong(1)).toMap
+    val days = ev.select(to_date(col("ts"))).distinct().count()
+    assert(got.nonEmpty && got.size < days,
+      s"dim filter should keep some-but-not-all days, kept ${got.size} of $days")
+    val expect = ev
+      .select(to_date(col("ts")).as("day"), col("event_id"))
+      .join(dim, Seq("day"))
+      .groupBy(col("day")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getDate(0).toString -> r.getLong(1)).toMap
+    assert(got === expect)
+  }
+
+  test("q150: runtime bloom filter reduces the fact side before the shuffle") {
+    val savedKeys = Seq(
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.optimizer.runtime.bloomFilter.enabled",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold")
+      .map(k => k -> spark.conf.getOption(k))
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+      spark.conf.set(
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+      spark.conf.set(
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "64MB")
+      val li = spark.read.parquet(s"$sf/lineitem.parquet")
+        .select(col("l_orderkey"), col("l_extendedprice"))
+      val urgent = spark.read.parquet(s"$sf/orders.parquet")
+        .filter(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_orderkey"))
+      val joined = li.join(urgent, col("l_orderkey") === col("o_orderkey"))
+      val optimized = joined.queryExecution.optimizedPlan.toString
+      assert(optimized.contains("bloom_filter_agg") ||
+        optimized.contains("BloomFilterMightContain") ||
+        optimized.contains("might_contain"),
+        s"expected an injected runtime bloom filter, got:\n${optimized.take(4000)}")
+      // no false negatives: result identical to the plain join
+      val expected = li.join(urgent.hint("broadcast"),
+        col("l_orderkey") === col("o_orderkey")).count()
+      assert(joined.count() === expected)
+    } finally savedKeys.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("upsert: updates win per key, inserts land, unmatched base survives") {
     val base = Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0))
       .toDF("k", "status", "v")

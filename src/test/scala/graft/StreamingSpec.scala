@@ -135,6 +135,47 @@ class StreamingSpec extends SparkSpec {
       "watermark horizon never held a click back — gate is vacuous")
   }
 
+  test("full-outer stream-stream join: matches + both watermark-closed unmatched sides") {
+    val streamed = graft.streaming.EventStreams
+      .clickPurchaseFullOuter(spark, sf).collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    val ev = graft.sources.Events.ev(spark, sf)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("c_ts"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"))
+    val wm = math.min(
+      clicks.agg(max(unix_micros(col("c_ts")))).collect()(0).getLong(0),
+      purchases.agg(max(unix_micros(col("p_ts")))).collect()(0).getLong(0)) -
+      3600L * 1000000L
+    val cond = col("c_user") === col("p_user") &&
+      col("p_ts") >= col("c_ts") &&
+      col("p_ts") <= col("c_ts") + expr("INTERVAL 30 MINUTES")
+    val m = clicks.join(purchases, cond)
+      .groupBy(col("c_user").as("u")).agg(count(lit(1)).as("m"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val uc = clicks.join(purchases, cond, "left_anti")
+      .filter(unix_micros(col("c_ts")) + 1800L * 1000000L < wm)
+      .groupBy(col("c_user")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val up = purchases.join(clicks, cond, "left_anti")
+      .filter(unix_micros(col("p_ts")) < wm)
+      .groupBy(col("p_user")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val users = (m.keySet ++ uc.keySet ++ up.keySet)
+    val batch = users.map(u => u ->
+      (m.getOrElse(u, 0L), uc.getOrElse(u, 0L), up.getOrElse(u, 0L))).toMap
+    assert(streamed === batch)
+    // both outer paths actually occurred — non-vacuous
+    assert(streamed.values.exists(_._2 > 0), "no unmatched clicks emitted")
+    assert(streamed.values.exists(_._3 > 0), "no unmatched purchases emitted")
+    // and the horizon held something back on each side
+    val allUc = clicks.join(purchases, cond, "left_anti").count()
+    val allUp = purchases.join(clicks, cond, "left_anti").count()
+    assert(allUc > streamed.values.map(_._2).sum, "click hold-back vacuous")
+    assert(allUp > streamed.values.map(_._3).sum, "purchase hold-back vacuous")
+  }
+
   test("stream-stream join attribution equals batch self-join") {
     val streamed = graft.streaming.EventStreams
       .clickPurchaseAttribution(spark, sf).collect()
