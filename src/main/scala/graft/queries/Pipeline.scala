@@ -411,6 +411,50 @@ object Pipeline {
   // containment weakening needed. Quantization loss vs float top-10 is
   // pinned by OperatorsSpec (recall ≥ 0.8 measured vs q34's exact).
   // -------------------------------------------------------------------
+  // -------------------------------------------------------------------
+  // q152: derandomized Johnson-Lindenstrauss projection — 64-dim float
+  // embeddings → 32 exact fixed-point dims via the native codegen'd
+  // VecJLProject (±1 signs are a pure int64 hash of (i,j): two
+  // xor-fold + odd-multiply rounds, bit 40 — no matrix to broadcast,
+  // every executor and the oracle REGENERATE the identical
+  // projection; sign-column correlations measured at true-random
+  // levels, see VecJLProject scaladoc). Map-only: at 100 TB this is
+  // the shrink-before-ANN pass — 2× fewer embedding bytes scanned and
+  // shuffled downstream, one scan, zero shuffle (the output explode
+  // is display-format only). Fixed-point floor(v·1e6) accumulation in
+  // int64 makes every output bit-replayable in DuckDB — an EXACT
+  // oracle for a "random" projection. Distance preservation vs float
+  // cosine is floored by OperatorsSpec.
+  // -------------------------------------------------------------------
+  def q152JlProjection(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.VectorFunctions.vec_jl_project
+    emb(spark, dir)
+      .select(col("vec_id"),
+        posexplode(vec_jl_project(col("embedding"), 32, 1e6)))
+      .select(col("vec_id"), col("pos").cast("long").as("j"), col("col").as("p"))
+      .orderBy(asc("vec_id"), asc("j"))
+  }
+  val q152Sql: String =
+    """WITH elems AS (
+      |  SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS i,
+      |    CAST(FLOOR(CAST(unnest(embedding) AS DOUBLE) * 1000000) AS BIGINT) AS f
+      |  FROM embeddings
+      |), signs AS (
+      |  SELECT i, j, CASE WHEN ((xor((h1 >> 24), (h1 % 16777216))
+      |      * 2654435761) >> 40) % 2 = 0 THEN 1 ELSE -1 END AS sg
+      |  FROM (
+      |    SELECT i.range AS i, j.range AS j,
+      |      xor(i.range * 65521 + j.range * 131071,
+      |          (i.range * 65521 + j.range * 131071) >> 8) * 2654435761 AS h1
+      |    FROM range(64) i CROSS JOIN range(32) j
+      |  )
+      |)
+      |SELECT vec_id, CAST(s.j AS BIGINT) AS j,
+      |  CAST(SUM(s.sg * e.f) AS BIGINT) AS p
+      |FROM elems e JOIN signs s ON s.i = e.i
+      |GROUP BY vec_id, s.j
+      |ORDER BY vec_id, j""".stripMargin
+
   def q119QuantizedAnn(spark: SparkSession, dir: String): DataFrame = {
     val e = emb(spark, dir)
     val nv = e.select(col("vec_id"),
@@ -1449,7 +1493,8 @@ object Pipeline {
     "q81_bpe_tokens" -> (q81BpeTokens _),
     "q82_neardup_clusters_alt" -> (q82NeardupClustersAlt _),
     "q117_dedup_pipeline" -> (q117DedupPipeline _),
-    "q119_quantized_ann" -> (q119QuantizedAnn _))
+    "q119_quantized_ann" -> (q119QuantizedAnn _),
+    "q152_jl_projection" -> (q152JlProjection _))
 
   val oracle: Map[String, String] = Map(
     "q25_text_stats" -> q25Sql,
@@ -1498,5 +1543,6 @@ object Pipeline {
     "q66_vocab" -> q66Sql,
     "q67_centroids" -> q67Sql,
     "q117_dedup_pipeline" -> q117Sql,
-    "q119_quantized_ann" -> q119Sql)
+    "q119_quantized_ann" -> q119Sql,
+    "q152_jl_projection" -> q152Sql)
 }
