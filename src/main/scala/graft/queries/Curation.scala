@@ -515,7 +515,58 @@ object Curation {
       |)
       |ORDER BY check_name""".stripMargin
 
+  // -------------------------------------------------------------------
+  // q154: token-budget mixture allocation — the training-mix planning
+  // step: split a fixed token budget across sources proportionally to
+  // their corpus size, with the largest-remainder method so the
+  // allocations are integers that sum to EXACTLY the budget (floor
+  // division alone under-allocates by up to |sources|−1). All integer
+  // arithmetic — floor-div, mod, a rank over the per-source remainders
+  // (|sources| rows, driver-scale) — so the oracle replays it
+  // bit-for-bit. The only data-sized work is one token-count aggregate
+  // over documents (partial-agged); everything after runs on the tiny
+  // per-source frame. At 100 TB route the budget·tokens product
+  // through DECIMAL(38,0) (token totals ~1e13 × budgets ~1e6 overflow
+  // int64); at driver-test scales the long math below is exact.
+  // -------------------------------------------------------------------
+  def q154TokenBudget(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.TextAnalysis
+    val budget = 1000000L
+    val t = docs(spark, dir).groupBy(col("source"))
+      .agg(sum(TextAnalysis.tokenCount(col("text"))).as("toks"))
+    val g = t.agg(sum(col("toks")).as("total"))
+    val b = t.crossJoin(broadcast(g))
+      .select(col("source"), col("toks"),
+        expr(s"($budget * toks) div total").as("base"),
+        expr(s"($budget * toks) % total").as("rem"))
+    val leftover = b.agg((lit(budget) - sum(col("base"))).as("leftover"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(desc("rem"), asc("source"))
+    b.withColumn("rk", row_number().over(w))
+      .crossJoin(broadcast(leftover))
+      .select(col("source"), col("toks"),
+        (col("base") + when(col("rk") <= col("leftover"), 1L).otherwise(0L))
+          .as("alloc"))
+      .orderBy(asc("source"))
+  }
+  val q154Sql: String =
+    s"""WITH t AS (
+      |  SELECT source, CAST(SUM(LEN($toksSql)) AS BIGINT) AS toks
+      |  FROM documents GROUP BY source
+      |), g AS (SELECT SUM(toks) AS total FROM t),
+      |b AS (
+      |  SELECT source, toks, (1000000 * toks) // total AS base,
+      |    (1000000 * toks) % total AS rem
+      |  FROM t, g
+      |), l AS (SELECT 1000000 - SUM(base) AS leftover FROM b),
+      |r AS (SELECT *, ROW_NUMBER() OVER (ORDER BY rem DESC, source) AS rk FROM b)
+      |SELECT source, toks,
+      |  CAST(base + CASE WHEN rk <= (SELECT leftover FROM l)
+      |    THEN 1 ELSE 0 END AS BIGINT) AS alloc
+      |FROM r ORDER BY source""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q154_token_budget" -> (q154TokenBudget _),
     "q145_constraint_audit" -> (q145ConstraintAudit _),
     "q108_truncate_tokens" -> (q108TruncateTokens _),
     "q85_boilerplate" -> (q85Boilerplate _),
@@ -533,6 +584,7 @@ object Curation {
     "q120_fuzzy_decontaminate" -> (q120FuzzyDecontaminate _))
 
   val oracle: Map[String, String] = Map(
+    "q154_token_budget" -> q154Sql,
     "q145_constraint_audit" -> q145Sql,
     "q108_truncate_tokens" -> q108Sql,
     "q85_boilerplate" -> q85Sql,

@@ -478,7 +478,90 @@ object Scalars {
       |WHERE o_orderpriority = '1-URGENT'
       |GROUP BY o_custkey ORDER BY o_custkey""".stripMargin
 
+  // -------------------------------------------------------------------
+  // q155: incremental JOIN-view maintenance — the delta algebra for a
+  // materialized join: with insert-only deltas ΔO (new orders) and ΔC
+  // (new customers), the new join state is exactly
+  //   (O∪ΔO)⋈(C∪ΔC) = O⋈C  ∪  ΔO⋈(C∪ΔC)  ∪  O⋈ΔC
+  // so the refresh touches only DELTA-sized joins plus a keyed merge
+  // of two aggregates — never a rescan of the standing fact table. At
+  // 100 TB this is the difference between a nightly full join and a
+  // minutes-long delta apply; ΔO/ΔC are synthesized deterministically
+  // (orderkey%97, custkey%50) so the ORACLE is the naive full
+  // recompute — incremental must equal full, bit-for-bit through the
+  // decimal convention.
+  // -------------------------------------------------------------------
+  def q155IncrementalJoin(spark: SparkSession, dir: String): DataFrame = {
+    val o = spark.read.parquet(s"$dir/orders.parquet")
+      .select(col("o_orderkey"), col("o_custkey"),
+        col("o_totalprice").cast(DecimalType(20, 2)).as("price"))
+    val c = spark.read.parquet(s"$dir/customer.parquet")
+      .select(col("c_custkey"), col("c_mktsegment"))
+    val oOld = o.filter(col("o_orderkey") % 97 =!= 0)
+    val oDelta = o.filter(col("o_orderkey") % 97 === 0)
+    val cOld = c.filter(col("c_custkey") % 50 =!= 0)
+    val cDelta = c.filter(col("c_custkey") % 50 === 0)
+    def agg(j: DataFrame): DataFrame = j.groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n"), sum(col("price")).as("rev"))
+    // standing state: the already-materialized base join aggregate
+    val base = agg(oOld.join(cOld, col("o_custkey") === col("c_custkey")))
+    // delta apply: ΔO against the FULL dim, old fact against ΔC only
+    val d1 = agg(oDelta.join(c, col("o_custkey") === col("c_custkey")))
+    val d2 = agg(oOld.join(cDelta, col("o_custkey") === col("c_custkey")))
+    base.unionByName(d1).unionByName(d2)
+      .groupBy(col("c_mktsegment"))
+      .agg(sum(col("n")).as("n_orders"),
+        sum(col("rev")).cast("double").as("revenue"))
+      .orderBy(asc("c_mktsegment"))
+  }
+  val q155Sql: String =
+    """SELECT c_mktsegment, COUNT(*) AS n_orders,
+      |  CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(20,2))) AS VARCHAR) AS DOUBLE) AS revenue
+      |FROM orders JOIN customer ON o_custkey = c_custkey
+      |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
+
+  // -------------------------------------------------------------------
+  // q156: small-file COMPACTION — the lakehouse maintenance op:
+  // streaming/CDC sinks leave thousands of KB-sized files whose
+  // per-file open/footer cost dominates scans (at 100 TB, a million
+  // 1 MB files is a metadata catastrophe — target ~128 MB-1 GB files,
+  // |files| ≈ bytes/target). Simulated here: a 64-way fragmented
+  // write, then bin-packed to ceil(total/target) files by measuring
+  // the ACTUAL on-disk bytes (not row counts — compression skew makes
+  // row-based packing wrong). Round-robin repartition(n) gives
+  // near-equal file sizes. The oracle reads the ORIGINAL table —
+  // compaction must not change any answer; SourcesSpec asserts the
+  // file-count arithmetic.
+  // -------------------------------------------------------------------
+  def q156Compaction(spark: SparkSession, dir: String): DataFrame = {
+    val base = graft.util.TempDirs.scratch("graft_compact")
+    spark.read.parquet(s"$dir/lineitem.parquet")
+      .select(col("l_orderkey"), col("l_extendedprice"), col("l_returnflag"))
+      .repartition(64) // simulate a fragmented sink
+      .write.mode("overwrite").parquet(s"$base/small")
+    val small = new java.io.File(s"$base/small").listFiles()
+      .filter(_.getName.endsWith(".parquet"))
+    val targetBytes = 4L * 1024 * 1024
+    val n = math.max(1,
+      math.ceil(small.map(_.length).sum.toDouble / targetBytes).toInt)
+    spark.read.parquet(s"$base/small")
+      .repartition(n)
+      .write.mode("overwrite").parquet(s"$base/compact")
+    spark.read.parquet(s"$base/compact")
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("l_extendedprice").cast(DecimalType(20, 2))).cast("double")
+          .as("sum_price"))
+      .orderBy(asc("l_returnflag"))
+  }
+  val q156Sql: String =
+    """SELECT l_returnflag, COUNT(*) AS n,
+      |  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(20,2))) AS VARCHAR) AS DOUBLE) AS sum_price
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q156_compaction" -> (q156Compaction _),
+    "q155_incremental_join" -> (q155IncrementalJoin _),
     "q149_dynamic_pruning" -> (q149DynamicPruning _),
     "q150_bloom_join" -> (q150BloomJoin _),
     "q107_partitioned_roundtrip" -> (q107PartitionedRoundtrip _),
@@ -496,6 +579,8 @@ object Scalars {
     "q48_session_window" -> (q48SessionWindow _))
 
   val oracle: Map[String, String] = Map(
+    "q156_compaction" -> q156Sql,
+    "q155_incremental_join" -> q155Sql,
     "q149_dynamic_pruning" -> q149Sql,
     "q150_bloom_join" -> q150Sql,
     "q107_partitioned_roundtrip" -> q107Sql,

@@ -681,7 +681,74 @@ object Stats {
       |  CAST(max_c AS DOUBLE) / CAST(n_docs AS DOUBLE) AS top_share
       |FROM s ORDER BY lang""".stripMargin
 
+  // -------------------------------------------------------------------
+  // q153: exact two-sample Kolmogorov-Smirnov statistic — the
+  // distribution-shift gate between event populations (here click vs
+  // purchase values; in a training pipeline, yesterday's vs today's
+  // feature distribution). All-integer formulation: values are
+  // ≤6-decimal clean so v·1e6 is an exact long key; per-value counts
+  // aggregate distributed (the only data-sized shuffle), and the KS
+  // numerator max|c1·n2 − c2·n1| runs over the DISTINCT-value frame —
+  // the one global-ordered cumsum is metadata-sized, not data-sized
+  // (bin to a fixed grid first if the value domain is unbounded). The
+  // single final division is the same IEEE op in both engines; no
+  // sqrt, no logs, no float compare anywhere else.
+  // -------------------------------------------------------------------
+  def q153KsTest(spark: SparkSession, dir: String): DataFrame = {
+    val ev = graft.sources.Events.ev(spark, dir)
+      .filter(col("event_type").isin("click", "purchase"))
+      .select(col("event_type"),
+        (col("value").cast(DecimalType(18, 6)) * 1000000).cast("long").as("v6"))
+    val counts = ev.groupBy(col("v6")).agg(
+      count(when(col("event_type") === "click", 1)).as("c1"),
+      count(when(col("event_type") === "purchase", 1)).as("c2"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy(asc("v6"))
+      .rowsBetween(Long.MinValue, 0L)
+    val cum = counts
+      .withColumn("f1", sum(col("c1")).over(w))
+      .withColumn("f2", sum(col("c2")).over(w))
+    val n = ev.groupBy().agg(
+      count(when(col("event_type") === "click", 1)).as("n1"),
+      count(when(col("event_type") === "purchase", 1)).as("n2"))
+    cum.crossJoin(broadcast(n))
+      .select(col("n1"), col("n2"),
+        abs(col("f1") * col("n2") - col("f2") * col("n1")).as("d"))
+      .groupBy(col("n1"), col("n2"))
+      .agg(max(col("d")).as("ks_num"))
+      .select(col("n1"), col("n2"), col("ks_num"),
+        (col("ks_num").cast("double") /
+          (col("n1") * col("n2")).cast("double")).as("ks"))
+  }
+  val q153Sql: String =
+    """WITH ev AS (
+      |  SELECT event_type,
+      |    CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS v6
+      |  FROM events WHERE event_type IN ('click', 'purchase')
+      |), counts AS (
+      |  SELECT v6,
+      |    COUNT(CASE WHEN event_type = 'click' THEN 1 END) AS c1,
+      |    COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS c2
+      |  FROM ev GROUP BY v6
+      |), cum AS (
+      |  SELECT
+      |    SUM(c1) OVER (ORDER BY v6
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS f1,
+      |    SUM(c2) OVER (ORDER BY v6
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS f2
+      |  FROM counts
+      |), n AS (
+      |  SELECT COUNT(CASE WHEN event_type = 'click' THEN 1 END) AS n1,
+      |    COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS n2
+      |  FROM ev
+      |)
+      |SELECT CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
+      |  CAST(MAX(ABS(f1 * n2 - f2 * n1)) AS BIGINT) AS ks_num,
+      |  CAST(MAX(ABS(f1 * n2 - f2 * n1)) AS DOUBLE)
+      |    / CAST(n1 * n2 AS DOUBLE) AS ks
+      |FROM cum, n GROUP BY n1, n2""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q153_ks_test" -> (q153KsTest _),
     "q142_group_linreg" -> (q142GroupLinreg _),
     "q143_concentration" -> (q143Concentration _),
     "q130_outliers" -> (q130Outliers _),
@@ -698,6 +765,7 @@ object Stats {
     "q106_histogram" -> (q106Histogram _))
 
   val oracle: Map[String, String] = Map(
+    "q153_ks_test" -> q153Sql,
     "q142_group_linreg" -> q142Sql,
     "q143_concentration" -> q143Sql,
     "q130_outliers" -> q130Sql,

@@ -97,4 +97,24 @@ class SourcesSpec extends SparkSpec {
       .option("mode", "DROPMALFORMED").json(s"$dir/data.jsonl")
     assert(dropped.count() === 2L)
   }
+
+  test("q156 compaction: bin-packs fragmented files to ceil(bytes/target) and preserves rows") {
+    val base = graft.util.TempDirs.scratch("graft_compact_spec")
+    val src = spark.read.parquet(s"$sf/lineitem.parquet")
+      .select(col("l_orderkey"), col("l_extendedprice"))
+    src.repartition(64).write.mode("overwrite").parquet(s"$base/small")
+    def parquetFiles(p: String) = new java.io.File(p).listFiles()
+      .filter(_.getName.endsWith(".parquet"))
+    val small = parquetFiles(s"$base/small")
+    assert(small.length === 64, "fragmented write should leave 64 files")
+    val targetBytes = 256L * 1024
+    val n = math.max(1,
+      math.ceil(small.map(_.length).sum.toDouble / targetBytes).toInt)
+    spark.read.parquet(s"$base/small").repartition(n)
+      .write.mode("overwrite").parquet(s"$base/compact")
+    val compact = parquetFiles(s"$base/compact")
+    assert(compact.length === n, s"expected $n compacted files, got ${compact.length}")
+    assert(compact.length < small.length, "compaction must reduce file count")
+    assert(spark.read.parquet(s"$base/compact").count() === src.count())
+  }
 }
