@@ -58,7 +58,13 @@ object Explain {
       "q129_bm25" -> "query terms filter the token stream BEFORE the (doc,term) aggregate; df and the 1-row (N,T) totals broadcast back; the score is one integral-division project and the top-k is TakeOrdered — all-int64 BM25",
       "q130_outliers" -> "one partial-agged moments pass, 5-row broadcast back over the fact stream, verdicts as map-side DECIMAL comparisons (no sqrt, no division), final partial-agged counts",
       "q131_tpch_q8" -> "the widest join in the registry: part prunes the fact scan map-side before any exchange; every dimension broadcasts (at this sf the filtered orders side broadcasts too, so the 8-table join has ZERO shuffle joins — at cluster scale orders becomes the one shuffle join and the fact table still streams once); the only Exchanges are the 2-group aggregate and the final sort",
-      "q132_boolean_search" -> "conjunctive search as posting-COUNT intersection: isin filter inside the scan, distinct (doc,term) partial-aggregates, count==|Q| — no k-way posting join, no term-skew reducer")
+      "q132_boolean_search" -> "conjunctive search as posting-COUNT intersection: isin filter inside the scan, distinct (doc,term) partial-aggregates, count==|Q| — no k-way posting join, no term-skew reducer",
+      "q146_interval_overlap" -> "pair join pre-clustered by u1 with a PINNED partition count (an AQE-coalescible repartition of the ~1 MB probe side collapsed to 1 partition and serialized the 30M-row pair stage — lesson 16); the pair aggregation runs exchange-free above the broadcast day join",
+      "q149_dynamic_pruning" -> "dynamicpruning#N subquery in the fact scan's PartitionFilters: the Monday day-set is computed at runtime from the dim side and only qualifying directories are read",
+      "q150_bloom_join" -> "InjectRuntimeFilter: bloom_filter_agg over the selective orders side, BloomFilterMightContain probe pushed into the lineitem scan — ~80% of fact rows drop before the shuffle join. NOTE: the registered query materializes inside its conf window (thresholds must not leak into other plans), so the plan dumped BELOW is only the scratch-read tail; the injected-filter assertion lives in ScaleSpec (\"runtime bloom filter\"), which checks bloom_filter_agg in the optimized join plan",
+      "q152_jl_projection" -> "map-only JL projection: ONE codegen'd VecJLProject node per row (signs regenerated in-register from the (i,j) hash — no matrix literal, no broadcast, no shuffle); the posexplode is display-format only",
+      "q153_ks_test" -> "per-value counts partial-aggregate (the only data-sized shuffle); the global cumsum window runs over the DISTINCT-value frame — metadata-sized, not data-sized",
+      "q155_incremental_join" -> "delta-sized joins only: ΔO⋈C and O⋈ΔC (both with pushed modulo filters) union into a keyed aggregate merge — the standing fact table is never rescanned for the refresh")
 
     val sb = new StringBuilder
     sb.append("# EXPLAINS — physical plans of representative queries\n\n")
