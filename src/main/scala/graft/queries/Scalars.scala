@@ -559,7 +559,42 @@ object Scalars {
       |  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(20,2))) AS VARCHAR) AS DOUBLE) AS sum_price
       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
+  // -------------------------------------------------------------------
+  // q157: UNPIVOT (melt) — the inverse of q20's pivot, completing the
+  // reshape pair: a wide per-flag aggregate melts into (flag, metric,
+  // val) long form via Dataset.unpivot (Spark's native Expand — one
+  // pass, no join, row count = rows × metrics). Long form is the
+  // metrics-table shape every monitoring sink wants. The aggregate
+  // runs BEFORE the melt, so the expand multiplies a 3-row frame, not
+  // the fact table. Oracle: three-way UNION ALL of the same sums.
+  // -------------------------------------------------------------------
+  def q157Unpivot(spark: SparkSession, dir: String): DataFrame = {
+    val wide = spark.read.parquet(s"$dir/lineitem.parquet")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        sum(col("l_quantity").cast(DecimalType(20, 2))).cast("double").as("qty"),
+        sum(col("l_extendedprice").cast(DecimalType(20, 2))).cast("double").as("price"),
+        sum(col("l_discount").cast(DecimalType(20, 2))).cast("double").as("disc"))
+    wide.unpivot(Array(col("l_returnflag")),
+        Array(col("qty"), col("price"), col("disc")), "metric", "val")
+      .orderBy(asc("l_returnflag"), asc("metric"))
+  }
+  val q157Sql: String =
+    """WITH w AS (
+      |  SELECT l_returnflag,
+      |    CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(20,2))) AS VARCHAR) AS DOUBLE) AS qty,
+      |    CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(20,2))) AS VARCHAR) AS DOUBLE) AS price,
+      |    CAST(CAST(SUM(CAST(l_discount AS DECIMAL(20,2))) AS VARCHAR) AS DOUBLE) AS disc
+      |  FROM lineitem GROUP BY l_returnflag
+      |)
+      |SELECT l_returnflag, metric, val FROM (
+      |  SELECT l_returnflag, 'qty' AS metric, qty AS val FROM w
+      |  UNION ALL SELECT l_returnflag, 'price', price FROM w
+      |  UNION ALL SELECT l_returnflag, 'disc', disc FROM w
+      |) ORDER BY l_returnflag, metric""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q157_unpivot" -> (q157Unpivot _),
     "q156_compaction" -> (q156Compaction _),
     "q155_incremental_join" -> (q155IncrementalJoin _),
     "q149_dynamic_pruning" -> (q149DynamicPruning _),
@@ -579,6 +614,7 @@ object Scalars {
     "q48_session_window" -> (q48SessionWindow _))
 
   val oracle: Map[String, String] = Map(
+    "q157_unpivot" -> q157Sql,
     "q156_compaction" -> q156Sql,
     "q155_incremental_join" -> q155Sql,
     "q149_dynamic_pruning" -> q149Sql,

@@ -60,6 +60,43 @@ class ScaleSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
   }
 
+  test("AQE skew join splits the oversized partition (plan-asserted)") {
+    // the built-in alternative to manual salting (q105): AQE detects a
+    // post-shuffle partition over the (lowered) threshold and splits
+    // it into parallel sub-joins — 'skew=true' appears on the SMJ
+    val savedKeys = Seq(
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.skewJoin.enabled",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.adaptive.coalescePartitions.minPartitionSize")
+      .map(k => k -> spark.conf.getOption(k))
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+      spark.conf.set(
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "64KB")
+      spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "32KB")
+      spark.conf.set("spark.sql.adaptive.coalescePartitions.minPartitionSize", "1KB")
+      // 50k rows on one hot key vs 50 rows spread over the rest
+      val left = spark.range(50050)
+        .select(when(col("id") < 50000, 1L).otherwise(col("id")).as("k"),
+          concat(lit("pad-"), col("id")).as("lv"))
+      val right = (1 to 50).map(i => (i.toLong, s"r$i")).toSeq.toDF("k", "rv")
+      val joined = left.join(right, Seq("k"))
+      // collect() executes THIS DataFrame's QueryExecution (count()
+      // would plan a separate query and leave this one un-finalized)
+      val n = joined.collect().length
+      assert(n === 50000, s"unexpected join size $n") // all 50k hot-key rows, no others
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("skew=true"),
+        s"expected an AQE skew-split join, got:\n${plan.take(3000)}")
+    } finally savedKeys.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("q149: dynamic partition pruning fires on the partitioned fact scan") {
     // same shape as the registered query: partitioned fact, runtime-
     // computed dim filter — the fact scan must carry a dynamicpruning
