@@ -161,4 +161,55 @@ class PropertySpec extends Properties("graft") {
       }._2
       arg == expect
     }
+
+  // micros within 1970..2100, always microsecond-clean
+  private val microsGen: Gen[List[Long]] =
+    Gen.listOfN(12, Gen.chooseNum(0L, 4102444800000000L))
+
+  property("Events.normalizeTs: all three ts encodings yield identical instants") =
+    Prop.forAll(microsGen) { micros =>
+      micros.isEmpty || {
+        import org.apache.spark.sql.types._
+        val base = micros.zipWithIndex.map { case (us, i) => (i.toLong, us) }
+          .toDF("event_id", "us")
+        val asNanos = base.withColumn("ts", (col("us") * 1000L).cast(LongType))
+        val asNtz = base.withColumn("ts",
+          timestamp_micros(col("us")).cast(TimestampNTZType))
+        val asLtz = base.withColumn("ts", timestamp_micros(col("us")))
+        val out = Seq(asNanos, asNtz, asLtz).map { df =>
+          val n = graft.sources.Events.normalizeTs(df.select("event_id", "ts"))
+          assert(n.schema("ts").dataType == TimestampType)
+          n.orderBy("event_id").select(unix_micros(col("ts")))
+            .collect().map(_.getLong(0)).toSeq
+        }
+        out(0) == micros && out.distinct.size == 1
+      }
+    }
+
+  // largest-remainder allocation: integer allocs sum EXACTLY to budget,
+  // each within 1 of its exact proportional share (q154's invariants)
+  private val toksGen: Gen[List[Long]] =
+    Gen.listOfN(7, Gen.chooseNum(1L, 100000L))
+
+  property("q154 largest-remainder: allocations sum to budget, each within 1 of exact share") =
+    Prop.forAll(toksGen, Gen.chooseNum(10L, 1000000L)) { (toks, budget) =>
+      val total = toks.sum
+      val rows = toks.zipWithIndex.map { case (t, i) => (f"s$i%02d", t) }
+      val df = rows.toDF("source", "text_toks")
+      val base = df.select(col("source"), col("text_toks").as("toks"),
+          expr(s"($budget * toks) div $total").as("base"),
+          expr(s"($budget * toks) % $total").as("rem"))
+      val leftover = budget - base.agg(sum(col("base"))).collect()(0).getLong(0)
+      val w = org.apache.spark.sql.expressions.Window.orderBy(desc("rem"), asc("source"))
+      val alloc = base.withColumn("rk", row_number().over(w))
+        .select(col("source"), col("toks"),
+          (col("base") + when(col("rk") <= leftover, 1L).otherwise(0L)).as("alloc"))
+        .collect().map(r => (r.getLong(1), r.getLong(2)))
+      val sumOk = alloc.map(_._2).sum == budget
+      val shareOk = alloc.forall { case (t, a) =>
+        val exact = budget.toDouble * t / total
+        a >= math.floor(exact) - 1e-9 && a <= math.ceil(exact) + 1e-9
+      }
+      sumOk && shareOk
+    }
 }
