@@ -565,7 +565,53 @@ object Curation {
       |    THEN 1 ELSE 0 END AS BIGINT) AS alloc
       |FROM r ORDER BY source""".stripMargin
 
+  // -------------------------------------------------------------------
+  // q158: token-entropy quality score — Shannon entropy of each doc's
+  // token distribution, H = log2(n) − (Σ c·log2 c)/n: near-zero for
+  // degenerate repetition (spam, boilerplate loops), high for diverse
+  // prose — the curation filter complementing q27's ratio heuristics
+  // and q58's repetition metrics. Shape: one explode → (doc,token)
+  // count aggregate → per-doc moment aggregate, both partial-agged; no
+  // joins, no windows. log2 is the one op that is NOT bit-replayable
+  // cross-engine, so the oracle is a containment join: every emitted
+  // row must match DuckDB's independent recompute within 1e-6 (exact
+  // equality on the integer counts), sentinel-guarded per rule 9/10.
+  // -------------------------------------------------------------------
+  def q158TokenEntropy(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.TextAnalysis
+    val counts = docs(spark, dir)
+      .select(col("doc_id"), explode(TextAnalysis.tokens(col("text"))).as("tok"))
+      .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("c"))
+    counts.groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n_tokens"),
+        count(lit(1)).as("uniq_tokens"),
+        sum(col("c").cast("double") * log2(col("c"))).as("clogc"))
+      .select(col("doc_id"), col("n_tokens"), col("uniq_tokens"),
+        (log2(col("n_tokens")) - col("clogc") / col("n_tokens").cast("double"))
+          .as("entropy"))
+      .orderBy(asc("doc_id"))
+  }
+  val q158Sql: String =
+    s"""WITH t AS (
+      |  SELECT doc_id, unnest($toksSql) AS tok FROM documents
+      |), c AS (
+      |  SELECT doc_id, tok, COUNT(*) AS c FROM t GROUP BY doc_id, tok
+      |), a AS (
+      |  SELECT doc_id, SUM(c) AS n, COUNT(*) AS uniq,
+      |    SUM(c * log2(c)) AS clogc
+      |  FROM c GROUP BY doc_id
+      |)
+      |SELECT e.doc_id, e.n_tokens, e.uniq_tokens, e.entropy
+      |FROM read_parquet('__GRAFT_OUT__/q158_token_entropy/*.parquet') e
+      |JOIN a ON a.doc_id = e.doc_id
+      |WHERE e.n_tokens = a.n AND e.uniq_tokens = a.uniq
+      |  AND ABS(e.entropy - (log2(a.n) - a.clogc / a.n)) < 1e-6
+      |UNION ALL SELECT -1, -1, -1, -1.0 WHERE (SELECT COUNT(*)
+      |  FROM read_parquet('__GRAFT_OUT__/q158_token_entropy/*.parquet')) = 0
+      |ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q158_token_entropy" -> (q158TokenEntropy _),
     "q154_token_budget" -> (q154TokenBudget _),
     "q145_constraint_audit" -> (q145ConstraintAudit _),
     "q108_truncate_tokens" -> (q108TruncateTokens _),
@@ -584,6 +630,7 @@ object Curation {
     "q120_fuzzy_decontaminate" -> (q120FuzzyDecontaminate _))
 
   val oracle: Map[String, String] = Map(
+    "q158_token_entropy" -> q158Sql,
     "q154_token_budget" -> q154Sql,
     "q145_constraint_audit" -> q145Sql,
     "q108_truncate_tokens" -> q108Sql,
