@@ -1,0 +1,41 @@
+#!/usr/bin/env bash
+# The FULL pre-snapshot gate in one command — round 4 shipped 15 broken
+# queries because nobody re-ran all of this against current testdata.
+#   tools/gate.sh            # compile, test, verify+check sf0.01, bench sf0.1
+#   tools/gate.sh --sweep    # additionally: full verify+check at sf0.1
+set -euo pipefail
+cd "$(dirname "$0")/.."
+
+echo "== [1/5] sbt compile =="
+sbt -batch compile
+
+echo "== [2/5] sbt test =="
+sbt -batch test
+
+echo "== [3/5] Verify + DuckDB check @ sf0.01 =="
+SPARK_GRAFT_CPUS=8 tools/run.sh graft.Verify /root/testdata/sf0.01 /tmp/gate_sf001
+python3 tools/check.py /root/testdata/sf0.01 /tmp/gate_sf001 | tail -2
+
+if [[ "${1:-}" == "--sweep" ]]; then
+  echo "== [4/5] cross-scale Verify + check @ sf0.1 =="
+  SPARK_GRAFT_CPUS=16 tools/run.sh graft.Verify /root/testdata/sf0.1 /tmp/gate_sf01
+  python3 tools/check.py /root/testdata/sf0.1 /tmp/gate_sf01 | tail -2
+else
+  echo "== [4/5] (skipped sf0.1 sweep — pass --sweep) =="
+fi
+
+echo "== [5/5] bench @ sf0.1 (watch the q01 canary: ~0.5s quiet) =="
+SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 SPARK_GRAFT_CPUS=32 tools/run.sh graft.Bench \
+  | python3 -c '
+import json, sys
+line = [l for l in sys.stdin if l.startswith("{")][-1]
+d = json.loads(line)
+q = d["queries"]
+print(f"total {d[\"value\"]:.1f}s over {len(q)} queries; canary q01 {q[\"q01_tpch_q1\"]:.2f}s")
+errs = d.get("errors")
+print("errors:", errs if errs else "none")
+top = sorted(q.items(), key=lambda kv: -kv[1])[:5]
+print("slowest:", ", ".join(f"{k} {v:.1f}s" for k, v in top))
+if errs: sys.exit(1)
+'
+echo "== gate complete =="
