@@ -31,7 +31,8 @@ import json, sys
 line = [l for l in sys.stdin if l.startswith("{")][-1]
 d = json.loads(line)
 q = d["queries"]
-print(f"total {d[\"value\"]:.1f}s over {len(q)} queries; canary q01 {q[\"q01_tpch_q1\"]:.2f}s")
+total, canary = d["value"], q["q01_tpch_q1"]
+print(f"total {total:.1f}s over {len(q)} queries; canary q01 {canary:.2f}s")
 errs = d.get("errors")
 print("errors:", errs if errs else "none")
 top = sorted(q.items(), key=lambda kv: -kv[1])[:5]
