@@ -484,4 +484,33 @@ object Dedup {
           (col("n_a") + col("n_b") - col("n_inter")).cast("double")).as("jaccard"))
       .filter(col("jaccard") >= lit(threshold))
   }
+
+  /** Asymmetric shingle CONTAINMENT c(src→dst) = |src∩dst| / |src| —
+    * catches sub-document duplication (a quoted or excerpted doc inside
+    * a larger one) that symmetric Jaccard dilutes below any usable
+    * threshold: a 100-shingle doc fully contained in a 2000-shingle doc
+    * has jaccard ≈ 0.05 but containment 1.0. Same inverted-index
+    * postings equi-join as [[ngramJaccardPairs]] (never an all-pairs
+    * similarity condition); the undirected intersection is computed
+    * ONCE per a<b pair and both directed scores derive from it, so the
+    * directed output costs no extra shuffle.
+    */
+  def containmentPairs(docs: DataFrame, idCol: String, textCol: String,
+                       k: Int, threshold: Double, maxId: Long): DataFrame = {
+    val postings = shingleHashes(docs.filter(col(idCol) < lit(maxId)),
+      idCol, textCol, k).withColumnRenamed("sh", "s")
+    val sizes = postings.groupBy(col(idCol)).agg(count(lit(1)).as("n"))
+    val inter = postings.select(col(idCol).as("id_a"), col("s"))
+      .join(postings.select(col(idCol).as("id_b"), col("s")), "s")
+      .filter(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("n_inter"))
+      .join(sizes.select(col(idCol).as("id_a"), col("n").as("n_a")), "id_a")
+      .join(sizes.select(col(idCol).as("id_b"), col("n").as("n_b")), "id_b")
+    val ab = inter.select(col("id_a").as("src"), col("id_b").as("dst"),
+      (col("n_inter").cast("double") / col("n_a").cast("double")).as("containment"))
+    val ba = inter.select(col("id_b").as("src"), col("id_a").as("dst"),
+      (col("n_inter").cast("double") / col("n_b").cast("double")).as("containment"))
+    ab.unionByName(ba).filter(col("containment") >= lit(threshold))
+  }
 }

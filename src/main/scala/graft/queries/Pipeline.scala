@@ -276,6 +276,36 @@ object Pipeline {
       |ORDER BY id_a, id_b""".stripMargin
 
   // -------------------------------------------------------------------
+  // q159: asymmetric shingle CONTAINMENT pairs — the sub-document
+  // dedup signal symmetric Jaccard (q33) dilutes: an excerpt fully
+  // inside a longer doc scores containment ~1.0 but jaccard ~|A|/|B|.
+  // Directed output, both directions derived from ONE undirected
+  // intersection join (no extra shuffle). Exact oracle: DuckDB
+  // recomputes |A∩B|/|A| from string shingle sets over the same
+  // bounded id range.
+  // -------------------------------------------------------------------
+  def q159Containment(spark: SparkSession, dir: String): DataFrame =
+    Dedup.containmentPairs(docs(spark, dir), "doc_id", "text",
+      k = 3, threshold = 0.2, maxId = 600L)
+      .select(col("src"), col("dst"),
+        round(col("containment"), 6).as("containment_r"))
+      .orderBy(asc("src"), asc("dst"))
+  val q159Sql: String =
+    """WITH sh AS (
+      |  SELECT doc_id, list_distinct(list_transform(
+      |    range(1, GREATEST(LEN(toks) - 2, 1) + 1),
+      |    i -> array_to_string(toks[i:i+2], ' '))) AS s
+      |  FROM (SELECT doc_id, string_split_regex(TRIM(text), '\s+') AS toks
+      |        FROM documents WHERE doc_id < 600)
+      |)
+      |SELECT a.doc_id AS src, b.doc_id AS dst,
+      |  ROUND(CAST(LEN(list_intersect(a.s, b.s)) AS DOUBLE)
+      |    / LEN(a.s), 6) AS containment_r
+      |FROM sh a JOIN sh b ON a.doc_id <> b.doc_id
+      |WHERE CAST(LEN(list_intersect(a.s, b.s)) AS DOUBLE) / LEN(a.s) >= 0.2
+      |ORDER BY src, dst""".stripMargin
+
+  // -------------------------------------------------------------------
   // q34: brute-force cosine top-k (rank output; queries = every 50th
   // vector). Exact baseline for ANN.
   // -------------------------------------------------------------------
@@ -1494,7 +1524,8 @@ object Pipeline {
     "q82_neardup_clusters_alt" -> (q82NeardupClustersAlt _),
     "q117_dedup_pipeline" -> (q117DedupPipeline _),
     "q119_quantized_ann" -> (q119QuantizedAnn _),
-    "q152_jl_projection" -> (q152JlProjection _))
+    "q152_jl_projection" -> (q152JlProjection _),
+    "q159_containment" -> (q159Containment _))
 
   val oracle: Map[String, String] = Map(
     "q25_text_stats" -> q25Sql,
@@ -1544,5 +1575,6 @@ object Pipeline {
     "q67_centroids" -> q67Sql,
     "q117_dedup_pipeline" -> q117Sql,
     "q119_quantized_ann" -> q119Sql,
-    "q152_jl_projection" -> q152Sql)
+    "q152_jl_projection" -> q152Sql,
+    "q159_containment" -> q159Sql)
 }

@@ -213,6 +213,27 @@ class OperatorsSpec extends SparkSpec {
     assert(recall >= 0.8, s"quantized recall $recall below 0.8")
   }
 
+  test("containment pairs flag a planted excerpt that symmetric jaccard dilutes") {
+    val words = (1 to 220).map(i => s"w$i")
+    val long = words.mkString(" ")                 // 220 tokens, 218 shingles
+    val excerpt = words.slice(40, 60).mkString(" ") // 20 tokens ⊂ long
+    val other = (1 to 50).map(i => s"z$i").mkString(" ")
+    val df = Seq((0L, long), (1L, excerpt), (2L, other)).toDF("doc_id", "text")
+    val pairs = Dedup.containmentPairs(df, "doc_id", "text",
+      k = 3, threshold = 0.5, maxId = 10L)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    // excerpt → long is fully contained; the reverse direction and the
+    // unrelated doc must NOT appear at this threshold
+    assert(pairs.keySet === Set((1L, 0L)))
+    assert(pairs((1L, 0L)) === 1.0)
+    // and the symmetric jaccard for the same pair is diluted below it
+    val j = Dedup.ngramJaccardPairs(df, "doc_id", "text",
+      k = 3, threshold = 0.01, maxId = 10L)
+      .filter(col("id_a") === 0L && col("id_b") === 1L)
+      .collect()(0).getDouble(2)
+    assert(j < 0.1, s"jaccard $j should be diluted")
+  }
+
   test("q152 JL projection preserves pairwise cosine structure (corr + recall floors)") {
     import graft.functions.VectorFunctions.vec_jl_project
     val rows = spark.read.parquet(s"$sf/embeddings.parquet")
