@@ -337,6 +337,53 @@ object Curation {
       .limit(k)
   }
 
+  /** BATCH BM25: top-k docs for EVERY query in one pass — the serving
+    * shape for retrieval eval sets. The token stream is scanned once,
+    * filtered to the union of all query terms; per-(doc,term) tf and
+    * per-term df aggregate once (query-independent), and the tiny
+    * (query_id, term) map joins in BROADCAST to fan scores out to
+    * queries — thousands of queries cost one extra broadcast join, not
+    * one extra corpus scan each. Same all-int64 scoring as
+    * [[bm25TopK]] (bit-replayable); per-query top-k is one window over
+    * the (query, doc) aggregate, partitioned by query_id (bounded
+    * cardinality — no hot reducer).
+    */
+  def bm25BatchTopK(df: DataFrame, idCol: String, textCol: String,
+                    queries: Seq[(String, Seq[String])], k: Int): DataFrame = {
+    import graft.operators.{TextAnalysis => TA}
+    val spark = df.sparkSession
+    import spark.implicits._
+    val allTerms = queries.flatMap(_._2).distinct
+    val qdf = queries.flatMap { case (q, ts) => ts.map(t => (q, t)) }
+      .toDF("query_id", "term")
+    val withDl = df.select(col(idCol), TA.tokenCount(col(textCol)).as("dl"),
+      explode(TA.tokens(col(textCol))).as("term"))
+      .filter(col("term").isin(allTerms: _*))
+    val tf = withDl.groupBy(col(idCol), col("term"))
+      .agg(count(lit(1)).as("tf"), first(col("dl")).as("dl"))
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val totals = df.agg(count(lit(1)).as("n"),
+      sum(TA.tokenCount(col(textCol))).as("t_tok"))
+    val scored = tf.join(dfreq, "term")
+      .join(broadcast(qdf), "term")
+      .crossJoin(broadcast(totals))
+      .select(col("query_id"), col(idCol),
+        (floor(log((lit(2) * col("n") + lit(2)).cast("double") /
+            (lit(2) * col("df") + lit(1)).cast("double")) * lit(1000000.0)).cast("long"))
+          .as("idf_fx"),
+        col("tf"), col("dl"), col("n"), col("t_tok"))
+      .select(col("query_id"), col(idCol),
+        expr("(idf_fx * 44 * tf * t_tok) div (20 * tf * t_tok + 6 * t_tok + 18 * dl * n)")
+          .as("term_score"))
+    val byQuery = scored.groupBy(col("query_id"), col(idCol))
+      .agg(sum(col("term_score")).as("bm25_fx"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(desc("bm25_fx"), asc(idCol))
+    byQuery.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+  }
+
   // PII patterns — kept to syntax shared by Java regex and RE2
   // (no lookarounds, no backrefs), so Spark and the DuckDB oracle
   // redact identically.

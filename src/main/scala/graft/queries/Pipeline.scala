@@ -1296,6 +1296,57 @@ object Pipeline {
       |ORDER BY bm25_fx DESC, doc_id LIMIT 20""".stripMargin
 
   // -------------------------------------------------------------------
+  // q160: BATCH BM25 — top-10 docs for THREE queries in one corpus
+  // pass (the retrieval-eval serving shape): tf/df aggregate once,
+  // the (query, term) map broadcasts, per-query top-k is one window.
+  // Same all-int64 scoring as q129, so score AND rank replay
+  // bit-for-bit in the oracle; q_spark shares q129's terms as a
+  // cross-check between the single- and batch-query paths.
+  // -------------------------------------------------------------------
+  def q160Bm25Batch(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Curation.bm25BatchTopK(docs(spark, dir), "doc_id", "text",
+        Seq(
+          "q_spark" -> Seq("spark", "hash", "scan"),
+          "q_stream" -> Seq("stream", "window", "state"),
+          "q_join" -> Seq("join", "merge", "shuffle")),
+        k = 10)
+      .orderBy(asc("query_id"), asc("rk"))
+  val q160Sql: String =
+    raw"""WITH q(query_id, term) AS (VALUES
+      |  ('q_spark', 'spark'), ('q_spark', 'hash'), ('q_spark', 'scan'),
+      |  ('q_stream', 'stream'), ('q_stream', 'window'), ('q_stream', 'state'),
+      |  ('q_join', 'join'), ('q_join', 'merge'), ('q_join', 'shuffle')
+      |), d AS (
+      |  SELECT doc_id,
+      |    ARRAY_LENGTH(string_split_regex(TRIM(text), '\s+')) AS dl,
+      |    string_split_regex(TRIM(text), '\s+') AS toks
+      |  FROM documents
+      |), toks AS (
+      |  SELECT doc_id, dl, UNNEST(toks) AS term FROM d
+      |), hits AS (
+      |  SELECT doc_id, term, COUNT(*) AS tf, MIN(dl) AS dl
+      |  FROM toks WHERE term IN (SELECT DISTINCT term FROM q)
+      |  GROUP BY doc_id, term
+      |), dfq AS (SELECT term, COUNT(*) AS df FROM hits GROUP BY term),
+      |tot AS (SELECT COUNT(*) AS n, CAST(SUM(dl) AS BIGINT) AS t_tok FROM d),
+      |scored AS (
+      |  SELECT q.query_id, h.doc_id,
+      |    (CAST(FLOOR(LN(CAST(2 * n + 2 AS DOUBLE) / CAST(2 * df + 1 AS DOUBLE))
+      |        * 1000000) AS BIGINT) * 44 * tf * t_tok)
+      |      // (20 * tf * t_tok + 6 * t_tok + 18 * dl * n) AS term_score
+      |  FROM hits h JOIN dfq USING (term) JOIN q USING (term) CROSS JOIN tot
+      |), agg AS (
+      |  SELECT query_id, doc_id, CAST(SUM(term_score) AS BIGINT) AS bm25_fx
+      |  FROM scored GROUP BY query_id, doc_id
+      |), ranked AS (
+      |  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+      |    ORDER BY bm25_fx DESC, doc_id) AS INT) AS rk
+      |  FROM agg
+      |)
+      |SELECT query_id, doc_id, bm25_fx, rk
+      |FROM ranked WHERE rk <= 10 ORDER BY query_id, rk""".stripMargin
+
+  // -------------------------------------------------------------------
   // q132: boolean conjunctive search (AND of {spark, merge, window}) —
   // posting-list intersection by COUNT, the scalable form: distinct
   // (doc, term) hits for query terms only, then one partial-agged
@@ -1525,7 +1576,8 @@ object Pipeline {
     "q117_dedup_pipeline" -> (q117DedupPipeline _),
     "q119_quantized_ann" -> (q119QuantizedAnn _),
     "q152_jl_projection" -> (q152JlProjection _),
-    "q159_containment" -> (q159Containment _))
+    "q159_containment" -> (q159Containment _),
+    "q160_bm25_batch" -> (q160Bm25Batch _))
 
   val oracle: Map[String, String] = Map(
     "q25_text_stats" -> q25Sql,
@@ -1576,5 +1628,6 @@ object Pipeline {
     "q117_dedup_pipeline" -> q117Sql,
     "q119_quantized_ann" -> q119Sql,
     "q152_jl_projection" -> q152Sql,
-    "q159_containment" -> q159Sql)
+    "q159_containment" -> q159Sql,
+    "q160_bm25_batch" -> q160Sql)
 }
