@@ -616,7 +616,110 @@ object Analytics {
       |    THEN 1 ELSE 0 END) AS BIGINT) AS n_2024
       |FROM events""".stripMargin
 
+  // -------------------------------------------------------------------
+  // q161: event-type co-occurrence PMI — pointwise mutual information
+  // between event types over the per-user incidence sets, the
+  // feature-engineering staple behind co-click / co-purchase affinity.
+  // All counts are exact integers (distinct (user,type) → bounded
+  // per-user pair fan-out ≤ C(|types|,2) → pair/marginal aggregates);
+  // the single ln lands in q65's floor(ln·1e6) fixed-point convention,
+  // so the emitted score is an integer both engines agree on. Scale:
+  // one distinct shuffle, one bounded self-join per user, marginals
+  // broadcast — never an all-users pair join.
+  // -------------------------------------------------------------------
+  def q161CooccurrencePmi(spark: SparkSession, dir: String): DataFrame = {
+    val ut = ev(spark, dir).select(col("user_id"), col("event_type")).distinct()
+    val pairs = ut.select(col("user_id"), col("event_type").as("type_a"))
+      .join(ut.select(col("user_id"), col("event_type").as("type_b")), "user_id")
+      .filter(col("type_a") < col("type_b"))
+      .groupBy(col("type_a"), col("type_b")).agg(count(lit(1)).as("n_ab"))
+    val marg = ut.groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+    val total = ut.select(col("user_id")).distinct().agg(count(lit(1)).as("n_users"))
+    pairs
+      .join(broadcast(marg.select(col("event_type").as("type_a"), col("n").as("n_a"))), "type_a")
+      .join(broadcast(marg.select(col("event_type").as("type_b"), col("n").as("n_b"))), "type_b")
+      .crossJoin(broadcast(total))
+      .select(col("type_a"), col("type_b"), col("n_ab"),
+        floor(log((col("n_ab") * col("n_users")).cast("double") /
+          (col("n_a") * col("n_b")).cast("double")) * lit(1000000.0))
+          .cast("long").as("pmi_fx"))
+      .orderBy(asc("type_a"), asc("type_b"))
+  }
+  val q161Sql: String =
+    """WITH ut AS (
+      |  SELECT DISTINCT user_id, event_type FROM events
+      |), pairs AS (
+      |  SELECT a.event_type AS type_a, b.event_type AS type_b,
+      |    COUNT(*) AS n_ab
+      |  FROM ut a JOIN ut b ON a.user_id = b.user_id
+      |    AND a.event_type < b.event_type
+      |  GROUP BY 1, 2
+      |), marg AS (
+      |  SELECT event_type, COUNT(*) AS n FROM ut GROUP BY 1
+      |), tot AS (SELECT COUNT(DISTINCT user_id) AS n_users FROM ut)
+      |SELECT type_a, type_b, n_ab,
+      |  CAST(FLOOR(LN(CAST(n_ab * n_users AS DOUBLE)
+      |    / CAST(ma.n * mb.n AS DOUBLE)) * 1000000) AS BIGINT) AS pmi_fx
+      |FROM pairs
+      |JOIN marg ma ON ma.event_type = type_a
+      |JOIN marg mb ON mb.event_type = type_b
+      |CROSS JOIN tot
+      |ORDER BY type_a, type_b""".stripMargin
+
+  // -------------------------------------------------------------------
+  // q162: time-series cross-correlation — Pearson r between the hourly
+  // volumes of two event types (the do-clicks-drive-purchases
+  // diagnostic). Hourly counts align in ONE conditional aggregate
+  // (an hour with only clicks carries an honest purchase-count 0;
+  // hours with neither type are absent from both engines); all moment
+  // sums (n, Σx, Σy, Σxx, Σyy, Σxy) are exact int64 over counts, and
+  // only the final r division/sqrt runs in doubles — the same IEEE
+  // expression both engines evaluate on identical integers (q142/q43
+  // convention). One events scan, two tiny aggregates, a ~720-row
+  // join: nothing data-sized after the first groupBy.
+  // -------------------------------------------------------------------
+  def q162VolumeCorr(spark: SparkSession, dir: String): DataFrame = {
+    val hourly = ev(spark, dir)
+      .filter(col("event_type").isin("click", "purchase"))
+      .groupBy(date_trunc("hour", col("ts")).as("hour"))
+      .agg(count(when(col("event_type") === "click", 1)).as("x"),
+        count(when(col("event_type") === "purchase", 1)).as("y"))
+    val m = hourly.agg(
+      count(lit(1)).as("n_hours"),
+      sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+      sum(col("x") * col("x")).as("sxx"),
+      sum(col("y") * col("y")).as("syy"),
+      sum(col("x") * col("y")).as("sxy"))
+    m.select(col("n_hours"), col("sx"), col("sy"), col("sxy"),
+      ((col("n_hours") * col("sxy") - col("sx") * col("sy")).cast("double") /
+        sqrt((col("n_hours") * col("sxx") - col("sx") * col("sx")).cast("double") *
+          (col("n_hours") * col("syy") - col("sy") * col("sy")).cast("double")))
+        .as("corr"))
+  }
+  val q162Sql: String =
+    """WITH hourly AS (
+      |  SELECT CAST(DATE_TRUNC('hour', ts) AS TIMESTAMP) AS hour,
+      |    COUNT(CASE WHEN event_type = 'click' THEN 1 END) AS x,
+      |    COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS y
+      |  FROM events WHERE event_type IN ('click', 'purchase')
+      |  GROUP BY 1
+      |), m AS (
+      |  SELECT CAST(COUNT(*) AS BIGINT) AS n_hours,
+      |    CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+      |    CAST(SUM(x * x) AS BIGINT) AS sxx,
+      |    CAST(SUM(y * y) AS BIGINT) AS syy,
+      |    CAST(SUM(x * y) AS BIGINT) AS sxy
+      |  FROM hourly
+      |)
+      |SELECT n_hours, sx, sy, sxy,
+      |  CAST(n_hours * sxy - sx * sy AS DOUBLE) /
+      |    SQRT(CAST(n_hours * sxx - sx * sx AS DOUBLE) *
+      |      CAST(n_hours * syy - sy * sy AS DOUBLE)) AS corr
+      |FROM m""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q162_volume_corr" -> (q162VolumeCorr _),
+    "q161_cooccurrence_pmi" -> (q161CooccurrencePmi _),
     "q148_events_span" -> (q148EventsSpan _),
     "q147_markov_transitions" -> (q147MarkovTransitions _),
     "q101_grouping_sets" -> (q101GroupingSets _),
@@ -641,6 +744,8 @@ object Analytics {
     "q24_json_extract" -> (q24Json _))
 
   val oracle: Map[String, String] = Map(
+    "q162_volume_corr" -> q162Sql,
+    "q161_cooccurrence_pmi" -> q161Sql,
     "q148_events_span" -> q148Sql,
     "q147_markov_transitions" -> q147Sql,
     "q101_grouping_sets" -> q101Sql,
