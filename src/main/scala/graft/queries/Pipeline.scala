@@ -923,7 +923,8 @@ object Pipeline {
 
   // -------------------------------------------------------------------
   // q38: Structured Streaming hourly rollup (real streaming engine,
-  // memory sink, drained synchronously) — oracle is plain batch SQL
+  // versioned foreachBatch parquet sink, drained synchronously) —
+  // oracle is plain batch SQL
   // -------------------------------------------------------------------
   def q38StreamHourly(spark: SparkSession, dir: String): DataFrame =
     graft.streaming.EventStreams.hourlyRollupBatchDriven(spark, dir)

@@ -429,11 +429,11 @@ object Scalars {
   // into the lineitem scan, so ~80% of fact rows drop BEFORE the join
   // shuffle. At 100 TB this is THE lever for selective fact-fact
   // joins: shuffle bytes shrink by the filter's selectivity, not by
-  // luck. Local thresholds (10 GB scan floor) are lowered inside the
-  // query and restored after the plan MATERIALIZES (the result is
-  // computed to scratch inside the conf window — conf must be live at
+  // luck. Local thresholds (10 GB scan floor) are lowered on a cloned
+  // session scoped to this query (the result is computed to scratch
+  // before the clone goes out of scope — conf must be live at
   // optimization time, and must not leak into other queries' plans);
-  // broadcast is disabled in the window so the join actually shuffles
+  // broadcast is disabled in the clone so the join actually shuffles
   // (a broadcast join needs no runtime filter). ScaleSpec asserts
   // bloom_filter_agg / BloomFilterMightContain in the executed plan.
   // Oracle: the identical plain join — a bloom filter has no false
@@ -441,34 +441,28 @@ object Scalars {
   // -------------------------------------------------------------------
   def q150BloomJoin(spark: SparkSession, dir: String): DataFrame = {
     val out = graft.util.TempDirs.scratch("graft_bloomjoin")
-    val saved = Seq(
-      "spark.sql.autoBroadcastJoinThreshold",
-      "spark.sql.optimizer.runtime.bloomFilter.enabled",
-      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
-      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold")
-      .map(k => k -> spark.conf.getOption(k))
-    try {
-      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-      spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
-      spark.conf.set(
-        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
-      spark.conf.set(
-        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "64MB")
-      val li = spark.read.parquet(s"$dir/lineitem.parquet")
-        .select(col("l_orderkey"), col("l_extendedprice"))
-      val urgent = spark.read.parquet(s"$dir/orders.parquet")
-        .filter(col("o_orderpriority") === "1-URGENT")
-        .select(col("o_orderkey"), col("o_custkey"))
-      li.join(urgent, col("l_orderkey") === col("o_orderkey"))
-        .groupBy(col("o_custkey"))
-        .agg(count(lit(1)).as("n_items"),
-          sum(col("l_extendedprice").cast(DecimalType(20, 2))).cast("double")
-            .as("revenue"))
-        .write.mode("overwrite").parquet(out)
-    } finally saved.foreach {
-      case (k, Some(v)) => spark.conf.set(k, v)
-      case (k, None) => spark.conf.unset(k)
-    }
+    // conf must be live at optimization time but must not leak into
+    // other queries' plans: a CLONED session (shared SparkContext,
+    // isolated SQLConf) scopes the thresholds to this query with no
+    // save/restore window to race against concurrent session users
+    val s = spark.newSession()
+    s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    s.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+    s.conf.set(
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+    s.conf.set(
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "64MB")
+    val li = s.read.parquet(s"$dir/lineitem.parquet")
+      .select(col("l_orderkey"), col("l_extendedprice"))
+    val urgent = s.read.parquet(s"$dir/orders.parquet")
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_orderkey"), col("o_custkey"))
+    li.join(urgent, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("n_items"),
+        sum(col("l_extendedprice").cast(DecimalType(20, 2))).cast("double")
+          .as("revenue"))
+      .write.mode("overwrite").parquet(out)
     spark.read.parquet(out).orderBy(asc("o_custkey"))
   }
   val q150Sql: String =
