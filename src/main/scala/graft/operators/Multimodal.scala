@@ -7,10 +7,18 @@ import org.apache.spark.sql.functions._
   * columns with typed metadata, processed partition-wise in batches.
   *
   * The Spark-side machinery here — schema, partitioning, batch shape,
-  * feature extraction pipeline — is real and tested. The media DECODE
-  * step is a clearly-marked deterministic STUB (this container has no
-  * image/audio codecs); swap [[MediaCodec.decodeStub]] for a real
-  * JNI/codec call and nothing else changes.
+  * feature extraction pipeline — is real and tested. The IMAGE decode
+  * path is real since round 6: [[MediaCodec.decodeImage]] runs
+  * `javax.imageio` (JDK-public, PNG/JPEG/GIF/BMP, no external deps)
+  * and yields pixel dimensions, channel count, and a
+  * resolution-independent luminance histogram;
+  * [[MediaCodec.resizeImage]] is a real pixel rescale + PNG re-encode.
+  * Payloads that are NOT decodable images (the synthetic testdata's
+  * UTF-8 stand-ins, and any audio/video bytes — this container ships
+  * no audio/video codecs) fall back to the clearly-marked
+  * deterministic STUBs, which keeps the q37/q88 byte-accounting
+  * oracles exact while the real path is pinned by the planted-PNG
+  * fixtures in OperatorsSpec.
   *
   * Scale shape: media blobs never shuffle — every stage below is a
   * map-only pass (mapPartitions batches ≙ Arrow-batch UDF shape), and
@@ -22,14 +30,79 @@ object Multimodal {
   case class MediaRow(media_id: Long, media_type: String, payload: Array[Byte],
                       width: Int, height: Int, sample_rate: Int)
 
-  /** Extracted features: fixed-size embedding + decode stats. */
+  /** Extracted features: fixed-size embedding + decode stats. For a
+    * payload the real codec decoded, (width, height, channels) are the
+    * DECODED pixel facts and `decoded` is true; otherwise they echo the
+    * declared metadata with channels 0. */
   case class MediaFeatures(media_id: Long, media_type: String,
-                           n_bytes: Long, feature: Array[Float])
+                           n_bytes: Long, decoded: Boolean,
+                           width: Int, height: Int, channels: Int,
+                           feature: Array[Float])
 
   object MediaCodec {
-    /** STUB: deterministic fake "decode + feature extract". A real
-      * implementation would decode the payload (JPEG/PNG/WAV/...) and
-      * run a feature extractor; here we derive a stable 16-dim
+    // keep ImageIO off its disk scratch-file cache: decode must stay
+    // purely in-memory inside executor threads
+    javax.imageio.ImageIO.setUseCache(false)
+
+    /** REAL image decode — `javax.imageio.ImageIO.read` sniffs the
+      * payload's magic bytes against the JDK's registered readers
+      * (PNG/JPEG/GIF/BMP/WBMP/TIFF) and decodes to pixels. Returns
+      * None for anything that is not a decodable image: non-image
+      * bytes fail the format sniff in microseconds (no reader claims
+      * them), so probing every payload is cheap, and a corrupt header
+      * that defeats the sniff surfaces as a caught IIOException. */
+    def decodeImage(payload: Array[Byte]): Option[java.awt.image.BufferedImage] =
+      try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload)))
+      catch { case _: Exception => None }
+
+    /** REAL feature extraction from decoded pixels: a 16-bin luminance
+      * histogram (Rec.601 luma weights), normalized by pixel count —
+      * deterministic and resolution-independent, the classic cheap
+      * image fingerprint. */
+    def imageFeature(img: java.awt.image.BufferedImage): Array[Float] = {
+      val out = new Array[Float](16)
+      val w = img.getWidth
+      val h = img.getHeight
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val rgb = img.getRGB(x, y)
+          val lum = (((rgb >> 16) & 0xFF) * 299 +
+            ((rgb >> 8) & 0xFF) * 587 + (rgb & 0xFF) * 114) / 1000
+          out(lum >> 4) += 1f
+          x += 1
+        }
+        y += 1
+      }
+      val n = math.max(1, w * h)
+      out.map(_ / n)
+    }
+
+    /** REAL resize: scale to fit `maxDim` on the longer edge
+      * (never upscale), redraw, re-encode PNG. None if the payload is
+      * not a decodable image. */
+    def resizeImage(payload: Array[Byte], maxDim: Int): Option[Array[Byte]] =
+      decodeImage(payload).map { img =>
+        val w = img.getWidth
+        val h = img.getHeight
+        val scale = math.min(1.0, maxDim.toDouble / math.max(w, h))
+        val nw = math.max(1, math.round(w * scale).toInt)
+        val nh = math.max(1, math.round(h * scale).toInt)
+        val dst = new java.awt.image.BufferedImage(
+          nw, nh, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        val g2 = dst.createGraphics()
+        try g2.drawImage(
+          img.getScaledInstance(nw, nh, java.awt.Image.SCALE_SMOOTH), 0, 0, null)
+        finally g2.dispose()
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(dst, "png", bos)
+        bos.toByteArray
+      }
+
+    /** STUB fallback: deterministic fake "decode + feature extract"
+      * for payloads the real codec can't read (non-image bytes; audio/
+      * video — no codec in this container). Derives a stable 16-dim
       * pseudo-feature from the payload bytes so the pipeline is
       * end-to-end testable. Deterministic: same bytes → same features.
       */
@@ -79,14 +152,25 @@ object Multimodal {
 
   /** Partition-wise feature extraction: the Scala analog of an
     * Arrow-batched decode UDF. Each partition streams its rows through
-    * the (stub) codec — constant memory, no shuffle, linear scale-out.
+    * the codec — real `javax.imageio` decode where the payload is a
+    * decodable image (pixel dims + channels + luminance histogram),
+    * stub fallback otherwise — constant memory, no shuffle, linear
+    * scale-out.
     */
   def extractFeatures(media: Dataset[MediaRow]): Dataset[MediaFeatures] = {
     import media.sparkSession.implicits._
     media.mapPartitions { rows =>
       rows.map { r =>
-        val decoded = MediaCodec.decodeStub(r.payload)
-        MediaFeatures(r.media_id, r.media_type, r.payload.length.toLong, decoded)
+        MediaCodec.decodeImage(r.payload) match {
+          case Some(img) =>
+            MediaFeatures(r.media_id, r.media_type, r.payload.length.toLong,
+              decoded = true, img.getWidth, img.getHeight,
+              img.getRaster.getNumBands, MediaCodec.imageFeature(img))
+          case None =>
+            MediaFeatures(r.media_id, r.media_type, r.payload.length.toLong,
+              decoded = false, r.width, r.height, 0,
+              MediaCodec.decodeStub(r.payload))
+        }
       }
     }
   }
@@ -97,20 +181,25 @@ object Multimodal {
                              n_in: Long, n_out: Long, payload: Array[Byte])
 
   /** Type-dispatched transcode pass — the resize / frame-sample stage
-    * of an ingest pipeline: images are resized (bounded bytes), videos
-    * are frame-sampled (every `vidEvery`-th `vidChunk`-byte "frame"),
-    * audio passes through. Same partition-wise batch shape as
-    * [[extractFeatures]]: map-only over the scan, blobs never shuffle,
-    * and the (stub) codec calls are the single swap point for real
-    * JPEG/ffmpeg decoders.
+    * of an ingest pipeline: image payloads that really decode are
+    * pixel-resized and PNG re-encoded ([[MediaCodec.resizeImage]],
+    * `imgMaxDim` bounds the longer edge); undecodable image stand-ins
+    * fall back to the deterministic byte-truncation stub (which is
+    * what the q88 oracle reproduces from STRLEN); videos are
+    * frame-sampled (every `vidEvery`-th `vidChunk`-byte "frame" — no
+    * video codec in this container), audio passes through. Same
+    * partition-wise batch shape as [[extractFeatures]]: map-only over
+    * the scan, blobs never shuffle.
     */
   def transcode(media: Dataset[MediaRow], imgMaxBytes: Int = 256,
-                vidChunk: Int = 64, vidEvery: Int = 2): Dataset[TranscodedMedia] = {
+                vidChunk: Int = 64, vidEvery: Int = 2,
+                imgMaxDim: Int = 64): Dataset[TranscodedMedia] = {
     import media.sparkSession.implicits._
     media.mapPartitions { rows =>
       rows.map { r =>
         val out = r.media_type match {
-          case "image" => MediaCodec.resizeStub(r.payload, imgMaxBytes)
+          case "image" => MediaCodec.resizeImage(r.payload, imgMaxDim)
+            .getOrElse(MediaCodec.resizeStub(r.payload, imgMaxBytes))
           case "video" => MediaCodec.frameSampleStub(r.payload, vidChunk, vidEvery)
             .flatten
           case _ => r.payload

@@ -374,6 +374,73 @@ class OperatorsSpec extends SparkSpec {
     assert(frames(0).length === 10)
   }
 
+  /** An in-memory PNG with known pixels: left half black, right half
+    * white — so the decoded luminance histogram is exactly half bin 0,
+    * half bin 15, and any resize keeps dims ∝ the 2:1 aspect. */
+  private def plantedPng(w: Int, h: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w)
+      img.setRGB(x, y, if (x < w / 2) 0x000000 else 0xFFFFFF)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  test("real javax.imageio decode: planted PNG yields exact dims, channels, histogram") {
+    val png = plantedPng(64, 32)
+    val img = Multimodal.MediaCodec.decodeImage(png)
+    assert(img.isDefined, "planted PNG must decode")
+    assert(img.get.getWidth === 64 && img.get.getHeight === 32)
+    assert(img.get.getRaster.getNumBands === 3)
+    val feat = Multimodal.MediaCodec.imageFeature(img.get)
+    assert(feat.length === 16)
+    assert(math.abs(feat(0) - 0.5f) < 1e-6, s"black half: ${feat(0)}")
+    assert(math.abs(feat(15) - 0.5f) < 1e-6, s"white half: ${feat(15)}")
+    assert(feat.slice(1, 15).forall(_ === 0f))
+    // determinism: decode twice, same feature
+    assert(Multimodal.MediaCodec.imageFeature(
+      Multimodal.MediaCodec.decodeImage(png).get).toSeq === feat.toSeq)
+    // non-image bytes must fall to the stub path, not throw
+    assert(Multimodal.MediaCodec.decodeImage("not an image".getBytes).isEmpty)
+  }
+
+  test("real image resize bounds the longer edge, keeps aspect, re-encodes decodably") {
+    val png = plantedPng(64, 32)
+    val resized = Multimodal.MediaCodec.resizeImage(png, 16).get
+    val img = Multimodal.MediaCodec.decodeImage(resized).get
+    assert(img.getWidth === 16 && img.getHeight === 8)
+    // never upscale: a small image passes through at original dims
+    val same = Multimodal.MediaCodec.decodeImage(
+      Multimodal.MediaCodec.resizeImage(png, 1024).get).get
+    assert(same.getWidth === 64 && same.getHeight === 32)
+    // not-an-image → None → caller falls back to the stub
+    assert(Multimodal.MediaCodec.resizeImage("plain text".getBytes, 16).isEmpty)
+  }
+
+  test("extractFeatures routes decodable payloads to the real codec, others to the stub") {
+    import spark.implicits._
+    val rows = Seq(
+      Multimodal.MediaRow(1L, "image", plantedPng(32, 32), 999, 999, 0),
+      Multimodal.MediaRow(2L, "image", "utf-8 stand-in".getBytes, 10, 20, 0),
+      Multimodal.MediaRow(3L, "audio", Array[Byte](1, 2, 3), 0, 0, 16000))
+    val out = Multimodal.extractFeatures(rows.toDS())
+      .collect().sortBy(_.media_id)
+    // real path: decoded pixel facts override the declared metadata
+    assert(out(0).decoded && out(0).width === 32 && out(0).height === 32 &&
+      out(0).channels === 3)
+    // stub path: declared metadata echoed, channels 0
+    assert(!out(1).decoded && out(1).width === 10 && out(1).height === 20 &&
+      out(1).channels === 0)
+    assert(!out(2).decoded)
+    // transcode really re-encodes the decodable image smaller
+    val t = Multimodal.transcode(rows.toDS(), imgMaxDim = 8)
+      .collect().sortBy(_.media_id)
+    assert(t(0).n_out > 0 && t(0).n_out < t(0).n_in,
+      s"resized PNG should shrink: ${t(0).n_in} -> ${t(0).n_out}")
+    assert(Multimodal.MediaCodec.decodeImage(t(0).payload).get.getWidth === 8)
+  }
+
   test("vec_dot native expression matches HOF semantics and registers in SQL") {
     val df = Seq((Array(1.0f, 2.0f, 3.0f), Array(4.0f, 5.0f, 6.0f))).toDF("a", "b")
     val native = df.select(graft.functions.VectorFunctions.vec_dot(col("a"), col("b")))
