@@ -62,7 +62,9 @@ object Bench {
       graft.queries.Pipeline.q127Triangles _,
       graft.queries.Pipeline.q133StreamLeftOuter _,
       // full-outer stream-stream join compiles its own eviction shape
-      graft.queries.Pipeline.q151StreamFullOuter _
+      graft.queries.Pipeline.q151StreamFullOuter _,
+      // PQ compiles the augmented-argmax encode + element_at ADC chain
+      graft.queries.Pipeline.q163PqAnn _
     ).foreach { f => try f(spark, warmDir).count() catch { case _: Throwable => } }
 
     // The reference memoizes columns across queries in its Pool

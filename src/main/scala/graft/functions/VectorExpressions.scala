@@ -492,6 +492,16 @@ case class VecJLProject(child: Expression, k: Int, scale: Double)
     extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
 
   require(k > 0 && scale > 0)
+  // Int64-exactness bound (round-6 advice): the cross-engine bit parity
+  // holds only while every hash intermediate provably fits a signed
+  // 64-bit integer. With h0 = i·65521 + j·131071 capped at 2^23−1,
+  // h0^(h0>>8) < 2^23, h1 < 2^23·2654435761 < 2^55, and the final
+  // multiply ≤ (2^31−1)·2654435761 ≈ 5.7e18 < 2^63 — so Java longs and
+  // DuckDB BIGINTs compute identical values. Beyond the cap Java wraps
+  // SILENTLY while the oracle errors or diverges; fail loudly instead.
+  // k is checked here; the data-dependent input length in eval/codegen.
+  require((k - 1).toLong * 131071L <= VecJLProject.MaxH0,
+    s"vec_jl_project: k=$k exceeds the int64-exact hash bound")
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
 
@@ -510,6 +520,9 @@ case class VecJLProject(child: Expression, k: Int, scale: Double)
     val a = v.asInstanceOf[ArrayData]
     val t = elemType
     val n = a.numElements()
+    if (n > 0 && (n - 1).toLong * 65521L + (k - 1).toLong * 131071L > VecJLProject.MaxH0)
+      throw new IllegalArgumentException(
+        s"vec_jl_project: dims=$n × k=$k exceeds the int64-exact hash bound")
     val out = new Array[Long](k)
     var i = 0
     while (i < n) {
@@ -547,6 +560,9 @@ case class VecJLProject(child: Expression, k: Int, scale: Double)
       val h2 = ctx.freshName("h2")
       s"""
          |int $n = $v.numElements();
+         |if ($n > 0 && ((long)($n - 1)) * 65521L + ${(k - 1).toLong * 131071L}L > ${VecJLProject.MaxH0}L)
+         |  throw new IllegalArgumentException(
+         |    "vec_jl_project: dims=" + $n + " x k=$k exceeds the int64-exact hash bound");
          |long[] $out = new long[$k];
          |for (int $i = 0; $i < $n; $i++) {
          |  long $fixed = (long) java.lang.Math.floor(${getter(v, i)} * $scale);
@@ -565,6 +581,15 @@ case class VecJLProject(child: Expression, k: Int, scale: Double)
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
   override def prettyName: String = "vec_jl_project"
+}
+
+object VecJLProject {
+  /** Max allowed h0 = i·65521 + j·131071 (see the require above):
+    * 2^23−1 keeps every downstream intermediate under 2^63. At k=32
+    * this admits input dims up to 67 — the registered 64-dim shape
+    * with headroom, and exactly the regime the scaladoc's parity
+    * claim was verified in. */
+  val MaxH0: Long = (1L << 23) - 1
 }
 
 /** Column-level entry points for the native vector expressions. */

@@ -104,7 +104,8 @@ object Graph {
     * orientation-independent, so an oracle may use the simpler
     * a<b-canonical 3-way join.
     */
-  def triangleCounts(edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
+  def triangleCounts(edges: DataFrame, srcCol: String, dstCol: String,
+                     broadcastEdgeLimit: Long = 4000000L): DataFrame = {
     val und = edges
       .select(least(col(srcCol), col(dstCol)).cast("long").as("a"),
         greatest(col(srcCol), col(dstCol)).cast("long").as("b"))
@@ -141,8 +142,10 @@ object Graph {
     // (measured 23.7 → ~4 s on 41M wedges at sf0.1). Past the
     // threshold both sides hash-partition on (v, w) — the wedge
     // stream still never needs to fit anywhere.
+    // `broadcastEdgeLimit` is the gate (default ≈64 MB of edge pairs);
+    // specs force 0 to exercise the shuffle branch on small graphs.
     val closing0 = oriented.select(col("src").as("v"), col("dst").as("w"))
-    val closing = if (m <= 4000000L) broadcast(closing0) else closing0
+    val closing = if (m <= broadcastEdgeLimit) broadcast(closing0) else closing0
     val tris = wedges.join(closing, Seq("v", "w"))
     tris.select(col("u").as("id"))
       .union(tris.select(col("v").as("id")))

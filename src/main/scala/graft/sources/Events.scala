@@ -62,14 +62,23 @@ object Events {
     spark.read.parquet(s"$dir/events.parquet").schema
   }
 
-  /** Streaming read of the events file (file source needs a DIRECTORY;
-    * glob-filter selects events.parquet), `ts` normalized to LTZ. */
+  /** Streaming read of the events table, `ts` normalized to LTZ.
+    * Handles BOTH physical layouts: the driver testdata ships
+    * `events.parquet` as a single FILE next to the other tables (the
+    * file source needs a directory, so we list `dir` glob-filtered to
+    * that name), while Spark-written stress/fixture data is an
+    * `events.parquet/` DIRECTORY of part files (glob-filtering by the
+    * directory name would match ZERO leaf files — stream the directory
+    * itself instead). */
   def readStream(spark: SparkSession, dir: String): DataFrame = {
     val schema = fileSchema(spark, dir)
-    normalizeTs(
-      spark.readStream
-        .schema(schema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(dir))
+    val src =
+      if (new java.io.File(s"$dir/events.parquet").isDirectory)
+        spark.readStream.schema(schema).parquet(s"$dir/events.parquet")
+      else
+        spark.readStream.schema(schema)
+          .option("pathGlobFilter", "events.parquet")
+          .parquet(dir)
+    normalizeTs(src)
   }
 }

@@ -13,7 +13,9 @@ object CoalesceProbe {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val names = Seq("q75_semantic_dedup", "q117_dedup_pipeline",
+    // optional 2nd arg: comma-separated query names to probe instead
+    val names = if (args.length > 1) args(1).split(",").toSeq
+    else Seq("q75_semantic_dedup", "q117_dedup_pipeline",
       "q82_neardup_clusters_alt", "q55_neardup_clusters", "q31_minhash_lsh",
       "q96_fuzzy_key_pairs", "q52_ann_ivf")
     val qs = graft.SparkEntry.queries

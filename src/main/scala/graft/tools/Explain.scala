@@ -64,7 +64,8 @@ object Explain {
       "q150_bloom_join" -> "InjectRuntimeFilter: bloom_filter_agg over the selective orders side, BloomFilterMightContain probe pushed into the lineitem scan — ~80% of fact rows drop before the shuffle join. NOTE: the registered query materializes inside its conf window (thresholds must not leak into other plans), so the plan dumped BELOW is only the scratch-read tail; the injected-filter assertion lives in ScaleSpec (\"runtime bloom filter\"), which checks bloom_filter_agg in the optimized join plan",
       "q152_jl_projection" -> "map-only JL projection: ONE codegen'd VecJLProject node per row (signs regenerated in-register from the (i,j) hash — no matrix literal, no broadcast, no shuffle); the posexplode is display-format only",
       "q153_ks_test" -> "per-value counts partial-aggregate (the only data-sized shuffle); the global cumsum window runs over the DISTINCT-value frame — metadata-sized, not data-sized",
-      "q155_incremental_join" -> "delta-sized joins only: ΔO⋈C and O⋈ΔC (both with pushed modulo filters) union into a keyed aggregate merge — the standing fact table is never rescanned for the refresh")
+      "q155_incremental_join" -> "delta-sized joins only: ΔO⋈C and O⋈ΔC (both with pushed modulo filters) union into a keyed aggregate merge — the standing fact table is never rescanned for the refresh",
+      "q163_pq_ann" -> "PQ-ADC: encode is 8 map-side augmented-argmax nodes over plan-literal codebooks (48-bit codes replace the vector in the scoring scan); the broadcast query tables score via a codegen'd element_at chain; only the ADC top-100 shortlist joins back to full vectors (id equi-join) for exact rerank — payload vectors never ride the scoring scan")
 
     val sb = new StringBuilder
     sb.append("# EXPLAINS — physical plans of representative queries\n\n")

@@ -183,6 +183,34 @@ object ScaleStress {
         emb.filter(col("vec_id") < 100), emb, "vec_id", "vec_id",
         "embedding", "embedding", k = 5, numCells = cells, nProbe = math.max(4, cells / 8),
         dim = 64).count())
+
+    // streaming phase (round 6): the q64/q133/q56 shapes at ×N event
+    // volume, now that their sinks are distributed parquet writes —
+    // this is the measured proof that the drain is executor-bound, not
+    // driver-bound: user_ids are shifted per replica so state keys,
+    // joined-pair volume, AND the surviving dedup set all scale ×N,
+    // which the former memory sinks would have pulled onto the driver.
+    // Timestamps are kept verbatim so watermark behavior is unchanged.
+    val evBase = graft.sources.Events.ev(spark, "/root/testdata/sf0.1")
+      .select(col("user_id"), col("event_type"), col("ts"),
+        col("event_id"), col("value"))
+    val evPath = "/tmp/graft_stress_events"
+    evBase.crossJoin(spark.range(factor).toDF("rep"))
+      .select(
+        (col("user_id") + col("rep") * lit(10000000L)).as("user_id"),
+        col("event_type"), col("ts"),
+        (col("event_id") + col("rep") * lit(1000000000L)).as("event_id"),
+        col("value"))
+      .repartition(32)
+      .write.mode("overwrite").parquet(s"$evPath/events.parquet")
+    val nEv = spark.read.parquet(s"$evPath/events.parquet").count()
+    println(s"[stress] events x$factor -> $nEv rows")
+    timed(s"stream-stream inner join (q64 shape, $factor x events)")(
+      graft.streaming.EventStreams.clickPurchaseAttribution(spark, evPath).count())
+    timed(s"stream-stream left-outer join (q133 shape, $factor x events)")(
+      graft.streaming.EventStreams.clickPurchaseLeftOuter(spark, evPath).count())
+    timed(s"streaming dedup (q56 shape, $factor x events)")(
+      graft.streaming.EventStreams.streamingDedup(spark, evPath).count())
     spark.stop()
   }
 }

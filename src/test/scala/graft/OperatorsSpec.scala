@@ -104,6 +104,34 @@ class OperatorsSpec extends SparkSpec {
     assert(Graph.triangleCounts(path, "s", "d").count() === 0L)
   }
 
+  test("triangleCounts closing join: the over-threshold SHUFFLE branch matches broadcast") {
+    // the closing join's broadcast is size-gated (broadcastEdgeLimit);
+    // at 100× scale the gate flips to the hash-partitioned branch,
+    // which the default-path tests never execute — force it with
+    // limit 0 and require identical counts AND no broadcast in the plan
+    val g = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L),
+      (4L, 5L), (5L, 6L), (6L, 4L), (7L, 8L)).toDF("s", "d")
+    val viaBroadcast = Graph.triangleCounts(g, "s", "d").orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val shuffled = Graph.triangleCounts(g, "s", "d", broadcastEdgeLimit = 0L)
+    val viaShuffle = shuffled.orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(viaShuffle === viaBroadcast)
+    assert(viaShuffle.toMap.apply(4L) === 4L) // K4's 3 + the 4-5-6 triangle
+    // and the forced run really took the un-hinted branch: no explicit
+    // broadcast hint in its logical plan (tiny-data AQE may still
+    // broadcast on SIZE — that's AQE's call; the gate we own is the
+    // hint), while the default path carries one
+    def hinted(df: org.apache.spark.sql.DataFrame): Boolean =
+      df.queryExecution.analyzed.collect {
+        case h: org.apache.spark.sql.catalyst.plans.logical.UnresolvedHint => h
+        case r: org.apache.spark.sql.catalyst.plans.logical.ResolvedHint => r
+      }.nonEmpty
+    assert(!hinted(shuffled), "limit 0 must not plant a broadcast hint")
+    assert(hinted(Graph.triangleCounts(g, "s", "d")),
+      "default path should broadcast the closing edge set at this size")
+  }
+
   test("q130 outlier counts equal an exact BigInt replay at sf0.001") {
     val dir = "/root/testdata/sf0.001"
     val got = graft.queries.Stats.q130Outliers(spark, dir).collect()
@@ -269,6 +297,67 @@ class OperatorsSpec extends SparkSpec {
     val (te, tp) = (top10(V), top10(P))
     val recall = (0 until n).map(i => (te(i) intersect tp(i)).size / 10.0).sum / n
     assert(recall >= 0.1, s"JL top-10 recall $recall below 0.1")
+  }
+
+  test("euclideanCentroids recovers separated cluster means — unnormalized, deterministic") {
+    import graft.operators.Similarity
+    // two tight clusters far from the unit sphere: spherical k-means
+    // would collapse them to unit vectors; Euclidean means must sit at
+    // ~±10.02 with norm ≈ 20 — pins that PQ training is NOT spherical
+    val rows = ((0 until 50).map(i => Array.fill(4)(10.0f + (i % 5) * 0.01f)) ++
+      (0 until 50).map(i => Array.fill(4)(-10.0f - (i % 5) * 0.01f)))
+      .map(Tuple1(_))
+    val df = rows.toDF("v")
+    val cents = Similarity.euclideanCentroids(df, "v", 2, iters = 4, dim = 4)
+    val means = cents.map(c => c.sum / c.length).sorted
+    assert(math.abs(means(0) - (-10.02)) < 0.05, means.mkString(","))
+    assert(math.abs(means(1) - 10.02) < 0.05, means.mkString(","))
+    // bit-identical retrain (fixed-point sums + seeded init)
+    val again = Similarity.euclideanCentroids(df, "v", 2, iters = 4, dim = 4)
+    assert(cents.map(_.toSeq).toSeq === again.map(_.toSeq).toSeq)
+  }
+
+  test("PQ top-k: ADC+rerank recalls exact neighbors; runs are deterministic") {
+    import graft.operators.Similarity
+    val dir = "/root/testdata/sf0.001"
+    val e = spark.read.parquet(s"$dir/embeddings.parquet")
+    val q = e.filter(pmod(col("vec_id"), lit(50)) === 0)
+    def run() = Similarity.pqTopK(q, e, "vec_id", "vec_id",
+        "embedding", "embedding", k = 10, m = 8, ksub = 16, dim = 64,
+        iters = 2, rerank = 50)
+      .select("query_id", "cand_id", "rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).sortBy(x => (x._1, x._3))
+    val r1 = run()
+    assert(r1 === run()) // deterministic end-to-end (training included)
+    val exact = Similarity.bruteForceTopK(q, e, "vec_id", "vec_id",
+        "embedding", "embedding", 10)
+      .select("query_id", "cand_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val hits = r1.count(x => exact.contains((x._1, x._2)))
+    assert(hits >= (exact.size * 0.6).toInt,
+      s"PQ recall ${hits.toDouble / exact.size} below 0.6 at sf0.001")
+    // every query returns exactly k rows with ranks 1..10
+    r1.groupBy(_._1).foreach { case (_, rows) =>
+      assert(rows.map(_._3).toSeq.sorted === (1 to 10)) }
+  }
+
+  test("vec_jl_project rejects shapes whose hash intermediates would overflow int64") {
+    import graft.functions.VectorFunctions.vec_jl_project
+    // k beyond the bound fails at construction, loudly
+    intercept[IllegalArgumentException] {
+      graft.functions.VecJLProject(
+        org.apache.spark.sql.catalyst.expressions.Literal(null), 100, 1e6)
+    }
+    // oversized input vector fails at eval, loudly — never wraps
+    val big = Seq(Tuple1(Array.fill(200)(1.0f))).toDF("v")
+    val e = intercept[Exception] {
+      big.select(vec_jl_project(col("v"), 32, 1e6)).collect()
+    }
+    assert(e.getMessage != null || e.getCause != null)
+    // the registered 64-dim × k=32 shape stays accepted
+    val ok = Seq(Tuple1(Array.fill(64)(1.0f))).toDF("v")
+      .select(vec_jl_project(col("v"), 32, 1e6)).collect()
+    assert(ok(0).getSeq[Long](0).length === 32)
   }
 
   test("alternating CC labels a 200-node path in few rounds; agrees with min-label") {

@@ -294,6 +294,102 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.toSeq === batch.toSeq)
   }
 
+  // ------------------------------------------------------------------
+  // Watermark BOUNDARY fixtures (round-6 advice): the q126/q151/q133
+  // oracles encode exact boundary strictness for state eviction (q126
+  // emits sessions with end_us <= horizon; q133/q151 emit unmatched
+  // rows only when the expiry is strictly < the horizon). Testdata
+  // never lands an event exactly ON the horizon, so these fixtures
+  // plant one — if a Spark upgrade flips a comparison, the flip trips
+  // HERE with a named assertion instead of as an opaque oracle hash
+  // mismatch. All instants are second-aligned (watermarks track ms).
+  // ------------------------------------------------------------------
+
+  private val MICROS_H = 3600L * 1000000L
+  private val MICROS_30M = 1800L * 1000000L
+
+  test("watermark boundary: session ending exactly at the horizon is emitted (<= semantics)") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val base = 86400L * 1000000L
+    val mem = MemoryStream[(Long, Long)]
+    val target = java.nio.file.Files.createTempDirectory("graft_wm_session").toString
+    val agg = mem.toDF()
+      .select(col("_1").as("user_id"), timestamp_micros(col("_2")).as("ts"))
+      .withWatermark("ts", "2 hours")
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("user_id"), col("n"))
+    val q = agg.writeStream.outputMode("append").format("parquet")
+      .option("path", s"$target/out")
+      .option("checkpointLocation", s"$target/ckpt")
+      .start()
+    // single-event sessions end at ts + 30min-gap. The sentinel user 99
+    // pins max event time so the final watermark = max − 2h lands
+    // EXACTLY on user 1's session end (base + 30min); users 2/3 end 1s
+    // strictly below/above it as controls.
+    mem.addData(Seq(
+      (1L, base),
+      (2L, base - 1000000L),
+      (3L, base + 1000000L),
+      (99L, base + MICROS_30M + 2 * MICROS_H)))
+    try q.processAllAvailable() finally q.stop()
+    val emitted = spark.read.parquet(s"$target/out")
+      .select("user_id").collect().map(_.getLong(0)).toSet
+    assert(emitted.contains(2L), "session strictly below the horizon must emit")
+    assert(!emitted.contains(3L), "session strictly above the horizon must be held")
+    assert(!emitted.contains(99L), "sentinel session is open — must be held")
+    // THE boundary pin: q126's oracle uses end_us <= horizon
+    assert(emitted.contains(1L),
+      "session ending EXACTLY at the watermark must emit — q126 oracle encodes <=")
+  }
+
+  test("watermark boundary: click window expiring exactly at the horizon is held (strict <)") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val base = 86400L * 1000000L
+    val memC = MemoryStream[(Long, Long)]
+    val memP = MemoryStream[(Long, Long)]
+    val clicks = memC.toDF()
+      .select(col("_1").as("c_user"), timestamp_micros(col("_2")).as("c_ts"))
+      .withWatermark("c_ts", "1 hour")
+    val purchases = memP.toDF()
+      .select(col("_1").as("p_user"), timestamp_micros(col("_2")).as("p_ts"))
+      .withWatermark("p_ts", "1 hour")
+    val target = java.nio.file.Files.createTempDirectory("graft_wm_louter").toString
+    val q = clicks.join(purchases,
+        col("c_user") === col("p_user") &&
+          col("p_ts") >= col("c_ts") &&
+          col("p_ts") <= col("c_ts") + expr("INTERVAL 30 MINUTES"),
+        "left_outer")
+      .select(col("c_user").as("user_id"), col("p_ts").isNotNull.as("matched"))
+      .writeStream.outputMode("append").format("parquet")
+      .option("path", s"$target/out")
+      .option("checkpointLocation", s"$target/ckpt")
+      .start()
+    // sentinels 90/91 pin BOTH sides' max event time so the global
+    // watermark = min(maxC, maxP) − 1h lands EXACTLY on click 1's
+    // match-window expiry (base + 30min); click 2 expires 1s strictly
+    // below it (must emit unmatched), click 3 1s above (must be held).
+    memC.addData(Seq(
+      (1L, base),
+      (2L, base - 1000000L),
+      (3L, base + 1000000L),
+      (90L, base + MICROS_30M + MICROS_H)))
+    memP.addData(Seq((91L, base + MICROS_30M + MICROS_H)))
+    try q.processAllAvailable() finally q.stop()
+    val emitted = spark.read.parquet(s"$target/out")
+      .filter(!col("matched")).select("user_id").collect().map(_.getLong(0)).toSet
+    assert(emitted.contains(2L), "click strictly below the horizon must emit unmatched")
+    assert(!emitted.contains(3L), "click strictly above the horizon must be held")
+    assert(!emitted.contains(90L), "sentinel click window is open — must be held")
+    // THE boundary pin: q133/q151 oracles use expiry STRICTLY < horizon
+    assert(!emitted.contains(1L),
+      "click expiring EXACTLY at the watermark must be held — q133/q151 oracles encode strict <")
+  }
+
   test("streaming upsert is batch-split invariant (out-of-order multi-batch replay)") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream

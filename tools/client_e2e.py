@@ -112,12 +112,29 @@ def run_checks():
     assert per_region['r_name']['String'] == sorted(
         per_region['r_name']['String']), per_region
 
-    # group_by without aggregate nests values into lists
-    nested = nation.select([c('n_regionkey'), c('n_nationkey')]) \
+    # group_by without aggregate nests values into lists — full live
+    # round-trip of the nested wire variants (round-6 advice): the
+    # IntList AND StringList payloads the client decodes must equal a
+    # client-side regrouping of the flat collect, group for group
+    flat = nation.select([c('n_regionkey'), c('n_nationkey'), c('n_name')]) \
+                 .order_by(['n_nationkey']).collect()
+    expect_ids, expect_names = {}, {}
+    for rk, nk, nm in zip(flat['n_regionkey']['Int'],
+                          flat['n_nationkey']['Int'],
+                          flat['n_name']['String']):
+        expect_ids.setdefault(rk, []).append(nk)
+        expect_names.setdefault(rk, []).append(nm)
+    nested = nation.select([c('n_regionkey'), c('n_nationkey'), c('n_name')]) \
                    .group_by(['n_regionkey']).order_by(['n_regionkey']) \
                    .collect()
-    assert nested['n_nationkey']['IntList'][0] == sorted(
-        nested['n_nationkey']['IntList'][0]), nested
+    keys = nested['n_regionkey']['Int']
+    assert keys == sorted(expect_ids.keys()), nested
+    got_ids = nested['n_nationkey']['IntList']
+    got_names = nested['n_name']['StringList']
+    for i, k in enumerate(keys):
+        assert got_ids[i] == sorted(got_ids[i]), nested  # nest is sorted
+        assert sorted(got_ids[i]) == sorted(expect_ids[k]), (k, got_ids[i])
+        assert sorted(got_names[i]) == sorted(expect_names[k]), (k, got_names[i])
 
     # --- beyond-reference verbs: dedup / near-dup / window top-k ---
     base = ('alpha bravo charlie delta echo foxtrot golf hotel india '
