@@ -611,6 +611,205 @@ case class KmvAgg(child: Expression, k: Int,
   override def prettyName: String = "kmv_agg"
 }
 
+/** Mergeable quantile digest — Dunning's merging t-digest (Dunning &
+  * Ertl, "Computing Extremely Accurate Quantiles Using t-Digests",
+  * 2019), the one sketch family missing from the HLL/CMS/KMV/MG set:
+  * bounded-memory rank/quantile summaries whose partial states merge
+  * associatively-enough for partial aggregation (merge = concatenate
+  * centroids + recompress; accuracy degrades gracefully, never
+  * catastrophically — the "mergeable summaries" regime, PODS'12).
+  *
+  * The k1 scale function k(q) = δ/(2π)·asin(2q−1) caps each
+  * centroid's q-span so rank error is O(q(1−q)·N/δ) — tightest at the
+  * tails (where quantile queries matter) and ≤ ~N/(2δ) at the median.
+  * Exact observed min/max are tracked separately so q→0/1 never
+  * extrapolates.
+  *
+  * 100 TB shape: each task folds its partition into ≤ ~2δ centroids
+  * in O(1) memory; only (mean, weight) pairs — ~3 KB at δ=100 — cross
+  * the shuffle. The alternative exact quantile is a full sort of the
+  * column. Estimates are NOT cross-engine bit-stable (interpolation
+  * over merge-order-dependent centroids), so the oracle checks rank
+  * brackets, not values: the exact rank of each estimate must sit
+  * within tolerance of q·N (q166's containment oracle).
+  */
+final class TDigestBuf(val compression: Int) {
+  private val capacity = compression * 4 + 8
+  var means = new Array[Double](capacity)
+  var weights = new Array[Double](capacity)
+  var used = 0          // merged prefix is sorted; suffix is raw buffer
+  var sortedPrefix = 0
+  var total = 0.0
+  var min = Double.PositiveInfinity
+  var max = Double.NegativeInfinity
+
+  def add(x: Double, w: Double): Unit = {
+    if (used == capacity) compress()
+    means(used) = x; weights(used) = w; used += 1
+    total += w
+    if (x < min) min = x
+    if (x > max) max = x
+  }
+
+  private def kScale(q: Double): Double =
+    compression / (2.0 * math.Pi) * math.asin(2.0 * math.min(1.0, math.max(0.0, q)) - 1.0)
+
+  /** Sort all live centroids by mean and greedily re-merge under the
+    * k1 size bound. Deterministic for a given centroid multiset. */
+  def compress(): Unit = {
+    if (used == 0) return
+    // sort (mean, weight) pairs by mean, ties by weight — stable result
+    val idx = (0 until used).sortBy(i => (means(i), weights(i)))
+    val m = idx.map(means).toArray
+    val w = idx.map(weights).toArray
+    var outN = 0
+    var curMean = m(0); var curW = w(0)
+    var wSoFar = 0.0
+    var i = 1
+    while (i < used) {
+      val proposedW = curW + w(i)
+      val qRight = (wSoFar + proposedW) / total
+      val qLeft = wSoFar / total
+      if (kScale(qRight) - kScale(qLeft) <= 1.0) {
+        // merge into current centroid (weighted mean)
+        curMean = (curMean * curW + m(i) * w(i)) / proposedW
+        curW = proposedW
+      } else {
+        means(outN) = curMean; weights(outN) = curW; outN += 1
+        wSoFar += curW
+        curMean = m(i); curW = w(i)
+      }
+      i += 1
+    }
+    means(outN) = curMean; weights(outN) = curW; outN += 1
+    used = outN
+    sortedPrefix = outN
+  }
+
+  def mergeIn(other: TDigestBuf): Unit = {
+    var i = 0
+    while (i < other.used) { add(other.means(i), other.weights(i)); i += 1 }
+    if (other.total > 0) {
+      if (other.min < min) min = other.min
+      if (other.max > max) max = other.max
+    }
+  }
+
+  /** Midpoint-interpolated quantile estimate, clamped to [min, max]. */
+  def quantile(q: Double): Double = {
+    compress()
+    if (used == 0) return Double.NaN
+    if (used == 1) return means(0)
+    val target = q * total
+    // cumulative midpoint positions: c_i = sum_{k<i} w_k + w_i/2
+    var cumPrev = weights(0) / 2.0
+    if (target <= cumPrev) {
+      // interpolate between observed min (rank 0) and first midpoint
+      val f = target / cumPrev
+      return math.max(min, math.min(max, min + f * (means(0) - min)))
+    }
+    var acc = 0.0
+    var i = 0
+    while (i < used - 1) {
+      val cI = acc + weights(i) / 2.0
+      val cNext = acc + weights(i) + weights(i + 1) / 2.0
+      if (target <= cNext) {
+        val f = (target - cI) / (cNext - cI)
+        return means(i) + f * (means(i + 1) - means(i))
+      }
+      acc += weights(i)
+      i += 1
+    }
+    val cLast = acc + weights(used - 1) / 2.0
+    val f = math.min(1.0, (target - cLast) / math.max(total - cLast, 1e-300))
+    math.max(min, math.min(max, means(used - 1) + f * (max - means(used - 1))))
+  }
+}
+
+/** `tdigest_quantiles(x, compression, qs)` — native mergeable quantile
+  * aggregate returning `array<struct<q: double, est: double>>`. */
+case class TDigestQuantiles(child: Expression, compression: Int,
+    qs: Seq[Double],
+    mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[TDigestBuf] {
+
+  require(compression >= 10, s"compression ($compression) too small")
+  require(qs.nonEmpty && qs.forall(q => q >= 0.0 && q <= 1.0))
+
+  override def children: Seq[Expression] = child :: Nil
+  override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): Expression =
+    copy(child = c.head)
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case DoubleType | FloatType | LongType | IntegerType =>
+      TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"tdigest_quantiles requires a numeric column, got ${t.sql}")
+  }
+
+  override def nullable: Boolean = false
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("q", DoubleType, nullable = false),
+    StructField("est", DoubleType, nullable = false))), containsNull = false)
+
+  override def createAggregationBuffer(): TDigestBuf = new TDigestBuf(compression)
+
+  override def update(buffer: TDigestBuf, input: InternalRow): TDigestBuf = {
+    val v = child.eval(input)
+    if (v != null) {
+      val x = v match {
+        case d: java.lang.Double => d.doubleValue()
+        case f: java.lang.Float => f.doubleValue()
+        case l: java.lang.Long => l.doubleValue()
+        case i: java.lang.Integer => i.doubleValue()
+        case other => other.asInstanceOf[Number].doubleValue()
+      }
+      buffer.add(x, 1.0)
+    }
+    buffer
+  }
+
+  override def merge(buffer: TDigestBuf, other: TDigestBuf): TDigestBuf = {
+    buffer.mergeIn(other); buffer
+  }
+
+  override def eval(buffer: TDigestBuf): Any =
+    new GenericArrayData(qs.map { q =>
+      new GenericInternalRow(Array[Any](q, buffer.quantile(q)))
+    }.toArray[Any])
+
+  override def serialize(buffer: TDigestBuf): Array[Byte] = {
+    buffer.compress()
+    val bb = java.nio.ByteBuffer.allocate(8 * 3 + 4 + 16 * buffer.used)
+    bb.putDouble(buffer.total); bb.putDouble(buffer.min); bb.putDouble(buffer.max)
+    bb.putInt(buffer.used)
+    var i = 0
+    while (i < buffer.used) {
+      bb.putDouble(buffer.means(i)); bb.putDouble(buffer.weights(i)); i += 1
+    }
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): TDigestBuf = {
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+    val s = new TDigestBuf(compression)
+    val total = bb.getDouble(); val mn = bb.getDouble(); val mx = bb.getDouble()
+    val n = bb.getInt()
+    var i = 0
+    while (i < n) {
+      val m = bb.getDouble(); val w = bb.getDouble()
+      s.means(i) = m; s.weights(i) = w; i += 1
+    }
+    s.used = n; s.sortedPrefix = n; s.total = total; s.min = mn; s.max = mx
+    s
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): TDigestQuantiles =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): TDigestQuantiles =
+    copy(inputAggBufferOffset = newOffset)
+  override def prettyName: String = "tdigest_quantiles"
+}
+
 object SketchFunctions {
   import org.apache.spark.sql.graft.ColumnBridge.{column, expression}
 
@@ -631,4 +830,7 @@ object SketchFunctions {
 
   def kmv_agg(hash64: Column, k: Int): Column =
     column(KmvAgg(expression(hash64), k).toAggregateExpression())
+
+  def tdigest_quantiles(x: Column, compression: Int, qs: Seq[Double]): Column =
+    column(TDigestQuantiles(expression(x), compression, qs).toAggregateExpression())
 }

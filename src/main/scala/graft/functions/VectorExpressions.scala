@@ -592,6 +592,108 @@ object VecJLProject {
   val MaxH0: Long = (1L << 23) - 1
 }
 
+/** Upper-triangle second-moment aggregate: accumulates the outer
+  * product Σ_rows x⊗x into a fixed-point `Array[Long]` of length
+  * dim·(dim+1)/2 (row-major upper triangle, (i,j≥i) at offset
+  * i·dim − i(i−1)/2 + (j−i)) → `array<bigint>`. Together with
+  * [[VecFixedSum]] (Σx) and a `count`, ONE scan of the data yields the
+  * full covariance matrix C = M2/N − μμᵀ on the driver — the 100 TB
+  * shape for PCA/whitening: the O(N·d²) multiply-adds happen inside
+  * partial aggregation (no per-row d²-array is ever materialized — a
+  * posexplode formulation would re-evaluate the outer product per
+  * element, PERF.md lesson 6/12), only dim(dim+1)/2 longs per task
+  * cross the network, and the d×d eigen-iteration runs driver-side on
+  * a broadcast-free 32 KB matrix.
+  *
+  * Fixed-point longs make the sum exact and associative (merge-order
+  * invariant, same convention as [[VecFixedSum]]): each product
+  * x_i·x_j is floored at `scale`. Overflow headroom: unit-scale
+  * components with scale 1e9 allow ~9.2e9 rows per group before
+  * Long.MAX.
+  */
+case class VecOuterFixedSum(child: Expression, dim: Int, scale: Double,
+    mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
+  extends org.apache.spark.sql.catalyst.expressions.aggregate
+    .TypedImperativeAggregate[Array[Long]] {
+
+  require(dim > 0 && scale > 0)
+  private val tri = dim * (dim + 1) / 2
+
+  override def children: Seq[Expression] = child :: Nil
+  override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): Expression =
+    copy(child = c.head)
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType | DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"vec_outer_fixed_sum requires array<float|double>, got ${t.sql}")
+  }
+
+  private def isFloat = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+
+  override def nullable: Boolean = false
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def createAggregationBuffer(): Array[Long] = new Array[Long](tri)
+
+  override def update(buffer: Array[Long], input: InternalRow): Array[Long] = {
+    val v = child.eval(input)
+    if (v != null) {
+      val a = v.asInstanceOf[ArrayData]
+      val n = math.min(a.numElements(), dim)
+      val x = new Array[Double](n)
+      var i = 0
+      while (i < n) {
+        x(i) = if (isFloat) a.getFloat(i).toDouble else a.getDouble(i)
+        i += 1
+      }
+      i = 0
+      while (i < n) {
+        val base = i * dim - i * (i - 1) / 2 - i
+        var j = i
+        while (j < n) {
+          buffer(base + j) += math.floor(x(i) * x(j) * scale).toLong
+          j += 1
+        }
+        i += 1
+      }
+    }
+    buffer
+  }
+
+  override def merge(buffer: Array[Long], other: Array[Long]): Array[Long] = {
+    var i = 0
+    while (i < tri) { buffer(i) += other(i); i += 1 }
+    buffer
+  }
+
+  override def eval(buffer: Array[Long]): Any =
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(buffer.clone())
+
+  override def serialize(buffer: Array[Long]): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(8 * tri)
+    var i = 0
+    while (i < tri) { bb.putLong(buffer(i)); i += 1 }
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): Array[Long] = {
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+    val out = new Array[Long](tri)
+    var i = 0
+    while (i < tri) { out(i) = bb.getLong(); i += 1 }
+    out
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): VecOuterFixedSum =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): VecOuterFixedSum =
+    copy(inputAggBufferOffset = newOffset)
+  override def prettyName: String = "vec_outer_fixed_sum"
+}
+
 /** Column-level entry points for the native vector expressions. */
 object VectorFunctions {
   import org.apache.spark.sql.graft.ColumnBridge.{column, expression}
@@ -626,4 +728,9 @@ object VectorFunctions {
   /** Derandomized JL sign projection → array<long> of length k. */
   def vec_jl_project(v: Column, k: Int, scale: Double = 1e6): Column =
     column(VecJLProject(expression(v), k, scale))
+
+  /** Exact fixed-point upper-triangle Σ x⊗x (aggregate) — one-pass
+    * covariance input for driver-side eigen work. */
+  def vec_outer_fixed_sum(v: Column, dim: Int, scale: Double = 1e9): Column =
+    column(VecOuterFixedSum(expression(v), dim, scale).toAggregateExpression())
 }

@@ -513,4 +513,81 @@ object Dedup {
       (col("n_inter").cast("double") / col("n_b").cast("double")).as("containment"))
     ab.unionByName(ba).filter(col("containment") >= lit(threshold))
   }
+
+  /** EXACT all-pairs similarity join over the FULL corpus via prefix
+    * filtering (All-Pairs / PPJoin family, Bayardo et al. WWW'07;
+    * Xiao et al. WWW'08) — the scale path for exact Jaccard that
+    * [[ngramJaccardPairs]]'s bounded-block full posting join cannot
+    * take: indexing EVERY shingle of every doc makes the candidate set
+    * quadratic in cluster size, while indexing only each doc's
+    * `n − ⌈τ·n⌉ + 1` globally-rarest shingles is complete for
+    * threshold τ and near-linear in practice at τ ≥ 0.5.
+    *
+    * Completeness argument (why the prefix-prefix equi-join misses
+    * nothing): for a qualifying pair, J ≥ τ ⇒ |A∩B| ≥ τ(|A|+|B|−|A∩B|)
+    * ≥ τ·|A| (since |B| ≥ |A∩B|), so A shares ≥ ⌈τ·|A|⌉ shingles with
+    * B. If the canonical-order minimum g of A∩B were outside A's
+    * prefix, the whole intersection would sit in A's suffix of length
+    * ⌈τ·|A|⌉ − 1 < ⌈τ·|A|⌉ — contradiction; symmetrically g is in B's
+    * prefix, so the pair collides on g. Canonical order = ascending
+    * global document-frequency (rarest first — maximally selective
+    * prefixes), ties by hash.
+    *
+    * Scale shape: one df-count aggregate (8-byte keys), one per-doc
+    * sort+slice (map-side after an id shuffle), an equi-join on prefix
+    * shingles with the Jaccard LENGTH bound `min(n_a,n_b) ≥
+    * τ·max(n_a,n_b)` applied inside the join, then ONE verification
+    * join carrying the full hashed-shingle arrays only for surviving
+    * candidate ids. No similarity predicate ever appears as a join
+    * condition (rule: equi-join then filter); candidate verification is
+    * a local `array_intersect` per pair.
+    */
+  /** The candidate-generation stage of [[prefixFilterPairs]], exposed
+    * so the pruning ratio is testable: returns (per-doc sorted shingle
+    * arrays, distinct candidate id pairs surviving the prefix + length
+    * filters — NOT yet Jaccard-verified). */
+  def prefixFilterCandidates(docs: DataFrame, idCol: String, textCol: String,
+                             k: Int, threshold: Double): (DataFrame, DataFrame) = {
+    require(threshold > 0.0 && threshold <= 1.0, "threshold in (0,1]")
+    val post = shingleHashes(docs, idCol, textCol, k)
+    val freq = post.groupBy(col("sh")).agg(count(lit(1)).as("df"))
+    // canonical rarest-first order: (df asc, sh asc) via struct sort
+    val arrs = post.join(freq, "sh")
+      .groupBy(col(idCol))
+      .agg(sort_array(collect_list(struct(col("df"), col("sh")))).as("ord"))
+      .select(col(idCol).as("id"),
+        col("ord").getField("sh").as("arr"),
+        size(col("ord")).cast("long").as("n"))
+    val prefixed = arrs.select(col("id"), col("n"),
+      slice(col("arr"), lit(1),
+        (col("n") - ceil(lit(threshold) * col("n")) + lit(1)).cast("int"))
+        .as("prefix"))
+    val index = prefixed.select(col("id"), col("n"),
+      explode(col("prefix")).as("g"))
+    val candidates = index.select(col("g"), col("id").as("id_a"), col("n").as("n_a"))
+      .join(index.select(col("g"), col("id").as("id_b"), col("n").as("n_b")), "g")
+      .filter(col("id_a") < col("id_b") &&
+        least(col("n_a"), col("n_b")).cast("double") >=
+          lit(threshold) * greatest(col("n_a"), col("n_b")).cast("double"))
+      .select(col("id_a"), col("id_b")).distinct()
+    (arrs, candidates)
+  }
+
+  def prefixFilterPairs(docs: DataFrame, idCol: String, textCol: String,
+                        k: Int, threshold: Double): DataFrame = {
+    val (arrs, candidates) =
+      prefixFilterCandidates(docs, idCol, textCol, k, threshold)
+    candidates
+      .join(arrs.select(col("id").as("id_a"), col("arr").as("arr_a"),
+        col("n").as("n_a")), "id_a")
+      .join(arrs.select(col("id").as("id_b"), col("arr").as("arr_b"),
+        col("n").as("n_b")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        size(array_intersect(col("arr_a"), col("arr_b"))).cast("long").as("ni"),
+        col("n_a"), col("n_b"))
+      .select(col("id_a"), col("id_b"),
+        (col("ni").cast("double") /
+          (col("n_a") + col("n_b") - col("ni")).cast("double")).as("jaccard"))
+      .filter(col("jaccard") >= lit(threshold))
+  }
 }

@@ -418,4 +418,68 @@ object Similarity {
         .filter(col("rank") <= lit(k))
     }
   }
+
+  /** Top principal component by distributed covariance + driver-side
+    * power iteration — the embedding-space analytics primitive behind
+    * whitening, drift detection, and spectral filtering.
+    *
+    * 100 TB shape: ONE scan computes N, Σx ([[graft.functions.VecFixedSum]])
+    * and the upper-triangle Σx⊗x ([[graft.functions.VecOuterFixedSum]])
+    * as exact fixed-point partial aggregates — the O(N·d²)
+    * multiply-adds happen inside map-side combine, only d(d+1)/2 longs
+    * per task cross the network, and NOTHING data-proportional reaches
+    * the driver. The d×d eigen-iteration then runs driver-side on a
+    * 32 KB matrix (10³ iterations of a 64×64 matvec is microseconds) —
+    * the same "model on driver, data stays out" split as
+    * [[trainCentroids]]. Deterministic end to end: fixed-point sums
+    * are merge-order invariant, init is the fixed uniform vector, and
+    * the sign is canonicalized (largest-|loading| component positive).
+    *
+    * Returns (loadings of unit length, λ = vᵀCv) for the population
+    * covariance C = Σx⊗x/N − μμᵀ.
+    */
+  def pcaTopComponent(data: DataFrame, vecCol: String, dim: Int,
+                      iters: Int = 1000,
+                      scale: Double = 1e9): (Array[Double], Double) = {
+    import graft.functions.VectorFunctions.{vec_fixed_sum, vec_outer_fixed_sum}
+    val row = data.select(col(vecCol).as("v"))
+      .agg(count(lit(1)).as("n"),
+        vec_fixed_sum(col("v"), dim, scale).as("s1"),
+        vec_outer_fixed_sum(col("v"), dim, scale).as("s2"))
+      .collect()(0) // d(d+1)/2 + d longs — the model, not the data
+    val n = row.getLong(0).toDouble
+    val s1 = row.getSeq[Long](1)
+    val s2 = row.getSeq[Long](2)
+    val mu = Array.tabulate(dim)(i => s1(i).toDouble / scale / n)
+    val c = Array.ofDim[Double](dim, dim)
+    var idx = 0
+    var i = 0
+    while (i < dim) {
+      var j = i
+      while (j < dim) {
+        val v = s2(idx).toDouble / scale / n - mu(i) * mu(j)
+        c(i)(j) = v; c(j)(i) = v; idx += 1; j += 1
+      }
+      i += 1
+    }
+    def matvec(v: Array[Double]): Array[Double] =
+      Array.tabulate(dim) { r =>
+        var s = 0.0; var k = 0
+        while (k < dim) { s += c(r)(k) * v(k); k += 1 }
+        s
+      }
+    var v = Array.fill(dim)(1.0 / math.sqrt(dim.toDouble))
+    var it = 0
+    while (it < iters) {
+      val w = matvec(v)
+      val norm = math.sqrt(w.map(x => x * x).sum)
+      if (norm > 0) v = w.map(_ / norm)
+      it += 1
+    }
+    val cv = matvec(v)
+    val lambda = v.zip(cv).map { case (a, b) => a * b }.sum
+    val kmax = v.indices.maxBy(k => math.abs(v(k)))
+    if (v(kmax) < 0) v = v.map(x => -x)
+    (v, lambda)
+  }
 }

@@ -306,6 +306,107 @@ object Pipeline {
       |ORDER BY src, dst""".stripMargin
 
   // -------------------------------------------------------------------
+  // q164: EXACT all-pairs Jaccard over the FULL corpus via prefix
+  // filtering (All-Pairs/PPJoin) — the scale path q33's bounded block
+  // avoids. τ=0.5 (the realistic near-dup bar; planted near-dups in
+  // the corpus sit ≥0.8, background noise <0.1). The oracle is a full
+  // independent recompute in DuckDB (unnest posting self-join — exact,
+  // no prefix logic), so any over-pruning by the prefix/length filters
+  // is a row-count FAIL, and any emitted pair with a wrong jaccard is
+  // a hash FAIL. Hashed-shingle sets stand in for string-shingle sets
+  // (collision-free at 64 bit — same acceptance as q33).
+  // -------------------------------------------------------------------
+  def q164AllpairsExact(spark: SparkSession, dir: String): DataFrame =
+    Dedup.prefixFilterPairs(docs(spark, dir), "doc_id", "text",
+      k = 3, threshold = 0.5)
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard_r"))
+      .orderBy(asc("id_a"), asc("id_b"))
+  val q164Sql: String =
+    """WITH sh AS (
+      |  SELECT doc_id, list_distinct(list_transform(
+      |    range(1, GREATEST(LEN(toks) - 2, 1) + 1),
+      |    i -> array_to_string(toks[i:i+2], ' '))) AS s
+      |  FROM (SELECT doc_id, string_split_regex(TRIM(text), '\s+') AS toks
+      |        FROM documents)
+      |), post AS (
+      |  SELECT doc_id, UNNEST(s) AS g FROM sh
+      |), sizes AS (
+      |  SELECT doc_id, LEN(s) AS n FROM sh
+      |), inter AS (
+      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS ni
+      |  FROM post a JOIN post b ON a.g = b.g AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2
+      |)
+      |SELECT id_a, id_b,
+      |  ROUND(CAST(ni AS DOUBLE) / (na.n + nb.n - ni), 6) AS jaccard_r
+      |FROM inter
+      |JOIN sizes na ON na.doc_id = id_a
+      |JOIN sizes nb ON nb.doc_id = id_b
+      |WHERE CAST(ni AS DOUBLE) / (na.n + nb.n - ni) >= 0.5
+      |ORDER BY id_a, id_b""".stripMargin
+
+  // -------------------------------------------------------------------
+  // q165: top principal component of the embedding space — ONE
+  // distributed pass (count + VecFixedSum Σx + VecOuterFixedSum Σx⊗x,
+  // all exact fixed-point partial aggregates; d(d+1)/2 longs per task
+  // is all that moves) then driver-side power iteration on the 64×64
+  // covariance. Output: 64 rows (dim, loading, lambda). The oracle is
+  // a self-certifying EIGENPAIR check, not a value echo: DuckDB
+  // independently recomputes, from the raw embeddings and the emitted
+  // v, the per-row centered projection s = (x−μ)·v, and requires
+  //   (a) ‖v‖² = 1,            (b) λ = avg(s²)  (Rayleigh quotient),
+  //   (c) (Cv)_d = λ·v_d per dim (residual ⇒ v IS an eigenvector),
+  //   (d) all 64 dims emitted with one shared λ.
+  // Residual tolerance 1e-3·λ: measured max residual after 1000
+  // driver iterations is 1.6e-8·λ (sf0.01) / 1.8e-7·λ (sf0.1) — the
+  // top eigengap of the labeled-cluster embeddings is wide, and the
+  // slack only covers fixed-point covariance quantization and
+  // DuckDB's double-sum μ. λ agreement measured ≤5e-9 relative.
+  // -------------------------------------------------------------------
+  def q165PcaPower(spark: SparkSession, dir: String): DataFrame = {
+    val (v, lambda) = Similarity.pcaTopComponent(emb(spark, dir), "embedding", 64)
+    import spark.implicits._
+    v.zipWithIndex.toSeq
+      .map { case (x, i) => (i.toLong, x, lambda) }
+      .toDF("dim", "loading", "lambda")
+      .orderBy(asc("dim"))
+  }
+  val q165Sql: String =
+    """WITH e AS (
+      |  SELECT dim, loading, lambda
+      |  FROM read_parquet('__GRAFT_OUT__/q165_pca_power/*.parquet')
+      |), ux AS (
+      |  SELECT vec_id, UNNEST(range(1, LEN(embedding) + 1)) - 1 AS dim,
+      |    CAST(UNNEST(embedding) AS DOUBLE) AS x
+      |  FROM embeddings
+      |), mu AS (
+      |  SELECT dim, AVG(x) AS m FROM ux GROUP BY dim
+      |), s AS (
+      |  SELECT u.vec_id, SUM((u.x - mu.m) * e.loading) AS sc
+      |  FROM ux u JOIN mu USING (dim) JOIN e USING (dim)
+      |  GROUP BY u.vec_id
+      |), lam AS (
+      |  SELECT AVG(sc * sc) AS l FROM s
+      |), cv AS (
+      |  SELECT u.dim, AVG((u.x - mu.m) * s.sc) AS cvd
+      |  FROM ux u JOIN mu USING (dim) JOIN s USING (vec_id)
+      |  GROUP BY u.dim
+      |), chk AS (
+      |  SELECT SUM(loading * loading) AS nn, COUNT(*) AS cnt,
+      |    MAX(lambda) AS lmax, MIN(lambda) AS lmin
+      |  FROM e
+      |)
+      |SELECT e.dim, e.loading, e.lambda
+      |FROM e JOIN cv USING (dim) CROSS JOIN lam CROSS JOIN chk
+      |WHERE chk.cnt = 64 AND chk.lmax = chk.lmin
+      |  AND ABS(chk.nn - 1.0) < 1e-9
+      |  AND ABS(e.lambda - lam.l) < 1e-4 * GREATEST(lam.l, 1e-12)
+      |  AND ABS(cv.cvd - e.lambda * e.loading) < 1e-3 * GREATEST(lam.l, 1e-12)
+      |UNION ALL SELECT -1, -1.0, -1.0 WHERE (SELECT COUNT(*)
+      |  FROM read_parquet('__GRAFT_OUT__/q165_pca_power/*.parquet')) = 0
+      |ORDER BY dim""".stripMargin
+
+  // -------------------------------------------------------------------
   // q34: brute-force cosine top-k (rank output; queries = every 50th
   // vector). Exact baseline for ANN.
   // -------------------------------------------------------------------
@@ -1610,7 +1711,9 @@ object Pipeline {
     "q152_jl_projection" -> (q152JlProjection _),
     "q159_containment" -> (q159Containment _),
     "q160_bm25_batch" -> (q160Bm25Batch _),
-    "q163_pq_ann" -> (q163PqAnn _))
+    "q163_pq_ann" -> (q163PqAnn _),
+    "q164_allpairs_exact" -> (q164AllpairsExact _),
+    "q165_pca_power" -> (q165PcaPower _))
 
   val oracle: Map[String, String] = Map(
     "q25_text_stats" -> q25Sql,
@@ -1630,6 +1733,8 @@ object Pipeline {
     "q35_ann_lsh" -> annOracle("q35_ann_lsh", 0.35),
     "q52_ann_ivf" -> annOracle("q52_ann_ivf", 0.55),
     "q163_pq_ann" -> annOracle("q163_pq_ann", 0.6),
+    "q164_allpairs_exact" -> q164Sql,
+    "q165_pca_power" -> q165Sql,
     "q68_vocab_approx" -> q68Sql,
     "q75_semantic_dedup" -> q75Sql,
     "q110_sketch_union" -> q110Sql,

@@ -747,7 +747,55 @@ object Stats {
       |    / CAST(n1 * n2 AS DOUBLE) AS ks
       |FROM cum, n GROUP BY n1, n2""".stripMargin
 
+  // -------------------------------------------------------------------
+  // q166: mergeable quantile sketch — grouped t-digest (δ=100) over
+  // events.value, six quantiles per event_type. The missing member of
+  // the sketch family (HLL/CMS/KMV/MG all gated already): bounded
+  // memory per task, ~3 KB partial states across the shuffle, vs a
+  // full per-group sort for exact quantiles. Estimates are not
+  // bit-stable cross-engine (interpolation over merge-order-dependent
+  // centroids), so the oracle is a rank-bracket containment (rule 9):
+  // DuckDB recomputes the EXACT rank of every emitted estimate and
+  // requires it within max(3, 2%·n) of q·n — measured max rank error
+  // is 0.24%·n (sf0.01) / 0.12%·n (sf0.1) (t-digest k1-scale bound is
+  // O(q(1−q)n/δ)), so the 2% gate has ≥8× margin without tolerating a
+  // broken sketch.
+  // A completeness clause pins 6 rows × |event_type| (partial emission
+  // zeroes the main branch → hard FAIL per rule 10).
+  // -------------------------------------------------------------------
+  private val q166Qs = Seq(0.05, 0.25, 0.5, 0.75, 0.95, 0.99)
+  def q166TdigestQuantiles(spark: SparkSession, dir: String): DataFrame =
+    graft.sources.Events.ev(spark, dir)
+      .groupBy(col("event_type"))
+      .agg(graft.functions.SketchFunctions
+        .tdigest_quantiles(col("value"), 100, q166Qs).as("qs"))
+      .select(col("event_type"), explode(col("qs")).as("e"))
+      .select(col("event_type"), col("e.q").as("q"), col("e.est").as("est"))
+      .orderBy(asc("event_type"), asc("q"))
+  val q166Sql: String =
+    """WITH e AS (
+      |  SELECT event_type, q, est
+      |  FROM read_parquet('__GRAFT_OUT__/q166_tdigest_quantiles/*.parquet')
+      |), g AS (
+      |  SELECT event_type, COUNT(*) AS n FROM events GROUP BY 1
+      |), r AS (
+      |  SELECT e.event_type, e.q, e.est,
+      |    SUM(CASE WHEN x.value < e.est THEN 1 ELSE 0 END) AS below,
+      |    SUM(CASE WHEN x.value <= e.est THEN 1 ELSE 0 END) AS beloweq
+      |  FROM e JOIN events x ON x.event_type = e.event_type
+      |  GROUP BY 1, 2, 3
+      |)
+      |SELECT r.event_type, r.q, r.est
+      |FROM r JOIN g ON g.event_type = r.event_type
+      |WHERE r.below <= r.q * g.n + GREATEST(3, 0.02 * g.n)
+      |  AND r.beloweq >= r.q * g.n - GREATEST(3, 0.02 * g.n)
+      |  AND (SELECT COUNT(*) FROM e) = 6 * (SELECT COUNT(*) FROM g)
+      |UNION ALL SELECT '~', -1.0, -1.0 WHERE (SELECT COUNT(*)
+      |  FROM read_parquet('__GRAFT_OUT__/q166_tdigest_quantiles/*.parquet')) = 0
+      |ORDER BY event_type, q""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q166_tdigest_quantiles" -> (q166TdigestQuantiles _),
     "q153_ks_test" -> (q153KsTest _),
     "q142_group_linreg" -> (q142GroupLinreg _),
     "q143_concentration" -> (q143Concentration _),
@@ -765,6 +813,7 @@ object Stats {
     "q106_histogram" -> (q106Histogram _))
 
   val oracle: Map[String, String] = Map(
+    "q166_tdigest_quantiles" -> q166Sql,
     "q153_ks_test" -> q153Sql,
     "q142_group_linreg" -> q142Sql,
     "q143_concentration" -> q143Sql,

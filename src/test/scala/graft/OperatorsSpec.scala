@@ -745,4 +745,77 @@ class OperatorsSpec extends SparkSpec {
       numCells = 16, iters = 2, dim = 64)
     assert(cents.map(_.toSeq).toSeq === repart.map(_.toSeq).toSeq)
   }
+
+  test("vec_outer_fixed_sum matches the driver-computed outer product, merge-order invariant") {
+    import graft.functions.VectorFunctions.vec_outer_fixed_sum
+    val dim = 4
+    val vecs = Seq(
+      Array(1.0f, 2.0f, -1.0f, 0.5f),
+      Array(0.0f, 1.0f, 3.0f, -2.0f),
+      Array(2.5f, -0.5f, 1.0f, 1.0f))
+    val df = vecs.map(v => Tuple1(v.toSeq)).toDF("v")
+    def run(parts: Int): Seq[Long] =
+      df.repartition(parts)
+        .agg(vec_outer_fixed_sum(col("v"), dim, 1e9).as("s"))
+        .collect()(0).getSeq[Long](0)
+    val got = run(1)
+    // driver reference: upper-triangle Σ floor(x_i·x_j·1e9)
+    val want = for (i <- 0 until dim; j <- i until dim) yield
+      vecs.map(v => math.floor(v(i).toDouble * v(j).toDouble * 1e9).toLong).sum
+    assert(got === want)
+    assert(run(3) === got) // fixed-point longs: partitioning-invariant
+  }
+
+  test("pcaTopComponent recovers a planted dominant direction") {
+    // planted: x = t·d + small orthogonal noise, d = (3,4)/5 in dims 0/1
+    val d = Array(0.6, 0.8, 0.0, 0.0)
+    val rows = (0 until 500).map { i =>
+      val t = (i % 21 - 10).toDouble            // spread along d: var >> noise
+      val n1 = ((i * 7) % 5 - 2).toDouble * 0.05 // orthogonal noise dims 2/3
+      val n2 = ((i * 11) % 5 - 2).toDouble * 0.05
+      Tuple1(Seq(t * d(0), t * d(1), n1, n2).map(_.toFloat))
+    }
+    val df = rows.toDF("embedding")
+    val (v, lambda) = Similarity.pcaTopComponent(df, "embedding", 4, iters = 500)
+    assert(math.abs(math.sqrt(v.map(x => x * x).sum) - 1.0) < 1e-9)
+    val cosToPlanted = v.zip(d).map { case (a, b) => a * b }.sum
+    assert(math.abs(cosToPlanted) > 0.999, s"v=${v.toSeq}")
+    assert(v(0) > 0) // sign canonicalization: largest |loading| positive
+    // lambda ≈ variance along d; residual certifies the eigenpair the
+    // same way the q165 oracle does
+    assert(lambda > 1.0)
+    // determinism incl. partitioning
+    val (v2, l2) = Similarity.pcaTopComponent(df.repartition(7), "embedding", 4, iters = 500)
+    assert(v.toSeq === v2.toSeq && lambda === l2)
+  }
+
+  test("prefixFilterPairs equals the unpruned exact all-pairs join") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    // ground truth: full posting-join Jaccard (no prefix pruning) at τ
+    val full = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+        k = 3, threshold = 0.5, maxId = Long.MaxValue)
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        math.round(r.getDouble(2) * 1e6))).toSet
+    val pruned = Dedup.prefixFilterPairs(docs, "doc_id", "text",
+        k = 3, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        math.round(r.getDouble(2) * 1e6))).toSet
+    assert(pruned === full) // completeness AND exactness of the pruned path
+    assert(full.nonEmpty)   // planted near-dups exist at sf0.001
+  }
+
+  test("prefixFilterPairs prunes: candidate set well below the shared-shingle universe") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    // the unpruned candidate universe = pairs sharing ANY shingle
+    val post = Dedup.shingleHashes(docs, "doc_id", "text", 3)
+    val fullCand = post.select(col("doc_id").as("a"), col("sh"))
+      .join(post.select(col("doc_id").as("b"), col("sh")), "sh")
+      .filter(col("a") < col("b")).select("a", "b").distinct().count()
+    val (_, cands) = Dedup.prefixFilterCandidates(docs, "doc_id", "text", 3, 0.5)
+    val pruned = cands.count()
+    // the point of the filter: Jaccard is VERIFIED on a candidate set
+    // far smaller than the shared-shingle universe the τ=0.05 posting
+    // join would verify
+    assert(pruned < fullCand / 5, s"pruned=$pruned fullCand=$fullCand")
+  }
 }

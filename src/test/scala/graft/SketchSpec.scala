@@ -152,6 +152,77 @@ class SketchSpec extends SparkSpec {
     assert(merged === whole) // bottom-k of a union = bottom-k of bottom-ks
   }
 
+  import graft.functions.SketchFunctions.tdigest_quantiles
+
+  /** Exact rank of `est` among `xs`, as a (below, belowEq) bracket. */
+  private def rankBracket(xs: Array[Double], est: Double): (Long, Long) =
+    (xs.count(_ < est).toLong, xs.count(_ <= est).toLong)
+
+  test("tdigest: near-exact regime on small N, bracket within 1% + 3 rows") {
+    val qs = Seq(0.05, 0.25, 0.5, 0.75, 0.95, 0.99)
+    val xs = (0 until 2000).map(i => ((i * 2654435761L) % 100003L).toDouble)
+    val rows = xs.toDF("x")
+      .agg(tdigest_quantiles(col("x"), 100, qs).as("t"))
+      .select(explode(col("t")).as("e"))
+      .select(col("e.q"), col("e.est"))
+      .collect().map(r => (r.getDouble(0), r.getDouble(1)))
+    assert(rows.length === qs.length)
+    val sorted = xs.toArray.sorted
+    val tol = math.max(3.0, 0.01 * xs.length)
+    rows.foreach { case (q, est) =>
+      val (below, belowEq) = rankBracket(sorted, est)
+      val target = q * xs.length
+      assert(below <= target + tol, s"q=$q est=$est below=$below")
+      assert(belowEq >= target - tol, s"q=$q est=$est belowEq=$belowEq")
+    }
+  }
+
+  test("tdigest: sketch regime — 200k sorted skewed values, rank error <= 1%") {
+    // adversarial: pre-sorted heavy-tailed input (worst case for naive
+    // streaming summaries); δ=100 k1-scale bound predicts ≲0.5% rank err
+    val n = 200000
+    val xs = (0 until n).map(i => math.exp(6.0 * i / n)).toArray
+    val rows = xs.toSeq.toDF("x").repartition(16)
+      .agg(tdigest_quantiles(col("x"), 100, Seq(0.01, 0.1, 0.5, 0.9, 0.99)).as("t"))
+      .select(explode(col("t")).as("e"))
+      .select(col("e.q"), col("e.est"))
+      .collect().map(r => (r.getDouble(0), r.getDouble(1)))
+    val tol = 0.01 * n
+    rows.foreach { case (q, est) =>
+      val (below, belowEq) = rankBracket(xs, est) // xs already sorted
+      assert(below <= q * n + tol, s"q=$q below=$below")
+      assert(belowEq >= q * n - tol, s"q=$q belowEq=$belowEq")
+    }
+  }
+
+  test("tdigest: merged partial digests keep the bracket guarantee at any partitioning") {
+    val xs = (0 until 50000).map(i => ((i * 40503L) % 65536L).toDouble)
+    val sorted = xs.toArray.sorted
+    for (parts <- Seq(1, 32)) {
+      val rows = xs.toDF("x").repartition(parts)
+        .agg(tdigest_quantiles(col("x"), 100, Seq(0.25, 0.5, 0.75)).as("t"))
+        .select(explode(col("t")).as("e"))
+        .select(col("e.q"), col("e.est"))
+        .collect().map(r => (r.getDouble(0), r.getDouble(1)))
+      rows.foreach { case (q, est) =>
+        val (below, belowEq) = rankBracket(sorted, est)
+        assert(below <= q * xs.length + 0.01 * xs.length, s"parts=$parts q=$q")
+        assert(belowEq >= q * xs.length - 0.01 * xs.length, s"parts=$parts q=$q")
+      }
+    }
+  }
+
+  test("tdigest: extreme quantiles clamp to observed min/max") {
+    val xs = Seq(5.0, 1.0, 9.0, 3.0, 7.0)
+    val rows = xs.toDF("x")
+      .agg(tdigest_quantiles(col("x"), 100, Seq(0.0, 1.0)).as("t"))
+      .select(explode(col("t")).as("e"))
+      .select(col("e.q"), col("e.est"))
+      .collect().map(r => (r.getDouble(0), r.getDouble(1))).toMap
+    assert(rows(0.0) >= 1.0 && rows(0.0) <= 9.0)
+    assert(rows(1.0) <= 9.0 && rows(1.0) >= 1.0)
+  }
+
   test("bloom-prefiltered decontamination equals the exact operator") {
     val docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
     val train = docs.filter(col("doc_id") % 97 =!= 0)
