@@ -562,13 +562,33 @@ object Dedup {
       slice(col("arr"), lit(1),
         (col("n") - ceil(lit(threshold) * col("n")) + lit(1)).cast("int"))
         .as("prefix"))
+    // positions ride along (PPJoin's POSITIONAL filter, Xiao et al.
+    // WWW'08): for the globally-minimal shared shingle g of a
+    // qualifying pair, every intersection element is ≥ g in canonical
+    // order, so true |A∩B| ≤ min(n_a − pos_a, n_b − pos_b) (0-based
+    // pos of g). J ≥ τ forces |A∩B| ≥ τ/(1+τ)·(n_a+n_b); join rows
+    // whose positional bound can't reach that floor are pruned. The
+    // minimal-g row of a true pair always passes, so completeness is
+    // preserved (and gated by the q164 full-recompute oracle). The
+    // −1e-6 keeps double rounding on the KEEP side. Measured at
+    // sf0.1: 310k → 125k candidates (2.5×; the near-uniform doc
+    // lengths blunt the length filter, so the positional bound does
+    // the work) ahead of the verification join that carries full
+    // arrays — vs the 1.13M-pair shared-shingle universe a plain
+    // posting join would verify.
     val index = prefixed.select(col("id"), col("n"),
-      explode(col("prefix")).as("g"))
-    val candidates = index.select(col("g"), col("id").as("id_a"), col("n").as("n_a"))
-      .join(index.select(col("g"), col("id").as("id_b"), col("n").as("n_b")), "g")
+      posexplode(col("prefix")).as(Seq("pos", "g")))
+    val floorI = lit(threshold / (1.0 + threshold)) *
+      (col("n_a") + col("n_b")).cast("double") - lit(1e-6)
+    val candidates = index.select(col("g"), col("id").as("id_a"),
+        col("n").as("n_a"), col("pos").as("pos_a"))
+      .join(index.select(col("g"), col("id").as("id_b"),
+        col("n").as("n_b"), col("pos").as("pos_b")), "g")
       .filter(col("id_a") < col("id_b") &&
         least(col("n_a"), col("n_b")).cast("double") >=
-          lit(threshold) * greatest(col("n_a"), col("n_b")).cast("double"))
+          lit(threshold) * greatest(col("n_a"), col("n_b")).cast("double") &&
+        least(col("n_a") - col("pos_a"), col("n_b") - col("pos_b"))
+          .cast("double") >= floorI)
       .select(col("id_a"), col("id_b")).distinct()
     (arrs, candidates)
   }
