@@ -47,6 +47,8 @@ object Bench {
       graft.streaming.EventStreams.enrichedSegmentRollup _,
       graft.streaming.EventStreams.streamingUpsert _,
       graft.streaming.EventStreams.sessionRollupBatchDriven _,
+      // t-digest-in-state-store compiles its own agg + eviction shape
+      graft.streaming.EventStreams.streamingQuantilesBatchDriven _,
       graft.queries.Pipeline.q75SemanticDedup _,
       graft.queries.Curation.q83BloomDecontaminate _,
       // the composed dedup pipeline compiles the alternating-CC and

@@ -1067,6 +1067,53 @@ object Pipeline {
       |FROM events GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin
 
   // -------------------------------------------------------------------
+  // q167: STREAMING QUANTILES — the t-digest aggregate inside a
+  // watermarked append-mode window aggregate (7-day windows ×
+  // event_type, p50/p90/p99 of value): sketch state in the state
+  // store, one emission per closed window, distributed parquet drain.
+  // Oracle: rank-bracket containment per (window, type) group over the
+  // SAME closed-window set (end ≤ max(ts) − 2h, the recomputed
+  // watermark horizon — probed: 20 of 25 buckets close at sf0.01 with
+  // no <=/<  boundary tie). Measured max rank error 0.67%·n (sf0.01,
+  // group n 194-479) / 0.28%·n (sf0.1) vs the max(3, 2%·n) gate —
+  // ≥3× margin. Plus a completeness clause pinning
+  // 3 rows × |closed buckets| (partial emission, an unclosed window,
+  // or a skipped group all zero the main branch → hard FAIL).
+  // -------------------------------------------------------------------
+  def q167StreamQuantiles(spark: SparkSession, dir: String): DataFrame =
+    graft.streaming.EventStreams.streamingQuantilesBatchDriven(spark, dir)
+  val q167Sql: String =
+    """WITH e AS (
+      |  SELECT w_start, event_type, q, est
+      |  FROM read_parquet('__GRAFT_OUT__/q167_stream_quantiles/*.parquet')
+      |), ev AS (
+      |  SELECT make_timestamp((EPOCH_US(CAST(ts AS TIMESTAMP)) // 604800000000)
+      |           * 604800000000) AS w_start,
+      |    event_type, value
+      |  FROM events
+      |), closed AS (
+      |  SELECT w_start, event_type, COUNT(*) AS n FROM ev
+      |  WHERE EPOCH_US(w_start) + 604800000000 <=
+      |    (SELECT MAX(EPOCH_US(CAST(ts AS TIMESTAMP))) - 7200000000 FROM events)
+      |  GROUP BY 1, 2
+      |), r AS (
+      |  SELECT e.w_start, e.event_type, e.q, e.est,
+      |    SUM(CASE WHEN x.value < e.est THEN 1 ELSE 0 END) AS below,
+      |    SUM(CASE WHEN x.value <= e.est THEN 1 ELSE 0 END) AS beloweq
+      |  FROM e JOIN ev x ON x.w_start = e.w_start AND x.event_type = e.event_type
+      |  GROUP BY 1, 2, 3, 4
+      |)
+      |SELECT r.w_start, r.event_type, r.q, r.est
+      |FROM r JOIN closed c ON c.w_start = r.w_start AND c.event_type = r.event_type
+      |WHERE r.below <= r.q * c.n + GREATEST(3, 0.02 * c.n)
+      |  AND r.beloweq >= r.q * c.n - GREATEST(3, 0.02 * c.n)
+      |  AND (SELECT COUNT(*) FROM e) = 3 * (SELECT COUNT(*) FROM closed)
+      |UNION ALL SELECT TIMESTAMP '1970-01-01 00:00:00', '~', -1.0, -1.0
+      |  WHERE (SELECT COUNT(*)
+      |    FROM read_parquet('__GRAFT_OUT__/q167_stream_quantiles/*.parquet')) = 0
+      |ORDER BY w_start, event_type, q""".stripMargin
+
+  // -------------------------------------------------------------------
   // q81: BPE-ish tokenization — the regex pre-tokenizer count next to
   // the whitespace count (word runs and punctuation runs split apart,
   // the shape a subword tokenizer's pre-tokenization pass produces).
@@ -1713,7 +1760,8 @@ object Pipeline {
     "q160_bm25_batch" -> (q160Bm25Batch _),
     "q163_pq_ann" -> (q163PqAnn _),
     "q164_allpairs_exact" -> (q164AllpairsExact _),
-    "q165_pca_power" -> (q165PcaPower _))
+    "q165_pca_power" -> (q165PcaPower _),
+    "q167_stream_quantiles" -> (q167StreamQuantiles _))
 
   val oracle: Map[String, String] = Map(
     "q25_text_stats" -> q25Sql,
@@ -1735,6 +1783,7 @@ object Pipeline {
     "q163_pq_ann" -> annOracle("q163_pq_ann", 0.6),
     "q164_allpairs_exact" -> q164Sql,
     "q165_pca_power" -> q165Sql,
+    "q167_stream_quantiles" -> q167Sql,
     "q68_vocab_approx" -> q68Sql,
     "q75_semantic_dedup" -> q75Sql,
     "q110_sketch_union" -> q110Sql,

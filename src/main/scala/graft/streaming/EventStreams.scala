@@ -156,6 +156,41 @@ object EventStreams {
         StructField("sum_value", DoubleType))))
       .orderBy(asc("w_start"), asc("event_type"))
 
+  /** Streaming QUANTILES — the mergeable t-digest aggregate
+    * ([[graft.functions.TDigestQuantiles]]) running inside a
+    * watermarked streaming window aggregate: per (7-day window,
+    * event_type), p50/p90/p99 of `value`. Sketches are exactly what
+    * unbounded streams need for order statistics — exact quantiles
+    * would require retaining every value per open window, while the
+    * digest keeps ≤ ~2δ centroids (~3 KB) of state per group in the
+    * state store and merges associatively across micro-batches.
+    *
+    * APPEND mode, so each window emits ONCE when the watermark passes
+    * its end (state evicted — bounded by open windows only, the
+    * scale-honest shape; the final partial week is deterministically
+    * held back, mirrored by the oracle's recomputed horizon), and the
+    * drain is the distributed [[appendSinkDrain]].
+    */
+  def streamingQuantilesBatchDriven(spark: SparkSession, dir: String): DataFrame =
+    appendSinkDrain(
+      readEventStream(streamSession(spark), dir)
+        .withWatermark("ts", "2 hours")
+        .groupBy(window(col("ts"), "7 days"), col("event_type"))
+        .agg(graft.functions.SketchFunctions
+          .tdigest_quantiles(col("value"), 100, Seq(0.5, 0.9, 0.99)).as("qs"))
+        .select(col("window.start").as("w_start"), col("event_type"), col("qs")),
+      "graft_stream_quant",
+      StructType(Seq(
+        StructField("w_start", TimestampType),
+        StructField("event_type", StringType),
+        StructField("qs", ArrayType(StructType(Seq(
+          StructField("q", DoubleType, nullable = false),
+          StructField("est", DoubleType, nullable = false))), containsNull = false)))))
+      .select(col("w_start"), col("event_type"), explode(col("qs")).as("e"))
+      .select(col("w_start"), col("event_type"),
+        col("e.q").as("q"), col("e.est").as("est"))
+      .orderBy(asc("w_start"), asc("event_type"), asc("q"))
+
   /** Streaming SESSION windows (30-min gap) — gap-based sessionization
     * run on the real streaming engine: session state per user grows and
     * MERGES as events arrive (adjacent sessions closer than the gap

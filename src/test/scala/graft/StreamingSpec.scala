@@ -423,4 +423,35 @@ class StreamingSpec extends SparkSpec {
       (2L, "b", 7L, 7.0),   // ts tie → max event_id
       (3L, "c", 3L, 3.0)))
   }
+
+  test("streaming t-digest quantiles: closed windows only, brackets vs exact batch ranks") {
+    val out = graft.streaming.EventStreams
+      .streamingQuantilesBatchDriven(spark, sf)
+      .collect()
+      .map(r => (r.getTimestamp(0), r.getString(1), r.getDouble(2), r.getDouble(3)))
+    assert(out.nonEmpty)
+    // recompute closed weekly buckets + exact values from the batch side
+    val week = 604800000000L
+    val ev = graft.sources.Events.ev(spark, sf)
+      .select(unix_micros(col("ts")).as("us"), col("event_type"), col("value"))
+    val horizon = ev.agg(max(col("us"))).collect()(0).getLong(0) - 7200000000L
+    val rows = ev.select((col("us") - pmod(col("us"), lit(week))).as("ws"),
+        col("event_type"), col("value")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+    val closed = rows.groupBy(r => (r._1, r._2))
+      .filter { case ((ws, _), _) => ws + week <= horizon }
+    // completeness: exactly 3 quantile rows per closed (window, type)
+    assert(out.length === 3 * closed.size)
+    // every estimate's exact rank within max(3, 2% n) of q·n
+    out.foreach { case (wsTs, et, q, est) =>
+      val ws = wsTs.toInstant.toEpochMilli * 1000L
+      val vals = closed((ws, et)).map(_._3)
+      val n = vals.length
+      val tol = math.max(3.0, 0.02 * n)
+      val below = vals.count(_ < est)
+      val belowEq = vals.count(_ <= est)
+      assert(below <= q * n + tol, s"($et, q=$q): below=$below n=$n")
+      assert(belowEq >= q * n - tol, s"($et, q=$q): belowEq=$belowEq n=$n")
+    }
+  }
 }
