@@ -78,6 +78,28 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[VecFixedSum].getName, "vec_fixed_sum"),
       (children: Seq[Expression]) => VecFixedSum(children(0),
         intLit(children(1), "dim"), 1e12).toAggregateExpression()))
+    e.injectFunction((
+      new FunctionIdentifier("vec_outer_fixed_sum"),
+      new ExpressionInfo(classOf[VecOuterFixedSum].getName, "vec_outer_fixed_sum"),
+      (children: Seq[Expression]) => VecOuterFixedSum(children(0),
+        intLit(children(1), "dim"), 1e9).toAggregateExpression()))
+    e.injectFunction((
+      new FunctionIdentifier("tdigest_quantiles"),
+      new ExpressionInfo(classOf[TDigestQuantiles].getName, "tdigest_quantiles"),
+      (children: Seq[Expression]) => TDigestQuantiles(children(0),
+        intLit(children(1), "compression"),
+        children.drop(2).map {
+          // SQL `0.5` parses as a Decimal literal, `0.5D` as Double
+          case org.apache.spark.sql.catalyst.expressions.Literal(v, _) =>
+            v match {
+              case d: org.apache.spark.sql.types.Decimal => d.toDouble
+              case n: java.lang.Number => n.doubleValue()
+              case other => throw new IllegalArgumentException(
+                s"quantile must be a numeric literal, got $other")
+            }
+          case other => throw new IllegalArgumentException(
+            s"quantile must be a numeric literal, got $other")
+        }).toAggregateExpression()))
     // post-pushdown lint: similarity measures must not be the sole join
     // condition (see SimilarityJoinGuard)
     e.injectOptimizerRule(session => SimilarityJoinGuard(session))

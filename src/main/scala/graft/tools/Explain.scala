@@ -65,7 +65,11 @@ object Explain {
       "q152_jl_projection" -> "map-only JL projection: ONE codegen'd VecJLProject node per row (signs regenerated in-register from the (i,j) hash — no matrix literal, no broadcast, no shuffle); the posexplode is display-format only",
       "q153_ks_test" -> "per-value counts partial-aggregate (the only data-sized shuffle); the global cumsum window runs over the DISTINCT-value frame — metadata-sized, not data-sized",
       "q155_incremental_join" -> "delta-sized joins only: ΔO⋈C and O⋈ΔC (both with pushed modulo filters) union into a keyed aggregate merge — the standing fact table is never rescanned for the refresh",
-      "q163_pq_ann" -> "PQ-ADC: encode is 8 map-side augmented-argmax nodes over plan-literal codebooks (48-bit codes replace the vector in the scoring scan); the broadcast query tables score via a codegen'd element_at chain; only the ADC top-100 shortlist joins back to full vectors (id equi-join) for exact rerank — payload vectors never ride the scoring scan")
+      "q163_pq_ann" -> "PQ-ADC: encode is 8 map-side augmented-argmax nodes over plan-literal codebooks (48-bit codes replace the vector in the scoring scan); the broadcast query tables score via a codegen'd element_at chain; only the ADC top-100 shortlist joins back to full vectors (id equi-join) for exact rerank — payload vectors never ride the scoring scan",
+      "q164_allpairs_exact" -> "exact all-pairs via prefix filtering: df counts and per-doc canonical arrays partial-aggregate; the candidate join indexes only prefix shingles (8-byte keys + two ints) with the length AND positional bounds as join-residual filters; the array-carrying verification join touches only surviving candidate ids — never the shared-shingle universe",
+      "q165_pca_power" -> "ONE scan: count + VecFixedSum + VecOuterFixedSum as mergeable ObjectHashAggregate partials — d(d+1)/2 longs per task cross the exchange; everything after the 1-row collect is driver-side on the 64x64 matrix (the output frame is a 64-row literal)",
+      "q166_tdigest_quantiles" -> "grouped ObjectHashAggregate over mergeable t-digest states: ~3 KB of centroids per (event_type) partial crosses the shuffle, never the value stream; quantile evaluation happens once per group at eval",
+      "q167_stream_quantiles" -> "batch-driven runner: the plan below is only the distributed-sink READ-BACK tail (same convention as q150) — the streaming plan itself is q166's t-digest agg wrapped in StateStoreRestore/Save with watermark eviction; evidence in StreamingSpec and the x100 stress line")
 
     val sb = new StringBuilder
     sb.append("# EXPLAINS — physical plans of representative queries\n\n")

@@ -35,6 +35,39 @@ object Q164Probe {
       arrs.agg(sum(col("n")), bit_xor(size(col("arr")).cast("long"))).collect().length.toLong)
     timed("candidates (prefix join + distinct)")(cands.count())
     timed("q164 run3")(graft.queries.Pipeline.queries("q164_allpairs_exact")(spark, dir).count())
+
+    // EXPERIMENT: hash-canonical order (no df join — 1 shuffle instead
+    // of 3 in the signature stage). How much does the candidate set
+    // balloon without rarest-first prefixes?
+    {
+      val threshold = 0.5
+      val post = graft.operators.Dedup.shingleHashes(docs, "doc_id", "text", 3)
+      val arrs2 = post.groupBy(col("doc_id"))
+        .agg(sort_array(collect_list(col("sh"))).as("arr"))
+        .select(col("doc_id").as("id"), col("arr"),
+          size(col("arr")).cast("long").as("n"))
+      val prefixed = arrs2.select(col("id"), col("n"),
+        slice(col("arr"), lit(1),
+          (col("n") - ceil(lit(threshold) * col("n")) + lit(1)).cast("int"))
+          .as("prefix"))
+      val index = prefixed.select(col("id"), col("n"),
+        posexplode(col("prefix")).as(Seq("pos", "g")))
+      val floorI = lit(threshold / (1.0 + threshold)) *
+        (col("n_a") + col("n_b")).cast("double") - lit(1e-6)
+      val cands2 = index.select(col("g"), col("id").as("id_a"),
+          col("n").as("n_a"), col("pos").as("pos_a"))
+        .join(index.select(col("g"), col("id").as("id_b"),
+          col("n").as("n_b"), col("pos").as("pos_b")), "g")
+        .filter(col("id_a") < col("id_b") &&
+          least(col("n_a"), col("n_b")).cast("double") >=
+            lit(threshold) * greatest(col("n_a"), col("n_b")).cast("double") &&
+          least(col("n_a") - col("pos_a"), col("n_b") - col("pos_b"))
+            .cast("double") >= floorI)
+        .select(col("id_a"), col("id_b")).distinct()
+      timed("HASH-order arrs build")(
+        arrs2.agg(sum(col("n"))).collect()(0).getLong(0))
+      timed("HASH-order candidates")(cands2.count())
+    }
     spark.stop()
   }
 }

@@ -120,6 +120,25 @@ object ScaleStress {
           .withColumn("text", when(col("doc_id") % 7 === 0,
             concat(col("text"), lit(" [rev2]"))).otherwise(col("text"))),
         "doc_id", "text").count())
+    // exact all-pairs (q164 shape) at ×N. The signature stage (postings
+    // → df counts → per-doc canonical arrays) runs over the RAW corpus
+    // — forced through bit_xor so Catalyst can't prune the arrays (the
+    // lesson-11 trap). The pair join follows the prescribed exact-
+    // dedup-first order: replicated exact-dup clusters would otherwise
+    // make candidate generation O(copies²) by construction, same as
+    // the raw-LSH anti-pattern above.
+    timed("allpairs prefix-filter: signature stage (raw corpus)") {
+      val (arrs, _) = graft.operators.Dedup
+        .prefixFilterCandidates(docs, "doc_id", "text", 3, 0.5)
+      arrs.agg(sum(col("n")), expr("bit_xor(element_at(arr, 1))"))
+        .collect()(0).getLong(0)
+    }
+    timed("allpairs prefix-filter pairs tau=0.5 (after exact dedup)") {
+      val keep = graft.operators.Dedup.exact(docs, "doc_id", "text")
+        .select(col("keep_id").as("doc_id"))
+      graft.operators.Dedup.prefixFilterPairs(
+        docs.join(keep, "doc_id"), "doc_id", "text", 3, 0.5).count()
+    }
     timed("pagerank (3 iters over the near-dup pair graph)") {
       val keep = graft.operators.Dedup.exact(docs, "doc_id", "text")
         .select(col("keep_id").as("doc_id"))
@@ -211,6 +230,15 @@ object ScaleStress {
       graft.streaming.EventStreams.clickPurchaseLeftOuter(spark, evPath).count())
     timed(s"streaming dedup (q56 shape, $factor x events)")(
       graft.streaming.EventStreams.streamingDedup(spark, evPath).count())
+    // t-digest in the state store at ×N: per-(window, type) sketch
+    // state is CONSTANT in event volume (~3 KB), so this line should
+    // scale with scan+shuffle, not with state
+    timed(s"streaming t-digest quantiles (q167 shape, $factor x events)")(
+      graft.streaming.EventStreams.streamingQuantilesBatchDriven(spark, evPath).count())
+    // PCA covariance pass at ×N vectors: one scan, d(d+1)/2 longs per
+    // task — driver work is constant
+    timed(s"pca top component (${nVec} vectors)")(
+      { graft.operators.Similarity.pcaTopComponent(emb, "embedding", 64); 0L })
     spark.stop()
   }
 }

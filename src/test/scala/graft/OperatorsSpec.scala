@@ -641,6 +641,21 @@ class OperatorsSpec extends SparkSpec {
           |  (array(CAST(0.5 AS DOUBLE), CAST(0.75 AS DOUBLE)))) AS t(v)""".stripMargin)
         .collect()(0).getSeq[Long](0)
       assert(vsum === Seq(2000000000000L, 500000000000L)) // floor(x*1e12) sums
+      // round-6 additions: outer-product second moment, t-digest quantiles
+      val osum = s2.sql(
+        """SELECT vec_outer_fixed_sum(v, 2) AS s FROM (VALUES
+          |  (array(CAST(1.0 AS DOUBLE), CAST(2.0 AS DOUBLE))),
+          |  (array(CAST(3.0 AS DOUBLE), CAST(-1.0 AS DOUBLE)))) AS t(v)""".stripMargin)
+        .collect()(0).getSeq[Long](0)
+      // upper triangle [xx, xy, yy]: (1+9, 2-3, 4+1) * 1e9
+      assert(osum === Seq(10000000000L, -1000000000L, 5000000000L))
+      val tq = s2.sql(
+        """SELECT tdigest_quantiles(x, 100, 0.5) AS t FROM (VALUES
+          |  (CAST(1.0 AS DOUBLE)), (CAST(2.0 AS DOUBLE)),
+          |  (CAST(3.0 AS DOUBLE))) AS t(x)""".stripMargin)
+        .collect()(0).getSeq[org.apache.spark.sql.Row](0)
+      assert(tq.length === 1 && tq.head.getDouble(0) === 0.5)
+      assert(math.abs(tq.head.getDouble(1) - 2.0) < 1e-9) // exact median of 1,2,3
     } finally {
       org.apache.spark.sql.SparkSession.setActiveSession(orig)
       org.apache.spark.sql.SparkSession.setDefaultSession(orig)
