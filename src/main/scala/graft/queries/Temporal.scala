@@ -209,7 +209,29 @@ object Temporal {
       |GROUP BY u1, u2
       |ORDER BY overlap_us DESC, u1, u2 LIMIT 100""".stripMargin
 
+  // -------------------------------------------------------------------
+  // q168: the NATIVE as-of join (graft.plans.AsOfJoin — custom
+  // LogicalPlan + SparkStrategy + streaming sort-merge SparkPlan, the
+  // preference-(c) rung) on the exact q40 workload, gated by the SAME
+  // DuckDB ASOF oracle. q40 stays registered on the composed
+  // union+window operator, so the two formulations are permanently
+  // cross-checked against each other AND against DuckDB.
+  // -------------------------------------------------------------------
+  def q168AsofNative(spark: SparkSession, dir: String): DataFrame = {
+    val e = ev(spark, dir)
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), col("event_id"))
+    val clicks = e.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts"), col("event_id"))
+    graft.plans.AsOfJoin(purchases, clicks, "user_id", "ts", "ts",
+        payloadCols = Seq("event_id", "ts"), tieBreak = Some("event_id"))
+      .select(col("event_id"), col("user_id"), col("ts"),
+        col("asof_event_id").as("click_id"), col("asof_ts").as("click_ts"))
+      .orderBy(asc("event_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q168_asof_native" -> (q168AsofNative _),
     "q40_asof_join" -> (q40AsofJoin _),
     "q41_range_join" -> (q41RangeJoin _),
     "q135_asof_forward" -> (q135AsofForward _),
@@ -217,6 +239,7 @@ object Temporal {
     "q146_interval_overlap" -> (q146IntervalOverlap _))
 
   val oracle: Map[String, String] = Map(
+    "q168_asof_native" -> q40Sql, // identical output contract by design
     "q40_asof_join" -> q40Sql,
     "q41_range_join" -> q41Sql,
     "q135_asof_forward" -> q135Sql,

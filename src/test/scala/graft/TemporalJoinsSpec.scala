@@ -42,6 +42,92 @@ class TemporalJoinsSpec extends SparkSpec {
     assert(tied(0).getLong(3) === 100L)
   }
 
+  test("NATIVE as-of join exec: fixture semantics, ties, left-outer nulls") {
+    import spark.implicits._
+    val clicks = Seq((1L, 10L, 1L), (1L, 20L, 2L), (2L, 5L, 3L), (3L, 9L, 4L))
+      .toDF("user_id", "ts", "event_id")
+    val buys = Seq((1L, 8L, 100L), (1L, 8L, 101L), (1L, 15L, 102L), (2L, 6L, 103L))
+      .toDF("user_id", "ts", "event_id")
+    val out = graft.plans.AsOfJoin(clicks, buys, "user_id", "ts", "ts",
+        payloadCols = Seq("event_id", "ts"), tieBreak = Some("event_id"))
+      .orderBy("user_id", "ts")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(3)) -1L else r.getLong(3)))
+    assert(out.toSeq === Seq(
+      (1L, 10L, 101L), // latest ts<=10 is 8; tie (100,101) -> max id 101
+      (1L, 20L, 102L), // 15 < 20
+      (2L, 5L, -1L),   // buy at 6 is AFTER 5 -> no match (left outer)
+      (3L, 9L, -1L)))  // key has no right rows at all
+  }
+
+  test("NATIVE as-of join: plan contains AsOfJoinExec and equals the composed operator") {
+    val e = graft.sources.Events.ev(spark, "/root/testdata/sf0.01")
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), col("event_id"))
+    val clicks = e.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts"), col("event_id"))
+    val native = graft.plans.AsOfJoin(purchases, clicks, "user_id", "ts", "ts",
+      payloadCols = Seq("event_id", "ts"), tieBreak = Some("event_id"))
+    // SparkPlan.nodeName strips the "Exec" suffix, so the physical
+    // node prints as "AsOfJoin" inside the executed (physical) plan
+    assert(native.queryExecution.executedPlan.toString.contains("AsOfJoin "),
+      "the custom strategy must plan the custom exec")
+    val a = native
+      .select(col("event_id"), col("asof_event_id"), col("asof_ts"))
+      .orderBy("event_id").collect()
+      .map(r => (r.getLong(0),
+        if (r.isNullAt(1)) -1L else r.getLong(1),
+        if (r.isNullAt(2)) 0L else r.getTimestamp(2).getTime))
+    val b = graft.operators.TemporalJoins
+      .asofJoinBackward(purchases, clicks, "user_id", "ts", "ts",
+        rightPayload = Seq("event_id", "ts"), rightTieBreak = Some("event_id"))
+      .select(col("event_id"), col("asof_event_id"), col("asof_ts"))
+      .orderBy("event_id").collect()
+      .map(r => (r.getLong(0),
+        if (r.isNullAt(1)) -1L else r.getLong(1),
+        if (r.isNullAt(2)) 0L else r.getTimestamp(2).getTime))
+    assert(a.length === b.length && a.toSeq === b.toSeq)
+  }
+
+  test("NATIVE as-of join reuses a single-side key layout; composed re-shuffles the big side") {
+    // With BOTH sides pre-partitioned the union formulation also keeps
+    // the layout (Spark propagates matching child partitionings through
+    // Union — measured, not assumed). The structural difference shows
+    // when only ONE side is laid out: the classic 100 TB case of a huge
+    // key-partitioned fact (left) probed as-of against a small update
+    // stream (right).
+    val e = graft.sources.Events.ev(spark, "/root/testdata/sf0.001")
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), col("event_id"))
+      .repartition(4, col("user_id")) // the pre-partitioned big side
+    val clicks = e.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts"), col("event_id")) // no layout
+    val native = graft.plans.AsOfJoin(purchases, clicks, "user_id", "ts", "ts",
+      payloadCols = Seq("event_id"), tieBreak = Some("event_id"))
+    val nativePlan = native.queryExecution.executedPlan.toString
+    // exactly ONE ensure-requirements exchange — on the RIGHT branch;
+    // the left's explicit repartition satisfies ClusteredDistribution
+    assert(nativePlan.split("ENSURE_REQUIREMENTS").length - 1 === 1,
+      s"native must only shuffle the un-partitioned side:\n$nativePlan")
+    val leftBranch = nativePlan.substring(nativePlan.indexOf(":- "),
+      nativePlan.indexOf("+- Sort", nativePlan.indexOf(":- ")))
+    assert(!leftBranch.contains("ENSURE_REQUIREMENTS"),
+      s"left branch must reuse its layout:\n$leftBranch")
+    val composed = graft.operators.TemporalJoins
+      .asofJoinBackward(purchases, clicks, "user_id", "ts", "ts",
+        rightPayload = Seq("event_id"), rightTieBreak = Some("event_id"))
+    val composedPlan = composed.queryExecution.executedPlan.toString
+    // the mixed-layout union collapses to unknown partitioning: the
+    // window's exchange sits ABOVE the Union, moving the big side AGAIN
+    val exIdx = composedPlan.indexOf("ENSURE_REQUIREMENTS")
+    val unionIdx = composedPlan.indexOf("Union")
+    assert(exIdx >= 0 && unionIdx > exIdx,
+      s"composed re-shuffles the whole union:\n$composedPlan")
+    // same rows either way
+    assert(native.count() === composed.count())
+  }
+
   test("banded range join equals naive inequality join") {
     val a = Seq((1L, 100L, 1L), (1L, 500L, 2L), (2L, 100L, 3L))
       .toDF("k", "us_a", "id_a")
