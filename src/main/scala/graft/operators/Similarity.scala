@@ -336,11 +336,22 @@ object Similarity {
                        dim: Int, iters: Int): Array[Array[Array[Double]]] = {
     val subDim = dim / m
     require(m * subDim == dim, s"dim $dim must split into $m equal subspaces")
-    (0 until m).map { j =>
-      euclideanCentroids(
+    // the m subspace trainings are INDEPENDENT tiny jobs (each
+    // iteration is an argmax + fixed-point sum over subDim-wide
+    // slices); submitted sequentially they cost m·iters job
+    // dispatches of mostly scheduler overhead (measured ~3 s of
+    // q163's ~5 s at sf0.1). Submitting them concurrently lets the
+    // scheduler overlap them — results are bit-identical (each
+    // training is deterministic and touches only its own slice).
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val trained = (0 until m).map { j =>
+      Future(euclideanCentroids(
         data.select(slice(normalized(col(vecCol)), j * subDim + 1, subDim).as("v")),
-        "v", ksub, iters, subDim)
-    }.toArray
+        "v", ksub, iters, subDim))
+    }
+    trained.map(Await.result(_, Duration.Inf)).toArray
   }
 
   /** Product-quantization approximate top-k with asymmetric distance
