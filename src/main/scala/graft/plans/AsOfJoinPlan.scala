@@ -52,7 +52,7 @@ case class AsOfJoin(
     leftKey: Expression, rightKey: Expression,
     leftTs: Expression, rightTs: Expression,
     payload: Seq[Attribute], payloadOut: Seq[Attribute],
-    rightTie: Option[Expression]) extends BinaryNode {
+    rightTie: Option[Expression], forward: Boolean) extends BinaryNode {
   override def output: Seq[Attribute] = left.output ++ payloadOut
   override def producedAttributes: AttributeSet = AttributeSet(payloadOut)
   override protected def withNewChildrenInternal(
@@ -64,9 +64,14 @@ object AsOfJoin {
   /** Build the logical node from analyzed child plans, resolving the
     * named columns; payload columns come back as `asof_<name>`
     * (nullable) with fresh exprIds. */
+  /** `forward = false`: latest right ts ≤ left ts (trades/quotes,
+    * tie → greatest tieBreak). `forward = true`: earliest right ts ≥
+    * left ts (time-to-next-event, tie → least tieBreak — both mirror
+    * the composed operators' conventions). */
   def apply(left: DataFrame, right: DataFrame, key: String,
             leftTsCol: String, rightTsCol: String,
-            payloadCols: Seq[String], tieBreak: Option[String]): DataFrame = {
+            payloadCols: Seq[String], tieBreak: Option[String],
+            forward: Boolean = false): DataFrame = {
     import org.apache.spark.sql.graft.ColumnBridge
     val spark = left.sparkSession
     // idempotent strategy injection — works on ANY session, no
@@ -93,7 +98,7 @@ object AsOfJoin {
       lPlan, rPlan,
       attr(lPlan, key), attr(rPlan, key),
       attr(lPlan, leftTsCol), attr(rPlan, rightTsCol),
-      payload, payloadOut, tieBreak.map(attr(rPlan, _))))
+      payload, payloadOut, tieBreak.map(attr(rPlan, _)), forward))
   }
 }
 
@@ -101,7 +106,7 @@ object AsOfJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
     case j: AsOfJoin =>
       AsOfJoinExec(j.leftKey, j.rightKey, j.leftTs, j.rightTs,
-        j.payload, j.payloadOut, j.rightTie,
+        j.payload, j.payloadOut, j.rightTie, j.forward,
         planLater(j.left), planLater(j.right)) :: Nil
     case _ => Nil
   }
@@ -117,7 +122,7 @@ case class AsOfJoinExec(
     leftKey: Expression, rightKey: Expression,
     leftTs: Expression, rightTs: Expression,
     payload: Seq[Attribute], payloadOut: Seq[Attribute],
-    rightTie: Option[Expression],
+    rightTie: Option[Expression], forward: Boolean,
     left: SparkPlan, right: SparkPlan) extends BinaryExecNode {
 
   override def output: Seq[Attribute] = left.output ++ payloadOut
@@ -185,7 +190,26 @@ case class AsOfJoinExec(
       var matchPayload: InternalRow = null
       var matchKey: InternalRow = null
 
-      lIter.map { lRow =>
+      if (forward) {
+        // FORWARD: earliest right ts ≥ left ts. Left ts ascending ⇒
+        // the right pointer only moves forward; the matching row is
+        // the CURRENT (un-consumed) lookahead, so no held state at all
+        // (ties resolve to least tieBreak — first in sort order).
+        lIter.map { lRow =>
+          val lk = lKeyProj(lRow)
+          val lt = lTsProj(lRow)
+          var advancing = true
+          while (rHas && advancing) {
+            val c = keyOrd.compare(rKeyRow, lk)
+            if (c < 0 || (c == 0 && tsOrd.compare(rTsRow, lt) < 0)) advanceRight()
+            else advancing = false
+          }
+          val m =
+            if (rHas && keyOrd.compare(rKeyRow, lk) == 0) payloadProj(rRow)
+            else nullPayload
+          outProj(joined(lRow, m))
+        }
+      } else lIter.map { lRow =>
         // no copies: lKeyProj/lTsProj buffers stay valid until the next
         // left row, and every use of lk/lt happens within this row
         val lk = lKeyProj(lRow)

@@ -230,8 +230,31 @@ object Temporal {
       .orderBy(asc("event_id"))
   }
 
+  // -------------------------------------------------------------------
+  // q169: native as-of FORWARD (time-to-next-event) — the q135
+  // workload through graft.plans.AsOfJoin(forward = true): earliest
+  // purchase at-or-after each click, ties to least event_id. Same
+  // DuckDB forward-ASOF oracle as q135; held state in the exec is
+  // ZERO (the match is always the current lookahead row).
+  // -------------------------------------------------------------------
+  def q169AsofNativeForward(spark: SparkSession, dir: String): DataFrame = {
+    val e = ev(spark, dir)
+    val clicks = e.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts"), col("event_id"))
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), col("event_id"))
+    graft.plans.AsOfJoin(clicks, purchases, "user_id", "ts", "ts",
+        payloadCols = Seq("event_id", "ts"), tieBreak = Some("event_id"),
+        forward = true)
+      .select(col("event_id"), col("user_id"), col("ts"),
+        col("asof_event_id").as("purchase_id"),
+        (unix_micros(col("asof_ts")) - unix_micros(col("ts"))).as("wait_us"))
+      .orderBy(asc("event_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q168_asof_native" -> (q168AsofNative _),
+    "q169_asof_native_forward" -> (q169AsofNativeForward _),
     "q40_asof_join" -> (q40AsofJoin _),
     "q41_range_join" -> (q41RangeJoin _),
     "q135_asof_forward" -> (q135AsofForward _),
@@ -240,6 +263,7 @@ object Temporal {
 
   val oracle: Map[String, String] = Map(
     "q168_asof_native" -> q40Sql, // identical output contract by design
+    "q169_asof_native_forward" -> q135Sql, // ditto, forward direction
     "q40_asof_join" -> q40Sql,
     "q41_range_join" -> q41Sql,
     "q135_asof_forward" -> q135Sql,

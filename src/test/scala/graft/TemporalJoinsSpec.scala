@@ -90,6 +90,48 @@ class TemporalJoinsSpec extends SparkSpec {
     assert(a.length === b.length && a.toSeq === b.toSeq)
   }
 
+  test("NATIVE as-of FORWARD: earliest at-or-after, least-id ties, null when none follows") {
+    import spark.implicits._
+    val clicks = Seq((1L, 10L, 1L), (1L, 16L, 2L), (2L, 5L, 3L))
+      .toDF("user_id", "ts", "event_id")
+    val buys = Seq((1L, 12L, 100L), (1L, 12L, 99L), (1L, 15L, 102L), (2L, 3L, 103L))
+      .toDF("user_id", "ts", "event_id")
+    val out = graft.plans.AsOfJoin(clicks, buys, "user_id", "ts", "ts",
+        payloadCols = Seq("event_id"), tieBreak = Some("event_id"), forward = true)
+      .orderBy("user_id", "ts").collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(3)) -1L else r.getLong(3)))
+    assert(out.toSeq === Seq(
+      (1L, 10L, 99L),  // earliest ts>=10 is 12; tie (99,100) -> LEAST id
+      (1L, 16L, -1L),  // nothing at-or-after 16
+      (2L, 5L, -1L)))  // buy at 3 is before -> no match
+    // same right row can serve consecutive lefts
+    val c2 = Seq((1L, 1L, 1L), (1L, 2L, 2L)).toDF("user_id", "ts", "event_id")
+    val b2 = Seq((1L, 5L, 50L)).toDF("user_id", "ts", "event_id")
+    val shared = graft.plans.AsOfJoin(c2, b2, "user_id", "ts", "ts",
+        payloadCols = Seq("event_id"), tieBreak = None, forward = true)
+      .collect().map(_.getLong(3)).toSeq
+    assert(shared === Seq(50L, 50L))
+  }
+
+  test("NATIVE as-of forward equals the composed forward operator on real data") {
+    val e = graft.sources.Events.ev(spark, "/root/testdata/sf0.01")
+    val clicks = e.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts"), col("event_id"))
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), col("event_id"))
+    def norm(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("event_id"), col("asof_event_id"))
+      .orderBy("event_id").collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1))).toSeq
+    val native = norm(graft.plans.AsOfJoin(clicks, purchases, "user_id", "ts", "ts",
+      payloadCols = Seq("event_id"), tieBreak = Some("event_id"), forward = true))
+    val composed = norm(graft.operators.TemporalJoins
+      .asofJoinForward(clicks, purchases, "user_id", "ts", "ts",
+        rightPayload = Seq("event_id"), rightTieBreak = Some("event_id")))
+    assert(native === composed)
+  }
+
   test("NATIVE as-of join reuses a single-side key layout; composed re-shuffles the big side") {
     // With BOTH sides pre-partitioned the union formulation also keeps
     // the layout (Spark propagates matching child partitionings through
