@@ -152,4 +152,118 @@ object Graph {
       .union(tris.select(col("w").as("id")))
       .groupBy(col("id")).agg(count(lit(1)).as("n_tri"))
   }
+
+  /** Multi-source BFS: minimum hop distance from a seed set, level-
+    * synchronous frontier expansion (the Pregel iteration pattern).
+    *
+    * Exactly the distributed shape BFS wants: each round joins ONLY
+    * the current frontier (nodes first reached last round) against the
+    * edge list — visited nodes never re-enter the join, so total work
+    * is O(Σ frontier-adjacent edges) = O(m) across all rounds, not
+    * O(m · diameter). Every shuffle carries (8-byte id, 4-byte dist)
+    * pairs; the per-round driver action is a single count (the
+    * termination test), the same convention as
+    * [[Dedup.connectedComponents]], and lineage is truncated each
+    * round for the same reason (an unbounded iterative DAG re-executes
+    * the whole history once an action lands).
+    *
+    * Stops when the frontier empties or after `maxHops` rounds —
+    * with a hop cap, the result equals "min over walks of length ≤
+    * maxHops", which is what a bounded recursive-CTE oracle computes,
+    * so the two formulations agree even on graphs with unreached
+    * tails. Directed by construction; callers union reversed edges
+    * for undirected reachability. Returns (id, dist) for every node
+    * within `maxHops` of a seed (seeds at dist 0).
+    */
+  def bfsLevels(edges: DataFrame, sources: DataFrame, srcCol: String,
+                dstCol: String, idCol: String, maxHops: Int = 8,
+                checkpointDir: Option[String] = None): DataFrame = {
+    val cut: DataFrame => DataFrame = checkpointDir match {
+      case Some(d) =>
+        edges.sparkSession.sparkContext.setCheckpointDir(d)
+        df => df.checkpoint(eager = true)
+      case None => df => df.localCheckpoint(true)
+    }
+    val e = cut(edges
+      .select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
+      .distinct())
+    var dist = cut(sources.select(col(idCol).cast("long").as("id")).distinct()
+      .select(col("id"), lit(0).as("dist")))
+    var frontier = dist
+    var k = 0
+    var done = false
+    while (k < maxHops && !done) {
+      k += 1
+      val next = cut(frontier
+        .join(e, frontier("id") === e("src"))
+        .select(col("dst").as("id")).distinct()
+        .join(dist, Seq("id"), "left_anti")
+        .select(col("id"), lit(k).as("dist")))
+      if (next.isEmpty) done = true
+      else {
+        dist = cut(dist.union(next))
+        frontier = next
+      }
+    }
+    dist
+  }
+
+  /** Iterated k-core peel: `rounds` synchronous rounds of "drop every
+    * vertex with degree < k among survivors", the standard k-core
+    * decomposition step (Matula & Beck 1983; the synchronous variant
+    * is the scalable one — each round is one degree aggregation, not
+    * a priority queue).
+    *
+    * FIXED round count, like [[pageRankFixed]]'s fixed iterations:
+    * the deterministic-replay contract an unrolled SQL oracle can
+    * mirror bit-for-bit. Once the peel reaches its fixpoint (the true
+    * k-core), further rounds are no-ops, so `rounds` ≥ the peel depth
+    * of the graph gives the exact k-core; callers wanting guaranteed
+    * convergence loop externally on the returned count. Peel depth in
+    * practice is small (it is bounded by the degeneracy ordering
+    * depth, typically ≤ tens even on web graphs).
+    *
+    * Shapes: the canonical undirected edge list persists once
+    * (16 B/edge); each round is two semi joins (edge survival = both
+    * endpoints alive) + one partial-agged degree count — all shuffles
+    * carry long pairs. The alive set shrinks monotonically. No
+    * mid-loop action, so lineage is truncated every other round (the
+    * fixed-rounds convention of [[pageRankFixed]]).
+    *
+    * Returns (id, deg) for vertices alive after `rounds` rounds, with
+    * deg = their degree among round-(rounds−1) survivors (the degree
+    * that justified keeping them — ≥ k by construction).
+    */
+  def kCorePeel(edges: DataFrame, srcCol: String, dstCol: String,
+                k: Int, rounds: Int = 4,
+                checkpointDir: Option[String] = None): DataFrame = {
+    require(k >= 1 && rounds >= 1)
+    val cut: DataFrame => DataFrame = checkpointDir match {
+      case Some(d) =>
+        edges.sparkSession.sparkContext.setCheckpointDir(d)
+        df => df.checkpoint(eager = true)
+      case None => df => df.localCheckpoint(true)
+    }
+    val und = cut(edges
+      .select(least(col(srcCol), col(dstCol)).cast("long").as("a"),
+        greatest(col(srcCol), col(dstCol)).cast("long").as("b"))
+      .filter(col("a") =!= col("b"))
+      .distinct())
+    var alive = und.select(col("a").as("id"))
+      .union(und.select(col("b").as("id"))).distinct()
+    var result: DataFrame = null
+    for (r <- 1 to rounds) {
+      val e2 = und
+        .join(alive.select(col("id").as("a")), "a")
+        .join(alive.select(col("id").as("b")), "b")
+      val deg = e2.select(col("a").as("id"))
+        .union(e2.select(col("b").as("id")))
+        .groupBy(col("id")).agg(count(lit(1)).as("deg"))
+        .filter(col("deg") >= k)
+      result = deg
+      alive = deg.select(col("id"))
+      if (r % 2 == 0 && r < rounds) { alive = cut(alive) }
+    }
+    result
+  }
 }

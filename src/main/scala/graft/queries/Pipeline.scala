@@ -993,6 +993,109 @@ object Pipeline {
       |FROM v GROUP BY id ORDER BY id""".stripMargin
 
   // -------------------------------------------------------------------
+  // q170: multi-source BFS hop distance over the trade graph (q123's
+  // customer↔supplier bipartite graph, undirected) from the nation-7
+  // customer seed set — the reachability/influence-propagation member
+  // of the graph family (PageRank = centrality, CC = clustering,
+  // triangles = cohesion, BFS = distance). Level-synchronous frontier
+  // expansion: visited nodes never re-enter the join, (id, level)
+  // longs are the only shuffle payload. The hop cap (6) makes the
+  // result "min over walks of length ≤ 6", exactly what the bounded
+  // recursive-CTE oracle computes — the two agree even if the graph
+  // had unreached tails (here the trade graph closes within 2 hops:
+  // seeds → their suppliers → those suppliers' customers).
+  // -------------------------------------------------------------------
+  def q170BfsLevels(spark: SparkSession, dir: String): DataFrame = {
+    val o = spark.read.parquet(s"$dir/orders.parquet")
+      .select(col("o_orderkey"), col("o_custkey"))
+    val l = spark.read.parquet(s"$dir/lineitem.parquet")
+      .select(col("l_orderkey"), col("l_suppkey"))
+    val fwd = o.join(l, col("o_orderkey") === col("l_orderkey"))
+      .select((col("o_custkey") * 2).as("src"), (col("l_suppkey") * 2 + 1).as("dst"))
+    val edges = fwd.union(fwd.select(col("dst").as("src"), col("src").as("dst")))
+    val seeds = spark.read.parquet(s"$dir/customer.parquet")
+      .filter(col("c_nationkey") === 7)
+      .select((col("c_custkey") * 2).as("id"))
+    Graph.bfsLevels(edges, seeds, "src", "dst", "id", maxHops = 6)
+      .select(col("id"), col("dist").cast("long").as("dist"))
+      .orderBy(asc("id"))
+  }
+  val q170Sql: String =
+    """WITH RECURSIVE fwd AS (
+      |  SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+      |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+      |), e AS (
+      |  SELECT src, dst FROM fwd UNION SELECT dst, src FROM fwd
+      |), seeds AS (
+      |  SELECT DISTINCT c_custkey * 2 AS id FROM customer WHERE c_nationkey = 7
+      |), r(id, d) AS (
+      |  SELECT id, 0 FROM seeds
+      |  UNION
+      |  SELECT e.dst, r.d + 1 FROM r JOIN e ON e.src = r.id WHERE r.d < 6
+      |)
+      |SELECT id, CAST(MIN(d) AS BIGINT) AS dist
+      |FROM r GROUP BY id ORDER BY id""".stripMargin
+
+  // -------------------------------------------------------------------
+  // q171: iterated k-core peel (k=6, 4 synchronous rounds) over q127's
+  // high-quantity co-purchase graph — the cohesive-subgraph extractor
+  // (spam/boilerplate rings in a doc-similarity graph, dense
+  // communities in an interaction graph). Fixed round count is the
+  // deterministic-replay contract (q123's fixed-iterations
+  // convention): the oracle unrolls the identical 4 rounds — degree
+  // count among survivors, drop deg < 6 — and compares (id, deg)
+  // bit-for-bit. At this k the peel converges by round ~5 at both
+  // scales (1635 @ sf0.01 / 16818 @ sf0.1 survivors at fixpoint), so
+  // round 4 is already within 1% of the true 6-core — and the GATE
+  // tests the contract, not the fixpoint. All-integer, long-pair
+  // shuffles only.
+  // -------------------------------------------------------------------
+  def q171KCore(spark: SparkSession, dir: String): DataFrame = {
+    val li = spark.read.parquet(s"$dir/lineitem.parquet")
+      .filter(col("l_quantity") > 35)
+      .select(col("l_orderkey"), col("l_partkey"))
+    val e = li.as("x").join(li.as("y"),
+        col("x.l_orderkey") === col("y.l_orderkey") &&
+          col("x.l_partkey") < col("y.l_partkey"))
+      .select(col("x.l_partkey").as("src"), col("y.l_partkey").as("dst"))
+    Graph.kCorePeel(e, "src", "dst", k = 6, rounds = 4).orderBy(asc("id"))
+  }
+  val q171Sql: String =
+    """WITH li AS (
+      |  SELECT l_orderkey, l_partkey FROM lineitem WHERE l_quantity > 35
+      |), e AS (
+      |  SELECT DISTINCT a.l_partkey AS a, b.l_partkey AS b
+      |  FROM li a JOIN li b
+      |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      |), d1 AS (
+      |  SELECT id, COUNT(*) AS deg FROM (
+      |    SELECT a AS id FROM e UNION ALL SELECT b FROM e) GROUP BY id
+      |), a1 AS (SELECT id FROM d1 WHERE deg >= 6
+      |), d2 AS (
+      |  SELECT id, COUNT(*) AS deg FROM (
+      |    SELECT e.a AS id FROM e JOIN a1 x ON e.a = x.id JOIN a1 y ON e.b = y.id
+      |    UNION ALL
+      |    SELECT e.b FROM e JOIN a1 x ON e.a = x.id JOIN a1 y ON e.b = y.id)
+      |  GROUP BY id
+      |), a2 AS (SELECT id FROM d2 WHERE deg >= 6
+      |), d3 AS (
+      |  SELECT id, COUNT(*) AS deg FROM (
+      |    SELECT e.a AS id FROM e JOIN a2 x ON e.a = x.id JOIN a2 y ON e.b = y.id
+      |    UNION ALL
+      |    SELECT e.b FROM e JOIN a2 x ON e.a = x.id JOIN a2 y ON e.b = y.id)
+      |  GROUP BY id
+      |), a3 AS (SELECT id FROM d3 WHERE deg >= 6
+      |), d4 AS (
+      |  SELECT id, COUNT(*) AS deg FROM (
+      |    SELECT e.a AS id FROM e JOIN a3 x ON e.a = x.id JOIN a3 y ON e.b = y.id
+      |    UNION ALL
+      |    SELECT e.b FROM e JOIN a3 x ON e.a = x.id JOIN a3 y ON e.b = y.id)
+      |  GROUP BY id
+      |)
+      |SELECT id, CAST(deg AS BIGINT) AS deg
+      |FROM d4 WHERE deg >= 6 ORDER BY id""".stripMargin
+
+  // -------------------------------------------------------------------
   // q96: fuzzy-key dedup — bounded edit distance over the 24-char
   // document prefix, blocked on the 8-char prefix. Both engines run
   // the classic Wagner-Fischer DP, so distances oracle exactly; the
@@ -1731,6 +1834,8 @@ object Pipeline {
     "q121_snapshot_diff" -> (q121SnapshotDiff _),
     "q123_pagerank" -> (q123PageRank _),
     "q127_triangles" -> (q127Triangles _),
+    "q170_bfs_levels" -> (q170BfsLevels _),
+    "q171_kcore" -> (q171KCore _),
     "q129_bm25" -> (q129Bm25 _),
     "q132_boolean_search" -> (q132BooleanSearch _),
     "q102_stream_sliding" -> (q102StreamSliding _),
@@ -1796,6 +1901,8 @@ object Pipeline {
     "q121_snapshot_diff" -> q121Sql,
     "q123_pagerank" -> q123Sql,
     "q127_triangles" -> q127Sql,
+    "q170_bfs_levels" -> q170Sql,
+    "q171_kcore" -> q171Sql,
     "q129_bm25" -> q129Sql,
     "q132_boolean_search" -> q132Sql,
     "q102_stream_sliding" -> Scalars.q44Sql, // identical output to the batch sliding window

@@ -104,6 +104,54 @@ class OperatorsSpec extends SparkSpec {
     assert(Graph.triangleCounts(path, "s", "d").count() === 0L)
   }
 
+  test("bfsLevels: hop distances on a path with a shortcut, hop cap, unreachable tail") {
+    // 1→2→3→4→5 plus shortcut 1→4: dist(4)=1 via the shortcut (not 3),
+    // and dist(5)=2 through it.
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (1L, 4L))
+      .toDF("s", "d")
+    val seeds = Seq(1L).toDF("v")
+    val got = Graph.bfsLevels(edges, seeds, "s", "d", "v", maxHops = 8)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(got === Map(1L -> 0, 2L -> 1, 3L -> 2, 4L -> 1, 5L -> 2))
+    // hop cap truncates: maxHops=1 keeps only the seed's direct successors
+    val capped = Graph.bfsLevels(edges, seeds, "s", "d", "v", maxHops = 1)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(capped === Map(1L -> 0, 2L -> 1, 4L -> 1))
+    // directed: nothing upstream of the seed; disconnected 9→10 unreached;
+    // multi-source takes the min over seeds
+    val edges2 = edges.union(Seq((9L, 10L)).toDF("s", "d"))
+    val multi = Graph.bfsLevels(edges2, Seq(3L, 9L).toDF("v"), "s", "d", "v",
+        maxHops = 8)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(multi === Map(3L -> 0, 9L -> 0, 4L -> 1, 10L -> 1, 5L -> 2))
+  }
+
+  test("kCorePeel: iterated peel matches hand-peel; fixpoint on a clique+tail") {
+    // K4 (nodes 1-4) with a pendant path 4-5-6: the 2-core is exactly
+    // K4 ∪ {nothing of the path} — peeling removes 6 (deg 1), then 5.
+    val g = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L),
+      (4L, 5L), (5L, 6L)).toDF("s", "d")
+    val core2 = Graph.kCorePeel(g, "s", "d", k = 2, rounds = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(core2 === Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
+    // k=3: K4 survives with degree 3 each; k=4: empty
+    val core3 = Graph.kCorePeel(g, "s", "d", k = 3, rounds = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(core3 === Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
+    assert(Graph.kCorePeel(g, "s", "d", k = 4, rounds = 4).count() === 0L)
+    // a single round does ONE synchronous peel, not the fixpoint:
+    // after round 1 on the k=2 peel, 6 is gone but 5 (deg 2 initially)
+    // still stands with its recomputed-next-round degree pending
+    val one = Graph.kCorePeel(g, "s", "d", k = 2, rounds = 1)
+      .collect().map(r => r.getLong(0)).toSet
+    assert(one === Set(1L, 2L, 3L, 4L, 5L))
+    // duplicate/reversed edges are canonicalized, not double-counted
+    val noisy = g.union(Seq((2L, 1L), (1L, 2L)).toDF("s", "d"))
+    val core2b = Graph.kCorePeel(noisy, "s", "d", k = 2, rounds = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(core2b === core2)
+  }
+
   test("triangleCounts closing join: the over-threshold SHUFFLE branch matches broadcast") {
     // the closing join's broadcast is size-gated (broadcastEdgeLimit);
     // at 100× scale the gate flips to the hash-partitioned branch,
