@@ -384,6 +384,60 @@ object Curation {
       .filter(col("rk") <= k)
   }
 
+  /** Query-term density ranking: score = (Σ_t∈Q tf_t · 1e9) div dl —
+    * the length-normalized term-frequency retriever (a smoothing-free
+    * query-likelihood LM). Deliberately idf-free: it ranks by how
+    * *concentrated* the query vocabulary is in the document, which
+    * makes it a complementary signal to [[bm25TopK]] for rank fusion
+    * ([[rrfFuse]]). All-int64 (one integral division per doc), so
+    * score and rank replay bit-for-bit in an oracle. Same scale shape
+    * as BM25: explode → filter to query terms BEFORE any shuffle, one
+    * per-doc partial aggregate, top-k as TakeOrdered.
+    */
+  def tfDensityTopK(df: DataFrame, idCol: String, textCol: String,
+                    queryTerms: Seq[String], k: Int): DataFrame = {
+    import graft.operators.{TextAnalysis => TA}
+    df.select(col(idCol), TA.tokenCount(col(textCol)).as("dl"),
+        explode(TA.tokens(col(textCol))).as("term"))
+      .filter(col("term").isin(queryTerms: _*))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("tf_sum"), first(col("dl")).as("dl"))
+      .select(col(idCol),
+        expr("(tf_sum * 1000000000L) div dl").as("dens_fx"))
+      .orderBy(desc("dens_fx"), asc(idCol))
+      .limit(k)
+  }
+
+  /** Reciprocal-rank fusion (Cormack, Clarke & Büttcher, SIGIR 2009):
+    * fused(d) = Σ_lists 1/(k0 + rank_list(d)), here in fixed-point —
+    * 1e12 div (k0 + rank) — so the fused score is an exact int64 sum
+    * and the hybrid ranking replays bit-for-bit cross-engine. RRF is
+    * THE standard lexical+dense hybrid-retrieval combiner precisely
+    * because it needs no score calibration: only ranks cross lists,
+    * so a BM25 int64 score and a cosine float score fuse without a
+    * normalization model.
+    *
+    * Inputs are per-list (id, rank) frames (rank 1-based, ties already
+    * broken deterministically upstream). Scale shape: each list is
+    * top-k-sized (not corpus-sized) by construction; the union carries
+    * (id, long) only, one partial-agged sum, final top-k as
+    * TakeOrdered. Docs missing from a list contribute nothing — the
+    * standard RRF treatment.
+    */
+  def rrfFuse(rankings: Seq[DataFrame], idCol: String, rankCol: String,
+              k0: Int = 60, topK: Int = 20): DataFrame = {
+    require(rankings.nonEmpty && k0 >= 1)
+    // `div`, not `/`: Column./ on integers is IEEE double division
+    val parts = rankings.map(_.select(col(idCol),
+      expr(s"1000000000000L div (${k0}L + CAST(`$rankCol` AS BIGINT))")
+        .as("rrf_part")))
+    parts.reduce(_.union(_))
+      .groupBy(col(idCol))
+      .agg(sum(col("rrf_part")).as("rrf_fx"), count(lit(1)).as("n_lists"))
+      .orderBy(desc("rrf_fx"), asc(idCol))
+      .limit(topK)
+  }
+
   // PII patterns — kept to syntax shared by Java regex and RE2
   // (no lookarounds, no backrefs), so Spark and the DuckDB oracle
   // redact identically.

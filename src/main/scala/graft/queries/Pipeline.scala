@@ -1630,6 +1630,75 @@ object Pipeline {
       |FROM ranked WHERE rk <= 10 ORDER BY query_id, rk""".stripMargin
 
   // -------------------------------------------------------------------
+  // q172: HYBRID retrieval via reciprocal-rank fusion — q129's BM25
+  // top-50 fused with a length-normalized term-density top-50
+  // (Curation.tfDensityTopK) by RRF: Σ 1e12 div (60 + rank). The
+  // standard two-retriever serving pattern (lexical + second signal)
+  // where only RANKS cross lists, so no score calibration is needed.
+  // Every stage is int64 (BM25 fixed-point, density integral division,
+  // RRF fixed-point), ties broken by doc_id — score, rank, and the
+  // fused top-20 replay bit-for-bit in the oracle. The two 50-row
+  // rank lists are the only fusion input: union + one partial-agged
+  // sum, top-k as TakeOrdered.
+  // -------------------------------------------------------------------
+  def q172RrfHybrid(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val terms = Seq("spark", "hash", "scan")
+    val d = docs(spark, dir)
+    // rank windows are global but run over 50-row post-limit frames
+    val bm = graft.operators.Curation.bm25TopK(d, "doc_id", "text", terms, 50)
+      .withColumn("rank",
+        row_number().over(Window.orderBy(desc("bm25_fx"), asc("doc_id"))))
+      .select(col("doc_id"), col("rank"))
+    val dens = graft.operators.Curation.tfDensityTopK(d, "doc_id", "text", terms, 50)
+      .withColumn("rank",
+        row_number().over(Window.orderBy(desc("dens_fx"), asc("doc_id"))))
+      .select(col("doc_id"), col("rank"))
+    graft.operators.Curation.rrfFuse(Seq(bm, dens), "doc_id", "rank",
+        k0 = 60, topK = 20)
+      .orderBy(desc("rrf_fx"), asc("doc_id"))
+  }
+  val q172Sql: String =
+    raw"""WITH d AS (
+      |  SELECT doc_id,
+      |    ARRAY_LENGTH(string_split_regex(TRIM(text), '\s+')) AS dl,
+      |    string_split_regex(TRIM(text), '\s+') AS toks
+      |  FROM documents
+      |), toks AS (
+      |  SELECT doc_id, dl, UNNEST(toks) AS term FROM d
+      |), hits AS (
+      |  SELECT doc_id, term, COUNT(*) AS tf, MIN(dl) AS dl
+      |  FROM toks WHERE term IN ('spark', 'hash', 'scan')
+      |  GROUP BY doc_id, term
+      |), dfq AS (SELECT term, COUNT(*) AS df FROM hits GROUP BY term),
+      |tot AS (SELECT COUNT(*) AS n, CAST(SUM(dl) AS BIGINT) AS t_tok FROM d),
+      |scored AS (
+      |  SELECT h.doc_id,
+      |    (CAST(FLOOR(LN(CAST(2 * n + 2 AS DOUBLE) / CAST(2 * df + 1 AS DOUBLE))
+      |        * 1000000) AS BIGINT) * 44 * tf * t_tok)
+      |      // (20 * tf * t_tok + 6 * t_tok + 18 * dl * n) AS term_score
+      |  FROM hits h JOIN dfq USING (term) CROSS JOIN tot
+      |), bm AS (
+      |  SELECT doc_id, CAST(SUM(term_score) AS BIGINT) AS s
+      |  FROM scored GROUP BY doc_id
+      |), bmr AS (
+      |  SELECT doc_id, ROW_NUMBER() OVER (ORDER BY s DESC, doc_id) AS rk FROM bm
+      |), dens AS (
+      |  SELECT doc_id, (COUNT(*) * 1000000000) // MIN(dl) AS s
+      |  FROM toks WHERE term IN ('spark', 'hash', 'scan') GROUP BY doc_id
+      |), densr AS (
+      |  SELECT doc_id, ROW_NUMBER() OVER (ORDER BY s DESC, doc_id) AS rk FROM dens
+      |), u AS (
+      |  SELECT doc_id, 1000000000000 // (60 + rk) AS p FROM bmr WHERE rk <= 50
+      |  UNION ALL
+      |  SELECT doc_id, 1000000000000 // (60 + rk) AS p FROM densr WHERE rk <= 50
+      |)
+      |SELECT doc_id, CAST(SUM(p) AS BIGINT) AS rrf_fx,
+      |  CAST(COUNT(*) AS BIGINT) AS n_lists
+      |FROM u GROUP BY doc_id
+      |ORDER BY rrf_fx DESC, doc_id LIMIT 20""".stripMargin
+
+  // -------------------------------------------------------------------
   // q132: boolean conjunctive search (AND of {spark, merge, window}) —
   // posting-list intersection by COUNT, the scalable form: distinct
   // (doc, term) hits for query terms only, then one partial-agged
@@ -1836,6 +1905,7 @@ object Pipeline {
     "q127_triangles" -> (q127Triangles _),
     "q170_bfs_levels" -> (q170BfsLevels _),
     "q171_kcore" -> (q171KCore _),
+    "q172_rrf_hybrid" -> (q172RrfHybrid _),
     "q129_bm25" -> (q129Bm25 _),
     "q132_boolean_search" -> (q132BooleanSearch _),
     "q102_stream_sliding" -> (q102StreamSliding _),
@@ -1903,6 +1973,7 @@ object Pipeline {
     "q127_triangles" -> q127Sql,
     "q170_bfs_levels" -> q170Sql,
     "q171_kcore" -> q171Sql,
+    "q172_rrf_hybrid" -> q172Sql,
     "q129_bm25" -> q129Sql,
     "q132_boolean_search" -> q132Sql,
     "q102_stream_sliding" -> Scalars.q44Sql, // identical output to the batch sliding window

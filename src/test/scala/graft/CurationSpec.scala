@@ -275,6 +275,39 @@ class CurationSpec extends SparkSpec {
     assert(!got.map(_._1).contains(4L))
   }
 
+  test("rrfFuse: hand-computed fusion, consensus beats single-list winner") {
+    // doc 10 is rank 1 in list A only; doc 20 is rank 2 in BOTH lists.
+    // RRF k0=60: doc20 = 2·⌊1e12/62⌋ > doc10 = ⌊1e12/61⌋ — consensus wins.
+    val a = Seq((10L, 1), (20L, 2), (30L, 3)).toDF("id", "rank")
+    val b = Seq((40L, 1), (20L, 2), (30L, 4)).toDF("id", "rank")
+    val got = Curation.rrfFuse(Seq(a, b), "id", "rank", k0 = 60, topK = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val exp = Map(
+      10L -> 1000000000000L / 61,
+      40L -> 1000000000000L / 61,
+      20L -> 2 * (1000000000000L / 62),
+      30L -> (1000000000000L / 63 + 1000000000000L / 64))
+    assert(got.map(r => r._1 -> r._2).toMap === exp)
+    assert(got.map(r => r._1 -> r._3).toMap ===
+      Map(10L -> 1L, 40L -> 1L, 20L -> 2L, 30L -> 2L))
+    // ordering: fused score desc, id asc for the 10/40 tie
+    assert(got.map(_._1).toSeq === Seq(20L, 30L, 10L, 40L))
+  }
+
+  test("tfDensityTopK ranks by query-term density, integral scores") {
+    val docs = Seq(
+      (1L, "spark spark spark scan"),     // 4 hits? 3 spark + 1 scan = 4/4 tokens
+      (2L, "spark filler filler filler"), // 1/4
+      (3L, "filler filler filler filler") // 0 hits → absent
+    ).toDF("doc_id", "text")
+    val got = Curation.tfDensityTopK(docs, "doc_id", "text",
+        Seq("spark", "scan"), k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.toSeq === Seq(
+      (1L, 4L * 1000000000L / 4L),
+      (2L, 1000000000L / 4L)))
+  }
+
   test("orderShuffle is a deterministic permutation keyed by seed") {
     val ids = (0L until 1000L).toDF("doc_id")
     val a = Curation.orderShuffle(ids, "doc_id", 5L).select("doc_id")
