@@ -794,7 +794,137 @@ object Stats {
       |  FROM read_parquet('__GRAFT_OUT__/q166_tdigest_quantiles/*.parquet')) = 0
       |ORDER BY event_type, q""".stripMargin
 
+  // -------------------------------------------------------------------
+  // q173: equi-HEIGHT decile binning of l_extendedprice — the
+  // quantile-bucketed complement of q106's equal-width histogram
+  // (feature binning / data-skew profiling: each bin holds ~10% of the
+  // mass, so bin widths expose the distribution shape). Boundaries are
+  // the 9 interior deciles via type-7 interpolation over exact cents
+  // integers — both engines evaluate the IDENTICAL IEEE expression
+  // h = p·(n−1), lerp(x_lo, x_hi) (q42's guarantee), so the fence
+  // doubles match bit-for-bit; bin(v) = Σ_j [v ≥ b_j] is then 9
+  // codegen'd comparisons against a broadcast 1-row fence frame —
+  // map-only, no HOF lambda, no global sort of the fact table. Every
+  // output column is an exact integer (counts, min/max cents, BIGINT
+  // cent sums). The percentile agg itself is the one non-streaming
+  // piece (value→count map ∝ distinct prices); q54's GK sketch is the
+  // registered approx twin for unbounded domains.
+  // -------------------------------------------------------------------
+  def q173EquiHeightBins(spark: SparkSession, dir: String): DataFrame = {
+    val cents = (col("l_extendedprice").cast(DecimalType(12, 2)) * 100)
+      .cast("long").as("cents")
+    val c = li(spark, dir).select(cents)
+    val fences = c.agg(
+      expr("percentile(cents, array(0.1D,0.2D,0.3D,0.4D,0.5D,0.6D,0.7D,0.8D,0.9D))")
+        .as("bs"))
+      .select((1 to 9).map(j => element_at(col("bs"), j).as(s"f$j")): _*)
+    val bin = (1 to 9).map(j =>
+        when(col("cents") >= col(s"f$j"), 1L).otherwise(0L))
+      .reduce(_ + _).as("bin")
+    c.crossJoin(broadcast(fences))
+      .select(col("cents"), bin)
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"),
+        min(col("cents")).as("lo_cents"),
+        max(col("cents")).as("hi_cents"),
+        sum(col("cents")).as("sum_cents"))
+      .orderBy(asc("bin"))
+  }
+  val q173Sql: String =
+    """WITH c AS (
+      |  SELECT CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT)
+      |    AS cents FROM lineitem
+      |), f AS (
+      |  SELECT quantile_cont(cents, 0.1) AS f1, quantile_cont(cents, 0.2) AS f2,
+      |    quantile_cont(cents, 0.3) AS f3, quantile_cont(cents, 0.4) AS f4,
+      |    quantile_cont(cents, 0.5) AS f5, quantile_cont(cents, 0.6) AS f6,
+      |    quantile_cont(cents, 0.7) AS f7, quantile_cont(cents, 0.8) AS f8,
+      |    quantile_cont(cents, 0.9) AS f9
+      |  FROM c
+      |), b AS (
+      |  SELECT cents,
+      |    (CASE WHEN cents >= f1 THEN 1 ELSE 0 END)
+      |    + (CASE WHEN cents >= f2 THEN 1 ELSE 0 END)
+      |    + (CASE WHEN cents >= f3 THEN 1 ELSE 0 END)
+      |    + (CASE WHEN cents >= f4 THEN 1 ELSE 0 END)
+      |    + (CASE WHEN cents >= f5 THEN 1 ELSE 0 END)
+      |    + (CASE WHEN cents >= f6 THEN 1 ELSE 0 END)
+      |    + (CASE WHEN cents >= f7 THEN 1 ELSE 0 END)
+      |    + (CASE WHEN cents >= f8 THEN 1 ELSE 0 END)
+      |    + (CASE WHEN cents >= f9 THEN 1 ELSE 0 END) AS bin
+      |  FROM c CROSS JOIN f
+      |)
+      |SELECT CAST(bin AS BIGINT) AS bin, COUNT(*) AS n,
+      |  MIN(cents) AS lo_cents, MAX(cents) AS hi_cents,
+      |  CAST(SUM(cents) AS BIGINT) AS sum_cents
+      |FROM b GROUP BY bin ORDER BY bin""".stripMargin
+
+  // -------------------------------------------------------------------
+  // q174: median/MAD robust outlier detection — the heavy-tail-safe
+  // sibling of q130's z-score counts (mean/σ are themselves dragged by
+  // the outliers they're meant to flag; median/MAD have breakdown
+  // point 0.5). Per order priority over o_totalprice, ALL-INTEGER via
+  // the doubling trick: med2 = 2·median(cents) is an exact integer
+  // (the middle-pair average ×2 = a+b), dev2 = |2·cents − med2|,
+  // mad4 = 2·median(dev2) — and the k·MAD test |c−med| > k·MAD
+  // clears to 2·dev2 > k·mad4, an integer comparison with no sqrt,
+  // division, or IEEE boundary anywhere (q130's discipline). Shape:
+  // two percentile passes (each a per-group value→count map, tiny
+  // domain), two broadcast joins of the 5-row fence frame, map-only
+  // test, one partial-agged count.
+  // -------------------------------------------------------------------
+  def q174MadOutliers(spark: SparkSession, dir: String): DataFrame = {
+    val base = spark.read.parquet(s"$dir/orders.parquet")
+      .select(col("o_orderpriority"),
+        (col("o_totalprice").cast(DecimalType(14, 2)) * 100)
+          .cast("long").as("cents"))
+    val med = base.groupBy(col("o_orderpriority")).agg(
+      (expr("percentile(cents, 0.5D)") * 2).cast("long").as("med2"))
+    val dev = base.join(broadcast(med), "o_orderpriority")
+      .select(col("o_orderpriority"), col("cents"),
+        abs(lit(2) * col("cents") - col("med2")).as("dev2"), col("med2"))
+    val mad = dev.groupBy(col("o_orderpriority")).agg(
+      (expr("percentile(dev2, 0.5D)") * 2).cast("long").as("mad4"))
+    dev.join(broadcast(mad), "o_orderpriority")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"),
+        min(col("med2")).as("med2"),
+        min(col("mad4")).as("mad4"),
+        sum(when(lit(2) * col("dev2") > lit(3) * col("mad4"), 1L)
+          .otherwise(0L)).as("n_out3"),
+        sum(when(lit(2) * col("dev2") > lit(5) * col("mad4"), 1L)
+          .otherwise(0L)).as("n_out5"))
+      .orderBy(asc("o_orderpriority"))
+  }
+  val q174Sql: String =
+    """WITH c AS (
+      |  SELECT o_orderpriority,
+      |    CAST(CAST(o_totalprice AS DECIMAL(14,2)) * 100 AS BIGINT) AS cents
+      |  FROM orders
+      |), m AS (
+      |  SELECT o_orderpriority,
+      |    CAST(quantile_cont(cents, 0.5) * 2 AS BIGINT) AS med2
+      |  FROM c GROUP BY o_orderpriority
+      |), d AS (
+      |  SELECT c.o_orderpriority, cents, ABS(2 * cents - med2) AS dev2, med2
+      |  FROM c JOIN m USING (o_orderpriority)
+      |), md AS (
+      |  SELECT o_orderpriority,
+      |    CAST(quantile_cont(dev2, 0.5) * 2 AS BIGINT) AS mad4
+      |  FROM d GROUP BY o_orderpriority
+      |)
+      |SELECT d.o_orderpriority, COUNT(*) AS n,
+      |  MIN(med2) AS med2, MIN(mad4) AS mad4,
+      |  CAST(SUM(CASE WHEN 2 * dev2 > 3 * mad4 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_out3,
+      |  CAST(SUM(CASE WHEN 2 * dev2 > 5 * mad4 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_out5
+      |FROM d JOIN md USING (o_orderpriority)
+      |GROUP BY d.o_orderpriority ORDER BY d.o_orderpriority""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q174_mad_outliers" -> (q174MadOutliers _),
+    "q173_equiheight_bins" -> (q173EquiHeightBins _),
     "q166_tdigest_quantiles" -> (q166TdigestQuantiles _),
     "q153_ks_test" -> (q153KsTest _),
     "q142_group_linreg" -> (q142GroupLinreg _),
@@ -813,6 +943,8 @@ object Stats {
     "q106_histogram" -> (q106Histogram _))
 
   val oracle: Map[String, String] = Map(
+    "q174_mad_outliers" -> q174Sql,
+    "q173_equiheight_bins" -> q173Sql,
     "q166_tdigest_quantiles" -> q166Sql,
     "q153_ks_test" -> q153Sql,
     "q142_group_linreg" -> q142Sql,
