@@ -1217,6 +1217,40 @@ object Pipeline {
       |ORDER BY w_start, event_type, q""".stripMargin
 
   // -------------------------------------------------------------------
+  // q175: STREAMING HEAVY HITTERS — the Misra-Gries aggregate inside a
+  // watermarked append-mode window aggregate (7-day windows, top-10
+  // users by event count): sketch state per open window in the state
+  // store, one emission per closed window, distributed parquet drain.
+  // capacity 32768 vs 150/1,500 users per window = EXACT regime at
+  // both scales, so the oracle independently recomputes each closed
+  // window's true top-10 (same closure horizon as q167: window end ≤
+  // max(ts) − 2h) with the MG tie-break (n DESC, user_key VARCHAR
+  // asc) and the comparison is bit-for-bit — no tolerance, no
+  // containment needed.
+  // -------------------------------------------------------------------
+  def q175StreamHeavyHitters(spark: SparkSession, dir: String): DataFrame =
+    graft.streaming.EventStreams.streamingHeavyHittersBatchDriven(spark, dir)
+  val q175Sql: String =
+    """WITH ev AS (
+      |  SELECT make_timestamp((EPOCH_US(CAST(ts AS TIMESTAMP)) // 604800000000)
+      |           * 604800000000) AS w_start,
+      |    CAST(user_id AS VARCHAR) AS user_key
+      |  FROM events
+      |), closed AS (
+      |  SELECT DISTINCT w_start FROM ev
+      |  WHERE EPOCH_US(w_start) + 604800000000 <=
+      |    (SELECT MAX(EPOCH_US(CAST(ts AS TIMESTAMP))) - 7200000000 FROM events)
+      |), truth AS (
+      |  SELECT w_start, user_key, COUNT(*) AS n,
+      |    ROW_NUMBER() OVER (PARTITION BY w_start
+      |      ORDER BY COUNT(*) DESC, user_key) AS rk
+      |  FROM ev WHERE w_start IN (SELECT w_start FROM closed)
+      |  GROUP BY w_start, user_key
+      |)
+      |SELECT w_start, user_key, n FROM truth WHERE rk <= 10
+      |ORDER BY w_start, n DESC, user_key""".stripMargin
+
+  // -------------------------------------------------------------------
   // q81: BPE-ish tokenization — the regex pre-tokenizer count next to
   // the whitespace count (word runs and punctuation runs split apart,
   // the shape a subword tokenizer's pre-tokenization pass produces).
@@ -1906,6 +1940,7 @@ object Pipeline {
     "q170_bfs_levels" -> (q170BfsLevels _),
     "q171_kcore" -> (q171KCore _),
     "q172_rrf_hybrid" -> (q172RrfHybrid _),
+    "q175_stream_heavy_hitters" -> (q175StreamHeavyHitters _),
     "q129_bm25" -> (q129Bm25 _),
     "q132_boolean_search" -> (q132BooleanSearch _),
     "q102_stream_sliding" -> (q102StreamSliding _),
@@ -1974,6 +2009,7 @@ object Pipeline {
     "q170_bfs_levels" -> q170Sql,
     "q171_kcore" -> q171Sql,
     "q172_rrf_hybrid" -> q172Sql,
+    "q175_stream_heavy_hitters" -> q175Sql,
     "q129_bm25" -> q129Sql,
     "q132_boolean_search" -> q132Sql,
     "q102_stream_sliding" -> Scalars.q44Sql, // identical output to the batch sliding window

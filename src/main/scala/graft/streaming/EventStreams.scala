@@ -191,6 +191,44 @@ object EventStreams {
         col("e.q").as("q"), col("e.est").as("est"))
       .orderBy(asc("w_start"), asc("event_type"), asc("q"))
 
+  /** Streaming HEAVY HITTERS — the mergeable Misra-Gries aggregate
+    * ([[graft.functions.SpaceSavingTopK]]) inside a watermarked
+    * append-mode window aggregate: per 7-day window, the top-10 users
+    * by event count. The frequent-items member of the streaming sketch
+    * family next to [[streamingQuantilesBatchDriven]]'s t-digest: an
+    * unbounded stream cannot hold a per-user count map per open window
+    * at 10^9 users, but the MG summary caps state at `capacity`
+    * entries per window-group in the state store and merges
+    * associatively across micro-batches.
+    *
+    * capacity = 32768 (q74's cross-scale sizing, CLAUDE.md rule 14)
+    * vs 150 / 1,500 distinct users per window at sf0.01 / sf0.1 — the
+    * EXACT regime, so emitted counts are true counts, the MG
+    * tie-break (cnt desc, key asc in UTF8-binary = VARCHAR collation)
+    * is the oracle's ORDER BY, and the gate compares bit-for-bit
+    * against an independent per-closed-window GROUP BY in DuckDB.
+    * APPEND mode: one emission per window when the watermark passes
+    * its end, state evicted, distributed parquet drain.
+    */
+  def streamingHeavyHittersBatchDriven(spark: SparkSession, dir: String): DataFrame =
+    appendSinkDrain(
+      readEventStream(streamSession(spark), dir)
+        .withWatermark("ts", "2 hours")
+        .groupBy(window(col("ts"), "7 days"))
+        .agg(graft.functions.SketchFunctions
+          .space_saving_topk(col("user_id").cast("string"), 10, 32768).as("top"))
+        .select(col("window.start").as("w_start"), col("top")),
+      "graft_stream_hh",
+      StructType(Seq(
+        StructField("w_start", TimestampType),
+        StructField("top", ArrayType(StructType(Seq(
+          StructField("key", StringType, nullable = false),
+          StructField("cnt", LongType, nullable = false),
+          StructField("err", LongType, nullable = false))), containsNull = false)))))
+      .select(col("w_start"), explode(col("top")).as("e"))
+      .select(col("w_start"), col("e.key").as("user_key"), col("e.cnt").as("n"))
+      .orderBy(asc("w_start"), desc("n"), asc("user_key"))
+
   /** Streaming SESSION windows (30-min gap) — gap-based sessionization
     * run on the real streaming engine: session state per user grows and
     * MERGES as events arrive (adjacent sessions closer than the gap

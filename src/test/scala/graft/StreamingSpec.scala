@@ -454,4 +454,37 @@ class StreamingSpec extends SparkSpec {
       assert(belowEq >= q * n - tol, s"($et, q=$q): belowEq=$belowEq n=$n")
     }
   }
+
+  test("streaming heavy hitters: exact top-10 per closed window, tail held back") {
+    val out = graft.streaming.EventStreams
+      .streamingHeavyHittersBatchDriven(spark, sf)
+      .collect()
+      .map(r => (r.getTimestamp(0).toInstant.toEpochMilli * 1000L,
+        r.getString(1), r.getLong(2)))
+    assert(out.nonEmpty)
+    // batch truth: per closed weekly window, exact per-user counts
+    val week = 604800000000L
+    val ev = graft.sources.Events.ev(spark, sf)
+      .select(unix_micros(col("ts")).as("us"), col("user_id"))
+    val horizon = ev.agg(max(col("us"))).collect()(0).getLong(0) - 7200000000L
+    val rows = ev.select((col("us") - pmod(col("us"), lit(week))).as("ws"),
+        col("user_id").cast("string").as("u")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val byWindow = rows.groupBy(_._1)
+    val closed = byWindow.keySet.filter(ws => ws + week <= horizon)
+    // hold-back is non-vacuous: at least one window stays open
+    assert(closed.size < byWindow.size,
+      s"all ${byWindow.size} windows closed - the watermark gate is vacuous")
+    // completeness: exactly 10 rows per closed window and no other window
+    assert(out.map(_._1).toSet === closed)
+    assert(out.length === 10 * closed.size)
+    // exact-regime MG: emitted (user, n) IS the true top-10 with the
+    // (n desc, key-string asc) tie-break
+    closed.foreach { ws =>
+      val truth = byWindow(ws).groupBy(_._2).map { case (u, g) => (u, g.length.toLong) }
+        .toSeq.sortBy { case (u, n) => (-n, u) }.take(10)
+      val got = out.filter(_._1 == ws).map(r => (r._2, r._3)).toSeq
+      assert(got.sortBy { case (u, n) => (-n, u) } === truth, s"window $ws")
+    }
+  }
 }
