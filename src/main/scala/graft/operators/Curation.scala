@@ -384,6 +384,35 @@ object Curation {
       .filter(col("rk") <= k)
   }
 
+  /** Out-of-vocabulary statistics against the corpus' own top-N
+    * vocabulary — the tokenizer-coverage audit (how much of each doc a
+    * fixed vocab fails to cover drives fertility/UNK-rate decisions).
+    * Vocab = top `vocabSize` tokens by (count desc, token asc) — a
+    * deterministic cutoff both engines replay; per doc: token count,
+    * OOV token count (with multiplicity), and the fixed-point OOV
+    * rate (n_oov·1e6 div n_tok) — all-int64, bit-replayable.
+    *
+    * Scale shape: one token explode feeding BOTH the vocab aggregate
+    * (partial-agged counts, top-N as TakeOrdered) and the per-doc
+    * aggregate; the vocab (≤ vocabSize rows) joins BROADCAST, so no
+    * data-sized shuffle carries text. A real-vocab variant (SentencePiece
+    * file etc.) is the same join with the vocab frame read from disk.
+    */
+  def oovStats(df: DataFrame, idCol: String, textCol: String,
+               vocabSize: Int): DataFrame = {
+    import graft.operators.{TextAnalysis => TA}
+    val toks = df.select(col(idCol), explode(TA.tokens(col(textCol))).as("tok"))
+    val vocab = toks.groupBy(col("tok")).agg(count(lit(1)).as("c"))
+      .orderBy(desc("c"), asc("tok")).limit(vocabSize)
+      .select(col("tok"), lit(1).as("in_v"))
+    toks.join(broadcast(vocab), Seq("tok"), "left_outer")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tok"),
+        sum(when(col("in_v").isNull, 1L).otherwise(0L)).as("n_oov"))
+      .select(col(idCol), col("n_tok"), col("n_oov"),
+        expr("(n_oov * 1000000L) div n_tok").as("oov_fx"))
+  }
+
   /** Query-term density ranking: score = (Σ_t∈Q tf_t · 1e9) div dl —
     * the length-normalized term-frequency retriever (a smoothing-free
     * query-likelihood LM). Deliberately idf-free: it ranks by how

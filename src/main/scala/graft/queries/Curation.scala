@@ -610,7 +610,40 @@ object Curation {
       |  FROM read_parquet('__GRAFT_OUT__/q158_token_entropy/*.parquet')) = 0
       |ORDER BY doc_id""".stripMargin
 
+  // -------------------------------------------------------------------
+  // q176: OOV / vocabulary-coverage audit — per-doc out-of-vocabulary
+  // token counts against the corpus' own top-16 vocabulary
+  // (C.oovStats; the synthetic corpus has 31 distinct tokens, so a
+  // 16-token vocab leaves a real OOV tail at both scales — a
+  // vacuity-checked choice). Deterministic cutoff (count desc, token
+  // asc), all-int64 fixed-point rate: vocab, counts, and rate replay
+  // bit-for-bit in the oracle. One explode feeds both the vocab top-N
+  // (TakeOrdered) and the per-doc aggregate; the 16-row vocab joins
+  // broadcast.
+  // -------------------------------------------------------------------
+  def q176OovCoverage(spark: SparkSession, dir: String): DataFrame =
+    C.oovStats(docs(spark, dir), "doc_id", "text", vocabSize = 16)
+      .orderBy(asc("doc_id"))
+  val q176Sql: String =
+    raw"""WITH t AS (
+      |  SELECT doc_id, UNNEST(string_split_regex(TRIM(text), '\s+')) AS tok
+      |  FROM documents
+      |), v AS (
+      |  SELECT tok FROM (
+      |    SELECT tok, ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, tok) AS rk
+      |    FROM t GROUP BY tok)
+      |  WHERE rk <= 16
+      |), d AS (
+      |  SELECT doc_id, COUNT(*) AS n_tok,
+      |    SUM(CASE WHEN tok IN (SELECT tok FROM v) THEN 0 ELSE 1 END) AS n_oov
+      |  FROM t GROUP BY doc_id
+      |)
+      |SELECT doc_id, n_tok, CAST(n_oov AS BIGINT) AS n_oov,
+      |  (CAST(n_oov AS BIGINT) * 1000000) // n_tok AS oov_fx
+      |FROM d ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q176_oov_coverage" -> (q176OovCoverage _),
     "q158_token_entropy" -> (q158TokenEntropy _),
     "q154_token_budget" -> (q154TokenBudget _),
     "q145_constraint_audit" -> (q145ConstraintAudit _),
@@ -630,6 +663,7 @@ object Curation {
     "q120_fuzzy_decontaminate" -> (q120FuzzyDecontaminate _))
 
   val oracle: Map[String, String] = Map(
+    "q176_oov_coverage" -> q176Sql,
     "q158_token_entropy" -> q158Sql,
     "q154_token_budget" -> q154Sql,
     "q145_constraint_audit" -> q145Sql,
