@@ -208,6 +208,57 @@ object Graph {
     dist
   }
 
+  /** Synchronous label propagation (Raghavan et al. 2007), `rounds`
+    * fixed rounds — community detection as iterated neighborhood
+    * majority vote: every vertex starts as its own label; each round
+    * it adopts the most frequent label among its neighbors, ties
+    * broken by smallest label. Fixed rounds + deterministic tie-break
+    * = the unrollable-replay contract ([[pageRankFixed]]) — the
+    * classic formulation breaks ties randomly and is therefore
+    * gate-hostile; the deterministic variant converges the same way
+    * on strong communities.
+    *
+    * Scale shape per round: one edges⋈labels hash join, one
+    * partial-agged (dst, label) count, one per-dst window pick over
+    * the counted frame (bounded fan-in: ≤ deg(v) label rows per
+    * vertex). Every exchange carries long pairs/triples. Lineage
+    * truncated every other round (no mid-loop action).
+    *
+    * Directed-edge input is treated as given; pass both directions
+    * for undirected majority. Returns (id, label) for every vertex
+    * with ≥1 in-edge.
+    */
+  def labelPropagation(edges: DataFrame, srcCol: String, dstCol: String,
+                       rounds: Int = 2,
+                       checkpointDir: Option[String] = None): DataFrame = {
+    require(rounds >= 1)
+    val cut: DataFrame => DataFrame = checkpointDir match {
+      case Some(d) =>
+        edges.sparkSession.sparkContext.setCheckpointDir(d)
+        df => df.checkpoint(eager = true)
+      case None => df => df.localCheckpoint(true)
+    }
+    val e = cut(edges
+      .select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
+      .distinct())
+    var labels = e.select(col("src").as("id"))
+      .union(e.select(col("dst").as("id"))).distinct()
+      .select(col("id"), col("id").as("lab"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("id")).orderBy(desc("c"), asc("lab"))
+    for (r <- 1 to rounds) {
+      val next = e
+        .join(labels.select(col("id").as("src"), col("lab")), "src")
+        .groupBy(col("dst").as("id"), col("lab"))
+        .agg(count(lit(1)).as("c"))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") === 1)
+        .select(col("id"), col("lab"))
+      labels = if (r % 2 == 0 && r < rounds) cut(next) else next
+    }
+    labels
+  }
+
   /** Iterated k-core peel: `rounds` synchronous rounds of "drop every
     * vertex with degree < k among survivors", the standard k-core
     * decomposition step (Matula & Beck 1983; the synchronous variant

@@ -717,7 +717,63 @@ object Analytics {
       |      CAST(n_hours * syy - sy * sy AS DOUBLE)) AS corr
       |FROM m""".stripMargin
 
+  // -------------------------------------------------------------------
+  // q178: CUSUM change-point detection on each event type's hourly
+  // volume — the regime-shift monitor next to q116's distribution
+  // drift and q162's cross-correlation. The centered cumulative
+  // deviation D_t = Σ_{i≤t}(x_i − x̄) is cleared of its rational mean
+  // by multiplying through by n: D'_t = n·cum_t − t·total, an EXACT
+  // int64 quantity (n ≤ 9e3 hours, cum ≤ 6e5 ⇒ |D'| ≤ 5.4e9); the
+  // change point is argmax |D'_t| with an earliest-hour tie-break, so
+  // the result replays bit-for-bit. Scale shape: the only data-sized
+  // work is the (type, hour) count aggregate; every window runs over
+  // the metadata-sized hourly frame, partitioned by type (bounded
+  // cardinality, no global sort of events).
+  // -------------------------------------------------------------------
+  def q178CusumChangepoint(spark: SparkSession, dir: String): DataFrame = {
+    val hourly = ev(spark, dir)
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hour"))
+      .agg(count(lit(1)).as("x"))
+    val wOrd = Window.partitionBy(col("event_type")).orderBy(asc("hour"))
+    val wAll = Window.partitionBy(col("event_type"))
+    hourly
+      .withColumn("t", row_number().over(wOrd).cast("long"))
+      .withColumn("cum", sum(col("x")).over(wOrd))
+      .withColumn("n", count(lit(1)).over(wAll))
+      .withColumn("total", sum(col("x")).over(wAll))
+      .withColumn("dabs",
+        abs(col("n") * col("cum") - col("t") * col("total")))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("event_type")).orderBy(desc("dabs"), asc("hour"))))
+      .filter(col("rk") === 1)
+      .select(col("event_type"), col("n").as("n_hours"),
+        col("hour").as("cp_hour"), col("dabs").as("d_max"))
+      .orderBy(asc("event_type"))
+  }
+  val q178Sql: String =
+    """WITH hourly AS (
+      |  SELECT event_type, CAST(DATE_TRUNC('hour', ts) AS TIMESTAMP) AS hour,
+      |    COUNT(*) AS x
+      |  FROM events GROUP BY 1, 2
+      |), d AS (
+      |  SELECT event_type, hour,
+      |    CAST(ROW_NUMBER() OVER w AS BIGINT) AS t,
+      |    CAST(SUM(x) OVER w AS BIGINT) AS cum,
+      |    CAST(COUNT(*) OVER (PARTITION BY event_type) AS BIGINT) AS n,
+      |    CAST(SUM(x) OVER (PARTITION BY event_type) AS BIGINT) AS total
+      |  FROM hourly
+      |  WINDOW w AS (PARTITION BY event_type ORDER BY hour)
+      |), r AS (
+      |  SELECT event_type, hour, n, ABS(n * cum - t * total) AS dabs,
+      |    ROW_NUMBER() OVER (PARTITION BY event_type
+      |      ORDER BY ABS(n * cum - t * total) DESC, hour) AS rk
+      |  FROM d
+      |)
+      |SELECT event_type, n AS n_hours, hour AS cp_hour, dabs AS d_max
+      |FROM r WHERE rk = 1 ORDER BY event_type""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q178_cusum_changepoint" -> (q178CusumChangepoint _),
     "q162_volume_corr" -> (q162VolumeCorr _),
     "q161_cooccurrence_pmi" -> (q161CooccurrencePmi _),
     "q148_events_span" -> (q148EventsSpan _),
@@ -744,6 +800,7 @@ object Analytics {
     "q24_json_extract" -> (q24Json _))
 
   val oracle: Map[String, String] = Map(
+    "q178_cusum_changepoint" -> q178Sql,
     "q162_volume_corr" -> q162Sql,
     "q161_cooccurrence_pmi" -> q161Sql,
     "q148_events_span" -> q148Sql,

@@ -1037,6 +1037,58 @@ object Pipeline {
       |FROM r GROUP BY id ORDER BY id""".stripMargin
 
   // -------------------------------------------------------------------
+  // q177: label-propagation community detection (2 synchronous rounds,
+  // deterministic smallest-label tie-break) over the trade graph —
+  // the community-structure member of the graph family (PageRank =
+  // centrality, CC = reachability clusters, k-core = cohesion, LPA =
+  // assortative communities; on a dedup graph LPA splits
+  // transitively-chained clusters that CC merges). Fixed rounds +
+  // deterministic ties = exact replay: the oracle unrolls the same 2
+  // rounds of GROUP BY + window majority vote and compares (id,
+  // label) bit-for-bit. Per round: one edges⋈labels join, one
+  // partial-agged (dst, label) count, one bounded-fan-in window.
+  // -------------------------------------------------------------------
+  def q177LabelProp(spark: SparkSession, dir: String): DataFrame = {
+    val o = spark.read.parquet(s"$dir/orders.parquet")
+      .select(col("o_orderkey"), col("o_custkey"))
+    val l = spark.read.parquet(s"$dir/lineitem.parquet")
+      .select(col("l_orderkey"), col("l_suppkey"))
+    val fwd = o.join(l, col("o_orderkey") === col("l_orderkey"))
+      .select((col("o_custkey") * 2).as("src"), (col("l_suppkey") * 2 + 1).as("dst"))
+    val edges = fwd.union(fwd.select(col("dst").as("src"), col("src").as("dst")))
+    Graph.labelPropagation(edges, "src", "dst", rounds = 2)
+      .orderBy(asc("id"))
+  }
+  val q177Sql: String =
+    """WITH fwd AS (
+      |  SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+      |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+      |), e AS (
+      |  SELECT src, dst FROM fwd UNION SELECT dst, src FROM fwd
+      |), nodes AS (
+      |  SELECT DISTINCT src AS id FROM e UNION SELECT DISTINCT dst FROM e
+      |), l0 AS (
+      |  SELECT id, id AS lab FROM nodes
+      |), l1 AS (
+      |  SELECT id, lab FROM (
+      |    SELECT e.dst AS id, l0.lab,
+      |      ROW_NUMBER() OVER (PARTITION BY e.dst
+      |        ORDER BY COUNT(*) DESC, l0.lab) AS rk
+      |    FROM e JOIN l0 ON l0.id = e.src
+      |    GROUP BY e.dst, l0.lab)
+      |  WHERE rk = 1
+      |), l2 AS (
+      |  SELECT id, lab FROM (
+      |    SELECT e.dst AS id, l1.lab,
+      |      ROW_NUMBER() OVER (PARTITION BY e.dst
+      |        ORDER BY COUNT(*) DESC, l1.lab) AS rk
+      |    FROM e JOIN l1 ON l1.id = e.src
+      |    GROUP BY e.dst, l1.lab)
+      |  WHERE rk = 1
+      |)
+      |SELECT id, lab FROM l2 ORDER BY id""".stripMargin
+
+  // -------------------------------------------------------------------
   // q171: iterated k-core peel (k=6, 4 synchronous rounds) over q127's
   // high-quantity co-purchase graph — the cohesive-subgraph extractor
   // (spam/boilerplate rings in a doc-similarity graph, dense
@@ -1939,6 +1991,7 @@ object Pipeline {
     "q127_triangles" -> (q127Triangles _),
     "q170_bfs_levels" -> (q170BfsLevels _),
     "q171_kcore" -> (q171KCore _),
+    "q177_label_prop" -> (q177LabelProp _),
     "q172_rrf_hybrid" -> (q172RrfHybrid _),
     "q175_stream_heavy_hitters" -> (q175StreamHeavyHitters _),
     "q129_bm25" -> (q129Bm25 _),
@@ -2008,6 +2061,7 @@ object Pipeline {
     "q127_triangles" -> q127Sql,
     "q170_bfs_levels" -> q170Sql,
     "q171_kcore" -> q171Sql,
+    "q177_label_prop" -> q177Sql,
     "q172_rrf_hybrid" -> q172Sql,
     "q175_stream_heavy_hitters" -> q175Sql,
     "q129_bm25" -> q129Sql,

@@ -69,7 +69,15 @@ object Explain {
       "q164_allpairs_exact" -> "exact all-pairs via prefix filtering: df counts and per-doc canonical arrays partial-aggregate; the candidate join indexes only prefix shingles (8-byte keys + two ints) with the length AND positional bounds as join-residual filters; the array-carrying verification join touches only surviving candidate ids — never the shared-shingle universe",
       "q165_pca_power" -> "ONE scan: count + VecFixedSum + VecOuterFixedSum as mergeable ObjectHashAggregate partials — d(d+1)/2 longs per task cross the exchange; everything after the 1-row collect is driver-side on the 64x64 matrix (the output frame is a 64-row literal)",
       "q166_tdigest_quantiles" -> "grouped ObjectHashAggregate over mergeable t-digest states: ~3 KB of centroids per (event_type) partial crosses the shuffle, never the value stream; quantile evaluation happens once per group at eval",
-      "q167_stream_quantiles" -> "batch-driven runner: the plan below is only the distributed-sink READ-BACK tail (same convention as q150) — the streaming plan itself is q166's t-digest agg wrapped in StateStoreRestore/Save with watermark eviction; evidence in StreamingSpec and the x100 stress line")
+      "q167_stream_quantiles" -> "batch-driven runner: the plan below is only the distributed-sink READ-BACK tail (same convention as q150) — the streaming plan itself is q166's t-digest agg wrapped in StateStoreRestore/Save with watermark eviction; evidence in StreamingSpec and the x100 stress line",
+      "q168_asof_native" -> "native AsOfJoinExec: per-child ClusteredDistribution(user_id) + intra-partition SortOrder feed a streaming merge — ONE exchange per side, no union re-shuffle, no window over the combined stream, O(1) carry state; compare q40's compose-and-window plan over the same semantics",
+      "q170_bfs_levels" -> "level-synchronous BFS: each round joins only the CURRENT frontier against the edge list (visited ids left-anti'd out before the join), so exchanges carry (id, level) pairs ∝ frontier size, not graph size; lineage truncated per round — the plan is the final union of per-level frames",
+      "q171_kcore" -> "iterated peel: each round is two semi-join-shaped hash joins (edge survival = both endpoints alive) + one partial-agged degree count — all exchanges carry long pairs; the alive set shrinks monotonically and no round ever rescans payloads",
+      "q172_rrf_hybrid" -> "two retriever branches (BM25 int64, term-density int64) each end in TakeOrdered top-50; the fusion union carries (id, rank-part long) pairs only — the single-partition rank windows run over 50-row POST-LIMIT frames, not the corpus",
+      "q173_equiheight_bins" -> "decile fences from ONE percentile aggregate (value→count map, not a global sort), broadcast back as a 1-row frame; bin assignment is 9 codegen'd comparisons in the project (no HOF lambda) feeding a partial-agged integer aggregate",
+      "q174_mad_outliers" -> "two percentile passes over cents integers with 5-row broadcast joins back; the k·MAD test is the all-integer 2·dev2 > k·mad4 comparison — map-only verdicts, one partial-agged count, no sqrt/division anywhere",
+      "q175_stream_heavy_hitters" -> "batch-driven runner: the plan below is the distributed-sink READ-BACK tail — the streaming plan is the mergeable Misra-Gries ObjectHashAggregate (capacity-bounded state per open window) inside StateStoreRestore/Save with watermark eviction; exact-regime parity evidence in StreamingSpec",
+      "q176_oov_coverage" -> "one token explode feeds BOTH the vocab top-N (TakeOrdered over partial-agged counts) and the per-doc aggregate; the 16-row vocab joins BROADCAST left-outer — no data-sized shuffle carries text, and the OOV rate is one integral division in the project")
 
     val sb = new StringBuilder
     sb.append("# EXPLAINS — physical plans of representative queries\n\n")

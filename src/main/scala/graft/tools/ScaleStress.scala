@@ -154,15 +154,29 @@ object ScaleStress {
     // edges spread uniformly. Degree-ordered orientation must keep
     // wedge work O(m^1.5) with no hot reducer: a hub's edges all point
     // INTO it, so its adjacency never fans out a wedge set.
+    val hashedEdges = docs.select(col("doc_id").as("src"),
+      explode(array((0 until 8).map(i =>
+        pmod(xxhash64(col("doc_id"), lit(i)),
+          lit(if (i == 0) 1024L else total))): _*)).as("dst"))
     timed(s"triangle counts (${8 * total} hashed edges, 1k hubs)") {
-      val edges = docs.select(col("doc_id").as("src"),
-        explode(array((0 until 8).map(i =>
-          pmod(xxhash64(col("doc_id"), lit(i)),
-            lit(if (i == 0) 1024L else total))): _*)).as("dst"))
-      graft.operators.Graph.triangleCounts(edges, "src", "dst")
+      graft.operators.Graph.triangleCounts(hashedEdges, "src", "dst")
         .agg(sum(col("n_tri")), count(lit(1)))
         .collect()(0).getLong(1)
     }
+    // graph-iteration phases (round 6): BFS + k-core over the SAME
+    // skewed hashed graph. Per-round exchanges carry (id, long) pairs
+    // only; the 1k hot hubs are reached in round 1 and their huge
+    // in-degree must not serialize the next frontier expansion (the
+    // frontier is id-distinct before the edge join).
+    timed(s"bfs levels (1-in-4096 seeds, maxHops=3, ${8 * total} edges)") {
+      val seeds = docs.select(col("doc_id").as("id"))
+        .filter(pmod(col("doc_id"), lit(4096L)) === 0)
+      graft.operators.Graph.bfsLevels(hashedEdges, seeds, "src", "dst", "id",
+        maxHops = 3).count()
+    }
+    timed("k-core peel (k=8, 4 rounds)")(
+      graft.operators.Graph.kCorePeel(hashedEdges, "src", "dst",
+        k = 8, rounds = 4).count())
 
     // vector path at factor× scale: replicate embeddings with
     // deterministic per-replica jitter (vec_id-seeded hash noise) so
@@ -235,6 +249,12 @@ object ScaleStress {
     // scale with scan+shuffle, not with state
     timed(s"streaming t-digest quantiles (q167 shape, $factor x events)")(
       graft.streaming.EventStreams.streamingQuantilesBatchDriven(spark, evPath).count())
+    // Misra-Gries in the state store at ×N: 150k users/window at 100×
+    // EXCEEDS the 32768 capacity — deliberately: state must stay
+    // capacity-bounded (the sketch regime) while event volume scales,
+    // which is exactly the bounded-memory contract of the aggregate
+    timed(s"streaming heavy hitters (q175 shape, $factor x events)")(
+      graft.streaming.EventStreams.streamingHeavyHittersBatchDriven(spark, evPath).count())
     // PCA covariance pass at ×N vectors: one scan, d(d+1)/2 longs per
     // task — driver work is constant
     timed(s"pca top component (${nVec} vectors)")(

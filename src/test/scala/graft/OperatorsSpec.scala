@@ -126,6 +126,28 @@ class OperatorsSpec extends SparkSpec {
     assert(multi === Map(3L -> 0, 9L -> 0, 4L -> 1, 10L -> 1, 5L -> 2))
   }
 
+  test("labelPropagation: two cliques with one bridge resolve to two communities") {
+    // K4 on {1..4} and K4 on {11..14}, bridged by 4-11. Labels start
+    // as own ids; round 1 pulls each clique toward its min id, round 2
+    // consolidates. The bridge must not merge the cliques.
+    def k4(base: Long) = for {
+      i <- 0L to 3L; j <- 0L to 3L if i < j
+    } yield (base + i, base + j)
+    val und = (k4(1L) ++ k4(11L) :+ (4L, 11L))
+    val edges = (und ++ und.map(_.swap)).toDF("s", "d")
+    val got = Graph.labelPropagation(edges, "s", "d", rounds = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.keySet === Set(1L, 2L, 3L, 4L, 11L, 12L, 13L, 14L))
+    // each clique unanimous; communities distinct
+    val c1 = Set(1L, 2L, 3L, 4L).map(got)
+    val c2 = Set(11L, 12L, 13L, 14L).map(got)
+    assert(c1.size === 1 && c2.size === 1 && c1 != c2)
+    // deterministic: same input, same labels on a different layout
+    val again = Graph.labelPropagation(edges.repartition(7), "s", "d", rounds = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(again === got)
+  }
+
   test("kCorePeel: iterated peel matches hand-peel; fixpoint on a clique+tail") {
     // K4 (nodes 1-4) with a pendant path 4-5-6: the 2-core is exactly
     // K4 ∪ {nothing of the path} — peeling removes 6 (deg 1), then 5.
