@@ -430,6 +430,88 @@ object Similarity {
     }
   }
 
+  /** IVF-PQ approximate top-k — the [[ivfTopK]] coarse quantizer
+    * composed with [[pqTopK]]'s compressed-scan ADC scoring: the
+    * production large-corpus ANN shape (FAISS's IVFADC family, Jégou
+    * et al. 2011). The coarse quantizer prunes the scan to
+    * `nProbe`/`numCells` of the corpus via a CELL EQUI-JOIN (where
+    * pure PQ broadcasts every query against every code row), and PQ
+    * codes shrink what that scan reads ~42× — the two levers multiply.
+    *
+    * Simplification vs classic IVFADC, documented deliberately: codes
+    * quantize the RAW unit vector, not the residual x − centroid(cell)
+    * (residual encoding needs a per-row centroid subtract against a
+    * runtime-selected codebook row — a when-chain over numCells in
+    * plan space; the recall delta at these scales is inside the
+    * rerank's correction band, see q179's measured floors).
+    *
+    * Scale shape: encode is map-only (argmax kernels over plan-literal
+    * models); queries broadcast with their per-subspace LUTs attached
+    * per probed cell; the candidate code table NEVER shuffles; ADC is
+    * a codegen'd element_at chain; the optional `rerank` shortlist
+    * fetches full vectors by id-equi-join only (the q163 IVFADC+R
+    * recipe).
+    */
+  def ivfPqTopK(queries: DataFrame, candidates: DataFrame,
+                idQ: String, idC: String, vecQ: String, vecC: String,
+                k: Int, numCells: Int = 16, nProbe: Int = 4,
+                m: Int = 8, ksub: Int = 16, dim: Int = 64,
+                iters: Int = 2, rerank: Int = 0,
+                centroids: Option[Array[Array[Double]]] = None,
+                codebooks: Option[Array[Array[Array[Double]]]] = None): DataFrame = {
+    val subDim = dim / m
+    require(m * subDim == dim, s"dim $dim must split into $m equal subspaces")
+    val cents = centroids.getOrElse(
+      trainCentroids(candidates, vecC, numCells, iters, dim))
+    val books = codebooks.getOrElse(
+      pqTrainCodebooks(candidates, vecC, m, ksub, dim, iters))
+    val augBooks = books.map(_.map(c => c :+ (-0.5 * c.map(x => x * x).sum)))
+    import graft.functions.VectorFunctions.{vec_mat_argmax, vec_mat_dots}
+    val cv = candidates.select(col(idC).as("cand_id"), normalized(col(vecC)).as("cv"))
+    val coded = (0 until m).foldLeft(
+        cv.withColumn("cell", vec_mat_argmax(col("cv"), cents))) {
+        (df, j) => df.withColumn(s"code_$j",
+          vec_mat_argmax(
+            concat(slice(col("cv"), j * subDim + 1, subDim), array(lit(1.0))),
+            augBooks(j)))
+      }.drop("cv")
+    val qv = queries.select(col(idQ).as("query_id"), normalized(col(vecQ)).as("qv"))
+    val probes = qv
+      .select(col("query_id"), col("qv"),
+        posexplode(vec_mat_dots(col("qv"), cents)).as(Seq("cell", "s")))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("query_id")).orderBy(desc("s"), asc("cell"))))
+      .filter(col("rk") <= lit(nProbe))
+      .select(col("query_id"), col("qv"), col("cell"))
+    val tabs = (0 until m).foldLeft(probes) {
+        (df, j) => df.withColumn(s"t_$j",
+          vec_mat_dots(slice(col("qv"), j * subDim + 1, subDim), books(j)))
+      }.drop("qv")
+    val adc = (0 until m).map(j =>
+      element_at(col(s"t_$j"), col(s"code_$j") + 1)).reduce(_ + _)
+    // the IVF lever: an EQUI-join on cell — only probed cells' code
+    // rows are scored (q163's pure-PQ path scores the whole corpus)
+    val scored = coded.join(broadcast(tabs), Seq("cell"))
+      .filter(col("query_id") =!= col("cand_id"))
+      .select(col("query_id"), col("cand_id"), adc.as("adc"))
+    val w = Window.partitionBy(col("query_id")).orderBy(desc("adc"), asc("cand_id"))
+    if (rerank <= k) {
+      scored.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= lit(k))
+    } else {
+      val shortlist = scored.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= lit(rerank))
+        .select(col("query_id"), col("cand_id"))
+      val exactScored = shortlist
+        .join(cv, Seq("cand_id"))
+        .join(broadcast(qv), Seq("query_id"))
+        .select(col("query_id"), col("cand_id"), dotD(col("qv"), col("cv")).as("cosine"))
+      val w2 = Window.partitionBy(col("query_id")).orderBy(desc("cosine"), asc("cand_id"))
+      exactScored.withColumn("rank", row_number().over(w2))
+        .filter(col("rank") <= lit(k))
+    }
+  }
+
   /** Top principal component by distributed covariance + driver-side
     * power iteration — the embedding-space analytics primitive behind
     * whitening, drift detection, and spectral filtering.

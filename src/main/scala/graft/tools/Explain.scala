@@ -77,7 +77,9 @@ object Explain {
       "q173_equiheight_bins" -> "decile fences from ONE percentile aggregate (value→count map, not a global sort), broadcast back as a 1-row frame; bin assignment is 9 codegen'd comparisons in the project (no HOF lambda) feeding a partial-agged integer aggregate",
       "q174_mad_outliers" -> "two percentile passes over cents integers with 5-row broadcast joins back; the k·MAD test is the all-integer 2·dev2 > k·mad4 comparison — map-only verdicts, one partial-agged count, no sqrt/division anywhere",
       "q175_stream_heavy_hitters" -> "batch-driven runner: the plan below is the distributed-sink READ-BACK tail — the streaming plan is the mergeable Misra-Gries ObjectHashAggregate (capacity-bounded state per open window) inside StateStoreRestore/Save with watermark eviction; exact-regime parity evidence in StreamingSpec",
-      "q176_oov_coverage" -> "one token explode feeds BOTH the vocab top-N (TakeOrdered over partial-agged counts) and the per-doc aggregate; the 16-row vocab joins BROADCAST left-outer — no data-sized shuffle carries text, and the OOV rate is one integral division in the project")
+      "q176_oov_coverage" -> "one token explode feeds BOTH the vocab top-N (TakeOrdered over partial-agged counts) and the per-doc aggregate; the 16-row vocab joins BROADCAST left-outer — no data-sized shuffle carries text, and the OOV rate is one integral division in the project",
+      "q177_label_prop" -> "per round: one edges⋈labels hash join, a partial-agged (dst, label) count, and a window whose fan-in is bounded by vertex degree — exchanges carry long pairs/triples only; lineage truncated between rounds (plan shown is the final round over checkpointed inputs)",
+      "q178_cusum_changepoint" -> "the ONLY data-sized stage is the (type, hour) count aggregate; every window (cumsum, totals, argmax rank) runs over the metadata-sized hourly frame partitioned by type — no global sort, all-int64 deviation arithmetic in the project")
 
     val sb = new StringBuilder
     sb.append("# EXPLAINS — physical plans of representative queries\n\n")

@@ -411,6 +411,36 @@ class OperatorsSpec extends SparkSpec {
       assert(rows.map(_._3).toSeq.sorted === (1 to 10)) }
   }
 
+  test("IVF-PQ top-k: cell-pruned ADC+rerank recalls exact neighbors; deterministic") {
+    import graft.operators.Similarity
+    val dir = "/root/testdata/sf0.001"
+    val e = spark.read.parquet(s"$dir/embeddings.parquet")
+    val q = e.filter(pmod(col("vec_id"), lit(50)) === 0)
+    def run() = Similarity.ivfPqTopK(q, e, "vec_id", "vec_id",
+        "embedding", "embedding", k = 10, numCells = 8, nProbe = 4,
+        m = 8, ksub = 16, dim = 64, iters = 2, rerank = 50)
+      .select("query_id", "cand_id", "rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).sortBy(x => (x._1, x._3))
+    val r1 = run()
+    assert(r1 === run()) // both trained models are fixed-point deterministic
+    val exact = Similarity.bruteForceTopK(q, e, "vec_id", "vec_id",
+        "embedding", "embedding", 10)
+      .select("query_id", "cand_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val hits = r1.count(x => exact.contains((x._1, x._2)))
+    assert(hits >= (exact.size * 0.4).toInt,
+      s"IVF-PQ recall ${hits.toDouble / exact.size} below 0.4 at sf0.001 (half the cells probed)")
+    // the IVF lever actually prunes: results ⊂ probed cells — a
+    // candidate outside the query's probe list can never be returned
+    val cents = Similarity.trainCentroids(e, "embedding", 8, 2, 64)
+    val cells = Similarity.assignCells(e, "vec_id", "embedding", cents)
+      .select("id", "cell").collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    r1.foreach { case (_, cid, _) => assert(cells.contains(cid)) }
+    val usedCells = r1.groupBy(_._1).map { case (qid, rows) =>
+      rows.map(r => cells(r._2)).toSet.size }
+    assert(usedCells.forall(_ <= 4), "a query returned candidates from more cells than nProbe")
+  }
+
   test("vec_jl_project rejects shapes whose hash intermediates would overflow int64") {
     import graft.functions.VectorFunctions.vec_jl_project
     // k beyond the bound fails at construction, loudly
