@@ -79,7 +79,9 @@ object Explain {
       "q175_stream_heavy_hitters" -> "batch-driven runner: the plan below is the distributed-sink READ-BACK tail — the streaming plan is the mergeable Misra-Gries ObjectHashAggregate (capacity-bounded state per open window) inside StateStoreRestore/Save with watermark eviction; exact-regime parity evidence in StreamingSpec",
       "q176_oov_coverage" -> "one token explode feeds BOTH the vocab top-N (TakeOrdered over partial-agged counts) and the per-doc aggregate; the 16-row vocab joins BROADCAST left-outer — no data-sized shuffle carries text, and the OOV rate is one integral division in the project",
       "q177_label_prop" -> "per round: one edges⋈labels hash join, a partial-agged (dst, label) count, and a window whose fan-in is bounded by vertex degree — exchanges carry long pairs/triples only; lineage truncated between rounds (plan shown is the final round over checkpointed inputs)",
-      "q178_cusum_changepoint" -> "the ONLY data-sized stage is the (type, hour) count aggregate; every window (cumsum, totals, argmax rank) runs over the metadata-sized hourly frame partitioned by type — no global sort, all-int64 deviation arithmetic in the project")
+      "q178_cusum_changepoint" -> "the ONLY data-sized stage is the (type, hour) count aggregate; every window (cumsum, totals, argmax rank) runs over the metadata-sized hourly frame partitioned by type — no global sort, all-int64 deviation arithmetic in the project",
+      "q179_ivfpq_ann" -> "IVF-PQ: candidate encode is map-only (cell argmax + 8 code argmaxes over plan-literal models); the ADC scan is an EQUI-join on cell against the broadcast probe/LUT table — only probed cells' code rows are scored, where q163's pure PQ broadcasts against the whole corpus; full vectors touch only the rerank shortlist via id-equi-join",
+      "q180_cluster_split" -> "CC rounds shuffle (id, long) pairs only (lineage-truncated); the split is ONE map-side hash expression over the cluster id after a single left join — leakage safety costs the cluster join and nothing else")
 
     val sb = new StringBuilder
     sb.append("# EXPLAINS — physical plans of representative queries\n\n")
