@@ -100,6 +100,27 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           case other => throw new IllegalArgumentException(
             s"quantile must be a numeric literal, got $other")
         }).toAggregateExpression()))
+    e.injectFunction((
+      new FunctionIdentifier("tdigest_agg"),
+      new ExpressionInfo(classOf[TDigestAgg].getName, "tdigest_agg"),
+      (children: Seq[Expression]) => TDigestAgg(children(0),
+        intLit(children(1), "compression")).toAggregateExpression()))
+    e.injectFunction((
+      new FunctionIdentifier("tdigest_merge_quantiles"),
+      new ExpressionInfo(classOf[TDigestMergeQuantiles].getName, "tdigest_merge_quantiles"),
+      (children: Seq[Expression]) => TDigestMergeQuantiles(children(0),
+        intLit(children(1), "compression"),
+        children.drop(2).map {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v, _) =>
+            v match {
+              case d: org.apache.spark.sql.types.Decimal => d.toDouble
+              case n: java.lang.Number => n.doubleValue()
+              case other => throw new IllegalArgumentException(
+                s"quantile must be a numeric literal, got $other")
+            }
+          case other => throw new IllegalArgumentException(
+            s"quantile must be a numeric literal, got $other")
+        }).toAggregateExpression()))
     // post-pushdown lint: similarity measures must not be the sole join
     // condition (see SimilarityJoinGuard)
     e.injectOptimizerRule(session => SimilarityJoinGuard(session))

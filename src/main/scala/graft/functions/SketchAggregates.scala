@@ -724,6 +724,34 @@ final class TDigestBuf(val compression: Int) {
     val f = math.min(1.0, (target - cLast) / math.max(total - cLast, 1e-300))
     math.max(min, math.min(max, means(used - 1) + f * (max - means(used - 1))))
   }
+
+  /** Compressed wire form (shared by every t-digest aggregate so
+    * sketch TABLES built by one aggregate deserialize in another). */
+  def toBytes: Array[Byte] = {
+    compress()
+    val bb = java.nio.ByteBuffer.allocate(8 * 3 + 4 + 16 * used)
+    bb.putDouble(total); bb.putDouble(min); bb.putDouble(max)
+    bb.putInt(used)
+    var i = 0
+    while (i < used) { bb.putDouble(means(i)); bb.putDouble(weights(i)); i += 1 }
+    bb.array()
+  }
+}
+
+object TDigestBuf {
+  def fromBytes(compression: Int, bytes: Array[Byte]): TDigestBuf = {
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+    val s = new TDigestBuf(compression)
+    val total = bb.getDouble(); val mn = bb.getDouble(); val mx = bb.getDouble()
+    val n = bb.getInt()
+    var i = 0
+    while (i < n) {
+      val m = bb.getDouble(); val w = bb.getDouble()
+      s.means(i) = m; s.weights(i) = w; i += 1
+    }
+    s.used = n; s.sortedPrefix = n; s.total = total; s.min = mn; s.max = mx
+    s
+  }
 }
 
 /** `tdigest_quantiles(x, compression, qs)` — native mergeable quantile
@@ -777,37 +805,124 @@ case class TDigestQuantiles(child: Expression, compression: Int,
       new GenericInternalRow(Array[Any](q, buffer.quantile(q)))
     }.toArray[Any])
 
-  override def serialize(buffer: TDigestBuf): Array[Byte] = {
-    buffer.compress()
-    val bb = java.nio.ByteBuffer.allocate(8 * 3 + 4 + 16 * buffer.used)
-    bb.putDouble(buffer.total); bb.putDouble(buffer.min); bb.putDouble(buffer.max)
-    bb.putInt(buffer.used)
-    var i = 0
-    while (i < buffer.used) {
-      bb.putDouble(buffer.means(i)); bb.putDouble(buffer.weights(i)); i += 1
-    }
-    bb.array()
-  }
+  override def serialize(buffer: TDigestBuf): Array[Byte] = buffer.toBytes
 
-  override def deserialize(bytes: Array[Byte]): TDigestBuf = {
-    val bb = java.nio.ByteBuffer.wrap(bytes)
-    val s = new TDigestBuf(compression)
-    val total = bb.getDouble(); val mn = bb.getDouble(); val mx = bb.getDouble()
-    val n = bb.getInt()
-    var i = 0
-    while (i < n) {
-      val m = bb.getDouble(); val w = bb.getDouble()
-      s.means(i) = m; s.weights(i) = w; i += 1
-    }
-    s.used = n; s.sortedPrefix = n; s.total = total; s.min = mn; s.max = mx
-    s
-  }
+  override def deserialize(bytes: Array[Byte]): TDigestBuf =
+    TDigestBuf.fromBytes(compression, bytes)
 
   override def withNewMutableAggBufferOffset(newOffset: Int): TDigestQuantiles =
     copy(mutableAggBufferOffset = newOffset)
   override def withNewInputAggBufferOffset(newOffset: Int): TDigestQuantiles =
     copy(inputAggBufferOffset = newOffset)
   override def prettyName: String = "tdigest_quantiles"
+}
+
+/** `tdigest_agg(x, compression)` — build a t-digest and emit it as
+  * BINARY: the sketch-TABLE builder (q110's HLL-table pattern for the
+  * rank/quantile family). Per-snapshot digests persist as ordinary
+  * columns and later merge LOSSLESSLY-IN-SKETCH-SPACE via
+  * [[TDigestMergeQuantiles]] — incremental quantile monitoring
+  * without rescanning history. ~3 KB per group at δ=100.
+  */
+case class TDigestAgg(child: Expression, compression: Int,
+    mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[TDigestBuf] {
+
+  require(compression >= 10, s"compression ($compression) too small")
+
+  override def children: Seq[Expression] = child :: Nil
+  override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): Expression =
+    copy(child = c.head)
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case DoubleType | FloatType | LongType | IntegerType =>
+      TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"tdigest_agg requires a numeric column, got ${t.sql}")
+  }
+
+  override def nullable: Boolean = false
+  override def dataType: DataType = BinaryType
+
+  override def createAggregationBuffer(): TDigestBuf = new TDigestBuf(compression)
+
+  override def update(buffer: TDigestBuf, input: InternalRow): TDigestBuf = {
+    val v = child.eval(input)
+    if (v != null) buffer.add(v.asInstanceOf[Number].doubleValue(), 1.0)
+    buffer
+  }
+
+  override def merge(buffer: TDigestBuf, other: TDigestBuf): TDigestBuf = {
+    buffer.mergeIn(other); buffer
+  }
+
+  override def eval(buffer: TDigestBuf): Any = buffer.toBytes
+
+  override def serialize(buffer: TDigestBuf): Array[Byte] = buffer.toBytes
+  override def deserialize(bytes: Array[Byte]): TDigestBuf =
+    TDigestBuf.fromBytes(compression, bytes)
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): TDigestAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): TDigestAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override def prettyName: String = "tdigest_agg"
+}
+
+/** `tdigest_merge_quantiles(sketch, compression, qs)` — union-merge a
+  * column of serialized t-digests ([[TDigestAgg]] output) and evaluate
+  * quantiles of the COMBINED distribution: the quantile twin of
+  * `hll_union_agg` (q110). Only sketch bytes cross the shuffle; the
+  * underlying value streams are never revisited.
+  */
+case class TDigestMergeQuantiles(child: Expression, compression: Int,
+    qs: Seq[Double],
+    mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[TDigestBuf] {
+
+  require(compression >= 10, s"compression ($compression) too small")
+  require(qs.nonEmpty && qs.forall(q => q >= 0.0 && q <= 1.0))
+
+  override def children: Seq[Expression] = child :: Nil
+  override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): Expression =
+    copy(child = c.head)
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"tdigest_merge_quantiles requires a binary sketch column, got ${t.sql}")
+  }
+
+  override def nullable: Boolean = false
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("q", DoubleType, nullable = false),
+    StructField("est", DoubleType, nullable = false))), containsNull = false)
+
+  override def createAggregationBuffer(): TDigestBuf = new TDigestBuf(compression)
+
+  override def update(buffer: TDigestBuf, input: InternalRow): TDigestBuf = {
+    val v = child.eval(input)
+    if (v != null)
+      buffer.mergeIn(TDigestBuf.fromBytes(compression, v.asInstanceOf[Array[Byte]]))
+    buffer
+  }
+
+  override def merge(buffer: TDigestBuf, other: TDigestBuf): TDigestBuf = {
+    buffer.mergeIn(other); buffer
+  }
+
+  override def eval(buffer: TDigestBuf): Any =
+    new GenericArrayData(qs.map { q =>
+      new GenericInternalRow(Array[Any](q, buffer.quantile(q)))
+    }.toArray[Any])
+
+  override def serialize(buffer: TDigestBuf): Array[Byte] = buffer.toBytes
+  override def deserialize(bytes: Array[Byte]): TDigestBuf =
+    TDigestBuf.fromBytes(compression, bytes)
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): TDigestMergeQuantiles =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): TDigestMergeQuantiles =
+    copy(inputAggBufferOffset = newOffset)
+  override def prettyName: String = "tdigest_merge_quantiles"
 }
 
 object SketchFunctions {
@@ -833,4 +948,12 @@ object SketchFunctions {
 
   def tdigest_quantiles(x: Column, compression: Int, qs: Seq[Double]): Column =
     column(TDigestQuantiles(expression(x), compression, qs).toAggregateExpression())
+
+  def tdigest_agg(x: Column, compression: Int): Column =
+    column(TDigestAgg(expression(x), compression).toAggregateExpression())
+
+  def tdigest_merge_quantiles(sketch: Column, compression: Int,
+                              qs: Seq[Double]): Column =
+    column(TDigestMergeQuantiles(expression(sketch), compression, qs)
+      .toAggregateExpression())
 }

@@ -922,7 +922,56 @@ object Stats {
       |FROM d JOIN md USING (o_orderpriority)
       |GROUP BY d.o_orderpriority ORDER BY d.o_orderpriority""".stripMargin
 
+  // -------------------------------------------------------------------
+  // q181: t-digest sketch-TABLE union — quantile ALGEBRA across
+  // snapshots, the rank/quantile twin of q110's HLL table: each
+  // snapshot (event_id mod 4) persists one ~3 KB digest per event
+  // type (`tdigest_agg` → BINARY), and p50/p90/p99 of the COMBINED
+  // distribution come from merging sketches alone
+  // (`tdigest_merge_quantiles`) — adding a snapshot's stats never
+  // rescans history, and only sketch bytes cross the union shuffle.
+  // Oracle: q166's rank-bracket containment over the full events
+  // table (the merged estimate must rank within max(3, 2%·n) of q·n)
+  // + 3×|types| completeness + sentinel. The digest-union error is
+  // the same micro-batch merge path q166/q167 already exercise.
+  // -------------------------------------------------------------------
+  def q181TdigestUnion(spark: SparkSession, dir: String): DataFrame =
+    graft.sources.Events.ev(spark, dir)
+      .select(col("event_type"), pmod(col("event_id"), lit(4)).as("snapshot"),
+        col("value"))
+      .groupBy(col("event_type"), col("snapshot"))
+      .agg(graft.functions.SketchFunctions
+        .tdigest_agg(col("value"), 100).as("sk")) // the persisted sketch table
+      .groupBy(col("event_type"))
+      .agg(graft.functions.SketchFunctions
+        .tdigest_merge_quantiles(col("sk"), 100, Seq(0.5, 0.9, 0.99)).as("qs"))
+      .select(col("event_type"), explode(col("qs")).as("e"))
+      .select(col("event_type"), col("e.q").as("q"), col("e.est").as("est"))
+      .orderBy(asc("event_type"), asc("q"))
+  val q181Sql: String =
+    """WITH e AS (
+      |  SELECT event_type, q, est
+      |  FROM read_parquet('__GRAFT_OUT__/q181_tdigest_union/*.parquet')
+      |), g AS (
+      |  SELECT event_type, COUNT(*) AS n FROM events GROUP BY 1
+      |), r AS (
+      |  SELECT e.event_type, e.q, e.est,
+      |    SUM(CASE WHEN x.value < e.est THEN 1 ELSE 0 END) AS below,
+      |    SUM(CASE WHEN x.value <= e.est THEN 1 ELSE 0 END) AS beloweq
+      |  FROM e JOIN events x ON x.event_type = e.event_type
+      |  GROUP BY 1, 2, 3
+      |)
+      |SELECT r.event_type, r.q, r.est
+      |FROM r JOIN g ON g.event_type = r.event_type
+      |WHERE r.below <= r.q * g.n + GREATEST(3, 0.02 * g.n)
+      |  AND r.beloweq >= r.q * g.n - GREATEST(3, 0.02 * g.n)
+      |  AND (SELECT COUNT(*) FROM e) = 3 * (SELECT COUNT(*) FROM g)
+      |UNION ALL SELECT '~', -1.0, -1.0 WHERE (SELECT COUNT(*)
+      |  FROM read_parquet('__GRAFT_OUT__/q181_tdigest_union/*.parquet')) = 0
+      |ORDER BY event_type, q""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q181_tdigest_union" -> (q181TdigestUnion _),
     "q174_mad_outliers" -> (q174MadOutliers _),
     "q173_equiheight_bins" -> (q173EquiHeightBins _),
     "q166_tdigest_quantiles" -> (q166TdigestQuantiles _),
@@ -943,6 +992,7 @@ object Stats {
     "q106_histogram" -> (q106Histogram _))
 
   val oracle: Map[String, String] = Map(
+    "q181_tdigest_union" -> q181Sql,
     "q174_mad_outliers" -> q174Sql,
     "q173_equiheight_bins" -> q173Sql,
     "q166_tdigest_quantiles" -> q166Sql,

@@ -212,6 +212,40 @@ class SketchSpec extends SparkSpec {
     }
   }
 
+  test("tdigest sketch TABLES: union of per-snapshot digests brackets the combined distribution") {
+    import graft.functions.SketchFunctions.{tdigest_agg, tdigest_merge_quantiles}
+    val xs = (0 until 40000).map(i => ((i * 2654435761L) % 99991L).toDouble)
+    val sorted = xs.toArray.sorted
+    // 4 snapshots with DIFFERENT distributions per snapshot slice —
+    // the union must track the combined ranks, not any single slice
+    val df = xs.zipWithIndex.map { case (x, i) => (i % 4, x) }.toDF("snap", "x")
+    val table = df.groupBy(col("snap")).agg(tdigest_agg(col("x"), 100).as("sk"))
+    assert(table.count() === 4) // one ~3 KB binary per snapshot
+    val rows = table
+      .agg(tdigest_merge_quantiles(col("sk"), 100, Seq(0.1, 0.5, 0.9)).as("t"))
+      .select(explode(col("t")).as("e"))
+      .select(col("e.q"), col("e.est"))
+      .collect().map(r => (r.getDouble(0), r.getDouble(1)))
+    rows.foreach { case (q, est) =>
+      val (below, belowEq) = rankBracket(sorted, est)
+      val tol = math.max(3.0, 0.01 * xs.length)
+      assert(below <= q * xs.length + tol, s"q=$q below=$below")
+      assert(belowEq >= q * xs.length - tol, s"q=$q belowEq=$belowEq")
+    }
+    // sketch-space round trip: the table path and the direct aggregate
+    // see the same centroid stream per snapshot, so the union's total
+    // weight is exact
+    val direct = df.agg(tdigest_quantiles(col("x"), 100, Seq(0.5)).as("t"))
+      .select(explode(col("t")).as("e")).select(col("e.est"))
+      .collect()(0).getDouble(0)
+    val merged = rows.toMap.apply(0.5)
+    // both are rank-valid estimates of the same median; they need not
+    // be bit-identical (merge order differs) but must agree to ~1% rank
+    val (b1, _) = rankBracket(sorted, direct)
+    val (b2, _) = rankBracket(sorted, merged)
+    assert(math.abs(b1 - b2) <= 0.02 * xs.length)
+  }
+
   test("tdigest: extreme quantiles clamp to observed min/max") {
     val xs = Seq(5.0, 1.0, 9.0, 3.0, 7.0)
     val rows = xs.toDF("x")
