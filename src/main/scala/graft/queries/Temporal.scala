@@ -252,7 +252,54 @@ object Temporal {
       .orderBy(asc("event_id"))
   }
 
+  // -------------------------------------------------------------------
+  // q182: exponential time-decay weighted aggregates — the
+  // recency-weighting primitive (decayed popularity for data mixing,
+  // freshness-weighted stats) in EXACT fixed-point: per-week halving,
+  // weight = 1e6 div 2^age_weeks (ppm resolution; age ≥ 20 weeks →
+  // weight 0 by integer underflow, the documented horizon). Anchor =
+  // the global max event time, broadcast as a 1-row frame; the weight
+  // is one codegen'd shift+div per row, the decayed value product is
+  // cleared back to int64 per row ((v6·w) div 1e6 ≤ 5.6e8), and both
+  // sums are plain partial-agged long adds — bit-replayable, no
+  // float exp() anywhere. Scale: one scan, map-only weights, one
+  // aggregate.
+  // -------------------------------------------------------------------
+  def q182DecayedAgg(spark: SparkSession, dir: String): DataFrame = {
+    val base = graft.sources.Events.ev(spark, dir)
+      .select(col("event_type"), unix_micros(col("ts")).as("us"),
+        (col("value").cast(org.apache.spark.sql.types.DecimalType(18, 6)) * 1000000)
+          .cast("long").as("v6"))
+    val anchor = base.agg(max(col("us")).as("max_us"))
+    base.crossJoin(broadcast(anchor))
+      .withColumn("age", expr("(max_us - us) div 604800000000L"))
+      .withColumn("w_ppm", expr("1000000L div shiftleft(1L, cast(least(age, 62L) as int))"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("w_ppm")).as("decayed_n_ppm"),
+        sum(expr("(v6 * w_ppm) div 1000000L")).as("decayed_v6"))
+      .orderBy(asc("event_type"))
+  }
+  val q182Sql: String =
+    """WITH b AS (
+      |  SELECT event_type, EPOCH_US(CAST(ts AS TIMESTAMP)) AS us,
+      |    CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS v6
+      |  FROM events
+      |), a AS (SELECT MAX(us) AS max_us FROM b),
+      |w AS (
+      |  SELECT event_type, v6,
+      |    CAST(1000000 AS BIGINT)
+      |      // (CAST(1 AS BIGINT) << CAST(LEAST((max_us - us) // 604800000000, 62) AS INT))
+      |      AS w_ppm
+      |  FROM b CROSS JOIN a
+      |)
+      |SELECT event_type, COUNT(*) AS n,
+      |  CAST(SUM(w_ppm) AS BIGINT) AS decayed_n_ppm,
+      |  CAST(SUM((v6 * w_ppm) // 1000000) AS BIGINT) AS decayed_v6
+      |FROM w GROUP BY event_type ORDER BY event_type""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q182_decayed_agg" -> (q182DecayedAgg _),
     "q168_asof_native" -> (q168AsofNative _),
     "q169_asof_native_forward" -> (q169AsofNativeForward _),
     "q40_asof_join" -> (q40AsofJoin _),
@@ -262,6 +309,7 @@ object Temporal {
     "q146_interval_overlap" -> (q146IntervalOverlap _))
 
   val oracle: Map[String, String] = Map(
+    "q182_decayed_agg" -> q182Sql,
     "q168_asof_native" -> q40Sql, // identical output contract by design
     "q169_asof_native_forward" -> q135Sql, // ditto, forward direction
     "q40_asof_join" -> q40Sql,
