@@ -214,6 +214,27 @@ object Wire {
             requireWireCols(newSnap, Seq(keyCol, payCol), "SnapshotDiff")
             GraftFrame(graft.operators.Dedup
               .snapshotDiff(frame.df, newSnap.df, keyCol, payCol))
+          case "ConnectedComponents" =>
+            // {"ConnectedComponents": [srcCol, dstCol]} → (id, cluster)
+            // min-label components of THIS frame's pair rows —
+            // composes with MinhashPairs for the full remote dedup
+            // flow (pairs → clusters) without shipping pairs back
+            val (s, d) = (v.get(0).asText(), v.get(1).asText())
+            requireWireCols(frame, Seq(s, d), "ConnectedComponents")
+            GraftFrame(graft.operators.Dedup
+              .connectedComponents(frame.df, s, d))
+          case "RrfFuse" =>
+            // {"RrfFuse": [<lineage of second rank list>, idCol,
+            // rankCol, k0, topK]} → reciprocal-rank fusion of THIS
+            // frame's (id, rank) list with the replayed one — the
+            // hybrid-retrieval combiner (q172) over the wire
+            val other = replay(spark, v.get(0))
+            val (idCol, rankCol) = (v.get(1).asText(), v.get(2).asText())
+            requireWireCols(frame, Seq(idCol, rankCol), "RrfFuse")
+            requireWireCols(other, Seq(idCol, rankCol), "RrfFuse")
+            GraftFrame(graft.operators.Curation.rrfFuse(
+              Seq(frame.df, other.df), idCol, rankCol,
+              k0 = v.get(3).asInt(), topK = v.get(4).asInt()))
           case o => throw new GraftException(s"operation: unknown op $o")
         }
     }

@@ -236,6 +236,17 @@ class Df:
         return self._op(
             {'SnapshotDiff': [new_snapshot.dataframe, key_col, payload_col]})
 
+    def connected_components(self, src_col, dst_col):
+        """(id, cluster) min-label components of this frame's pair rows;
+        composes with minhash_pairs for remote end-to-end dedup."""
+        return self._op({'ConnectedComponents': [src_col, dst_col]})
+
+    def rrf_fuse(self, other, id_col, rank_col, k0=60, top_k=20):
+        """Reciprocal-rank fusion of this (id, rank) list with another
+        Df's: (id, rrf_fx, n_lists), fixed-point exact."""
+        return self._op(
+            {'RrfFuse': [other.dataframe, id_col, rank_col, k0, top_k]})
+
     def collect(self):
         return Df.call(self.dataframe, {'Action': 'Collect'}, self.uri).values
 

@@ -174,6 +174,32 @@ def run_checks():
     diff = corpus.snapshot_diff(v2, 'id', 'text').order_by(['key']).collect()
     assert diff['key'] == {'Int': [2, 3, 5]}, diff
     assert diff['change'] == {'String': ['removed', 'changed', 'added']}, diff
+
+    # --- round-6 verbs: pairs -> clusters, and RRF fusion ---
+    # remote END-TO-END dedup: minhash pairs feed connected components
+    # on the server — pair rows never come back to the client
+    clusters = reps.minhash_pairs('id', 'text', 0.5) \
+                   .connected_components('id_a', 'id_b') \
+                   .order_by(['id']).collect()
+    assert clusters['id'] == {'Int': [1, 3]}, clusters
+    assert clusters['cluster'] == {'Int': [1, 1]}, clusters
+    # RRF fusion of two (id, rank) lists built on the wire: doc 2 is
+    # rank 2 in BOTH lists and must beat the two single-list rank-1 docs
+    with tempfile.NamedTemporaryFile('w', suffix='.csv', delete=False) as f:
+        f.write('10|1\n20|2\n30|3\n')
+        ra_path = f.name
+    with tempfile.NamedTemporaryFile('w', suffix='.csv', delete=False) as f:
+        f.write('40|1\n20|2\n30|4\n')
+        rb_path = f.name
+    rank_schema = Schema([('id', Type.INT), ('rank', Type.INT)])
+    ra = Df.from_csv(ra_path, rank_schema, uri=client.URI)
+    rb = Df.from_csv(rb_path, rank_schema, uri=client.URI)
+    fused = ra.rrf_fuse(rb, 'id', 'rank', k0=60, top_k=10).collect()
+    assert fused['id']['Int'][0] == 20, fused
+    assert fused['n_lists']['Int'][0] == 2, fused
+    assert fused['rrf_fx']['Int'][0] == 2 * (10**12 // 62), fused
+    os.unlink(ra_path)
+    os.unlink(rb_path)
     os.unlink(v2_path)
     os.unlink(dup_path)
 
