@@ -81,7 +81,9 @@ object Explain {
       "q177_label_prop" -> "per round: one edges⋈labels hash join, a partial-agged (dst, label) count, and a window whose fan-in is bounded by vertex degree — exchanges carry long pairs/triples only; lineage truncated between rounds (plan shown is the final round over checkpointed inputs)",
       "q178_cusum_changepoint" -> "the ONLY data-sized stage is the (type, hour) count aggregate; every window (cumsum, totals, argmax rank) runs over the metadata-sized hourly frame partitioned by type — no global sort, all-int64 deviation arithmetic in the project",
       "q179_ivfpq_ann" -> "IVF-PQ: candidate encode is map-only (cell argmax + 8 code argmaxes over plan-literal models); the ADC scan is an EQUI-join on cell against the broadcast probe/LUT table — only probed cells' code rows are scored, where q163's pure PQ broadcasts against the whole corpus; full vectors touch only the rerank shortlist via id-equi-join",
-      "q180_cluster_split" -> "CC rounds shuffle (id, long) pairs only (lineage-truncated); the split is ONE map-side hash expression over the cluster id after a single left join — leakage safety costs the cluster join and nothing else")
+      "q180_cluster_split" -> "CC rounds shuffle (id, long) pairs only (lineage-truncated); the split is ONE map-side hash expression over the cluster id after a single left join — leakage safety costs the cluster join and nothing else",
+      "q181_tdigest_union" -> "two-level sketch aggregation (the q110 HLL-table shape for quantiles): per-snapshot tdigest_agg partials merge map-side into ~3 KB binaries; the union aggregate sees ONLY sketch bytes — the value stream is touched once, and adding a snapshot never rescans history",
+      "q182_decayed_agg" -> "one scan + map-only weights: the decay is a codegen'd shift+div against the broadcast 1-row anchor (BroadcastNestedLoopJoin of a scalar — the legitimate attach-a-scalar pattern), products cleared to int64 per row, one partial-agged aggregate")
 
     val sb = new StringBuilder
     sb.append("# EXPLAINS — physical plans of representative queries\n\n")
