@@ -333,7 +333,8 @@ object Similarity {
     * m × ksub × (dim/m) doubles — at the default 8×16×8 that is a 4 KB
     * model, trivially shipped to every executor as plan literals. */
   def pqTrainCodebooks(data: DataFrame, vecCol: String, m: Int, ksub: Int,
-                       dim: Int, iters: Int): Array[Array[Array[Double]]] = {
+                       dim: Int, iters: Int,
+                       preNormalized: Boolean = false): Array[Array[Array[Double]]] = {
     val subDim = dim / m
     require(m * subDim == dim, s"dim $dim must split into $m equal subspaces")
     // the m subspace trainings are INDEPENDENT tiny jobs (each
@@ -346,9 +347,14 @@ object Similarity {
     import scala.concurrent.{Await, Future}
     import scala.concurrent.duration.Duration
     import scala.concurrent.ExecutionContext.Implicits.global
+    // `preNormalized` = the caller already produced the vector space to
+    // quantize (e.g. IVFADC residuals, which must NOT be re-normalized
+    // — a residual's norm IS its information)
+    val vexpr = if (preNormalized) col(vecCol).cast("array<double>")
+                else normalized(col(vecCol))
     val trained = (0 until m).map { j =>
       Future(euclideanCentroids(
-        data.select(slice(normalized(col(vecCol)), j * subDim + 1, subDim).as("v")),
+        data.select(slice(vexpr, j * subDim + 1, subDim).as("v")),
         "v", ksub, iters, subDim))
     }
     trained.map(Await.result(_, Duration.Inf)).toArray
@@ -438,12 +444,17 @@ object Similarity {
     * pure PQ broadcasts every query against every code row), and PQ
     * codes shrink what that scan reads ~42× — the two levers multiply.
     *
-    * Simplification vs classic IVFADC, documented deliberately: codes
-    * quantize the RAW unit vector, not the residual x − centroid(cell)
-    * (residual encoding needs a per-row centroid subtract against a
-    * runtime-selected codebook row — a when-chain over numCells in
-    * plan space; the recall delta at these scales is inside the
-    * rerank's correction band, see q179's measured floors).
+    * `residual = true` is CLASSIC IVFADC: codes quantize the residual
+    * x − centroid(cell) — residuals are smaller and better-centered
+    * than raw vectors, so the same code budget spends its resolution
+    * where the cell didn't already explain the vector, and the ADC
+    * score becomes q·c_cell (already computed by the probe step) +
+    * Σ_j t_j[code_j]. The per-row centroid subtract is one zip_with
+    * against a plan-literal centroid table selected by cell id —
+    * interpreted HOF, but map-only ONCE per vector at encode (the
+    * q119 quantization precedent), never per pair. `residual = false`
+    * keeps the raw-vector simplification (q179's original gate shape;
+    * measured ~0.66 recall vs ~0.75+ residual at sf0.1).
     *
     * Scale shape: encode is map-only (argmax kernels over plan-literal
     * models); queries broadcast with their per-subspace LUTs attached
@@ -457,24 +468,45 @@ object Similarity {
                 k: Int, numCells: Int = 16, nProbe: Int = 4,
                 m: Int = 8, ksub: Int = 16, dim: Int = 64,
                 iters: Int = 2, rerank: Int = 0,
+                residual: Boolean = false,
                 centroids: Option[Array[Array[Double]]] = None,
                 codebooks: Option[Array[Array[Array[Double]]]] = None): DataFrame = {
     val subDim = dim / m
     require(m * subDim == dim, s"dim $dim must split into $m equal subspaces")
     val cents = centroids.getOrElse(
       trainCentroids(candidates, vecC, numCells, iters, dim))
-    val books = codebooks.getOrElse(
-      pqTrainCodebooks(candidates, vecC, m, ksub, dim, iters))
-    val augBooks = books.map(_.map(c => c :+ (-0.5 * c.map(x => x * x).sum)))
     import graft.functions.VectorFunctions.{vec_mat_argmax, vec_mat_dots}
     val cv = candidates.select(col(idC).as("cand_id"), normalized(col(vecC)).as("cv"))
-    val coded = (0 until m).foldLeft(
-        cv.withColumn("cell", vec_mat_argmax(col("cv"), cents))) {
+    val centsLit = array(cents.map(c => array(c.map(lit(_)): _*)): _*)
+    // "ev" = the encoded space: raw unit vector, or the cell residual
+    val withCell = cv.withColumn("cell", vec_mat_argmax(col("cv"), cents))
+    val encBase =
+      if (residual)
+        withCell.withColumn("ev",
+          zip_with(col("cv"), element_at(centsLit, col("cell") + 1),
+            (a, b) => a - b))
+      else withCell.withColumn("ev", col("cv"))
+    val books = codebooks.getOrElse {
+      if (residual) {
+        // MATERIALIZE the residual frame before the 8 concurrent
+        // subspace trainings: zip_with's interpreted lambda carries a
+        // mutable NamedLambdaVariable, and concurrent evaluation of
+        // the SHARED plan measured NON-DETERMINISTIC codebooks
+        // (DetProbe: sequential per-subspace training deterministic,
+        // concurrent-over-shared-lambda not). localCheckpoint also
+        // stops 8 × iters jobs each re-deriving the residuals.
+        val resid = encBase.select(col("ev")).localCheckpoint(true)
+        pqTrainCodebooks(resid, "ev", m, ksub, dim, iters,
+          preNormalized = true)
+      } else pqTrainCodebooks(candidates, vecC, m, ksub, dim, iters)
+    }
+    val augBooks = books.map(_.map(c => c :+ (-0.5 * c.map(x => x * x).sum)))
+    val coded = (0 until m).foldLeft(encBase) {
         (df, j) => df.withColumn(s"code_$j",
           vec_mat_argmax(
-            concat(slice(col("cv"), j * subDim + 1, subDim), array(lit(1.0))),
+            concat(slice(col("ev"), j * subDim + 1, subDim), array(lit(1.0))),
             augBooks(j)))
-      }.drop("cv")
+      }.drop("cv", "ev")
     val qv = queries.select(col(idQ).as("query_id"), normalized(col(vecQ)).as("qv"))
     val probes = qv
       .select(col("query_id"), col("qv"),
@@ -482,13 +514,16 @@ object Similarity {
       .withColumn("rk", row_number().over(
         Window.partitionBy(col("query_id")).orderBy(desc("s"), asc("cell"))))
       .filter(col("rk") <= lit(nProbe))
-      .select(col("query_id"), col("qv"), col("cell"))
+      .select(col("query_id"), col("qv"), col("cell"), col("s"))
     val tabs = (0 until m).foldLeft(probes) {
         (df, j) => df.withColumn(s"t_$j",
           vec_mat_dots(slice(col("qv"), j * subDim + 1, subDim), books(j)))
       }.drop("qv")
-    val adc = (0 until m).map(j =>
+    // residual ADC: q·x = q·c_cell + q·r — the probe score "s" IS the
+    // first term, already computed once per (query, cell)
+    val adcSum = (0 until m).map(j =>
       element_at(col(s"t_$j"), col(s"code_$j") + 1)).reduce(_ + _)
+    val adc = if (residual) col("s") + adcSum else adcSum
     // the IVF lever: an EQUI-join on cell — only probed cells' code
     // rows are scored (q163's pure-PQ path scores the whole corpus)
     val scored = coded.join(broadcast(tabs), Seq("cell"))

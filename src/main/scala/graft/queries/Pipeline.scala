@@ -574,7 +574,14 @@ object Pipeline {
   // 0.98/0.79 on the same corpus: probing half the cells costs ~0.13
   // recall because 64-d synthetic embeddings cluster weakly; at real
   // corpus scales the probe ratio is 1-5%, which is where the
-  // scan-cut×compression product pays.
+  // scan-cut×compression product pays. DECISION RECORD: classic
+  // residual encoding (ivfPqTopK residual=true) MEASURED WORSE here
+  // (0.67/0.55) — on weakly-clustered unit vectors x·c ≈ 0.3, so
+  // ‖x − c‖² ≈ 1.4 > 1 = ‖x‖²: residuals are BIGGER than the raw
+  // vectors and the code budget buys less. The gate keeps raw-vector
+  // codes; residual=true stays the library path for corpora whose
+  // cells actually explain their members (re-measure before
+  // flipping — PERF.md lesson).
   // -------------------------------------------------------------------
   def q179IvfPqAnn(spark: SparkSession, dir: String): DataFrame = {
     val e = emb(spark, dir)

@@ -441,6 +441,40 @@ class OperatorsSpec extends SparkSpec {
     assert(usedCells.forall(_ <= 4), "a query returned candidates from more cells than nProbe")
   }
 
+  test("IVF-PQ residual encoding (classic IVFADC) on well-clustered data: deterministic, recalls neighbors") {
+    import graft.operators.Similarity
+    // 4 tight clusters around distinct coordinate directions: cells
+    // explain their members, so residuals are SMALL — the regime where
+    // residual codes beat raw codes (the synthetic-corpus gate q179
+    // measured the opposite regime and keeps raw codes; see its
+    // decision record)
+    val rows = (0 until 800).map { i =>
+      val c = i % 4
+      val v = Array.fill(64)(0.0f)
+      v(c * 16) = 1.0f
+      // deterministic small jitter, unique per vector
+      v((i * 7) % 64) += 0.05f + (i % 11) * 0.003f
+      v((i * 13) % 64) += 0.04f
+      (i.toLong, v)
+    }
+    val df = rows.toDF("vec_id", "embedding")
+    val q = df.filter(col("vec_id") % 80 === 0)
+    def run() = Similarity.ivfPqTopK(q, df, "vec_id", "vec_id",
+        "embedding", "embedding", k = 5, numCells = 4, nProbe = 2,
+        m = 8, ksub = 16, dim = 64, iters = 2, rerank = 25, residual = true)
+      .select("query_id", "cand_id", "rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).sortBy(x => (x._1, x._3))
+    val r1 = run()
+    assert(r1 === run()) // deterministic incl. residual codebook training
+    val exact = Similarity.bruteForceTopK(q, df, "vec_id", "vec_id",
+        "embedding", "embedding", 5)
+      .select("query_id", "cand_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val hits = r1.count(x => exact.contains((x._1, x._2)))
+    assert(hits >= (exact.size * 0.6).toInt,
+      s"residual IVF-PQ recall ${hits.toDouble / exact.size} below 0.6 on clustered data")
+  }
+
   test("vec_jl_project rejects shapes whose hash intermediates would overflow int64") {
     import graft.functions.VectorFunctions.vec_jl_project
     // k beyond the bound fails at construction, loudly
