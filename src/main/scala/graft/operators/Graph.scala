@@ -153,6 +153,56 @@ object Graph {
       .groupBy(col("id")).agg(count(lit(1)).as("n_tri"))
   }
 
+  /** WEIGHTED fixed-iteration PageRank — [[pageRankFixed]] with rank
+    * mass split by edge weight instead of out-degree:
+    *   r_k+1(v) = base + (85 · Σ_{(u,v,w)} (r_k(u)·w) div W_u) div 100
+    * where W_u = Σ outgoing weights of u. Still EXACT int64 integral
+    * arithmetic end-to-end (bit-identical across engines and
+    * partitionings), so an oracle unrolls the identical rounds.
+    * Caller bound: max(r)·max(w) must fit int64 — r ≤ ~scale (1e9
+    * default), so weights up to ~10^9 are safe; pre-scale weights
+    * down if larger (only RATIOS within one source matter).
+    * Duplicate (src, dst) edges are weight-summed first. Same
+    * per-round shapes and truncation contract as [[pageRankFixed]].
+    */
+  def pageRankWeightedFixed(edges: DataFrame, srcCol: String, dstCol: String,
+                            weightCol: String, iters: Int = 3,
+                            scale: Long = 1000000000L,
+                            checkpointDir: Option[String] = None,
+                            checkpointInterval: Int = 5): DataFrame = {
+    val cut: DataFrame => DataFrame = checkpointDir match {
+      case Some(d) =>
+        edges.sparkSession.sparkContext.setCheckpointDir(d)
+        df => df.checkpoint(eager = true)
+      case None => df => df.localCheckpoint(true)
+    }
+    val e = cut(edges
+      .select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"),
+        col(weightCol).cast("long").as("w"))
+      .groupBy(col("src"), col("dst")).agg(sum(col("w")).as("w"))
+      .filter(col("w") > 0))
+    val nodes = cut(e.select(col("src").as("id"))
+      .union(e.select(col("dst").as("id"))).distinct())
+    val n = nodes.count()
+    require(n > 0, "empty graph")
+    val wsum = e.groupBy(col("src")).agg(sum(col("w")).as("wsum"))
+    val base = 15L * scale / (100L * n)
+    var ranks = nodes.select(col("id"), lit(scale / n).as("r"))
+    for (k <- 1 to iters) {
+      val contrib = e
+        .join(ranks.select(col("id").as("src"), col("r")), "src")
+        .join(wsum, "src")
+        .select(col("dst").as("id"), expr("(r * w) div wsum").as("c"))
+        .groupBy(col("id")).agg(sum(col("c")).as("cs"))
+      val next = nodes
+        .join(contrib, Seq("id"), "left_outer")
+        .select(col("id"),
+          (lit(base) + expr(s"(85 * coalesce(cs, 0L)) div 100")).as("r"))
+      ranks = if (k % checkpointInterval == 0 && k < iters) cut(next) else next
+    }
+    ranks.select(col("id"), col("r").as("rank_fx"))
+  }
+
   /** Multi-source BFS: minimum hop distance from a seed set, level-
     * synchronous frontier expansion (the Pregel iteration pattern).
     *

@@ -1076,6 +1076,79 @@ object Pipeline {
       |FROM r GROUP BY id ORDER BY id""".stripMargin
 
   // -------------------------------------------------------------------
+  // q184: WEIGHTED fixed-point PageRank — q123's trade graph with rank
+  // mass split by TRADE VALUE (extendedprice cents per cust↔supp pair)
+  // instead of edge count: the value-weighted-centrality variant every
+  // entity-importance pipeline actually wants (who routes the money,
+  // not who has the most counterparties). Same exact-int64 replay
+  // contract: (r·w) div W_u per edge, 3 unrolled rounds in the oracle,
+  // bit-for-bit. Weights ≤ ~2e7 cents at sf0.1 vs the r·w < 2^63
+  // bound (r ≤ 1e9) — 9 orders of headroom.
+  // -------------------------------------------------------------------
+  def q184WeightedPagerank(spark: SparkSession, dir: String): DataFrame = {
+    val d2 = org.apache.spark.sql.types.DecimalType(12, 2)
+    val o = spark.read.parquet(s"$dir/orders.parquet")
+      .select(col("o_orderkey"), col("o_custkey"))
+    val l = spark.read.parquet(s"$dir/lineitem.parquet")
+      .select(col("l_orderkey"), col("l_suppkey"),
+        (col("l_extendedprice").cast(d2) * 100).cast("long").as("cents"))
+    val fwd = o.join(l, col("o_orderkey") === col("l_orderkey"))
+      .select((col("o_custkey") * 2).as("src"),
+        (col("l_suppkey") * 2 + 1).as("dst"), col("cents"))
+    val edges = fwd.union(fwd.select(col("dst").as("src"),
+      col("src").as("dst"), col("cents")))
+    Graph.pageRankWeightedFixed(edges, "src", "dst", "cents", iters = 3)
+      .orderBy(asc("id"))
+  }
+  val q184Sql: String =
+    """WITH fwd AS (
+      |  SELECT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst,
+      |    CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT))
+      |      AS BIGINT) AS w
+      |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+      |  GROUP BY 1, 2
+      |), e AS (
+      |  SELECT src, dst, w FROM fwd
+      |  UNION ALL SELECT dst, src, w FROM fwd
+      |), nodes AS (
+      |  SELECT DISTINCT src AS id FROM e UNION SELECT DISTINCT dst FROM e
+      |), ws AS (
+      |  SELECT src, CAST(SUM(w) AS BIGINT) AS wsum FROM e GROUP BY src
+      |), params AS (
+      |  SELECT COUNT(*) AS n, CAST(1000000000 AS BIGINT) // COUNT(*) AS r_init,
+      |    (CAST(15 AS BIGINT) * CAST(1000000000 AS BIGINT))
+      |      // (CAST(100 AS BIGINT) * COUNT(*)) AS base
+      |  FROM nodes
+      |), r0 AS (
+      |  SELECT id, (SELECT r_init FROM params) AS r FROM nodes
+      |), r1 AS (
+      |  SELECT n.id, (SELECT base FROM params)
+      |    + (85 * COALESCE(SUM((r0.r * e.w) // ws.wsum), 0)) // 100 AS r
+      |  FROM nodes n
+      |  LEFT JOIN e ON e.dst = n.id
+      |  LEFT JOIN r0 ON r0.id = e.src
+      |  LEFT JOIN ws ON ws.src = e.src
+      |  GROUP BY n.id
+      |), r2 AS (
+      |  SELECT n.id, (SELECT base FROM params)
+      |    + (85 * COALESCE(SUM((r1.r * e.w) // ws.wsum), 0)) // 100 AS r
+      |  FROM nodes n
+      |  LEFT JOIN e ON e.dst = n.id
+      |  LEFT JOIN r1 ON r1.id = e.src
+      |  LEFT JOIN ws ON ws.src = e.src
+      |  GROUP BY n.id
+      |), r3 AS (
+      |  SELECT n.id, (SELECT base FROM params)
+      |    + (85 * COALESCE(SUM((r2.r * e.w) // ws.wsum), 0)) // 100 AS r
+      |  FROM nodes n
+      |  LEFT JOIN e ON e.dst = n.id
+      |  LEFT JOIN r2 ON r2.id = e.src
+      |  LEFT JOIN ws ON ws.src = e.src
+      |  GROUP BY n.id
+      |)
+      |SELECT id, CAST(r AS BIGINT) AS rank_fx FROM r3 ORDER BY id""".stripMargin
+
+  // -------------------------------------------------------------------
   // q177: label-propagation community detection (2 synchronous rounds,
   // deterministic smallest-label tie-break) over the trade graph —
   // the community-structure member of the graph family (PageRank =
@@ -1488,6 +1561,83 @@ object Pipeline {
       |       WHEN $h % 100 < 90 THEN 'val'
       |       ELSE 'test' END AS split
       |FROM cl ORDER BY doc_id""".stripMargin
+  }
+
+  // -------------------------------------------------------------------
+  // q183: split-leakage AUDIT — the measurement that PROVES q180's
+  // guarantee: for each split mode, count near-dup pairs whose two
+  // members landed in different splits. Per-doc hash split (q59's
+  // mode) leaks by construction (asserted NON-ZERO at both scales —
+  // the audit is non-vacuous); cluster-id split (q180's mode) must
+  // leak EXACTLY ZERO — CC puts every pair in one cluster, and the
+  // split is a function of the cluster id. Both counts replay in the
+  // oracle from the same recursive closure + portable hash. Scale:
+  // pair-sized joins against two map-only split expressions.
+  // -------------------------------------------------------------------
+  def q183LeakageAudit(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.{Curation => C}
+    val pairs = boundedExactPairs(spark, dir)
+    val clusters = Dedup.connectedComponents(pairs, "id_a", "id_b")
+      .select(col("id").as("doc_id"), col("cluster"))
+    val splits = docs(spark, dir).select(col("doc_id"))
+      .join(clusters, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"),
+        C.splitAssign(col("doc_id"), 42L, 80, 10).as("per_doc"),
+        C.splitAssign(coalesce(col("cluster"), col("doc_id")), 42L, 80, 10)
+          .as("per_cluster"))
+    val joined = pairs
+      .join(splits.select(col("doc_id").as("id_a"),
+        col("per_doc").as("pd_a"), col("per_cluster").as("pc_a")), "id_a")
+      .join(splits.select(col("doc_id").as("id_b"),
+        col("per_doc").as("pd_b"), col("per_cluster").as("pc_b")), "id_b")
+    joined.agg(
+      count(lit(1)).as("n_pairs"),
+      sum(when(col("pd_a") =!= col("pd_b"), 1L).otherwise(0L))
+        .as("leaks_per_doc"),
+      sum(when(col("pc_a") =!= col("pc_b"), 1L).otherwise(0L))
+        .as("leaks_per_cluster"))
+  }
+  val q183Sql: String = {
+    val hDoc = graft.operators.Curation.portableHashSql("doc_id", 42L)
+    val hCl = graft.operators.Curation.portableHashSql("cluster", 42L)
+    s"""WITH RECURSIVE sh AS (
+      |  SELECT doc_id, list_distinct(list_transform(
+      |    range(1, GREATEST(LEN(toks) - 2, 1) + 1),
+      |    i -> array_to_string(toks[i:i+2], ' '))) AS s
+      |  FROM (SELECT doc_id, string_split_regex(TRIM(text), '\\s+') AS toks
+      |        FROM documents WHERE doc_id < 300)
+      |), pairs AS (
+      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      |  WHERE CAST(LEN(list_intersect(a.s, b.s)) AS DOUBLE)
+      |      / (LEN(a.s) + LEN(b.s) - LEN(list_intersect(a.s, b.s))) >= 0.05
+      |), edges AS (
+      |  SELECT id_a AS src, id_b AS dst FROM pairs
+      |  UNION SELECT id_b, id_a FROM pairs
+      |), reach AS (
+      |  SELECT src AS id, src AS r FROM edges
+      |  UNION
+      |  SELECT e.src AS id, r.r FROM edges e JOIN reach r ON e.dst = r.id
+      |), cl AS (
+      |  SELECT d.doc_id,
+      |    COALESCE((SELECT MIN(r) FROM reach WHERE reach.id = d.doc_id),
+      |      d.doc_id) AS cluster
+      |  FROM documents d
+      |), sp AS (
+      |  SELECT doc_id,
+      |    CASE WHEN $hDoc % 100 < 80 THEN 'train'
+      |         WHEN $hDoc % 100 < 90 THEN 'val' ELSE 'test' END AS per_doc,
+      |    CASE WHEN $hCl % 100 < 80 THEN 'train'
+      |         WHEN $hCl % 100 < 90 THEN 'val' ELSE 'test' END AS per_cluster
+      |  FROM cl
+      |)
+      |SELECT COUNT(*) AS n_pairs,
+      |  CAST(SUM(CASE WHEN a.per_doc <> b.per_doc THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS leaks_per_doc,
+      |  CAST(SUM(CASE WHEN a.per_cluster <> b.per_cluster THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS leaks_per_cluster
+      |FROM pairs p JOIN sp a ON a.doc_id = p.id_a
+      |JOIN sp b ON b.doc_id = p.id_b""".stripMargin
   }
 
   // -------------------------------------------------------------------
@@ -2122,6 +2272,8 @@ object Pipeline {
     "q163_pq_ann" -> (q163PqAnn _),
     "q179_ivfpq_ann" -> (q179IvfPqAnn _),
     "q180_cluster_split" -> (q180ClusterSplit _),
+    "q183_leakage_audit" -> (q183LeakageAudit _),
+    "q184_weighted_pagerank" -> (q184WeightedPagerank _),
     "q164_allpairs_exact" -> (q164AllpairsExact _),
     "q165_pca_power" -> (q165PcaPower _),
     "q167_stream_quantiles" -> (q167StreamQuantiles _))
@@ -2149,6 +2301,8 @@ object Pipeline {
     // before changing ANN params
     "q179_ivfpq_ann" -> annOracle("q179_ivfpq_ann", 0.52),
     "q180_cluster_split" -> q180Sql,
+    "q183_leakage_audit" -> q183Sql,
+    "q184_weighted_pagerank" -> q184Sql,
     "q164_allpairs_exact" -> q164Sql,
     "q165_pca_power" -> q165Sql,
     "q167_stream_quantiles" -> q167Sql,

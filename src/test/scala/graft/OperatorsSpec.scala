@@ -86,6 +86,37 @@ class OperatorsSpec extends SparkSpec {
     assert(again === got)
   }
 
+  test("pageRankWeightedFixed matches a hand-rolled reference; uniform weights = unweighted") {
+    val edges = Seq((1L, 2L, 10L), (2L, 1L, 30L), (2L, 3L, 10L), (3L, 1L, 5L))
+      .toDF("s", "d", "w")
+    val got = Graph.pageRankWeightedFixed(edges, "s", "d", "w", iters = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // identical integral arithmetic in plain Scala
+    val scale = 1000000000L
+    val nodes = Seq(1L, 2L, 3L)
+    val out = Map(1L -> Seq((2L, 10L)), 2L -> Seq((1L, 30L), (3L, 10L)),
+      3L -> Seq((1L, 5L)))
+    val wsum = out.map { case (u, es) => u -> es.map(_._2).sum }
+    val base = 15L * scale / (100L * nodes.size)
+    var r = nodes.map(_ -> scale / nodes.size).toMap
+    for (_ <- 0 until 3) {
+      val contrib = scala.collection.mutable.Map[Long, Long]().withDefaultValue(0L)
+      for ((u, es) <- out; (v, w) <- es) contrib(v) += r(u) * w / wsum(u)
+      r = nodes.map(v => v -> (base + 85L * contrib(v) / 100L)).toMap
+    }
+    assert(got === r)
+    // 2→1 (weight 30) must outrank 2→3 (weight 10)'s recipient boost:
+    // node 1 receives 3/4 of node 2's mass
+    assert(got(1L) > got(3L))
+    // uniform weights reduce to the unweighted fixed-point ranks
+    val uw = Graph.pageRankWeightedFixed(
+        edges.withColumn("w", lit(7L)), "s", "d", "w", iters = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val plain = Graph.pageRankFixed(edges.select(col("s"), col("d")), "s", "d", iters = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(uw === plain)
+  }
+
   test("triangleCounts on known graphs: K4, K4+pendant, path") {
     // K4: every vertex is in C(3,2)=3 triangles; 4 triangles total.
     val k4 = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L))
