@@ -83,7 +83,8 @@ object Explain {
       "q179_ivfpq_ann" -> "IVF-PQ: candidate encode is map-only (cell argmax + 8 code argmaxes over plan-literal models); the ADC scan is an EQUI-join on cell against the broadcast probe/LUT table — only probed cells' code rows are scored, where q163's pure PQ broadcasts against the whole corpus; full vectors touch only the rerank shortlist via id-equi-join",
       "q180_cluster_split" -> "CC rounds shuffle (id, long) pairs only (lineage-truncated); the split is ONE map-side hash expression over the cluster id after a single left join — leakage safety costs the cluster join and nothing else",
       "q181_tdigest_union" -> "two-level sketch aggregation (the q110 HLL-table shape for quantiles): per-snapshot tdigest_agg partials merge map-side into ~3 KB binaries; the union aggregate sees ONLY sketch bytes — the value stream is touched once, and adding a snapshot never rescans history",
-      "q182_decayed_agg" -> "one scan + map-only weights: the decay is a codegen'd shift+div against the broadcast 1-row anchor (BroadcastNestedLoopJoin of a scalar — the legitimate attach-a-scalar pattern), products cleared to int64 per row, one partial-agged aggregate")
+      "q182_decayed_agg" -> "one scan + map-only weights: the decay is a codegen'd shift+div against the broadcast 1-row anchor (BroadcastNestedLoopJoin of a scalar — the legitimate attach-a-scalar pattern), products cleared to int64 per row, one partial-agged aggregate",
+      "q184_weighted_pagerank" -> "q123's per-round shape with (id, long, long) weight triples: edges⋈ranks⋈wsum hash joins + partial-agged groupBy(dst) — integral (r·w) div W_u end-to-end, lineage truncated per interval; the weight aggregation collapses duplicate edges before the first round")
 
     val sb = new StringBuilder
     sb.append("# EXPLAINS — physical plans of representative queries\n\n")
