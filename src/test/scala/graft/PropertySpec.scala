@@ -212,4 +212,52 @@ class PropertySpec extends Properties("graft") {
       }
       sumOk && shareOk
     }
+
+  // random directed graphs: ≤12 nodes, ≤30 edges
+  private val graphGen: Gen[List[(Long, Long)]] =
+    Gen.listOfN(30, Gen.zip(Gen.chooseNum(0L, 11L), Gen.chooseNum(0L, 11L)))
+      .map(_.filter { case (a, b) => a != b })
+
+  property("bfsLevels equals a naive in-memory BFS on random graphs") =
+    Prop.forAll(graphGen, Gen.chooseNum(0L, 11L)) { (edges, seed) =>
+      edges.isEmpty || {
+        val got = graft.operators.Graph
+          .bfsLevels(edges.toDF("s", "d"), Seq(seed).toDF("v"), "s", "d", "v",
+            maxHops = 15)
+          .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+        // reference: queue BFS over the adjacency map
+        val adj = edges.groupBy(_._1).map { case (k, es) => k -> es.map(_._2) }
+        val dist = scala.collection.mutable.Map(seed -> 0)
+        var frontier = List(seed)
+        var k = 0
+        while (frontier.nonEmpty) {
+          k += 1
+          frontier = frontier.flatMap(u => adj.getOrElse(u, Nil))
+            .distinct.filterNot(dist.contains)
+          frontier.foreach(v => dist(v) = k)
+        }
+        got == dist.toMap
+      }
+    }
+
+  property("kCorePeel round-4 equals a naive synchronous peel") =
+    Prop.forAll(graphGen, Gen.chooseNum(1, 4)) { (edges, kk) =>
+      edges.isEmpty || {
+        val got = graft.operators.Graph
+          .kCorePeel(edges.toDF("s", "d"), "s", "d", k = kk, rounds = 4)
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        // reference peel over the canonical undirected edge set
+        val und = edges.map { case (a, b) => (a min b, a max b) }.distinct
+        var alive = und.flatMap(e => Seq(e._1, e._2)).toSet
+        var deg = Map.empty[Long, Long]
+        for (_ <- 1 to 4) {
+          val live = und.filter(e => alive(e._1) && alive(e._2))
+          deg = live.flatMap(e => Seq(e._1, e._2)).groupBy(identity)
+            .map { case (v, xs) => v -> xs.size.toLong }
+            .filter(_._2 >= kk)
+          alive = deg.keySet
+        }
+        got == deg
+      }
+    }
 }
