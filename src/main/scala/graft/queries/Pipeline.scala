@@ -1415,6 +1415,34 @@ object Pipeline {
       |ORDER BY w_start, n DESC, user_key""".stripMargin
 
   // -------------------------------------------------------------------
+  // q185: STREAMING DISTINCT COUNT — the KMV bottom-k sketch inside a
+  // watermarked append-mode window aggregate (distinct users per
+  // closed 7-day window), completing the streaming sketch trilogy
+  // (q167 quantiles, q175 heavy hitters). k=4096 vs 150/1,500 users
+  // per window = EXACT regime: the sketch holds every distinct
+  // md5-60-bit hash, so |sketch| IS the distinct count and the oracle
+  // recomputes the identical hash-distinct per closed window (same
+  // closure horizon as q167/q175) — bit-for-bit, no tolerance.
+  // -------------------------------------------------------------------
+  def q185StreamDistinct(spark: SparkSession, dir: String): DataFrame =
+    graft.streaming.EventStreams.streamingDistinctBatchDriven(spark, dir)
+  val q185Sql: String =
+    """WITH ev AS (
+      |  SELECT make_timestamp((EPOCH_US(CAST(ts AS TIMESTAMP)) // 604800000000)
+      |           * 604800000000) AS w_start,
+      |    CAST(('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 15))
+      |      AS BIGINT) AS h
+      |  FROM events
+      |), closed AS (
+      |  SELECT DISTINCT w_start FROM ev
+      |  WHERE EPOCH_US(w_start) + 604800000000 <=
+      |    (SELECT MAX(EPOCH_US(CAST(ts AS TIMESTAMP))) - 7200000000 FROM events)
+      |)
+      |SELECT w_start, COUNT(DISTINCT h) AS n_users
+      |FROM ev WHERE w_start IN (SELECT w_start FROM closed)
+      |GROUP BY w_start ORDER BY w_start""".stripMargin
+
+  // -------------------------------------------------------------------
   // q81: BPE-ish tokenization — the regex pre-tokenizer count next to
   // the whitespace count (word runs and punctuation runs split apart,
   // the shape a subword tokenizer's pre-tokenization pass produces).
@@ -2242,6 +2270,7 @@ object Pipeline {
     "q177_label_prop" -> (q177LabelProp _),
     "q172_rrf_hybrid" -> (q172RrfHybrid _),
     "q175_stream_heavy_hitters" -> (q175StreamHeavyHitters _),
+    "q185_stream_distinct" -> (q185StreamDistinct _),
     "q129_bm25" -> (q129Bm25 _),
     "q132_boolean_search" -> (q132BooleanSearch _),
     "q102_stream_sliding" -> (q102StreamSliding _),
@@ -2323,6 +2352,7 @@ object Pipeline {
     "q177_label_prop" -> q177Sql,
     "q172_rrf_hybrid" -> q172Sql,
     "q175_stream_heavy_hitters" -> q175Sql,
+    "q185_stream_distinct" -> q185Sql,
     "q129_bm25" -> q129Sql,
     "q132_boolean_search" -> q132Sql,
     "q102_stream_sliding" -> Scalars.q44Sql, // identical output to the batch sliding window

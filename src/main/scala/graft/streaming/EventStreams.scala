@@ -229,6 +229,42 @@ object EventStreams {
       .select(col("w_start"), col("e.key").as("user_key"), col("e.cnt").as("n"))
       .orderBy(asc("w_start"), desc("n"), asc("user_key"))
 
+  /** Streaming DISTINCT COUNT — the mergeable KMV bottom-k sketch
+    * ([[graft.functions.KmvAgg]]) inside a watermarked append-mode
+    * window aggregate: distinct users per 7-day window. Completes the
+    * streaming sketch trilogy (t-digest quantiles, Misra-Gries heavy
+    * hitters, KMV distinct): an unbounded stream cannot hold a
+    * per-window user set, but the sketch keeps ≤ k 8-byte hashes of
+    * state per open window and merges associatively across
+    * micro-batches.
+    *
+    * k = 4096 vs 150 / 1,500 distinct users per window = the EXACT
+    * regime at both gate scales (the sketch retains EVERY distinct
+    * hash, so |sketch| IS the distinct count), and the hash is the
+    * portable md5-60-bit both engines recompute — the oracle counts
+    * the identical distinct hashes per closed window, bit-for-bit.
+    * Beyond k the estimate degrades gracefully to the (k−1)/θ
+    * estimator (SketchSpec's regime). APPEND mode: one emission per
+    * closed window, distributed parquet drain.
+    */
+  def streamingDistinctBatchDriven(spark: SparkSession, dir: String): DataFrame = {
+    val h = conv(substring(md5(col("user_id").cast("string").cast("binary")), 1, 15),
+      16, 10).cast("long")
+    appendSinkDrain(
+      readEventStream(streamSession(spark), dir)
+        .withWatermark("ts", "2 hours")
+        .select(col("ts"), h.as("h"))
+        .groupBy(window(col("ts"), "7 days"))
+        .agg(graft.functions.SketchFunctions.kmv_agg(col("h"), 4096).as("sk"))
+        .select(col("window.start").as("w_start"),
+          size(col("sk")).cast("long").as("n_users")),
+      "graft_stream_distinct",
+      StructType(Seq(
+        StructField("w_start", TimestampType),
+        StructField("n_users", LongType))))
+      .orderBy(asc("w_start"))
+  }
+
   /** Streaming SESSION windows (30-min gap) — gap-based sessionization
     * run on the real streaming engine: session state per user grows and
     * MERGES as events arrive (adjacent sessions closer than the gap

@@ -455,6 +455,32 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("streaming KMV distinct: exact per closed window, tail held back") {
+    val out = graft.streaming.EventStreams
+      .streamingDistinctBatchDriven(spark, sf)
+      .collect()
+      .map(r => (r.getTimestamp(0).toInstant.toEpochMilli * 1000L, r.getLong(1)))
+      .toMap
+    assert(out.nonEmpty)
+    val week = 604800000000L
+    val ev = graft.sources.Events.ev(spark, sf)
+      .select(unix_micros(col("ts")).as("us"), col("user_id"))
+    val horizon = ev.agg(max(col("us"))).collect()(0).getLong(0) - 7200000000L
+    val rows = ev.select((col("us") - pmod(col("us"), lit(week))).as("ws"),
+        col("user_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val byWindow = rows.groupBy(_._1)
+    val closed = byWindow.keySet.filter(ws => ws + week <= horizon)
+    assert(closed.size < byWindow.size, "hold-back vacuous: all windows closed")
+    assert(out.keySet === closed)
+    // exact regime: distinct users per window well below k=4096
+    closed.foreach { ws =>
+      val exact = byWindow(ws).map(_._2).distinct.length.toLong
+      assert(exact < 4096, s"fixture outgrew the exact regime: $exact users")
+      assert(out(ws) === exact, s"window $ws")
+    }
+  }
+
   test("streaming heavy hitters: exact top-10 per closed window, tail held back") {
     val out = graft.streaming.EventStreams
       .streamingHeavyHittersBatchDriven(spark, sf)
