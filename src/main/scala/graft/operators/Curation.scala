@@ -384,6 +384,34 @@ object Curation {
       .filter(col("rk") <= k)
   }
 
+  /** Deterministic STRIDE-SCHEDULED mixture interleave — the trainer
+    * data-loader order: source s emits its i-th item at virtual time
+    * i/w_s (Waldspurger & Weihl's stride scheduling), so ANY prefix of
+    * the schedule holds each source in ≈ w_s/W proportion with O(1)
+    * per-source error — deterministic curriculum mixing without a
+    * random number stream. Key is exact int64 (i·W·1e6 div w_s), the
+    * per-source arrival order is the portable-hash shuffle (q59/q63's
+    * determinism contract), and ties break on (source, id): the whole
+    * schedule replays bit-for-bit cross-engine.
+    *
+    * Scale shape: one per-source window (hash-ordered row_number), a
+    * 1-row broadcast of ΣW, one map-only key expression. The total
+    * ORDER over the key is the schedule itself — consumed as a sorted
+    * scan (the distributed range sort), exactly like [[orderShuffle]].
+    */
+  def strideSchedule(df: DataFrame, idCol: String, sourceCol: String,
+                     weightCol: Column, seed: Long = 42L): DataFrame = {
+    val w = Window.partitionBy(col(sourceCol))
+      .orderBy(portableHash(col(idCol), seed), col(idCol))
+    val d = df.select(col(idCol), col(sourceCol), weightCol.cast("long").as("wt"))
+    val wTot = d.select(col(sourceCol), col("wt")).distinct()
+      .agg(sum(col("wt")).as("w_total"))
+    d.withColumn("i", row_number().over(w).cast("long"))
+      .crossJoin(broadcast(wTot))
+      .select(col(idCol), col(sourceCol),
+        expr("(i * w_total * 1000000L) div wt").as("key_fx"))
+  }
+
   /** Out-of-vocabulary statistics against the corpus' own top-N
     * vocabulary — the tokenizer-coverage audit (how much of each doc a
     * fixed vocab fails to cover drives fertility/UNK-rate decisions).

@@ -642,7 +642,45 @@ object Curation {
       |  (CAST(n_oov AS BIGINT) * 1000000) // n_tok AS oov_fx
       |FROM d ORDER BY doc_id""".stripMargin
 
+  // -------------------------------------------------------------------
+  // q186: stride-scheduled mixture interleave — the deterministic
+  // trainer data-loader ORDER over the 20 sources with planted weights
+  // w(src_i) = 1 + i mod 4 (derived from the source name, so both
+  // engines compute them): source s's i-th doc lands at virtual time
+  // i/w_s, giving every schedule prefix ≈ w_s/W source proportions
+  // with O(1) error (stride scheduling) and NO random stream. Key,
+  // per-source hash order, and tie-breaks are all exact int64 — the
+  // whole schedule replays bit-for-bit. The complement of q63 (order
+  // WITHIN the stream) and q154 (how MANY per source): this is WHICH
+  // COMES WHEN.
+  // -------------------------------------------------------------------
+  def q186InterleaveSchedule(spark: SparkSession, dir: String): DataFrame =
+    C.strideSchedule(docs(spark, dir), "doc_id", "source",
+        expr("1L + CAST(SUBSTRING(source, 4) AS INT) % 4"), seed = 42L)
+      .orderBy(asc("key_fx"), asc("source"), asc("doc_id"))
+  val q186Sql: String = {
+    val h = C.portableHashSql("doc_id", 42L)
+    s"""WITH d AS (
+      |  SELECT doc_id, source,
+      |    1 + CAST(SUBSTRING(source, 4) AS INT) % 4 AS wt
+      |  FROM documents
+      |), wt AS (
+      |  SELECT CAST(SUM(wt) AS BIGINT) AS w_total
+      |  FROM (SELECT DISTINCT source, wt FROM d)
+      |), i AS (
+      |  SELECT doc_id, source, wt,
+      |    CAST(ROW_NUMBER() OVER (PARTITION BY source
+      |      ORDER BY $h, doc_id) AS BIGINT) AS i
+      |  FROM d
+      |)
+      |SELECT doc_id, source,
+      |  (i * w_total * 1000000) // CAST(wt AS BIGINT) AS key_fx
+      |FROM i CROSS JOIN wt
+      |ORDER BY key_fx, source, doc_id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q186_interleave_schedule" -> (q186InterleaveSchedule _),
     "q176_oov_coverage" -> (q176OovCoverage _),
     "q158_token_entropy" -> (q158TokenEntropy _),
     "q154_token_budget" -> (q154TokenBudget _),
@@ -663,6 +701,7 @@ object Curation {
     "q120_fuzzy_decontaminate" -> (q120FuzzyDecontaminate _))
 
   val oracle: Map[String, String] = Map(
+    "q186_interleave_schedule" -> q186Sql,
     "q176_oov_coverage" -> q176Sql,
     "q158_token_entropy" -> q158Sql,
     "q154_token_budget" -> q154Sql,

@@ -308,6 +308,36 @@ class CurationSpec extends SparkSpec {
       (2L, 1000000000L / 4L)))
   }
 
+  test("strideSchedule: every prefix holds sources in ~weight proportion; deterministic") {
+    // 3 sources, weights 1/2/3, POPULATIONS also 1:2:3 (50/100/150 of
+    // 300) so no source exhausts mid-schedule — stride proportions
+    // then hold in every prefix with O(1) error. (Once a source runs
+    // dry the remainder re-normalizes among survivors — inherent to
+    // any exhaustive interleave, not an error.)
+    val docs = (0L until 300L).map { i =>
+      val m = (i % 6).toInt
+      (i, if (m == 0) "s0" else if (m <= 2) "s1" else "s2")
+    }.toDF("id", "src")
+    val wt = expr("CASE src WHEN 's0' THEN 1L WHEN 's1' THEN 2L ELSE 3L END")
+    val sched = Curation.strideSchedule(docs, "id", "src", wt)
+      .orderBy(asc("key_fx"), asc("src"), asc("id"))
+      .collect().map(r => r.getString(1))
+    assert(sched.length === 300)
+    for (p <- Seq(30, 60, 120, 240)) {
+      val prefix = sched.take(p)
+      for ((s, w) <- Seq(("s0", 1), ("s1", 2), ("s2", 3))) {
+        val got = prefix.count(_ == s)
+        val exp = p * w / 6.0
+        assert(math.abs(got - exp) <= 2.0, s"prefix $p source $s: $got vs $exp")
+      }
+    }
+    // deterministic replay
+    val again = Curation.strideSchedule(docs.repartition(7), "id", "src", wt)
+      .orderBy(asc("key_fx"), asc("src"), asc("id"))
+      .collect().map(r => r.getString(1))
+    assert(again.toSeq === sched.toSeq)
+  }
+
   test("orderShuffle is a deterministic permutation keyed by seed") {
     val ids = (0L until 1000L).toDF("doc_id")
     val a = Curation.orderShuffle(ids, "doc_id", 5L).select("doc_id")
