@@ -84,7 +84,9 @@ object Explain {
       "q180_cluster_split" -> "CC rounds shuffle (id, long) pairs only (lineage-truncated); the split is ONE map-side hash expression over the cluster id after a single left join — leakage safety costs the cluster join and nothing else",
       "q181_tdigest_union" -> "two-level sketch aggregation (the q110 HLL-table shape for quantiles): per-snapshot tdigest_agg partials merge map-side into ~3 KB binaries; the union aggregate sees ONLY sketch bytes — the value stream is touched once, and adding a snapshot never rescans history",
       "q182_decayed_agg" -> "one scan + map-only weights: the decay is a codegen'd shift+div against the broadcast 1-row anchor (BroadcastNestedLoopJoin of a scalar — the legitimate attach-a-scalar pattern), products cleared to int64 per row, one partial-agged aggregate",
-      "q184_weighted_pagerank" -> "q123's per-round shape with (id, long, long) weight triples: edges⋈ranks⋈wsum hash joins + partial-agged groupBy(dst) — integral (r·w) div W_u end-to-end, lineage truncated per interval; the weight aggregation collapses duplicate edges before the first round")
+      "q184_weighted_pagerank" -> "q123's per-round shape with (id, long, long) weight triples: edges⋈ranks⋈wsum hash joins + partial-agged groupBy(dst) — integral (r·w) div W_u end-to-end, lineage truncated per interval; the weight aggregation collapses duplicate edges before the first round",
+      "q185_stream_distinct" -> "batch-driven runner: the plan below is the distributed-sink READ-BACK tail — the streaming plan is the mergeable KMV ObjectHashAggregate (≤4096 8-byte hashes per open window) inside StateStoreRestore/Save with watermark eviction; exact-regime parity evidence in StreamingSpec",
+      "q186_interleave_schedule" -> "one per-source window (hash-ordered row_number, partitioned by source — no global sort before the final schedule ORDER BY), a 1-row ΣW broadcast (scalar BNLJ), and a map-only int64 stride key; the output total order IS the deliverable")
 
     val sb = new StringBuilder
     sb.append("# EXPLAINS — physical plans of representative queries\n\n")
