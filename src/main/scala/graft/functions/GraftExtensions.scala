@@ -53,6 +53,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         intLit(children(1), "numBits"), intLit(children(2), "numHashes"))
         .toAggregateExpression()))
     e.injectFunction((
+      new FunctionIdentifier("bloom_union_agg"),
+      new ExpressionInfo(classOf[BloomUnionAgg].getName, "bloom_union_agg"),
+      (children: Seq[Expression]) => BloomUnionAgg(children(0),
+        intLit(children(1), "numBits")).toAggregateExpression()))
+    e.injectFunction((
       new FunctionIdentifier("bloom_might_contain"),
       new ExpressionInfo(classOf[BloomMightContain].getName, "bloom_might_contain"),
       (children: Seq[Expression]) => BloomMightContain(children(0), children(1),

@@ -284,6 +284,71 @@ case class BloomAgg(child: Expression, numBits: Int, numHashes: Int,
   override def prettyName: String = "bloom_agg"
 }
 
+/** `bloom_union_agg(sketch, numBits)` — OR-merge a column of serialized
+  * Bloom filters ([[BloomAgg]] output): the sketch-TABLE union for the
+  * membership family (HLL = q110, t-digest = q181, Bloom = this).
+  * Per-snapshot decontamination indexes persist as binaries and a new
+  * snapshot extends the index by merging ITS filter in — history is
+  * never re-hashed. OR is associative/idempotent, so the union is
+  * byte-identical to a filter built over the combined key set.
+  */
+case class BloomUnionAgg(child: Expression, numBits: Int,
+    mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[BloomBuf] {
+
+  require(numBits >= 64 && numBits % 64 == 0,
+    s"numBits ($numBits) must be a positive multiple of 64")
+
+  override def children: Seq[Expression] = child :: Nil
+  override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): Expression =
+    copy(child = c.head)
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"bloom_union_agg takes a serialized bloom filter (binary), got ${t.sql}")
+  }
+
+  override def nullable: Boolean = false
+  override def dataType: DataType = BinaryType
+
+  override def createAggregationBuffer(): BloomBuf = new BloomBuf(numBits)
+
+  override def update(buffer: BloomBuf, input: InternalRow): BloomBuf = {
+    val v = child.eval(input)
+    if (v != null) {
+      val bytes = v.asInstanceOf[Array[Byte]]
+      require(bytes.length == (numBits + 63 >>> 6) * 8,
+        s"bloom_union_agg: sketch of ${bytes.length} bytes does not match numBits $numBits")
+      val s = new BloomBuf(numBits)
+      java.nio.ByteBuffer.wrap(bytes)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN).asLongBuffer().get(s.words)
+      buffer.orIn(s)
+    }
+    buffer
+  }
+
+  override def merge(buffer: BloomBuf, other: BloomBuf): BloomBuf = {
+    buffer.orIn(other); buffer
+  }
+
+  override def eval(buffer: BloomBuf): Any = buffer.toBytes
+
+  override def serialize(buffer: BloomBuf): Array[Byte] = buffer.toBytes
+
+  override def deserialize(bytes: Array[Byte]): BloomBuf = {
+    val s = new BloomBuf(numBits)
+    java.nio.ByteBuffer.wrap(bytes)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN).asLongBuffer().get(s.words)
+    s
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): BloomUnionAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): BloomUnionAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override def prettyName: String = "bloom_union_agg"
+}
+
 /** `bloom_might_contain(filter, hash64)` — probe a [[BloomAgg]] binary
   * with a pre-hashed long key. numBits is derived from the binary's
   * length, so filter and probe can't disagree on sizing; numHashes
@@ -936,6 +1001,9 @@ object SketchFunctions {
 
   def bloom_might_contain(filter: Column, hash64: Column, numHashes: Int): Column =
     column(BloomMightContain(expression(filter), expression(hash64), numHashes))
+
+  def bloom_union_agg(sketch: Column, numBits: Int): Column =
+    column(BloomUnionAgg(expression(sketch), numBits).toAggregateExpression())
 
   def cms_agg(hash64: Column, depth: Int, width: Int): Column =
     column(CmsAgg(expression(hash64), depth, width).toAggregateExpression())

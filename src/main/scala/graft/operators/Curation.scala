@@ -164,6 +164,47 @@ object Curation {
         (col("n_overlap").cast("double") / col("n_grams")).as("overlap_frac"))
   }
 
+  /** [[decontaminateBloom]] with the filter assembled from a
+    * per-snapshot Bloom sketch TABLE (`bloom_agg` per snapshot →
+    * `bloom_union_agg`): the index-MAINTENANCE shape — when a new eval
+    * benchmark lands, only ITS grams are hashed and its filter OR-merges
+    * into the standing index; history is never re-hashed (q110's
+    * incremental-stats pattern for the membership family). OR is
+    * associative and idempotent, so the unioned filter is BYTE-IDENTICAL
+    * to one built over the combined gram set (SketchSpec pins this), and
+    * the output is identical to [[decontaminate]]'s exact overlap —
+    * the union preserves the no-false-negative guarantee and the exact
+    * confirm join kills false positives.
+    */
+  def decontaminateBloomUnion(train: DataFrame, evalDocs: DataFrame,
+      idCol: String, textCol: String, n: Int, numSnapshots: Int = 4,
+      numBits: Int = 1 << 20, numHashes: Int = 7): DataFrame = {
+    import graft.functions.SketchFunctions.{bloom_agg, bloom_union_agg, bloom_might_contain}
+    val evalGrams = ngramRows(evalDocs, idCol, textCol, n)
+      .select(col(idCol), col("gram")).persist()
+    val bloomBytes = try evalGrams
+        .select(pmod(col(idCol), lit(numSnapshots.toLong)).as("snap"), col("gram"))
+        .distinct()
+        .groupBy(col("snap"))
+        .agg(bloom_agg(xxhash64(col("gram")), numBits, numHashes).as("b"))
+        // ^ the persisted per-snapshot sketch table; v the index union
+        .agg(bloom_union_agg(col("b"), numBits).as("u"))
+        .collect()(0).getAs[Array[Byte]](0)
+      finally evalGrams.unpersist()
+    val evalSet = ngramRows(evalDocs, idCol, textCol, n)
+      .select(col("gram")).distinct()
+    val trainGrams = ngramRows(train, idCol, textCol, n)
+      .distinct()
+      .withColumn("n_grams", count(lit(1)).over(Window.partitionBy(col(idCol))))
+    trainGrams
+      .filter(bloom_might_contain(lit(bloomBytes), xxhash64(col("gram")), numHashes))
+      .join(broadcast(evalSet), "gram")
+      .groupBy(col(idCol), col("n_grams"))
+      .agg(count(lit(1)).as("n_overlap"))
+      .select(col(idCol), col("n_overlap"), col("n_grams"),
+        (col("n_overlap").cast("double") / col("n_grams")).as("overlap_frac"))
+  }
+
   /** Fuzzy (near-duplicate) decontamination: flag training documents
     * whose shingle-set Jaccard against ANY eval document clears
     * `threshold` — the contamination mode exact n-gram overlap misses

@@ -356,6 +356,28 @@ object Curation {
   }
 
   // -------------------------------------------------------------------
+  // q187: decontamination via a UNIONED per-snapshot Bloom index —
+  // the index-maintenance member of the decontamination ladder (exact
+  // q57 → Bloom-prefiltered q83 → fuzzy q120 → incremental-index
+  // THIS): the eval set splits into 4 snapshots, each builds its own
+  // persisted 128 KB filter (`bloom_agg` table), and the probe uses
+  // their `bloom_union_agg` OR-merge — a new benchmark extends the
+  // standing index without re-hashing history. Union preserves
+  // no-false-negatives and the confirm join kills FPs, so the output
+  // is IDENTICAL to q57's exact overlap: same oracle, three-way
+  // cross-check with q57/q83.
+  // -------------------------------------------------------------------
+  def q187BloomUnionDecontaminate(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    C.decontaminateBloomUnion(
+        d.filter(col("doc_id") % 97 =!= 0),
+        d.filter(col("doc_id") % 97 === 0),
+        "doc_id", "text", n = 5, numSnapshots = 4,
+        numBits = 1 << 20, numHashes = 7)
+      .orderBy(asc("doc_id"))
+  }
+
+  // -------------------------------------------------------------------
   // q85: cross-document boilerplate n-grams — per-doc fraction of
   // distinct 5-grams appearing in >= 3 distinct documents.
   // -------------------------------------------------------------------
@@ -689,6 +711,7 @@ object Curation {
     "q85_boilerplate" -> (q85Boilerplate _),
     "q86_chunk_dedup" -> (q86ChunkDedup _),
     "q83_bloom_decontaminate" -> (q83BloomDecontaminate _),
+    "q187_bloom_union_decontaminate" -> (q187BloomUnionDecontaminate _),
     "q57_decontaminate" -> (q57Decontaminate _),
     "q58_repetition" -> (q58Repetition _),
     "q59_hash_split" -> (q59HashSplit _),
@@ -710,6 +733,7 @@ object Curation {
     "q85_boilerplate" -> q85Sql,
     "q86_chunk_dedup" -> q86Sql,
     "q83_bloom_decontaminate" -> q57Sql, // identical output by design
+    "q187_bloom_union_decontaminate" -> q57Sql, // identical output by design
     "q57_decontaminate" -> q57Sql,
     "q58_repetition" -> q58Sql,
     "q59_hash_split" -> q59Sql,

@@ -212,6 +212,30 @@ class SketchSpec extends SparkSpec {
     }
   }
 
+  test("bloom sketch TABLES: union of per-snapshot filters is byte-identical to one filter over all keys") {
+    import graft.functions.SketchFunctions.{bloom_agg, bloom_union_agg, bloom_might_contain}
+    val keys = (0L until 5000L).map(i => (i % 4, i * 2654435761L)).toDF("snap", "h")
+    val unioned = keys.groupBy(col("snap"))
+      .agg(bloom_agg(col("h"), 1 << 16, 7).as("b"))
+      .agg(bloom_union_agg(col("b"), 1 << 16).as("u"))
+      .collect()(0).getAs[Array[Byte]](0)
+    val direct = keys.agg(bloom_agg(col("h"), 1 << 16, 7).as("b"))
+      .collect()(0).getAs[Array[Byte]](0)
+    assert(java.util.Arrays.equals(unioned, direct),
+      "OR-merge of snapshot filters must equal the filter over the union of keys")
+    // and it still has no false negatives, probed as a literal
+    val probed = keys.filter(
+      bloom_might_contain(lit(unioned), col("h"), 7)).count()
+    assert(probed === 5000L)
+    // a mismatched sketch size fails loudly, not silently
+    intercept[Exception] {
+      keys.groupBy(col("snap"))
+        .agg(bloom_agg(col("h"), 1 << 16, 7).as("b"))
+        .agg(bloom_union_agg(col("b"), 1 << 15).as("u"))
+        .collect()
+    }
+  }
+
   test("tdigest sketch TABLES: union of per-snapshot digests brackets the combined distribution") {
     import graft.functions.SketchFunctions.{tdigest_agg, tdigest_merge_quantiles}
     val xs = (0 until 40000).map(i => ((i * 2654435761L) % 99991L).toDouble)
