@@ -772,7 +772,71 @@ object Analytics {
       |SELECT event_type, n AS n_hours, hour AS cp_hour, dabs AS d_max
       |FROM r WHERE rk = 1 ORDER BY event_type""".stripMargin
 
+  // -------------------------------------------------------------------
+  // q188: SEASONAL-baseline anomaly detection — hour-of-week profiling
+  // (the monitor q178's CUSUM can't express: a Friday-evening spike is
+  // only anomalous vs OTHER Friday evenings, not vs 3 a.m.). Per
+  // (type, hour-of-week): the seasonal mean over all weeks; an hour is
+  // HIGH if x > 2× its seasonal mean, LOW if x < half — both cleared
+  // of division by cross-multiplication (x·n_how vs 2·s_how), so every
+  // comparison and the peak ratio (x·n_how·1e6 div s_how) is exact
+  // int64. Shape: hourly counts (the only data-sized aggregate), a
+  // 168×types seasonal frame broadcast back, map-only flags, one
+  // final aggregate + bounded-fan-in argmax window.
+  // -------------------------------------------------------------------
+  def q188SeasonalAnomaly(spark: SparkSession, dir: String): DataFrame = {
+    val hourly = ev(spark, dir)
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hour"))
+      .agg(count(lit(1)).as("x"))
+      .withColumn("how", expr("(unix_micros(hour) div 3600000000L) % 168"))
+    val season = hourly.groupBy(col("event_type"), col("how"))
+      .agg(count(lit(1)).as("n_how"), sum(col("x")).as("s_how"))
+    val flagged = hourly.join(broadcast(season), Seq("event_type", "how"))
+      .withColumn("ratio_fx", expr("(x * n_how * 1000000L) div s_how"))
+    flagged
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("event_type")).orderBy(desc("ratio_fx"), asc("hour"))))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_hours"),
+        sum(when(col("x") * col("n_how") > lit(2) * col("s_how"), 1L)
+          .otherwise(0L)).as("n_high"),
+        sum(when(lit(2) * col("x") * col("n_how") < col("s_how"), 1L)
+          .otherwise(0L)).as("n_low"),
+        max(when(col("rk") === 1, col("hour"))).as("peak_hour"),
+        max(when(col("rk") === 1, col("ratio_fx"))).as("peak_ratio_fx"))
+      .orderBy(asc("event_type"))
+  }
+  val q188Sql: String =
+    """WITH hourly AS (
+      |  SELECT event_type, CAST(DATE_TRUNC('hour', ts) AS TIMESTAMP) AS hour,
+      |    COUNT(*) AS x
+      |  FROM events GROUP BY 1, 2
+      |), h2 AS (
+      |  SELECT event_type, hour, CAST(x AS BIGINT) AS x,
+      |    (EPOCH_US(hour) // 3600000000) % 168 AS how
+      |  FROM hourly
+      |), season AS (
+      |  SELECT event_type, how, CAST(COUNT(*) AS BIGINT) AS n_how,
+      |    CAST(SUM(x) AS BIGINT) AS s_how
+      |  FROM h2 GROUP BY 1, 2
+      |), f AS (
+      |  SELECT h2.event_type, h2.hour, h2.x, s.n_how, s.s_how,
+      |    (h2.x * s.n_how * 1000000) // s.s_how AS ratio_fx,
+      |    ROW_NUMBER() OVER (PARTITION BY h2.event_type
+      |      ORDER BY (h2.x * s.n_how * 1000000) // s.s_how DESC, h2.hour) AS rk
+      |  FROM h2 JOIN season s ON s.event_type = h2.event_type AND s.how = h2.how
+      |)
+      |SELECT event_type, COUNT(*) AS n_hours,
+      |  CAST(SUM(CASE WHEN x * n_how > 2 * s_how THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_high,
+      |  CAST(SUM(CASE WHEN 2 * x * n_how < s_how THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_low,
+      |  MAX(CASE WHEN rk = 1 THEN hour END) AS peak_hour,
+      |  MAX(CASE WHEN rk = 1 THEN ratio_fx END) AS peak_ratio_fx
+      |FROM f GROUP BY event_type ORDER BY event_type""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q188_seasonal_anomaly" -> (q188SeasonalAnomaly _),
     "q178_cusum_changepoint" -> (q178CusumChangepoint _),
     "q162_volume_corr" -> (q162VolumeCorr _),
     "q161_cooccurrence_pmi" -> (q161CooccurrencePmi _),
@@ -800,6 +864,7 @@ object Analytics {
     "q24_json_extract" -> (q24Json _))
 
   val oracle: Map[String, String] = Map(
+    "q188_seasonal_anomaly" -> q188Sql,
     "q178_cusum_changepoint" -> q178Sql,
     "q162_volume_corr" -> q162Sql,
     "q161_cooccurrence_pmi" -> q161Sql,
