@@ -87,7 +87,8 @@ object Explain {
       "q184_weighted_pagerank" -> "q123's per-round shape with (id, long, long) weight triples: edges⋈ranks⋈wsum hash joins + partial-agged groupBy(dst) — integral (r·w) div W_u end-to-end, lineage truncated per interval; the weight aggregation collapses duplicate edges before the first round",
       "q185_stream_distinct" -> "batch-driven runner: the plan below is the distributed-sink READ-BACK tail — the streaming plan is the mergeable KMV ObjectHashAggregate (≤4096 8-byte hashes per open window) inside StateStoreRestore/Save with watermark eviction; exact-regime parity evidence in StreamingSpec",
       "q186_interleave_schedule" -> "one per-source window (hash-ordered row_number, partitioned by source — no global sort before the final schedule ORDER BY), a 1-row ΣW broadcast (scalar BNLJ), and a map-only int64 stride key; the output total order IS the deliverable",
-      "q187_bloom_union_decontaminate" -> "two-level membership aggregation: per-snapshot bloom_agg partials (128 KB binaries) OR-merge via bloom_union_agg; the unioned filter probes as a plan LITERAL in a codegen'd map-side filter ahead of the exact-confirm broadcast join (q83's shape) — the gram stream is hashed once per snapshot, never re-hashed on index growth")
+      "q187_bloom_union_decontaminate" -> "two-level membership aggregation: per-snapshot bloom_agg partials (128 KB binaries) OR-merge via bloom_union_agg; the unioned filter probes as a plan LITERAL in a codegen'd map-side filter ahead of the exact-confirm broadcast join (q83's shape) — the gram stream is hashed once per snapshot, never re-hashed on index growth",
+      "q188_seasonal_anomaly" -> "the hourly count aggregate is the only data-sized stage; the 168×types seasonal frame joins BROADCAST back, flags are cross-multiplied integer comparisons in the project, and the peak argmax is a bounded-fan-in window over the metadata-sized hourly frame")
 
     val sb = new StringBuilder
     sb.append("# EXPLAINS — physical plans of representative queries\n\n")
