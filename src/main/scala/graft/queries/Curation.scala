@@ -701,7 +701,61 @@ object Curation {
       |ORDER BY key_fx, source, doc_id""".stripMargin
   }
 
+  // -------------------------------------------------------------------
+  // q189: lexical COLLOCATIONS — PMI between token pairs over per-doc
+  // incidence sets (q161's machinery pointed at the corpus: which
+  // vocabulary terms travel together across documents — topic
+  // signatures, compound detection, feature pairs). Pairs with
+  // support n_ab ≥ 10 only. Exact integers throughout; the ln lands
+  // in the floor(ln·1e6) fixed-point convention. Scale: one distinct
+  // (doc, token) shuffle, a per-doc pair fan-out bounded by C(|vocab
+  // ∩ doc|, 2) — never an all-docs join — and broadcast marginals.
+  // -------------------------------------------------------------------
+  def q189Collocations(spark: SparkSession, dir: String): DataFrame = {
+    val dt = docs(spark, dir)
+      .select(col("doc_id"), explode(TA.tokens(col("text"))).as("tok"))
+      .distinct()
+    val pairs = dt.select(col("doc_id"), col("tok").as("tok_a"))
+      .join(dt.select(col("doc_id"), col("tok").as("tok_b")), "doc_id")
+      .filter(col("tok_a") < col("tok_b"))
+      .groupBy(col("tok_a"), col("tok_b")).agg(count(lit(1)).as("n_ab"))
+      .filter(col("n_ab") >= 10)
+    val marg = dt.groupBy(col("tok")).agg(count(lit(1)).as("n"))
+    val total = dt.select(col("doc_id")).distinct().agg(count(lit(1)).as("n_docs"))
+    pairs
+      .join(broadcast(marg.select(col("tok").as("tok_a"), col("n").as("n_a"))), "tok_a")
+      .join(broadcast(marg.select(col("tok").as("tok_b"), col("n").as("n_b"))), "tok_b")
+      .crossJoin(broadcast(total))
+      .select(col("tok_a"), col("tok_b"), col("n_ab"),
+        floor(log((col("n_ab") * col("n_docs")).cast("double") /
+          (col("n_a") * col("n_b")).cast("double")) * lit(1000000.0))
+          .cast("long").as("pmi_fx"))
+      .orderBy(asc("tok_a"), asc("tok_b"))
+  }
+  val q189Sql: String =
+    raw"""WITH dt AS (
+      |  SELECT DISTINCT doc_id, tok FROM (
+      |    SELECT doc_id, UNNEST(string_split_regex(TRIM(text), '\s+')) AS tok
+      |    FROM documents)
+      |), pairs AS (
+      |  SELECT a.tok AS tok_a, b.tok AS tok_b, COUNT(*) AS n_ab
+      |  FROM dt a JOIN dt b ON a.doc_id = b.doc_id AND a.tok < b.tok
+      |  GROUP BY 1, 2
+      |  HAVING COUNT(*) >= 10
+      |), marg AS (
+      |  SELECT tok, COUNT(*) AS n FROM dt GROUP BY 1
+      |), tot AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM dt)
+      |SELECT tok_a, tok_b, CAST(n_ab AS BIGINT) AS n_ab,
+      |  CAST(FLOOR(LN(CAST(n_ab * n_docs AS DOUBLE)
+      |    / CAST(ma.n * mb.n AS DOUBLE)) * 1000000) AS BIGINT) AS pmi_fx
+      |FROM pairs
+      |JOIN marg ma ON ma.tok = tok_a
+      |JOIN marg mb ON mb.tok = tok_b
+      |CROSS JOIN tot
+      |ORDER BY tok_a, tok_b""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q189_collocations" -> (q189Collocations _),
     "q186_interleave_schedule" -> (q186InterleaveSchedule _),
     "q176_oov_coverage" -> (q176OovCoverage _),
     "q158_token_entropy" -> (q158TokenEntropy _),
@@ -724,6 +778,7 @@ object Curation {
     "q120_fuzzy_decontaminate" -> (q120FuzzyDecontaminate _))
 
   val oracle: Map[String, String] = Map(
+    "q189_collocations" -> q189Sql,
     "q186_interleave_schedule" -> q186Sql,
     "q176_oov_coverage" -> q176Sql,
     "q158_token_entropy" -> q158Sql,
