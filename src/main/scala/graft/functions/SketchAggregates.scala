@@ -805,10 +805,23 @@ final class TDigestBuf(val compression: Int) {
 
 object TDigestBuf {
   def fromBytes(compression: Int, bytes: Array[Byte]): TDigestBuf = {
+    require(bytes.length >= 28,
+      s"t-digest blob truncated: ${bytes.length} bytes < 28-byte header")
     val bb = java.nio.ByteBuffer.wrap(bytes)
     val s = new TDigestBuf(compression)
     val total = bb.getDouble(); val mn = bb.getDouble(); val mx = bb.getDouble()
     val n = bb.getInt()
+    // a sketch serialized under a LARGER compression can carry more
+    // centroids than this merger's capacity — fail with the mismatch
+    // named instead of an opaque ArrayIndexOutOfBounds (mirrors
+    // BloomUnionAgg's length-vs-numBits require)
+    require(n >= 0 && n <= compression * 4 + 8,
+      s"t-digest blob holds $n centroids > capacity ${compression * 4 + 8} " +
+        s"for compression=$compression: was it serialized with a larger " +
+        "compression parameter than the merging aggregate's?")
+    require(bytes.length >= 28 + 16 * n,
+      s"t-digest blob truncated: ${bytes.length} bytes < ${28 + 16 * n} " +
+        s"needed for $n centroids")
     var i = 0
     while (i < n) {
       val m = bb.getDouble(); val w = bb.getDouble()

@@ -439,13 +439,27 @@ object Curation {
     * 1-row broadcast of ΣW, one map-only key expression. The total
     * ORDER over the key is the schedule itself — consumed as a sorted
     * scan (the distributed range sort), exactly like [[orderShuffle]].
+    *
+    * CONTRACT: `weightCol` must be functionally dependent on
+    * `sourceCol` (one weight per source — it is the source's mixture
+    * weight, not a row property). ΣW aggregates max(wt) per source so
+    * a violating row-level expression cannot skew the total, but the
+    * per-row stride key still reads the row's own wt: a non-constant
+    * weight within a source produces a schedule with no stride
+    * semantics.
     */
   def strideSchedule(df: DataFrame, idCol: String, sourceCol: String,
                      weightCol: Column, seed: Long = 42L): DataFrame = {
     val w = Window.partitionBy(col(sourceCol))
       .orderBy(portableHash(col(idCol), seed), col(idCol))
     val d = df.select(col(idCol), col(sourceCol), weightCol.cast("long").as("wt"))
-    val wTot = d.select(col(sourceCol), col("wt")).distinct()
+    // one weight PER SOURCE: aggregate as max so a non-constant
+    // weightCol (a row-level expression) cannot contribute multiple
+    // rows to ΣW and silently skew every stride — the per-row keys
+    // still use the row's own wt, so weightCol SHOULD be functionally
+    // dependent on sourceCol (documented contract); max makes the
+    // ΣW side of that contract enforcement-free
+    val wTot = d.groupBy(col(sourceCol)).agg(max(col("wt")).as("wt"))
       .agg(sum(col("wt")).as("w_total"))
     d.withColumn("i", row_number().over(w).cast("long"))
       .crossJoin(broadcast(wTot))

@@ -275,8 +275,14 @@ object Graph {
     * truncated every other round (no mid-loop action).
     *
     * Directed-edge input is treated as given; pass both directions
-    * for undirected majority. Returns (id, label) for every vertex
-    * with ≥1 in-edge.
+    * for undirected majority. Returns (id, label) for EVERY vertex of
+    * the edge set: a vertex that receives no votes in a round (zero
+    * in-degree) KEEPS its current label — so on directed graphs
+    * source-only vertices persist across rounds and keep voting
+    * through their out-edges, instead of silently dropping out of the
+    * frame after round 1 (the standard LPA retention rule; on
+    * symmetrized inputs like q177's this is observably identical
+    * because every vertex has in-edges).
     */
   def labelPropagation(edges: DataFrame, srcCol: String, dstCol: String,
                        rounds: Int = 2,
@@ -297,13 +303,19 @@ object Graph {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("id")).orderBy(desc("c"), asc("lab"))
     for (r <- 1 to rounds) {
-      val next = e
+      val votes = e
         .join(labels.select(col("id").as("src"), col("lab")), "src")
         .groupBy(col("dst").as("id"), col("lab"))
         .agg(count(lit(1)).as("c"))
         .withColumn("rk", row_number().over(w))
         .filter(col("rk") === 1)
-        .select(col("id"), col("lab"))
+        .select(col("id"), col("lab").as("vlab"))
+      // left-join against the PREVIOUS labels so zero-in-degree
+      // vertices keep their label (and their out-edge votes) instead
+      // of vanishing after round 1 — long pairs both sides, the
+      // no-vote side is the in-degree-0 slice only
+      val next = labels.join(votes, Seq("id"), "left_outer")
+        .select(col("id"), coalesce(col("vlab"), col("lab")).as("lab"))
       labels = if (r % 2 == 0 && r < rounds) cut(next) else next
     }
     labels

@@ -688,7 +688,7 @@ object Curation {
       |  FROM documents
       |), wt AS (
       |  SELECT CAST(SUM(wt) AS BIGINT) AS w_total
-      |  FROM (SELECT DISTINCT source, wt FROM d)
+      |  FROM (SELECT source, MAX(wt) AS wt FROM d GROUP BY source)
       |), i AS (
       |  SELECT doc_id, source, wt,
       |    CAST(ROW_NUMBER() OVER (PARTITION BY source

@@ -1082,8 +1082,10 @@ object Pipeline {
   // entity-importance pipeline actually wants (who routes the money,
   // not who has the most counterparties). Same exact-int64 replay
   // contract: (r·w) div W_u per edge, 3 unrolled rounds in the oracle,
-  // bit-for-bit. Weights ≤ ~2e7 cents at sf0.1 vs the r·w < 2^63
-  // bound (r ≤ 1e9) — 9 orders of headroom.
+  // bit-for-bit. Weights ≤ ~2e7 cents at sf0.1, r ≤ 1e9, so r·w ≤
+  // ~2e16 vs the 2^63 ≈ 9.2e18 bound — ~460× (2.7 orders) of weight
+  // headroom; re-check this product before any weight-unit change
+  // (pre-scale w div g for a common g if it ever tightens).
   // -------------------------------------------------------------------
   def q184WeightedPagerank(spark: SparkSession, dir: String): DataFrame = {
     val d2 = org.apache.spark.sql.types.DecimalType(12, 2)

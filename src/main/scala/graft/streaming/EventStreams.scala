@@ -243,11 +243,18 @@ object EventStreams {
     * hash, so |sketch| IS the distinct count), and the hash is the
     * portable md5-60-bit both engines recompute — the oracle counts
     * the identical distinct hashes per closed window, bit-for-bit.
-    * Beyond k the estimate degrades gracefully to the (k−1)/θ
-    * estimator (SketchSpec's regime). APPEND mode: one emission per
-    * closed window, distributed parquet drain.
+    * A SATURATED sketch (|sketch| = k) switches to the (k−1)/θ
+    * estimator with θ = kth-smallest hash over the 2^60 hash domain
+    * (the q125 KMV construction, Beyer et al. SIGMOD'07) — without
+    * this branch n_users would silently cap at k for windows with
+    * > 4096 distinct users (per-round CLAUDE.md rule 14: size sketch
+    * gates for EVERY scale they run at). Exact at both gate scales,
+    * so the branch is pinned by SketchSpec's saturation test rather
+    * than the oracle. APPEND mode: one emission per closed window,
+    * distributed parquet drain.
     */
   def streamingDistinctBatchDriven(spark: SparkSession, dir: String): DataFrame = {
+    val k = 4096
     val h = conv(substring(md5(col("user_id").cast("string").cast("binary")), 1, 15),
       16, 10).cast("long")
     appendSinkDrain(
@@ -255,9 +262,13 @@ object EventStreams {
         .withWatermark("ts", "2 hours")
         .select(col("ts"), h.as("h"))
         .groupBy(window(col("ts"), "7 days"))
-        .agg(graft.functions.SketchFunctions.kmv_agg(col("h"), 4096).as("sk"))
+        .agg(graft.functions.SketchFunctions.kmv_agg(col("h"), k).as("sk"))
         .select(col("window.start").as("w_start"),
-          size(col("sk")).cast("long").as("n_users")),
+          when(size(col("sk")) < k, size(col("sk")).cast("long"))
+            .otherwise(floor(lit((k - 1).toDouble)
+              * lit(1152921504606846976.0)   // 2^60 hash domain
+              / element_at(col("sk"), k).cast("double")).cast("long"))
+            .as("n_users")),
       "graft_stream_distinct",
       StructType(Seq(
         StructField("w_start", TimestampType),

@@ -179,6 +179,21 @@ class OperatorsSpec extends SparkSpec {
     assert(again === got)
   }
 
+  test("labelPropagation: directed source-only vertices persist and keep voting") {
+    // 0 -> 1 -> 2 (pure chain). Vertex 0 has no in-edges: it must stay
+    // in the output every round with its own label, and its round-2
+    // vote (lab(0)=0 pushed into 1, then 1's label into 2) must land —
+    // before the retention fix 0 vanished after round 1 and round 2
+    // saw no votes from it.
+    val edges = Seq((0L, 1L), (1L, 2L)).toDF("s", "d")
+    val got = Graph.labelPropagation(edges, "s", "d", rounds = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.keySet === Set(0L, 1L, 2L), s"source-only vertex dropped: $got")
+    assert(got(0L) === 0L)   // no in-votes ever: keeps own label
+    assert(got(1L) === 0L)   // round 2: vote from the persisted 0
+    assert(got(2L) === 0L)   // round 2 sees 1's round-1 label (= 0)
+  }
+
   test("kCorePeel: iterated peel matches hand-peel; fixpoint on a clique+tail") {
     // K4 (nodes 1-4) with a pendant path 4-5-6: the 2-core is exactly
     // K4 ∪ {nothing of the path} — peeling removes 6 (deg 1), then 5.

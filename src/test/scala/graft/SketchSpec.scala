@@ -138,6 +138,46 @@ class SketchSpec extends SparkSpec {
     assert(math.abs(est - n) / n < 0.15, s"est $est vs true $n")
   }
 
+  test("kmv: streamingDistinct's saturated-window expression recovers " +
+    "the true count past k (md5-60-bit domain)") {
+    // the EXACT expression shape streamingDistinctBatchDriven emits:
+    // size(sk) when under k, else (k-1) * 2^60 / kth-smallest — here
+    // exercised batch-side at k=256 over 15k distinct users, where
+    // the old size(sk) answer would have silently capped at 256
+    val k = 256
+    val n = 15000L
+    val df = (0L until n).toDF("user_id")
+    val h = conv(substring(md5(col("user_id").cast("string").cast("binary")), 1, 15),
+      16, 10).cast("long")
+    val got = df.agg(kmv_agg(h, k).as("sk"))
+      .select(
+        when(size(col("sk")) < k, size(col("sk")).cast("long"))
+          .otherwise(floor(lit((k - 1).toDouble) * lit(1152921504606846976.0)
+            / element_at(col("sk"), k).cast("double")).cast("long"))
+          .as("n_users"))
+      .collect()(0).getLong(0)
+    assert(got > k, s"estimator not applied: got $got (the saturation cap)")
+    assert(math.abs(got - n).toDouble / n < 0.2, s"est $got vs true $n")
+  }
+
+  test("tdigest: fromBytes rejects an over-capacity or truncated blob " +
+    "with the compression mismatch named") {
+    import graft.functions.TDigestBuf
+    val big = new TDigestBuf(500)
+    (0 until 1500).foreach(i => big.add(i.toDouble, 1.0))
+    val bytes = big.toBytes
+    // deserializing a compression-500 sketch into a compression-20
+    // merger must fail loudly, not ArrayIndexOutOfBounds
+    val e = intercept[IllegalArgumentException](TDigestBuf.fromBytes(20, bytes))
+    assert(e.getMessage.contains("compression"))
+    val t = intercept[IllegalArgumentException](
+      TDigestBuf.fromBytes(500, bytes.take(40)))
+    assert(t.getMessage.contains("truncated"))
+    // round-trip at the matching compression still works
+    val back = TDigestBuf.fromBytes(500, bytes)
+    assert(back.total === big.total)
+  }
+
   test("kmv: union of sub-sketches equals the sketch of the union") {
     val aDf = (0L until 3000L).map(i => ("a", i)).toDF("g", "v")
     val bDf = (2000L until 6000L).map(i => ("b", i)).toDF("g", "v")
