@@ -106,6 +106,12 @@ object Bench {
     val errs = results.collect { case (k, _, Some(e)) => "\"" + k + "\":\"" + e + "\"" }
     val errJson = if (errs.isEmpty) "" else errs.mkString(""","errors":{""", ",", "}")
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs$errJson,"sf":"$sfDir"}""")
+    // the full line above is ~8 KB at 189 queries and can outrun a
+    // harness that keeps only the tail of captured output (every
+    // BENCH_r0*.json through r6 shows "parsed": null) — emit a tiny
+    // trailing summary line so the tail ALWAYS parses a total
+    val canary = results.collectFirst { case ("q01_tpch_q1", v, _) => v }.getOrElse(-1.0)
+    println(s"""{"metric":"total_summary","value":$total,"unit":"sec","n":${results.size},"n_err":${errs.size},"canary_q01":$canary,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

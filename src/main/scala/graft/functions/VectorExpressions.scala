@@ -162,6 +162,90 @@ case class VecNormalize(child: Expression)
     copy(child = newChild)
 }
 
+/** Elementwise vector subtraction → `array<double>` — the residual
+  * encode `x − centroid(cell)` of classic IVFADC
+  * ([[graft.operators.Similarity.ivfPqTopK]] `residual = true`) as one
+  * codegen'd loop, replacing the interpreted
+  * `zip_with(a, b, (x, y) => x − y)` HOF.
+  *
+  * Beyond speed, this PERMANENTLY retires the shared-lambda
+  * concurrency hazard (PERF.md lesson 17): `zip_with` lambdas carry a
+  * mutable `NamedLambdaVariable`, so concurrent driver-thread
+  * evaluation of one shared plan produced silently nondeterministic
+  * results (`graft.tools.DetProbe` is the reproducer, now the
+  * regression test). A native expression holds no evaluation state —
+  * concurrent evaluation is safe by construction.
+  *
+  * Arithmetic matches the HOF form bit-for-bit on equal-length
+  * inputs: widen to double, subtract. Lengths are min-clamped like
+  * [[VecDot]]; elements assumed non-null (embedding vectors).
+  */
+case class VecSub(left: Expression, right: Expression) extends BinaryExpression {
+
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+
+  private def elemType(e: Expression): DataType = e.dataType match {
+    case ArrayType(t, _) => t
+    case _ => NullType
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    (elemType(left), elemType(right)) match {
+      case (FloatType | DoubleType, FloatType | DoubleType) =>
+        TypeCheckResult.TypeCheckSuccess
+      case _ => TypeCheckResult.TypeCheckFailure(
+        s"vec_sub requires array<float>/array<double> inputs, got ${left.dataType.sql} and ${right.dataType.sql}")
+    }
+  }
+
+  @inline private def get(a: ArrayData, i: Int, t: DataType): Double = t match {
+    case FloatType => a.getFloat(i).toDouble
+    case _ => a.getDouble(i)
+  }
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val la = l.asInstanceOf[ArrayData]
+    val ra = r.asInstanceOf[ArrayData]
+    val lt = elemType(left)
+    val rt = elemType(right)
+    val n = math.min(la.numElements(), ra.numElements())
+    val out = new Array[Double](n)
+    var i = 0
+    while (i < n) {
+      out(i) = get(la, i, lt) - get(ra, i, rt)
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    def getter(v: String, i: String, t: DataType): String = t match {
+      case FloatType => s"(double)$v.getFloat($i)"
+      case _ => s"$v.getDouble($i)"
+    }
+    val lt = elemType(left)
+    val rt = elemType(right)
+    nullSafeCodeGen(ctx, ev, (l, r) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val out = ctx.freshName("out")
+      s"""
+         |int $n = java.lang.Math.min($l.numElements(), $r.numElements());
+         |double[] $out = new double[$n];
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $out[$i] = ${getter(l, i, lt)} - ${getter(r, i, rt)};
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+       """.stripMargin
+    })
+  }
+
+  override def prettyName: String = "vec_sub"
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Shared shape for the vector × constant-matrix expressions: `vec` is
   * a row vector, `mat` a flattened row-major (numRows × dim) constant
   * matrix (dim = mat.length / numRows). One expression node replaces a
@@ -706,6 +790,9 @@ object VectorFunctions {
     vec_dot(a, b) / (vec_norm(a) * vec_norm(b))
   def vec_normalize(a: Column): Column =
     column(VecNormalize(expression(a)))
+  /** Elementwise a − b → array<double> (codegen'd zip_with replacement). */
+  def vec_sub(a: Column, b: Column): Column =
+    column(VecSub(expression(a), expression(b)))
 
   private def flat(mat: Array[Array[Double]]): Column = lit(mat.flatten)
 

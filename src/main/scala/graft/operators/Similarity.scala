@@ -483,18 +483,19 @@ object Similarity {
     val encBase =
       if (residual)
         withCell.withColumn("ev",
-          zip_with(col("cv"), element_at(centsLit, col("cell") + 1),
-            (a, b) => a - b))
+          graft.functions.VectorFunctions.vec_sub(
+            col("cv"), element_at(centsLit, col("cell") + 1)))
       else withCell.withColumn("ev", col("cv"))
     val books = codebooks.getOrElse {
       if (residual) {
         // MATERIALIZE the residual frame before the 8 concurrent
-        // subspace trainings: zip_with's interpreted lambda carries a
-        // mutable NamedLambdaVariable, and concurrent evaluation of
-        // the SHARED plan measured NON-DETERMINISTIC codebooks
-        // (DetProbe: sequential per-subspace training deterministic,
-        // concurrent-over-shared-lambda not). localCheckpoint also
-        // stops 8 × iters jobs each re-deriving the residuals.
+        // subspace trainings. The encode is now the native codegen'd
+        // VecSub (no interpreted lambda ⇒ the PERF-lesson-17
+        // shared-NamedLambdaVariable nondeterminism class is retired
+        // by construction; DetProbe regression-tests it), so the
+        // checkpoint is purely an efficiency choice: it stops the
+        // m × iters training jobs each re-scanning candidates and
+        // re-deriving argmax cells + residuals from the raw vectors.
         val resid = encBase.select(col("ev")).localCheckpoint(true)
         pqTrainCodebooks(resid, "ev", m, ksub, dim, iters,
           preNormalized = true)

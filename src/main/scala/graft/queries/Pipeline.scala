@@ -578,10 +578,12 @@ object Pipeline {
   // residual encoding (ivfPqTopK residual=true) MEASURED WORSE here
   // (0.67/0.55) — on weakly-clustered unit vectors x·c ≈ 0.3, so
   // ‖x − c‖² ≈ 1.4 > 1 = ‖x‖²: residuals are BIGGER than the raw
-  // vectors and the code budget buys less. The gate keeps raw-vector
-  // codes; residual=true stays the library path for corpora whose
-  // cells actually explain their members (re-measure before
-  // flipping — PERF.md lesson).
+  // vectors and the code budget buys less. RE-MEASURED round 7 after
+  // the native VecSub encode (tools/ResidualProbe): raw 0.69/0.6575,
+  // residual 0.67/0.5525 at sf0.01/sf0.1 — bit-reproduces the r6
+  // record, the physics holds. The gate keeps raw-vector codes;
+  // residual=true is gated by ITS OWN oracle row (q191, floored for
+  // the residual regime) so both shipped algorithms are certified.
   // -------------------------------------------------------------------
   def q179IvfPqAnn(spark: SparkSession, dir: String): DataFrame = {
     val e = emb(spark, dir)

@@ -39,12 +39,35 @@ object DetProbe {
       val s2 = Similarity.euclideanCentroids(enc.select(slice(col("ev").cast("array<double>"), j * 8 + 1, 8).as("v")), "v", 16, 2, 8)
       println(s"j=$j sequential equal: " + (s1.map(_.toSeq).toSeq == s2.map(_.toSeq).toSeq))
     }
-    // the fix: materialize first, then concurrent training is stable
+    // fix #1 (r6): materialize first, then concurrent training is stable
     val mat = enc.localCheckpoint(true)
     val m1 = Similarity.pqTrainCodebooks(mat, "ev", 8, 16, 64, 2, preNormalized = true)
     val m2 = Similarity.pqTrainCodebooks(mat, "ev", 8, 16, 64, 2, preNormalized = true)
     println("materialized concurrent books equal: " +
       (m1.map(_.map(_.toSeq).toSeq).toSeq == m2.map(_.map(_.toSeq).toSeq).toSeq))
+    // fix #2 (r7, the structural one): the native codegen'd VecSub has
+    // no lambda state at all — concurrent training over the SHARED
+    // un-materialized plan must now be deterministic. This is the
+    // regression test for the hazard class itself.
+    val encNative = cv
+      .withColumn("cell", graft.functions.VectorFunctions.vec_mat_argmax(col("cv"), c1))
+      .withColumn("ev", graft.functions.VectorFunctions.vec_sub(
+        col("cv"), element_at(centsLit, col("cell") + 1)))
+      .select(col("ev"))
+    val n1 = Similarity.pqTrainCodebooks(encNative, "ev", 8, 16, 64, 2, preNormalized = true)
+    val n2 = Similarity.pqTrainCodebooks(encNative, "ev", 8, 16, 64, 2, preNormalized = true)
+    val nativeOk = n1.map(_.map(_.toSeq).toSeq).toSeq == n2.map(_.map(_.toSeq).toSeq).toSeq
+    println("native vec_sub UNMATERIALIZED concurrent books equal: " + nativeOk)
+    // and VecSub matches the zip_with arithmetic bit-for-bit
+    val diff = cv.limit(200)
+      .withColumn("cell", graft.functions.VectorFunctions.vec_mat_argmax(col("cv"), c1))
+      .withColumn("a", graft.functions.VectorFunctions.vec_sub(
+        col("cv"), element_at(centsLit, col("cell") + 1)))
+      .withColumn("b", zip_with(col("cv"), element_at(centsLit, col("cell") + 1),
+        (x, y) => x - y))
+      .filter(not(col("a") <=> col("b"))).count()
+    println("vec_sub == zip_with on all rows: " + (diff == 0))
+    if (!nativeOk || diff != 0) { spark.stop(); sys.exit(1) }
     // also raw exact ev values stable?
     val e1 = enc.select(expr("cast(ev as array<double>)")).collect().map(_.getSeq[Double](0)).sortBy(_.hashCode)
     val e2 = enc.select(expr("cast(ev as array<double>)")).collect().map(_.getSeq[Double](0)).sortBy(_.hashCode)

@@ -727,6 +727,34 @@ class OperatorsSpec extends SparkSpec {
     assert(spark.sql("SELECT vec_dot(a, b) AS d FROM vecs").collect()(0).getDouble(0) === 32.0)
   }
 
+  test("vec_sub native expression is bit-identical to the zip_with form") {
+    // float - double mix (the ivfPqTopK residual shape: float cv minus
+    // a literal double centroid), plus a pure-double pair
+    val df = Seq(
+      (Array(1.5f, -2.25f, 3.0f), Array(0.5, 1.75, -4.0)),
+      (Array(0.0f, 7.5f, -1.0f), Array(0.0, 7.5, -1.0))).toDF("a", "b")
+    import graft.functions.VectorFunctions.vec_sub
+    val native = df.select(vec_sub(col("a"), col("b"))).collect()
+      .map(_.getSeq[Double](0))
+    val hof = df.select(zip_with(col("a"), col("b"),
+        (x, y) => x.cast("double") - y.cast("double"))).collect()
+      .map(_.getSeq[Double](0))
+    assert(native.toSeq === hof.toSeq)
+    assert(native(0) === Seq(1.0, -4.0, 7.0))
+    // interpreted eval path (filter pushes it out of codegen sometimes;
+    // call nullSafeEval directly for certainty)
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    val e = graft.functions.VecSub(
+      org.apache.spark.sql.catalyst.expressions.Literal.create(
+        Array(2.0, 3.0), org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.DoubleType)),
+      org.apache.spark.sql.catalyst.expressions.Literal.create(
+        Array(0.5, 1.0), org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.DoubleType)))
+    assert(e.eval(null).asInstanceOf[GenericArrayData].toDoubleArray().toSeq
+      === Seq(1.5, 2.0))
+  }
+
   test("vec-mat kernels match reference math; normalize is bit-identical to HOF") {
     import graft.functions.VectorFunctions._
     val mat = Array(
