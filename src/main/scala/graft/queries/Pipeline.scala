@@ -602,6 +602,36 @@ object Pipeline {
   }
 
   // -------------------------------------------------------------------
+  // q191: RESIDUAL IVF-PQ (classic IVFADC, Jégou et al. 2011) — the
+  // `residual = true` sibling of q179, gated by its OWN oracle row so
+  // BOTH shipped codebook modes are certified (round-6 verdict: the
+  // gate previously certified only the weaker-on-paper raw mode).
+  // Codes quantize x − centroid(cell) via the native codegen'd VecSub
+  // (round 7 — no interpreted HOF, no shared-lambda hazard), and the
+  // ADC score re-uses the probe's q·c_cell term. On THIS corpus
+  // residual measures BELOW raw (ResidualProbe: 0.67/0.5525 vs
+  // 0.69/0.6575 at sf0.01/sf0.1 — weak clusters make residuals
+  // bigger than the vectors, PERF lesson 18); the floor 0.45 is set
+  // for the residual regime (≈0.8× the binding sf0.1 figure), per
+  // CLAUDE.md rule 9's measure-before-floor.
+  // -------------------------------------------------------------------
+  def q191IvfPqResidual(spark: SparkSession, dir: String): DataFrame = {
+    val e = emb(spark, dir)
+    val q = e.filter(pmod(col("vec_id"), lit(50)) === 0)
+    val ann = Similarity.ivfPqTopK(q, e, "vec_id", "vec_id", "embedding", "embedding",
+        k = 10, numCells = 16, nProbe = 8, m = 8, ksub = 64, dim = 64,
+        iters = 2, rerank = 100, residual = true)
+      .select(col("query_id"), col("cand_id"), col("rank"))
+    val exact = Similarity.bruteForceTopK(q, e, "vec_id", "vec_id",
+        "embedding", "embedding", 10)
+      .select(col("query_id"), col("cand_id"), lit(true).as("hit"))
+    ann.join(exact, Seq("query_id", "cand_id"), "left_outer")
+      .select(col("query_id"), col("cand_id"), col("rank"),
+        coalesce(col("hit"), lit(false)).as("hit"))
+      .orderBy(asc("query_id"), asc("rank"))
+  }
+
+  // -------------------------------------------------------------------
   // q119: int8-QUANTIZED brute-force top-k — the bandwidth path for
   // exact search at 100 TB: symmetric per-vector quantization of the
   // unit vector (floor(x/max|x|·127) ∈ [-127,127]) shrinks every
@@ -2304,6 +2334,7 @@ object Pipeline {
     "q160_bm25_batch" -> (q160Bm25Batch _),
     "q163_pq_ann" -> (q163PqAnn _),
     "q179_ivfpq_ann" -> (q179IvfPqAnn _),
+    "q191_ivfpq_residual" -> (q191IvfPqResidual _),
     "q180_cluster_split" -> (q180ClusterSplit _),
     "q183_leakage_audit" -> (q183LeakageAudit _),
     "q184_weighted_pagerank" -> (q184WeightedPagerank _),
@@ -2333,6 +2364,7 @@ object Pipeline {
     // ≈ 0.8× the binding figure (q35/q52 convention); re-measure
     // before changing ANN params
     "q179_ivfpq_ann" -> annOracle("q179_ivfpq_ann", 0.52),
+    "q191_ivfpq_residual" -> annOracle("q191_ivfpq_residual", 0.45),
     "q180_cluster_split" -> q180Sql,
     "q183_leakage_audit" -> q183Sql,
     "q184_weighted_pagerank" -> q184Sql,

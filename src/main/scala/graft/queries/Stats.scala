@@ -860,6 +860,89 @@ object Stats {
       |FROM b GROUP BY bin ORDER BY bin""".stripMargin
 
   // -------------------------------------------------------------------
+  // q190: t-digest-FENCED equi-height binning — q173's decile bins
+  // with the fences drawn from the mergeable t-digest sketch instead
+  // of the exact percentile aggregate. This is the registered 100 TB
+  // path for quantile binning (round-6 verdict item): exact
+  // `percentile` buffers a distinct-value count map on ONE reducer at
+  // the final merge (distinct-bounded here, unbounded in general);
+  // the t-digest final merge is ~3 KB of centroids regardless of
+  // domain, so the plan carries only sketch-sized state anywhere
+  // above the scan. Binning is then identical to q173: 9 codegen
+  // comparisons against a broadcast 1-row fence frame, map-only.
+  //
+  // Oracle (rule 9, q166's rank-bracket recipe): estimates are not
+  // bit-stable cross-engine, so DuckDB reads the EMITTED fences back,
+  // (a) verifies each fence's exact rank sits within max(3, 2%·n) of
+  // its decile target (measured error ~0.2%·n — ≥8× margin), then
+  // (b) recomputes every per-bin aggregate EXACTLY from lineitem
+  // using those emitted fences — n/lo/hi/sum must match
+  // bit-for-bit or the containment join drops the row. Completeness:
+  // exactly 10 bins + the rule-10 empty-output sentinel.
+  // -------------------------------------------------------------------
+  def q190TdigestBins(spark: SparkSession, dir: String): DataFrame = {
+    val cents = (col("l_extendedprice").cast(DecimalType(12, 2)) * 100)
+      .cast("long").as("cents")
+    val c = li(spark, dir).select(cents)
+    val qs = (1 to 9).map(_ / 10.0)
+    val fences = c.agg(graft.functions.SketchFunctions
+        .tdigest_quantiles(col("cents").cast("double"), 100, qs).as("qs"))
+      .select((1 to 9).map(j =>
+        element_at(col("qs"), j).getField("est").as(s"f$j")): _*)
+    val bin = (1 to 9).map(j =>
+        when(col("cents") >= col(s"f$j"), 1L).otherwise(0L))
+      .reduce(_ + _).as("bin")
+    val fenceRows = fences
+      .select(posexplode(array((1 to 9).map(j => col(s"f$j")): _*)))
+      .select((col("pos") + 1).cast("long").as("bin"), col("col").as("fence"))
+    c.crossJoin(broadcast(fences))
+      .select(col("cents"), bin)
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"),
+        min(col("cents")).as("lo_cents"),
+        max(col("cents")).as("hi_cents"),
+        sum(col("cents")).as("sum_cents"))
+      .join(broadcast(fenceRows), Seq("bin"), "left_outer")
+      .select(col("bin"), coalesce(col("fence"), lit(-1.0)).as("fence"),
+        col("n"), col("lo_cents"), col("hi_cents"), col("sum_cents"))
+      .orderBy(asc("bin"))
+  }
+  val q190Sql: String =
+    """WITH e AS (
+      |  SELECT bin, fence, n, lo_cents, hi_cents, sum_cents
+      |  FROM read_parquet('__GRAFT_OUT__/q190_tdigest_bins/*.parquet')
+      |), c AS (
+      |  SELECT CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT)
+      |    AS cents FROM lineitem
+      |), tot AS (SELECT COUNT(*) AS n FROM c),
+      |fr AS (
+      |  SELECT e.bin, e.fence,
+      |    SUM(CASE WHEN c.cents < e.fence THEN 1 ELSE 0 END) AS below,
+      |    SUM(CASE WHEN c.cents <= e.fence THEN 1 ELSE 0 END) AS beloweq
+      |  FROM e CROSS JOIN c WHERE e.bin >= 1 GROUP BY 1, 2
+      |), fok AS (
+      |  SELECT COUNT(*) AS k FROM fr CROSS JOIN tot
+      |  WHERE below <= bin * 0.1 * n + GREATEST(3, 0.02 * n)
+      |    AND beloweq >= bin * 0.1 * n - GREATEST(3, 0.02 * n)
+      |), binned AS (
+      |  SELECT c.cents,
+      |    (SELECT COUNT(*) FROM e f WHERE f.bin >= 1 AND c.cents >= f.fence)
+      |      AS bin
+      |  FROM c
+      |), truth AS (
+      |  SELECT bin, COUNT(*) AS n, MIN(cents) AS lo, MAX(cents) AS hi,
+      |    CAST(SUM(cents) AS BIGINT) AS s
+      |  FROM binned GROUP BY 1
+      |)
+      |SELECT e.bin, e.fence, e.n, e.lo_cents, e.hi_cents, e.sum_cents
+      |FROM e JOIN truth t ON t.bin = e.bin AND t.n = e.n
+      |  AND t.lo = e.lo_cents AND t.hi = e.hi_cents AND t.s = e.sum_cents
+      |WHERE (SELECT k FROM fok) = 9 AND (SELECT COUNT(*) FROM e) = 10
+      |UNION ALL SELECT -1, -1.0, -1, -1, -1, -1 WHERE (SELECT COUNT(*)
+      |  FROM read_parquet('__GRAFT_OUT__/q190_tdigest_bins/*.parquet')) = 0
+      |ORDER BY bin""".stripMargin
+
+  // -------------------------------------------------------------------
   // q174: median/MAD robust outlier detection — the heavy-tail-safe
   // sibling of q130's z-score counts (mean/σ are themselves dragged by
   // the outliers they're meant to flag; median/MAD have breakdown
@@ -971,6 +1054,7 @@ object Stats {
       |ORDER BY event_type, q""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q190_tdigest_bins" -> (q190TdigestBins _),
     "q181_tdigest_union" -> (q181TdigestUnion _),
     "q174_mad_outliers" -> (q174MadOutliers _),
     "q173_equiheight_bins" -> (q173EquiHeightBins _),
@@ -992,6 +1076,7 @@ object Stats {
     "q106_histogram" -> (q106Histogram _))
 
   val oracle: Map[String, String] = Map(
+    "q190_tdigest_bins" -> q190Sql,
     "q181_tdigest_union" -> q181Sql,
     "q174_mad_outliers" -> q174Sql,
     "q173_equiheight_bins" -> q173Sql,

@@ -259,6 +259,44 @@ object ScaleStress {
     // task — driver work is constant
     timed(s"pca top component (${nVec} vectors)")(
       { graft.operators.Similarity.pcaTopComponent(emb, "embedding", 64); 0L })
+
+    // q189 collocation candidate volume under PLANTED LONG DOCUMENTS
+    // (the round-6 verdict's scale-killer scenario): 20k docs, each
+    // with 150 doc-unique junk tokens (df=1) + 30 tokens from a
+    // 60-token common pool. The UNPRUNED per-doc self-join would emit
+    // Σ_doc C(~180, 2) ≈ 3.2e8 candidate rows; the df ≥ 10 semi-join
+    // (provably output-identical — n_ab ≤ min(df_a, df_b)) drops every
+    // junk token first, so candidates collapse to Σ_doc C(≤30, 2) —
+    // LINEAR in corpus size at fixed vocab, not quadratic in doc
+    // length. Both counts printed so the ratio is pinned.
+    timed("q189 collocation candidates (planted long docs, df-pruned)") {
+      val junk = (0 until 150).map(j =>
+        concat(lit("junk"), (col("id") * 150 + j).cast("string")))
+      val common = (0 until 30).map(j =>
+        concat(lit("common"),
+          pmod(col("id") * 31 + lit(j * 7), lit(60)).cast("string")))
+      val longDocs = spark.range(20000)
+        .select(col("id").as("doc_id"),
+          concat_ws(" ", (junk ++ common): _*).as("text"))
+        .repartition(32).localCheckpoint(true)
+      val dt = longDocs
+        .select(col("doc_id"),
+          explode(graft.operators.TextAnalysis.tokens(col("text"))).as("tok"))
+        .distinct()
+      val unprunedBound = dt.groupBy(col("doc_id")).agg(count(lit(1)).as("v"))
+        .agg(expr("sum(v * (v - 1) div 2)")).collect()(0).getLong(0)
+      val marg = dt.groupBy(col("tok")).agg(count(lit(1)).as("n"))
+      val vocab = marg.filter(col("n") >= 10)
+        .orderBy(desc("n"), asc("tok")).limit(20000).select(col("tok"))
+      val dtk = dt.join(broadcast(vocab), Seq("tok"), "left_semi")
+      val pruned = dtk.select(col("doc_id"), col("tok").as("tok_a"))
+        .join(dtk.select(col("doc_id"), col("tok").as("tok_b")), "doc_id")
+        .filter(col("tok_a") < col("tok_b")).count()
+      println(f"[stress]   unpruned candidate bound: $unprunedBound%,d; " +
+        f"df-pruned candidates: $pruned%,d " +
+        f"(${unprunedBound.toDouble / pruned}%.0fx reduction)")
+      pruned
+    }
     spark.stop()
   }
 }
