@@ -30,6 +30,20 @@ object GraftServer {
 
   /** Handle one parsed request body → (status, response JSON/text). */
   def handle(spark: SparkSession, body: JsonNode): (Int, String) =
+    handle(spark, body, None)
+
+  /** As [[handle]], with an optional server-side cap on rows a single
+    * Collect may return. Default None = exact reference semantics
+    * (`Collect` materializes everything, api.rs:62-75). With a cap, a
+    * too-large Collect is rejected 400 — BEFORE the driver holds more
+    * than cap+1 rows (the probe is `limit(cap+1).collect()`, so driver
+    * memory is bounded by the cap even for a pathological remote
+    * query) — and the client is pointed at the beyond-reference
+    * `CollectPage {offset, limit}` action, which streams any result in
+    * bounded slices (compose with order_by for stable page frames).
+    */
+  def handle(spark: SparkSession, body: JsonNode,
+             maxCollectRows: Option[Long]): (Int, String) =
     try {
       val state = body.get("dataframe")
       val fn = body.get("function")
@@ -61,9 +75,34 @@ object GraftServer {
           val frame = Wire.replay(spark, state)
           val action = fn.get("Action")
           val blocks =
-            if (action.isTextual && action.asText() == "Collect")
-              Wire.blocksOf(frame.df.collect(), frame.df.schema)
-            else if (action.isTextual && action.asText() == "Count") {
+            if (action.isTextual && action.asText() == "Collect") {
+              maxCollectRows match {
+                case Some(cap) =>
+                  val probe = frame.df.limit((cap + 1).toInt).collect()
+                  if (probe.length > cap)
+                    throw new GraftException(
+                      s"Collect result exceeds the server row cap ($cap); " +
+                        "page it with Action {\"CollectPage\": {\"offset\": N, " +
+                        "\"limit\": M}} (order_by first for stable pages)")
+                  Wire.blocksOf(probe, frame.df.schema)
+                case None => Wire.blocksOf(frame.df.collect(), frame.df.schema)
+              }
+            } else if (action.isObject && action.has("CollectPage")) {
+              val p = action.get("CollectPage")
+              if (p == null || !p.has("offset") || !p.has("limit"))
+                throw new GraftException(s"CollectPage needs {offset, limit}: $action")
+              val off = p.get("offset").asLong()
+              val lim = p.get("limit").asLong()
+              if (off < 0 || lim <= 0)
+                throw new GraftException(s"CollectPage offset/limit out of range: $action")
+              maxCollectRows.foreach { cap =>
+                if (lim > cap) throw new GraftException(
+                  s"CollectPage limit $lim exceeds the server row cap ($cap)")
+              }
+              Wire.blocksOf(
+                frame.df.offset(off.toInt).limit(lim.toInt).collect(),
+                frame.df.schema)
+            } else if (action.isTextual && action.asText() == "Count") {
               val b = Wire.obj(); val a = Wire.arr().add(frame.count())
               val tagged = Wire.obj(); tagged.set[JsonNode]("Int", a)
               b.set[JsonNode]("count", tagged); b
@@ -88,8 +127,10 @@ object GraftServer {
         (500, s"Internal(${e.getClass.getSimpleName}: ${e.getMessage})")
     }
 
-  /** Start the server; returns it (caller stops). Port 0 = ephemeral. */
-  def start(spark: SparkSession, port: Int): HttpServer = {
+  /** Start the server; returns it (caller stops). Port 0 = ephemeral.
+    * `maxCollectRows` None = reference Collect semantics (default). */
+  def start(spark: SparkSession, port: Int,
+            maxCollectRows: Option[Long] = None): HttpServer = {
     val server = HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
     server.createContext("/call", new HttpHandler {
       override def handle(x: HttpExchange): Unit = {
@@ -97,7 +138,7 @@ object GraftServer {
           if (x.getRequestMethod != "POST") (404, "not found")
           else try {
             val body = new String(x.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
-            GraftServer.handle(spark, Wire.parse(body))
+            GraftServer.handle(spark, Wire.parse(body), maxCollectRows)
           } catch {
             case _: com.fasterxml.jackson.core.JacksonException => (400, "MalformedJSON")
             case e: Throwable => (500, s"Internal(${e.getClass.getSimpleName}: ${e.getMessage})")
@@ -126,8 +167,10 @@ object GraftServer {
       .appName("graft-server")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    start(spark, port)
-    println(s"[graft-server] listening on http://127.0.0.1:$port/call")
+    val cap = sys.env.get("GRAFT_MAX_COLLECT_ROWS").map(_.toLong)
+    start(spark, port, cap)
+    println(s"[graft-server] listening on http://127.0.0.1:$port/call" +
+      cap.map(c => s" (collect row cap $c)").getOrElse(""))
     Thread.currentThread().join()
   }
 }

@@ -196,4 +196,56 @@ class GraftServerSpec extends SparkSpec {
     val get = HttpRequest.newBuilder(uri).GET().build()
     assert(http.send(get, HttpResponse.BodyHandlers.ofString()).statusCode() === 404)
   }
+
+  test("wire: CollectPage slices; a row-capped server rejects big Collects") {
+    // paging on the default (uncapped) server: ordered pages stitch
+    val s1 = readState
+    val so = callOk(s1, """{"Op": {"OrderBy": ["int"]}}""")._1
+    val (_, p1) = callOk(so,
+      """{"Action": {"CollectPage": {"offset": 0, "limit": 2}}}""")
+    val (_, p2) = callOk(so,
+      """{"Action": {"CollectPage": {"offset": 2, "limit": 2}}}""")
+    assert(Wire.parse(p1).get("int").get("Int").get(0).asInt() === 1)
+    assert(Wire.parse(p1).get("int").get("Int").get(1).asInt() === 2)
+    assert(Wire.parse(p2).get("int").get("Int").get(0).asInt() === 3)
+    assert(Wire.parse(p2).get("int").get("Int").size() === 1)
+    // malformed page spec is a 400
+    assert(post(s"""{"dataframe": $so, "function":
+      {"Action": {"CollectPage": {"offset": -1, "limit": 2}}}}""")._1 === 400)
+
+    // a CAPPED server (cap = 2): big Collect → 400 naming the cap and
+    // pointing at CollectPage; within-cap Collect and paging still work
+    val capped = GraftServer.start(spark, 0, Some(2L))
+    try {
+      val curi = URI.create(
+        s"http://127.0.0.1:${capped.getAddress.getPort}/call")
+      def cpost(body: String): (Int, String) = {
+        val req = HttpRequest.newBuilder(curi)
+          .POST(HttpRequest.BodyPublishers.ofString(body, StandardCharsets.UTF_8))
+          .build()
+        val res = http.send(req, HttpResponse.BodyHandlers.ofString())
+        (res.statusCode(), res.body())
+      }
+      val (rs, rb) = cpost(s"""{"dataframe": null, "function":
+        {"Read": ["csv", "$csvPath", $schemaJson]}}""")
+      assert(rs === 201, rb)
+      val state = Wire.render(Wire.parse(rb).get("dataframe"))
+      val (bigSt, bigBody) = cpost(
+        s"""{"dataframe": $state, "function": {"Action": "Collect"}}""")
+      assert(bigSt === 400, s"3-row Collect must exceed cap 2: $bigBody")
+      assert(bigBody.contains("row cap (2)") && bigBody.contains("CollectPage"))
+      // page limit above the cap is also rejected
+      assert(cpost(s"""{"dataframe": $state, "function":
+        {"Action": {"CollectPage": {"offset": 0, "limit": 5}}}}""")._1 === 400)
+      // a within-cap page succeeds
+      val (ps, pb) = cpost(s"""{"dataframe": $state, "function":
+        {"Action": {"CollectPage": {"offset": 0, "limit": 2}}}}""")
+      assert(ps === 201, pb)
+      assert(Wire.parse(pb).get("blocks").get("int").get("Int").size() === 2)
+      // Take under the cap still collects (reference semantics kept)
+      val (ts, tb) = cpost(s"""{"dataframe": $state, "function":
+        {"Action": {"Take": 2}}}""")
+      assert(ts === 201, tb)
+    } finally capped.stop(0)
+  }
 }

@@ -255,3 +255,13 @@ class Df:
 
     def take(self, n):
         return Df.call(self.dataframe, {'Action': {'Take': n}}, self.uri).values
+
+    def collect_page(self, offset, limit):
+        """Bounded slice of the result (beyond-reference verb): rows
+        [offset, offset+limit) of this frame. Compose with order_by for
+        stable page frames; the only Collect mode a row-capped server
+        accepts for large results."""
+        return Df.call(
+            self.dataframe,
+            {'Action': {'CollectPage': {'offset': offset, 'limit': limit}}},
+            self.uri).values

@@ -96,6 +96,18 @@ def run_checks():
     took = small.order_by(['int']).take(2)
     assert took['int'] == {'Int': [1, 2]}, took
 
+    # --- collect_page (beyond-reference): ordered pages stitch back to
+    # the full collect, and an off-the-end page is empty ---
+    ordered = small.order_by(['int'])
+    p1 = ordered.collect_page(0, 3)
+    p2 = ordered.collect_page(3, 3)
+    assert p1['int'] == {'Int': [1, 2, 3]}, p1
+    assert p2['int'] == {'Int': [4]}, p2
+    whole = ordered.collect()
+    assert p1['int']['Int'] + p2['int']['Int'] == whole['int']['Int']
+    empty = ordered.collect_page(10, 3)
+    assert empty.get('int', {'Int': []}).get('Int', []) == [], empty
+
     # --- parquet read + group_by nesting + join (driver testdata) ---
     nation = Df.from_parquet(os.path.join(SF, 'nation.parquet'),
                              uri=client.URI)
