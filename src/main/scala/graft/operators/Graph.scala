@@ -300,16 +300,20 @@ object Graph {
     var labels = e.select(col("src").as("id"))
       .union(e.select(col("dst").as("id"))).distinct()
       .select(col("id"), col("id").as("lab"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("id")).orderBy(desc("c"), asc("lab"))
     for (r <- 1 to rounds) {
+      // majority pick as a HASH-AGGREGATE argmax — max(struct(c, −lab))
+      // is (count desc, label asc) — instead of a per-id sort window:
+      // the window was measured 5.6× slower than the weighted-pagerank
+      // rounds on the same 40 M edges (ScaleStress ×100) because the
+      // (dst, label) frame is edge-sized and the sort can't partial-
+      // aggregate; two hash aggregates with map-side combine can
       val votes = e
         .join(labels.select(col("id").as("src"), col("lab")), "src")
         .groupBy(col("dst").as("id"), col("lab"))
         .agg(count(lit(1)).as("c"))
-        .withColumn("rk", row_number().over(w))
-        .filter(col("rk") === 1)
-        .select(col("id"), col("lab").as("vlab"))
+        .groupBy(col("id"))
+        .agg(max(struct(col("c"), (-col("lab")).as("nl"))).as("m"))
+        .select(col("id"), (-col("m.nl")).as("vlab"))
       // left-join against the PREVIOUS labels so zero-in-degree
       // vertices keep their label (and their out-edge votes) instead
       // of vanishing after round 1 — long pairs both sides, the

@@ -777,7 +777,180 @@ object Curation {
       |CROSS JOIN tot
       |ORDER BY tok_a, tok_b""".stripMargin
 
+  // -------------------------------------------------------------------
+  // q192: ZIPF rank-frequency fit — the corpus-statistics audit every
+  // tokenizer/vocab decision starts from: rank tokens by frequency,
+  // least-squares-fit ln(freq) against ln(rank) over the top-1000
+  // head (the standard Zipf regime; the tail is Heaps'-law territory,
+  // q193). Slope ≈ −1 is natural text; a flat slope flags synthetic/
+  // templated corpora — exactly this corpus, making the query its own
+  // demonstration. x = floor(ln(rank)·1e3), y = floor(ln(n)·1e3) are
+  // fixed-point ints (1e3 scale keeps k·Σxy ≤ ~2e14 at a 1e12-token
+  // corpus — 4 orders inside int64); all five moment sums are exact
+  // BIGINTs, and the only FP steps are ONE division (slope) and one
+  // mul/div chain (r²) with the identical expression shape in DuckDB
+  // (the q125 estimator discipline). Scale: one token aggregate,
+  // top-1000 as TakeOrdered, a 1000-row window, a 1-row reduce.
+  // -------------------------------------------------------------------
+  def q192ZipfFit(spark: SparkSession, dir: String): DataFrame = {
+    val freq = docs(spark, dir)
+      .select(explode(TA.tokens(col("text"))).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("n"))
+    val top = freq.orderBy(desc("n"), asc("tok")).limit(1000)
+      .withColumn("rank", row_number().over(Window.orderBy(desc("n"), asc("tok"))))
+    val fx = top.select(
+      floor(log(col("rank").cast("double")) * 1000.0).cast("long").as("x"),
+      floor(log(col("n").cast("double")) * 1000.0).cast("long").as("y"))
+    fx.agg(count(lit(1)).as("k"),
+        sum(col("x")).as("sum_x"), sum(col("y")).as("sum_y"),
+        sum(col("x") * col("y")).as("sum_xy"),
+        sum(col("x") * col("x")).as("sum_xx"),
+        sum(col("y") * col("y")).as("sum_yy"))
+      .withColumn("num", col("k") * col("sum_xy") - col("sum_x") * col("sum_y"))
+      .withColumn("den", col("k") * col("sum_xx") - col("sum_x") * col("sum_x"))
+      .withColumn("dny", col("k") * col("sum_yy") - col("sum_y") * col("sum_y"))
+      .select(col("k"), col("sum_x"), col("sum_y"), col("sum_xy"),
+        col("sum_xx"), col("sum_yy"),
+        floor(col("num").cast("double") / col("den").cast("double")
+          * lit(1000000.0)).cast("long").as("slope_fx"),
+        floor(col("num").cast("double") * col("num").cast("double")
+          * lit(1000000.0)
+          / (col("den").cast("double") * col("dny").cast("double")))
+          .cast("long").as("r2_fx"))
+  }
+  val q192Sql: String =
+    raw"""WITH freq AS (
+      |  SELECT tok, COUNT(*) AS n FROM (
+      |    SELECT UNNEST($toksSql) AS tok FROM documents)
+      |  GROUP BY 1
+      |), top AS (
+      |  SELECT n, ROW_NUMBER() OVER (ORDER BY n DESC, tok) AS rank
+      |  FROM freq ORDER BY n DESC, tok LIMIT 1000
+      |), fx AS (
+      |  SELECT CAST(FLOOR(LN(CAST(rank AS DOUBLE)) * 1000) AS BIGINT) AS x,
+      |    CAST(FLOOR(LN(CAST(n AS DOUBLE)) * 1000) AS BIGINT) AS y
+      |  FROM top
+      |), m AS (
+      |  SELECT COUNT(*) AS k, CAST(SUM(x) AS BIGINT) AS sum_x,
+      |    CAST(SUM(y) AS BIGINT) AS sum_y,
+      |    CAST(SUM(x * y) AS BIGINT) AS sum_xy,
+      |    CAST(SUM(x * x) AS BIGINT) AS sum_xx,
+      |    CAST(SUM(y * y) AS BIGINT) AS sum_yy
+      |  FROM fx
+      |), d AS (
+      |  SELECT *, k * sum_xy - sum_x * sum_y AS num,
+      |    k * sum_xx - sum_x * sum_x AS den,
+      |    k * sum_yy - sum_y * sum_y AS dny FROM m
+      |)
+      |SELECT k, sum_x, sum_y, sum_xy, sum_xx, sum_yy,
+      |  CAST(FLOOR(CAST(num AS DOUBLE) / CAST(den AS DOUBLE) * 1000000.0)
+      |    AS BIGINT) AS slope_fx,
+      |  CAST(FLOOR(CAST(num AS DOUBLE) * CAST(num AS DOUBLE) * 1000000.0
+      |    / (CAST(den AS DOUBLE) * CAST(dny AS DOUBLE))) AS BIGINT) AS r2_fx
+      |FROM d""".stripMargin
+
+  // -------------------------------------------------------------------
+  // q193: HEAPS'-LAW vocabulary growth — cumulative distinct-token
+  // count V(N) against cumulative token count N along the canonical
+  // doc_id ingest order: the curve that sizes tokenizer vocabularies
+  // and predicts how much NEW vocabulary the next crawl shard brings.
+  // V is computed without ever materializing per-prefix sets: each
+  // token's first_doc = min(doc_id) marks exactly one +1, so V(d) is
+  // a running sum of first-occurrence counts.
+  //
+  // Scale shape (two-phase distributed prefix sum): tokens aggregate
+  // to ONE ROW PER BLOCK of 20 docs (map-side partial, long triples
+  // across the shuffle), and only the block frame — n_docs/B rows,
+  // ~50k at 1e9 docs with production B=1e4+ — enters the cumulative
+  // window; nothing doc- or token-proportional is ever globally
+  // sorted. All-integer, bit-replayable.
+  // -------------------------------------------------------------------
+  def q193HeapsLaw(spark: SparkSession, dir: String): DataFrame = {
+    val dt = docs(spark, dir)
+      .select(col("doc_id"), explode(TA.tokens(col("text"))).as("tok"))
+    val tokPerBlock = dt.groupBy(expr("doc_id div 20").as("block"))
+      .agg(count(lit(1)).as("n_tok"))
+    val newPerBlock = dt.groupBy(col("tok")).agg(min(col("doc_id")).as("first_doc"))
+      .groupBy(expr("first_doc div 20").as("block"))
+      .agg(count(lit(1)).as("n_new"))
+    val w = Window.orderBy(asc("block"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    tokPerBlock.join(newPerBlock, Seq("block"), "left_outer")
+      .select(col("block"), col("n_tok"),
+        coalesce(col("n_new"), lit(0L)).as("n_new"))
+      .select(col("block"),
+        sum(col("n_tok")).over(w).as("n_cum"),
+        sum(col("n_new")).over(w).as("v_cum"))
+      .orderBy(asc("block"))
+  }
+  val q193Sql: String =
+    raw"""WITH dt AS (
+      |  SELECT doc_id, UNNEST($toksSql) AS tok FROM documents
+      |), tpb AS (
+      |  SELECT doc_id // 20 AS block, COUNT(*) AS n_tok FROM dt GROUP BY 1
+      |), npb AS (
+      |  SELECT first_doc // 20 AS block, COUNT(*) AS n_new FROM (
+      |    SELECT tok, MIN(doc_id) AS first_doc FROM dt GROUP BY 1)
+      |  GROUP BY 1
+      |)
+      |SELECT CAST(t.block AS BIGINT) AS block,
+      |  CAST(SUM(t.n_tok) OVER (ORDER BY t.block
+      |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS n_cum,
+      |  CAST(SUM(COALESCE(n.n_new, 0)) OVER (ORDER BY t.block
+      |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS v_cum
+      |FROM tpb t LEFT JOIN npb n ON n.block = t.block
+      |ORDER BY block""".stripMargin
+
+  // -------------------------------------------------------------------
+  // q196: N-GRAM NOVELTY scoring — per document, the fraction of its
+  // distinct 3-grams never seen in any EARLIER document (doc_id
+  // order): the dedup-aware curation signal that separates
+  // genuinely-new content from recombination, and the per-shard
+  // version of "how much does this crawl add" (q193's vocabulary
+  // curve, at n-gram granularity, per document). first_seen = one
+  // min-aggregate per gram; novelty needs no prefix scan.
+  //
+  // Scale: one distinct (doc, gram) frame feeds BOTH the min-agg and
+  // the count-back join — gram-keyed shuffles only (the q57/q125
+  // shape), one output row per doc, all-int64 + one fixed-point div.
+  // -------------------------------------------------------------------
+  def q196NgramNovelty(spark: SparkSession, dir: String): DataFrame = {
+    val grams = C.ngramRows(
+        docs(spark, dir).select(col("doc_id"), col("text")),
+        "doc_id", "text", 3)
+      .select(col("doc_id"), col("gram")).distinct()
+    val first = grams.groupBy(col("gram")).agg(min(col("doc_id")).as("first_doc"))
+    grams.join(first, Seq("gram"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L))
+          .as("n_novel"))
+      .select(col("doc_id"), col("n_grams"), col("n_novel"),
+        expr("(n_novel * 1000000L) div n_grams").as("novelty_fx"))
+      .orderBy(asc("doc_id"))
+  }
+  val q196Sql: String =
+    raw"""WITH grams AS (
+      |  SELECT DISTINCT doc_id, gram FROM (
+      |    SELECT doc_id, UNNEST(list_transform(
+      |      range(1, GREATEST(LEN(t) - 2, 1) + 1),
+      |      i -> array_to_string(t[i:i+2], ' '))) AS gram
+      |    FROM (SELECT doc_id, $toksSql AS t FROM documents))
+      |), first AS (
+      |  SELECT gram, MIN(doc_id) AS first_doc FROM grams GROUP BY 1
+      |)
+      |SELECT g.doc_id, COUNT(*) AS n_grams,
+      |  CAST(SUM(CASE WHEN f.first_doc = g.doc_id THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS n_novel,
+      |  (CAST(SUM(CASE WHEN f.first_doc = g.doc_id THEN 1 ELSE 0 END)
+      |    AS BIGINT) * 1000000) // COUNT(*) AS novelty_fx
+      |FROM grams g JOIN first f ON f.gram = g.gram
+      |GROUP BY 1 ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q192_zipf_fit" -> (q192ZipfFit _),
+    "q193_heaps_law" -> (q193HeapsLaw _),
+    "q196_ngram_novelty" -> (q196NgramNovelty _),
     "q189_collocations" -> (q189Collocations _),
     "q186_interleave_schedule" -> (q186InterleaveSchedule _),
     "q176_oov_coverage" -> (q176OovCoverage _),
@@ -801,6 +974,9 @@ object Curation {
     "q120_fuzzy_decontaminate" -> (q120FuzzyDecontaminate _))
 
   val oracle: Map[String, String] = Map(
+    "q192_zipf_fit" -> q192Sql,
+    "q193_heaps_law" -> q193Sql,
+    "q196_ngram_novelty" -> q196Sql,
     "q189_collocations" -> q189Sql,
     "q186_interleave_schedule" -> q186Sql,
     "q176_oov_coverage" -> q176Sql,

@@ -1626,6 +1626,212 @@ object Pipeline {
   }
 
   // -------------------------------------------------------------------
+  // q194: CANONICAL SELECTION per near-dup cluster — the step that
+  // turns a clustering into a deduplicated corpus: every cluster keeps
+  // exactly one representative, chosen by a deterministic quality
+  // order (longest text, then smallest doc_id — the "keep the most
+  // complete copy" rule), and every member maps to it. The output IS
+  // the rewrite table a dedup pipeline applies (q117 keeps min-id;
+  // this is the quality-aware upgrade). Singletons are their own
+  // canonical. Shape: q55's clusters + ONE per-cluster window over
+  // (len desc, doc_id asc) — (id, cluster, len) triples only; the
+  // window fan-in is cluster size, never corpus size. Oracle: q180's
+  // recursive closure + the identical window, bit-for-bit.
+  // -------------------------------------------------------------------
+  def q194CanonicalDedup(spark: SparkSession, dir: String): DataFrame = {
+    val clusters = Dedup.connectedComponents(
+        boundedExactPairs(spark, dir), "id_a", "id_b")
+      .select(col("id").as("doc_id"), col("cluster"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("cluster"))
+      .orderBy(desc("n_chars"), asc("doc_id"))
+    docs(spark, dir)
+      .select(col("doc_id"), TA.charCount(col("text")).as("n_chars"))
+      .join(clusters, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"), col("n_chars"),
+        coalesce(col("cluster"), col("doc_id")).as("cluster"))
+      .withColumn("canonical_id", first(col("doc_id")).over(w))
+      .select(col("doc_id"), col("cluster"), col("canonical_id"),
+        (col("doc_id") === col("canonical_id")).as("is_canonical"))
+      .orderBy(asc("doc_id"))
+  }
+  val q194Sql: String =
+    """WITH RECURSIVE sh AS (
+      |  SELECT doc_id, list_distinct(list_transform(
+      |    range(1, GREATEST(LEN(toks) - 2, 1) + 1),
+      |    i -> array_to_string(toks[i:i+2], ' '))) AS s
+      |  FROM (SELECT doc_id, string_split_regex(TRIM(text), '\s+') AS toks
+      |        FROM documents WHERE doc_id < 300)
+      |), pairs AS (
+      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      |  WHERE CAST(LEN(list_intersect(a.s, b.s)) AS DOUBLE)
+      |      / (LEN(a.s) + LEN(b.s) - LEN(list_intersect(a.s, b.s))) >= 0.05
+      |), edges AS (
+      |  SELECT id_a AS src, id_b AS dst FROM pairs
+      |  UNION SELECT id_b, id_a FROM pairs
+      |), reach AS (
+      |  SELECT src AS id, src AS r FROM edges
+      |  UNION
+      |  SELECT e.src AS id, r.r FROM edges e JOIN reach r ON e.dst = r.id
+      |), cl AS (
+      |  SELECT d.doc_id, LENGTH(d.text) AS n_chars,
+      |    COALESCE((SELECT MIN(r) FROM reach WHERE reach.id = d.doc_id),
+      |      d.doc_id) AS cluster
+      |  FROM documents d
+      |)
+      |SELECT doc_id, cluster,
+      |  FIRST_VALUE(doc_id) OVER (PARTITION BY cluster
+      |    ORDER BY n_chars DESC, doc_id) AS canonical_id,
+      |  doc_id = FIRST_VALUE(doc_id) OVER (PARTITION BY cluster
+      |    ORDER BY n_chars DESC, doc_id) AS is_canonical
+      |FROM cl ORDER BY doc_id""".stripMargin
+
+  // -------------------------------------------------------------------
+  // q197: LINK PREDICTION by common-neighbor Jaccard — the graph-side
+  // similarity primitive (recommendation, entity resolution, "which
+  // customers behave alike"): customer pairs scored by the Jaccard of
+  // their supplier neighborhoods on the cust–supp trade graph.
+  // Co-occurrence counts come from STRONGEST-EDGE postings — each
+  // supplier contributes its top-20 customers by spend (cents desc,
+  // custkey asc; deterministic) — while denominators use FULL
+  // distinct-supplier degrees, so scores are conservative (capped
+  // co ≤ true co) and the wedge fan-out is BOUNDED at C(20,2) per
+  // supplier regardless of hub degree: the q127 orientation lesson
+  // applied to wedge enumeration (an uncapped hub supplier with 100k
+  // customers would alone emit 5e9 wedges at scale). Top-100 pairs,
+  // all-int64 fixed-point, bit-replayable.
+  // -------------------------------------------------------------------
+  def q197LinkPrediction(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val o = spark.read.parquet(s"$dir/orders.parquet")
+    val l = spark.read.parquet(s"$dir/lineitem.parquet")
+    val rel = o.join(l, col("o_orderkey") === col("l_orderkey"))
+      .groupBy(col("o_custkey").as("cust"), col("l_suppkey").as("supp"))
+      .agg(sum((col("l_extendedprice").cast(DecimalType(12, 2)) * 100)
+        .cast("long")).as("cents"))
+    val deg = rel.groupBy(col("cust")).agg(count(lit(1)).as("deg"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("supp")).orderBy(desc("cents"), asc("cust"))
+    val post = rel.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 20).select(col("supp"), col("cust"))
+    val co = post.select(col("supp"), col("cust").as("ca"))
+      .join(post.select(col("supp"), col("cust").as("cb")), "supp")
+      .filter(col("ca") < col("cb"))
+      .groupBy(col("ca"), col("cb")).agg(count(lit(1)).as("co"))
+    val scored = co
+      .join(deg.select(col("cust").as("ca"), col("deg").as("deg_a")), "ca")
+      .join(deg.select(col("cust").as("cb"), col("deg").as("deg_b")), "cb")
+      .select(col("ca"), col("cb"), col("co"), col("deg_a"), col("deg_b"),
+        expr("(co * 1000000) div (deg_a + deg_b - co)").as("jaccard_fx"))
+      .orderBy(desc("jaccard_fx"), asc("ca"), asc("cb")).limit(100)
+    scored.withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(desc("jaccard_fx"), asc("ca"), asc("cb"))))
+      .orderBy(asc("rank"))
+  }
+  val q197Sql: String =
+    """WITH rel AS (
+      |  SELECT o_custkey AS cust, l_suppkey AS supp,
+      |    CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100
+      |      AS BIGINT)) AS BIGINT) AS cents
+      |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+      |  GROUP BY 1, 2
+      |), deg AS (
+      |  SELECT cust, COUNT(*) AS deg FROM rel GROUP BY 1
+      |), post AS (
+      |  SELECT supp, cust FROM (
+      |    SELECT supp, cust, ROW_NUMBER() OVER (PARTITION BY supp
+      |      ORDER BY cents DESC, cust) AS rk FROM rel)
+      |  WHERE rk <= 20
+      |), co AS (
+      |  SELECT a.cust AS ca, b.cust AS cb, COUNT(*) AS co
+      |  FROM post a JOIN post b ON a.supp = b.supp AND a.cust < b.cust
+      |  GROUP BY 1, 2
+      |), scored AS (
+      |  SELECT ca, cb, CAST(co.co AS BIGINT) AS co,
+      |    da.deg AS deg_a, db.deg AS deg_b,
+      |    (CAST(co.co AS BIGINT) * 1000000) // (da.deg + db.deg - co.co)
+      |      AS jaccard_fx
+      |  FROM co JOIN deg da ON da.cust = co.ca
+      |  JOIN deg db ON db.cust = co.cb
+      |  ORDER BY jaccard_fx DESC, ca, cb LIMIT 100
+      |)
+      |SELECT ca, cb, co, CAST(deg_a AS BIGINT) AS deg_a,
+      |  CAST(deg_b AS BIGINT) AS deg_b, jaccard_fx,
+      |  ROW_NUMBER() OVER (ORDER BY jaccard_fx DESC, ca, cb) AS rank
+      |FROM scored ORDER BY rank""".stripMargin
+
+  // -------------------------------------------------------------------
+  // q195: EMBEDDING-SPACE OUTLIERS — distance-to-centroid ranking over
+  // int8-quantized unit vectors: the curation pass that surfaces
+  // mis-embedded / off-distribution items (broken decoders, wrong-
+  // language shards, adversarial content) before they reach training.
+  // q119's exact quantization (floor(x/max|x|·127), ints exact in
+  // double) makes the whole ranking BIT-REPLAYABLE: the centroid is
+  // the integer-floored per-dimension mean of exact int sums, and
+  // dist² = Σ(q_j − μ_j)² ≤ 64·254² ≈ 4.1e6 — exact at ANY corpus
+  // size (the centering bounds the arithmetic; raw n·q − S sums would
+  // leave int-exact double range at n ~ 1e9). The single FLOOR(S/n)
+  // division is safe: S/n has denominator n, so its distance from an
+  // integer is ≥ 1/n ≫ one ulp at magnitude ≤ 127.
+  //
+  // Scale: ONE pass computes n and the 64 exact sums (VecFixedSum —
+  // 64 longs per task across the shuffle, model-sized driver
+  // traffic); scoring is map-only through the native VecSub + VecDot
+  // codegen kernels against the 512-byte centroid literal; top-50 is
+  // a TakeOrdered. Nothing data-sized shuffles.
+  // -------------------------------------------------------------------
+  def q195EmbeddingOutliers(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.VectorFunctions.{vec_fixed_sum, vec_sub, vec_dot}
+    val qz = emb(spark, dir)
+      .select(col("vec_id"), Similarity.normalized(col("embedding")).as("v"))
+      .withColumn("m", array_max(transform(col("v"), x => abs(x))))
+      .select(col("vec_id"),
+        transform(col("v"),
+          x => floor(x / col("m") * lit(127.0)).cast("double")).as("qv"))
+    val st = qz.agg(count(lit(1)).as("n"),
+      vec_fixed_sum(col("qv"), 64, 1.0).as("s")).collect()(0)
+    val n = st.getLong(0)
+    val mu = st.getSeq[Long](1).map(sj => math.floor(sj.toDouble / n))
+    val muLit = array(mu.map(lit(_)): _*)
+    val ranked = qz
+      .select(col("vec_id"),
+        vec_dot(vec_sub(col("qv"), muLit), vec_sub(col("qv"), muLit))
+          .cast("long").as("dist2"))
+      .orderBy(desc("dist2"), asc("vec_id")).limit(50)
+    import org.apache.spark.sql.expressions.Window
+    ranked.withColumn("rank",
+        row_number().over(Window.orderBy(desc("dist2"), asc("vec_id"))))
+      .orderBy(asc("rank"))
+  }
+  val q195Sql: String =
+    """WITH nv AS (
+      |  SELECT vec_id, list_transform(embedding,
+      |    x -> CAST(x AS DOUBLE) / sqrt(list_sum(list_transform(embedding,
+      |      y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE))))) AS v
+      |  FROM embeddings
+      |), qz AS (
+      |  SELECT vec_id, list_transform(v,
+      |    x -> FLOOR(x / list_max(list_transform(v, y -> ABS(y))) * 127)) AS q
+      |  FROM nv
+      |), flat AS (
+      |  SELECT vec_id, UNNEST(q) AS x, generate_subscripts(q, 1) AS j FROM qz
+      |), mu AS (
+      |  SELECT j, FLOOR(CAST(SUM(x) AS DOUBLE)
+      |    / (SELECT COUNT(*) FROM qz)) AS mu
+      |  FROM flat GROUP BY j
+      |), d AS (
+      |  SELECT f.vec_id,
+      |    CAST(SUM((f.x - m.mu) * (f.x - m.mu)) AS BIGINT) AS dist2
+      |  FROM flat f JOIN mu m ON m.j = f.j GROUP BY 1
+      |)
+      |SELECT vec_id, dist2, rank FROM (
+      |  SELECT vec_id, dist2,
+      |    ROW_NUMBER() OVER (ORDER BY dist2 DESC, vec_id) AS rank
+      |  FROM d)
+      |WHERE rank <= 50 ORDER BY rank""".stripMargin
+
+  // -------------------------------------------------------------------
   // q183: split-leakage AUDIT — the measurement that PROVES q180's
   // guarantee: for each split mode, count near-dup pairs whose two
   // members landed in different splits. Per-doc hash split (q59's
@@ -2314,6 +2520,9 @@ object Pipeline {
     "q38_stream_hourly" -> (q38StreamHourly _),
     "q39_stream_stateful" -> (q39StreamStateful _),
     "q55_neardup_clusters" -> (q55NeardupClusters _),
+    "q194_canonical_dedup" -> (q194CanonicalDedup _),
+    "q197_link_prediction" -> (q197LinkPrediction _),
+    "q195_embedding_outliers" -> (q195EmbeddingOutliers _),
     "q56_stream_dedup" -> (q56StreamDedup _),
     "q64_stream_join" -> (q64StreamJoin _),
     "q133_stream_left_outer" -> (q133StreamLeftOuter _),
@@ -2398,6 +2607,9 @@ object Pipeline {
     "q38_stream_hourly" -> q38Sql,
     "q39_stream_stateful" -> q39Sql,
     "q55_neardup_clusters" -> q55Sql,
+    "q194_canonical_dedup" -> q194Sql,
+    "q197_link_prediction" -> q197Sql,
+    "q195_embedding_outliers" -> q195Sql,
     "q56_stream_dedup" -> q56Sql,
     "q78_stream_enrich" -> q78Sql,
     "q81_bpe_tokens" -> q81Sql,

@@ -178,6 +178,27 @@ object ScaleStress {
       graft.operators.Graph.kCorePeel(hashedEdges, "src", "dst",
         k = 8, rounds = 4).count())
 
+    // round-6 graph family at LARGE edge factors (round-7 verdict
+    // item): label propagation + weighted pagerank get their own
+    // denser graph — 80 hashed edges/vertex at 100× = 40 M directed
+    // edges (8/vertex at smoke factors), same 1k-hub planted skew.
+    // Pins the per-round cost curve the way triangles/BFS/k-core are
+    // pinned above: all exchanges carry long pairs/triples, lineage
+    // truncated between rounds, no data-proportional driver traffic.
+    val edgesPerV = if (factor >= 100) 80 else 8
+    val denseEdges = docs.select(col("doc_id").as("src"),
+      explode(array((0 until edgesPerV).map(i =>
+        pmod(xxhash64(col("doc_id"), lit(i + 100)),
+          lit(if (i == 0) 1024L else total))): _*)).as("dst"))
+    timed(s"label propagation (2 rounds, ${edgesPerV * total} edges)")(
+      graft.operators.Graph.labelPropagation(denseEdges, "src", "dst",
+        rounds = 2).count())
+    timed(s"weighted pagerank (3 iters, ${edgesPerV * total} edges)")(
+      graft.operators.Graph.pageRankWeightedFixed(
+        denseEdges.withColumn("w",
+          pmod(xxhash64(col("src"), col("dst")), lit(1000L)) + 1),
+        "src", "dst", "w", iters = 3).count())
+
     // vector path at factor× scale: replicate embeddings with
     // deterministic per-replica jitter (vec_id-seeded hash noise) so
     // replicas are near- but not exact-duplicates — the SemDeDup shape.
