@@ -607,6 +607,141 @@ object Relational {
       |FROM agg ORDER BY o_year""".stripMargin
 
   // -------------------------------------------------------------------
+  // q198: TPC-H Q14 shape — promo revenue share: the fraction of one
+  // ship-month's discounted revenue from PROMO parts. The CASE-inside-
+  // aggregate + ratio idiom (q131's recipe): both sums exact decimals,
+  // the share ONE IEEE division of two identically-derived doubles.
+  // Scale: part is a broadcast prune BEFORE the aggregate; the fact
+  // table streams map-side (date filter pushed to the scan) into a
+  // 1-row partial agg — no shuffle carries fact rows.
+  // -------------------------------------------------------------------
+  def q198TpchQ14(spark: SparkSession, dir: String): DataFrame = {
+    val vol = col("l_extendedprice").cast(DecimalType(12, 2)) *
+      (lit(1).cast(DecimalType(3, 2)) - col("l_discount").cast(DecimalType(3, 2)))
+    val p = t(spark, dir, "part").select(col("p_partkey"), col("p_type"))
+    t(spark, dir, "lineitem")
+      .filter(col("l_shipdate") >= lit("1995-09-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1995-10-01").cast("timestamp"))
+      .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .agg(
+        coalesce(sum(when(col("p_type") === lit("PROMO"), vol))
+          .cast("double"), lit(0.0)).as("promo_revenue"),
+        sum(vol).cast("double").as("total_revenue"))
+      .withColumn("promo_share_pct",
+        col("promo_revenue") * lit(100.0) / col("total_revenue"))
+  }
+  val q198Sql: String =
+    """SELECT
+      |  COALESCE(CAST(CAST(SUM(CASE WHEN p_type = 'PROMO'
+      |    THEN CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2))) END)
+      |    AS VARCHAR) AS DOUBLE), 0.0) AS promo_revenue,
+      |  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2))))
+      |    AS VARCHAR) AS DOUBLE) AS total_revenue,
+      |  COALESCE(CAST(CAST(SUM(CASE WHEN p_type = 'PROMO'
+      |    THEN CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2))) END)
+      |    AS VARCHAR) AS DOUBLE), 0.0) * 100.0
+      |  / CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2))))
+      |    AS VARCHAR) AS DOUBLE) AS promo_share_pct
+      |FROM lineitem JOIN part ON l_partkey = p_partkey
+      |WHERE l_shipdate >= TIMESTAMP '1995-09-01 00:00:00'
+      |  AND l_shipdate < TIMESTAMP '1995-10-01 00:00:00'""".stripMargin
+
+  // -------------------------------------------------------------------
+  // q199: TPC-H Q7 shape — volume shipping between two nations: per
+  // (supplier nation, customer nation, ship year) discounted revenue
+  // for the ordered nation pairs, both directions. Exercises the
+  // two-aliased-dimension join (nation joined twice under different
+  // roles) the registry didn't cover. Dimensions broadcast; the fact
+  // table shuffles once (orders join); exact decimal sums surfaced
+  // via the VARCHAR-cast double rule.
+  // -------------------------------------------------------------------
+  def q199TpchQ7(spark: SparkSession, dir: String): DataFrame = {
+    val nA = "NATION_1"; val nB = "NATION_2"
+    val ns = t(spark, dir, "nation")
+      .filter(col("n_name").isin(nA, nB))
+      .select(col("n_nationkey").as("s_nkey"), col("n_name").as("supp_nation"))
+    val nc = t(spark, dir, "nation")
+      .filter(col("n_name").isin(nA, nB))
+      .select(col("n_nationkey").as("c_nkey"), col("n_name").as("cust_nation"))
+    val s = t(spark, dir, "supplier")
+      .join(broadcast(ns), col("s_nationkey") === col("s_nkey"))
+      .select(col("s_suppkey"), col("supp_nation"))
+    val c = t(spark, dir, "customer")
+      .join(broadcast(nc), col("c_nationkey") === col("c_nkey"))
+      .select(col("c_custkey"), col("cust_nation"))
+    val vol = col("l_extendedprice").cast(DecimalType(12, 2)) *
+      (lit(1).cast(DecimalType(3, 2)) - col("l_discount").cast(DecimalType(3, 2)))
+    t(spark, dir, "lineitem")
+      .filter(col("l_shipdate") >= lit("1995-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1997-01-01").cast("timestamp"))
+      .join(t(spark, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(s), col("l_suppkey") === col("s_suppkey"))
+      .filter(col("supp_nation") =!= col("cust_nation"))
+      .groupBy(col("supp_nation"), col("cust_nation"),
+        year(col("l_shipdate")).cast("long").as("l_year"))
+      .agg(sum(vol).cast("double").as("revenue"), count(lit(1)).as("n"))
+      .orderBy(asc("supp_nation"), asc("cust_nation"), asc("l_year"))
+  }
+  val q199Sql: String =
+    """SELECT n2.n_name AS supp_nation, n1.n_name AS cust_nation,
+      |  CAST(YEAR(l_shipdate) AS BIGINT) AS l_year,
+      |  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2))))
+      |    AS VARCHAR) AS DOUBLE) AS revenue,
+      |  COUNT(*) AS n
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN nation n1 ON c_nationkey = n1.n_nationkey
+      |JOIN supplier ON l_suppkey = s_suppkey
+      |JOIN nation n2 ON s_nationkey = n2.n_nationkey
+      |WHERE n1.n_name IN ('NATION_1', 'NATION_2')
+      |  AND n2.n_name IN ('NATION_1', 'NATION_2')
+      |  AND n1.n_name != n2.n_name
+      |  AND l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
+      |  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+      |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin
+
+  // -------------------------------------------------------------------
+  // q200: TPC-H Q15 shape — top supplier(s) by quarterly revenue: the
+  // aggregate-then-join-against-own-max idiom (Q15's CREATE VIEW
+  // without the view). The max is EXACT decimal equality — no double
+  // comparison anywhere near the tie logic, so suppliers tied at the
+  // max all surface, deterministically. Revenue agg is supplier-keyed
+  // (map-side partial); the 1-row max broadcasts back.
+  // -------------------------------------------------------------------
+  def q200TpchQ15(spark: SparkSession, dir: String): DataFrame = {
+    val vol = col("l_extendedprice").cast(DecimalType(12, 2)) *
+      (lit(1).cast(DecimalType(3, 2)) - col("l_discount").cast(DecimalType(3, 2)))
+    val rev = t(spark, dir, "lineitem")
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1996-04-01").cast("timestamp"))
+      .groupBy(col("l_suppkey").as("supplier_no"))
+      .agg(sum(vol).as("total_rev"))
+    val mx = rev.agg(max(col("total_rev")).as("max_rev"))
+    rev.join(broadcast(mx), col("total_rev") === col("max_rev"))
+      .join(t(spark, dir, "supplier"),
+        col("supplier_no") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"),
+        col("total_rev").cast("double").as("total_revenue"))
+      .orderBy(asc("s_suppkey"))
+  }
+  val q200Sql: String =
+    """WITH rev AS (
+      |  SELECT l_suppkey AS supplier_no,
+      |    SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))) AS total_rev
+      |  FROM lineitem
+      |  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |    AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+      |  GROUP BY 1
+      |)
+      |SELECT s_suppkey, s_name,
+      |  CAST(CAST(total_rev AS VARCHAR) AS DOUBLE) AS total_revenue
+      |FROM rev JOIN supplier ON supplier_no = s_suppkey
+      |WHERE total_rev = (SELECT MAX(total_rev) FROM rev)
+      |ORDER BY s_suppkey""".stripMargin
+
+  // -------------------------------------------------------------------
   // q53: the same pipeline expressed through the GraftFrame facade —
   // reference-style chained ops (select → filter(Predicate) →
   // two-phase groupBy → aggregate) land in the oracle gate. Uses only
@@ -886,6 +1021,9 @@ object Relational {
     "q77_tpch_q10" -> (q77TpchQ10 _),
     "q131_tpch_q8" -> (q131TpchQ8 _),
     "q49_tpch_q6" -> (q49TpchQ6 _),
+    "q198_tpch_q14" -> (q198TpchQ14 _),
+    "q199_tpch_q7" -> (q199TpchQ7 _),
+    "q200_tpch_q15" -> (q200TpchQ15 _),
     "q50_tpch_q3" -> (q50TpchQ3 _),
     "q51_above_group_avg" -> (q51AboveGroupAvg _),
     "q01_tpch_q1" -> (q01TpchQ1 _),
@@ -918,6 +1056,9 @@ object Relational {
     "q77_tpch_q10" -> q77Sql,
     "q131_tpch_q8" -> q131Sql,
     "q49_tpch_q6" -> q49Sql,
+    "q198_tpch_q14" -> q198Sql,
+    "q199_tpch_q7" -> q199Sql,
+    "q200_tpch_q15" -> q200Sql,
     "q50_tpch_q3" -> q50Sql,
     "q51_above_group_avg" -> q51Sql,
     "q01_tpch_q1" -> q01Sql,
