@@ -88,7 +88,16 @@ object Explain {
       "q185_stream_distinct" -> "batch-driven runner: the plan below is the distributed-sink READ-BACK tail — the streaming plan is the mergeable KMV ObjectHashAggregate (≤4096 8-byte hashes per open window) inside StateStoreRestore/Save with watermark eviction; exact-regime parity evidence in StreamingSpec",
       "q186_interleave_schedule" -> "one per-source window (hash-ordered row_number, partitioned by source — no global sort before the final schedule ORDER BY), a 1-row ΣW broadcast (scalar BNLJ), and a map-only int64 stride key; the output total order IS the deliverable",
       "q187_bloom_union_decontaminate" -> "two-level membership aggregation: per-snapshot bloom_agg partials (128 KB binaries) OR-merge via bloom_union_agg; the unioned filter probes as a plan LITERAL in a codegen'd map-side filter ahead of the exact-confirm broadcast join (q83's shape) — the gram stream is hashed once per snapshot, never re-hashed on index growth",
-      "q188_seasonal_anomaly" -> "the hourly count aggregate is the only data-sized stage; the 168×types seasonal frame joins BROADCAST back, flags are cross-multiplied integer comparisons in the project, and the peak argmax is a bounded-fan-in window over the metadata-sized hourly frame")
+      "q188_seasonal_anomaly" -> "the hourly count aggregate is the only data-sized stage; the 168×types seasonal frame joins BROADCAST back, flags are cross-multiplied integer comparisons in the project, and the peak argmax is a bounded-fan-in window over the metadata-sized hourly frame",
+      "q189_collocations" -> "df ≥ 10 top-vocab semi-join (broadcast) prunes the distinct (doc, token) frame BEFORE the per-doc pair self-join — the r6 quadratic-fan-out fix, provably output-identical (n_ab ≤ min(df_a, df_b)); marginals and the 1-row total broadcast back onto the surviving pairs",
+      "q190_tdigest_bins" -> "fences from ONE mergeable t-digest aggregate (~3 KB of centroids at the final merge — the 100 TB replacement for exact percentile's single-reducer value map), broadcast as a 1-row frame; binning is 9 codegen comparisons in the project, then a partial-agged per-bin aggregate",
+      "q191_ivfpq_residual" -> "classic IVFADC: residual encode is the native codegen'd VecSub against the plan-literal centroid table (map-only, no interpreted HOF, no lambda state); ADC adds the probe's q·c term to the LUT sum; same cell equi-join pruning as q179",
+      "q193_heaps_law" -> "two-phase distributed prefix sum: token and first-occurrence counts partial-aggregate to ONE ROW PER 20-DOC BLOCK before the cumulative window — the single-partition window touches only the block frame (n_docs/20 rows), never tokens",
+      "q194_canonical_dedup" -> "CC rounds shuffle (id, long) pairs; the canonical pick is one per-cluster window over (id, cluster, len) triples — fan-in bounded by cluster size; the corpus joins the cluster frame once, left-outer",
+      "q195_embedding_outliers" -> "one VecFixedSum pass (64 longs/task) builds the exact centroid; scoring is map-only native VecSub+VecDot against the 512-byte centroid literal; top-50 via TakeOrdered — nothing data-sized shuffles",
+      "q196_ngram_novelty" -> "one distinct (doc, gram) frame feeds BOTH the min-aggregate (first_doc) and the count-back join — gram-keyed exchanges only, partial-aggregated; per-doc novelty is one integral division in the project",
+      "q197_link_prediction" -> "strongest-edge postings (top-20 per supplier window) bound the wedge self-join at C(20,2) per supplier; co-counts partial-aggregate on the pair key; full-degree frame joins back; top-100 as TakeOrdered",
+      "q200_tpch_q15" -> "supplier-keyed revenue aggregate (map-side partials) feeds its own 1-row max broadcast back — the view-free Q15: exact decimal equality picks the winners, supplier dim joins broadcast")
 
     val sb = new StringBuilder
     sb.append("# EXPLAINS — physical plans of representative queries\n\n")

@@ -16,6 +16,9 @@ echo "== [3/5] Verify + DuckDB check @ sf0.01 =="
 SPARK_GRAFT_CPUS=8 tools/run.sh graft.Verify /root/testdata/sf0.01 /tmp/gate_sf001
 python3 tools/check.py /root/testdata/sf0.01 /tmp/gate_sf001 | tail -2
 
+echo "== [3b/5] plan lint (scale-shape audit over every query plan) =="
+tools/run.sh graft.tools.PlanLint | grep planlint
+
 if [[ "${1:-}" == "--sweep" ]]; then
   echo "== [4/5] cross-scale Verify + check @ sf0.1 =="
   SPARK_GRAFT_CPUS=16 tools/run.sh graft.Verify /root/testdata/sf0.1 /tmp/gate_sf01
@@ -28,7 +31,9 @@ echo "== [5/5] bench @ sf0.1 (watch the q01 canary: ~0.5s quiet) =="
 SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 SPARK_GRAFT_CPUS=32 tools/run.sh graft.Bench \
   | python3 -c '
 import json, sys
-line = [l for l in sys.stdin if l.startswith("{")][-1]
+# the FULL line (with per-query map); Bench also emits a trailing
+# total_summary line for tail-truncating harnesses - skip it here
+line = [l for l in sys.stdin if l.startswith("{") and "\"queries\"" in l][-1]
 d = json.loads(line)
 q = d["queries"]
 total, canary = d["value"], q["q01_tpch_q1"]
