@@ -203,6 +203,64 @@ object Graph {
     ranks.select(col("id"), col("r").as("rank_fx"))
   }
 
+  /** HITS hubs & authorities (Kleinberg 1999), `rounds` fixed
+    * synchronous rounds in EXACT int64 fixed point — the replay
+    * contract of [[pageRankFixed]]: classic HITS L2-normalizes (not
+    * integer-replayable), this variant max-normalizes each score
+    * vector to `scale` via integer division, which preserves the
+    * RANKING (normalization is monotone) and makes every round an
+    * unrollable SQL expression. h⁰ = 1; per round: a = Σ_in h then
+    * a ← a·scale div max(a); h = Σ_out a then h ← h·scale div max(h).
+    * Returns (id, hub_fx, auth_fx) for every vertex — 0 for roles a
+    * vertex never plays (e.g. pure sinks have hub_fx 0).
+    *
+    * Overflow bound: Σ_in h ≤ in_deg·scale, so the normalize multiply
+    * needs in_deg·scale² < 2^63 — at scale 1e6 that is max degree
+    * < 9.2e6 (re-check before raising scale; pre-divide h by a common
+    * g if it ever tightens — the q184 discipline).
+    *
+    * Scale shape per round: two edges⋈scores hash joins + two
+    * partial-agged sums; max() is a 1-row broadcast; exchanges carry
+    * long pairs only; lineage truncated between rounds.
+    */
+  def hitsFixed(edges: DataFrame, srcCol: String, dstCol: String,
+                rounds: Int = 2, scale: Long = 1000000L,
+                checkpointDir: Option[String] = None): DataFrame = {
+    require(rounds >= 1)
+    val cut: DataFrame => DataFrame = checkpointDir match {
+      case Some(d) =>
+        edges.sparkSession.sparkContext.setCheckpointDir(d)
+        df => df.checkpoint(eager = true)
+      case None => df => df.localCheckpoint(true)
+    }
+    val e = cut(edges
+      .select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
+      .distinct())
+    val nodes = cut(e.select(col("src").as("id"))
+      .union(e.select(col("dst").as("id"))).distinct())
+    var hub = nodes.select(col("id"), lit(1L).as("h"))
+    var auth = nodes.select(col("id"), lit(0L).as("a"))
+    for (r <- 1 to rounds) {
+      val aRaw = e.join(hub.select(col("id").as("src"), col("h")), "src")
+        .groupBy(col("dst").as("id")).agg(sum(col("h")).as("a"))
+      val aFull = nodes.join(aRaw, Seq("id"), "left_outer")
+        .select(col("id"), coalesce(col("a"), lit(0L)).as("a"))
+      val amax = aFull.agg(greatest(max(col("a")), lit(1L)).as("mx"))
+      auth = aFull.crossJoin(broadcast(amax))
+        .select(col("id"), expr(s"(a * $scale) div mx").as("a"))
+      val hRaw = e.join(auth.select(col("id").as("dst"), col("a")), "dst")
+        .groupBy(col("src").as("id")).agg(sum(col("a")).as("h"))
+      val hFull = nodes.join(hRaw, Seq("id"), "left_outer")
+        .select(col("id"), coalesce(col("h"), lit(0L)).as("h"))
+      val hmax = hFull.agg(greatest(max(col("h")), lit(1L)).as("mx"))
+      hub = hFull.crossJoin(broadcast(hmax))
+        .select(col("id"), expr(s"(h * $scale) div mx").as("h"))
+      if (r < rounds) { hub = cut(hub); auth = cut(auth) }
+    }
+    hub.join(auth, Seq("id"))
+      .select(col("id"), col("h").as("hub_fx"), col("a").as("auth_fx"))
+  }
+
   /** Multi-source BFS: minimum hop distance from a seed set, level-
     * synchronous frontier expansion (the Pregel iteration pattern).
     *

@@ -1687,6 +1687,65 @@ object Pipeline {
       |FROM cl ORDER BY doc_id""".stripMargin
 
   // -------------------------------------------------------------------
+  // q201: HITS hubs & authorities (Kleinberg) over the cust→supp trade
+  // graph — the bipartite centrality pair PageRank cannot express:
+  // hub customers (buy from the important suppliers) vs authority
+  // suppliers (bought from by the important customers) emerge in the
+  // SAME fixed point. 2 rounds, exact int64: max-normalization (rank-
+  // preserving, monotone) instead of the classic L2 makes every round
+  // an unrollable integer SQL expression — q123/q184's replay
+  // contract, third member. Per round: two long-pair hash joins + two
+  // partial-agged sums + 1-row max broadcasts.
+  // -------------------------------------------------------------------
+  def q201Hits(spark: SparkSession, dir: String): DataFrame = {
+    val o = spark.read.parquet(s"$dir/orders.parquet")
+    val l = spark.read.parquet(s"$dir/lineitem.parquet")
+    val edges = o.join(l, col("o_orderkey") === col("l_orderkey"))
+      .select((col("o_custkey") * 2).as("src"),
+        (col("l_suppkey") * 2 + 1).as("dst"))
+    Graph.hitsFixed(edges, "src", "dst", rounds = 2)
+      .orderBy(asc("id"))
+  }
+  val q201Sql: String =
+    """WITH e AS (
+      |  SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+      |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+      |), nodes AS (
+      |  SELECT src AS id FROM e UNION SELECT dst FROM e
+      |), a1f AS (
+      |  SELECT n.id, COALESCE(r.a, 0) AS a FROM nodes n LEFT JOIN
+      |    (SELECT dst AS id, COUNT(*) AS a FROM e GROUP BY 1) r ON r.id = n.id
+      |), a1 AS (
+      |  SELECT id, (a * 1000000) // GREATEST((SELECT MAX(a) FROM a1f), 1) AS a
+      |  FROM a1f
+      |), h1f AS (
+      |  SELECT n.id, COALESCE(r.h, 0) AS h FROM nodes n LEFT JOIN
+      |    (SELECT e.src AS id, SUM(a1.a) AS h FROM e
+      |     JOIN a1 ON a1.id = e.dst GROUP BY 1) r ON r.id = n.id
+      |), h1 AS (
+      |  SELECT id, (h * 1000000) // GREATEST((SELECT MAX(h) FROM h1f), 1) AS h
+      |  FROM h1f
+      |), a2f AS (
+      |  SELECT n.id, COALESCE(r.a, 0) AS a FROM nodes n LEFT JOIN
+      |    (SELECT e.dst AS id, SUM(h1.h) AS a FROM e
+      |     JOIN h1 ON h1.id = e.src GROUP BY 1) r ON r.id = n.id
+      |), a2 AS (
+      |  SELECT id, (a * 1000000) // GREATEST((SELECT MAX(a) FROM a2f), 1) AS a
+      |  FROM a2f
+      |), h2f AS (
+      |  SELECT n.id, COALESCE(r.h, 0) AS h FROM nodes n LEFT JOIN
+      |    (SELECT e.src AS id, SUM(a2.a) AS h FROM e
+      |     JOIN a2 ON a2.id = e.dst GROUP BY 1) r ON r.id = n.id
+      |), h2 AS (
+      |  SELECT id, (h * 1000000) // GREATEST((SELECT MAX(h) FROM h2f), 1) AS h
+      |  FROM h2f
+      |)
+      |SELECT CAST(n.id AS BIGINT) AS id, CAST(h2.h AS BIGINT) AS hub_fx,
+      |  CAST(a2.a AS BIGINT) AS auth_fx
+      |FROM nodes n JOIN h2 ON h2.id = n.id JOIN a2 ON a2.id = n.id
+      |ORDER BY id""".stripMargin
+
+  // -------------------------------------------------------------------
   // q197: LINK PREDICTION by common-neighbor Jaccard — the graph-side
   // similarity primitive (recommendation, entity resolution, "which
   // customers behave alike"): customer pairs scored by the Jaccard of
@@ -1830,6 +1889,72 @@ object Pipeline {
       |    ROW_NUMBER() OVER (ORDER BY dist2 DESC, vec_id) AS rank
       |  FROM d)
       |WHERE rank <= 50 ORDER BY rank""".stripMargin
+
+  // -------------------------------------------------------------------
+  // q202: EMBEDDING SNAPSHOT DRIFT — per-dimension centroid shift
+  // between two corpus snapshots (vec_id parity simulates crawl A/B):
+  // the embedding-space complement of q116's token-distribution χ² —
+  // a silent encoder change, preprocessing drift, or shard swap moves
+  // the quantized centroid long before downstream metrics notice.
+  // q195's exact int8 machinery makes it bit-replayable: per-snapshot
+  // integer-floored per-dim means from exact VecFixedSum sums, drift
+  // = |μ_a − μ_b| per dim, plus each dim's share of the L1 shift in
+  // fixed point. Scale: TWO VecFixedSum passes (64 longs/task each) —
+  // nothing else touches data; output is 64 rows.
+  // -------------------------------------------------------------------
+  def q202EmbeddingDrift(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.VectorFunctions.vec_fixed_sum
+    val qz = emb(spark, dir)
+      .select(col("vec_id"), Similarity.normalized(col("embedding")).as("v"))
+      .withColumn("m", array_max(transform(col("v"), x => abs(x))))
+      .select(col("vec_id"), pmod(col("vec_id"), lit(2)).as("snap"),
+        transform(col("v"),
+          x => floor(x / col("m") * lit(127.0)).cast("double")).as("qv"))
+    val st = qz.groupBy(col("snap"))
+      .agg(count(lit(1)).as("n"), vec_fixed_sum(col("qv"), 64, 1.0).as("s"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getSeq[Long](2))).toMap
+    val (na, sa) = st(0L); val (nb, sb) = st(1L)
+    val mu = (0 until 64).map { j =>
+      (j.toLong, math.floor(sa(j).toDouble / na).toLong,
+        math.floor(sb(j).toDouble / nb).toLong)
+    }
+    val rows = mu.map { case (j, a, b) => (j, a, b, math.abs(a - b)) }
+    val l1 = rows.map(_._4).sum.max(1L)
+    import spark.implicits._
+    rows.toDF("dim", "mu_a", "mu_b", "drift")
+      .select(col("dim"), col("mu_a"), col("mu_b"), col("drift"),
+        expr(s"(drift * 1000000) div $l1").as("share_fx"))
+      .orderBy(asc("dim"))
+  }
+  val q202Sql: String =
+    """WITH nv AS (
+      |  SELECT vec_id, list_transform(embedding,
+      |    x -> CAST(x AS DOUBLE) / sqrt(list_sum(list_transform(embedding,
+      |      y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE))))) AS v
+      |  FROM embeddings
+      |), qz AS (
+      |  SELECT vec_id, vec_id % 2 AS snap, list_transform(v,
+      |    x -> FLOOR(x / list_max(list_transform(v, y -> ABS(y))) * 127)) AS q
+      |  FROM nv
+      |), flat AS (
+      |  SELECT snap, UNNEST(q) AS x, generate_subscripts(q, 1) - 1 AS dim
+      |  FROM qz
+      |), mu AS (
+      |  SELECT dim,
+      |    FLOOR(CAST(SUM(CASE WHEN snap = 0 THEN x END) AS DOUBLE)
+      |      / (SELECT COUNT(*) FROM qz WHERE snap = 0)) AS mu_a,
+      |    FLOOR(CAST(SUM(CASE WHEN snap = 1 THEN x END) AS DOUBLE)
+      |      / (SELECT COUNT(*) FROM qz WHERE snap = 1)) AS mu_b
+      |  FROM flat GROUP BY dim
+      |), d AS (
+      |  SELECT dim, CAST(mu_a AS BIGINT) AS mu_a, CAST(mu_b AS BIGINT) AS mu_b,
+      |    CAST(ABS(mu_a - mu_b) AS BIGINT) AS drift
+      |  FROM mu
+      |)
+      |SELECT CAST(dim AS BIGINT) AS dim, mu_a, mu_b, drift,
+      |  CAST((drift * 1000000) // CAST(GREATEST((SELECT SUM(drift) FROM d), 1)
+      |    AS BIGINT) AS BIGINT) AS share_fx
+      |FROM d ORDER BY dim""".stripMargin
 
   // -------------------------------------------------------------------
   // q183: split-leakage AUDIT — the measurement that PROVES q180's
@@ -2522,6 +2647,8 @@ object Pipeline {
     "q55_neardup_clusters" -> (q55NeardupClusters _),
     "q194_canonical_dedup" -> (q194CanonicalDedup _),
     "q197_link_prediction" -> (q197LinkPrediction _),
+    "q201_hits" -> (q201Hits _),
+    "q202_embedding_drift" -> (q202EmbeddingDrift _),
     "q195_embedding_outliers" -> (q195EmbeddingOutliers _),
     "q56_stream_dedup" -> (q56StreamDedup _),
     "q64_stream_join" -> (q64StreamJoin _),
@@ -2609,6 +2736,8 @@ object Pipeline {
     "q55_neardup_clusters" -> q55Sql,
     "q194_canonical_dedup" -> q194Sql,
     "q197_link_prediction" -> q197Sql,
+    "q201_hits" -> q201Sql,
+    "q202_embedding_drift" -> q202Sql,
     "q195_embedding_outliers" -> q195Sql,
     "q56_stream_dedup" -> q56Sql,
     "q78_stream_enrich" -> q78Sql,

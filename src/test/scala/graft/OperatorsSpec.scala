@@ -179,6 +179,31 @@ class OperatorsSpec extends SparkSpec {
     assert(again === got)
   }
 
+  test("hitsFixed: hand-rolled 2-round reference on a small bipartite graph") {
+    // customers 2,4,6 -> suppliers 1,3: c2 buys from both, c4 and c6
+    // from s1 only. s1 (in-deg 3) must out-rank s3 (in-deg 1) as
+    // authority; c2 (buys from both) must be the top hub.
+    val e = Seq((2L, 1L), (2L, 3L), (4L, 1L), (6L, 1L)).toDF("s", "d")
+    val got = Graph.hitsFixed(e, "s", "d", rounds = 2)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // hand-unroll with scale = 1e6, h0 = 1:
+    // a1: s1=3, s3=1 -> max 3 -> a1n: s1=1000000, s3=333333
+    // h1: c2=1333333, c4=1000000, c6=1000000 -> h1n: c2=1000000, c4=c6=750000
+    // a2: s1=1000000+750000+750000=2500000, s3=1000000
+    //     -> a2n: s1=1000000, s3=400000
+    // h2: c2=1400000, c4=1000000, c6=1000000
+    //     -> h2n: c2=1000000, c4=c6=714285
+    assert(got(1L) === (0L, 1000000L))   // pure sink: hub 0, top authority
+    assert(got(3L) === (0L, 400000L))
+    assert(got(2L) === (1000000L, 0L))   // pure source: top hub, auth 0
+    assert(got(4L) === (714285L, 0L))
+    assert(got(6L) === (714285L, 0L))
+    // partition invariance (mergeable aggregates end-to-end)
+    val again = Graph.hitsFixed(e.repartition(5), "s", "d", rounds = 2)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(again === got)
+  }
+
   test("labelPropagation: directed source-only vertices persist and keep voting") {
     // 0 -> 1 -> 2 (pure chain). Vertex 0 has no in-edges: it must stay
     // in the output every round with its own label, and its round-2
