@@ -2136,6 +2136,45 @@ object Pipeline {
       |GROUP BY c.user_id ORDER BY c.user_id""".stripMargin
 
   // -------------------------------------------------------------------
+  // q203: STREAMING EVENT-TIME AS-OF enrich — every purchase joined to
+  // the latest click at-or-before it per user via custom
+  // flatMapGroupsWithState state (the argmax-over-unbounded-past shape
+  // no built-in stream-stream join expresses; streaming twin of
+  // q40/q168). Emission horizon = Spark's own ms-floored watermark
+  // ((max_ts_us div 1000) − 7.2e6)·1000, mirrored EXACTLY in the
+  // oracle — purchases inside the final 2 h are held in state, not
+  // emitted (q133's hold-back discipline, asserted non-vacuous in
+  // StreamingSpec along with multi-batch arrival invariance).
+  // -------------------------------------------------------------------
+  def q203StreamAsof(spark: SparkSession, dir: String): DataFrame =
+    graft.streaming.EventStreams.streamingAsofEnrich(spark, dir)
+  val q203Sql: String =
+    """WITH ev AS (
+      |  SELECT user_id, event_type, ts, event_id FROM events
+      |  WHERE event_type IN ('click', 'purchase')
+      |), wm AS (
+      |  SELECT ((epoch_us(MAX(ts)) // 1000) - 7200000) * 1000 AS w_us FROM ev
+      |), p AS (
+      |  SELECT user_id, event_id AS p_id, epoch_us(ts) AS p_ts_us
+      |  FROM ev, wm WHERE event_type = 'purchase' AND epoch_us(ts) <= w_us
+      |), c AS (
+      |  SELECT user_id, epoch_us(ts) AS c_ts_us, event_id FROM ev
+      |  WHERE event_type = 'click'
+      |), j AS (
+      |  SELECT p.user_id, p.p_id, p.p_ts_us, c.c_ts_us,
+      |    ROW_NUMBER() OVER (PARTITION BY p.user_id, p.p_id, p.p_ts_us
+      |      ORDER BY c.c_ts_us DESC, c.event_id DESC) AS rk
+      |  FROM p LEFT JOIN c
+      |    ON c.user_id = p.user_id AND c.c_ts_us <= p.p_ts_us
+      |)
+      |SELECT user_id, p_id, p_ts_us,
+      |  CAST(COALESCE(c_ts_us, -1) AS BIGINT) AS c_ts_us,
+      |  CAST(CASE WHEN c_ts_us IS NULL THEN -1
+      |    ELSE p_ts_us - c_ts_us END AS BIGINT) AS gap_us
+      |FROM j WHERE rk = 1
+      |ORDER BY user_id, p_ts_us, p_id""".stripMargin
+
+  // -------------------------------------------------------------------
   // q133: LEFT OUTER stream-stream join — q64's attribution plus the
   // null-emission path: clicks with no purchase in-window surface only
   // after the watermark CLOSES their window (c_ts + 30min strictly
@@ -2648,6 +2687,7 @@ object Pipeline {
     "q194_canonical_dedup" -> (q194CanonicalDedup _),
     "q197_link_prediction" -> (q197LinkPrediction _),
     "q201_hits" -> (q201Hits _),
+    "q203_stream_asof" -> (q203StreamAsof _),
     "q202_embedding_drift" -> (q202EmbeddingDrift _),
     "q195_embedding_outliers" -> (q195EmbeddingOutliers _),
     "q56_stream_dedup" -> (q56StreamDedup _),
@@ -2744,6 +2784,7 @@ object Pipeline {
     "q81_bpe_tokens" -> q81Sql,
     "q82_neardup_clusters_alt" -> q55Sql,
     "q64_stream_join" -> q64Sql,
+    "q203_stream_asof" -> q203Sql,
     "q133_stream_left_outer" -> q133Sql,
     "q151_stream_full_outer" -> q151Sql,
     "q87_stream_upsert" -> q87Sql,

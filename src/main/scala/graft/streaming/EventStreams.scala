@@ -366,6 +366,14 @@ object EventStreams {
     */
   case class UserAgg(user_id: Long, n_events: Long, total_value: Double)
 
+  /** Per-user buffer for [[streamingAsofEnrich]]: clicks and
+    * still-unemittable purchases as (ts_us, event_id) pairs. Clicks at
+    * or below the watermark are COMPACTED to their (ts, id)-argmax —
+    * any future purchase has p_ts > wm ≥ those clicks, so only the
+    * latest can ever win an as-of race — keeping state O(in-flight
+    * window), not O(history). */
+  case class AsofBuf(clicks: Seq[(Long, Long)], purchases: Seq[(Long, Long)])
+
   def statefulUserCounts(spark: SparkSession, dir: String): DataFrame = {
     val ss = streamSession(spark)
     import ss.implicits._
@@ -450,6 +458,87 @@ object EventStreams {
         StructField("n_events", LongType),
         StructField("sum_value", DoubleType))))
       .orderBy(asc("c_mktsegment"), asc("event_type"))
+  }
+
+  /** Streaming EVENT-TIME AS-OF enrichment via flatMapGroupsWithState —
+    * every purchase joined to the LATEST click at-or-before it for the
+    * same user (tie-break max event_id), the streaming twin of the
+    * batch/native as-of joins (q40/q168): attribution, feature lookup,
+    * "state as of the event" — the custom-state shape none of the
+    * built-in stream-stream joins express (they are window-range
+    * equi-joins; as-of needs an argmax over an unbounded past).
+    *
+    * Correctness contract: a purchase emits exactly when the event-time
+    * watermark passes it — at that point every click ≤ its timestamp
+    * has either arrived or is contractually too late, so the argmax is
+    * final. The emission horizon is Spark's own ms-floored watermark,
+    * `((max ts in µs) div 1000 − 7,200,000) · 1000`, which the oracle
+    * mirrors EXACTLY — no boundary luck. Unemitted purchases (inside
+    * the final 2 h) are held in state, not emitted (the q133 hold-back
+    * discipline); the spec asserts the hold-back is non-vacuous.
+    *
+    * State per user is O(in-flight window), not O(history): clicks at
+    * or below the watermark compact to their (ts, id)-argmax — any
+    * future purchase has p_ts > wm ≥ them, so only the latest can win.
+    * After all purchases drain, a user retains ≤1 compacted click
+    * (16 bytes — the as-of dimension row, the price of answering the
+    * next purchase without a rescan). Timeouts are event-time
+    * (EventTimeTimeout at the earliest held purchase), so emission
+    * needs no data to arrive. APPEND mode, distributed parquet drain.
+    */
+  def streamingAsofEnrich(spark: SparkSession, dir: String): DataFrame = {
+    val ss = streamSession(spark)
+    import ss.implicits._
+    val ev = readEventStream(ss, dir)
+      .filter(col("event_type").isin("click", "purchase"))
+      .withWatermark("ts", "2 hours")
+      .select(col("user_id"), col("event_type"), col("ts"),
+        unix_micros(col("ts")).as("ts_us"), col("event_id"))
+      .as[(Long, String, java.sql.Timestamp, Long, Long)]
+    val joined = ev.groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append(),
+        GroupStateTimeout.EventTimeTimeout()) {
+        (user: Long, rows: Iterator[(Long, String, java.sql.Timestamp, Long, Long)],
+         state: GroupState[AsofBuf]) =>
+          val wmUs = state.getCurrentWatermarkMs() * 1000L
+          val prev = state.getOption.getOrElse(AsofBuf(Nil, Nil))
+          var clicks = prev.clicks
+          var purchases = prev.purchases
+          rows.foreach { r =>
+            if (r._2 == "click") clicks +:= ((r._4, r._5))
+            else purchases +:= ((r._4, r._5))
+          }
+          val (emit, hold) = purchases.partition(_._1 <= wmUs)
+          val out = emit.sorted.map { case (pts, pid) =>
+            val cands = clicks.filter(_._1 <= pts)
+            if (cands.isEmpty) (user, pid, pts, -1L, -1L)
+            else {
+              val best = cands.max // latest ts, then max event_id
+              (user, pid, pts, best._1, pts - best._1)
+            }
+          }
+          val (oldC, freshC) = clicks.partition(_._1 <= wmUs)
+          val kept = (if (oldC.nonEmpty) Seq(oldC.max) else Nil) ++ freshC
+          if (kept.isEmpty && hold.isEmpty) state.remove()
+          else {
+            state.update(AsofBuf(kept, hold))
+            if (hold.nonEmpty)
+              state.setTimeoutTimestamp(math.max(
+                hold.map(_._1).min / 1000L,
+                state.getCurrentWatermarkMs() + 1L))
+          }
+          out.iterator
+      }
+    appendSinkDrain(
+      joined.toDF("user_id", "p_id", "p_ts_us", "c_ts_us", "gap_us"),
+      "graft_stream_asof",
+      StructType(Seq(
+        StructField("user_id", LongType),
+        StructField("p_id", LongType),
+        StructField("p_ts_us", LongType),
+        StructField("c_ts_us", LongType),
+        StructField("gap_us", LongType))))
+      .orderBy(asc("user_id"), asc("p_ts_us"), asc("p_id"))
   }
 
   /** Streaming CDC apply — a `foreachBatch` upsert sink: each

@@ -424,6 +424,57 @@ class StreamingSpec extends SparkSpec {
       (3L, "c", 3L, 3.0)))
   }
 
+  test("streaming as-of enrich: parity with batch argmax at the ms-floored " +
+    "horizon; tail purchases held back") {
+    val streamed = graft.streaming.EventStreams.streamingAsofEnrich(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSet
+    val ev = graft.sources.Events.ev(spark, sf)
+      .filter(col("event_type").isin("click", "purchase"))
+    // Spark's watermark is ms-floored: ((max µs) div 1000 − 2h·1000)·1000
+    val wmUs = (ev.agg(max(unix_micros(col("ts")))).collect()(0).getLong(0)
+      / 1000L - 7200000L) * 1000L
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("p_id"),
+        unix_micros(col("ts")).as("p_ts_us"))
+      .filter(col("p_ts_us") <= wmUs)
+    val c = ev.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), unix_micros(col("ts")).as("c_ts_us"),
+        col("event_id").as("c_id"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id"), col("p_id"), col("p_ts_us"))
+      .orderBy(desc("c_ts_us"), desc("c_id"))
+    // the as-of condition must live INSIDE the left join, or purchases
+    // whose user has only LATER clicks vanish instead of going null
+    val batch = p.join(c,
+        col("user_id") === col("c_user") && col("c_ts_us") <= col("p_ts_us"),
+        "left_outer")
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .select(col("user_id"), col("p_id"), col("p_ts_us"),
+        coalesce(col("c_ts_us"), lit(-1L)).as("c_ts_us"),
+        coalesce(col("p_ts_us") - col("c_ts_us"), lit(-1L)).as("gap_us"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSet
+    assert(streamed === batch)
+    assert(streamed.nonEmpty, "no purchases emitted")
+    // hold-back is non-vacuous: purchases inside the final 2h exist
+    // in the data but are NOT in the streamed output
+    val held = ev.filter(col("event_type") === "purchase")
+      .filter(unix_micros(col("ts")) > wmUs).count()
+    assert(held > 0, "fixture has no tail purchases - hold-back untested")
+    val emittedIds = streamed.map(_._2)
+    val heldIds = ev.filter(col("event_type") === "purchase")
+      .filter(unix_micros(col("ts")) > wmUs)
+      .select(col("event_id")).collect().map(_.getLong(0)).toSet
+    assert(heldIds.intersect(emittedIds).isEmpty,
+      "a held purchase leaked into the emitted set")
+    // some emitted purchase actually matched a click (join non-vacuous)
+    assert(streamed.exists(_._4 >= 0), "no purchase matched any click")
+    assert(streamed.exists(_._4 == -1L) ||
+      streamed.forall(_._4 >= 0)) // clickless path shape-checked
+  }
+
   test("streaming t-digest quantiles: closed windows only, brackets vs exact batch ranks") {
     val out = graft.streaming.EventStreams
       .streamingQuantilesBatchDriven(spark, sf)
