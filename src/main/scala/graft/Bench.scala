@@ -47,6 +47,9 @@ object Bench {
       graft.streaming.EventStreams.enrichedSegmentRollup _,
       graft.streaming.EventStreams.streamingUpsert _,
       graft.streaming.EventStreams.sessionRollupBatchDriven _,
+      // flatMapGroupsWithState + EventTimeTimeout compiles its own
+      // state-store plan (distinct from mapGroupsWithState's)
+      graft.streaming.EventStreams.streamingAsofEnrich _,
       // t-digest-in-state-store compiles its own agg + eviction shape
       graft.streaming.EventStreams.streamingQuantilesBatchDriven _,
       graft.queries.Pipeline.q75SemanticDedup _,

@@ -947,7 +947,105 @@ object Curation {
       |FROM grams g JOIN first f ON f.gram = g.gram
       |GROUP BY 1 ORDER BY doc_id""".stripMargin
 
+  // -------------------------------------------------------------------
+  // q204: NAIVE BAYES source classifier — counts-based multinomial NB
+  // (Laplace +1) trained on the corpus' own source labels and replayed
+  // on every doc: the quality/provenance classifier shape every
+  // curation pipeline runs (fastText-style source scoring), expressed
+  // as pure aggregates so the WHOLE model fits the bit-replay
+  // contract: every count is exact int64, each per-term log-likelihood
+  // lands in floor(ln·1e6) fixed point (the q189 convention; sums of
+  // per-term floors are deterministic on both engines), argmax breaks
+  // ties on class name. Self-classification accuracy is the output's
+  // own audit column.
+  //
+  // Scale: the model IS two aggregates (class-term counts V×C rows,
+  // class totals C rows) — broadcast, vocab-capped in a real corpus
+  // (q176's top-N machinery; unseen tokens take the smoothed default,
+  // which the left join + coalesce already implements). Scoring is
+  // one exploded-token pass × C classes — map-side fan-out against
+  // broadcast models, one (doc, class) partial aggregate, a per-doc
+  // C-row window.
+  // -------------------------------------------------------------------
+  def q204NaiveBayes(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    val toks = d.select(col("doc_id"), col("source"),
+      explode(TA.tokens(col("text"))).as("tok"))
+    val ct = toks.groupBy(col("source").as("cls"), col("tok"))
+      .agg(count(lit(1)).as("n_ct"))
+    val cTot = toks.groupBy(col("source").as("cls")).agg(count(lit(1)).as("n_c"))
+    val vocabN = toks.select(col("tok")).distinct().count()
+    val nDocs = d.count()
+    val terms = ct.join(cTot, "cls")
+      .select(col("cls"), col("tok"),
+        floor(log((col("n_ct") + 1).cast("double")
+          / (col("n_c") + vocabN).cast("double")) * lit(1000000.0))
+          .cast("long").as("ll_fx"))
+    val defaults = cTot.select(col("cls"),
+      floor(log(lit(1.0) / (col("n_c") + vocabN).cast("double"))
+        * lit(1000000.0)).cast("long").as("ll0_fx"))
+    val priorFx = d.groupBy(col("source").as("cls")).agg(count(lit(1)).as("n_d"))
+      .select(col("cls"),
+        floor(log(col("n_d").cast("double") / lit(nDocs.toDouble))
+          * lit(1000000.0)).cast("long").as("lp_fx"))
+    val scored = toks
+      .crossJoin(broadcast(cTot.select(col("cls"))))
+      .join(broadcast(terms), Seq("cls", "tok"), "left_outer")
+      .join(broadcast(defaults), Seq("cls"))
+      .select(col("doc_id"), col("source"), col("cls"),
+        coalesce(col("ll_fx"), col("ll0_fx")).as("t"))
+      .groupBy(col("doc_id"), col("source"), col("cls"))
+      .agg(sum(col("t")).as("sum_ll"))
+      .join(broadcast(priorFx), "cls")
+      .select(col("doc_id"), col("source"), col("cls"),
+        (col("sum_ll") + col("lp_fx")).as("score_fx"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(desc("score_fx"), asc("cls"))
+    scored.withColumn("rk", row_number().over(w)).filter(col("rk") === 1)
+      .select(col("doc_id"), col("source").as("actual"),
+        col("cls").as("pred"), col("score_fx"),
+        (col("source") === col("cls")).as("correct"))
+      .orderBy(asc("doc_id"))
+  }
+  val q204Sql: String =
+    raw"""WITH toks AS (
+      |  SELECT doc_id, source, UNNEST($toksSql) AS tok FROM documents
+      |), v AS (SELECT COUNT(DISTINCT tok) AS v FROM toks
+      |), nd AS (SELECT COUNT(*) AS n FROM documents
+      |), ctot AS (SELECT source AS cls, COUNT(*) AS n_c FROM toks GROUP BY 1
+      |), terms AS (
+      |  SELECT ct.cls, ct.tok,
+      |    CAST(FLOOR(LN(CAST(ct.n_ct + 1 AS DOUBLE)
+      |      / CAST(ctot.n_c + v.v AS DOUBLE)) * 1000000) AS BIGINT) AS ll
+      |  FROM (SELECT source AS cls, tok, COUNT(*) AS n_ct
+      |        FROM toks GROUP BY 1, 2) ct
+      |  JOIN ctot USING (cls) CROSS JOIN v
+      |), defaults AS (
+      |  SELECT cls, CAST(FLOOR(LN(1.0 / CAST(n_c + v.v AS DOUBLE))
+      |    * 1000000) AS BIGINT) AS ll0
+      |  FROM ctot CROSS JOIN v
+      |), prior AS (
+      |  SELECT source AS cls, CAST(FLOOR(LN(CAST(COUNT(*) AS DOUBLE)
+      |    / (SELECT n FROM nd)) * 1000000) AS BIGINT) AS lp
+      |  FROM documents GROUP BY 1
+      |), scored AS (
+      |  SELECT t.doc_id, t.source, c.cls,
+      |    CAST(SUM(COALESCE(tm.ll, d.ll0)) AS BIGINT) + MIN(p.lp) AS score_fx
+      |  FROM toks t
+      |  CROSS JOIN (SELECT cls FROM ctot) c
+      |  LEFT JOIN terms tm ON tm.cls = c.cls AND tm.tok = t.tok
+      |  JOIN defaults d ON d.cls = c.cls
+      |  JOIN prior p ON p.cls = c.cls
+      |  GROUP BY 1, 2, 3
+      |)
+      |SELECT doc_id, source AS actual, cls AS pred, score_fx,
+      |  source = cls AS correct
+      |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+      |    ORDER BY score_fx DESC, cls) AS rk FROM scored)
+      |WHERE rk = 1 ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q204_naive_bayes" -> (q204NaiveBayes _),
     "q192_zipf_fit" -> (q192ZipfFit _),
     "q193_heaps_law" -> (q193HeapsLaw _),
     "q196_ngram_novelty" -> (q196NgramNovelty _),
@@ -974,6 +1072,7 @@ object Curation {
     "q120_fuzzy_decontaminate" -> (q120FuzzyDecontaminate _))
 
   val oracle: Map[String, String] = Map(
+    "q204_naive_bayes" -> q204Sql,
     "q192_zipf_fit" -> q192Sql,
     "q193_heaps_law" -> q193Sql,
     "q196_ngram_novelty" -> q196Sql,

@@ -815,6 +815,37 @@ object Pipeline {
       |FROM documents GROUP BY 1 ORDER BY media_type""".stripMargin
 
   // -------------------------------------------------------------------
+  // q205: MEDIA payload dedup — exact dedup over the BINARY column
+  // (q30's fingerprint shape, multimodal edition): identical payload
+  // bytes cluster on a 16-byte md5, every medium maps to its cluster's
+  // min-id keeper. At 100 TB of images/video this is the first pass of
+  // any media pipeline (crawl mirrors re-fetch identical bytes), and
+  // the scale property is q30's: only (fingerprint, id) pairs cross
+  // the shuffle — payload BLOBS never move. Keep-rule ties to min id,
+  // fully replayable (DuckDB md5 over the identical UTF-8 bytes).
+  // -------------------------------------------------------------------
+  def q205MediaDedup(spark: SparkSession, dir: String): DataFrame = {
+    val m = Multimodal.mediaTable(spark, dir).toDF()
+    val fp = m.select(col("media_id"), col("media_type"),
+      md5(col("payload")).as("fp"))
+    val keep = fp.groupBy(col("fp")).agg(min(col("media_id")).as("keep_id"))
+    fp.join(keep, "fp")
+      .select(col("media_id"), col("media_type"), col("keep_id"),
+        (col("media_id") =!= col("keep_id")).as("is_dup"))
+      .orderBy(asc("media_id"))
+  }
+  val q205Sql: String =
+    """WITH m AS (
+      |  SELECT doc_id AS media_id,
+      |    CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image'
+      |         WHEN 1 THEN 'audio' ELSE 'video' END AS media_type,
+      |    md5(text) AS fp
+      |  FROM documents
+      |), k AS (SELECT fp, MIN(media_id) AS keep_id FROM m GROUP BY 1)
+      |SELECT media_id, media_type, keep_id, media_id != keep_id AS is_dup
+      |FROM m JOIN k USING (fp) ORDER BY media_id""".stripMargin
+
+  // -------------------------------------------------------------------
   // q102: sliding-window STREAMING rollup — the streaming twin of the
   // batch sliding query q44; same oracle SQL (exact epoch arithmetic).
   // -------------------------------------------------------------------
@@ -2687,6 +2718,7 @@ object Pipeline {
     "q194_canonical_dedup" -> (q194CanonicalDedup _),
     "q197_link_prediction" -> (q197LinkPrediction _),
     "q201_hits" -> (q201Hits _),
+    "q205_media_dedup" -> (q205MediaDedup _),
     "q203_stream_asof" -> (q203StreamAsof _),
     "q202_embedding_drift" -> (q202EmbeddingDrift _),
     "q195_embedding_outliers" -> (q195EmbeddingOutliers _),
@@ -2777,6 +2809,7 @@ object Pipeline {
     "q194_canonical_dedup" -> q194Sql,
     "q197_link_prediction" -> q197Sql,
     "q201_hits" -> q201Sql,
+    "q205_media_dedup" -> q205Sql,
     "q202_embedding_drift" -> q202Sql,
     "q195_embedding_outliers" -> q195Sql,
     "q56_stream_dedup" -> q56Sql,
