@@ -66,6 +66,44 @@ object TemporalJoins {
         rightPayload.map(c => col(s"__asof_$c").as(s"asof_$c"))): _*)
   }
 
+  /** Backward as-of join with a TOLERANCE bound (pandas
+    * `merge_asof(tolerance=...)` / kdb `wj` semantics): the nearest
+    * right row at-or-before each left row matches only if it is within
+    * `toleranceMicros`; staler matches become NULL payloads (the left
+    * row is kept — tolerance bounds staleness, it does not filter).
+    * Equivalence note making this a post-filter, not a different scan:
+    * the nearest-within-tolerance IS the overall nearest whenever one
+    * exists, so the carry-forward window needs no changes — one
+    * predicate over the carried match timestamp nulls the stale rows.
+    * Same single-shuffle union + one-window-scan shape as
+    * [[asofJoinBackward]].
+    */
+  def asofJoinBackwardTolerance(left: DataFrame, right: DataFrame, key: String,
+                                leftTs: String, rightTs: String,
+                                rightPayload: Seq[String],
+                                toleranceMicros: Long,
+                                rightTieBreak: Option[String] = None): DataFrame = {
+    val payload = (rightPayload :+ rightTs).distinct
+    val j = asofJoinBackward(left, right, key, leftTs, rightTs, payload,
+      rightTieBreak)
+    // micros for TIMESTAMP columns; raw integer time axes pass through
+    def us(c: org.apache.spark.sql.Column,
+           dt: org.apache.spark.sql.types.DataType) = dt match {
+      case org.apache.spark.sql.types.TimestampType => unix_micros(c)
+      case _ => c.cast("long")
+    }
+    val within = col(s"asof_$rightTs").isNotNull &&
+      us(col(leftTs), left.schema(leftTs).dataType) -
+        us(col(s"asof_$rightTs"), right.schema(rightTs).dataType) <=
+        toleranceMicros
+    val masked = payload.foldLeft(j) { (df, c) =>
+      df.withColumn(s"asof_$c", when(within, col(s"asof_$c")))
+    }
+    // drop the helper ts column unless the caller asked for it
+    if (rightPayload.contains(rightTs)) masked
+    else masked.drop(s"asof_$rightTs")
+  }
+
   /** Forward as-of join: for every left row, attach the EARLIEST right
     * row with `rightTs >= leftTs` (same key) — the time-to-next-event
     * direction ([[asofJoinBackward]] mirrored). Same single-shuffle

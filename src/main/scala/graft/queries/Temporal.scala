@@ -40,6 +40,46 @@ object Temporal {
       |ORDER BY p.event_id""".stripMargin
 
   // -------------------------------------------------------------------
+  // q206: as-of join with a TOLERANCE bound — q40's backward as-of
+  // under pandas merge_asof(tolerance=1h) semantics: the nearest click
+  // at-or-before each purchase matches only if ≤1 h stale, else the
+  // purchase keeps NULL click columns (staleness bound, not a filter —
+  // the row survives). Because nearest-within-tolerance ≡ overall
+  // nearest when one exists, the plan is q40's single-shuffle union +
+  // one window carry plus ONE predicate — no second scan. Oracle is
+  // the explicit argmax left join with both bounds (DuckDB's ASOF has
+  // no tolerance clause).
+  // -------------------------------------------------------------------
+  def q206AsofTolerance(spark: SparkSession, dir: String): DataFrame = {
+    val e = ev(spark, dir)
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), col("event_id"))
+    val clicks = e.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts"), col("event_id"))
+    TemporalJoins.asofJoinBackwardTolerance(purchases, clicks, "user_id",
+        "ts", "ts", rightPayload = Seq("event_id", "ts"),
+        toleranceMicros = 3600L * 1000000L, rightTieBreak = Some("event_id"))
+      .select(col("event_id"), col("user_id"), col("ts"),
+        col("asof_event_id").as("click_id"), col("asof_ts").as("click_ts"))
+      .orderBy(asc("event_id"))
+  }
+  val q206Sql: String =
+    """WITH p AS (SELECT event_id, user_id, ts FROM events
+      |           WHERE event_type = 'purchase'),
+      |c AS (SELECT event_id, user_id, ts FROM events
+      |      WHERE event_type = 'click'),
+      |j AS (
+      |  SELECT p.event_id, p.user_id, p.ts,
+      |    c.event_id AS click_id, c.ts AS click_ts,
+      |    ROW_NUMBER() OVER (PARTITION BY p.event_id
+      |      ORDER BY c.ts DESC, c.event_id DESC) AS rk
+      |  FROM p LEFT JOIN c ON c.user_id = p.user_id
+      |    AND c.ts <= p.ts AND c.ts >= p.ts - INTERVAL 1 HOUR
+      |)
+      |SELECT event_id, user_id, ts, click_id, click_ts
+      |FROM j WHERE rk = 1 ORDER BY event_id""".stripMargin
+
+  // -------------------------------------------------------------------
   // q41: banded range join — (click, purchase) pairs of the same user
   // within 5 minutes. Bucketed equi-join + exact filter vs DuckDB's
   // inequality join.
@@ -299,6 +339,7 @@ object Temporal {
       |FROM w GROUP BY event_type ORDER BY event_type""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q206_asof_tolerance" -> (q206AsofTolerance _),
     "q182_decayed_agg" -> (q182DecayedAgg _),
     "q168_asof_native" -> (q168AsofNative _),
     "q169_asof_native_forward" -> (q169AsofNativeForward _),
@@ -309,6 +350,7 @@ object Temporal {
     "q146_interval_overlap" -> (q146IntervalOverlap _))
 
   val oracle: Map[String, String] = Map(
+    "q206_asof_tolerance" -> q206Sql,
     "q182_decayed_agg" -> q182Sql,
     "q168_asof_native" -> q40Sql, // identical output contract by design
     "q169_asof_native_forward" -> q135Sql, // ditto, forward direction

@@ -21,6 +21,26 @@ class TemporalJoinsSpec extends SparkSpec {
       Seq((1L, 10L, 100.0), (1L, 20L, 120.0), (2L, 5L, -1.0)))
   }
 
+  test("asof backward with tolerance nulls stale matches, keeps rows") {
+    val trades = Seq((1L, 10L, "t1"), (1L, 100L, "t2"), (2L, 5L, "t3"))
+      .toDF("k", "ts", "trade")
+    val quotes = Seq((1L, 8L, 100.0), (1L, 15L, 110.0))
+      .toDF("k", "ts", "px")
+    val got = TemporalJoins.asofJoinBackwardTolerance(trades, quotes,
+        "k", "ts", "ts", rightPayload = Seq("px"), toleranceMicros = 10L)
+      .orderBy("k", "ts").collect()
+    // t1@10 → quote@8 (gap 2 ≤ 10, kept); t2@100 → nearest is quote@15
+    // (gap 85 > 10 → NULLED, row survives); t3 → no quote → null
+    assert(got.map(r => (r.getLong(0), r.getLong(1),
+      if (r.isNullAt(3)) -1.0 else r.getDouble(3))).toSeq ===
+      Seq((1L, 10L, 100.0), (1L, 100L, -1.0), (2L, 5L, -1.0)))
+    // zero tolerance: only exact-timestamp matches survive
+    val exact = TemporalJoins.asofJoinBackwardTolerance(trades, quotes,
+        "k", "ts", "ts", rightPayload = Seq("px"), toleranceMicros = 0L)
+      .orderBy("k", "ts").collect()
+    assert(exact.forall(_.isNullAt(3)))
+  }
+
   test("asof forward join picks earliest right row at-or-after left ts") {
     val clicks = Seq((1L, 10L, "c1"), (1L, 20L, "c2"), (2L, 5L, "c3"))
       .toDF("k", "ts", "click")
