@@ -97,7 +97,12 @@ object Explain {
       "q195_embedding_outliers" -> "one VecFixedSum pass (64 longs/task) builds the exact centroid; scoring is map-only native VecSub+VecDot against the 512-byte centroid literal; top-50 via TakeOrdered — nothing data-sized shuffles",
       "q196_ngram_novelty" -> "one distinct (doc, gram) frame feeds BOTH the min-aggregate (first_doc) and the count-back join — gram-keyed exchanges only, partial-aggregated; per-doc novelty is one integral division in the project",
       "q197_link_prediction" -> "strongest-edge postings (top-20 per supplier window) bound the wedge self-join at C(20,2) per supplier; co-counts partial-aggregate on the pair key; full-degree frame joins back; top-100 as TakeOrdered",
-      "q200_tpch_q15" -> "supplier-keyed revenue aggregate (map-side partials) feeds its own 1-row max broadcast back — the view-free Q15: exact decimal equality picks the winners, supplier dim joins broadcast")
+      "q200_tpch_q15" -> "supplier-keyed revenue aggregate (map-side partials) feeds its own 1-row max broadcast back — the view-free Q15: exact decimal equality picks the winners, supplier dim joins broadcast",
+      "q201_hits" -> "per HITS round: two long-pair hash joins + two partial-agged sums; each max-normalization is a 1-row broadcast; exchanges never carry more than (id, long) — the q123/q184 replay shape, bipartite edition",
+      "q202_embedding_drift" -> "two VecFixedSum aggregates (64 longs/task per snapshot) are the ONLY data-sized stages; the 64-row drift frame is driver-assembled model output — embedding bytes are scanned once, shuffled never",
+      "q204_naive_bayes" -> "the NB model is two broadcast aggregates (class-term counts, class totals); scoring fans each exploded token across the 20-class broadcast (the allowlisted domain-bounded BNLJ), partial-aggregates per (doc, class), and picks argmax in a C-row-fan-in window",
+      "q205_media_dedup" -> "q30's dedup shape over the binary payload: only (16-byte md5, id, type) cross the exchange — blobs stay in the scan; keeper mapping is one fingerprint-keyed min-aggregate + join",
+      "q206_asof_tolerance" -> "q40's union + single window carry with ONE added predicate (gap ≤ tolerance nulls stale payloads) — the tolerance costs zero extra scans or shuffles")
 
     val sb = new StringBuilder
     sb.append("# EXPLAINS — physical plans of representative queries\n\n")

@@ -40,7 +40,8 @@ object PlanLint {
     // domain-bounded grouped aggregates (the linter cannot prove key
     // cardinality; these are metadata-sized dimensions by design)
     "q125_kmv_overlap" -> "build side = per-SOURCE sketch frame (#sources rows × ≤2 KB); the pairwise stage runs on sketches, never data",
-    "q92_resample" -> "build side = distinct event_type (5-value domain) crossed with the hour grid — the resample frame itself")
+    "q92_resample" -> "build side = distinct event_type (5-value domain) crossed with the hour grid — the resample frame itself",
+    "q204_naive_bayes" -> "build side = the class list (per-source aggregate, 20-value domain) — the score-every-class fan-out IS the NB classifier")
 
   private def unwrap(p: SparkPlan): Seq[SparkPlan] = p match {
     case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
