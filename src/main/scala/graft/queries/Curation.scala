@@ -1044,7 +1044,55 @@ object Curation {
       |    ORDER BY score_fx DESC, cls) AS rk FROM scored)
       |WHERE rk = 1 ORDER BY doc_id""".stripMargin
 
+  // -------------------------------------------------------------------
+  // q207: SKIP-GRAM context pairs — positional (center, context)
+  // co-occurrence within a ±2 token window, the counts that feed
+  // word2vec-style embedding training and BPE-merge scoring. Unlike
+  // q189's doc-level incidence pairs, these are SEQUENCE pairs: built
+  // with two codegen'd `lead` offsets per token inside a per-doc
+  // window — NO self-join, no pair fan-out beyond 2 rows per token.
+  // Symmetric window (center < context canonicalization), distance
+  // carried so near-context (d=1) and skip-context (d=2) stay
+  // distinguishable; top-100 by (count desc, pair asc). All-int64.
+  // Scale: one token explode + one per-doc window (fan-in = doc
+  // length), partial-agged pair counts, TakeOrdered top-k.
+  // -------------------------------------------------------------------
+  def q207SkipgramPairs(spark: SparkSession, dir: String): DataFrame = {
+    val toks = docs(spark, dir)
+      .select(col("doc_id"), posexplode(TA.tokens(col("text"))).as(Seq("p", "t")))
+    val w = Window.partitionBy(col("doc_id")).orderBy(asc("p"))
+    val pairs = (1 to 2).map { d =>
+      toks.withColumn("u", lead(col("t"), d).over(w))
+        .filter(col("u").isNotNull)
+        .select(least(col("t"), col("u")).as("tok_a"),
+          greatest(col("t"), col("u")).as("tok_b"),
+          lit(d.toLong).as("dist"))
+    }.reduce(_ unionByName _)
+    pairs.groupBy(col("tok_a"), col("tok_b"), col("dist"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(desc("n"), asc("tok_a"), asc("tok_b"), asc("dist"))
+      .limit(100)
+  }
+  val q207Sql: String =
+    raw"""WITH toks AS (
+      |  SELECT doc_id, UNNEST(t) AS t,
+      |    generate_subscripts(t, 1) AS p
+      |  FROM (SELECT doc_id, $toksSql AS t FROM documents)
+      |), pairs AS (
+      |  SELECT LEAST(t, u) AS tok_a, GREATEST(t, u) AS tok_b, dist FROM (
+      |    SELECT t, LEAD(t, 1) OVER (PARTITION BY doc_id ORDER BY p) AS u,
+      |      CAST(1 AS BIGINT) AS dist FROM toks
+      |    UNION ALL
+      |    SELECT t, LEAD(t, 2) OVER (PARTITION BY doc_id ORDER BY p) AS u,
+      |      CAST(2 AS BIGINT) AS dist FROM toks)
+      |  WHERE u IS NOT NULL
+      |)
+      |SELECT tok_a, tok_b, dist, COUNT(*) AS n
+      |FROM pairs GROUP BY 1, 2, 3
+      |ORDER BY n DESC, tok_a, tok_b, dist LIMIT 100""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q207_skipgram_pairs" -> (q207SkipgramPairs _),
     "q204_naive_bayes" -> (q204NaiveBayes _),
     "q192_zipf_fit" -> (q192ZipfFit _),
     "q193_heaps_law" -> (q193HeapsLaw _),
@@ -1072,6 +1120,7 @@ object Curation {
     "q120_fuzzy_decontaminate" -> (q120FuzzyDecontaminate _))
 
   val oracle: Map[String, String] = Map(
+    "q207_skipgram_pairs" -> q207Sql,
     "q204_naive_bayes" -> q204Sql,
     "q192_zipf_fit" -> q192Sql,
     "q193_heaps_law" -> q193Sql,
