@@ -276,6 +276,12 @@ object ScaleStress {
     // which is exactly the bounded-memory contract of the aggregate
     timed(s"streaming heavy hitters (q175 shape, $factor x events)")(
       graft.streaming.EventStreams.streamingHeavyHittersBatchDriven(spark, evPath).count())
+    // streaming as-of enrich at ×N: flatMapGroupsWithState custom
+    // state — the click buffer compacts to its argmax at the watermark,
+    // so per-user state must stay O(in-flight window) while event
+    // volume scales; emission is timeout-driven (no data needed)
+    timed(s"streaming as-of enrich (q203 shape, $factor x events)")(
+      graft.streaming.EventStreams.streamingAsofEnrich(spark, evPath).count())
     // PCA covariance pass at ×N vectors: one scan, d(d+1)/2 longs per
     // task — driver work is constant
     timed(s"pca top component (${nVec} vectors)")(
