@@ -260,4 +260,37 @@ class PropertySpec extends Properties("graft") {
         got == deg
       }
     }
+
+  private val vecPairGen: Gen[List[(Array[Float], Array[Double])]] =
+    Gen.listOfN(12, Gen.zip(
+      Gen.listOfN(8, Gen.chooseNum(-100f, 100f)).map(_.toArray),
+      Gen.listOfN(8, Gen.chooseNum(-100.0, 100.0)).map(_.toArray)))
+
+  property("vec_sub is bit-identical to zip_with subtraction") =
+    Prop.forAll(vecPairGen) { rows =>
+      rows.isEmpty || {
+        val df = rows.toDF("a", "b")
+        import graft.functions.VectorFunctions.vec_sub
+        val native = df.select(vec_sub(col("a"), col("b")))
+          .collect().map(_.getSeq[Double](0)).toSeq
+        val hof = df.select(zip_with(col("a"), col("b"),
+            (x, y) => x.cast("double") - y.cast("double")))
+          .collect().map(_.getSeq[Double](0)).toSeq
+        native == hof
+      }
+    }
+
+  property("hitsFixed is invariant to edge duplication and partitioning") =
+    Prop.forAll(graphGen) { edges =>
+      edges.isEmpty || {
+        val base = graft.operators.Graph
+          .hitsFixed(edges.toDF("s", "d"), "s", "d", rounds = 2)
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+        val dup = graft.operators.Graph
+          .hitsFixed((edges ++ edges).toDF("s", "d").repartition(7),
+            "s", "d", rounds = 2)
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+        base == dup // distinct() canonicalizes; aggregates are mergeable
+      }
+    }
 }
