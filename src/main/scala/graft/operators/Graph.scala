@@ -261,6 +261,49 @@ object Graph {
       .select(col("id"), col("h").as("hub_fx"), col("a").as("auth_fx"))
   }
 
+  /** Weighted single/multi-source shortest paths: `rounds` synchronous
+    * Bellman-Ford relaxations in exact int64 — after round R the
+    * distances are exact over all ≤R-hop paths (full convergence at
+    * R = longest shortest-path hop count; callers iterate externally
+    * if unknown). The weighted sibling of [[bfsLevels]] under the
+    * [[pageRankFixed]] fixed-round replay contract: min() is
+    * associative and integer, so every round is an unrollable SQL
+    * expression and partial-aggregates map-side.
+    *
+    * Per round: one edges⋈dist hash join + one partial-agged min per
+    * dst + one union-min fold back into the standing frame — all
+    * exchanges carry (id, long) pairs; lineage truncated between
+    * rounds. Weights must be ≥0 ints; max path weight must stay
+    * below 2^63 (rounds · max edge weight — re-check before changing
+    * weight units, the q184 discipline).
+    */
+  def ssspFixed(edges: DataFrame, srcCol: String, dstCol: String,
+                weightCol: String, sources: DataFrame, idCol: String,
+                rounds: Int = 3,
+                checkpointDir: Option[String] = None): DataFrame = {
+    require(rounds >= 1)
+    val cut: DataFrame => DataFrame = checkpointDir match {
+      case Some(d) =>
+        edges.sparkSession.sparkContext.setCheckpointDir(d)
+        df => df.checkpoint(eager = true)
+      case None => df => df.localCheckpoint(true)
+    }
+    val e = cut(edges
+      .select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"),
+        col(weightCol).cast("long").as("w"))
+      .groupBy(col("src"), col("dst")).agg(min(col("w")).as("w")))
+    var dist = sources.select(col(idCol).cast("long").as("id"), lit(0L).as("d"))
+    for (r <- 1 to rounds) {
+      val relax = e
+        .join(dist.select(col("id").as("src"), col("d")), "src")
+        .select(col("dst").as("id"), (col("d") + col("w")).as("d"))
+      val next = dist.unionByName(relax)
+        .groupBy(col("id")).agg(min(col("d")).as("d"))
+      dist = if (r % 2 == 0 && r < rounds) cut(next) else next
+    }
+    dist.select(col("id"), col("d").as("dist"))
+  }
+
   /** Multi-source BFS: minimum hop distance from a seed set, level-
     * synchronous frontier expansion (the Pregel iteration pattern).
     *

@@ -1777,6 +1777,66 @@ object Pipeline {
       |ORDER BY id""".stripMargin
 
   // -------------------------------------------------------------------
+  // q208: WEIGHTED shortest paths (Bellman-Ford, 3 fixed rounds) over
+  // the trade-value graph — "cheapest trading route" distances from
+  // every 50th customer, the weighted sibling of q170's BFS hop
+  // levels under the same fixed-round exact-int64 replay contract
+  // (min is associative ⇒ unrollable SQL, map-side partial mins).
+  // After round 3 distances are exact over ≤3-hop paths — the same
+  // bounded-horizon semantic every fixed-round graph gate here uses.
+  // Per round: one edges⋈dist join + one partial-agged min + a
+  // union-min fold; (id, long) pairs only.
+  // -------------------------------------------------------------------
+  def q208Sssp(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val o = spark.read.parquet(s"$dir/orders.parquet")
+    val l = spark.read.parquet(s"$dir/lineitem.parquet")
+    val rel = o.join(l, col("o_orderkey") === col("l_orderkey"))
+      .groupBy((col("o_custkey") * 2).as("c"), (col("l_suppkey") * 2 + 1).as("s"))
+      .agg(sum((col("l_extendedprice").cast(DecimalType(12, 2)) * 100)
+        .cast("long")).as("w"))
+    val edges = rel.select(col("c").as("src"), col("s").as("dst"), col("w"))
+      .unionByName(rel.select(col("s").as("src"), col("c").as("dst"), col("w")))
+    val sources = rel.select(col("c").as("id")).distinct()
+      .filter(expr("(id div 2) % 50 = 0"))
+    Graph.ssspFixed(edges, "src", "dst", "w", sources, "id", rounds = 3)
+      .orderBy(asc("id"))
+  }
+  val q208Sql: String =
+    """WITH rel AS (
+      |  SELECT o_custkey * 2 AS c, l_suppkey * 2 + 1 AS s,
+      |    CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100
+      |      AS BIGINT)) AS BIGINT) AS w
+      |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+      |  GROUP BY 1, 2
+      |), e AS (
+      |  SELECT src, dst, MIN(w) AS w FROM (
+      |    SELECT c AS src, s AS dst, w FROM rel
+      |    UNION ALL SELECT s, c, w FROM rel)
+      |  GROUP BY 1, 2
+      |), d0 AS (
+      |  SELECT DISTINCT c AS id, CAST(0 AS BIGINT) AS d FROM rel
+      |  WHERE (c // 2) % 50 = 0
+      |), r1 AS (
+      |  SELECT id, MIN(d) AS d FROM (
+      |    SELECT id, d FROM d0
+      |    UNION ALL SELECT e.dst, d0.d + e.w FROM e JOIN d0 ON d0.id = e.src)
+      |  GROUP BY 1
+      |), r2 AS (
+      |  SELECT id, MIN(d) AS d FROM (
+      |    SELECT id, d FROM r1
+      |    UNION ALL SELECT e.dst, r1.d + e.w FROM e JOIN r1 ON r1.id = e.src)
+      |  GROUP BY 1
+      |), r3 AS (
+      |  SELECT id, MIN(d) AS d FROM (
+      |    SELECT id, d FROM r2
+      |    UNION ALL SELECT e.dst, r2.d + e.w FROM e JOIN r2 ON r2.id = e.src)
+      |  GROUP BY 1
+      |)
+      |SELECT CAST(id AS BIGINT) AS id, CAST(d AS BIGINT) AS dist
+      |FROM r3 ORDER BY id""".stripMargin
+
+  // -------------------------------------------------------------------
   // q197: LINK PREDICTION by common-neighbor Jaccard — the graph-side
   // similarity primitive (recommendation, entity resolution, "which
   // customers behave alike"): customer pairs scored by the Jaccard of
@@ -2719,6 +2779,7 @@ object Pipeline {
     "q197_link_prediction" -> (q197LinkPrediction _),
     "q201_hits" -> (q201Hits _),
     "q205_media_dedup" -> (q205MediaDedup _),
+    "q208_sssp" -> (q208Sssp _),
     "q203_stream_asof" -> (q203StreamAsof _),
     "q202_embedding_drift" -> (q202EmbeddingDrift _),
     "q195_embedding_outliers" -> (q195EmbeddingOutliers _),
@@ -2810,6 +2871,7 @@ object Pipeline {
     "q197_link_prediction" -> q197Sql,
     "q201_hits" -> q201Sql,
     "q205_media_dedup" -> q205Sql,
+    "q208_sssp" -> q208Sql,
     "q202_embedding_drift" -> q202Sql,
     "q195_embedding_outliers" -> q195Sql,
     "q56_stream_dedup" -> q56Sql,

@@ -179,6 +179,26 @@ class OperatorsSpec extends SparkSpec {
     assert(again === got)
   }
 
+  test("ssspFixed: Bellman-Ford rounds match hand distances; bounded horizon") {
+    // 1 -(5)-> 2 -(1)-> 3 -(1)-> 4; 1 -(10)-> 3 (longer direct edge);
+    // parallel 1->2 edge of weight 7 must lose to the 5
+    val e = Seq((1L, 2L, 5L), (1L, 2L, 7L), (2L, 3L, 1L),
+      (3L, 4L, 1L), (1L, 3L, 10L)).toDF("s", "d", "w")
+    val src = Seq(Tuple1(1L)).toDF("id")
+    def run(r: Int) = Graph.ssspFixed(e, "s", "d", "w", src, "id", rounds = r)
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    // round 1: only direct edges relaxed
+    assert(run(1) === Map(1L -> 0L, 2L -> 5L, 3L -> 10L))
+    // round 2: 1->2->3 (6) beats direct 10; 4 reached via 3@10+1=11
+    assert(run(2) === Map(1L -> 0L, 2L -> 5L, 3L -> 6L, 4L -> 11L))
+    // round 3: 4 improves through the 3-hop path (5+1+1)
+    val r3 = run(3)
+    assert(r3 === Map(1L -> 0L, 2L -> 5L, 3L -> 6L, 4L -> 7L))
+    // partition invariance (mergeable mins end-to-end)
+    assert(Graph.ssspFixed(e.repartition(5), "s", "d", "w", src, "id", 3)
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap === r3)
+  }
+
   test("hitsFixed: hand-rolled 2-round reference on a small bipartite graph") {
     // customers 2,4,6 -> suppliers 1,3: c2 buys from both, c4 and c6
     // from s1 only. s1 (in-deg 3) must out-rank s3 (in-deg 1) as
