@@ -1091,7 +1091,58 @@ object Curation {
       |FROM pairs GROUP BY 1, 2, 3
       |ORDER BY n DESC, tok_a, tok_b, dist LIMIT 100""".stripMargin
 
+  // -------------------------------------------------------------------
+  // q209: per-source DATASET REPORT CARD — the one-table corpus audit
+  // every ingestion run publishes: per source, volume (docs, tokens,
+  // chars), lexical health (distinct tokens, mean doc length in
+  // fixed point), and DUPLICATION (exact-dup rate via md5 fingerprint
+  // distinct counts — q30's 16-byte shuffle, grouped). Composes the
+  // text-analysis and dedup families into the actual deliverable a
+  // data-quality dashboard reads; all-int64 (one fixed-point division
+  // per source), bit-replayable. Scale: one explode for token counts
+  // (partial-agged), one fingerprint aggregate — nothing beyond
+  // (source, long) and (source, 16-byte md5) crosses a shuffle.
+  // -------------------------------------------------------------------
+  def q209ReportCard(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.{TextAnalysis => T}
+    val d = docs(spark, dir)
+    val base = d.groupBy(col("source")).agg(
+      count(lit(1)).as("n_docs"),
+      sum(T.tokenCount(col("text"))).as("n_tokens"),
+      sum(T.charCount(col("text"))).as("n_chars"),
+      countDistinct(md5(encode(col("text"), "UTF-8"))).as("n_uniq_texts"))
+    val vocab = d.select(col("source"), explode(TA.tokens(col("text"))).as("tok"))
+      .groupBy(col("source")).agg(countDistinct(col("tok")).as("n_vocab"))
+    base.join(vocab, Seq("source"))
+      .select(col("source"), col("n_docs"), col("n_tokens"), col("n_chars"),
+        col("n_vocab"),
+        expr("(n_tokens * 1000000) div n_docs").as("mean_doc_toks_fx"),
+        (col("n_docs") - col("n_uniq_texts")).as("n_exact_dups"),
+        expr("((n_docs - n_uniq_texts) * 1000000) div n_docs").as("dup_rate_fx"))
+      .orderBy(asc("source"))
+  }
+  val q209Sql: String =
+    raw"""WITH base AS (
+      |  SELECT source, COUNT(*) AS n_docs,
+      |    CAST(SUM(LEN($toksSql)) AS BIGINT) AS n_tokens,
+      |    CAST(SUM(LENGTH(text)) AS BIGINT) AS n_chars,
+      |    COUNT(DISTINCT md5(text)) AS n_uniq_texts
+      |  FROM documents GROUP BY 1
+      |), vocab AS (
+      |  SELECT source, COUNT(DISTINCT tok) AS n_vocab FROM (
+      |    SELECT source, UNNEST($toksSql) AS tok FROM documents)
+      |  GROUP BY 1
+      |)
+      |SELECT b.source, b.n_docs, b.n_tokens, b.n_chars,
+      |  CAST(v.n_vocab AS BIGINT) AS n_vocab,
+      |  (b.n_tokens * 1000000) // b.n_docs AS mean_doc_toks_fx,
+      |  b.n_docs - b.n_uniq_texts AS n_exact_dups,
+      |  ((b.n_docs - b.n_uniq_texts) * 1000000) // b.n_docs AS dup_rate_fx
+      |FROM base b JOIN vocab v ON v.source = b.source
+      |ORDER BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q209_report_card" -> (q209ReportCard _),
     "q207_skipgram_pairs" -> (q207SkipgramPairs _),
     "q204_naive_bayes" -> (q204NaiveBayes _),
     "q192_zipf_fit" -> (q192ZipfFit _),
@@ -1120,6 +1171,7 @@ object Curation {
     "q120_fuzzy_decontaminate" -> (q120FuzzyDecontaminate _))
 
   val oracle: Map[String, String] = Map(
+    "q209_report_card" -> q209Sql,
     "q207_skipgram_pairs" -> q207Sql,
     "q204_naive_bayes" -> q204Sql,
     "q192_zipf_fit" -> q192Sql,

@@ -104,7 +104,8 @@ object Explain {
       "q205_media_dedup" -> "q30's dedup shape over the binary payload: only (16-byte md5, id, type) cross the exchange — blobs stay in the scan; keeper mapping is one fingerprint-keyed min-aggregate + join",
       "q206_asof_tolerance" -> "q40's union + single window carry with ONE added predicate (gap ≤ tolerance nulls stale payloads) — the tolerance costs zero extra scans or shuffles",
       "q207_skipgram_pairs" -> "sequence pairs WITHOUT a self-join: two codegen'd lead offsets in one per-doc window emit ≤2 rows per token; pair counts partial-aggregate; top-100 is a TakeOrdered — contrast with q189's incidence-pair prune, which this shape never needs",
-      "q208_sssp" -> "per Bellman-Ford round: one edges⋈dist hash join + a partial-agged min per dst + a union-min fold — (id, long) pairs in every exchange, lineage truncated between rounds (q170's BFS shape with weights)")
+      "q208_sssp" -> "per Bellman-Ford round: one edges⋈dist hash join + a partial-agged min per dst + a union-min fold — (id, long) pairs in every exchange, lineage truncated between rounds (q170's BFS shape with weights)",
+      "q209_report_card" -> "two grouped aggregates (doc-level metrics with map-side partials; one token explode for vocab) joined on the source dimension — nothing beyond (source, long) and (source, md5) crosses a shuffle; the report is metadata-sized")
 
     val sb = new StringBuilder
     sb.append("# EXPLAINS — physical plans of representative queries\n\n")
