@@ -488,8 +488,25 @@ object EventStreams {
     */
   def streamingAsofEnrich(spark: SparkSession, dir: String): DataFrame = {
     val ss = streamSession(spark)
+    appendSinkDrain(
+      asofEnrichStream(readEventStream(ss, dir)),
+      "graft_stream_asof",
+      StructType(Seq(
+        StructField("user_id", LongType),
+        StructField("p_id", LongType),
+        StructField("p_ts_us", LongType),
+        StructField("c_ts_us", LongType),
+        StructField("gap_us", LongType))))
+      .orderBy(asc("user_id"), asc("p_ts_us"), asc("p_id"))
+  }
+
+  /** The as-of enrich TRANSFORM on any streaming events frame
+    * (user_id, event_type, ts, event_id) — split out so specs can
+    * drive it from a MemoryStream across arbitrary batch splits. */
+  def asofEnrichStream(events: DataFrame): DataFrame = {
+    val ss = events.sparkSession
     import ss.implicits._
-    val ev = readEventStream(ss, dir)
+    val ev = events
       .filter(col("event_type").isin("click", "purchase"))
       .withWatermark("ts", "2 hours")
       .select(col("user_id"), col("event_type"), col("ts"),
@@ -529,16 +546,35 @@ object EventStreams {
           }
           out.iterator
       }
-    appendSinkDrain(
-      joined.toDF("user_id", "p_id", "p_ts_us", "c_ts_us", "gap_us"),
-      "graft_stream_asof",
+    joined.toDF("user_id", "p_id", "p_ts_us", "c_ts_us", "gap_us")
+  }
+
+  /** Spec hook: drain [[asofEnrichStream]] over a caller-fed source
+    * (MemoryStream) through the distributed parquet sink — the
+    * multi-batch arrival-invariance harness. */
+  def asofSinkDrain(events: DataFrame)(
+      feed: org.apache.spark.sql.streaming.StreamingQuery => Unit): DataFrame = {
+    val spark = events.sparkSession
+    val target = graft.util.TempDirs.scratch("graft_stream_asof_test")
+    val q = asofEnrichStream(events).writeStream
+      .outputMode(OutputMode.Append())
+      .format("parquet")
+      .option("path", s"$target/out")
+      .option("checkpointLocation", s"$target/ckpt")
+      .start()
+    try feed(q) finally q.stop()
+    val outDir = new java.io.File(s"$target/out")
+    val hasRows = Option(outDir.listFiles())
+      .exists(_.exists(_.getName.endsWith(".parquet")))
+    if (hasRows) spark.read.parquet(s"$target/out")
+    else spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
       StructType(Seq(
         StructField("user_id", LongType),
         StructField("p_id", LongType),
         StructField("p_ts_us", LongType),
         StructField("c_ts_us", LongType),
         StructField("gap_us", LongType))))
-      .orderBy(asc("user_id"), asc("p_ts_us"), asc("p_id"))
   }
 
   /** Streaming CDC apply — a `foreachBatch` upsert sink: each

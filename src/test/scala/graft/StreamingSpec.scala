@@ -475,6 +475,44 @@ class StreamingSpec extends SparkSpec {
       streamed.forall(_._4 >= 0)) // clickless path shape-checked
   }
 
+  test("streaming as-of enrich is batch-split invariant (time-ordered multi-batch)") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val H = 3600L * 1000000L // one hour in µs
+    // user 1: click@1h, p@2h (→ click@1h), click@3h, p@10h (→ click@3h),
+    // click@30h, p@31h (→ click@30h); user 2: p@5h with NO click;
+    // closer@40h pushes the watermark to 38h so every purchase emits
+    val rows = Seq(
+      (1L, "click", 1 * H, 101L), (1L, "purchase", 2 * H, 201L),
+      (1L, "click", 3 * H, 102L), (2L, "purchase", 5 * H, 301L),
+      (1L, "purchase", 10 * H, 202L),
+      (1L, "click", 30 * H, 103L), (1L, "purchase", 31 * H, 203L),
+      (3L, "click", 40 * H, 401L))
+    def run(batches: Seq[Seq[(Long, String, Long, Long)]]): Set[(Long, Long, Long, Long)] = {
+      implicit val sqlCtx = spark.sqlContext
+      val mem = MemoryStream[(Long, String, Long, Long)]
+      val events = mem.toDF()
+        .select(col("_1").as("user_id"), col("_2").as("event_type"),
+          timestamp_micros(col("_3")).as("ts"), col("_4").as("event_id"))
+      graft.streaming.EventStreams.asofSinkDrain(events) { q =>
+        batches.foreach { b => mem.addData(b); q.processAllAvailable() }
+      }.collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getLong(3), r.getLong(4))).toSet
+    }
+    val expected = Set(
+      (1L, 201L, 1 * H, 1 * H),      // p@2h ← click@1h, gap 1h
+      (1L, 202L, 3 * H, 7 * H),      // p@10h ← click@3h, gap 7h
+      (1L, 203L, 30 * H, 1 * H),     // p@31h ← click@30h, gap 1h
+      (2L, 301L, -1L, -1L))          // clickless purchase: null path
+    val oneBatch = run(Seq(rows))
+    assert(oneBatch === expected)
+    // three TIME-ORDERED batches: watermark advances between them,
+    // early purchases emit mid-stream, the compacted click state must
+    // still answer later purchases identically
+    val threeBatches = run(Seq(rows.take(3), rows.slice(3, 5), rows.drop(5)))
+    assert(threeBatches === expected)
+  }
+
   test("streaming t-digest quantiles: closed windows only, brackets vs exact batch ranks") {
     val out = graft.streaming.EventStreams
       .streamingQuantilesBatchDriven(spark, sf)
