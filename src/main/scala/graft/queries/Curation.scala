@@ -976,6 +976,17 @@ object Curation {
     val cTot = toks.groupBy(col("source").as("cls")).agg(count(lit(1)).as("n_c"))
     val vocabN = toks.select(col("tok")).distinct().count()
     val nDocs = d.count()
+    // Class fan-out guard: scoring multiplies the exploded-token frame
+    // by the class count (the crossJoin below — that IS the NB scorer),
+    // which is safe only because the label domain is metadata-sized
+    // (~20 sources here). A caller pointing this at a 100k-class label
+    // column would inherit a 100k× row explosion silently; fail loudly
+    // instead (counting the C-row aggregate costs one tiny job).
+    val nClasses = cTot.count()
+    require(nClasses <= 1000,
+      s"naive-bayes class fan-out guard: $nClasses distinct labels exceed " +
+        "the 1000-class bound; scoring fans every token across every " +
+        "class — reduce or hash-bucket the label domain first")
     val terms = ct.join(cTot, "cls")
       .select(col("cls"), col("tok"),
         floor(log((col("n_ct") + 1).cast("double")

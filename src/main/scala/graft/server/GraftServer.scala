@@ -78,7 +78,12 @@ object GraftServer {
             if (action.isTextual && action.asText() == "Collect") {
               maxCollectRows match {
                 case Some(cap) =>
-                  val probe = frame.df.limit((cap + 1).toInt).collect()
+                  // clamp the probe (cap is server config, not client
+                  // input): a cap ≥ Int.MaxValue must not wrap negative
+                  // in limit() — probe at Int.MaxValue and the cap
+                  // check below still holds
+                  val probeN = math.min(cap + 1, Int.MaxValue.toLong).toInt
+                  val probe = frame.df.limit(probeN).collect()
                   if (probe.length > cap)
                     throw new GraftException(
                       s"Collect result exceeds the server row cap ($cap); " +
@@ -95,6 +100,13 @@ object GraftServer {
               val lim = p.get("limit").asLong()
               if (off < 0 || lim <= 0)
                 throw new GraftException(s"CollectPage offset/limit out of range: $action")
+              // offset/limit feed Int-typed Dataset operators: values
+              // above Int.MaxValue would wrap on .toInt into a negative
+              // (500) or a silently wrong page — reject as a 400
+              // validation error like the sign checks above
+              if (off > Int.MaxValue.toLong || lim > Int.MaxValue.toLong)
+                throw new GraftException(
+                  s"CollectPage offset/limit exceed Int.MaxValue: $action")
               maxCollectRows.foreach { cap =>
                 if (lim > cap) throw new GraftException(
                   s"CollectPage limit $lim exceeds the server row cap ($cap)")

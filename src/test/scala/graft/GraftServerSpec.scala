@@ -212,6 +212,15 @@ class GraftServerSpec extends SparkSpec {
     // malformed page spec is a 400
     assert(post(s"""{"dataframe": $so, "function":
       {"Action": {"CollectPage": {"offset": -1, "limit": 2}}}}""")._1 === 400)
+    // offset/limit beyond Int.MaxValue are a 400 validation error, not
+    // an Int-wrap 500 / silently wrong page (they feed Dataset
+    // offset()/limit(), which take Int)
+    val (bigOffSt, bigOffBody) = post(s"""{"dataframe": $so, "function":
+      {"Action": {"CollectPage": {"offset": 2147483648, "limit": 2}}}}""")
+    assert(bigOffSt === 400, bigOffBody)
+    assert(bigOffBody.contains("Int.MaxValue"))
+    assert(post(s"""{"dataframe": $so, "function":
+      {"Action": {"CollectPage": {"offset": 0, "limit": 9999999999}}}}""")._1 === 400)
 
     // a CAPPED server (cap = 2): big Collect → 400 naming the cap and
     // pointing at CollectPage; within-cap Collect and paging still work
