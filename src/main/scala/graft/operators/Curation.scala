@@ -90,6 +90,58 @@ object Curation {
       .select(keep :+ col("gram"): _*)
   }
 
+  /** Repeated-substring EXTENT detection — the exact-boilerplate
+    * remover of Lee et al. 2022 ("Deduplicating Training Data Makes
+    * Language Models Better") in its gram-anchored formulation, which
+    * chunk (q86) and shingle (q31) dedup only approximate: every
+    * k-token window occurring ≥ 2 times in the corpus (same doc or
+    * cross-doc) anchors a repeat at its position; per document,
+    * anchored windows that overlap or touch (next start ≤ prev start +
+    * k) merge into MAXIMAL extents [start_tok, end_tok] — the spans a
+    * dedup pass would strip.
+    *
+    * Shape for 100 TB: positional grams are the ngramRows machinery
+    * (posexplode + lead windows, doc-partitioned — codegen'd, no HOF);
+    * "repeated" is one gram-keyed count (HAVING ≥ 2) semi-joined back
+    * — gram-keyed work, never quadratic in documents (the ScaleStress
+    * phase pins gram-keyed growth). Grouping is on the gram STRING for
+    * exact oracle parity; a 100 TB run would shuffle xxhash64
+    * fingerprints instead (collision odds ~n²/2⁶⁵) — same plan shape.
+    * The run-merge is a lag/cumsum window over ANCHORS ONLY (the
+    * repeated minority, not the corpus), doc-partitioned.
+    */
+  def repeatedExtents(df: DataFrame, idCol: String, textCol: String,
+                      k: Int): DataFrame = {
+    val toks = df.select(col(idCol), posexplode(TA.tokens(col(textCol))))
+      .withColumnRenamed("pos", "p").withColumnRenamed("col", "t")
+    val w = Window.partitionBy(col(idCol)).orderBy(asc("p"))
+    val parts = (1 until k).map(j => lead(col("t"), j).over(w))
+    // strict k-grams only: a document shorter than k tokens anchors
+    // nothing (unlike ngramRows' truncated-gram convention — a short
+    // doc is not "boilerplate repeated elsewhere")
+    val grams = toks
+      .withColumn("gram", concat_ws(" ", (col("t") +: parts): _*))
+      .withColumn("last_t", lead(col("t"), k - 1).over(w))
+      .filter(col("last_t").isNotNull)
+      .select(col(idCol), col("p"), col("gram"))
+    val rep = grams.groupBy(col("gram")).agg(count(lit(1)).as("n_occ"))
+      .filter(col("n_occ") >= 2).select(col("gram"))
+    val anchors = grams.join(rep, Seq("gram")).select(col(idCol), col("p"))
+    val w2 = Window.partitionBy(col(idCol)).orderBy(asc("p"))
+    val runs = anchors
+      .withColumn("brk",
+        when(col("p") - lag(col("p"), 1).over(w2) <= lit(k), 0L).otherwise(1L))
+      .withColumn("run", sum(col("brk")).over(
+        w2.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    runs.groupBy(col(idCol), col("run"))
+      .agg(min(col("p")).cast("long").as("start_tok"),
+        (max(col("p")) + lit(k - 1)).cast("long").as("end_tok"),
+        count(lit(1)).as("n_anchors"))
+      .select(col(idCol), col("start_tok"), col("end_tok"),
+        (col("end_tok") - col("start_tok") + 1).as("n_tokens"),
+        col("n_anchors"))
+  }
+
   /** Benchmark decontamination: find training documents sharing ≥ 1
     * word n-gram with any document of the (small) eval set — the
     * standard n-gram-overlap contamination check run before training.

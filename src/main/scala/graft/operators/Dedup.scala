@@ -407,7 +407,20 @@ object Dedup {
     * verify with full Hamming distance.
     */
   def simhashPairs(docs: DataFrame, idCol: String, textCol: String,
-                   maxHamming: Int = 3, maxBucket: Int = 2000): DataFrame = {
+                   maxHamming: Int = 3, maxBucket: Int = 2000): DataFrame =
+    signaturePairs(simhashSignatures(docs, idCol, textCol),
+      idCol, maxHamming, maxBucket)
+
+  /** Pigeonhole near-dup pairing over ANY (id, 64-bit `sig`) signature
+    * frame — the blocking+verification core of [[simhashPairs]], also
+    * serving perceptual image hashes ([[Multimodal.phashTable]]'s
+    * dHash, q211). Blocks on 4×16-bit chunks (any pair with Hamming
+    * distance ≤ 3 shares at least one exact chunk), verifies with full
+    * Hamming distance — candidate generation is equi-join only, never
+    * all-pairs.
+    */
+  def signaturePairs(signatures: DataFrame, idCol: String,
+                     maxHamming: Int = 3, maxBucket: Int = 2000): DataFrame = {
     // The signature frame is persisted: 16 bytes/row (id, sig — narrow,
     // PERF.md lesson 4 is about wide columnar caches) and consumed by
     // four branches (chunk explode feeding the bucket guard and both
@@ -415,7 +428,7 @@ object Dedup {
     // cache every branch re-scans the corpus and re-runs the kernel —
     // per-branch pushed filters (inferred isnotnull on join keys)
     // defeat exchange reuse, observed as 6 parquet scans per query.
-    val sigs = simhashSignatures(docs, idCol, textCol).persist()
+    val sigs = signatures.persist()
     val chunked = sigs.select(col(idCol),
       posexplode(array((0 until 4).map(c =>
         shiftright(col("sig"), c * 16).bitwiseAND(lit(0xFFFFL))): _*)))

@@ -131,6 +131,110 @@ object Multimodal {
       }.toArray
   }
 
+  /** A perceptual-hash row: the 9×8 luminance grid travels WITH the
+    * 64-bit dHash so the grid→hash mapping is externally replayable —
+    * the q88 byte-accounting trick applied to image fingerprints: the
+    * oracle recomputes the hash from the emitted grid bit-for-bit,
+    * while the grid's provenance (real pixel decode) is pinned by the
+    * planted-PNG fixtures in OperatorsSpec. */
+  case class PhashRow(media_id: Long, decoded: Boolean,
+                      grid: Array[Long], dhash: Long)
+
+  object Phash {
+    /** REAL 9×8 luminance grid from decoded pixels: cell (r,c) = mean
+      * Rec.601 luma (0..255) over its pixel block — the classic dHash
+      * downscale step, done as an exact block mean instead of a
+      * resampling filter so it is bit-deterministic across JVMs. */
+    def lumaGrid(img: java.awt.image.BufferedImage): Array[Long] = {
+      val sum = new Array[Long](72)
+      val cnt = new Array[Long](72)
+      val w = img.getWidth
+      val h = img.getHeight
+      var y = 0
+      while (y < h) {
+        val r = y * 8 / h
+        var x = 0
+        while (x < w) {
+          val c = x * 9 / w
+          val rgb = img.getRGB(x, y)
+          val lum = (((rgb >> 16) & 0xFF) * 299 +
+            ((rgb >> 8) & 0xFF) * 587 + (rgb & 0xFF) * 114) / 1000
+          sum(r * 9 + c) += lum
+          cnt(r * 9 + c) += 1
+          x += 1
+        }
+        y += 1
+      }
+      Array.tabulate(72)(i => if (cnt(i) == 0) 0L else sum(i) / cnt(i))
+    }
+
+    /** STUB grid for payloads the codec can't decode (the testdata's
+      * UTF-8 stand-ins): a token-hash histogram — 72 bins over a
+      * portable ×31 byte hash of each whitespace token, scaled to a
+      * per-mille-ish fixed point by token count. Deliberately
+      * order-insensitive, the textual analog of a luminance histogram:
+      * the corpus' near-dups are word-shuffles of the same multiset,
+      * and measured on sf0.01 they land at Hamming ≤ 3 of each other
+      * (identical multisets at 0) while the blocking buckets stay
+      * non-degenerate (max 16-bit-chunk bucket ≈ 265 of 500 docs). */
+    def gridStub(payload: Array[Byte]): Array[Long] = {
+      val text = new String(payload, java.nio.charset.StandardCharsets.UTF_8).trim
+      val toks: Array[String] = if (text.isEmpty) Array.empty else text.split("\\s+")
+      val cnt = new Array[Long](72)
+      var i = 0
+      while (i < toks.length) {
+        val bs = toks(i).getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        var hsh = 0L
+        var j = 0
+        while (j < bs.length) { hsh = (hsh * 31 + (bs(j) & 0xFF)) & 0xFFFFFFFFL; j += 1 }
+        cnt((hsh % 72).toInt) += 1
+        i += 1
+      }
+      val n = math.max(1, toks.length)
+      cnt.map(c => c * 4096L / n)
+    }
+
+    /** dHash from the 9-wide × 8-tall grid: bit r*8+c is set iff
+      * grid(r,c) > grid(r,c+1) — 8 adjacent-brightness comparisons per
+      * row, 64 bits total (bit 63 is the sign bit of the Long; the
+      * DuckDB replay handles it as the −2^63 literal). */
+    def dhashFromGrid(g: Array[Long]): Long = {
+      var hsh = 0L
+      var r = 0
+      while (r < 8) {
+        var c = 0
+        while (c < 8) {
+          if (g(r * 9 + c) > g(r * 9 + c + 1)) hsh |= (1L << (r * 8 + c))
+          c += 1
+        }
+        r += 1
+      }
+      hsh
+    }
+  }
+
+  /** Perceptual-hash extraction — map-only over the media scan, same
+    * batch shape as [[extractFeatures]]: real pixel dHash where the
+    * payload decodes, the deterministic token-histogram stub otherwise.
+    * Only (id, 72-long grid, 64-bit hash) leave the scan — blobs never
+    * shuffle, and downstream near-dup pairing operates on 8-byte
+    * signatures alone. */
+  def phashTable(media: Dataset[MediaRow]): Dataset[PhashRow] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        MediaCodec.decodeImage(r.payload) match {
+          case Some(img) =>
+            val g = Phash.lumaGrid(img)
+            PhashRow(r.media_id, decoded = true, g, Phash.dhashFromGrid(g))
+          case None =>
+            val g = Phash.gridStub(r.payload)
+            PhashRow(r.media_id, decoded = false, g, Phash.dhashFromGrid(g))
+        }
+      }
+    }
+  }
+
   /** Build a synthetic media table from the documents table: payload =
     * UTF-8 bytes standing in for an encoded image; metadata derived
     * deterministically. (The driver testdata has no binary column, so

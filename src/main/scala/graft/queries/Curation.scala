@@ -1152,7 +1152,40 @@ object Curation {
       |FROM base b JOIN vocab v ON v.source = b.source
       |ORDER BY 1""".stripMargin
 
+  // -------------------------------------------------------------------
+  // q212: REPEATED-SUBSTRING extents (Lee et al. 2022) — maximal
+  // per-document token spans covered by 5-gram windows that occur ≥ 2
+  // times anywhere in the corpus: the exact-boilerplate extents a
+  // substring-dedup pass would strip (chunk q86 / shingle q31 only
+  // approximate this). EXACT SQL replay: DuckDB rebuilds positional
+  // grams (inclusive slicing, rule 7), the HAVING ≥ 2 repeat set, and
+  // the same lag/cumsum run merge — all-int64 output, (doc_id,
+  // start_tok) unique key. Spark groups by the gram string for parity
+  // (a 100 TB run would fingerprint first — same plan shape).
+  // -------------------------------------------------------------------
+  def q212RepeatedExtents(spark: SparkSession, dir: String): DataFrame =
+    C.repeatedExtents(docs(spark, dir), "doc_id", "text", k = 5)
+      .orderBy(asc("doc_id"), asc("start_tok"))
+  val q212Sql: String =
+    raw"""WITH tk AS (SELECT doc_id, $toksSql AS t FROM documents),
+      |pos AS (SELECT doc_id, t,
+      |  UNNEST(range(1, GREATEST(LEN(t) - 4, 0) + 1)) AS i FROM tk),
+      |grams AS (SELECT doc_id, i - 1 AS p,
+      |  array_to_string(t[i:i+4], ' ') AS gram FROM pos),
+      |rep AS (SELECT gram FROM grams GROUP BY 1 HAVING COUNT(*) >= 2),
+      |anch AS (SELECT g.doc_id, g.p FROM grams g JOIN rep r ON r.gram = g.gram),
+      |runs AS (SELECT doc_id, p,
+      |  CASE WHEN p - LAG(p) OVER (PARTITION BY doc_id ORDER BY p) <= 5
+      |       THEN 0 ELSE 1 END AS brk FROM anch),
+      |ext AS (SELECT doc_id, p, SUM(brk) OVER (PARTITION BY doc_id
+      |  ORDER BY p ROWS UNBOUNDED PRECEDING) AS run FROM runs)
+      |SELECT doc_id, MIN(p) AS start_tok, MAX(p) + 4 AS end_tok,
+      |  MAX(p) + 4 - MIN(p) + 1 AS n_tokens, COUNT(*) AS n_anchors
+      |FROM ext GROUP BY doc_id, run
+      |ORDER BY doc_id, start_tok""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q212_repeated_extents" -> (q212RepeatedExtents _),
     "q209_report_card" -> (q209ReportCard _),
     "q207_skipgram_pairs" -> (q207SkipgramPairs _),
     "q204_naive_bayes" -> (q204NaiveBayes _),
@@ -1182,6 +1215,7 @@ object Curation {
     "q120_fuzzy_decontaminate" -> (q120FuzzyDecontaminate _))
 
   val oracle: Map[String, String] = Map(
+    "q212_repeated_extents" -> q212Sql,
     "q209_report_card" -> q209Sql,
     "q207_skipgram_pairs" -> q207Sql,
     "q204_naive_bayes" -> q204Sql,

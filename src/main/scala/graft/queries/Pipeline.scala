@@ -846,6 +846,84 @@ object Pipeline {
       |FROM m JOIN k USING (fp) ORDER BY media_id""".stripMargin
 
   // -------------------------------------------------------------------
+  // q210: PERCEPTUAL IMAGE HASH (dHash) — the rung beyond q205's exact
+  // byte dedup: a 9×8 luminance grid + 64-bit adjacent-brightness hash
+  // per medium, map-only over the media scan (blobs never shuffle; only
+  // id + 72 longs + 8-byte hash leave it). Real pixel path where the
+  // payload decodes (planted-PNG fixtures in OperatorsSpec pin it);
+  // deterministic token-histogram stub for the testdata's UTF-8
+  // stand-ins. Oracle = grid→hash BIT-REPLAY (the q88 trick): DuckDB
+  // recomputes the dHash from the emitted grid — bit b set iff
+  // grid[r,c] > grid[r,c+1], bit 63 as the −2^63 literal (DuckDB errors
+  // on 1<<63) — and any hash not matching its grid falls out of the
+  // WHERE → row-count FAIL; 1:1 coverage is pinned by the count guard.
+  // -------------------------------------------------------------------
+  def q210ImagePhash(spark: SparkSession, dir: String): DataFrame =
+    Multimodal.phashTable(Multimodal.mediaTable(spark, dir)).toDF()
+      .select(col("media_id"), col("grid"), col("dhash"))
+      .orderBy(asc("media_id"))
+  val q210Sql: String =
+    """WITH e AS (SELECT media_id, grid, dhash
+      |  FROM read_parquet('__GRAFT_OUT__/q210_image_phash/*.parquet'))
+      |SELECT media_id, grid, dhash FROM e
+      |WHERE len(grid) = 72
+      |  AND dhash = CAST(list_sum(list_transform(range(64), b ->
+      |    CASE WHEN grid[(b // 8) * 9 + (b % 8) + 1]
+      |            > grid[(b // 8) * 9 + (b % 8) + 2]
+      |         THEN CASE WHEN b = 63 THEN -9223372036854775807 - 1
+      |              ELSE (1::BIGINT << b) END
+      |         ELSE 0 END)) AS BIGINT)
+      |  AND (SELECT COUNT(*) FROM e) = (SELECT COUNT(*) FROM documents)
+      |UNION ALL SELECT -1, [CAST(-1 AS BIGINT)], CAST(-1 AS BIGINT)
+      |  WHERE (SELECT COUNT(*) FROM e) = 0
+      |ORDER BY media_id""".stripMargin
+
+  // -------------------------------------------------------------------
+  // q211: PERCEPTUAL NEAR-DUP neighbor counts — q210's dHash paired via
+  // the SimHash pigeonhole machinery (Dedup.signaturePairs: 4×16-bit
+  // chunk equi-join guarantees every Hamming-≤3 pair is a candidate;
+  // full-Hamming verify; never all-pairs). Emitted per-medium neighbor
+  // counts are verified EXACTLY: DuckDB recomputes every medium's true
+  // Hamming-≤3 neighbor count from the emitted hashes (xor + bit_count
+  // all-pairs — affordable at oracle scale, which is precisely what the
+  // blocking avoids at corpus scale), so both a missed pair (recall)
+  // and a phantom pair (precision) break the count join → FAIL. Hash
+  // provenance is q210's grid replay; real-image near-dup behavior is
+  // pinned by the perturbed-PNG fixture in OperatorsSpec. maxBucket is
+  // effectively off (1<<20) because the oracle demands exactness — a
+  // production run on a self-similar corpus would cap + count overfull
+  // buckets exactly like simhashPairs.
+  // -------------------------------------------------------------------
+  def q211PhashNearDup(spark: SparkSession, dir: String): DataFrame = {
+    val ph = Multimodal.phashTable(Multimodal.mediaTable(spark, dir)).toDF()
+      .select(col("media_id"), col("dhash"))
+    val pairs = Dedup.signaturePairs(
+      ph.select(col("media_id"), col("dhash").as("sig")),
+      "media_id", maxHamming = 3, maxBucket = 1 << 20)
+    val touched = pairs.select(col("id_a").as("media_id"))
+      .union(pairs.select(col("id_b").as("media_id")))
+      .groupBy(col("media_id")).agg(count(lit(1)).as("n_near"))
+    ph.join(touched, Seq("media_id"), "left_outer")
+      .select(col("media_id"), col("dhash"),
+        coalesce(col("n_near"), lit(0L)).as("n_near"))
+      .orderBy(asc("media_id"))
+  }
+  val q211Sql: String =
+    """WITH e AS (SELECT media_id, dhash, n_near
+      |  FROM read_parquet('__GRAFT_OUT__/q211_phash_neardup/*.parquet')),
+      |truth AS (
+      |  SELECT a.media_id, COUNT(b.media_id) AS n_true
+      |  FROM e a LEFT JOIN e b
+      |    ON b.media_id != a.media_id
+      |   AND bit_count(xor(a.dhash, b.dhash)) <= 3
+      |  GROUP BY 1)
+      |SELECT e.media_id, e.dhash, e.n_near
+      |FROM e JOIN truth t ON t.media_id = e.media_id AND t.n_true = e.n_near
+      |WHERE (SELECT COUNT(*) FROM e) = (SELECT COUNT(*) FROM documents)
+      |UNION ALL SELECT -1, -1, -1 WHERE (SELECT COUNT(*) FROM e) = 0
+      |ORDER BY media_id""".stripMargin
+
+  // -------------------------------------------------------------------
   // q102: sliding-window STREAMING rollup — the streaming twin of the
   // batch sliding query q44; same oracle SQL (exact epoch arithmetic).
   // -------------------------------------------------------------------
@@ -2779,6 +2857,8 @@ object Pipeline {
     "q197_link_prediction" -> (q197LinkPrediction _),
     "q201_hits" -> (q201Hits _),
     "q205_media_dedup" -> (q205MediaDedup _),
+    "q210_image_phash" -> (q210ImagePhash _),
+    "q211_phash_neardup" -> (q211PhashNearDup _),
     "q208_sssp" -> (q208Sssp _),
     "q203_stream_asof" -> (q203StreamAsof _),
     "q202_embedding_drift" -> (q202EmbeddingDrift _),
@@ -2871,6 +2951,8 @@ object Pipeline {
     "q197_link_prediction" -> q197Sql,
     "q201_hits" -> q201Sql,
     "q205_media_dedup" -> q205Sql,
+    "q210_image_phash" -> q210Sql,
+    "q211_phash_neardup" -> q211Sql,
     "q208_sssp" -> q208Sql,
     "q202_embedding_drift" -> q202Sql,
     "q195_embedding_outliers" -> q195Sql,

@@ -48,6 +48,29 @@ class CurationSpec extends SparkSpec {
     assert(got(1L) === 1L) // exactly the one shared 5-gram
   }
 
+  test("repeatedExtents: planted passages merge to maximal extents; unique text anchors nothing") {
+    val docs = Seq(
+      // shared 8-token passage at the head of docs 1 and 2
+      (1L, "a b c d e f g h unique1 only1 here1"),
+      (2L, "start2 a b c d e f g h tail2 tail2b"),
+      // within-doc repeat: "x y z" occurs twice in doc 3 alone
+      (3L, "x y z x y z"),
+      // no k-gram repeats anywhere
+      (4L, "q r s t u v w"),
+      // shorter than k: anchors nothing even if its tokens repeat
+      (5L, "a b")).toDF("doc_id", "text")
+    val out = Curation.repeatedExtents(docs, "doc_id", "text", k = 3)
+      .orderBy("doc_id", "start_tok")
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    // doc 1: grams at p=0..5 of the 8-token passage repeat in doc 2 →
+    // one extent [0, 7]; doc 2: same passage at p=1..6 → [1, 8];
+    // doc 3: "x y z" at p=0 and p=3 (gap 3 ≤ k) → one extent [0, 5]
+    assert(out === Seq(
+      (1L, 0L, 7L, 8L, 6L),
+      (2L, 1L, 8L, 8L, 6L),
+      (3L, 0L, 5L, 6L, 2L)))
+  }
+
   test("repetitionMetrics on a fully repetitive vs a diverse doc") {
     val df = Seq(
       (1L, "spam spam spam spam spam"),  // 1 distinct token, 1 distinct bigram

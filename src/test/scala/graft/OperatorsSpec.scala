@@ -755,6 +755,66 @@ class OperatorsSpec extends SparkSpec {
     assert(Multimodal.MediaCodec.decodeImage(t(0).payload).get.getWidth === 8)
   }
 
+  test("perceptual dHash: planted PNGs — grid replays to hash, perturbed twin within Hamming 3, distinct image far") {
+    import spark.implicits._
+    // base: horizontal gradient (dHash = 0: brightness rises left→right,
+    // so no cell exceeds its right neighbor); near: same gradient with a
+    // small dark blot (≤ a couple of grid cells move); far: vertical
+    // black/white stripes aligned to grid cells (alternating
+    // comparisons → ~half the bits set)
+    def gradientPng(w: Int, h: Int, blot: Boolean): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) {
+        val v = x * 255 / (w - 1)
+        img.setRGB(x, y, (v << 16) | (v << 8) | v)
+      }
+      if (blot) for (y <- 0 until 4; x <- 0 until 4) img.setRGB(x, y, 0xFFFFFF)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    def stripesPng(w: Int, h: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w)
+        img.setRGB(x, y, if ((x * 9 / w) % 2 == 0) 0xFFFFFF else 0x000000)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    val rows = Seq(
+      Multimodal.MediaRow(1L, "image", gradientPng(90, 64, blot = false), 0, 0, 0),
+      Multimodal.MediaRow(2L, "image", gradientPng(90, 64, blot = true), 0, 0, 0),
+      Multimodal.MediaRow(3L, "image", stripesPng(90, 64), 0, 0, 0),
+      Multimodal.MediaRow(4L, "text", "word shuffle word test".getBytes, 0, 0, 0))
+    val ph = Multimodal.phashTable(rows.toDS()).collect().sortBy(_.media_id)
+    // real decode path for the PNGs, stub for the text stand-in
+    assert(ph.take(3).forall(_.decoded) && !ph(3).decoded)
+    // every grid is 72 cells of 0..255 luma (stub cells are 0..4096 fx)
+    assert(ph.forall(_.grid.length === 72))
+    assert(ph.take(3).forall(_.grid.forall(v => v >= 0 && v <= 255)))
+    // the emitted hash IS the grid's hash (the q210 oracle's bit-replay)
+    assert(ph.forall(p => Multimodal.Phash.dhashFromGrid(p.grid) === p.dhash))
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ph(0).dhash === 0L, "pure gradient: no cell beats its right neighbor")
+    assert(ham(ph(0).dhash, ph(1).dhash) <= 3,
+      s"perturbed twin must stay within Hamming 3: ${ham(ph(0).dhash, ph(1).dhash)}")
+    assert(ham(ph(0).dhash, ph(2).dhash) > 3,
+      s"stripes must be far from the gradient: ${ham(ph(0).dhash, ph(2).dhash)}")
+    // the pigeonhole pairing finds exactly the near pair among the
+    // images (the text stub's sparse histogram also hashes near 0, so
+    // pair within the image modality — as a real pipeline would)
+    val sigs = ph.toSeq.take(3).map(p => (p.media_id, p.dhash)).toDF("media_id", "sig")
+    val pairs = Dedup.signaturePairs(sigs, "media_id", maxHamming = 3)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs === Set((1L, 2L)))
+    // the stub grid is order-insensitive (the corpus' near-dups are
+    // word shuffles): same token multiset → identical grid
+    assert(Multimodal.Phash.gridStub("alpha beta gamma beta".getBytes).toSeq ===
+      Multimodal.Phash.gridStub("beta gamma beta alpha".getBytes).toSeq)
+  }
+
   test("vec_dot native expression matches HOF semantics and registers in SQL") {
     val df = Seq((Array(1.0f, 2.0f, 3.0f), Array(4.0f, 5.0f, 6.0f))).toDF("a", "b")
     val native = df.select(graft.functions.VectorFunctions.vec_dot(col("a"), col("b")))
