@@ -142,6 +142,90 @@ object Curation {
         col("n_anchors"))
   }
 
+  /** Iterative BPE merge training (Sennrich et al. 2016) — the
+    * tokenizer-training primitive the corpus-stats family (q176/q192/
+    * q193) points at, run as deterministic synchronous rounds under
+    * the graph family's fixed-round replay contract so an oracle can
+    * unroll it in SQL.
+    *
+    * Classic word-TYPE formulation: the corpus collapses once into a
+    * (word, count) type table — the only corpus-sized shuffle — and
+    * every round runs on the vocab-bounded symbol frame (word ×
+    * symbol-position rows). Per round: count adjacent symbol pairs
+    * weighted by word count (overlapping occurrences count, as in
+    * Sennrich's get_stats); pick the max pair (count desc, then
+    * lexical); merge greedily left-to-right non-overlapping — within
+    * each maximal run of consecutively-matched positions, exactly the
+    * even offsets merge (for a≠b runs are length-1; for a=a runs this
+    * reproduces the scan order). The 1-row best-pair collect per round
+    * is a model collect (the merge table IS the trained artifact).
+    *
+    * Returns one row per executed round: (round, lhs, rhs, pair_count,
+    * n_type_merges, n_merges_wt, n_symbols_after) — all exact int64 /
+    * strings, bit-replayable. ASCII-safe char splitting (the corpus'
+    * tokens; non-BMP codepoints would split differently across
+    * engines).
+    */
+  def bpeMergeRounds(df: DataFrame, textCol: String, rounds: Int): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val types = df.select(explode(TA.tokens(col(textCol))).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy(col("w")).agg(count(lit(1)).as("wc"))
+    // split BETWEEN characters only ("(?<=.)(?=.)"): Spark's split
+    // keeps trailing empty strings (limit -1), so a plain "(?!^)"
+    // lookahead would append a phantom "" symbol to every word
+    var syms = types.select(col("w"), col("wc"),
+        posexplode(split(col("w"), "(?<=.)(?=.)")))
+      .withColumnRenamed("pos", "p").withColumnRenamed("col", "s")
+      .persist()
+    val wWin = Window.partitionBy(col("w")).orderBy(asc("p"))
+    val out = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, String, String, Long, Long, Long, Long)]
+    var r = 1
+    var done = false
+    while (r <= rounds && !done) {
+      val paired = syms.withColumn("s2", lead(col("s"), 1).over(wWin))
+      val best = paired.filter(col("s2").isNotNull)
+        .groupBy(col("s"), col("s2")).agg(sum(col("wc")).as("cnt"))
+        .orderBy(desc("cnt"), asc("s"), asc("s2")).limit(1)
+        .collect()
+      if (best.isEmpty) done = true
+      else {
+        val (a, b, cnt) =
+          (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
+        val starts = paired
+          .filter(col("s") === lit(a) && col("s2") === lit(b))
+          .withColumn("isl", col("p") - row_number().over(wWin))
+          .withColumn("off", col("p") - min(col("p")).over(
+            Window.partitionBy(col("w"), col("isl"))))
+          .filter((col("off") % 2) === 0)
+          .select(col("w"), col("wc"), col("p"), lit(1).as("start"))
+        val Array(nTypeMerges, nMergesWt) = starts
+          .agg(count(lit(1)).as("n"), sum(col("wc")).as("nw"))
+          .collect().map(row => Array(row.getLong(0), row.getLong(1))).head
+        val consumed = starts.select(col("w"), (col("p") + 1).as("p"),
+          lit(1).as("gone"))
+        val rebuilt = syms
+          .join(starts.select(col("w"), col("p"), col("start")), Seq("w", "p"), "left_outer")
+          .join(consumed, Seq("w", "p"), "left_outer")
+          .filter(col("gone").isNull)
+          .withColumn("s", when(col("start") === 1, lit(a + b)).otherwise(col("s")))
+          .withColumn("np", row_number().over(wWin) - 1)
+          .select(col("w"), col("wc"), col("np").as("p"), col("s"))
+          .persist()
+        val symsAfter = rebuilt.agg(sum(col("wc"))).collect()(0).getLong(0)
+        out += ((r.toLong, a, b, cnt, nTypeMerges, nMergesWt, symsAfter))
+        syms.unpersist()
+        syms = rebuilt
+        r += 1
+      }
+    }
+    syms.unpersist()
+    out.toSeq.toDF("round", "lhs", "rhs", "pair_count",
+      "n_type_merges", "n_merges_wt", "n_symbols_after")
+  }
+
   /** Benchmark decontamination: find training documents sharing ≥ 1
     * word n-gram with any document of the (small) eval set — the
     * standard n-gram-overlap contamination check run before training.

@@ -1184,7 +1184,71 @@ object Curation {
       |FROM ext GROUP BY doc_id, run
       |ORDER BY doc_id, start_tok""".stripMargin
 
+  // -------------------------------------------------------------------
+  // q213: ITERATIVE BPE MERGE ROUNDS (Sennrich et al. 2016) — 3
+  // deterministic merge rounds on the word-type table under the graph
+  // family's fixed-round replay contract: per round, max adjacent
+  // symbol-pair count (weighted by word count, ties broken lexically),
+  // greedy left-to-right non-overlapping merge (island parity), exact
+  // int64 stats. The oracle unrolls all 3 rounds in SQL (generated
+  // below — the same CTE block per round), recomputing the type table,
+  // per-round pair argmax, merge starts, and rebuilt symbol frame from
+  // scratch: any divergence in counting, tie-break, overlap handling,
+  // or reindexing breaks a row → FAIL.
+  // -------------------------------------------------------------------
+  def q213BpeMerges(spark: SparkSession, dir: String): DataFrame =
+    C.bpeMergeRounds(docs(spark, dir), "text", rounds = 3)
+      .orderBy(asc("round"))
+  private def bpeRoundSql(i: Int): String = {
+    val prev = s"sym${i - 1}"
+    s"""pr$i AS (
+      |  SELECT w, wc, p, s, LEAD(s) OVER (PARTITION BY w ORDER BY p) AS s2
+      |  FROM $prev),
+      |best$i AS (
+      |  SELECT s AS a, s2 AS b, CAST(SUM(wc) AS BIGINT) AS cnt
+      |  FROM pr$i WHERE s2 IS NOT NULL GROUP BY 1, 2
+      |  ORDER BY cnt DESC, a, b LIMIT 1),
+      |st$i AS (
+      |  SELECT w, wc, p FROM (
+      |    SELECT w, wc, p, p - MIN(p) OVER (PARTITION BY w, isl) AS off
+      |    FROM (
+      |      SELECT w, wc, p,
+      |        p - ROW_NUMBER() OVER (PARTITION BY w ORDER BY p) AS isl
+      |      FROM pr$i
+      |      WHERE s = (SELECT a FROM best$i) AND s2 = (SELECT b FROM best$i)))
+      |  WHERE off % 2 = 0),
+      |sym$i AS (
+      |  SELECT w, wc, ROW_NUMBER() OVER (PARTITION BY w ORDER BY p) - 1 AS p,
+      |    CASE WHEN start = 1 THEN (SELECT a || b FROM best$i) ELSE s END AS s
+      |  FROM (
+      |    SELECT base.w, base.wc, base.p, base.s,
+      |      CASE WHEN st.p IS NOT NULL THEN 1 ELSE 0 END AS start
+      |    FROM $prev base
+      |    LEFT JOIN st$i st ON st.w = base.w AND st.p = base.p
+      |    LEFT JOIN st$i gone ON gone.w = base.w AND gone.p + 1 = base.p
+      |    WHERE gone.p IS NULL))""".stripMargin
+  }
+  private def bpeRoundRow(i: Int): String =
+    s"""SELECT CAST($i AS BIGINT) AS round, a AS lhs, b AS rhs,
+      |  cnt AS pair_count,
+      |  (SELECT COUNT(*) FROM st$i) AS n_type_merges,
+      |  (SELECT CAST(SUM(wc) AS BIGINT) FROM st$i) AS n_merges_wt,
+      |  (SELECT CAST(SUM(wc) AS BIGINT) FROM sym$i) AS n_symbols_after
+      |FROM best$i""".stripMargin
+  val q213Sql: String =
+    raw"""WITH types AS (
+      |  SELECT tok AS w, COUNT(*) AS wc
+      |  FROM (SELECT UNNEST($toksSql) AS tok FROM documents)
+      |  WHERE tok != '' GROUP BY 1),
+      |pos0 AS (SELECT w, wc, UNNEST(range(1, LEN(w) + 1)) AS i FROM types),
+      |sym0 AS (SELECT w, wc, i - 1 AS p, w[i:i] AS s FROM pos0),
+      |""".stripMargin +
+      (1 to 3).map(bpeRoundSql).mkString(",\n") + "\n" +
+      (1 to 3).map(bpeRoundRow).mkString("\nUNION ALL\n") +
+      "\nORDER BY round"
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q213_bpe_merges" -> (q213BpeMerges _),
     "q212_repeated_extents" -> (q212RepeatedExtents _),
     "q209_report_card" -> (q209ReportCard _),
     "q207_skipgram_pairs" -> (q207SkipgramPairs _),
@@ -1215,6 +1279,7 @@ object Curation {
     "q120_fuzzy_decontaminate" -> (q120FuzzyDecontaminate _))
 
   val oracle: Map[String, String] = Map(
+    "q213_bpe_merges" -> q213Sql,
     "q212_repeated_extents" -> q212Sql,
     "q209_report_card" -> q209Sql,
     "q207_skipgram_pairs" -> q207Sql,

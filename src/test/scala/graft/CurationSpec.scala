@@ -71,6 +71,28 @@ class CurationSpec extends SparkSpec {
       (3L, 0L, 5L, 6L, 2L)))
   }
 
+  test("bpeMergeRounds: planted corpus replays known merges; runs merge greedily; early stop") {
+    // types: aa×3, ab×1, b×1 → round 1 merges (a,a) [cnt 3], round 2
+    // merges (a,b) [cnt 1], round 3 finds no pairs and stops early
+    val docs = Seq((1L, "aa aa ab"), (2L, "aa b")).toDF("doc_id", "text")
+    val out = Curation.bpeMergeRounds(docs, "text", rounds = 3)
+      .orderBy("round")
+      .as[(Long, String, String, Long, Long, Long, Long)].collect().toSeq
+    assert(out === Seq(
+      (1L, "a", "a", 3L, 1L, 3L, 6L),
+      (2L, "a", "b", 1L, 1L, 1L, 5L)))
+    // greedy left-to-right on identical-symbol runs: "aaa" counts the
+    // overlapping pair twice (Sennrich get_stats) but merges only at
+    // even offsets → "aa"+"a", then round 2 merges ("aa","a")
+    val runs = Seq((1L, "aaa aaa")).toDF("doc_id", "text")
+    val out2 = Curation.bpeMergeRounds(runs, "text", rounds = 3)
+      .orderBy("round")
+      .as[(Long, String, String, Long, Long, Long, Long)].collect().toSeq
+    assert(out2 === Seq(
+      (1L, "a", "a", 4L, 1L, 2L, 4L),
+      (2L, "aa", "a", 2L, 1L, 2L, 2L)))
+  }
+
   test("repetitionMetrics on a fully repetitive vs a diverse doc") {
     val df = Seq(
       (1L, "spam spam spam spam spam"),  // 1 distinct token, 1 distinct bigram
