@@ -2305,6 +2305,47 @@ object Pipeline {
       |GROUP BY c.user_id ORDER BY c.user_id""".stripMargin
 
   // -------------------------------------------------------------------
+  // q214: STREAMING NEAR-DUP — MinHash-band stateful dedup over the
+  // documents-as-a-stream (ts = 2024-01-01 + doc_id minutes):
+  // flatMapGroupsWithState keyed by (band, band_sig) emits candidate
+  // pairs exactly when the watermark passes strictly above the later
+  // doc (arrival-invariant; boundary race killed by strictness —
+  // StreamingSpec replays multi-batch splits), state bounded by the
+  // 24 h pairing horizon (q203's compaction discipline). Candidates
+  // are exact-Jaccard verified batch-side (q31's final stage).
+  // CONTAINMENT ORACLE: banding isn't SQL-replayable, but every
+  // emitted pair must satisfy three exact predicates — recomputed
+  // trigram-shingle Jaccard = emitted score ≥ 0.2, the 24 h horizon
+  // (id_b − id_a ≤ 1440 minutes), and the strict 2 h emission horizon
+  // (id_b < max(doc_id) − 120) — a pair violating any falls out of
+  // the join → FAIL. Stream-vs-batch-LSH pair-set equality over the
+  // closed window is pinned in StreamingSpec.
+  // -------------------------------------------------------------------
+  def q214StreamNeardup(spark: SparkSession, dir: String): DataFrame =
+    graft.streaming.EventStreams.streamingNeardup(spark, dir)
+  val q214Sql: String =
+    """WITH sh AS (
+      |  SELECT doc_id, list_distinct(list_transform(
+      |    range(1, GREATEST(LEN(toks) - 2, 1) + 1),
+      |    i -> array_to_string(toks[i:i+2], ' '))) AS s
+      |  FROM (SELECT doc_id, string_split_regex(TRIM(text), '\s+') AS toks
+      |        FROM documents)
+      |), mx AS (SELECT MAX(doc_id) AS m FROM documents)
+      |SELECT e.id_a, e.id_b, e.jaccard_r
+      |FROM read_parquet('__GRAFT_OUT__/q214_stream_neardup/*.parquet') e
+      |JOIN sh a ON a.doc_id = e.id_a
+      |JOIN sh b ON b.doc_id = e.id_b
+      |WHERE ROUND(CAST(LEN(list_intersect(a.s, b.s)) AS DOUBLE)
+      |    / (LEN(a.s) + LEN(b.s) - LEN(list_intersect(a.s, b.s))), 6)
+      |    = e.jaccard_r
+      |  AND e.jaccard_r >= 0.2 AND e.id_a < e.id_b
+      |  AND e.id_b - e.id_a <= 1440
+      |  AND e.id_b < (SELECT m FROM mx) - 120
+      |UNION ALL SELECT -1, -1, -1.0 WHERE (SELECT COUNT(*)
+      |  FROM read_parquet('__GRAFT_OUT__/q214_stream_neardup/*.parquet')) = 0
+      |ORDER BY id_a, id_b""".stripMargin
+
+  // -------------------------------------------------------------------
   // q203: STREAMING EVENT-TIME AS-OF enrich — every purchase joined to
   // the latest click at-or-before it per user via custom
   // flatMapGroupsWithState state (the argmax-over-unbounded-past shape
@@ -2864,6 +2905,7 @@ object Pipeline {
     "q202_embedding_drift" -> (q202EmbeddingDrift _),
     "q195_embedding_outliers" -> (q195EmbeddingOutliers _),
     "q56_stream_dedup" -> (q56StreamDedup _),
+    "q214_stream_neardup" -> (q214StreamNeardup _),
     "q64_stream_join" -> (q64StreamJoin _),
     "q133_stream_left_outer" -> (q133StreamLeftOuter _),
     "q151_stream_full_outer" -> (q151StreamFullOuter _),
@@ -2957,6 +2999,7 @@ object Pipeline {
     "q202_embedding_drift" -> q202Sql,
     "q195_embedding_outliers" -> q195Sql,
     "q56_stream_dedup" -> q56Sql,
+    "q214_stream_neardup" -> q214Sql,
     "q78_stream_enrich" -> q78Sql,
     "q81_bpe_tokens" -> q81Sql,
     "q82_neardup_clusters_alt" -> q55Sql,

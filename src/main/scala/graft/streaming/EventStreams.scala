@@ -577,6 +577,129 @@ object EventStreams {
         StructField("gap_us", LongType))))
   }
 
+  /** Per-bucket buffer for [[neardupCandidatesStream]]: docs seen in
+    * this LSH band bucket as (ts_us, doc_id, emitted). Docs older than
+    * watermark − horizon are evicted (no future on-time arrival can
+    * pair with them), so state is O(horizon window), not O(history). */
+  case class NdBuf(docs: Seq[(Long, Long, Boolean)])
+
+  /** Streaming MinHash-LSH near-dup candidate detection — the
+    * near-dup extension of exact-key streaming dedup (q56), via
+    * flatMapGroupsWithState KEYED BY BAND SIGNATURE: each arriving
+    * document is banded map-side (the native minhash_band_sigs kernel,
+    * same machinery as batch q31), and every band row joins its
+    * bucket's state. A document D emits candidate pairs (E, D) — for
+    * every earlier bucket member E within `horizonUs` — exactly when
+    * the event-time watermark passes STRICTLY above D's timestamp: at
+    * that point every E with (ts,id) < D's has either arrived or is
+    * contractually late-dropped, so the pair set is final and
+    * ARRIVAL-INVARIANT (strictness kills the boundary race where a
+    * same-timestamp partner lands after emission; StreamingSpec pins
+    * this with multi-batch splits). The q203 state-compaction
+    * discipline: emitted docs stay only while a future arrival could
+    * still pair with them (ts ≥ wm − horizon), pending docs set an
+    * event-time timeout at their own timestamp so emission needs no
+    * further data.
+    *
+    * Input frame: (doc_id, text, ts). Output: (band, id_a, id_b) with
+    * (ts,id)-order a < b — candidates only; exact-Jaccard verification
+    * is a batch step over the drained candidates (the q31 final
+    * stage), keeping the hot stream path free of per-pair shingle
+    * intersections. At 100 TB the upstream discipline is batch LSH's:
+    * exact-dedup first, cap degenerate buckets (a saturated bucket is
+    * near-identical content better served by exact dedup).
+    */
+  def neardupCandidatesStream(docs: DataFrame, k: Int, numHashes: Int,
+      bands: Int, horizonUs: Long): DataFrame = {
+    val ss = docs.sparkSession
+    import ss.implicits._
+    val banded = docs
+      .withWatermark("ts", "2 hours")
+      .select(col("ts"), col("doc_id"), unix_micros(col("ts")).as("ts_us"),
+        posexplode(graft.functions.TextHashFunctions
+          .minhash_band_sigs(col("text"), k, numHashes, bands)))
+      .withColumnRenamed("pos", "band")
+      .withColumnRenamed("col", "band_sig")
+      .select(col("band"), col("band_sig"), col("ts_us"), col("doc_id"), col("ts"))
+      .as[(Int, Long, Long, Long, java.sql.Timestamp)]
+    banded.groupByKey(r => (r._1, r._2))
+      .flatMapGroupsWithState(OutputMode.Append(),
+        GroupStateTimeout.EventTimeTimeout()) {
+        (key: (Int, Long), rows: Iterator[(Int, Long, Long, Long, java.sql.Timestamp)],
+         state: GroupState[NdBuf]) =>
+          val wmUs = state.getCurrentWatermarkMs() * 1000L
+          var buf = state.getOption.map(_.docs).getOrElse(Seq.empty)
+          rows.foreach { r => buf +:= ((r._3, r._4, false)) }
+          val sorted = buf.sortBy(t => (t._1, t._2)).toVector
+          val out = Vector.newBuilder[(Int, Long, Long)]
+          val marked = sorted.zipWithIndex.map { case (d, i) =>
+            if (!d._3 && d._1 < wmUs) {
+              var j = 0
+              while (j < i) {
+                val e = sorted(j)
+                if (d._1 - e._1 <= horizonUs) out += ((key._1, e._2, d._2))
+                j += 1
+              }
+              (d._1, d._2, true)
+            } else d
+          }
+          val kept = marked.filter(_._1 >= wmUs - horizonUs)
+          if (kept.isEmpty) state.remove()
+          else {
+            state.update(NdBuf(kept))
+            val pending = kept.filter(!_._3)
+            if (pending.nonEmpty)
+              state.setTimeoutTimestamp(math.max(
+                pending.map(_._1).min / 1000L,
+                state.getCurrentWatermarkMs() + 1L))
+          }
+          out.result().iterator
+      }
+      .toDF("band", "id_a", "id_b")
+  }
+
+  /** Documents-as-a-stream near-dup (q214): each document gets the
+    * deterministic event time 2024-01-01 + doc_id minutes, streams
+    * through [[neardupCandidatesStream]] (24 h pairing horizon, 2 h
+    * watermark), drains to the distributed sink, and the candidates
+    * are exact-Jaccard verified batch-side (q31's final stage, ≥ 0.2,
+    * cross-band distinct first). Every emitted pair therefore
+    * satisfies three DuckDB-replayable predicates — id_b − id_a ≤ 1440
+    * (the 24 h horizon in minutes), id_b < max(doc_id) − 120 (the
+    * strict 2 h emission horizon), and the exact trigram-shingle
+    * Jaccard — which is what the q214 containment oracle checks;
+    * stream-vs-batch pair-set EQUALITY is pinned in StreamingSpec. */
+  def streamingNeardup(spark: SparkSession, dir: String): DataFrame = {
+    val ss = streamSession(spark)
+    val docBaseUs = 1704067200000000L // 2024-01-01T00:00:00Z
+    val docsStream = ss.readStream
+      .schema(ss.read.parquet(s"$dir/documents.parquet").schema)
+      .option("pathGlobFilter", "documents.parquet")
+      .parquet(dir)
+      .select(col("doc_id"), col("text"),
+        timestamp_micros(lit(docBaseUs) + col("doc_id") * lit(60000000L)).as("ts"))
+    val drained = appendSinkDrain(
+      neardupCandidatesStream(docsStream, k = 3, numHashes = 32, bands = 8,
+        horizonUs = 86400L * 1000000L),
+      "graft_stream_neardup",
+      StructType(Seq(
+        StructField("band", IntegerType),
+        StructField("id_a", LongType),
+        StructField("id_b", LongType))))
+    val sets = ss.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), graft.functions.TextHashFunctions
+        .shingle_hash_set(col("text"), 3).as("sh"))
+    drained.select(col("id_a"), col("id_b")).distinct()
+      .join(sets.select(col("doc_id").as("id_a"), col("sh").as("sh_a")), "id_a")
+      .join(sets.select(col("doc_id").as("id_b"), col("sh").as("sh_b")), "id_b")
+      .withColumn("n_inter", size(array_intersect(col("sh_a"), col("sh_b"))))
+      .withColumn("jaccard", col("n_inter").cast("double") /
+        (size(col("sh_a")) + size(col("sh_b")) - col("n_inter")).cast("double"))
+      .filter(col("jaccard") >= lit(0.2))
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard_r"))
+      .orderBy(asc("id_a"), asc("id_b"))
+  }
+
   /** Streaming CDC apply — a `foreachBatch` upsert sink: each
     * micro-batch is reduced to its latest row per (user_id,
     * event_type) and merged into a parquet target, resolving conflicts

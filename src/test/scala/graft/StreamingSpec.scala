@@ -390,6 +390,92 @@ class StreamingSpec extends SparkSpec {
       "click expiring EXACTLY at the watermark must be held — q133/q151 oracles encode strict <")
   }
 
+  test("streaming near-dup: arrival-invariant, horizon-bounded, strict at the watermark boundary") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val base = 86400L * 1000000L
+    val M = 60L * 1000000L
+    val A = "alpha beta gamma delta epsilon zeta eta theta"
+    val B = "one two three four five six seven eight nine"
+    // identical texts share ALL 8 band signatures; horizon 30 min
+    val rows = Seq(
+      (1L, A, base),              // pairs with 2 (1 min apart)
+      (2L, A, base + M),
+      (3L, B, base + 2 * M),      // unrelated text: no pairs
+      (4L, A, base + 60 * M),     // 59 min after 2: beyond the 30-min horizon
+      (5L, A, base + 61 * M),     // pairs with 4 only
+      (7L, A, base + 62 * M),     // lands EXACTLY on the final watermark → held (strict <)
+      (6L, A, base + 63 * M),     // above the watermark → held
+      (99L, "zz yy xx ww vv uu tt ss", base + 62 * M + 7200L * 1000000L)) // pins wm = base+62M
+    def run(batches: Seq[Seq[(Long, String, Long)]]): Set[(Int, Long, Long)] = {
+      implicit val sqlCtx = spark.sqlContext
+      val mem = MemoryStream[(Long, String, Long)]
+      val docs = mem.toDF().select(col("_1").as("doc_id"), col("_2").as("text"),
+        timestamp_micros(col("_3")).as("ts"))
+      val target = java.nio.file.Files.createTempDirectory("graft_nd_stream").toString
+      val q = graft.streaming.EventStreams
+        .neardupCandidatesStream(docs, k = 3, numHashes = 32, bands = 8,
+          horizonUs = 1800L * 1000000L)
+        .writeStream.outputMode("append").format("parquet")
+        .option("path", s"$target/out")
+        .option("checkpointLocation", s"$target/ckpt")
+        .start()
+      try batches.foreach { b => mem.addData(b); q.processAllAvailable() }
+      finally q.stop()
+      val outDir = new java.io.File(s"$target/out")
+      if (!Option(outDir.listFiles()).exists(_.exists(_.getName.endsWith(".parquet"))))
+        Set.empty
+      else spark.read.parquet(s"$target/out")
+        .as[(Int, Long, Long)].collect().toSet
+    }
+    val expected = (0 until 8).flatMap(b =>
+      Seq((b, 1L, 2L), (b, 4L, 5L))).toSet
+    val oneBatch = run(Seq(rows))
+    assert(oneBatch === expected,
+      s"single batch: horizon pairs only; held docs (6, 7-at-boundary) emit nothing: $oneBatch")
+    // out-of-order 3-batch split (every row on time w.r.t. the running
+    // watermark) must produce the identical pair set
+    val split = run(Seq(
+      Seq(rows(1), rows(3)),                    // d2, d4
+      Seq(rows(0), rows(4), rows(2)),           // d1, d5, d3
+      Seq(rows(6), rows(5), rows(7))))          // d6, d7, sentinel
+    assert(split === expected, s"arrival-invariance: $split")
+  }
+
+  test("streaming near-dup equals batch LSH over the closed window (end-to-end)") {
+    import spark.implicits._
+    val streamed = graft.streaming.EventStreams.streamingNeardup(spark, sf)
+      .as[(Long, Long, Double)].collect().toSeq
+    // batch twin: same banding kernel, same horizon/emission predicates
+    // expressed on doc_id (ts = base + id minutes), same verification
+    val d = spark.read.parquet(s"$sf/documents.parquet")
+    val maxId = d.agg(max(col("doc_id"))).collect()(0).getLong(0)
+    val banded = d.select(col("doc_id"),
+        posexplode(graft.functions.TextHashFunctions
+          .minhash_band_sigs(col("text"), 3, 32, 8)))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "band_sig")
+    val cand = banded.select(col("doc_id").as("id_a"), col("band"), col("band_sig"))
+      .join(banded.select(col("doc_id").as("id_b"), col("band"), col("band_sig")),
+        Seq("band", "band_sig"))
+      .filter(col("id_a") < col("id_b") &&
+        col("id_b") - col("id_a") <= 1440 &&
+        col("id_b") < lit(maxId - 120))
+      .select(col("id_a"), col("id_b")).distinct()
+    val sets = d.select(col("doc_id"), graft.functions.TextHashFunctions
+      .shingle_hash_set(col("text"), 3).as("sh"))
+    val batch = cand
+      .join(sets.select(col("doc_id").as("id_a"), col("sh").as("sh_a")), "id_a")
+      .join(sets.select(col("doc_id").as("id_b"), col("sh").as("sh_b")), "id_b")
+      .withColumn("n_inter", size(array_intersect(col("sh_a"), col("sh_b"))))
+      .withColumn("jaccard", col("n_inter").cast("double") /
+        (size(col("sh_a")) + size(col("sh_b")) - col("n_inter")).cast("double"))
+      .filter(col("jaccard") >= lit(0.2))
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard_r"))
+      .orderBy(asc("id_a"), asc("id_b"))
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(streamed === batch)
+  }
+
   test("streaming upsert is batch-split invariant (out-of-order multi-batch replay)") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
