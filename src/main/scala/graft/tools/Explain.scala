@@ -105,7 +105,11 @@ object Explain {
       "q206_asof_tolerance" -> "q40's union + single window carry with ONE added predicate (gap ≤ tolerance nulls stale payloads) — the tolerance costs zero extra scans or shuffles",
       "q207_skipgram_pairs" -> "sequence pairs WITHOUT a self-join: two codegen'd lead offsets in one per-doc window emit ≤2 rows per token; pair counts partial-aggregate; top-100 is a TakeOrdered — contrast with q189's incidence-pair prune, which this shape never needs",
       "q208_sssp" -> "per Bellman-Ford round: one edges⋈dist hash join + a partial-agged min per dst + a union-min fold — (id, long) pairs in every exchange, lineage truncated between rounds (q170's BFS shape with weights)",
-      "q209_report_card" -> "two grouped aggregates (doc-level metrics with map-side partials; one token explode for vocab) joined on the source dimension — nothing beyond (source, long) and (source, md5) crosses a shuffle; the report is metadata-sized")
+      "q209_report_card" -> "two grouped aggregates (doc-level metrics with map-side partials; one token explode for vocab) joined on the source dimension — nothing beyond (source, long) and (source, md5) crosses a shuffle; the report is metadata-sized",
+      "q210_image_phash" -> "map-only perceptual hashing: the mapPartitions decode→grid→dHash pass is a single SerializeFromObject span over the scan — only (id, 72-long grid, 8-byte hash) exist after it; the lone Exchange is the output sort",
+      "q211_phash_neardup" -> "the 8-byte dHash frame persists once and feeds the 16-bit-chunk posexplode → bucket-capped equi self-join → Hamming verify (signaturePairs, shared with q32); neighbor counts partial-aggregate; payload blobs never appear past the scan",
+      "q212_repeated_extents" -> "positional 5-grams stay codegen'd (posexplode + lead windows, doc-partitioned); the repeat set is one gram-keyed HAVING>=2 aggregate semi-joined back, so the lag/cumsum run-merge windows run over ANCHORS only — the repeated minority, not the corpus",
+      "q214_stream_neardup" -> "the batch tail of the streaming near-dup: drained (band,id,id) candidates distinct-ed, then exact-Jaccard verified via two shingle-set joins — the stream side shuffled only 24-byte band rows into the state store, text touches nothing but the map-side kernels")
 
     val sb = new StringBuilder
     sb.append("# EXPLAINS — physical plans of representative queries\n\n")

@@ -102,6 +102,29 @@ object ScaleStress {
       graft.operators.Curation.chunkDedup(docs, "doc_id", "text", 10).count())
     timed("boilerplate stats (5-grams in >= 3 docs)")(
       graft.operators.Curation.boilerplateStats(docs, "doc_id", "text", 5, 3).count())
+    // round-8 additions: gram-anchored extent dedup is gram-keyed work
+    // (the repeat-set semi-join bounds the window stage to anchors, not
+    // the corpus); BPE rounds run on the TYPE table (vocab-bounded —
+    // replication leaves the type count unchanged, only weights grow);
+    // phash pairing follows the exact-dedup-first discipline (identical
+    // payloads belong to q205's fingerprint pass, not the Hamming one).
+    timed("repeated-substring extents (k=5, gram-anchored)")(
+      graft.operators.Curation.repeatedExtents(docs, "doc_id", "text", 5).count())
+    timed("bpe merge rounds (3 rounds on the type table)")(
+      graft.operators.Curation.bpeMergeRounds(docs, "text", 3).count())
+    timed("phash pairs (after exact dedup, Hamming<=3)") {
+      import spark.implicits._
+      val keep = graft.operators.Dedup.exact(docs, "doc_id", "text")
+        .select(col("keep_id").as("doc_id"))
+      val media = docs.join(keep, "doc_id")
+        .select(col("doc_id").as("media_id"), lit("image").as("media_type"),
+          encode(col("text"), "UTF-8").as("payload"),
+          lit(64).as("width"), lit(64).as("height"), lit(0).as("sample_rate"))
+        .as[graft.operators.Multimodal.MediaRow]
+      val sigs = graft.operators.Multimodal.phashTable(media).toDF()
+        .select(col("media_id"), col("dhash").as("sig"))
+      graft.operators.Dedup.signaturePairs(sigs, "media_id", 3, 2000).count()
+    }
     timed("bloom decontaminate (vs doc_id % 97 eval split)")(
       graft.operators.Curation.decontaminateBloom(
         docs.filter(col("doc_id") % 97 =!= 0),
