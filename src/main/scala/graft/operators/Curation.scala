@@ -111,7 +111,7 @@ object Curation {
     * repeated minority, not the corpus), doc-partitioned.
     */
   def repeatedExtents(df: DataFrame, idCol: String, textCol: String,
-                      k: Int): DataFrame = {
+                      k: Int, keepFirst: Boolean = false): DataFrame = {
     val toks = df.select(col(idCol), posexplode(TA.tokens(col(textCol))))
       .withColumnRenamed("pos", "p").withColumnRenamed("col", "t")
     val w = Window.partitionBy(col(idCol)).orderBy(asc("p"))
@@ -124,9 +124,27 @@ object Curation {
       .withColumn("last_t", lead(col("t"), k - 1).over(w))
       .filter(col("last_t").isNotNull)
       .select(col(idCol), col("p"), col("gram"))
-    val rep = grams.groupBy(col("gram")).agg(count(lit(1)).as("n_occ"))
-      .filter(col("n_occ") >= 2).select(col("gram"))
-    val anchors = grams.join(rep, Seq("gram")).select(col(idCol), col("p"))
+    // keepFirst = the faithful Lee et al. APPLY semantics: the gram's
+    // FIRST occurrence (min (doc_id, p)) is not an anchor, so a strip
+    // pass retains exactly one copy of each repeated passage. One
+    // extra min(struct) per gram — still gram-keyed aggregates only.
+    val anchors =
+      if (!keepFirst) {
+        val rep = grams.groupBy(col("gram")).agg(count(lit(1)).as("n_occ"))
+          .filter(col("n_occ") >= 2).select(col("gram"))
+        grams.join(rep, Seq("gram")).select(col(idCol), col("p"))
+      } else {
+        val rep = grams.groupBy(col("gram")).agg(
+            count(lit(1)).as("n_occ"),
+            min(struct(col(idCol), col("p"))).as("first_occ"))
+          .filter(col("n_occ") >= 2)
+          .select(col("gram"),
+            col("first_occ").getField(idCol).as("f_id"),
+            col("first_occ").getField("p").as("f_p"))
+        grams.join(rep, Seq("gram"))
+          .filter(!(col(idCol) === col("f_id") && col("p") === col("f_p")))
+          .select(col(idCol), col("p"))
+      }
     val w2 = Window.partitionBy(col(idCol)).orderBy(asc("p"))
     val runs = anchors
       .withColumn("brk",
@@ -140,6 +158,46 @@ object Curation {
       .select(col(idCol), col("start_tok"), col("end_tok"),
         (col("end_tok") - col("start_tok") + 1).as("n_tokens"),
         col("n_anchors"))
+  }
+
+  /** APPLY pass for [[repeatedExtents]] (keepFirst semantics — the
+    * faithful Lee et al. dedup: each repeated passage keeps exactly
+    * its first occurrence): strip every extent's tokens and account
+    * per document. Returns (id, n_before, n_after, n_stripped,
+    * clean_md5) where clean_md5 fingerprints the post-strip token
+    * splice — externally replayable, so an oracle catches a wrong
+    * boundary, a double-stripped token, or a broken splice order.
+    *
+    * Scale shape: the anti range-join runs per doc (equi on id,
+    * extent bounds as residual) against the doc's FEW disjoint
+    * extents; the splice re-order is one per-doc sort of kept tokens
+    * (bounded docs). The only interpreted HOF (the struct→token
+    * transform) runs once per kept token on the OUTPUT path, not in
+    * any candidate hot loop. */
+  def stripRepeatedExtents(df: DataFrame, idCol: String, textCol: String,
+                           k: Int): DataFrame = {
+    val ext = repeatedExtents(df, idCol, textCol, k, keepFirst = true)
+      .select(col(idCol).as("xid"), col("start_tok"), col("end_tok"))
+    val toks = df.select(col(idCol), posexplode(TA.tokens(col(textCol))))
+      .withColumnRenamed("pos", "p").withColumnRenamed("col", "t")
+    // extents are disjoint per doc (maximal runs), so each token
+    // matches at most one extent; anti join keeps the survivors
+    val kept = toks.join(ext,
+      col(idCol) === col("xid") &&
+        col("p") >= col("start_tok") && col("p") <= col("end_tok"),
+      "left_anti")
+    val cleaned = kept.groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_after"),
+        md5(concat_ws(" ",
+          transform(array_sort(collect_list(struct(col("p"), col("t")))),
+            x => x.getField("t")))).as("clean_md5"))
+    df.select(col(idCol), TA.tokenCount(col(textCol)).as("n_before"))
+      .join(cleaned, Seq(idCol), "left_outer")
+      .select(col(idCol), col("n_before"),
+        coalesce(col("n_after"), lit(0L)).as("n_after"),
+        (col("n_before") - coalesce(col("n_after"), lit(0L))).as("n_stripped"),
+        coalesce(col("clean_md5"),
+          lit("d41d8cd98f00b204e9800998ecf8427e")).as("clean_md5"))
   }
 
   /** Iterative BPE merge training (Sennrich et al. 2016) — the
@@ -167,6 +225,23 @@ object Curation {
     * engines).
     */
   def bpeMergeRounds(df: DataFrame, textCol: String, rounds: Int): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val (stats, syms) = bpeTrain(df, textCol, rounds)
+    syms.unpersist()
+    stats.toDF("round", "lhs", "rhs", "pair_count",
+      "n_type_merges", "n_merges_wt", "n_symbols_after")
+  }
+
+  /** The corpus SEGMENTED by the trained merges: the final (w, wc, p,
+    * s) symbol frame after `rounds` BPE rounds — the tokenizer-apply
+    * artifact (each word type's subword sequence, corpus-weighted).
+    * Left persisted; vocab-bounded. */
+  def bpeFinalSymbols(df: DataFrame, textCol: String, rounds: Int): DataFrame =
+    bpeTrain(df, textCol, rounds)._2
+
+  private def bpeTrain(df: DataFrame, textCol: String, rounds: Int)
+      : (Seq[(Long, String, String, Long, Long, Long, Long)], DataFrame) = {
     val spark = df.sparkSession
     import spark.implicits._
     val types = df.select(explode(TA.tokens(col(textCol))).as("w"))
@@ -221,9 +296,7 @@ object Curation {
         r += 1
       }
     }
-    syms.unpersist()
-    out.toSeq.toDF("round", "lhs", "rhs", "pair_count",
-      "n_type_merges", "n_merges_wt", "n_symbols_after")
+    (out.toSeq, syms)
   }
 
   /** Benchmark decontamination: find training documents sharing ≥ 1

@@ -458,6 +458,40 @@ object Dedup {
       .filter(col("hamming") <= lit(maxHamming))
   }
 
+  /** Cross-frame pigeonhole matching: count, for every PROBE
+    * signature, the INDEX signatures within `maxHamming` — the
+    * incremental-ingest shape (yesterday's corpus is the standing
+    * index; today's crawl probes it; q95/q187's pattern at the
+    * perceptual-hash rung). Same 4×16-bit chunk blocking guarantee as
+    * [[signaturePairs]], but an index↔probe equi-join instead of a
+    * self-join: the index side (unbounded history) carries the
+    * degenerate-bucket cap. Returns (idCol, n_known) for probes with
+    * ≥1 match; absent probes are new content.
+    */
+  def signatureMatches(index: DataFrame, probes: DataFrame, idCol: String,
+                       maxHamming: Int = 3, maxBucket: Int = 2000): DataFrame = {
+    def chunked(df: DataFrame, idAs: String, sigAs: String) =
+      df.select(col(idCol).as(idAs), col("sig").as(sigAs),
+        posexplode(array((0 until 4).map(c =>
+          shiftright(col("sig"), c * 16).bitwiseAND(lit(0xFFFFL))): _*)))
+        .withColumnRenamed("pos", "chunk").withColumnRenamed("col", "chunk_val")
+    val ci = chunked(index, "ix_id", "ix_sig")
+    val bounded = ci
+      .withColumn("bucket_n", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("chunk"), col("chunk_val"))))
+      .filter(col("bucket_n") <= lit(maxBucket))
+      .select(col("chunk"), col("chunk_val"), col("ix_id"), col("ix_sig"))
+    val cp = chunked(probes, "p_id", "p_sig")
+    cp.join(bounded, Seq("chunk", "chunk_val"))
+      .select(col("p_id"), col("ix_id"), col("p_sig"), col("ix_sig"))
+      .distinct() // a pair can collide in several chunks — count it once
+      .filter(hamming(col("p_sig"), col("ix_sig")) <= lit(maxHamming))
+      .groupBy(col("p_id"))
+      .agg(count(lit(1)).as("n_known"))
+      .withColumnRenamed("p_id", idCol)
+  }
+
   /** Count of chunk buckets excluded by [[simhashPairs]]' cap. */
   def simhashOverfullBuckets(docs: DataFrame, idCol: String, textCol: String,
                              maxBucket: Int = 2000): Long =

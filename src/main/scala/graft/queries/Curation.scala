@@ -1185,6 +1185,57 @@ object Curation {
       |ORDER BY doc_id, start_tok""".stripMargin
 
   // -------------------------------------------------------------------
+  // q215: REPEATED-EXTENT STRIP (the APPLY of q212 under the faithful
+  // Lee et al. keep-first semantics: each repeated passage's FIRST
+  // occurrence — min (doc_id, p) per gram — survives; later
+  // occurrences' extents are stripped). Per-doc token accounting plus
+  // an md5 of the post-strip splice, so the oracle — which replays the
+  // whole chain: positional grams, ROW_NUMBER()>1 non-first anchors,
+  // run merge, token-level anti range-join, ORDER BY p re-splice —
+  // catches a wrong boundary, a double strip, or a broken splice order
+  // as a fingerprint mismatch.
+  // -------------------------------------------------------------------
+  def q215ExtentStrip(spark: SparkSession, dir: String): DataFrame =
+    C.stripRepeatedExtents(docs(spark, dir), "doc_id", "text", k = 5)
+      .orderBy(asc("doc_id"))
+  val q215Sql: String =
+    raw"""WITH tk AS (SELECT doc_id, $toksSql AS t FROM documents),
+      |pos AS (SELECT doc_id, t,
+      |  UNNEST(range(1, GREATEST(LEN(t) - 4, 0) + 1)) AS i FROM tk),
+      |grams AS (SELECT doc_id, i - 1 AS p,
+      |  array_to_string(t[i:i+4], ' ') AS gram FROM pos),
+      |anch AS (
+      |  SELECT doc_id, p FROM (
+      |    SELECT doc_id, p, COUNT(*) OVER (PARTITION BY gram) AS n_occ,
+      |      ROW_NUMBER() OVER (PARTITION BY gram ORDER BY doc_id, p) AS rn
+      |    FROM grams)
+      |  WHERE n_occ >= 2 AND rn > 1),
+      |runs AS (SELECT doc_id, p,
+      |  CASE WHEN p - LAG(p) OVER (PARTITION BY doc_id ORDER BY p) <= 5
+      |       THEN 0 ELSE 1 END AS brk FROM anch),
+      |ext AS (SELECT doc_id, p, SUM(brk) OVER (PARTITION BY doc_id
+      |  ORDER BY p ROWS UNBOUNDED PRECEDING) AS run FROM runs),
+      |extents AS (SELECT doc_id, MIN(p) AS s, MAX(p) + 4 AS e
+      |  FROM ext GROUP BY doc_id, run),
+      |tok AS (SELECT doc_id, i - 1 AS p, t[i] AS tok
+      |  FROM (SELECT doc_id, t, UNNEST(range(1, LEN(t) + 1)) AS i FROM tk)),
+      |keep AS (
+      |  SELECT k.doc_id, k.p, k.tok FROM tok k
+      |  LEFT JOIN extents x
+      |    ON x.doc_id = k.doc_id AND k.p BETWEEN x.s AND x.e
+      |  WHERE x.s IS NULL),
+      |agg AS (
+      |  SELECT doc_id, COUNT(*) AS n_after,
+      |    md5(string_agg(tok, ' ' ORDER BY p)) AS clean_md5
+      |  FROM keep GROUP BY 1)
+      |SELECT tk.doc_id, LEN(tk.t) AS n_before,
+      |  COALESCE(a.n_after, 0) AS n_after,
+      |  LEN(tk.t) - COALESCE(a.n_after, 0) AS n_stripped,
+      |  COALESCE(a.clean_md5, md5('')) AS clean_md5
+      |FROM tk LEFT JOIN agg a ON a.doc_id = tk.doc_id
+      |ORDER BY tk.doc_id""".stripMargin
+
+  // -------------------------------------------------------------------
   // q213: ITERATIVE BPE MERGE ROUNDS (Sennrich et al. 2016) — 3
   // deterministic merge rounds on the word-type table under the graph
   // family's fixed-round replay contract: per round, max adjacent
@@ -1235,7 +1286,7 @@ object Curation {
       |  (SELECT CAST(SUM(wc) AS BIGINT) FROM st$i) AS n_merges_wt,
       |  (SELECT CAST(SUM(wc) AS BIGINT) FROM sym$i) AS n_symbols_after
       |FROM best$i""".stripMargin
-  val q213Sql: String =
+  private val bpePrefixSql: String =
     raw"""WITH types AS (
       |  SELECT tok AS w, COUNT(*) AS wc
       |  FROM (SELECT UNNEST($toksSql) AS tok FROM documents)
@@ -1243,11 +1294,35 @@ object Curation {
       |pos0 AS (SELECT w, wc, UNNEST(range(1, LEN(w) + 1)) AS i FROM types),
       |sym0 AS (SELECT w, wc, i - 1 AS p, w[i:i] AS s FROM pos0),
       |""".stripMargin +
-      (1 to 3).map(bpeRoundSql).mkString(",\n") + "\n" +
+      (1 to 3).map(bpeRoundSql).mkString(",\n") + "\n"
+  val q213Sql: String =
+    bpePrefixSql +
       (1 to 3).map(bpeRoundRow).mkString("\nUNION ALL\n") +
       "\nORDER BY round"
 
+  // -------------------------------------------------------------------
+  // q216: BPE VOCABULARY APPLY — the corpus segmented by q213's trained
+  // merges: top-50 subword symbols of the final symbol frame by
+  // corpus-weighted occurrence (ties lexical). Shares q213's generated
+  // 3-round SQL prefix; the oracle recomputes the ENTIRE training +
+  // segmentation from scratch and aggregates sym3 — a drifted merge or
+  // broken rebuild shows up as a different vocabulary.
+  // -------------------------------------------------------------------
+  def q216BpeVocab(spark: SparkSession, dir: String): DataFrame =
+    C.bpeFinalSymbols(docs(spark, dir), "text", rounds = 3)
+      .groupBy(col("s"))
+      .agg(sum(col("wc")).as("n_occ"), countDistinct(col("w")).as("n_types"))
+      .orderBy(desc("n_occ"), asc("s"))
+      .limit(50)
+  val q216Sql: String =
+    bpePrefixSql +
+      """SELECT s, CAST(SUM(wc) AS BIGINT) AS n_occ,
+      |  COUNT(DISTINCT w) AS n_types
+      |FROM sym3 GROUP BY s ORDER BY n_occ DESC, s LIMIT 50""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q215_extent_strip" -> (q215ExtentStrip _),
+    "q216_bpe_vocab" -> (q216BpeVocab _),
     "q213_bpe_merges" -> (q213BpeMerges _),
     "q212_repeated_extents" -> (q212RepeatedExtents _),
     "q209_report_card" -> (q209ReportCard _),
@@ -1279,6 +1354,8 @@ object Curation {
     "q120_fuzzy_decontaminate" -> (q120FuzzyDecontaminate _))
 
   val oracle: Map[String, String] = Map(
+    "q215_extent_strip" -> q215Sql,
+    "q216_bpe_vocab" -> q216Sql,
     "q213_bpe_merges" -> q213Sql,
     "q212_repeated_extents" -> q212Sql,
     "q209_report_card" -> q209Sql,

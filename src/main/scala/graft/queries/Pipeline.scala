@@ -924,6 +924,82 @@ object Pipeline {
       |ORDER BY media_id""".stripMargin
 
   // -------------------------------------------------------------------
+  // q217: INCREMENTAL PERCEPTUAL DEDUP — the ingest-time shape of
+  // q211: today's crawl (v2 = the documents media with doc_id % 7 == 0
+  // texts perturbed, ids offset) probes YESTERDAY's standing dHash
+  // index (v1 = q210's hashes) via the cross-frame pigeonhole matcher
+  // (Dedup.signatureMatches: index↔probe 16-bit-chunk equi-join,
+  // never all-pairs; the index side carries the bucket cap). A probe
+  // with n_known ≥ 1 is already-represented content the ingest pass
+  // skips — the perceptual rung of the q95/q187 incremental family.
+  // Self-contained oracle: BOTH sides' (grid, hash) rows are emitted;
+  // DuckDB replays grid→hash for every row (q210's bit-replay), then
+  // recomputes every v2 probe's true Hamming-≤3 index count from the
+  // emitted hashes — wrong hash, missed match, or phantom match all
+  // break a join → FAIL; count guards pin 1:1 coverage of both sides.
+  // -------------------------------------------------------------------
+  def q217PhashIncremental(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ph1 = Multimodal.phashTable(Multimodal.mediaTable(spark, dir)).toDF()
+      .select(col("media_id"), col("grid"), col("dhash"))
+    val v2media = spark.read.parquet(s"$dir/documents.parquet")
+      .select((col("doc_id") + lit(1000000L)).as("media_id"),
+        lit("image").as("media_type"),
+        encode(when(pmod(col("doc_id"), lit(7)) === 0,
+          concat(col("text"), lit(" perturbedtok"))).otherwise(col("text")),
+          "UTF-8").as("payload"),
+        lit(64).as("width"), lit(64).as("height"), lit(0).as("sample_rate"))
+      .as[Multimodal.MediaRow]
+    val ph2 = Multimodal.phashTable(v2media).toDF()
+      .select(col("media_id"), col("grid"), col("dhash"))
+    val known = Dedup.signatureMatches(
+      ph1.select(col("media_id"), col("dhash").as("sig")),
+      ph2.select(col("media_id"), col("dhash").as("sig")),
+      "media_id", maxHamming = 3, maxBucket = 1 << 20)
+    val v1rows = ph1.select(lit("v1").as("side"), col("media_id"),
+      col("grid"), col("dhash"), lit(-1L).as("n_known"))
+    val v2rows = ph2.join(known, Seq("media_id"), "left_outer")
+      .select(lit("v2").as("side"), col("media_id"), col("grid"), col("dhash"),
+        coalesce(col("n_known"), lit(0L)).as("n_known"))
+    v1rows.union(v2rows).orderBy(asc("side"), asc("media_id"))
+  }
+  val q217Sql: String =
+    """WITH e AS (SELECT side, media_id, grid, dhash, n_known
+      |  FROM read_parquet('__GRAFT_OUT__/q217_phash_incremental/*.parquet')),
+      |ok AS (
+      |  SELECT * FROM e
+      |  WHERE len(grid) = 72
+      |    AND dhash = CAST(list_sum(list_transform(range(64), b ->
+      |      CASE WHEN grid[(b // 8) * 9 + (b % 8) + 1]
+      |              > grid[(b // 8) * 9 + (b % 8) + 2]
+      |           THEN CASE WHEN b = 63 THEN -9223372036854775807 - 1
+      |                ELSE (1::BIGINT << b) END
+      |           ELSE 0 END)) AS BIGINT)),
+      |v1 AS (SELECT media_id, dhash FROM ok WHERE side = 'v1' AND n_known = -1),
+      |truth AS (
+      |  SELECT p.media_id, COUNT(x.media_id) AS n
+      |  FROM (SELECT media_id, dhash FROM ok WHERE side = 'v2') p
+      |  LEFT JOIN v1 x ON bit_count(xor(p.dhash, x.dhash)) <= 3
+      |  GROUP BY 1),
+      |sel AS (
+      |  SELECT side, media_id, grid, dhash, n_known FROM ok
+      |  WHERE side = 'v1' AND n_known = -1
+      |  UNION ALL
+      |  SELECT o.side, o.media_id, o.grid, o.dhash, o.n_known
+      |  FROM ok o JOIN truth t
+      |    ON t.media_id = o.media_id AND t.n = o.n_known
+      |  WHERE o.side = 'v2')
+      |SELECT side, media_id, grid, dhash, n_known FROM sel
+      |WHERE (SELECT COUNT(*) FROM e WHERE side = 'v1')
+      |        = (SELECT COUNT(*) FROM documents)
+      |  AND (SELECT COUNT(*) FROM e WHERE side = 'v2')
+      |        = (SELECT COUNT(*) FROM documents)
+      |UNION ALL SELECT 'x', -1, [CAST(-1 AS BIGINT)], CAST(-1 AS BIGINT),
+      |  CAST(-1 AS BIGINT)
+      |  WHERE (SELECT COUNT(*) FROM e) = 0
+      |ORDER BY side, media_id""".stripMargin
+
+  // -------------------------------------------------------------------
   // q102: sliding-window STREAMING rollup — the streaming twin of the
   // batch sliding query q44; same oracle SQL (exact epoch arithmetic).
   // -------------------------------------------------------------------
@@ -2900,6 +2976,7 @@ object Pipeline {
     "q205_media_dedup" -> (q205MediaDedup _),
     "q210_image_phash" -> (q210ImagePhash _),
     "q211_phash_neardup" -> (q211PhashNearDup _),
+    "q217_phash_incremental" -> (q217PhashIncremental _),
     "q208_sssp" -> (q208Sssp _),
     "q203_stream_asof" -> (q203StreamAsof _),
     "q202_embedding_drift" -> (q202EmbeddingDrift _),
@@ -2995,6 +3072,7 @@ object Pipeline {
     "q205_media_dedup" -> q205Sql,
     "q210_image_phash" -> q210Sql,
     "q211_phash_neardup" -> q211Sql,
+    "q217_phash_incremental" -> q217Sql,
     "q208_sssp" -> q208Sql,
     "q202_embedding_drift" -> q202Sql,
     "q195_embedding_outliers" -> q195Sql,

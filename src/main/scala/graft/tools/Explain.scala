@@ -109,7 +109,9 @@ object Explain {
       "q210_image_phash" -> "map-only perceptual hashing: the mapPartitions decode→grid→dHash pass is a single SerializeFromObject span over the scan — only (id, 72-long grid, 8-byte hash) exist after it; the lone Exchange is the output sort",
       "q211_phash_neardup" -> "the 8-byte dHash frame persists once and feeds the 16-bit-chunk posexplode → bucket-capped equi self-join → Hamming verify (signaturePairs, shared with q32); neighbor counts partial-aggregate; payload blobs never appear past the scan",
       "q212_repeated_extents" -> "positional 5-grams stay codegen'd (posexplode + lead windows, doc-partitioned); the repeat set is one gram-keyed HAVING>=2 aggregate semi-joined back, so the lag/cumsum run-merge windows run over ANCHORS only — the repeated minority, not the corpus",
-      "q214_stream_neardup" -> "the batch tail of the streaming near-dup: drained (band,id,id) candidates distinct-ed, then exact-Jaccard verified via two shingle-set joins — the stream side shuffled only 24-byte band rows into the state store, text touches nothing but the map-side kernels")
+      "q214_stream_neardup" -> "the batch tail of the streaming near-dup: drained (band,id,id) candidates distinct-ed, then exact-Jaccard verified via two shingle-set joins — the stream side shuffled only 24-byte band rows into the state store, text touches nothing but the map-side kernels",
+      "q215_extent_strip" -> "the q212 chain (gram windows, non-first anchors via min(struct) per gram, run merge) feeds a per-doc ANTI range-join (equi on id, extent bounds residual) — each token tests against its doc's few disjoint extents; the splice md5 is one per-doc sorted aggregate",
+      "q217_phash_incremental" -> "index↔probe chunk equi-join (signatureMatches): both sides explode to 16-bit chunks, the INDEX side carries the bucket cap, candidates distinct before the Hamming verify — the standing index is probed, never cross-joined")
 
     val sb = new StringBuilder
     sb.append("# EXPLAINS — physical plans of representative queries\n\n")

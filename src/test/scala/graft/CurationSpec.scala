@@ -71,6 +71,44 @@ class CurationSpec extends SparkSpec {
       (3L, 0L, 5L, 6L, 2L)))
   }
 
+  test("stripRepeatedExtents: keep-first semantics — first occurrence survives, later copies strip") {
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val docs = Seq(
+      (1L, "a b c d e f g h unique1 only1 here1"),
+      (2L, "start2 a b c d e f g h tail2 tail2b"),
+      (3L, "x y z x y z"),
+      (4L, "q r s t u v w"),
+      (5L, "a b")).toDF("doc_id", "text")
+    // keepFirst extents: doc 1 owns every first occurrence → untouched;
+    // doc 2 loses the shared passage; doc 3 loses its second "x y z"
+    val ext = Curation.repeatedExtents(docs, "doc_id", "text", k = 3, keepFirst = true)
+      .orderBy("doc_id", "start_tok")
+      .select("doc_id", "start_tok", "end_tok")
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(ext === Seq((2L, 1L, 8L), (3L, 3L, 5L)))
+    val out = Curation.stripRepeatedExtents(docs, "doc_id", "text", k = 3)
+      .orderBy("doc_id")
+      .as[(Long, Long, Long, Long, String)].collect().toSeq
+    assert(out === Seq(
+      (1L, 11L, 11L, 0L, md5hex("a b c d e f g h unique1 only1 here1")),
+      (2L, 11L, 3L, 8L, md5hex("start2 tail2 tail2b")),
+      (3L, 6L, 3L, 3L, md5hex("x y z")),
+      (4L, 7L, 7L, 0L, md5hex("q r s t u v w")),
+      (5L, 2L, 2L, 0L, md5hex("a b"))))
+  }
+
+  test("bpeFinalSymbols: planted corpus segments to the expected subword vocabulary") {
+    val docs = Seq((1L, "aa aa ab"), (2L, "aa b")).toDF("doc_id", "text")
+    val vocab = Curation.bpeFinalSymbols(docs, "text", rounds = 3)
+      .groupBy(col("s"))
+      .agg(sum(col("wc")).as("n_occ"), countDistinct(col("w")).as("n_types"))
+      .orderBy(desc("n_occ"), asc("s"))
+      .as[(String, Long, Long)].collect().toSeq
+    assert(vocab === Seq(("aa", 3L, 1L), ("ab", 1L, 1L), ("b", 1L, 1L)))
+  }
+
   test("bpeMergeRounds: planted corpus replays known merges; runs merge greedily; early stop") {
     // types: aa×3, ab×1, b×1 → round 1 merges (a,a) [cnt 3], round 2
     // merges (a,b) [cnt 1], round 3 finds no pairs and stops early

@@ -813,6 +813,16 @@ class OperatorsSpec extends SparkSpec {
     // word shuffles): same token multiset → identical grid
     assert(Multimodal.Phash.gridStub("alpha beta gamma beta".getBytes).toSeq ===
       Multimodal.Phash.gridStub("beta gamma beta alpha".getBytes).toSeq)
+
+    // cross-frame incremental matching (q217's shape): a probe near an
+    // index entry counts it; genuinely new content is ABSENT from the
+    // result (the ingest pass keeps it)
+    val index = Seq((1L, ph(0).dhash)).toDF("media_id", "sig")
+    val probes = Seq((10L, ph(1).dhash), (11L, ph(2).dhash))
+      .toDF("media_id", "sig")
+    val matches = Dedup.signatureMatches(index, probes, "media_id")
+      .as[(Long, Long)].collect().toMap
+    assert(matches === Map(10L -> 1L), s"perturbed twin known, stripes new: $matches")
   }
 
   test("vec_dot native expression matches HOF semantics and registers in SQL") {
