@@ -326,6 +326,56 @@ object Curation {
         (col("n_overlap").cast("double") / col("n_grams")).as("overlap_frac"))
   }
 
+  /** DSIR-style importance weights (Xie et al. 2023, "Data Selection
+    * for Language Models via Importance Resampling"): score every raw
+    * document by how much it resembles a TARGET distribution (here a
+    * row predicate — e.g. lang = 'en', or a curated seed set) under a
+    * bag-of-tokens multinomial over a bounded feature space. Weight =
+    * Σ_tok log p_target(bucket) − log p_raw(bucket), summed over token
+    * OCCURRENCES; buckets are the top-`vocabN` corpus tokens (count
+    * desc, token asc — deterministic) plus one OOV bucket, with +1
+    * Laplace smoothing over the observed bucket count. Downstream,
+    * resampling-by-weight is [[graft.operators.Sampling]]'s job — this
+    * operator owns the scoring pass.
+    *
+    * Shape for 100 TB: two token passes (vocab count, then bucket
+    * counts) — both partial-aggregated map-side; the vocab and the
+    * per-bucket log-ratio table are MODEL-sized (vocabN+1 rows) and
+    * broadcast; the only data-sized shuffle carries (doc, bucket,
+    * count) triples. No window, no driver collect.
+    *
+    * Returns (id, n_toks, weight) for every document. Double-sum
+    * tolerance is the caller's oracle concern (the log-ratio table is
+    * exact-integer-derived; only the final per-doc sum is order-
+    * sensitive, at ~1e-12 relative).
+    */
+  def dsirWeights(df: DataFrame, idCol: String, textCol: String,
+                  isTarget: Column, vocabN: Int): DataFrame = {
+    val toks = df.select(col(idCol).as("id"), isTarget.cast("boolean").as("tgt"),
+      explode(TA.tokens(col(textCol))).as("tok"))
+    val vocab = toks.groupBy(col("tok")).agg(count(lit(1)).as("n"))
+      .orderBy(desc("n"), asc("tok")).limit(vocabN)
+      .select(col("tok"), lit(true).as("in_vocab"))
+    // tokens are whitespace-split, so a bucket name CONTAINING a space
+    // can never collide with a real token
+    val bucketed = toks.join(broadcast(vocab), Seq("tok"), "left_outer")
+      .select(col("id"), col("tgt"),
+        when(col("in_vocab"), col("tok")).otherwise(lit(" OOV ")).as("b"))
+    val stats = bucketed.groupBy(col("b")).agg(
+      count(lit(1)).as("n_r"),
+      sum(col("tgt").cast("long")).as("n_t"))
+    val tot = stats.agg(sum(col("n_r")).as("tr"), sum(col("n_t")).as("tt"),
+      count(lit(1)).as("nb"))
+    val ratios = stats.crossJoin(broadcast(tot))
+      .select(col("b"),
+        (log((col("n_t") + 1).cast("double") / (col("tt") + col("nb")).cast("double"))
+          - log((col("n_r") + 1).cast("double") / (col("tr") + col("nb")).cast("double"))).as("lr"))
+    bucketed.groupBy(col("id"), col("b")).agg(count(lit(1)).as("c"))
+      .join(broadcast(ratios), Seq("b"))
+      .groupBy(col("id"))
+      .agg(sum(col("c")).as("n_toks"), sum(col("c") * col("lr")).as("weight"))
+  }
+
   /** [[decontaminate]] with a Bloom pre-filter: the eval gram set is
     * first folded into a ~numBits-bit Bloom filter ([[graft.functions
     * .BloomAgg]]) and broadcast as ONE scalar; every training gram

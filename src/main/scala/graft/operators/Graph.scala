@@ -484,4 +484,45 @@ object Graph {
     }
     result
   }
+
+  /** MODULARITY decomposition (Newman & Girvan 2004) of a node
+    * partition over a SYMMETRIC edge list — the quality score that
+    * tells you whether the communities [[labelPropagation]] (or any
+    * other partitioner) found are real structure or noise. Per
+    * community c:  Q_c = int_c/D − (deg_c/D)²  with D = |directed
+    * edges| = 2m, int_c = directed edges with both endpoints in c,
+    * deg_c = Σ degrees in c; global Q = Σ_c Q_c ∈ [−1/2, 1).
+    *
+    * Everything until the final Q_c is EXACT integer arithmetic, and
+    * Q_c itself is one fixed-shape IEEE expression over those
+    * integers — bit-identical across engines and partitionings, so
+    * the whole output is hash-gateable with no tolerance. Shape: two
+    * edges⋈labels hash joins (long pairs), partial-agged per-label
+    * counts, a 1-row global count broadcast — nothing wider than
+    * (long, long) in any exchange, no windows, no driver data.
+    *
+    * `labels` must be (id, lab) covering every edge endpoint (what
+    * [[labelPropagation]] returns for the same edge list). Returns
+    * one row per community: (lab, n_nodes, deg_sum, internal, q_term).
+    */
+  def modularity(edges: DataFrame, srcCol: String, dstCol: String,
+                 labels: DataFrame): DataFrame = {
+    val e = edges
+      .select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
+      .distinct()
+    val tagged = e
+      .join(labels.select(col("id").as("src"), col("lab").as("la")), "src")
+      .join(labels.select(col("id").as("dst"), col("lab").as("lb")), "dst")
+    val tot = tagged.agg(count(lit(1)).as("dd"))
+    val per = tagged.groupBy(col("la").as("lab"))
+      .agg(count(lit(1)).as("deg_sum"),
+        sum(when(col("la") === col("lb"), 1L).otherwise(0L)).as("internal"))
+    val nn = labels.groupBy(col("lab")).agg(count(lit(1)).as("n_nodes"))
+    val d = col("dd").cast("double")
+    per.join(nn, "lab").crossJoin(broadcast(tot))
+      .select(col("lab"), col("n_nodes"), col("deg_sum"), col("internal"),
+        (col("internal").cast("double") / d
+          - (col("deg_sum").cast("double") / d)
+            * (col("deg_sum").cast("double") / d)).as("q_term"))
+  }
 }

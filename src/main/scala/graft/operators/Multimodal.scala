@@ -314,6 +314,37 @@ object Multimodal {
     }
   }
 
+  /** One sampled video frame: position metadata travels WITH the frame
+    * payload so downstream stages (per-frame decode, dedup, ANN) need
+    * no second pass over the source blob. */
+  case class FrameRow(media_id: Long, chunk_idx: Long, off: Long,
+                      frame: Array[Byte])
+
+  /** FRAME SAMPLING — the per-video explode of an ingest pipeline:
+    * every `every`-th `chunk`-byte "frame" of each video payload
+    * ([[MediaCodec.frameSampleStub]]; no video codec in this
+    * container — the stub stands in for the decoder while the Spark
+    * plumbing is real) becomes its own row with (chunk_idx, byte
+    * offset, payload). Map-only flatMap over the scan: frames are
+    * born in the partition that read the blob and never shuffle; the
+    * fan-out is bounded by payload_bytes / chunk per row, so the
+    * stage scales linearly with corpus bytes — the same shape a real
+    * ffmpeg-in-`mapPartitions` decoder would have at 100 TB.
+    */
+  def frameSamples(media: Dataset[MediaRow], chunk: Int = 64,
+                   every: Int = 2): Dataset[FrameRow] = {
+    import media.sparkSession.implicits._
+    media.filter(_.media_type == "video").mapPartitions { rows =>
+      rows.flatMap { r =>
+        MediaCodec.frameSampleStub(r.payload, chunk, every)
+          .iterator.zipWithIndex.map { case (f, j) =>
+            val ci = j.toLong * every
+            FrameRow(r.media_id, ci, ci * chunk, f)
+          }
+      }
+    }
+  }
+
   /** Byte accounting of the transcode pass per media type — the
     * before/after sizes are pure functions of the payload length and
     * the (deterministic) stub policies, so a DuckDB oracle reproduces

@@ -285,6 +285,44 @@ object Similarity {
       .dropDuplicates("id_a", "id_b")
   }
 
+  /** SEMANTIC decontamination — the embedding rung of the
+    * decontamination ladder (exact q57 / Bloom q83 / fuzzy q120 /
+    * incremental q187 catch verbatim and near-verbatim leaks; this
+    * catches *paraphrased* eval material): flag every training vector
+    * whose max cosine against ANY eval vector reaches `tau`, and
+    * report WHICH eval item it matches (the evidence a curation
+    * pipeline attaches to the drop decision).
+    *
+    * Scale shape: eval benchmark suites are tiny (thousands of rows)
+    * next to a training corpus — the eval side BROADCASTS, the
+    * training side streams map-only through one scan, and the
+    * per-train argmax is a HASH aggregate (`max(struct(cos, −id))`,
+    * the PERF-lesson-17 form — count-desc/id-asc without a data-sized
+    * sort window), partial-aggregated map-side so the shuffle carries
+    * one row per FLAGGED train id, not per pair. Nothing data-sized
+    * is ever built on the driver. Ref scope: angelini/df has no
+    * vector ops; decontamination semantics follow the exact-overlap
+    * ladder (reference surveys only relational ops, src/dataframe.rs).
+    *
+    * Deterministic: ties in cosine break toward the SMALLEST eval id
+    * via max(struct(cos, −eval_id)).
+    */
+  def semanticDecontaminate(train: DataFrame, evalSet: DataFrame,
+                            idT: String, idE: String,
+                            vecT: String, vecE: String,
+                            tau: Double): DataFrame = {
+    val t = train.select(col(idT).as("train_id"), normalized(col(vecT)).as("tv"))
+    val e = evalSet.select(col(idE).as("eval_id"), normalized(col(vecE)).as("ev"))
+    t.join(broadcast(e), lit(true))
+      .select(col("train_id"), col("eval_id"),
+        dotD(col("tv"), col("ev")).as("cosine"))
+      .groupBy(col("train_id"))
+      .agg(max(struct(col("cosine"), (-col("eval_id")).as("ne"))).as("m"))
+      .filter(col("m.cosine") >= lit(tau))
+      .select(col("train_id"), (-col("m.ne")).as("eval_id"),
+        col("m.cosine").as("cosine"))
+  }
+
   /** EUCLIDEAN Lloyd iterations — the per-subspace k-means behind
     * product quantization (vs the spherical [[trainCentroids]]: PQ
     * sub-vectors are slices of a unit vector and carry meaningful

@@ -1320,7 +1320,66 @@ object Curation {
       |  COUNT(DISTINCT w) AS n_types
       |FROM sym3 GROUP BY s ORDER BY n_occ DESC, s LIMIT 50""".stripMargin
 
+  // -------------------------------------------------------------------
+  // q219: DSIR importance weights (Xie et al. 2023) — every document
+  // scored by resemblance to the TARGET slice (lang = 'en') under a
+  // bag-of-tokens multinomial over the top-512 corpus tokens + OOV,
+  // Laplace-smoothed. The log-ratio TABLE is exact-integer-derived
+  // (identical counts on both engines feed identical ln() args); only
+  // the per-doc sum is order-sensitive, so the oracle recomputes every
+  // doc's weight from scratch and accepts within 1e-4 (vs ~1e-12
+  // actual drift), with an exact 1:1 row-count guard (every doc gets
+  // a weight — no silent drops) and exact n_toks equality.
+  // -------------------------------------------------------------------
+  def q219DsirWeights(spark: SparkSession, dir: String): DataFrame =
+    C.dsirWeights(docs(spark, dir), "doc_id", "text",
+        isTarget = col("lang") === "en", vocabN = 512)
+      .select(col("id").as("doc_id"), col("n_toks"),
+        round(col("weight"), 6).as("w_r"))
+      .orderBy(asc("doc_id"))
+  val q219Sql: String =
+    raw"""WITH toks AS (
+      |  SELECT doc_id, (lang = 'en') AS tgt,
+      |    UNNEST(string_split_regex(TRIM(text), '\s+')) AS tok
+      |  FROM documents
+      |), vocab AS (
+      |  SELECT tok FROM (
+      |    SELECT tok, COUNT(*) AS n FROM toks GROUP BY tok
+      |    ORDER BY n DESC, tok LIMIT 512)
+      |), bkt AS (
+      |  SELECT t.doc_id, t.tgt,
+      |    CASE WHEN v.tok IS NOT NULL THEN t.tok ELSE ' OOV ' END AS b
+      |  FROM toks t LEFT JOIN vocab v ON t.tok = v.tok
+      |), stats AS (
+      |  SELECT b, CAST(COUNT(*) AS BIGINT) AS n_r,
+      |    CAST(COUNT(*) FILTER (tgt) AS BIGINT) AS n_t
+      |  FROM bkt GROUP BY b
+      |), tot AS (
+      |  SELECT CAST(SUM(n_r) AS BIGINT) AS tr, CAST(SUM(n_t) AS BIGINT) AS tt,
+      |    CAST(COUNT(*) AS BIGINT) AS nb
+      |  FROM stats
+      |), ratios AS (
+      |  SELECT b, ln(CAST(n_t + 1 AS DOUBLE) / CAST(tt + nb AS DOUBLE))
+      |           - ln(CAST(n_r + 1 AS DOUBLE) / CAST(tr + nb AS DOUBLE)) AS lr
+      |  FROM stats, tot
+      |), w AS (
+      |  SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_toks, SUM(c * lr) AS wt
+      |  FROM (SELECT doc_id, b, COUNT(*) AS c FROM bkt GROUP BY doc_id, b) j
+      |  JOIN ratios USING (b)
+      |  GROUP BY doc_id
+      |)
+      |SELECT g.doc_id, g.n_toks, g.w_r
+      |FROM read_parquet('__GRAFT_OUT__/q219_dsir_weights/*.parquet') g
+      |JOIN w ON w.doc_id = g.doc_id
+      |WHERE ABS(w.wt - g.w_r) < 1e-4 AND g.n_toks = w.n_toks
+      |  AND (SELECT COUNT(*) FROM w)
+      |    = (SELECT COUNT(*) FROM read_parquet('__GRAFT_OUT__/q219_dsir_weights/*.parquet'))
+      |UNION ALL SELECT -1, -1, -1.0 WHERE (SELECT COUNT(*)
+      |  FROM read_parquet('__GRAFT_OUT__/q219_dsir_weights/*.parquet')) = 0
+      |ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q219_dsir_weights" -> (q219DsirWeights _),
     "q215_extent_strip" -> (q215ExtentStrip _),
     "q216_bpe_vocab" -> (q216BpeVocab _),
     "q213_bpe_merges" -> (q213BpeMerges _),
@@ -1354,6 +1413,7 @@ object Curation {
     "q120_fuzzy_decontaminate" -> (q120FuzzyDecontaminate _))
 
   val oracle: Map[String, String] = Map(
+    "q219_dsir_weights" -> q219Sql,
     "q215_extent_strip" -> q215Sql,
     "q216_bpe_vocab" -> q216Sql,
     "q213_bpe_merges" -> q213Sql,

@@ -769,6 +769,58 @@ object Pipeline {
       |ORDER BY id_a, id_b""".stripMargin
 
   // -------------------------------------------------------------------
+  // q218: SEMANTIC decontamination — the embedding rung of the
+  // decontamination ladder (q57 exact / q83 Bloom / q120 fuzzy / q187
+  // incremental catch verbatim leaks; this catches PARAPHRASED eval
+  // material): every train vector whose max cosine against any eval
+  // vector (the pmod-97 slice — eval suites are tiny) reaches 0.30,
+  // with the argmax eval id as evidence. Eval side broadcasts (the
+  // PlanLint pmod-subset bounded shape); per-train argmax is the
+  // lesson-17 hash-aggregate max(struct(cos, −id)) — map-side partial,
+  // no data-sized sort window. Oracle: containment + argmax + max —
+  // each emitted row's cosine recomputed from raw embeddings within
+  // 1e-5, certified to BE that train's max over eval, ≥ τ; plus a
+  // completeness floor (#true-max ≥ τ+1e-5 ≤ #emitted) so silently
+  // dropping a contaminated row fails the count guard.
+  // -------------------------------------------------------------------
+  def q218SemanticDecontam(spark: SparkSession, dir: String): DataFrame = {
+    val all = emb(spark, dir)
+    Similarity.semanticDecontaminate(
+        all.filter(pmod(col("vec_id"), lit(97)) =!= 0),
+        all.filter(pmod(col("vec_id"), lit(97)) === 0),
+        "vec_id", "vec_id", "embedding", "embedding", tau = 0.30)
+      .select(col("train_id"), col("eval_id"),
+        round(col("cosine"), 6).as("cosine_r"))
+      .orderBy(asc("train_id"))
+  }
+  val q218Sql: String =
+    """WITH nv AS (
+      |  SELECT vec_id, list_transform(embedding,
+      |    x -> CAST(x AS DOUBLE) / sqrt(list_sum(list_transform(embedding,
+      |      y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE))))) AS v
+      |  FROM embeddings
+      |), sc AS (
+      |  SELECT t.vec_id AS train_id, e.vec_id AS eval_id,
+      |    list_sum(list_transform(list_zip(t.v, e.v), p -> p[1] * p[2])) AS c
+      |  FROM nv t, nv e
+      |  WHERE t.vec_id % 97 <> 0 AND e.vec_id % 97 = 0
+      |), mx AS (
+      |  SELECT train_id, MAX(c) AS mc FROM sc GROUP BY train_id
+      |)
+      |SELECT g.train_id, g.eval_id, g.cosine_r
+      |FROM read_parquet('__GRAFT_OUT__/q218_semantic_decontam/*.parquet') g
+      |JOIN sc ON sc.train_id = g.train_id AND sc.eval_id = g.eval_id
+      |JOIN mx ON mx.train_id = g.train_id
+      |WHERE ABS(sc.c - g.cosine_r) < 1e-5
+      |  AND ABS(mx.mc - g.cosine_r) < 1e-5
+      |  AND g.cosine_r >= 0.30 - 1e-5
+      |  AND (SELECT COUNT(*) FROM mx WHERE mc >= 0.30 + 1e-5)
+      |    <= (SELECT COUNT(*) FROM read_parquet('__GRAFT_OUT__/q218_semantic_decontam/*.parquet'))
+      |UNION ALL SELECT -1, -1, -1.0 WHERE (SELECT COUNT(*)
+      |  FROM read_parquet('__GRAFT_OUT__/q218_semantic_decontam/*.parquet')) = 0
+      |ORDER BY train_id""".stripMargin
+
+  // -------------------------------------------------------------------
   // q75: semantic dedup (SemDeDup) — k-means-cell-blocked embedding
   // near-dup groups, keep-lowest-id per group (the trained quantizer
   // isn't SQL-replayable; OperatorsSpec plants near-identical vectors
@@ -1379,18 +1431,23 @@ object Pipeline {
   // label) bit-for-bit. Per round: one edges⋈labels join, one
   // partial-agged (dst, label) count, one bounded-fan-in window.
   // -------------------------------------------------------------------
-  def q177LabelProp(spark: SparkSession, dir: String): DataFrame = {
+  private def tradeEdges(spark: SparkSession, dir: String): DataFrame = {
     val o = spark.read.parquet(s"$dir/orders.parquet")
       .select(col("o_orderkey"), col("o_custkey"))
     val l = spark.read.parquet(s"$dir/lineitem.parquet")
       .select(col("l_orderkey"), col("l_suppkey"))
     val fwd = o.join(l, col("o_orderkey") === col("l_orderkey"))
       .select((col("o_custkey") * 2).as("src"), (col("l_suppkey") * 2 + 1).as("dst"))
-    val edges = fwd.union(fwd.select(col("dst").as("src"), col("src").as("dst")))
-    Graph.labelPropagation(edges, "src", "dst", rounds = 2)
-      .orderBy(asc("id"))
+    fwd.union(fwd.select(col("dst").as("src"), col("src").as("dst")))
   }
-  val q177Sql: String =
+
+  def q177LabelProp(spark: SparkSession, dir: String): DataFrame =
+    Graph.labelPropagation(tradeEdges(spark, dir), "src", "dst", rounds = 2)
+      .orderBy(asc("id"))
+  // The unrolled 2-round LPA CTE chain — shared verbatim by q177 (the
+  // labels themselves) and q221 (modularity OF those labels): one
+  // drifted vote in either gate shows up in both.
+  private val lpaPrefixSql: String =
     """WITH fwd AS (
       |  SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
       |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
@@ -1417,7 +1474,46 @@ object Pipeline {
       |    GROUP BY e.dst, l1.lab)
       |  WHERE rk = 1
       |)
-      |SELECT id, lab FROM l2 ORDER BY id""".stripMargin
+      |""".stripMargin
+  val q177Sql: String =
+    lpaPrefixSql + "SELECT id, lab FROM l2 ORDER BY id"
+
+  // -------------------------------------------------------------------
+  // q221: MODULARITY of q177's LPA communities (Newman & Girvan 2004) —
+  // the quality score that closes the community-detection loop: did
+  // the partition find structure (Q_c > random) or noise? All-integer
+  // pieces (per-community node/degree/internal-edge counts) + ONE
+  // fixed-shape IEEE expression ⇒ bit-exact hash gate, no tolerance.
+  // The oracle replays the full 2-round LPA chain (shared CTE prefix
+  // with q177) and the modularity algebra on top — a drifted vote in
+  // round 1 corrupts both gates.
+  // -------------------------------------------------------------------
+  def q221Modularity(spark: SparkSession, dir: String): DataFrame = {
+    val edges = tradeEdges(spark, dir)
+    val labels = Graph.labelPropagation(edges, "src", "dst", rounds = 2)
+    Graph.modularity(edges, "src", "dst", labels)
+      .orderBy(asc("lab"))
+  }
+  val q221Sql: String =
+    lpaPrefixSql +
+      """, tagged AS (
+      |  SELECT e.src, e.dst, a.lab AS la, b.lab AS lb
+      |  FROM e JOIN l2 a ON a.id = e.src JOIN l2 b ON b.id = e.dst
+      |), tot AS (
+      |  SELECT CAST(COUNT(*) AS BIGINT) AS dd FROM tagged
+      |), per AS (
+      |  SELECT la AS lab, CAST(COUNT(*) AS BIGINT) AS deg_sum,
+      |    CAST(COUNT(*) FILTER (la = lb) AS BIGINT) AS internal
+      |  FROM tagged GROUP BY la
+      |), nn AS (
+      |  SELECT lab, COUNT(*) AS n_nodes FROM l2 GROUP BY lab
+      |)
+      |SELECT p.lab, nn.n_nodes, p.deg_sum, p.internal,
+      |  CAST(p.internal AS DOUBLE) / t.dd
+      |    - (CAST(p.deg_sum AS DOUBLE) / t.dd)
+      |      * (CAST(p.deg_sum AS DOUBLE) / t.dd) AS q_term
+      |FROM per p JOIN nn USING (lab), tot t
+      |ORDER BY lab""".stripMargin
 
   // -------------------------------------------------------------------
   // q171: iterated k-core peel (k=6, 4 synchronous rounds) over q127's
@@ -1538,6 +1634,42 @@ object Pipeline {
       |  CAST(SUM(nb) AS BIGINT) AS bytes_in,
       |  CAST(SUM(n_out) AS BIGINT) AS bytes_out
       |FROM sized GROUP BY media_type ORDER BY media_type""".stripMargin
+
+  // -------------------------------------------------------------------
+  // q220: VIDEO FRAME SAMPLING — the per-frame explode q88 only
+  // accounts in aggregate: every 2nd 64-byte "frame" of each video
+  // payload becomes its own row (chunk_idx, byte offset, length,
+  // fingerprint), the shape a per-frame decode/dedup/ANN stage
+  // consumes. Map-only flatMap; frames never shuffle. Oracle = FULL
+  // byte-exact replay, not containment: DuckDB rebuilds every frame
+  // from hex(encode(text)) — chunk grid, offsets, lengths, and the
+  // md5 over the SAME uppercase-hex rendering Spark emits — so a
+  // wrong stride, a dropped tail frame, or a corrupted byte all
+  // hash-mismatch.
+  // -------------------------------------------------------------------
+  def q220FrameSample(spark: SparkSession, dir: String): DataFrame =
+    Multimodal.frameSamples(Multimodal.mediaTable(spark, dir),
+        chunk = 64, every = 2)
+      .toDF()
+      .select(col("media_id"), col("chunk_idx"), col("off"),
+        length(col("frame")).cast("long").as("flen"),
+        md5(encode(hex(col("frame")), "UTF-8")).as("fmd5"))
+      .orderBy(asc("media_id"), asc("chunk_idx"))
+  val q220Sql: String =
+    """WITH v AS (
+      |  SELECT doc_id AS media_id, hex(encode(text)) AS hx,
+      |    CAST(octet_length(encode(text)) AS BIGINT) AS n
+      |  FROM documents WHERE doc_id % 3 = 2
+      |), f AS (
+      |  SELECT media_id, hx, n, UNNEST(range(0, (n-1)//64 + 1)) AS i FROM v
+      |)
+      |SELECT media_id, CAST(i AS BIGINT) AS chunk_idx,
+      |  CAST(i*64 AS BIGINT) AS off,
+      |  CAST(LEAST(64, n - i*64) AS BIGINT) AS flen,
+      |  md5(substring(hx, CAST(i*64*2 + 1 AS BIGINT),
+      |    CAST(LEAST(64, n - i*64)*2 AS BIGINT))) AS fmd5
+      |FROM f WHERE i % 2 = 0
+      |ORDER BY media_id, chunk_idx""".stripMargin
 
   // -------------------------------------------------------------------
   // q38: Structured Streaming hourly rollup (real streaming engine,
@@ -2949,6 +3081,9 @@ object Pipeline {
     "q35_ann_lsh" -> (q35AnnLsh _),
     "q52_ann_ivf" -> (q52AnnIvf _),
     "q36_cosine_neardup" -> (q36CosineNearDup _),
+    "q218_semantic_decontam" -> (q218SemanticDecontam _),
+    "q220_frame_sample" -> (q220FrameSample _),
+    "q221_modularity" -> (q221Modularity _),
     "q37_multimodal" -> (q37Multimodal _),
     "q88_multimodal_transcode" -> (q88MultimodalTranscode _),
     "q95_incremental_dedup" -> (q95IncrementalDedup _),
@@ -3020,6 +3155,9 @@ object Pipeline {
     "q31_minhash_lsh" -> q31Sql,
     "q32_simhash" -> q32Sql,
     "q36_cosine_neardup" -> q36Sql,
+    "q218_semantic_decontam" -> q218Sql,
+    "q220_frame_sample" -> q220Sql,
+    "q221_modularity" -> q221Sql,
     // floors ≈ 0.8 × measured recall (round-6 re-measurement: q35
     // 0.45 @ sf0.01 / 0.58 @ sf0.1, q52 0.70 / 0.77) so a silent
     // recall regression trips well before halving; re-measure BOTH

@@ -434,4 +434,36 @@ class CurationSpec extends SparkSpec {
       .collect().map(_.getLong(0)).toSeq
     assert(a !== c)                          // seed-dependent
   }
+
+  // q219's gate is backed here: hand-computed DSIR log-ratio weights
+  // on a planted 4-doc corpus (target = source 't') — the Laplace
+  // smoothing, bucket counts, and per-doc occurrence-weighted sum.
+  test("dsirWeights reproduces hand-computed importance weights") {
+    val df = Seq(
+      (1L, "wiki wiki facts", "t"),
+      (2L, "wiki facts", "t"),
+      (3L, "spam spam spam", "r"),
+      (4L, "facts spam", "r")).toDF("doc_id", "text", "src")
+    val got = Curation.dsirWeights(df, "doc_id", "text",
+        isTarget = col("src") === "t", vocabN = 10)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    // counts: wiki (3 raw / 3 tgt), facts (3/2), spam (4/0);
+    // totals tr=10 tt=5, nb=3 observed buckets (vocab covers all)
+    val lrWiki = math.log(4.0 / 8.0) - math.log(4.0 / 13.0)
+    val lrFacts = math.log(3.0 / 8.0) - math.log(4.0 / 13.0)
+    val lrSpam = math.log(1.0 / 8.0) - math.log(5.0 / 13.0)
+    assert(got.keySet === Set(1L, 2L, 3L, 4L)) // every doc scored
+    assert(got(1L)._1 === 3L && math.abs(got(1L)._2 - (2 * lrWiki + lrFacts)) < 1e-9)
+    assert(got(3L)._1 === 3L && math.abs(got(3L)._2 - 3 * lrSpam) < 1e-9)
+    assert(got(4L)._1 === 2L && math.abs(got(4L)._2 - (lrFacts + lrSpam)) < 1e-9)
+    assert(got(1L)._2 > 0 && got(3L)._2 < 0) // target-like up, spam down
+    // a token OUTSIDE the capped vocab lands in the OOV bucket:
+    // with vocabN=1 only 'spam' (count 4) survives; everything else
+    // shares one OOV log-ratio, so doc 1 and doc 2's PER-TOKEN means
+    // collapse to the same value
+    val capped = Curation.dsirWeights(df, "doc_id", "text",
+        isTarget = col("src") === "t", vocabN = 1)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(math.abs(capped(1L)._2 / 3.0 - capped(2L)._2 / 2.0) < 1e-9)
+  }
 }

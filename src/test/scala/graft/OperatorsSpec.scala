@@ -1156,4 +1156,81 @@ class OperatorsSpec extends SparkSpec {
     // join would verify
     assert(pruned < fullCand / 5, s"pruned=$pruned fullCand=$fullCand")
   }
+
+  // q218's gate is backed here: a train vector planted NEAR an eval
+  // vector must be flagged with THAT eval id and cosine ≈ 1; an
+  // orthogonal train vector must not appear at all.
+  test("semanticDecontaminate flags planted near-eval vectors with the argmax eval id") {
+    def unit(axis: Int): Array[Float] =
+      Array.tabulate(8)(i => if (i == axis) 1.0f else 0.0f)
+    val evalSet = Seq((100L, unit(0)), (101L, unit(1))).toDF("vec_id", "embedding")
+    val train = Seq(
+      (1L, unit(0)),                                       // exact dup of eval 100
+      (2L, unit(0).zipWithIndex.map { case (x, i) =>       // near eval 1 axis
+        if (i == 1) 0.9f else if (i == 2) 0.1f else 0.0f }),
+      (3L, unit(5))                                        // orthogonal to both
+    ).toDF("vec_id", "embedding")
+    val got = Similarity.semanticDecontaminate(train, evalSet,
+        "vec_id", "vec_id", "embedding", "embedding", tau = 0.5)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(got.keySet === Set(1L, 2L))
+    assert(got(1L)._1 === 100L && math.abs(got(1L)._2 - 1.0) < 1e-9)
+    assert(got(2L)._1 === 101L && got(2L)._2 > 0.9)
+    // tie in cosine breaks toward the SMALLEST eval id
+    val tied = Similarity.semanticDecontaminate(
+        Seq((7L, unit(3))).toDF("vec_id", "embedding"),
+        Seq((200L, unit(3)), (201L, unit(3))).toDF("vec_id", "embedding"),
+        "vec_id", "vec_id", "embedding", "embedding", tau = 0.5)
+      .collect()
+    assert(tied.length === 1 && tied(0).getLong(1) === 200L)
+  }
+
+  // q220's gate is backed here: frame grid, offsets, tail length, and
+  // the hex→md5 fingerprint of a planted payload; non-videos excluded.
+  test("frameSamples emits every 2nd chunk with byte-exact offsets and fingerprints") {
+    import Multimodal._
+    val payload = Array.tabulate(150)(i => i.toByte) // chunks: 64, 64, 22
+    val media = Seq(
+      MediaRow(2L, "video", payload, 0, 0, 0),
+      MediaRow(1L, "audio", payload, 0, 0, 16000)).toDS()
+    val got = frameSamples(media, chunk = 64, every = 2)
+      .collect().sortBy(_.chunk_idx)
+    assert(got.map(_.media_id).toSet === Set(2L)) // audio excluded
+    assert(got.map(f => (f.chunk_idx, f.off, f.frame.length.toLong)).toSeq
+      === Seq((0L, 0L, 64L), (2L, 128L, 22L)))
+    assert(got(0).frame.toSeq === payload.slice(0, 64).toSeq)
+    assert(got(1).frame.toSeq === payload.slice(128, 150).toSeq)
+    // the q220 fingerprint convention: md5 over the UPPERCASE hex text
+    val hex0 = payload.slice(0, 64).map(b => f"${b & 0xff}%02X").mkString
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val want = md.digest(hex0.getBytes("US-ASCII")).map(b => f"${b & 0xff}%02x").mkString
+    val sparkMd5 = frameSamples(media, 64, 2).toDF()
+      .filter(col("chunk_idx") === 0)
+      .select(md5(encode(org.apache.spark.sql.functions.hex(col("frame")), "UTF-8")))
+      .collect()(0).getString(0)
+    assert(sparkMd5 === want)
+  }
+
+  // q221's gate is backed here: two disjoint triangles with a perfect
+  // 2-community labelling — hand-computed Newman-Girvan terms.
+  test("modularity matches hand-computed terms on two disjoint triangles") {
+    def tri(base: Long) = Seq((base, base + 1), (base + 1, base + 2), (base, base + 2))
+    val und = tri(1L) ++ tri(10L)
+    val edges = (und ++ und.map(_.swap)).toDF("s", "d")
+    val labels = Seq((1L, 1L), (2L, 1L), (3L, 1L),
+      (10L, 2L), (11L, 2L), (12L, 2L)).toDF("id", "lab")
+    val got = Graph.modularity(edges, "s", "d", labels)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+    // D = 12 directed edges; per community: internal = 6, deg_sum = 6
+    // Q_c = 6/12 − (6/12)² = 0.25; global Q = 0.5 (perfect split)
+    assert(got.keySet === Set(1L, 2L))
+    Seq(1L, 2L).foreach { c =>
+      assert(got(c) === ((3L, 6L, 6L, 0.25)))
+    }
+    // one community holding everything scores Q = 1 − 1 = 0
+    val mono = labels.select(col("id"), lit(1L).as("lab"))
+    val gotMono = Graph.modularity(edges, "s", "d", mono).collect()
+    assert(gotMono.length === 1 && math.abs(gotMono(0).getDouble(4)) < 1e-12)
+  }
 }
