@@ -345,6 +345,44 @@ object Multimodal {
     }
   }
 
+  /** One fixed-width audio analysis window: exact integer energy
+    * (sum of squared centered samples) so downstream gating (silence
+    * trim, VAD-ish selection) is engine-portable. */
+  case class AudioWindow(media_id: Long, win_idx: Long, n_bytes: Long,
+                         ss: Long)
+
+  /** AUDIO windowed energy — the feature-extract rung for the audio
+    * modality (images decode via [[extractFeatures]], videos explode
+    * via [[frameSamples]]; audio was passthrough-only): each payload
+    * is cut into `win`-byte windows and every window gets its exact
+    * integer energy Σ(b−128)², treating bytes as unsigned 8-bit
+    * samples (a real PCM decoder drops into the same loop shape; no
+    * audio codec in this container). Energy is the primitive under
+    * silence trimming, voice-activity gating, and clip-level quality
+    * scores.
+    *
+    * Map-only flatMap over the scan — windows are born where the blob
+    * was read and never shuffle; all-integer output, so any
+    * aggregation on top is exactly replayable cross-engine.
+    */
+  def audioWindows(media: Dataset[MediaRow], win: Int = 32): Dataset[AudioWindow] = {
+    import media.sparkSession.implicits._
+    media.filter(_.media_type == "audio").mapPartitions { rows =>
+      rows.flatMap { r =>
+        r.payload.grouped(win).zipWithIndex.map { case (w, i) =>
+          var ss = 0L
+          var j = 0
+          while (j < w.length) {
+            val s = (w(j) & 0xFF) - 128
+            ss += s.toLong * s
+            j += 1
+          }
+          AudioWindow(r.media_id, i.toLong, w.length.toLong, ss)
+        }
+      }
+    }
+  }
+
   /** Byte accounting of the transcode pass per media type — the
     * before/after sizes are pure functions of the payload length and
     * the (deterministic) stub policies, so a DuckDB oracle reproduces

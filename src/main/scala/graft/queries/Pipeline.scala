@@ -1672,6 +1672,52 @@ object Pipeline {
       |ORDER BY media_id, chunk_idx""".stripMargin
 
   // -------------------------------------------------------------------
+  // q222: AUDIO ENERGY / SILENCE TRIM — the audio-modality
+  // feature-extract (q220 is video's, q37/q210 image's): 32-byte
+  // windows, exact integer energy Σ(b−128)², per-clip summary with
+  // the silence-trim boundaries (first/last window ≥ 40000 — ~p10 of
+  // the corpus energy distribution, so quiet windows really exist).
+  // ALL-INTEGER output ⇒ exact hash gate: DuckDB rebuilds every byte
+  // via a hex-pair→int cast over hex(encode(text)) and replays the
+  // window grid, energies, threshold, and boundaries bit-for-bit.
+  // -------------------------------------------------------------------
+  def q222AudioEnergy(spark: SparkSession, dir: String): DataFrame = {
+    val loud = col("ss") >= 40000L
+    Multimodal.audioWindows(Multimodal.mediaTable(spark, dir), win = 32)
+      .toDF()
+      .groupBy(col("media_id"))
+      .agg(
+        count(lit(1)).as("n_win"),
+        sum(loud.cast("long")).as("n_loud"),
+        coalesce(min(when(loud, col("win_idx"))), lit(-1L)).as("first_loud"),
+        coalesce(max(when(loud, col("win_idx"))), lit(-1L)).as("last_loud"),
+        sum(col("ss")).as("total_ss"))
+      .orderBy(asc("media_id"))
+  }
+  val q222Sql: String =
+    """WITH a AS (
+      |  SELECT doc_id AS media_id, hex(encode(text)) AS hx,
+      |    CAST(octet_length(encode(text)) AS BIGINT) AS n
+      |  FROM documents WHERE doc_id % 3 = 1
+      |), b AS (
+      |  SELECT media_id, UNNEST(range(0, n)) AS p, hx FROM a
+      |), v AS (
+      |  SELECT media_id, p // 32 AS w,
+      |    (CAST(('0x' || substring(hx, CAST(p*2+1 AS BIGINT), 2)) AS INTEGER)
+      |      - 128) AS s
+      |  FROM b
+      |), wn AS (
+      |  SELECT media_id, w, CAST(SUM(s*s) AS BIGINT) AS ss
+      |  FROM v GROUP BY media_id, w
+      |)
+      |SELECT media_id, COUNT(*) AS n_win,
+      |  CAST(COUNT(*) FILTER (ss >= 40000) AS BIGINT) AS n_loud,
+      |  COALESCE(MIN(w) FILTER (ss >= 40000), -1) AS first_loud,
+      |  COALESCE(MAX(w) FILTER (ss >= 40000), -1) AS last_loud,
+      |  CAST(SUM(ss) AS BIGINT) AS total_ss
+      |FROM wn GROUP BY media_id ORDER BY media_id""".stripMargin
+
+  // -------------------------------------------------------------------
   // q38: Structured Streaming hourly rollup (real streaming engine,
   // versioned foreachBatch parquet sink, drained synchronously) —
   // oracle is plain batch SQL
@@ -3084,6 +3130,7 @@ object Pipeline {
     "q218_semantic_decontam" -> (q218SemanticDecontam _),
     "q220_frame_sample" -> (q220FrameSample _),
     "q221_modularity" -> (q221Modularity _),
+    "q222_audio_energy" -> (q222AudioEnergy _),
     "q37_multimodal" -> (q37Multimodal _),
     "q88_multimodal_transcode" -> (q88MultimodalTranscode _),
     "q95_incremental_dedup" -> (q95IncrementalDedup _),
@@ -3158,6 +3205,7 @@ object Pipeline {
     "q218_semantic_decontam" -> q218Sql,
     "q220_frame_sample" -> q220Sql,
     "q221_modularity" -> q221Sql,
+    "q222_audio_energy" -> q222Sql,
     // floors ≈ 0.8 × measured recall (round-6 re-measurement: q35
     // 0.45 @ sf0.01 / 0.58 @ sf0.1, q52 0.70 / 0.77) so a silent
     // recall regression trips well before halving; re-measure BOTH

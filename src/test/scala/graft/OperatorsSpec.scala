@@ -1211,6 +1211,26 @@ class OperatorsSpec extends SparkSpec {
     assert(sparkMd5 === want)
   }
 
+  // q222's gate is backed here: hand-computed window energies on a
+  // planted byte pattern, incl. the short tail window; non-audio rows
+  // excluded.
+  test("audioWindows computes exact integer energies over the window grid") {
+    import Multimodal._
+    // 32 bytes of 128 (silence), 32 bytes of 0 (full swing), 6-byte tail of 130
+    val payload = Array.fill(32)(128.toByte) ++ Array.fill(32)(0.toByte) ++
+      Array.fill(6)(130.toByte)
+    val media = Seq(
+      MediaRow(1L, "audio", payload, 0, 0, 16000),
+      MediaRow(2L, "video", payload, 0, 0, 0)).toDS()
+    val got = audioWindows(media, win = 32)
+      .collect().sortBy(_.win_idx)
+      .map(w => (w.media_id, w.win_idx, w.n_bytes, w.ss))
+    assert(got.toSeq === Seq(
+      (1L, 0L, 32L, 0L),                 // centered silence
+      (1L, 1L, 32L, 32L * 128 * 128),    // max swing: 32·(−128)²
+      (1L, 2L, 6L, 6L * 2 * 2)))         // tail: 6·(130−128)²
+  }
+
   // q221's gate is backed here: two disjoint triangles with a perfect
   // 2-community labelling — hand-computed Newman-Girvan terms.
   test("modularity matches hand-computed terms on two disjoint triangles") {
