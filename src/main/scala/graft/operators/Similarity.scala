@@ -285,6 +285,37 @@ object Similarity {
       .dropDuplicates("id_a", "id_b")
   }
 
+  /** HARD-NEGATIVE mining — the contrastive-training companion of
+    * [[bruteForceTopK]]: for each anchor, the k MOST similar
+    * candidates strictly below `maxCos` — similar enough to be
+    * informative negatives, dissimilar enough to not be positives or
+    * near-duplicates (the band that makes retriever/embedding
+    * training work; negatives at cosine ≈ 0 teach nothing, negatives
+    * above the band are usually unlabeled positives).
+    *
+    * Same plan shape as the exact top-k: anchors broadcast (training
+    * batches are model-sized next to the corpus), candidates stream
+    * map-only through one scan, the band filter runs BEFORE the
+    * per-anchor rank so the window only sees in-band rows. At corpus
+    * scale, mine from an ANN pool instead ([[ivfTopK]] with a larger
+    * k, then band-filter) — this operator is the exact-semantics
+    * baseline the pooled variant is measured against.
+    */
+  def hardNegativeTopK(queries: DataFrame, candidates: DataFrame,
+                       idQ: String, idC: String, vecQ: String, vecC: String,
+                       k: Int, maxCos: Double): DataFrame = {
+    val q = queries.select(col(idQ).as("query_id"), normalized(col(vecQ)).as("qv"))
+    val c = candidates.select(col(idC).as("cand_id"), normalized(col(vecC)).as("cv"))
+    val scored = c.join(broadcast(q), col("query_id") =!= col("cand_id"))
+      .select(col("query_id"), col("cand_id"),
+        dotD(col("qv"), col("cv")).as("cosine"))
+      .filter(col("cosine") < lit(maxCos))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(desc("cosine"), asc("cand_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= lit(k))
+  }
+
   /** SEMANTIC decontamination — the embedding rung of the
     * decontamination ladder (exact q57 / Bloom q83 / fuzzy q120 /
     * incremental q187 catch verbatim and near-verbatim leaks; this

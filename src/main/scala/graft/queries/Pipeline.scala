@@ -435,6 +435,44 @@ object Pipeline {
       |ORDER BY query_id, rank""".stripMargin
 
   // -------------------------------------------------------------------
+  // q223: HARD-NEGATIVE mining — per anchor (every 50th vector, the
+  // q34 convention), the 5 most similar candidates STRICTLY below
+  // cosine 0.8: the contrastive-training band (in-band = informative
+  // negative; above = probable unlabeled positive/near-dup; near 0 =
+  // teaches nothing). Exact replay oracle like q34 — both engines sum
+  // the normalized dot in index order, so the band predicate and the
+  // rank are bit-identical; no tolerance anywhere.
+  // -------------------------------------------------------------------
+  def q223HardNegatives(spark: SparkSession, dir: String): DataFrame = {
+    val e = emb(spark, dir)
+    val q = e.filter(pmod(col("vec_id"), lit(50)) === 0)
+    Similarity.hardNegativeTopK(q, e, "vec_id", "vec_id",
+        "embedding", "embedding", k = 5, maxCos = 0.8)
+      .select(col("query_id"), col("cand_id"), col("rank"))
+      .orderBy(asc("query_id"), asc("rank"))
+  }
+  val q223Sql: String =
+    """WITH nv AS (
+      |  SELECT vec_id, list_transform(embedding,
+      |    x -> CAST(x AS DOUBLE) / sqrt(list_sum(list_transform(embedding,
+      |      y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE))))) AS v
+      |  FROM embeddings
+      |), banded AS (
+      |  SELECT query_id, cand_id, cos FROM (
+      |    SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+      |      list_sum(list_transform(list_zip(q.v, c.v), p -> p[1] * p[2])) AS cos
+      |    FROM nv q JOIN nv c ON q.vec_id % 50 = 0 AND q.vec_id != c.vec_id)
+      |  WHERE cos < 0.8
+      |), ranked AS (
+      |  SELECT query_id, cand_id,
+      |    ROW_NUMBER() OVER (PARTITION BY query_id
+      |      ORDER BY cos DESC, cand_id) AS rank
+      |  FROM banded
+      |)
+      |SELECT query_id, cand_id, rank FROM ranked WHERE rank <= 5
+      |ORDER BY query_id, rank""".stripMargin
+
+  // -------------------------------------------------------------------
   // q35: LSH-bucketed approximate top-k, self-certifying (was rows-only
   // in r1/r2): every ANN result row carries `hit` = membership in the
   // EXACT top-10 (computed in-plan by the q34-oracled brute-force
@@ -3131,6 +3169,7 @@ object Pipeline {
     "q220_frame_sample" -> (q220FrameSample _),
     "q221_modularity" -> (q221Modularity _),
     "q222_audio_energy" -> (q222AudioEnergy _),
+    "q223_hard_negatives" -> (q223HardNegatives _),
     "q37_multimodal" -> (q37Multimodal _),
     "q88_multimodal_transcode" -> (q88MultimodalTranscode _),
     "q95_incremental_dedup" -> (q95IncrementalDedup _),
@@ -3206,6 +3245,7 @@ object Pipeline {
     "q220_frame_sample" -> q220Sql,
     "q221_modularity" -> q221Sql,
     "q222_audio_energy" -> q222Sql,
+    "q223_hard_negatives" -> q223Sql,
     // floors ≈ 0.8 × measured recall (round-6 re-measurement: q35
     // 0.45 @ sf0.01 / 0.58 @ sf0.1, q52 0.70 / 0.77) so a silent
     // recall regression trips well before halving; re-measure BOTH

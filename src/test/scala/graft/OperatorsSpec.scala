@@ -1211,6 +1211,23 @@ class OperatorsSpec extends SparkSpec {
     assert(sparkMd5 === want)
   }
 
+  // q223's gate is backed here: the band excludes a planted near-dup
+  // (probable positive) while ranking the in-band negatives hardest
+  // first.
+  test("hardNegativeTopK keeps the band and excludes near-duplicates") {
+    val anchor = Seq((0L, Array(1f, 0f, 0f, 0f))).toDF("vec_id", "embedding")
+    val cands = Seq(
+      (1L, Array(1f, 0.01f, 0f, 0f)),   // cos ≈ 1 → above band, excluded
+      (2L, Array(0.7f, 0.714f, 0f, 0f)), // cos ≈ 0.70 → hardest in band
+      (3L, Array(0.3f, 0.954f, 0f, 0f)), // cos ≈ 0.30
+      (4L, Array(0f, 1f, 0f, 0f))        // cos = 0
+    ).toDF("vec_id", "embedding")
+    val got = Similarity.hardNegativeTopK(anchor, cands, "vec_id", "vec_id",
+        "embedding", "embedding", k = 2, maxCos = 0.8)
+      .collect().map(r => (r.getLong(1), r.getInt(3)))
+    assert(got.toSeq.sortBy(_._2) === Seq((2L, 1), (3L, 2)))
+  }
+
   // q222's gate is backed here: hand-computed window energies on a
   // planted byte pattern, incl. the short tail window; non-audio rows
   // excluded.
