@@ -510,9 +510,14 @@ object Graph {
     val e = edges
       .select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
       .distinct()
+    // (src, dst, la, lb) longs — read by both the global count and the
+    // per-community aggregate; persist so the edges⋈labels joins run
+    // once (callers pass label frames with iterative lineage — cutting
+    // it is theirs, reusing the tagged frame is ours)
     val tagged = e
       .join(labels.select(col("id").as("src"), col("lab").as("la")), "src")
       .join(labels.select(col("id").as("dst"), col("lab").as("lb")), "dst")
+      .persist()
     val tot = tagged.agg(count(lit(1)).as("dd"))
     val per = tagged.groupBy(col("la").as("lab"))
       .agg(count(lit(1)).as("deg_sum"),

@@ -327,9 +327,9 @@ object Similarity {
     * Scale shape: eval benchmark suites are tiny (thousands of rows)
     * next to a training corpus — the eval side BROADCASTS, the
     * training side streams map-only through one scan, and the
-    * per-train argmax is a HASH aggregate (`max(struct(cos, −id))`,
-    * the PERF-lesson-17 form — count-desc/id-asc without a data-sized
-    * sort window), partial-aggregated map-side so the shuffle carries
+    * per-train argmax is a two-phase aggregate (`max(struct(cos, −id))`,
+    * the PERF-lesson-17 form — no data-sized sort window),
+    * partial-aggregated map-side so the shuffle carries
     * one row per FLAGGED train id, not per pair. Nothing data-sized
     * is ever built on the driver. Ref scope: angelini/df has no
     * vector ops; decontamination semantics follow the exact-overlap

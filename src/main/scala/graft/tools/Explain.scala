@@ -111,7 +111,13 @@ object Explain {
       "q212_repeated_extents" -> "positional 5-grams stay codegen'd (posexplode + lead windows, doc-partitioned); the repeat set is one gram-keyed HAVING>=2 aggregate semi-joined back, so the lag/cumsum run-merge windows run over ANCHORS only — the repeated minority, not the corpus",
       "q214_stream_neardup" -> "the batch tail of the streaming near-dup: drained (band,id,id) candidates distinct-ed, then exact-Jaccard verified via two shingle-set joins — the stream side shuffled only 24-byte band rows into the state store, text touches nothing but the map-side kernels",
       "q215_extent_strip" -> "the q212 chain (gram windows, non-first anchors via min(struct) per gram, run merge) feeds a per-doc ANTI range-join (equi on id, extent bounds residual) — each token tests against its doc's few disjoint extents; the splice md5 is one per-doc sorted aggregate",
-      "q217_phash_incremental" -> "index↔probe chunk equi-join (signatureMatches): both sides explode to 16-bit chunks, the INDEX side carries the bucket cap, candidates distinct before the Hamming verify — the standing index is probed, never cross-joined")
+      "q217_phash_incremental" -> "index↔probe chunk equi-join (signatureMatches): both sides explode to 16-bit chunks, the INDEX side carries the bucket cap, candidates distinct before the Hamming verify — the standing index is probed, never cross-joined",
+      "q218_semantic_decontam" -> "the eval slice (pmod-subset filter, recognized bounded) broadcasts into one BNLJ over the streaming train scan; the per-train argmax is max(struct(cos,−id)) — a two-phase aggregate with map-side partials (SortAggregate for the struct type), so the exchange carries one row per train id, never per pair; no window anywhere",
+      "q219_dsir_weights" -> "two explode passes over the corpus (vocab count, bucket count), both map-side partial-aggregated; the top-512 vocab and the log-ratio table are model-sized broadcasts (TakeOrdered + 1-row totals cross); the only data-sized exchange carries (doc, bucket, count) triples",
+      "q220_frame_sample" -> "one SerializeFromObject span: scan → typed filter → flatMap frames → project (len, md5 of hex) — all map-only, zero Exchange except the output sort; frame payloads are born and fingerprinted in the scan partition and never shuffle",
+      "q221_modularity" -> "the LPA label frame joins the distinct edge list twice (long-pair hash joins), per-label counts partial-aggregate, and the 1-row directed-edge total broadcasts back — nothing wider than (long, long) in any exchange; modularity itself is row-local arithmetic",
+      "q222_audio_energy" -> "one SerializeFromObject span again: scan → typed filter → flatMap 32-byte windows with in-loop integer energy → per-clip hash aggregate; the exchange carries (media_id, 4 longs) summaries, the payload bytes never leave the scan partition",
+      "q223_hard_negatives" -> "anchors broadcast into the BNLJ over the candidate scan; the band filter (cos < 0.8) runs BEFORE the per-anchor rank window, so the sort sees only in-band rows; at corpus scale the pooled variant (ivfTopK k·4 then band-filter) replaces the exact scan")
 
     val sb = new StringBuilder
     sb.append("# EXPLAINS — physical plans of representative queries\n\n")

@@ -310,6 +310,45 @@ object ScaleStress {
     timed(s"pca top component (${nVec} vectors)")(
       { graft.operators.Similarity.pcaTopComponent(emb, "embedding", 64); 0L })
 
+    // round-8 phases — the new surface at ×N. The two embedding ops
+    // must stay broadcast+one-scan (eval slice / anchor set is
+    // model-sized by construction); the modality explodes are map-only
+    // flatMaps whose cost must track corpus BYTES; DSIR is two
+    // partial-agged token passes + a model-sized ratio broadcast.
+    timed(s"semantic decontamination ($nVec train vs ~${nVec / 997} eval)")(
+      graft.operators.Similarity.semanticDecontaminate(
+        emb.filter(pmod(col("vec_id"), lit(997)) =!= 0),
+        emb.filter(pmod(col("vec_id"), lit(997)) === 0),
+        "vec_id", "vec_id", "embedding", "embedding", tau = 0.30).count())
+    timed("hard negatives (100 anchors, banded top-5 over full corpus)")(
+      graft.operators.Similarity.hardNegativeTopK(
+        emb.filter(col("vec_id") < 100), emb, "vec_id", "vec_id",
+        "embedding", "embedding", k = 5, maxCos = 0.8).count())
+    timed(s"dsir weights ($total docs, top-512 vocab + OOV)")(
+      graft.operators.Curation.dsirWeights(docs, "doc_id", "text",
+          isTarget = pmod(col("doc_id"), lit(5)) === 0, vocabN = 512)
+        .agg(count(lit(1)).as("n"), sum(col("n_toks")))
+        .collect()(0).getLong(0))
+    locally {
+      import spark.implicits._
+      val media = docs.select(col("doc_id").as("media_id"),
+          element_at(array(lit("image"), lit("audio"), lit("video")),
+            (pmod(col("doc_id"), lit(3)) + 1).cast("int")).as("media_type"),
+          encode(col("text"), "UTF-8").as("payload"),
+          lit(0).as("width"), lit(0).as("height"), lit(0).as("sample_rate"))
+        .as[graft.operators.Multimodal.MediaRow]
+      // force the frame/window payload work through an aggregate —
+      // a bare count would let the planner prune the computed columns
+      timed(s"video frame explode (~${total / 3} videos)")(
+        graft.operators.Multimodal.frameSamples(media, 64, 2).toDF()
+          .agg(count(lit(1)).as("n"), sum(length(col("frame"))))
+          .collect()(0).getLong(0))
+      timed(s"audio window energies (~${total / 3} clips)")(
+        graft.operators.Multimodal.audioWindows(media, 32).toDF()
+          .agg(count(lit(1)).as("n"), expr("bit_xor(ss)"))
+          .collect()(0).getLong(0))
+    }
+
     // q189 collocation candidate volume under PLANTED LONG DOCUMENTS
     // (the round-6 verdict's scale-killer scenario): 20k docs, each
     // with 150 doc-unique junk tokens (df=1) + 30 tokens from a

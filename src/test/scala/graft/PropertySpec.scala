@@ -280,6 +280,49 @@ class PropertySpec extends Properties("graft") {
       }
     }
 
+  property("modularity conserves degrees/edges and bounds Q on random partitions") =
+    Prop.forAll(graphGen, Gen.chooseNum(1L, 4L)) { (dir, nc) =>
+      dir.isEmpty || {
+        val und = (dir ++ dir.map(_.swap)).distinct
+        val edges = und.toDF("s", "d")
+        val labels = und.flatMap(e => Seq(e._1, e._2)).distinct
+          .map(v => (v, v % nc)).toDF("id", "lab")
+        val rows = graft.operators.Graph.modularity(edges, "s", "d", labels)
+          .collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+        val dd = und.size.toLong
+        val degOk = rows.map(_._3).sum == dd          // Σ deg_c = |directed E|
+        val intOk = rows.map(_._4).sum <= dd &&        // internal ⊆ E
+          rows.forall(r => r._4 <= r._3)               // per community too
+        val q = rows.map(_._5).sum
+        val qOk = q <= 1.0 + 1e-12 && q >= -0.5 - 1e-12 // Newman bounds
+        // partition invariance: layout must not change a single value
+        val again = graft.operators.Graph
+          .modularity(edges.repartition(7), "s", "d", labels.repartition(3))
+          .collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+        degOk && intOk && qOk && again.sortBy(_._1).sameElements(rows.sortBy(_._1))
+      }
+    }
+
+  private val docsGen: Gen[List[(Long, String)]] =
+    Gen.listOfN(8, Gen.listOfN(5, Gen.oneOf("a", "b", "cc", "dd", "e")))
+      .map(_.zipWithIndex.map { case (ws, i) => (i.toLong, ws.mkString(" ")) })
+
+  property("dsirWeights: token mass conserved; target==corpus ⇒ all weights 0") =
+    Prop.forAll(docsGen, Gen.chooseNum(1, 6)) { (rows, vn) =>
+      rows.isEmpty || {
+        val df = rows.toDF("doc_id", "text")
+        val got = graft.operators.Curation
+          .dsirWeights(df, "doc_id", "text", isTarget = lit(true), vocabN = vn)
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        val totalToks = rows.map(_._2.split("\\s+").length.toLong).sum
+        got.map(_._2).sum == totalToks &&              // every occurrence scored
+          got.length == rows.length &&                 // every doc present
+          got.forall(_._3 == 0.0)                      // p_t ≡ p_r ⇒ exact 0
+      }
+    }
+
   property("hitsFixed is invariant to edge duplication and partitioning") =
     Prop.forAll(graphGen) { edges =>
       edges.isEmpty || {
