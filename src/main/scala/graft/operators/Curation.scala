@@ -240,28 +240,66 @@ object Curation {
   def bpeFinalSymbols(df: DataFrame, textCol: String, rounds: Int): DataFrame =
     bpeTrain(df, textCol, rounds)._2
 
-  private def bpeTrain(df: DataFrame, textCol: String, rounds: Int)
-      : (Seq[(Long, String, String, Long, Long, Long, Long)], DataFrame) = {
-    val spark = df.sparkSession
-    import spark.implicits._
-    val types = df.select(explode(TA.tokens(col(textCol))).as("w"))
+  /** The initial character-level (w, wc, p, s) symbol frame of a
+    * corpus' word-type table — BPE round 0. Split BETWEEN characters
+    * only ("(?<=.)(?=.)"): Spark's split keeps trailing empty strings
+    * (limit -1), so a plain "(?!^)" lookahead would append a phantom
+    * "" symbol to every word. Persisted (each round reads it twice). */
+  private def bpeSym0(df: DataFrame, textCol: String): DataFrame =
+    df.select(explode(TA.tokens(col(textCol))).as("w"))
       .filter(col("w") =!= "")
       .groupBy(col("w")).agg(count(lit(1)).as("wc"))
-    // split BETWEEN characters only ("(?<=.)(?=.)"): Spark's split
-    // keeps trailing empty strings (limit -1), so a plain "(?!^)"
-    // lookahead would append a phantom "" symbol to every word
-    var syms = types.select(col("w"), col("wc"),
+      .select(col("w"), col("wc"),
         posexplode(split(col("w"), "(?<=.)(?=.)")))
       .withColumnRenamed("pos", "p").withColumnRenamed("col", "s")
       .persist()
+
+  /** One GREEDY LEFT-TO-RIGHT merge of the adjacent symbol pair
+    * (a, b) over a (w, wc, p, s) symbol frame — the island-parity
+    * trick: within each maximal run of consecutive (a,b) matches,
+    * only even offsets merge (aaa → (aa)a, never a(aa)). Returns the
+    * rebuilt persisted frame + (type-level, corpus-weighted) merge
+    * counts; the INPUT frame stays persisted — caller unpersists. A
+    * pair with zero occurrences is a no-op (apply-side corpora may
+    * lack a trained pair). */
+  private def bpeMergePair(syms: DataFrame, a: String, b: String)
+      : (DataFrame, Long, Long) = {
+    val wWin = Window.partitionBy(col("w")).orderBy(asc("p"))
+    val paired = syms.withColumn("s2", lead(col("s"), 1).over(wWin))
+    val starts = paired
+      .filter(col("s") === lit(a) && col("s2") === lit(b))
+      .withColumn("isl", col("p") - row_number().over(wWin))
+      .withColumn("off", col("p") - min(col("p")).over(
+        Window.partitionBy(col("w"), col("isl"))))
+      .filter((col("off") % 2) === 0)
+      .select(col("w"), col("wc"), col("p"), lit(1).as("start"))
+    val cnts = starts
+      .agg(count(lit(1)).as("n"), coalesce(sum(col("wc")), lit(0L)).as("nw"))
+      .collect().head
+    val consumed = starts.select(col("w"), (col("p") + 1).as("p"),
+      lit(1).as("gone"))
+    val rebuilt = syms
+      .join(starts.select(col("w"), col("p"), col("start")), Seq("w", "p"), "left_outer")
+      .join(consumed, Seq("w", "p"), "left_outer")
+      .filter(col("gone").isNull)
+      .withColumn("s", when(col("start") === 1, lit(a + b)).otherwise(col("s")))
+      .withColumn("np", row_number().over(wWin) - 1)
+      .select(col("w"), col("wc"), col("np").as("p"), col("s"))
+      .persist()
+    (rebuilt, cnts.getLong(0), cnts.getLong(1))
+  }
+
+  private def bpeTrain(df: DataFrame, textCol: String, rounds: Int)
+      : (Seq[(Long, String, String, Long, Long, Long, Long)], DataFrame) = {
+    var syms = bpeSym0(df, textCol)
     val wWin = Window.partitionBy(col("w")).orderBy(asc("p"))
     val out = scala.collection.mutable.ArrayBuffer
       .empty[(Long, String, String, Long, Long, Long, Long)]
     var r = 1
     var done = false
     while (r <= rounds && !done) {
-      val paired = syms.withColumn("s2", lead(col("s"), 1).over(wWin))
-      val best = paired.filter(col("s2").isNotNull)
+      val best = syms.withColumn("s2", lead(col("s"), 1).over(wWin))
+        .filter(col("s2").isNotNull)
         .groupBy(col("s"), col("s2")).agg(sum(col("wc")).as("cnt"))
         .orderBy(desc("cnt"), asc("s"), asc("s2")).limit(1)
         .collect()
@@ -269,26 +307,7 @@ object Curation {
       else {
         val (a, b, cnt) =
           (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
-        val starts = paired
-          .filter(col("s") === lit(a) && col("s2") === lit(b))
-          .withColumn("isl", col("p") - row_number().over(wWin))
-          .withColumn("off", col("p") - min(col("p")).over(
-            Window.partitionBy(col("w"), col("isl"))))
-          .filter((col("off") % 2) === 0)
-          .select(col("w"), col("wc"), col("p"), lit(1).as("start"))
-        val Array(nTypeMerges, nMergesWt) = starts
-          .agg(count(lit(1)).as("n"), sum(col("wc")).as("nw"))
-          .collect().map(row => Array(row.getLong(0), row.getLong(1))).head
-        val consumed = starts.select(col("w"), (col("p") + 1).as("p"),
-          lit(1).as("gone"))
-        val rebuilt = syms
-          .join(starts.select(col("w"), col("p"), col("start")), Seq("w", "p"), "left_outer")
-          .join(consumed, Seq("w", "p"), "left_outer")
-          .filter(col("gone").isNull)
-          .withColumn("s", when(col("start") === 1, lit(a + b)).otherwise(col("s")))
-          .withColumn("np", row_number().over(wWin) - 1)
-          .select(col("w"), col("wc"), col("np").as("p"), col("s"))
-          .persist()
+        val (rebuilt, nTypeMerges, nMergesWt) = bpeMergePair(syms, a, b)
         val symsAfter = rebuilt.agg(sum(col("wc"))).collect()(0).getLong(0)
         out += ((r.toLong, a, b, cnt, nTypeMerges, nMergesWt, symsAfter))
         syms.unpersist()
@@ -297,6 +316,37 @@ object Curation {
       }
     }
     (out.toSeq, syms)
+  }
+
+  /** The trained merge list alone — the (lhs, rhs) pairs in round
+    * order, i.e. the tokenizer MODEL (what ships to the apply side). */
+  def bpeTrainedMerges(df: DataFrame, textCol: String,
+                       rounds: Int): Seq[(String, String)] = {
+    val (stats, syms) = bpeTrain(df, textCol, rounds)
+    syms.unpersist()
+    stats.map(t => (t._2, t._3))
+  }
+
+  /** TOKENIZER APPLY — segment a (possibly different) corpus with an
+    * ALREADY-TRAINED merge list: the real tokenizer workflow (train
+    * on the training split, apply everywhere) and the piece
+    * [[bpeFinalSymbols]] — which retrains on its own input — does not
+    * give you. Each trained pair replays the same deterministic
+    * island-parity greedy merge; pairs absent from this corpus are
+    * no-ops. The merge list is the MODEL (a few driver-side strings);
+    * the corpus collapses to word types once, so each round is two
+    * type-keyed windows + a broadcast-free self-equi-join — identical
+    * cost shape to a training round minus the argmax.
+    */
+  def bpeSegment(df: DataFrame, textCol: String,
+                 merges: Seq[(String, String)]): DataFrame = {
+    var syms = bpeSym0(df, textCol)
+    merges.foreach { case (a, b) =>
+      val (rebuilt, _, _) = bpeMergePair(syms, a, b)
+      syms.unpersist()
+      syms = rebuilt
+    }
+    syms
   }
 
   /** Benchmark decontamination: find training documents sharing ≥ 1

@@ -1320,6 +1320,79 @@ object Curation {
       |  COUNT(DISTINCT w) AS n_types
       |FROM sym3 GROUP BY s ORDER BY n_occ DESC, s LIMIT 50""".stripMargin
 
+  // Apply-side round: identical island-parity merge SQL to
+  // bpeRoundSql, but the pair comes from the TRAIN chain's best$i —
+  // no argmax on the eval corpus (that would be retraining).
+  private def bpeApplyRoundSql(i: Int): String = {
+    val prev = s"esym${i - 1}"
+    s"""epr$i AS (
+      |  SELECT w, wc, p, s, LEAD(s) OVER (PARTITION BY w ORDER BY p) AS s2
+      |  FROM $prev),
+      |est$i AS (
+      |  SELECT w, wc, p FROM (
+      |    SELECT w, wc, p, p - MIN(p) OVER (PARTITION BY w, isl) AS off
+      |    FROM (
+      |      SELECT w, wc, p,
+      |        p - ROW_NUMBER() OVER (PARTITION BY w ORDER BY p) AS isl
+      |      FROM epr$i
+      |      WHERE s = (SELECT a FROM best$i) AND s2 = (SELECT b FROM best$i)))
+      |  WHERE off % 2 = 0),
+      |esym$i AS (
+      |  SELECT w, wc, ROW_NUMBER() OVER (PARTITION BY w ORDER BY p) - 1 AS p,
+      |    CASE WHEN start = 1 THEN (SELECT a || b FROM best$i) ELSE s END AS s
+      |  FROM (
+      |    SELECT base.w, base.wc, base.p, base.s,
+      |      CASE WHEN st.p IS NOT NULL THEN 1 ELSE 0 END AS start
+      |    FROM $prev base
+      |    LEFT JOIN est$i st ON st.w = base.w AND st.p = base.p
+      |    LEFT JOIN est$i gone ON gone.w = base.w AND gone.p + 1 = base.p
+      |    WHERE gone.p IS NULL))""".stripMargin
+  }
+
+  // -------------------------------------------------------------------
+  // q224: BPE HELD-OUT APPLY — the real tokenizer workflow q213/q216
+  // stop short of: TRAIN the 3 merge rounds on the training split
+  // (doc_id % 97 ≠ 0), then SEGMENT the held-out split (doc_id % 97 =
+  // 0) with that frozen merge list — no argmax ever touches eval
+  // (that would be retraining). The oracle regenerates both chains:
+  // q213's train rounds on the train split, then apply-only rounds on
+  // the eval split whose merge pair is read FROM the train chain's
+  // best$i — a drifted trained merge, or an apply round that
+  // re-argmaxes, both change the eval vocabulary and fail the hash.
+  // -------------------------------------------------------------------
+  def q224BpeHeldout(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    val merges = C.bpeTrainedMerges(
+      d.filter(col("doc_id") % 97 =!= 0), "text", rounds = 3)
+    C.bpeSegment(d.filter(col("doc_id") % 97 === 0), "text", merges)
+      .groupBy(col("s"))
+      .agg(sum(col("wc")).as("n_occ"), countDistinct(col("w")).as("n_types"))
+      .orderBy(desc("n_occ"), asc("s"))
+      .limit(30)
+  }
+  val q224Sql: String =
+    raw"""WITH types AS (
+      |  SELECT tok AS w, COUNT(*) AS wc
+      |  FROM (SELECT UNNEST($toksSql) AS tok FROM documents
+      |        WHERE doc_id % 97 <> 0)
+      |  WHERE tok != '' GROUP BY 1),
+      |pos0 AS (SELECT w, wc, UNNEST(range(1, LEN(w) + 1)) AS i FROM types),
+      |sym0 AS (SELECT w, wc, i - 1 AS p, w[i:i] AS s FROM pos0),
+      |""".stripMargin +
+      (1 to 3).map(bpeRoundSql).mkString(",\n") + ",\n" +
+      raw"""etypes AS (
+      |  SELECT tok AS w, COUNT(*) AS wc
+      |  FROM (SELECT UNNEST($toksSql) AS tok FROM documents
+      |        WHERE doc_id % 97 = 0)
+      |  WHERE tok != '' GROUP BY 1),
+      |epos0 AS (SELECT w, wc, UNNEST(range(1, LEN(w) + 1)) AS i FROM etypes),
+      |esym0 AS (SELECT w, wc, i - 1 AS p, w[i:i] AS s FROM epos0),
+      |""".stripMargin +
+      (1 to 3).map(bpeApplyRoundSql).mkString(",\n") + "\n" +
+      """SELECT s, CAST(SUM(wc) AS BIGINT) AS n_occ,
+      |  COUNT(DISTINCT w) AS n_types
+      |FROM esym3 GROUP BY s ORDER BY n_occ DESC, s LIMIT 30""".stripMargin
+
   // -------------------------------------------------------------------
   // q219: DSIR importance weights (Xie et al. 2023) — every document
   // scored by resemblance to the TARGET slice (lang = 'en') under a
@@ -1380,6 +1453,7 @@ object Curation {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q219_dsir_weights" -> (q219DsirWeights _),
+    "q224_bpe_heldout" -> (q224BpeHeldout _),
     "q215_extent_strip" -> (q215ExtentStrip _),
     "q216_bpe_vocab" -> (q216BpeVocab _),
     "q213_bpe_merges" -> (q213BpeMerges _),
@@ -1414,6 +1488,7 @@ object Curation {
 
   val oracle: Map[String, String] = Map(
     "q219_dsir_weights" -> q219Sql,
+    "q224_bpe_heldout" -> q224Sql,
     "q215_extent_strip" -> q215Sql,
     "q216_bpe_vocab" -> q216Sql,
     "q213_bpe_merges" -> q213Sql,

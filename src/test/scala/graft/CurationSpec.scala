@@ -435,6 +435,30 @@ class CurationSpec extends SparkSpec {
     assert(a !== c)                          // seed-dependent
   }
 
+  // q224's gate is backed here: merges trained on corpus A replay on
+  // corpus B with greedy left-to-right parity; a trained pair absent
+  // from B is a no-op.
+  test("bpeSegment applies frozen merges to a held-out corpus") {
+    val trainDf = Seq((1L, "aa aa ab")).toDF("doc_id", "text")
+    // round 1: (a,a) wc=2 beats (a,b) wc=1; round 2: (a,b); round 3:
+    // no adjacent pairs left -> early stop
+    val merges = Curation.bpeTrainedMerges(trainDf, "text", rounds = 3)
+    assert(merges === Seq(("a", "a"), ("a", "b")))
+    val evalDf = Seq((2L, "aaab ba")).toDF("doc_id", "text")
+    val segs = Curation.bpeSegment(evalDf, "text", merges)
+      .collect().map(r => (r.getString(0), r.getInt(2), r.getString(3)))
+      .groupBy(_._1).map { case (w, xs) =>
+        w -> xs.sortBy(_._2).map(_._3).toSeq }
+    // greedy parity on aaab: (aa) from the leftmost island start, the
+    // third 'a' then pairs with b under merge 2; ba has neither pair
+    assert(segs("aaab") === Seq("aa", "ab"))
+    assert(segs("ba") === Seq("b", "a"))
+    // a merge list with a pair absent from the corpus is a no-op
+    val none = Curation.bpeSegment(evalDf, "text", Seq(("z", "z")))
+      .collect()
+    assert(none.length === 6) // aaab(4 chars) + ba(2) stay char-level
+  }
+
   // q219's gate is backed here: hand-computed DSIR log-ratio weights
   // on a planted 4-doc corpus (target = source 't') — the Laplace
   // smoothing, bucket counts, and per-doc occurrence-weighted sum.
