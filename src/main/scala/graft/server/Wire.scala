@@ -235,6 +235,20 @@ object Wire {
             GraftFrame(graft.operators.Curation.rrfFuse(
               Seq(frame.df, other.df), idCol, rankCol,
               k0 = v.get(3).asInt(), topK = v.get(4).asInt()))
+          case "SemanticDecontam" =>
+            // {"SemanticDecontam": [<lineage of eval frame>, idCol,
+            // vecCol, tau]} → (train_id, eval_id, cosine) for every
+            // row of THIS frame whose max cosine against the replayed
+            // eval frame reaches tau — the embedding decontamination
+            // rung (q218) on the wire. Vectors stay server-side; only
+            // the flagged evidence rows travel back.
+            val evalF = replay(spark, v.get(0))
+            val (idCol, vecCol) = (v.get(1).asText(), v.get(2).asText())
+            requireWireCols(frame, Seq(idCol, vecCol), "SemanticDecontam")
+            requireWireCols(evalF, Seq(idCol, vecCol), "SemanticDecontam")
+            GraftFrame(graft.operators.Similarity.semanticDecontaminate(
+              frame.df, evalF.df, idCol, idCol, vecCol, vecCol,
+              tau = v.get(3).asDouble()))
           case o => throw new GraftException(s"operation: unknown op $o")
         }
     }

@@ -175,6 +175,42 @@ class GraftServerSpec extends SparkSpec {
       {"Op": {"SnapshotDiff": [$newS, "nope", "text"]}}}""")._1 === 400)
   }
 
+  test("wire: SemanticDecontam verb matches the operator exactly") {
+    val emb = "/root/testdata/sf0.001/embeddings.parquet"
+    val empty = """{"columns": []}"""
+    val all = callOk("null", s"""{"Read": ["parquet", "$emb", $empty]}""")._1
+    val evalS = callOk(all,
+      """{"Op": {"Filter": ["vec_id",
+        |  {"comparator": "LessThan", "value": {"Int": 5}}]}}""".stripMargin)._1
+    val trainS = callOk(all,
+      """{"Op": {"Filter": ["vec_id",
+        |  {"comparator": "GreaterThanOrEq", "value": {"Int": 5}}]}}""".stripMargin)._1
+    val flagged = callOk(trainS,
+      s"""{"Op": {"SemanticDecontam": [$evalS, "vec_id", "embedding", 0.3]}}""")._1
+    val sorted = callOk(flagged, """{"Op": {"OrderBy": ["train_id"]}}""")._1
+    val (_, blocks) = callOk(sorted, """{"Action": "Collect"}""")
+    val got = Wire.parse(blocks)
+    // ground truth straight from the operator on the same parquet
+    val df = spark.read.parquet(emb)
+    val want = graft.operators.Similarity.semanticDecontaminate(
+        df.filter(org.apache.spark.sql.functions.col("vec_id") >= 5),
+        df.filter(org.apache.spark.sql.functions.col("vec_id") < 5),
+        "vec_id", "vec_id", "embedding", "embedding", tau = 0.3)
+      .orderBy("train_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val n = got.get("train_id").get("Int").size()
+    assert(n === want.length && n > 0)
+    (0 until n).foreach { i =>
+      assert(got.get("train_id").get("Int").get(i).asLong() === want(i)._1)
+      assert(got.get("eval_id").get("Int").get(i).asLong() === want(i)._2)
+      assert(math.abs(got.get("cosine").get("Float").get(i).asDouble()
+        - want(i)._3) < 1e-12)
+    }
+    // vectors never ship: missing column is a plan-time 400
+    assert(post(s"""{"dataframe": $trainS, "function":
+      {"Op": {"SemanticDecontam": [$evalS, "nope", "embedding", 0.3]}}}""")._1 === 400)
+  }
+
   test("wire: protocol and plan errors are 400 with a message") {
     // malformed JSON
     assert(post("{nope")._1 === 400)

@@ -247,6 +247,13 @@ class Df:
         return self._op(
             {'RrfFuse': [other.dataframe, id_col, rank_col, k0, top_k]})
 
+    def semantic_decontam(self, eval_df, id_col, vec_col, tau):
+        """Embedding decontamination: (train_id, eval_id, cosine) for
+        every row of self whose max cosine against eval_df reaches
+        tau. Vectors never leave the server."""
+        return self._op(
+            {'SemanticDecontam': [eval_df.dataframe, id_col, vec_col, tau]})
+
     def collect(self):
         return Df.call(self.dataframe, {'Action': 'Collect'}, self.uri).values
 

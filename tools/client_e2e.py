@@ -215,6 +215,23 @@ def run_checks():
     os.unlink(v2_path)
     os.unlink(dup_path)
 
+    # --- round-8 verb: semantic decontamination over the wire ---
+    # embeddings stay server-side; only flagged (train, eval, cosine)
+    # evidence rows travel back. Expected count pinned against an
+    # independent DuckDB recompute of max-cosine >= 0.3 on sf0.001.
+    emb = Df.from_parquet('/root/testdata/sf0.001/embeddings.parquet',
+                          uri=client.URI)
+    eval_df = emb.filter('vec_id', Predicate(Comparator.LESS_THAN, Value(5)))
+    train_df = emb.filter('vec_id',
+                          Predicate(Comparator.GREATER_THAN_OR_EQ, Value(5)))
+    flagged = train_df.semantic_decontam(eval_df, 'vec_id', 'embedding', 0.3) \
+                      .order_by(['train_id']).collect()
+    assert len(flagged['train_id']['Int']) == 20, flagged
+    assert all(t >= 5 for t in flagged['train_id']['Int']), flagged
+    assert all(e < 5 for e in flagged['eval_id']['Int']), flagged
+    assert all(0.3 <= c <= 1.0 + 1e-9
+               for c in flagged['cosine']['Float']), flagged
+
     # --- error surface: unknown column is a 400 with a message ---
     try:
         small.filter('nope', Predicate(Comparator.EQUAL, Value(1)))
