@@ -980,6 +980,46 @@ object Curation {
       .agg(count(lit(1)).as("n_bigrams"), sum(col("fp")).as("sum_fp_logprob"))
   }
 
+  /** CROSS-SPLIT LM quality filter — the actual CCNet recipe, which
+    * [[bigramLmScore]] (self-trained) and [[bigramLmScoreBroadcast]]
+    * (self-trained, capped) stop short of: the model trains on a
+    * CLEAN reference slice (`train` — e.g. the lang-verified or
+    * curated subset) and then scores EVERY document of `score` with
+    * the frozen counts. Out-of-model bigrams floor at B = 0 and
+    * out-of-model unigrams at U = 0 (add-one smoothing handles both),
+    * so gibberish and wrong-language text score low exactly because
+    * the MODEL never saw it — the property the self-trained variants
+    * cannot have.
+    *
+    * Same fixed-point Σ floor(1e6·ln P) integer sums (associative —
+    * exact cross-engine compare), same scale shape as the broadcast
+    * variant: both model tables (capped bigrams, unigrams) broadcast,
+    * the scored corpus is scanned once and never shuffled except the
+    * per-doc count aggregate.
+    */
+  def bigramLmScoreCross(score: DataFrame, train: DataFrame,
+                         idCol: String, textCol: String,
+                         maxVocab: Int): DataFrame = {
+    val bg = bigramRows(score, idCol, textCol)
+    val uni = train.select(explode(TA.tokens(col(textCol))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("u_cnt"))
+    val vocab = uni.agg(count(lit(1)).as("v"))
+    val big = bigramRows(train, idCol, textCol)
+      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("b_cnt"))
+      .orderBy(desc("b_cnt"), asc("w1"), asc("w2")) // deterministic cap
+      .limit(maxVocab)
+    bg
+      .join(broadcast(big), Seq("w1", "w2"), "left_outer")
+      .join(broadcast(uni.withColumnRenamed("w", "w1")), Seq("w1"), "left_outer")
+      .crossJoin(broadcast(vocab))
+      .select(col(idCol),
+        floor(lit(1e6) * log(
+          (coalesce(col("b_cnt"), lit(0L)) + lit(1L)).cast("double") /
+            (coalesce(col("u_cnt"), lit(0L)) + col("v")).cast("double"))).as("fp"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("fp")).as("sum_fp_logprob"))
+  }
+
   /** Cross-document boilerplate detection: per document, the fraction
     * of its distinct word n-grams that appear in ≥ `minDocs` distinct
     * documents. Repeated-everywhere n-grams are boilerplate (headers,

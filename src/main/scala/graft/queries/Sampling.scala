@@ -102,6 +102,54 @@ object Sampling {
       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
   // -------------------------------------------------------------------
+  // q225: CROSS-SPLIT LM quality filter (the actual CCNet recipe; q71
+  // is the self-trained variant): the add-one bigram model trains on
+  // the CLEAN slice only (lang = 'en'), every document — all five
+  // languages — is scored with the frozen counts. Out-of-model
+  // bigrams/unigrams floor at 0, so non-English text scores low
+  // because the MODEL never saw it, which is precisely the filter
+  // signal. Fixed-point Σ floor(1e6·ln P) integer sums ⇒ exact hash
+  // compare; both model tables broadcast (deterministic top-50k cap),
+  // scored corpus scanned once.
+  // -------------------------------------------------------------------
+  def q225LmFilter(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    C.bigramLmScoreCross(d, d.filter(col("lang") === "en"),
+        "doc_id", "text", maxVocab = 50000)
+      .orderBy(asc("doc_id"))
+  }
+  val q225Sql: String =
+    raw"""WITH toks AS (
+      |  SELECT doc_id, $toksSql AS t FROM documents
+      |), etoks AS (
+      |  SELECT doc_id, $toksSql AS t FROM documents WHERE lang = 'en'
+      |), pos AS (
+      |  SELECT doc_id, t, UNNEST(range(1, LEN(t))) AS i FROM toks
+      |), bg AS (
+      |  SELECT doc_id, t[i] AS w1, t[i + 1] AS w2 FROM pos
+      |), epos AS (
+      |  SELECT doc_id, t, UNNEST(range(1, LEN(t))) AS i FROM etoks
+      |), ebg AS (
+      |  SELECT t[i] AS w1, t[i + 1] AS w2 FROM epos
+      |), uni AS (
+      |  SELECT w, COUNT(*) AS u_cnt
+      |  FROM (SELECT UNNEST(t) AS w FROM etoks) GROUP BY w
+      |), v AS (
+      |  SELECT COUNT(*) AS v_size FROM uni
+      |), big AS (
+      |  SELECT w1, w2, b_cnt FROM (
+      |    SELECT w1, w2, COUNT(*) AS b_cnt FROM ebg GROUP BY w1, w2
+      |    ORDER BY b_cnt DESC, w1, w2 LIMIT 50000)
+      |)
+      |SELECT doc_id, COUNT(*) AS n_bigrams,
+      |  CAST(SUM(FLOOR(1e6 * LN(
+      |    CAST(COALESCE(b_cnt, 0) + 1 AS DOUBLE)
+      |      / (COALESCE(u_cnt, 0) + v_size)))) AS BIGINT) AS sum_fp_logprob
+      |FROM bg LEFT JOIN big USING (w1, w2)
+      |LEFT JOIN uni ON bg.w1 = uni.w CROSS JOIN v
+      |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  // -------------------------------------------------------------------
   // q94: mixture resampling toward target source weights — rates
   // derived from ACTUAL per-source counts (min(1, w·target/n_s)), so
   // the oracle recomputes the identical thresholds from SQL counts:
@@ -175,6 +223,7 @@ object Sampling {
     "q69_stratified_sample" -> (q69StratifiedSample _),
     "q70_group_cap" -> (q70GroupCap _),
     "q71_bigram_lm" -> (q71BigramLm _),
+    "q225_lm_filter" -> (q225LmFilter _),
     "q94_mixture_sample" -> (q94MixtureSample _),
     "q128_priority_sample" -> (q128PrioritySample _))
 
@@ -182,6 +231,7 @@ object Sampling {
     "q69_stratified_sample" -> q69Sql,
     "q70_group_cap" -> q70Sql,
     "q71_bigram_lm" -> q71Sql,
+    "q225_lm_filter" -> q225Sql,
     "q94_mixture_sample" -> q94Sql,
     "q128_priority_sample" -> q128Sql)
 }

@@ -435,6 +435,29 @@ class CurationSpec extends SparkSpec {
     assert(a !== c)                          // seed-dependent
   }
 
+  // q225's gate is backed here: the frozen model floors out-of-model
+  // grams at zero counts, so unseen text scores strictly lower.
+  test("bigramLmScoreCross scores with the frozen train-split model") {
+    val train = Seq((1L, "a b a b"), (2L, "a b c")).toDF("doc_id", "text")
+    // model: uni a=3 b=3 c=1 (V=3); bigrams (a,b)=3 (b,a)=1 (b,c)=1
+    val score = Seq((10L, "a b"), (11L, "z z")).toDF("doc_id", "text")
+    val got = Curation.bigramLmScoreCross(score, train, "doc_id", "text",
+        maxVocab = 100)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    def fp(b: Long, u: Long) =
+      math.floor(1e6 * math.log((b + 1).toDouble / (u + 3))).toLong
+    assert(got(10L) === ((1L, fp(3, 3))))  // in-model bigram
+    assert(got(11L) === ((1L, fp(0, 0))))  // fully out-of-model
+    assert(got(11L)._2 < got(10L)._2)      // unseen text scores lower
+    // a binding cap drops the tail bigram (b,c) to the B=0 floor but
+    // keeps the unigram table intact
+    val capped = Curation.bigramLmScoreCross(
+        Seq((20L, "b c")).toDF("doc_id", "text"), train,
+        "doc_id", "text", maxVocab = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(capped(20L) === fp(0, 3))
+  }
+
   // q224's gate is backed here: merges trained on corpus A replay on
   // corpus B with greedy left-to-right parity; a trained pair absent
   // from B is a no-op.
