@@ -354,6 +354,38 @@ object Similarity {
         col("m.cosine").as("cosine"))
   }
 
+  /** INCREMENTAL semantic dedup — the ingest shape (q95 exact / q187
+    * Bloom / q217 perceptual) at the EMBEDDING rung: today's crawl
+    * probes the standing vector index for semantic near-duplicates
+    * instead of re-deduplicating history. Both sides map-only assign
+    * to a deterministic cell grid (the seeded hyperplane argmax — no
+    * training, so the index's cell of record never drifts between
+    * ingests); candidates come from a cell EQUI-join (index side
+    * bucket-capped, the signatureMatches discipline), then exact
+    * cosine verifies ≥ `threshold`. Near-identical vectors share an
+    * argmax cell by construction (the SemDeDup property), so at
+    * near-dup thresholds the cell block loses nothing. Returns
+    * (probe_id, index_id, cosine).
+    */
+  def semanticIncrementalPairs(index: DataFrame, probes: DataFrame,
+                               idI: String, idP: String,
+                               vecI: String, vecP: String,
+                               threshold: Double, numCells: Int = 64,
+                               dim: Int = 64, maxCell: Int = 10000): DataFrame = {
+    val cents = hyperplanes(numCells, dim)
+    val ix = assignCells(index, idI, vecI, cents)
+      .withColumn("cell_n", count(lit(1)).over(
+        Window.partitionBy(col("cell"))))
+      .filter(col("cell_n") <= lit(maxCell))
+      .select(col("id").as("index_id"), col("v").as("iv"), col("cell"))
+    val pr = assignCells(probes, idP, vecP, cents)
+      .select(col("id").as("probe_id"), col("v").as("pv"), col("cell"))
+    pr.join(ix, Seq("cell"))
+      .select(col("probe_id"), col("index_id"),
+        dotD(col("pv"), col("iv")).as("cosine"))
+      .filter(col("cosine") >= lit(threshold))
+  }
+
   /** EUCLIDEAN Lloyd iterations — the per-subspace k-means behind
     * product quantization (vs the spherical [[trainCentroids]]: PQ
     * sub-vectors are slices of a unit vector and carry meaningful

@@ -859,6 +859,60 @@ object Pipeline {
       |ORDER BY train_id""".stripMargin
 
   // -------------------------------------------------------------------
+  // q226: INCREMENTAL semantic dedup — the q95/q187/q217 ingest shape
+  // at the embedding rung: "today's crawl" (a re-crawled copy of the
+  // pmod-10 slice under new ids + genuinely-new content simulated as
+  // the REVERSED pmod-5 vectors — max reversed cosine vs the corpus
+  // measures 0.54, far under the 0.99 near-dup bar) probes the
+  // standing index via the deterministic cell grid. Expected output
+  // is fully pinned: EVERY re-crawl probe matches exactly its source
+  // (cosine 1; next-nearest corpus pair is 0.53) and NO reversed
+  // probe matches anything — the oracle checks containment (cosine
+  // recomputed within 1e-5), identity (probe_id = index_id + 10M),
+  // AND exact completeness (#emitted = #re-crawl probes).
+  // -------------------------------------------------------------------
+  def q226IncrementalSemdedup(spark: SparkSession, dir: String): DataFrame = {
+    val e = emb(spark, dir)
+    val recrawl = e.filter(pmod(col("vec_id"), lit(10)) === 0)
+      .select((col("vec_id") + lit(10000000L)).as("vec_id"), col("embedding"))
+    val fresh = e.filter(pmod(col("vec_id"), lit(10)) === 5)
+      .select((col("vec_id") + lit(20000000L)).as("vec_id"),
+        reverse(col("embedding")).as("embedding"))
+    Similarity.semanticIncrementalPairs(e, recrawl.union(fresh),
+        "vec_id", "vec_id", "embedding", "embedding",
+        threshold = 0.99, numCells = 64, dim = 64)
+      .select(col("probe_id"), col("index_id"),
+        round(col("cosine"), 6).as("cosine_r"))
+      .orderBy(asc("probe_id"), asc("index_id"))
+  }
+  val q226Sql: String =
+    """WITH nv AS (
+      |  SELECT vec_id, list_transform(embedding,
+      |    x -> CAST(x AS DOUBLE) / sqrt(list_sum(list_transform(embedding,
+      |      y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE))))) AS v
+      |  FROM embeddings
+      |), pr AS (
+      |  SELECT vec_id + 10000000 AS pid, v FROM nv WHERE vec_id % 10 = 0
+      |  UNION ALL
+      |  SELECT vec_id + 20000000 AS pid, list_reverse(v) AS v
+      |  FROM nv WHERE vec_id % 10 = 5
+      |)
+      |SELECT g.probe_id, g.index_id, g.cosine_r
+      |FROM read_parquet('__GRAFT_OUT__/q226_incremental_semdedup/*.parquet') g
+      |JOIN pr p ON p.pid = g.probe_id
+      |JOIN nv i ON i.vec_id = g.index_id
+      |WHERE ABS(list_sum(list_transform(list_zip(p.v, i.v), q -> q[1] * q[2]))
+      |          - g.cosine_r) < 1e-5
+      |  AND g.cosine_r >= 0.99 - 1e-5
+      |  AND g.probe_id = g.index_id + 10000000
+      |  AND (SELECT COUNT(*)
+      |       FROM read_parquet('__GRAFT_OUT__/q226_incremental_semdedup/*.parquet'))
+      |    = (SELECT COUNT(*) FROM nv WHERE vec_id % 10 = 0)
+      |UNION ALL SELECT -1, -1, -1.0 WHERE (SELECT COUNT(*)
+      |  FROM read_parquet('__GRAFT_OUT__/q226_incremental_semdedup/*.parquet')) = 0
+      |ORDER BY probe_id, index_id""".stripMargin
+
+  // -------------------------------------------------------------------
   // q75: semantic dedup (SemDeDup) — k-means-cell-blocked embedding
   // near-dup groups, keep-lowest-id per group (the trained quantizer
   // isn't SQL-replayable; OperatorsSpec plants near-identical vectors
@@ -3174,6 +3228,7 @@ object Pipeline {
     "q221_modularity" -> (q221Modularity _),
     "q222_audio_energy" -> (q222AudioEnergy _),
     "q223_hard_negatives" -> (q223HardNegatives _),
+    "q226_incremental_semdedup" -> (q226IncrementalSemdedup _),
     "q37_multimodal" -> (q37Multimodal _),
     "q88_multimodal_transcode" -> (q88MultimodalTranscode _),
     "q95_incremental_dedup" -> (q95IncrementalDedup _),
@@ -3250,6 +3305,7 @@ object Pipeline {
     "q221_modularity" -> q221Sql,
     "q222_audio_energy" -> q222Sql,
     "q223_hard_negatives" -> q223Sql,
+    "q226_incremental_semdedup" -> q226Sql,
     // floors ≈ 0.8 × measured recall (round-6 re-measurement: q35
     // 0.45 @ sf0.01 / 0.58 @ sf0.1, q52 0.70 / 0.77) so a silent
     // recall regression trips well before halving; re-measure BOTH

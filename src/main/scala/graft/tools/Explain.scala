@@ -119,7 +119,8 @@ object Explain {
       "q222_audio_energy" -> "one SerializeFromObject span again: scan → typed filter → flatMap 32-byte windows with in-loop integer energy → per-clip hash aggregate; the exchange carries (media_id, 4 longs) summaries, the payload bytes never leave the scan partition",
       "q223_hard_negatives" -> "anchors broadcast into the BNLJ over the candidate scan; the band filter (cos < 0.8) runs BEFORE the per-anchor rank window, so the sort sees only in-band rows; at corpus scale the pooled variant (ivfTopK k·4 then band-filter) replaces the exact scan",
       "q224_bpe_heldout" -> "train rounds = per-round (argmax collect + island windows + two type-keyed anti/left joins) on the TRAIN split's word-type table; apply rounds replay the same shape on the eval types with the pair as a LITERAL — no eval argmax; everything is (word-type, pos) keyed, the corpus collapsed to types before round 1",
-      "q225_lm_filter" -> "both frozen model tables broadcast (top-50k bigrams via TakeOrdered, unigrams, 1-row V) — the scored corpus's bigram stream is map-only through three broadcast joins into a per-doc partial-agged integer sum; no data-sized shuffle except the final doc aggregate")
+      "q225_lm_filter" -> "both frozen model tables broadcast (top-50k bigrams via TakeOrdered, unigrams, 1-row V) — the scored corpus's bigram stream is map-only through three broadcast joins into a per-doc partial-agged integer sum; no data-sized shuffle except the final doc aggregate",
+      "q226_incremental_semdedup" -> "both sides map-only assign to the static VecMatArgmax cell grid (no training, so the standing index's cells never drift); probes⋈index is a cell EQUI-join with the index side bucket-capped by a cell-count window; exact cosine verifies after — never a similarity join condition")
 
     val sb = new StringBuilder
     sb.append("# EXPLAINS — physical plans of representative queries\n\n")

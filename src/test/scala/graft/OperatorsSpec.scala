@@ -1228,6 +1228,25 @@ class OperatorsSpec extends SparkSpec {
     assert(got.toSeq.sortBy(_._2) === Seq((2L, 1), (3L, 2)))
   }
 
+  // q226's gate is backed here: a near-identical probe finds its index
+  // source through the cell grid; an unrelated probe finds nothing.
+  test("semanticIncrementalPairs: probes find standing near-dups, not noise") {
+    val rnd = new scala.util.Random(3)
+    def vec() = Array.fill(16)(rnd.nextFloat() - 0.5f)
+    val a = vec(); val b = vec()
+    val index = Seq((1L, a), (2L, b)).toDF("vec_id", "embedding")
+    val probes = Seq(
+      (100L, a.map(x => x + 1e-4f)),  // near-dup of index 1
+      (101L, vec())                   // genuinely new
+    ).toDF("vec_id", "embedding")
+    val got = Similarity.semanticIncrementalPairs(index, probes,
+        "vec_id", "vec_id", "embedding", "embedding",
+        threshold = 0.99, numCells = 8, dim = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(got.length === 1)
+    assert(got(0)._1 === 100L && got(0)._2 === 1L && got(0)._3 > 0.999)
+  }
+
   // q222's gate is backed here: hand-computed window energies on a
   // planted byte pattern, incl. the short tail window; non-audio rows
   // excluded.
