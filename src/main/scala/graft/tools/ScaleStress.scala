@@ -324,6 +324,19 @@ object ScaleStress {
       graft.operators.Similarity.hardNegativeTopK(
         emb.filter(col("vec_id") < 100), emb, "vec_id", "vec_id",
         "embedding", "embedding", k = 5, maxCos = 0.8).count())
+    timed(s"cross-split LM scoring ($total docs vs capped frozen model)")(
+      graft.operators.Curation.bigramLmScoreCross(
+          docs, docs.filter(pmod(col("doc_id"), lit(5)) === 0),
+          "doc_id", "text", maxVocab = 50000)
+        .agg(count(lit(1)).as("n"), sum(col("sum_fp_logprob")))
+        .collect()(0).getLong(0))
+    timed(s"incremental semantic probe (~${nVec / 10} probes vs $nVec index)")(
+      graft.operators.Similarity.semanticIncrementalPairs(
+        emb,
+        emb.filter(pmod(col("vec_id"), lit(10)) === 0)
+          .select((col("vec_id") + lit(100000000L)).as("vec_id"), col("embedding")),
+        "vec_id", "vec_id", "embedding", "embedding",
+        threshold = 0.99, numCells = 128, dim = 64).count())
     timed(s"dsir weights ($total docs, top-512 vocab + OOV)")(
       graft.operators.Curation.dsirWeights(docs, "doc_id", "text",
           isTarget = pmod(col("doc_id"), lit(5)) === 0, vocabN = 512)
