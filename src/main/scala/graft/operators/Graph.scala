@@ -511,13 +511,14 @@ object Graph {
       .select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
       .distinct()
     // (src, dst, la, lb) longs — read by both the global count and the
-    // per-community aggregate; persist so the edges⋈labels joins run
-    // once (callers pass label frames with iterative lineage — cutting
-    // it is theirs, reusing the tagged frame is ours)
+    // per-community aggregate. Deliberately NOT persisted: with the
+    // caller's edge/label frames materialized (their job — iterative
+    // lineage is cut where it's born), recomputing two hash joins of
+    // longs beats an InMemoryRelation round-trip (isolated A/B on the
+    // sf0.1 trade graph: 6.5 → 5.9 s for the q221 composite)
     val tagged = e
       .join(labels.select(col("id").as("src"), col("lab").as("la")), "src")
       .join(labels.select(col("id").as("dst"), col("lab").as("lb")), "dst")
-      .persist()
     val tot = tagged.agg(count(lit(1)).as("dd"))
     val per = tagged.groupBy(col("la").as("lab"))
       .agg(count(lit(1)).as("deg_sum"),

@@ -1581,10 +1581,15 @@ object Pipeline {
   // round 1 corrupts both gates.
   // -------------------------------------------------------------------
   def q221Modularity(spark: SparkSession, dir: String): DataFrame = {
+    // the orders⋈lineitem edge build is the expensive half of this
+    // query, and BOTH consumers (LPA's internal canonicalization,
+    // modularity's distinct) re-derive it — cut it ONCE here and let
+    // each side's internal distinct run from the materialized longs;
+    // likewise cut the 2-round LPA label frame, which modularity reads
+    // three times (two endpoint joins + the node count)
     val edges = tradeEdges(spark, dir)
-    // modularity reads the label frame THREE times (two endpoint joins
-    // + the per-community node count): cut the 2-round LPA lineage
-    // once instead of re-executing it per consumer (bench: 6.1 → ~3 s)
+      .select(col("src").cast("long"), col("dst").cast("long"))
+      .distinct().localCheckpoint(true)
     val labels = Graph.labelPropagation(edges, "src", "dst", rounds = 2)
       .localCheckpoint(true)
     Graph.modularity(edges, "src", "dst", labels)
