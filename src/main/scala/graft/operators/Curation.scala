@@ -160,6 +160,62 @@ object Curation {
         col("n_anchors"))
   }
 
+  /** WINNOWING fingerprint selection (Schleimer, Wilkerson & Aiken,
+    * SIGMOD'03 — the MOSS local document fingerprinting algorithm):
+    * over each document's k-gram hash sequence, every window of w
+    * consecutive grams selects its minimum hash (rightmost occurrence
+    * on ties); the distinct selected (position, hash) pairs are the
+    * document's fingerprints. The winnowing guarantee: any shared
+    * substring of ≥ w+k−1 tokens yields at least one shared
+    * fingerprint, at an expected density of 2/(w+1) — position-robust
+    * sub-linear fingerprints, where [[TextAnalysis]]'s q29 fingerprint
+    * is whole-doc and MinHash (q31) is set-based (order-blind).
+    *
+    * Portability: gram hash = first 10 hex chars of md5 (40 bits), so
+    * the (hash asc, position desc) argmin packs into ONE int64 window
+    * key — key = h·2²² + (2²²−1−p) — and a plain MIN over the rows
+    * frame [p, p+w−1] replays bit-identically in any engine (the same
+    * trick as q125's 60-bit KMV hash, narrowed to leave room for the
+    * 22-bit position; docs are bounded ≪ 4M tokens). Trailing
+    * positions (p > n_grams − w) open no window, matching the classic
+    * formulation; a doc with fewer than w grams keeps one whole-doc
+    * window at p = 0 so every document fingerprints (the "at least
+    * one" convention). Scale shape: posexplode + lead + two doc-keyed
+    * windows — all doc-partitioned codegen, no joins, no corpus-wide
+    * state; the (id, token) shuffle is the ngramRows shape.
+    *
+    * Returns (id, fp_pos, fp, n_grams) — one row per distinct
+    * fingerprint.
+    */
+  def winnowFingerprints(df: DataFrame, idCol: String, textCol: String,
+                         k: Int, w: Int): DataFrame = {
+    val toks = df.select(col(idCol), posexplode(TA.tokens(col(textCol))))
+      .withColumnRenamed("pos", "p").withColumnRenamed("col", "t")
+    val wd = Window.partitionBy(col(idCol)).orderBy(asc("p"))
+    val parts = (1 until k).map(j => lead(col("t"), j).over(wd))
+    val grams = toks
+      .withColumn("gram", concat_ws(" ", (col("t") +: parts): _*))
+      .withColumn("last_t", lead(col("t"), k - 1).over(wd))
+      .filter(col("last_t").isNotNull)
+      .select(col(idCol), col("p"), col("gram"))
+    val h = conv(substring(md5(col("gram").cast("binary")), 1, 10), 16, 10)
+      .cast("long")
+    val wf = Window.partitionBy(col(idCol)).orderBy(asc("p"))
+      .rowsBetween(Window.currentRow, w - 1)
+    grams
+      .withColumn("key", h * lit(4194304L) + (lit(4194303L) - col("p")))
+      .withColumn("sel", min(col("key")).over(wf))
+      .withColumn("n_grams",
+        count(lit(1)).over(Window.partitionBy(col(idCol))))
+      .filter(col("p") <= col("n_grams") - w ||
+        (col("p") === 0 && col("n_grams") < w))
+      .select(col(idCol),
+        (lit(4194303L) - pmod(col("sel"), lit(4194304L))).as("fp_pos"),
+        expr("sel div 4194304").as("fp"),
+        col("n_grams"))
+      .distinct()
+  }
+
   /** APPLY pass for [[repeatedExtents]] (keepFirst semantics — the
     * faithful Lee et al. dedup: each repeated passage keeps exactly
     * its first occurrence): strip every extent's tokens and account

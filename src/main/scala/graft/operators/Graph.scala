@@ -77,6 +77,68 @@ object Graph {
     ranks.select(col("id"), col("r").as("rank_fx"))
   }
 
+  /** PERSONALIZED PageRank ([[pageRankFixed]] with the teleport mass
+    * restricted to a seed set — Page et al. 1999 §6 / the random walk
+    * with restart): relevance-to-the-seeds rather than global
+    * centrality, the primitive behind graph-based data selection
+    * ("expand this trusted set"), related-item retrieval, and
+    * seed-conditioned audience scoring.
+    *
+    * Same EXACT fixed-point contract as the unpersonalized operator —
+    * every step is integral arithmetic on longs, so a fixed number of
+    * rounds unrolls bit-identically in a SQL oracle:
+    *   r0(v)    = scale div |S| if v ∈ S else 0
+    *   r_k+1(v) = [v∈S]·(15·scale) div (100·|S|)
+    *              + (85 · Σ_{(u,v)∈E} r_k(u) div deg(u)) div 100
+    * Seeds outside the graph's node set are dropped (both engines see
+    * the same |S|). Rank mass never reaches nodes farther than `iters`
+    * hops from a seed — those rows are exactly 0 and are filtered, so
+    * the output is sparse like the walk itself (BFS q170's bounded-
+    * horizon semantics, with mass instead of hop counts).
+    *
+    * Scale shape identical to [[pageRankFixed]]: per-round one
+    * edges⋈ranks join + one partial-aggregated groupBy(dst) + a left
+    * join to the node frame, (id, long) shuffle payloads; the frontier
+    * filter (r > 0) keeps early rounds seed-sized. Only |S| and N
+    * (counts) reach the driver.
+    */
+  def personalizedPageRankFixed(edges: DataFrame, seeds: DataFrame,
+                                srcCol: String, dstCol: String,
+                                seedCol: String, iters: Int = 3,
+                                scale: Long = 1000000000L): DataFrame = {
+    val cut: DataFrame => DataFrame = df => df.localCheckpoint(true)
+    val e = cut(edges
+      .select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
+      .distinct())
+    val nodes = e.select(col("src").as("id"))
+      .union(e.select(col("dst").as("id"))).distinct()
+    val sd = seeds.select(col(seedCol).cast("long").as("id")).distinct()
+      .join(nodes, "id")
+    // node frame with a 0/1 seed flag — the only per-node state
+    val nb = cut(nodes
+      .join(sd.withColumn("seed", lit(1L)), Seq("id"), "left_outer")
+      .select(col("id"), coalesce(col("seed"), lit(0L)).as("seed")))
+    val s = nb.agg(sum(col("seed"))).collect()(0).getLong(0)
+    require(s > 0, "no seed is present in the graph")
+    val deg = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    val base = 15L * scale / (100L * s)
+    var ranks = nb.select(col("id"), (col("seed") * lit(scale / s)).as("r"))
+    for (_ <- 1 to iters) {
+      val contrib = e
+        .join(ranks.filter(col("r") > 0)
+          .select(col("id").as("src"), col("r")), "src")
+        .join(deg, "src")
+        .select(col("dst").as("id"), expr("r div deg").as("c"))
+        .groupBy(col("id")).agg(sum(col("c")).as("cs"))
+      ranks = nb
+        .join(contrib, Seq("id"), "left_outer")
+        .select(col("id"), col("seed"),
+          (col("seed") * lit(base)
+            + expr("(85 * coalesce(cs, 0L)) div 100")).as("r"))
+    }
+    ranks.filter(col("r") > 0).select(col("id"), col("r").as("ppr_fx"))
+  }
+
   /** Per-vertex triangle counts via degree-ordered edge orientation
     * ("compact-forward" / Latapy 2008; the MapReduce variant is
     * Suri & Vassilvitskii, WWW'11 "Counting Triangles and the Curse

@@ -668,6 +668,63 @@ object Similarity {
     * Returns (loadings of unit length, λ = vᵀCv) for the population
     * covariance C = Σx⊗x/N − μμᵀ.
     */
+  /** GREEDY k-CENTER coreset selection (Gonzalez 1985 farthest-point
+    * traversal — the 2-approximation to the k-center objective): pick
+    * the point farthest from everything selected so far, k times. The
+    * diversity-sampling primitive of data curation: a k-point coreset
+    * that spans the embedding space (cover the modes, don't oversample
+    * the head) — the complement of [[semanticDedup]] (which REMOVES
+    * redundancy; this SELECTS spread) and of q195's outliers (which
+    * ranks by distance to the single centroid).
+    *
+    * EXACT and oracle-replayable: distances are squared Euclidean over
+    * q119/q195's int8 quantization (floor(x/max|x|·127) of the unit
+    * vector — exact small ints in doubles), so every round's argmax is
+    * integer arithmetic; ties break to the smaller id; the seed is the
+    * min id. A fixed k unrolls round-by-round in SQL exactly like the
+    * fixed-iteration graph gates.
+    *
+    * Scale shape: the quantized frame materializes ONCE
+    * (localCheckpoint — it is scanned k times); each round is map-only
+    * scoring against ≤ k broadcast 512-byte center literals (native
+    * VecSub/VecDot codegen) + a 1-row TakeOrdered — the model (k
+    * centers) lives on the driver, the data never re-shuffles. Total
+    * work k²/2·n dot products; k is small by definition (a coreset).
+    *
+    * Returns k rows (sel_rank 1..k, id, dist2) where dist2 is the
+    * squared distance to the nearest previously-selected center at
+    * selection time (0 for the seed) — the k-center objective trace:
+    * dist2 of row r+1 is the covering radius² after r centers.
+    */
+  def kCenterSelect(data: DataFrame, idCol: String, vecCol: String,
+                    k: Int): DataFrame = {
+    import graft.functions.VectorFunctions.{vec_dot, vec_sub}
+    val spark = data.sparkSession
+    import spark.implicits._
+    val qz = data
+      .select(col(idCol).cast("long").as("id"), normalized(col(vecCol)).as("v"))
+      .withColumn("m", array_max(transform(col("v"), x => abs(x))))
+      .select(col("id"),
+        transform(col("v"),
+          x => floor(x / col("m") * lit(127.0)).cast("double")).as("qv"))
+      .localCheckpoint(true)
+    def centerLit(qv: Seq[Double]) = array(qv.map(lit(_)): _*)
+    def d2(c: Column) =
+      vec_dot(vec_sub(col("qv"), c), vec_sub(col("qv"), c)).cast("long")
+    val seed = qz.orderBy(asc("id")).limit(1)
+      .collect()(0) // 1 row — the model, not the data
+    var picked = List((1L, seed.getLong(0), 0L))
+    var scored = qz.withColumn("d", d2(centerLit(seed.getSeq[Double](1))))
+    for (r <- 2 to k) {
+      val far = scored.select(col("id"), col("d"), col("qv"))
+        .orderBy(desc("d"), asc("id")).limit(1).collect()(0) // 1 row
+      picked = (r.toLong, far.getLong(0), far.getLong(1)) :: picked
+      scored = scored.withColumn("d",
+        least(col("d"), d2(centerLit(far.getSeq[Double](2)))))
+    }
+    picked.reverse.toDF("sel_rank", "id", "dist2")
+  }
+
   def pcaTopComponent(data: DataFrame, vecCol: String, dim: Int,
                       iters: Int = 1000,
                       scale: Double = 1e9): (Array[Double], Double) = {

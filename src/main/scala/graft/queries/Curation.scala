@@ -1185,6 +1185,104 @@ object Curation {
       |ORDER BY doc_id, start_tok""".stripMargin
 
   // -------------------------------------------------------------------
+  // q227: WINNOWING fingerprints (Schleimer et al. SIGMOD'03 — the
+  // MOSS algorithm): per document, each window of w=5 consecutive
+  // 4-gram hashes selects its min (rightmost tie); distinct selections
+  // are the fingerprints. Guarantee: any shared run of ≥ 8 tokens
+  // shares a fingerprint at expected density 2/(w+1) — the
+  // position-robust sub-linear fingerprint rung between q29 (whole-doc
+  // hash) and q31 (order-blind MinHash). EXACT bit-replay oracle: the
+  // 40-bit md5 gram hash and the packed (hash, rightmost-pos) argmin
+  // key are engine-portable, so DuckDB replays selection, xor, and
+  // position sums bit-for-bit. All window work is doc-partitioned
+  // codegen; no joins, no corpus state.
+  // -------------------------------------------------------------------
+  def q227Winnow(spark: SparkSession, dir: String): DataFrame =
+    C.winnowFingerprints(docs(spark, dir), "doc_id", "text", k = 4, w = 5)
+      .groupBy(col("doc_id"))
+      .agg(max(col("n_grams")).as("n_grams"),
+        count(lit(1)).as("n_fp"),
+        expr("bit_xor(fp)").as("fp_xor"),
+        sum(col("fp_pos")).as("pos_sum"))
+      .withColumn("density_fx", expr("(n_fp * 1000000) div n_grams"))
+      .orderBy(asc("doc_id"))
+  // Shared CTE prefix: positional 4-grams → packed winnow keys →
+  // per-window MIN over [p, p+4] → the distinct selected keys.
+  private val winnowSelSql: String =
+    raw"""WITH tk AS (SELECT doc_id, $toksSql AS t FROM documents),
+      |pos AS (SELECT doc_id, t,
+      |  UNNEST(range(1, GREATEST(LEN(t) - 3, 0) + 1)) AS i FROM tk),
+      |grams AS (SELECT doc_id, i - 1 AS p,
+      |  array_to_string(t[i:i+3], ' ') AS gram FROM pos),
+      |keyed AS (SELECT doc_id, p,
+      |  CAST(('0x' || substring(md5(gram), 1, 10)) AS BIGINT) * 4194304
+      |    + (4194303 - p) AS key FROM grams),
+      |win AS (SELECT doc_id, p,
+      |  MIN(key) OVER (PARTITION BY doc_id ORDER BY p
+      |    ROWS BETWEEN CURRENT ROW AND 4 FOLLOWING) AS s,
+      |  COUNT(*) OVER (PARTITION BY doc_id) AS n_grams FROM keyed),
+      |sel AS (SELECT DISTINCT doc_id, n_grams, s FROM win
+      |  WHERE p <= n_grams - 5 OR (p = 0 AND n_grams < 5))""".stripMargin
+  val q227Sql: String =
+    raw"""$winnowSelSql
+      |SELECT doc_id, CAST(n_grams AS BIGINT) AS n_grams,
+      |  COUNT(*) AS n_fp, bit_xor(s // 4194304) AS fp_xor,
+      |  CAST(SUM(4194303 - (s % 4194304)) AS BIGINT) AS pos_sum,
+      |  (COUNT(*) * 1000000) // CAST(n_grams AS BIGINT) AS density_fx
+      |FROM sel GROUP BY doc_id, n_grams ORDER BY doc_id""".stripMargin
+
+  // -------------------------------------------------------------------
+  // q228: WINNOWING shared-fingerprint pairs — the MOSS APPLY: doc
+  // pairs sharing ≥ 3 winnow fingerprints, scored by share of the
+  // smaller doc's fingerprint set (containment-style, so an excerpt
+  // inside a long doc still scores high). Ubiquitous fingerprints
+  // (df > 50 docs — boilerplate) are dropped BEFORE the pair join, the
+  // same posting-cap discipline as q189's vocab cap: fan-out per
+  // fingerprint is bounded at C(50,2), never quadratic in the corpus.
+  // EXACT all-int64 replay oracle.
+  // -------------------------------------------------------------------
+  def q228WinnowPairs(spark: SparkSession, dir: String): DataFrame = {
+    val fps = C.winnowFingerprints(docs(spark, dir), "doc_id", "text",
+        k = 4, w = 5)
+      .select(col("doc_id"), col("fp")).distinct()
+    val docFp = fps.groupBy(col("doc_id")).agg(count(lit(1)).as("n_fp"))
+    val keep = fps.groupBy(col("fp")).agg(count(lit(1)).as("df"))
+      .filter(col("df").between(2, 50)).select(col("fp"))
+    val sh = fps.join(keep, "fp")
+    sh.as("a").join(sh.as("b"),
+        col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= 3)
+      .join(docFp.select(col("doc_id").as("doc_a"), col("n_fp").as("n_fp_a")),
+        "doc_a")
+      .join(docFp.select(col("doc_id").as("doc_b"), col("n_fp").as("n_fp_b")),
+        "doc_b")
+      .withColumn("score_fx",
+        expr("(n_shared * 1000000) div least(n_fp_a, n_fp_b)"))
+      .select(col("doc_a"), col("doc_b"), col("n_shared"),
+        col("n_fp_a"), col("n_fp_b"), col("score_fx"))
+      .orderBy(asc("doc_a"), asc("doc_b"))
+  }
+  val q228Sql: String =
+    raw"""$winnowSelSql,
+      |fps AS (SELECT DISTINCT doc_id, s // 4194304 AS fp FROM sel),
+      |docfp AS (SELECT doc_id, COUNT(*) AS n_fp FROM fps GROUP BY 1),
+      |keep AS (SELECT fp FROM fps GROUP BY fp
+      |  HAVING COUNT(*) BETWEEN 2 AND 50),
+      |sh AS (SELECT f.doc_id, f.fp FROM fps f JOIN keep USING (fp)),
+      |pr AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |    COUNT(*) AS n_shared
+      |  FROM sh a JOIN sh b ON a.fp = b.fp AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2 HAVING COUNT(*) >= 3)
+      |SELECT doc_a, doc_b, n_shared, fa.n_fp AS n_fp_a, fb.n_fp AS n_fp_b,
+      |  (n_shared * 1000000) // LEAST(fa.n_fp, fb.n_fp) AS score_fx
+      |FROM pr JOIN docfp fa ON fa.doc_id = doc_a
+      |        JOIN docfp fb ON fb.doc_id = doc_b
+      |ORDER BY doc_a, doc_b""".stripMargin
+
+  // -------------------------------------------------------------------
   // q215: REPEATED-EXTENT STRIP (the APPLY of q212 under the faithful
   // Lee et al. keep-first semantics: each repeated passage's FIRST
   // occurrence — min (doc_id, p) per gram — survives; later
@@ -1452,6 +1550,8 @@ object Curation {
       |ORDER BY doc_id""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q227_winnow" -> (q227Winnow _),
+    "q228_winnow_pairs" -> (q228WinnowPairs _),
     "q219_dsir_weights" -> (q219DsirWeights _),
     "q224_bpe_heldout" -> (q224BpeHeldout _),
     "q215_extent_strip" -> (q215ExtentStrip _),
@@ -1487,6 +1587,8 @@ object Curation {
     "q120_fuzzy_decontaminate" -> (q120FuzzyDecontaminate _))
 
   val oracle: Map[String, String] = Map(
+    "q227_winnow" -> q227Sql,
+    "q228_winnow_pairs" -> q228Sql,
     "q219_dsir_weights" -> q219Sql,
     "q224_bpe_heldout" -> q224Sql,
     "q215_extent_strip" -> q215Sql,

@@ -1512,6 +1512,69 @@ object Pipeline {
       |SELECT id, CAST(r AS BIGINT) AS rank_fx FROM r3 ORDER BY id""".stripMargin
 
   // -------------------------------------------------------------------
+  // q229: PERSONALIZED PageRank — q123's trade graph, teleport mass
+  // restricted to the nation-7 customer seed set (q170's BFS seeds):
+  // relevance-to-the-seeds instead of global centrality — the
+  // graph-based data-selection / related-entity primitive ("expand
+  // this trusted set by trade proximity"). Same exact-int64
+  // fixed-round replay contract as q123/q184: the oracle unrolls the
+  // 3 seeded rounds bit-for-bit; mass never reaches nodes > 3 hops
+  // from a seed, so both engines emit the same sparse support
+  // (BFS q170's bounded-horizon semantics, carrying mass instead of
+  // hop counts).
+  // -------------------------------------------------------------------
+  def q229PersonalizedPagerank(spark: SparkSession, dir: String): DataFrame = {
+    val seeds = spark.read.parquet(s"$dir/customer.parquet")
+      .filter(col("c_nationkey") === 7)
+      .select((col("c_custkey") * 2).as("id"))
+    Graph.personalizedPageRankFixed(tradeEdges(spark, dir), seeds,
+        "src", "dst", "id", iters = 3)
+      .orderBy(asc("id"))
+  }
+  val q229Sql: String = {
+    def round(i: Int): String =
+      s"""r$i AS (
+         |  SELECT n.id,
+         |    (CASE WHEN sd.id IS NULL THEN 0
+         |          ELSE (SELECT base FROM params) END)
+         |    + (85 * COALESCE(SUM(r${i - 1}.r // d.dg), 0)) // 100 AS r
+         |  FROM nodes n
+         |  LEFT JOIN sd ON sd.id = n.id
+         |  LEFT JOIN e ON e.dst = n.id
+         |  LEFT JOIN r${i - 1} ON r${i - 1}.id = e.src
+         |  LEFT JOIN deg d ON d.src = e.src
+         |  GROUP BY n.id, sd.id
+         |), """.stripMargin
+    """WITH fwd AS (
+      |  SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+      |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+      |), e AS (
+      |  SELECT src, dst FROM fwd UNION SELECT dst, src FROM fwd
+      |), nodes AS (
+      |  SELECT DISTINCT src AS id FROM e UNION SELECT DISTINCT dst FROM e
+      |), deg AS (
+      |  SELECT src, COUNT(*) AS dg FROM e GROUP BY src
+      |), sd AS (
+      |  SELECT DISTINCT c_custkey * 2 AS id FROM customer WHERE c_nationkey = 7
+      |  INTERSECT SELECT id FROM nodes
+      |), params AS (
+      |  SELECT COUNT(*) AS s, CAST(1000000000 AS BIGINT) // COUNT(*) AS r_init,
+      |    (CAST(15 AS BIGINT) * CAST(1000000000 AS BIGINT))
+      |      // (CAST(100 AS BIGINT) * COUNT(*)) AS base
+      |  FROM sd
+      |), r0 AS (
+      |  SELECT n.id, CASE WHEN sd.id IS NULL THEN 0
+      |    ELSE (SELECT r_init FROM params) END AS r
+      |  FROM nodes n LEFT JOIN sd ON sd.id = n.id
+      |), """.stripMargin +
+      round(1) + round(2) +
+      round(3).stripSuffix(", ") +
+      """
+        |SELECT id, CAST(r AS BIGINT) AS ppr_fx FROM r3 WHERE r > 0
+        |ORDER BY id""".stripMargin
+  }
+
+  // -------------------------------------------------------------------
   // q177: label-propagation community detection (2 synchronous rounds,
   // deterministic smallest-label tie-break) over the trade graph —
   // the community-structure member of the graph family (PageRank =
@@ -2415,6 +2478,64 @@ object Pipeline {
       |WHERE rank <= 50 ORDER BY rank""".stripMargin
 
   // -------------------------------------------------------------------
+  // q230: GREEDY k-CENTER coreset selection (Gonzalez 1985 farthest-
+  // point traversal, the 2-approx to the k-center objective) — the
+  // diversity-sampling rung of the embedding family: 8 points that
+  // SPAN the space (q75 SemDeDup removes redundancy, q195 ranks
+  // outliers from one centroid; this selects coverage — the coreset /
+  // prototype-selection pass a curation pipeline seeds annotation or
+  // few-shot pools with). q195's exact int8 quantization makes every
+  // round's farthest-point argmax pure integer arithmetic, so the
+  // oracle unrolls all 8 rounds (seed = min vec_id; argmax d², ties
+  // to min id) and replays the selection AND its objective trace
+  // (dist2 of pick r+1 = covering radius² after r centers)
+  // bit-for-bit. Scale: one materialized quantized frame scanned k
+  // times map-only against ≤ 8 broadcast 512-byte center literals +
+  // 1-row TakeOrdereds — the model stays on the driver, the data
+  // never re-shuffles.
+  // -------------------------------------------------------------------
+  def q230KCenter(spark: SparkSession, dir: String): DataFrame =
+    Similarity.kCenterSelect(emb(spark, dir), "vec_id", "embedding", k = 8)
+      .select(col("sel_rank"), col("id").as("vec_id"), col("dist2"))
+      .orderBy(asc("sel_rank"))
+  val q230Sql: String = {
+    def round(i: Int): String =
+      s""",
+         |s$i AS (SELECT vec_id AS id, d FROM m${i - 1}
+         |  ORDER BY d DESC, vec_id LIMIT 1),
+         |d$i AS (SELECT f.vec_id,
+         |    CAST(SUM((f.x - g.x) * (f.x - g.x)) AS BIGINT) AS d
+         |  FROM flat f JOIN flat g
+         |    ON g.j = f.j AND g.vec_id = (SELECT id FROM s$i)
+         |  GROUP BY 1),
+         |m$i AS (SELECT a.vec_id, LEAST(a.d, b.d) AS d
+         |  FROM m${i - 1} a JOIN d$i b USING (vec_id))""".stripMargin
+    """WITH nv AS (
+      |  SELECT vec_id, list_transform(embedding,
+      |    x -> CAST(x AS DOUBLE) / sqrt(list_sum(list_transform(embedding,
+      |      y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE))))) AS v
+      |  FROM embeddings
+      |), qz AS (
+      |  SELECT vec_id, list_transform(v,
+      |    x -> FLOOR(x / list_max(list_transform(v, y -> ABS(y))) * 127)) AS q
+      |  FROM nv
+      |), flat AS (
+      |  SELECT vec_id, UNNEST(q) AS x, generate_subscripts(q, 1) AS j FROM qz
+      |), s1 AS (SELECT MIN(vec_id) AS id FROM qz),
+      |m1 AS (SELECT f.vec_id,
+      |    CAST(SUM((f.x - g.x) * (f.x - g.x)) AS BIGINT) AS d
+      |  FROM flat f JOIN flat g
+      |    ON g.j = f.j AND g.vec_id = (SELECT id FROM s1)
+      |  GROUP BY 1)""".stripMargin +
+      (2 to 8).map(round).mkString +
+      "\n" +
+      (2 to 8).map(i =>
+        s"UNION ALL SELECT CAST($i AS BIGINT), id, d FROM s$i").mkString(
+        "SELECT CAST(1 AS BIGINT) AS sel_rank, (SELECT id FROM s1) AS vec_id," +
+          " CAST(0 AS BIGINT) AS dist2\n", "\n", "\nORDER BY sel_rank")
+  }
+
+  // -------------------------------------------------------------------
   // q202: EMBEDDING SNAPSHOT DRIFT — per-dimension centroid shift
   // between two corpus snapshots (vec_id parity simulates crawl A/B):
   // the embedding-space complement of q116's token-distribution χ² —
@@ -3239,6 +3360,8 @@ object Pipeline {
     "q95_incremental_dedup" -> (q95IncrementalDedup _),
     "q121_snapshot_diff" -> (q121SnapshotDiff _),
     "q123_pagerank" -> (q123PageRank _),
+    "q229_personalized_pagerank" -> (q229PersonalizedPagerank _),
+    "q230_kcenter" -> (q230KCenter _),
     "q127_triangles" -> (q127Triangles _),
     "q170_bfs_levels" -> (q170BfsLevels _),
     "q171_kcore" -> (q171KCore _),
@@ -3341,6 +3464,8 @@ object Pipeline {
     "q95_incremental_dedup" -> q95Sql,
     "q121_snapshot_diff" -> q121Sql,
     "q123_pagerank" -> q123Sql,
+    "q229_personalized_pagerank" -> q229Sql,
+    "q230_kcenter" -> q230Sql,
     "q127_triangles" -> q127Sql,
     "q170_bfs_levels" -> q170Sql,
     "q171_kcore" -> q171Sql,

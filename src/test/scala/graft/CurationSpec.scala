@@ -513,4 +513,50 @@ class CurationSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
     assert(math.abs(capped(1L)._2 / 3.0 - capped(2L)._2 / 2.0) < 1e-9)
   }
+
+  test("winnowFingerprints: shared-run guarantee, bounds, short-doc window") {
+    // docs 1 and 2 share an 8-token run (= w+k-1 with k=4, w=5): the
+    // winnowing guarantee says they MUST share at least one fingerprint
+    val share = "alpha beta gamma delta epsilon zeta eta theta"
+    val df = Seq(
+      (1L, s"one two $share three four five six seven"),
+      (2L, s"$share nine ten eleven twelve thirteen fourteen"),
+      (3L, "completely unrelated words that never repeat anywhere at all"),
+      (4L, "tiny doc here now"),       // exactly k tokens → 1 gram < w
+      (5L, "a b c")                    // < k tokens → no grams at all
+    ).toDF("doc_id", "text")
+    val fp = Curation.winnowFingerprints(df, "doc_id", "text", k = 4, w = 5)
+    val byDoc = fp.collect().groupBy(_.getLong(0))
+    val f1 = byDoc(1L).map(_.getLong(2)).toSet
+    val f2 = byDoc(2L).map(_.getLong(2)).toSet
+    assert((f1 & f2).nonEmpty)                    // the guarantee
+    assert((f1 & byDoc(3L).map(_.getLong(2)).toSet).isEmpty)
+    // a doc with fewer than w grams still fingerprints (one window)
+    assert(byDoc(4L).length === 1)
+    assert(!byDoc.contains(5L))                   // shorter than k: none
+    // bounds: n_fp ≤ number of windows; positions inside the doc
+    byDoc.foreach { case (_, rows) =>
+      val nGrams = rows.head.getLong(3)
+      val nWindows = math.max(nGrams - 5 + 1, 1L)
+      assert(rows.length <= nWindows)
+      rows.foreach { r =>
+        assert(r.getLong(1) >= 0 && r.getLong(1) < nGrams)
+      }
+    }
+    // deterministic under repartition (pure window arithmetic)
+    val again = Curation.winnowFingerprints(
+      df.repartition(7), "doc_id", "text", k = 4, w = 5)
+    assert(again.except(fp).count() === 0 && fp.except(again).count() === 0)
+  }
+
+  test("winnowFingerprints rightmost tie-break on repeated minimum grams") {
+    // one doc of one repeated token: every gram hashes identically, so
+    // each window's min is the RIGHTMOST position; selections are the
+    // window-end positions, collapsing to distinct (pos, hash) pairs
+    val df = Seq((1L, Array.fill(10)("x").mkString(" "))).toDF("doc_id", "text")
+    // 7 grams (p=0..6), w=5 → windows p=0..2 select p+4 (rightmost)
+    val got = Curation.winnowFingerprints(df, "doc_id", "text", k = 4, w = 5)
+      .collect().map(r => r.getLong(1)).sorted
+    assert(got.toSeq === Seq(4L, 5L, 6L))
+  }
 }

@@ -1289,4 +1289,64 @@ class OperatorsSpec extends SparkSpec {
     val gotMono = Graph.modularity(edges, "s", "d", mono).collect()
     assert(gotMono.length === 1 && math.abs(gotMono(0).getDouble(4)) < 1e-12)
   }
+
+  test("personalizedPageRankFixed matches a hand-rolled seeded reference") {
+    // path 1→2→3→4→5 plus back-edge 2→1; seed {1}: mass reaches only
+    // nodes within 3 hops (node 5 stays exactly 0 and is filtered)
+    val edges = Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 4L), (4L, 5L))
+      .toDF("s", "d")
+    val seeds = Seq(1L, 99L).toDF("id") // 99 is off-graph → dropped
+    val got = Graph.personalizedPageRankFixed(edges, seeds, "s", "d", "id",
+        iters = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // identical integral arithmetic in plain Scala, |S| = 1
+    val scale = 1000000000L
+    val nodes = Seq(1L, 2L, 3L, 4L, 5L)
+    val deg = Map(1L -> 1L, 2L -> 2L, 3L -> 1L, 4L -> 1L)
+    val out = Map(1L -> Seq(2L), 2L -> Seq(1L, 3L), 3L -> Seq(4L),
+      4L -> Seq(5L))
+    val base = 15L * scale / 100L
+    var r = Map(1L -> scale).withDefaultValue(0L)
+    for (_ <- 0 until 3) {
+      val contrib = scala.collection.mutable.Map[Long, Long]().withDefaultValue(0L)
+      for ((u, vs) <- out; v <- vs) contrib(v) += r(u) / deg(u)
+      r = nodes.map(v =>
+        v -> ((if (v == 1L) base else 0L) + 85L * contrib(v) / 100L))
+        .toMap.withDefaultValue(0L)
+    }
+    assert(got === r.filter(_._2 > 0))
+    assert(!got.contains(5L)) // beyond the 3-hop mass horizon
+    // partition invariance: integral arithmetic, associative sums
+    val again = Graph.personalizedPageRankFixed(
+        edges.repartition(7), seeds, "s", "d", "id", iters = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(again === got)
+  }
+
+  test("kCenterSelect covers planted clusters, one center each, deterministic") {
+    // three tight clusters on distinct axes; seed = min id (cluster A)
+    def v(axis: Int, eps: Double) =
+      Array.tabulate(4)(j => (if (j == axis) 1.0 else 0.0) +
+        (if (j == (axis + 1) % 4) eps else 0.0)).map(_.toFloat)
+    val rows = Seq(
+      (1L, v(0, 0.00)), (2L, v(0, 0.01)), (3L, v(0, 0.02)),
+      (4L, v(1, 0.00)), (5L, v(1, 0.01)), (6L, v(1, 0.02)),
+      (7L, v(2, 0.00)), (8L, v(2, 0.01)), (9L, v(2, 0.02)))
+    val df = rows.toDF("vec_id", "embedding")
+    val got = Similarity.kCenterSelect(df, "vec_id", "embedding", k = 3)
+      .orderBy(col("sel_rank")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got(0) === ((1L, 1L, 0L))) // seed = min id, dist 0
+    // one selected point from each planted cluster
+    val clusterOf = (id: Long) => (id - 1) / 3
+    assert(got.map(t => clusterOf(t._2)).toSet === Set(0L, 1L, 2L))
+    // the objective trace never increases (greedy covering radius)
+    assert(got(1)._3 >= got(2)._3)
+    // deterministic under repartition (integer distances, fixed ties)
+    val again = Similarity.kCenterSelect(df.repartition(5),
+        "vec_id", "embedding", k = 3)
+      .orderBy(col("sel_rank")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(again.toSeq === got.toSeq)
+  }
 }
