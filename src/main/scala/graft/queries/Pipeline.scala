@@ -2004,6 +2004,46 @@ object Pipeline {
       |GROUP BY w_start ORDER BY w_start""".stripMargin
 
   // -------------------------------------------------------------------
+  // q231: STREAMING DRIFT MONITOR — per closed 7-day window, each
+  // event type's χ² contribution vs the frozen corpus-wide reference
+  // mix (the q116 drift algebra inside the q185 closed-window
+  // machinery): the alerting rung of the streaming family — the
+  // monitor that notices a type mix shifting long before totals move.
+  // The oracle recomputes the closed-window set from the exact
+  // watermark horizon (max ts − 2 h) and replays the identical fixed
+  // IEEE χ² expression, ROUND(…, 6) — same gate shape as q116.
+  // -------------------------------------------------------------------
+  def q231StreamDrift(spark: SparkSession, dir: String): DataFrame =
+    graft.streaming.EventStreams.streamingDriftBatchDriven(spark, dir)
+      .orderBy(asc("w_start"), asc("event_type"))
+  val q231Sql: String =
+    """WITH ev AS (
+      |  SELECT make_timestamp((EPOCH_US(CAST(ts AS TIMESTAMP)) // 604800000000)
+      |           * 604800000000) AS w_start, event_type
+      |  FROM events
+      |), closed AS (
+      |  SELECT DISTINCT w_start FROM ev
+      |  WHERE EPOCH_US(w_start) + 604800000000 <=
+      |    (SELECT MAX(EPOCH_US(CAST(ts AS TIMESTAMP))) - 7200000000 FROM events)
+      |), c AS (
+      |  SELECT w_start, event_type, COUNT(*) AS n FROM ev
+      |  WHERE w_start IN (SELECT w_start FROM closed)
+      |  GROUP BY 1, 2
+      |), w AS (
+      |  SELECT w_start, CAST(SUM(n) AS BIGINT) AS tot FROM c GROUP BY 1
+      |), ref AS (
+      |  SELECT event_type, COUNT(*) AS ref_n FROM events GROUP BY 1
+      |), rt AS (SELECT CAST(SUM(ref_n) AS BIGINT) AS ref_t FROM ref)
+      |SELECT c.w_start, c.event_type, c.n, ref.ref_n,
+      |  ROUND((c.n - CAST(w.tot AS DOUBLE) * ref.ref_n / rt.ref_t)
+      |    * (c.n - CAST(w.tot AS DOUBLE) * ref.ref_n / rt.ref_t)
+      |    / (CAST(w.tot AS DOUBLE) * ref.ref_n / rt.ref_t), 6)
+      |    AS chi2_contrib
+      |FROM c JOIN w USING (w_start) JOIN ref USING (event_type)
+      |CROSS JOIN rt
+      |ORDER BY w_start, event_type""".stripMargin
+
+  // -------------------------------------------------------------------
   // q81: BPE-ish tokenization — the regex pre-tokenizer count next to
   // the whitespace count (word runs and punctuation runs split apart,
   // the shape a subword tokenizer's pre-tokenization pass produces).
@@ -2405,6 +2445,71 @@ object Pipeline {
       |SELECT ca, cb, co, CAST(deg_a AS BIGINT) AS deg_a,
       |  CAST(deg_b AS BIGINT) AS deg_b, jaccard_fx,
       |  ROW_NUMBER() OVER (ORDER BY jaccard_fx DESC, ca, cb) AS rank
+      |FROM scored ORDER BY rank""".stripMargin
+
+  // -------------------------------------------------------------------
+  // q232: LINK PREDICTION by RESOURCE ALLOCATION (Zhou, Lü & Zhang
+  // 2009) — the hub-discounting predictor next to q197's Jaccard:
+  // each common supplier z contributes 1/deg(z), so a boutique shared
+  // supplier signals far more than a sells-to-everyone hub (the
+  // Adamic-Adar idea, with 1/deg in place of 1/ln·deg — integral, so
+  // the score clears to EXACT fixed point: Σ 1e12 div deg(z), no libm
+  // ln in any gated value). Same strongest-edge postings as q197
+  // (top-20 customers per supplier by spend) bound wedge fan-out at
+  // C(20,2) per supplier; supplier degrees stay FULL so hub discounts
+  // are true. All-int64 bit-replay oracle, top-100.
+  // -------------------------------------------------------------------
+  def q232RaLinkPrediction(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val o = spark.read.parquet(s"$dir/orders.parquet")
+    val l = spark.read.parquet(s"$dir/lineitem.parquet")
+    val rel = o.join(l, col("o_orderkey") === col("l_orderkey"))
+      .groupBy(col("o_custkey").as("cust"), col("l_suppkey").as("supp"))
+      .agg(sum((col("l_extendedprice").cast(DecimalType(12, 2)) * 100)
+        .cast("long")).as("cents"))
+    val sdeg = rel.groupBy(col("supp")).agg(count(lit(1)).as("sdeg"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("supp")).orderBy(desc("cents"), asc("cust"))
+    val post = rel.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 20).select(col("supp"), col("cust"))
+      .join(sdeg, "supp")
+      .withColumn("rw", expr("1000000000000 div sdeg"))
+    val scored = post.select(col("supp"), col("cust").as("ca"), col("rw"))
+      .join(post.select(col("supp"), col("cust").as("cb")), "supp")
+      .filter(col("ca") < col("cb"))
+      .groupBy(col("ca"), col("cb"))
+      .agg(count(lit(1)).as("co"), sum(col("rw")).as("ra_fx"))
+      .orderBy(desc("ra_fx"), asc("ca"), asc("cb")).limit(100)
+    scored.withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(desc("ra_fx"), asc("ca"), asc("cb"))))
+      .select(col("rank"), col("ca"), col("cb"), col("co"), col("ra_fx"))
+      .orderBy(asc("rank"))
+  }
+  val q232Sql: String =
+    """WITH rel AS (
+      |  SELECT o_custkey AS cust, l_suppkey AS supp,
+      |    CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100
+      |      AS BIGINT)) AS BIGINT) AS cents
+      |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+      |  GROUP BY 1, 2
+      |), sdeg AS (
+      |  SELECT supp, COUNT(*) AS sdeg FROM rel GROUP BY 1
+      |), post AS (
+      |  SELECT r.supp, r.cust, 1000000000000 // d.sdeg AS rw FROM (
+      |    SELECT supp, cust, ROW_NUMBER() OVER (PARTITION BY supp
+      |      ORDER BY cents DESC, cust) AS rk FROM rel) r
+      |  JOIN sdeg d ON d.supp = r.supp
+      |  WHERE r.rk <= 20
+      |), scored AS (
+      |  SELECT a.cust AS ca, b.cust AS cb, COUNT(*) AS co,
+      |    CAST(SUM(a.rw) AS BIGINT) AS ra_fx
+      |  FROM post a JOIN post b ON a.supp = b.supp AND a.cust < b.cust
+      |  GROUP BY 1, 2
+      |  ORDER BY ra_fx DESC, ca, cb LIMIT 100
+      |)
+      |SELECT ROW_NUMBER() OVER (ORDER BY ra_fx DESC, ca, cb) AS rank,
+      |  ca, cb, co, ra_fx
       |FROM scored ORDER BY rank""".stripMargin
 
   // -------------------------------------------------------------------
@@ -3369,6 +3474,8 @@ object Pipeline {
     "q172_rrf_hybrid" -> (q172RrfHybrid _),
     "q175_stream_heavy_hitters" -> (q175StreamHeavyHitters _),
     "q185_stream_distinct" -> (q185StreamDistinct _),
+    "q231_stream_drift" -> (q231StreamDrift _),
+    "q232_ra_link_prediction" -> (q232RaLinkPrediction _),
     "q129_bm25" -> (q129Bm25 _),
     "q132_boolean_search" -> (q132BooleanSearch _),
     "q102_stream_sliding" -> (q102StreamSliding _),
@@ -3473,6 +3580,8 @@ object Pipeline {
     "q172_rrf_hybrid" -> q172Sql,
     "q175_stream_heavy_hitters" -> q175Sql,
     "q185_stream_distinct" -> q185Sql,
+    "q231_stream_drift" -> q231Sql,
+    "q232_ra_link_prediction" -> q232Sql,
     "q129_bm25" -> q129Sql,
     "q132_boolean_search" -> q132Sql,
     "q102_stream_sliding" -> Scalars.q44Sql, // identical output to the batch sliding window

@@ -276,6 +276,50 @@ object EventStreams {
       .orderBy(asc("w_start"))
   }
 
+  /** Streaming DRIFT MONITOR — the distribution-shift watchdog of the
+    * streaming family (quantiles q167 / heavy hitters q175 / distinct
+    * q185 summarize; this one ALARMS): per closed 7-day window, each
+    * event type's χ² contribution against a FROZEN reference profile
+    * (the corpus-wide type mix — in production, a profile table from a
+    * blessed period). The q116 snapshot-χ² algebra applied per
+    * streaming window: expected = tot_w · ref_n/ref_t, contribution =
+    * (n − e)²/e, ROUND(…, 6) with the identical fixed IEEE expression
+    * shape on both engines, so the gate is exact.
+    *
+    * Scale shape: the streaming side is a plain watermarked
+    * append-mode (window, type) count — O(open windows × #types)
+    * state, one emission per closed window, distributed parquet drain.
+    * The χ² join runs batch-side on the drained weeks×types frame
+    * (metadata-sized) against the broadcast reference profile
+    * (#types rows) and the 1-row reference total. Nothing data-sized
+    * shuffles twice.
+    */
+  def streamingDriftBatchDriven(spark: SparkSession, dir: String): DataFrame = {
+    val counts = appendSinkDrain(
+      readEventStream(streamSession(spark), dir)
+        .withWatermark("ts", "2 hours")
+        .groupBy(window(col("ts"), "7 days"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("window.start").as("w_start"), col("event_type"), col("n")),
+      "graft_stream_drift",
+      StructType(Seq(
+        StructField("w_start", TimestampType),
+        StructField("event_type", StringType),
+        StructField("n", LongType))))
+    // frozen reference profile: full-corpus type mix (model-sized)
+    val ref = graft.sources.Events.ev(spark, dir)
+      .groupBy(col("event_type")).agg(count(lit(1)).as("ref_n"))
+    val refT = ref.agg(sum(col("ref_n")).cast("long").as("ref_t"))
+    val wtot = org.apache.spark.sql.expressions.Window.partitionBy(col("w_start"))
+    val e = col("tot").cast("double") * col("ref_n") / col("ref_t")
+    counts
+      .withColumn("tot", sum(col("n")).over(wtot)) // drained frame: tiny
+      .join(broadcast(ref), "event_type")
+      .crossJoin(broadcast(refT)) // 1-row total frame
+      .select(col("w_start"), col("event_type"), col("n"), col("ref_n"),
+        round((col("n") - e) * (col("n") - e) / e, 6).as("chi2_contrib"))
+  }
+
   /** Streaming SESSION windows (30-min gap) — gap-based sessionization
     * run on the real streaming engine: session state per user grows and
     * MERGES as events arrive (adjacent sessions closer than the gap

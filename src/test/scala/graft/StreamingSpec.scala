@@ -688,4 +688,38 @@ class StreamingSpec extends SparkSpec {
       assert(got.sortBy { case (u, n) => (-n, u) } === truth, s"window $ws")
     }
   }
+
+  test("streaming drift monitor: closed windows only, chi2 equals batch replay") {
+    val out = graft.streaming.EventStreams
+      .streamingDriftBatchDriven(spark, sf)
+      .collect()
+      .map(r => ((r.getTimestamp(0).toInstant.toEpochMilli * 1000L,
+        r.getString(1)), (r.getLong(2), r.getLong(3), r.getDouble(4))))
+      .toMap
+    assert(out.nonEmpty)
+    val week = 604800000000L
+    val ev = graft.sources.Events.ev(spark, sf)
+      .select(unix_micros(col("ts")).as("us"), col("event_type")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val horizon = ev.map(_._1).max - 7200000000L
+    val byWindow = ev.map { case (us, t) => (us - us % week, t) }.groupBy(_._1)
+    val closed = byWindow.keySet.filter(ws => ws + week <= horizon)
+    assert(closed.size < byWindow.size, "hold-back vacuous: all windows closed")
+    assert(out.keySet.map(_._1) === closed)
+    // frozen reference profile over ALL events (open windows included)
+    val refN = ev.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    val refT = ev.size.toLong
+    closed.foreach { ws =>
+      val counts = byWindow(ws).groupBy(_._2).view.mapValues(_.size.toLong)
+      val tot = byWindow(ws).size.toLong
+      counts.foreach { case (t, n) =>
+        val e = tot.toDouble * refN(t) / refT
+        val want = BigDecimal((n - e) * (n - e) / e)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+        val (gn, grn, gchi) = out((ws, t))
+        assert(gn === n && grn === refN(t), s"window $ws type $t")
+        assert(math.abs(gchi - want) < 1e-9, s"window $ws type $t chi2")
+      }
+    }
+  }
 }
