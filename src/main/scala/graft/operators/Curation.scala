@@ -160,6 +160,70 @@ object Curation {
         col("n_anchors"))
   }
 
+  /** Strict positional k-grams as (id, p, gram) rows — the shared
+    * building block of [[repeatedExtents]], [[winnowFingerprints]] and
+    * [[alignSharedRuns]]: posexplode + lead window, doc-partitioned
+    * codegen; a document shorter than k yields nothing. */
+  def positionalGrams(df: DataFrame, idCol: String, textCol: String,
+                      k: Int): DataFrame = {
+    val toks = df.select(col(idCol), posexplode(TA.tokens(col(textCol))))
+      .withColumnRenamed("pos", "p").withColumnRenamed("col", "t")
+    val w = Window.partitionBy(col(idCol)).orderBy(asc("p"))
+    val parts = (1 until k).map(j => lead(col("t"), j).over(w))
+    toks.withColumn("gram", concat_ws(" ", (col("t") +: parts): _*))
+      .withColumn("last_t", lead(col("t"), k - 1).over(w))
+      .filter(col("last_t").isNotNull)
+      .select(col(idCol), col("p"), col("gram"))
+  }
+
+  /** SHARED-RUN ALIGNMENT — the dedup EVIDENCE operator: for each
+    * candidate pair, the longest contiguous token run the two
+    * documents share, located in both (the "why are these near-dups"
+    * a reviewer or a strip pass needs; pair detectors only score).
+    * Classic seed-chain local alignment on the gram match matrix:
+    * matched k-gram positions (pa, pb) lie on diagonal pa−pb;
+    * consecutive anchors on one diagonal (pa step = 1) chain into a
+    * run of length n_anchors + k − 1 tokens; the pair's best run is
+    * the longest (ties → smallest start_a, then start_b).
+    *
+    * `pairs` carries (doc_a, doc_b) plus any extra columns, which are
+    * preserved; `grams` is [[positionalGrams]] output over (at least)
+    * the participating docs. Scale shape: the gram match is PAIR-KEYED
+    * — pairs ⋈ grams(a) on doc_a, then one equi-join on (doc_b, gram)
+    * — work ∝ Σ_pairs |matched grams| (docs bounded), never corpus²;
+    * the run merge is a lag/cumsum window over anchors per (pair,
+    * diagonal); the per-pair argmax is the lesson-17 max(struct)
+    * partial aggregate, not a window over the anchor frame.
+    */
+  def alignSharedRuns(pairs: DataFrame, grams: DataFrame, idCol: String,
+                      k: Int): DataFrame = {
+    val carry = pairs.columns.filterNot(Set("doc_a", "doc_b")).toSeq
+    val ga = grams.select(col(idCol).as("doc_a"), col("p").as("pa"), col("gram"))
+    val gb = grams.select(col(idCol).as("doc_b"), col("p").as("pb"), col("gram"))
+    val m = pairs.join(ga, "doc_a").join(gb, Seq("doc_b", "gram"))
+      .select((Seq(col("doc_a"), col("doc_b"), col("pa"), col("pb"),
+        (col("pa") - col("pb")).as("diag")) ++ carry.map(col)): _*)
+    val wd = Window.partitionBy(col("doc_a"), col("doc_b"), col("diag"))
+      .orderBy(asc("pa"))
+    val ext = m
+      .withColumn("brk",
+        when(col("pa") - lag(col("pa"), 1).over(wd) === 1, 0L).otherwise(1L))
+      .withColumn("run", sum(col("brk")).over(
+        wd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy((Seq(col("doc_a"), col("doc_b"), col("diag"), col("run"))
+        ++ carry.map(col)): _*)
+      .agg(min(col("pa")).cast("long").as("sa"),
+        min(col("pb")).cast("long").as("sb"),
+        (count(lit(1)) + lit(k - 1)).as("len"))
+    ext.groupBy((Seq(col("doc_a"), col("doc_b")) ++ carry.map(col)): _*)
+      .agg(max(struct(col("len"), (-col("sa")).as("nsa"),
+        (-col("sb")).as("nsb"))).as("best"))
+      .select((Seq(col("doc_a"), col("doc_b")) ++ carry.map(col) ++ Seq(
+        col("best.len").as("len_tokens"),
+        (-col("best.nsa")).as("start_a"),
+        (-col("best.nsb")).as("start_b"))): _*)
+  }
+
   /** WINNOWING fingerprint selection (Schleimer, Wilkerson & Aiken,
     * SIGMOD'03 — the MOSS local document fingerprinting algorithm):
     * over each document's k-gram hash sequence, every window of w

@@ -1283,6 +1283,69 @@ object Curation {
       |ORDER BY doc_a, doc_b""".stripMargin
 
   // -------------------------------------------------------------------
+  // q233: SHARED-RUN ALIGNMENT over the winnow pairs — the dedup
+  // EVIDENCE query: for each q228 candidate pair, WHERE the overlap
+  // lives — the longest contiguous token run both documents share,
+  // with its start in each (seed-chain local alignment on the 4-gram
+  // match diagonals: anchors with pa−pb constant and pa step 1 chain;
+  // run = n_anchors + 3 tokens; ties → smallest start_a, start_b).
+  // Detectors score pairs (q31/q32/q164/q228); a reviewer or a strip
+  // pass needs the aligned extent itself. EXACT all-int64 SQL replay:
+  // grams, pair set, diagonal run merge, and the argmax all unroll.
+  // Pair-keyed work only — the gram join hangs off the (bounded) pair
+  // set, never the corpus against itself.
+  // -------------------------------------------------------------------
+  def q233PairAlignment(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    val fps = C.winnowFingerprints(d, "doc_id", "text", k = 4, w = 5)
+      .select(col("doc_id"), col("fp")).distinct()
+    val keep = fps.groupBy(col("fp")).agg(count(lit(1)).as("df"))
+      .filter(col("df").between(2, 50)).select(col("fp"))
+    val sh = fps.join(keep, "fp")
+    val pairs = sh.as("a").join(sh.as("b"),
+        col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= 3)
+    val docsIn = pairs.select(col("doc_a").as("doc_id"))
+      .union(pairs.select(col("doc_b"))).distinct()
+    val grams = C.positionalGrams(d.join(docsIn, "doc_id"),
+      "doc_id", "text", k = 4)
+    C.alignSharedRuns(pairs, grams, "doc_id", k = 4)
+      .orderBy(asc("doc_a"), asc("doc_b"))
+  }
+  val q233Sql: String =
+    raw"""$winnowSelSql,
+      |fps AS (SELECT DISTINCT doc_id, s // 4194304 AS fp FROM sel),
+      |keep AS (SELECT fp FROM fps GROUP BY fp
+      |  HAVING COUNT(*) BETWEEN 2 AND 50),
+      |sh2 AS (SELECT f.doc_id, f.fp FROM fps f JOIN keep USING (fp)),
+      |pr AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |    COUNT(*) AS n_shared
+      |  FROM sh2 a JOIN sh2 b ON a.fp = b.fp AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2 HAVING COUNT(*) >= 3),
+      |m AS (SELECT pr.doc_a, pr.doc_b, pr.n_shared,
+      |    ga.p AS pa, gb.p AS pb, ga.p - gb.p AS diag
+      |  FROM pr JOIN grams ga ON ga.doc_id = pr.doc_a
+      |       JOIN grams gb ON gb.doc_id = pr.doc_b AND gb.gram = ga.gram),
+      |r AS (SELECT doc_a, doc_b, n_shared, diag, pa, pb,
+      |  CASE WHEN pa - LAG(pa) OVER (PARTITION BY doc_a, doc_b, diag
+      |       ORDER BY pa) = 1 THEN 0 ELSE 1 END AS brk FROM m),
+      |rr AS (SELECT doc_a, doc_b, n_shared, diag, pa, pb,
+      |  SUM(brk) OVER (PARTITION BY doc_a, doc_b, diag ORDER BY pa
+      |    ROWS UNBOUNDED PRECEDING) AS run FROM r),
+      |ext AS (SELECT doc_a, doc_b, n_shared, diag, run,
+      |    MIN(pa) AS sa, MIN(pb) AS sb, COUNT(*) + 3 AS len
+      |  FROM rr GROUP BY 1, 2, 3, 4, 5),
+      |best AS (SELECT doc_a, doc_b, n_shared, len AS len_tokens,
+      |    sa AS start_a, sb AS start_b,
+      |    ROW_NUMBER() OVER (PARTITION BY doc_a, doc_b
+      |      ORDER BY len DESC, sa, sb) AS rn FROM ext)
+      |SELECT doc_a, doc_b, n_shared, len_tokens, start_a, start_b
+      |FROM best WHERE rn = 1 ORDER BY doc_a, doc_b""".stripMargin
+
+  // -------------------------------------------------------------------
   // q215: REPEATED-EXTENT STRIP (the APPLY of q212 under the faithful
   // Lee et al. keep-first semantics: each repeated passage's FIRST
   // occurrence — min (doc_id, p) per gram — survives; later
@@ -1552,6 +1615,7 @@ object Curation {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q227_winnow" -> (q227Winnow _),
     "q228_winnow_pairs" -> (q228WinnowPairs _),
+    "q233_pair_alignment" -> (q233PairAlignment _),
     "q219_dsir_weights" -> (q219DsirWeights _),
     "q224_bpe_heldout" -> (q224BpeHeldout _),
     "q215_extent_strip" -> (q215ExtentStrip _),
@@ -1589,6 +1653,7 @@ object Curation {
   val oracle: Map[String, String] = Map(
     "q227_winnow" -> q227Sql,
     "q228_winnow_pairs" -> q228Sql,
+    "q233_pair_alignment" -> q233Sql,
     "q219_dsir_weights" -> q219Sql,
     "q224_bpe_heldout" -> q224Sql,
     "q215_extent_strip" -> q215Sql,

@@ -559,4 +559,27 @@ class CurationSpec extends SparkSpec {
       .collect().map(r => r.getLong(1)).sorted
     assert(got.toSeq === Seq(4L, 5L, 6L))
   }
+
+  test("alignSharedRuns locates the planted shared passage exactly") {
+    import spark.implicits._
+    // doc 2 embeds doc 1's 6-token passage at offset 3; doc 3 shares
+    // only one scattered 4-gram with doc 1 (minimum run = k tokens)
+    val passage = "alpha beta gamma delta epsilon zeta"
+    val df = Seq(
+      (1L, s"$passage tail words here"),
+      (2L, s"x y z $passage and more stuff"),
+      (3L, "unrelated alpha beta gamma delta other things entirely")
+    ).toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L, 9L), (1L, 3L, 1L)).toDF("doc_a", "doc_b", "n_shared")
+    val grams = Curation.positionalGrams(df, "doc_id", "text", 4)
+    val got = Curation.alignSharedRuns(pairs, grams, "doc_id", k = 4)
+      .orderBy(col("doc_b")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5)))
+    // pair (1,2): the 6-token passage = 3 chained 4-gram anchors,
+    // at start 0 in doc 1 and start 3 in doc 2; carry preserved
+    assert(got(0) === ((1L, 2L, 9L, 6L, 0L, 3L)))
+    // pair (1,3): single anchor 'alpha beta gamma delta' → len = k
+    assert(got(1) === ((1L, 3L, 1L, 4L, 0L, 1L)))
+  }
 }
