@@ -72,8 +72,9 @@ object Similarity {
   }
 
   /** Deterministic pseudo-random unit hyperplanes (fixed seed). */
-  private def hyperplanes(numPlanes: Int, dim: Int): Array[Array[Double]] = {
-    val rnd = new scala.util.Random(42)
+  private def hyperplanes(numPlanes: Int, dim: Int,
+                          seed: Long = 42L): Array[Array[Double]] = {
+    val rnd = new scala.util.Random(seed)
     Array.fill(numPlanes) {
       val v = Array.fill(dim)(rnd.nextGaussian())
       val n = math.sqrt(v.map(x => x * x).sum)
@@ -384,6 +385,105 @@ object Similarity {
       .select(col("probe_id"), col("index_id"),
         dotD(col("pv"), col("iv")).as("cosine"))
       .filter(col("cosine") >= lit(threshold))
+  }
+
+  /** Approximate kNN GRAPH via NN-DESCENT (Dong, Moses & Li, WWW'11)
+    * — the all-nodes neighbor structure that SemDeDup clustering,
+    * kNN-classification and manifold analysis consume, where the ANN
+    * ladder (q34-q191) only answers query→corpus probes. Two phases,
+    * both bucketed, never all-pairs:
+    *
+    *  1. INIT: vectors map-only assign to `grids` INDEPENDENT
+    *     deterministic seeded hyperplane-argmax cell grids (the
+    *     [[semanticIncrementalPairs]] grid family under distinct
+    *     seeds — no training, replayable); candidates are the union
+    *     of within-cell pairs via cell equi-joins. Multiple grids
+    *     matter on weakly-clustered corpora: a true neighbor missed
+    *     by one random grid's argmax is caught by another.
+    *  2. DESCENT × `rounds`: the NN-descent step — a node's improved
+    *     candidates are its neighbors' neighbors over the UNDIRECTED
+    *     current graph (edges ∪ reversed edges, so a popular node
+    *     propagates both ways); one self-join on the shared endpoint,
+    *     distinct pair set unioned with the current edges, exact
+    *     cosines re-scored through two (id → vector) hash joins,
+    *     per-node top-k by (cosine desc, id asc).
+    *
+    * Scale shape: the init joins are cell-bounded (`numCells ≤ 0`
+    * auto-scales to ~2000 vectors/cell, the [[semanticDedup]]
+    * contract, so per-cell work stays flat as the corpus grows); each
+    * descent round's candidate set is ≤ (2k)² per node —
+    * corpus-linear and independent of cell geometry; the only
+    * shuffles carry (long, long) pairs or (long, vector) rows. The
+    * normalized vector frame is localCheckpointed once (it feeds
+    * 2(rounds+1)+grids joins) and each round's edge frame cuts its
+    * lineage — the graph-family discipline. The per-node top-k
+    * windows run over candidate-bounded frames (cell size / 4k² rows
+    * per key), the documented exception to the lesson-17 argmax rule.
+    * Deterministic end-to-end: seeded grids, sequential-IEEE [[dot]],
+    * ties broken by neighbor id.
+    *
+    * Returns (src, dst, rank, cosine), rank 1..≤k per src.
+    */
+  def knnGraphDescent(data: DataFrame, idCol: String, vecCol: String,
+                      k: Int, numCells: Int = 0, dim: Int = 64,
+                      grids: Int = 2, rounds: Int = 2): DataFrame = {
+    val cells =
+      if (numCells > 0) numCells
+      else math.max(16, (data.count() / 2000L).toInt)
+    val base = data
+      .select(col(idCol).as("id"), normalized(col(vecCol)).as("v"))
+      .localCheckpoint(eager = true) // reused 2(rounds+1)+grids times
+    val byRank = Window.partitionBy(col("src"))
+      .orderBy(desc("cos"), asc("dst"))
+    // exact-score a candidate pair set and keep each src's top-k
+    def topK(cand: DataFrame): DataFrame = cand
+      .join(base.select(col("id").as("src"), col("v").as("sv")), Seq("src"))
+      .join(base.select(col("id").as("dst"), col("v").as("dv")), Seq("dst"))
+      .select(col("src"), col("dst"), dotD(col("sv"), col("dv")).as("cos"))
+      .withColumn("rank", row_number().over(byRank))
+      .filter(col("rank") <= lit(k))
+    // INIT part 1: within-cell pairs over `grids` independent grids
+    val gridInit = (0 until grids).map { g =>
+      val asg = base.select(col("id"),
+        graft.functions.VectorFunctions.vec_mat_argmax(col("v"),
+          hyperplanes(cells, dim, seed = 42L + g)).as("cell"))
+      asg.select(col("id").as("src"), col("cell"))
+        .join(asg.select(col("id").as("dst"), col("cell")), Seq("cell"))
+        .filter(col("src") =!= col("dst"))
+        .select(col("src"), col("dst"))
+    }.reduce(_ union _)
+    // INIT part 2: the classic NN-descent RANDOM init, made
+    // deterministic — pairs within xxhash64 id-buckets of expected
+    // size 8. Guarantees every node enters the graph (a node whose
+    // argmax cell is a singleton in every grid would otherwise vanish
+    // — the spec's planted-cluster fixture caught exactly that) and
+    // seeds descent with cluster-structure-independent links.
+    val nb = math.max(1L, base.count() / 8L)
+    val hb = base.select(col("id"),
+      pmod(xxhash64(col("id")), lit(nb)).as("cell"))
+    val hashInit = hb.select(col("id").as("src"), col("cell"))
+      .join(hb.select(col("id").as("dst"), col("cell")), Seq("cell"))
+      .filter(col("src") =!= col("dst"))
+      .select(col("src"), col("dst"))
+    val init = gridInit.union(hashInit).distinct()
+    var scored = topK(init)
+    for (_ <- 1 to rounds) {
+      // DESCENT round: candidates = neighbors-of-neighbors over the
+      // undirected current graph, plus the current edges themselves
+      val e = scored.select(col("src"), col("dst"))
+        .localCheckpoint(eager = false) // cut the per-round lineage
+      val und = e.union(e.select(col("dst").as("src"), col("src").as("dst")))
+        .distinct()
+      val cand = und.select(col("src"), col("dst").as("mid"))
+        .join(und.select(col("src").as("mid"), col("dst")), Seq("mid"))
+        .filter(col("src") =!= col("dst"))
+        .select(col("src"), col("dst"))
+        .union(und)
+        .distinct()
+      scored = topK(cand)
+    }
+    scored.select(col("src"), col("dst"),
+      col("rank").cast("long").as("rank"), col("cos").as("cosine"))
   }
 
   /** EUCLIDEAN Lloyd iterations — the per-subspace k-means behind

@@ -913,6 +913,67 @@ object Pipeline {
       |ORDER BY probe_id, index_id""".stripMargin
 
   // -------------------------------------------------------------------
+  // q234: kNN GRAPH via one NN-descent round — the all-nodes neighbor
+  // structure (every node's approximate 10 nearest by cosine) that
+  // SemDeDup clustering and manifold analysis consume; the ANN ladder
+  // only ever answers query→corpus probes. Init = within-cell pairs on
+  // the deterministic seeded grid; descent = neighbors-of-neighbors
+  // over the undirected graph, re-scored exactly, per-node top-k.
+  // Oracle (containment + structure + FULL exact recall): every
+  // emitted edge's cosine recomputed from raw embeddings within 1e-5;
+  // ranks per src form a 1..n chain with non-increasing cosine; every
+  // node appears as src (coverage — a cell-grid degeneracy fails
+  // loudly); and the graph must hit ≥ the measured floor of the TRUE
+  // top-10 edges, recomputed for ALL nodes by brute force in DuckDB.
+  // Recall floor 0.55: measured 0.801 at sf0.01 / 0.663 at sf0.1 with
+  // grids=4, rounds=2 + the hash-bucket random init (single-grid
+  // zero-round init measured 0.14 — the multi-grid + descent
+  // structure carries the gate; re-measure before changing params,
+  // rule 9/14).
+  // -------------------------------------------------------------------
+  def q234KnnGraph(spark: SparkSession, dir: String): DataFrame =
+    Similarity.knnGraphDescent(emb(spark, dir), "vec_id", "embedding",
+        k = 10, numCells = 16, dim = 64, grids = 4, rounds = 2)
+      .select(col("src"), col("dst"), col("rank"),
+        round(col("cosine"), 6).as("cosine_r"))
+      .orderBy(asc("src"), asc("rank"))
+  val q234Sql: String =
+    """WITH nv AS (
+      |  SELECT vec_id, list_transform(embedding,
+      |    x -> CAST(x AS DOUBLE) / sqrt(list_sum(list_transform(embedding,
+      |      y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE))))) AS v
+      |  FROM embeddings
+      |), g AS (
+      |  SELECT * FROM read_parquet('__GRAFT_OUT__/q234_knn_graph/*.parquet')
+      |), ex AS (
+      |  SELECT a.vec_id AS src, b.vec_id AS dst,
+      |    ROW_NUMBER() OVER (PARTITION BY a.vec_id
+      |      ORDER BY list_sum(list_transform(list_zip(a.v, b.v),
+      |        p -> p[1] * p[2])) DESC, b.vec_id) AS rnk
+      |  FROM nv a JOIN nv b ON a.vec_id != b.vec_id
+      |), chk AS (
+      |  SELECT src, dst, rank, cosine_r,
+      |    LAG(rank) OVER (PARTITION BY src ORDER BY rank) AS prnk,
+      |    LAG(cosine_r) OVER (PARTITION BY src ORDER BY rank) AS pc
+      |  FROM g
+      |)
+      |SELECT c.src, c.dst, c.rank, c.cosine_r
+      |FROM chk c
+      |JOIN nv a ON a.vec_id = c.src
+      |JOIN nv b ON b.vec_id = c.dst
+      |WHERE ABS(list_sum(list_transform(list_zip(a.v, b.v),
+      |        p -> p[1] * p[2])) - c.cosine_r) < 1e-5
+      |  AND c.rank BETWEEN 1 AND 10
+      |  AND (c.rank = 1 OR (c.prnk = c.rank - 1 AND c.pc >= c.cosine_r - 1e-5))
+      |  AND (SELECT COUNT(DISTINCT src) FROM g)
+      |    = (SELECT COUNT(*) FROM embeddings)
+      |  AND (SELECT COUNT(*) FROM g gg
+      |       JOIN ex ON ex.src = gg.src AND ex.dst = gg.dst AND ex.rnk <= 10)
+      |    >= CAST(0.55 * (SELECT COUNT(*) FROM ex WHERE rnk <= 10) AS BIGINT)
+      |UNION ALL SELECT -1, -1, -1, -1.0 WHERE (SELECT COUNT(*) FROM g) = 0
+      |ORDER BY src, rank""".stripMargin
+
+  // -------------------------------------------------------------------
   // q75: semantic dedup (SemDeDup) — k-means-cell-blocked embedding
   // near-dup groups, keep-lowest-id per group (the trained quantizer
   // isn't SQL-replayable; OperatorsSpec plants near-identical vectors
@@ -3460,6 +3521,7 @@ object Pipeline {
     "q222_audio_energy" -> (q222AudioEnergy _),
     "q223_hard_negatives" -> (q223HardNegatives _),
     "q226_incremental_semdedup" -> (q226IncrementalSemdedup _),
+    "q234_knn_graph" -> (q234KnnGraph _),
     "q37_multimodal" -> (q37Multimodal _),
     "q88_multimodal_transcode" -> (q88MultimodalTranscode _),
     "q95_incremental_dedup" -> (q95IncrementalDedup _),
@@ -3541,6 +3603,7 @@ object Pipeline {
     "q222_audio_energy" -> q222Sql,
     "q223_hard_negatives" -> q223Sql,
     "q226_incremental_semdedup" -> q226Sql,
+    "q234_knn_graph" -> q234Sql,
     // floors ≈ 0.8 × measured recall (round-6 re-measurement: q35
     // 0.45 @ sf0.01 / 0.58 @ sf0.1, q52 0.70 / 0.77) so a silent
     // recall regression trips well before halving; re-measure BOTH

@@ -1247,6 +1247,35 @@ class OperatorsSpec extends SparkSpec {
     assert(got(0)._1 === 100L && got(0)._2 === 1L && got(0)._3 > 0.999)
   }
 
+  // q234's gate is backed here: on planted tight clusters the
+  // NN-descent graph must recover the EXACT neighborhood — every
+  // node's top-3 are its 3 cluster-mates (cluster-mates share argmax
+  // cells by the SemDeDup property, descent closes any grid misses),
+  // ranks chain 1..3 with non-increasing cosine.
+  test("knnGraphDescent recovers exact cluster neighborhoods with ranked cosines") {
+    def member(axis: Int, j: Int): Array[Float] =
+      Array.tabulate(16)(i =>
+        if (i == axis) 1.0f
+        else if (i == (axis + j + 3) % 16) 0.05f * (j + 1) else 0.0f)
+    val rows = for (c <- 0 until 3; j <- 0 until 4)
+      yield ((c * 10 + j).toLong, member(c * 5, j))
+    val df = rows.toDF("vec_id", "embedding")
+    val got = Similarity.knnGraphDescent(df, "vec_id", "embedding",
+        k = 3, numCells = 4, dim = 16, grids = 2, rounds = 2)
+      .collect()
+    val bySrc = got.groupBy(_.getLong(0))
+    assert(bySrc.size === 12)
+    for ((src, g) <- bySrc) {
+      assert(g.map(_.getLong(1)).toSet ===
+        (0 until 4).map(j => (src / 10) * 10 + j.toLong).toSet - src,
+        s"src=$src")
+      val byRank = g.sortBy(_.getLong(2))
+      assert(byRank.map(_.getLong(2)).toSeq === Seq(1L, 2L, 3L))
+      assert(byRank.sliding(2).forall(p =>
+        p(0).getDouble(3) >= p(1).getDouble(3) - 1e-12))
+    }
+  }
+
   // q222's gate is backed here: hand-computed window energies on a
   // planted byte pattern, incl. the short tail window; non-audio rows
   // excluded.
