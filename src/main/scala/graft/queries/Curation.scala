@@ -1555,6 +1555,69 @@ object Curation {
       |FROM esym3 GROUP BY s ORDER BY n_occ DESC, s LIMIT 30""".stripMargin
 
   // -------------------------------------------------------------------
+  // q235: TOKENIZER FERTILITY per language — the metric a tokenizer
+  // evaluation actually reports (subwords emitted per input word;
+  // Ács/Rust et al. call it fertility): train the 3 BPE merge rounds
+  // on the training split, segment the HELD-OUT split with the frozen
+  // list (the q224 chain), then weight each word type's subword count
+  // by its per-language occurrence counts. A tokenizer trained on
+  // mixed text over-fragments the languages it under-saw — this is
+  // the table that shows it. All-int64 bit-replay oracle: the q224
+  // generated train+apply chains, an (lang, word, count) table off
+  // the same tokenizer, and fixed-point div-1e6 fertility.
+  // -------------------------------------------------------------------
+  def q235BpeFertility(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    val merges = C.bpeTrainedMerges(
+      d.filter(col("doc_id") % 97 =!= 0), "text", rounds = 3)
+    val heldout = d.filter(col("doc_id") % 97 === 0)
+    val nsub = C.bpeSegment(heldout, "text", merges)
+      .groupBy(col("w")).agg(count(lit(1)).as("n_sub"))
+    val lw = heldout
+      .select(col("lang"), explode(TA.tokens(col("text"))).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy(col("lang"), col("w")).agg(count(lit(1)).as("c"))
+    lw.join(nsub, Seq("w"))
+      .groupBy(col("lang"))
+      .agg(sum(col("c")).as("n_words"),
+        sum(col("c") * col("n_sub")).as("n_subwords"))
+      .withColumn("fertility_fx",
+        expr("(n_subwords * 1000000L) div n_words"))
+      .orderBy(asc("lang"))
+  }
+  val q235Sql: String =
+    raw"""WITH types AS (
+      |  SELECT tok AS w, COUNT(*) AS wc
+      |  FROM (SELECT UNNEST($toksSql) AS tok FROM documents
+      |        WHERE doc_id % 97 <> 0)
+      |  WHERE tok != '' GROUP BY 1),
+      |pos0 AS (SELECT w, wc, UNNEST(range(1, LEN(w) + 1)) AS i FROM types),
+      |sym0 AS (SELECT w, wc, i - 1 AS p, w[i:i] AS s FROM pos0),
+      |""".stripMargin +
+      (1 to 3).map(bpeRoundSql).mkString(",\n") + ",\n" +
+      raw"""etypes AS (
+      |  SELECT tok AS w, COUNT(*) AS wc
+      |  FROM (SELECT UNNEST($toksSql) AS tok FROM documents
+      |        WHERE doc_id % 97 = 0)
+      |  WHERE tok != '' GROUP BY 1),
+      |epos0 AS (SELECT w, wc, UNNEST(range(1, LEN(w) + 1)) AS i FROM etypes),
+      |esym0 AS (SELECT w, wc, i - 1 AS p, w[i:i] AS s FROM epos0),
+      |""".stripMargin +
+      (1 to 3).map(bpeApplyRoundSql).mkString(",\n") + ",\n" +
+      raw"""ns AS (SELECT w, COUNT(*) AS n_sub FROM esym3 GROUP BY w),
+      |lw AS (
+      |  SELECT lang, tok AS w, COUNT(*) AS c
+      |  FROM (SELECT lang, UNNEST($toksSql) AS tok FROM documents
+      |        WHERE doc_id % 97 = 0)
+      |  WHERE tok != '' GROUP BY 1, 2)
+      |SELECT lang, CAST(SUM(c) AS BIGINT) AS n_words,
+      |  CAST(SUM(c * n_sub) AS BIGINT) AS n_subwords,
+      |  (CAST(SUM(c * n_sub) AS BIGINT) * 1000000)
+      |    // CAST(SUM(c) AS BIGINT) AS fertility_fx
+      |FROM lw JOIN ns USING (w)
+      |GROUP BY lang ORDER BY lang""".stripMargin
+
+  // -------------------------------------------------------------------
   // q219: DSIR importance weights (Xie et al. 2023) — every document
   // scored by resemblance to the TARGET slice (lang = 'en') under a
   // bag-of-tokens multinomial over the top-512 corpus tokens + OOV,
@@ -1618,6 +1681,7 @@ object Curation {
     "q233_pair_alignment" -> (q233PairAlignment _),
     "q219_dsir_weights" -> (q219DsirWeights _),
     "q224_bpe_heldout" -> (q224BpeHeldout _),
+    "q235_bpe_fertility" -> (q235BpeFertility _),
     "q215_extent_strip" -> (q215ExtentStrip _),
     "q216_bpe_vocab" -> (q216BpeVocab _),
     "q213_bpe_merges" -> (q213BpeMerges _),
@@ -1656,6 +1720,7 @@ object Curation {
     "q233_pair_alignment" -> q233Sql,
     "q219_dsir_weights" -> q219Sql,
     "q224_bpe_heldout" -> q224Sql,
+    "q235_bpe_fertility" -> q235Sql,
     "q215_extent_strip" -> q215Sql,
     "q216_bpe_vocab" -> q216Sql,
     "q213_bpe_merges" -> q213Sql,

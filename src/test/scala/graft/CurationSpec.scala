@@ -482,6 +482,32 @@ class CurationSpec extends SparkSpec {
     assert(none.length === 6) // aaab(4 chars) + ba(2) stay char-level
   }
 
+  // q235's gate is backed here: hand-computed per-language fertility
+  // (occurrence-weighted subwords/word) from a frozen merge list.
+  test("bpe fertility: occurrence-weighted subword counts per language") {
+    val held = Seq(
+      (1L, "ab ab cd", "en"),
+      (2L, "ab x", "de")).toDF("doc_id", "text", "lang")
+    // frozen merge (a,b): ab -> 1 subword; cd -> 2; x -> 1
+    val nsub = Curation.bpeSegment(held, "text", Seq(("a", "b")))
+      .groupBy(col("w")).agg(count(lit(1)).as("n_sub"))
+    val lw = held
+      .select(col("lang"), explode(split(trim(col("text")), "\\s+")).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy(col("lang"), col("w")).agg(count(lit(1)).as("c"))
+    val got = lw.join(nsub, Seq("w"))
+      .groupBy(col("lang"))
+      .agg(sum(col("c")).as("n_words"),
+        sum(col("c") * col("n_sub")).as("n_subwords"))
+      .withColumn("fertility_fx", expr("(n_subwords * 1000000L) div n_words"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).sortBy(_._1)
+    // en: ab x2 (1 sub each) + cd x1 (2 subs) = 4 subwords / 3 words
+    // de: ab + x = 2 subwords / 2 words
+    assert(got.toSeq === Seq(("de", 2L, 2L, 1000000L),
+      ("en", 3L, 4L, 1333333L)))
+  }
+
   // q219's gate is backed here: hand-computed DSIR log-ratio weights
   // on a planted 4-doc corpus (target = source 't') — the Laplace
   // smoothing, bucket counts, and per-doc occurrence-weighted sum.
