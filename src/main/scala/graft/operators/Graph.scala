@@ -215,6 +215,36 @@ object Graph {
       .groupBy(col("id")).agg(count(lit(1)).as("n_tri"))
   }
 
+  /** LOCAL CLUSTERING COEFFICIENT per node — triangles(v) / C(deg v,
+    * 2), the "how clique-like is this node's neighborhood" cohesion
+    * score (Watts-Strogatz): ≈1e6 (fixed point) for a node whose
+    * neighbors all trade with each other, 0 for a star hub. Reuses
+    * [[triangleCounts]]' degree-ordered O(m^1.5) enumeration (the
+    * expensive part); the degree table is one partial-agged groupBy
+    * over the canonical undirected edge set; nodes with no triangle
+    * join in at 0 via left join + coalesce. coeff_fx =
+    * (2·n_tri·1e6) div (dg·(dg−1)) in exact int64 — bit-replayable.
+    * deg < 2 nodes report 0 (C(deg,2) = 0: coefficient undefined,
+    * pinned to 0 — the networkx convention).
+    */
+  def clusteringCoefficients(edges: DataFrame, srcCol: String,
+      dstCol: String, broadcastEdgeLimit: Long = 4000000L): DataFrame = {
+    val und = edges
+      .select(least(col(srcCol), col(dstCol)).cast("long").as("a"),
+        greatest(col(srcCol), col(dstCol)).cast("long").as("b"))
+      .filter(col("a") =!= col("b"))
+      .distinct()
+    val deg = und.select(col("a").as("id"))
+      .union(und.select(col("b").as("id")))
+      .groupBy(col("id")).agg(count(lit(1)).as("dg"))
+    deg.join(triangleCounts(edges, srcCol, dstCol, broadcastEdgeLimit),
+        Seq("id"), "left_outer")
+      .select(col("id"), col("dg"),
+        coalesce(col("n_tri"), lit(0L)).as("n_tri"))
+      .withColumn("coeff_fx", when(col("dg") >= 2,
+        expr("(n_tri * 2000000L) div (dg * (dg - 1))")).otherwise(lit(0L)))
+  }
+
   /** WEIGHTED fixed-iteration PageRank — [[pageRankFixed]] with rank
     * mass split by edge weight instead of out-degree:
     *   r_k+1(v) = base + (85 · Σ_{(u,v,w)} (r_k(u)·w) div W_u) div 100

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Multimodal-column plumbing: image/audio/video as opaque `binary`
@@ -381,6 +382,37 @@ object Multimodal {
         }
       }
     }
+  }
+
+  /** UTTERANCE SEGMENTATION over the [[audioWindows]] energy grid —
+    * the VAD rung above raw window energies: windows at/above
+    * `threshold` are speech-active, and active windows whose gap is
+    * ≤ `gap` silent windows merge into one utterance (the lag/cumsum
+    * run merge, same machinery as the repeated-extent and shared-run
+    * merges — here over the ACTIVE windows only, so the window
+    * function sees anchors, never the full grid). Returns one row per
+    * utterance: (media_id, utt, start_win, end_win, n_active,
+    * energy) — all exact int64, replayable cross-engine.
+    *
+    * Scale shape: [[audioWindows]] is a map-only flatMap (blobs never
+    * shuffle); the merge shuffles only the active (media_id, win_idx,
+    * ss) longs, partitioned by media.
+    */
+  def audioUtterances(media: Dataset[MediaRow], win: Int = 32,
+                      threshold: Long = 40000L, gap: Int = 0): DataFrame = {
+    val byMedia = Window.partitionBy(col("media_id")).orderBy(asc("win_idx"))
+    audioWindows(media, win).toDF()
+      .filter(col("ss") >= lit(threshold))
+      .withColumn("brk",
+        when(col("win_idx") - lag(col("win_idx"), 1).over(byMedia)
+          <= lit(gap + 1L), 0L).otherwise(1L))
+      .withColumn("utt", sum(col("brk")).over(
+        byMedia.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("media_id"), col("utt"))
+      .agg(min(col("win_idx")).as("start_win"),
+        max(col("win_idx")).as("end_win"),
+        count(lit(1)).as("n_active"),
+        sum(col("ss")).as("energy"))
   }
 
   /** Byte accounting of the transcode pass per media type — the

@@ -1454,6 +1454,55 @@ object Pipeline {
       |FROM v GROUP BY id ORDER BY id""".stripMargin
 
   // -------------------------------------------------------------------
+  // q237: LOCAL CLUSTERING COEFFICIENT per part over the q127
+  // co-purchase graph — cohesion per NODE where q127 counts per-node
+  // triangles and q221 scores the global partition: coeff_fx =
+  // (2·n_tri·1e6) div (dg·(dg−1)), exact int64 (deg<2 pinned 0, the
+  // networkx convention). EVERY graph node appears (left join +
+  // coalesce — a triangle-free node at 0 is the signal, not noise).
+  // Oracle: q127's naive 3-way-join triangle CTEs + a degree CTE +
+  // the identical integer-div expression — bit-for-bit.
+  // -------------------------------------------------------------------
+  def q237ClusteringCoeff(spark: SparkSession, dir: String): DataFrame = {
+    val li = spark.read.parquet(s"$dir/lineitem.parquet")
+      .filter(col("l_quantity") > 35)
+      .select(col("l_orderkey"), col("l_partkey"))
+    val e = li.as("x").join(li.as("y"),
+        col("x.l_orderkey") === col("y.l_orderkey") &&
+          col("x.l_partkey") < col("y.l_partkey"))
+      .select(col("x.l_partkey").as("src"), col("y.l_partkey").as("dst"))
+    Graph.clusteringCoefficients(e, "src", "dst").orderBy(asc("id"))
+  }
+  val q237Sql: String =
+    """WITH li AS (
+      |  SELECT l_orderkey, l_partkey FROM lineitem WHERE l_quantity > 35
+      |), e AS (
+      |  SELECT DISTINCT a.l_partkey AS a, b.l_partkey AS b
+      |  FROM li a JOIN li b
+      |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      |), t AS (
+      |  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+      |  FROM e e1 JOIN e e2 ON e1.b = e2.a
+      |       JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
+      |), v AS (
+      |  SELECT x AS id FROM t
+      |  UNION ALL SELECT y FROM t
+      |  UNION ALL SELECT z FROM t
+      |), tri AS (
+      |  SELECT id, CAST(COUNT(*) AS BIGINT) AS n_tri FROM v GROUP BY id
+      |), deg AS (
+      |  SELECT id, CAST(COUNT(*) AS BIGINT) AS dg
+      |  FROM (SELECT a AS id FROM e UNION ALL SELECT b FROM e)
+      |  GROUP BY id
+      |)
+      |SELECT d.id, d.dg, COALESCE(t.n_tri, 0) AS n_tri,
+      |  CASE WHEN d.dg >= 2
+      |    THEN (COALESCE(t.n_tri, 0) * 2000000) // (d.dg * (d.dg - 1))
+      |    ELSE 0 END AS coeff_fx
+      |FROM deg d LEFT JOIN tri t USING (id)
+      |ORDER BY id""".stripMargin
+
+  // -------------------------------------------------------------------
   // q170: multi-source BFS hop distance over the trade graph (q123's
   // customer↔supplier bipartite graph, undirected) from the nation-7
   // customer seed set — the reachability/influence-propagation member
@@ -1941,6 +1990,52 @@ object Pipeline {
       |  COALESCE(MAX(w) FILTER (ss >= 40000), -1) AS last_loud,
       |  CAST(SUM(ss) AS BIGINT) AS total_ss
       |FROM wn GROUP BY media_id ORDER BY media_id""".stripMargin
+
+  // -------------------------------------------------------------------
+  // q236: AUDIO UTTERANCE SEGMENTATION — the VAD rung above q222's
+  // window energies: active (ss ≥ 40000) windows merge into
+  // utterances, bridging gaps of ≤ 1 silent window (gap=1); one row
+  // per utterance with its window extent, active count and energy.
+  // The lag/cumsum run merge runs over ACTIVE windows only (anchors,
+  // never the full grid — the repeated-extents discipline). EXACT
+  // all-int64 oracle: q222's byte-rebuild CTEs + the same gap-1
+  // run-merge predicate replayed in SQL.
+  // -------------------------------------------------------------------
+  def q236AudioUtterances(spark: SparkSession, dir: String): DataFrame =
+    Multimodal.audioUtterances(Multimodal.mediaTable(spark, dir),
+        win = 32, threshold = 40000L, gap = 1)
+      .orderBy(asc("media_id"), asc("utt"))
+  val q236Sql: String =
+    """WITH a AS (
+      |  SELECT doc_id AS media_id, hex(encode(text)) AS hx,
+      |    CAST(octet_length(encode(text)) AS BIGINT) AS n
+      |  FROM documents WHERE doc_id % 3 = 1
+      |), b AS (
+      |  SELECT media_id, UNNEST(range(0, n)) AS p, hx FROM a
+      |), v AS (
+      |  SELECT media_id, p // 32 AS w,
+      |    (CAST(('0x' || substring(hx, CAST(p*2+1 AS BIGINT), 2)) AS INTEGER)
+      |      - 128) AS s
+      |  FROM b
+      |), wn AS (
+      |  SELECT media_id, w, CAST(SUM(s*s) AS BIGINT) AS ss
+      |  FROM v GROUP BY media_id, w
+      |), act AS (
+      |  SELECT media_id, w, ss,
+      |    CASE WHEN w - LAG(w) OVER (PARTITION BY media_id ORDER BY w) <= 2
+      |      THEN 0 ELSE 1 END AS brk
+      |  FROM wn WHERE ss >= 40000
+      |), runs AS (
+      |  SELECT media_id, w, ss,
+      |    SUM(brk) OVER (PARTITION BY media_id ORDER BY w
+      |      ROWS UNBOUNDED PRECEDING) AS utt
+      |  FROM act
+      |)
+      |SELECT media_id, CAST(utt AS BIGINT) AS utt,
+      |  MIN(w) AS start_win, MAX(w) AS end_win,
+      |  COUNT(*) AS n_active, CAST(SUM(ss) AS BIGINT) AS energy
+      |FROM runs GROUP BY media_id, utt
+      |ORDER BY media_id, utt""".stripMargin
 
   // -------------------------------------------------------------------
   // q38: Structured Streaming hourly rollup (real streaming engine,
@@ -3522,6 +3617,7 @@ object Pipeline {
     "q223_hard_negatives" -> (q223HardNegatives _),
     "q226_incremental_semdedup" -> (q226IncrementalSemdedup _),
     "q234_knn_graph" -> (q234KnnGraph _),
+    "q236_audio_utterances" -> (q236AudioUtterances _),
     "q37_multimodal" -> (q37Multimodal _),
     "q88_multimodal_transcode" -> (q88MultimodalTranscode _),
     "q95_incremental_dedup" -> (q95IncrementalDedup _),
@@ -3530,6 +3626,7 @@ object Pipeline {
     "q229_personalized_pagerank" -> (q229PersonalizedPagerank _),
     "q230_kcenter" -> (q230KCenter _),
     "q127_triangles" -> (q127Triangles _),
+    "q237_clustering_coeff" -> (q237ClusteringCoeff _),
     "q170_bfs_levels" -> (q170BfsLevels _),
     "q171_kcore" -> (q171KCore _),
     "q177_label_prop" -> (q177LabelProp _),
@@ -3604,6 +3701,7 @@ object Pipeline {
     "q223_hard_negatives" -> q223Sql,
     "q226_incremental_semdedup" -> q226Sql,
     "q234_knn_graph" -> q234Sql,
+    "q236_audio_utterances" -> q236Sql,
     // floors ≈ 0.8 × measured recall (round-6 re-measurement: q35
     // 0.45 @ sf0.01 / 0.58 @ sf0.1, q52 0.70 / 0.77) so a silent
     // recall regression trips well before halving; re-measure BOTH
@@ -3637,6 +3735,7 @@ object Pipeline {
     "q229_personalized_pagerank" -> q229Sql,
     "q230_kcenter" -> q230Sql,
     "q127_triangles" -> q127Sql,
+    "q237_clustering_coeff" -> q237Sql,
     "q170_bfs_levels" -> q170Sql,
     "q171_kcore" -> q171Sql,
     "q177_label_prop" -> q177Sql,

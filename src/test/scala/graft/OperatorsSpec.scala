@@ -135,6 +135,21 @@ class OperatorsSpec extends SparkSpec {
     assert(Graph.triangleCounts(path, "s", "d").count() === 0L)
   }
 
+  // q237's gate is backed here: hand-computed coefficients on the
+  // "kite" (triangle {1,2,3} + pendant 4 on 3) — incl. the deg<2 → 0
+  // pin and the triangle-free node appearing at 0.
+  test("clusteringCoefficients: kite graph hand values, every node present") {
+    val kite = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L)).toDF("s", "d")
+    val got = Graph.clusteringCoefficients(kite, "s", "d")
+      .orderBy(col("id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq === Seq(
+      (1L, 2L, 1L, 1000000L),   // both neighbors connected
+      (2L, 2L, 1L, 1000000L),
+      (3L, 3L, 1L, 333333L),    // 2·1e6 div (3·2)
+      (4L, 1L, 0L, 0L)))        // pendant: C(1,2)=0 → pinned 0
+  }
+
   test("bfsLevels: hop distances on a path with a shortcut, hop cap, unreachable tail") {
     // 1→2→3→4→5 plus shortcut 1→4: dist(4)=1 via the shortcut (not 3),
     // and dist(5)=2 through it.
@@ -1294,6 +1309,27 @@ class OperatorsSpec extends SparkSpec {
       (1L, 0L, 32L, 0L),                 // centered silence
       (1L, 1L, 32L, 32L * 128 * 128),    // max swing: 32·(−128)²
       (1L, 2L, 6L, 6L * 2 * 2)))         // tail: 6·(130−128)²
+  }
+
+  // q236's gate is backed here: a single silent window inside a
+  // speech run is bridged at gap=1; a two-window silence splits.
+  test("audioUtterances bridges single-window gaps and splits longer silences") {
+    import Multimodal._
+    def block(loud: Boolean) =
+      Array.fill(32)(if (loud) 0.toByte else 128.toByte)
+    // windows: LOUD silent LOUD silent silent LOUD
+    val payload = Array(true, false, true, false, false, true)
+      .flatMap(block)
+    val media = Seq(MediaRow(1L, "audio", payload, 0, 0, 16000)).toDS()
+    val got = audioUtterances(media, win = 32, threshold = 40000L, gap = 1)
+      .orderBy(col("utt")).collect()
+      .map(r => (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+    val e = 32L * 128 * 128
+    assert(got.toSeq === Seq((0L, 2L, 2L, 2 * e), (5L, 5L, 1L, e)))
+    // gap=0: the bridged pair splits too
+    val strict = audioUtterances(media, 32, 40000L, gap = 0)
+      .collect().length
+    assert(strict === 3)
   }
 
   // q221's gate is backed here: two disjoint triangles with a perfect
