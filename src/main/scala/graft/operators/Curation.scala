@@ -160,6 +160,48 @@ object Curation {
         col("n_anchors"))
   }
 
+  /** CODE-SWITCH DETECTION — sentence-level language mix per
+    * document: split on sentence punctuation ([.!?]+ + whitespace, an
+    * RE2/Java-shared pattern — no lookbehind), language-ID each
+    * sentence with [[TA.langId]], and report per doc the sentence
+    * count, distinct languages, number of adjacent-sentence language
+    * SWITCHES (the code-switching signal a monolingual filter
+    * misses: a doc that flips en→de→en mid-text pollutes both
+    * monolingual buckets), and the dominant language (majority vote;
+    * ties break to the lexically-largest code, matching langId's own
+    * greatest-struct convention).
+    *
+    * Scale shape: sentence explode + langId are map-only codegen; the
+    * switch count is a lag window over each doc's sentences (doc-
+    * bounded frame); the majority vote is the lesson-17 max(struct)
+    * partial aggregate over the (doc, lang) count frame.
+    */
+  def sentenceLangMix(df: DataFrame, idCol: String,
+                      textCol: String): DataFrame = {
+    val sent = df
+      .select(col(idCol), posexplode(split(trim(col(textCol)), "[.!?]+\\s+")))
+      .withColumnRenamed("pos", "si").withColumnRenamed("col", "s0")
+      .withColumn("s", regexp_replace(col("s0"), "[.!?]+$", ""))
+      .filter(trim(col("s")) =!= "")
+      .withColumn("slang", TA.langId(col("s")))
+      .select(col(idCol), col("si"), col("slang"))
+    val w = Window.partitionBy(col(idCol)).orderBy(asc("si"))
+    val prev = lag(col("slang"), 1).over(w)
+    val perDoc = sent
+      .withColumn("chg",
+        when(prev.isNotNull && prev =!= col("slang"), 1L).otherwise(0L))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_sent"),
+        countDistinct(col("slang")).as("n_langs"),
+        sum(col("chg")).as("n_switch"))
+    val dom = sent.groupBy(col(idCol), col("slang"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col(idCol))
+      .agg(max(struct(col("c"), col("slang"))).as("b"))
+      .select(col(idCol), col("b.slang").as("dom_lang"))
+    perDoc.join(dom, Seq(idCol))
+  }
+
   /** Strict positional k-grams as (id, p, gram) rows — the shared
     * building block of [[repeatedExtents]], [[winnowFingerprints]] and
     * [[alignSharedRuns]]: posexplode + lead window, doc-partitioned

@@ -1618,6 +1618,91 @@ object Curation {
       |GROUP BY lang ORDER BY lang""".stripMargin
 
   // -------------------------------------------------------------------
+  // q238: CODE-SWITCH DETECTION — sentence-level language mix per doc
+  // (doc-level langid q28 assigns ONE label; a doc that flips
+  // en→de→en mid-text pollutes both monolingual buckets and this is
+  // the table that catches it): sentences split on [.!?]+\s+ (RE2/
+  // Java-shared, no lookbehind), each langid'd with the q28 heuristic,
+  // then per doc: sentence count, distinct languages, adjacent-
+  // sentence switch count (lag window over the doc-bounded frame),
+  // dominant language (majority, ties to the lexically-largest code —
+  // langId's own greatest-struct convention). The corpus' docs are
+  // single-sentence (no ". " anywhere at either SF), which would make
+  // the sentence machinery vacuous — so the query first synthesizes
+  // multi-sentence MIXED-LANGUAGE documents deterministically:
+  // id-blocks of 10 docs concatenated in id order with ". "
+  // separators (langs interleave across ids, so real switches
+  // appear). Exact replay oracle: the identical STRING_AGG synthesis
+  // + split + strip + per-sentence CASE + LAG + argmax.
+  // -------------------------------------------------------------------
+  def q238CodeSwitch(spark: SparkSession, dir: String): DataFrame = {
+    val synth = docs(spark, dir)
+      .select(expr("doc_id div 10").as("g"), col("doc_id"), col("text"))
+      .groupBy(col("g"))
+      .agg(concat_ws(". ",
+        transform(array_sort(collect_list(struct(col("doc_id"), col("text")))),
+          x => x.getField("text"))).as("text"))
+      .select(col("g").as("doc_id"), col("text"))
+    C.sentenceLangMix(synth, "doc_id", "text")
+      .orderBy(asc("doc_id"))
+  }
+  val q238Sql: String = {
+    def hits(lang: String) = {
+      val ws = TA.stopwords(lang).map(w => s"'$w'").mkString(", ")
+      raw"LEN(list_filter(string_split_regex(TRIM(s), '\s+'), tk -> tk IN ($ws)))"
+    }
+    raw"""WITH d2 AS (
+       |  SELECT doc_id // 10 AS doc_id,
+       |    STRING_AGG(text, '. ' ORDER BY doc_id) AS text
+       |  FROM documents GROUP BY 1
+       |), t AS (
+       |  SELECT doc_id, string_split_regex(TRIM(text), '[.!?]+\s+') AS sx
+       |  FROM d2
+       |), ix AS (
+       |  SELECT doc_id, UNNEST(range(1, LEN(sx) + 1)) AS si, sx FROM t
+       |), sr AS (
+       |  SELECT doc_id, si, regexp_replace(sx[si], '[.!?]+$$', '') AS s
+       |  FROM ix
+       |), sf AS (
+       |  SELECT doc_id, si, s FROM sr WHERE TRIM(s) != ''
+       |), sh AS (
+       |  SELECT doc_id, si, s,
+       |    ${hits("de")} AS h_de, ${hits("en")} AS h_en,
+       |    ${hits("es")} AS h_es, ${hits("fr")} AS h_fr,
+       |    CAST(LENGTH(s) - LENGTH(regexp_replace(s,
+       |      '[\x{4e00}-\x{9fff}]', '', 'g')) AS DOUBLE)
+       |      / LENGTH(s) AS cjk
+       |  FROM sf
+       |), sl AS (
+       |  SELECT doc_id, si,
+       |    CASE WHEN cjk > 0.3 THEN 'zh'
+       |         WHEN GREATEST(h_de, h_en, h_es, h_fr) = 0 THEN 'und'
+       |         WHEN h_fr >= h_de AND h_fr >= h_en AND h_fr >= h_es THEN 'fr'
+       |         WHEN h_es >= h_de AND h_es >= h_en THEN 'es'
+       |         WHEN h_en >= h_de THEN 'en'
+       |         ELSE 'de' END AS slang
+       |  FROM sh
+       |), agg AS (
+       |  SELECT doc_id, COUNT(*) AS n_sent,
+       |    COUNT(DISTINCT slang) AS n_langs,
+       |    CAST(COALESCE(SUM(CASE WHEN prev IS NOT NULL AND prev != slang
+       |      THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_switch
+       |  FROM (SELECT doc_id, slang,
+       |          LAG(slang) OVER (PARTITION BY doc_id ORDER BY si) AS prev
+       |        FROM sl)
+       |  GROUP BY doc_id
+       |), dom AS (
+       |  SELECT doc_id, slang AS dom_lang FROM (
+       |    SELECT doc_id, slang, ROW_NUMBER() OVER (PARTITION BY doc_id
+       |      ORDER BY COUNT(*) DESC, slang DESC) AS rn
+       |    FROM sl GROUP BY doc_id, slang)
+       |  WHERE rn = 1
+       |)
+       |SELECT a.doc_id, a.n_sent, a.n_langs, a.n_switch, d.dom_lang
+       |FROM agg a JOIN dom d USING (doc_id) ORDER BY doc_id""".stripMargin
+  }
+
+  // -------------------------------------------------------------------
   // q219: DSIR importance weights (Xie et al. 2023) — every document
   // scored by resemblance to the TARGET slice (lang = 'en') under a
   // bag-of-tokens multinomial over the top-512 corpus tokens + OOV,
@@ -1682,6 +1767,7 @@ object Curation {
     "q219_dsir_weights" -> (q219DsirWeights _),
     "q224_bpe_heldout" -> (q224BpeHeldout _),
     "q235_bpe_fertility" -> (q235BpeFertility _),
+    "q238_code_switch" -> (q238CodeSwitch _),
     "q215_extent_strip" -> (q215ExtentStrip _),
     "q216_bpe_vocab" -> (q216BpeVocab _),
     "q213_bpe_merges" -> (q213BpeMerges _),
@@ -1721,6 +1807,7 @@ object Curation {
     "q219_dsir_weights" -> q219Sql,
     "q224_bpe_heldout" -> q224Sql,
     "q235_bpe_fertility" -> q235Sql,
+    "q238_code_switch" -> q238Sql,
     "q215_extent_strip" -> q215Sql,
     "q216_bpe_vocab" -> q216Sql,
     "q213_bpe_merges" -> q213Sql,

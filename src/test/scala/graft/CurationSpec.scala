@@ -586,6 +586,25 @@ class CurationSpec extends SparkSpec {
     assert(got.toSeq === Seq(4L, 5L, 6L))
   }
 
+  // q238's gate is backed here: a planted en→de→en document yields
+  // the exact sentence/language/switch accounting; a monolingual doc
+  // reports zero switches; trailing punctuation is stripped before
+  // langid (so "is." still scores the en stopword).
+  test("sentenceLangMix counts switches and majority language exactly") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "the and is. der und ist! the of words."),
+      (2L, "el es para. los con una")).toDF("doc_id", "text")
+    val got = Curation.sentenceLangMix(df, "doc_id", "text")
+      .orderBy(col("doc_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getString(4)))
+    // doc 1: en, de, en -> 3 sentences, 2 langs, 2 switches, dom en
+    assert(got(0) === ((1L, 3L, 2L, 2L, "en")))
+    // doc 2: es, es -> no switch
+    assert(got(1) === ((2L, 2L, 1L, 0L, "es")))
+  }
+
   test("alignSharedRuns locates the planted shared passage exactly") {
     import spark.implicits._
     // doc 2 embeds doc 1's 6-token passage at offset 3; doc 3 shares
