@@ -245,6 +245,52 @@ object Graph {
         expr("(n_tri * 2000000L) div (dg * (dg - 1))")).otherwise(lit(0L)))
   }
 
+  /** DEGREE ASSORTATIVITY (Newman 2002, Phys. Rev. Lett. 89) — the
+    * one-number "do hubs link to hubs?" health check of a graph
+    * (r > 0: assortative/social-like; r < 0: disassortative/hub-and-
+    * spoke — the shape that makes wedge counts and LSH buckets skew):
+    * the Pearson correlation of endpoint degrees over the undirected
+    * edge set, via the edge-sum formulation
+    *   r = (S_jk/m − (S_j/2m)²) / (S_jj/2m − (S_j/2m)²)
+    * with S_jk = Σ dᵤ·dᵥ, S_j = Σ (dᵤ+dᵥ), S_jj = Σ (dᵤ²+dᵥ²) over
+    * the m canonical edges (FULL degrees, not excess — pinned
+    * convention). The integer sums are exact int64 partial aggregates
+    * (bit-replayable); r itself is ONE fixed-shape IEEE expression
+    * over them (explicit x·x, no pow), rounded to 6 — the q221
+    * modularity discipline, so the gate is tolerance-free. A regular
+    * graph (zero variance) yields null on both engines. Shuffles
+    * carry only (long, long) pairs; the final row is 1 row.
+    */
+  def degreeAssortativity(edges: DataFrame, srcCol: String,
+                          dstCol: String): DataFrame = {
+    val und = edges
+      .select(least(col(srcCol), col(dstCol)).cast("long").as("a"),
+        greatest(col(srcCol), col(dstCol)).cast("long").as("b"))
+      .filter(col("a") =!= col("b"))
+      .distinct()
+    val deg = und.select(col("a").as("id"))
+      .union(und.select(col("b").as("id")))
+      .groupBy(col("id")).agg(count(lit(1)).as("dg"))
+    und
+      .join(deg.select(col("id").as("a"), col("dg").as("da")), Seq("a"))
+      .join(deg.select(col("id").as("b"), col("dg").as("db")), Seq("b"))
+      .agg(count(lit(1)).as("m"),
+        sum(col("da") * col("db")).as("s_jk"),
+        sum(col("da") + col("db")).as("s_j"),
+        sum(col("da") * col("da") + col("db") * col("db")).as("s_jj"))
+      .withColumn("num",
+        (col("s_jk").cast("double") / col("m").cast("double"))
+          - (col("s_j").cast("double") / (lit(2.0) * col("m").cast("double")))
+            * (col("s_j").cast("double") / (lit(2.0) * col("m").cast("double"))))
+      .withColumn("den",
+        (col("s_jj").cast("double") / (lit(2.0) * col("m").cast("double")))
+          - (col("s_j").cast("double") / (lit(2.0) * col("m").cast("double")))
+            * (col("s_j").cast("double") / (lit(2.0) * col("m").cast("double"))))
+      // zero variance (regular graph) → null, not ANSI divide-by-zero
+      .withColumn("r_round", round(col("num") / nullif(col("den"), lit(0.0)), 6))
+      .select("m", "s_jk", "s_j", "s_jj", "r_round")
+  }
+
   /** WEIGHTED fixed-iteration PageRank — [[pageRankFixed]] with rank
     * mass split by edge weight instead of out-degree:
     *   r_k+1(v) = base + (85 · Σ_{(u,v,w)} (r_k(u)·w) div W_u) div 100

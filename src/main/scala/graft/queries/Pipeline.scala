@@ -1503,6 +1503,57 @@ object Pipeline {
       |ORDER BY id""".stripMargin
 
   // -------------------------------------------------------------------
+  // q239: DEGREE ASSORTATIVITY of the co-purchase graph — Newman's
+  // one-number "hubs link to hubs?" check (the q127/q237 graph family
+  // at global granularity; negative r = hub-and-spoke, the regime
+  // where wedge counts and LSH buckets skew). Exact int64 edge sums
+  // (m, S_jk, S_j, S_jj) + ONE fixed-shape IEEE expression rounded to
+  // 6 (explicit x·x, no pow — the q221 tolerance-free discipline).
+  // Oracle replays the identical degree join + expression.
+  // -------------------------------------------------------------------
+  def q239Assortativity(spark: SparkSession, dir: String): DataFrame = {
+    val li = spark.read.parquet(s"$dir/lineitem.parquet")
+      .filter(col("l_quantity") > 35)
+      .select(col("l_orderkey"), col("l_partkey"))
+    val e = li.as("x").join(li.as("y"),
+        col("x.l_orderkey") === col("y.l_orderkey") &&
+          col("x.l_partkey") < col("y.l_partkey"))
+      .select(col("x.l_partkey").as("src"), col("y.l_partkey").as("dst"))
+    Graph.degreeAssortativity(e, "src", "dst")
+  }
+  val q239Sql: String =
+    """WITH li AS (
+      |  SELECT l_orderkey, l_partkey FROM lineitem WHERE l_quantity > 35
+      |), e AS (
+      |  SELECT DISTINCT a.l_partkey AS a, b.l_partkey AS b
+      |  FROM li a JOIN li b
+      |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      |), deg AS (
+      |  SELECT id, CAST(COUNT(*) AS BIGINT) AS dg
+      |  FROM (SELECT a AS id FROM e UNION ALL SELECT b FROM e)
+      |  GROUP BY id
+      |), s AS (
+      |  SELECT CAST(COUNT(*) AS BIGINT) AS m,
+      |    CAST(SUM(da.dg * db.dg) AS BIGINT) AS s_jk,
+      |    CAST(SUM(da.dg + db.dg) AS BIGINT) AS s_j,
+      |    CAST(SUM(da.dg * da.dg + db.dg * db.dg) AS BIGINT) AS s_jj
+      |  FROM e JOIN deg da ON da.id = e.a JOIN deg db ON db.id = e.b
+      |)
+      |, nd AS (
+      |  SELECT m, s_jk, s_j, s_jj,
+      |    (CAST(s_jk AS DOUBLE) / CAST(m AS DOUBLE))
+      |      - (CAST(s_j AS DOUBLE) / (2.0 * CAST(m AS DOUBLE)))
+      |        * (CAST(s_j AS DOUBLE) / (2.0 * CAST(m AS DOUBLE))) AS num,
+      |    (CAST(s_jj AS DOUBLE) / (2.0 * CAST(m AS DOUBLE)))
+      |      - (CAST(s_j AS DOUBLE) / (2.0 * CAST(m AS DOUBLE)))
+      |        * (CAST(s_j AS DOUBLE) / (2.0 * CAST(m AS DOUBLE))) AS den
+      |  FROM s
+      |)
+      |SELECT m, s_jk, s_j, s_jj,
+      |  ROUND(num / NULLIF(den, 0.0), 6) AS r_round
+      |FROM nd""".stripMargin
+
+  // -------------------------------------------------------------------
   // q170: multi-source BFS hop distance over the trade graph (q123's
   // customer↔supplier bipartite graph, undirected) from the nation-7
   // customer seed set — the reachability/influence-propagation member
@@ -3627,6 +3678,7 @@ object Pipeline {
     "q230_kcenter" -> (q230KCenter _),
     "q127_triangles" -> (q127Triangles _),
     "q237_clustering_coeff" -> (q237ClusteringCoeff _),
+    "q239_assortativity" -> (q239Assortativity _),
     "q170_bfs_levels" -> (q170BfsLevels _),
     "q171_kcore" -> (q171KCore _),
     "q177_label_prop" -> (q177LabelProp _),
@@ -3736,6 +3788,7 @@ object Pipeline {
     "q230_kcenter" -> q230Sql,
     "q127_triangles" -> q127Sql,
     "q237_clustering_coeff" -> q237Sql,
+    "q239_assortativity" -> q239Sql,
     "q170_bfs_levels" -> q170Sql,
     "q171_kcore" -> q171Sql,
     "q177_label_prop" -> q177Sql,

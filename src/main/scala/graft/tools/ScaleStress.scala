@@ -337,6 +337,14 @@ object ScaleStress {
           .select((col("vec_id") + lit(100000000L)).as("vec_id"), col("embedding")),
         "vec_id", "vec_id", "embedding", "embedding",
         threshold = 0.99, numCells = 128, dim = 64).count())
+    // kNN graph at ×N: init pair volume is cell-bounded (~500/cell
+    // here — the dial trades init recall for join width), each descent
+    // round is ≤ (2k)² candidates per node — corpus-LINEAR; the
+    // whole-graph edge count must land at nVec × k exactly (coverage).
+    timed(s"kNN graph via NN-descent ($nVec nodes, k=10, 2 grids + 1 round)")(
+      graft.operators.Similarity.knnGraphDescent(emb, "vec_id", "embedding",
+        k = 10, numCells = math.max(16, (nVec / 500L).toInt), dim = 64,
+        grids = 2, rounds = 1).count())
     timed(s"dsir weights ($total docs, top-512 vocab + OOV)")(
       graft.operators.Curation.dsirWeights(docs, "doc_id", "text",
           isTarget = pmod(col("doc_id"), lit(5)) === 0, vocabN = 512)
@@ -359,6 +367,12 @@ object ScaleStress {
       timed(s"audio window energies (~${total / 3} clips)")(
         graft.operators.Multimodal.audioWindows(media, 32).toDF()
           .agg(count(lit(1)).as("n"), expr("bit_xor(ss)"))
+          .collect()(0).getLong(0))
+      // utterance merge on top: only the ACTIVE (ss ≥ threshold)
+      // windows reach the lag/cumsum window — anchors, not the grid
+      timed(s"audio utterance segmentation (~${total / 3} clips)")(
+        graft.operators.Multimodal.audioUtterances(media, 32, 40000L, 1)
+          .agg(count(lit(1)).as("n"), expr("bit_xor(energy)"))
           .collect()(0).getLong(0))
     }
 

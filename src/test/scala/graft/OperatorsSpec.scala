@@ -135,6 +135,22 @@ class OperatorsSpec extends SparkSpec {
     assert(Graph.triangleCounts(path, "s", "d").count() === 0L)
   }
 
+  // q239's gate is backed here: hand-derived r on a star (perfectly
+  // disassortative, −1), K4+pendant (−15/27 = −5/9 exactly), and a
+  // regular graph (zero degree variance → null on both engines).
+  test("degreeAssortativity: star, K4+pendant, regular-graph null") {
+    def r(edges: Seq[(Long, Long)]): Option[Double] = {
+      val row = Graph.degreeAssortativity(
+        edges.toDF("s", "d"), "s", "d").collect()(0)
+      if (row.isNullAt(4)) None else Some(row.getDouble(4))
+    }
+    assert(r(Seq((1L, 2L), (1L, 3L), (1L, 4L))) === Some(-1.0))
+    val k4p = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (3L, 4L), (4L, 5L))
+    assert(r(k4p) === Some(-0.555556)) // −5/9 rounded to 6
+    assert(r(Seq((1L, 2L), (2L, 3L), (3L, 1L))) === None) // K3: regular
+  }
+
   // q237's gate is backed here: hand-computed coefficients on the
   // "kite" (triangle {1,2,3} + pendant 4 on 3) — incl. the deg<2 → 0
   // pin and the triangle-free node appearing at 0.
