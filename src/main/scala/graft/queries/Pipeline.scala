@@ -776,6 +776,48 @@ object Pipeline {
       |ORDER BY query_id, rank""".stripMargin
 
   // -------------------------------------------------------------------
+  // q240: 1-BIT SIGN-QUANTIZED Hamming ANN — the cheapest rung of the
+  // ladder (brute float q34 → int8 q119 → JL q152 → ... → this): each
+  // dim contributes sign(v[i]) only, packed into two int64 halves, so
+  // the full scan reads 16 bytes/vector — 16× less than float, 4× less
+  // than int8 — and the per-pair kernel is two branch-free
+  // bit_count(xor) ops. Sign is scale-invariant (no normalize pass)
+  // and EXACT, so unlike float cosine the entire ranking — code,
+  // distance, rank — is bit-replayable in DuckDB: the oracle
+  // regenerates the identical 32-term distinct-power sums from the raw
+  // embeddings and replays the (hamming asc, cand_id asc) total order.
+  // Float-recall of the sign ranking is pinned by OperatorsSpec.
+  // -------------------------------------------------------------------
+  def q240SignBitAnn(spark: SparkSession, dir: String): DataFrame = {
+    val e = emb(spark, dir)
+    val q = e.filter(pmod(col("vec_id"), lit(50)) === 0)
+    Similarity.hammingTopK(q, e, "vec_id", "vec_id",
+        "embedding", "embedding", k = 10)
+      .select(col("query_id"), col("cand_id"), col("rank"), col("hamming"))
+      .orderBy(asc("query_id"), asc("rank"))
+  }
+  private def q240SignSum(lo: Int): String =
+    (0 until 32).map(j =>
+      s"CASE WHEN embedding[${lo + j + 1}] > 0 THEN ${1L << j} ELSE 0 END")
+      .mkString(" + ")
+  val q240Sql: String =
+    s"""WITH codes AS (
+      |  SELECT vec_id,
+      |    CAST(${q240SignSum(0)} AS BIGINT) AS lo,
+      |    CAST(${q240SignSum(32)} AS BIGINT) AS hi
+      |  FROM embeddings
+      |), scored AS (
+      |  SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+      |    CAST(bit_count(xor(q.lo, c.lo)) + bit_count(xor(q.hi, c.hi)) AS BIGINT) AS hamming,
+      |    ROW_NUMBER() OVER (PARTITION BY q.vec_id
+      |      ORDER BY bit_count(xor(q.lo, c.lo)) + bit_count(xor(q.hi, c.hi)),
+      |        c.vec_id) AS rank
+      |  FROM codes q JOIN codes c ON q.vec_id % 50 = 0 AND q.vec_id != c.vec_id
+      |)
+      |SELECT query_id, cand_id, rank, hamming FROM scored WHERE rank <= 10
+      |ORDER BY query_id, rank""".stripMargin
+
+  // -------------------------------------------------------------------
   // q36: embedding-space near-dup pairs. Containment oracle: LSH
   // bucketing isn't SQL-replayable, but cosine is — the oracle
   // recomputes each emitted pair's cosine from the raw embeddings
@@ -3723,6 +3765,7 @@ object Pipeline {
     "q82_neardup_clusters_alt" -> (q82NeardupClustersAlt _),
     "q117_dedup_pipeline" -> (q117DedupPipeline _),
     "q119_quantized_ann" -> (q119QuantizedAnn _),
+    "q240_signbit_ann" -> (q240SignBitAnn _),
     "q152_jl_projection" -> (q152JlProjection _),
     "q159_containment" -> (q159Containment _),
     "q160_bm25_batch" -> (q160Bm25Batch _),
@@ -3831,6 +3874,7 @@ object Pipeline {
     "q67_centroids" -> q67Sql,
     "q117_dedup_pipeline" -> q117Sql,
     "q119_quantized_ann" -> q119Sql,
+    "q240_signbit_ann" -> q240Sql,
     "q152_jl_projection" -> q152Sql,
     "q159_containment" -> q159Sql,
     "q160_bm25_batch" -> q160Sql)

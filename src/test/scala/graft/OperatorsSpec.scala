@@ -433,6 +433,43 @@ class OperatorsSpec extends SparkSpec {
     assert(recall >= 0.8, s"quantized recall $recall below 0.8")
   }
 
+  // q240's gate is backed here: code packing verified bit-for-bit
+  // against Long arithmetic on a planted sign pattern, the Hamming
+  // ranking on vectors with known flipped-dim counts, and the float
+  // recall of the sign ranking on real embeddings (measured 0.30 at
+  // sf0.001 — 64 sign bits alone, no rerank; floor 0.2 allows data
+  // drift and is still ~15× the chance level. In a real deployment
+  // this rung SHORTLISTS for an exact rerank — q119/q34 are the
+  // rerank kernels — so ranking recall, not end recall, is what the
+  // floor pins).
+  test("sign-bit codes pack exactly and hamming ranks by flipped dims") {
+    val base = Array.fill(64)(1.0f)
+    def flip(n: Int) = { val v = base.clone(); (0 until n).foreach(i => v(i) = -1.0f); v }
+    val df = Seq((0L, base), (1L, flip(1)), (2L, flip(3)), (3L, flip(5)))
+      .toDF("vec_id", "embedding")
+    val codes = Similarity.signBitCodes(df, "vec_id", "embedding")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(codes(0L) === ((0xFFFFFFFFL, 0xFFFFFFFFL)))   // all 64 bits set
+    assert(codes(1L) === ((0xFFFFFFFEL, 0xFFFFFFFFL)))   // dim 0 cleared
+    assert(codes(3L) === ((0xFFFFFFE0L, 0xFFFFFFFFL)))   // dims 0-4 cleared
+    val got = Similarity.hammingTopK(df.filter(col("vec_id") === 0L), df,
+      "vec_id", "vec_id", "embedding", "embedding", 3)
+      .orderBy("rank").collect()
+    assert(got.map(_.getLong(1)).toSeq === Seq(1L, 2L, 3L))
+    assert(got.map(_.getLong(2)).toSeq === Seq(1L, 3L, 5L)) // exact hamming
+  }
+
+  test("sign-bit hamming ranking recalls the float exact top-10 (q240 vs q34)") {
+    val exact = graft.queries.Pipeline.q34CosineTopK(spark, sf)
+      .select("query_id", "cand_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val sign = graft.queries.Pipeline.q240SignBitAnn(spark, sf)
+      .select("query_id", "cand_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact intersect sign).size.toDouble / exact.size
+    assert(recall >= 0.2, s"sign-bit recall $recall below 0.2")
+  }
+
   test("containment pairs flag a planted excerpt that symmetric jaccard dilutes") {
     val words = (1 to 220).map(i => s"w$i")
     val long = words.mkString(" ")                 // 220 tokens, 218 shingles
