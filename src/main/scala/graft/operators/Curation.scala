@@ -757,6 +757,39 @@ object Curation {
         (col("dup_bg").cast("double") / col("total_bg")).as("dup_bigram_frac"))
   }
 
+  /** PER-DOMAIN quantile-normalized filtering — the domain-fair
+    * quality gate (the FineWeb/CCNet recipe step a single global
+    * threshold gets wrong: verbose domains crowd out terse ones, so
+    * each domain keeps its own top mass instead). The fence is the
+    * domain's exact q-quantile (q = qNum/qDen), computed over the
+    * DISTINCT-VALUE frame: groupBy (domain, score) partial-aggregates
+    * corpus-sized input down to value-bounded counts, the cumulative
+    * window runs over distinct scores per domain — never data-sized
+    * (the q173 equi-height discipline) — and the per-domain fence
+    * table (|domains| rows) broadcasts back for a map-only filter.
+    * Scores must be integral so ties are exact: fence = smallest
+    * score whose cumulative count reaches ceil(q·n_d); kept = score
+    * ≥ fence (fence ties survive — deterministic, SQL-replayable).
+    * Output keeps the input columns plus the domain's `fence`.
+    */
+  def domainQuantileFilter(df: DataFrame, domainCol: String,
+                           scoreCol: String, qNum: Int, qDen: Int): DataFrame = {
+    val counts = df
+      .groupBy(col(domainCol).as("__dom"), col(scoreCol).as("__sc"))
+      .agg(count(lit(1)).as("__c"))
+    val cumW = Window.partitionBy(col("__dom")).orderBy(asc("__sc"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val totW = Window.partitionBy(col("__dom"))
+    val fences = counts
+      .withColumn("__cum", sum(col("__c")).over(cumW))
+      .withColumn("__n", sum(col("__c")).over(totW))
+      .filter(col("__cum") >= expr(s"(__n * $qNum + ${qDen - 1}) div $qDen"))
+      .groupBy(col("__dom")).agg(min(col("__sc")).as("fence"))
+    df.join(broadcast(fences), df(domainCol) === col("__dom"))
+      .filter(col(scoreCol) >= col("fence"))
+      .drop("__dom")
+  }
+
   /** Greedy-by-bucket sequence packing: assign documents to
     * fixed-token-budget training sequences. Documents are spread over
     * `buckets` independent packing streams by portable hash, then

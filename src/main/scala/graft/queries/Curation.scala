@@ -633,6 +633,53 @@ object Curation {
       |ORDER BY doc_id""".stripMargin
 
   // -------------------------------------------------------------------
+  // q241: DOMAIN-FAIR quality filter (the FineWeb/CCNet normalization
+  // step): each source keeps its docs at-or-above its OWN median
+  // type-token-ratio, so a single global threshold can't let verbose
+  // domains crowd out terse ones. Score = (uniq·1e6) div n_toks —
+  // all-integer, exact ties. The fence comes from the distinct-value
+  // frame (groupBy (source, score) → cumulative window over distinct
+  // scores — value-bounded, never a data-sized sort; q173 discipline)
+  // and broadcasts back for a map-only filter. Fully bit-replayable.
+  // -------------------------------------------------------------------
+  def q241DomainQualityFilter(spark: SparkSession, dir: String): DataFrame = {
+    val scored = docs(spark, dir)
+      .select(col("doc_id"), col("source"),
+        explode(TA.tokens(col("text"))).as("tok"))
+      .groupBy(col("doc_id"), col("source"))
+      .agg(count(lit(1)).as("n_toks"), countDistinct(col("tok")).as("uniq"))
+      .select(col("doc_id"), col("source"),
+        expr("(uniq * 1000000) div n_toks").as("score"))
+    C.domainQuantileFilter(scored, "source", "score", qNum = 1, qDen = 2)
+      .select(col("doc_id"), col("source"), col("score"), col("fence"))
+      .orderBy(asc("doc_id"))
+  }
+  val q241Sql: String =
+    s"""WITH t AS (
+      |  SELECT doc_id, source, unnest($toksSql) AS tok FROM documents
+      |), sc AS (
+      |  SELECT doc_id, source,
+      |    (CAST(COUNT(DISTINCT tok) AS BIGINT) * 1000000)
+      |      // CAST(COUNT(*) AS BIGINT) AS score
+      |  FROM t GROUP BY doc_id, source
+      |), c AS (
+      |  SELECT source, score, CAST(COUNT(*) AS BIGINT) AS c
+      |  FROM sc GROUP BY source, score
+      |), cum AS (
+      |  SELECT source, score,
+      |    SUM(c) OVER (PARTITION BY source ORDER BY score) AS cum,
+      |    SUM(c) OVER (PARTITION BY source) AS n
+      |  FROM c
+      |), fence AS (
+      |  SELECT source, MIN(score) AS fence
+      |  FROM cum WHERE cum >= (n * 1 + 1) // 2 GROUP BY source
+      |)
+      |SELECT sc.doc_id, sc.source, sc.score, fence.fence
+      |FROM sc JOIN fence USING (source)
+      |WHERE sc.score >= fence.fence
+      |ORDER BY doc_id""".stripMargin
+
+  // -------------------------------------------------------------------
   // q176: OOV / vocabulary-coverage audit — per-doc out-of-vocabulary
   // token counts against the corpus' own top-16 vocabulary
   // (C.oovStats; the synthetic corpus has 31 distinct tokens, so a
@@ -1782,6 +1829,7 @@ object Curation {
     "q186_interleave_schedule" -> (q186InterleaveSchedule _),
     "q176_oov_coverage" -> (q176OovCoverage _),
     "q158_token_entropy" -> (q158TokenEntropy _),
+    "q241_domain_quality_filter" -> (q241DomainQualityFilter _),
     "q154_token_budget" -> (q154TokenBudget _),
     "q145_constraint_audit" -> (q145ConstraintAudit _),
     "q108_truncate_tokens" -> (q108TruncateTokens _),
@@ -1822,6 +1870,7 @@ object Curation {
     "q186_interleave_schedule" -> q186Sql,
     "q176_oov_coverage" -> q176Sql,
     "q158_token_entropy" -> q158Sql,
+    "q241_domain_quality_filter" -> q241Sql,
     "q154_token_budget" -> q154Sql,
     "q145_constraint_audit" -> q145Sql,
     "q108_truncate_tokens" -> q108Sql,

@@ -627,4 +627,21 @@ class CurationSpec extends SparkSpec {
     // pair (1,3): single anchor 'alpha beta gamma delta' → len = k
     assert(got(1) === ((1L, 3L, 1L, 4L, 0L, 1L)))
   }
+
+  // q241's gate is backed here: per-domain median fences on a planted
+  // two-domain fixture — domain A's median differs from B's, fence
+  // ties survive, and ceil((n+1)/2) picks the lower median on even n.
+  test("domainQuantileFilter: per-domain median fences, tie rows survive") {
+    val df = Seq(
+      ("a", 1L, 10L), ("a", 2L, 20L), ("a", 3L, 30L),         // n=3, fence=20
+      ("b", 4L, 5L), ("b", 5L, 5L), ("b", 6L, 50L), ("b", 7L, 60L) // n=4, fence=5
+    ).toDF("dom", "id", "score")
+    val got = Curation.domainQuantileFilter(df, "dom", "score", 1, 2)
+      .select("id", "score", "fence").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // a: ceil(3/2)=2nd smallest = 20 -> keep 2,3; b: ceil(4/2)=2nd = 5
+    // (both 5s are <= cum 2) -> fence 5 keeps ALL of b incl. both ties
+    assert(got === Set((2L, 20L, 20L), (3L, 30L, 20L),
+      (4L, 5L, 5L), (5L, 5L, 5L), (6L, 50L, 5L), (7L, 60L, 5L)))
+  }
 }
