@@ -85,6 +85,37 @@ object Scale {
       base.join(updates.select(keys.map(col): _*).distinct(),
         keys, "left_anti"))
 
+  /** SCD TYPE-2 history materialization — the warehouse counterpart of
+    * [[upsert]] (which keeps only the latest row): from a change
+    * stream, the FULL effective-interval history per entity. Events
+    * order per key by (order column, tiebreak); consecutive rows with
+    * the same attribute value compress to one version
+    * (null-safe `<=>` against the lag); each version's interval is
+    * [its order value, next version's) with the open current version's
+    * end null. All windows partition by the entity key — hash-
+    * partitioned, per-key sorted, no global sort; at 100 TB the state
+    * per key is its own history, never the table. Output: key, attr,
+    * eff_from, eff_to (null = current), version (1-based), is_current.
+    */
+  def scd2History(df: DataFrame, keyCol: String, attrCol: String,
+                  ordCol: String, tieCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(keyCol)).orderBy(asc(ordCol), asc(tieCol))
+    val changes = df
+      .withColumn("__prev", lag(col(attrCol), 1).over(w))
+      .filter(!(col(attrCol) <=> col("__prev")))
+      .select(col(keyCol), col(attrCol).as("attr"),
+        col(ordCol).as("eff_from"), col(tieCol).as("__tie"))
+    val wv = Window.partitionBy(col(keyCol))
+      .orderBy(asc("eff_from"), asc("__tie"))
+    changes
+      .withColumn("eff_to", lead(col("eff_from"), 1).over(wv))
+      .withColumn("version", row_number().over(wv).cast("long"))
+      .withColumn("is_current",
+        when(col("eff_to").isNull, lit(1L)).otherwise(lit(0L)))
+      .drop("__tie")
+  }
+
   /** Incremental aggregate maintenance: merge a delta's PARTIAL
     * aggregate state into a materialized base aggregate instead of
     * recomputing over all data — the mergeability contract every

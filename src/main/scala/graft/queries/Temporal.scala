@@ -250,6 +250,49 @@ object Temporal {
       |ORDER BY overlap_us DESC, u1, u2 LIMIT 100""".stripMargin
 
   // -------------------------------------------------------------------
+  // q242: SCD TYPE-2 dimension history — the warehouse op q79's
+  // last-writer-wins upsert deliberately discards: the FULL
+  // effective-interval history of each user's event_type, one row per
+  // version with [eff_from, eff_to) micros, a 1-based version number
+  // and an is_current flag (open interval → null end). Consecutive
+  // equal values compress (null-safe lag compare); same-timestamp
+  // changes order by event_id, so the whole history is a total order
+  // and bit-replayable. All windows partition by user — per-key
+  // sorted, no global sort, the per-user history is the only state.
+  // -------------------------------------------------------------------
+  def q242Scd2History(spark: SparkSession, dir: String): DataFrame = {
+    val e = ev(spark, dir).select(col("user_id"), col("event_id"),
+      unix_micros(col("ts")).as("us"), col("event_type"))
+    graft.operators.Scale.scd2History(e, "user_id", "event_type",
+        "us", "event_id")
+      .select(col("user_id"), col("attr"),
+        col("eff_from").as("eff_from_us"), col("eff_to").as("eff_to_us"),
+        col("version"), col("is_current"))
+      .orderBy(asc("user_id"), asc("version"))
+  }
+  val q242Sql: String =
+    """WITH b AS (
+      |  SELECT user_id, event_id, epoch_us(ts) AS us, event_type,
+      |    lag(event_type) OVER (PARTITION BY user_id
+      |      ORDER BY epoch_us(ts), event_id) AS prev
+      |  FROM events
+      |), ch AS (
+      |  SELECT user_id, event_type AS attr, us AS eff_from_us, event_id
+      |  FROM b WHERE event_type IS DISTINCT FROM prev
+      |), v AS (
+      |  SELECT user_id, attr, eff_from_us,
+      |    lead(eff_from_us) OVER (PARTITION BY user_id
+      |      ORDER BY eff_from_us, event_id) AS eff_to_us,
+      |    CAST(ROW_NUMBER() OVER (PARTITION BY user_id
+      |      ORDER BY eff_from_us, event_id) AS BIGINT) AS version
+      |  FROM ch
+      |)
+      |SELECT user_id, attr, eff_from_us, eff_to_us, version,
+      |  CASE WHEN eff_to_us IS NULL THEN CAST(1 AS BIGINT)
+      |       ELSE CAST(0 AS BIGINT) END AS is_current
+      |FROM v ORDER BY user_id, version""".stripMargin
+
+  // -------------------------------------------------------------------
   // q168: the NATIVE as-of join (graft.plans.AsOfJoin — custom
   // LogicalPlan + SparkStrategy + streaming sort-merge SparkPlan, the
   // preference-(c) rung) on the exact q40 workload, gated by the SAME
@@ -347,7 +390,8 @@ object Temporal {
     "q41_range_join" -> (q41RangeJoin _),
     "q135_asof_forward" -> (q135AsofForward _),
     "q144_time_weighted_avg" -> (q144TimeWeightedAvg _),
-    "q146_interval_overlap" -> (q146IntervalOverlap _))
+    "q146_interval_overlap" -> (q146IntervalOverlap _),
+    "q242_scd2_history" -> (q242Scd2History _))
 
   val oracle: Map[String, String] = Map(
     "q206_asof_tolerance" -> q206Sql,
@@ -358,5 +402,6 @@ object Temporal {
     "q41_range_join" -> q41Sql,
     "q135_asof_forward" -> q135Sql,
     "q144_time_weighted_avg" -> q144Sql,
-    "q146_interval_overlap" -> q146Sql)
+    "q146_interval_overlap" -> q146Sql,
+    "q242_scd2_history" -> q242Sql)
 }

@@ -188,4 +188,24 @@ class ScaleSpec extends SparkSpec {
       assert(merged(k)._2.compareTo(s) === 0) // decimal-exact, scale-insensitive
     }
   }
+
+  // q242's gate is backed here: hand-built change stream — repeats
+  // compress, versions number in (ts, tiebreak) order, same-ts changes
+  // stay deterministic, the open interval ends null/is_current.
+  test("scd2History: repeats compress, intervals chain, open version is current") {
+    val ev = Seq(
+      (1L, 10L, 101L, "a"), (1L, 20L, 102L, "a"),   // repeat: compresses
+      (1L, 30L, 103L, "b"), (1L, 30L, 104L, "c"),   // same-ts: eid order
+      (2L, 5L, 201L, "x")                            // single-version key
+    ).toDF("k", "us", "eid", "attr")
+    val got = Scale.scd2History(ev, "k", "attr", "us", "eid")
+      .orderBy(col("k"), col("version")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3), r.getLong(4), r.getLong(5)))
+    assert(got.toSeq === Seq(
+      (1L, "a", 10L, 30L, 1L, 0L),
+      (1L, "b", 30L, 30L, 2L, 0L),   // [30,30): zero-width, superseded same-ts
+      (1L, "c", 30L, -1L, 3L, 1L),
+      (2L, "x", 5L, -1L, 1L, 1L)))
+  }
 }
