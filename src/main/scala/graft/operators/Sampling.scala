@@ -153,4 +153,85 @@ object Sampling {
           (C.portableHash(col(idCol), seed) + lit(1L)).cast("double"))
       .orderBy(desc("priority"), asc(idCol))
       .limit(k)
+
+  /** Rendezvous / highest-random-weight (HRW) shard assignment
+    * (Thaler & Ravishankar 1998): every (row, shard) pair gets an
+    * independent portable hash; the row lands on the shard with the
+    * highest. The property a pipeline actually wants from it: growing
+    * the fleet from N to N+1 shards moves ONLY the rows whose new
+    * shard's hash beats all N previous ones — an expected 1/(N+1) of
+    * the data — where modulo sharding (`hash % N`, q59's split trick)
+    * reshuffles ~N/(N+1) of everything.
+    *
+    * Per-pair hash: the id is hashed once ([[Curation.portableHash]]),
+    * the shard index enters via a large odd stride, and [[mix32]]
+    * decorrelates the shards (see its doc for why the plain portable
+    * hash CANNOT be used per-shard). key_s = mix(...)·64 + (63−s)
+    * packs the tie-break into the low bits (equal hashes resolve to
+    * the LOWEST shard), so the argmax is a plain integer GREATEST —
+    * fixed-shape, no struct ordering semantics to match across
+    * engines. mix < 2^32 ⇒ key < 2^38: no overflow. Map-only: N
+    * fixed-shape expressions ride the scan inside whole-stage codegen;
+    * nothing shuffles.
+    */
+  def rendezvousShard(id: Column, nShards: Int, seed: Long): Column = {
+    require(nShards >= 2 && nShards <= 64,
+      s"nShards must be in [2, 64], got $nShards")
+    val base = C.portableHash(id, seed)
+    val keys = (0 until nShards).map { s =>
+      mix32(pmod(base + lit(s * 2246822519L), lit(4294967296L))) * lit(64L) +
+        lit((63 - s).toLong)
+    }
+    lit(63L) - pmod(greatest(keys: _*), lit(64L))
+  }
+
+  /** Nonlinear 32-bit finalizer (xorshift–multiply) in portable int64
+    * arithmetic: XOR folds between the multiplies break the AFFINE
+    * structure of [[Curation.portableHash]]. That affinity matters
+    * here and nowhere else in the repo: portableHash(id, seed) =
+    * f0 + (id+seed)·D (mod 2^32) — a pure arithmetic progression —
+    * which is fine for a single % n bucketing but makes hashes at
+    * neighboring seeds maximally correlated (they differ by a
+    * CONSTANT). [[rendezvousShard]] takes an argmax across per-shard
+    * hashes, and an argmax over an N-term AP mod 2^32 is degenerate
+    * (measured before this mix existed: 92% of rows landed on shard
+    * 0). Multiplier constants stay < 2^17 against < 2^32 operands, so
+    * every product is < 2^49 — no int64 overflow for DuckDB to error
+    * on; `xor` and `>>` are exact on both engines.
+    */
+  def mix32(v: Column): Column = {
+    val v1 = v.bitwiseXOR(shiftrightunsigned(v, 16))
+    val v2 = pmod(v1 * lit(69069L) + lit(12345L), lit(4294967296L))
+    val v3 = v2.bitwiseXOR(shiftrightunsigned(v2, 13))
+    val v4 = pmod(v3 * lit(99991L) + lit(1L), lit(4294967296L))
+    v4.bitwiseXOR(shiftrightunsigned(v4, 16))
+  }
+
+  // mix32's oracle twin lives in the q243 SQL as staged CTEs (one per
+  // round) — inlining the xor folds as a single expression would copy
+  // the operand text 32×.
+
+  /** Exact integer square root floor(√x) for 0 ≤ x < 2^52. The double
+    * `sqrt` is correctly rounded (IEEE 754 requires it), so it is off
+    * by at most one integer after `floor` when x sits next to a
+    * perfect square; the two CASE corrections make the result exact —
+    * and therefore bit-replayable on any engine, unlike a bare
+    * FLOOR(SQRT(x)) whose boundary behavior is at the mercy of the
+    * double rounding. Used for exact fixed-point power-law weights
+    * (n^0.5 temperature sampling) where a double `pow` would not be
+    * cross-engine reproducible.
+    */
+  def isqrt(x: Column): Column = {
+    val s0 = floor(sqrt(x.cast("double"))).cast("long")
+    val s1 = when(s0 * s0 > x, s0 - lit(1L)).otherwise(s0)
+    when((s1 + lit(1L)) * (s1 + lit(1L)) <= x, s1 + lit(1L)).otherwise(s1)
+  }
+
+  /** SQL text of [[isqrt]]; `xExpr` should be a simple column
+    * reference (it is inlined several times). */
+  def isqrtSql(xExpr: String): String = {
+    val s0 = s"CAST(FLOOR(SQRT(CAST($xExpr AS DOUBLE))) AS BIGINT)"
+    val s1 = s"(CASE WHEN $s0 * $s0 > $xExpr THEN $s0 - 1 ELSE $s0 END)"
+    s"(CASE WHEN ($s1 + 1) * ($s1 + 1) <= $xExpr THEN $s1 + 1 ELSE $s1 END)"
+  }
 }

@@ -219,7 +219,112 @@ object Sampling {
       |FROM s ORDER BY priority DESC, o_orderkey LIMIT 200""".stripMargin
   }
 
+  // -------------------------------------------------------------------
+  // q243: RENDEZVOUS (HRW) SHARDING — the placement op a 100 TB corpus
+  // store actually needs when the shard fleet GROWS: assign every doc
+  // a shard under N=8 and under N=9 with the same seed and tabulate
+  // the (shard8, shard9) transition grid. The HRW guarantee shows up
+  // structurally in the output: every off-diagonal row has shard9 = 8
+  // (movers go ONLY to the new shard — a doc's old key set is
+  // unchanged, so its argmax can only change if the new shard's key
+  // beats all 8), and the moved mass is ~1/9 of the corpus, where
+  // `hash % N` resharding (q59's split trick) would move ~8/9 and the
+  // grid would fill. Map-only: 9 fixed-shape integer hash expressions
+  // + GREATEST ride the scan; id-sums make membership exact.
+  // -------------------------------------------------------------------
+  private val hrwSeed = 500L
+
+  def q243RendezvousShard(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .select(col("doc_id"),
+        S.rendezvousShard(col("doc_id"), 8, hrwSeed).as("shard8"),
+        S.rendezvousShard(col("doc_id"), 9, hrwSeed).as("shard9"))
+      .groupBy(col("shard8"), col("shard9"))
+      .agg(count(lit(1)).as("n"), sum(col("doc_id")).as("sum_ids"))
+      .orderBy(asc("shard8"), asc("shard9"))
+
+  // Oracle twin of rendezvousShard: the same portable-hash base, the
+  // same per-shard stride, and mix32's xorshift rounds staged as CTEs
+  // (one column per round; inlining would copy the operand text 32×).
+  // MAX(key) replaces GREATEST since shards are rows here, and the
+  // tie-break is packed into key's low bits on both sides.
+  val q243Sql: String =
+    s"""WITH p AS (
+       |  SELECT doc_id, ${C.portableHashSql("doc_id", hrwSeed)} AS base
+       |  FROM documents
+       |), k0 AS (
+       |  SELECT doc_id, s, (base + s * 2246822519) % 4294967296 AS v
+       |  FROM p CROSS JOIN range(0, 9) t(s)
+       |), k1 AS (SELECT doc_id, s, xor(v, v >> 16) AS v FROM k0),
+       |k2 AS (SELECT doc_id, s, (v * 69069 + 12345) % 4294967296 AS v FROM k1),
+       |k3 AS (SELECT doc_id, s, xor(v, v >> 13) AS v FROM k2),
+       |k4 AS (SELECT doc_id, s, (v * 99991 + 1) % 4294967296 AS v FROM k3),
+       |k5 AS (SELECT doc_id, s, xor(v, v >> 16) AS v FROM k4),
+       |keys AS (SELECT doc_id, s, v * 64 + (63 - s) AS key FROM k5),
+       |a AS (
+       |  SELECT doc_id,
+       |    63 - (MAX(key) FILTER (s < 8) % 64) AS shard8,
+       |    63 - (MAX(key) % 64) AS shard9
+       |  FROM keys GROUP BY doc_id
+       |)
+       |SELECT shard8, shard9, COUNT(*) AS n,
+       |  CAST(SUM(doc_id) AS BIGINT) AS sum_ids
+       |FROM a GROUP BY 1, 2 ORDER BY shard8, shard9""".stripMargin
+
+  // -------------------------------------------------------------------
+  // q244: TEMPERATURE-SCALED MIXTURE WEIGHTS (α = 0.5) — the data-mix
+  // recipe LLaMA/PaLM-style pipelines use to keep big sources from
+  // drowning small ones: sampling weight ∝ n_toks^α. α = 0.5 is the
+  // one exponent with an EXACT integer replay (w = isqrt(n_toks·1e6)
+  // ≈ 1000·√n_toks via the corrected integer square root — a double
+  // pow() would not be cross-engine reproducible); shares p_fx, the
+  // 10 M-token budget allocation, and the implied per-source epoch
+  // count (>1e6 ⇒ the source repeats — the oversampling warning the
+  // mix designer reads) all stay in int64 fixed point. Scale shape:
+  // one partial-agged groupBy over (source), then a 1-row broadcast
+  // total — the data is scanned once, nothing else shuffles.
+  // -------------------------------------------------------------------
+  private val mixBudget = 10000000L
+
+  def q244TemperatureMix(spark: SparkSession, dir: String): DataFrame = {
+    val bySrc = docs(spark, dir)
+      .select(col("source"),
+        size(split(trim(col("text")), "\\s+")).cast("long").as("n_toks"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_toks")).as("n_toks"))
+      .withColumn("w_sqrt", S.isqrt(col("n_toks") * lit(1000000L)))
+    val tot = bySrc.agg(sum(col("w_sqrt")).as("w_tot"))
+    bySrc.crossJoin(broadcast(tot))
+      .withColumn("p_fx", expr("w_sqrt * 1000000L div w_tot"))
+      .withColumn("alloc_toks", expr(s"($mixBudget * p_fx) div 1000000L"))
+      .withColumn("epochs_fx", expr("alloc_toks * 1000000L div n_toks"))
+      .select(col("source"), col("n_docs"), col("n_toks"), col("w_sqrt"),
+        col("p_fx"), col("alloc_toks"), col("epochs_fx"))
+      .orderBy(asc("source"))
+  }
+
+  val q244Sql: String =
+    raw"""WITH s AS (
+       |  SELECT source, COUNT(*) AS n_docs,
+       |    CAST(SUM(LEN($toksSql)) AS BIGINT) AS n_toks
+       |  FROM documents GROUP BY source
+       |), x AS (
+       |  SELECT source, n_docs, n_toks, n_toks * 1000000 AS x FROM s
+       |), w AS (
+       |  SELECT source, n_docs, n_toks,
+       |    ${S.isqrtSql("x")} AS w_sqrt
+       |  FROM x
+       |), t AS (SELECT CAST(SUM(w_sqrt) AS BIGINT) AS w_tot FROM w)
+       |SELECT source, n_docs, n_toks, w_sqrt,
+       |  (w_sqrt * 1000000) // w_tot AS p_fx,
+       |  ($mixBudget * ((w_sqrt * 1000000) // w_tot)) // 1000000 AS alloc_toks,
+       |  ((($mixBudget * ((w_sqrt * 1000000) // w_tot)) // 1000000) * 1000000)
+       |    // n_toks AS epochs_fx
+       |FROM w CROSS JOIN t ORDER BY source""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q243_rendezvous_shard" -> (q243RendezvousShard _),
+    "q244_temperature_mix" -> (q244TemperatureMix _),
     "q69_stratified_sample" -> (q69StratifiedSample _),
     "q70_group_cap" -> (q70GroupCap _),
     "q71_bigram_lm" -> (q71BigramLm _),
@@ -228,6 +333,8 @@ object Sampling {
     "q128_priority_sample" -> (q128PrioritySample _))
 
   val oracle: Map[String, String] = Map(
+    "q243_rendezvous_shard" -> q243Sql,
+    "q244_temperature_mix" -> q244Sql,
     "q69_stratified_sample" -> q69Sql,
     "q70_group_cap" -> q70Sql,
     "q71_bigram_lm" -> q71Sql,

@@ -140,4 +140,38 @@ class SamplingSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(plan.contains("TakeOrderedAndProject"))
   }
+
+  test("isqrt is exact at perfect-square boundaries and on a dense sweep") {
+    // boundary triples k²−1, k², k²+1 up to (6e6)² ≈ 3.6e13 < 2^52,
+    // plus a dense 0..10000 sweep — the two places a bare
+    // floor(sqrt(double)) can be off by one
+    val ks = Seq(0L, 1L, 2L, 3L, 5L, 999L, 1000L, 65536L, 3037000L, 6000000L)
+    val planted = ks.flatMap(k => Seq(k * k - 1, k * k, k * k + 1)).filter(_ >= 0)
+    val xs = (planted ++ (0L to 10000L)).distinct.toDF("x")
+    val bad = xs.withColumn("s", Sampling.isqrt(col("x")))
+      .filter(col("s") * col("s") > col("x") ||
+        (col("s") + 1) * (col("s") + 1) <= col("x"))
+      .count()
+    assert(bad === 0)
+  }
+
+  test("rendezvousShard moves only ~1/(N+1) of rows, all to the new shard") {
+    val ids = (0L until 20000L).toDF("id")
+    val assigned = ids.select(col("id"),
+        Sampling.rendezvousShard(col("id"), 3, 500L).as("s3"),
+        Sampling.rendezvousShard(col("id"), 4, 500L).as("s4"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // HRW guarantee: a row's old keys are unchanged, so its argmax can
+    // only flip TO the newly-added shard (index 3) — never between
+    // the old three
+    val moved = assigned.filter { case (_, a, b) => a != b }
+    assert(moved.forall(_._3 == 3L))
+    // expected moved fraction 1/4; allow a generous band
+    val frac = moved.length.toDouble / assigned.length
+    assert(frac > 0.18 && frac < 0.32, s"moved fraction $frac")
+    // all four shards populated, roughly balanced under N=4
+    val byShard = assigned.groupBy(_._3).view.mapValues(_.length).toMap
+    assert(byShard.keySet === Set(0L, 1L, 2L, 3L))
+    assert(byShard.values.forall(n => n > 3500 && n < 6500))
+  }
 }
