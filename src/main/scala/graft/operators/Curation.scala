@@ -812,6 +812,120 @@ object Curation {
       .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"))
   }
 
+  /** Token-frequency GINI concentration per stratum — the one-number
+    * "is this source a few boilerplate strings stamped out, or a real
+    * vocabulary?" health check (Gini 0 = perfectly flat frequencies,
+    * →1 = all mass on one token; natural corpora sit high because of
+    * Zipf — a source whose Gini DIVERGES from its peers is the
+    * anomaly). Discrete Gini over per-type counts c_1 ≤ … ≤ c_n
+    * (ranked ascending, token tie-break — a total order):
+    *   G = (2·Σ i·c_i − (n+1)·Σc) / (n·Σc)
+    * kept in int64 fixed point (×1e6) end to end, so the oracle
+    * replays it bit-for-bit. Bound: Σ(i·c_i) ≤ n·Σc < 2^63 holds to
+    * n·Σc ≈ 9·10^18 — e.g. a 10M-type vocabulary over 900 G tokens
+    * per stratum; shard the stratum before that.
+    *
+    * Scale shape: one (stratum, token) count shuffle, then a rank
+    * window over the VOCABULARY-sized frame (distinct types per
+    * stratum — the q173 bounded-window discipline, not a data-sized
+    * sort), then a partial-agged fold to one row per stratum.
+    */
+  def tokenGiniFx(df: DataFrame, strataCol: String, textCol: String): DataFrame = {
+    val counts = df
+      .select(col(strataCol).as("s"), explode(TA.tokens(col(textCol))).as("tok"))
+      .filter(col("tok") =!= "")
+      .groupBy(col("s"), col("tok")).agg(count(lit(1)).as("c"))
+    val w = Window.partitionBy(col("s")).orderBy(asc("c"), asc("tok"))
+    counts.withColumn("i", row_number().over(w).cast("long"))
+      .groupBy(col("s"))
+      .agg(count(lit(1)).as("n_types"), sum(col("c")).as("n_toks"),
+        sum(col("i") * col("c")).as("t"))
+      .select(col("s"), col("n_types"), col("n_toks"),
+        expr("(2L * t - (n_types + 1L) * n_toks) * 1000000L div (n_types * n_toks)")
+          .as("gini_fx"))
+  }
+
+  /** Per-stratum KL divergence from the corpus unigram distribution —
+    * the domain-shift table data-selection recipes read (how far is
+    * each source from the mixture it feeds?): KL(P_s ‖ P_corpus) over
+    * the top-`vocabN` corpus tokens + one OOV bucket, +1 Laplace
+    * smoothed (the [[dsirWeights]] feature space — DSIR's per-doc
+    * log-ratio weight is this same geometry read per-document).
+    *
+    * Exactness: each bucket's term floor(1e9 · p·ln(p/q)) is ONE
+    * fixed-shape double expression over exact integer counts — both
+    * engines compute the identical term, and the per-stratum sum is
+    * then an associative int64 fold (the q71 fixed-point-logprob
+    * discipline), so the gate is an exact hash compare, no tolerance.
+    * Zero-count buckets contribute their smoothed term too (the grid
+    * is completed by a bounded cross join), or the KL would be a
+    * partial sum that depends on which buckets a stratum happens to
+    * touch.
+    *
+    * Scale shape: two token passes (vocab, bucket counts), both
+    * partial-aggregated; the bucket table is LIMIT-bounded (vocabN+1
+    * rows) and broadcast as the build side of the grid cross join —
+    * strata × buckets is model-sized; nothing else shuffles.
+    */
+  def unigramKlFp(df: DataFrame, strataCol: String, textCol: String,
+                  vocabN: Int): DataFrame = {
+    val toks = df
+      .select(col(strataCol).as("s"), explode(TA.tokens(col(textCol))).as("tok"))
+      .filter(col("tok") =!= "")
+    val vocab = toks.groupBy(col("tok")).agg(count(lit(1)).as("n"))
+      .orderBy(desc("n"), asc("tok")).limit(vocabN)
+      .select(col("tok"), lit(true).as("in_vocab"))
+    val bucketed = toks.join(broadcast(vocab), Seq("tok"), "left_outer")
+      .select(col("s"),
+        when(col("in_vocab"), col("tok")).otherwise(lit(" OOV ")).as("b"))
+    val sb = bucketed.groupBy(col("s"), col("b")).agg(count(lit(1)).as("c_sb"))
+    val cb = sb.groupBy(col("b")).agg(sum(col("c_sb")).as("c_b"))
+    val ns = sb.groupBy(col("s")).agg(sum(col("c_sb")).as("n_s"))
+    val tot = cb.agg(sum(col("c_b")).as("n_tot"), count(lit(1)).as("n_b"))
+    val grid = ns.crossJoin(broadcast(cb.crossJoin(broadcast(tot))))
+    val full = grid.join(sb, Seq("s", "b"), "left_outer")
+      .withColumn("c", coalesce(col("c_sb"), lit(0L)))
+    val pd = (col("c") + 1).cast("double") / (col("n_s") + col("n_b")).cast("double")
+    val qd = (col("c_b") + 1).cast("double") / (col("n_tot") + col("n_b")).cast("double")
+    val term = floor((lit(1000000000.0) * pd) * log(pd / qd)).cast("long")
+    full.select(col("s"), col("n_s"), term.as("t"))
+      .groupBy(col("s"), col("n_s"))
+      .agg(count(lit(1)).as("n_buckets"), sum(col("t")).as("kl_fp"))
+      .select(col("s"), col("n_s").as("n_toks"), col("n_buckets"), col("kl_fp"))
+  }
+
+  /** Length-bucketed deterministic batch formation — the padding-
+    * efficiency prep every trainer with fixed-shape batches runs
+    * (HF `group_by_length`, fairseq bucketing): docs bucket by
+    * `len div bucketWidth`, order WITHIN a bucket by a portable hash
+    * (a stable "shuffle" — re-runs form identical batches), chunk
+    * into `batchSize`-row batches, and each batch pads to its own max
+    * length. Emits one row per (bucket, shard, batch) with real vs
+    * padded token counts — the table that shows how much compute
+    * padding burns at each bucket width.
+    *
+    * Scale shape: batch formation needs a total order, which is the
+    * one thing that can't partial-aggregate — so the order is scoped
+    * to (bucket, shard) sub-frames (`shards` hash shards per bucket;
+    * batches never straddle shards, so each window sorts ~n/(buckets·
+    * shards) rows and shards fill independently — the q60 packing
+    * discipline). All downstream folds are partial-agged int64.
+    */
+  def lengthBucketBatches(df: DataFrame, idCol: String, lenCol: Column,
+      bucketWidth: Int, batchSize: Int, shards: Int, seed: Long): DataFrame = {
+    val base = df.select(col(idCol).as("id"), lenCol.cast("long").as("len"))
+      .withColumn("bucket", expr(s"len div $bucketWidth"))
+      .withColumn("shard", pmod(portableHash(col("id"), seed), lit(shards.toLong)))
+      .withColumn("h", portableHash(col("id"), seed + 1))
+    val w = Window.partitionBy(col("bucket"), col("shard"))
+      .orderBy(asc("h"), asc("id"))
+    base.withColumn("rn", row_number().over(w).cast("long"))
+      .withColumn("batch", expr(s"(rn - 1) div $batchSize"))
+      .groupBy(col("bucket"), col("shard"), col("batch"))
+      .agg(count(lit(1)).as("n_rows"), max(col("len")).as("max_len"),
+        sum(col("len")).as("sum_len"))
+  }
+
   /** TF-IDF top-k terms per document, integer-exact: score =
     * tf · floor(ln((N+1)/(df+1))·1e6). Fixed-point idf means the score
     * and the ranking are engine-independent (no float-sum ordering

@@ -1807,7 +1807,311 @@ object Curation {
       |  FROM read_parquet('__GRAFT_OUT__/q219_dsir_weights/*.parquet')) = 0
       |ORDER BY doc_id""".stripMargin
 
+  // -------------------------------------------------------------------
+  // q245: PER-SOURCE KL DIVERGENCE from the corpus unigram mixture —
+  // the domain-shift table a data-selection recipe reads before
+  // setting mix weights (DSIR q219 is this same geometry read
+  // per-document; this is the per-SOURCE summary). Top-512 vocab +
+  // OOV, Laplace-smoothed, and EXACT: each bucket's
+  // floor(1e9·p·ln(p/q)) is one fixed-shape double expression over
+  // exact integer counts, so the per-source sum is an associative
+  // int64 fold (the q71 fixed-point-logprob discipline) — hash-gate,
+  // no tolerance. Zero-count buckets contribute their smoothed term
+  // via the bounded (sources × 513) grid.
+  // -------------------------------------------------------------------
+  def q245SourceKl(spark: SparkSession, dir: String): DataFrame =
+    C.unigramKlFp(docs(spark, dir), "source", "text", vocabN = 512)
+      .select(col("s").as("source"), col("n_toks"), col("n_buckets"),
+        col("kl_fp"))
+      .orderBy(asc("source"))
+
+  val q245Sql: String =
+    raw"""WITH toks AS (
+      |  SELECT s, tok FROM (
+      |    SELECT source AS s, UNNEST($toksSql) AS tok FROM documents)
+      |  WHERE tok != ''
+      |), vocab AS (
+      |  SELECT tok FROM (
+      |    SELECT tok, COUNT(*) AS n FROM toks GROUP BY tok
+      |    ORDER BY n DESC, tok LIMIT 512)
+      |), bkt AS (
+      |  SELECT t.s, CASE WHEN v.tok IS NOT NULL THEN t.tok ELSE ' OOV ' END AS b
+      |  FROM toks t LEFT JOIN vocab v ON t.tok = v.tok
+      |), sb AS (SELECT s, b, CAST(COUNT(*) AS BIGINT) AS c_sb FROM bkt GROUP BY s, b),
+      |cb AS (SELECT b, CAST(SUM(c_sb) AS BIGINT) AS c_b FROM sb GROUP BY b),
+      |ns AS (SELECT s, CAST(SUM(c_sb) AS BIGINT) AS n_s FROM sb GROUP BY s),
+      |tot AS (SELECT CAST(SUM(c_b) AS BIGINT) AS n_tot,
+      |  CAST(COUNT(*) AS BIGINT) AS n_b FROM cb),
+      |grid AS (
+      |  SELECT s, n_s, b, c_b, n_tot, n_b FROM ns CROSS JOIN cb CROSS JOIN tot
+      |), f AS (
+      |  SELECT g.s, g.n_s, g.n_b, g.c_b, g.n_tot, COALESCE(sb.c_sb, 0) AS c
+      |  FROM grid g LEFT JOIN sb ON sb.s = g.s AND sb.b = g.b
+      |), terms AS (
+      |  SELECT s, n_s,
+      |    CAST(FLOOR((1000000000.0
+      |        * (CAST(c + 1 AS DOUBLE) / CAST(n_s + n_b AS DOUBLE)))
+      |      * LN((CAST(c + 1 AS DOUBLE) / CAST(n_s + n_b AS DOUBLE))
+      |        / (CAST(c_b + 1 AS DOUBLE) / CAST(n_tot + n_b AS DOUBLE))))
+      |      AS BIGINT) AS t
+      |  FROM f
+      |)
+      |SELECT s AS source, n_s AS n_toks, COUNT(*) AS n_buckets,
+      |  CAST(SUM(t) AS BIGINT) AS kl_fp
+      |FROM terms GROUP BY 1, 2 ORDER BY source""".stripMargin
+
+  // -------------------------------------------------------------------
+  // q246: TOKEN-FREQUENCY GINI per source — the concentration health
+  // check that separates "real vocabulary" from "boilerplate stamped
+  // out" (complements Zipf-fit q192, which assumes the power law;
+  // Gini measures inequality without assuming a shape). Ranks are a
+  // total order (count, token), the statistic is all-int64 fixed
+  // point — exact bit-replay oracle.
+  // -------------------------------------------------------------------
+  def q246TokenGini(spark: SparkSession, dir: String): DataFrame =
+    C.tokenGiniFx(docs(spark, dir), "source", "text")
+      .select(col("s").as("source"), col("n_types"), col("n_toks"),
+        col("gini_fx"))
+      .orderBy(asc("source"))
+
+  val q246Sql: String =
+    raw"""WITH counts AS (
+      |  SELECT s, tok, CAST(COUNT(*) AS BIGINT) AS c
+      |  FROM (SELECT source AS s, UNNEST($toksSql) AS tok FROM documents)
+      |  WHERE tok != '' GROUP BY 1, 2
+      |), r AS (
+      |  SELECT s, c,
+      |    ROW_NUMBER() OVER (PARTITION BY s ORDER BY c, tok) AS i
+      |  FROM counts
+      |)
+      |SELECT s AS source, COUNT(*) AS n_types,
+      |  CAST(SUM(c) AS BIGINT) AS n_toks,
+      |  (2 * CAST(SUM(i * c) AS BIGINT)
+      |    - (COUNT(*) + 1) * CAST(SUM(c) AS BIGINT)) * 1000000
+      |    // (COUNT(*) * CAST(SUM(c) AS BIGINT)) AS gini_fx
+      |FROM r GROUP BY s ORDER BY source""".stripMargin
+
+  // -------------------------------------------------------------------
+  // q247: LENGTH-BUCKETED BATCH FORMATION + pad-waste accounting —
+  // the table a trainer reads to pick its bucketing config (HF
+  // group_by_length / fairseq bucketing): docs bucket by len div 16,
+  // form deterministic 32-row batches within (bucket, hash-shard),
+  // each batch pads to its own max. waste_fx is the compute fraction
+  // padding burns per bucket. Exact replay oracle: identical hash
+  // order, identical windows, all-int64 outputs.
+  // -------------------------------------------------------------------
+  def q247LengthBatches(spark: SparkSession, dir: String): DataFrame =
+    C.lengthBucketBatches(docs(spark, dir), "doc_id",
+        size(TA.tokens(col("text"))).cast("long"),
+        bucketWidth = 16, batchSize = 32, shards = 8, seed = 77L)
+      .groupBy(col("bucket"))
+      .agg(sum(col("n_rows")).as("n_docs"), count(lit(1)).as("n_batches"),
+        sum(col("sum_len")).as("real_toks"),
+        sum(col("max_len") * col("n_rows")).as("padded_toks"))
+      .withColumn("waste_fx",
+        expr("""CASE WHEN padded_toks = 0 THEN 0L
+                ELSE (padded_toks - real_toks) * 1000000L div padded_toks
+                END"""))
+      .orderBy(asc("bucket"))
+
+  val q247Sql: String =
+    raw"""WITH d AS (
+      |  SELECT doc_id, CAST(LEN($toksSql) AS BIGINT) AS len FROM documents
+      |), base AS (
+      |  SELECT doc_id, len, len // 16 AS bucket,
+      |    ${C.portableHashSql("doc_id", 77L)} % 8 AS shard,
+      |    ${C.portableHashSql("doc_id", 78L)} AS h
+      |  FROM d
+      |), rn AS (
+      |  SELECT bucket, shard, len,
+      |    ROW_NUMBER() OVER (PARTITION BY bucket, shard ORDER BY h, doc_id) AS rn
+      |  FROM base
+      |), b AS (
+      |  SELECT bucket, shard, (rn - 1) // 32 AS batch, COUNT(*) AS n_rows,
+      |    MAX(len) AS max_len, CAST(SUM(len) AS BIGINT) AS sum_len
+      |  FROM rn GROUP BY 1, 2, 3
+      |)
+      |SELECT bucket, CAST(SUM(n_rows) AS BIGINT) AS n_docs,
+      |  COUNT(*) AS n_batches,
+      |  CAST(SUM(sum_len) AS BIGINT) AS real_toks,
+      |  CAST(SUM(max_len * n_rows) AS BIGINT) AS padded_toks,
+      |  CASE WHEN CAST(SUM(max_len * n_rows) AS BIGINT) = 0 THEN 0
+      |       ELSE (CAST(SUM(max_len * n_rows) AS BIGINT)
+      |         - CAST(SUM(sum_len) AS BIGINT)) * 1000000
+      |         // CAST(SUM(max_len * n_rows) AS BIGINT) END AS waste_fx
+      |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin
+
+  // -------------------------------------------------------------------
+  // q249: EVAL-SIDE contamination report — the table a BENCHMARK owner
+  // reads (q57/q83/q120 report the train side: which training docs to
+  // drop; this reports which EVAL docs are compromised and how badly):
+  // per eval doc, its distinct-5-gram count, how many of those grams
+  // leak from ANY training doc, how many distinct training docs touch
+  // it, and the contamination fraction in fixed point. An eval doc
+  // with contam_fx near 1e6 is memorizable from training data and its
+  // score is meaningless — that's the row this table exists to expose.
+  // Scale shape: eval grams (1/97 of the corpus) broadcast; the train
+  // side streams through the same map-side gram explode as q57 —
+  // the corpus never shuffles; only gram MATCHES reach the
+  // (eval, train) distinct-count aggregate.
+  // -------------------------------------------------------------------
+  def q249EvalContamination(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    val evalG = C.ngramRows(d.filter(col("doc_id") % 97 === 0),
+        "doc_id", "text", n = 5)
+      .select(col("doc_id").as("eval_id"), col("gram")).distinct()
+    val trainG = C.ngramRows(d.filter(col("doc_id") % 97 =!= 0),
+        "doc_id", "text", n = 5)
+      .select(col("doc_id").as("train_id"), col("gram")).distinct()
+    val hits = trainG.join(broadcast(evalG), Seq("gram"))
+      .groupBy(col("eval_id"))
+      .agg(countDistinct(col("gram")).as("n_hit_grams"),
+        countDistinct(col("train_id")).as("n_train_docs"))
+    evalG.groupBy(col("eval_id")).agg(count(lit(1)).as("n_grams"))
+      .join(hits, Seq("eval_id"), "left_outer")
+      .select(col("eval_id"), col("n_grams"),
+        coalesce(col("n_hit_grams"), lit(0L)).as("n_hit_grams"),
+        coalesce(col("n_train_docs"), lit(0L)).as("n_train_docs"))
+      .withColumn("contam_fx", expr("n_hit_grams * 1000000L div n_grams"))
+      .orderBy(asc("eval_id"))
+  }
+
+  val q249Sql: String =
+    raw"""WITH grams AS (
+      |  SELECT doc_id, list_distinct(list_transform(
+      |    range(1, GREATEST(LEN(t) - 4, 1) + 1),
+      |    i -> array_to_string(t[i:i+4], ' '))) AS g
+      |  FROM (SELECT doc_id, $toksSql AS t FROM documents)
+      |), eval_g AS (
+      |  SELECT doc_id AS eval_id, UNNEST(g) AS gram FROM grams
+      |  WHERE doc_id % 97 = 0
+      |), tot AS (
+      |  SELECT eval_id, COUNT(*) AS n_grams FROM eval_g GROUP BY 1
+      |), train_g AS (
+      |  SELECT doc_id AS train_id, UNNEST(g) AS gram FROM grams
+      |  WHERE doc_id % 97 <> 0
+      |), h AS (
+      |  SELECT eval_id, COUNT(DISTINCT gram) AS n_hit_grams,
+      |    COUNT(DISTINCT train_id) AS n_train_docs
+      |  FROM eval_g JOIN train_g USING (gram) GROUP BY 1
+      |)
+      |SELECT t.eval_id, t.n_grams,
+      |  COALESCE(h.n_hit_grams, 0) AS n_hit_grams,
+      |  COALESCE(h.n_train_docs, 0) AS n_train_docs,
+      |  COALESCE(h.n_hit_grams, 0) * 1000000 // t.n_grams AS contam_fx
+      |FROM tot t LEFT JOIN h USING (eval_id) ORDER BY eval_id""".stripMargin
+
+  // -------------------------------------------------------------------
+  // q250: DETERMINISTIC MLM MASKING SCHEDULE (BERT-style 15% /
+  // 80-10-10) — the corruption plan as DATA, decided by (doc_id,
+  // position) hash alone so re-runs, backfills and the trainer's own
+  // replay all mask the identical positions (a per-run RNG can't be
+  // audited after the fact; this table can). Position key =
+  // doc_id·4096 + pos (documented bounds: pos < 4096 tokens/doc and
+  // doc_id < 2^63/4096/2654435761 ≈ 8·10^8 keep the portable hash
+  // overflow-free — shard the id space beyond). Map-only: the explode
+  // + two hash expressions ride the scan; one partial-agged fold per
+  // doc. sum_masked_pos makes the gate position-exact, not just
+  // count-exact.
+  // -------------------------------------------------------------------
+  def q250MlmMask(spark: SparkSession, dir: String): DataFrame = {
+    val t = docs(spark, dir)
+      .select(col("doc_id"),
+        posexplode(TA.tokens(col("text"))).as(Seq("pos", "tok")))
+      .filter(col("tok") =!= "")
+    val pid = col("doc_id") * lit(4096L) + col("pos")
+    val m = pmod(C.portableHash(pid, 301L), lit(100L)) < 15
+    val a = pmod(C.portableHash(pid, 302L), lit(10L))
+    t.select(col("doc_id"), col("pos").cast("long").as("pos"),
+        m.as("m"), a.as("a"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_toks"),
+        sum(when(col("m"), 1L).otherwise(0L)).as("n_masked"),
+        sum(when(col("m") && col("a") < 8, 1L).otherwise(0L)).as("n_mask_tok"),
+        sum(when(col("m") && col("a") === 8, 1L).otherwise(0L)).as("n_rand"),
+        sum(when(col("m") && col("a") === 9, 1L).otherwise(0L)).as("n_keep"),
+        sum(when(col("m"), col("pos")).otherwise(0L)).as("sum_masked_pos"))
+      .orderBy(asc("doc_id"))
+  }
+
+  val q250Sql: String = {
+    val pid = "(doc_id * 4096 + pos)"
+    val h1 = C.portableHashSql(pid, 301L)
+    val h2 = C.portableHashSql(pid, 302L)
+    raw"""WITH toks AS (
+      |  SELECT doc_id, t, UNNEST(range(1, LEN(t) + 1)) AS i
+      |  FROM (SELECT doc_id, $toksSql AS t FROM documents)
+      |), pos AS (
+      |  SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos FROM toks
+      |  WHERE t[i] != ''
+      |), f AS (
+      |  SELECT doc_id, pos, ($h1 % 100) < 15 AS m, $h2 % 10 AS a
+      |  FROM pos
+      |)
+      |SELECT doc_id, COUNT(*) AS n_toks,
+      |  CAST(SUM(CASE WHEN m THEN 1 ELSE 0 END) AS BIGINT) AS n_masked,
+      |  CAST(SUM(CASE WHEN m AND a < 8 THEN 1 ELSE 0 END) AS BIGINT) AS n_mask_tok,
+      |  CAST(SUM(CASE WHEN m AND a = 8 THEN 1 ELSE 0 END) AS BIGINT) AS n_rand,
+      |  CAST(SUM(CASE WHEN m AND a = 9 THEN 1 ELSE 0 END) AS BIGINT) AS n_keep,
+      |  CAST(SUM(CASE WHEN m THEN pos ELSE 0 END) AS BIGINT) AS sum_masked_pos
+      |FROM f GROUP BY doc_id ORDER BY doc_id""".stripMargin
+  }
+
+  // -------------------------------------------------------------------
+  // q251: VOCABULARY COVERAGE CURVE — what fraction of token
+  // OCCURRENCES the top-K types cover, for K ∈ {100, 1k, 10k}: the
+  // table a tokenizer designer reads to size the vocab (the
+  // operational complement of Heaps' law q193, which fits growth, and
+  // OOV coverage q176, which audits ONE fixed vocab). Ranks are a
+  // (count desc, token) total order over the VOCABULARY-sized frame
+  // (value-bounded single window, q173 discipline); the 3-way K
+  // explode multiplies the vocab frame, not the corpus; everything
+  // stays int64 — exact bit-replay gate.
+  // -------------------------------------------------------------------
+  def q251VocabCoverage(spark: SparkSession, dir: String): DataFrame = {
+    val ranked = docs(spark, dir)
+      .select(explode(TA.tokens(col("text"))).as("tok"))
+      .filter(col("tok") =!= "")
+      .groupBy(col("tok")).agg(count(lit(1)).as("c"))
+      .withColumn("rk", row_number().over(
+        Window.orderBy(desc("c"), asc("tok"))).cast("long"))
+    ranked
+      .withColumn("k", explode(lit(Array(100L, 1000L, 10000L))))
+      .groupBy(col("k"))
+      .agg(sum(when(col("rk") <= col("k"), 1L).otherwise(0L)).as("n_types_used"),
+        count(lit(1)).as("n_types"),
+        sum(when(col("rk") <= col("k"), col("c")).otherwise(0L)).as("covered_occ"),
+        sum(col("c")).as("n_occ"))
+      .withColumn("cov_fx", expr("covered_occ * 1000000L div n_occ"))
+      .orderBy(asc("k"))
+  }
+
+  val q251Sql: String =
+    raw"""WITH counts AS (
+      |  SELECT tok, CAST(COUNT(*) AS BIGINT) AS c
+      |  FROM (SELECT UNNEST($toksSql) AS tok FROM documents)
+      |  WHERE tok != '' GROUP BY tok
+      |), r AS (
+      |  SELECT c, ROW_NUMBER() OVER (ORDER BY c DESC, tok) AS rk
+      |  FROM counts
+      |)
+      |SELECT k, CAST(SUM(CASE WHEN rk <= k THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_types_used,
+      |  COUNT(*) AS n_types,
+      |  CAST(SUM(CASE WHEN rk <= k THEN c ELSE 0 END) AS BIGINT) AS covered_occ,
+      |  CAST(SUM(c) AS BIGINT) AS n_occ,
+      |  CAST(SUM(CASE WHEN rk <= k THEN c ELSE 0 END) AS BIGINT) * 1000000
+      |    // CAST(SUM(c) AS BIGINT) AS cov_fx
+      |FROM r CROSS JOIN (VALUES (CAST(100 AS BIGINT)), (1000), (10000)) v(k)
+      |GROUP BY k ORDER BY k""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q251_vocab_coverage" -> (q251VocabCoverage _),
+    "q250_mlm_mask" -> (q250MlmMask _),
+    "q249_eval_contamination" -> (q249EvalContamination _),
+    "q245_source_kl" -> (q245SourceKl _),
+    "q246_token_gini" -> (q246TokenGini _),
+    "q247_length_batches" -> (q247LengthBatches _),
     "q227_winnow" -> (q227Winnow _),
     "q228_winnow_pairs" -> (q228WinnowPairs _),
     "q233_pair_alignment" -> (q233PairAlignment _),
@@ -1849,6 +2153,12 @@ object Curation {
     "q120_fuzzy_decontaminate" -> (q120FuzzyDecontaminate _))
 
   val oracle: Map[String, String] = Map(
+    "q251_vocab_coverage" -> q251Sql,
+    "q250_mlm_mask" -> q250Sql,
+    "q249_eval_contamination" -> q249Sql,
+    "q245_source_kl" -> q245Sql,
+    "q246_token_gini" -> q246Sql,
+    "q247_length_batches" -> q247Sql,
     "q227_winnow" -> q227Sql,
     "q228_winnow_pairs" -> q228Sql,
     "q233_pair_alignment" -> q233Sql,

@@ -346,6 +346,62 @@ object Pipeline {
       |ORDER BY id_a, id_b""".stripMargin
 
   // -------------------------------------------------------------------
+  // q252: CROSS-SOURCE DUPLICATION MATRIX — corpus forensics on top of
+  // q164's exact all-pairs machinery: WHICH sources duplicate WHICH
+  // (mirror sites, syndication, template reuse show up as off-diagonal
+  // mass; within-source boilerplate as diagonal mass). Pairs at τ=0.5
+  // from the prefix-filtered exact join, labeled by source through two
+  // id-equi joins (the pair frame is match-sized, never all-pairs),
+  // folded to an unordered (s1 ≤ s2) matrix with exact fixed-point
+  // Jaccard mass. Oracle: full independent recompute (unnest posting
+  // self-join + the identical floor(j·1e6)), no prefix logic — over-
+  // pruning is a row-count FAIL, wrong mass a hash FAIL.
+  // -------------------------------------------------------------------
+  def q252SourceDupMatrix(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    val pairs = Dedup.prefixFilterPairs(d, "doc_id", "text",
+        k = 3, threshold = 0.5)
+      .select(col("id_a"), col("id_b"),
+        floor(col("jaccard") * lit(1000000.0)).cast("long").as("j_fx"))
+    val src = d.select(col("doc_id"), col("source"))
+    pairs
+      .join(src.select(col("doc_id").as("id_a"), col("source").as("src_a")), Seq("id_a"))
+      .join(src.select(col("doc_id").as("id_b"), col("source").as("src_b")), Seq("id_b"))
+      .select(least(col("src_a"), col("src_b")).as("s1"),
+        greatest(col("src_a"), col("src_b")).as("s2"), col("j_fx"))
+      .groupBy(col("s1"), col("s2"))
+      .agg(count(lit(1)).as("n_pairs"), sum(col("j_fx")).as("sum_j_fx"))
+      .orderBy(asc("s1"), asc("s2"))
+  }
+  val q252Sql: String =
+    """WITH sh AS (
+      |  SELECT doc_id, source, list_distinct(list_transform(
+      |    range(1, GREATEST(LEN(toks) - 2, 1) + 1),
+      |    i -> array_to_string(toks[i:i+2], ' '))) AS s
+      |  FROM (SELECT doc_id, source, string_split_regex(TRIM(text), '\s+') AS toks
+      |        FROM documents)
+      |), post AS (
+      |  SELECT doc_id, UNNEST(s) AS g FROM sh
+      |), sizes AS (
+      |  SELECT doc_id, source, LEN(s) AS n FROM sh
+      |), inter AS (
+      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS ni
+      |  FROM post a JOIN post b ON a.g = b.g AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2
+      |), pairs AS (
+      |  SELECT LEAST(na.source, nb.source) AS s1,
+      |    GREATEST(na.source, nb.source) AS s2,
+      |    CAST(FLOOR((CAST(ni AS DOUBLE) / (na.n + nb.n - ni)) * 1000000.0)
+      |      AS BIGINT) AS j_fx
+      |  FROM inter
+      |  JOIN sizes na ON na.doc_id = id_a
+      |  JOIN sizes nb ON nb.doc_id = id_b
+      |  WHERE CAST(ni AS DOUBLE) / (na.n + nb.n - ni) >= 0.5
+      |)
+      |SELECT s1, s2, COUNT(*) AS n_pairs, CAST(SUM(j_fx) AS BIGINT) AS sum_j_fx
+      |FROM pairs GROUP BY 1, 2 ORDER BY s1, s2""".stripMargin
+
+  // -------------------------------------------------------------------
   // q165: top principal component of the embedding space — ONE
   // distributed pass (count + VecFixedSum Σx + VecOuterFixedSum Σx⊗x,
   // all exact fixed-point partial aggregates; d(d+1)/2 longs per task
@@ -565,6 +621,81 @@ object Pipeline {
       .select(col("query_id"), col("cand_id"), col("rank"),
         coalesce(col("hit"), lit(false)).as("hit"))
       .orderBy(asc("query_id"), asc("rank"))
+  }
+
+  // -------------------------------------------------------------------
+  // q248: IVF OPERATING CURVE — recall@10 vs nProbe ∈ {1, 2, 8} on ONE
+  // trained quantizer (the table an ANN user actually reads to pick
+  // nprobe: each probe count scans nProbe/numCells of the corpus, and
+  // this query certifies what that buys). Monotonicity is a THEOREM
+  // under a shared tie-break order (a candidate displacing a true
+  // top-10 hit from a superset pool precedes it in the exact order
+  // too, so the displacer is itself a hit) — the oracle asserts it
+  // (with ±2 slack for 1-ulp boundary ties) along with a per-probe
+  // recall floor and the q35/q52 per-row hit re-derivation + sentinel.
+  // Floors: measured recall@10 on this corpus (sf0.01/sf0.1):
+  // nprobe=1 0.19/0.20, nprobe=2 0.35/0.33, nprobe=8 0.70/0.77 →
+  // floored at ≈0.75× the binding (min-across-scales) figure per
+  // CLAUDE.md rule 9: 0.14 / 0.25 / 0.52.
+  // -------------------------------------------------------------------
+  def q248IvfProbeCurve(spark: SparkSession, dir: String): DataFrame = {
+    val e = emb(spark, dir)
+    val q = e.filter(pmod(col("vec_id"), lit(50)) === 0)
+    val cents = Similarity.trainCentroids(e, "embedding",
+      numCells = 16, iters = 2, dim = 64)
+    val runs = Seq(1, 2, 8).map { np =>
+      Similarity.ivfTopK(q, e, "vec_id", "vec_id", "embedding", "embedding",
+          k = 10, numCells = 16, nProbe = np, dim = 64, centroids = Some(cents))
+        .select(lit(np.toLong).as("nprobe"), col("query_id"), col("cand_id"),
+          col("rank"))
+    }
+    val exact = Similarity.bruteForceTopK(q, e, "vec_id", "vec_id",
+        "embedding", "embedding", 10)
+      .select(col("query_id"), col("cand_id"), lit(true).as("hit"))
+    runs.reduce(_.unionAll(_))
+      .join(exact, Seq("query_id", "cand_id"), "left_outer")
+      .select(col("nprobe"), col("query_id"), col("cand_id"), col("rank"),
+        coalesce(col("hit"), lit(false)).as("hit"))
+      .orderBy(asc("nprobe"), asc("query_id"), asc("rank"))
+  }
+
+  /** q248's oracle: the [[annOracle]] layers, per probe count, plus
+    * the recall-monotonicity assertion across the curve. */
+  private def probeCurveSql(floors: Map[Int, Double]): String = {
+    val out = "read_parquet('__GRAFT_OUT__/q248_ivf_probe_curve/*.parquet')"
+    def hits(np: Int) =
+      s"""(SELECT COUNT(*) FROM $out e2
+         |     JOIN topk t2 ON t2.query_id = e2.query_id AND t2.cand_id = e2.cand_id
+         |     WHERE e2.nprobe = $np)""".stripMargin
+    val floorsSql = floors.map { case (np, f) =>
+      s"${hits(np)} >= $f * (SELECT COUNT(DISTINCT query_id) FROM topk) * 10"
+    }.mkString("\n       |  AND ")
+    s"""WITH nv AS (
+       |  SELECT vec_id, list_transform(embedding,
+       |    x -> CAST(x AS DOUBLE) / sqrt(list_sum(list_transform(embedding,
+       |      y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE))))) AS v
+       |  FROM embeddings
+       |), ex AS (
+       |  SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+       |    list_sum(list_transform(list_zip(q.v, c.v), p -> p[1] * p[2])) AS cos,
+       |    ROW_NUMBER() OVER (PARTITION BY q.vec_id
+       |      ORDER BY list_sum(list_transform(list_zip(q.v, c.v), p -> p[1] * p[2])) DESC,
+       |        c.vec_id) AS rk
+       |  FROM nv q JOIN nv c ON q.vec_id % 50 = 0 AND q.vec_id != c.vec_id
+       |), topk AS (SELECT query_id, cand_id FROM ex WHERE rk <= 10
+       |), bnd AS (SELECT query_id, MIN(cos) AS c10 FROM ex WHERE rk <= 10 GROUP BY query_id)
+       |SELECT e.nprobe, e.query_id, e.cand_id, e.rank,
+       |  CASE WHEN ABS(x.cos - bnd.c10) <= 1e-12 THEN e.hit
+       |       ELSE (x.rk <= 10) END AS hit
+       |FROM $out e
+       |JOIN ex x ON x.query_id = e.query_id AND x.cand_id = e.cand_id
+       |JOIN bnd ON bnd.query_id = e.query_id
+       |WHERE $floorsSql
+       |  AND ${hits(8)} + 2 >= ${hits(2)}
+       |  AND ${hits(2)} + 2 >= ${hits(1)}
+       |UNION ALL
+       |SELECT -1, -1, -1, -1, false WHERE (SELECT COUNT(*) FROM $out) = 0
+       |ORDER BY nprobe, query_id, rank""".stripMargin
   }
 
   // -------------------------------------------------------------------
@@ -3702,6 +3833,7 @@ object Pipeline {
     "q34_cosine_topk" -> (q34CosineTopK _),
     "q35_ann_lsh" -> (q35AnnLsh _),
     "q52_ann_ivf" -> (q52AnnIvf _),
+    "q248_ivf_probe_curve" -> (q248IvfProbeCurve _),
     "q36_cosine_neardup" -> (q36CosineNearDup _),
     "q218_semantic_decontam" -> (q218SemanticDecontam _),
     "q220_frame_sample" -> (q220FrameSample _),
@@ -3776,6 +3908,7 @@ object Pipeline {
     "q183_leakage_audit" -> (q183LeakageAudit _),
     "q184_weighted_pagerank" -> (q184WeightedPagerank _),
     "q164_allpairs_exact" -> (q164AllpairsExact _),
+    "q252_source_dup_matrix" -> (q252SourceDupMatrix _),
     "q165_pca_power" -> (q165PcaPower _),
     "q167_stream_quantiles" -> (q167StreamQuantiles _))
 
@@ -3804,6 +3937,7 @@ object Pipeline {
     // The per-row `hit` check is exact regardless of the floor.
     "q35_ann_lsh" -> annOracle("q35_ann_lsh", 0.35),
     "q52_ann_ivf" -> annOracle("q52_ann_ivf", 0.55),
+    "q248_ivf_probe_curve" -> probeCurveSql(Map(1 -> 0.14, 2 -> 0.25, 8 -> 0.52)),
     "q163_pq_ann" -> annOracle("q163_pq_ann", 0.6),
     // measured recall@10: 0.69 @ sf0.01, 0.66 @ sf0.1 → floor 0.52
     // ≈ 0.8× the binding figure (q35/q52 convention); re-measure
@@ -3814,6 +3948,7 @@ object Pipeline {
     "q183_leakage_audit" -> q183Sql,
     "q184_weighted_pagerank" -> q184Sql,
     "q164_allpairs_exact" -> q164Sql,
+    "q252_source_dup_matrix" -> q252Sql,
     "q165_pca_power" -> q165Sql,
     "q167_stream_quantiles" -> q167Sql,
     "q68_vocab_approx" -> q68Sql,

@@ -644,4 +644,58 @@ class CurationSpec extends SparkSpec {
     assert(got === Set((2L, 20L, 20L), (3L, 30L, 20L),
       (4L, 5L, 5L), (5L, 5L, 5L), (6L, 50L, 5L), (7L, 60L, 5L)))
   }
+
+  test("tokenGiniFx: flat distribution scores 0, skewed scores the exact Gini") {
+    val df = Seq(
+      ("flat", "a b c d"),
+      // counts ascending (1,1,1,97): G = (2·394 − 5·100)/(4·100) = 0.72
+      ("skew", (Seq.fill(97)("z") ++ Seq("a", "b", "c")).mkString(" "))
+    ).toDF("src", "text")
+    val got = Curation.tokenGiniFx(df, "src", "text")
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(got("flat") === ((4L, 4L, 0L)))
+    assert(got("skew") === ((4L, 100L, 720000L)))
+  }
+
+  test("unigramKlFp: non-negative, equal strata tie exactly, shifted diverges more") {
+    val same = "a a b b c c"
+    val df = Seq(("s1", same), ("s2", same), ("shift", "z z z z z z"))
+      .toDF("src", "text")
+    val got = Curation.unigramKlFp(df, "src", "text", vocabN = 512)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    // 4 distinct tokens, all in-vocab — the OOV bucket only exists
+    // when OOV occurrences do (the bucket table is built from
+    // OBSERVED buckets; on the real corpus vocabN < #types, so OOV
+    // is always present there)
+    assert(got.values.forall(_._2 === 4L))
+    assert(got.values.forall(_._1 === 6L))
+    // KL of two PROPER distributions is ≥ 0; floor can shave at most
+    // 1 fixed-point unit per bucket
+    assert(got.values.forall(_._3 >= -4L))
+    // identical strata run the identical exact arithmetic
+    assert(got("s1") === got("s2"))
+    // all-mass-on-one-token sits farther from the mixture than the
+    // strata that dominate it (hand-computed: 0.298 vs 0.143 nats)
+    assert(got("shift")._3 > got("s1")._3 + 100000000L)
+  }
+
+  test("lengthBucketBatches: batches chunk the hash order exactly, pads to batch max") {
+    // 10 docs, lengths 1..10 in one bucket (width 100), 1 shard, batch 4
+    val df = (1L to 10L).map(i => (i, "x " * i.toInt)).toDF("id", "text")
+    val got = Curation.lengthBucketBatches(df, "id",
+        size(split(trim(col("text")), "\\s+")).cast("long"),
+        bucketWidth = 100, batchSize = 4, shards = 1, seed = 5L)
+      .collect().map(r => (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+      .sortBy(_._1)
+    // Scala replay of the portable hash order
+    def hash(id: Long, seed: Long): Long = {
+      val h1 = math.floorMod((id + seed) * 2654435761L, 4294967296L)
+      math.floorMod(h1 * 69069L + 1L, 4294967296L)
+    }
+    val order = (1L to 10L).sortBy(i => (hash(i, 6L), i))
+    val expect = order.grouped(4).zipWithIndex.map { case (g, bi) =>
+      (bi.toLong, g.size.toLong, g.max, g.sum)
+    }.toSeq
+    assert(got === expect)
+  }
 }
