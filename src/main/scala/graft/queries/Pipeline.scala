@@ -3307,6 +3307,40 @@ object Pipeline {
       |ORDER BY id_a, id_b""".stripMargin
 
   // -------------------------------------------------------------------
+  // q253: STREAMING PER-KEY QUOTA — every event carries its event-time-
+  // ordered running spend + over-budget flag (the rate-limit/billing-
+  // cap row no windowed aggregate expresses, because a cumulative sum
+  // needs a FINAL total order): adjudication waits until the watermark
+  // passes strictly above the event (q214's strictness argument ⇒
+  // arrival-invariant across batch splits, StreamingSpec-pinned), the
+  // final 2 h hold back in state (q203's discipline, mirrored in the
+  // oracle's watermark cutoff). Costs are exact micro-units through
+  // DECIMAL (rule 1), the fold is int64 — the oracle replays the whole
+  // table as ONE cumulative window, bit-exact.
+  // -------------------------------------------------------------------
+  def q253StreamQuota(spark: SparkSession, dir: String): DataFrame =
+    graft.streaming.EventStreams.streamingQuota(spark, dir)
+  val q253Sql: String =
+    """WITH wm AS (
+      |  SELECT ((epoch_us(MAX(ts)) // 1000) - 7200000) * 1000 AS w_us FROM events
+      |), e AS (
+      |  SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+      |    CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS cost_fx
+      |  FROM events, wm WHERE epoch_us(ts) < w_us
+      |), r AS (
+      |  SELECT user_id, event_id, ts_us, cost_fx,
+      |    ROW_NUMBER() OVER (PARTITION BY user_id
+      |      ORDER BY ts_us, event_id) AS seq,
+      |    CAST(SUM(cost_fx) OVER (PARTITION BY user_id
+      |      ORDER BY ts_us, event_id
+      |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS run_fx
+      |  FROM e
+      |)
+      |SELECT user_id, CAST(seq AS BIGINT) AS seq, event_id, ts_us, cost_fx,
+      |  run_fx, run_fx > 2000000000 AS over_budget
+      |FROM r ORDER BY user_id, seq""".stripMargin
+
+  // -------------------------------------------------------------------
   // q203: STREAMING EVENT-TIME AS-OF enrich — every purchase joined to
   // the latest click at-or-before it per user via custom
   // flatMapGroupsWithState state (the argmax-over-unbounded-past shape
@@ -3879,6 +3913,7 @@ object Pipeline {
     "q217_phash_incremental" -> (q217PhashIncremental _),
     "q208_sssp" -> (q208Sssp _),
     "q203_stream_asof" -> (q203StreamAsof _),
+    "q253_stream_quota" -> (q253StreamQuota _),
     "q202_embedding_drift" -> (q202EmbeddingDrift _),
     "q195_embedding_outliers" -> (q195EmbeddingOutliers _),
     "q56_stream_dedup" -> (q56StreamDedup _),
@@ -4001,6 +4036,7 @@ object Pipeline {
     "q82_neardup_clusters_alt" -> q55Sql,
     "q64_stream_join" -> q64Sql,
     "q203_stream_asof" -> q203Sql,
+    "q253_stream_quota" -> q253Sql,
     "q133_stream_left_outer" -> q133Sql,
     "q151_stream_full_outer" -> q151Sql,
     "q87_stream_upsert" -> q87Sql,

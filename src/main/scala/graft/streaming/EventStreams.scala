@@ -621,6 +621,126 @@ object EventStreams {
         StructField("gap_us", LongType))))
   }
 
+  /** Per-user quota state for [[quotaFlagStream]]: micro-units spent
+    * by ADJUDICATED events + the running sequence number, plus the
+    * below-watermark buffer of (ts_us, event_id, cost_fx) rows
+    * awaiting adjudication. Scalars persist for the key's lifetime;
+    * the buffer is O(in-flight watermark window). */
+  case class QuotaBuf(spentFx: Long, seq: Long,
+                      pending: Seq[(Long, Long, Long)])
+
+  /** Streaming per-key QUOTA / running-spend enforcement — the
+    * ingestion-pipeline op none of the windowed aggregates express:
+    * every event, in EVENT-TIME order per user, carries its running
+    * cumulative spend and an over-budget flag (the row a rate-limiting
+    * / billing-cap layer acts on). A cumulative sum is
+    * order-sensitive, so emission must wait until the order is FINAL:
+    * an event is adjudicated exactly when the watermark passes
+    * STRICTLY above its timestamp (the q214 strictness argument —
+    * every possible earlier (ts, id) row has then either arrived or
+    * is contractually late-dropped), which makes the output
+    * arrival-invariant across any batch split (StreamingSpec replays
+    * multi-batch splits; the final 2 h of events hold back in state —
+    * the q203/q133 hold-back discipline, mirrored in the oracle's
+    * watermark cutoff).
+    *
+    * Costs are exact micro-units through DECIMAL (value has ≤ 6
+    * decimals, so ·1e6 is integral — rule-1 parity), the running sum
+    * is an int64 fold in (ts_us, event_id) order, and `seq` numbers
+    * the adjudicated prefix — so the DuckDB oracle replays the entire
+    * table as one cumulative window, bit-exact. State per key = two
+    * scalars + the in-flight buffer; emission needs no further data
+    * (pending rows set an event-time timeout at their own timestamp).
+    */
+  def quotaFlagStream(events: DataFrame, budgetFx: Long): DataFrame = {
+    val ss = events.sparkSession
+    import ss.implicits._
+    val ev = events
+      .withWatermark("ts", "2 hours")
+      .select(col("user_id"), col("ts"), unix_micros(col("ts")).as("ts_us"),
+        col("event_id"),
+        (col("value").cast(DecimalType(18, 6)) * 1000000).cast("long")
+          .as("cost_fx"))
+      .as[(Long, java.sql.Timestamp, Long, Long, Long)]
+    ev.groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append(),
+        GroupStateTimeout.EventTimeTimeout()) {
+        (user: Long, rows: Iterator[(Long, java.sql.Timestamp, Long, Long, Long)],
+         state: GroupState[QuotaBuf]) =>
+          val wmUs = state.getCurrentWatermarkMs() * 1000L
+          val prev = state.getOption.getOrElse(QuotaBuf(0L, 0L, Nil))
+          var pending = prev.pending
+          rows.foreach { r => pending +:= ((r._3, r._4, r._5)) }
+          val (emit, hold) = pending.partition(_._1 < wmUs)
+          var spent = prev.spentFx
+          var seq = prev.seq
+          val out = emit.sortBy(e => (e._1, e._2)).map { case (ts, id, c) =>
+            spent += c
+            seq += 1
+            (user, seq, id, ts, c, spent, spent > budgetFx)
+          }
+          state.update(QuotaBuf(spent, seq, hold))
+          if (hold.nonEmpty)
+            state.setTimeoutTimestamp(math.max(
+              hold.map(_._1).min / 1000L,
+              state.getCurrentWatermarkMs() + 1L))
+          out.iterator
+      }
+      .toDF("user_id", "seq", "event_id", "ts_us", "cost_fx", "run_fx",
+        "over_budget")
+  }
+
+  /** Batch-driven harness for [[quotaFlagStream]] over the events
+    * table (the registered q253 entry): drained through the
+    * distributed parquet sink, ordered on the (user, seq) total
+    * order. Budget 2000 value units (2e9 micro): at both gate scales
+    * every active user starts under it and most cross it mid-stream,
+    * so both flag classes are populated. */
+  def streamingQuota(spark: SparkSession, dir: String): DataFrame = {
+    val ss = streamSession(spark)
+    appendSinkDrain(
+      quotaFlagStream(readEventStream(ss, dir), budgetFx = 2000000000L),
+      "graft_stream_quota",
+      StructType(Seq(
+        StructField("user_id", LongType),
+        StructField("seq", LongType),
+        StructField("event_id", LongType),
+        StructField("ts_us", LongType),
+        StructField("cost_fx", LongType),
+        StructField("run_fx", LongType),
+        StructField("over_budget", BooleanType))))
+      .orderBy(asc("user_id"), asc("seq"))
+  }
+
+  /** Spec hook: drain [[quotaFlagStream]] over a caller-fed source
+    * (MemoryStream) — the multi-batch arrival-invariance harness. */
+  def quotaSinkDrain(events: DataFrame, budgetFx: Long)(
+      feed: org.apache.spark.sql.streaming.StreamingQuery => Unit): DataFrame = {
+    val spark = events.sparkSession
+    val target = graft.util.TempDirs.scratch("graft_stream_quota_test")
+    val q = quotaFlagStream(events, budgetFx).writeStream
+      .outputMode(OutputMode.Append())
+      .format("parquet")
+      .option("path", s"$target/out")
+      .option("checkpointLocation", s"$target/ckpt")
+      .start()
+    try feed(q) finally q.stop()
+    val outDir = new java.io.File(s"$target/out")
+    val hasRows = Option(outDir.listFiles())
+      .exists(_.exists(_.getName.endsWith(".parquet")))
+    if (hasRows) spark.read.parquet(s"$target/out")
+    else spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(Seq(
+        StructField("user_id", LongType),
+        StructField("seq", LongType),
+        StructField("event_id", LongType),
+        StructField("ts_us", LongType),
+        StructField("cost_fx", LongType),
+        StructField("run_fx", LongType),
+        StructField("over_budget", BooleanType))))
+  }
+
   /** Per-bucket buffer for [[neardupCandidatesStream]]: docs seen in
     * this LSH band bucket as (ts_us, doc_id, emitted). Docs older than
     * watermark − horizon are evicted (no future on-time arrival can

@@ -722,4 +722,46 @@ class StreamingSpec extends SparkSpec {
       }
     }
   }
+
+  test("streaming quota: event-time order, same-ts id tie-break, arrival invariance") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val base = 86400L * 1000000L
+    val M = 60L * 1000000L
+    // (user_id, ts_us, event_id, value); budget 5.0 units = 5e6 micro
+    val rows = Seq(
+      (1L, base, 11L, 2.0),
+      (1L, base + M, 12L, 2.0),
+      (1L, base + 2 * M, 10L, 1.0),  // same ts as id 13, LOWER id → folds first
+      (1L, base + 2 * M, 13L, 2.0),
+      (2L, base + M / 2, 20L, 9.5),  // single event blows the budget alone
+      (99L, base + 2 * M + 7200L * 1000000L + M, 999L, 0.1)) // pins wm above all
+    def run(batches: Seq[Seq[(Long, Long, Long, Double)]]) = {
+      implicit val sqlCtx = spark.sqlContext
+      val mem = MemoryStream[(Long, Long, Long, Double)]
+      val ev = mem.toDF().select(col("_1").as("user_id"),
+        timestamp_micros(col("_2")).as("ts"), col("_3").as("event_id"),
+        col("_4").as("value"))
+      graft.streaming.EventStreams.quotaSinkDrain(ev, budgetFx = 5000000L) { q =>
+        batches.foreach { b => mem.addData(b); q.processAllAvailable() }
+      }.as[(Long, Long, Long, Long, Long, Long, Boolean)].collect().toSet
+    }
+    val expected = Set(
+      (1L, 1L, 11L, base, 2000000L, 2000000L, false),
+      (1L, 2L, 12L, base + M, 2000000L, 4000000L, false),
+      // run == budget is NOT over (strict >): the boundary case
+      (1L, 3L, 10L, base + 2 * M, 1000000L, 5000000L, false),
+      (1L, 4L, 13L, base + 2 * M, 2000000L, 7000000L, true),
+      (2L, 1L, 20L, base + M / 2, 9500000L, 9500000L, true))
+    val oneBatch = run(Seq(rows))
+    assert(oneBatch === expected,
+      s"single batch (sentinel held back, ties fold id-ascending): $oneBatch")
+    // out-of-order 3-batch split, every row on time w.r.t. the running
+    // watermark — identical adjudication
+    val split = run(Seq(
+      Seq(rows(1), rows(3)),           // 12, 13
+      Seq(rows(0), rows(2), rows(4)),  // 11, 10 (tie partner), 20
+      Seq(rows(5))))                   // sentinel
+    assert(split === expected, s"arrival-invariance: $split")
+  }
 }
