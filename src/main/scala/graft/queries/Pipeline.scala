@@ -402,6 +402,135 @@ object Pipeline {
       |FROM pairs GROUP BY 1, 2 ORDER BY s1, s2""".stripMargin
 
   // -------------------------------------------------------------------
+  // q254: kNN LABEL-CONSISTENCY AUDIT — the embedding-quality check a
+  // team runs before trusting vectors for semantic dedup or retrieval:
+  // classify every probe vector by the majority label of its EXACT
+  // 10 nearest neighbors (leave-one-out) and report the per-query
+  // verdict. Votes fold via the lesson-17 max(struct(count, −label))
+  // hash-aggregate argmax (ties → smaller label); everything is
+  // deterministic, so the oracle is a full EXACT recompute — top-10,
+  // votes, tie-break, verdict — with no floors. Probe set = the
+  // standard vec_id % 50 subset; the scan is the q34-oracled
+  // brute-force path (broadcast probes, VecDot, per-query top-k).
+  // MEASURED on this corpus: accuracy 0.10 at both scales — chance
+  // level for 10 labels, i.e. the synthetic labels are NOT
+  // cosine-neighborhood-consistent at k=10. That verdict is the
+  // audit working as intended (it's the table that would stop a team
+  // from shipping these vectors into label-aware semantic dedup);
+  // the gate certifies the COMPUTATION, which is exact.
+  // -------------------------------------------------------------------
+  def q254KnnLabelAudit(spark: SparkSession, dir: String): DataFrame = {
+    val e = emb(spark, dir)
+    val q = e.filter(pmod(col("vec_id"), lit(50)) === 0)
+    val lbl = e.select(col("vec_id"), col("label").cast("long").as("label"))
+    val nn = Similarity.bruteForceTopK(q, e, "vec_id", "vec_id",
+      "embedding", "embedding", 10)
+    val votes = nn
+      .join(lbl.select(col("vec_id").as("cand_id"), col("label").as("n_lab")),
+        Seq("cand_id"))
+      .groupBy(col("query_id"), col("n_lab")).agg(count(lit(1)).as("c"))
+    val pred = votes.groupBy(col("query_id"))
+      .agg(max(struct(col("c"), (-col("n_lab")).as("neg"))).as("m"))
+      .select(col("query_id"), col("m.c").as("n_votes"),
+        (-col("m.neg")).as("pred_label"))
+    pred
+      .join(lbl.select(col("vec_id").as("query_id"), col("label").as("true_label")),
+        Seq("query_id"))
+      .select(col("query_id"), col("true_label"), col("pred_label"),
+        col("n_votes"),
+        (col("pred_label") === col("true_label")).as("correct"))
+      .orderBy(asc("query_id"))
+  }
+  val q254Sql: String =
+    """WITH nv AS (
+      |  SELECT vec_id, label, list_transform(embedding,
+      |    x -> CAST(x AS DOUBLE) / sqrt(list_sum(list_transform(embedding,
+      |      y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE))))) AS v
+      |  FROM embeddings
+      |), ex AS (
+      |  SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+      |    CAST(c.label AS BIGINT) AS n_lab,
+      |    ROW_NUMBER() OVER (PARTITION BY q.vec_id
+      |      ORDER BY list_sum(list_transform(list_zip(q.v, c.v), p -> p[1] * p[2])) DESC,
+      |        c.vec_id) AS rk
+      |  FROM nv q JOIN nv c ON q.vec_id % 50 = 0 AND q.vec_id != c.vec_id
+      |), votes AS (
+      |  SELECT query_id, n_lab, COUNT(*) AS c FROM ex WHERE rk <= 10
+      |  GROUP BY 1, 2
+      |), pred AS (
+      |  SELECT query_id, c AS n_votes, n_lab AS pred_label FROM (
+      |    SELECT query_id, n_lab, c, ROW_NUMBER() OVER (PARTITION BY query_id
+      |      ORDER BY c DESC, n_lab) AS pr
+      |    FROM votes) WHERE pr = 1
+      |)
+      |SELECT p.query_id, CAST(e.label AS BIGINT) AS true_label,
+      |  p.pred_label, p.n_votes,
+      |  (p.pred_label = CAST(e.label AS BIGINT)) AS correct
+      |FROM pred p JOIN embeddings e ON e.vec_id = p.query_id
+      |ORDER BY query_id""".stripMargin
+
+  // -------------------------------------------------------------------
+  // q255: LSH RECALL/PRECISION AUDIT — the parameterization check for
+  // the near-dup pipeline (8 bands × 4 hashes at τ=0.5 sits at the
+  // S-curve's soft spot; this is the table that says what the banding
+  // actually catches): EVERY LSH candidate pair (threshold 0 — no
+  // verification cut) emitted with its exact Jaccard and an is_dup
+  // verdict. The oracle re-derives each row's Jaccard and verdict from
+  // string shingles (collision-free vs the 64-bit hashed sets — the
+  // q33/q164 acceptance), recomputes the FULL exact τ≥0.5 pair set
+  // (posting join, no LSH logic), and requires candidate recall ≥ 0.9
+  // over it — measured 25/25 (sf0.01) and 256/256 (sf0.1) = 1.0:
+  // planted dups sit ≥0.8 where the 4-hash band S-curve is ~0.97 —
+  // plus the empty sentinel. FP accounting comes free: is_dup=false
+  // rows ARE the S-curve's low-similarity collisions (1 at sf0.1).
+  // -------------------------------------------------------------------
+  def q255LshRecallAudit(spark: SparkSession, dir: String): DataFrame =
+    Dedup.minhashLshPairs(docs(spark, dir), "doc_id", "text",
+        k = 3, numHashes = 32, bands = 8, threshold = 0.0)
+      .select(col("id_a"), col("id_b"),
+        floor(col("jaccard") * lit(1000000.0)).cast("long").as("j_fx"),
+        (col("jaccard") >= lit(0.5)).as("is_dup"))
+      .orderBy(asc("id_a"), asc("id_b"))
+  val q255Sql: String = {
+    val out = "read_parquet('__GRAFT_OUT__/q255_lsh_recall_audit/*.parquet')"
+    s"""WITH sh AS (
+      |  SELECT doc_id, list_distinct(list_transform(
+      |    range(1, GREATEST(LEN(toks) - 2, 1) + 1),
+      |    i -> array_to_string(toks[i:i+2], ' '))) AS s
+      |  FROM (SELECT doc_id, string_split_regex(TRIM(text), '\\s+') AS toks
+      |        FROM documents)
+      |), post AS (
+      |  SELECT doc_id, UNNEST(s) AS g FROM sh
+      |), sizes AS (
+      |  SELECT doc_id, LEN(s) AS n FROM sh
+      |), ex AS (
+      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      |  FROM (SELECT a.doc_id, b.doc_id AS b_id, COUNT(*) AS ni
+      |        FROM post a JOIN post b ON a.g = b.g AND a.doc_id < b.doc_id
+      |        GROUP BY 1, 2) i(doc_id, b_id, ni)
+      |  JOIN sizes a ON a.doc_id = i.doc_id
+      |  JOIN sizes b ON b.doc_id = i.b_id
+      |  WHERE CAST(ni AS DOUBLE) / (a.n + b.n - ni) >= 0.5
+      |), tp AS (
+      |  SELECT COUNT(*) AS c FROM $out e
+      |  JOIN ex ON ex.id_a = e.id_a AND ex.id_b = e.id_b
+      |  WHERE e.is_dup
+      |)
+      |SELECT e.id_a, e.id_b, e.j_fx, e.is_dup
+      |FROM $out e
+      |JOIN sh a ON a.doc_id = e.id_a
+      |JOIN sh b ON b.doc_id = e.id_b
+      |WHERE e.j_fx = CAST(FLOOR((CAST(LEN(list_intersect(a.s, b.s)) AS DOUBLE)
+      |    / (LEN(a.s) + LEN(b.s) - LEN(list_intersect(a.s, b.s)))) * 1000000.0)
+      |    AS BIGINT)
+      |  AND e.is_dup = (CAST(LEN(list_intersect(a.s, b.s)) AS DOUBLE)
+      |    / (LEN(a.s) + LEN(b.s) - LEN(list_intersect(a.s, b.s))) >= 0.5)
+      |  AND (SELECT c FROM tp) >= 0.9 * (SELECT COUNT(*) FROM ex)
+      |UNION ALL SELECT -1, -1, -1, false WHERE (SELECT COUNT(*) FROM $out) = 0
+      |ORDER BY id_a, id_b""".stripMargin
+  }
+
+  // -------------------------------------------------------------------
   // q165: top principal component of the embedding space — ONE
   // distributed pass (count + VecFixedSum Σx + VecOuterFixedSum Σx⊗x,
   // all exact fixed-point partial aggregates; d(d+1)/2 longs per task
@@ -3944,6 +4073,8 @@ object Pipeline {
     "q184_weighted_pagerank" -> (q184WeightedPagerank _),
     "q164_allpairs_exact" -> (q164AllpairsExact _),
     "q252_source_dup_matrix" -> (q252SourceDupMatrix _),
+    "q254_knn_label_audit" -> (q254KnnLabelAudit _),
+    "q255_lsh_recall_audit" -> (q255LshRecallAudit _),
     "q165_pca_power" -> (q165PcaPower _),
     "q167_stream_quantiles" -> (q167StreamQuantiles _))
 
@@ -3984,6 +4115,8 @@ object Pipeline {
     "q184_weighted_pagerank" -> q184Sql,
     "q164_allpairs_exact" -> q164Sql,
     "q252_source_dup_matrix" -> q252Sql,
+    "q254_knn_label_audit" -> q254Sql,
+    "q255_lsh_recall_audit" -> q255Sql,
     "q165_pca_power" -> q165Sql,
     "q167_stream_quantiles" -> q167Sql,
     "q68_vocab_approx" -> q68Sql,
