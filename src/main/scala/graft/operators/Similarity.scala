@@ -444,37 +444,49 @@ object Similarity {
     *  1. INIT: vectors map-only assign to `grids` INDEPENDENT
     *     deterministic seeded hyperplane-argmax cell grids (the
     *     [[semanticIncrementalPairs]] grid family under distinct
-    *     seeds — no training, replayable); candidates are the union
-    *     of within-cell pairs via cell equi-joins. Multiple grids
-    *     matter on weakly-clustered corpora: a true neighbor missed
-    *     by one random grid's argmax is caught by another.
+    *     seeds — no training, replayable); within a cell, each node
+    *     RING-PAIRS with its next `initWidth` cellmates in
+    *     xxhash64-of-id order (symmetric union), NOT with every
+    *     cellmate. Full within-cell pairing is O(n·cellSize) pairs —
+    *     measured THRASHING at ×100 (200k vectors, ~500/cell: 100M+
+    *     init pairs each dragging two 512-byte vectors through the
+    *     scoring joins drove the JVM to 97% sys time); ring pairing is
+    *     O(n·initWidth·grids) by construction, and hyperplane-argmax
+    *     cell SKEW (cells are not balanced) can no longer explode any
+    *     single cell. Multiple grids still matter on weakly-clustered
+    *     corpora: a true neighbor missed by one random grid's argmax
+    *     is caught by another, and descent densifies from there.
     *  2. DESCENT × `rounds`: the NN-descent step — a node's improved
     *     candidates are its neighbors' neighbors over the UNDIRECTED
-    *     current graph (edges ∪ reversed edges, so a popular node
-    *     propagates both ways); one self-join on the shared endpoint,
-    *     distinct pair set unioned with the current edges, exact
-    *     cosines re-scored through two (id → vector) hash joins,
-    *     per-node top-k by (cosine desc, id asc).
+    *     current graph; the REVERSED edge set is capped at k per node
+    *     (best-cosine first, the Dong et al. reverse-sample), because
+    *     a hub vector can sit in THOUSANDS of nodes' top-k lists and
+    *     an uncapped reverse degree makes the neighbors-of-neighbors
+    *     self-join quadratic in hub degree. With the cap, undirected
+    *     degree ≤ 2k and the candidate set is genuinely ≤ (2k)² per
+    *     node. One self-join on the shared endpoint, distinct pair
+    *     set unioned with the current edges, exact cosines re-scored
+    *     through two (id → vector) hash joins, per-node top-k by
+    *     (cosine desc, id asc).
     *
-    * Scale shape: the init joins are cell-bounded (`numCells ≤ 0`
-    * auto-scales to ~2000 vectors/cell, the [[semanticDedup]]
-    * contract, so per-cell work stays flat as the corpus grows); each
-    * descent round's candidate set is ≤ (2k)² per node —
-    * corpus-linear and independent of cell geometry; the only
-    * shuffles carry (long, long) pairs or (long, vector) rows. The
-    * normalized vector frame is localCheckpointed once (it feeds
-    * 2(rounds+1)+grids joins) and each round's edge frame cuts its
-    * lineage — the graph-family discipline. The per-node top-k
-    * windows run over candidate-bounded frames (cell size / 4k² rows
-    * per key), the documented exception to the lesson-17 argmax rule.
-    * Deterministic end-to-end: seeded grids, sequential-IEEE [[dot]],
-    * ties broken by neighbor id.
+    * Scale shape: init is O(n·initWidth·grids) pairs regardless of
+    * cell geometry; each descent round is ≤ (2k)² candidates per node
+    * — corpus-linear; the only shuffles carry (long, long) pairs or
+    * (long, vector) rows. The normalized vector frame is
+    * localCheckpointed once (it feeds 2(rounds+1)+grids joins) and
+    * each round's edge frame cuts its lineage — the graph-family
+    * discipline. The per-node top-k windows run over
+    * candidate-bounded frames (initWidth·grids / 4k² rows per key),
+    * the documented exception to the lesson-17 argmax rule.
+    * Deterministic end-to-end: seeded grids, hash-ordered rings,
+    * sequential-IEEE [[dot]], ties broken by neighbor id.
     *
     * Returns (src, dst, rank, cosine), rank 1..≤k per src.
     */
   def knnGraphDescent(data: DataFrame, idCol: String, vecCol: String,
                       k: Int, numCells: Int = 0, dim: Int = 64,
-                      grids: Int = 2, rounds: Int = 2): DataFrame = {
+                      grids: Int = 2, rounds: Int = 2,
+                      initWidth: Int = 8): DataFrame = {
     val cells =
       if (numCells > 0) numCells
       else math.max(16, (data.count() / 2000L).toInt)
@@ -490,15 +502,21 @@ object Similarity {
       .select(col("src"), col("dst"), dotD(col("sv"), col("dv")).as("cos"))
       .withColumn("rank", row_number().over(byRank))
       .filter(col("rank") <= lit(k))
-    // INIT part 1: within-cell pairs over `grids` independent grids
+    // INIT part 1: hash-ordered ring pairs within each cell, per grid
     val gridInit = (0 until grids).map { g =>
       val asg = base.select(col("id"),
         graft.functions.VectorFunctions.vec_mat_argmax(col("v"),
           hyperplanes(cells, dim, seed = 42L + g)).as("cell"))
-      asg.select(col("id").as("src"), col("cell"))
-        .join(asg.select(col("id").as("dst"), col("cell")), Seq("cell"))
-        .filter(col("src") =!= col("dst"))
+      val ring = asg.withColumn("rn", row_number().over(
+          Window.partitionBy(col("cell"))
+            .orderBy(xxhash64(col("id")), col("id"))).cast("long"))
+      val fwd = ring.select(col("cell"), col("rn"), col("id").as("src"))
+        .withColumn("off", explode(lit((1 to initWidth).toArray)))
+        .select(col("cell"), (col("rn") + col("off")).as("rn_b"), col("src"))
+        .join(ring.select(col("cell"), col("rn").as("rn_b"),
+          col("id").as("dst")), Seq("cell", "rn_b"))
         .select(col("src"), col("dst"))
+      fwd.union(fwd.select(col("dst").as("src"), col("src").as("dst")))
     }.reduce(_ union _)
     // INIT part 2: the classic NN-descent RANDOM init, made
     // deterministic — pairs within xxhash64 id-buckets of expected
@@ -517,11 +535,16 @@ object Similarity {
     var scored = topK(init)
     for (_ <- 1 to rounds) {
       // DESCENT round: candidates = neighbors-of-neighbors over the
-      // undirected current graph, plus the current edges themselves
-      val e = scored.select(col("src"), col("dst"))
-        .localCheckpoint(eager = false) // cut the per-round lineage
-      val und = e.union(e.select(col("dst").as("src"), col("src").as("dst")))
-        .distinct()
+      // undirected current graph, plus the current edges themselves.
+      // Reversed edges are CAPPED at k per node (best cosine first) —
+      // see the header: hub in-degree is unbounded without it.
+      val sc = scored.localCheckpoint(eager = false) // cut lineage
+      val e = sc.select(col("src"), col("dst"))
+      val rev = sc.withColumn("rr", row_number().over(
+          Window.partitionBy(col("dst")).orderBy(desc("cos"), asc("src"))))
+        .filter(col("rr") <= lit(k))
+        .select(col("dst").as("src"), col("src").as("dst"))
+      val und = e.union(rev).distinct()
       val cand = und.select(col("src"), col("dst").as("mid"))
         .join(und.select(col("src").as("mid"), col("dst")), Seq("mid"))
         .filter(col("src") =!= col("dst"))

@@ -1227,15 +1227,21 @@ object Pipeline {
   // node appears as src (coverage — a cell-grid degeneracy fails
   // loudly); and the graph must hit ≥ the measured floor of the TRUE
   // top-10 edges, recomputed for ALL nodes by brute force in DuckDB.
-  // Recall floor 0.55: measured 0.801 at sf0.01 / 0.663 at sf0.1 with
-  // grids=4, rounds=2 + the hash-bucket random init (single-grid
-  // zero-round init measured 0.14 — the multi-grid + descent
-  // structure carries the gate; re-measure before changing params,
-  // rule 9/14).
+  // Recall floor 0.47 ≈ 0.75× the binding figure: measured 0.777 at
+  // sf0.01 / 0.635 at sf0.1 with grids=4, rounds=2, initWidth=96
+  // after the round-8 bounded-init rework (ring-paired hash-ordered
+  // cellmates + k-capped reverse edges — full within-cell pairing
+  // measured THRASHING at ×100; see the operator header). Recall on
+  // this weakly-clustered corpus is init-volume-driven (width sweep:
+  // 8→0.22, 32→0.42, 64→0.58, 96→0.635 at sf0.1; tools/KnnProbe), so
+  // the gate buys quality with width at ITS scale while the operator
+  // default (8) is the 100 TB setting; re-measure before changing
+  // params, rule 9/14.
   // -------------------------------------------------------------------
   def q234KnnGraph(spark: SparkSession, dir: String): DataFrame =
     Similarity.knnGraphDescent(emb(spark, dir), "vec_id", "embedding",
-        k = 10, numCells = 16, dim = 64, grids = 4, rounds = 2)
+        k = 10, numCells = 16, dim = 64, grids = 4, rounds = 2,
+        initWidth = 96)
       .select(col("src"), col("dst"), col("rank"),
         round(col("cosine"), 6).as("cosine_r"))
       .orderBy(asc("src"), asc("rank"))
@@ -1271,7 +1277,7 @@ object Pipeline {
       |    = (SELECT COUNT(*) FROM embeddings)
       |  AND (SELECT COUNT(*) FROM g gg
       |       JOIN ex ON ex.src = gg.src AND ex.dst = gg.dst AND ex.rnk <= 10)
-      |    >= CAST(0.55 * (SELECT COUNT(*) FROM ex WHERE rnk <= 10) AS BIGINT)
+      |    >= CAST(0.47 * (SELECT COUNT(*) FROM ex WHERE rnk <= 10) AS BIGINT)
       |UNION ALL SELECT -1, -1, -1, -1.0 WHERE (SELECT COUNT(*) FROM g) = 0
       |ORDER BY src, rank""".stripMargin
 

@@ -120,7 +120,20 @@ object Explain {
       "q223_hard_negatives" -> "anchors broadcast into the BNLJ over the candidate scan; the band filter (cos < 0.8) runs BEFORE the per-anchor rank window, so the sort sees only in-band rows; at corpus scale the pooled variant (ivfTopK k·4 then band-filter) replaces the exact scan",
       "q224_bpe_heldout" -> "train rounds = per-round (argmax collect + island windows + two type-keyed anti/left joins) on the TRAIN split's word-type table; apply rounds replay the same shape on the eval types with the pair as a LITERAL — no eval argmax; everything is (word-type, pos) keyed, the corpus collapsed to types before round 1",
       "q225_lm_filter" -> "both frozen model tables broadcast (top-50k bigrams via TakeOrdered, unigrams, 1-row V) — the scored corpus's bigram stream is map-only through three broadcast joins into a per-doc partial-agged integer sum; no data-sized shuffle except the final doc aggregate",
-      "q226_incremental_semdedup" -> "both sides map-only assign to the static VecMatArgmax cell grid (no training, so the standing index's cells never drift); probes⋈index is a cell EQUI-join with the index side bucket-capped by a cell-count window; exact cosine verifies after — never a similarity join condition")
+      "q226_incremental_semdedup" -> "both sides map-only assign to the static VecMatArgmax cell grid (no training, so the standing index's cells never drift); probes⋈index is a cell EQUI-join with the index side bucket-capped by a cell-count window; exact cosine verifies after — never a similarity join condition",
+      "q229_personalized_pagerank" -> "per PPR round: one edges⋈rank hash join + partial-agged sums; the teleport mass re-enters as row-local arithmetic against the broadcast seed set — (id, long) exchanges only, lineage cut per round",
+      "q234_knn_graph" -> "init pairs come from cell/hash-bucket equi-joins (never all-pairs); each NN-descent round joins the ≤k neighbor lists to themselves per node — candidate volume is nodes×(2k)², corpus-LINEAR; exact VecDot rescoring rides codegen",
+      "q240_signbit_ann" -> "sign codes are two generated int64 sums computed IN the scan project (whole-stage codegen, no HOF); the Hamming scan is a broadcast of 40 query code-pairs over the 16-byte/row compressed frame; per-pair kernel = two bit_count(xor) — top-k via window over in-band rows",
+      "q242_scd2_history" -> "all four windows (null-safe lag compress, version numbering, lead end-ts, is_current) share ONE (entity)-hash partitioning — a single exchange feeds the whole SCD2 chain; no global sort",
+      "q243_rendezvous_shard" -> "17 fixed-shape integer hash+mix expressions ride the scan in one WholeStageCodegen span; the 8→9 argmax is GREATEST over packed keys — map-only, the lone exchange is the final (shard8, shard9) count aggregate",
+      "q245_source_kl" -> "two explode passes (vocab TakeOrdered cap, bucket counts) both partial-aggregate; the (sources × 513) grid is a BNLJ whose BUILD side subtree carries the vocab LIMIT — bounded by construction (PlanLint-recognized); per-bucket terms fold as int64 partial sums",
+      "q247_length_batches" -> "the one total-order op in the round: row_number windows scoped to (bucket, hash-shard) sub-frames — 8 shards per bucket cap every sort at n/(buckets·shards); batch stats then partial-aggregate twice (batch level, bucket level)",
+      "q248_ivf_probe_curve" -> "three probe settings share ONE trained centroid model (driver-side k-means on VecFixedSum partials); each IVF pass is the q52 cell equi-join shape; the union feeds a single broadcast join against the exact top-10 frame",
+      "q249_eval_contamination" -> "q57's decontaminate shape with the aggregation flipped to the eval side: eval grams (1/97 of the corpus) broadcast, train grams stream map-side — only gram MATCHES reach the (eval, train) distinct-count aggregate",
+      "q252_source_dup_matrix" -> "q164's prefix-filtered exact pair join (posting equi-join, length+prefix pruned) feeds two match-sized id-equi joins for source labels; the matrix fold is a partial-agged groupBy over ≤ sources² keys",
+      "q253_stream_quota" -> "flatMapGroupsWithState keyed by user: state = two scalars + the in-flight buffer; adjudication is timeout-driven at the watermark, so emission needs no further data; the drained sink aggregates nothing — per-event rows flow straight to parquet",
+      "q254_knn_label_audit" -> "the q34 brute-force scan (broadcast probes, codegen'd VecDot, per-query top-k window) feeds a label join and the lesson-17 max(struct) argmax vote — votes partial-aggregate, no second window",
+      "q255_lsh_recall_audit" -> "q31's banded candidate machinery at threshold 0: persisted 24-byte band rows, window-capped buckets, ids-only candidate pairs, shingle-set verify joins — the audit adds zero new shuffle shapes, only keeps the FP rows q31 filters out")
 
     val sb = new StringBuilder
     sb.append("# EXPLAINS — physical plans of representative queries\n\n")

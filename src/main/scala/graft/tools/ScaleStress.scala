@@ -30,7 +30,8 @@ object ScaleStress {
         (col("doc_id") + col("rep") * lit(1000000L)).as("doc_id"),
         when(pmod(col("rep"), lit(7)) === 1,
           concat(col("text"), lit(" perturbed tail token")))
-          .otherwise(col("text")).as("text"))
+          .otherwise(col("text")).as("text"),
+        col("source"))
       .repartition(32)
       .write.mode("overwrite").parquet(stressPath)
     val docs: DataFrame = spark.read.parquet(stressPath)
@@ -413,6 +414,39 @@ object ScaleStress {
         f"(${unprunedBound.toDouble / pruned}%.0fx reduction)")
       pruned
     }
+
+    // round-8-continuation phases: sharding/mix/audit surface at ×N.
+    // Rendezvous is 17 codegen'd hash expressions riding one scan —
+    // its time must track corpus rows, nothing else (bit_xor forces
+    // both shard columns through the fold; rule 11).
+    timed(s"rendezvous sharding 8->9 ($total docs, map-only)")(
+      docs.select(
+          graft.operators.Sampling.rendezvousShard(col("doc_id"), 8, 500L).as("s8"),
+          graft.operators.Sampling.rendezvousShard(col("doc_id"), 9, 500L).as("s9"))
+        .agg(count(lit(1)).as("n"), expr("bit_xor(s8 * 64 + s9)"))
+        .collect()(0).getLong(0))
+    // KL is two partial-agged token passes + a LIMIT-bounded grid —
+    // same scale contract as DSIR above
+    timed(s"per-source KL divergence ($total docs, top-512 vocab + OOV)")(
+      graft.operators.Curation.unigramKlFp(docs, "source", "text", 512)
+        .agg(count(lit(1)).as("n"), expr("bit_xor(kl_fp)"))
+        .collect()(0).getLong(0))
+    // batch formation: the one total-order op — scoped to
+    // (bucket, shard) sub-frames, so the sort is n/(buckets·shards)
+    // per window and must scale near-linearly, not like a global sort
+    timed(s"length-bucket batch formation ($total docs, 8 shards/bucket)")(
+      graft.operators.Curation.lengthBucketBatches(docs, "doc_id",
+          org.apache.spark.sql.functions.size(
+            graft.operators.TextAnalysis.tokens(col("text"))).cast("long"),
+          bucketWidth = 16, batchSize = 32, shards = 8, seed = 77L)
+        .agg(count(lit(1)).as("n"), expr("bit_xor(max_len * n_rows)"))
+        .collect()(0).getLong(0))
+    // streaming quota at ×N events: per-key state is two scalars + the
+    // in-flight buffer; the drain must stay executor-bound like the
+    // other streaming shapes (state keys scale ×N with the shifted
+    // user ids)
+    timed(s"streaming quota (q253 shape, $factor x events)")(
+      graft.streaming.EventStreams.streamingQuota(spark, evPath).count())
     spark.stop()
   }
 }
