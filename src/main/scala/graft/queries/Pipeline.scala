@@ -531,6 +531,95 @@ object Pipeline {
   }
 
   // -------------------------------------------------------------------
+  // q256: EMBEDDING SPECTRAL DIAGNOSTICS — the dimensional-collapse
+  // check (Jing et al. 2022): the PARTICIPATION RATIO / effective rank
+  // PR = (Σλ)²/Σλ² of the covariance spectrum, computed WITHOUT an
+  // eigendecomposition via the trace identities Σλ = tr(C) and
+  // Σλ² = ‖C‖²_F — both plain functions of the covariance entries. An
+  // embedding model whose PR sinks far below d is collapsing onto a
+  // few directions and its cosine geometry (dedup, ANN, clustering)
+  // is degrading; this one-row table is the monitor. EXACT gate: the
+  // inputs are the fixed-point VecFixedSum/VecOuterFixedSum int sums
+  // over RAW float components (float→double is exact, so the per-row
+  // floor(x·scale) ints are BIT-equal on both engines — normalization
+  // would inject a 1-ulp norm divide and break int parity), and every
+  // derived number is a fixed-shape double expression over those
+  // ints, floored back to int64 per entry before the final
+  // associative sums. One data pass; d(d+1)/2 longs per task; the
+  // 2080-entry spectral fold runs on the driver (model-sized).
+  // Overflow: |x| < 1 ⇒ per-row ≤ 1e12 (sums) / 1e9 (outer): ≥ 9.2 M
+  // rows before Long.MAX — shard-and-merge beyond (sums are
+  // mergeable).
+  // -------------------------------------------------------------------
+  def q256SpectralRank(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.VectorFunctions.{vec_fixed_sum, vec_outer_fixed_sum}
+    val r = emb(spark, dir).agg(count(lit(1)).as("n"),
+        vec_fixed_sum(col("embedding"), 64).as("s"),
+        vec_outer_fixed_sum(col("embedding"), 64).as("m2"))
+      .collect()(0)
+    val n = r.getLong(0)
+    val s = r.getSeq[Long](1)
+    val m2 = r.getSeq[Long](2)
+    def m2at(i: Int, j: Int): Long = m2(i * 64 - i * (i - 1) / 2 - i + j)
+    val nd = n.toDouble
+    def mu(i: Int): Double = (s(i).toDouble / 1.0e12) / nd
+    def cov(i: Int, j: Int): Double =
+      (m2at(i, j).toDouble / 1.0e9) / nd - mu(i) * mu(j)
+    var tFx = 0L
+    var fFx = 0L
+    for (i <- 0 until 64) tFx += math.floor(1.0e9 * cov(i, i)).toLong
+    for (i <- 0 until 64; j <- i until 64) {
+      val w = if (i == j) 1L else 2L
+      val c = cov(i, j)
+      fFx += w * math.floor(1.0e9 * (c * c)).toLong
+    }
+    // trace_fx is 1e9-scaled and frob_fx 1e9-scaled: t²/f carries a
+    // residual 1e9 — divide it back out (same shape on both engines)
+    val effR = BigDecimal(
+        ((tFx.toDouble * tFx.toDouble) / fFx.toDouble) / 1.0e9)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    import spark.implicits._
+    Seq((n, tFx, fFx, effR)).toDF("n", "trace_fx", "frob_fx", "eff_rank_r")
+  }
+  val q256Sql: String =
+    """WITH x AS (
+      |  SELECT vec_id, UNNEST(embedding) AS xv,
+      |    generate_subscripts(embedding, 1) - 1 AS i
+      |  FROM embeddings
+      |), nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM embeddings),
+      |s AS (
+      |  SELECT i, CAST(SUM(CAST(FLOOR(CAST(xv AS DOUBLE)
+      |    * 1000000000000.0) AS BIGINT)) AS BIGINT) AS si
+      |  FROM x GROUP BY i
+      |), m2 AS (
+      |  SELECT a.i AS i, b.i AS j,
+      |    CAST(SUM(CAST(FLOOR((CAST(a.xv AS DOUBLE) * CAST(b.xv AS DOUBLE))
+      |      * 1000000000.0) AS BIGINT)) AS BIGINT) AS m2v
+      |  FROM x a JOIN x b ON a.vec_id = b.vec_id AND a.i <= b.i
+      |  GROUP BY 1, 2
+      |), cv AS (
+      |  SELECT m2.i, m2.j,
+      |    (CAST(m2.m2v AS DOUBLE) / 1000000000.0) / n
+      |      - ((CAST(sa.si AS DOUBLE) / 1000000000000.0) / n)
+      |        * ((CAST(sb.si AS DOUBLE) / 1000000000000.0) / n) AS c
+      |  FROM m2 CROSS JOIN nn
+      |  JOIN s sa ON sa.i = m2.i JOIN s sb ON sb.i = m2.j
+      |), agg AS (
+      |  SELECT
+      |    CAST(SUM(CASE WHEN i = j
+      |      THEN CAST(FLOOR(1000000000.0 * c) AS BIGINT) ELSE 0 END)
+      |      AS BIGINT) AS trace_fx,
+      |    CAST(SUM((CASE WHEN i = j THEN 1 ELSE 2 END)
+      |      * CAST(FLOOR(1000000000.0 * (c * c)) AS BIGINT))
+      |      AS BIGINT) AS frob_fx
+      |  FROM cv
+      |)
+      |SELECT (SELECT n FROM nn) AS n, trace_fx, frob_fx,
+      |  ROUND(((CAST(trace_fx AS DOUBLE) * CAST(trace_fx AS DOUBLE))
+      |    / CAST(frob_fx AS DOUBLE)) / 1000000000.0, 6) AS eff_rank_r
+      |FROM agg""".stripMargin
+
+  // -------------------------------------------------------------------
   // q165: top principal component of the embedding space — ONE
   // distributed pass (count + VecFixedSum Σx + VecOuterFixedSum Σx⊗x,
   // all exact fixed-point partial aggregates; d(d+1)/2 longs per task
@@ -4080,6 +4169,7 @@ object Pipeline {
     "q164_allpairs_exact" -> (q164AllpairsExact _),
     "q252_source_dup_matrix" -> (q252SourceDupMatrix _),
     "q254_knn_label_audit" -> (q254KnnLabelAudit _),
+    "q256_spectral_rank" -> (q256SpectralRank _),
     "q255_lsh_recall_audit" -> (q255LshRecallAudit _),
     "q165_pca_power" -> (q165PcaPower _),
     "q167_stream_quantiles" -> (q167StreamQuantiles _))
@@ -4122,6 +4212,7 @@ object Pipeline {
     "q164_allpairs_exact" -> q164Sql,
     "q252_source_dup_matrix" -> q252Sql,
     "q254_knn_label_audit" -> q254Sql,
+    "q256_spectral_rank" -> q256Sql,
     "q255_lsh_recall_audit" -> q255Sql,
     "q165_pca_power" -> q165Sql,
     "q167_stream_quantiles" -> q167Sql,
