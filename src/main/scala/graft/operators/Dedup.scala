@@ -492,6 +492,50 @@ object Dedup {
       .withColumnRenamed("p_id", idCol)
   }
 
+  /** Cross-frame MinHash-LSH index probe — [[minhashLshPairs]]'
+    * incremental-ingest shape (the text rung of the q95/q187/q217
+    * incremental family): yesterday's corpus is the STANDING band
+    * index (its (band, band_sig) rows carry the degenerate-bucket
+    * cap), today's crawl bands map-side and equi-joins it —
+    * never re-banding history, never all-pairs. Candidates dedupe
+    * across bands, then the exact shingle-set Jaccard verifies (same
+    * final stage as the self-join variant). Returns
+    * (probe_id, index_id, jaccard) for pairs ≥ `threshold`.
+    */
+  def minhashIndexProbe(index: DataFrame, probes: DataFrame,
+      idCol: String, textCol: String,
+      k: Int = 3, numHashes: Int = 32, bands: Int = 8,
+      threshold: Double = 0.5, maxBucket: Int = 2000): DataFrame = {
+    require(numHashes % bands == 0,
+      s"numHashes ($numHashes) must be a multiple of bands ($bands)")
+    def banded(df: DataFrame, idAs: String) = df
+      .select(col(idCol).as(idAs),
+        posexplode(graft.functions.TextHashFunctions
+          .minhash_band_sigs(col(textCol), k, numHashes, bands)))
+      .withColumnRenamed("pos", "band")
+      .withColumnRenamed("col", "band_sig")
+    val ix = banded(index, "index_id")
+      .withColumn("bucket_n", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("band"), col("band_sig"))))
+      .filter(col("bucket_n") <= lit(maxBucket))
+      .select(col("index_id"), col("band"), col("band_sig"))
+    val pr = banded(probes, "probe_id")
+      .select(col("probe_id"), col("band"), col("band_sig"))
+    val cand = pr.join(ix, Seq("band", "band_sig"))
+      .select(col("probe_id"), col("index_id")).distinct()
+    val iSets = index.select(col(idCol).as("index_id"),
+      graft.functions.TextHashFunctions.shingle_hash_set(col(textCol), k).as("sh_i"))
+    val pSets = probes.select(col(idCol).as("probe_id"),
+      graft.functions.TextHashFunctions.shingle_hash_set(col(textCol), k).as("sh_p"))
+    cand.join(pSets, "probe_id").join(iSets, "index_id")
+      .withColumn("n_inter", size(array_intersect(col("sh_p"), col("sh_i"))))
+      .withColumn("jaccard", col("n_inter").cast("double") /
+        (size(col("sh_p")) + size(col("sh_i")) - col("n_inter")).cast("double"))
+      .filter(col("jaccard") >= lit(threshold))
+      .select(col("probe_id"), col("index_id"), col("jaccard"))
+  }
+
   /** Count of chunk buckets excluded by [[simhashPairs]]' cap. */
   def simhashOverfullBuckets(docs: DataFrame, idCol: String, textCol: String,
                              maxBucket: Int = 2000): Long =

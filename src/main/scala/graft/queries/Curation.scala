@@ -2105,7 +2105,92 @@ object Curation {
       |FROM r CROSS JOIN (VALUES (CAST(100 AS BIGINT)), (1000), (10000)) v(k)
       |GROUP BY k ORDER BY k""".stripMargin
 
+  // -------------------------------------------------------------------
+  // q259: CROSS-SOURCE QUANTILE NORMALIZATION of quality scores — the
+  // full calibration q241's median fence approximates with one point:
+  // a raw score (type-token ratio, all-int64 like q241) means
+  // different things in different sources, so each (source, score) is
+  // remapped to the CORPUS score at the same quantile (what
+  // FineWeb-style per-domain calibration does before a single global
+  // threshold is applied). EXACT, no floats anywhere: the per-source
+  // CDF position converts to a corpus ceil-rank r = ⌈cum_s·n_c/n_s⌉
+  // in integer arithmetic, and the lookup "first corpus score whose
+  // cumulative count ≥ r" is the AS-OF union trick — corpus rows at
+  // integer position cum_c, source rows at position r, one forward
+  // first(ignoreNulls) window over the merged DISTINCT-VALUE frame
+  // (value-bounded, q173 discipline; no range join, no BNLJ). Output
+  // is the distinct (source, score) map — model-sized, the thing a
+  // pipeline broadcasts back onto the corpus.
+  // -------------------------------------------------------------------
+  def q259QuantileNormalize(spark: SparkSession, dir: String): DataFrame = {
+    val scores = docs(spark, dir)
+      .select(col("source"),
+        explode(TA.tokens(col("text"))).as("tok"), col("doc_id"))
+      .filter(col("tok") =!= "")
+      .groupBy(col("doc_id"), col("source"))
+      .agg(expr("count(distinct tok) * 1000000L div count(1)").as("score"))
+    val srcDist = scores.groupBy(col("source"), col("score"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("cum_s", sum(col("n")).over(
+        Window.partitionBy(col("source")).orderBy(asc("score"))))
+      .withColumn("n_s", sum(col("n")).over(Window.partitionBy(col("source"))))
+    val corpDist = scores.groupBy(col("score")).agg(count(lit(1)).as("nc"))
+      .withColumn("cum_c", sum(col("nc")).over(Window.orderBy(asc("score"))))
+    val nC = corpDist.agg(sum(col("nc")).as("n_c"))
+    val srcRows = srcDist.crossJoin(broadcast(nC))
+      .select(col("source"), col("score"), col("n"),
+        expr("(cum_s * n_c + n_s - 1) div n_s").as("pos"),
+        lit(0L).as("tag"), lit(null).cast("long").as("y"))
+    val corpRows = corpDist
+      .select(lit(null).cast("string").as("source"),
+        lit(null).cast("long").as("score"), lit(null).cast("long").as("n"),
+        col("cum_c").as("pos"), lit(1L).as("tag"), col("score").as("y"))
+    val w = Window.orderBy(asc("pos"), asc("tag"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    srcRows.union(corpRows)
+      .withColumn("norm_score", first(col("y"), ignoreNulls = true).over(w))
+      .filter(col("tag") === 0)
+      .select(col("source"), col("score"), col("n"), col("norm_score"))
+      .orderBy(asc("source"), asc("score"))
+  }
+  val q259Sql: String =
+    raw"""WITH scores AS (
+      |  SELECT doc_id, source,
+      |    (COUNT(DISTINCT tok) * 1000000) // COUNT(*) AS score
+      |  FROM (SELECT doc_id, source, UNNEST($toksSql) AS tok FROM documents)
+      |  WHERE tok != '' GROUP BY doc_id, source
+      |), sd AS (
+      |  SELECT source, score, CAST(COUNT(*) AS BIGINT) AS n FROM scores
+      |  GROUP BY 1, 2
+      |), sc AS (
+      |  SELECT source, score, n,
+      |    CAST(SUM(n) OVER (PARTITION BY source ORDER BY score
+      |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_s,
+      |    CAST(SUM(n) OVER (PARTITION BY source) AS BIGINT) AS n_s
+      |  FROM sd
+      |), cd AS (
+      |  SELECT score, CAST(COUNT(*) AS BIGINT) AS nc FROM scores GROUP BY 1
+      |), cc AS (
+      |  SELECT score, CAST(SUM(nc) OVER (ORDER BY score
+      |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_c
+      |  FROM cd
+      |), nn AS (SELECT CAST(SUM(nc) AS BIGINT) AS n_c FROM cd),
+      |u AS (
+      |  SELECT source, score, n,
+      |    (cum_s * n_c + n_s - 1) // n_s AS pos,
+      |    CAST(0 AS BIGINT) AS tag, CAST(NULL AS BIGINT) AS y
+      |  FROM sc CROSS JOIN nn
+      |  UNION ALL
+      |  SELECT NULL, NULL, NULL, cum_c, 1, score FROM cc
+      |)
+      |SELECT source, score, n,
+      |  FIRST_VALUE(y IGNORE NULLS) OVER (ORDER BY pos, tag
+      |    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS norm_score
+      |FROM u QUALIFY tag = 0
+      |ORDER BY source, score""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q259_quantile_normalize" -> (q259QuantileNormalize _),
     "q251_vocab_coverage" -> (q251VocabCoverage _),
     "q250_mlm_mask" -> (q250MlmMask _),
     "q249_eval_contamination" -> (q249EvalContamination _),
@@ -2153,6 +2238,7 @@ object Curation {
     "q120_fuzzy_decontaminate" -> (q120FuzzyDecontaminate _))
 
   val oracle: Map[String, String] = Map(
+    "q259_quantile_normalize" -> q259Sql,
     "q251_vocab_coverage" -> q251Sql,
     "q250_mlm_mask" -> q250Sql,
     "q249_eval_contamination" -> q249Sql,

@@ -165,6 +165,49 @@ object Pipeline {
       |ORDER BY keep_id""".stripMargin
 
   // -------------------------------------------------------------------
+  // q258: EXACT-DEDUP IMPACT REPORT — the number every dedup run gets
+  // asked for: per source, how many docs survive GLOBAL exact dedup
+  // (lowest-id keeper across the whole corpus, so a source that
+  // copies another source's content shows its loss here — q29's
+  // within-source distinct count can't see cross-source copying),
+  // how many chars are removed, and the removed fraction in fixed
+  // point. Shapes: q30's 16-byte fingerprint aggregate + one ids-only
+  // left join; all folds partial-aggregate.
+  // -------------------------------------------------------------------
+  def q258DedupImpact(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    val keep = Dedup.exact(d, "doc_id", "text")
+      .select(col("keep_id").as("doc_id"), lit(true).as("is_keep"))
+    d.join(keep, Seq("doc_id"), "left_outer")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("is_keep"), 1L).otherwise(0L)).as("n_keep"),
+        sum(when(col("is_keep"), 0L).otherwise(col("n_chars")))
+          .as("chars_removed"))
+      .withColumn("n_removed", expr("n_docs - n_keep"))
+      .withColumn("removed_fx", expr("(n_docs - n_keep) * 1000000L div n_docs"))
+      .select(col("source"), col("n_docs"), col("n_keep"), col("n_removed"),
+        col("chars_removed"), col("removed_fx"))
+      .orderBy(asc("source"))
+  }
+  val q258Sql: String =
+    """WITH k AS (
+      |  SELECT MIN(doc_id) AS doc_id FROM documents
+      |  GROUP BY regexp_replace(TRIM(text), '\s+', ' ', 'g')
+      |)
+      |SELECT source, COUNT(*) AS n_docs,
+      |  CAST(SUM(CASE WHEN k.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS n_keep,
+      |  COUNT(*) - CAST(SUM(CASE WHEN k.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS n_removed,
+      |  CAST(SUM(CASE WHEN k.doc_id IS NULL THEN n_chars ELSE 0 END)
+      |    AS BIGINT) AS chars_removed,
+      |  (COUNT(*) - CAST(SUM(CASE WHEN k.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+      |    AS BIGINT)) * 1000000 // COUNT(*) AS removed_fx
+      |FROM documents d LEFT JOIN k ON k.doc_id = d.doc_id
+      |GROUP BY source ORDER BY source""".stripMargin
+
+  // -------------------------------------------------------------------
   // q31: MinHash+LSH near-dup candidate pairs. Pipeline order matters
   // at scale: exact-dedup to cluster representatives FIRST, then band
   // only the representatives — exact-dup clusters otherwise flood the
@@ -1524,6 +1567,71 @@ object Pipeline {
       |WHERE (SELECT COUNT(*) FROM e) = (SELECT COUNT(*) FROM documents)
       |UNION ALL SELECT -1, -1, -1 WHERE (SELECT COUNT(*) FROM e) = 0
       |ORDER BY media_id""".stripMargin
+
+  // -------------------------------------------------------------------
+  // q257: INCREMENTAL TEXT NEAR-DUP — the MinHash rung of the
+  // q95/q187/q217/q226 incremental family (it existed for exact keys,
+  // Bloom grams, perceptual hashes and embeddings, but NOT yet for
+  // text LSH): today's crawl (v2 = every doc re-ingested, ids offset
+  // by 1e6, doc_id % 7 == 0 texts perturbed with one extra token)
+  // probes YESTERDAY's standing band index via
+  // Dedup.minhashIndexProbe — history is never re-banded, the index
+  // side carries the bucket cap, candidates equi-join on
+  // (band, band_sig). Oracle: per-pair exact string-shingle Jaccard
+  // replay (q31's containment acceptance) + an EXACT completeness
+  // predicate — every UNPERTURBED v2 doc (identical text ⇒ identical
+  // band signatures ⇒ guaranteed candidate) must pair with its v1
+  // twin, or the whole result fails — + the empty sentinel.
+  // -------------------------------------------------------------------
+  def q257MinhashIncremental(spark: SparkSession, dir: String): DataFrame = {
+    val v1 = docs(spark, dir)
+    val v2 = v1.select((col("doc_id") + lit(1000000L)).as("doc_id"),
+      when(pmod(col("doc_id"), lit(7)) === 0,
+        concat(col("text"), lit(" perturbedtok"))).otherwise(col("text"))
+        .as("text"))
+    Dedup.minhashIndexProbe(v1, v2, "doc_id", "text",
+        k = 3, numHashes = 32, bands = 8, threshold = 0.5)
+      .select(col("probe_id"), col("index_id"),
+        round(col("jaccard"), 6).as("jaccard_r"))
+      .orderBy(asc("probe_id"), asc("index_id"))
+  }
+  val q257Sql: String = {
+    val out = "read_parquet('__GRAFT_OUT__/q257_minhash_incremental/*.parquet')"
+    s"""WITH sh AS (
+      |  SELECT doc_id, list_distinct(list_transform(
+      |    range(1, GREATEST(LEN(toks) - 2, 1) + 1),
+      |    i -> array_to_string(toks[i:i+2], ' '))) AS s
+      |  FROM (SELECT doc_id, string_split_regex(TRIM(text), '\\s+') AS toks
+      |        FROM documents)
+      |), v2 AS (
+      |  SELECT doc_id + 1000000 AS probe_id,
+      |    CASE WHEN doc_id % 7 = 0 THEN text || ' perturbedtok'
+      |         ELSE text END AS text
+      |  FROM documents
+      |), shp AS (
+      |  SELECT probe_id, list_distinct(list_transform(
+      |    range(1, GREATEST(LEN(toks) - 2, 1) + 1),
+      |    i -> array_to_string(toks[i:i+2], ' '))) AS s
+      |  FROM (SELECT probe_id, string_split_regex(TRIM(text), '\\s+') AS toks
+      |        FROM v2)
+      |)
+      |SELECT e.probe_id, e.index_id, e.jaccard_r
+      |FROM $out e
+      |JOIN shp b ON b.probe_id = e.probe_id
+      |JOIN sh a ON a.doc_id = e.index_id
+      |WHERE ROUND(CAST(LEN(list_intersect(b.s, a.s)) AS DOUBLE)
+      |    / (LEN(b.s) + LEN(a.s) - LEN(list_intersect(b.s, a.s))), 6)
+      |    = e.jaccard_r
+      |  AND e.jaccard_r >= 0.5
+      |  AND NOT EXISTS (
+      |    SELECT 1 FROM documents d
+      |    WHERE d.doc_id % 7 <> 0 AND NOT EXISTS (
+      |      SELECT 1 FROM $out e2
+      |      WHERE e2.probe_id = d.doc_id + 1000000
+      |        AND e2.index_id = d.doc_id))
+      |UNION ALL SELECT -1, -1, -1.0 WHERE (SELECT COUNT(*) FROM $out) = 0
+      |ORDER BY probe_id, index_id""".stripMargin
+  }
 
   // -------------------------------------------------------------------
   // q217: INCREMENTAL PERCEPTUAL DEDUP — the ingest-time shape of
@@ -4170,6 +4278,8 @@ object Pipeline {
     "q252_source_dup_matrix" -> (q252SourceDupMatrix _),
     "q254_knn_label_audit" -> (q254KnnLabelAudit _),
     "q256_spectral_rank" -> (q256SpectralRank _),
+    "q257_minhash_incremental" -> (q257MinhashIncremental _),
+    "q258_dedup_impact" -> (q258DedupImpact _),
     "q255_lsh_recall_audit" -> (q255LshRecallAudit _),
     "q165_pca_power" -> (q165PcaPower _),
     "q167_stream_quantiles" -> (q167StreamQuantiles _))
@@ -4213,6 +4323,8 @@ object Pipeline {
     "q252_source_dup_matrix" -> q252Sql,
     "q254_knn_label_audit" -> q254Sql,
     "q256_spectral_rank" -> q256Sql,
+    "q257_minhash_incremental" -> q257Sql,
+    "q258_dedup_impact" -> q258Sql,
     "q255_lsh_recall_audit" -> q255Sql,
     "q165_pca_power" -> q165Sql,
     "q167_stream_quantiles" -> q167Sql,
