@@ -133,7 +133,11 @@ object Explain {
       "q252_source_dup_matrix" -> "q164's prefix-filtered exact pair join (posting equi-join, length+prefix pruned) feeds two match-sized id-equi joins for source labels; the matrix fold is a partial-agged groupBy over ≤ sources² keys",
       "q253_stream_quota" -> "flatMapGroupsWithState keyed by user: state = two scalars + the in-flight buffer; adjudication is timeout-driven at the watermark, so emission needs no further data; the drained sink aggregates nothing — per-event rows flow straight to parquet",
       "q254_knn_label_audit" -> "the q34 brute-force scan (broadcast probes, codegen'd VecDot, per-query top-k window) feeds a label join and the lesson-17 max(struct) argmax vote — votes partial-aggregate, no second window",
-      "q255_lsh_recall_audit" -> "q31's banded candidate machinery at threshold 0: persisted 24-byte band rows, window-capped buckets, ids-only candidate pairs, shingle-set verify joins — the audit adds zero new shuffle shapes, only keeps the FP rows q31 filters out")
+      "q255_lsh_recall_audit" -> "q31's banded candidate machinery at threshold 0: persisted 24-byte band rows, window-capped buckets, ids-only candidate pairs, shingle-set verify joins — the audit adds zero new shuffle shapes, only keeps the FP rows q31 filters out",
+      "q256_spectral_rank" -> "ONE data pass: count + VecFixedSum + VecOuterFixedSum as partial-agged fixed-point aggregates (2080 longs/task); the spectral fold (trace, Frobenius, participation ratio) is driver arithmetic on the collected model — embedding bytes are scanned once, shuffled never",
+      "q257_minhash_incremental" -> "the standing index bands once (24-byte rows, bucket-cap window); probes band map-side and equi-join on (band, band_sig); candidates distinct before the two shingle-set verify joins — history is never re-banded, text never shuffles",
+      "q258_dedup_impact" -> "q30's 16-byte fingerprint min-aggregate + one ids-only left join back to the corpus; the per-source fold partial-aggregates — dedup impact costs one fingerprint pass regardless of text size",
+      "q259_quantile_normalize" -> "per-doc scores partial-aggregate to the DISTINCT (source, score) frame; both CDFs are value-bounded windows; the quantile lookup is the as-of union trick — corpus rows at integer cum positions, source rows at integer ceil-ranks, ONE forward first(ignoreNulls) window; no range join, no BNLJ anywhere")
 
     val sb = new StringBuilder
     sb.append("# EXPLAINS — physical plans of representative queries\n\n")

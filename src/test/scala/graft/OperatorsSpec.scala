@@ -372,6 +372,27 @@ class OperatorsSpec extends SparkSpec {
     assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L)) // disjoint doc excluded
   }
 
+  test("minhashIndexProbe: probes find index twins, novel content stays silent") {
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+      "lambda mu nu xi omicron pi rho sigma tau upsilon"
+    val other = "one two three four five six seven eight nine ten eleven " +
+      "twelve thirteen fourteen fifteen sixteen seventeen eighteen nineteen twenty"
+    val index = Seq((1L, base), (2L, other)).toDF("doc_id", "text")
+    val probes = Seq(
+      (101L, base),                          // exact twin of index 1
+      (102L, base.replace("sigma", "sygma")), // near twin of index 1
+      (103L, "wholly novel content never seen before anywhere at all today"))
+      .toDF("doc_id", "text")
+    val got = Dedup.minhashIndexProbe(index, probes, "doc_id", "text",
+        k = 3, numHashes = 32, bands = 16, threshold = 0.3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val pairs = got.map(t => (t._1, t._2)).toSet
+    assert(pairs.contains((101L, 1L))) // identical text: guaranteed hit
+    assert(got.find(t => t._1 == 101L && t._2 == 1L).get._3 === 1.0)
+    assert(!pairs.exists(_._1 == 103L)) // novel probe matches nothing
+    assert(!pairs.exists(_._2 == 2L))   // nothing resembles index 2
+  }
+
   test("simhash: identical text → distance 0; similar → small; disjoint → large") {
     val df = Seq(
       (1L, "alpha beta gamma delta epsilon zeta eta theta"),
