@@ -2189,7 +2189,91 @@ object Curation {
       |FROM u QUALIFY tag = 0
       |ORDER BY source, score""".stripMargin
 
+  // -------------------------------------------------------------------
+  // q260: SPLIT-BALANCE AUDIT — is the q59 hash split actually
+  // exchangeable, or did it smuggle a distribution shift between
+  // train and val? Per top-64 corpus token: the 3-split contingency
+  // row with its χ² contribution against the marginal-product
+  // expectation (a healthy hash split reads as noise; a systematic
+  // token/split association is a broken split or a leaked
+  // preprocessing step). EXACT: expectations are fixed-shape doubles
+  // over exact int marginals, each cell's χ² term floors to int64
+  // before the per-token sum (the q245 discipline). The (token ×
+  // split) grid completes zero cells via a LITERAL 3-row split frame
+  // (LocalTableScan — PlanLint-bounded) crossed with the LIMIT-bounded
+  // token head; everything else partial-aggregates.
+  // -------------------------------------------------------------------
+  def q260SplitBalance(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val toks = docs(spark, dir)
+      .select(C.splitAssign(col("doc_id"), seed = 42L, trainPct = 80,
+          valPct = 10).as("split"),
+        explode(TA.tokens(col("text"))).as("tok"))
+      .filter(col("tok") =!= "")
+    val top = toks.groupBy(col("tok")).agg(count(lit(1)).as("n"))
+      .orderBy(desc("n"), asc("tok")).limit(64).select(col("tok"))
+    val cells = toks.join(broadcast(top), Seq("tok"))
+      .groupBy(col("tok"), col("split")).agg(count(lit(1)).as("o"))
+    val splits = Seq("train", "val", "test").toDF("split")
+    val grid = top.crossJoin(broadcast(splits))
+      .join(cells, Seq("tok", "split"), "left_outer")
+      .withColumn("o", coalesce(col("o"), lit(0L)))
+    val rowT = grid.groupBy(col("tok")).agg(sum(col("o")).as("n_tok"))
+    val colT = grid.groupBy(col("split")).agg(sum(col("o")).as("n_split"))
+    val tot = grid.agg(sum(col("o")).as("n_all"))
+    val e = (col("n_tok").cast("double") * col("n_split")) / col("n_all")
+    val term = floor(lit(1000000.0) *
+      (((col("o") - e) * (col("o") - e)) / e)).cast("long")
+    grid.join(rowT, Seq("tok")).join(colT, Seq("split"))
+      .crossJoin(broadcast(tot))
+      .select(col("tok"), col("n_tok"), col("split"), col("o"), term.as("t"))
+      .groupBy(col("tok"), col("n_tok"))
+      .agg(sum(when(col("split") === "train", col("o")).otherwise(0L)).as("o_train"),
+        sum(when(col("split") === "val", col("o")).otherwise(0L)).as("o_val"),
+        sum(when(col("split") === "test", col("o")).otherwise(0L)).as("o_test"),
+        sum(col("t")).as("chi2_fp"))
+      .orderBy(asc("tok"))
+  }
+  val q260Sql: String = {
+    val bucket = s"(${C.portableHashSql("doc_id", 42L)} % 100)"
+    raw"""WITH toks AS (
+      |  SELECT CASE WHEN $bucket < 80 THEN 'train'
+      |              WHEN $bucket < 90 THEN 'val'
+      |              ELSE 'test' END AS split,
+      |    tok
+      |  FROM (SELECT doc_id, UNNEST($toksSql) AS tok FROM documents)
+      |  WHERE tok != ''
+      |), top AS (
+      |  SELECT tok FROM (SELECT tok, COUNT(*) AS n FROM toks GROUP BY tok
+      |                   ORDER BY n DESC, tok LIMIT 64)
+      |), cells AS (
+      |  SELECT t.tok, t.split, CAST(COUNT(*) AS BIGINT) AS o
+      |  FROM toks t JOIN top USING (tok) GROUP BY 1, 2
+      |), grid AS (
+      |  SELECT top.tok, s.split, COALESCE(c.o, 0) AS o
+      |  FROM top CROSS JOIN (VALUES ('train'), ('val'), ('test')) s(split)
+      |  LEFT JOIN cells c ON c.tok = top.tok AND c.split = s.split
+      |), rt AS (SELECT tok, CAST(SUM(o) AS BIGINT) AS n_tok FROM grid GROUP BY tok),
+      |ct AS (SELECT split, CAST(SUM(o) AS BIGINT) AS n_split FROM grid GROUP BY split),
+      |tt AS (SELECT CAST(SUM(o) AS BIGINT) AS n_all FROM grid),
+      |terms AS (
+      |  SELECT g.tok, rt.n_tok, g.split, g.o,
+      |    CAST(FLOOR(1000000.0 * (((g.o - (CAST(rt.n_tok AS DOUBLE) * ct.n_split) / tt.n_all)
+      |      * (g.o - (CAST(rt.n_tok AS DOUBLE) * ct.n_split) / tt.n_all))
+      |      / ((CAST(rt.n_tok AS DOUBLE) * ct.n_split) / tt.n_all))) AS BIGINT) AS t
+      |  FROM grid g JOIN rt ON rt.tok = g.tok
+      |  JOIN ct ON ct.split = g.split CROSS JOIN tt
+      |)
+      |SELECT tok, n_tok,
+      |  CAST(SUM(CASE WHEN split = 'train' THEN o ELSE 0 END) AS BIGINT) AS o_train,
+      |  CAST(SUM(CASE WHEN split = 'val' THEN o ELSE 0 END) AS BIGINT) AS o_val,
+      |  CAST(SUM(CASE WHEN split = 'test' THEN o ELSE 0 END) AS BIGINT) AS o_test,
+      |  CAST(SUM(t) AS BIGINT) AS chi2_fp
+      |FROM terms GROUP BY 1, 2 ORDER BY tok""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q260_split_balance" -> (q260SplitBalance _),
     "q259_quantile_normalize" -> (q259QuantileNormalize _),
     "q251_vocab_coverage" -> (q251VocabCoverage _),
     "q250_mlm_mask" -> (q250MlmMask _),
@@ -2238,6 +2322,7 @@ object Curation {
     "q120_fuzzy_decontaminate" -> (q120FuzzyDecontaminate _))
 
   val oracle: Map[String, String] = Map(
+    "q260_split_balance" -> q260Sql,
     "q259_quantile_normalize" -> q259Sql,
     "q251_vocab_coverage" -> q251Sql,
     "q250_mlm_mask" -> q250Sql,
