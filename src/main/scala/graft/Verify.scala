@@ -23,8 +23,27 @@ object Verify {
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
+      try {
+        val df = fn(spark, sfDir)
+        // The driver's pandas comparator only hashes SCALAR cells: an
+        // array/struct/map/binary output column dies in sort_values →
+        // factorize ("unhashable type") — the round-8 q210/q217 red
+        // rows. Refuse at dump time so the local gate can never pass
+        // what the driver fails (encode lists as joined strings).
+        val nested = df.schema.fields.filter { f =>
+          f.dataType match {
+            case _: org.apache.spark.sql.types.ArrayType  => true
+            case _: org.apache.spark.sql.types.StructType => true
+            case _: org.apache.spark.sql.types.MapType    => true
+            case org.apache.spark.sql.types.BinaryType    => true
+            case _ => false
+          }
+        }
+        if (nested.nonEmpty) throw new IllegalArgumentException(
+          s"non-scalar output columns ${nested.map(_.name).mkString(",")} " +
+            "— the driver comparator only hashes scalar cells")
+        df.coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
+      }
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
         // a crashed query must show up as a FAILING correctness row,

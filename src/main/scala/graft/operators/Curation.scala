@@ -511,6 +511,124 @@ object Curation {
     syms
   }
 
+  /** UNIGRAM-LM-STYLE tokenizer training (the second tokenizer family
+    * next to BPE): hard-EM rounds over a candidate-piece vocabulary
+    * with deterministic pruning — the SentencePiece workflow
+    * re-expressed under this repo's exact-replay contract. Round 0
+    * seeds the vocabulary with the `vocabK` most frequent multi-char
+    * substrings (length 2..`maxPieceLen`, corpus-weighted, tie-broken
+    * (count desc, piece asc)) plus implicit single-char coverage.
+    * Each EM round then (E) segments every WORD TYPE by greedy
+    * longest-match under the current vocabulary — the deterministic
+    * hard-assignment E-step (full soft-EM forward–backward needs
+    * float log-prob DP whose argmax ties cannot be replayed
+    * bit-exactly cross-engine; greedy longest-match has NO ties:
+    * match length is unique, single chars guarantee coverage) — and
+    * (M) re-estimates piece usage from the segmentation, pruning the
+    * vocabulary to the `vocabK` most-used multi-char pieces. Unused
+    * candidates die exactly like low-expected-count pieces in
+    * SentencePiece's prune step.
+    *
+    * Scale shape (the q213 BPE discipline): the corpus collapses to
+    * the word-TYPE frame once — the only corpus-sized shuffle.
+    * Everything after is type-frame-sized: the candidate join is a
+    * bounded explode (≤ maxPieceLen−1 rows/position) against a
+    * broadcast model-sized vocab, and the greedy orbit (pos →
+    * pos + matchlen, from 1) is materialized by POINTER DOUBLING —
+    * ⌈log2 maxWordLen⌉ self-equi-joins on the (w, pos) frame instead
+    * of a per-word sequential scan, so no driver loop over positions
+    * and no interpreted lambda touches the hot path. Per round, only
+    * the model (piece usage table, ≤ vocabK + alphabet rows) is
+    * collected — the BPE 1-row-argmax pattern, widened to the vocab.
+    *
+    * Returns (round, rank, piece, use_wt): the `outK` most-used
+    * pieces per EM round in (use_wt desc, piece asc) order — the
+    * trained model's round-by-round trajectory, exactly replayable.
+    */
+  def unigramRounds(df: DataFrame, textCol: String, rounds: Int,
+      vocabK: Int = 64, outK: Int = 40, maxPieceLen: Int = 4): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val types = df.select(explode(TA.tokens(col(textCol))).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy(col("w")).agg(count(lit(1)).as("wc"))
+      .persist()
+    // (w, wc, len, pos) for every 1-based character position — the
+    // BPE sym0 shape minus the symbol column; reused by every round.
+    val positions = types
+      .select(col("w"), col("wc"), length(col("w")).as("len"),
+        posexplode(split(col("w"), "(?<=.)(?=.)")))
+      .select(col("w"), col("wc"), col("len"), (col("pos") + 1).as("pos"))
+      .persist()
+    // fence: the orbit needs ⌈log2 maxLen⌉ doubling levels (each step
+    // advances ≥ 1, so orbit index < maxLen) — a 1-row layout collect
+    val maxLen = positions.agg(max(col("len"))).collect()(0).getInt(0)
+    var levels = 0
+    while ((1L << levels) < maxLen) levels += 1
+
+    // Greedy-longest-match usage table under a driver-held vocab,
+    // collected (model-sized: ≤ vocabK + alphabet rows) in
+    // (use_wt desc, piece asc) order.
+    def segmentUsage(vocab: Seq[String]): Seq[(String, Long)] = {
+      val vdf = vocab.toDF("sub")
+      val hit = positions
+        .select(col("w"), col("pos"), col("len"),
+          explode(array((2 to maxPieceLen).map(l => lit(l)): _*)).as("l"))
+        .filter(col("pos") + col("l") - 1 <= col("len"))
+        .select(col("w"), col("pos"), col("l"),
+          expr("substring(w, pos, l)").as("sub"))
+        .join(broadcast(vdf), Seq("sub"))
+        .groupBy(col("w"), col("pos")).agg(max(col("l")).as("mml"))
+      val ml = positions.join(hit, Seq("w", "pos"), "left_outer")
+        .select(col("w"), col("wc"), col("pos"),
+          coalesce(col("mml"), lit(1)).as("mlen"))
+        .persist()
+      var n = ml.select(col("w"), col("pos"), (col("pos") + col("mlen")).as("next"))
+      var r = types.select(col("w"), lit(1).as("pos"))
+      (0 until levels).foreach { _ =>
+        r = r.union(
+          r.join(n, Seq("w", "pos")).select(col("w"), col("next").as("pos")))
+        n = n.as("a").join(n.as("b"),
+            col("a.w") === col("b.w") && col("a.next") === col("b.pos"))
+          .select(col("a.w").as("w"), col("a.pos").as("pos"),
+            col("b.next").as("next"))
+        // both r (union tree) and n (self-join tree) double in plan
+        // size per level: on a long-word corpus (levels > 4, words >
+        // 16 chars) truncate lineage each level or Catalyst pays
+        // exponential analysis cost. Not triggered at gate scale.
+        if (levels > 4) { r = r.localCheckpoint(); n = n.localCheckpoint() }
+      }
+      val out = r.join(ml, Seq("w", "pos"))
+        .select(expr("substring(w, pos, mlen)").as("piece"), col("wc"))
+        .groupBy(col("piece")).agg(sum(col("wc")).as("use_wt"))
+        .orderBy(desc("use_wt"), asc("piece")).collect()
+      ml.unpersist()
+      out.map(x => (x.getString(0), x.getLong(1))).toSeq
+    }
+
+    // Round-0 seed: raw substring frequencies (no segmentation yet).
+    var vocab: Seq[String] = positions
+      .select(col("w"), col("wc"), col("pos"), col("len"),
+        explode(array((2 to maxPieceLen).map(l => lit(l)): _*)).as("l"))
+      .filter(col("pos") + col("l") - 1 <= col("len"))
+      .select(expr("substring(w, pos, l)").as("piece"), col("wc"))
+      .groupBy(col("piece")).agg(sum(col("wc")).as("cnt"))
+      .orderBy(desc("cnt"), asc("piece")).limit(vocabK)
+      .collect().map(_.getString(0)).toSeq
+
+    val rows = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, String, Long)]
+    (1 to rounds).foreach { rd =>
+      val usage = segmentUsage(vocab)
+      usage.take(outK).zipWithIndex.foreach { case ((piece, wt), i) =>
+        rows += ((rd.toLong, (i + 1).toLong, piece, wt))
+      }
+      vocab = usage.collect { case (piece, _) if piece.length >= 2 => piece }
+        .take(vocabK)
+    }
+    types.unpersist(); positions.unpersist()
+    rows.toSeq.toDF("round", "rank", "piece", "use_wt")
+  }
+
   /** Benchmark decontamination: find training documents sharing ≥ 1
     * word n-gram with any document of the (small) eval set — the
     * standard n-gram-overlap contamination check run before training.
@@ -821,9 +939,15 @@ object Curation {
     * (ranked ascending, token tie-break — a total order):
     *   G = (2·Σ i·c_i − (n+1)·Σc) / (n·Σc)
     * kept in int64 fixed point (×1e6) end to end, so the oracle
-    * replays it bit-for-bit. Bound: Σ(i·c_i) ≤ n·Σc < 2^63 holds to
-    * n·Σc ≈ 9·10^18 — e.g. a 10M-type vocabulary over 900 G tokens
-    * per stratum; shard the stratum before that.
+    * replays it bit-for-bit. Bound: the numerator (2·t − (n+1)·Σc) is
+    * scaled ×1e6 BEFORE the div, so the true overflow envelope is
+    * 2·n·Σc·1e6 < 2^63, i.e. n·Σc ≲ 4.6·10^12 — e.g. a 1M-type
+    * vocabulary over ~4.6M tokens per stratum, or 10k types over
+    * ~460M tokens. Past that Spark wraps int64 SILENTLY (wrong Gini,
+    * no error) while DuckDB raises, so the engines diverge exactly at
+    * the edge: shard the stratum (or drop to the ×1e3 scale) before
+    * n·Σc approaches 4.6e12 — NOT the old 9e18 figure, which ignored
+    * the pre-div scaling.
     *
     * Scale shape: one (stratum, token) count shuffle, then a rank
     * window over the VOCABULARY-sized frame (distinct types per

@@ -495,12 +495,25 @@ object Dedup {
   /** Cross-frame MinHash-LSH index probe — [[minhashLshPairs]]'
     * incremental-ingest shape (the text rung of the q95/q187/q217
     * incremental family): yesterday's corpus is the STANDING band
-    * index (its (band, band_sig) rows carry the degenerate-bucket
-    * cap), today's crawl bands map-side and equi-joins it —
-    * never re-banding history, never all-pairs. Candidates dedupe
-    * across bands, then the exact shingle-set Jaccard verifies (same
-    * final stage as the self-join variant). Returns
-    * (probe_id, index_id, jaccard) for pairs ≥ `threshold`.
+    * index, today's crawl bands map-side and equi-joins it —
+    * never re-banding history, never all-pairs. BOTH sides carry the
+    * degenerate-bucket cap: the index side bounds unbounded history,
+    * and the probe side bounds a boilerplate-heavy crawl batch (an
+    * uncapped probe bucket would still join every surviving index
+    * bucket at full width — probe_n × maxBucket pairs per band).
+    * Candidates dedupe across bands, then the exact shingle-set
+    * Jaccard verifies (same final stage as the self-join variant).
+    * Returns (probe_id, index_id, jaccard) for pairs ≥ `threshold`.
+    *
+    * Cap/completeness interaction (the q257 gate reads this): if ANY
+    * bucket exceeds `maxBucket`, its members lose guaranteed
+    * candidacy in that band — including exact-duplicate twins, whose
+    * bands ALL collide. q257's all-or-nothing completeness oracle
+    * would then fail loudly (by design: a silent recall cliff is the
+    * worse outcome). At gate scale no bucket approaches the cap; a
+    * production run on a self-similar corpus sizes `maxBucket` from
+    * the overfull-bucket census first (simhashOverfullBuckets'
+    * pattern), exactly as [[minhashLshPairs]] documents.
     */
   def minhashIndexProbe(index: DataFrame, probes: DataFrame,
       idCol: String, textCol: String,
@@ -521,6 +534,10 @@ object Dedup {
       .filter(col("bucket_n") <= lit(maxBucket))
       .select(col("index_id"), col("band"), col("band_sig"))
     val pr = banded(probes, "probe_id")
+      .withColumn("bucket_n", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("band"), col("band_sig"))))
+      .filter(col("bucket_n") <= lit(maxBucket))
       .select(col("probe_id"), col("band"), col("band_sig"))
     val cand = pr.join(ix, Seq("band", "band_sig"))
       .select(col("probe_id"), col("index_id")).distinct()

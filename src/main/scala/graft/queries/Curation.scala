@@ -1509,6 +1509,79 @@ object Curation {
       "\nORDER BY round"
 
   // -------------------------------------------------------------------
+  // q262: UNIGRAM-LM TOKENIZER ROUNDS (Kudo 2018, SentencePiece-style)
+  // — the second tokenizer family next to BPE (q213/q216/q224): seed a
+  // candidate-piece vocabulary from the top-64 multi-char substring
+  // frequencies (len 2..4, corpus-weighted, ties lexical), then 2
+  // hard-EM rounds: E = greedy longest-match segmentation of every
+  // word type (deterministic — match length is unique and single
+  // chars guarantee coverage, so NO float log-prob argmax ties to
+  // replay), M = piece usage re-estimation + prune back to the top-64
+  // multi-char pieces. Spark materializes the greedy orbit by pointer
+  // doubling (⌈log2 maxWordLen⌉ self-joins on the type-sized (w, pos)
+  // frame — no driver loop over positions); the corpus→type collapse
+  // is the only corpus-sized shuffle, and only the model (≤ 64 +
+  // alphabet usage rows) is collected per round — the q213 replay
+  // contract. Oracle: full independent recompute — the identical
+  // seed/segment/prune unrolled per round in SQL, with the greedy
+  // orbit as a recursive CTE chase (sequential recursion is fine at
+  // oracle scale; pointer doubling is its distributed equivalent).
+  // -------------------------------------------------------------------
+  def q262UnigramRounds(spark: SparkSession, dir: String): DataFrame =
+    C.unigramRounds(docs(spark, dir), "text", rounds = 2,
+        vocabK = 64, outK = 40, maxPieceLen = 4)
+      .orderBy(asc("round"), asc("rank"))
+  private def unigramRoundSql(i: Int): String = {
+    val vocab = if (i == 1) "v0" else s"v${i - 1}"
+    s"""hit$i AS (
+      |  SELECT c.w, c.pos, MAX(c.l) AS mml
+      |  FROM cand c JOIN $vocab v ON v.piece = c.sub GROUP BY 1, 2),
+      |ml$i AS (
+      |  SELECT p.w, p.wc, p.pos, COALESCE(h.mml, 1) AS mlen
+      |  FROM upos p LEFT JOIN hit$i h ON h.w = p.w AND h.pos = p.pos),
+      |seg$i AS (
+      |  SELECT w, wc, pos, mlen FROM ml$i WHERE pos = 1
+      |  UNION ALL
+      |  SELECT m.w, m.wc, m.pos, m.mlen
+      |  FROM seg$i s JOIN ml$i m ON m.w = s.w AND m.pos = s.pos + s.mlen),
+      |use$i AS (
+      |  SELECT w[pos:pos+mlen-1] AS piece, CAST(SUM(wc) AS BIGINT) AS use_wt
+      |  FROM seg$i GROUP BY 1),
+      |v$i AS (
+      |  SELECT piece FROM use$i WHERE LEN(piece) >= 2
+      |  ORDER BY use_wt DESC, piece LIMIT 64)""".stripMargin
+  }
+  val q262Sql: String =
+    raw"""WITH RECURSIVE types AS (
+      |  SELECT tok AS w, CAST(COUNT(*) AS BIGINT) AS wc
+      |  FROM (SELECT UNNEST($toksSql) AS tok FROM documents)
+      |  WHERE tok != '' GROUP BY 1),
+      |upos AS (
+      |  SELECT w, wc, LEN(w) AS len, UNNEST(range(1, LEN(w) + 1)) AS pos
+      |  FROM types),
+      |cand AS (
+      |  SELECT w, wc, pos, l, w[pos:pos+l-1] AS sub
+      |  FROM upos, UNNEST([2, 3, 4]) AS t(l)
+      |  WHERE pos + l - 1 <= len),
+      |v0 AS (
+      |  SELECT sub AS piece FROM (
+      |    SELECT sub, CAST(SUM(wc) AS BIGINT) AS cnt FROM cand GROUP BY 1)
+      |  ORDER BY cnt DESC, piece LIMIT 64),
+      |""".stripMargin +
+      (1 to 2).map(unigramRoundSql).mkString(",\n") +
+      """
+      |SELECT round, rank, piece, use_wt FROM (
+      |  SELECT CAST(1 AS BIGINT) AS round,
+      |    ROW_NUMBER() OVER (ORDER BY use_wt DESC, piece) AS rank,
+      |    piece, use_wt FROM use1
+      |  UNION ALL
+      |  SELECT CAST(2 AS BIGINT),
+      |    ROW_NUMBER() OVER (ORDER BY use_wt DESC, piece),
+      |    piece, use_wt FROM use2)
+      |WHERE rank <= 40
+      |ORDER BY round, rank""".stripMargin
+
+  // -------------------------------------------------------------------
   // q216: BPE VOCABULARY APPLY — the corpus segmented by q213's trained
   // merges: top-50 subword symbols of the final symbol frame by
   // corpus-weighted occurrence (ties lexical). Shares q213's generated
@@ -2007,9 +2080,14 @@ object Curation {
   // position) hash alone so re-runs, backfills and the trainer's own
   // replay all mask the identical positions (a per-run RNG can't be
   // audited after the fact; this table can). Position key =
-  // doc_id·4096 + pos (documented bounds: pos < 4096 tokens/doc and
-  // doc_id < 2^63/4096/2654435761 ≈ 8·10^8 keep the portable hash
-  // overflow-free — shard the id space beyond). Map-only: the explode
+  // doc_id·4096 + pos (bounds: pos < 4096 tokens/doc and
+  // doc_id < 2^63/4096/2654435761 ≈ 8.5·10^5 keep the ORACLE side of
+  // the portable hash overflow-free — the binding constraint is
+  // DuckDB, which RAISES on the (pid+seed)·2654435761 int64 overflow;
+  // Spark wraps harmlessly (the wrap is ≡ mod 2^32) and stays correct
+  // far beyond. Shard the id space, or mod pid into [0, 2^32) before
+  // the multiply on BOTH sides, past ~8.5e5 docs per shard). Map-only:
+  // the explode
   // + two hash expressions ride the scan; one partial-agged fold per
   // doc. sum_masked_pos makes the gate position-exact, not just
   // count-exact.
@@ -2291,6 +2369,7 @@ object Curation {
     "q215_extent_strip" -> (q215ExtentStrip _),
     "q216_bpe_vocab" -> (q216BpeVocab _),
     "q213_bpe_merges" -> (q213BpeMerges _),
+    "q262_unigram_rounds" -> (q262UnigramRounds _),
     "q212_repeated_extents" -> (q212RepeatedExtents _),
     "q209_report_card" -> (q209ReportCard _),
     "q207_skipgram_pairs" -> (q207SkipgramPairs _),
@@ -2340,6 +2419,7 @@ object Curation {
     "q215_extent_strip" -> q215Sql,
     "q216_bpe_vocab" -> q216Sql,
     "q213_bpe_merges" -> q213Sql,
+    "q262_unigram_rounds" -> q262Sql,
     "q212_repeated_extents" -> q212Sql,
     "q209_report_card" -> q209Sql,
     "q207_skipgram_pairs" -> q207Sql,

@@ -1502,24 +1502,30 @@ object Pipeline {
   // grid[r,c] > grid[r,c+1], bit 63 as the −2^63 literal (DuckDB errors
   // on 1<<63) — and any hash not matching its grid falls out of the
   // WHERE → row-count FAIL; 1:1 coverage is pinned by the count guard.
+  // The grid is emitted as a SPACE-JOINED STRING (not array<bigint>):
+  // the driver's pandas comparator cannot hash non-scalar cells (the
+  // r8 red rows); DuckDB re-lists it via string_split + CAST.
   // -------------------------------------------------------------------
   def q210ImagePhash(spark: SparkSession, dir: String): DataFrame =
     Multimodal.phashTable(Multimodal.mediaTable(spark, dir)).toDF()
-      .select(col("media_id"), col("grid"), col("dhash"))
+      .select(col("media_id"),
+        concat_ws(" ", col("grid")).as("grid"), col("dhash"))
       .orderBy(asc("media_id"))
   val q210Sql: String =
-    """WITH e AS (SELECT media_id, grid, dhash
+    """WITH e AS (SELECT media_id, grid, dhash,
+      |    list_transform(string_split(grid, ' '),
+      |                   x -> CAST(x AS BIGINT)) AS g
       |  FROM read_parquet('__GRAFT_OUT__/q210_image_phash/*.parquet'))
       |SELECT media_id, grid, dhash FROM e
-      |WHERE len(grid) = 72
+      |WHERE len(g) = 72
       |  AND dhash = CAST(list_sum(list_transform(range(64), b ->
-      |    CASE WHEN grid[(b // 8) * 9 + (b % 8) + 1]
-      |            > grid[(b // 8) * 9 + (b % 8) + 2]
+      |    CASE WHEN g[(b // 8) * 9 + (b % 8) + 1]
+      |            > g[(b // 8) * 9 + (b % 8) + 2]
       |         THEN CASE WHEN b = 63 THEN -9223372036854775807 - 1
       |              ELSE (1::BIGINT << b) END
       |         ELSE 0 END)) AS BIGINT)
       |  AND (SELECT COUNT(*) FROM e) = (SELECT COUNT(*) FROM documents)
-      |UNION ALL SELECT -1, [CAST(-1 AS BIGINT)], CAST(-1 AS BIGINT)
+      |UNION ALL SELECT -1, '-1', CAST(-1 AS BIGINT)
       |  WHERE (SELECT COUNT(*) FROM e) = 0
       |ORDER BY media_id""".stripMargin
 
@@ -1575,13 +1581,19 @@ object Pipeline {
   // text LSH): today's crawl (v2 = every doc re-ingested, ids offset
   // by 1e6, doc_id % 7 == 0 texts perturbed with one extra token)
   // probes YESTERDAY's standing band index via
-  // Dedup.minhashIndexProbe — history is never re-banded, the index
-  // side carries the bucket cap, candidates equi-join on
-  // (band, band_sig). Oracle: per-pair exact string-shingle Jaccard
-  // replay (q31's containment acceptance) + an EXACT completeness
-  // predicate — every UNPERTURBED v2 doc (identical text ⇒ identical
-  // band signatures ⇒ guaranteed candidate) must pair with its v1
-  // twin, or the whole result fails — + the empty sentinel.
+  // Dedup.minhashIndexProbe — history is never re-banded, BOTH sides
+  // carry the degenerate-bucket cap (r9: the probe side too — an
+  // uncapped boilerplate crawl batch would join every surviving index
+  // bucket at full width), candidates equi-join on (band, band_sig).
+  // Oracle: per-pair exact string-shingle Jaccard replay (q31's
+  // containment acceptance) + an EXACT completeness predicate — every
+  // UNPERTURBED v2 doc (identical text ⇒ identical band signatures ⇒
+  // guaranteed candidate) must pair with its v1 twin, or the whole
+  // result fails — + the empty sentinel. CAP INTERACTION: that
+  // guarantee holds only while no bucket exceeds maxBucket (twins'
+  // bands all collide, so a capped bucket drops them too) — if this
+  // gate ever fails with missing twins, check the overfull-bucket
+  // census before blaming the probe (see minhashIndexProbe scaladoc).
   // -------------------------------------------------------------------
   def q257MinhashIncremental(spark: SparkSession, dir: String): DataFrame = {
     val v1 = docs(spark, dir)
@@ -1647,11 +1659,14 @@ object Pipeline {
   // recomputes every v2 probe's true Hamming-≤3 index count from the
   // emitted hashes — wrong hash, missed match, or phantom match all
   // break a join → FAIL; count guards pin 1:1 coverage of both sides.
+  // Like q210, the grid travels as a space-joined string (scalar
+  // cells only — the driver's comparator constraint).
   // -------------------------------------------------------------------
   def q217PhashIncremental(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val ph1 = Multimodal.phashTable(Multimodal.mediaTable(spark, dir)).toDF()
-      .select(col("media_id"), col("grid"), col("dhash"))
+      .select(col("media_id"),
+        concat_ws(" ", col("grid")).as("grid"), col("dhash"))
     val v2media = spark.read.parquet(s"$dir/documents.parquet")
       .select((col("doc_id") + lit(1000000L)).as("media_id"),
         lit("image").as("media_type"),
@@ -1661,7 +1676,8 @@ object Pipeline {
         lit(64).as("width"), lit(64).as("height"), lit(0).as("sample_rate"))
       .as[Multimodal.MediaRow]
     val ph2 = Multimodal.phashTable(v2media).toDF()
-      .select(col("media_id"), col("grid"), col("dhash"))
+      .select(col("media_id"),
+        concat_ws(" ", col("grid")).as("grid"), col("dhash"))
     val known = Dedup.signatureMatches(
       ph1.select(col("media_id"), col("dhash").as("sig")),
       ph2.select(col("media_id"), col("dhash").as("sig")),
@@ -1674,14 +1690,16 @@ object Pipeline {
     v1rows.union(v2rows).orderBy(asc("side"), asc("media_id"))
   }
   val q217Sql: String =
-    """WITH e AS (SELECT side, media_id, grid, dhash, n_known
+    """WITH e AS (SELECT side, media_id, grid, dhash, n_known,
+      |    list_transform(string_split(grid, ' '),
+      |                   x -> CAST(x AS BIGINT)) AS g
       |  FROM read_parquet('__GRAFT_OUT__/q217_phash_incremental/*.parquet')),
       |ok AS (
       |  SELECT * FROM e
-      |  WHERE len(grid) = 72
+      |  WHERE len(g) = 72
       |    AND dhash = CAST(list_sum(list_transform(range(64), b ->
-      |      CASE WHEN grid[(b // 8) * 9 + (b % 8) + 1]
-      |              > grid[(b // 8) * 9 + (b % 8) + 2]
+      |      CASE WHEN g[(b // 8) * 9 + (b % 8) + 1]
+      |              > g[(b // 8) * 9 + (b % 8) + 2]
       |           THEN CASE WHEN b = 63 THEN -9223372036854775807 - 1
       |                ELSE (1::BIGINT << b) END
       |           ELSE 0 END)) AS BIGINT)),
@@ -1704,10 +1722,88 @@ object Pipeline {
       |        = (SELECT COUNT(*) FROM documents)
       |  AND (SELECT COUNT(*) FROM e WHERE side = 'v2')
       |        = (SELECT COUNT(*) FROM documents)
-      |UNION ALL SELECT 'x', -1, [CAST(-1 AS BIGINT)], CAST(-1 AS BIGINT),
+      |UNION ALL SELECT 'x', -1, '-1', CAST(-1 AS BIGINT),
       |  CAST(-1 AS BIGINT)
       |  WHERE (SELECT COUNT(*) FROM e) = 0
       |ORDER BY side, media_id""".stripMargin
+
+  // -------------------------------------------------------------------
+  // q261: PERCEPTUAL CANONICAL KEEP-LIST — completes the image rung to
+  // parity with the text ladder (q55→q194): q211's verified Hamming-≤3
+  // dHash pairs → connected components → one canonical per cluster by
+  // a deterministic quality order (largest payload, then smallest
+  // media_id — "keep the highest-fidelity copy"), applied back to
+  // EVERY medium. The output IS the decision artifact an image-ingest
+  // pipeline consumes: (media_id, cluster, keep_id, is_dup).
+  // Singletons are their own canonical. Shape: signaturePairs'
+  // pigeonhole equi-join (never all-pairs) → CC on the PAIR-sized
+  // frame → one per-cluster window (fan-in = cluster size, q194's
+  // discipline). Oracle: the q117 pattern — recursive-CTE components
+  // over the emitted hashes' true Hamming-≤3 pairs (all-pairs
+  // affordable at oracle scale; exactly what the blocking avoids at
+  // corpus scale) + independently recomputed n_bytes from documents +
+  // the identical canonical window; any wrong cluster, keep_id,
+  // n_bytes or flag falls out of the 5-way acceptance join → FAIL;
+  // the count guard pins 1:1 coverage. Hash provenance is q210's grid
+  // replay (same deterministic phashTable over the same media).
+  // -------------------------------------------------------------------
+  def q261PhashCanonical(spark: SparkSession, dir: String): DataFrame = {
+    val ph = Multimodal.phashTable(Multimodal.mediaTable(spark, dir)).toDF()
+      .select(col("media_id"), col("dhash"))
+    val pairs = Dedup.signaturePairs(
+        ph.select(col("media_id"), col("dhash").as("sig")),
+        "media_id", maxHamming = 3, maxBucket = 1 << 20)
+      .select(col("id_a"), col("id_b"))
+    val cc = Dedup.connectedComponents(pairs, "id_a", "id_b")
+      .select(col("id").as("media_id"), col("cluster"))
+    val sized = Multimodal.mediaTable(spark, dir).toDF()
+      .select(col("media_id"), length(col("payload")).cast("long").as("n_bytes"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("cluster")).orderBy(desc("n_bytes"), asc("media_id"))
+    ph.join(cc, Seq("media_id"), "left_outer")
+      .join(sized, Seq("media_id"))
+      .select(col("media_id"), col("dhash"), col("n_bytes"),
+        coalesce(col("cluster"), col("media_id")).as("cluster"))
+      .withColumn("keep_id", first(col("media_id")).over(w))
+      .select(col("media_id"), col("dhash"), col("n_bytes"), col("cluster"),
+        col("keep_id"), (col("media_id") =!= col("keep_id")).as("is_dup"))
+      .orderBy(asc("media_id"))
+  }
+  val q261Sql: String =
+    """WITH RECURSIVE e AS (
+      |  SELECT media_id, dhash, n_bytes, cluster, keep_id, is_dup
+      |  FROM read_parquet('__GRAFT_OUT__/q261_phash_canonical/*.parquet')),
+      |pairs AS (
+      |  SELECT a.media_id AS id_a, b.media_id AS id_b
+      |  FROM e a JOIN e b ON a.media_id < b.media_id
+      |  WHERE bit_count(xor(a.dhash, b.dhash)) <= 3),
+      |edges AS (
+      |  SELECT id_a AS src, id_b AS dst FROM pairs
+      |  UNION SELECT id_b, id_a FROM pairs),
+      |reach AS (
+      |  SELECT src AS id, src AS r FROM edges
+      |  UNION
+      |  SELECT g.src AS id, r.r FROM edges g JOIN reach r ON g.dst = r.id),
+      |truth AS (
+      |  SELECT x.media_id, CAST(strlen(d.text) AS BIGINT) AS n_bytes_t,
+      |    COALESCE((SELECT MIN(r) FROM reach WHERE reach.id = x.media_id),
+      |      x.media_id) AS cluster_t
+      |  FROM e x JOIN documents d ON d.doc_id = x.media_id),
+      |sel AS (
+      |  SELECT media_id, n_bytes_t, cluster_t,
+      |    FIRST_VALUE(media_id) OVER (PARTITION BY cluster_t
+      |      ORDER BY n_bytes_t DESC, media_id) AS keep_t
+      |  FROM truth)
+      |SELECT x.media_id, x.dhash, x.n_bytes, x.cluster, x.keep_id, x.is_dup
+      |FROM e x JOIN sel s ON s.media_id = x.media_id
+      |  AND x.n_bytes = s.n_bytes_t AND x.cluster = s.cluster_t
+      |  AND x.keep_id = s.keep_t
+      |  AND x.is_dup = (x.media_id != s.keep_t)
+      |WHERE (SELECT COUNT(*) FROM e) = (SELECT COUNT(*) FROM documents)
+      |UNION ALL SELECT CAST(-1 AS BIGINT), CAST(-1 AS BIGINT),
+      |  CAST(-1 AS BIGINT), CAST(-1 AS BIGINT), CAST(-1 AS BIGINT), FALSE
+      |  WHERE (SELECT COUNT(*) FROM e) = 0
+      |ORDER BY media_id""".stripMargin
 
   // -------------------------------------------------------------------
   // q102: sliding-window STREAMING rollup — the streaming twin of the
@@ -4243,6 +4339,7 @@ object Pipeline {
     "q210_image_phash" -> (q210ImagePhash _),
     "q211_phash_neardup" -> (q211PhashNearDup _),
     "q217_phash_incremental" -> (q217PhashIncremental _),
+    "q261_phash_canonical" -> (q261PhashCanonical _),
     "q208_sssp" -> (q208Sssp _),
     "q203_stream_asof" -> (q203StreamAsof _),
     "q253_stream_quota" -> (q253StreamQuota _),
@@ -4368,6 +4465,7 @@ object Pipeline {
     "q210_image_phash" -> q210Sql,
     "q211_phash_neardup" -> q211Sql,
     "q217_phash_incremental" -> q217Sql,
+    "q261_phash_canonical" -> q261Sql,
     "q208_sssp" -> q208Sql,
     "q202_embedding_drift" -> q202Sql,
     "q195_embedding_outliers" -> q195Sql,

@@ -625,8 +625,12 @@ object EventStreams {
     * by ADJUDICATED events + the running sequence number, plus the
     * below-watermark buffer of (ts_us, event_id, cost_fx) rows
     * awaiting adjudication. Scalars persist for the key's lifetime;
-    * the buffer is O(in-flight watermark window). */
-  case class QuotaBuf(spentFx: Long, seq: Long,
+    * the buffer is O(in-flight watermark window). `minPendingUs`
+    * (Long.MaxValue when empty) lets a batch that cannot adjudicate
+    * anything skip the O(buffer) partition/sort entirely — a hot
+    * key's steady-state batch cost is then O(new rows), not
+    * O(watermark window). */
+  case class QuotaBuf(spentFx: Long, seq: Long, minPendingUs: Long,
                       pending: Seq[(Long, Long, Long)])
 
   /** Streaming per-key QUOTA / running-spend enforcement — the
@@ -668,23 +672,37 @@ object EventStreams {
         (user: Long, rows: Iterator[(Long, java.sql.Timestamp, Long, Long, Long)],
          state: GroupState[QuotaBuf]) =>
           val wmUs = state.getCurrentWatermarkMs() * 1000L
-          val prev = state.getOption.getOrElse(QuotaBuf(0L, 0L, Nil))
+          val prev = state.getOption.getOrElse(QuotaBuf(0L, 0L, Long.MaxValue, Nil))
           var pending = prev.pending
-          rows.foreach { r => pending +:= ((r._3, r._4, r._5)) }
-          val (emit, hold) = pending.partition(_._1 < wmUs)
-          var spent = prev.spentFx
-          var seq = prev.seq
-          val out = emit.sortBy(e => (e._1, e._2)).map { case (ts, id, c) =>
-            spent += c
-            seq += 1
-            (user, seq, id, ts, c, spent, spent > budgetFx)
+          var minUs = prev.minPendingUs
+          rows.foreach { r =>
+            pending +:= ((r._3, r._4, r._5))
+            if (r._3 < minUs) minUs = r._3
           }
-          state.update(QuotaBuf(spent, seq, hold))
-          if (hold.nonEmpty)
-            state.setTimeoutTimestamp(math.max(
-              hold.map(_._1).min / 1000L,
-              state.getCurrentWatermarkMs() + 1L))
-          out.iterator
+          if (minUs >= wmUs) {
+            // Nothing is adjudicable this batch: skip the O(buffer)
+            // partition/sort (the hot-key steady-state path).
+            state.update(QuotaBuf(prev.spentFx, prev.seq, minUs, pending))
+            if (pending.nonEmpty)
+              state.setTimeoutTimestamp(math.max(minUs / 1000L,
+                state.getCurrentWatermarkMs() + 1L))
+            Iterator.empty
+          } else {
+            val (emit, hold) = pending.partition(_._1 < wmUs)
+            var spent = prev.spentFx
+            var seq = prev.seq
+            val out = emit.sortBy(e => (e._1, e._2)).map { case (ts, id, c) =>
+              spent += c
+              seq += 1
+              (user, seq, id, ts, c, spent, spent > budgetFx)
+            }
+            val holdMin = if (hold.isEmpty) Long.MaxValue else hold.map(_._1).min
+            state.update(QuotaBuf(spent, seq, holdMin, hold))
+            if (hold.nonEmpty)
+              state.setTimeoutTimestamp(math.max(holdMin / 1000L,
+                state.getCurrentWatermarkMs() + 1L))
+            out.iterator
+          }
       }
       .toDF("user_id", "seq", "event_id", "ts_us", "cost_fx", "run_fx",
         "over_budget")

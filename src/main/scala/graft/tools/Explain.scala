@@ -8,15 +8,13 @@ import java.nio.file.{Files, Paths}
   * choices, codegen spans) referenced from the README.
   */
 object Explain {
-  def main(args: Array[String]): Unit = {
-    val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
-    val out = args.headOption.getOrElse("/root/repo/EXPLAINS.md")
-    val spark = SparkSession.builder().master("local[4]")
-      .config("spark.sql.shuffle.partitions", "4")
-      .config("spark.ui.enabled", "false").getOrCreate()
-    spark.sparkContext.setLogLevel("ERROR")
-
-    val interesting = Seq(
+  /** Pinned queries: name → what to look for in the dumped plan.
+    * INVARIANT (gated by ExplainPinSpec + the startup require below):
+    * pinned ∪ excluded == the registered query set, disjoint — every
+    * new query must make a CONSCIOUS pin-or-exclude choice, so the
+    * pin set can never silently drift from the registry again (the
+    * round-8 q260 miss). */
+  val pinned: Seq[(String, String)] = Seq(
       "q01_tpch_q1" -> "scan→filter→project→hash-agg (partial+final)→sort; filter and column pruning pushed to parquet",
       "q03_filter_chain" -> "chained filters collapse into one scan predicate (CombineFilters + PushedFilters)",
       "q08_join_broadcast_agg" -> "explicit dimension broadcast: fact table never shuffles",
@@ -137,7 +135,73 @@ object Explain {
       "q256_spectral_rank" -> "ONE data pass: count + VecFixedSum + VecOuterFixedSum as partial-agged fixed-point aggregates (2080 longs/task); the spectral fold (trace, Frobenius, participation ratio) is driver arithmetic on the collected model — embedding bytes are scanned once, shuffled never",
       "q257_minhash_incremental" -> "the standing index bands once (24-byte rows, bucket-cap window); probes band map-side and equi-join on (band, band_sig); candidates distinct before the two shingle-set verify joins — history is never re-banded, text never shuffles",
       "q258_dedup_impact" -> "q30's 16-byte fingerprint min-aggregate + one ids-only left join back to the corpus; the per-source fold partial-aggregates — dedup impact costs one fingerprint pass regardless of text size",
-      "q259_quantile_normalize" -> "per-doc scores partial-aggregate to the DISTINCT (source, score) frame; both CDFs are value-bounded windows; the quantile lookup is the as-of union trick — corpus rows at integer cum positions, source rows at integer ceil-ranks, ONE forward first(ignoreNulls) window; no range join, no BNLJ anywhere")
+      "q259_quantile_normalize" -> "per-doc scores partial-aggregate to the DISTINCT (source, score) frame; both CDFs are value-bounded windows; the quantile lookup is the as-of union trick — corpus rows at integer cum positions, source rows at integer ceil-ranks, ONE forward first(ignoreNulls) window; no range join, no BNLJ anywhere",
+      "q260_split_balance" -> "the token head is a TakeOrdered LIMIT 64; the (token × split) grid completes via a LITERAL 3-row crossJoin (LocalTableScan — PlanLint-bounded) left-joined to the partial-agged cell counts; χ² terms floor to int64 in the project and the final fold is a 64-row aggregate",
+      "q261_phash_canonical" -> "q211's dHash frame feeds the 16-bit-chunk equi self-join (capped-bucket pairs, never all-pairs); CC rounds shuffle (id, long) pairs only; the canonical pick is ONE per-cluster window over (id, n_bytes) — fan-in bounded by cluster size, q194's discipline at the media rung; payload bytes never leave the scan (n_bytes is computed in the scan project)",
+      "q262_unigram_rounds" -> "the corpus collapses to the word-type frame once (the only corpus-sized shuffle); candidate substrings equi-join the BROADCAST model vocab; the greedy orbit materializes via ⌈log2 maxWordLen⌉ pointer-doubling self-joins over (w, pos) pairs — no driver loop over positions, no interpreted HOF; only the model-sized usage table is collected per EM round")
+
+  /** Consciously unpinned: reference-parity single-operator queries
+    * whose plans are trivial (scan+filter/agg/join shapes already
+    * covered by a pinned sibling), TPC-H variants sharing a pinned
+    * join shape, streaming read-back tails duplicating a pinned
+    * runner, and format-roundtrip/API-facade checks with no plan
+    * content. Adding a query to the registry without adding it to
+    * `pinned` or here fails ExplainPinSpec and this tool's startup. */
+  val excluded: Set[String] = Set(
+    "q02_select_arith", "q04_orderby_multi", "q05_global_agg", "q06_group_agg",
+    "q07_join_inner", "q09_take_limit", "q101_grouping_sets", "q102_stream_sliding",
+    "q103_decontaminate_apply", "q104_grouped_heavy_hitters", "q105_salted_join", "q106_histogram",
+    "q107_partitioned_roundtrip", "q108_truncate_tokens", "q10_count", "q112_csv_roundtrip",
+    "q113_orc_roundtrip", "q114_inmemory", "q115_jsonl_roundtrip", "q116_drift_chi2",
+    "q118_chunk_sliding", "q119_quantized_ann", "q11_union", "q124_schema_drift_union",
+    "q125_kmv_overlap", "q126_stream_session", "q12_distinct", "q133_stream_left_outer",
+    "q134_sliding_distinct", "q135_asof_forward", "q136_robust_stats", "q137_tpch_q17",
+    "q138_tpch_q13", "q139_tpch_q18", "q13_topk_desc", "q140_tpch_q22",
+    "q141_tpch_q21", "q142_group_linreg", "q143_concentration", "q144_time_weighted_avg",
+    "q145_constraint_audit", "q147_markov_transitions", "q148_events_span", "q14_group_two_phase",
+    "q151_stream_full_outer", "q154_token_budget", "q156_compaction", "q157_unpivot",
+    "q158_token_entropy", "q159_containment", "q15_star_join", "q160_bm25_batch",
+    "q161_cooccurrence_pmi", "q162_volume_corr", "q169_asof_native_forward", "q17_running_agg",
+    "q183_leakage_audit", "q18_time_window", "q192_zipf_fit", "q198_tpch_q14",
+    "q199_tpch_q7", "q19_sessionize", "q203_stream_asof", "q20_pivot",
+    "q213_bpe_merges", "q216_bpe_vocab", "q21_rollup", "q227_winnow",
+    "q228_winnow_pairs", "q22_semi_anti_join", "q230_kcenter", "q231_stream_drift",
+    "q232_ra_link_prediction", "q233_pair_alignment", "q235_bpe_fertility", "q236_audio_utterances",
+    "q237_clustering_coeff", "q238_code_switch", "q239_assortativity", "q23_outer_join_agg",
+    "q241_domain_quality_filter", "q244_temperature_mix", "q246_token_gini", "q24_json_extract",
+    "q250_mlm_mask", "q251_vocab_coverage", "q25_text_stats",
+    "q26_token_freq", "q27_quality_score",
+    "q28_lang_id", "q29_fingerprint", "q33_ngram_jaccard", "q35_ann_lsh",
+    "q36_cosine_neardup", "q37_multimodal", "q38_stream_hourly", "q39_stream_stateful",
+    "q41_range_join", "q42_percentiles", "q43_moment_stats", "q44_sliding_window",
+    "q46_string_funcs", "q47_date_funcs", "q48_session_window", "q49_tpch_q6",
+    "q50_tpch_q3", "q51_above_group_avg", "q53_graft_facade", "q54_approx_percentiles",
+    "q55_neardup_clusters", "q56_stream_dedup", "q58_repetition", "q59_hash_split",
+    "q61_pii_redact", "q62_curation_funnel", "q63_order_shuffle", "q64_stream_join",
+    "q66_vocab", "q68_vocab_approx", "q72_window_nav", "q73_cube",
+    "q76_tpch_q5", "q77_tpch_q10", "q78_stream_enrich", "q79_upsert_merge",
+    "q80_incremental_agg", "q81_bpe_tokens", "q82_neardup_clusters_alt", "q87_stream_upsert",
+    "q88_multimodal_transcode", "q89_event_funnel", "q90_column_profile", "q91_full_outer",
+    "q93_cohort_retention", "q94_mixture_sample", "q95_incremental_dedup", "q97_sql_entry",
+    "q99_null_safe_join")
+
+  def main(args: Array[String]): Unit = {
+    val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+    val out = args.headOption.getOrElse("/root/repo/EXPLAINS.md")
+    val pinnedNames = pinned.map(_._1).toSet
+    val registry = graft.SparkEntry.queries.keySet
+    require(pinnedNames.intersect(excluded).isEmpty,
+      s"pinned ∩ excluded: ${pinnedNames.intersect(excluded).mkString(",")}")
+    require((pinnedNames ++ excluded) == registry,
+      "pin set out of sync with the registry — unclaimed: " +
+        (registry -- pinnedNames -- excluded).mkString(",") +
+        "; stale: " + ((pinnedNames ++ excluded) -- registry).mkString(","))
+    val spark = SparkSession.builder().master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    val interesting = pinned
 
     val sb = new StringBuilder
     sb.append("# EXPLAINS — physical plans of representative queries\n\n")

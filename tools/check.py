@@ -48,6 +48,19 @@ def main(sf_dir, out_dir):
             print(f"FAIL {name}: no parquet written"); n_fail += 1; continue
         spark_tbl = pq.read_table(files[0])
         spark_cols = spark_tbl.column_names
+        # Driver-comparator parity: pandas cannot hash non-scalar cells
+        # (list/struct/map/binary), so the driver errors any query that
+        # emits one (round-8 q210/q217). The local gate must be at least
+        # as strict — hard-fail nested output schemas here.
+        import pyarrow.types as pat
+        bad = [f.name for f in spark_tbl.schema
+               if pat.is_nested(f.type) or pat.is_binary(f.type)
+               or pat.is_large_binary(f.type)]
+        if bad:
+            print(f"FAIL {name}: non-scalar output columns {bad} "
+                  f"(driver comparator cannot hash these)")
+            n_fail += 1
+            continue
         spark_rows = [tuple(r.values()) for r in spark_tbl.to_pylist()]
         if name not in oracle:
             print(f"ROWS {name}: {len(spark_rows)} rows (no oracle)")
