@@ -549,6 +549,65 @@ object Curation {
       vocabK: Int = 64, outK: Int = 40, maxPieceLen: Int = 4): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
+    unigramCorpus(df, textCol) match {
+      case None =>
+        // empty / all-empty-token corpus: empty trajectory, no NPE
+        Seq.empty[(Long, Long, String, Long)]
+          .toDF("round", "rank", "piece", "use_wt")
+      case Some(c) =>
+        val (perRound, _) = unigramTrainRounds(c, rounds, vocabK, maxPieceLen)
+        c.release()
+        val rows = for {
+          (usage, rd) <- perRound.zipWithIndex
+          ((piece, wt), i) <- usage.take(outK).zipWithIndex
+        } yield ((rd + 1).toLong, (i + 1).toLong, piece, wt)
+        rows.toDF("round", "rank", "piece", "use_wt")
+    }
+  }
+
+  /** The trained unigram model alone: final multi-char piece
+    * vocabulary after `rounds` hard-EM rounds of [[unigramRounds]]'
+    * seed/segment/prune schedule — the FROZEN artifact a held-out
+    * apply consumes (the `bpeTrainedMerges` analog at the unigram
+    * rung). Deterministic: same corpus, same vocab. */
+  def unigramTrainedVocab(df: DataFrame, textCol: String, rounds: Int,
+      vocabK: Int = 64, maxPieceLen: Int = 4): Seq[String] =
+    unigramCorpus(df, textCol) match {
+      case None => Seq.empty
+      case Some(c) =>
+        val (_, vocab) = unigramTrainRounds(c, rounds, vocabK, maxPieceLen)
+        c.release()
+        vocab
+    }
+
+  /** Greedy longest-match segmentation usage of a corpus under a
+    * FROZEN vocabulary — the held-out APPLY step (the `bpeSegment`
+    * analog): no argmax, no re-estimation, the model never sees this
+    * split. Returns the model-sized (piece, use_wt) usage table in
+    * (use_wt desc, piece asc) order — ≤ vocab + alphabet rows, the
+    * only thing collected (the corpus itself stays distributed
+    * through the same pointer-doubling orbit as training). */
+  def unigramApplyUsage(df: DataFrame, textCol: String,
+      vocab: Seq[String], maxPieceLen: Int = 4): Seq[(String, Long)] =
+    unigramCorpus(df, textCol) match {
+      case None => Seq.empty
+      case Some(c) =>
+        val usage = unigramUsage(c, vocab, maxPieceLen)
+        c.release()
+        usage
+    }
+
+  /** Word-type corpus shared by the unigram train/apply paths: the
+    * (w, wc) type frame (the only corpus-sized shuffle), the
+    * per-character-position frame, and the pointer-doubling fence.
+    * None on an empty / all-empty-token corpus. Caller releases. */
+  private case class UnigramCorpus(types: DataFrame, positions: DataFrame,
+                                   maxLen: Int, levels: Int) {
+    def release(): Unit = { types.unpersist(); positions.unpersist() }
+  }
+
+  private def unigramCorpus(df: DataFrame,
+                            textCol: String): Option[UnigramCorpus] = {
     val types = df.select(explode(TA.tokens(col(textCol))).as("w"))
       .filter(col("w") =!= "")
       .groupBy(col("w")).agg(count(lit(1)).as("wc"))
@@ -561,53 +620,26 @@ object Curation {
       .select(col("w"), col("wc"), col("len"), (col("pos") + 1).as("pos"))
       .persist()
     // fence: the orbit needs ⌈log2 maxLen⌉ doubling levels (each step
-    // advances ≥ 1, so orbit index < maxLen) — a 1-row layout collect
-    val maxLen = positions.agg(max(col("len"))).collect()(0).getInt(0)
-    var levels = 0
-    while ((1L << levels) < maxLen) levels += 1
-
-    // Greedy-longest-match usage table under a driver-held vocab,
-    // collected (model-sized: ≤ vocabK + alphabet rows) in
-    // (use_wt desc, piece asc) order.
-    def segmentUsage(vocab: Seq[String]): Seq[(String, Long)] = {
-      val vdf = vocab.toDF("sub")
-      val hit = positions
-        .select(col("w"), col("pos"), col("len"),
-          explode(array((2 to maxPieceLen).map(l => lit(l)): _*)).as("l"))
-        .filter(col("pos") + col("l") - 1 <= col("len"))
-        .select(col("w"), col("pos"), col("l"),
-          expr("substring(w, pos, l)").as("sub"))
-        .join(broadcast(vdf), Seq("sub"))
-        .groupBy(col("w"), col("pos")).agg(max(col("l")).as("mml"))
-      val ml = positions.join(hit, Seq("w", "pos"), "left_outer")
-        .select(col("w"), col("wc"), col("pos"),
-          coalesce(col("mml"), lit(1)).as("mlen"))
-        .persist()
-      var n = ml.select(col("w"), col("pos"), (col("pos") + col("mlen")).as("next"))
-      var r = types.select(col("w"), lit(1).as("pos"))
-      (0 until levels).foreach { _ =>
-        r = r.union(
-          r.join(n, Seq("w", "pos")).select(col("w"), col("next").as("pos")))
-        n = n.as("a").join(n.as("b"),
-            col("a.w") === col("b.w") && col("a.next") === col("b.pos"))
-          .select(col("a.w").as("w"), col("a.pos").as("pos"),
-            col("b.next").as("next"))
-        // both r (union tree) and n (self-join tree) double in plan
-        // size per level: on a long-word corpus (levels > 4, words >
-        // 16 chars) truncate lineage each level or Catalyst pays
-        // exponential analysis cost. Not triggered at gate scale.
-        if (levels > 4) { r = r.localCheckpoint(); n = n.localCheckpoint() }
-      }
-      val out = r.join(ml, Seq("w", "pos"))
-        .select(expr("substring(w, pos, mlen)").as("piece"), col("wc"))
-        .groupBy(col("piece")).agg(sum(col("wc")).as("use_wt"))
-        .orderBy(desc("use_wt"), asc("piece")).collect()
-      ml.unpersist()
-      out.map(x => (x.getString(0), x.getLong(1))).toSeq
+    // advances ≥ 1, so orbit index < maxLen) — a 1-row layout collect.
+    // On an empty / all-empty-token corpus the max aggregate is NULL.
+    val maxLenRow = positions.agg(max(col("len"))).collect()(0)
+    if (maxLenRow.isNullAt(0)) {
+      types.unpersist(); positions.unpersist()
+      None
+    } else {
+      val maxLen = maxLenRow.getInt(0)
+      var levels = 0
+      while ((1L << levels) < maxLen) levels += 1
+      Some(UnigramCorpus(types, positions, maxLen, levels))
     }
+  }
 
+  /** Hard-EM training loop over a prepared corpus: returns every
+    * round's usage table plus the final pruned vocabulary. */
+  private def unigramTrainRounds(c: UnigramCorpus, rounds: Int,
+      vocabK: Int, maxPieceLen: Int): (Seq[Seq[(String, Long)]], Seq[String]) = {
     // Round-0 seed: raw substring frequencies (no segmentation yet).
-    var vocab: Seq[String] = positions
+    var vocab: Seq[String] = c.positions
       .select(col("w"), col("wc"), col("pos"), col("len"),
         explode(array((2 to maxPieceLen).map(l => lit(l)): _*)).as("l"))
       .filter(col("pos") + col("l") - 1 <= col("len"))
@@ -615,18 +647,56 @@ object Curation {
       .groupBy(col("piece")).agg(sum(col("wc")).as("cnt"))
       .orderBy(desc("cnt"), asc("piece")).limit(vocabK)
       .collect().map(_.getString(0)).toSeq
-
-    val rows = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, String, Long)]
-    (1 to rounds).foreach { rd =>
-      val usage = segmentUsage(vocab)
-      usage.take(outK).zipWithIndex.foreach { case ((piece, wt), i) =>
-        rows += ((rd.toLong, (i + 1).toLong, piece, wt))
-      }
+    val perRound = (1 to rounds).map { _ =>
+      val usage = unigramUsage(c, vocab, maxPieceLen)
       vocab = usage.collect { case (piece, _) if piece.length >= 2 => piece }
         .take(vocabK)
+      usage
     }
-    types.unpersist(); positions.unpersist()
-    rows.toSeq.toDF("round", "rank", "piece", "use_wt")
+    (perRound, vocab)
+  }
+
+  /** Greedy-longest-match usage table under a driver-held vocab,
+    * collected (model-sized: ≤ vocabK + alphabet rows) in
+    * (use_wt desc, piece asc) order. */
+  private def unigramUsage(c: UnigramCorpus, vocab: Seq[String],
+                           maxPieceLen: Int): Seq[(String, Long)] = {
+    val spark = c.types.sparkSession
+    import spark.implicits._
+    val vdf = vocab.toDF("sub")
+    val hit = c.positions
+      .select(col("w"), col("pos"), col("len"),
+        explode(array((2 to maxPieceLen).map(l => lit(l)): _*)).as("l"))
+      .filter(col("pos") + col("l") - 1 <= col("len"))
+      .select(col("w"), col("pos"), col("l"),
+        expr("substring(w, pos, l)").as("sub"))
+      .join(broadcast(vdf), Seq("sub"))
+      .groupBy(col("w"), col("pos")).agg(max(col("l")).as("mml"))
+    val ml = c.positions.join(hit, Seq("w", "pos"), "left_outer")
+      .select(col("w"), col("wc"), col("pos"),
+        coalesce(col("mml"), lit(1)).as("mlen"))
+      .persist()
+    var n = ml.select(col("w"), col("pos"), (col("pos") + col("mlen")).as("next"))
+    var r = c.types.select(col("w"), lit(1).as("pos"))
+    (0 until c.levels).foreach { _ =>
+      r = r.union(
+        r.join(n, Seq("w", "pos")).select(col("w"), col("next").as("pos")))
+      n = n.as("a").join(n.as("b"),
+          col("a.w") === col("b.w") && col("a.next") === col("b.pos"))
+        .select(col("a.w").as("w"), col("a.pos").as("pos"),
+          col("b.next").as("next"))
+      // both r (union tree) and n (self-join tree) double in plan
+      // size per level: on a long-word corpus (levels > 4, words >
+      // 16 chars) truncate lineage each level or Catalyst pays
+      // exponential analysis cost. Not triggered at gate scale.
+      if (c.levels > 4) { r = r.localCheckpoint(); n = n.localCheckpoint() }
+    }
+    val out = r.join(ml, Seq("w", "pos"))
+      .select(expr("substring(w, pos, mlen)").as("piece"), col("wc"))
+      .groupBy(col("piece")).agg(sum(col("wc")).as("use_wt"))
+      .orderBy(desc("use_wt"), asc("piece")).collect()
+    ml.unpersist()
+    out.map(x => (x.getString(0), x.getLong(1))).toSeq
   }
 
   /** Benchmark decontamination: find training documents sharing ≥ 1
@@ -947,7 +1017,9 @@ object Curation {
     * no error) while DuckDB raises, so the engines diverge exactly at
     * the edge: shard the stratum (or drop to the ×1e3 scale) before
     * n·Σc approaches 4.6e12 — NOT the old 9e18 figure, which ignored
-    * the pre-div scaling.
+    * the pre-div scaling. The envelope is ENFORCED at runtime: a
+    * stratum with n·Σc past the bound raises (matching the oracle's
+    * loud failure) instead of returning a silently-wrapped Gini.
     *
     * Scale shape: one (stratum, token) count shuffle, then a rank
     * window over the VOCABULARY-sized frame (distinct types per
@@ -965,8 +1037,16 @@ object Curation {
       .agg(count(lit(1)).as("n_types"), sum(col("c")).as("n_toks"),
         sum(col("i") * col("c")).as("t"))
       .select(col("s"), col("n_types"), col("n_toks"),
-        expr("(2L * t - (n_types + 1L) * n_toks) * 1000000L div (n_types * n_toks)")
-          .as("gini_fx"))
+        // runtime envelope guard: double compare is exact here
+        // (4.6e12 << 2^53) and avoids overflowing the check itself
+        when(col("n_types").cast("double") * col("n_toks").cast("double")
+            <= lit(4.6e12),
+          expr("(2L * t - (n_types + 1L) * n_toks) * 1000000L div (n_types * n_toks)"))
+        .otherwise(raise_error(concat(
+          lit("tokenGiniFx: n_types*n_toks exceeds the int64 fixed-point "),
+          lit("envelope (4.6e12) for stratum "), col("s").cast("string"),
+          lit(" - shard the stratum or drop to x1e3 scale"))).cast("long"))
+        .as("gini_fx"))
   }
 
   /** Per-stratum KL divergence from the corpus unigram distribution —

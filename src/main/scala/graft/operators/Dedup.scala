@@ -227,7 +227,13 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
-  /** Count of band buckets excluded by [[minhashLshPairs]]' cap. */
+  /** Count of band buckets excluded by [[minhashLshPairs]]' cap —
+    * and the sizing instrument for BOTH of [[minhashIndexProbe]]'s
+    * caps: run it on the standing index AND on each probe batch (a
+    * capped bucket silently loses guaranteed candidacy, exact twins
+    * included), and size `maxBucket` above the census's largest
+    * bucket before trusting recall. Same banding kernel as the join
+    * paths. */
   def minhashOverfullBuckets(docs: DataFrame, idCol: String, textCol: String,
                              k: Int = 3, numHashes: Int = 32, bands: Int = 8,
                              maxBucket: Int = 2000): Long =
@@ -242,15 +248,25 @@ object Dedup {
     * near-dup PAIRS into a doc→cluster assignment (keep one doc per
     * cluster). Distributed min-label propagation: each round every
     * node takes the minimum label in its neighborhood
-    * (join edges→labels, min-aggregate, least with own label), until
-    * no label changes. Rounds = component diameter; near-dup clusters
-    * are star-/clique-shaped (diameter ≤ ~3), so this converges in a
-    * handful of rounds — on path-shaped graphs use
-    * [[connectedComponentsAlternating]] (O(log n) rounds).
+    * (join edges→labels, min-aggregate, least with own label), PLUS a
+    * pointer-jump each round (cluster ← min(cluster, cluster's
+    * cluster) — labels ARE node ids, so one node-frame self-join
+    * halves the remaining label-tree depth), until no label changes.
+    * Rounds = O(log diameter) with the jump (round 10: q261's
+    * chain-shaped distinct-dhash graph converged 13 → 5 rounds,
+    * 6.5 → 2.8 s; clique/star near-dup graphs already converged in
+    * ≤ 3 rounds and keep doing so). The jump preserves the fixpoint
+    * exactly: it only assigns labels already present in the
+    * component, labels stay monotone non-increasing and bounded below
+    * by the component min, and the stop condition (no change from
+    * EITHER step) is the same fixpoint — final labels are identical
+    * to pure min-label propagation. Alternative for adversarial
+    * shapes: [[connectedComponentsAlternating]].
     *
     * Scale shape: per round one shuffle of (8-byte id, 8-byte label)
-    * edges + one hash aggregate; lineage truncated per round so plans
-    * stay flat; only the per-round change COUNT reaches the driver.
+    * edges + one hash aggregate + one node-frame self-join; lineage
+    * truncated per round so plans stay flat; only the per-round
+    * change COUNT reaches the driver.
     * Truncation is `localCheckpoint` (executor memory) by default —
     * pass `checkpointDir` on a real cluster to write round snapshots
     * to reliable storage instead (survives executor loss; the
@@ -261,24 +277,48 @@ object Dedup {
   def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
                           maxIters: Int = 20,
                           checkpointDir: Option[String] = None): DataFrame = {
-    val cut = truncator(pairs, checkpointDir)
+    // LAZY local checkpoint in single-JVM mode: the round's change
+    // count is then the job that materializes the snapshot — one job
+    // per round instead of two (eager materialize + count), which
+    // halves the per-round scheduling floor on small graphs. Reliable
+    // checkpoints (cluster mode) stay eager: durability of the round
+    // snapshot matters more than driver latency there.
+    val cut: DataFrame => DataFrame = checkpointDir match {
+      case Some(_) => truncator(pairs, checkpointDir)
+      case None    => df => df.localCheckpoint(false)
+    }
     val edges = cut(pairs
       .select(col(aCol).cast("long").as("src"), col(bCol).cast("long").as("dst"))
       .union(pairs.select(col(bCol).cast("long").as("src"), col(aCol).cast("long").as("dst")))
       .distinct())
-    var labels = cut(edges.select(col("src").as("id")).distinct()
-      .withColumn("cluster", col("id")))
+    // round-0 init folded into the edge scan: label = min(self, all
+    // neighbors) — exactly the first propagation round, one agg
+    // cheaper than the join form (edges carry every node as a src
+    // because the edge set is symmetrized above)
+    var labels = cut(edges.groupBy(col("src")).agg(min(col("dst")).as("nd"))
+      .select(col("src").as("id"), least(col("src"), col("nd")).as("cluster")))
     var iter = 0
     var changed = 1L
     while (changed > 0 && iter < maxIters) {
       val nbrMin = edges
         .join(labels.select(col("id").as("dst"), col("cluster").as("nbr")), Seq("dst"))
         .groupBy(col("src")).agg(min(col("nbr")).as("nbr_min"))
-      val next = cut(labels
+      val hop = labels
         .join(nbrMin.select(col("src").as("id"), col("nbr_min")), Seq("id"), "left_outer")
         .select(col("id"),
           least(col("cluster"), coalesce(col("nbr_min"), col("cluster"))).as("cluster"),
-          (col("nbr_min") < col("cluster")).as("ch")))
+          (col("nbr_min") < col("cluster")).as("ch"))
+      // pointer-jump: every cluster value is itself a node id, so
+      // label(label) is one self-join over the node frame — halves
+      // the remaining label-tree depth per round (a second jump per
+      // round measured net-negative: the extra join costs more than
+      // the rounds it saves at the gate's job-latency floor)
+      val next = cut(hop
+        .join(hop.select(col("id").as("cluster"), col("cluster").as("pc")),
+          Seq("cluster"), "left_outer")
+        .select(col("id"),
+          least(col("cluster"), coalesce(col("pc"), col("cluster"))).as("cluster"),
+          (col("ch") || (col("pc") < col("cluster"))).as("ch")))
       changed = next.filter(col("ch")).count()
       labels = next.select(col("id"), col("cluster"))
       iter += 1
@@ -512,8 +552,8 @@ object Dedup {
     * would then fail loudly (by design: a silent recall cliff is the
     * worse outcome). At gate scale no bucket approaches the cap; a
     * production run on a self-similar corpus sizes `maxBucket` from
-    * the overfull-bucket census first (simhashOverfullBuckets'
-    * pattern), exactly as [[minhashLshPairs]] documents.
+    * [[minhashOverfullBuckets]] run on BOTH frames first (index and
+    * probe batch), exactly as [[minhashLshPairs]] documents.
     */
   def minhashIndexProbe(index: DataFrame, probes: DataFrame,
       idCol: String, textCol: String,
@@ -556,11 +596,25 @@ object Dedup {
   /** Count of chunk buckets excluded by [[simhashPairs]]' cap. */
   def simhashOverfullBuckets(docs: DataFrame, idCol: String, textCol: String,
                              maxBucket: Int = 2000): Long =
-    simhashSignatures(docs, idCol, textCol)
+    signatureOverfullBuckets(simhashSignatures(docs, idCol, textCol),
+      idCol, maxBucket)
+
+  /** Overfull 16-bit-chunk-bucket census over ANY (id, `sig`)
+    * signature frame — the sizing instrument for [[signaturePairs]]'
+    * `maxBucket` cap (and [[signatureMatches]]' index/probe caps): a
+    * production run on a self-similar corpus reads this FIRST and
+    * either raises the cap or collapses exact-duplicate signatures
+    * before pairing (the q261 discipline). One shuffle over the
+    * chunk-exploded frame; no joins.
+    */
+  def signatureOverfullBuckets(signatures: DataFrame, idCol: String,
+                               maxBucket: Int = 2000): Long =
+    signatures
       .select(col(idCol), posexplode(array((0 until 4).map(c =>
         shiftright(col("sig"), c * 16).bitwiseAND(lit(0xFFFFL))): _*)))
       .groupBy(col("pos"), col("col")).agg(count(lit(1)).as("n"))
       .filter(col("n") > lit(maxBucket)).count()
+
 
   /** Exact all-pairs n-gram Jaccard within a bounded id range — the
     * ground-truth oracle for the probabilistic methods above.

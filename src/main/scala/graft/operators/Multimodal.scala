@@ -241,9 +241,17 @@ object Multimodal {
     * deterministically. (The driver testdata has no binary column, so
     * the pipeline manufactures one — the schema is the point.)
     */
-  def mediaTable(spark: SparkSession, dir: String): Dataset[MediaRow] = {
+  def mediaTable(spark: SparkSession, dir: String): Dataset[MediaRow] =
+    mediaFrom(spark.read.parquet(s"$dir/documents.parquet"))
+
+  /** The same synthetic-media projection over ANY documents frame —
+    * batch or streaming (the streaming perceptual rung feeds a
+    * `readStream` here; the projection is map-only, so it is legal in
+    * a streaming plan). */
+  def mediaFrom(docs: DataFrame): Dataset[MediaRow] = {
+    val spark = docs.sparkSession
     import spark.implicits._
-    spark.read.parquet(s"$dir/documents.parquet")
+    docs
       .select(
         col("doc_id").as("media_id"),
         element_at(array(lit("image"), lit("audio"), lit("video")),

@@ -1582,6 +1582,86 @@ object Curation {
       |ORDER BY round, rank""".stripMargin
 
   // -------------------------------------------------------------------
+  // q263: UNIGRAM HELD-OUT APPLY — the q224 workflow at the unigram
+  // rung, completing the second tokenizer family to BPE parity: train
+  // the unigram piece vocabulary (2 hard-EM rounds, q262's schedule)
+  // on the TRAIN split (doc_id % 97 != 0), then segment the held-out
+  // split (doc_id % 97 == 0) by greedy longest-match under the FROZEN
+  // vocabulary — no seed, no argmax, no prune ever touches eval — and
+  // emit the top-30 eval piece-usage table. Shape: both splits
+  // collapse to word types once; train collects only the model per
+  // round; apply collects only the ≤ vocab+alphabet usage rows
+  // (Curation.unigramTrainedVocab + unigramApplyUsage, the shared
+  // pointer-doubling orbit machinery). Oracle: full independent
+  // recompute — q262's generated train chain restricted to the train
+  // split, then ONE apply segmentation of the eval types under v2 as
+  // a recursive-CTE chase. A drifted trained vocab, a leaked eval
+  // token, or a wrong greedy match all shift the usage table → FAIL.
+  // -------------------------------------------------------------------
+  def q263UnigramHeldout(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val d = docs(spark, dir)
+    val vocab = C.unigramTrainedVocab(
+      d.filter(col("doc_id") % 97 =!= 0), "text", rounds = 2)
+    val usage = C.unigramApplyUsage(
+      d.filter(col("doc_id") % 97 === 0), "text", vocab)
+    usage.take(30).zipWithIndex
+      .map { case ((piece, wt), i) => ((i + 1).toLong, piece, wt) }
+      .toSeq.toDF("rank", "piece", "use_wt")
+      .orderBy(asc("rank"))
+  }
+  val q263Sql: String =
+    raw"""WITH RECURSIVE types AS (
+      |  SELECT tok AS w, CAST(COUNT(*) AS BIGINT) AS wc
+      |  FROM (SELECT UNNEST($toksSql) AS tok FROM documents
+      |        WHERE doc_id % 97 <> 0)
+      |  WHERE tok != '' GROUP BY 1),
+      |upos AS (
+      |  SELECT w, wc, LEN(w) AS len, UNNEST(range(1, LEN(w) + 1)) AS pos
+      |  FROM types),
+      |cand AS (
+      |  SELECT w, wc, pos, l, w[pos:pos+l-1] AS sub
+      |  FROM upos, UNNEST([2, 3, 4]) AS t(l)
+      |  WHERE pos + l - 1 <= len),
+      |v0 AS (
+      |  SELECT sub AS piece FROM (
+      |    SELECT sub, CAST(SUM(wc) AS BIGINT) AS cnt FROM cand GROUP BY 1)
+      |  ORDER BY cnt DESC, piece LIMIT 64),
+      |""".stripMargin +
+      (1 to 2).map(unigramRoundSql).mkString(",\n") + ",\n" +
+      raw"""etypes AS (
+      |  SELECT tok AS w, CAST(COUNT(*) AS BIGINT) AS wc
+      |  FROM (SELECT UNNEST($toksSql) AS tok FROM documents
+      |        WHERE doc_id % 97 = 0)
+      |  WHERE tok != '' GROUP BY 1),
+      |eupos AS (
+      |  SELECT w, wc, LEN(w) AS len, UNNEST(range(1, LEN(w) + 1)) AS pos
+      |  FROM etypes),
+      |ecand AS (
+      |  SELECT w, wc, pos, l, w[pos:pos+l-1] AS sub
+      |  FROM eupos, UNNEST([2, 3, 4]) AS t(l)
+      |  WHERE pos + l - 1 <= len),
+      |ehit AS (
+      |  SELECT c.w, c.pos, MAX(c.l) AS mml
+      |  FROM ecand c JOIN v2 v ON v.piece = c.sub GROUP BY 1, 2),
+      |eml AS (
+      |  SELECT p.w, p.wc, p.pos, COALESCE(h.mml, 1) AS mlen
+      |  FROM eupos p LEFT JOIN ehit h ON h.w = p.w AND h.pos = p.pos),
+      |eseg AS (
+      |  SELECT w, wc, pos, mlen FROM eml WHERE pos = 1
+      |  UNION ALL
+      |  SELECT m.w, m.wc, m.pos, m.mlen
+      |  FROM eseg s JOIN eml m ON m.w = s.w AND m.pos = s.pos + s.mlen),
+      |euse AS (
+      |  SELECT w[pos:pos+mlen-1] AS piece, CAST(SUM(wc) AS BIGINT) AS use_wt
+      |  FROM eseg GROUP BY 1)
+      |SELECT rank, piece, use_wt FROM (
+      |  SELECT ROW_NUMBER() OVER (ORDER BY use_wt DESC, piece) AS rank,
+      |    piece, use_wt FROM euse)
+      |WHERE rank <= 30
+      |ORDER BY rank""".stripMargin
+
+  // -------------------------------------------------------------------
   // q216: BPE VOCABULARY APPLY — the corpus segmented by q213's trained
   // merges: top-50 subword symbols of the final symbol frame by
   // corpus-weighted occurrence (ties lexical). Shares q213's generated
@@ -2370,6 +2450,7 @@ object Curation {
     "q216_bpe_vocab" -> (q216BpeVocab _),
     "q213_bpe_merges" -> (q213BpeMerges _),
     "q262_unigram_rounds" -> (q262UnigramRounds _),
+    "q263_unigram_heldout" -> (q263UnigramHeldout _),
     "q212_repeated_extents" -> (q212RepeatedExtents _),
     "q209_report_card" -> (q209ReportCard _),
     "q207_skipgram_pairs" -> (q207SkipgramPairs _),
@@ -2420,6 +2501,7 @@ object Curation {
     "q216_bpe_vocab" -> q216Sql,
     "q213_bpe_merges" -> q213Sql,
     "q262_unigram_rounds" -> q262Sql,
+    "q263_unigram_heldout" -> q263Sql,
     "q212_repeated_extents" -> q212Sql,
     "q209_report_card" -> q209Sql,
     "q207_skipgram_pairs" -> q207Sql,

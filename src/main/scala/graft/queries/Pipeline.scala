@@ -1735,9 +1735,25 @@ object Pipeline {
   // media_id — "keep the highest-fidelity copy"), applied back to
   // EVERY medium. The output IS the decision artifact an image-ingest
   // pipeline consumes: (media_id, cluster, keep_id, is_dup).
-  // Singletons are their own canonical. Shape: signaturePairs'
-  // pigeonhole equi-join (never all-pairs) → CC on the PAIR-sized
-  // frame → one per-cluster window (fan-in = cluster size, q194's
+  // Singletons are their own canonical. Shape (round-10 plan fix):
+  // identical dhashes are collapsed FIRST (the q117/q30 exact-dedup
+  // discipline) — CC runs over the DISTINCT-hash representative
+  // frame, because exact-duplicate hashes are free edges and the stub
+  // dHash is degenerate on this corpus (sf0.01: 421/500 media in one
+  // Hamming-≤3 component, only 357 distinct hashes; the pre-fix
+  // media-level pairing was quadratic in the giant cluster — 41.2 s
+  // isolated at sf0.1 vs ~1 s after, output bit-identical: the
+  // component min over representatives equals the min media_id over
+  // the whole component, since every member's exact-hash rep is ≤ it
+  // and Hamming-0-connected to it). signaturePairs' pigeonhole
+  // equi-join (never all-pairs) pairs the rep frame under the
+  // PRODUCTION cap (census: max 16-bit chunk bucket over distinct
+  // hashes = 140 @sf0.01 / 717 @sf0.1 — Dedup.signatureOverfullBuckets
+  // is the sizing instrument; a corpus that overflows 4096 collapses
+  // further or re-sizes, it does not silently drop) → CC on the
+  // REP-pair frame → hash→cluster joined back (AQE broadcasts it at
+  // gate scale; at 100 TB it is a hash-key equi-join, never a driver
+  // collect) → one per-cluster window (fan-in = cluster size, q194's
   // discipline). Oracle: the q117 pattern — recursive-CTE components
   // over the emitted hashes' true Hamming-≤3 pairs (all-pairs
   // affordable at oracle scale; exactly what the blocking avoids at
@@ -1748,47 +1764,91 @@ object Pipeline {
   // replay (same deterministic phashTable over the same media).
   // -------------------------------------------------------------------
   def q261PhashCanonical(spark: SparkSession, dir: String): DataFrame = {
+    // narrow (16 B/row) and consumed by two branches (rep collapse +
+    // final keep-list join) — persist is the PERF-rule-5-compliant
+    // call here, exactly like signaturePairs' internal sigs cache
     val ph = Multimodal.phashTable(Multimodal.mediaTable(spark, dir)).toDF()
-      .select(col("media_id"), col("dhash"))
+      .select(col("media_id"), col("dhash")).persist()
+    // exact-hash collapse: one representative (min media_id) per
+    // distinct dhash — the frame CC actually runs over
+    val reps = ph.groupBy(col("dhash")).agg(min(col("media_id")).as("rep"))
     val pairs = Dedup.signaturePairs(
-        ph.select(col("media_id"), col("dhash").as("sig")),
-        "media_id", maxHamming = 3, maxBucket = 1 << 20)
+        reps.select(col("rep").as("media_id"), col("dhash").as("sig")),
+        "media_id", maxHamming = 3, maxBucket = 4096)
       .select(col("id_a"), col("id_b"))
     val cc = Dedup.connectedComponents(pairs, "id_a", "id_b")
-      .select(col("id").as("media_id"), col("cluster"))
+    // hash → cluster map (singleton hash groups label as their rep =
+    // their min media_id, identical to the pre-collapse Hamming-0 edge)
+    val hashCluster = reps.join(cc, reps("rep") === cc("id"), "left_outer")
+      .select(col("dhash"), coalesce(col("cluster"), col("rep")).as("cluster"))
     val sized = Multimodal.mediaTable(spark, dir).toDF()
       .select(col("media_id"), length(col("payload")).cast("long").as("n_bytes"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("cluster")).orderBy(desc("n_bytes"), asc("media_id"))
-    ph.join(cc, Seq("media_id"), "left_outer")
+    ph.join(hashCluster, Seq("dhash"))
       .join(sized, Seq("media_id"))
-      .select(col("media_id"), col("dhash"), col("n_bytes"),
-        coalesce(col("cluster"), col("media_id")).as("cluster"))
+      .select(col("media_id"), col("dhash"), col("n_bytes"), col("cluster"))
       .withColumn("keep_id", first(col("media_id")).over(w))
       .select(col("media_id"), col("dhash"), col("n_bytes"), col("cluster"),
         col("keep_id"), (col("media_id") =!= col("keep_id")).as("is_dup"))
       .orderBy(asc("media_id"))
   }
+  // q261 oracle CC: R unrolled rounds of (neighbor-min + pointer-
+  // jump) over the DISTINCT-hash representative graph — the same
+  // transparent collapse the Spark plan uses (Hamming(a,a)=0 makes
+  // same-hash media one cluster; the component min over reps IS the
+  // component min over media), recomputed INDEPENDENTLY from the
+  // emitted hashes. Unrolled because DuckDB's recursive-UNION closure
+  // (reach) is quadratic in component size — at sf0.1 the giant
+  // stub-dHash near-clique makes that closure computationally
+  // infeasible (the r9 sweep never finished it), while 8 label rounds
+  // over the 152k-directed-edge rep graph are milliseconds. Soundness
+  // does NOT rest on 8 being enough: the conv guard counts
+  // label-inconsistent edges at round 8 and gates the WHOLE
+  // acceptance select — a non-converged replay emits zero rows and
+  // fails the row-count check loudly (rule-10 sentinel discipline).
+  // Every chained CTE is AS MATERIALIZED: each round references its
+  // predecessor twice (hop self-join), so DuckDB's default CTE
+  // inlining is 2^rounds copies of the whole prefix — the bind phase
+  // exhausts file handles on the read_parquet glob before executing.
+  private def q261CcRoundSql(i: Int): String =
+    s"""nbr$i AS MATERIALIZED (
+      |  SELECT g.src AS id, MIN(l.lab) AS m
+      |  FROM hedges g JOIN lab${i - 1} l ON l.id = g.dst GROUP BY 1),
+      |hop$i AS MATERIALIZED (
+      |  SELECT l.id, LEAST(l.lab, COALESCE(n.m, l.lab)) AS lab
+      |  FROM lab${i - 1} l LEFT JOIN nbr$i n ON n.id = l.id),
+      |lab$i AS MATERIALIZED (
+      |  SELECT a.id, LEAST(a.lab, COALESCE(b.lab, a.lab)) AS lab
+      |  FROM hop$i a LEFT JOIN hop$i b ON b.id = a.lab)""".stripMargin
   val q261Sql: String =
-    """WITH RECURSIVE e AS (
+    """WITH e AS MATERIALIZED (
       |  SELECT media_id, dhash, n_bytes, cluster, keep_id, is_dup
       |  FROM read_parquet('__GRAFT_OUT__/q261_phash_canonical/*.parquet')),
-      |pairs AS (
-      |  SELECT a.media_id AS id_a, b.media_id AS id_b
-      |  FROM e a JOIN e b ON a.media_id < b.media_id
+      |h AS MATERIALIZED (SELECT dhash, MIN(media_id) AS rep FROM e GROUP BY 1),
+      |hpairs AS (
+      |  SELECT a.rep AS id_a, b.rep AS id_b
+      |  FROM h a JOIN h b ON a.rep < b.rep
       |  WHERE bit_count(xor(a.dhash, b.dhash)) <= 3),
-      |edges AS (
-      |  SELECT id_a AS src, id_b AS dst FROM pairs
-      |  UNION SELECT id_b, id_a FROM pairs),
-      |reach AS (
-      |  SELECT src AS id, src AS r FROM edges
-      |  UNION
-      |  SELECT g.src AS id, r.r FROM edges g JOIN reach r ON g.dst = r.id),
+      |hedges AS MATERIALIZED (
+      |  SELECT id_a AS src, id_b AS dst FROM hpairs
+      |  UNION SELECT id_b, id_a FROM hpairs),
+      |lab0 AS MATERIALIZED (
+      |  SELECT h.rep AS id, LEAST(h.rep, COALESCE(nm.m, h.rep)) AS lab
+      |  FROM h LEFT JOIN (SELECT src, MIN(dst) AS m FROM hedges GROUP BY 1) nm
+      |    ON nm.src = h.rep),
+      |""".stripMargin +
+      (1 to 8).map(q261CcRoundSql).mkString(",\n") + ",\n" +
+      """conv AS (
+      |  SELECT COUNT(*) AS bad FROM hedges g
+      |  JOIN lab8 a ON a.id = g.src JOIN lab8 b ON b.id = g.dst
+      |  WHERE a.lab != b.lab),
       |truth AS (
       |  SELECT x.media_id, CAST(strlen(d.text) AS BIGINT) AS n_bytes_t,
-      |    COALESCE((SELECT MIN(r) FROM reach WHERE reach.id = x.media_id),
-      |      x.media_id) AS cluster_t
-      |  FROM e x JOIN documents d ON d.doc_id = x.media_id),
+      |    l.lab AS cluster_t
+      |  FROM e x JOIN documents d ON d.doc_id = x.media_id
+      |  JOIN h hh ON hh.dhash = x.dhash
+      |  JOIN lab8 l ON l.id = hh.rep),
       |sel AS (
       |  SELECT media_id, n_bytes_t, cluster_t,
       |    FIRST_VALUE(media_id) OVER (PARTITION BY cluster_t
@@ -1800,6 +1860,7 @@ object Pipeline {
       |  AND x.keep_id = s.keep_t
       |  AND x.is_dup = (x.media_id != s.keep_t)
       |WHERE (SELECT COUNT(*) FROM e) = (SELECT COUNT(*) FROM documents)
+      |  AND (SELECT bad FROM conv) = 0
       |UNION ALL SELECT CAST(-1 AS BIGINT), CAST(-1 AS BIGINT),
       |  CAST(-1 AS BIGINT), CAST(-1 AS BIGINT), CAST(-1 AS BIGINT), FALSE
       |  WHERE (SELECT COUNT(*) FROM e) = 0
@@ -3735,6 +3796,59 @@ object Pipeline {
       |ORDER BY id_a, id_b""".stripMargin
 
   // -------------------------------------------------------------------
+  // q264: STREAMING PERCEPTUAL NEAR-DUP — the image member of the
+  // streaming near-dup matrix (q214's stateful banded shape with the
+  // 4×16-bit dHash chunks as band keys; pigeonhole: Hamming ≤ 3 ⇒ one
+  // identical chunk). dHash is computed MAP-SIDE on the stream (no
+  // blob shuffle), candidates adjudicate under the strict watermark
+  // (arrival-invariant), the batch tail full-Hamming verifies and
+  // folds to per-media partner counts joined 1:1 back to every
+  // medium. Oracle is fully EXACT (stronger than q214's containment):
+  // q210's grid→dhash bit replay authenticates every hash, then the
+  // true partner count under the two horizon predicates (id_b − id_a
+  // ≤ 1440 event-minutes; id_b < max − 120, the 2 h adjudication
+  // cut) is recomputed all-pairs from the emitted hashes — recall AND
+  // precision per medium — plus the 1:1 count guard and rule-10
+  // sentinel. Arrival invariance across batch splits is pinned in
+  // StreamingSpec.
+  // -------------------------------------------------------------------
+  def q264StreamPhashNd(spark: SparkSession, dir: String): DataFrame =
+    graft.streaming.EventStreams.streamingPhashNeardup(spark, dir)
+  val q264Sql: String =
+    """WITH e AS MATERIALIZED (
+      |  SELECT media_id, grid_s, dhash, n_nd,
+      |    list_transform(string_split(grid_s, ' '),
+      |                   x -> CAST(x AS BIGINT)) AS g
+      |  FROM read_parquet('__GRAFT_OUT__/q264_stream_phash_nd/*.parquet')),
+      |ok AS MATERIALIZED (
+      |  SELECT media_id, grid_s, dhash, n_nd FROM e
+      |  WHERE len(g) = 72
+      |    AND dhash = CAST(list_sum(list_transform(range(64), b ->
+      |      CASE WHEN g[(b // 8) * 9 + (b % 8) + 1]
+      |              > g[(b // 8) * 9 + (b % 8) + 2]
+      |           THEN CASE WHEN b = 63 THEN -9223372036854775807 - 1
+      |                ELSE (1::BIGINT << b) END
+      |           ELSE 0 END)) AS BIGINT)),
+      |pairs AS MATERIALIZED (
+      |  SELECT a.media_id AS ia, b.media_id AS ib
+      |  FROM ok a JOIN ok b ON a.media_id < b.media_id
+      |  WHERE bit_count(xor(a.dhash, b.dhash)) <= 3
+      |    AND b.media_id - a.media_id <= 1440
+      |    AND b.media_id < (SELECT MAX(media_id) FROM ok) - 120),
+      |tcnt AS (
+      |  SELECT id, CAST(COUNT(*) AS BIGINT) AS n FROM (
+      |    SELECT ia AS id FROM pairs UNION ALL SELECT ib FROM pairs)
+      |  GROUP BY 1)
+      |SELECT o.media_id, o.grid_s, o.dhash, o.n_nd
+      |FROM ok o LEFT JOIN tcnt t ON t.id = o.media_id
+      |WHERE o.n_nd = COALESCE(t.n, 0)
+      |  AND (SELECT COUNT(*) FROM ok) = (SELECT COUNT(*) FROM documents)
+      |UNION ALL SELECT CAST(-1 AS BIGINT), '-1', CAST(-1 AS BIGINT),
+      |  CAST(-1 AS BIGINT)
+      |  WHERE (SELECT COUNT(*) FROM e) = 0
+      |ORDER BY media_id""".stripMargin
+
+  // -------------------------------------------------------------------
   // q253: STREAMING PER-KEY QUOTA — every event carries its event-time-
   // ordered running spend + over-budget flag (the rate-limit/billing-
   // cap row no windowed aggregate expresses, because a cumulative sum
@@ -4347,6 +4461,7 @@ object Pipeline {
     "q195_embedding_outliers" -> (q195EmbeddingOutliers _),
     "q56_stream_dedup" -> (q56StreamDedup _),
     "q214_stream_neardup" -> (q214StreamNeardup _),
+    "q264_stream_phash_nd" -> (q264StreamPhashNd _),
     "q64_stream_join" -> (q64StreamJoin _),
     "q133_stream_left_outer" -> (q133StreamLeftOuter _),
     "q151_stream_full_outer" -> (q151StreamFullOuter _),
@@ -4471,6 +4586,7 @@ object Pipeline {
     "q195_embedding_outliers" -> q195Sql,
     "q56_stream_dedup" -> q56Sql,
     "q214_stream_neardup" -> q214Sql,
+    "q264_stream_phash_nd" -> q264Sql,
     "q78_stream_enrich" -> q78Sql,
     "q81_bpe_tokens" -> q81Sql,
     "q82_neardup_clusters_alt" -> q55Sql,

@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
@@ -629,7 +629,16 @@ object EventStreams {
     * (Long.MaxValue when empty) lets a batch that cannot adjudicate
     * anything skip the O(buffer) partition/sort entirely — a hot
     * key's steady-state batch cost is then O(new rows), not
-    * O(watermark window). */
+    * O(watermark window).
+    *
+    * STATE-SCHEMA BREAK (round 9): adding `minPendingUs` changed the
+    * state encoder's arity — a structured-streaming checkpoint
+    * written by the 3-field QuotaBuf cannot be restored by this
+    * version. Fresh-start runs (the gate, the bench, every spec) are
+    * unaffected; a long-lived deployment upgrading across this
+    * boundary must start a NEW checkpoint dir and replay/backfill.
+    * This is the standard Spark state-evolution constraint, not a
+    * graft quirk: mapGroupsWithState state is schema-rigid. */
   case class QuotaBuf(spentFx: Long, seq: Long, minPendingUs: Long,
                       pending: Seq[(Long, Long, Long)])
 
@@ -804,6 +813,49 @@ object EventStreams {
       .withColumnRenamed("col", "band_sig")
       .select(col("band"), col("band_sig"), col("ts_us"), col("doc_id"), col("ts"))
       .as[(Int, Long, Long, Long, java.sql.Timestamp)]
+    bandedCandidatesStream(banded, horizonUs)
+  }
+
+  /** Streaming 64-bit-signature near-dup candidates — the PERCEPTUAL
+    * member of the banded family: the incoming (media_id, dhash, ts)
+    * stream is exploded map-side into its 4×16-bit chunks (q211's
+    * pigeonhole: Hamming ≤ 3 ⇒ at least one identical chunk), each
+    * chunk row keyed into [[bandedCandidatesStream]]'s stateful
+    * bucket. Identical semantics and guarantees as the text rung:
+    * strict-watermark adjudication ⇒ arrival-invariant pair set,
+    * q203 state compaction, event-time timeouts. Full-Hamming
+    * verification is a batch step over the drained candidates
+    * (chunk collision is necessary, not sufficient). Input:
+    * (media_id, dhash, ts) already event-timed; output
+    * (band, id_a, id_b). */
+  def phashCandidatesStream(media: DataFrame, horizonUs: Long): DataFrame = {
+    val ss = media.sparkSession
+    import ss.implicits._
+    val banded = media
+      .withWatermark("ts", "2 hours")
+      .select(col("ts"), col("media_id").as("doc_id"),
+        unix_micros(col("ts")).as("ts_us"),
+        posexplode(array((0 until 4).map(c =>
+          shiftright(col("dhash"), c * 16).bitwiseAND(lit(0xFFFFL))): _*)))
+      .withColumnRenamed("pos", "band")
+      .withColumnRenamed("col", "band_sig")
+      .select(col("band"), col("band_sig"), col("ts_us"), col("doc_id"), col("ts"))
+      .as[(Int, Long, Long, Long, java.sql.Timestamp)]
+    bandedCandidatesStream(banded, horizonUs)
+  }
+
+  /** The stateful banded pairing core shared by the text (MinHash
+    * band) and perceptual (dHash chunk) streaming near-dup rungs:
+    * any (band, band_sig, ts_us, doc_id, ts) stream, already
+    * watermarked, keyed by (band, band_sig); per-bucket in-horizon
+    * buffer; (band, id_a, id_b) emitted when the LATER doc's event
+    * time passes strictly below the watermark (arrival-invariant —
+    * see [[neardupCandidatesStream]]'s contract). */
+  def bandedCandidatesStream(
+      banded: Dataset[(Int, Long, Long, Long, java.sql.Timestamp)],
+      horizonUs: Long): DataFrame = {
+    val ss = banded.sparkSession
+    import ss.implicits._
     banded.groupByKey(r => (r._1, r._2))
       .flatMapGroupsWithState(OutputMode.Append(),
         GroupStateTimeout.EventTimeTimeout()) {
@@ -880,6 +932,64 @@ object EventStreams {
       .filter(col("jaccard") >= lit(0.2))
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard_r"))
       .orderBy(asc("id_a"), asc("id_b"))
+  }
+
+  /** Media-as-a-stream PERCEPTUAL near-dup (q264) — the image rung of
+    * the streaming near-dup matrix (verdict-6 of round 9): the
+    * documents-derived media stream computes its dHash MAP-SIDE
+    * (Multimodal.phashTable's mapPartitions is legal in a streaming
+    * plan — no shuffle, blobs never leave the scan partition), each
+    * hash explodes into its 4×16-bit chunks, and
+    * [[phashCandidatesStream]]'s stateful buckets emit candidate
+    * pairs under the same 24 h pairing horizon / strict-2 h watermark
+    * adjudication as the text rung (q214). Batch tail: candidates
+    * distinct-ed cross-chunk, full-Hamming-≤3 verified against the
+    * batch-recomputed hashes (chunk collision is necessary, not
+    * sufficient), folded to PER-MEDIA partner counts, and joined back
+    * 1:1 to every medium with its grid + hash. Output: (media_id,
+    * grid_s, dhash, n_nd) — grid_s is the q210 space-joined re-encode
+    * (the driver comparator cannot hash arrays). The oracle is fully
+    * EXACT: q210's grid→dhash bit replay authenticates every hash,
+    * then DuckDB recomputes every medium's true partner count from
+    * the emitted hashes under the two horizon predicates (id_b − id_a
+    * ≤ 1440 minutes; id_b < max − 120) — recall AND precision, with
+    * the 1:1 count guard; arrival invariance is pinned in
+    * StreamingSpec (multi-batch splits of the same media). */
+  def streamingPhashNeardup(spark: SparkSession, dir: String): DataFrame = {
+    val ss = streamSession(spark)
+    val docBaseUs = 1704067200000000L // 2024-01-01T00:00:00Z
+    val mediaStream = ss.readStream
+      .schema(ss.read.parquet(s"$dir/documents.parquet").schema)
+      .option("pathGlobFilter", "documents.parquet")
+      .parquet(dir)
+    val hashed = graft.operators.Multimodal
+      .phashTable(graft.operators.Multimodal.mediaFrom(mediaStream)).toDF()
+      .select(col("media_id"), col("dhash"),
+        timestamp_micros(lit(docBaseUs) + col("media_id") * lit(60000000L)).as("ts"))
+    val drained = appendSinkDrain(
+      phashCandidatesStream(hashed, horizonUs = 86400L * 1000000L),
+      "graft_stream_phash_nd",
+      StructType(Seq(
+        StructField("band", IntegerType),
+        StructField("id_a", LongType),
+        StructField("id_b", LongType))))
+    // batch tail: narrow (media_id, grid, dhash), two consumers
+    val phB = graft.operators.Multimodal
+      .phashTable(graft.operators.Multimodal.mediaTable(spark, dir)).toDF()
+      .select(col("media_id"), col("grid"), col("dhash")).persist()
+    val hashes = phB.select(col("media_id"), col("dhash"))
+    val verified = drained.select(col("id_a"), col("id_b")).distinct()
+      .join(hashes.select(col("media_id").as("id_a"), col("dhash").as("ha")), "id_a")
+      .join(hashes.select(col("media_id").as("id_b"), col("dhash").as("hb")), "id_b")
+      .filter(bit_count(col("ha").bitwiseXOR(col("hb"))) <= 3)
+      .select(col("id_a"), col("id_b"))
+    val counts = verified.select(col("id_a").as("media_id"))
+      .union(verified.select(col("id_b").as("media_id")))
+      .groupBy(col("media_id")).agg(count(lit(1)).as("n_nd"))
+    phB.join(counts, Seq("media_id"), "left_outer")
+      .select(col("media_id"), concat_ws(" ", col("grid")).as("grid_s"),
+        col("dhash"), coalesce(col("n_nd"), lit(0L)).as("n_nd"))
+      .orderBy(asc("media_id"))
   }
 
   /** Streaming CDC apply — a `foreachBatch` upsert sink: each

@@ -137,8 +137,9 @@ object Explain {
       "q258_dedup_impact" -> "q30's 16-byte fingerprint min-aggregate + one ids-only left join back to the corpus; the per-source fold partial-aggregates — dedup impact costs one fingerprint pass regardless of text size",
       "q259_quantile_normalize" -> "per-doc scores partial-aggregate to the DISTINCT (source, score) frame; both CDFs are value-bounded windows; the quantile lookup is the as-of union trick — corpus rows at integer cum positions, source rows at integer ceil-ranks, ONE forward first(ignoreNulls) window; no range join, no BNLJ anywhere",
       "q260_split_balance" -> "the token head is a TakeOrdered LIMIT 64; the (token × split) grid completes via a LITERAL 3-row crossJoin (LocalTableScan — PlanLint-bounded) left-joined to the partial-agged cell counts; χ² terms floor to int64 in the project and the final fold is a 64-row aggregate",
-      "q261_phash_canonical" -> "q211's dHash frame feeds the 16-bit-chunk equi self-join (capped-bucket pairs, never all-pairs); CC rounds shuffle (id, long) pairs only; the canonical pick is ONE per-cluster window over (id, n_bytes) — fan-in bounded by cluster size, q194's discipline at the media rung; payload bytes never leave the scan (n_bytes is computed in the scan project)",
-      "q262_unigram_rounds" -> "the corpus collapses to the word-type frame once (the only corpus-sized shuffle); candidate substrings equi-join the BROADCAST model vocab; the greedy orbit materializes via ⌈log2 maxWordLen⌉ pointer-doubling self-joins over (w, pos) pairs — no driver loop over positions, no interpreted HOF; only the model-sized usage table is collected per EM round")
+      "q261_phash_canonical" -> "exact-hash collapse FIRST (groupBy(dhash).min(media_id) — the round-10 fix): the 16-bit-chunk equi self-join and CC run over the DISTINCT-hash representative frame (never media-level on a self-similar corpus; 41.2→6.8 s at sf0.1), hash→cluster joins back (AQE broadcast at gate scale, plain equi-join at 100 TB); canonical pick is ONE per-cluster window over (id, n_bytes) — q194's discipline at the media rung; payload bytes never leave the scan",
+      "q262_unigram_rounds" -> "the corpus collapses to the word-type frame once (the only corpus-sized shuffle); candidate substrings equi-join the BROADCAST model vocab; the greedy orbit materializes via ⌈log2 maxWordLen⌉ pointer-doubling self-joins over (w, pos) pairs — no driver loop over positions, no interpreted HOF; only the model-sized usage table is collected per EM round",
+      "q264_stream_phash_nd" -> "dHash computed MAP-SIDE on the stream (mapPartitions in the scan stage — blobs never shuffle); only 24-byte (chunk, chunk_val, ts, id) rows reach the state store; batch tail = distinct candidates → two 8-byte hash joins + bit_count verify → per-media partial-agged counts → 1:1 left join back; the grid re-encode rides the already-persisted narrow phash frame")
 
   /** Consciously unpinned: reference-parity single-operator queries
     * whose plans are trivial (scan+filter/agg/join shapes already
@@ -165,6 +166,7 @@ object Explain {
     "q183_leakage_audit", "q18_time_window", "q192_zipf_fit", "q198_tpch_q14",
     "q199_tpch_q7", "q19_sessionize", "q203_stream_asof", "q20_pivot",
     "q213_bpe_merges", "q216_bpe_vocab", "q21_rollup", "q227_winnow",
+    "q263_unigram_heldout",
     "q228_winnow_pairs", "q22_semi_anti_join", "q230_kcenter", "q231_stream_drift",
     "q232_ra_link_prediction", "q233_pair_alignment", "q235_bpe_fertility", "q236_audio_utterances",
     "q237_clustering_coeff", "q238_code_switch", "q239_assortativity", "q23_outer_join_agg",

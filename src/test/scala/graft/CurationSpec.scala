@@ -657,6 +657,37 @@ class CurationSpec extends SparkSpec {
     assert(got("skew") === ((4L, 100L, 720000L)))
   }
 
+  test("unigram train/apply: greedy longest-match segmentation, frozen vocab, hand-replayed") {
+    // train: types abab(wc2) abcd(wc1). Seed (len 2-4, cnt desc, piece
+    // asc, K=4): ab(5) aba(2) abab(2) ba(2). Round-1 greedy: abab ->
+    // [abab]; abcd -> [ab, c, d]. Usage: abab:2, ab:1, c:1, d:1.
+    val train = Seq("abab abab abcd").toDF("text")
+    val rounds = Curation.unigramRounds(train, "text", rounds = 1,
+      vocabK = 4, outK = 40, maxPieceLen = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+    assert(rounds.toSeq === Seq(
+      (1L, 1L, "abab", 2L), (1L, 2L, "ab", 1L),
+      (1L, 3L, "c", 1L), (1L, 4L, "d", 1L)))
+    // frozen model = multi-char pieces of the last round's usage
+    val vocab = Curation.unigramTrainedVocab(train, "text", rounds = 1,
+      vocabK = 4, maxPieceLen = 4)
+    assert(vocab === Seq("abab", "ab"))
+    // apply on an UNSEEN corpus under the frozen vocab: ababab ->
+    // [abab, ab] (longest-first, then continue), cd -> [c, d]
+    val eval = Seq("ababab cd").toDF("text")
+    val usage = Curation.unigramApplyUsage(eval, "text", vocab, maxPieceLen = 4)
+    assert(usage === Seq(("ab", 1L), ("abab", 1L), ("c", 1L), ("d", 1L)))
+  }
+
+  test("unigram ops: empty / all-empty-token corpus short-circuits, no NPE") {
+    val empty = Seq.empty[String].toDF("text")
+    assert(Curation.unigramRounds(empty, "text", rounds = 2).count() === 0L)
+    assert(Curation.unigramTrainedVocab(empty, "text", rounds = 2) === Seq.empty)
+    assert(Curation.unigramApplyUsage(empty, "text", Seq("ab")) === Seq.empty)
+    val blank = Seq("   ", "").toDF("text")
+    assert(Curation.unigramRounds(blank, "text", rounds = 1).count() === 0L)
+  }
+
   test("unigramKlFp: non-negative, equal strata tie exactly, shifted diverges more") {
     val same = "a a b b c c"
     val df = Seq(("s1", same), ("s2", same), ("shift", "z z z z z z"))

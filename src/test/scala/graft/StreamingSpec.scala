@@ -442,6 +442,57 @@ class StreamingSpec extends SparkSpec {
     assert(split === expected, s"arrival-invariance: $split")
   }
 
+  test("streaming phash near-dup: chunk-bucket pairing is arrival-invariant and horizon-bounded") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val base = 86400L * 1000000L
+    val M = 60L * 1000000L
+    // hashes chosen so chunks either ALL collide (identical hash) or
+    // NONE do (every 16-bit chunk distinct across hashes)
+    val HA = 0x1111222233334444L
+    val HB = 0x5555666677778888L
+    val HC = 0x0099009900990099L
+    val rows = Seq(
+      (1L, HA, base),              // pairs with 2 in all 4 chunks
+      (2L, HA, base + M),
+      (3L, HB, base + 2 * M),      // no shared chunk: no pairs
+      (4L, HA, base + 60 * M),     // 59 min after 2: beyond 30-min horizon
+      (5L, HA, base + 61 * M),     // pairs with 4 only
+      (7L, HA, base + 62 * M),     // EXACTLY at the final watermark: held
+      (6L, HA, base + 63 * M),     // above the watermark: held
+      (99L, HC, base + 62 * M + 7200L * 1000000L)) // pins wm = base+62M
+    def run(batches: Seq[Seq[(Long, Long, Long)]]): Set[(Int, Long, Long)] = {
+      implicit val sqlCtx = spark.sqlContext
+      val mem = MemoryStream[(Long, Long, Long)]
+      val media = mem.toDF().select(col("_1").as("media_id"),
+        col("_2").as("dhash"), timestamp_micros(col("_3")).as("ts"))
+      val target = java.nio.file.Files.createTempDirectory("graft_phash_stream").toString
+      val q = graft.streaming.EventStreams
+        .phashCandidatesStream(media, horizonUs = 1800L * 1000000L)
+        .writeStream.outputMode("append").format("parquet")
+        .option("path", s"$target/out")
+        .option("checkpointLocation", s"$target/ckpt")
+        .start()
+      try batches.foreach { b => mem.addData(b); q.processAllAvailable() }
+      finally q.stop()
+      val outDir = new java.io.File(s"$target/out")
+      if (!Option(outDir.listFiles()).exists(_.exists(_.getName.endsWith(".parquet"))))
+        Set.empty
+      else spark.read.parquet(s"$target/out")
+        .as[(Int, Long, Long)].collect().toSet
+    }
+    val expected = (0 until 4).flatMap(b =>
+      Seq((b, 1L, 2L), (b, 4L, 5L))).toSet
+    val oneBatch = run(Seq(rows))
+    assert(oneBatch === expected,
+      s"single batch: horizon pairs only; held media (6, 7-at-boundary) emit nothing: $oneBatch")
+    val split = run(Seq(
+      Seq(rows(1), rows(3)),                    // m2, m4
+      Seq(rows(0), rows(4), rows(2)),           // m1, m5, m3
+      Seq(rows(6), rows(5), rows(7))))          // m6, m7, sentinel
+    assert(split === expected, s"arrival-invariance: $split")
+  }
+
   test("streaming near-dup equals batch LSH over the closed window (end-to-end)") {
     import spark.implicits._
     val streamed = graft.streaming.EventStreams.streamingNeardup(spark, sf)
