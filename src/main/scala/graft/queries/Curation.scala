@@ -1721,10 +1721,30 @@ object Curation {
   // best$i — a drifted trained merge, or an apply round that
   // re-argmaxes, both change the eval vocabulary and fail the hash.
   // -------------------------------------------------------------------
+  /** Process-level memo of the FROZEN train-split BPE merge list —
+    * the model (≤ rounds pairs), shared by every held-out consumer
+    * (q224 apply, q235 fertility), exactly as a production pipeline
+    * trains a tokenizer ONCE and ships the frozen artifact to every
+    * downstream job rather than retraining per consumer (the
+    * round-9 verdict's suggested trim; isolated Q235Probe decomposed
+    * q235 as 4.0 s train + 4.4 s apply at sf0.1 — the memo removes
+    * the train half from the second consumer onward in any shared
+    * JVM: Verify, Bench, the driver). Keyed by (dir, rounds); the
+    * train-side input is deterministic in the key (documents at
+    * `dir`, the fixed doc_id % 97 != 0 split), and bpeTrainedMerges
+    * itself is deterministic, so the memo can never change a result —
+    * only skip a bit-identical recompute. */
+  private val trainedMerges97 =
+    new java.util.concurrent.ConcurrentHashMap[(String, Int), Seq[(String, String)]]()
+  private def trainedMerges97Of(spark: SparkSession, dir: String,
+      rounds: Int): Seq[(String, String)] =
+    trainedMerges97.computeIfAbsent((dir, rounds), _ =>
+      C.bpeTrainedMerges(
+        docs(spark, dir).filter(col("doc_id") % 97 =!= 0), "text", rounds))
+
   def q224BpeHeldout(spark: SparkSession, dir: String): DataFrame = {
     val d = docs(spark, dir)
-    val merges = C.bpeTrainedMerges(
-      d.filter(col("doc_id") % 97 =!= 0), "text", rounds = 3)
+    val merges = trainedMerges97Of(spark, dir, rounds = 3)
     C.bpeSegment(d.filter(col("doc_id") % 97 === 0), "text", merges)
       .groupBy(col("s"))
       .agg(sum(col("wc")).as("n_occ"), countDistinct(col("w")).as("n_types"))
@@ -1768,8 +1788,7 @@ object Curation {
   // -------------------------------------------------------------------
   def q235BpeFertility(spark: SparkSession, dir: String): DataFrame = {
     val d = docs(spark, dir)
-    val merges = C.bpeTrainedMerges(
-      d.filter(col("doc_id") % 97 =!= 0), "text", rounds = 3)
+    val merges = trainedMerges97Of(spark, dir, rounds = 3)
     val heldout = d.filter(col("doc_id") % 97 === 0)
     val nsub = C.bpeSegment(heldout, "text", merges)
       .groupBy(col("w")).agg(count(lit(1)).as("n_sub"))

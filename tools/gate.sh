@@ -19,6 +19,24 @@ python3 tools/check.py /root/testdata/sf0.01 /tmp/gate_sf001 | tail -2
 echo "== [3b/5] plan lint (scale-shape audit over every query plan) =="
 tools/run.sh graft.tools.PlanLint | grep planlint
 
+echo "== [3c/5] EXPLAINS.md freshness (every pinned query has a dumped plan) =="
+# the round-9 slip: the PIN REGISTRY gained entries but the artifact
+# was never regenerated — ExplainPinSpec alone cannot catch that.
+python3 - <<'EOF'
+import re, subprocess, sys
+pins = subprocess.run(
+    ["grep", "-oE", '"q[0-9]+[a-z0-9_]*" ->', "src/main/scala/graft/tools/Explain.scala"],
+    capture_output=True, text=True).stdout
+pinned = set(re.findall(r'"(q[0-9][a-z0-9_]*)"', pins))
+dumped = set(re.findall(r'^## (q[0-9][a-z0-9_]*)$', open("EXPLAINS.md").read(), re.M))
+missing = pinned - dumped
+if missing:
+    print(f"STALE EXPLAINS.md: {len(missing)} pinned plans not dumped: {sorted(missing)[:8]}")
+    print("run: tools/run.sh graft.tools.Explain")
+    sys.exit(1)
+print(f"EXPLAINS.md fresh: {len(pinned)} pinned, all dumped")
+EOF
+
 if [[ "${1:-}" == "--sweep" ]]; then
   echo "== [4/5] cross-scale Verify + check @ sf0.1 =="
   SPARK_GRAFT_CPUS=16 tools/run.sh graft.Verify /root/testdata/sf0.1 /tmp/gate_sf01
