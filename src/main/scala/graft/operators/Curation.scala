@@ -656,11 +656,55 @@ object Curation {
     (perRound, vocab)
   }
 
+  /** Per-word-TYPE piece counts under a FROZEN vocabulary — the
+    * unigram fertility input (the `bpeSegment`-then-count analog):
+    * greedy longest-match segments every type, the orbit length IS
+    * the piece count. Returns the DISTRIBUTED (w, n_pieces) frame
+    * (type-sized — per-language consumers join occurrence counts on
+    * it), eagerly truncated so the internal per-position cache can
+    * be released before returning. */
+  def unigramTypePieceCounts(df: DataFrame, textCol: String,
+      vocab: Seq[String], maxPieceLen: Int = 4): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    unigramCorpus(df, textCol) match {
+      case None =>
+        Seq.empty[(String, Long)].toDF("w", "n_pieces")
+      case Some(c) =>
+        // the orbit frame carries each word's TERMINAL position
+        // (len+1, the last piece's `next`) — the ml join drops it,
+        // exactly as the usage fold does: pieces = valid starts only
+        val counts = unigramOrbit(c, vocab, maxPieceLen) { (r, ml) =>
+          r.join(ml, Seq("w", "pos"))
+            .groupBy(col("w")).agg(count(lit(1)).as("n_pieces"))
+        }
+        c.release()
+        counts
+    }
+  }
+
   /** Greedy-longest-match usage table under a driver-held vocab,
     * collected (model-sized: ≤ vocabK + alphabet rows) in
     * (use_wt desc, piece asc) order. */
   private def unigramUsage(c: UnigramCorpus, vocab: Seq[String],
                            maxPieceLen: Int): Seq[(String, Long)] = {
+    val out = unigramOrbit(c, vocab, maxPieceLen) { (r, ml) =>
+      r.join(ml, Seq("w", "pos"))
+        .select(expr("substring(w, pos, mlen)").as("piece"), col("wc"))
+        .groupBy(col("piece")).agg(sum(col("wc")).as("use_wt"))
+        .orderBy(desc("use_wt"), asc("piece"))
+    }.collect()
+    out.map(x => (x.getString(0), x.getLong(1))).toSeq
+  }
+
+  /** The greedy-longest-match orbit under a frozen vocab — the shared
+    * segmentation kernel: builds the (w, pos, mlen) match-length
+    * frame and the pointer-doubled orbit-position frame r, hands both
+    * to `fold`, and returns fold's result EAGERLY truncated
+    * (localCheckpoint) so the internal match-length cache can be
+    * unpersisted before the caller consumes it. */
+  private def unigramOrbit(c: UnigramCorpus, vocab: Seq[String],
+      maxPieceLen: Int)(fold: (DataFrame, DataFrame) => DataFrame): DataFrame = {
     val spark = c.types.sparkSession
     import spark.implicits._
     val vdf = vocab.toDF("sub")
@@ -691,12 +735,9 @@ object Curation {
       // exponential analysis cost. Not triggered at gate scale.
       if (c.levels > 4) { r = r.localCheckpoint(); n = n.localCheckpoint() }
     }
-    val out = r.join(ml, Seq("w", "pos"))
-      .select(expr("substring(w, pos, mlen)").as("piece"), col("wc"))
-      .groupBy(col("piece")).agg(sum(col("wc")).as("use_wt"))
-      .orderBy(desc("use_wt"), asc("piece")).collect()
+    val out = fold(r, ml).localCheckpoint(true)
     ml.unpersist()
-    out.map(x => (x.getString(0), x.getLong(1))).toSeq
+    out
   }
 
   /** Benchmark decontamination: find training documents sharing ≥ 1

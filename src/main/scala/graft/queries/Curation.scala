@@ -1598,11 +1598,23 @@ object Curation {
   // a recursive-CTE chase. A drifted trained vocab, a leaked eval
   // token, or a wrong greedy match all shift the usage table → FAIL.
   // -------------------------------------------------------------------
+  /** The frozen train-split unigram vocabulary, memoized per
+    * (dir, rounds) — the `trainedMerges97Of` pattern at the unigram
+    * rung, shared by q263 (held-out usage) and q265 (fertility):
+    * deterministic in the key, so the memo only ever skips a
+    * bit-identical retrain. */
+  private val unigramVocab97 =
+    new java.util.concurrent.ConcurrentHashMap[(String, Int), Seq[String]]()
+  private def unigramVocab97Of(spark: SparkSession, dir: String,
+      rounds: Int): Seq[String] =
+    unigramVocab97.computeIfAbsent((dir, rounds), _ =>
+      C.unigramTrainedVocab(
+        docs(spark, dir).filter(col("doc_id") % 97 =!= 0), "text", rounds))
+
   def q263UnigramHeldout(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val d = docs(spark, dir)
-    val vocab = C.unigramTrainedVocab(
-      d.filter(col("doc_id") % 97 =!= 0), "text", rounds = 2)
+    val vocab = unigramVocab97Of(spark, dir, rounds = 2)
     val usage = C.unigramApplyUsage(
       d.filter(col("doc_id") % 97 === 0), "text", vocab)
     usage.take(30).zipWithIndex
@@ -1660,6 +1672,94 @@ object Curation {
       |    piece, use_wt FROM euse)
       |WHERE rank <= 30
       |ORDER BY rank""".stripMargin
+
+  // -------------------------------------------------------------------
+  // q265: UNIGRAM FERTILITY per language — q235's table at the unigram
+  // rung, completing the second tokenizer family to full BPE parity
+  // (rounds q262 / held-out q263 / fertility q265): occurrence-
+  // weighted pieces-per-word on the held-out split under the FROZEN
+  // train-split vocabulary, per language — where an under-served
+  // language reads fx ≫ 1e6. Shape: held-out word types segmented
+  // ONCE (greedy orbit, the q263 kernel — n_pieces = orbit length per
+  // type), per-(lang, word) occurrence counts join the type-level
+  // piece counts, all-int64 fixed point. Oracle: q263's generated
+  // train chain + the recursive-CTE eval segmentation, folded to
+  // per-type piece counts and the identical fixed-point fertility.
+  // -------------------------------------------------------------------
+  def q265UnigramFertility(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    val vocab = unigramVocab97Of(spark, dir, rounds = 2)
+    val heldout = d.filter(col("doc_id") % 97 === 0)
+    val nsub = C.unigramTypePieceCounts(heldout, "text", vocab)
+    val lw = heldout
+      .select(col("lang"), explode(TA.tokens(col("text"))).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy(col("lang"), col("w")).agg(count(lit(1)).as("c"))
+    lw.join(nsub, Seq("w"))
+      .groupBy(col("lang"))
+      .agg(sum(col("c")).as("n_words"),
+        sum(col("c") * col("n_pieces")).as("n_subwords"))
+      .withColumn("fertility_fx",
+        expr("(n_subwords * 1000000L) div n_words"))
+      .orderBy(asc("lang"))
+  }
+  val q265Sql: String =
+    raw"""WITH RECURSIVE types AS (
+      |  SELECT tok AS w, CAST(COUNT(*) AS BIGINT) AS wc
+      |  FROM (SELECT UNNEST($toksSql) AS tok FROM documents
+      |        WHERE doc_id % 97 <> 0)
+      |  WHERE tok != '' GROUP BY 1),
+      |upos AS (
+      |  SELECT w, wc, LEN(w) AS len, UNNEST(range(1, LEN(w) + 1)) AS pos
+      |  FROM types),
+      |cand AS (
+      |  SELECT w, wc, pos, l, w[pos:pos+l-1] AS sub
+      |  FROM upos, UNNEST([2, 3, 4]) AS t(l)
+      |  WHERE pos + l - 1 <= len),
+      |v0 AS (
+      |  SELECT sub AS piece FROM (
+      |    SELECT sub, CAST(SUM(wc) AS BIGINT) AS cnt FROM cand GROUP BY 1)
+      |  ORDER BY cnt DESC, piece LIMIT 64),
+      |""".stripMargin +
+      (1 to 2).map(unigramRoundSql).mkString(",\n") + ",\n" +
+      raw"""etypes AS (
+      |  SELECT tok AS w, CAST(COUNT(*) AS BIGINT) AS wc
+      |  FROM (SELECT UNNEST($toksSql) AS tok FROM documents
+      |        WHERE doc_id % 97 = 0)
+      |  WHERE tok != '' GROUP BY 1),
+      |eupos AS (
+      |  SELECT w, wc, LEN(w) AS len, UNNEST(range(1, LEN(w) + 1)) AS pos
+      |  FROM etypes),
+      |ecand AS (
+      |  SELECT w, wc, pos, l, w[pos:pos+l-1] AS sub
+      |  FROM eupos, UNNEST([2, 3, 4]) AS t(l)
+      |  WHERE pos + l - 1 <= len),
+      |ehit AS (
+      |  SELECT c.w, c.pos, MAX(c.l) AS mml
+      |  FROM ecand c JOIN v2 v ON v.piece = c.sub GROUP BY 1, 2),
+      |eml AS (
+      |  SELECT p.w, p.wc, p.pos, COALESCE(h.mml, 1) AS mlen
+      |  FROM eupos p LEFT JOIN ehit h ON h.w = p.w AND h.pos = p.pos),
+      |eseg AS (
+      |  SELECT w, wc, pos, mlen FROM eml WHERE pos = 1
+      |  UNION ALL
+      |  SELECT m.w, m.wc, m.pos, m.mlen
+      |  FROM eseg s JOIN eml m ON m.w = s.w AND m.pos = s.pos + s.mlen),
+      |ecnt AS (
+      |  SELECT w, CAST(COUNT(*) AS BIGINT) AS n_pieces
+      |  FROM eseg GROUP BY 1),
+      |lw AS (
+      |  SELECT lang, tok AS w, CAST(COUNT(*) AS BIGINT) AS c
+      |  FROM (SELECT lang, UNNEST($toksSql) AS tok FROM documents
+      |        WHERE doc_id % 97 = 0)
+      |  WHERE tok != '' GROUP BY 1, 2)
+      |SELECT lang, CAST(SUM(c) AS BIGINT) AS n_words,
+      |  CAST(SUM(c * n_pieces) AS BIGINT) AS n_subwords,
+      |  (CAST(SUM(c * n_pieces) AS BIGINT) * 1000000)
+      |    // CAST(SUM(c) AS BIGINT) AS fertility_fx
+      |FROM lw JOIN ecnt USING (w)
+      |GROUP BY lang
+      |ORDER BY lang""".stripMargin
 
   // -------------------------------------------------------------------
   // q216: BPE VOCABULARY APPLY — the corpus segmented by q213's trained
@@ -2470,6 +2570,7 @@ object Curation {
     "q213_bpe_merges" -> (q213BpeMerges _),
     "q262_unigram_rounds" -> (q262UnigramRounds _),
     "q263_unigram_heldout" -> (q263UnigramHeldout _),
+    "q265_unigram_fertility" -> (q265UnigramFertility _),
     "q212_repeated_extents" -> (q212RepeatedExtents _),
     "q209_report_card" -> (q209ReportCard _),
     "q207_skipgram_pairs" -> (q207SkipgramPairs _),
@@ -2521,6 +2622,7 @@ object Curation {
     "q213_bpe_merges" -> q213Sql,
     "q262_unigram_rounds" -> q262Sql,
     "q263_unigram_heldout" -> q263Sql,
+    "q265_unigram_fertility" -> q265Sql,
     "q212_repeated_extents" -> q212Sql,
     "q209_report_card" -> q209Sql,
     "q207_skipgram_pairs" -> q207Sql,

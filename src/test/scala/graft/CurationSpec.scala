@@ -679,6 +679,16 @@ class CurationSpec extends SparkSpec {
     assert(usage === Seq(("ab", 1L), ("abab", 1L), ("c", 1L), ("d", 1L)))
   }
 
+  test("unigramTypePieceCounts: orbit length per type, terminal position dropped") {
+    // frozen vocab [abab, ab]: ababab -> [abab, ab] (2), cd -> [c, d]
+    // (2), ab -> [ab] (1); the orbit's terminal (len+1) row must NOT
+    // count as a piece
+    val eval = Seq("ababab cd ab").toDF("text")
+    val got = Curation.unigramTypePieceCounts(eval, "text", Seq("abab", "ab"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got === Map("ababab" -> 2L, "cd" -> 2L, "ab" -> 1L))
+  }
+
   test("unigram ops: empty / all-empty-token corpus short-circuits, no NPE") {
     val empty = Seq.empty[String].toDF("text")
     assert(Curation.unigramRounds(empty, "text", rounds = 2).count() === 0L)
