@@ -683,6 +683,33 @@ object Curation {
     }
   }
 
+  /** Per-word-TYPE internal split points under a FROZEN unigram
+    * vocabulary — the boundary-set view of the greedy segmentation
+    * (the [[unigramTypePieceCounts]] sibling a tokenizer-agreement
+    * audit consumes): one (w, b) row per internal piece boundary,
+    * b ∈ [1, len−1] counting characters BEFORE the split. Piece
+    * starts are the orbit positions; every start except pos=1 puts
+    * its boundary at pos−1, and the terminal position len+1 never
+    * enters the orbit frame (no match-length row to chase to), so no
+    * end-of-word pseudo-boundary leaks in. Type-frame-sized. */
+  def unigramTypeBoundaries(df: DataFrame, textCol: String,
+      vocab: Seq[String], maxPieceLen: Int = 4): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    unigramCorpus(df, textCol) match {
+      case None =>
+        Seq.empty[(String, Long)].toDF("w", "b")
+      case Some(c) =>
+        val bounds = unigramOrbit(c, vocab, maxPieceLen) { (r, ml) =>
+          r.join(ml, Seq("w", "pos"))
+            .filter(col("pos") > 1)
+            .select(col("w"), (col("pos") - 1).cast("long").as("b"))
+        }
+        c.release()
+        bounds
+    }
+  }
+
   /** Greedy-longest-match usage table under a driver-held vocab,
     * collected (model-sized: ≤ vocabK + alphabet rows) in
     * (use_wt desc, piece asc) order. */

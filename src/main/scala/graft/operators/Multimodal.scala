@@ -438,6 +438,105 @@ object Multimodal {
         sum(col("n_out")).as("bytes_out"))
       .orderBy(asc("media_type"))
 
+  /** AUDIO CONSTELLATION FINGERPRINTS — the landmark-hash rung of the
+    * audio family (Wang 2003 / Shazam, adapted to the 1-D energy
+    * grid this container can compute; a real FFT front-end drops into
+    * the same shape with (freq, time) peaks instead of time-only):
+    *
+    *   1. peaks: energy-grid local maxima ([[audioWindows]] `ss`
+    *      strictly above BOTH neighbours, at/above `minEnergy` —
+    *      boundary windows can't anchor, so the peak set is invariant
+    *      to trailing-silence padding),
+    *   2. bands: peak strength quantized by integer shift
+    *      (`least(ss >> bandShift, 255)` — exact in any engine,
+    *      robust to small amplitude jitter),
+    *   3. landmarks: each peak pairs with its next `fanout` peaks
+    *      within `maxDt` windows; the (band₁, band₂, Δt) triple packs
+    *      into one int64 fingerprint `fp = b₁·2¹⁶ + b₂·2⁸ + Δt`.
+    *
+    * Returns (media_id, t, fp) — t is the anchor window index, kept so
+    * the matcher can offset-vote.
+    *
+    * Scale shape: [[audioWindows]] is a map-only flatMap (blobs never
+    * shuffle); both window passes run over the PEAK frame (3 longs per
+    * active window — a tiny fraction of the grid); the fanout explode
+    * is bounded by construction (≤ `fanout` rows per peak), and the
+    * lead columns are window-materialized BEFORE the Generate, so
+    * nothing expensive re-evaluates per element (PERF lesson 12).
+    */
+  def audioLandmarks(media: Dataset[MediaRow], win: Int = 32,
+                     fanout: Int = 3, maxDt: Long = 16L,
+                     minEnergy: Long = 40000L, bandShift: Int = 12): DataFrame = {
+    val byMedia = Window.partitionBy(col("media_id")).orderBy(asc("win_idx"))
+    val peaks = audioWindows(media, win).toDF()
+      .withColumn("pv", lag(col("ss"), 1).over(byMedia))
+      .withColumn("nx", lead(col("ss"), 1).over(byMedia))
+      .filter(col("ss") >= lit(minEnergy) &&
+        col("pv").isNotNull && col("nx").isNotNull &&
+        col("ss") > col("pv") && col("ss") > col("nx"))
+      .select(col("media_id"), col("win_idx").as("t"),
+        least(shiftright(col("ss"), bandShift), lit(255L)).as("band"))
+    val byPeak = Window.partitionBy(col("media_id")).orderBy(asc("t"))
+    val withLeads = peaks.select(col("media_id"), col("t"), col("band"),
+      array((1 to fanout).map(k =>
+        struct(lead(col("t"), k).over(byPeak).as("t2"),
+          lead(col("band"), k).over(byPeak).as("b2"))): _*).as("ls"))
+    withLeads
+      .select(col("media_id"), col("t"), col("band"),
+        explode(col("ls")).as("l"))
+      .filter(col("l.t2").isNotNull && col("l.t2") - col("t") <= lit(maxDt))
+      .select(col("media_id"), col("t"),
+        (col("band") * lit(65536L) + col("l.b2") * lit(256L) +
+          (col("l.t2") - col("t"))).as("fp"))
+  }
+
+  /** AUDIO FINGERPRINT MATCHING — the audio near-dup rung (images have
+    * dHash q210/q211, text has MinHash q31; audio matches on shared
+    * [[audioLandmarks]] constellations): clips sharing enough landmark
+    * fingerprints AT A CONSISTENT TIME OFFSET are the same recording
+    * (possibly trimmed/shifted). The offset-histogram vote is what
+    * makes the landmark scheme robust: random hash collisions scatter
+    * across offsets, true matches pile onto one.
+    *
+    *   - inverted index on `fp`, with overfull postings dropped
+    *     (`maxDf` distinct clips per fingerprint — the q228 posting-cap
+    *     discipline: a fingerprint shared by half the corpus is
+    *     boilerplate, not evidence, and UNCAPPED postings are the
+    *     classic quadratic blowup at 100 TB),
+    *   - candidate pairs via the fp equi-join (never all-pairs),
+    *   - per (pair, offset) vote counts partial-aggregate, and the
+    *     per-pair best offset is the lesson-17 `max(struct)` argmax
+    *     (votes desc, offset asc) — no data-sized sort window.
+    *
+    * Returns (media_a, media_b, t_off, votes, n_shared) for pairs with
+    * `votes ≥ minVotes`; `n_shared` is the total landmark matches
+    * across ALL offsets (the denominator a precision gate reads).
+    */
+  def audioFingerprintMatches(media: Dataset[MediaRow], win: Int = 32,
+                              fanout: Int = 3, maxDt: Long = 16L,
+                              minVotes: Long = 4L, maxDf: Int = 50): DataFrame = {
+    val lm = audioLandmarks(media, win, fanout, maxDt)
+    val keptFp = lm.groupBy(col("fp"))
+      .agg(countDistinct(col("media_id")).as("df"))
+      .filter(col("df") <= lit(maxDf))
+      .select(col("fp"))
+    val kept = lm.join(keptFp, Seq("fp"))
+    val votes = kept.select(col("fp"), col("media_id").as("media_a"), col("t").as("ta"))
+      .join(kept.select(col("fp"), col("media_id").as("media_b"), col("t").as("tb")),
+        Seq("fp"))
+      .filter(col("media_a") < col("media_b"))
+      .groupBy(col("media_a"), col("media_b"),
+        (col("ta") - col("tb")).as("t_off"))
+      .agg(count(lit(1)).as("votes"))
+    votes
+      .groupBy(col("media_a"), col("media_b"))
+      .agg(max(struct(col("votes").as("v"), (-col("t_off")).as("no"))).as("m"),
+        sum(col("votes")).as("n_shared"))
+      .filter(col("m.v") >= lit(minVotes))
+      .select(col("media_a"), col("media_b"), (-col("m.no")).as("t_off"),
+        col("m.v").as("votes"), col("n_shared"))
+  }
+
   /** End-to-end multimodal pipeline: manufacture media → batch decode →
     * per-type feature statistics. Only the 16-float features reach the
     * aggregate — payloads stay in their scan partitions.

@@ -1937,6 +1937,152 @@ object Curation {
       |GROUP BY lang ORDER BY lang""".stripMargin
 
   // -------------------------------------------------------------------
+  // q267: TOKENIZER BOUNDARY AGREEMENT — the cross-family audit the
+  // two tokenizer ladders (BPE q213/q216/q224/q235, unigram q262/
+  // q263/q265) make possible: segment the SAME held-out split under
+  // both frozen models (3-round BPE merges, 2-round unigram vocab —
+  // both memoized train chains) and compare their internal split
+  // points per word type. A boundary is a character offset b ∈
+  // [1, len−1]; per language the occurrence-weighted boundary-set
+  // overlap (both / bpe-only / uni-only + fixed-point Jaccard) is the
+  // table a tokenizer bake-off reads — high agreement means the
+  // families converge on the same morphology, divergence shows where
+  // the greedy-longest-match and merge-order inductive biases differ.
+  // Shape: both applies are type-frame-sized (the corpus collapses to
+  // eval word types once per family); the comparison is a full-outer
+  // equi-join on (w, b) over type-sized boundary frames; per-language
+  // occurrence counts join on the type key. All-int64. Oracle: BOTH
+  // generated chains (q224's train+apply rounds, q263's train chain +
+  // recursive-CTE eval orbit) share one types/etypes pair, then the
+  // identical boundary extraction, full-outer flags, and fixed-point
+  // fold — a drift in EITHER tokenizer family fails the hash.
+  // -------------------------------------------------------------------
+  def q267TokenizerAgreement(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    val merges = trainedMerges97Of(spark, dir, rounds = 3)
+    val uvocab = unigramVocab97Of(spark, dir, rounds = 2)
+    val heldout = d.filter(col("doc_id") % 97 === 0)
+    val wWin = Window.partitionBy(col("w")).orderBy(asc("p"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val bpeB = C.bpeSegment(heldout, "text", merges)
+      .withColumn("b", sum(length(col("s")).cast("long")).over(wWin))
+      .filter(col("b") < length(col("w")).cast("long"))
+      .select(col("w"), col("b"), lit(1).as("pb"))
+    val uniB = C.unigramTypeBoundaries(heldout, "text", uvocab)
+      .select(col("w"), col("b"), lit(1).as("ub"))
+    val tw = bpeB.join(uniB, Seq("w", "b"), "full_outer")
+      .groupBy(col("w"))
+      .agg(
+        sum(when(col("pb").isNotNull && col("ub").isNotNull, 1L)
+          .otherwise(0L)).as("n_both"),
+        sum(when(col("ub").isNull, 1L).otherwise(0L)).as("n_bpe"),
+        sum(when(col("pb").isNull, 1L).otherwise(0L)).as("n_uni"))
+    val lw = heldout
+      .select(col("lang"), explode(TA.tokens(col("text"))).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy(col("lang"), col("w")).agg(count(lit(1)).as("c"))
+    lw.join(tw, Seq("w"), "left_outer")
+      .groupBy(col("lang"))
+      .agg(
+        sum(col("c")).as("n_words"),
+        sum(col("c") * coalesce(col("n_both"), lit(0L))).as("b_both"),
+        sum(col("c") * coalesce(col("n_bpe"), lit(0L))).as("b_bpe_only"),
+        sum(col("c") * coalesce(col("n_uni"), lit(0L))).as("b_uni_only"))
+      .withColumn("jacc_fx",
+        when(col("b_both") + col("b_bpe_only") + col("b_uni_only") === 0L,
+          lit(-1L))
+          .otherwise(expr(
+            "(b_both * 1000000L) div (b_both + b_bpe_only + b_uni_only)")))
+      .orderBy(asc("lang"))
+  }
+  val q267Sql: String =
+    raw"""WITH RECURSIVE types AS (
+      |  SELECT tok AS w, CAST(COUNT(*) AS BIGINT) AS wc
+      |  FROM (SELECT UNNEST($toksSql) AS tok FROM documents
+      |        WHERE doc_id % 97 <> 0)
+      |  WHERE tok != '' GROUP BY 1),
+      |etypes AS (
+      |  SELECT tok AS w, CAST(COUNT(*) AS BIGINT) AS wc
+      |  FROM (SELECT UNNEST($toksSql) AS tok FROM documents
+      |        WHERE doc_id % 97 = 0)
+      |  WHERE tok != '' GROUP BY 1),
+      |pos0 AS (SELECT w, wc, UNNEST(range(1, LEN(w) + 1)) AS i FROM types),
+      |sym0 AS (SELECT w, wc, i - 1 AS p, w[i:i] AS s FROM pos0),
+      |""".stripMargin +
+      (1 to 3).map(bpeRoundSql).mkString(",\n") + ",\n" +
+      raw"""epos0 AS (SELECT w, wc, UNNEST(range(1, LEN(w) + 1)) AS i FROM etypes),
+      |esym0 AS (SELECT w, wc, i - 1 AS p, w[i:i] AS s FROM epos0),
+      |""".stripMargin +
+      (1 to 3).map(bpeApplyRoundSql).mkString(",\n") + ",\n" +
+      raw"""upos AS (
+      |  SELECT w, wc, LEN(w) AS len, UNNEST(range(1, LEN(w) + 1)) AS pos
+      |  FROM types),
+      |cand AS (
+      |  SELECT w, wc, pos, l, w[pos:pos+l-1] AS sub
+      |  FROM upos, UNNEST([2, 3, 4]) AS t(l)
+      |  WHERE pos + l - 1 <= len),
+      |v0 AS (
+      |  SELECT sub AS piece FROM (
+      |    SELECT sub, CAST(SUM(wc) AS BIGINT) AS cnt FROM cand GROUP BY 1)
+      |  ORDER BY cnt DESC, piece LIMIT 64),
+      |""".stripMargin +
+      (1 to 2).map(unigramRoundSql).mkString(",\n") + ",\n" +
+      raw"""eupos AS (
+      |  SELECT w, wc, LEN(w) AS len, UNNEST(range(1, LEN(w) + 1)) AS pos
+      |  FROM etypes),
+      |ecand AS (
+      |  SELECT w, wc, pos, l, w[pos:pos+l-1] AS sub
+      |  FROM eupos, UNNEST([2, 3, 4]) AS t(l)
+      |  WHERE pos + l - 1 <= len),
+      |ehit AS (
+      |  SELECT c.w, c.pos, MAX(c.l) AS mml
+      |  FROM ecand c JOIN v2 v ON v.piece = c.sub GROUP BY 1, 2),
+      |eml AS (
+      |  SELECT p.w, p.wc, p.pos, COALESCE(h.mml, 1) AS mlen
+      |  FROM eupos p LEFT JOIN ehit h ON h.w = p.w AND h.pos = p.pos),
+      |eseg AS (
+      |  SELECT w, wc, pos, mlen FROM eml WHERE pos = 1
+      |  UNION ALL
+      |  SELECT m.w, m.wc, m.pos, m.mlen
+      |  FROM eseg s JOIN eml m ON m.w = s.w AND m.pos = s.pos + s.mlen),
+      |bpeb AS (
+      |  SELECT w, b FROM (
+      |    SELECT w, CAST(SUM(LEN(s)) OVER (PARTITION BY w ORDER BY p
+      |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS b, LEN(w) AS len
+      |    FROM esym3)
+      |  WHERE b < len),
+      |unib AS (
+      |  SELECT w, CAST(pos - 1 AS BIGINT) AS b FROM eseg WHERE pos > 1),
+      |tw AS (
+      |  SELECT COALESCE(p.w, u.w) AS w,
+      |    CAST(SUM(CASE WHEN p.b IS NOT NULL AND u.b IS NOT NULL
+      |      THEN 1 ELSE 0 END) AS BIGINT) AS n_both,
+      |    CAST(SUM(CASE WHEN u.b IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS n_bpe,
+      |    CAST(SUM(CASE WHEN p.b IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS n_uni
+      |  FROM bpeb p FULL OUTER JOIN unib u ON p.w = u.w AND p.b = u.b
+      |  GROUP BY 1),
+      |lw AS (
+      |  SELECT lang, tok AS w, CAST(COUNT(*) AS BIGINT) AS c
+      |  FROM (SELECT lang, UNNEST($toksSql) AS tok FROM documents
+      |        WHERE doc_id % 97 = 0)
+      |  WHERE tok != '' GROUP BY 1, 2),
+      |fold AS (
+      |  SELECT lang, CAST(SUM(c) AS BIGINT) AS n_words,
+      |    CAST(SUM(c * COALESCE(n_both, 0)) AS BIGINT) AS b_both,
+      |    CAST(SUM(c * COALESCE(n_bpe, 0)) AS BIGINT) AS b_bpe_only,
+      |    CAST(SUM(c * COALESCE(n_uni, 0)) AS BIGINT) AS b_uni_only
+      |  FROM lw LEFT JOIN tw USING (w)
+      |  GROUP BY lang)
+      |SELECT lang, n_words, b_both, b_bpe_only, b_uni_only,
+      |  CASE WHEN b_both + b_bpe_only + b_uni_only = 0 THEN CAST(-1 AS BIGINT)
+      |       ELSE (b_both * 1000000) // (b_both + b_bpe_only + b_uni_only)
+      |  END AS jacc_fx
+      |FROM fold
+      |ORDER BY lang""".stripMargin
+
+  // -------------------------------------------------------------------
   // q238: CODE-SWITCH DETECTION — sentence-level language mix per doc
   // (doc-level langid q28 assigns ONE label; a doc that flips
   // en→de→en mid-text pollutes both monolingual buckets and this is
@@ -2571,6 +2717,7 @@ object Curation {
     "q262_unigram_rounds" -> (q262UnigramRounds _),
     "q263_unigram_heldout" -> (q263UnigramHeldout _),
     "q265_unigram_fertility" -> (q265UnigramFertility _),
+    "q267_tokenizer_agreement" -> (q267TokenizerAgreement _),
     "q212_repeated_extents" -> (q212RepeatedExtents _),
     "q209_report_card" -> (q209ReportCard _),
     "q207_skipgram_pairs" -> (q207SkipgramPairs _),
@@ -2623,6 +2770,7 @@ object Curation {
     "q262_unigram_rounds" -> q262Sql,
     "q263_unigram_heldout" -> q263Sql,
     "q265_unigram_fertility" -> q265Sql,
+    "q267_tokenizer_agreement" -> q267Sql,
     "q212_repeated_extents" -> q212Sql,
     "q209_report_card" -> q209Sql,
     "q207_skipgram_pairs" -> q207Sql,

@@ -2751,6 +2751,77 @@ object Pipeline {
       |ORDER BY media_id, utt""".stripMargin
 
   // -------------------------------------------------------------------
+  // q266: AUDIO FINGERPRINT MATCHING — the audio near-dup rung
+  // (constellation landmarks, Wang 2003 adapted to the 1-D energy
+  // grid): q222's window energies → strict local maxima (≥ 40000) →
+  // 8-bit strength bands (ss >> 12) → fanout-3 landmark pairs within
+  // 16 windows packed into one int64 fp → df≤50-capped inverted-index
+  // join → per-pair offset-histogram vote, best offset by the
+  // lesson-17 max(struct) argmax. ALL-INT64 ⇒ exact hash gate: DuckDB
+  // rebuilds every byte (q222's hex-pair replay) and replays peaks,
+  // bands, landmarks, the posting cap, and the vote bit-for-bit.
+  // -------------------------------------------------------------------
+  def q266AudioFingerprint(spark: SparkSession, dir: String): DataFrame =
+    Multimodal.audioFingerprintMatches(Multimodal.mediaTable(spark, dir),
+        win = 32, fanout = 3, maxDt = 16L, minVotes = 4L, maxDf = 50)
+      .orderBy(asc("media_a"), asc("media_b"))
+  val q266Sql: String =
+    """WITH a AS (
+      |  SELECT doc_id AS media_id, hex(encode(text)) AS hx,
+      |    CAST(octet_length(encode(text)) AS BIGINT) AS n
+      |  FROM documents WHERE doc_id % 3 = 1
+      |), b AS (
+      |  SELECT media_id, UNNEST(range(0, n)) AS p, hx FROM a
+      |), v AS (
+      |  SELECT media_id, p // 32 AS w,
+      |    (CAST(('0x' || substring(hx, CAST(p*2+1 AS BIGINT), 2)) AS INTEGER)
+      |      - 128) AS s
+      |  FROM b
+      |), wn AS (
+      |  SELECT media_id, w, CAST(SUM(s*s) AS BIGINT) AS ss
+      |  FROM v GROUP BY media_id, w
+      |), pk AS (
+      |  SELECT media_id, w AS t, LEAST(ss >> 12, 255) AS band FROM (
+      |    SELECT media_id, w, ss,
+      |      LAG(ss) OVER (PARTITION BY media_id ORDER BY w) AS pv,
+      |      LEAD(ss) OVER (PARTITION BY media_id ORDER BY w) AS nx
+      |    FROM wn)
+      |  WHERE ss >= 40000 AND pv IS NOT NULL AND nx IS NOT NULL
+      |    AND ss > pv AND ss > nx
+      |), lm0 AS (
+      |  SELECT media_id, t, band,
+      |    LEAD(t, 1) OVER pw AS t2_1, LEAD(band, 1) OVER pw AS b2_1,
+      |    LEAD(t, 2) OVER pw AS t2_2, LEAD(band, 2) OVER pw AS b2_2,
+      |    LEAD(t, 3) OVER pw AS t2_3, LEAD(band, 3) OVER pw AS b2_3
+      |  FROM pk WINDOW pw AS (PARTITION BY media_id ORDER BY t)
+      |), lm AS (
+      |  SELECT media_id, t, band*65536 + b2*256 + (t2 - t) AS fp FROM (
+      |    SELECT media_id, t, band, t2_1 AS t2, b2_1 AS b2 FROM lm0
+      |    UNION ALL SELECT media_id, t, band, t2_2, b2_2 FROM lm0
+      |    UNION ALL SELECT media_id, t, band, t2_3, b2_3 FROM lm0)
+      |  WHERE t2 IS NOT NULL AND t2 - t <= 16
+      |), kept AS (
+      |  SELECT lm.media_id, lm.t, lm.fp FROM lm JOIN (
+      |    SELECT fp FROM (
+      |      SELECT fp, COUNT(DISTINCT media_id) AS df FROM lm GROUP BY fp)
+      |    WHERE df <= 50) d USING (fp)
+      |), vo AS (
+      |  SELECT x.media_id AS media_a, y.media_id AS media_b,
+      |    x.t - y.t AS t_off, CAST(COUNT(*) AS BIGINT) AS votes
+      |  FROM kept x JOIN kept y ON x.fp = y.fp AND x.media_id < y.media_id
+      |  GROUP BY 1, 2, 3
+      |), best AS (
+      |  SELECT media_a, media_b, t_off, votes,
+      |    CAST(SUM(votes) OVER (PARTITION BY media_a, media_b) AS BIGINT)
+      |      AS n_shared,
+      |    ROW_NUMBER() OVER (PARTITION BY media_a, media_b
+      |      ORDER BY votes DESC, t_off ASC) AS rn
+      |  FROM vo)
+      |SELECT media_a, media_b, t_off, votes, n_shared
+      |FROM best WHERE rn = 1 AND votes >= 4
+      |ORDER BY media_a, media_b""".stripMargin
+
+  // -------------------------------------------------------------------
   // q38: Structured Streaming hourly rollup (real streaming engine,
   // versioned foreachBatch parquet sink, drained synchronously) —
   // oracle is plain batch SQL
@@ -4462,6 +4533,7 @@ object Pipeline {
     "q56_stream_dedup" -> (q56StreamDedup _),
     "q214_stream_neardup" -> (q214StreamNeardup _),
     "q264_stream_phash_nd" -> (q264StreamPhashNd _),
+    "q266_audio_fingerprint" -> (q266AudioFingerprint _),
     "q64_stream_join" -> (q64StreamJoin _),
     "q133_stream_left_outer" -> (q133StreamLeftOuter _),
     "q151_stream_full_outer" -> (q151StreamFullOuter _),
@@ -4587,6 +4659,7 @@ object Pipeline {
     "q56_stream_dedup" -> q56Sql,
     "q214_stream_neardup" -> q214Sql,
     "q264_stream_phash_nd" -> q264Sql,
+    "q266_audio_fingerprint" -> q266Sql,
     "q78_stream_enrich" -> q78Sql,
     "q81_bpe_tokens" -> q81Sql,
     "q82_neardup_clusters_alt" -> q55Sql,

@@ -689,6 +689,31 @@ class CurationSpec extends SparkSpec {
     assert(got === Map("ababab" -> 2L, "cd" -> 2L, "ab" -> 1L))
   }
 
+  // q267's gate is backed here: boundary offsets from the greedy
+  // orbit (pos−1 for every non-initial piece start, terminal len+1
+  // never leaks), and the BPE-vs-unigram comparison on a word where
+  // the families agree on one split and diverge on another.
+  test("unigramTypeBoundaries: internal split offsets, no terminal pseudo-boundary") {
+    // vocab [abab, ab]: ababa -> [abab, a] (boundary 4); abc -> [ab, c]
+    // (boundary 2); ab -> [ab] (no internal boundary -> no row)
+    val eval = Seq("ababa abc ab").toDF("text")
+    val got = Curation.unigramTypeBoundaries(eval, "text", Seq("abab", "ab"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(got === Set(("ababa", 4L), ("abc", 2L)))
+    // agreement view vs a frozen BPE merge (a,b): abc -> [ab, c] also
+    // boundary 2 (families agree); ababa BPE -> [ab, ab, a]
+    // (boundaries 2, 4) vs unigram {4}: one shared, one bpe-only
+    val wWin = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("w")).orderBy(asc("p"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val bpeB = Curation.bpeSegment(eval, "text", Seq(("a", "b")))
+      .withColumn("b", sum(length(col("s")).cast("long")).over(wWin))
+      .filter(col("b") < length(col("w")).cast("long"))
+      .collect().map(r => (r.getString(0), r.getLong(4))).toSet
+    assert(bpeB === Set(("ababa", 2L), ("ababa", 4L), ("abc", 2L)))
+  }
+
   test("unigram ops: empty / all-empty-token corpus short-circuits, no NPE") {
     val empty = Seq.empty[String].toDF("text")
     assert(Curation.unigramRounds(empty, "text", rounds = 2).count() === 0L)

@@ -1406,6 +1406,38 @@ class OperatorsSpec extends SparkSpec {
     assert(strict === 3)
   }
 
+  // q266's gate is backed here: hand-computed peaks → bands → packed
+  // landmark fps on a planted energy staircase, then the offset-0
+  // vote on an exact twin; a 1-shared-fp clip stays below minVotes.
+  test("audioLandmarks + audioFingerprintMatches: planted constellation, twin match, sub-threshold non-match") {
+    import Multimodal._
+    def w(x: Int) = Array.fill(32)(x.toByte)
+    // window energies 32·(x−128)²: 128→0, 168→51200(A), 208→204800(B), 248→460800(C)
+    // clip1 energy seq [0,B,A,C,A,B,0,C,0] → strict local maxima at
+    // t=1 (band 204800>>12=50), t=3 (460800>>12=112), t=5 (50), t=7 (112)
+    val clip1 = Array(128, 208, 168, 248, 168, 208, 128, 248, 128).flatMap(w)
+    // clip3 [0,C,0,B,0] → peaks (1,112),(3,50) → ONE landmark fp that
+    // collides with clip1's (112,50,dt2) — votes 1 < minVotes 4
+    val clip3 = Array(128, 248, 128, 208, 128).flatMap(w)
+    val media = Seq(
+      MediaRow(1L, "audio", clip1, 0, 0, 16000),
+      MediaRow(2L, "audio", clip1, 0, 0, 16000),
+      MediaRow(3L, "audio", clip3, 0, 0, 16000),
+      MediaRow(4L, "video", clip1, 0, 0, 0)).toDS()
+    val lm = audioLandmarks(media).filter(col("media_id") === 1L)
+      .collect().map(r => (r.getLong(1), r.getLong(2))).toSet
+    // fp = b1·65536 + b2·256 + dt
+    assert(lm === Set(
+      (1L, 50L * 65536 + 112 * 256 + 2), (1L, 50L * 65536 + 50 * 256 + 4),
+      (1L, 50L * 65536 + 112 * 256 + 6), (3L, 112L * 65536 + 50 * 256 + 2),
+      (3L, 112L * 65536 + 112 * 256 + 4), (5L, 50L * 65536 + 112 * 256 + 2)))
+    val got = audioFingerprintMatches(media).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    // twin: fp 3305474 appears twice per clip → offset-0 votes 6 of 8
+    // cross-offset pairs; clip3's single shared fp is filtered
+    assert(got.toSeq === Seq((1L, 2L, 0L, 6L, 8L)))
+  }
+
   // q221's gate is backed here: two disjoint triangles with a perfect
   // 2-community labelling — hand-computed Newman-Girvan terms.
   test("modularity matches hand-computed terms on two disjoint triangles") {
