@@ -1168,6 +1168,130 @@ object Pipeline {
       |ORDER BY query_id, rank""".stripMargin
 
   // -------------------------------------------------------------------
+  // q268: MATRYOSHKA / DIMENSION-TRUNCATION RECALL — the dimension-
+  // ablation table an embedding-storage decision reads (Kusupati et
+  // al. 2022: if the first k dims retain recall, store/serve k dims
+  // and cut index bytes proportionally — the same budget question the
+  // JL q152 / int8 q119 / 1-bit q240 rungs answer for other axes):
+  // exact top-10 cosine under the FULL 64 dims vs under prefix
+  // truncations (8/16/32 dims), recall@10 per truncation. EXACT:
+  // every element pre-floors to fixed point (floor(x·1e6) — int64 in
+  // double, products ≤1e12, 64-term sums ≤6.4e13 ≪ 2^53, so the
+  // codegen'd VecDot double accumulation is exact), ranking ties
+  // break by cand_id — a total order both engines replay bit-for-bit.
+  // Shape: probes (vec_id % 50 = 0) broadcast, candidates stream
+  // map-side; ONE pair join computes all four dots (the truncated
+  // prefixes ride the same row — no second scan, no second shuffle);
+  // per-dim ranks are probe-bounded windows, the recall fold is a
+  // 3-row aggregate.
+  // -------------------------------------------------------------------
+  def q268MatryoshkaRecall(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.VectorFunctions.vec_dot
+    import org.apache.spark.sql.expressions.Window
+    val fl = emb(spark, dir).select(col("vec_id"),
+      // one map-only pass per vector (interpreted HOF off the per-pair
+      // hot path, the q119 precedent); floored values are integers —
+      // exact in double
+      transform(col("embedding"),
+        // floor returns long; back to double for the codegen VecDot
+        // (integer values ≤1e6 are exact in double)
+        x => floor(x.cast("double") * lit(1e6)).cast("double")).as("f"))
+    val q = fl.filter(pmod(col("vec_id"), lit(50)) === 0)
+      .select(col("vec_id").as("query_id"), col("f").as("qf"))
+    val pairs = fl.select(col("vec_id").as("cand_id"), col("f").as("cf"))
+      .join(broadcast(q), col("query_id") =!= col("cand_id"))
+      .select(col("query_id"), col("cand_id"),
+        vec_dot(col("qf"), col("cf")).cast("long").as("d64"),
+        vec_dot(slice(col("qf"), 1, 32), slice(col("cf"), 1, 32))
+          .cast("long").as("d32"),
+        vec_dot(slice(col("qf"), 1, 16), slice(col("cf"), 1, 16))
+          .cast("long").as("d16"),
+        vec_dot(slice(col("qf"), 1, 8), slice(col("cf"), 1, 8))
+          .cast("long").as("d8"))
+      .persist()
+    def top10(dcol: String) = {
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(desc(dcol), asc("cand_id"))
+      pairs.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 10)
+        .select(col("query_id"), col("cand_id"))
+    }
+    val full = top10("d64")
+    val out = Seq(("d8", 8L), ("d16", 16L), ("d32", 32L)).map {
+      case (dcol, dim) =>
+        top10(dcol).join(full, Seq("query_id", "cand_id"))
+          .agg(countDistinct(col("query_id")).as("n_queries_hit"),
+            count(lit(1)).as("n_hits"))
+          .select(lit(dim).as("trunc_dim"), col("n_queries_hit"),
+            col("n_hits"))
+    }.reduce(_ union _)
+    val nq = q.count()
+    val r = out
+      .withColumn("n_queries", lit(nq))
+      .withColumn("recall_fx",
+        expr("(n_hits * 1000000L) div (n_queries * 10L)"))
+      .select(col("trunc_dim"), col("n_queries"), col("n_queries_hit"),
+        col("n_hits"), col("recall_fx"))
+      .orderBy(asc("trunc_dim"))
+      .localCheckpoint(true)
+    pairs.unpersist()
+    r
+  }
+  val q268Sql: String =
+    """WITH fl AS (
+      |  SELECT vec_id, list_transform(embedding,
+      |    x -> FLOOR(CAST(x AS DOUBLE) * 1000000)) AS f
+      |  FROM embeddings
+      |), pairs AS (
+      |  SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+      |    CAST(list_sum(list_transform(list_zip(q.f, c.f),
+      |      p -> p[1] * p[2])) AS BIGINT) AS d64,
+      |    CAST(list_sum(list_transform(list_zip(q.f[1:32], c.f[1:32]),
+      |      p -> p[1] * p[2])) AS BIGINT) AS d32,
+      |    CAST(list_sum(list_transform(list_zip(q.f[1:16], c.f[1:16]),
+      |      p -> p[1] * p[2])) AS BIGINT) AS d16,
+      |    CAST(list_sum(list_transform(list_zip(q.f[1:8], c.f[1:8]),
+      |      p -> p[1] * p[2])) AS BIGINT) AS d8
+      |  FROM fl q JOIN fl c ON q.vec_id % 50 = 0 AND q.vec_id != c.vec_id
+      |), t64 AS (
+      |  SELECT query_id, cand_id FROM (
+      |    SELECT query_id, cand_id, ROW_NUMBER() OVER (PARTITION BY query_id
+      |      ORDER BY d64 DESC, cand_id) AS rn FROM pairs) WHERE rn <= 10
+      |), tt AS (
+      |    SELECT 8 AS trunc_dim, t.query_id, t.cand_id,
+      |      f.cand_id AS hit FROM (
+      |      SELECT query_id, cand_id, ROW_NUMBER() OVER (PARTITION BY query_id
+      |        ORDER BY d8 DESC, cand_id) AS rn FROM pairs) t
+      |      LEFT JOIN t64 f ON f.query_id = t.query_id AND f.cand_id = t.cand_id
+      |      WHERE t.rn <= 10
+      |    UNION ALL
+      |    SELECT 16, t.query_id, t.cand_id, f.cand_id FROM (
+      |      SELECT query_id, cand_id, ROW_NUMBER() OVER (PARTITION BY query_id
+      |        ORDER BY d16 DESC, cand_id) AS rn FROM pairs) t
+      |      LEFT JOIN t64 f ON f.query_id = t.query_id AND f.cand_id = t.cand_id
+      |      WHERE t.rn <= 10
+      |    UNION ALL
+      |    SELECT 32, t.query_id, t.cand_id, f.cand_id FROM (
+      |      SELECT query_id, cand_id, ROW_NUMBER() OVER (PARTITION BY query_id
+      |        ORDER BY d32 DESC, cand_id) AS rn FROM pairs) t
+      |      LEFT JOIN t64 f ON f.query_id = t.query_id AND f.cand_id = t.cand_id
+      |      WHERE t.rn <= 10
+      |), hits AS (
+      |  SELECT trunc_dim,
+      |    COUNT(DISTINCT CASE WHEN hit IS NOT NULL THEN query_id END)
+      |      AS n_queries_hit,
+      |    CAST(COUNT(hit) AS BIGINT) AS n_hits
+      |  FROM tt GROUP BY trunc_dim
+      |)
+      |SELECT CAST(trunc_dim AS BIGINT) AS trunc_dim,
+      |  (SELECT COUNT(*) FROM fl WHERE vec_id % 50 = 0) AS n_queries,
+      |  n_queries_hit, n_hits,
+      |  (n_hits * 1000000) //
+      |    ((SELECT COUNT(*) FROM fl WHERE vec_id % 50 = 0) * 10) AS recall_fx
+      |FROM hits
+      |ORDER BY trunc_dim""".stripMargin
+
+  // -------------------------------------------------------------------
   // q240: 1-BIT SIGN-QUANTIZED Hamming ANN — the cheapest rung of the
   // ladder (brute float q34 → int8 q119 → JL q152 → ... → this): each
   // dim contributes sign(v[i]) only, packed into two int64 halves, so
@@ -4534,6 +4658,7 @@ object Pipeline {
     "q214_stream_neardup" -> (q214StreamNeardup _),
     "q264_stream_phash_nd" -> (q264StreamPhashNd _),
     "q266_audio_fingerprint" -> (q266AudioFingerprint _),
+    "q268_matryoshka_recall" -> (q268MatryoshkaRecall _),
     "q64_stream_join" -> (q64StreamJoin _),
     "q133_stream_left_outer" -> (q133StreamLeftOuter _),
     "q151_stream_full_outer" -> (q151StreamFullOuter _),
@@ -4660,6 +4785,7 @@ object Pipeline {
     "q214_stream_neardup" -> q214Sql,
     "q264_stream_phash_nd" -> q264Sql,
     "q266_audio_fingerprint" -> q266Sql,
+    "q268_matryoshka_recall" -> q268Sql,
     "q78_stream_enrich" -> q78Sql,
     "q81_bpe_tokens" -> q81Sql,
     "q82_neardup_clusters_alt" -> q55Sql,
