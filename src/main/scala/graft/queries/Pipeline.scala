@@ -2543,6 +2543,127 @@ object Pipeline {
     fwd.union(fwd.select(col("dst").as("src"), col("src").as("dst")))
   }
 
+  // -------------------------------------------------------------------
+  // q269: RANDOM-WALK CORPUS (DeepWalk / node2vec p=q=1, Perozzi et
+  // al. 2014) — the graph→sequence artifact a graph-embedding
+  // trainer consumes: from every sampled start node (id % 29 = 0, 2
+  // walks each), 6 deterministic steps where the next hop is the
+  // mix32-picked index into the SORTED adjacency list —
+  // `idx = mix32((cur·69069 + walk_id·40503 + t·104729) mod 2³²)
+  // mod deg(cur)` — so the "random" walk is a pure function of
+  // (walk_id, t, cur) that any engine replays bit-for-bit (the q243
+  // rendezvous discipline: ranking across seeds goes through mix32,
+  // rule 19). Emitted as (walk_id, step, node) rows — the flat
+  // skip-gram window input. Shape: adjacency indexed once (per-src
+  // row_number over the distinct edge frame — the one data-sized
+  // sort) and persisted; each step hash-joins the WALK frontier
+  // (sampled, tiny — broadcast) against the degree and adjacency
+  // frames map-side, so 6 steps cost 6 broadcast probes of the same
+  // persisted adjacency, never 6 shuffles of it. All operands stay
+  // < 2³² before mix32's bounded multipliers — no int64 overflow for
+  // DuckDB to error on through id ~1e9.
+  // -------------------------------------------------------------------
+  def q269RandwalkCorpus(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.{Sampling => S}
+    import org.apache.spark.sql.expressions.Window
+    // distinct BEFORE the symmetric union: the bipartite directions
+    // (even→odd / odd→even) are disjoint by construction, so deduping
+    // the forward half once is the same set at half the shuffle
+    val o = spark.read.parquet(s"$dir/orders.parquet")
+      .select(col("o_orderkey"), col("o_custkey"))
+    val li = spark.read.parquet(s"$dir/lineitem.parquet")
+      .select(col("l_orderkey"), col("l_suppkey"))
+    val fwd = o.join(li, col("o_orderkey") === col("l_orderkey"))
+      .select((col("o_custkey") * 2).cast("long").as("src"),
+        (col("l_suppkey") * 2 + 1).cast("long").as("dst"))
+      .distinct()
+    val e = fwd.union(fwd.select(col("dst").as("src"), col("src").as("dst")))
+    val wAdj = Window.partitionBy(col("src")).orderBy(asc("dst"))
+    val adj = e.withColumn("idx", (row_number().over(wAdj) - 1).cast("long"))
+      .persist()
+    // degrees and each step's frontier are walk-sized — materialize
+    // them eagerly (localCheckpoint) so every step's broadcast job
+    // reads a tiny cut frame instead of replaying the whole lazy
+    // chain (uncut, each of the 6 broadcast builds re-scanned the 2M
+    // adjacency and rebuilt the degree aggregate: 23 s → ~3 s at
+    // sf0.1)
+    val deg = adj.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+      .withColumnRenamed("src", "cur").localCheckpoint(true)
+    var frontier = adj.select(col("src").as("id")).distinct()
+      .filter(pmod(col("id"), lit(29)) === 0)
+      .select(col("id"), explode(array(lit(0L), lit(1L))).as("r"))
+      .select((col("id") * 2 + col("r")).as("walk_id"), col("id").as("cur"))
+      .localCheckpoint(true)
+    val segs = scala.collection.mutable.ArrayBuffer[DataFrame](
+      frontier.select(col("walk_id"), lit(0L).as("step"),
+        col("cur").as("node")))
+    (1 to 6).foreach { t =>
+      val pick = S.mix32(pmod(
+        col("cur") * lit(69069L) + col("walk_id") * lit(40503L)
+          + lit(t.toLong * 104729L), lit(4294967296L)))
+      val fr = frontier
+        .join(broadcast(deg), Seq("cur"))
+        .withColumn("nidx", pmod(pick, col("deg")))
+        .select(col("walk_id"), col("cur"), col("nidx"))
+      frontier = adj
+        .select(col("src").as("cur"), col("idx").as("nidx"),
+          col("dst").as("nxt"))
+        .join(broadcast(fr), Seq("cur", "nidx"))
+        .select(col("walk_id"), col("nxt").as("cur"))
+        .localCheckpoint(true)
+      segs += frontier.select(col("walk_id"), lit(t.toLong).as("step"),
+        col("cur").as("node"))
+    }
+    val out = segs.reduce(_ union _)
+      .orderBy(asc("walk_id"), asc("step"))
+      .localCheckpoint(true)
+    adj.unpersist()
+    out
+  }
+  // One walk step's mix32 chase, staged as CTEs (the q243 pattern:
+  // one CTE per xorshift round — inlining would copy the operand 32×).
+  private def walkStepSql(t: Int): String = {
+    val p = s"f${t - 1}"
+    s"""s${t}a AS (
+      |  SELECT walk_id, cur,
+      |    (cur * 69069 + walk_id * 40503 + $t * 104729) % 4294967296 AS v
+      |  FROM $p),
+      |s${t}b AS (SELECT walk_id, cur, xor(v, v >> 16) AS v FROM s${t}a),
+      |s${t}c AS (SELECT walk_id, cur, (v * 69069 + 12345) % 4294967296 AS v FROM s${t}b),
+      |s${t}d AS (SELECT walk_id, cur, xor(v, v >> 13) AS v FROM s${t}c),
+      |s${t}e AS (SELECT walk_id, cur, (v * 99991 + 1) % 4294967296 AS v FROM s${t}d),
+      |s${t}f AS (SELECT walk_id, cur, xor(v, v >> 16) AS v FROM s${t}e),
+      |f$t AS (
+      |  SELECT t.walk_id, a.dst AS cur
+      |  FROM s${t}f t
+      |  JOIN deg d ON d.src = t.cur
+      |  JOIN adj a ON a.src = t.cur AND a.idx = t.v % d.deg)""".stripMargin
+  }
+  val q269Sql: String =
+    """WITH fwd AS (
+      |  SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+      |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+      |), e AS (
+      |  SELECT src, dst FROM fwd UNION SELECT dst, src FROM fwd
+      |), adj AS (
+      |  SELECT src, dst,
+      |    ROW_NUMBER() OVER (PARTITION BY src ORDER BY dst) - 1 AS idx
+      |  FROM e
+      |), deg AS (
+      |  SELECT src, CAST(COUNT(*) AS BIGINT) AS deg FROM e GROUP BY src
+      |), f0 AS (
+      |  SELECT id * 2 + r AS walk_id, id AS cur
+      |  FROM (SELECT DISTINCT src AS id FROM e) n
+      |  CROSS JOIN range(0, 2) t(r)
+      |  WHERE id % 29 = 0
+      |),
+      |""".stripMargin +
+      (1 to 6).map(walkStepSql).mkString(",\n") + "\n" +
+      (0 to 6).map(t =>
+        s"SELECT walk_id, CAST($t AS BIGINT) AS step, cur AS node FROM f$t")
+        .mkString("\nUNION ALL\n") +
+      "\nORDER BY walk_id, step"
+
   def q177LabelProp(spark: SparkSession, dir: String): DataFrame =
     Graph.labelPropagation(tradeEdges(spark, dir), "src", "dst", rounds = 2)
       .orderBy(asc("id"))
@@ -4659,6 +4780,7 @@ object Pipeline {
     "q264_stream_phash_nd" -> (q264StreamPhashNd _),
     "q266_audio_fingerprint" -> (q266AudioFingerprint _),
     "q268_matryoshka_recall" -> (q268MatryoshkaRecall _),
+    "q269_randwalk_corpus" -> (q269RandwalkCorpus _),
     "q64_stream_join" -> (q64StreamJoin _),
     "q133_stream_left_outer" -> (q133StreamLeftOuter _),
     "q151_stream_full_outer" -> (q151StreamFullOuter _),
@@ -4786,6 +4908,7 @@ object Pipeline {
     "q264_stream_phash_nd" -> q264Sql,
     "q266_audio_fingerprint" -> q266Sql,
     "q268_matryoshka_recall" -> q268Sql,
+    "q269_randwalk_corpus" -> q269Sql,
     "q78_stream_enrich" -> q78Sql,
     "q81_bpe_tokens" -> q81Sql,
     "q82_neardup_clusters_alt" -> q55Sql,

@@ -142,7 +142,8 @@ object Explain {
       "q264_stream_phash_nd" -> "dHash computed MAP-SIDE on the stream (mapPartitions in the scan stage — blobs never shuffle); only 24-byte (chunk, chunk_val, ts, id) rows reach the state store; batch tail = distinct candidates → two 8-byte hash joins + bit_count verify → per-media partial-agged counts → 1:1 left join back; the grid re-encode rides the already-persisted narrow phash frame",
       "q266_audio_fingerprint" -> "landmark extraction is map-only over the blob scan (audioWindows flatMap) + two window passes over the PEAK frame (3 longs/active window); the lead columns materialize BEFORE the fanout Generate (lesson 12 — nothing re-evaluates per element); matching is a df≤50-capped inverted-index equi-join on the packed int64 fp (never all-pairs), offset votes partial-aggregate, and the per-pair best offset is the lesson-17 max(struct) argmax — no data-sized sort window",
       "q267_tokenizer_agreement" -> "both frozen models come from the memoized train chains (BPE merges + unigram vocab — a few driver strings each); both applies are type-frame-sized (the eval corpus collapses to word types once per family); boundary sets compare via a full-outer equi-join on (w, b) over type-sized frames, and the per-language fold joins occurrence counts on the type key — the corpus-sized pass is the two type collapses, everything after is vocabulary-scale",
-      "q268_matryoshka_recall" -> "probes (1/50) broadcast, candidates stream map-side; ONE pair join computes all four fixed-point dots (codegen VecDot over pre-floored prefixes — truncations ride the same row, no second scan); per-dim ranks are probe-bounded windows over the persisted pair frame, the recall fold is a 3-row aggregate")
+      "q268_matryoshka_recall" -> "probes (1/50) broadcast, candidates stream map-side; ONE pair join computes all four fixed-point dots (codegen VecDot over pre-floored prefixes — truncations ride the same row, no second scan); per-dim ranks are probe-bounded windows over the persisted pair frame, the recall fold is a 3-row aggregate",
+      "q269_randwalk_corpus" -> "adjacency indexed ONCE (per-src row_number over the distinct edge frame — the one data-sized sort) and persisted; each of the 6 steps broadcast-joins the tiny sampled walk frontier against the degree frame and then the persisted adjacency map-side — 6 broadcast probes of one cached frame, never 6 shuffles of it; the next-hop pick is pure int arithmetic (mix32) inside the projection")
 
   /** Consciously unpinned: reference-parity single-operator queries
     * whose plans are trivial (scan+filter/agg/join shapes already
