@@ -1707,4 +1707,104 @@ object Curation {
         coalesce(col("n_kept"), lit(0L)).as("n_kept"),
         coalesce(col("text_dedup"), lit("")).as("text_dedup"))
   }
+
+  /** k-anonymity generalization depth (Sweeney 2002; the Mondrian/
+    * Incognito question asked per RECORD): given a quasi-identifier
+    * generalization ladder `ladder(0)` (finest) → `ladder(last)`
+    * (coarsest), the minimal ladder level at which each record's
+    * equivalence class reaches size ≥ `kMin` — the privacy audit a
+    * training corpus with user-derived attributes needs before
+    * release (how much must each row be coarsened until it hides in
+    * a crowd of k?). Level `ladder.size` means even the coarsest
+    * class is under k (suppress the record).
+    *
+    * Output: (idCol, k0, level, k_eff) — the finest class size, the
+    * chosen level, and the class size at that level (0 when
+    * suppressed at every listed level).
+    *
+    * Scale shape: one partial-aggregated groupBy per ladder level
+    * (class-size frames are bounded by the QID domain, far below the
+    * record count) hash-joined back on the QID columns — the record
+    * stream is scanned once and never shuffles its payload, only the
+    * QID key columns. No windows, no collects.
+    */
+  def generalizationDepth(df: DataFrame, idCol: String,
+                          ladder: Seq[Seq[String]], kMin: Int): DataFrame = {
+    require(ladder.nonEmpty, "ladder must have at least one level")
+    val sized = ladder.zipWithIndex.foldLeft(df) { case (acc, (cols, i)) =>
+      val classes = df.groupBy(cols.map(col): _*)
+        .agg(count(lit(1)).as(s"k$i"))
+      acc.join(classes, cols)
+    }
+    // first (finest) level whose class clears kMin wins
+    val level = ladder.indices.foldRight(lit(ladder.size)) { (i, acc) =>
+      when(col(s"k$i") >= kMin, lit(i)).otherwise(acc)
+    }
+    val kEff = ladder.indices.foldRight(lit(0L)) { (i, acc) =>
+      when(col(s"k$i") >= kMin, col(s"k$i")).otherwise(acc)
+    }
+    sized.select(col(idCol), col("k0"), level.cast("int").as("level"),
+      kEff.cast("long").as("k_eff"))
+  }
+
+  /** Water-filling budget allocation (the classic max-min fair
+    * allocator, run here on token supplies): spread an integer budget
+    * `B = floor(total · budgetNum / budgetDen)` across groups so that
+    * every group with supply ≤ the water level L is fully funded and
+    * every larger group is capped at L, where L is the unique integer
+    * level exhausting the budget; the `B mod` remainder goes +1 to
+    * the first capped groups in key order. The data-mixing question
+    * this answers: "I can afford half my tokens — how much of each
+    * source do I take without letting the big sources crowd out the
+    * small ones?" (contrast q244's temperature weights, which
+    * RESCALE; water-filling CAPS).
+    *
+    * Exact integer algebra end-to-end: a group at ascending-supply
+    * rank j (n groups, prefix sum P) is fully funded iff
+    * P_{j−1} + s_j·(n−j+1) ≤ B (monotone in j, so funded groups are
+    * a prefix); L = (B − ΣfundedSupply) div n_capped and the
+    * remainder r = (…) mod n_capped give every capped group L plus
+    * one extra for the r first capped keys.
+    *
+    * Scale shape: the supply frame is GROUP-sized (domain-bounded —
+    * sources, languages, shards), so the single-partition windows
+    * here are the lesson-17 sanctioned kind; the corpus itself was
+    * already reduced by the caller's partial-aggregated count.
+    * Output: (keyCol, supply, alloc, capped), Σ alloc = B exactly.
+    */
+  def waterFillAlloc(supplies: DataFrame, keyCol: String, supplyCol: String,
+                     budgetNum: Long, budgetDen: Long): DataFrame = {
+    require(budgetNum >= 0 && budgetDen > 0 && budgetNum <= budgetDen,
+      s"budget fraction $budgetNum/$budgetDen must sit in [0, 1]")
+    val wAsc = Window.orderBy(asc(supplyCol), asc(keyCol))
+    val ranked = supplies
+      .select(col(keyCol), col(supplyCol).cast("long").as("supply"))
+      .withColumn("j", row_number().over(wAsc))
+      .withColumn("cum", sum(col("supply")).over(wAsc))
+    val tot = ranked.agg(count(lit(1)).cast("long").as("n"),
+      sum(col("supply")).as("total"))
+      .select(col("n"), col("total"),
+        expr(s"(total * ${budgetNum}L) div ${budgetDen}L").as("b"))
+    val flagged = ranked.crossJoin(broadcast(tot))
+      .withColumn("funded",
+        (col("cum") - col("supply")) +
+          col("supply") * (col("n") - col("j") + 1) <= col("b"))
+    val fundedAgg = flagged.agg(
+      sum(when(col("funded"), col("supply")).otherwise(0L)).as("p_funded"),
+      sum(when(col("funded"), 0L).otherwise(1L)).as("n_capped"))
+    val wCap = Window.partitionBy(col("funded")).orderBy(asc(keyCol))
+    flagged.crossJoin(broadcast(fundedAgg))
+      .withColumn("rem", col("b") - col("p_funded"))
+      .withColumn("lvl",
+        when(col("n_capped") > 0, expr("rem div n_capped")).otherwise(0L))
+      .withColumn("extra",
+        when(col("n_capped") > 0, col("rem") % col("n_capped")).otherwise(0L))
+      .withColumn("rcap", row_number().over(wCap))
+      .select(col(keyCol), col("supply"),
+        when(col("funded"), col("supply"))
+          .otherwise(col("lvl") +
+            when(col("rcap") <= col("extra"), 1L).otherwise(0L))
+          .cast("long").as("alloc"),
+        (!col("funded")).as("capped"))
+  }
 }

@@ -2695,7 +2695,114 @@ object Curation {
       |FROM terms GROUP BY 1, 2 ORDER BY tok""".stripMargin
   }
 
+  // -------------------------------------------------------------------
+  // q270: k-ANONYMITY GENERALIZATION DEPTH (Sweeney 2002) — the
+  // privacy audit a user-derived training table needs before release:
+  // per customer, the minimal quasi-identifier coarsening level
+  // (nation+segment+balance-decile → nation+segment → nation) at
+  // which their equivalence class reaches k ≥ 5, plus the class size
+  // at that level. Money buckets from exact cents (2-decimal-clean,
+  // rule 1) via floor(cents/100000) — identical on both engines
+  // including negatives (both floor a double quotient of exact ints).
+  // Scale: 3 partial-agged groupBys joined back on QID keys — the
+  // record stream never shuffles its payload.
+  // -------------------------------------------------------------------
+  def q270KAnonymity(spark: SparkSession, dir: String): DataFrame = {
+    val cust = spark.read.parquet(s"$dir/customer.parquet")
+      .withColumn("bal_bucket",
+        floor(round(col("c_acctbal") * 100).cast("long") / lit(100000.0))
+          .cast("long"))
+    C.generalizationDepth(cust, "c_custkey",
+        Seq(Seq("c_nationkey", "c_mktsegment", "bal_bucket"),
+          Seq("c_nationkey", "c_mktsegment"),
+          Seq("c_nationkey")),
+        kMin = 5)
+      .orderBy(asc("c_custkey"))
+  }
+  val q270Sql: String =
+    raw"""WITH c AS (
+      |  SELECT c_custkey, c_nationkey, c_mktsegment,
+      |    CAST(FLOOR(CAST(ROUND(c_acctbal * 100) AS BIGINT) / 100000.0)
+      |      AS BIGINT) AS bal_bucket
+      |  FROM customer
+      |), g0 AS (
+      |  SELECT c_nationkey, c_mktsegment, bal_bucket,
+      |    CAST(COUNT(*) AS BIGINT) AS k0
+      |  FROM c GROUP BY 1, 2, 3
+      |), g1 AS (
+      |  SELECT c_nationkey, c_mktsegment, CAST(COUNT(*) AS BIGINT) AS k1
+      |  FROM c GROUP BY 1, 2
+      |), g2 AS (
+      |  SELECT c_nationkey, CAST(COUNT(*) AS BIGINT) AS k2 FROM c GROUP BY 1
+      |)
+      |SELECT c.c_custkey, g0.k0,
+      |  CAST(CASE WHEN k0 >= 5 THEN 0 WHEN k1 >= 5 THEN 1
+      |            WHEN k2 >= 5 THEN 2 ELSE 3 END AS INT) AS level,
+      |  CAST(CASE WHEN k0 >= 5 THEN k0 WHEN k1 >= 5 THEN k1
+      |            WHEN k2 >= 5 THEN k2 ELSE 0 END AS BIGINT) AS k_eff
+      |FROM c
+      |JOIN g0 USING (c_nationkey, c_mktsegment, bal_bucket)
+      |JOIN g1 USING (c_nationkey, c_mktsegment)
+      |JOIN g2 USING (c_nationkey)
+      |ORDER BY c_custkey""".stripMargin
+
+  // -------------------------------------------------------------------
+  // q271: WATER-FILLING TOKEN BUDGET — max-min fair allocation of a
+  // 50% token budget across sources: small sources fully funded,
+  // large ones capped at the integer water level, remainder +1 to
+  // the first capped sources by name. The capping counterpart of
+  // q244's temperature RESCALING and q154's greedy per-doc budget.
+  // Exact integer algebra end-to-end (funded-prefix test, div/mod
+  // level) — see operators/Curation.waterFillAlloc for the algebra
+  // and the lesson-17 note on the source-sized windows.
+  // -------------------------------------------------------------------
+  def q271WaterFill(spark: SparkSession, dir: String): DataFrame = {
+    val sup = docs(spark, dir)
+      .select(col("source"), explode(TA.tokens(col("text"))).as("tok"))
+      .filter(col("tok") =!= "")
+      .groupBy(col("source")).agg(count(lit(1)).as("supply"))
+    C.waterFillAlloc(sup, "source", "supply", budgetNum = 1L, budgetDen = 2L)
+      .orderBy(asc("source"))
+  }
+  val q271Sql: String =
+    raw"""WITH s AS (
+      |  SELECT source, CAST(COUNT(*) AS BIGINT) AS supply
+      |  FROM (SELECT source, UNNEST($toksSql) AS tok FROM documents)
+      |  WHERE tok != '' GROUP BY source
+      |), r AS (
+      |  SELECT source, supply,
+      |    ROW_NUMBER() OVER (ORDER BY supply, source) AS j,
+      |    CAST(SUM(supply) OVER (ORDER BY supply, source
+      |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+      |  FROM s
+      |), t AS (
+      |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+      |    CAST(SUM(supply) AS BIGINT) // 2 AS b
+      |  FROM s
+      |), f AS (
+      |  SELECT r.*, t.n, t.b,
+      |    (cum - supply) + supply * (n - j + 1) <= b AS funded
+      |  FROM r CROSS JOIN t
+      |), fa AS (
+      |  SELECT CAST(COALESCE(SUM(CASE WHEN funded THEN supply END), 0)
+      |      AS BIGINT) AS p_funded,
+      |    CAST(SUM(CASE WHEN funded THEN 0 ELSE 1 END) AS BIGINT) AS n_capped
+      |  FROM f
+      |)
+      |SELECT source, supply,
+      |  CAST(CASE WHEN funded THEN supply
+      |    ELSE (b - p_funded) // n_capped
+      |      + (CASE WHEN ROW_NUMBER() OVER (PARTITION BY funded
+      |               ORDER BY source) <= (b - p_funded) % n_capped
+      |         THEN 1 ELSE 0 END)
+      |  END AS BIGINT) AS alloc,
+      |  NOT funded AS capped
+      |FROM f CROSS JOIN fa
+      |ORDER BY source""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q270_k_anonymity" -> (q270KAnonymity _),
+    "q271_water_fill" -> (q271WaterFill _),
     "q260_split_balance" -> (q260SplitBalance _),
     "q259_quantile_normalize" -> (q259QuantileNormalize _),
     "q251_vocab_coverage" -> (q251VocabCoverage _),
@@ -2749,6 +2856,8 @@ object Curation {
     "q120_fuzzy_decontaminate" -> (q120FuzzyDecontaminate _))
 
   val oracle: Map[String, String] = Map(
+    "q270_k_anonymity" -> q270Sql,
+    "q271_water_fill" -> q271Sql,
     "q260_split_balance" -> q260Sql,
     "q259_quantile_normalize" -> q259Sql,
     "q251_vocab_coverage" -> q251Sql,

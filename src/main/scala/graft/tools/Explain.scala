@@ -143,7 +143,8 @@ object Explain {
       "q266_audio_fingerprint" -> "landmark extraction is map-only over the blob scan (audioWindows flatMap) + two window passes over the PEAK frame (3 longs/active window); the lead columns materialize BEFORE the fanout Generate (lesson 12 — nothing re-evaluates per element); matching is a df≤50-capped inverted-index equi-join on the packed int64 fp (never all-pairs), offset votes partial-aggregate, and the per-pair best offset is the lesson-17 max(struct) argmax — no data-sized sort window",
       "q267_tokenizer_agreement" -> "both frozen models come from the memoized train chains (BPE merges + unigram vocab — a few driver strings each); both applies are type-frame-sized (the eval corpus collapses to word types once per family); boundary sets compare via a full-outer equi-join on (w, b) over type-sized frames, and the per-language fold joins occurrence counts on the type key — the corpus-sized pass is the two type collapses, everything after is vocabulary-scale",
       "q268_matryoshka_recall" -> "probes (1/50) broadcast, candidates stream map-side; ONE pair join computes all four fixed-point dots (codegen VecDot over pre-floored prefixes — truncations ride the same row, no second scan); per-dim ranks are probe-bounded windows over the persisted pair frame, the recall fold is a 3-row aggregate",
-      "q269_randwalk_corpus" -> "adjacency indexed ONCE (per-src row_number over the distinct edge frame — the one data-sized sort) and persisted; each of the 6 steps broadcast-joins the tiny sampled walk frontier against the degree frame and then the persisted adjacency map-side — 6 broadcast probes of one cached frame, never 6 shuffles of it; the next-hop pick is pure int arithmetic (mix32) inside the projection")
+      "q269_randwalk_corpus" -> "adjacency indexed ONCE (per-src row_number over the distinct edge frame — the one data-sized sort) and persisted; each of the 6 steps broadcast-joins the tiny sampled walk frontier against the degree frame and then the persisted adjacency map-side — 6 broadcast probes of one cached frame, never 6 shuffles of it; the next-hop pick is pure int arithmetic (mix32) inside the projection",
+      "q270_k_anonymity" -> "one partial-aggregated groupBy per ladder level (class frames bounded by the QID domain, not the record count) hash-joined back on QID keys — the record stream scans once, payload never shuffles; level pick is a map-side CASE chain")
 
   /** Consciously unpinned: reference-parity single-operator queries
     * whose plans are trivial (scan+filter/agg/join shapes already
@@ -170,7 +171,7 @@ object Explain {
     "q183_leakage_audit", "q18_time_window", "q192_zipf_fit", "q198_tpch_q14",
     "q199_tpch_q7", "q19_sessionize", "q203_stream_asof", "q20_pivot",
     "q213_bpe_merges", "q216_bpe_vocab", "q21_rollup", "q227_winnow",
-    "q263_unigram_heldout", "q265_unigram_fertility",
+    "q263_unigram_heldout", "q265_unigram_fertility", "q271_water_fill",
     "q228_winnow_pairs", "q22_semi_anti_join", "q230_kcenter", "q231_stream_drift",
     "q232_ra_link_prediction", "q233_pair_alignment", "q235_bpe_fertility", "q236_audio_utterances",
     "q237_clustering_coeff", "q238_code_switch", "q239_assortativity", "q23_outer_join_agg",

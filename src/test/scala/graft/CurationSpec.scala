@@ -35,6 +35,45 @@ class CurationSpec extends SparkSpec {
       c.collect().map(_.getString(0)).toSeq)
   }
 
+  test("generalizationDepth picks the minimal level that clears kMin") {
+    val recs = Seq(
+      (1L, "x", "p"), (2L, "x", "p"), (3L, "x", "q"),
+      (4L, "y", "p"), (5L, "z", "q")
+    ).toDF("id", "a", "b")
+    val got = Curation.generalizationDepth(recs, "id",
+        Seq(Seq("a", "b"), Seq("a")), kMin = 2)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getInt(2), r.getLong(3)))).toMap
+    // (x,p) class of 2 clears k at level 0; (x,q) needs level 1 (|x|=3);
+    // y and z never clear -> suppression level 2, k_eff 0
+    assert(got(1L) === ((2L, 0, 2L)))
+    assert(got(2L) === ((2L, 0, 2L)))
+    assert(got(3L) === ((1L, 1, 3L)))
+    assert(got(4L) === ((1L, 2, 0L)))
+    assert(got(5L) === ((1L, 2, 0L)))
+  }
+
+  test("waterFillAlloc funds small groups fully and caps large ones") {
+    val sup = Seq(("a", 10L), ("b", 3L), ("c", 5L), ("d", 100L))
+      .toDF("k", "supply")
+    val got = Curation.waterFillAlloc(sup, "k", "supply", 1L, 2L)
+      .collect().map(r => r.getString(0) -> ((r.getLong(2), r.getBoolean(3))))
+      .toMap
+    // total 118, B = 59: a/b/c fully funded (18), d capped at 41
+    assert(got === Map("a" -> ((10L, false)), "b" -> ((3L, false)),
+      "c" -> ((5L, false)), "d" -> ((41L, true))))
+  }
+
+  test("waterFillAlloc spreads the remainder over the first capped keys") {
+    val sup = Seq(("a", 5L), ("b", 5L), ("c", 5L), ("d", 5L))
+      .toDF("k", "supply")
+    val got = Curation.waterFillAlloc(sup, "k", "supply", 1L, 2L)
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    // B = 10 over 4 equal groups: level 2, remainder 2 -> a,b get 3
+    assert(got === Map("a" -> 3L, "b" -> 3L, "c" -> 2L, "d" -> 2L))
+    assert(got.values.sum === 10L)
+  }
+
   test("decontaminate flags the planted overlap and only it") {
     val train = Seq(
       (1L, "alpha beta gamma delta epsilon zeta"),   // contains eval 5-gram
