@@ -2748,6 +2748,64 @@ object Pipeline {
       |ORDER BY lab""".stripMargin
 
   // -------------------------------------------------------------------
+  // q272: LOUVAIN MOVE ROUNDS (Blondel et al. 2008 local-move phase,
+  // synchronous fixed-rounds contract) over the trade graph — the
+  // modularity-GAIN community update next to q177's plain majority
+  // vote: a vote into a heavy community is discounted by its Σtot
+  // degree mass (score = dd·k_{i,c} − k_i·Σtot_{c∖i}, exact int64),
+  // ties to the smaller label. Oracle unrolls both rounds: Σtot /
+  // k_{i,c} / stay∪move candidates / the identical argmax as
+  // row_number over (score desc, clab asc) ≡ max(struct(score, −c)).
+  // -------------------------------------------------------------------
+  def q272LouvainMove(spark: SparkSession, dir: String): DataFrame =
+    Graph.louvainMoveRounds(tradeEdges(spark, dir), "src", "dst", rounds = 2)
+      .orderBy(asc("id"))
+  private def louvainRoundSql(r: Int): String = {
+    val prev = s"lv${r - 1}"
+    s"""tot$r AS (
+       |  SELECT l.lab, CAST(SUM(d.k) AS BIGINT) AS sigma
+       |  FROM $prev l JOIN deg d USING (id) GROUP BY l.lab
+       |), kic$r AS (
+       |  SELECT e.src AS id, lb.lab AS clab, CAST(COUNT(*) AS BIGINT) AS kic
+       |  FROM e JOIN $prev lb ON lb.id = e.dst GROUP BY 1, 2
+       |), cand$r AS (
+       |  SELECT l.id, l.lab AS cur, l.lab AS clab, COALESCE(k2.kic, 0) AS kic
+       |  FROM $prev l LEFT JOIN kic$r k2 ON k2.id = l.id AND k2.clab = l.lab
+       |  UNION ALL
+       |  SELECT k.id, l.lab AS cur, k.clab, k.kic
+       |  FROM kic$r k JOIN $prev l ON l.id = k.id
+       |  WHERE k.clab <> l.lab
+       |), lv$r AS (
+       |  SELECT id, clab AS lab FROM (
+       |    SELECT c.id, c.clab,
+       |      ROW_NUMBER() OVER (PARTITION BY c.id ORDER BY
+       |        ddt.dd * c.kic - d.k *
+       |          (t.sigma - CASE WHEN c.clab = c.cur THEN d.k ELSE 0 END)
+       |        DESC, c.clab) AS rk
+       |    FROM cand$r c JOIN deg d ON d.id = c.id
+       |    JOIN tot$r t ON t.lab = c.clab CROSS JOIN ddt)
+       |  WHERE rk = 1
+       |)""".stripMargin
+  }
+  val q272Sql: String =
+    """WITH fwd AS (
+      |  SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+      |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+      |), e AS (
+      |  SELECT src, dst FROM fwd UNION SELECT dst, src FROM fwd
+      |), deg AS (
+      |  SELECT src AS id, CAST(COUNT(*) AS BIGINT) AS k FROM e GROUP BY 1
+      |), ddt AS (
+      |  SELECT CAST(COUNT(*) AS BIGINT) AS dd FROM e
+      |), lv0 AS (
+      |  SELECT id, id AS lab FROM (
+      |    SELECT DISTINCT src AS id FROM e UNION SELECT DISTINCT dst FROM e)
+      |),
+      |""".stripMargin +
+      (1 to 2).map(louvainRoundSql).mkString(",\n") +
+      "\nSELECT id, lab FROM lv2 ORDER BY id"
+
+  // -------------------------------------------------------------------
   // q171: iterated k-core peel (k=6, 4 synchronous rounds) over q127's
   // high-quantity co-purchase graph — the cohesive-subgraph extractor
   // (spam/boilerplate rings in a doc-similarity graph, dense
@@ -4730,6 +4788,7 @@ object Pipeline {
     "q218_semantic_decontam" -> (q218SemanticDecontam _),
     "q220_frame_sample" -> (q220FrameSample _),
     "q221_modularity" -> (q221Modularity _),
+    "q272_louvain_move" -> (q272LouvainMove _),
     "q222_audio_energy" -> (q222AudioEnergy _),
     "q223_hard_negatives" -> (q223HardNegatives _),
     "q226_incremental_semdedup" -> (q226IncrementalSemdedup _),
@@ -4828,6 +4887,7 @@ object Pipeline {
     "q218_semantic_decontam" -> q218Sql,
     "q220_frame_sample" -> q220Sql,
     "q221_modularity" -> q221Sql,
+    "q272_louvain_move" -> q272Sql,
     "q222_audio_energy" -> q222Sql,
     "q223_hard_negatives" -> q223Sql,
     "q226_incremental_semdedup" -> q226Sql,

@@ -210,6 +210,34 @@ class OperatorsSpec extends SparkSpec {
     assert(again === got)
   }
 
+  test("louvainMoveRounds: hand-replayed gains on two bridged cliques") {
+    // same two-K4 + bridge graph as the LPA spec; both rounds replayed
+    // by hand with score = dd·k_ic − k_i·(σ_c − k_i·[c = cur]), dd=26.
+    // Round 1 (singletons): each K4{1..4} node picks its min-degree
+    // smallest-label neighbor (1→2, 2/3/4→1; 11→12, 12→13, 13/14→12);
+    // round 2 consolidates each clique (stay scores 31/28 beat every
+    // move) and pulls the stragglers in (1→lab1 at 48, 12→lab12 at 48).
+    def k4(base: Long) = for {
+      i <- 0L to 3L; j <- 0L to 3L if i < j
+    } yield (base + i, base + j)
+    val und = (k4(1L) ++ k4(11L) :+ (4L, 11L))
+    val edges = (und ++ und.map(_.swap)).toDF("s", "d")
+    val got = Graph.louvainMoveRounds(edges, "s", "d", rounds = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      11L -> 12L, 12L -> 12L, 13L -> 12L, 14L -> 12L))
+    // the heavy-community discount is live: round-1 node 1 prefers a
+    // degree-3 singleton (score 17) over the degree-4 bridge node 4
+    // (score 14) — LPA's unweighted vote cannot tell them apart
+    val r1 = Graph.louvainMoveRounds(edges, "s", "d", rounds = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(r1(1L) === 2L && r1(4L) === 1L && r1(11L) === 12L)
+    // layout invariance
+    val again = Graph.louvainMoveRounds(edges.repartition(7), "s", "d", 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(again === got)
+  }
+
   test("ssspFixed: Bellman-Ford rounds match hand distances; bounded horizon") {
     // 1 -(5)-> 2 -(1)-> 3 -(1)-> 4; 1 -(10)-> 3 (longer direct edge);
     // parallel 1->2 edge of weight 7 must lose to the 5
