@@ -2563,7 +2563,26 @@ object Pipeline {
   // < 2³² before mix32's bounded multipliers — no int64 overflow for
   // DuckDB to error on through id ~1e9.
   // -------------------------------------------------------------------
-  def q269RandwalkCorpus(spark: SparkSession, dir: String): DataFrame = {
+  /** The materialized walk corpus, memoized per (applicationId, dir) —
+    * the trainedMerges97Of pattern for a DISTRIBUTED artifact: the
+    * frame stays a localCheckpointed Dataset (the corpus is
+    * sample-sized here but data-sized at 100 TB — a driver collect
+    * would not scale, a shared checkpoint does), so q269 (the corpus
+    * itself) and q273 (the SPPMI matrix over it) pay the 6-step
+    * generation once per JVM. Deterministic in (dir), so the memo can
+    * only skip a bit-identical regeneration; keyed by applicationId
+    * so a frame from a stopped SparkContext is never reused. */
+  private val walkCorpus =
+    new java.util.concurrent.ConcurrentHashMap[(String, String), DataFrame]()
+  private def walkCorpusOf(spark: SparkSession, dir: String): DataFrame =
+    walkCorpus.computeIfAbsent(
+      (spark.sparkContext.applicationId, dir),
+      _ => buildWalkCorpus(spark, dir))
+
+  def q269RandwalkCorpus(spark: SparkSession, dir: String): DataFrame =
+    walkCorpusOf(spark, dir).orderBy(asc("walk_id"), asc("step"))
+
+  private def buildWalkCorpus(spark: SparkSession, dir: String): DataFrame = {
     import graft.operators.{Sampling => S}
     import org.apache.spark.sql.expressions.Window
     // distinct BEFORE the symmetric union: the bipartite directions
@@ -2614,9 +2633,7 @@ object Pipeline {
       segs += frontier.select(col("walk_id"), lit(t.toLong).as("step"),
         col("cur").as("node"))
     }
-    val out = segs.reduce(_ union _)
-      .orderBy(asc("walk_id"), asc("step"))
-      .localCheckpoint(true)
+    val out = segs.reduce(_ union _).localCheckpoint(true)
     adj.unpersist()
     out
   }
@@ -2639,7 +2656,10 @@ object Pipeline {
       |  JOIN deg d ON d.src = t.cur
       |  JOIN adj a ON a.src = t.cur AND a.idx = t.v % d.deg)""".stripMargin
   }
-  val q269Sql: String =
+  // Shared CTE chain through the full 7-step corpus (the lpaPrefixSql
+  // pattern): q269 gates the corpus itself, q273 the SPPMI matrix on
+  // top — a drifted hop corrupts both gates.
+  private val walkCtesSql: String =
     """WITH fwd AS (
       |  SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
       |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
@@ -2658,11 +2678,67 @@ object Pipeline {
       |  WHERE id % 29 = 0
       |),
       |""".stripMargin +
-      (1 to 6).map(walkStepSql).mkString(",\n") + "\n" +
+      (1 to 6).map(walkStepSql).mkString(",\n") +
+      ",\ncorpus AS MATERIALIZED (\n" +
       (0 to 6).map(t =>
-        s"SELECT walk_id, CAST($t AS BIGINT) AS step, cur AS node FROM f$t")
-        .mkString("\nUNION ALL\n") +
-      "\nORDER BY walk_id, step"
+        s"  SELECT walk_id, CAST($t AS BIGINT) AS step, cur AS node FROM f$t")
+        .mkString("\n  UNION ALL\n") +
+      "\n)"
+  val q269Sql: String =
+    walkCtesSql + "\nSELECT walk_id, step, node FROM corpus ORDER BY walk_id, step"
+
+  // -------------------------------------------------------------------
+  // q273: WALK-WINDOW SPPMI MATRIX (Levy & Goldberg 2014 — DeepWalk/
+  // word2vec as implicit matrix factorization): the (node, context)
+  // co-occurrence counts over q269's walk corpus with a ±2-step
+  // window, folded to shifted-positive PMI in the floor(ln·1e6)
+  // fixed-point convention (q161's discipline) — THE training matrix
+  // a graph-embedding factorizer consumes. The corpus comes from the
+  // per-JVM memoized walk frame (generated once, shared with q269 —
+  // the production artifact shape); pairs are an equi self-join on
+  // walk_id (≤ 7 rows per key — linear, never corpus²) with the step
+  // window as a residual filter, marginals broadcast back.
+  // -------------------------------------------------------------------
+  def q273WalkPmi(spark: SparkSession, dir: String): DataFrame = {
+    val corpus = walkCorpusOf(spark, dir)
+    val a = corpus.select(col("walk_id"), col("step").as("sa"),
+      col("node").as("w"))
+    val b = corpus.select(col("walk_id"), col("step").as("sb"),
+      col("node").as("c"))
+    val pairs = a.join(b, Seq("walk_id"))
+      .filter(col("sa") =!= col("sb") &&
+        abs(col("sa") - col("sb")) <= 2)
+      .groupBy(col("w"), col("c")).agg(count(lit(1)).as("n_wc"))
+    val mw = pairs.groupBy(col("w")).agg(sum(col("n_wc")).as("n_w"))
+    val mc = pairs.groupBy(col("c")).agg(sum(col("n_wc")).as("n_c"))
+    val dt = pairs.agg(sum(col("n_wc")).as("d"))
+    pairs.join(mw, "w").join(mc, "c").crossJoin(broadcast(dt))
+      .select(col("w"), col("c"), col("n_wc"),
+        greatest(lit(0L),
+          floor(log((col("n_wc") * col("d")).cast("double") /
+            (col("n_w") * col("n_c")).cast("double")) * lit(1000000.0))
+            .cast("long")).as("sppmi_fx"))
+      .orderBy(asc("w"), asc("c"))
+  }
+  val q273Sql: String =
+    walkCtesSql +
+      """, pairs AS MATERIALIZED (
+      |  SELECT a.node AS w, b.node AS c, CAST(COUNT(*) AS BIGINT) AS n_wc
+      |  FROM corpus a JOIN corpus b ON a.walk_id = b.walk_id
+      |    AND a.step <> b.step AND ABS(a.step - b.step) <= 2
+      |  GROUP BY 1, 2
+      |), mw AS (
+      |  SELECT w, CAST(SUM(n_wc) AS BIGINT) AS n_w FROM pairs GROUP BY 1
+      |), mc AS (
+      |  SELECT c, CAST(SUM(n_wc) AS BIGINT) AS n_c FROM pairs GROUP BY 1
+      |), dt AS (SELECT CAST(SUM(n_wc) AS BIGINT) AS d FROM pairs)
+      |SELECT p.w, p.c, p.n_wc,
+      |  GREATEST(CAST(0 AS BIGINT),
+      |    CAST(FLOOR(LN(CAST(p.n_wc * dt.d AS DOUBLE)
+      |      / CAST(mw.n_w * mc.n_c AS DOUBLE)) * 1000000) AS BIGINT))
+      |    AS sppmi_fx
+      |FROM pairs p JOIN mw USING (w) JOIN mc USING (c) CROSS JOIN dt
+      |ORDER BY w, c""".stripMargin
 
   def q177LabelProp(spark: SparkSession, dir: String): DataFrame =
     Graph.labelPropagation(tradeEdges(spark, dir), "src", "dst", rounds = 2)
@@ -4789,6 +4865,7 @@ object Pipeline {
     "q220_frame_sample" -> (q220FrameSample _),
     "q221_modularity" -> (q221Modularity _),
     "q272_louvain_move" -> (q272LouvainMove _),
+    "q273_walk_pmi" -> (q273WalkPmi _),
     "q222_audio_energy" -> (q222AudioEnergy _),
     "q223_hard_negatives" -> (q223HardNegatives _),
     "q226_incremental_semdedup" -> (q226IncrementalSemdedup _),
@@ -4888,6 +4965,7 @@ object Pipeline {
     "q220_frame_sample" -> q220Sql,
     "q221_modularity" -> q221Sql,
     "q272_louvain_move" -> q272Sql,
+    "q273_walk_pmi" -> q273Sql,
     "q222_audio_energy" -> q222Sql,
     "q223_hard_negatives" -> q223Sql,
     "q226_incremental_semdedup" -> q226Sql,

@@ -145,7 +145,8 @@ object Explain {
       "q268_matryoshka_recall" -> "probes (1/50) broadcast, candidates stream map-side; ONE pair join computes all four fixed-point dots (codegen VecDot over pre-floored prefixes — truncations ride the same row, no second scan); per-dim ranks are probe-bounded windows over the persisted pair frame, the recall fold is a 3-row aggregate",
       "q269_randwalk_corpus" -> "adjacency indexed ONCE (per-src row_number over the distinct edge frame — the one data-sized sort) and persisted; each of the 6 steps broadcast-joins the tiny sampled walk frontier against the degree frame and then the persisted adjacency map-side — 6 broadcast probes of one cached frame, never 6 shuffles of it; the next-hop pick is pure int arithmetic (mix32) inside the projection",
       "q270_k_anonymity" -> "one partial-aggregated groupBy per ladder level (class frames bounded by the QID domain, not the record count) hash-joined back on QID keys — the record stream scans once, payload never shuffles; level pick is a map-side CASE chain",
-      "q272_louvain_move" -> "edge frame distinct'd + persisted once; per round Σtot is a node-sized join + community-sized aggregate, k_{i,c} a partial-agged (src,lab) count, and the move pick is the lesson-17 max(struct) hash aggregate over the candidate frame — long tuples in every exchange, no edge-sized sort window, dd rides as a 1-row broadcast")
+      "q272_louvain_move" -> "edge frame distinct'd + persisted once; per round Σtot is a node-sized join + community-sized aggregate, k_{i,c} a partial-agged (src,lab) count, and the move pick is the lesson-17 max(struct) hash aggregate over the candidate frame — long tuples in every exchange, no edge-sized sort window, dd rides as a 1-row broadcast",
+      "q273_walk_pmi" -> "the walk corpus is the per-JVM memoized localCheckpoint shared with q269 (generated once — the plan roots at an ExistingRDD scan, not a re-derivation); pairs are an equi self-join on walk_id (≤7 rows per key) with the ±2-step window a residual filter, both marginals partial-agg and hash-join back, the 1-row total broadcasts")
 
   /** Consciously unpinned: reference-parity single-operator queries
     * whose plans are trivial (scan+filter/agg/join shapes already
