@@ -480,6 +480,70 @@ object Curation {
     (out.toSeq, syms)
   }
 
+  /** WordPiece merge trainer (Schuster & Nakajima 2012; the
+    * likelihood-gain criterion BERT's tokenizer ships with) — the
+    * THIRD tokenizer family next to BPE (count argmax) and unigram-LM
+    * (EM prune): identical greedy island-parity merge mechanics to
+    * [[bpeMergeRounds]], but the per-round pair pick maximizes
+    * score(a,b) = cnt(ab) / (cnt(a)·cnt(b)) — the unigram-LM
+    * likelihood gain of fusing the pair — instead of raw cnt(ab), so
+    * a rare-but-exclusive bigram beats a frequent pair of
+    * individually-frequent symbols. The score comparison is one
+    * correctly-rounded IEEE division of exact int64 counts
+    * (cnt ≤ 2^53, ca·cb ≤ 2^53 ⇒ both operands exact ⇒ both engines
+    * produce the identical double), ties broken lexically on (a, b).
+    *
+    * Output per round: (round, lhs, rhs, pair_count, ca, cb,
+    * score_fx = floor(ln(cnt/(ca·cb))·1e6), n_symbols_after).
+    * Scale shapes are [[bpeMergeRounds]]'s: the corpus collapses to
+    * word types once; per round two type-keyed windows, one unigram
+    * + one pair partial-agged aggregate, and a 1-row argmax collect
+    * (the model, not the data).
+    */
+  def wordpieceMergeRounds(df: DataFrame, textCol: String,
+                           rounds: Int): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    var syms = bpeSym0(df, textCol)
+    val wWin = Window.partitionBy(col("w")).orderBy(asc("p"))
+    val out = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, String, String, Long, Long, Long, Long, Long)]
+    var r = 1
+    var done = false
+    while (r <= rounds && !done) {
+      val uni = syms.groupBy(col("s")).agg(sum(col("wc")).as("cu"))
+      val best = syms.withColumn("s2", lead(col("s"), 1).over(wWin))
+        .filter(col("s2").isNotNull)
+        .groupBy(col("s"), col("s2")).agg(sum(col("wc")).as("cnt"))
+        .join(uni.select(col("s"), col("cu").as("ca")), "s")
+        .join(uni.select(col("s").as("s2"), col("cu").as("cb")), "s2")
+        .orderBy((col("cnt").cast("double") / (col("ca") * col("cb"))).desc,
+          asc("s"), asc("s2"))
+        .limit(1)
+        .select(col("s"), col("s2"), col("cnt"), col("ca"), col("cb"))
+        .collect()
+      if (best.isEmpty) done = true
+      else {
+        val row = best(0)
+        val (a, b, cnt, ca, cb) = (row.getString(0), row.getString(1),
+          row.getLong(2), row.getLong(3), row.getLong(4))
+        val (rebuilt, _, _) = bpeMergePair(syms, a, b)
+        val symsAfter = rebuilt.agg(sum(col("wc"))).collect()(0).getLong(0)
+        // same libm ln the oracle's LN applies to the identical
+        // exact-int ratio — the floor(ln·1e6) fixed-point convention
+        val scoreFx = math.floor(
+          math.log(cnt.toDouble / (ca.toDouble * cb.toDouble)) * 1e6).toLong
+        out += ((r.toLong, a, b, cnt, ca, cb, scoreFx, symsAfter))
+        syms.unpersist()
+        syms = rebuilt
+        r += 1
+      }
+    }
+    syms.unpersist()
+    out.toSeq.toDF("round", "lhs", "rhs", "pair_count", "ca", "cb",
+      "score_fx", "n_symbols_after")
+  }
+
   /** The trained merge list alone — the (lhs, rhs) pairs in round
     * order, i.e. the tokenizer MODEL (what ships to the apply side). */
   def bpeTrainedMerges(df: DataFrame, textCol: String,

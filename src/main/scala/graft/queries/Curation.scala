@@ -1458,16 +1458,12 @@ object Curation {
   def q213BpeMerges(spark: SparkSession, dir: String): DataFrame =
     C.bpeMergeRounds(docs(spark, dir), "text", rounds = 3)
       .orderBy(asc("round"))
-  private def bpeRoundSql(i: Int): String = {
+  // the merge-apply half of one trainer round (greedy island-parity
+  // starts + rebuilt symbol frame) — criterion-independent: both the
+  // BPE and the WordPiece chains append this after their own best$i
+  private def mergeStepSql(i: Int): String = {
     val prev = s"sym${i - 1}"
-    s"""pr$i AS (
-      |  SELECT w, wc, p, s, LEAD(s) OVER (PARTITION BY w ORDER BY p) AS s2
-      |  FROM $prev),
-      |best$i AS (
-      |  SELECT s AS a, s2 AS b, CAST(SUM(wc) AS BIGINT) AS cnt
-      |  FROM pr$i WHERE s2 IS NOT NULL GROUP BY 1, 2
-      |  ORDER BY cnt DESC, a, b LIMIT 1),
-      |st$i AS (
+    s"""st$i AS MATERIALIZED (
       |  SELECT w, wc, p FROM (
       |    SELECT w, wc, p, p - MIN(p) OVER (PARTITION BY w, isl) AS off
       |    FROM (
@@ -1476,7 +1472,7 @@ object Curation {
       |      FROM pr$i
       |      WHERE s = (SELECT a FROM best$i) AND s2 = (SELECT b FROM best$i)))
       |  WHERE off % 2 = 0),
-      |sym$i AS (
+      |sym$i AS MATERIALIZED (
       |  SELECT w, wc, ROW_NUMBER() OVER (PARTITION BY w ORDER BY p) - 1 AS p,
       |    CASE WHEN start = 1 THEN (SELECT a || b FROM best$i) ELSE s END AS s
       |  FROM (
@@ -1487,6 +1483,34 @@ object Curation {
       |    LEFT JOIN st$i gone ON gone.w = base.w AND gone.p + 1 = base.p
       |    WHERE gone.p IS NULL))""".stripMargin
   }
+  private def bpeRoundSql(i: Int): String = {
+    val prev = s"sym${i - 1}"
+    s"""pr$i AS MATERIALIZED (
+      |  SELECT w, wc, p, s, LEAD(s) OVER (PARTITION BY w ORDER BY p) AS s2
+      |  FROM $prev),
+      |best$i AS MATERIALIZED (
+      |  SELECT s AS a, s2 AS b, CAST(SUM(wc) AS BIGINT) AS cnt
+      |  FROM pr$i WHERE s2 IS NOT NULL GROUP BY 1, 2
+      |  ORDER BY cnt DESC, a, b LIMIT 1),
+      |""".stripMargin + mergeStepSql(i)
+  }
+  // WordPiece round: same pr/st/sym mechanics, likelihood-gain argmax
+  private def wordpieceRoundSql(i: Int): String = {
+    val prev = s"sym${i - 1}"
+    s"""pr$i AS MATERIALIZED (
+      |  SELECT w, wc, p, s, LEAD(s) OVER (PARTITION BY w ORDER BY p) AS s2
+      |  FROM $prev),
+      |uni$i AS MATERIALIZED (
+      |  SELECT s, CAST(SUM(wc) AS BIGINT) AS cu FROM $prev GROUP BY 1),
+      |prc$i AS MATERIALIZED (
+      |  SELECT s AS a, s2 AS b, CAST(SUM(wc) AS BIGINT) AS cnt
+      |  FROM pr$i WHERE s2 IS NOT NULL GROUP BY 1, 2),
+      |best$i AS MATERIALIZED (
+      |  SELECT a, b, cnt, ua.cu AS ca, ub.cu AS cb
+      |  FROM prc$i JOIN uni$i ua ON ua.s = a JOIN uni$i ub ON ub.s = b
+      |  ORDER BY CAST(cnt AS DOUBLE) / (ua.cu * ub.cu) DESC, a, b LIMIT 1),
+      |""".stripMargin + mergeStepSql(i)
+  }
   private def bpeRoundRow(i: Int): String =
     s"""SELECT CAST($i AS BIGINT) AS round, a AS lhs, b AS rhs,
       |  cnt AS pair_count,
@@ -1494,18 +1518,46 @@ object Curation {
       |  (SELECT CAST(SUM(wc) AS BIGINT) FROM st$i) AS n_merges_wt,
       |  (SELECT CAST(SUM(wc) AS BIGINT) FROM sym$i) AS n_symbols_after
       |FROM best$i""".stripMargin
-  private val bpePrefixSql: String =
+  // the character-level symbol frame — shared round-0 of every merge
+  // trainer oracle (BPE q213 chain consumers + WordPiece q274)
+  private val bpeSym0Sql: String =
     raw"""WITH types AS (
       |  SELECT tok AS w, COUNT(*) AS wc
       |  FROM (SELECT UNNEST($toksSql) AS tok FROM documents)
       |  WHERE tok != '' GROUP BY 1),
       |pos0 AS (SELECT w, wc, UNNEST(range(1, LEN(w) + 1)) AS i FROM types),
       |sym0 AS (SELECT w, wc, i - 1 AS p, w[i:i] AS s FROM pos0),
-      |""".stripMargin +
-      (1 to 3).map(bpeRoundSql).mkString(",\n") + "\n"
+      |""".stripMargin
+  private val bpePrefixSql: String =
+    bpeSym0Sql + (1 to 3).map(bpeRoundSql).mkString(",\n") + "\n"
   val q213Sql: String =
     bpePrefixSql +
       (1 to 3).map(bpeRoundRow).mkString("\nUNION ALL\n") +
+      "\nORDER BY round"
+
+  // -------------------------------------------------------------------
+  // q274: WORDPIECE MERGE ROUNDS (Schuster & Nakajima 2012; BERT's
+  // trainer) — the THIRD tokenizer family: identical island-parity
+  // merge mechanics to q213, but the per-round argmax maximizes the
+  // likelihood gain cnt(ab)/(cnt(a)·cnt(b)) — one correctly-rounded
+  // IEEE division of exact int64 counts on both engines (operands
+  // ≤ 2^53), ties lexical. The oracle unrolls all 3 rounds with the
+  // scored argmax and the shared criterion-independent merge-step
+  // CTE; score_fx lands in the floor(ln·1e6) fixed point.
+  // -------------------------------------------------------------------
+  def q274Wordpiece(spark: SparkSession, dir: String): DataFrame =
+    C.wordpieceMergeRounds(docs(spark, dir), "text", rounds = 3)
+      .orderBy(asc("round"))
+  private def wordpieceRoundRow(i: Int): String =
+    s"""SELECT CAST($i AS BIGINT) AS round, a AS lhs, b AS rhs,
+      |  cnt AS pair_count, ca, cb,
+      |  CAST(FLOOR(LN(CAST(cnt AS DOUBLE) / (ca * cb)) * 1000000)
+      |    AS BIGINT) AS score_fx,
+      |  (SELECT CAST(SUM(wc) AS BIGINT) FROM sym$i) AS n_symbols_after
+      |FROM best$i""".stripMargin
+  val q274Sql: String =
+    bpeSym0Sql + (1 to 3).map(wordpieceRoundSql).mkString(",\n") + "\n" +
+      (1 to 3).map(wordpieceRoundRow).mkString("\nUNION ALL\n") +
       "\nORDER BY round"
 
   // -------------------------------------------------------------------
@@ -2803,6 +2855,7 @@ object Curation {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q270_k_anonymity" -> (q270KAnonymity _),
     "q271_water_fill" -> (q271WaterFill _),
+    "q274_wordpiece" -> (q274Wordpiece _),
     "q260_split_balance" -> (q260SplitBalance _),
     "q259_quantile_normalize" -> (q259QuantileNormalize _),
     "q251_vocab_coverage" -> (q251VocabCoverage _),
@@ -2858,6 +2911,7 @@ object Curation {
   val oracle: Map[String, String] = Map(
     "q270_k_anonymity" -> q270Sql,
     "q271_water_fill" -> q271Sql,
+    "q274_wordpiece" -> q274Sql,
     "q260_split_balance" -> q260Sql,
     "q259_quantile_normalize" -> q259Sql,
     "q251_vocab_coverage" -> q251Sql,

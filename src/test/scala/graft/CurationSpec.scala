@@ -74,6 +74,24 @@ class CurationSpec extends SparkSpec {
     assert(got.values.sum === 10L)
   }
 
+  test("wordpieceMergeRounds: likelihood-gain argmax diverges from BPE's count argmax") {
+    // corpus "aab"×3 + "xy"×1. Round-1 pair counts: (a,a)=3, (a,b)=3,
+    // (x,y)=1; BPE would take (a,a) (count tie, lexical) — WordPiece
+    // scores 3/36 vs 3/18 vs 1/1 and takes the rare-but-exclusive
+    // (x,y). Round 2: (a,b) at 3/18 beats (a,a) at 3/36. Round 3
+    // fuses (a,ab) at 3/9.
+    val df = Seq("aab aab aab xy").toDF("text")
+    val got = Curation.wordpieceMergeRounds(df, "text", rounds = 3)
+      .orderBy(col("round"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7)))
+    assert(got(0) === ((1L, "x", "y", 1L, 1L, 1L, 0L, 10L)))
+    assert(got(1) === ((2L, "a", "b", 3L, 6L, 3L,
+      math.floor(math.log(3.0 / 18.0) * 1e6).toLong, 7L)))
+    assert(got(2) === ((3L, "a", "ab", 3L, 3L, 3L,
+      math.floor(math.log(3.0 / 9.0) * 1e6).toLong, 4L)))
+  }
+
   test("decontaminate flags the planted overlap and only it") {
     val train = Seq(
       (1L, "alpha beta gamma delta epsilon zeta"),   // contains eval 5-gram
