@@ -4844,6 +4844,129 @@ object Pipeline {
       |    FROM read_parquet('__GRAFT_OUT__/q134_sliding_distinct/*.parquet')) = 0
       |ORDER BY hour""".stripMargin
 
+  // -------------------------------------------------------------------
+  // q275: READABILITY BANDING (Flesch 1948 reading-ease, the classic
+  // audience-level quality signal next to q27's surface stats and
+  // q225's LM filter): per doc, word count, a vowel-group syllable
+  // proxy (≥1 per word — the standard heuristic), sentence count
+  // (1 + terminal-punctuation runs; this corpus has none, so S=1 —
+  // the formula stays general), and the ease score banded into
+  // easy/plain/difficult/academic. The score is ONE fixed-shape IEEE
+  // expression over exact ints (the q221 convention): both engines
+  // evaluate 1000·(206.835 − 1.015·W/S − 84.6·Syl/W) on identical
+  // operands. Scale: explode → two partial-agged counts + a map-side
+  // regexp on the doc row — no data-sized window, no collect.
+  // -------------------------------------------------------------------
+  def q275Readability(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.{TextAnalysis => TA}
+    val tok = docs(spark, dir)
+      .select(col("doc_id"), explode(TA.tokens(col("text"))).as("tok"))
+      .filter(col("tok") =!= "")
+    val per = tok.groupBy(col("doc_id")).agg(
+      count(lit(1)).as("n_words"),
+      sum(greatest(regexp_count(col("tok"), lit("[aeiou]+")), lit(1)))
+        .cast("long").as("n_syllables"))
+    val sent = docs(spark, dir).select(col("doc_id"),
+      (lit(1L) + regexp_count(col("text"), lit("[.!?]+"))).as("n_sent"))
+    per.join(sent, "doc_id")
+      .withColumn("flesch_fp",
+        floor(lit(1000.0) * (lit(206.835)
+          - lit(1.015) * (col("n_words").cast("double") / col("n_sent"))
+          - lit(84.6) * (col("n_syllables").cast("double") / col("n_words"))))
+          .cast("long"))
+      .select(col("doc_id"), col("n_words"), col("n_syllables"),
+        col("flesch_fp"),
+        when(col("flesch_fp") >= 90000L, "easy")
+          .when(col("flesch_fp") >= 60000L, "plain")
+          .when(col("flesch_fp") >= 30000L, "difficult")
+          .otherwise("academic").as("band"))
+      .orderBy(asc("doc_id"))
+  }
+  val q275Sql: String =
+    raw"""WITH tok AS (
+      |  SELECT doc_id, tok
+      |  FROM (SELECT doc_id, UNNEST(string_split_regex(TRIM(text), '\s+')) AS tok
+      |        FROM documents)
+      |  WHERE tok != ''
+      |), per AS (
+      |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_words,
+      |    CAST(SUM(GREATEST(LEN(regexp_extract_all(tok, '[aeiou]+')), 1))
+      |      AS BIGINT) AS n_syllables
+      |  FROM tok GROUP BY 1
+      |), sent AS (
+      |  SELECT doc_id,
+      |    CAST(1 + LEN(regexp_extract_all(text, '[.!?]+')) AS BIGINT) AS n_sent
+      |  FROM documents
+      |), scored AS (
+      |  SELECT p.doc_id, n_words, n_syllables,
+      |    CAST(FLOOR(1000.0 * (206.835
+      |      - 1.015 * (CAST(n_words AS DOUBLE) / n_sent)
+      |      - 84.6 * (CAST(n_syllables AS DOUBLE) / n_words))) AS BIGINT)
+      |      AS flesch_fp
+      |  FROM per p JOIN sent USING (doc_id)
+      |)
+      |SELECT doc_id, n_words, n_syllables, flesch_fp,
+      |  CASE WHEN flesch_fp >= 90000 THEN 'easy'
+      |       WHEN flesch_fp >= 60000 THEN 'plain'
+      |       WHEN flesch_fp >= 30000 THEN 'difficult'
+      |       ELSE 'academic' END AS band
+      |FROM scored ORDER BY doc_id""".stripMargin
+
+  // -------------------------------------------------------------------
+  // q276: INT8 SCALAR-QUANTIZATION ERROR AUDIT — the per-dimension
+  // decision table behind the q119/q240 storage rungs: for each of
+  // the 64 embedding dimensions, the corpus min/max (over the exact
+  // floor(x·1e6) fixed-point elements), and the reconstruction error
+  // of min-max SQ8 (q = round((v−mn)·255/span), v̂ = mn + q·span/255)
+  // — summed squared error and max |error| in 1/255-of-fp units, ALL
+  // integer end-to-end (the rounding is (2·255·(v−mn)+span) div
+  // (2·span), nonnegative operands so both engines' integer division
+  // floor identically; err = 255·(v−mn) − q·span). Which dimensions
+  // survive int8 — and which need the full-float col — read straight
+  // off the table. Scale: one posexplode pass, per-dim (64-group)
+  // partial aggregates, min/max broadcast back; err² ≤ (span/2)²
+  // ≤ 1e12 per row ⇒ Σ over 1e6 rows/dim ≪ 2^63.
+  // -------------------------------------------------------------------
+  def q276Sq8Audit(spark: SparkSession, dir: String): DataFrame = {
+    val el = emb(spark, dir)
+      .select(posexplode(col("embedding")).as(Seq("dim", "v")))
+      .select(col("dim").cast("long").as("dim"),
+        floor(col("v").cast("double") * lit(1e6)).cast("long").as("vf"))
+    val mm = el.groupBy(col("dim")).agg(min(col("vf")).as("mn"),
+      max(col("vf")).as("mx"))
+    val err = el.join(mm, "dim")
+      .withColumn("span", col("mx") - col("mn"))
+      .withColumn("q", when(col("span") === 0L, lit(0L))
+        .otherwise(expr("(2 * 255 * (vf - mn) + span) div (2 * span)")))
+      .withColumn("e", lit(255L) * (col("vf") - col("mn")) - col("q") * col("span"))
+    err.groupBy(col("dim"))
+      .agg(min(col("vf")).as("mn"), max(col("vf")).as("mx"),
+        sum(col("e") * col("e")).as("sse_fp"),
+        max(abs(col("e"))).as("max_abs_err"))
+      .orderBy(asc("dim"))
+  }
+  val q276Sql: String =
+    """WITH el AS (
+      |  SELECT CAST(dim - 1 AS BIGINT) AS dim,
+      |    CAST(FLOOR(CAST(v AS DOUBLE) * 1e6) AS BIGINT) AS vf
+      |  FROM (SELECT UNNEST(embedding) AS v,
+      |          generate_subscripts(embedding, 1) AS dim
+      |        FROM embeddings)
+      |), mm AS (
+      |  SELECT dim, MIN(vf) AS mn, MAX(vf) AS mx FROM el GROUP BY 1
+      |), err AS (
+      |  SELECT el.dim, vf, mn, mx, mx - mn AS span,
+      |    CASE WHEN mx - mn = 0 THEN 0
+      |         ELSE (2 * 255 * (vf - mn) + (mx - mn)) // (2 * (mx - mn))
+      |    END AS q
+      |  FROM el JOIN mm USING (dim)
+      |)
+      |SELECT dim, CAST(MIN(vf) AS BIGINT) AS mn, CAST(MAX(vf) AS BIGINT) AS mx,
+      |  CAST(SUM((255 * (vf - mn) - q * span) * (255 * (vf - mn) - q * span))
+      |    AS BIGINT) AS sse_fp,
+      |  CAST(MAX(ABS(255 * (vf - mn) - q * span)) AS BIGINT) AS max_abs_err
+      |FROM err GROUP BY dim ORDER BY dim""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q110_sketch_union" -> (q110SketchUnion _),
     "q134_sliding_distinct" -> (q134SlidingDistinct _),
@@ -4866,6 +4989,8 @@ object Pipeline {
     "q221_modularity" -> (q221Modularity _),
     "q272_louvain_move" -> (q272LouvainMove _),
     "q273_walk_pmi" -> (q273WalkPmi _),
+    "q275_readability" -> (q275Readability _),
+    "q276_sq8_audit" -> (q276Sq8Audit _),
     "q222_audio_energy" -> (q222AudioEnergy _),
     "q223_hard_negatives" -> (q223HardNegatives _),
     "q226_incremental_semdedup" -> (q226IncrementalSemdedup _),
@@ -4966,6 +5091,8 @@ object Pipeline {
     "q221_modularity" -> q221Sql,
     "q272_louvain_move" -> q272Sql,
     "q273_walk_pmi" -> q273Sql,
+    "q275_readability" -> q275Sql,
+    "q276_sq8_audit" -> q276Sql,
     "q222_audio_energy" -> q222Sql,
     "q223_hard_negatives" -> q223Sql,
     "q226_incremental_semdedup" -> q226Sql,

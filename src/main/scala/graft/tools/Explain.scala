@@ -146,6 +146,7 @@ object Explain {
       "q269_randwalk_corpus" -> "adjacency indexed ONCE (per-src row_number over the distinct edge frame — the one data-sized sort) and persisted; each of the 6 steps broadcast-joins the tiny sampled walk frontier against the degree frame and then the persisted adjacency map-side — 6 broadcast probes of one cached frame, never 6 shuffles of it; the next-hop pick is pure int arithmetic (mix32) inside the projection",
       "q270_k_anonymity" -> "one partial-aggregated groupBy per ladder level (class frames bounded by the QID domain, not the record count) hash-joined back on QID keys — the record stream scans once, payload never shuffles; level pick is a map-side CASE chain",
       "q272_louvain_move" -> "edge frame distinct'd + persisted once; per round Σtot is a node-sized join + community-sized aggregate, k_{i,c} a partial-agged (src,lab) count, and the move pick is the lesson-17 max(struct) hash aggregate over the candidate frame — long tuples in every exchange, no edge-sized sort window, dd rides as a 1-row broadcast",
+      "q276_sq8_audit" -> "one posexplode pass to (dim, fixed-point value) rows; per-dim min/max is a 64-group partial aggregate joined back (AQE broadcast), the quantize/error algebra is map-side integer projection, and the final per-dim stats partial-aggregate — nothing data-sized after the explode, no windows, no collect",
       "q273_walk_pmi" -> "the walk corpus is the per-JVM memoized localCheckpoint shared with q269 (generated once — the plan roots at an ExistingRDD scan, not a re-derivation); pairs are an equi self-join on walk_id (≤7 rows per key) with the ±2-step window a residual filter, both marginals partial-agg and hash-join back, the 1-row total broadcasts")
 
   /** Consciously unpinned: reference-parity single-operator queries
@@ -173,7 +174,7 @@ object Explain {
     "q183_leakage_audit", "q18_time_window", "q192_zipf_fit", "q198_tpch_q14",
     "q199_tpch_q7", "q19_sessionize", "q203_stream_asof", "q20_pivot",
     "q213_bpe_merges", "q216_bpe_vocab", "q274_wordpiece", "q21_rollup", "q227_winnow",
-    "q263_unigram_heldout", "q265_unigram_fertility", "q271_water_fill",
+    "q263_unigram_heldout", "q265_unigram_fertility", "q271_water_fill", "q275_readability",
     "q228_winnow_pairs", "q22_semi_anti_join", "q230_kcenter", "q231_stream_drift",
     "q232_ra_link_prediction", "q233_pair_alignment", "q235_bpe_fertility", "q236_audio_utterances",
     "q237_clustering_coeff", "q238_code_switch", "q239_assortativity", "q23_outer_join_agg",
