@@ -1811,6 +1811,46 @@ object Curation {
       kEff.cast("long").as("k_eff"))
   }
 
+  /** l-diversity audit (Machanavajjhala et al. 2007) — the privacy
+    * rung ABOVE [[generalizationDepth]]'s k-anonymity: a class of k
+    * identical quasi-identifiers still leaks the sensitive attribute
+    * if all k rows share one sensitive value (the homogeneity
+    * attack). Per equivalence class at a FIXED generalization level:
+    * the class size, the number of DISTINCT sensitive values
+    * (distinct l-diversity), the modal sensitive value's row count,
+    * and its share of the class in exact parts-per-million
+    * (`top_cnt · 1e6 div class_n` — integer algebra, no float), plus
+    * the pass flag `n_sensitive >= lMin`.
+    *
+    * Scale shape: two stacked partial-aggregated groupBys — records →
+    * (QID, sensitive) counts → per-QID rollup (count of rows = class
+    * size via sum, count of rows in the first frame = distinct
+    * sensitive, max = modal count). The second groupBy's input is
+    * already domain-bounded (QID × sensitive cells), and the record
+    * stream shuffles only its key columns once. No windows, no
+    * `countDistinct` expansion: distinctness falls out of the
+    * two-level rollup for free.
+    *
+    * Output: (qidCols…, class_n, n_sensitive, top_cnt, top_share_fx,
+    * diverse).
+    */
+  def lDiversityAudit(df: DataFrame, qidCols: Seq[String], sensCol: String,
+                      lMin: Int): DataFrame = {
+    require(qidCols.nonEmpty, "need at least one quasi-identifier column")
+    val cells = df.groupBy((qidCols :+ sensCol).map(col): _*)
+      .agg(count(lit(1)).as("cell_n"))
+    cells.groupBy(qidCols.map(col): _*)
+      .agg(sum(col("cell_n")).cast("long").as("class_n"),
+        count(lit(1)).as("n_sensitive"),
+        max(col("cell_n")).cast("long").as("top_cnt"))
+      .select((qidCols.map(col) ++ Seq(
+        col("class_n"),
+        col("n_sensitive").cast("long").as("n_sensitive"),
+        col("top_cnt"),
+        expr("(top_cnt * 1000000L) div class_n").as("top_share_fx"),
+        (col("n_sensitive") >= lMin).as("diverse"))): _*)
+  }
+
   /** Water-filling budget allocation (the classic max-min fair
     * allocator, run here on token supplies): spread an integer budget
     * `B = floor(total · budgetNum / budgetDen)` across groups so that

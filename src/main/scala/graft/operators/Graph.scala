@@ -497,6 +497,62 @@ object Graph {
     dist
   }
 
+  /** PER-PIVOT multi-source BFS: hop distance from EACH pivot
+    * separately (contrast [[bfsLevels]], which collapses the seed set
+    * to one min-distance). This is the Eppstein-Wang pivot sweep that
+    * approximate closeness/harmonic centrality needs: k pivot BFS
+    * trees grown simultaneously in ONE level-synchronous loop, the
+    * frontier keyed by (pivot, node) so all k trees share every
+    * edges-join and shuffle instead of paying k sequential BFS runs.
+    *
+    * Work per round is O(Σ frontier-adjacent edges) like single-BFS —
+    * visited (pivot, node) pairs never re-enter the join — and total
+    * state is ≤ k·|V| (8+8+4 bytes per pair), so k is the explicit
+    * memory/DAG knob: at 100 TB you pick k ≈ 16-64 pivots (the
+    * estimator's error is O(1/√k), independent of graph size) and the
+    * whole sweep costs k× one BFS's shuffle bytes but the SAME number
+    * of rounds. Lineage truncated per round (localCheckpoint / the
+    * caller's reliable checkpoint dir) — the unbounded-iterative-DAG
+    * rule every fixpoint operator here follows.
+    *
+    * Directed by construction (union reversed edges for undirected).
+    * Hop-capped like [[bfsLevels]], so a bounded recursive-CTE oracle
+    * replays it exactly. Returns (pivot, id, dist), dist 0 at the
+    * pivot itself, one row per (pivot, node) within `maxHops`.
+    */
+  def multiSourceBfs(edges: DataFrame, pivots: DataFrame, srcCol: String,
+                     dstCol: String, idCol: String, maxHops: Int = 4,
+                     checkpointDir: Option[String] = None): DataFrame = {
+    val cut: DataFrame => DataFrame = checkpointDir match {
+      case Some(d) =>
+        edges.sparkSession.sparkContext.setCheckpointDir(d)
+        df => df.checkpoint(eager = true)
+      case None => df => df.localCheckpoint(true)
+    }
+    val e = cut(edges
+      .select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
+      .distinct())
+    var dist = cut(pivots.select(col(idCol).cast("long").as("pivot")).distinct()
+      .select(col("pivot"), col("pivot").as("id"), lit(0).as("dist")))
+    var frontier = dist
+    var k = 0
+    var done = false
+    while (k < maxHops && !done) {
+      k += 1
+      val next = cut(frontier
+        .join(e, frontier("id") === e("src"))
+        .select(col("pivot"), col("dst").as("id")).distinct()
+        .join(dist, Seq("pivot", "id"), "left_anti")
+        .select(col("pivot"), col("id"), lit(k).as("dist")))
+      if (next.isEmpty) done = true
+      else {
+        dist = cut(dist.union(next))
+        frontier = next
+      }
+    }
+    dist
+  }
+
   /** Synchronous label propagation (Raghavan et al. 2007), `rounds`
     * fixed rounds — community detection as iterated neighborhood
     * majority vote: every vertex starts as its own label; each round

@@ -30,6 +30,56 @@ object Scale {
     saltedL.join(saltedR, Seq(key, "__salt")).drop("__salt")
   }
 
+  /** Join-key SKEW AUDIT — the measurement that sizes [[saltedJoin]]'s
+    * `saltFactor` (and decides whether salting is needed at all)
+    * before the 100 TB shuffle runs, instead of discovering the
+    * straggler reducer an hour in. Per audited key: key cardinality,
+    * row count, the hottest key's row count and its parts-per-million
+    * share, exact p50/p99 of the per-key row distribution, and the
+    * recommended salt factor `ceil(max_rows / (n_rows /
+    * targetPartitions))` — 1 means "don't salt".
+    *
+    * Exact percentiles WITHOUT a global sort of the per-key counts:
+    * the count frame collapses to a count-of-counts histogram (one
+    * row per DISTINCT per-key count — e.g. lineitem's per-order
+    * counts take 7 values regardless of row count), and p50/p99 fall
+    * out of a cumulative window over THAT bounded frame. The record
+    * stream is touched once by a partial-aggregated groupBy; the
+    * single-partition window runs on the histogram (lesson-17
+    * sanctioned: bounded by the count domain, not the data).
+    *
+    * All integer algebra: pX = smallest count c with
+    * `cum_keys · 100 ≥ X · n_keys`; top share = `max · 1e6 div rows`;
+    * salt = `ceil(max · targetPartitions / rows)` via div/mod.
+    * Output: one row (label, n_keys, n_rows, max_rows, p50, p99,
+    * top1_ppm, salt_factor).
+    */
+  def keySkewAudit(df: DataFrame, keyCol: String, label: String,
+                   targetPartitions: Int = 200): DataFrame = {
+    val hist = df.groupBy(col(keyCol)).agg(count(lit(1)).as("cnt"))
+      .groupBy(col("cnt")).agg(count(lit(1)).as("n_keys"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy(asc("cnt"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val wAll = org.apache.spark.sql.expressions.Window
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.unboundedFollowing)
+    hist
+      .withColumn("cum_keys", sum(col("n_keys")).over(w))
+      .withColumn("tot_keys", sum(col("n_keys")).over(wAll))
+      .agg(max(col("tot_keys")).cast("long").as("n_keys"),
+        sum(col("cnt") * col("n_keys")).cast("long").as("n_rows"),
+        max(col("cnt")).cast("long").as("max_rows"),
+        min(when(col("cum_keys") * 2 >= col("tot_keys"), col("cnt")))
+          .cast("long").as("p50"),
+        min(when(col("cum_keys") * 100 >= col("tot_keys") * 99, col("cnt")))
+          .cast("long").as("p99"))
+      .select(lit(label).as("key_label"), col("n_keys"), col("n_rows"),
+        col("max_rows"), col("p50"), col("p99"),
+        expr("(max_rows * 1000000L) div n_rows").as("top1_ppm"),
+        expr(s"(max_rows * ${targetPartitions}L + n_rows - 1) div n_rows")
+          .as("salt_factor"))
+  }
+
   /** Write both sides bucketed by the join key; subsequent joins of the
     * two tables are co-located — SortMergeJoin with NO Exchange on
     * either side (verify with .explain: no Exchange below the join).

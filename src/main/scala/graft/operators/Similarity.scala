@@ -71,6 +71,93 @@ object Similarity {
       .filter(col("rank") <= lit(k))
   }
 
+  /** Maximal Marginal Relevance selection (Carbonell & Goldstein
+    * 1998) — the diversity-aware top-k every retrieval-augmented
+    * pipeline wants instead of raw cosine top-k: greedily pick the
+    * item maximizing `0.7·rel − 0.3·max_sim_to_already_picked`, so
+    * near-duplicate hits stop crowding out coverage. Two stages with
+    * very different scale characters, deliberately separated:
+    *
+    *  1. POOL (distributed): brute-force relevance scan — normalized
+    *     candidates, codegen'd [[graft.functions.VectorExpressions.VecDot]]
+    *     against the broadcast query, TakeOrderedAndProject top
+    *     `poolSize` (partial per partition, no global sort). At
+    *     100 TB this stage swaps for any ANN rung (IVF/PQ/sign-bit)
+    *     unchanged — MMR only ever sees the pool.
+    *  2. GREEDY (driver): k rounds of argmax over the pool. The
+    *     collect is MODEL-sized by construction (`poolSize` rows, the
+    *     re-rank window — not the corpus); the whole greedy costs
+    *     k·poolSize·dim ≈ 10⁶ flops, noise next to one scan.
+    *
+    * Exact-replay contract: dots sum in index order over the SAME
+    * normalized doubles the oracle recomputes (the q34 parity), the
+    * marginal score uses literal weights 0.7/0.3 on BOTH engines
+    * (never `1 − λ`, whose double differs from literal 0.3), max-sim
+    * over an empty picked set is 0.0, and ties break by smaller id —
+    * so every pick and its `floor(1e6·score)` replay bit-for-bit.
+    * Returns (step 1-based, id, score_fx).
+    */
+  /** [[mmrSelect]]'s stage 1 as a standalone frame (public so its
+    * plan shape is spec-assertable: the greedy stage executes this
+    * eagerly, so the operator's RETURNED plan is just the emitted
+    * literal frame). Shape: normalized scan → codegen VecDot against
+    * the 1-row broadcast query (GlobalLimit-bounded BNLJ) →
+    * TakeOrderedAndProject(poolSize) — partial top-k per partition,
+    * no global sort. */
+  def mmrPool(candidates: DataFrame, query: DataFrame,
+              idC: String, vecC: String, vecQ: String,
+              poolSize: Int): DataFrame = {
+    // limit(1): the query is one vector by contract; the explicit
+    // GlobalLimit also PROVES the broadcast side bounded to PlanLint
+    val q = query.select(normalized(col(vecQ)).as("qv")).limit(1)
+    candidates
+      .select(col(idC).cast("long").as("cand_id"), normalized(col(vecC)).as("cv"))
+      .crossJoin(broadcast(q))
+      .select(col("cand_id"), col("cv"), dotD(col("qv"), col("cv")).as("rel"))
+      .orderBy(desc("rel"), asc("cand_id"))
+      .limit(poolSize)
+  }
+
+  def mmrSelect(candidates: DataFrame, query: DataFrame,
+                idC: String, vecC: String, vecQ: String,
+                poolSize: Int = 64, k: Int = 16): DataFrame = {
+    val spark = candidates.sparkSession
+    val pool = mmrPool(candidates, query, idC, vecC, vecQ, poolSize)
+    // model-sized collect: poolSize rows — the re-rank pool, not the data
+    val rows = pool.collect().map { r =>
+      (r.getLong(0), r.getSeq[Double](1).toArray, r.getDouble(2))
+    }
+    val chosen = scala.collection.mutable.ArrayBuffer.empty[Array[Double]]
+    val used = scala.collection.mutable.Set.empty[Long]
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Int, Long, Long)]
+    var step = 1
+    while (step <= math.min(k, rows.length)) {
+      var bestId = -1L
+      var bestScore = Double.NegativeInfinity
+      var bestVec: Array[Double] = null
+      for ((id, v, rel) <- rows if !used(id)) {
+        var maxSim = Double.NegativeInfinity
+        for (s <- chosen) {
+          var d = 0.0
+          var i = 0
+          while (i < v.length) { d += v(i) * s(i); i += 1 }
+          if (d > maxSim) maxSim = d
+        }
+        if (chosen.isEmpty) maxSim = 0.0
+        val score = 0.7 * rel - 0.3 * maxSim
+        if (score > bestScore || (score == bestScore && id < bestId)) {
+          bestId = id; bestScore = score; bestVec = v
+        }
+      }
+      used += bestId
+      chosen += bestVec
+      out += ((step, bestId, math.floor(1000000.0 * bestScore).toLong))
+      step += 1
+    }
+    import spark.implicits._
+    out.toSeq.toDF("step", "vec_id", "score_fx")
+  }
+
   /** 1-BIT sign quantization — the cheapest rung of the ANN ladder:
     * each dim contributes one bit (v[i] > 0), packed into two int64
     * halves (lo = dims 0-31, hi = dims 32-63; two halves rather than

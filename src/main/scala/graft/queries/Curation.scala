@@ -2852,7 +2852,59 @@ object Curation {
       |FROM f CROSS JOIN fa
       |ORDER BY source""".stripMargin
 
+  // -------------------------------------------------------------------
+  // q277: l-DIVERSITY AUDIT (Machanavajjhala et al. 2007) — the
+  // homogeneity-attack check on q270's FINEST generalization level:
+  // a k-anonymous class still leaks when every member shares one
+  // sensitive value. Sensitive attribute here = the customer's order
+  // count (behavioral, joined from orders; 0 for order-less
+  // customers), quasi-identifiers = (nation, segment, $1000 balance
+  // bucket). All counts exact int64; the modal share is ppm integer
+  // algebra (no float). Scale: two stacked partial-agged groupBys
+  // over domain-bounded frames — see operators/Curation.lDiversityAudit.
+  // -------------------------------------------------------------------
+  def q277LDiversity(spark: SparkSession, dir: String): DataFrame = {
+    val cust = spark.read.parquet(s"$dir/customer.parquet")
+      .withColumn("bal_bucket",
+        floor(round(col("c_acctbal") * 100).cast("long") / lit(100000.0))
+          .cast("long"))
+    val ocnt = spark.read.parquet(s"$dir/orders.parquet")
+      .groupBy(col("o_custkey")).agg(count(lit(1)).as("n_orders"))
+    val rows = cust
+      .join(ocnt, cust("c_custkey") === ocnt("o_custkey"), "left")
+      .select(col("c_nationkey"), col("c_mktsegment"), col("bal_bucket"),
+        coalesce(col("n_orders"), lit(0L)).as("n_orders"))
+    C.lDiversityAudit(rows,
+        Seq("c_nationkey", "c_mktsegment", "bal_bucket"), "n_orders", lMin = 3)
+      .orderBy(asc("c_nationkey"), asc("c_mktsegment"), asc("bal_bucket"))
+  }
+  val q277Sql: String =
+    raw"""WITH oc AS (
+      |  SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS n_orders
+      |  FROM orders GROUP BY 1
+      |), r AS (
+      |  SELECT c_nationkey, c_mktsegment,
+      |    CAST(FLOOR(CAST(ROUND(c_acctbal * 100) AS BIGINT) / 100000.0)
+      |      AS BIGINT) AS bal_bucket,
+      |    COALESCE(oc.n_orders, 0) AS n_orders
+      |  FROM customer LEFT JOIN oc ON o_custkey = c_custkey
+      |), cells AS (
+      |  SELECT c_nationkey, c_mktsegment, bal_bucket, n_orders,
+      |    CAST(COUNT(*) AS BIGINT) AS cell_n
+      |  FROM r GROUP BY 1, 2, 3, 4
+      |)
+      |SELECT c_nationkey, c_mktsegment, bal_bucket,
+      |  CAST(SUM(cell_n) AS BIGINT) AS class_n,
+      |  CAST(COUNT(*) AS BIGINT) AS n_sensitive,
+      |  CAST(MAX(cell_n) AS BIGINT) AS top_cnt,
+      |  (CAST(MAX(cell_n) AS BIGINT) * 1000000)
+      |    // CAST(SUM(cell_n) AS BIGINT) AS top_share_fx,
+      |  COUNT(*) >= 3 AS diverse
+      |FROM cells GROUP BY 1, 2, 3
+      |ORDER BY c_nationkey, c_mktsegment, bal_bucket""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q277_l_diversity" -> (q277LDiversity _),
     "q270_k_anonymity" -> (q270KAnonymity _),
     "q271_water_fill" -> (q271WaterFill _),
     "q274_wordpiece" -> (q274Wordpiece _),
@@ -2909,6 +2961,7 @@ object Curation {
     "q120_fuzzy_decontaminate" -> (q120FuzzyDecontaminate _))
 
   val oracle: Map[String, String] = Map(
+    "q277_l_diversity" -> q277Sql,
     "q270_k_anonymity" -> q270Sql,
     "q271_water_fill" -> q271Sql,
     "q274_wordpiece" -> q274Sql,

@@ -790,6 +790,73 @@ object Pipeline {
       |ORDER BY query_id, rank""".stripMargin
 
   // -------------------------------------------------------------------
+  // q280: MMR DIVERSE SELECTION — greedy maximal-marginal-relevance
+  // re-rank of the top-64 relevance pool for anchor vec 0 (k = 16,
+  // weights 0.7/0.3): the retrieval shape that stops near-duplicates
+  // crowding a context window. Rule-9 replay oracle: DuckDB rebuilds
+  // the same pool, recomputes every candidate's marginal score at
+  // every emitted step from the emitted prefix, and keeps an emitted
+  // row only if it IS that step's argmax (score desc, id) with the
+  // identical floor(1e6·score) — a wrong pick, wrong order, or wrong
+  // score all fall out of the join. See operators/Similarity.mmrSelect
+  // for the pool/greedy scale split and the 0.7/0.3 literal-weight
+  // parity contract.
+  // -------------------------------------------------------------------
+  def q280MmrSelect(spark: SparkSession, dir: String): DataFrame = {
+    val e = emb(spark, dir)
+    Similarity.mmrSelect(
+        e.filter(col("vec_id") =!= 0), e.filter(col("vec_id") === 0),
+        "vec_id", "embedding", "embedding", poolSize = 64, k = 16)
+      .orderBy(asc("step"))
+  }
+  val q280Sql: String =
+    """WITH nv AS (
+      |  SELECT vec_id, list_transform(embedding,
+      |    x -> CAST(x AS DOUBLE) / sqrt(list_sum(list_transform(embedding,
+      |      y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE))))) AS v
+      |  FROM embeddings
+      |), qv AS (SELECT v FROM nv WHERE vec_id = 0),
+      |rel AS (
+      |  SELECT c.vec_id,
+      |    list_sum(list_transform(list_zip(q.v, c.v), p -> p[1] * p[2])) AS rel
+      |  FROM nv c CROSS JOIN qv q WHERE c.vec_id != 0
+      |), pool AS (
+      |  SELECT vec_id, rel FROM rel ORDER BY rel DESC, vec_id LIMIT 64
+      |), e AS (
+      |  SELECT step, vec_id
+      |  FROM read_parquet('__GRAFT_OUT__/q280_mmr_select/*.parquet')
+      |), picked AS (
+      |  SELECT e.step, nv.v FROM e JOIN nv USING (vec_id)
+      |), ms AS (
+      |  SELECT s.step, p.vec_id,
+      |    COALESCE(MAX(list_sum(list_transform(
+      |      list_zip(cv.v, pk.v), pr -> pr[1] * pr[2]))), 0.0) AS maxsim
+      |  FROM (SELECT DISTINCT step FROM e) s
+      |  CROSS JOIN pool p
+      |  JOIN nv cv ON cv.vec_id = p.vec_id
+      |  LEFT JOIN picked pk ON pk.step < s.step
+      |  GROUP BY 1, 2
+      |), scored AS (
+      |  SELECT ms.step, ms.vec_id, 0.7 * p.rel - 0.3 * ms.maxsim AS score
+      |  FROM ms JOIN pool p ON p.vec_id = ms.vec_id
+      |  WHERE NOT EXISTS (SELECT 1 FROM e
+      |    WHERE e.vec_id = ms.vec_id AND e.step < ms.step)
+      |), best AS (
+      |  SELECT step, vec_id, score,
+      |    ROW_NUMBER() OVER (PARTITION BY step
+      |      ORDER BY score DESC, vec_id) AS rk
+      |  FROM scored
+      |)
+      |SELECT e.step, e.vec_id,
+      |  CAST(FLOOR(1000000.0 * b.score) AS BIGINT) AS score_fx
+      |FROM e JOIN best b ON b.step = e.step AND b.vec_id = e.vec_id
+      |  AND b.rk = 1
+      |UNION ALL SELECT CAST(-1 AS INTEGER), CAST(-1 AS BIGINT),
+      |  CAST(-1 AS BIGINT) WHERE (SELECT COUNT(*)
+      |  FROM read_parquet('__GRAFT_OUT__/q280_mmr_select/*.parquet')) = 0
+      |ORDER BY step""".stripMargin
+
+  // -------------------------------------------------------------------
   // q35: LSH-bucketed approximate top-k, self-certifying (was rows-only
   // in r1/r2): every ANN result row carries `hit` = membership in the
   // EXACT top-10 (computed in-plan by the q34-oracled brute-force
@@ -2382,6 +2449,63 @@ object Pipeline {
       |)
       |SELECT id, CAST(MIN(d) AS BIGINT) AS dist
       |FROM r GROUP BY id ORDER BY id""".stripMargin
+
+  // -------------------------------------------------------------------
+  // q278: PIVOT-SAMPLED HARMONIC CLOSENESS (Eppstein-Wang 2001) — the
+  // centrality family's distance member next to PageRank (flow),
+  // HITS (mutual endorsement) and k-core (cohesion): how NEAR a node
+  // sits to the rest of the graph. Exact all-pairs closeness is
+  // O(n·m); the estimator grows k pivot BFS trees and sums 1/d per
+  // node — error O(1/√k) independent of graph size, so k stays fixed
+  // at 100 TB. All k trees grow in ONE (pivot, node)-keyed frontier
+  // loop (Graph.multiSourceBfs) sharing each round's edges join.
+  // Graph = the urgent-order trade slice (bounded, same bipartite
+  // encoding as q170); pivots = the 4 smallest urgent customers
+  // (deterministic); harmonic mass in exact ppm integer algebra
+  // (1e6 div d — no float). Hop-capped at 4 so the bounded
+  // recursive-CTE oracle replays the exact same distances.
+  // -------------------------------------------------------------------
+  def q278Closeness(spark: SparkSession, dir: String): DataFrame = {
+    val o = spark.read.parquet(s"$dir/orders.parquet")
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_orderkey"), col("o_custkey"))
+    val l = spark.read.parquet(s"$dir/lineitem.parquet")
+      .select(col("l_orderkey"), col("l_suppkey"))
+    val fwd = o.join(l, col("o_orderkey") === col("l_orderkey"))
+      .select((col("o_custkey") * 2).as("src"), (col("l_suppkey") * 2 + 1).as("dst"))
+    val edges = fwd.union(fwd.select(col("dst").as("src"), col("src").as("dst")))
+    val pivots = o.select(col("o_custkey")).distinct()
+      .orderBy(asc("o_custkey")).limit(4)
+      .select((col("o_custkey") * 2).as("id"))
+    Graph.multiSourceBfs(edges, pivots, "src", "dst", "id", maxHops = 4)
+      .filter(col("dist") >= 1)
+      .groupBy(col("id"))
+      .agg(count(lit(1)).cast("long").as("n_reached"),
+        sum(expr("1000000L div dist")).cast("long").as("harm_fx"))
+      .orderBy(asc("id"))
+  }
+  val q278Sql: String =
+    """WITH RECURSIVE fwd AS (
+      |  SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+      |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+      |  WHERE o_orderpriority = '1-URGENT'
+      |), e AS (
+      |  SELECT src, dst FROM fwd UNION SELECT dst, src FROM fwd
+      |), p AS (
+      |  SELECT DISTINCT o_custkey * 2 AS pv FROM orders
+      |  WHERE o_orderpriority = '1-URGENT'
+      |  ORDER BY 1 LIMIT 4
+      |), r(pv, id, d) AS (
+      |  SELECT pv, pv, 0 FROM p
+      |  UNION
+      |  SELECT r.pv, e.dst, r.d + 1 FROM r JOIN e ON e.src = r.id
+      |  WHERE r.d < 4
+      |), md AS (
+      |  SELECT pv, id, MIN(d) AS dist FROM r GROUP BY 1, 2
+      |)
+      |SELECT id, CAST(COUNT(*) AS BIGINT) AS n_reached,
+      |  CAST(SUM(1000000 // dist) AS BIGINT) AS harm_fx
+      |FROM md WHERE dist >= 1 GROUP BY id ORDER BY id""".stripMargin
 
   // -------------------------------------------------------------------
   // q184: WEIGHTED fixed-point PageRank — q123's trade graph with rank
@@ -5007,6 +5131,8 @@ object Pipeline {
     "q237_clustering_coeff" -> (q237ClusteringCoeff _),
     "q239_assortativity" -> (q239Assortativity _),
     "q170_bfs_levels" -> (q170BfsLevels _),
+    "q278_closeness" -> (q278Closeness _),
+    "q280_mmr_select" -> (q280MmrSelect _),
     "q171_kcore" -> (q171KCore _),
     "q177_label_prop" -> (q177LabelProp _),
     "q172_rrf_hybrid" -> (q172RrfHybrid _),
@@ -5141,6 +5267,8 @@ object Pipeline {
     "q237_clustering_coeff" -> q237Sql,
     "q239_assortativity" -> q239Sql,
     "q170_bfs_levels" -> q170Sql,
+    "q278_closeness" -> q278Sql,
+    "q280_mmr_select" -> q280Sql,
     "q171_kcore" -> q171Sql,
     "q177_label_prop" -> q177Sql,
     "q172_rrf_hybrid" -> q172Sql,

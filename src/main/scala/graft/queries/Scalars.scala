@@ -235,6 +235,53 @@ object Scalars {
       |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
 
   // -------------------------------------------------------------------
+  // q279: JOIN-KEY SKEW AUDIT — the advisor that sizes q105's
+  // saltFactor before the 100 TB shuffle runs: per candidate join key,
+  // key cardinality, hottest-key row count + ppm share, exact
+  // p50/p99 of the per-key distribution, and the recommended salt
+  // factor at 200 target partitions (1 = don't salt). Percentiles
+  // come from the count-of-counts HISTOGRAM (one row per distinct
+  // per-key count — bounded by the count domain, never a global sort
+  // of per-key counts); all algebra exact int64. Audits the three
+  // shuffles this suite actually pays: lineitem⋈supplier,
+  // lineitem⋈orders, orders⋈customer.
+  // -------------------------------------------------------------------
+  def q279SkewAudit(spark: SparkSession, dir: String): DataFrame = {
+    val l = spark.read.parquet(s"$dir/lineitem.parquet")
+    val o = spark.read.parquet(s"$dir/orders.parquet")
+    graft.operators.Scale.keySkewAudit(l, "l_suppkey", "lineitem.l_suppkey")
+      .union(graft.operators.Scale.keySkewAudit(l, "l_orderkey", "lineitem.l_orderkey"))
+      .union(graft.operators.Scale.keySkewAudit(o, "o_custkey", "orders.o_custkey"))
+      .orderBy(asc("key_label"))
+  }
+  val q279Sql: String = {
+    def one(table: String, key: String): String =
+      raw"""SELECT ':$table.$key:' AS key_label, n_keys, n_rows, max_rows, p50, p99,
+        |  (max_rows * 1000000) // n_rows AS top1_ppm,
+        |  (max_rows * 200 + n_rows - 1) // n_rows AS salt_factor
+        |FROM (
+        |  SELECT CAST(SUM(n_keys) AS BIGINT) AS n_keys,
+        |    CAST(SUM(cnt * n_keys) AS BIGINT) AS n_rows,
+        |    CAST(MAX(cnt) AS BIGINT) AS max_rows,
+        |    CAST(MIN(CASE WHEN cum_keys * 2 >= tot_keys THEN cnt END) AS BIGINT) AS p50,
+        |    CAST(MIN(CASE WHEN cum_keys * 100 >= tot_keys * 99 THEN cnt END) AS BIGINT) AS p99
+        |  FROM (
+        |    SELECT cnt, n_keys,
+        |      SUM(n_keys) OVER (ORDER BY cnt) AS cum_keys,
+        |      SUM(n_keys) OVER () AS tot_keys
+        |    FROM (
+        |      SELECT cnt, COUNT(*) AS n_keys FROM (
+        |        SELECT $key, COUNT(*) AS cnt FROM $table GROUP BY 1
+        |      ) GROUP BY 1
+        |    )
+        |  )
+        |)""".stripMargin.replace(s"':$table.$key:'", s"'$table.$key'")
+    one("lineitem", "l_suppkey") + "\nUNION ALL\n" +
+      one("lineitem", "l_orderkey") + "\nUNION ALL\n" +
+      one("orders", "o_custkey") + "\nORDER BY key_label"
+  }
+
+  // -------------------------------------------------------------------
   // q107: partitioned-layout round trip — write events partitioned by
   // event_type (the 100 TB curation-key layout), read back through the
   // partition-pruned scan (only the click/purchase directories are
@@ -588,6 +635,7 @@ object Scalars {
       |) ORDER BY l_returnflag, metric""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q279_skew_audit" -> (q279SkewAudit _),
     "q157_unpivot" -> (q157Unpivot _),
     "q156_compaction" -> (q156Compaction _),
     "q155_incremental_join" -> (q155IncrementalJoin _),
@@ -608,6 +656,7 @@ object Scalars {
     "q48_session_window" -> (q48SessionWindow _))
 
   val oracle: Map[String, String] = Map(
+    "q279_skew_audit" -> q279Sql,
     "q157_unpivot" -> q157Sql,
     "q156_compaction" -> q156Sql,
     "q155_incremental_join" -> q155Sql,

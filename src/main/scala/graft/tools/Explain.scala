@@ -147,7 +147,11 @@ object Explain {
       "q270_k_anonymity" -> "one partial-aggregated groupBy per ladder level (class frames bounded by the QID domain, not the record count) hash-joined back on QID keys — the record stream scans once, payload never shuffles; level pick is a map-side CASE chain",
       "q272_louvain_move" -> "edge frame distinct'd + persisted once; per round Σtot is a node-sized join + community-sized aggregate, k_{i,c} a partial-agged (src,lab) count, and the move pick is the lesson-17 max(struct) hash aggregate over the candidate frame — long tuples in every exchange, no edge-sized sort window, dd rides as a 1-row broadcast",
       "q276_sq8_audit" -> "one posexplode pass to (dim, fixed-point value) rows; per-dim min/max is a 64-group partial aggregate joined back (AQE broadcast), the quantize/error algebra is map-side integer projection, and the final per-dim stats partial-aggregate — nothing data-sized after the explode, no windows, no collect",
-      "q273_walk_pmi" -> "the walk corpus is the per-JVM memoized localCheckpoint shared with q269 (generated once — the plan roots at an ExistingRDD scan, not a re-derivation); pairs are an equi self-join on walk_id (≤7 rows per key) with the ±2-step window a residual filter, both marginals partial-agg and hash-join back, the 1-row total broadcasts")
+      "q273_walk_pmi" -> "the walk corpus is the per-JVM memoized localCheckpoint shared with q269 (generated once — the plan roots at an ExistingRDD scan, not a re-derivation); pairs are an equi self-join on walk_id (≤7 rows per key) with the ±2-step window a residual filter, both marginals partial-agg and hash-join back, the 1-row total broadcasts",
+      "q277_l_diversity" -> "two stacked partial-aggregated groupBys (records → QID×sensitive cells → per-class rollup): distinctness falls out of the second rollup with no countDistinct expansion; the orders pre-count hash-joins customer, ppm share is map-side integer div",
+      "q278_closeness" -> "all 4 pivot BFS trees in one (pivot,node)-keyed frontier loop: per round ONE edges hash join + left-anti visited check over localCheckpoint-truncated lineage; exchanges carry (long,long,int) triples; harmonic sum is a partial-agged groupBy over 1e6 div dist",
+      "q279_skew_audit" -> "per audited key: partial-agged per-key count → count-of-counts histogram (bounded by the count domain); the only window runs on the HISTOGRAM, never a global sort of per-key counts; all percentile/salt algebra is integer projection on a 1-row frame",
+      "q280_mmr_select" -> "dumped plan = the emitted 16-row literal frame + final sort (the greedy stage executes the pool eagerly inside the operator); the POOL plan — codegen'd VecDot against the 1-row broadcast query (GlobalLimit-bounded BNLJ) into TakeOrderedAndProject(64), partial top-k per partition, no global sort — is spec-asserted on Similarity.mmrPool (OperatorsSpec)")
 
   /** Consciously unpinned: reference-parity single-operator queries
     * whose plans are trivial (scan+filter/agg/join shapes already

@@ -1548,4 +1548,92 @@ class OperatorsSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
     assert(again.toSeq === got.toSeq)
   }
+
+  test("lDiversityAudit flags homogeneous classes, exact modal share") {
+    // class 1: sensitive x,x,x,y — diverse at l=2, modal share 750000 ppm
+    // class 2: all same sensitive — NOT diverse, share 1000000 ppm
+    val df = Seq((1, "x"), (1, "x"), (1, "x"), (1, "y"),
+      (2, "z"), (2, "z")).toDF("qid", "sens")
+    val got = Curation.lDiversityAudit(df, Seq("qid"), "sens", lMin = 2)
+      .orderBy(col("qid")).collect()
+    assert(got(0).getAs[Long]("class_n") === 4L)
+    assert(got(0).getAs[Long]("n_sensitive") === 2L)
+    assert(got(0).getAs[Long]("top_cnt") === 3L)
+    assert(got(0).getAs[Long]("top_share_fx") === 750000L)
+    assert(got(0).getAs[Boolean]("diverse"))
+    assert(got(1).getAs[Long]("n_sensitive") === 1L)
+    assert(got(1).getAs[Long]("top_share_fx") === 1000000L)
+    assert(!got(1).getAs[Boolean]("diverse"))
+  }
+
+  test("multiSourceBfs grows per-pivot trees; each agrees with bfsLevels") {
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("src", "dst")
+    val pivots = Seq(1L, 2L).toDF("id")
+    val got = Graph.multiSourceBfs(edges, pivots, "src", "dst", "id",
+        maxHops = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(got === Set((1L, 1L, 0), (1L, 2L, 1), (1L, 3L, 2),
+      (2L, 2L, 0), (2L, 3L, 1), (2L, 4L, 2)))
+    // per-pivot slice ≡ an independent single-seed BFS
+    for (p <- Seq(1L, 2L)) {
+      val single = Graph.bfsLevels(edges, Seq(p).toDF("id"),
+          "src", "dst", "id", maxHops = 2)
+        .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+      assert(got.filter(_._1 == p).map(t => (t._2, t._3)) === single)
+    }
+  }
+
+  test("keySkewAudit: exact histogram percentiles and salt sizing") {
+    // key a: 8 rows, b: 1, c: 1 → 3 keys / 10 rows, max 8,
+    // p50 = 1 (2 of 3 keys at cnt 1), p99 = 8, top share 800000 ppm,
+    // salt at 2 target partitions = ceil(8 / (10/2)) = 2
+    val df = (Seq.fill(8)("a") ++ Seq("b", "c")).toDF("k")
+    val got = Scale.keySkewAudit(df, "k", "t.k", targetPartitions = 2)
+      .collect()(0)
+    assert(got.getAs[String]("key_label") === "t.k")
+    assert(got.getAs[Long]("n_keys") === 3L)
+    assert(got.getAs[Long]("n_rows") === 10L)
+    assert(got.getAs[Long]("max_rows") === 8L)
+    assert(got.getAs[Long]("p50") === 1L)
+    assert(got.getAs[Long]("p99") === 8L)
+    assert(got.getAs[Long]("top1_ppm") === 800000L)
+    assert(got.getAs[Long]("salt_factor") === 2L)
+    // uniform data ⇒ salt factor 1 (don't salt)
+    val uni = (1 to 12).map(i => s"k${i % 4}").toDF("k")
+    assert(Scale.keySkewAudit(uni, "k", "u.k", targetPartitions = 2)
+      .collect()(0).getAs[Long]("salt_factor") === 1L)
+  }
+
+  test("mmrSelect suppresses the exact duplicate a pure top-k would pick") {
+    val q = Seq((0L, Array(1f, 0f, 0f, 0f))).toDF("vec_id", "embedding")
+    val cands = Seq(
+      (1L, Array(0.8f, 0.6f, 0f, 0f)),  // rel .8
+      (2L, Array(0.8f, 0.6f, 0f, 0f)),  // exact dup of 1 → penalty 0.3
+      (3L, Array(0.8f, -0.6f, 0f, 0f))) // rel .8, sim to 1 only .28
+      .toDF("vec_id", "embedding")
+    val got = Similarity.mmrSelect(cands, q, "vec_id", "embedding",
+        "embedding", poolSize = 3, k = 3)
+      .orderBy(col("step")).collect().map(_.getLong(1)).toSeq
+    // pure cosine order would be (1, 2, …); MMR demotes the duplicate
+    assert(got === Seq(1L, 3L, 2L))
+    // step-1 score = 0.7·rel exactly, rel through the float32 path
+    val s1 = Similarity.mmrSelect(cands, q, "vec_id", "embedding",
+        "embedding", poolSize = 3, k = 1).collect()(0).getLong(2)
+    val cv = Array(0.8f.toDouble, 0.6f.toDouble, 0.0, 0.0)
+    val nm = math.sqrt(cv.map(x => x * x).sum)
+    val rel = cv(0) / nm // q normalizes to exactly [1,0,0,0]
+    assert(s1 === math.floor(1000000.0 * (0.7 * rel - 0.3 * 0.0)).toLong)
+    // pool plan: partial top-k (TakeOrderedAndProject), never a global
+    // sort — probed with rows > poolSize (at rows <= poolSize the
+    // optimizer correctly ELIMINATES the limit via maxRows and the
+    // TOP shape is moot)
+    val many = (1L to 50L).map(i => (i, Array(i.toFloat, 1f, 0f, 0f)))
+      .toDF("vec_id", "embedding")
+    val poolDf = Similarity.mmrPool(many, q, "vec_id", "embedding",
+      "embedding", poolSize = 3)
+    poolDf.collect() // settle AQE to the final plan
+    val poolPlan = poolDf.queryExecution.executedPlan.toString
+    assert(poolPlan.contains("TakeOrderedAndProject"), poolPlan)
+    assert(!poolPlan.contains("rangepartitioning"), poolPlan)
+  }
 }
