@@ -504,6 +504,22 @@ object Curation {
                            rounds: Int): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
+    wordpieceTrain(df, textCol, rounds)
+      .toDF("round", "lhs", "rhs", "pair_count", "ca", "cb",
+        "score_fx", "n_symbols_after")
+  }
+
+  /** The trained WordPiece merge list alone — (lhs, rhs) in round
+    * order, the frozen MODEL a held-out apply consumes. Segmentation
+    * under a trained list is criterion-independent (the same greedy
+    * island-parity replay as BPE), so [[bpeSegment]] applies it:
+    * only the training argmax distinguishes the families. */
+  def wordpieceTrainedMerges(df: DataFrame, textCol: String,
+                             rounds: Int): Seq[(String, String)] =
+    wordpieceTrain(df, textCol, rounds).map(t => (t._2, t._3))
+
+  private def wordpieceTrain(df: DataFrame, textCol: String, rounds: Int)
+      : Seq[(Long, String, String, Long, Long, Long, Long, Long)] = {
     var syms = bpeSym0(df, textCol)
     val wWin = Window.partitionBy(col("w")).orderBy(asc("p"))
     val out = scala.collection.mutable.ArrayBuffer
@@ -540,8 +556,7 @@ object Curation {
       }
     }
     syms.unpersist()
-    out.toSeq.toDF("round", "lhs", "rhs", "pair_count", "ca", "cb",
-      "score_fx", "n_symbols_after")
+    out.toSeq
   }
 
   /** The trained merge list alone — the (lhs, rhs) pairs in round

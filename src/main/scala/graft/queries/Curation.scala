@@ -1561,6 +1561,107 @@ object Curation {
       "\nORDER BY round"
 
   // -------------------------------------------------------------------
+  // q281: WORDPIECE HELD-OUT APPLY — the q224 workflow at the
+  // WordPiece rung, completing the third family's train→apply ladder:
+  // train 3 likelihood-gain merge rounds on the training split
+  // (doc_id % 97 ≠ 0), then segment the held-out split with the
+  // FROZEN merge list. Apply is criterion-independent (the same
+  // greedy island-parity replay as BPE — only the trainer's argmax
+  // differs), so the frozen list feeds bpeSegment / bpeApplyRoundSql
+  // unchanged; the oracle's train chain is the WordPiece scored
+  // argmax, so a drifted likelihood pick changes the eval vocabulary
+  // and fails the hash.
+  // -------------------------------------------------------------------
+  /** Process-level memo of the FROZEN train-split WordPiece merge
+    * list — the `trainedMerges97Of` pattern at the WordPiece rung,
+    * shared by q281 (held-out usage) and q282 (fertility). Keyed by
+    * (dir, rounds); deterministic in the key, so the memo only ever
+    * skips a bit-identical recompute. */
+  private val wpTrainedMerges97 =
+    new java.util.concurrent.ConcurrentHashMap[(String, Int), Seq[(String, String)]]()
+  private def wpTrainedMerges97Of(spark: SparkSession, dir: String,
+      rounds: Int): Seq[(String, String)] =
+    wpTrainedMerges97.computeIfAbsent((dir, rounds), _ =>
+      C.wordpieceTrainedMerges(
+        docs(spark, dir).filter(col("doc_id") % 97 =!= 0), "text", rounds))
+
+  def q281WordpieceHeldout(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    val merges = wpTrainedMerges97Of(spark, dir, rounds = 3)
+    C.bpeSegment(d.filter(col("doc_id") % 97 === 0), "text", merges)
+      .groupBy(col("s"))
+      .agg(sum(col("wc")).as("n_occ"), countDistinct(col("w")).as("n_types"))
+      .orderBy(desc("n_occ"), asc("s"))
+      .limit(30)
+  }
+  // train-split WordPiece chain + eval-split frozen apply chain — the
+  // q224Sql skeleton with the scored argmax in the train rounds
+  private val wpHeldoutPrefixSql: String =
+    raw"""WITH types AS (
+      |  SELECT tok AS w, COUNT(*) AS wc
+      |  FROM (SELECT UNNEST($toksSql) AS tok FROM documents
+      |        WHERE doc_id % 97 <> 0)
+      |  WHERE tok != '' GROUP BY 1),
+      |pos0 AS (SELECT w, wc, UNNEST(range(1, LEN(w) + 1)) AS i FROM types),
+      |sym0 AS (SELECT w, wc, i - 1 AS p, w[i:i] AS s FROM pos0),
+      |""".stripMargin +
+      (1 to 3).map(wordpieceRoundSql).mkString(",\n") + ",\n" +
+      raw"""etypes AS (
+      |  SELECT tok AS w, COUNT(*) AS wc
+      |  FROM (SELECT UNNEST($toksSql) AS tok FROM documents
+      |        WHERE doc_id % 97 = 0)
+      |  WHERE tok != '' GROUP BY 1),
+      |epos0 AS (SELECT w, wc, UNNEST(range(1, LEN(w) + 1)) AS i FROM etypes),
+      |esym0 AS (SELECT w, wc, i - 1 AS p, w[i:i] AS s FROM epos0),
+      |""".stripMargin +
+      (1 to 3).map(bpeApplyRoundSql).mkString(",\n")
+  val q281Sql: String =
+    wpHeldoutPrefixSql + "\n" +
+      """SELECT s, CAST(SUM(wc) AS BIGINT) AS n_occ,
+      |  COUNT(DISTINCT w) AS n_types
+      |FROM esym3 GROUP BY s ORDER BY n_occ DESC, s LIMIT 30""".stripMargin
+
+  // -------------------------------------------------------------------
+  // q282: WORDPIECE FERTILITY per language — q235's table under the
+  // frozen WordPiece list: occurrence-weighted subwords-per-word on
+  // the held-out split, per language, all-int64 fixed point. With
+  // this the three tokenizer families stand at full parity
+  // (train / vocab-or-rounds / held-out apply / fertility).
+  // -------------------------------------------------------------------
+  def q282WordpieceFertility(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    val merges = wpTrainedMerges97Of(spark, dir, rounds = 3)
+    val heldout = d.filter(col("doc_id") % 97 === 0)
+    val nsub = C.bpeSegment(heldout, "text", merges)
+      .groupBy(col("w")).agg(count(lit(1)).as("n_sub"))
+    val lw = heldout
+      .select(col("lang"), explode(TA.tokens(col("text"))).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy(col("lang"), col("w")).agg(count(lit(1)).as("c"))
+    lw.join(nsub, Seq("w"))
+      .groupBy(col("lang"))
+      .agg(sum(col("c")).as("n_words"),
+        sum(col("c") * col("n_sub")).as("n_subwords"))
+      .withColumn("fertility_fx",
+        expr("(n_subwords * 1000000L) div n_words"))
+      .orderBy(asc("lang"))
+  }
+  val q282Sql: String =
+    wpHeldoutPrefixSql + ",\n" +
+      raw"""ns AS (SELECT w, COUNT(*) AS n_sub FROM esym3 GROUP BY w),
+      |lw AS (
+      |  SELECT lang, tok AS w, COUNT(*) AS c
+      |  FROM (SELECT lang, UNNEST($toksSql) AS tok FROM documents
+      |        WHERE doc_id % 97 = 0)
+      |  WHERE tok != '' GROUP BY 1, 2)
+      |SELECT lang, CAST(SUM(c) AS BIGINT) AS n_words,
+      |  CAST(SUM(c * n_sub) AS BIGINT) AS n_subwords,
+      |  (CAST(SUM(c * n_sub) AS BIGINT) * 1000000)
+      |    // CAST(SUM(c) AS BIGINT) AS fertility_fx
+      |FROM lw JOIN ns USING (w)
+      |GROUP BY lang ORDER BY lang""".stripMargin
+
+  // -------------------------------------------------------------------
   // q262: UNIGRAM-LM TOKENIZER ROUNDS (Kudo 2018, SentencePiece-style)
   // — the second tokenizer family next to BPE (q213/q216/q224): seed a
   // candidate-piece vocabulary from the top-64 multi-char substring
@@ -2908,6 +3009,8 @@ object Curation {
     "q270_k_anonymity" -> (q270KAnonymity _),
     "q271_water_fill" -> (q271WaterFill _),
     "q274_wordpiece" -> (q274Wordpiece _),
+    "q281_wordpiece_heldout" -> (q281WordpieceHeldout _),
+    "q282_wordpiece_fertility" -> (q282WordpieceFertility _),
     "q260_split_balance" -> (q260SplitBalance _),
     "q259_quantile_normalize" -> (q259QuantileNormalize _),
     "q251_vocab_coverage" -> (q251VocabCoverage _),
@@ -2965,6 +3068,8 @@ object Curation {
     "q270_k_anonymity" -> q270Sql,
     "q271_water_fill" -> q271Sql,
     "q274_wordpiece" -> q274Sql,
+    "q281_wordpiece_heldout" -> q281Sql,
+    "q282_wordpiece_fertility" -> q282Sql,
     "q260_split_balance" -> q260Sql,
     "q259_quantile_normalize" -> q259Sql,
     "q251_vocab_coverage" -> q251Sql,

@@ -178,6 +178,7 @@ object Explain {
     "q183_leakage_audit", "q18_time_window", "q192_zipf_fit", "q198_tpch_q14",
     "q199_tpch_q7", "q19_sessionize", "q203_stream_asof", "q20_pivot",
     "q213_bpe_merges", "q216_bpe_vocab", "q274_wordpiece", "q21_rollup", "q227_winnow",
+    "q281_wordpiece_heldout", "q282_wordpiece_fertility",
     "q263_unigram_heldout", "q265_unigram_fertility", "q271_water_fill", "q275_readability",
     "q228_winnow_pairs", "q22_semi_anti_join", "q230_kcenter", "q231_stream_drift",
     "q232_ra_link_prediction", "q233_pair_alignment", "q235_bpe_fertility", "q236_audio_utterances",

@@ -92,6 +92,22 @@ class CurationSpec extends SparkSpec {
       math.floor(math.log(3.0 / 9.0) * 1e6).toLong, 4L)))
   }
 
+  test("wordpieceTrainedMerges: frozen list matches the trainer's picks and replays on held-out text") {
+    val df = Seq("aab aab aab xy").toDF("text")
+    val merges = Curation.wordpieceTrainedMerges(df, "text", rounds = 3)
+    assert(merges === Seq(("x", "y"), ("a", "b"), ("a", "ab")))
+    // frozen apply on a DIFFERENT corpus: pairs absent there are no-ops,
+    // present ones replay the island-parity greedy merge
+    val eval = Seq("aabab zz").toDF("text")
+    val segs = Curation.bpeSegment(eval, "text", merges)
+      .groupBy(col("w")).agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    // "aabab" = a·a·b·a·b → (a,b) merges p1+p3 → a·ab·ab → (a,ab)
+    // fuses the head (island parity: leftmost only) → aab·ab
+    assert(segs("aabab") === 2L)
+    assert(segs("zz") === 2L) // no trained pair applies
+  }
+
   test("decontaminate flags the planted overlap and only it") {
     val train = Seq(
       (1L, "alpha beta gamma delta epsilon zeta"),   // contains eval 5-gram
