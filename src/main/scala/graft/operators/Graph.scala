@@ -102,6 +102,51 @@ object Graph {
     * filter (r > 0) keeps early rounds seed-sized. Only |S| and N
     * (counts) reach the driver.
     */
+  /** KATZ centrality (Katz 1953) — attenuated walk-count centrality,
+    * the degree-UNnormalized sibling of [[pageRankFixed]]: a node is
+    * central if many short walks end at it, each walk damped by α per
+    * hop. Exact fixed-point replay contract (q123's):
+    *   x_0(v)    = scale                       (β = scale)
+    *   x_k+1(v)  = scale + (Σ_{(u,v)∈E} x_k(u)) div alphaDen
+    * — every step integral on longs, so a fixed round count unrolls
+    * bit-identically in a SQL oracle. α = 1/alphaDen must sit below
+    * 1/λ_max (≤ 1/d_max suffices) for the series to be bounded; the
+    * int64 envelope is x ≤ scale·Σ_{j≤iters}(d_max/alphaDen)^j and the
+    * per-node pre-div sum ≤ d_max·x — at alphaDen=1000 that clears
+    * int64 for d_max up to ~10^5 at 3 rounds; raise alphaDen with the
+    * degree scale (it is the attenuation, not a capacity knob).
+    *
+    * Scale shape identical to [[pageRankFixed]] minus the degree
+    * frame: per round one edges⋈x hash join + one partial-aggregated
+    * groupBy(dst) + a left join to the node frame — (id, long)
+    * exchanges only; no mid-loop action, lineage truncated every
+    * `checkpointInterval` rounds. Returns (id, katz_fx) per node.
+    */
+  def katzFixed(edges: DataFrame, srcCol: String, dstCol: String,
+                iters: Int = 3, alphaDen: Long = 1000L,
+                scale: Long = 1000000L,
+                checkpointInterval: Int = 5): DataFrame = {
+    val cut: DataFrame => DataFrame = df => df.localCheckpoint(true)
+    val e = cut(edges
+      .select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
+      .distinct())
+    val nodes = cut(e.select(col("src").as("id"))
+      .union(e.select(col("dst").as("id"))).distinct())
+    var x = nodes.select(col("id"), lit(scale).as("r"))
+    for (k <- 1 to iters) {
+      val contrib = e
+        .join(x.select(col("id").as("src"), col("r")), "src")
+        .groupBy(col("dst")).agg(sum(col("r")).as("cs"))
+        .withColumnRenamed("dst", "id")
+      val next = nodes
+        .join(contrib, Seq("id"), "left_outer")
+        .select(col("id"),
+          (lit(scale) + expr(s"coalesce(cs, 0L) div $alphaDen")).as("r"))
+      x = if (k % checkpointInterval == 0 && k < iters) cut(next) else next
+    }
+    x.select(col("id"), col("r").as("katz_fx"))
+  }
+
   def personalizedPageRankFixed(edges: DataFrame, seeds: DataFrame,
                                 srcCol: String, dstCol: String,
                                 seedCol: String, iters: Int = 3,

@@ -2267,6 +2267,56 @@ object Pipeline {
       |SELECT id, CAST(r AS BIGINT) AS rank_fx FROM r3 ORDER BY id""".stripMargin
 
   // -------------------------------------------------------------------
+  // q283: KATZ centrality over q123's trade graph — the attenuated
+  // walk-count sibling of PageRank (no degree normalization: a
+  // high-degree hub amplifies its neighbors instead of splitting its
+  // mass). Three exact integral rounds x ← scale + Σ_in x div 1000;
+  // the oracle UNROLLS the identical three rounds (q123's CTE shape
+  // minus the degree frame) and compares bit-for-bit.
+  // -------------------------------------------------------------------
+  def q283Katz(spark: SparkSession, dir: String): DataFrame = {
+    val o = spark.read.parquet(s"$dir/orders.parquet")
+      .select(col("o_orderkey"), col("o_custkey"))
+    val l = spark.read.parquet(s"$dir/lineitem.parquet")
+      .select(col("l_orderkey"), col("l_suppkey"))
+    val fwd = o.join(l, col("o_orderkey") === col("l_orderkey"))
+      .select((col("o_custkey") * 2).as("src"), (col("l_suppkey") * 2 + 1).as("dst"))
+    val edges = fwd.union(fwd.select(col("dst").as("src"), col("src").as("dst")))
+    Graph.katzFixed(edges, "src", "dst", iters = 3)
+      .orderBy(asc("id"))
+  }
+  val q283Sql: String =
+    """WITH fwd AS (
+      |  SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+      |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+      |), e AS (
+      |  SELECT src, dst FROM fwd UNION SELECT dst, src FROM fwd
+      |), nodes AS (
+      |  SELECT DISTINCT src AS id FROM e UNION SELECT DISTINCT dst FROM e
+      |), x0 AS (
+      |  SELECT id, CAST(1000000 AS BIGINT) AS r FROM nodes
+      |), x1 AS (
+      |  SELECT n.id, 1000000 + COALESCE(SUM(x0.r), 0) // 1000 AS r
+      |  FROM nodes n
+      |  LEFT JOIN e ON e.dst = n.id
+      |  LEFT JOIN x0 ON x0.id = e.src
+      |  GROUP BY n.id
+      |), x2 AS (
+      |  SELECT n.id, 1000000 + COALESCE(SUM(x1.r), 0) // 1000 AS r
+      |  FROM nodes n
+      |  LEFT JOIN e ON e.dst = n.id
+      |  LEFT JOIN x1 ON x1.id = e.src
+      |  GROUP BY n.id
+      |), x3 AS (
+      |  SELECT n.id, 1000000 + COALESCE(SUM(x2.r), 0) // 1000 AS r
+      |  FROM nodes n
+      |  LEFT JOIN e ON e.dst = n.id
+      |  LEFT JOIN x2 ON x2.id = e.src
+      |  GROUP BY n.id
+      |)
+      |SELECT id, CAST(r AS BIGINT) AS katz_fx FROM x3 ORDER BY id""".stripMargin
+
+  // -------------------------------------------------------------------
   // q127: per-part triangle counts over the high-quantity co-purchase
   // graph (parts sharing an order, lines with l_quantity > 35 — the
   // filter keeps the bench graph at ~109k edges / 44k triangles at
@@ -5125,6 +5175,7 @@ object Pipeline {
     "q95_incremental_dedup" -> (q95IncrementalDedup _),
     "q121_snapshot_diff" -> (q121SnapshotDiff _),
     "q123_pagerank" -> (q123PageRank _),
+    "q283_katz" -> (q283Katz _),
     "q229_personalized_pagerank" -> (q229PersonalizedPagerank _),
     "q230_kcenter" -> (q230KCenter _),
     "q127_triangles" -> (q127Triangles _),
@@ -5261,6 +5312,7 @@ object Pipeline {
     "q95_incremental_dedup" -> q95Sql,
     "q121_snapshot_diff" -> q121Sql,
     "q123_pagerank" -> q123Sql,
+    "q283_katz" -> q283Sql,
     "q229_personalized_pagerank" -> q229Sql,
     "q230_kcenter" -> q230Sql,
     "q127_triangles" -> q127Sql,

@@ -1053,7 +1053,237 @@ object Stats {
       |  FROM read_parquet('__GRAFT_OUT__/q181_tdigest_union/*.parquet')) = 0
       |ORDER BY event_type, q""".stripMargin
 
+  // -------------------------------------------------------------------
+  // q284: MANN-WHITNEY U (Wilcoxon rank-sum), one source vs the rest —
+  // the nonparametric "is this source's length distribution shifted?"
+  // audit a mixing pipeline runs per ingest feed. Exact midrank
+  // arithmetic: ranks carry the ×2 scaling (avg of a tie run of k at
+  // cumulative offset c is c + (k+1)/2, so rank2 = 2c + k + 1 is
+  // always integral), U follows as u2 = 2·U = ΣR2 − n1(n1+1), and the
+  // effect size is the AUC u2·1e6 div (2·n1·n2) — all int64
+  // (ΣR2 ≤ 2·N·n1; the ·1e6 step needs u2 ≲ 9·10^12, i.e. per-stratum
+  // runs at 100 TB — divide through DECIMAL past that). Scale shape:
+  // one (value) count aggregate + one (source, value) count aggregate
+  // (both partial-agg); the rank window runs over the DISTINCT-value
+  // frame (domain-bounded, q153's discipline), joined back on value.
+  // Oracle: identical CTE algebra in DuckDB, bit-for-bit.
+  // -------------------------------------------------------------------
+  def q284MannWhitney(spark: SparkSession, dir: String): DataFrame = {
+    val doc = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("source"), col("n_chars"))
+    val vc = doc.groupBy(col("n_chars")).agg(count(lit(1)).as("cv"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(asc("n_chars")).rowsBetween(Long.MinValue, -1L)
+    val r2 = vc.select(col("n_chars"),
+      (lit(2L) * coalesce(sum(col("cv")).over(w), lit(0L))
+        + col("cv") + 1L).as("rank2"))
+    val sv = doc.groupBy(col("source"), col("n_chars"))
+      .agg(count(lit(1)).as("c"))
+    val tot = doc.groupBy().agg(count(lit(1)).as("n"))
+    sv.join(r2, "n_chars")
+      .groupBy(col("source"))
+      .agg(sum(col("c")).as("n1"), sum(col("c") * col("rank2")).as("r1_2"))
+      .crossJoin(broadcast(tot))
+      .select(col("source"), col("n1"), (col("n") - col("n1")).as("n2"),
+        (col("r1_2") - col("n1") * (col("n1") + 1L)).as("u2"))
+      .withColumn("auc_fx",
+        expr("u2 * 1000000L div (2 * n1 * n2)"))
+      .orderBy(asc("source"))
+  }
+  val q284Sql: String =
+    """WITH vc AS (
+      |  SELECT n_chars, COUNT(*) AS cv FROM documents GROUP BY 1
+      |), r2 AS (
+      |  SELECT n_chars,
+      |    2 * COALESCE(SUM(cv) OVER (ORDER BY n_chars
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      |      + cv + 1 AS rank2
+      |  FROM vc
+      |), sv AS (
+      |  SELECT source, n_chars, COUNT(*) AS c FROM documents GROUP BY 1, 2
+      |), tot AS (SELECT COUNT(*) AS n FROM documents
+      |), agg AS (
+      |  SELECT source, CAST(SUM(c) AS BIGINT) AS n1,
+      |    CAST(SUM(c * rank2) AS BIGINT) AS r1_2
+      |  FROM sv JOIN r2 USING (n_chars) GROUP BY 1
+      |)
+      |SELECT source, n1, (SELECT n FROM tot) - n1 AS n2,
+      |  r1_2 - n1 * (n1 + 1) AS u2,
+      |  ((r1_2 - n1 * (n1 + 1)) * 1000000)
+      |    // (2 * n1 * ((SELECT n FROM tot) - n1)) AS auc_fx
+      |FROM agg ORDER BY source""".stripMargin
+
+  // -------------------------------------------------------------------
+  // q285: SPEARMAN rank correlation per source between document length
+  // (n_chars) and distinct-token count — the Heaps-law cousin as a
+  // per-feed monotonic-association audit (a feed whose length/lexical-
+  // diversity coupling breaks from the corpus norm is usually
+  // templated or boilerplate-heavy). Midranks WITHIN source via the
+  // same ×2-integral trick as q284, Pearson over rank2 pairs: num,
+  // dx, dy are exact int64 sums; ρ = num / (√dx·√dy) is evaluated in
+  // double — int64→double casts, √, ·, / are each IEEE
+  // correctly-rounded, identical operand order both engines — and
+  // pinned as floor(ρ·1e6) (the q274 score_fx convention). Scale
+  // shape: per-doc token distinct count (one explode + partial-agg),
+  // two DISTINCT-(source, value) rank windows (domain-bounded), two
+  // hash joins back on (source, value), one per-source fold.
+  // -------------------------------------------------------------------
+  def q285Spearman(spark: SparkSession, dir: String): DataFrame = {
+    val d = spark.read.parquet(s"$dir/documents.parquet")
+    val doc = d.select(col("source"), col("doc_id"), col("n_chars").as("x"),
+      size(array_distinct(graft.operators.TextAnalysis
+        .tokens(col("text")))).cast("long").as("y"))
+    def rank2Of(vcol: String): DataFrame = {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("source")).orderBy(asc(vcol))
+        .rowsBetween(Long.MinValue, -1L)
+      doc.groupBy(col("source"), col(vcol)).agg(count(lit(1)).as("cv"))
+        .select(col("source"), col(vcol),
+          (lit(2L) * coalesce(sum(col("cv")).over(w), lit(0L))
+            + col("cv") + 1L).as(s"r_$vcol"))
+    }
+    doc.join(rank2Of("x"), Seq("source", "x"))
+      .join(rank2Of("y"), Seq("source", "y"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("r_x")).as("sx"), sum(col("r_y")).as("sy"),
+        sum(col("r_x") * col("r_x")).as("sxx"),
+        sum(col("r_y") * col("r_y")).as("syy"),
+        sum(col("r_x") * col("r_y")).as("sxy"))
+      .select(col("source"), col("n"),
+        (col("n") * col("sxy") - col("sx") * col("sy")).as("num"),
+        (col("n") * col("sxx") - col("sx") * col("sx")).as("dx"),
+        (col("n") * col("syy") - col("sy") * col("sy")).as("dy"))
+      .withColumn("rho_fx",
+        when(col("dx") > 0 && col("dy") > 0,
+          floor(col("num").cast("double")
+            / (sqrt(col("dx").cast("double")) * sqrt(col("dy").cast("double")))
+            * 1e6).cast("long")))
+      .orderBy(asc("source"))
+  }
+  val q285Sql: String =
+    """WITH doc AS (
+      |  SELECT source, n_chars AS x,
+      |    CAST(LEN(list_distinct(string_split_regex(TRIM(text), '\s+')))
+      |      AS BIGINT) AS y
+      |  FROM documents
+      |), rx AS (
+      |  SELECT source, x,
+      |    2 * COALESCE(SUM(cv) OVER (PARTITION BY source ORDER BY x
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      |      + cv + 1 AS r_x
+      |  FROM (SELECT source, x, COUNT(*) AS cv FROM doc GROUP BY 1, 2)
+      |), ry AS (
+      |  SELECT source, y,
+      |    2 * COALESCE(SUM(cv) OVER (PARTITION BY source ORDER BY y
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      |      + cv + 1 AS r_y
+      |  FROM (SELECT source, y, COUNT(*) AS cv FROM doc GROUP BY 1, 2)
+      |), agg AS (
+      |  SELECT source, COUNT(*) AS n,
+      |    CAST(SUM(r_x) AS BIGINT) AS sx, CAST(SUM(r_y) AS BIGINT) AS sy,
+      |    CAST(SUM(r_x * r_x) AS BIGINT) AS sxx,
+      |    CAST(SUM(r_y * r_y) AS BIGINT) AS syy,
+      |    CAST(SUM(r_x * r_y) AS BIGINT) AS sxy
+      |  FROM doc JOIN rx USING (source, x) JOIN ry USING (source, y)
+      |  GROUP BY 1
+      |)
+      |SELECT source, n,
+      |  n * sxy - sx * sy AS num,
+      |  n * sxx - sx * sx AS dx,
+      |  n * syy - sy * sy AS dy,
+      |  CASE WHEN n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0 THEN
+      |    CAST(FLOOR(CAST(n * sxy - sx * sy AS DOUBLE)
+      |      / (SQRT(CAST(n * sxx - sx * sx AS DOUBLE))
+      |         * SQRT(CAST(n * syy - sy * sy AS DOUBLE))) * 1000000)
+      |      AS BIGINT)
+      |  END AS rho_fx
+      |FROM agg ORDER BY source""".stripMargin
+
+  // -------------------------------------------------------------------
+  // q286: AUTOCORRELATION of the daily event volume at lags 1..7 —
+  // the weekly-seasonality fingerprint (q188's anomaly gate assumes
+  // it; this measures it). Mean-centering stays integral by working
+  // with z_t = n·x_t − S (n = #days, S = Σx): acf_k =
+  // Σ z_t·z_{t+k} / Σ z_t², emitted as floor(num/den·1e6). num/den
+  // are exact int64 (|z| ≤ n·x_max; den ≤ n·(n·x_max)² — the int64→
+  // double casts round identically in both engines, and num may be
+  // NEGATIVE, which is exactly why the division happens in double:
+  // Spark's integer div truncates toward zero while DuckDB's //
+  // floors, so a negative fixed-point quotient would diverge by 1).
+  // Scale shape: ONE data-sized (day) count aggregate; the lag
+  // windows and the fold run over the ~365-row daily frame.
+  // -------------------------------------------------------------------
+  def q286AcfDaily(spark: SparkSession, dir: String): DataFrame = {
+    val daily = graft.sources.Events.ev(spark, dir)
+      .select(expr("unix_micros(ts) div 86400000000").as("day"))
+      .groupBy(col("day")).agg(count(lit(1)).as("x"))
+    val tot = daily.groupBy().agg(count(lit(1)).as("n"), sum(col("x")).as("s"))
+    val z = daily.crossJoin(broadcast(tot))
+      .select(col("day"), (col("n") * col("x") - col("s")).as("z"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy(asc("day"))
+    val lagged = z.select(col("z") +:
+      (1 to 7).map(k => lead(col("z"), k).over(w).as(s"z$k")): _*)
+    val folded = lagged.groupBy().agg(
+      count(lit(1)).as("n_days"),
+      sum(col("z") * col("z")).as("den") +:
+        (1 to 7).map(k => sum(col("z") * col(s"z$k")).as(s"num$k")): _*)
+    folded.select(expr(
+      "stack(7, " + (1 to 7).map(k => s"${k}L, num$k").mkString(", ")
+        + ") as (lag, num)"), col("n_days"), col("den"))
+      .withColumn("acf_fx",
+        when(col("den") > 0, floor(col("num").cast("double")
+          / col("den").cast("double") * 1e6).cast("long")))
+      .select(col("lag"), col("n_days"), col("num"), col("den"), col("acf_fx"))
+      .orderBy(asc("lag"))
+  }
+  val q286Sql: String =
+    """WITH daily AS (
+      |  SELECT epoch_us(ts) // 86400000000 AS day, COUNT(*) AS x
+      |  FROM events GROUP BY 1
+      |), tot AS (SELECT COUNT(*) AS n, CAST(SUM(x) AS BIGINT) AS s FROM daily
+      |), z AS (
+      |  SELECT day, (SELECT n FROM tot) * x - (SELECT s FROM tot) AS z
+      |  FROM daily
+      |), lagged AS (
+      |  SELECT z,
+      |    LEAD(z, 1) OVER (ORDER BY day) AS z1,
+      |    LEAD(z, 2) OVER (ORDER BY day) AS z2,
+      |    LEAD(z, 3) OVER (ORDER BY day) AS z3,
+      |    LEAD(z, 4) OVER (ORDER BY day) AS z4,
+      |    LEAD(z, 5) OVER (ORDER BY day) AS z5,
+      |    LEAD(z, 6) OVER (ORDER BY day) AS z6,
+      |    LEAD(z, 7) OVER (ORDER BY day) AS z7
+      |  FROM z
+      |), folded AS (
+      |  SELECT COUNT(*) AS n_days, CAST(SUM(z * z) AS BIGINT) AS den,
+      |    CAST(SUM(z * z1) AS BIGINT) AS num1,
+      |    CAST(SUM(z * z2) AS BIGINT) AS num2,
+      |    CAST(SUM(z * z3) AS BIGINT) AS num3,
+      |    CAST(SUM(z * z4) AS BIGINT) AS num4,
+      |    CAST(SUM(z * z5) AS BIGINT) AS num5,
+      |    CAST(SUM(z * z6) AS BIGINT) AS num6,
+      |    CAST(SUM(z * z7) AS BIGINT) AS num7
+      |  FROM lagged
+      |), u AS (
+      |  SELECT 1 AS lag, num1 AS num, n_days, den FROM folded
+      |  UNION ALL SELECT 2, num2, n_days, den FROM folded
+      |  UNION ALL SELECT 3, num3, n_days, den FROM folded
+      |  UNION ALL SELECT 4, num4, n_days, den FROM folded
+      |  UNION ALL SELECT 5, num5, n_days, den FROM folded
+      |  UNION ALL SELECT 6, num6, n_days, den FROM folded
+      |  UNION ALL SELECT 7, num7, n_days, den FROM folded
+      |)
+      |SELECT CAST(lag AS BIGINT) AS lag, n_days, num, den,
+      |  CASE WHEN den > 0 THEN
+      |    CAST(FLOOR(CAST(num AS DOUBLE) / CAST(den AS DOUBLE) * 1000000)
+      |      AS BIGINT) END AS acf_fx
+      |FROM u ORDER BY lag""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q284_mann_whitney" -> (q284MannWhitney _),
+    "q285_spearman" -> (q285Spearman _),
+    "q286_acf_daily" -> (q286AcfDaily _),
     "q190_tdigest_bins" -> (q190TdigestBins _),
     "q181_tdigest_union" -> (q181TdigestUnion _),
     "q174_mad_outliers" -> (q174MadOutliers _),
@@ -1076,6 +1306,9 @@ object Stats {
     "q106_histogram" -> (q106Histogram _))
 
   val oracle: Map[String, String] = Map(
+    "q284_mann_whitney" -> q284Sql,
+    "q285_spearman" -> q285Sql,
+    "q286_acf_daily" -> q286Sql,
     "q190_tdigest_bins" -> q190Sql,
     "q181_tdigest_union" -> q181Sql,
     "q174_mad_outliers" -> q174Sql,

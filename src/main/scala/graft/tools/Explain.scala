@@ -151,7 +151,8 @@ object Explain {
       "q277_l_diversity" -> "two stacked partial-aggregated groupBys (records → QID×sensitive cells → per-class rollup): distinctness falls out of the second rollup with no countDistinct expansion; the orders pre-count hash-joins customer, ppm share is map-side integer div",
       "q278_closeness" -> "all 4 pivot BFS trees in one (pivot,node)-keyed frontier loop: per round ONE edges hash join + left-anti visited check over localCheckpoint-truncated lineage; exchanges carry (long,long,int) triples; harmonic sum is a partial-agged groupBy over 1e6 div dist",
       "q279_skew_audit" -> "per audited key: partial-agged per-key count → count-of-counts histogram (bounded by the count domain); the only window runs on the HISTOGRAM, never a global sort of per-key counts; all percentile/salt algebra is integer projection on a 1-row frame",
-      "q280_mmr_select" -> "dumped plan = the emitted 16-row literal frame + final sort (the greedy stage executes the pool eagerly inside the operator); the POOL plan — codegen'd VecDot against the 1-row broadcast query (GlobalLimit-bounded BNLJ) into TakeOrderedAndProject(64), partial top-k per partition, no global sort — is spec-asserted on Similarity.mmrPool (OperatorsSpec)")
+      "q280_mmr_select" -> "dumped plan = the emitted 16-row literal frame + final sort (the greedy stage executes the pool eagerly inside the operator); the POOL plan — codegen'd VecDot against the 1-row broadcast query (GlobalLimit-bounded BNLJ) into TakeOrderedAndProject(64), partial top-k per partition, no global sort — is spec-asserted on Similarity.mmrPool (OperatorsSpec)",
+      "q285_spearman" -> "rank-association audit with ZERO data-sized windows: both midrank frames are partial-agged DISTINCT-(source, value) aggregates with the cum window over the value domain (q153's discipline, partitioned by source); the doc stream hash-joins the two rank frames on (source, value) and folds in one partial-agged per-source aggregate — ρ is three casts + two sqrt + a division in the project")
 
   /** Consciously unpinned: reference-parity single-operator queries
     * whose plans are trivial (scan+filter/agg/join shapes already
@@ -179,6 +180,7 @@ object Explain {
     "q199_tpch_q7", "q19_sessionize", "q203_stream_asof", "q20_pivot",
     "q213_bpe_merges", "q216_bpe_vocab", "q274_wordpiece", "q21_rollup", "q227_winnow",
     "q281_wordpiece_heldout", "q282_wordpiece_fertility",
+    "q283_katz", "q284_mann_whitney", "q286_acf_daily",
     "q263_unigram_heldout", "q265_unigram_fertility", "q271_water_fill", "q275_readability",
     "q228_winnow_pairs", "q22_semi_anti_join", "q230_kcenter", "q231_stream_drift",
     "q232_ra_link_prediction", "q233_pair_alignment", "q235_bpe_fertility", "q236_audio_utterances",

@@ -86,6 +86,22 @@ class OperatorsSpec extends SparkSpec {
     assert(again === got)
   }
 
+  test("katzFixed matches a hand-rolled fixed-point reference; partition-independent") {
+    val edges = Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 1L)).toDF("s", "d")
+    val got = Graph.katzFixed(edges, "s", "d", iters = 3, alphaDen = 2L,
+      scale = 1000L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val in = Map(1L -> Seq(2L, 3L), 2L -> Seq(1L), 3L -> Seq(2L))
+    var x = Map(1L -> 1000L, 2L -> 1000L, 3L -> 1000L)
+    for (_ <- 0 until 3)
+      x = x.keys.map(v => v -> (1000L + in(v).map(x).sum / 2L)).toMap
+    assert(got === x)
+    val again = Graph.katzFixed(edges.repartition(5), "s", "d", iters = 3,
+      alphaDen = 2L, scale = 1000L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(again === got)
+  }
+
   test("pageRankWeightedFixed matches a hand-rolled reference; uniform weights = unweighted") {
     val edges = Seq((1L, 2L, 10L), (2L, 1L, 30L), (2L, 3L, 10L), (3L, 1L, 5L))
       .toDF("s", "d", "w")
