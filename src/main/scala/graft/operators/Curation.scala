@@ -1866,6 +1866,61 @@ object Curation {
         (col("n_sensitive") >= lMin).as("diverse"))): _*)
   }
 
+  /** t-CLOSENESS audit (Li, Li & Venkatasubramanian 2007) — the third
+    * rung of the privacy ladder (k-anonymity bounds class SIZE,
+    * l-diversity bounds sensitive-value COUNT; t-closeness bounds the
+    * DISTANCE between each class's sensitive distribution and the
+    * global one, the defense against skewness/similarity attacks that
+    * survive both lower rungs). For an ORDERED sensitive attribute
+    * the distance is the ordered-EMD: with global values v_1<…<v_m,
+    * class distribution p and global q,
+    *   EMD = (1/(m−1)) · Σ_{i<m} |Σ_{j≤i} (p_j − q_j)|.
+    * Exact integral form: cum_i = cumC_i·N − cumG_i·n_c over the
+    * common denominator n_c·N, so
+    *   emd_fx = (Σ_i |cum_i| · 10^6) div ((m−1) · n_c · N)
+    * — all int64 (|cum| ≤ n_c·N; envelope m·N² ≲ 9·10^12·class_n⁻¹…
+    * in practice N ≤ ~3·10^6 clears it; audit per stratum or through
+    * DECIMAL past that).
+    *
+    * Scale shape: two partial-aggregated groupBys (cells, classes) —
+    * the only record-sized passes; the global value frame is
+    * sensitive-DOMAIN-bounded (its rank/cum window is the q153 kind);
+    * the dense class×value grid is a crossJoin against that BROADCAST
+    * domain frame — an audit table (QID-domain × value-domain), never
+    * record-sized — and the per-class cum window partitions by class
+    * with ≤ m rows each. Output one row per class:
+    * (qid…, class_n, m, emd_num, emd_fx, tclose = emd_fx ≤ tFx).
+    */
+  def tClosenessAudit(df: DataFrame, qidCols: Seq[String], sensCol: String,
+                      tFx: Long = 200000L): DataFrame = {
+    require(qidCols.nonEmpty, "need at least one quasi-identifier column")
+    val cells = df.groupBy((qidCols :+ sensCol).map(col): _*)
+      .agg(count(lit(1)).as("cc"))
+    val classes = cells.groupBy(qidCols.map(col): _*)
+      .agg(sum(col("cc")).cast("long").as("class_n"))
+    val g = cells.groupBy(col(sensCol)).agg(sum(col("cc")).cast("long").as("gc"))
+    val wv = Window.orderBy(asc(sensCol)).rowsBetween(Long.MinValue, 0L)
+    val gv = g.select(col(sensCol),
+      row_number().over(Window.orderBy(asc(sensCol))).cast("long").as("gi"),
+      sum(col("gc")).over(wv).as("cum_g"))
+    val tot = gv.groupBy().agg(max(col("gi")).as("m"), max(col("cum_g")).as("n_tot"))
+    val wc = Window.partitionBy(qidCols.map(col): _*).orderBy(asc("gi"))
+      .rowsBetween(Long.MinValue, 0L)
+    classes.crossJoin(broadcast(gv)).crossJoin(broadcast(tot))
+      .join(cells, qidCols :+ sensCol, "left_outer")
+      .withColumn("cum_c", sum(coalesce(col("cc"), lit(0L))).over(wc))
+      .withColumn("d", abs(col("cum_c") * col("n_tot") - col("cum_g") * col("class_n")))
+      .groupBy((qidCols.map(col) ++ Seq(col("class_n"), col("m"), col("n_tot"))): _*)
+      .agg(sum(col("d")).as("emd_num"))
+      .select((qidCols.map(col) ++ Seq(
+        col("class_n"), col("m"),
+        col("emd_num"),
+        when(col("m") > 1L,
+          expr("emd_num * 1000000L div ((m - 1) * class_n * n_tot)"))
+          .otherwise(lit(0L)).as("emd_fx"))): _*)
+      .withColumn("tclose", col("emd_fx") <= tFx)
+  }
+
   /** Water-filling budget allocation (the classic max-min fair
     * allocator, run here on token supplies): spread an integer budget
     * `B = floor(total · budgetNum / budgetDen)` across groups so that

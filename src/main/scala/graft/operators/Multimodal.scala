@@ -354,6 +354,51 @@ object Multimodal {
     }
   }
 
+  /** Per-video shot-boundary summary: frame grid size, cut count,
+    * first cut index, and the maximum inter-frame distance seen. */
+  case class ShotSummary(media_id: Long, n_frames: Long, n_cuts: Long,
+                         first_cut: Long, max_d: Long)
+
+  /** SHOT-BOUNDARY detection — the temporal-segmentation rung for the
+    * video modality (q220 explodes frames; this finds where scenes
+    * CHANGE): per frame a 16-bin byte histogram (high nibble b>>4 —
+    * the stand-in for a luma histogram; a real decoder drops into the
+    * same loop), a CUT between consecutive frames iff the L1
+    * histogram distance ≥ `threshold`. The classic histogram-
+    * difference detector (Zhang et al. 1993) on the stub frame grid
+    * (`chunk`-byte payload chunks as frames, q220's convention); the
+    * tail frame is shorter, so its histogram mass differs — a cut
+    * there is legitimate (content ended), not an artifact.
+    *
+    * The whole detector runs INSIDE the scan pass (map-only over the
+    * payload — frames of one video are consecutive local bytes, so
+    * no window/shuffle is ever needed): blobs never leave the scan,
+    * output is 5 int64s per video, exactly replayable cross-engine.
+    */
+  def shotBoundaries(media: Dataset[MediaRow], chunk: Int = 64,
+                     threshold: Long = 48L): Dataset[ShotSummary] = {
+    import media.sparkSession.implicits._
+    media.filter(_.media_type == "video").map { r =>
+      val frames = r.payload.grouped(chunk).toArray
+      val hists = frames.map { f =>
+        val h = new Array[Long](16)
+        var i = 0
+        while (i < f.length) { h((f(i) & 0xFF) >> 4) += 1; i += 1 }
+        h
+      }
+      var cuts = 0L; var firstCut = -1L; var maxD = 0L
+      var i = 0
+      while (i < hists.length - 1) {
+        var d = 0L; var j = 0
+        while (j < 16) { d += math.abs(hists(i)(j) - hists(i + 1)(j)); j += 1 }
+        if (d > maxD) maxD = d
+        if (d >= threshold) { cuts += 1; if (firstCut < 0) firstCut = i + 1 }
+        i += 1
+      }
+      ShotSummary(r.media_id, frames.length.toLong, cuts, firstCut, maxD)
+    }
+  }
+
   /** One fixed-width audio analysis window: exact integer energy
     * (sum of squared centered samples) so downstream gating (silence
     * trim, VAD-ish selection) is engine-portable. */

@@ -3004,7 +3004,97 @@ object Curation {
       |FROM cells GROUP BY 1, 2, 3
       |ORDER BY c_nationkey, c_mktsegment, bal_bucket""".stripMargin
 
+  // -------------------------------------------------------------------
+  // q289: t-CLOSENESS audit — the third privacy rung over q277's
+  // exact release frame (QID = nation × segment × balance-bucket,
+  // sensitive = order count, an ORDERED attribute): per class the
+  // ordered-EMD between the class's sensitive distribution and the
+  // global one, in the exact common-denominator integral form
+  // (cum_c·N − cum_g·n_c), fixed-point div ((m−1)·n_c·N). A class can
+  // be k-anonymous AND l-diverse yet leak through skew (all its
+  // customers order far more than the population) — this is the rung
+  // that catches it. Oracle: identical cells/classes/global-cum/grid
+  // CTE algebra in DuckDB, bit-for-bit.
+  // -------------------------------------------------------------------
+  def q289TCloseness(spark: SparkSession, dir: String): DataFrame = {
+    val cust = spark.read.parquet(s"$dir/customer.parquet")
+      .withColumn("bal_bucket",
+        floor(round(col("c_acctbal") * 100).cast("long") / lit(100000.0))
+          .cast("long"))
+    val ocnt = spark.read.parquet(s"$dir/orders.parquet")
+      .groupBy(col("o_custkey")).agg(count(lit(1)).as("n_orders"))
+    val rows = cust
+      .join(ocnt, cust("c_custkey") === ocnt("o_custkey"), "left")
+      .select(col("c_nationkey"), col("c_mktsegment"), col("bal_bucket"),
+        coalesce(col("n_orders"), lit(0L)).as("n_orders"))
+    C.tClosenessAudit(rows,
+        Seq("c_nationkey", "c_mktsegment", "bal_bucket"), "n_orders",
+        tFx = 200000L)
+      .orderBy(asc("c_nationkey"), asc("c_mktsegment"), asc("bal_bucket"))
+  }
+  val q289Sql: String =
+    raw"""WITH oc AS (
+      |  SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS n_orders
+      |  FROM orders GROUP BY 1
+      |), r AS (
+      |  SELECT c_nationkey, c_mktsegment,
+      |    CAST(FLOOR(CAST(ROUND(c_acctbal * 100) AS BIGINT) / 100000.0)
+      |      AS BIGINT) AS bal_bucket,
+      |    COALESCE(oc.n_orders, 0) AS n_orders
+      |  FROM customer LEFT JOIN oc ON o_custkey = c_custkey
+      |), cells AS (
+      |  SELECT c_nationkey, c_mktsegment, bal_bucket, n_orders,
+      |    CAST(COUNT(*) AS BIGINT) AS cc
+      |  FROM r GROUP BY 1, 2, 3, 4
+      |), classes AS (
+      |  SELECT c_nationkey, c_mktsegment, bal_bucket,
+      |    CAST(SUM(cc) AS BIGINT) AS class_n
+      |  FROM cells GROUP BY 1, 2, 3
+      |), g AS (
+      |  SELECT n_orders, CAST(SUM(cc) AS BIGINT) AS gc FROM cells GROUP BY 1
+      |), gv AS (
+      |  SELECT n_orders,
+      |    CAST(ROW_NUMBER() OVER (ORDER BY n_orders) AS BIGINT) AS gi,
+      |    CAST(SUM(gc) OVER (ORDER BY n_orders
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      |      AS cum_g
+      |  FROM g
+      |), tot AS (SELECT MAX(gi) AS m, MAX(cum_g) AS n_tot FROM gv
+      |), cum AS (
+      |  SELECT gr.c_nationkey, gr.c_mktsegment, gr.bal_bucket, gr.class_n,
+      |    gr.cum_g,
+      |    CAST(SUM(COALESCE(ce.cc, 0)) OVER (
+      |      PARTITION BY gr.c_nationkey, gr.c_mktsegment, gr.bal_bucket
+      |      ORDER BY gr.gi
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      |      AS cum_c
+      |  FROM (SELECT cl.*, gv.n_orders, gv.gi, gv.cum_g
+      |        FROM classes cl CROSS JOIN gv) gr
+      |  LEFT JOIN cells ce
+      |    ON ce.c_nationkey = gr.c_nationkey
+      |    AND ce.c_mktsegment = gr.c_mktsegment
+      |    AND ce.bal_bucket = gr.bal_bucket
+      |    AND ce.n_orders = gr.n_orders
+      |), agg AS (
+      |  SELECT c_nationkey, c_mktsegment, bal_bucket, class_n,
+      |    (SELECT m FROM tot) AS m,
+      |    CAST(SUM(ABS(cum_c * (SELECT n_tot FROM tot)
+      |      - cum_g * class_n)) AS BIGINT) AS emd_num,
+      |    (SELECT n_tot FROM tot) AS n_tot
+      |  FROM cum GROUP BY 1, 2, 3, 4
+      |)
+      |SELECT c_nationkey, c_mktsegment, bal_bucket, class_n, m, emd_num,
+      |  CASE WHEN m > 1
+      |    THEN (emd_num * 1000000) // ((m - 1) * class_n * n_tot)
+      |    ELSE 0 END AS emd_fx,
+      |  (CASE WHEN m > 1
+      |    THEN (emd_num * 1000000) // ((m - 1) * class_n * n_tot)
+      |    ELSE 0 END) <= 200000 AS tclose
+      |FROM agg
+      |ORDER BY c_nationkey, c_mktsegment, bal_bucket""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q289_t_closeness" -> (q289TCloseness _),
     "q277_l_diversity" -> (q277LDiversity _),
     "q270_k_anonymity" -> (q270KAnonymity _),
     "q271_water_fill" -> (q271WaterFill _),
@@ -3065,6 +3155,7 @@ object Curation {
 
   val oracle: Map[String, String] = Map(
     "q277_l_diversity" -> q277Sql,
+    "q289_t_closeness" -> q289Sql,
     "q270_k_anonymity" -> q270Sql,
     "q271_water_fill" -> q271Sql,
     "q274_wordpiece" -> q274Sql,

@@ -3304,6 +3304,70 @@ object Pipeline {
       |ORDER BY media_id, utt""".stripMargin
 
   // -------------------------------------------------------------------
+  // q287: VIDEO SHOT-BOUNDARY DETECTION — the temporal-segmentation
+  // rung for the video modality (q220 explodes the frame grid; this
+  // finds where scenes CHANGE): 16-bin high-nibble byte histograms
+  // per 64-byte stub frame, a cut between consecutive frames iff the
+  // L1 histogram distance ≥ 32 (measured ~12% of frame pairs on this
+  // corpus — a non-trivial mix, not all-cut or no-cut). The whole
+  // detector runs inside the scan pass (frames of one video are
+  // consecutive local bytes — no shuffle, no window). EXACT all-int64
+  // oracle: DuckDB rebuilds every byte via hex pairs, re-bins the
+  // dense (frame × 16-bin) grid, re-derives distances via LEAD per
+  // bin, and replays threshold/cut/first/max bit-for-bit.
+  // -------------------------------------------------------------------
+  def q287ShotBoundary(spark: SparkSession, dir: String): DataFrame =
+    Multimodal.shotBoundaries(Multimodal.mediaTable(spark, dir),
+        chunk = 64, threshold = 32L)
+      .toDF()
+      .orderBy(asc("media_id"))
+  val q287Sql: String =
+    """WITH a AS (
+      |  SELECT doc_id AS media_id, hex(encode(text)) AS hx,
+      |    CAST(octet_length(encode(text)) AS BIGINT) AS n
+      |  FROM documents WHERE doc_id % 3 = 2
+      |), b AS (
+      |  SELECT media_id, UNNEST(range(0, n)) AS p, hx FROM a
+      |), h AS (
+      |  SELECT media_id, p // 64 AS w,
+      |    CAST(('0x' || substring(hx, CAST(p*2+1 AS BIGINT), 2)) AS INTEGER)
+      |      // 16 AS bin
+      |  FROM b
+      |), hc AS (
+      |  SELECT media_id, w, bin, CAST(COUNT(*) AS BIGINT) AS c
+      |  FROM h GROUP BY 1, 2, 3
+      |), nf AS (
+      |  SELECT media_id, (n - 1) // 64 + 1 AS n_frames FROM a
+      |), grid AS (
+      |  SELECT media_id, w, bin
+      |  FROM (SELECT media_id, UNNEST(range(0, n_frames)) AS w FROM nf)
+      |  CROSS JOIN (SELECT UNNEST(range(0, 16)) AS bin)
+      |), gc AS (
+      |  SELECT g.media_id, g.w, g.bin, COALESCE(hc.c, 0) AS c
+      |  FROM grid g LEFT JOIN hc
+      |    ON hc.media_id = g.media_id AND hc.w = g.w AND hc.bin = g.bin
+      |), dd AS (
+      |  SELECT media_id, w, c,
+      |    LEAD(c) OVER (PARTITION BY media_id, bin ORDER BY w) AS c2
+      |  FROM gc
+      |), dist AS (
+      |  SELECT media_id, w, CAST(SUM(ABS(c - c2)) AS BIGINT) AS d
+      |  FROM dd WHERE c2 IS NOT NULL GROUP BY 1, 2
+      |), s AS (
+      |  SELECT media_id,
+      |    CAST(COUNT(*) FILTER (d >= 32) AS BIGINT) AS n_cuts,
+      |    MIN(w + 1) FILTER (d >= 32) AS first_cut,
+      |    MAX(d) AS max_d
+      |  FROM dist GROUP BY 1
+      |)
+      |SELECT nf.media_id, CAST(nf.n_frames AS BIGINT) AS n_frames,
+      |  COALESCE(s.n_cuts, 0) AS n_cuts,
+      |  CAST(COALESCE(s.first_cut, -1) AS BIGINT) AS first_cut,
+      |  CAST(COALESCE(s.max_d, 0) AS BIGINT) AS max_d
+      |FROM nf LEFT JOIN s USING (media_id)
+      |ORDER BY media_id""".stripMargin
+
+  // -------------------------------------------------------------------
   // q266: AUDIO FINGERPRINT MATCHING — the audio near-dup rung
   // (constellation landmarks, Wang 2003 adapted to the 1-D energy
   // grid): q222's window energies → strict local maxima (≥ 40000) →
@@ -5160,6 +5224,7 @@ object Pipeline {
     "q36_cosine_neardup" -> (q36CosineNearDup _),
     "q218_semantic_decontam" -> (q218SemanticDecontam _),
     "q220_frame_sample" -> (q220FrameSample _),
+    "q287_shot_boundary" -> (q287ShotBoundary _),
     "q221_modularity" -> (q221Modularity _),
     "q272_louvain_move" -> (q272LouvainMove _),
     "q273_walk_pmi" -> (q273WalkPmi _),
@@ -5265,6 +5330,7 @@ object Pipeline {
     "q36_cosine_neardup" -> q36Sql,
     "q218_semantic_decontam" -> q218Sql,
     "q220_frame_sample" -> q220Sql,
+    "q287_shot_boundary" -> q287Sql,
     "q221_modularity" -> q221Sql,
     "q272_louvain_move" -> q272Sql,
     "q273_walk_pmi" -> q273Sql,

@@ -634,7 +634,99 @@ object Scalars {
       |  UNION ALL SELECT l_returnflag, 'disc', disc FROM w
       |) ORDER BY l_returnflag, metric""".stripMargin
 
+  // -------------------------------------------------------------------
+  // q288: ZONE-MAP PRUNING AUDIT — quantifies what a clustering key is
+  // WORTH before paying for the rewrite (the planning twin of q84's
+  // z-order and LayoutSpec's candidateFiles file-stat assertion, as an
+  // oracle-gated table): simulate per-block [min, max] custkey zone
+  // maps under two layouts — natural ingest order (blocks keyed by
+  // o_orderkey div 4096) and custkey-range clustering (blocks keyed by
+  // o_custkey div 64) — and for 16 equal-width custkey range
+  // predicates that tile the domain, count the blocks a footer-stats
+  // reader must scan in each. Scale shape: predicate assignment is
+  // map-side integer arithmetic against the broadcast 1-row domain
+  // frame (each row belongs to exactly ONE tile — no 16× fan-out);
+  // block stats are two partial-aggregated groupBys; the
+  // overlap joins run on the METADATA-sized block-stat frames against
+  // the bounded predicate frame. All-int64, exact oracle.
+  // -------------------------------------------------------------------
+  def q288ZoneMap(spark: SparkSession, dir: String): DataFrame = {
+    val o = spark.read.parquet(s"$dir/orders.parquet")
+      .select(col("o_orderkey"), col("o_custkey"))
+    val dom = o.groupBy().agg(min(col("o_custkey")).as("lo0"),
+      max(col("o_custkey")).as("hi0"))
+    val preds = dom
+      .select(explode(sequence(lit(0L), lit(15L))).as("p"), col("lo0"), col("hi0"))
+      .select(col("p"),
+        expr("lo0 + ((hi0 - lo0 + 1) * p) div 16").as("lo"),
+        expr("lo0 + ((hi0 - lo0 + 1) * (p + 1)) div 16 - 1").as("hi"))
+    val rowsM = o.crossJoin(broadcast(dom))
+      .select(expr("((o_custkey - lo0) * 16) div (hi0 - lo0 + 1)").as("p"))
+      .groupBy(col("p")).agg(count(lit(1)).as("rows_match"))
+    def blockStats(blkExpr: String) = o
+      .groupBy(expr(blkExpr).as("blk"))
+      .agg(min(col("o_custkey")).as("mn"), max(col("o_custkey")).as("mx"))
+    def scanned(stats: DataFrame, outCol: String) = stats
+      .crossJoin(broadcast(preds))
+      .filter(col("mx") >= col("lo") && col("mn") <= col("hi"))
+      .groupBy(col("p")).agg(count(lit(1)).as(outCol))
+    val nat = blockStats("o_orderkey div 4096")
+    val clu = blockStats("o_custkey div 64")
+    val tots = nat.groupBy().agg(count(lit(1)).as("tot_nat"))
+      .crossJoin(clu.groupBy().agg(count(lit(1)).as("tot_clu")))
+    preds
+      .join(rowsM, Seq("p"), "left_outer")
+      .join(scanned(nat, "blk_nat"), Seq("p"), "left_outer")
+      .join(scanned(clu, "blk_clu"), Seq("p"), "left_outer")
+      .crossJoin(broadcast(tots))
+      .select(col("p"), col("lo"), col("hi"),
+        coalesce(col("rows_match"), lit(0L)).as("rows_match"),
+        coalesce(col("blk_nat"), lit(0L)).as("blk_nat"), col("tot_nat"),
+        coalesce(col("blk_clu"), lit(0L)).as("blk_clu"), col("tot_clu"))
+      .orderBy(asc("p"))
+  }
+  val q288Sql: String =
+    """WITH dom AS (
+      |  SELECT MIN(o_custkey) AS lo0, MAX(o_custkey) AS hi0 FROM orders
+      |), preds AS (
+      |  SELECT CAST(p AS BIGINT) AS p,
+      |    lo0 + ((hi0 - lo0 + 1) * p) // 16 AS lo,
+      |    lo0 + ((hi0 - lo0 + 1) * (p + 1)) // 16 - 1 AS hi
+      |  FROM dom, (SELECT UNNEST(range(0, 16)) AS p)
+      |), rm AS (
+      |  SELECT ((o_custkey - (SELECT lo0 FROM dom)) * 16)
+      |      // ((SELECT hi0 FROM dom) - (SELECT lo0 FROM dom) + 1) AS p,
+      |    CAST(COUNT(*) AS BIGINT) AS rows_match
+      |  FROM orders GROUP BY 1
+      |), nat AS (
+      |  SELECT o_orderkey // 4096 AS blk,
+      |    MIN(o_custkey) AS mn, MAX(o_custkey) AS mx
+      |  FROM orders GROUP BY 1
+      |), clu AS (
+      |  SELECT o_custkey // 64 AS blk,
+      |    MIN(o_custkey) AS mn, MAX(o_custkey) AS mx
+      |  FROM orders GROUP BY 1
+      |), sn AS (
+      |  SELECT p, CAST(COUNT(*) AS BIGINT) AS blk_nat
+      |  FROM nat JOIN preds ON mx >= lo AND mn <= hi GROUP BY 1
+      |), sc AS (
+      |  SELECT p, CAST(COUNT(*) AS BIGINT) AS blk_clu
+      |  FROM clu JOIN preds ON mx >= lo AND mn <= hi GROUP BY 1
+      |)
+      |SELECT preds.p, preds.lo, preds.hi,
+      |  COALESCE(rm.rows_match, 0) AS rows_match,
+      |  COALESCE(sn.blk_nat, 0) AS blk_nat,
+      |  (SELECT COUNT(*) FROM nat) AS tot_nat,
+      |  COALESCE(sc.blk_clu, 0) AS blk_clu,
+      |  (SELECT COUNT(*) FROM clu) AS tot_clu
+      |FROM preds
+      |LEFT JOIN rm USING (p)
+      |LEFT JOIN sn USING (p)
+      |LEFT JOIN sc USING (p)
+      |ORDER BY p""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q288_zone_map" -> (q288ZoneMap _),
     "q279_skew_audit" -> (q279SkewAudit _),
     "q157_unpivot" -> (q157Unpivot _),
     "q156_compaction" -> (q156Compaction _),
@@ -656,6 +748,7 @@ object Scalars {
     "q48_session_window" -> (q48SessionWindow _))
 
   val oracle: Map[String, String] = Map(
+    "q288_zone_map" -> q288Sql,
     "q279_skew_audit" -> q279Sql,
     "q157_unpivot" -> q157Sql,
     "q156_compaction" -> q156Sql,

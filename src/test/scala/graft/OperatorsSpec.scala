@@ -86,6 +86,35 @@ class OperatorsSpec extends SparkSpec {
     assert(again === got)
   }
 
+  test("shotBoundaries: cut where the byte histogram jumps, none where it doesn't") {
+    // 3 frames of 4 bytes: f0 = all 0x10s, f1 = all 0x10s (d=0),
+    // f2 = all 0xF0s (d = 4+4 = 8). threshold 8 → exactly one cut at
+    // frame index 2; max_d = 8.
+    val payload = Array.fill(8)(0x10.toByte) ++ Array.fill(4)(0xF0.toByte)
+    val media = Seq(
+      Multimodal.MediaRow(1L, "video", payload, 0, 0, 0),
+      Multimodal.MediaRow(2L, "image", payload, 0, 0, 0)). // filtered out
+      toDS()
+    val got = Multimodal.shotBoundaries(media, chunk = 4, threshold = 8L)
+      .collect()
+    assert(got.length === 1)
+    assert(got.head === Multimodal.ShotSummary(1L, 3L, 1L, 2L, 8L))
+  }
+
+  test("tClosenessAudit: hand-computed ordered-EMD on a two-class fixture") {
+    // class A: sens [1,1,2]; class B: [2,3,3,3]. Global 1:2, 2:2, 3:3
+    // (N=7, m=3). Both classes: emd_num = 17;
+    // A: 17e6 div (2·3·7) = 404761, B: 17e6 div (2·4·7) = 303571.
+    val df = Seq(("A", 1L), ("A", 1L), ("A", 2L),
+      ("B", 2L), ("B", 3L), ("B", 3L), ("B", 3L)).toDF("q", "s")
+    val got = Curation.tClosenessAudit(df, Seq("q"), "s", tFx = 350000L)
+      .orderBy(col("q")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getBoolean(5)))
+    assert(got(0) === (("A", 3L, 3L, 17L, 404761L, false)))
+    assert(got(1) === (("B", 4L, 3L, 17L, 303571L, true)))
+  }
+
   test("katzFixed matches a hand-rolled fixed-point reference; partition-independent") {
     val edges = Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 1L)).toDF("s", "d")
     val got = Graph.katzFixed(edges, "s", "d", iters = 3, alphaDen = 2L,
