@@ -3093,8 +3093,133 @@ object Curation {
       |FROM agg
       |ORDER BY c_nationkey, c_mktsegment, bal_bucket""".stripMargin
 
+  // -------------------------------------------------------------------
+  // q291: GINI DECISION STUMP — the single CART split step (Breiman
+  // 1984) as a curation primitive: the best n_chars threshold
+  // separating English from non-English documents, i.e. "how much of
+  // a quality/language filter is ONE feature worth?" — the baseline
+  // every learned filter must beat, and the feature-importance probe
+  // for rule-based curation. For every candidate threshold (distinct
+  // value, split x ≤ v) the weighted child purity
+  // h = ΣcL²/nL + ΣcR²/nR — maximizing h minimizes Gini impurity —
+  // from exact int64 cumulative class counts over the value-domain
+  // window (q153 discipline); the two divisions and the sum run in
+  // double (exact operands < 2^53, identical op order both engines),
+  // pinned as floor(h·1e6) with threshold-asc tiebreak. Top-5 splits.
+  // -------------------------------------------------------------------
+  def q291GiniStump(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+      .select(col("n_chars").as("v"),
+        (col("lang") === "en").cast("long").as("y"))
+    val vc = d.groupBy(col("v"))
+      .agg(count(lit(1)).as("cn"), sum(col("y")).as("cy"))
+    val w = Window.orderBy(asc("v")).rowsBetween(Long.MinValue, 0L)
+    val tot = d.groupBy().agg(count(lit(1)).as("n"), sum(col("y")).as("ny"))
+    val cum = vc
+      .select(col("v"), sum(col("cn")).over(w).as("nl"),
+        sum(col("cy")).over(w).as("yl"))
+      .crossJoin(broadcast(tot))
+      .filter(col("nl") < col("n")) // nR = 0 is not a split
+      .select(col("v").as("threshold"), col("nl"), col("yl"),
+        (col("n") - col("nl")).as("nr"), (col("ny") - col("yl")).as("yr"))
+      .withColumn("score_fx", floor(
+        ((col("yl") * col("yl") + (col("nl") - col("yl")) * (col("nl") - col("yl")))
+          .cast("double") / col("nl").cast("double")
+          + (col("yr") * col("yr") + (col("nr") - col("yr")) * (col("nr") - col("yr")))
+          .cast("double") / col("nr").cast("double")) * 1e6).cast("long"))
+    val w2 = Window.orderBy(desc("score_fx"), asc("threshold"))
+    cum.withColumn("rank", row_number().over(w2).cast("long"))
+      .filter(col("rank") <= 5)
+      .select(col("rank"), col("threshold"), col("nl"), col("yl"),
+        col("nr"), col("yr"), col("score_fx"))
+      .orderBy(asc("rank"))
+  }
+  val q291Sql: String =
+    """WITH d AS (
+      |  SELECT n_chars AS v,
+      |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+      |  FROM documents
+      |), vc AS (
+      |  SELECT v, CAST(COUNT(*) AS BIGINT) AS cn,
+      |    CAST(SUM(y) AS BIGINT) AS cy
+      |  FROM d GROUP BY 1
+      |), tot AS (
+      |  SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(y) AS BIGINT) AS ny
+      |  FROM d
+      |), cum AS (
+      |  SELECT v AS threshold,
+      |    CAST(SUM(cn) OVER (ORDER BY v
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS nl,
+      |    CAST(SUM(cy) OVER (ORDER BY v
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS yl
+      |  FROM vc
+      |), sp AS (
+      |  SELECT threshold, nl, yl,
+      |    (SELECT n FROM tot) - nl AS nr, (SELECT ny FROM tot) - yl AS yr
+      |  FROM cum WHERE nl < (SELECT n FROM tot)
+      |), scored AS (
+      |  SELECT threshold, nl, yl, nr, yr,
+      |    CAST(FLOOR((CAST(yl * yl + (nl - yl) * (nl - yl) AS DOUBLE)
+      |        / CAST(nl AS DOUBLE)
+      |      + CAST(yr * yr + (nr - yr) * (nr - yr) AS DOUBLE)
+      |        / CAST(nr AS DOUBLE)) * 1000000) AS BIGINT) AS score_fx
+      |  FROM sp
+      |)
+      |SELECT CAST(ROW_NUMBER() OVER (ORDER BY score_fx DESC, threshold)
+      |    AS BIGINT) AS rank,
+      |  threshold, nl, yl, nr, yr, score_fx
+      |FROM scored
+      |ORDER BY score_fx DESC, threshold LIMIT 5""".stripMargin
+
+  // -------------------------------------------------------------------
+  // q292: TOKEN BURSTINESS — Church & Gale's dispersion audit: for the
+  // 64 highest-volume tokens, the variance-to-mean ratio of per-doc
+  // counts (zeros included). Content words are BURSTY (a doc that
+  // mentions them mentions them repeatedly, D ≫ 1) while function
+  // words are near-Poisson (D ≈ 1) — a top token with function-word
+  // volume but content-word burstiness is the signature of template/
+  // boilerplate contamination that plain frequency tables (q26/q66)
+  // cannot see. Exact integral form over all-docs moments (zero rows
+  // contribute nothing to S or Σx², so per-(doc, token) counts
+  // suffice): D_fx = ((n·Σx² − S²)·10^6) div (n·S) — int64 envelope
+  // n·Σx²·10^6 ≲ 9·10^18 (clears sf0.1 by ~10^4; per-shard strata or
+  // DECIMAL past that).
+  // -------------------------------------------------------------------
+  def q292Burstiness(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    val dt = d.select(col("doc_id"), explode(TA.tokens(col("text"))).as("t"))
+      .filter(col("t") =!= "")
+      .groupBy(col("doc_id"), col("t")).agg(count(lit(1)).as("x"))
+    val tok = dt.groupBy(col("t"))
+      .agg(sum(col("x")).as("total"), sum(col("x") * col("x")).as("sxx"),
+        count(lit(1)).as("df"))
+    val n = d.groupBy().agg(count(lit(1)).as("n"))
+    tok.crossJoin(broadcast(n))
+      .withColumn("d_fx",
+        expr("((n * sxx - total * total) * 1000000L) div (n * total)"))
+      .select(col("t"), col("df"), col("total"), col("d_fx"))
+      .orderBy(desc("total"), asc("t")).limit(64)
+  }
+  val q292Sql: String =
+    raw"""WITH dt AS (
+      |  SELECT doc_id, tok AS t, CAST(COUNT(*) AS BIGINT) AS x
+      |  FROM (SELECT doc_id, UNNEST($toksSql) AS tok FROM documents)
+      |  WHERE tok != '' GROUP BY 1, 2
+      |), tok AS (
+      |  SELECT t, CAST(SUM(x) AS BIGINT) AS total,
+      |    CAST(SUM(x * x) AS BIGINT) AS sxx,
+      |    CAST(COUNT(*) AS BIGINT) AS df
+      |  FROM dt GROUP BY 1
+      |), n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents)
+      |SELECT t, df, total,
+      |  (((SELECT n FROM n) * sxx - total * total) * 1000000)
+      |    // ((SELECT n FROM n) * total) AS d_fx
+      |FROM tok ORDER BY total DESC, t LIMIT 64""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q289_t_closeness" -> (q289TCloseness _),
+    "q291_gini_stump" -> (q291GiniStump _),
+    "q292_burstiness" -> (q292Burstiness _),
     "q277_l_diversity" -> (q277LDiversity _),
     "q270_k_anonymity" -> (q270KAnonymity _),
     "q271_water_fill" -> (q271WaterFill _),
@@ -3156,6 +3281,8 @@ object Curation {
   val oracle: Map[String, String] = Map(
     "q277_l_diversity" -> q277Sql,
     "q289_t_closeness" -> q289Sql,
+    "q291_gini_stump" -> q291Sql,
+    "q292_burstiness" -> q292Sql,
     "q270_k_anonymity" -> q270Sql,
     "q271_water_fill" -> q271Sql,
     "q274_wordpiece" -> q274Sql,

@@ -1235,6 +1235,64 @@ object Pipeline {
       |ORDER BY query_id, rank""".stripMargin
 
   // -------------------------------------------------------------------
+  // q290: HUBNESS AUDIT — the k-occurrence (reverse-kNN in-degree)
+  // histogram of the embedding space (Radovanović et al. 2010): in
+  // high dimensions a few points become "hubs" that appear in
+  // everyone's top-k while antihubs appear in nobody's, which skews
+  // kNN-based dedup/retrieval/label-propagation long before recall
+  // metrics show it. Exact top-10 per point within the deterministic
+  // vec_id % 4 = 0 measurement subset (the ANN-gate design: a
+  // measurement term, not a scale path — full-corpus hubness at
+  // 100 TB runs on the q234 NN-descent graph instead), pre-floored
+  // fixed-point dots (floor(x·1e6): products ≤1e12, 64-term sums
+  // ≤6.4e13 ≪ 2^53 — the q268 argument, so the codegen'd VecDot
+  // double accumulation is exact), ties by cand_id. Output: in-degree
+  // → point count histogram, zero-degree antihubs included.
+  // -------------------------------------------------------------------
+  def q290Hubness(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.VectorFunctions.vec_dot
+    import org.apache.spark.sql.expressions.Window
+    // interpreted HOF: one map-only pass per vector, off the per-pair
+    // hot path (q119/q268 precedent); floored values are exact in double
+    val fl = emb(spark, dir).filter(pmod(col("vec_id"), lit(4)) === 0)
+      .select(col("vec_id"),
+        transform(col("embedding"),
+          x => floor(x.cast("double") * lit(1e6)).cast("double")).as("v"))
+    val q = fl.select(col("vec_id").as("qid"), col("v").as("qv"))
+    val scored = fl.join(broadcast(q), col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id").as("cid"),
+        vec_dot(col("qv"), col("v")).as("dot"))
+    val w = Window.partitionBy(col("qid")).orderBy(desc("dot"), asc("cid"))
+    val ind = scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 10)
+      .groupBy(col("cid")).agg(count(lit(1)).as("ideg"))
+    fl.select(col("vec_id").as("cid")).join(ind, Seq("cid"), "left_outer")
+      .select(coalesce(col("ideg"), lit(0L)).as("indeg"))
+      .groupBy(col("indeg")).agg(count(lit(1)).as("n_points"))
+      .orderBy(asc("indeg"))
+  }
+  val q290Sql: String =
+    """WITH fl AS (
+      |  SELECT vec_id, list_transform(embedding,
+      |    x -> FLOOR(CAST(x AS DOUBLE) * 1000000)) AS v
+      |  FROM embeddings WHERE vec_id % 4 = 0
+      |), scored AS (
+      |  SELECT a.vec_id AS qid, b.vec_id AS cid,
+      |    ROW_NUMBER() OVER (PARTITION BY a.vec_id
+      |      ORDER BY list_sum(list_transform(list_zip(a.v, b.v),
+      |        p -> p[1] * p[2])) DESC, b.vec_id) AS rank
+      |  FROM fl a JOIN fl b ON a.vec_id != b.vec_id
+      |), ind AS (
+      |  SELECT cid, CAST(COUNT(*) AS BIGINT) AS ideg
+      |  FROM scored WHERE rank <= 10 GROUP BY 1
+      |), pts AS (
+      |  SELECT COALESCE(ind.ideg, 0) AS indeg
+      |  FROM fl LEFT JOIN ind ON ind.cid = fl.vec_id
+      |)
+      |SELECT indeg, CAST(COUNT(*) AS BIGINT) AS n_points
+      |FROM pts GROUP BY 1 ORDER BY indeg""".stripMargin
+
+  // -------------------------------------------------------------------
   // q268: MATRYOSHKA / DIMENSION-TRUNCATION RECALL — the dimension-
   // ablation table an embedding-storage decision reads (Kusupati et
   // al. 2022: if the first k dims retain recall, store/serve k dims
@@ -5225,6 +5283,7 @@ object Pipeline {
     "q218_semantic_decontam" -> (q218SemanticDecontam _),
     "q220_frame_sample" -> (q220FrameSample _),
     "q287_shot_boundary" -> (q287ShotBoundary _),
+    "q290_hubness" -> (q290Hubness _),
     "q221_modularity" -> (q221Modularity _),
     "q272_louvain_move" -> (q272LouvainMove _),
     "q273_walk_pmi" -> (q273WalkPmi _),
@@ -5331,6 +5390,7 @@ object Pipeline {
     "q218_semantic_decontam" -> q218Sql,
     "q220_frame_sample" -> q220Sql,
     "q287_shot_boundary" -> q287Sql,
+    "q290_hubness" -> q290Sql,
     "q221_modularity" -> q221Sql,
     "q272_louvain_move" -> q272Sql,
     "q273_walk_pmi" -> q273Sql,
