@@ -322,7 +322,84 @@ object Sampling {
        |    // n_toks AS epochs_fx
        |FROM w CROSS JOIN t ORDER BY source""".stripMargin
 
+  // -------------------------------------------------------------------
+  // q295: MULTIPLICATIVE-WEIGHTS MIXTURE (the DoReMi-shaped update,
+  // Xie et al. 2023, under this repo's exact-replay contract) — the
+  // third mixture-design primitive next to q244 (temperature RESCALES)
+  // and q271 (water-filling CAPS): iteratively UPWEIGHT the domains
+  // whose difficulty signal exceeds the current-mixture mean.
+  // Difficulty here is the repetition proxy 1 − TTR per source (the
+  // deterministic stand-in for per-domain excess loss; a per-round
+  // re-evaluated signal swaps into the same update). Three rounds of
+  //   mean_t = Σ p·d div Σ p
+  //   p      ← p · (10^6 + d − mean_t) div 10^6,  then Σp-renormalize
+  // — every operand positive (|d − mean| < 10^6), every step integral.
+  // Scale shape: ONE corpus scan (the (source, token) distinct +
+  // count aggregates); the update iterates on the collected
+  // source-level table — a model-sized collect (#sources rows): the
+  // MIXTURE is the model, exactly like q165's 64×64 eigensolve.
+  // Oracle: three unrolled rounds in SQL over the same stats CTE.
+  // -------------------------------------------------------------------
+  def q295MwMixture(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val tok = docs(spark, dir)
+      .select(col("source"), explode(split(trim(col("text")), "\\s+")).as("t"))
+      .filter(col("t") =!= "")
+    val stats = tok.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_toks"), countDistinct(col("t")).as("n_types"))
+      .withColumn("d_fx", expr("1000000L - (n_types * 1000000L div n_toks)"))
+    // model-sized collect: #sources rows — the mixture IS the model
+    val m = stats.select(col("source"), col("d_fx")).collect()
+      .map(r => (r.getString(0), r.getLong(1))).sortBy(_._1)
+    var p = m.map(_ => 1000000L / m.length)
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Long, String, Long, Long)]
+    for (round <- 1 to 3) {
+      val sp = p.sum
+      val mean = m.indices.map(i => p(i) * m(i)._2).sum / sp
+      val pn0 = m.indices.map(i => p(i) * (1000000L + m(i)._2 - mean) / 1000000L)
+      val s2 = pn0.sum
+      p = pn0.map(x => x * 1000000L / s2).toArray
+      out ++= m.indices.map(i => (round.toLong, m(i)._1, m(i)._2, p(i)))
+    }
+    out.toSeq.toDF("round", "source", "d_fx", "p_fx")
+      .orderBy(asc("round"), asc("source"))
+  }
+  val q295Sql: String = {
+    def roundSql(i: Int): String = {
+      val prev = s"p${i - 1}"
+      s"""m$i AS (SELECT CAST(SUM(p * d) AS BIGINT) // CAST(SUM(p) AS BIGINT)
+        |  AS mean FROM $prev),
+        |q$i AS (SELECT source, d,
+        |  p * (1000000 + d - (SELECT mean FROM m$i)) // 1000000 AS p
+        |  FROM $prev),
+        |p$i AS (SELECT source, d,
+        |  p * 1000000 // (SELECT CAST(SUM(p) AS BIGINT) FROM q$i) AS p
+        |  FROM q$i)""".stripMargin
+    }
+    raw"""WITH tok AS (
+      |  SELECT source, tok AS t
+      |  FROM (SELECT source, UNNEST($toksSql) AS tok FROM documents)
+      |  WHERE tok != ''
+      |), st AS (
+      |  SELECT source,
+      |    1000000 - (COUNT(DISTINCT t) * 1000000 // COUNT(*)) AS d
+      |  FROM tok GROUP BY 1
+      |), p0 AS (
+      |  SELECT source, d,
+      |    1000000 // (SELECT COUNT(*) FROM st) AS p
+      |  FROM st
+      |),
+      |""".stripMargin +
+      (1 to 3).map(roundSql).mkString(",\n") + "\n" +
+      (1 to 3).map(i =>
+        s"""SELECT CAST($i AS BIGINT) AS round, source,
+          |  CAST(d AS BIGINT) AS d_fx, CAST(p AS BIGINT) AS p_fx
+          |FROM p$i""".stripMargin).mkString("\nUNION ALL\n") +
+      "\nORDER BY round, source"
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q295_mw_mixture" -> (q295MwMixture _),
     "q243_rendezvous_shard" -> (q243RendezvousShard _),
     "q244_temperature_mix" -> (q244TemperatureMix _),
     "q69_stratified_sample" -> (q69StratifiedSample _),
@@ -333,6 +410,7 @@ object Sampling {
     "q128_priority_sample" -> (q128PrioritySample _))
 
   val oracle: Map[String, String] = Map(
+    "q295_mw_mixture" -> q295Sql,
     "q243_rendezvous_shard" -> q243Sql,
     "q244_temperature_mix" -> q244Sql,
     "q69_stratified_sample" -> q69Sql,

@@ -1280,7 +1280,115 @@ object Stats {
       |      AS BIGINT) END AS acf_fx
       |FROM u ORDER BY lag""".stripMargin
 
+  // -------------------------------------------------------------------
+  // q293: THEIL-SEN robust trend of the daily event volume — the
+  // median of all pairwise slopes (Sen 1968), the robust-stats
+  // sibling of q136/q174 applied to the time axis: one outlier day
+  // drags an OLS slope arbitrarily but moves the pairwise-slope
+  // median not at all (29.3% breakdown). ONE data-sized pass (the
+  // daily count aggregate); the all-pairs slope frame is
+  // date-DOMAIN-bounded (~n_days²/2 rows — metadata, PlanLint-
+  // allowlisted build side) and the median picks by row_number over
+  // (slope, dt, dy) — slopes are correctly-rounded doubles of exact
+  // int64 dy/dt, and rows tied on the full sort key emit identical
+  // output columns, so the pick is engine-independent. floor() in
+  // double because slopes can be negative (div-truncation vs floor).
+  // -------------------------------------------------------------------
+  def q293TheilSen(spark: SparkSession, dir: String): DataFrame = {
+    val daily = graft.sources.Events.ev(spark, dir)
+      .select(expr("unix_micros(ts) div 86400000000").as("day"))
+      .groupBy(col("day")).agg(count(lit(1)).as("x"))
+    val pairs = daily.select(col("day").as("d1"), col("x").as("x1"))
+      .join(daily.select(col("day").as("d2"), col("x").as("x2")),
+        col("d2") > col("d1"))
+      .select((col("x2") - col("x1")).as("dy"), (col("d2") - col("d1")).as("dt"))
+      .withColumn("sl", col("dy").cast("double") / col("dt").cast("double"))
+    val cnt = pairs.groupBy().agg(count(lit(1)).as("n_pairs"))
+    val nd = daily.groupBy().agg(count(lit(1)).as("n_days"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(asc("sl"), asc("dt"), asc("dy"))
+    pairs.crossJoin(broadcast(cnt))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") === expr("(n_pairs + 1) div 2"))
+      .crossJoin(broadcast(nd))
+      .select(col("n_days"), col("n_pairs"), col("dy").as("med_dy"),
+        col("dt").as("med_dt"),
+        floor(col("sl") * 1e6).cast("long").as("slope_fx"))
+  }
+  val q293Sql: String =
+    """WITH daily AS (
+      |  SELECT epoch_us(ts) // 86400000000 AS day, CAST(COUNT(*) AS BIGINT) AS x
+      |  FROM events GROUP BY 1
+      |), pairs AS (
+      |  SELECT b.x - a.x AS dy, b.day - a.day AS dt,
+      |    CAST(b.x - a.x AS DOUBLE) / CAST(b.day - a.day AS DOUBLE) AS sl
+      |  FROM daily a JOIN daily b ON b.day > a.day
+      |), cnt AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs FROM pairs
+      |), sel AS (
+      |  SELECT dy, dt, sl, ROW_NUMBER() OVER (ORDER BY sl, dt, dy) AS rn
+      |  FROM pairs
+      |)
+      |SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM daily) AS n_days,
+      |  (SELECT n_pairs FROM cnt) AS n_pairs,
+      |  dy AS med_dy, dt AS med_dt,
+      |  CAST(FLOOR(sl * 1000000) AS BIGINT) AS slope_fx
+      |FROM sel WHERE rn = ((SELECT n_pairs FROM cnt) + 1) // 2""".stripMargin
+
+  // -------------------------------------------------------------------
+  // q294: BENFORD FIRST-DIGIT AUDIT over order totals — the classic
+  // fabricated-data detector: organically-grown monetary values
+  // follow P(d) = log10(1 + 1/d); synthetic/templated/clamped values
+  // don't. Money goes through the exact cents convention (rule 1),
+  // the first digit via string head of the integer dollars, and the
+  // Benford reference probabilities are HARDCODED fixed-point
+  // literals on BOTH sides (floor(log10(1+1/d)·1e6) — no libm trust
+  // needed for 9 constants). One partial-agged digit count; the
+  // 9-row reference frame is literal.
+  // -------------------------------------------------------------------
+  private val benfordFx =
+    Seq(301029L, 176091L, 124938L, 96910L, 79181L, 66946L, 57991L, 51152L, 45757L)
+  def q294Benford(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val digits = spark.read.parquet(s"$dir/orders.parquet")
+      .select(substring(
+        expr("CAST(ROUND(o_totalprice * 100) AS BIGINT) div 100")
+          .cast("string"), 1, 1).cast("long").as("digit"))
+    val cnts = digits.groupBy(col("digit")).agg(count(lit(1)).as("cnt"))
+    val tot = digits.groupBy().agg(count(lit(1)).as("n"))
+    val bf = benfordFx.zipWithIndex
+      .map { case (fx, i) => (i + 1L, fx) }.toDF("digit", "benford_fx")
+    bf.join(cnts, Seq("digit"), "left_outer")
+      .crossJoin(broadcast(tot))
+      .select(col("digit"), coalesce(col("cnt"), lit(0L)).as("cnt"),
+        expr("coalesce(cnt, 0L) * 1000000L div n").as("share_fx"),
+        col("benford_fx"))
+      .withColumn("dev_fx", abs(col("share_fx") - col("benford_fx")))
+      .orderBy(asc("digit"))
+  }
+  val q294Sql: String = {
+    val bfRows = benfordFx.zipWithIndex
+      .map { case (fx, i) => s"(${i + 1}, $fx)" }.mkString(", ")
+    s"""WITH d AS (
+      |  SELECT CAST(substring(CAST(CAST(ROUND(o_totalprice * 100) AS BIGINT)
+      |    // 100 AS VARCHAR), 1, 1) AS BIGINT) AS digit
+      |  FROM orders
+      |), c AS (
+      |  SELECT digit, CAST(COUNT(*) AS BIGINT) AS cnt FROM d GROUP BY 1
+      |), n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM d
+      |), bf(digit, benford_fx) AS (VALUES $bfRows)
+      |SELECT CAST(bf.digit AS BIGINT) AS digit,
+      |  COALESCE(c.cnt, 0) AS cnt,
+      |  COALESCE(c.cnt, 0) * 1000000 // (SELECT n FROM n) AS share_fx,
+      |  CAST(bf.benford_fx AS BIGINT) AS benford_fx,
+      |  ABS(COALESCE(c.cnt, 0) * 1000000 // (SELECT n FROM n)
+      |    - bf.benford_fx) AS dev_fx
+      |FROM bf LEFT JOIN c ON c.digit = bf.digit
+      |ORDER BY digit""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q293_theil_sen" -> (q293TheilSen _),
+    "q294_benford" -> (q294Benford _),
     "q284_mann_whitney" -> (q284MannWhitney _),
     "q285_spearman" -> (q285Spearman _),
     "q286_acf_daily" -> (q286AcfDaily _),
@@ -1306,6 +1414,8 @@ object Stats {
     "q106_histogram" -> (q106Histogram _))
 
   val oracle: Map[String, String] = Map(
+    "q293_theil_sen" -> q293Sql,
+    "q294_benford" -> q294Sql,
     "q284_mann_whitney" -> q284Sql,
     "q285_spearman" -> q285Sql,
     "q286_acf_daily" -> q286Sql,

@@ -184,7 +184,8 @@ object Explain {
     "q213_bpe_merges", "q216_bpe_vocab", "q274_wordpiece", "q21_rollup", "q227_winnow",
     "q281_wordpiece_heldout", "q282_wordpiece_fertility",
     "q283_katz", "q284_mann_whitney", "q286_acf_daily", "q287_shot_boundary",
-    "q291_gini_stump", "q292_burstiness",
+    "q291_gini_stump", "q292_burstiness", "q293_theil_sen", "q294_benford",
+    "q295_mw_mixture",
     "q263_unigram_heldout", "q265_unigram_fertility", "q271_water_fill", "q275_readability",
     "q228_winnow_pairs", "q22_semi_anti_join", "q230_kcenter", "q231_stream_drift",
     "q232_ra_link_prediction", "q233_pair_alignment", "q235_bpe_fertility", "q236_audio_utterances",
