@@ -343,6 +343,49 @@ object Dedup {
         df => df.localCheckpoint(true)
     }
 
+  /** INCREMENTAL connected components — fold a DELTA edge batch into a
+    * standing labeling without rescanning the standing EDGE set (the
+    * q95/q257/q226 incremental discipline at the graph rung): map the
+    * delta's endpoints through the standing (id → cluster) table
+    * (unseen nodes label themselves), run CC over the COMPONENT-level
+    * graph those mapped edges induce — delta-sized, not graph-sized —
+    * and broadcast the merge map back over the label table. Labels
+    * stay the component-min node id: a standing label is the min of
+    * its old component, the merged label is the min of the merged
+    * label set, so the result is bit-identical to full CC over
+    * standing ∪ delta (one recursive-closure oracle gates both paths).
+    *
+    * Scale: history contributes ONLY its label table (id, long) — two
+    * hash joins against the delta and one relabel join; the iterative
+    * part touches the delta-connected components alone. The standing
+    * labeling is recomputed here from `standing` so the gate is
+    * self-contained; production passes the PERSISTED labels instead
+    * (`baseLabels`).
+    */
+  def incrementalConnectedComponents(standing: DataFrame, delta: DataFrame,
+      aCol: String, bCol: String,
+      baseLabels: Option[DataFrame] = None): DataFrame = {
+    val base = baseLabels.getOrElse(connectedComponents(standing, aCol, bCol))
+      .localCheckpoint(true) // two consumers below; also truncates CC lineage
+    val d = delta.select(col(aCol).cast("long").as("a"),
+      col(bCol).cast("long").as("b"))
+    val mapped = d
+      .join(base.select(col("id").as("a"), col("cluster").as("ca")), Seq("a"), "left_outer")
+      .join(base.select(col("id").as("b"), col("cluster").as("cb")), Seq("b"), "left_outer")
+      .select(coalesce(col("ca"), col("a")).as("ca"),
+        coalesce(col("cb"), col("b")).as("cb"))
+    val merged = connectedComponents(
+      mapped.filter(col("ca") =!= col("cb")), "ca", "cb")
+      .select(col("id").as("cluster"), col("cluster").as("mc"))
+    val newNodes = d.select(col("a").as("id")).union(d.select(col("b").as("id")))
+      .distinct()
+      .join(base.select(col("id")), Seq("id"), "left_anti")
+      .select(col("id"), col("id").as("cluster"))
+    base.union(newNodes)
+      .join(merged, Seq("cluster"), "left_outer")
+      .select(col("id"), coalesce(col("mc"), col("cluster")).as("cluster"))
+  }
+
   /** Connected components via alternating large-star / small-star
     * rounds (the MapReduce CC algorithm of Kiveris et al., "Connected
     * Components in MapReduce and Beyond", SoCC'14) — converges in

@@ -1293,6 +1293,72 @@ object Pipeline {
       |FROM pts GROUP BY 1 ORDER BY indeg""".stripMargin
 
   // -------------------------------------------------------------------
+  // q297: CONFORMAL OOD GATE — split-conformal novelty detection over
+  // embeddings (Vovk et al.; the distribution-free acceptance gate an
+  // ingest pipeline puts in front of a curated corpus): score = NN
+  // similarity to the REFERENCE corpus (vec_id % 2 = 0); the
+  // CALIBRATION split (% 4 = 1) sets q̂ = the ⌈(n+1)(1−α)⌉-th largest
+  // calibration NN-dot (α = 0.1, so ≤ ~10% of in-distribution items
+  // flag by construction — the conformal guarantee); incoming items
+  // (% 4 = 3) flag iff their NN-dot < q̂. Exact: pre-floored
+  // fixed-point dots (q268's argument), deterministic rank pick
+  // (ties by point id — tied rows emit the same q̂), pmod-bounded
+  // pair joins (PlanLint structural). At 100 TB the reference side
+  // feeds an ANN index (q52/q179); brute force here is the
+  // measurement baseline, and the conformal algebra is index-agnostic.
+  // -------------------------------------------------------------------
+  def q297ConformalOod(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.VectorFunctions.vec_dot
+    import org.apache.spark.sql.expressions.Window
+    val fl = emb(spark, dir).select(col("vec_id"),
+      transform(col("embedding"),
+        x => floor(x.cast("double") * lit(1e6)).cast("double")).as("v"))
+    val ref = fl.filter(pmod(col("vec_id"), lit(2)) === 0)
+      .select(col("vec_id").as("rid"), col("v").as("rv"))
+    def nn(points: DataFrame): DataFrame = points
+      .join(broadcast(ref))
+      .select(col("vec_id"), vec_dot(col("v"), col("rv")).as("dot"))
+      .groupBy(col("vec_id")).agg(max(col("dot")).as("nn"))
+    val cal = nn(fl.filter(pmod(col("vec_id"), lit(4)) === 1))
+    val n = cal.groupBy().agg(count(lit(1)).as("n"))
+    val w = Window.orderBy(desc("nn"), asc("vec_id"))
+    val qhat = cal.crossJoin(broadcast(n))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") === expr("((n + 1) * 9 + 9) div 10"))
+      .select(col("nn").as("qhat"))
+    nn(fl.filter(pmod(col("vec_id"), lit(4)) === 3))
+      .crossJoin(broadcast(qhat))
+      .select(col("vec_id"), col("nn").cast("long").as("nn_dot_q"),
+        (col("nn") < col("qhat")).as("flagged"))
+      .orderBy(asc("vec_id"))
+  }
+  val q297Sql: String =
+    """WITH fl AS (
+      |  SELECT vec_id, list_transform(embedding,
+      |    x -> FLOOR(CAST(x AS DOUBLE) * 1000000)) AS v
+      |  FROM embeddings
+      |), ref AS (SELECT vec_id AS rid, v AS rv FROM fl WHERE vec_id % 2 = 0
+      |), caln AS (
+      |  SELECT c.vec_id, MAX(list_sum(list_transform(list_zip(c.v, r.rv),
+      |    p -> p[1] * p[2]))) AS nn
+      |  FROM fl c JOIN ref r ON c.vec_id % 4 = 1 GROUP BY 1
+      |), k AS (
+      |  SELECT ((CAST(COUNT(*) AS BIGINT) + 1) * 9 + 9) // 10 AS k FROM caln
+      |), qh AS (
+      |  SELECT nn AS qhat FROM (
+      |    SELECT nn, ROW_NUMBER() OVER (ORDER BY nn DESC, vec_id) AS rn
+      |    FROM caln)
+      |  WHERE rn = (SELECT k FROM k)
+      |), testn AS (
+      |  SELECT t.vec_id, MAX(list_sum(list_transform(list_zip(t.v, r.rv),
+      |    p -> p[1] * p[2]))) AS nn
+      |  FROM fl t JOIN ref r ON t.vec_id % 4 = 3 GROUP BY 1
+      |)
+      |SELECT vec_id, CAST(nn AS BIGINT) AS nn_dot_q,
+      |  nn < (SELECT qhat FROM qh) AS flagged
+      |FROM testn ORDER BY vec_id""".stripMargin
+
+  // -------------------------------------------------------------------
   // q268: MATRYOSHKA / DIMENSION-TRUNCATION RECALL — the dimension-
   // ablation table an embedding-storage decision reads (Kusupati et
   // al. 2022: if the first k dims retain recall, store/serve k dims
@@ -3749,6 +3815,28 @@ object Pipeline {
       |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin
 
   // -------------------------------------------------------------------
+  // q296: INCREMENTAL connected components — q55's clustering under
+  // the incremental contract (q95/q257/q226's at the graph rung):
+  // the deterministic pair set splits into a STANDING batch
+  // ((id_a + id_b) % 5 ≠ 0) and a DELTA ((…) = 0); the delta folds in
+  // through the standing label table + a CC over the delta-touched
+  // COMPONENT graph only — the standing edge set is never rescanned.
+  // Labels are component-min node ids on both paths, so the output is
+  // bit-identical to full CC over all pairs and q55's recursive-
+  // closure oracle gates this query UNCHANGED (a third algorithm
+  // under the same oracle, after min-label q55 and star-contraction
+  // q82).
+  // -------------------------------------------------------------------
+  def q296IncrementalCc(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = boundedExactPairs(spark, dir)
+    val standing = pairs.filter((col("id_a") + col("id_b")) % 5 =!= 0)
+    val delta = pairs.filter((col("id_a") + col("id_b")) % 5 === 0)
+    Dedup.incrementalConnectedComponents(standing, delta, "id_a", "id_b")
+      .select(col("id").as("doc_id"), col("cluster"))
+      .orderBy(asc("doc_id"))
+  }
+
+  // -------------------------------------------------------------------
   // q180: CLUSTER-AWARE leakage-safe split — the composition that makes
   // q59's hash split actually leakage-safe in the presence of
   // near-duplicates: splitting per-doc can land two near-identical
@@ -5284,6 +5372,8 @@ object Pipeline {
     "q220_frame_sample" -> (q220FrameSample _),
     "q287_shot_boundary" -> (q287ShotBoundary _),
     "q290_hubness" -> (q290Hubness _),
+    "q296_incremental_cc" -> (q296IncrementalCc _),
+    "q297_conformal_ood" -> (q297ConformalOod _),
     "q221_modularity" -> (q221Modularity _),
     "q272_louvain_move" -> (q272LouvainMove _),
     "q273_walk_pmi" -> (q273WalkPmi _),
@@ -5391,6 +5481,8 @@ object Pipeline {
     "q220_frame_sample" -> q220Sql,
     "q287_shot_boundary" -> q287Sql,
     "q290_hubness" -> q290Sql,
+    "q296_incremental_cc" -> q55Sql,
+    "q297_conformal_ood" -> q297Sql,
     "q221_modularity" -> q221Sql,
     "q272_louvain_move" -> q272Sql,
     "q273_walk_pmi" -> q273Sql,

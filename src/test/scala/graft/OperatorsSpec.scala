@@ -115,6 +115,20 @@ class OperatorsSpec extends SparkSpec {
     assert(got(1) === (("B", 4L, 3L, 17L, 303571L, true)))
   }
 
+  test("incrementalConnectedComponents ≡ full CC: merge, new node, no-op delta edge") {
+    // standing: {1-2} {5-6} {8-9}; delta merges (2,5), adds new node
+    // 3 via (3,9), and (1,2) is a no-op intra-component edge
+    val standing = Seq((1L, 2L), (5L, 6L), (8L, 9L)).toDF("a", "b")
+    val delta = Seq((2L, 5L), (3L, 9L), (1L, 2L)).toDF("a", "b")
+    val got = Dedup.incrementalConnectedComponents(standing, delta, "a", "b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val full = Dedup.connectedComponents(standing.union(delta), "a", "b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === full)
+    assert(got === Map(1L -> 1L, 2L -> 1L, 5L -> 1L, 6L -> 1L,
+      3L -> 3L, 8L -> 3L, 9L -> 3L))
+  }
+
   test("katzFixed matches a hand-rolled fixed-point reference; partition-independent") {
     val edges = Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 1L)).toDF("s", "d")
     val got = Graph.katzFixed(edges, "s", "d", iters = 3, alphaDen = 2L,
