@@ -1386,7 +1386,120 @@ object Stats {
       |ORDER BY digit""".stripMargin
   }
 
+  // -------------------------------------------------------------------
+  // q298: PER-TYPE OLS TREND of daily event volume — the classical
+  // least-squares slope next to q293's robust Theil-Sen (report both:
+  // when they disagree, outlier days are moving OLS). Closed form
+  // from exact int64 moment sums (n·Σdx − Σd·Σx over n·Σd² − (Σd)²;
+  // the rule-1 moment-sum discipline — never a streaming corr), the
+  // one division in double since num can be negative. ONE data-sized
+  // (type, day) aggregate; the fold is type-count-sized.
+  // -------------------------------------------------------------------
+  def q298OlsTrend(spark: SparkSession, dir: String): DataFrame = {
+    val daily = graft.sources.Events.ev(spark, dir)
+      .select(col("event_type"), expr("unix_micros(ts) div 86400000000").as("d"))
+      .groupBy(col("event_type"), col("d")).agg(count(lit(1)).as("x"))
+    daily.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_days"),
+        sum(col("d")).as("sd"), sum(col("x")).as("sx"),
+        sum(col("d") * col("d")).as("sdd"), sum(col("d") * col("x")).as("sdx"))
+      .select(col("event_type"), col("n_days"),
+        (col("n_days") * col("sdx") - col("sd") * col("sx")).as("num"),
+        (col("n_days") * col("sdd") - col("sd") * col("sd")).as("den"))
+      .withColumn("slope_fx", when(col("den") > 0,
+        floor(col("num").cast("double") / col("den").cast("double") * 1e6)
+          .cast("long")))
+      .orderBy(asc("event_type"))
+  }
+  val q298Sql: String =
+    """WITH daily AS (
+      |  SELECT event_type, epoch_us(ts) // 86400000000 AS d,
+      |    CAST(COUNT(*) AS BIGINT) AS x
+      |  FROM events GROUP BY 1, 2
+      |), m AS (
+      |  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_days,
+      |    CAST(SUM(d) AS BIGINT) AS sd, CAST(SUM(x) AS BIGINT) AS sx,
+      |    CAST(SUM(d * d) AS BIGINT) AS sdd,
+      |    CAST(SUM(d * x) AS BIGINT) AS sdx
+      |  FROM daily GROUP BY 1
+      |)
+      |SELECT event_type, n_days,
+      |  n_days * sdx - sd * sx AS num,
+      |  n_days * sdd - sd * sd AS den,
+      |  CASE WHEN n_days * sdd - sd * sd > 0 THEN
+      |    CAST(FLOOR(CAST(n_days * sdx - sd * sx AS DOUBLE)
+      |      / CAST(n_days * sdd - sd * sd AS DOUBLE) * 1000000) AS BIGINT)
+      |  END AS slope_fx
+      |FROM m ORDER BY event_type""".stripMargin
+
+  // -------------------------------------------------------------------
+  // q299: ε-DIFFERENTIALLY-PRIVATE COUNT RELEASE — the MECHANISM rung
+  // of the privacy family (q270/q277/q289 are audits; this releases):
+  // daily event counts + two-sided geometric ("discrete Laplace")
+  // noise at ε = 1, sensitivity 1 (one event moves one day's count by
+  // 1). The sampler is an integer inverse-CDF: u = mix32(portable
+  // hash(day)) is 32-bit uniform, and the noise value is picked by
+  // comparing u against HARDCODED cumulative thresholds
+  // floor(2^32·CDF) (π(k) ∝ e^{−|k|}, outcomes interleaved
+  // 0, +1, −1, …, ±16, tail clamped to +17 at P ≈ 6·10^−8) — the
+  // q294 Benford trick: reference constants as exact literals on both
+  // sides, zero libm trust, zero floats anywhere. Deterministic noise
+  // is REPLAYABLE noise (the gate's requirement); production swaps
+  // the hash for a secret-keyed PRF, the algebra is unchanged.
+  // -------------------------------------------------------------------
+  private val dpOuts: Seq[Long] =
+    0L +: (1 to 16).flatMap(k => Seq(k.toLong, -k.toLong))
+  private val dpThs: Seq[Long] = Seq(
+    1984778077L, 2714937127L, 3445096177L, 3713706680L, 3982317183L,
+    4081133465L, 4179949747L, 4216302225L, 4252654704L, 4266028033L,
+    4279401363L, 4284321136L, 4289240909L, 4291050792L, 4292860676L,
+    4293526494L, 4294192313L, 4294437254L, 4294682196L, 4294772304L,
+    4294862413L, 4294895562L, 4294928711L, 4294940906L, 4294953101L,
+    4294957587L, 4294962074L, 4294963724L, 4294965375L, 4294965982L,
+    4294966589L, 4294966812L, 4294967036L)
+  private val dpSeed = 77L
+  def q299DpRelease(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.{Curation => C, Sampling => S}
+    val daily = graft.sources.Events.ev(spark, dir)
+      .select(expr("unix_micros(ts) div 86400000000").as("day"))
+      .groupBy(col("day")).agg(count(lit(1)).as("n_true"))
+    val u = S.mix32(C.portableHash(col("day"), dpSeed))
+    val noise = dpThs.zip(dpOuts).foldRight(lit(17L)) {
+      case ((th, out), acc) => when(u < lit(th), lit(out)).otherwise(acc)
+    }
+    daily.withColumn("noise", noise)
+      .select(col("day"), col("noise"),
+        (col("n_true") + col("noise")).as("n_noisy"))
+      .orderBy(asc("day"))
+  }
+  val q299Sql: String = {
+    val caseChain = dpThs.zip(dpOuts)
+      .map { case (th, out) => s"WHEN v < $th THEN $out" }
+      .mkString("\n      |    ")
+    s"""WITH daily AS (
+      |  SELECT epoch_us(ts) // 86400000000 AS day,
+      |    CAST(COUNT(*) AS BIGINT) AS n_true
+      |  FROM events GROUP BY 1
+      |), h0 AS (SELECT day, n_true,
+      |  ${graft.operators.Curation.portableHashSql("day", dpSeed)} AS v FROM daily
+      |), h1 AS (SELECT day, n_true, xor(v, v >> 16) AS v FROM h0
+      |), h2 AS (SELECT day, n_true, (v * 69069 + 12345) % 4294967296 AS v FROM h1
+      |), h3 AS (SELECT day, n_true, xor(v, v >> 13) AS v FROM h2
+      |), h4 AS (SELECT day, n_true, (v * 99991 + 1) % 4294967296 AS v FROM h3
+      |), h5 AS (SELECT day, n_true, xor(v, v >> 16) AS v FROM h4
+      |), n AS (
+      |  SELECT day, n_true, CAST(CASE
+      |    $caseChain
+      |    ELSE 17 END AS BIGINT) AS noise
+      |  FROM h5
+      |)
+      |SELECT day, noise, n_true + noise AS n_noisy
+      |FROM n ORDER BY day""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q298_ols_trend" -> (q298OlsTrend _),
+    "q299_dp_release" -> (q299DpRelease _),
     "q293_theil_sen" -> (q293TheilSen _),
     "q294_benford" -> (q294Benford _),
     "q284_mann_whitney" -> (q284MannWhitney _),
@@ -1414,6 +1527,8 @@ object Stats {
     "q106_histogram" -> (q106Histogram _))
 
   val oracle: Map[String, String] = Map(
+    "q298_ols_trend" -> q298Sql,
+    "q299_dp_release" -> q299Sql,
     "q293_theil_sen" -> q293Sql,
     "q294_benford" -> q294Sql,
     "q284_mann_whitney" -> q284Sql,

@@ -186,7 +186,7 @@ object Explain {
     "q281_wordpiece_heldout", "q282_wordpiece_fertility",
     "q283_katz", "q284_mann_whitney", "q286_acf_daily", "q287_shot_boundary",
     "q291_gini_stump", "q292_burstiness", "q293_theil_sen", "q294_benford",
-    "q295_mw_mixture", "q297_conformal_ood",
+    "q295_mw_mixture", "q297_conformal_ood", "q298_ols_trend", "q299_dp_release",
     "q263_unigram_heldout", "q265_unigram_fertility", "q271_water_fill", "q275_readability",
     "q228_winnow_pairs", "q22_semi_anti_join", "q230_kcenter", "q231_stream_drift",
     "q232_ra_link_prediction", "q233_pair_alignment", "q235_bpe_fertility", "q236_audio_utterances",

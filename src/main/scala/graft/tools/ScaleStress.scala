@@ -447,6 +447,71 @@ object ScaleStress {
     // user ids)
     timed(s"streaming quota (q253 shape, $factor x events)")(
       graft.streaming.EventStreams.streamingQuota(spark, evPath).count())
+
+    // round-10 phases: the new surface at ×N.
+    // Katz rides the same dense hashed graph as LPA/weighted-pagerank:
+    // per round one edges⋈x join + one partial-agged groupBy(dst) —
+    // pageRank's cost curve minus the degree frame. The 1k planted
+    // hubs bound d_max ≈ total/1024 per the graph construction; the
+    // default alphaDen=1000 clears the int64 envelope documented on
+    // the operator through 100× (d_max·x_max ≈ 5·10^8 ≪ 2^63).
+    timed(s"katz centrality (3 iters, ${edgesPerV * total} edges)")(
+      graft.operators.Graph.katzFixed(denseEdges, "src", "dst", iters = 3)
+        .agg(count(lit(1)).as("n"), expr("bit_xor(katz_fx)"))
+        .collect()(0).getLong(0))
+    // incremental CC: history contributes ONLY its label table — the
+    // iterative part must track the DELTA-touched components, not the
+    // graph, so this line's growth must follow the standing-CC line
+    // above (the base labeling it recomputes), never exceed it.
+    timed("incremental CC (standing 4/5 + delta 1/5 of LSH pairs)") {
+      val keep = graft.operators.Dedup.exact(docs, "doc_id", "text")
+        .select(col("keep_id").as("doc_id"))
+      val pairs = graft.operators.Dedup
+        .minhashLshPairs(docs.join(keep, "doc_id"), "doc_id", "text", 3, 32, 8, 0.5)
+        .select(col("id_a"), col("id_b")).localCheckpoint(true)
+      graft.operators.Dedup.incrementalConnectedComponents(
+        pairs.filter((col("id_a") + col("id_b")) % 5 =!= 0),
+        pairs.filter((col("id_a") + col("id_b")) % 5 === 0),
+        "id_a", "id_b").count()
+    }
+    // shot boundaries: the whole detector runs inside the scan pass —
+    // cost must track payload bytes like the frame-explode line.
+    locally {
+      import spark.implicits._
+      val media = docs.select(col("doc_id").as("media_id"),
+          element_at(array(lit("image"), lit("audio"), lit("video")),
+            (pmod(col("doc_id"), lit(3)) + 1).cast("int")).as("media_type"),
+          encode(col("text"), "UTF-8").as("payload"),
+          lit(0).as("width"), lit(0).as("height"), lit(0).as("sample_rate"))
+        .as[graft.operators.Multimodal.MediaRow]
+      timed(s"shot boundaries (~${total / 3} videos, map-only)")(
+        graft.operators.Multimodal.shotBoundaries(media, 64, 32L).toDF()
+          .agg(count(lit(1)).as("n"), expr("bit_xor(max_d * n_frames)"))
+          .collect()(0).getLong(0))
+    }
+    // t-closeness: two record-sized partial-agg groupBys; the grid is
+    // (QID domain × sensitive domain) — must stay flat as records grow.
+    timed(s"t-closeness audit ($total records, QID=source×len-bucket)")(
+      graft.operators.Curation.tClosenessAudit(
+        docs.select(col("source"),
+          (length(col("text")) / lit(256)).cast("long").as("len_b"),
+          (size(graft.operators.TextAnalysis.tokens(col("text"))) / lit(8))
+            .cast("long").as("sv")),
+        Seq("source", "len_b"), "sv")
+        .agg(count(lit(1)).as("n"), expr("bit_xor(emd_fx)"))
+        .collect()(0).getLong(0))
+    // burstiness: one explode + two partial-agg groupBys + TakeOrdered.
+    timed(s"token burstiness ($total docs, top-64)") {
+      val dt = docs.select(col("doc_id"),
+          explode(graft.operators.TextAnalysis.tokens(col("text"))).as("t"))
+        .filter(col("t") =!= "")
+        .groupBy(col("doc_id"), col("t")).agg(count(lit(1)).as("x"))
+      dt.groupBy(col("t"))
+        .agg(sum(col("x")).as("total"), sum(col("x") * col("x")).as("sxx"))
+        .orderBy(desc("total"), asc("t")).limit(64)
+        .agg(count(lit(1)).as("n"), expr("bit_xor(sxx)"))
+        .collect()(0).getLong(0)
+    }
     spark.stop()
   }
 }
