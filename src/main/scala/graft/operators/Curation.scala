@@ -1866,6 +1866,60 @@ object Curation {
         (col("n_sensitive") >= lMin).as("diverse"))): _*)
   }
 
+  /** PAIRWISE Jensen-Shannon divergence between strata token
+    * distributions — the source-REDUNDANCY matrix a mixture designer
+    * reads next to [[unigramKlFp]]'s source-vs-corpus column: two
+    * sources with near-zero JSD are interchangeable (dedup the feeds,
+    * don't double-weight them); a high-JSD pair adds genuine
+    * diversity. Same replay conventions as unigramKlFp: top-`vocabN`
+    * vocabulary + one OOV bucket, add-one smoothing (every p, q > 0 —
+    * no zero branches), per-term floor(10^9·½·p·ln(2p/(p+q))) then an
+    * EXACT integer sum (never a float sum — term order must not
+    * matter), identical operand order in the SQL twin. JSD is
+    * symmetric and bounded by ln 2, so jsd_fp ∈ [0, ~6.93·10^8].
+    *
+    * Scale shape: one corpus-sized token explode feeds the same
+    * partial-agged (s, b) counts as unigramKlFp; everything pairwise
+    * runs on the (strata × strata × buckets) grid — domain-sized
+    * (#s²·(vocabN+1)/2 rows), an audit table, never corpus-sized.
+    */
+  def pairwiseJsdFp(df: DataFrame, strataCol: String, textCol: String,
+                    vocabN: Int): DataFrame = {
+    val toks = df
+      .select(col(strataCol).as("s"), explode(TA.tokens(col(textCol))).as("tok"))
+      .filter(col("tok") =!= "")
+    val vocab = toks.groupBy(col("tok")).agg(count(lit(1)).as("n"))
+      .orderBy(desc("n"), asc("tok")).limit(vocabN)
+      .select(col("tok"), lit(true).as("in_vocab"))
+    val bucketed = toks.join(broadcast(vocab), Seq("tok"), "left_outer")
+      .select(col("s"),
+        when(col("in_vocab"), col("tok")).otherwise(lit(" OOV ")).as("b"))
+    val sb = bucketed.groupBy(col("s"), col("b")).agg(count(lit(1)).as("c_sb"))
+    val cb = sb.groupBy(col("b")).agg(count(lit(1)).as("_u")).select(col("b"))
+    val ns = sb.groupBy(col("s")).agg(sum(col("c_sb")).as("n_s"))
+    val nb = cb.agg(count(lit(1)).as("n_b"))
+    val pairs = ns.select(col("s").as("sa"), col("n_s").as("na"))
+      .crossJoin(broadcast(ns.select(col("s").as("sb"), col("n_s").as("nb"))))
+      .filter(col("sa") < col("sb"))
+    val grid = pairs.crossJoin(broadcast(cb.crossJoin(broadcast(nb))))
+      .join(sb.select(col("s").as("sa"), col("b"), col("c_sb").as("ca")),
+        Seq("sa", "b"), "left_outer")
+      .join(sb.select(col("s").as("sb"), col("b"), col("c_sb").as("cbn")),
+        Seq("sb", "b"), "left_outer")
+    val p = (coalesce(col("ca"), lit(0L)) + 1).cast("double") /
+      (col("na") + col("n_b")).cast("double")
+    val q = (coalesce(col("cbn"), lit(0L)) + 1).cast("double") /
+      (col("nb") + col("n_b")).cast("double")
+    val termA = floor((lit(500000000.0) * p) * log((p + p) / (p + q))).cast("long")
+    val termB = floor((lit(500000000.0) * q) * log((q + q) / (p + q))).cast("long")
+    grid.select(col("sa"), col("sb"), col("na"), col("nb"),
+        (termA + termB).as("t"))
+      .groupBy(col("sa"), col("sb"), col("na"), col("nb"))
+      .agg(sum(col("t")).as("jsd_fp"))
+      .select(col("sa").as("src_a"), col("sb").as("src_b"),
+        col("na").as("n_a"), col("nb").as("n_b"), col("jsd_fp"))
+  }
+
   /** t-CLOSENESS audit (Li, Li & Venkatasubramanian 2007) — the third
     * rung of the privacy ladder (k-anonymity bounds class SIZE,
     * l-diversity bounds sensitive-value COUNT; t-closeness bounds the

@@ -835,7 +835,99 @@ object Analytics {
       |  MAX(CASE WHEN rk = 1 THEN ratio_fx END) AS peak_ratio_fx
       |FROM f GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  // -------------------------------------------------------------------
+  // q300: BINARY-SEGMENTATION CHANGEPOINTS (depth 2) — the multi-
+  // changepoint extension of q178's single CUSUM argmax (Scott &
+  // Knott's recursion): split the daily-volume series at the max
+  // |m·cum − t·total| point, then split each half again — three
+  // segments' worth of structure instead of one breakpoint. Every
+  // quantity is exact int64 (the q178 deviation algebra, segment-
+  // relative); argmax tie-breaks on day asc via the rank window.
+  // Scale shape: ONE data-sized (day) count aggregate; all windows
+  // partition by segment over the date-domain-bounded daily frame.
+  // The recursion depth is a literal (2), so the oracle unrolls it.
+  // -------------------------------------------------------------------
+  def q300BinarySeg(spark: SparkSession, dir: String): DataFrame = {
+    val daily = graft.sources.Events.ev(spark, dir)
+      .select(expr("unix_micros(ts) div 86400000000").as("day"))
+      .groupBy(col("day")).agg(count(lit(1)).as("x"))
+      .localCheckpoint(true) // tiny; two levels re-read it
+    def splits(df: DataFrame): DataFrame = {
+      val wOrd = Window.partitionBy(col("seg")).orderBy(asc("day"))
+      val wAll = Window.partitionBy(col("seg"))
+      df.withColumn("t", row_number().over(wOrd).cast("long"))
+        .withColumn("cum", sum(col("x")).over(wOrd))
+        .withColumn("m", count(lit(1)).over(wAll))
+        .withColumn("total", sum(col("x")).over(wAll))
+        .withColumn("lo", min(col("day")).over(wAll))
+        .withColumn("hi", max(col("day")).over(wAll))
+        .filter(col("t") < col("m")) // a split is strictly interior
+        .withColumn("dabs", abs(col("m") * col("cum") - col("t") * col("total")))
+        .withColumn("rk", row_number().over(
+          Window.partitionBy(col("seg")).orderBy(desc("dabs"), asc("day"))))
+        .filter(col("rk") === 1)
+        .select(col("seg"), col("lo").as("lo_day"), col("hi").as("hi_day"),
+          col("m").as("n_days"), col("day").as("split_day"),
+          col("dabs").as("d_max"))
+    }
+    val s0 = splits(daily.withColumn("seg", lit(0L)))
+    val l1 = daily.crossJoin(broadcast(s0.select(col("split_day").as("s0"))))
+      .withColumn("seg", when(col("day") <= col("s0"), lit(1L)).otherwise(lit(2L)))
+      .select(col("day"), col("x"), col("seg"))
+    s0.withColumn("level", lit(0L))
+      .union(splits(l1).withColumn("level", lit(1L)))
+      .select(col("level"), col("seg"), col("lo_day"), col("hi_day"),
+        col("n_days"), col("split_day"), col("d_max"))
+      .orderBy(asc("level"), asc("seg"))
+  }
+  val q300Sql: String = {
+    def segSql(src: String, out: String): String =
+      s"""$out AS (
+        |  SELECT seg, lo_day, hi_day, n_days, day AS split_day, dabs AS d_max
+        |  FROM (
+        |    SELECT seg, day, m AS n_days, lo AS lo_day, hi AS hi_day,
+        |      ABS(m * cum - t * total) AS dabs,
+        |      ROW_NUMBER() OVER (PARTITION BY seg
+        |        ORDER BY ABS(m * cum - t * total) DESC, day) AS rk
+        |    FROM (
+        |      SELECT seg, day, x,
+        |        ROW_NUMBER() OVER (PARTITION BY seg ORDER BY day) AS t,
+        |        SUM(x) OVER (PARTITION BY seg ORDER BY day
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |        COUNT(*) OVER (PARTITION BY seg) AS m,
+        |        SUM(x) OVER (PARTITION BY seg) AS total,
+        |        MIN(day) OVER (PARTITION BY seg) AS lo,
+        |        MAX(day) OVER (PARTITION BY seg) AS hi
+        |      FROM $src)
+        |    WHERE t < m)
+        |  WHERE rk = 1)""".stripMargin
+    """WITH daily AS (
+      |  SELECT epoch_us(ts) // 86400000000 AS day,
+      |    CAST(COUNT(*) AS BIGINT) AS x
+      |  FROM events GROUP BY 1
+      |), l0 AS (SELECT day, x, 0 AS seg FROM daily),
+      |""".stripMargin +
+      segSql("l0", "s0") + ",\n" +
+      """l1 AS (
+      |  SELECT day, x,
+      |    CASE WHEN day <= (SELECT split_day FROM s0) THEN 1 ELSE 2 END AS seg
+      |  FROM daily
+      |),
+      |""".stripMargin +
+      segSql("l1", "s1") + "\n" +
+      """SELECT CAST(0 AS BIGINT) AS level, CAST(seg AS BIGINT) AS seg,
+      |  lo_day, hi_day, CAST(n_days AS BIGINT) AS n_days, split_day,
+      |  CAST(d_max AS BIGINT) AS d_max
+      |FROM s0
+      |UNION ALL
+      |SELECT 1, CAST(seg AS BIGINT), lo_day, hi_day, CAST(n_days AS BIGINT),
+      |  split_day, CAST(d_max AS BIGINT)
+      |FROM s1
+      |ORDER BY level, seg""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q300_binary_seg" -> (q300BinarySeg _),
     "q188_seasonal_anomaly" -> (q188SeasonalAnomaly _),
     "q178_cusum_changepoint" -> (q178CusumChangepoint _),
     "q162_volume_corr" -> (q162VolumeCorr _),
@@ -864,6 +956,7 @@ object Analytics {
     "q24_json_extract" -> (q24Json _))
 
   val oracle: Map[String, String] = Map(
+    "q300_binary_seg" -> q300Sql,
     "q188_seasonal_anomaly" -> q188Sql,
     "q178_cusum_changepoint" -> q178Sql,
     "q162_volume_corr" -> q162Sql,

@@ -3216,7 +3216,61 @@ object Curation {
       |    // ((SELECT n FROM n) * total) AS d_fx
       |FROM tok ORDER BY total DESC, t LIMIT 64""".stripMargin
 
+  // -------------------------------------------------------------------
+  // q301: PAIRWISE SOURCE JSD MATRIX — the source-redundancy map next
+  // to q245's source-vs-corpus KL column: near-zero JSD pairs are
+  // interchangeable feeds (dedup, don't double-weight); high-JSD pairs
+  // add genuine diversity. q245's replay conventions throughout
+  // (top-64 vocab + OOV, add-one smoothing so no zero branches,
+  // per-term floor(1e9·½·p·ln(2p/(p+q))) then exact integer sum,
+  // identical operand order both engines).
+  // -------------------------------------------------------------------
+  def q301SourceJsd(spark: SparkSession, dir: String): DataFrame =
+    C.pairwiseJsdFp(docs(spark, dir), "source", "text", vocabN = 64)
+      .orderBy(asc("src_a"), asc("src_b"))
+  val q301Sql: String =
+    raw"""WITH toks AS (
+      |  SELECT s, tok FROM (
+      |    SELECT source AS s, UNNEST($toksSql) AS tok FROM documents)
+      |  WHERE tok != ''
+      |), vocab AS (
+      |  SELECT tok FROM (
+      |    SELECT tok, COUNT(*) AS n FROM toks GROUP BY tok
+      |    ORDER BY n DESC, tok LIMIT 64)
+      |), bkt AS (
+      |  SELECT t.s, CASE WHEN v.tok IS NOT NULL THEN t.tok ELSE ' OOV ' END AS b
+      |  FROM toks t LEFT JOIN vocab v ON t.tok = v.tok
+      |), sb AS (SELECT s, b, CAST(COUNT(*) AS BIGINT) AS c_sb FROM bkt GROUP BY s, b),
+      |cb AS (SELECT DISTINCT b FROM sb),
+      |ns AS (SELECT s, CAST(SUM(c_sb) AS BIGINT) AS n_s FROM sb GROUP BY s),
+      |nb AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_b FROM cb),
+      |grid AS (
+      |  SELECT a.s AS sa, a.n_s AS na, x.s AS sb, x.n_s AS nb, cb.b,
+      |    (SELECT n_b FROM nb) AS n_bkt
+      |  FROM ns a JOIN ns x ON a.s < x.s CROSS JOIN cb
+      |), f AS (
+      |  SELECT g.sa, g.sb, g.na, g.nb,
+      |    CAST(COALESCE(ca.c_sb, 0) + 1 AS DOUBLE)
+      |      / CAST(g.na + g.n_bkt AS DOUBLE) AS p,
+      |    CAST(COALESCE(cx.c_sb, 0) + 1 AS DOUBLE)
+      |      / CAST(g.nb + g.n_bkt AS DOUBLE) AS q
+      |  FROM grid g
+      |  LEFT JOIN sb ca ON ca.s = g.sa AND ca.b = g.b
+      |  LEFT JOIN sb cx ON cx.s = g.sb AND cx.b = g.b
+      |), terms AS (
+      |  SELECT sa, sb, na, nb,
+      |    CAST(FLOOR((500000000.0 * p) * LN((p + p) / (p + q))) AS BIGINT)
+      |      + CAST(FLOOR((500000000.0 * q) * LN((q + q) / (p + q))) AS BIGINT)
+      |      AS t
+      |  FROM f
+      |)
+      |SELECT sa AS src_a, sb AS src_b, na AS n_a, nb AS n_b,
+      |  CAST(SUM(t) AS BIGINT) AS jsd_fp
+      |FROM terms GROUP BY 1, 2, 3, 4
+      |ORDER BY src_a, src_b""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q301_source_jsd" -> (q301SourceJsd _),
     "q289_t_closeness" -> (q289TCloseness _),
     "q291_gini_stump" -> (q291GiniStump _),
     "q292_burstiness" -> (q292Burstiness _),
@@ -3281,6 +3335,7 @@ object Curation {
   val oracle: Map[String, String] = Map(
     "q277_l_diversity" -> q277Sql,
     "q289_t_closeness" -> q289Sql,
+    "q301_source_jsd" -> q301Sql,
     "q291_gini_stump" -> q291Sql,
     "q292_burstiness" -> q292Sql,
     "q270_k_anonymity" -> q270Sql,
