@@ -1293,6 +1293,89 @@ object Pipeline {
       |FROM pts GROUP BY 1 ORDER BY indeg""".stripMargin
 
   // -------------------------------------------------------------------
+  // q311: LABEL-MARGIN AUDIT — per-label centroid separation of the
+  // embedding space (the label-quality check next to q254's kNN vote:
+  // kNN audits LOCAL consistency, this audits GLOBAL geometry): for
+  // every point, margin = mean-dot to its OWN label centroid minus
+  // the best mean-dot to any OTHER centroid; a label whose points sit
+  // closer to a foreign centroid than their own is mislabeled or
+  // unlearnable. Exact: points floor to 1e3 fixed point and centroids
+  // are the MATCHING VecFixedSum(·, 1e3) per-dim integer sums (no
+  // division into the vector — mean-dot divides the scalar dot by n_c
+  // in double, exact operands both engines); per-dim products ≤
+  // 4e3·2e6·64 ≪ 2^53. Points contribute to their own centroid (an
+  // audit of the labeling as-is, not a held-out classifier). The
+  // score-every-label fan-out is the q204 PlanLint class (label-
+  // domain build side).
+  // -------------------------------------------------------------------
+  def q311LabelMargin(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.VectorFunctions.{vec_dot, vec_fixed_sum}
+    val e = emb(spark, dir)
+    val fl = e.select(col("vec_id"), col("label").cast("long").as("plabel"),
+      transform(col("embedding"),
+        x => floor(x.cast("double") * lit(1e3)).cast("double")).as("v"))
+    val cent = e.groupBy(col("label").cast("long").as("clabel"))
+      .agg(vec_fixed_sum(col("embedding"), 64, 1e3).as("cs"),
+        count(lit(1)).as("n_c"))
+      .select(col("clabel"),
+        transform(col("cs"), x => x.cast("double")).as("cs"), col("n_c"))
+    val dots = fl.crossJoin(broadcast(cent))
+      .select(col("vec_id"), col("plabel"), col("clabel"),
+        (vec_dot(col("v"), col("cs")) / col("n_c").cast("double")).as("md"))
+    dots.groupBy(col("vec_id"), col("plabel"))
+      .agg(max(when(col("clabel") === col("plabel"), col("md"))).as("own"),
+        max(when(col("clabel") =!= col("plabel"), col("md"))).as("best"))
+      .select(col("plabel").as("label"),
+        floor((col("own") - col("best")) * 1000).cast("long").as("m"))
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n_points"),
+        sum(when(col("m") > 0, 1L).otherwise(0L)).as("n_separated"),
+        min(col("m")).as("min_margin_fx"), max(col("m")).as("max_margin_fx"),
+        sum(col("m")).as("sum_margin_fx"))
+      .orderBy(asc("label"))
+  }
+  val q311Sql: String =
+    """WITH fl AS (
+      |  SELECT vec_id, CAST(label AS BIGINT) AS plabel,
+      |    list_transform(embedding,
+      |      x -> FLOOR(CAST(x AS DOUBLE) * 1000)) AS v
+      |  FROM embeddings
+      |), elems AS (
+      |  SELECT CAST(label AS BIGINT) AS clabel,
+      |    generate_subscripts(embedding, 1) AS i,
+      |    FLOOR(CAST(UNNEST(embedding) AS DOUBLE) * 1000) AS x
+      |  FROM embeddings
+      |), cs AS (
+      |  SELECT clabel, i, CAST(SUM(x) AS BIGINT) AS s
+      |  FROM elems GROUP BY 1, 2
+      |), cent AS (
+      |  SELECT clabel, list(s ORDER BY i) AS cs FROM cs GROUP BY 1
+      |), nc AS (
+      |  SELECT CAST(label AS BIGINT) AS clabel, COUNT(*) AS n_c
+      |  FROM embeddings GROUP BY 1
+      |), dots AS (
+      |  SELECT f.vec_id, f.plabel, c.clabel,
+      |    CAST(list_sum(list_transform(list_zip(f.v, c.cs),
+      |      p -> p[1] * p[2])) AS DOUBLE) / CAST(nc.n_c AS DOUBLE) AS md
+      |  FROM fl f CROSS JOIN cent c JOIN nc ON nc.clabel = c.clabel
+      |), pm AS (
+      |  SELECT vec_id, plabel,
+      |    MAX(CASE WHEN clabel = plabel THEN md END) AS own,
+      |    MAX(CASE WHEN clabel <> plabel THEN md END) AS best
+      |  FROM dots GROUP BY 1, 2
+      |), m AS (
+      |  SELECT plabel AS label,
+      |    CAST(FLOOR((own - best) * 1000) AS BIGINT) AS mfx
+      |  FROM pm
+      |)
+      |SELECT label, COUNT(*) AS n_points,
+      |  CAST(SUM(CASE WHEN mfx > 0 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_separated,
+      |  MIN(mfx) AS min_margin_fx, MAX(mfx) AS max_margin_fx,
+      |  CAST(SUM(mfx) AS BIGINT) AS sum_margin_fx
+      |FROM m GROUP BY label ORDER BY label""".stripMargin
+
+  // -------------------------------------------------------------------
   // q297: CONFORMAL OOD GATE — split-conformal novelty detection over
   // embeddings (Vovk et al.; the distribution-free acceptance gate an
   // ingest pipeline puts in front of a curated corpus): score = NN
@@ -3666,6 +3749,46 @@ object Pipeline {
   // recomputes the identical hash-distinct per closed window (same
   // closure horizon as q167/q175) — bit-for-bit, no tolerance.
   // -------------------------------------------------------------------
+  // -------------------------------------------------------------------
+  // q310: STREAMING DETERMINISTIC SAMPLE — fixed-size (k=10) uniform
+  // sample per closed 7-day window, carried as a mergeable bottom-k-
+  // by-hash sketch (KmvAgg over packed (mix32-hash, event_id) keys):
+  // arrival-order-invariant by construction, ≤ 8k bytes of state per
+  // open window, one emission per closed window. EXACT oracle: the
+  // staged-mix hash + pack + per-closed-window ROW_NUMBER ≤ 10 replay
+  // (q185's closed-window clause).
+  // -------------------------------------------------------------------
+  def q310StreamSample(spark: SparkSession, dir: String): DataFrame =
+    graft.streaming.EventStreams.streamingSampleBatchDriven(spark, dir)
+  val q310Sql: String =
+    s"""WITH h0 AS (
+      |  SELECT event_id,
+      |    make_timestamp((EPOCH_US(CAST(ts AS TIMESTAMP)) // 604800000000)
+      |      * 604800000000) AS w_start,
+      |    ${graft.operators.Curation.portableHashSql("event_id", 91L)} AS v
+      |  FROM events
+      |), h1 AS (SELECT event_id, w_start, xor(v, v >> 16) AS v FROM h0
+      |), h2 AS (SELECT event_id, w_start, (v * 69069 + 12345) % 4294967296 AS v FROM h1
+      |), h3 AS (SELECT event_id, w_start, xor(v, v >> 13) AS v FROM h2
+      |), h4 AS (SELECT event_id, w_start, (v * 99991 + 1) % 4294967296 AS v FROM h3
+      |), h5 AS (SELECT event_id, w_start, xor(v, v >> 16) AS v FROM h4
+      |), pk AS (
+      |  SELECT w_start, event_id,
+      |    (v % 1073741824) * 8589934592 + event_id AS packed
+      |  FROM h5
+      |), closed AS (
+      |  SELECT DISTINCT w_start FROM pk
+      |  WHERE EPOCH_US(w_start) + 604800000000 <=
+      |    (SELECT MAX(EPOCH_US(CAST(ts AS TIMESTAMP))) - 7200000000 FROM events)
+      |), rk AS (
+      |  SELECT w_start, event_id,
+      |    ROW_NUMBER() OVER (PARTITION BY w_start ORDER BY packed) AS rank
+      |  FROM pk WHERE w_start IN (SELECT w_start FROM closed)
+      |)
+      |SELECT w_start, CAST(rank AS BIGINT) AS rank, event_id
+      |FROM rk WHERE rank <= 10
+      |ORDER BY w_start, rank""".stripMargin
+
   def q185StreamDistinct(spark: SparkSession, dir: String): DataFrame =
     graft.streaming.EventStreams.streamingDistinctBatchDriven(spark, dir)
   val q185Sql: String =
@@ -5373,6 +5496,8 @@ object Pipeline {
     "q287_shot_boundary" -> (q287ShotBoundary _),
     "q290_hubness" -> (q290Hubness _),
     "q296_incremental_cc" -> (q296IncrementalCc _),
+    "q310_stream_sample" -> (q310StreamSample _),
+    "q311_label_margin" -> (q311LabelMargin _),
     "q297_conformal_ood" -> (q297ConformalOod _),
     "q221_modularity" -> (q221Modularity _),
     "q272_louvain_move" -> (q272LouvainMove _),
@@ -5482,6 +5607,8 @@ object Pipeline {
     "q287_shot_boundary" -> q287Sql,
     "q290_hubness" -> q290Sql,
     "q296_incremental_cc" -> q55Sql,
+    "q310_stream_sample" -> q310Sql,
+    "q311_label_margin" -> q311Sql,
     "q297_conformal_ood" -> q297Sql,
     "q221_modularity" -> q221Sql,
     "q272_louvain_move" -> q272Sql,

@@ -276,6 +276,46 @@ object EventStreams {
       .orderBy(asc("w_start"))
   }
 
+  /** Streaming DETERMINISTIC SAMPLE — a fixed-size uniform sample per
+    * closed window from an unbounded stream (the downsampling stage a
+    * telemetry/training-data pipeline puts before an expensive
+    * consumer): keep the k events whose portable hash ranks smallest
+    * in the window. Bottom-k-by-hash IS a mergeable aggregate, so the
+    * [[graft.functions.KmvAgg]] sketch carries the whole sample as
+    * ≤ 8k bytes of state per open window — and because the sample is
+    * an order-free function of the SET of events, it is
+    * arrival-order-invariant by construction (no reservoir-sampling
+    * RNG state, which would not be).
+    *
+    * The sort key packs (mix32(portableHash(event_id)) mod 2^30) into
+    * the high bits and the event id into the low 33 (max packed value
+    * (2^30−1)·2^33 + id < 2^63 — no overflow), so rank ties break by
+    * id and the id recovers exactly by mod 2^33. Exact oracle: the
+    * identical staged-mix hash, pack, and per-closed-window
+    * ROW_NUMBER ≤ k replay in SQL.
+    */
+  def streamingSampleBatchDriven(spark: SparkSession, dir: String): DataFrame = {
+    val k = 10
+    val u = graft.operators.Sampling.mix32(
+      graft.operators.Curation.portableHash(col("event_id"), 91L))
+    val packed = (u % lit(1073741824L)) * lit(8589934592L) + col("event_id")
+    val drained = appendSinkDrain(
+      readEventStream(streamSession(spark), dir)
+        .withWatermark("ts", "2 hours")
+        .select(col("ts"), packed.as("pk"))
+        .groupBy(window(col("ts"), "7 days"))
+        .agg(graft.functions.SketchFunctions.kmv_agg(col("pk"), k).as("sk"))
+        .select(col("window.start").as("w_start"), col("sk")),
+      "graft_stream_sample",
+      StructType(Seq(
+        StructField("w_start", TimestampType),
+        StructField("sk", ArrayType(LongType, containsNull = false)))))
+    drained.select(col("w_start"), posexplode(col("sk")))
+      .select(col("w_start"), (col("pos") + 1).cast("long").as("rank"),
+        pmod(col("col"), lit(8589934592L)).as("event_id"))
+      .orderBy(asc("w_start"), asc("rank"))
+  }
+
   /** Streaming DRIFT MONITOR — the distribution-shift watchdog of the
     * streaming family (quantiles q167 / heavy hitters q175 / distinct
     * q185 summarize; this one ALARMS): per closed 7-day window, each

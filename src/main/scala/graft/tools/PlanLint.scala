@@ -39,7 +39,8 @@ object PlanLint {
     "q92_resample" -> "build side = distinct event_type (5-value domain) crossed with the hour grid — the resample frame itself",
     "q204_naive_bayes" -> "build side = the class list (per-source aggregate, 20-value domain) — the score-every-class fan-out IS the NB classifier",
     "q289_t_closeness" -> "build side = the sensitive-value DOMAIN frame (distinct order counts with rank/cum — value-domain-bounded, ~50 rows); the dense class×value grid it builds is the ordered-EMD audit table (QID domain × sensitive domain), never record-sized",
-    "q293_theil_sen" -> "build side = the daily volume frame (date-DOMAIN-bounded, ≤ #days rows after a partial-agged count); the all-pairs slope frame is days²/2 — metadata-sized by construction, the Theil-Sen estimator's own definition")
+    "q293_theil_sen" -> "build side = the daily volume frame (date-DOMAIN-bounded, ≤ #days rows after a partial-agged count); the all-pairs slope frame is days²/2 — metadata-sized by construction, the Theil-Sen estimator's own definition",
+    "q311_label_margin" -> "build side = the per-label centroid frame (label-domain aggregate, ~10 rows of 64 fixed-point sums) — the score-every-label fan-out IS the margin audit, q204's classifier class")
 
   private def unwrap(p: SparkPlan): Seq[SparkPlan] = p match {
     case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
