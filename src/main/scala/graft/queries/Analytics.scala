@@ -926,7 +926,129 @@ object Analytics {
       |ORDER BY level, seg""".stripMargin
   }
 
+  // -------------------------------------------------------------------
+  // q312: MARKOV HELD-OUT LOG-LIKELIHOOD — the LM-eval workflow (train
+  // on one split, score the other under the FROZEN model) applied to
+  // q147's behavioral transition chain: add-one-smoothed P(next|prev)
+  // trained on user_id % 97 ≠ 0, eval transitions scored per prev
+  // type. A behavior drift between splits (or a broken sessionizer)
+  // reads as a log-likelihood drop. Replay convention: per DISTINCT
+  // transition pair, term_fx = floor(ln(P)·1e6) (the q274 libm-ln
+  // precedent), multiplied by the eval count and summed as exact
+  // int64 — never a float sum. V = distinct next-types in train.
+  // -------------------------------------------------------------------
+  def q312MarkovHeldout(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(asc("us"), asc("event_id"))
+    val tr = ev(spark, dir)
+      .select(col("user_id"), col("event_id"),
+        unix_micros(col("ts")).as("us"), col("event_type"))
+      .withColumn("to_type", lead(col("event_type"), 1).over(w))
+      .filter(col("to_type").isNotNull)
+      .select(col("user_id"), col("event_type").as("a"), col("to_type").as("b"))
+    val train = tr.filter(col("user_id") % 97 =!= 0)
+    val cab = train.groupBy(col("a"), col("b")).agg(count(lit(1)).as("c_ab"))
+    val ca = train.groupBy(col("a")).agg(count(lit(1)).as("c_a"))
+    val v = train.select(col("b")).distinct()
+      .groupBy().agg(count(lit(1)).as("v"))
+    val evalT = tr.filter(col("user_id") % 97 === 0)
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("n"))
+    evalT
+      .join(cab, Seq("a", "b"), "left_outer")
+      .join(ca, Seq("a"), "left_outer")
+      .crossJoin(broadcast(v))
+      .withColumn("term_fx", floor(log(
+        (coalesce(col("c_ab"), lit(0L)) + 1).cast("double") /
+          (coalesce(col("c_a"), lit(0L)) + col("v")).cast("double")) * 1e6)
+        .cast("long"))
+      .groupBy(col("a").as("prev_type"))
+      .agg(sum(col("n")).as("n_trans"),
+        sum(col("n") * col("term_fx")).as("ll_fx"))
+      .orderBy(asc("prev_type"))
+  }
+  val q312Sql: String =
+    """WITH tr AS (
+      |  SELECT user_id, event_type AS a,
+      |    LEAD(event_type) OVER (PARTITION BY user_id
+      |      ORDER BY epoch_us(ts), event_id) AS b
+      |  FROM events
+      |), tt AS (SELECT user_id, a, b FROM tr WHERE b IS NOT NULL),
+      |cab AS (
+      |  SELECT a, b, CAST(COUNT(*) AS BIGINT) AS c_ab
+      |  FROM tt WHERE user_id % 97 <> 0 GROUP BY 1, 2
+      |), ca AS (
+      |  SELECT a, CAST(COUNT(*) AS BIGINT) AS c_a
+      |  FROM tt WHERE user_id % 97 <> 0 GROUP BY 1
+      |), v AS (
+      |  SELECT CAST(COUNT(DISTINCT b) AS BIGINT) AS v
+      |  FROM tt WHERE user_id % 97 <> 0
+      |), ev AS (
+      |  SELECT a, b, CAST(COUNT(*) AS BIGINT) AS n
+      |  FROM tt WHERE user_id % 97 = 0 GROUP BY 1, 2
+      |)
+      |SELECT ev.a AS prev_type, CAST(SUM(ev.n) AS BIGINT) AS n_trans,
+      |  CAST(SUM(ev.n * CAST(FLOOR(LN(
+      |    CAST(COALESCE(cab.c_ab, 0) + 1 AS DOUBLE)
+      |      / CAST(COALESCE(ca.c_a, 0) + (SELECT v FROM v) AS DOUBLE))
+      |    * 1000000) AS BIGINT)) AS BIGINT) AS ll_fx
+      |FROM ev
+      |LEFT JOIN cab ON cab.a = ev.a AND cab.b = ev.b
+      |LEFT JOIN ca ON ca.a = ev.a
+      |GROUP BY 1 ORDER BY prev_type""".stripMargin
+
+  // -------------------------------------------------------------------
+  // q313: ASSOCIATION RULES (market-basket support / confidence /
+  // lift) over order baskets — the mining family's classic, absent
+  // until now: per order the distinct part set (basket ≤ 7 items, so
+  // the within-basket pair join is bounded by construction — the q127
+  // discipline), pair support counts, and for the top-30 pairs both
+  // rule directions' confidence plus the symmetric lift, all exact
+  // int64 fixed point.
+  // -------------------------------------------------------------------
+  def q313AssocRules(spark: SparkSession, dir: String): DataFrame = {
+    val op = spark.read.parquet(s"$dir/lineitem.parquet")
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
+    val sa = op.groupBy(col("p")).agg(count(lit(1)).as("s"))
+    val n = op.select(col("o")).distinct()
+      .groupBy().agg(count(lit(1)).as("n_orders"))
+    val pairs = op.as("x").join(op.as("y"),
+        col("x.o") === col("y.o") && col("x.p") < col("y.p"))
+      .groupBy(col("x.p").as("pa"), col("y.p").as("pb"))
+      .agg(count(lit(1)).as("s_ab"))
+      .orderBy(desc("s_ab"), asc("pa"), asc("pb")).limit(30)
+    pairs
+      .join(sa.select(col("p").as("pa"), col("s").as("s_a")), "pa")
+      .join(sa.select(col("p").as("pb"), col("s").as("s_b")), "pb")
+      .crossJoin(broadcast(n))
+      .select(col("pa"), col("pb"), col("s_ab"), col("s_a"), col("s_b"),
+        expr("s_ab * 1000000L div s_a").as("conf_ab_fx"),
+        expr("s_ab * 1000000L div s_b").as("conf_ba_fx"),
+        expr("s_ab * n_orders * 1000000L div (s_a * s_b)").as("lift_fx"))
+      .orderBy(desc("s_ab"), asc("pa"), asc("pb"))
+  }
+  val q313Sql: String =
+    """WITH op AS (
+      |  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+      |), sa AS (SELECT p, CAST(COUNT(*) AS BIGINT) AS s FROM op GROUP BY 1),
+      |n AS (SELECT CAST(COUNT(DISTINCT o) AS BIGINT) AS n_orders FROM op),
+      |pairs AS (
+      |  SELECT x.p AS pa, y.p AS pb, CAST(COUNT(*) AS BIGINT) AS s_ab
+      |  FROM op x JOIN op y ON x.o = y.o AND x.p < y.p
+      |  GROUP BY 1, 2
+      |  ORDER BY s_ab DESC, pa, pb LIMIT 30
+      |)
+      |SELECT pa, pb, s_ab, a.s AS s_a, b.s AS s_b,
+      |  s_ab * 1000000 // a.s AS conf_ab_fx,
+      |  s_ab * 1000000 // b.s AS conf_ba_fx,
+      |  s_ab * (SELECT n_orders FROM n) * 1000000 // (a.s * b.s) AS lift_fx
+      |FROM pairs
+      |JOIN sa a ON a.p = pa
+      |JOIN sa b ON b.p = pb
+      |ORDER BY s_ab DESC, pa, pb""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q312_markov_heldout" -> (q312MarkovHeldout _),
+    "q313_assoc_rules" -> (q313AssocRules _),
     "q300_binary_seg" -> (q300BinarySeg _),
     "q188_seasonal_anomaly" -> (q188SeasonalAnomaly _),
     "q178_cusum_changepoint" -> (q178CusumChangepoint _),
@@ -956,6 +1078,8 @@ object Analytics {
     "q24_json_extract" -> (q24Json _))
 
   val oracle: Map[String, String] = Map(
+    "q312_markov_heldout" -> q312Sql,
+    "q313_assoc_rules" -> q313Sql,
     "q300_binary_seg" -> q300Sql,
     "q188_seasonal_anomaly" -> q188Sql,
     "q178_cusum_changepoint" -> q178Sql,

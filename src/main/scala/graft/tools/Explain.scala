@@ -154,6 +154,7 @@ object Explain {
       "q280_mmr_select" -> "dumped plan = the emitted 16-row literal frame + final sort (the greedy stage executes the pool eagerly inside the operator); the POOL plan — codegen'd VecDot against the 1-row broadcast query (GlobalLimit-bounded BNLJ) into TakeOrderedAndProject(64), partial top-k per partition, no global sort — is spec-asserted on Similarity.mmrPool (OperatorsSpec)",
       "q285_spearman" -> "rank-association audit with ZERO data-sized windows: both midrank frames are partial-agged DISTINCT-(source, value) aggregates with the cum window over the value domain (q153's discipline, partitioned by source); the doc stream hash-joins the two rank frames on (source, value) and folds in one partial-agged per-source aggregate — ρ is three casts + two sqrt + a division in the project",
       "q296_incremental_cc" -> "history contributes ONLY its label table: the delta batch hash-joins (id, cluster) twice (left_outer — unseen nodes self-label), the iterative CC runs on the delta-touched COMPONENT graph alone (metadata-sized edges after the ca≠cb filter), and the merge map joins back over labels — the standing EDGE set is never rescanned; same recursive-closure oracle as q55/q82, third algorithm under one gate",
+      "q313_assoc_rules" -> "the basket pair join is the q127 discipline: distinct (order, part) partial-aggregates once, the self-join keys on the order id with basket size ≤ 7 bounding the fan-out, pair supports partial-aggregate into a TakeOrdered top-30 — only then do the two item-support joins and the 1-row total broadcast run, on 30 rows",
       "q310_stream_sample" -> "the sample IS a mergeable sketch: KmvAgg carries bottom-10 packed (hash, id) keys as ≤ 8k bytes of state per open window inside the watermarked append-mode aggregate — arrival-order-invariant because it is a set function, no reservoir RNG state; the drained tail explodes 10 rows per closed window and unpacks ids by mod 2^33",
       "q302_tpch_q2" -> "the correlated-MIN subquery decorrelated: per-(part,supplier) min-cents aggregate (partial-agged), dimension chain fully broadcast (region→nation→supplier and the filtered part list), per-part min as a second small aggregate joined back on (part, cost) — no correlated re-execution, no window over the fact table",
       "q308_tpch_q19" -> "the OR-of-ANDs classic: all three brand/size branches stay inside the broadcast part build side and the disjunct (incl. the l_quantity bounds) evaluates as ONE codegen'd filter above the broadcast hash join — the fact table streams once; the aggregate is a 1-row decimal dsum",
@@ -193,6 +194,7 @@ object Explain {
     "q295_mw_mixture", "q297_conformal_ood", "q298_ols_trend", "q299_dp_release",
     "q300_binary_seg", "q303_tpch_q4", "q304_tpch_q9", "q305_tpch_q11",
     "q306_tpch_q12", "q307_tpch_q16", "q309_tpch_q20", "q311_label_margin",
+    "q312_markov_heldout",
     "q263_unigram_heldout", "q265_unigram_fertility", "q271_water_fill", "q275_readability",
     "q228_winnow_pairs", "q22_semi_anti_join", "q230_kcenter", "q231_stream_drift",
     "q232_ra_link_prediction", "q233_pair_alignment", "q235_bpe_fertility", "q236_audio_utterances",
