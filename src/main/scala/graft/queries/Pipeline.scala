@@ -1376,6 +1376,79 @@ object Pipeline {
       |FROM m GROUP BY label ORDER BY label""".stripMargin
 
   // -------------------------------------------------------------------
+  // q314: DBSCAN CORE/BORDER/NOISE — density-based structure audit of
+  // the embedding space, the clustering family's third paradigm
+  // (centroids q67, similarity-graph CC q75; density was absent):
+  // over the vec_id % 4 measurement subset, a point is CORE iff ≥
+  // minPts neighbors at cosine ≥ 0.25 (exact: normalize → floor·1e6
+  // → integer-exact dots ≈ cos·1e12, the q119 convention — the
+  // threshold compares FLOORED dots, a defined quantity), BORDER iff
+  // non-core with a core neighbor, NOISE otherwise. minPts scales
+  // with subset density (max(3, n div 40)) so the classification
+  // stays non-degenerate at every gate scale — a fixed count would be
+  // all-core at 10× (rule 14's calibration lesson, applied to a
+  // parameter instead of a sketch).
+  // -------------------------------------------------------------------
+  def q314DbscanCore(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.VectorFunctions.vec_dot
+    val theta = 250000000000L // 0.25 in the 1e12 dot scale
+    val fl = emb(spark, dir).filter(pmod(col("vec_id"), lit(4)) === 0)
+      .select(col("vec_id"),
+        transform(Similarity.normalized(col("embedding")),
+          x => floor(x.cast("double") * lit(1e6)).cast("double")).as("v"))
+      .localCheckpoint(true) // three consumers; also pins determinism
+    val q = fl.select(col("vec_id").as("qid"), col("v").as("qv"))
+    val nbPairs = fl.join(broadcast(q), col("vec_id") =!= col("qid"))
+      .filter(vec_dot(col("v"), col("qv")) >= lit(theta.toDouble))
+      .select(col("vec_id"), col("qid"))
+    val nb = nbPairs.groupBy(col("vec_id")).agg(count(lit(1)).as("n_nb"))
+    val npts = fl.groupBy().agg(count(lit(1)).as("n_pts"))
+    val pts = fl.select(col("vec_id"))
+      .join(nb, Seq("vec_id"), "left_outer")
+      .select(col("vec_id"), coalesce(col("n_nb"), lit(0L)).as("n_nb"))
+      .crossJoin(broadcast(npts))
+      .withColumn("is_core", col("n_nb") >= greatest(lit(3L), expr("n_pts div 40")))
+    val coreSet = pts.filter(col("is_core")).select(col("vec_id").as("qid"))
+    val hasCoreNb = nbPairs.join(coreSet, Seq("qid"), "left_semi")
+      .select(col("vec_id")).distinct().withColumn("near_core", lit(true))
+    pts.join(hasCoreNb, Seq("vec_id"), "left_outer")
+      .select(col("vec_id"), col("n_nb"),
+        when(col("is_core"), "core")
+          .when(coalesce(col("near_core"), lit(false)), "border")
+          .otherwise("noise").as("role"))
+      .orderBy(asc("vec_id"))
+  }
+  val q314Sql: String =
+    """WITH nv AS (
+      |  SELECT vec_id, list_transform(embedding,
+      |    x -> FLOOR(CAST(x AS DOUBLE) / sqrt(list_sum(list_transform(embedding,
+      |      y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE)))) * 1000000)) AS v
+      |  FROM embeddings WHERE vec_id % 4 = 0
+      |), nbp AS (
+      |  SELECT a.vec_id, b.vec_id AS qid
+      |  FROM nv a JOIN nv b ON a.vec_id != b.vec_id
+      |  WHERE list_sum(list_transform(list_zip(a.v, b.v), p -> p[1] * p[2]))
+      |    >= 250000000000
+      |), nb AS (
+      |  SELECT vec_id, CAST(COUNT(*) AS BIGINT) AS n_nb FROM nbp GROUP BY 1
+      |), np AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_pts FROM nv
+      |), pts AS (
+      |  SELECT nv.vec_id, COALESCE(nb.n_nb, 0) AS n_nb,
+      |    COALESCE(nb.n_nb, 0) >=
+      |      GREATEST(3, (SELECT n_pts FROM np) // 40) AS is_core
+      |  FROM nv LEFT JOIN nb ON nb.vec_id = nv.vec_id
+      |), nearc AS (
+      |  SELECT DISTINCT nbp.vec_id FROM nbp
+      |  JOIN pts c ON c.vec_id = nbp.qid AND c.is_core
+      |)
+      |SELECT p.vec_id, p.n_nb,
+      |  CASE WHEN p.is_core THEN 'core'
+      |       WHEN nearc.vec_id IS NOT NULL THEN 'border'
+      |       ELSE 'noise' END AS role
+      |FROM pts p LEFT JOIN nearc ON nearc.vec_id = p.vec_id
+      |ORDER BY p.vec_id""".stripMargin
+
+  // -------------------------------------------------------------------
   // q297: CONFORMAL OOD GATE — split-conformal novelty detection over
   // embeddings (Vovk et al.; the distribution-free acceptance gate an
   // ingest pipeline puts in front of a curated corpus): score = NN
@@ -5498,6 +5571,7 @@ object Pipeline {
     "q296_incremental_cc" -> (q296IncrementalCc _),
     "q310_stream_sample" -> (q310StreamSample _),
     "q311_label_margin" -> (q311LabelMargin _),
+    "q314_dbscan_core" -> (q314DbscanCore _),
     "q297_conformal_ood" -> (q297ConformalOod _),
     "q221_modularity" -> (q221Modularity _),
     "q272_louvain_move" -> (q272LouvainMove _),
@@ -5609,6 +5683,7 @@ object Pipeline {
     "q296_incremental_cc" -> q55Sql,
     "q310_stream_sample" -> q310Sql,
     "q311_label_margin" -> q311Sql,
+    "q314_dbscan_core" -> q314Sql,
     "q297_conformal_ood" -> q297Sql,
     "q221_modularity" -> q221Sql,
     "q272_louvain_move" -> q272Sql,
