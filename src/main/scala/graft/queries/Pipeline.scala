@@ -1396,7 +1396,12 @@ object Pipeline {
       .select(col("vec_id"),
         transform(Similarity.normalized(col("embedding")),
           x => floor(x.cast("double") * lit(1e6)).cast("double")).as("v"))
-      .localCheckpoint(true) // three consumers; also pins determinism
+      // NOT checkpointed: the floor/normalize transform is a pure
+      // deterministic function of the scan, so each consumer's
+      // recompute is bit-identical — and keeping the pmod filter in
+      // the lineage is what lets PlanLint prove the broadcast side
+      // bounded (a checkpoint roots the plan at an ExistingRDD and
+      // hides it)
     val q = fl.select(col("vec_id").as("qid"), col("v").as("qv"))
     val nbPairs = fl.join(broadcast(q), col("vec_id") =!= col("qid"))
       .filter(vec_dot(col("v"), col("qv")) >= lit(theta.toDouble))
