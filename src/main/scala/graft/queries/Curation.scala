@@ -3269,7 +3269,108 @@ object Curation {
       |FROM terms GROUP BY 1, 2, 3, 4
       |ORDER BY src_a, src_b""".stripMargin
 
+  // -------------------------------------------------------------------
+  // q315: INTERPOLATED BIGRAM LM, HELD-OUT — the token-level LM-eval
+  // (q312 is its event-level sibling): Jelinek-Mercer interpolation
+  // P = 0.8·P_bigram + 0.2·P_unigram(add-one) trained on doc % 7 = 0,
+  // eval bigrams scored under the FROZEN model and bucketed by
+  // coverage (bigram seen / unigram backoff / OOV — the table that
+  // shows WHERE the eval split diverges from train). The add-one
+  // unigram keeps P > 0 for OOV, so ln never −∞. Per-distinct-pair
+  // floor(ln(P)·1e6) × eval count, exact int sum (the q312/q274
+  // convention); identical double op order both engines.
+  // -------------------------------------------------------------------
+  def q315LmInterpHeldout(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    def bigrams(df: DataFrame): DataFrame = {
+      val w = Window.partitionBy(col("doc_id")).orderBy(asc("pos"))
+      df.select(col("doc_id"), posexplode(TA.tokens(col("text"))))
+        .withColumnRenamed("col", "tok")
+        .filter(col("tok") =!= "")
+        .withColumn("nxt", lead(col("tok"), 1).over(w))
+        .filter(col("nxt").isNotNull)
+        .select(col("tok").as("a"), col("nxt").as("b"))
+    }
+    // train on 1/7 of docs (NOT the 97-split: this corpus' vocabulary
+    // is small enough that a 96/97 train sees every eval bigram — the
+    // backoff branch would be dead code in the gate; 1/7 leaves real
+    // unseen pairs at both scales)
+    val train = bigrams(d.filter(col("doc_id") % 7 === 0))
+    val cab = train.groupBy(col("a"), col("b")).agg(count(lit(1)).as("c_ab"))
+    val ca = train.groupBy(col("a")).agg(count(lit(1)).as("c_a"))
+    val cb = train.groupBy(col("b")).agg(count(lit(1)).as("c_b"))
+    val tot = train.groupBy().agg(count(lit(1)).as("n_tr"))
+    val vb = train.select(col("b")).distinct()
+      .groupBy().agg(count(lit(1)).as("v"))
+    val evalB = bigrams(d.filter(col("doc_id") % 7 === 1))
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("n"))
+    val p = lit(0.8) * when(col("c_a").isNotNull,
+        coalesce(col("c_ab"), lit(0L)).cast("double") / col("c_a").cast("double"))
+        .otherwise(lit(0.0)) +
+      lit(0.2) * ((coalesce(col("c_b"), lit(0L)) + 1).cast("double") /
+        (col("n_tr") + col("v")).cast("double"))
+    evalB
+      .join(cab, Seq("a", "b"), "left_outer")
+      .join(ca, Seq("a"), "left_outer")
+      .join(cb, Seq("b"), "left_outer")
+      .crossJoin(broadcast(tot)).crossJoin(broadcast(vb))
+      .withColumn("category",
+        when(col("c_ab").isNotNull, "bigram")
+          .when(col("c_b").isNotNull, "backoff").otherwise("oov"))
+      .withColumn("term_fx", floor(log(p) * 1e6).cast("long"))
+      .groupBy(col("category"))
+      .agg(sum(col("n")).as("n_bigrams"), count(lit(1)).as("n_pairs"),
+        sum(col("n") * col("term_fx")).as("ll_fx"))
+      .orderBy(asc("category"))
+  }
+  val q315Sql: String =
+    raw"""WITH tk AS (
+      |  SELECT doc_id, tok, i
+      |  FROM (SELECT doc_id, UNNEST($toksSql) AS tok,
+      |          generate_subscripts($toksSql, 1) AS i
+      |        FROM documents)
+      |  WHERE tok != ''
+      |), bg AS (
+      |  SELECT doc_id, tok AS a,
+      |    LEAD(tok) OVER (PARTITION BY doc_id ORDER BY i) AS b
+      |  FROM tk
+      |), bb AS (SELECT doc_id, a, b FROM bg WHERE b IS NOT NULL),
+      |cab AS (SELECT a, b, CAST(COUNT(*) AS BIGINT) AS c_ab
+      |  FROM bb WHERE doc_id % 7 = 0 GROUP BY 1, 2),
+      |ca AS (SELECT a, CAST(COUNT(*) AS BIGINT) AS c_a
+      |  FROM bb WHERE doc_id % 7 = 0 GROUP BY 1),
+      |cb AS (SELECT b, CAST(COUNT(*) AS BIGINT) AS c_b
+      |  FROM bb WHERE doc_id % 7 = 0 GROUP BY 1),
+      |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_tr
+      |  FROM bb WHERE doc_id % 7 = 0),
+      |vb AS (SELECT CAST(COUNT(DISTINCT b) AS BIGINT) AS v
+      |  FROM bb WHERE doc_id % 7 = 0),
+      |ev AS (SELECT a, b, CAST(COUNT(*) AS BIGINT) AS n
+      |  FROM bb WHERE doc_id % 7 = 1 GROUP BY 1, 2),
+      |scored AS (
+      |  SELECT CASE WHEN cab.c_ab IS NOT NULL THEN 'bigram'
+      |              WHEN cb.c_b IS NOT NULL THEN 'backoff'
+      |              ELSE 'oov' END AS category,
+      |    ev.n,
+      |    CAST(FLOOR(LN(
+      |      0.8 * (CASE WHEN ca.c_a IS NOT NULL
+      |        THEN CAST(COALESCE(cab.c_ab, 0) AS DOUBLE)
+      |          / CAST(ca.c_a AS DOUBLE) ELSE 0.0 END)
+      |      + 0.2 * (CAST(COALESCE(cb.c_b, 0) + 1 AS DOUBLE)
+      |        / CAST((SELECT n_tr FROM tot) + (SELECT v FROM vb) AS DOUBLE))
+      |      ) * 1000000) AS BIGINT) AS term_fx
+      |  FROM ev
+      |  LEFT JOIN cab ON cab.a = ev.a AND cab.b = ev.b
+      |  LEFT JOIN ca ON ca.a = ev.a
+      |  LEFT JOIN cb ON cb.b = ev.b
+      |)
+      |SELECT category, CAST(SUM(n) AS BIGINT) AS n_bigrams,
+      |  CAST(COUNT(*) AS BIGINT) AS n_pairs,
+      |  CAST(SUM(n * term_fx) AS BIGINT) AS ll_fx
+      |FROM scored GROUP BY 1 ORDER BY category""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q315_lm_interp_heldout" -> (q315LmInterpHeldout _),
     "q301_source_jsd" -> (q301SourceJsd _),
     "q289_t_closeness" -> (q289TCloseness _),
     "q291_gini_stump" -> (q291GiniStump _),
@@ -3336,6 +3437,7 @@ object Curation {
     "q277_l_diversity" -> q277Sql,
     "q289_t_closeness" -> q289Sql,
     "q301_source_jsd" -> q301Sql,
+    "q315_lm_interp_heldout" -> q315Sql,
     "q291_gini_stump" -> q291Sql,
     "q292_burstiness" -> q292Sql,
     "q270_k_anonymity" -> q270Sql,

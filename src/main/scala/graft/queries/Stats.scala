@@ -1497,7 +1497,99 @@ object Stats {
       |FROM n ORDER BY day""".stripMargin
   }
 
+  // -------------------------------------------------------------------
+  // q316: CROSS-CORRELATION of click vs purchase daily volume at lags
+  // −7..+7 — the lead-lag discovery tool (does purchase volume FOLLOW
+  // click volume, and by how many days?) completing q286's
+  // autocorrelation with the two-series case. Same integral
+  // mean-centering (z_i = n·x_i − S_i over the shared day domain);
+  // num_k = Σ z1_t·z2_{t+k} (negative lags lead z1 instead), the
+  // normalizer √(Σz1²)·√(Σz2²) and the division run in double from
+  // exact int64s (num can be negative — the q286 div-vs-floor rule).
+  // ONE data-sized (day) aggregate; all lag windows on the daily frame.
+  // -------------------------------------------------------------------
+  def q316CcfDaily(spark: SparkSession, dir: String): DataFrame = {
+    val dd = graft.sources.Events.ev(spark, dir)
+      .filter(col("event_type").isin("click", "purchase"))
+      .select(col("event_type"), expr("unix_micros(ts) div 86400000000").as("day"))
+      .groupBy(col("day"))
+      .agg(count(when(col("event_type") === "click", 1)).as("x1"),
+        count(when(col("event_type") === "purchase", 1)).as("x2"))
+    val tot = dd.groupBy().agg(count(lit(1)).as("n"),
+      sum(col("x1")).as("s1"), sum(col("x2")).as("s2"))
+    val z = dd.crossJoin(broadcast(tot))
+      .select(col("day"), (col("n") * col("x1") - col("s1")).as("z1"),
+        (col("n") * col("x2") - col("s2")).as("z2"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy(asc("day"))
+    val lagged = z.select(Seq(col("z1"), col("z2")) ++
+      (1 to 7).flatMap(k => Seq(lead(col("z2"), k).over(w).as(s"b$k"),
+        lead(col("z1"), k).over(w).as(s"a$k"))): _*)
+    val aggs = Seq(
+      sum(col("z1") * col("z1")).as("d1"),
+      sum(col("z2") * col("z2")).as("d2"),
+      sum(col("z1") * col("z2")).as("num0")) ++
+      (1 to 7).map(k => sum(col("z1") * col(s"b$k")).as(s"p$k")) ++
+      (1 to 7).map(k => sum(col(s"a$k") * col("z2")).as(s"m$k"))
+    val folded = lagged.groupBy().agg(aggs.head, aggs.tail: _*)
+    val stackExpr = "stack(15, " +
+      (((-7 to -1).map(k => s"${k}L, m${-k}") :+ "0L, num0") ++
+        (1 to 7).map(k => s"${k}L, p$k")).mkString(", ") + ") as (lag, num)"
+    folded.select(expr(stackExpr), col("d1"), col("d2"))
+      .withColumn("ccf_fx",
+        when(col("d1") > 0 && col("d2") > 0,
+          floor(col("num").cast("double")
+            / (sqrt(col("d1").cast("double")) * sqrt(col("d2").cast("double")))
+            * 1e6).cast("long")))
+      .select(col("lag"), col("num"), col("ccf_fx"))
+      .orderBy(asc("lag"))
+  }
+  val q316Sql: String = {
+    val leadCols = (1 to 7).map(k =>
+      s"LEAD(z2, $k) OVER (ORDER BY day) AS b$k,\n      |    " +
+        s"LEAD(z1, $k) OVER (ORDER BY day) AS a$k").mkString(",\n      |    ")
+    val aggCols = ((1 to 7).map(k =>
+      s"CAST(SUM(z1 * b$k) AS BIGINT) AS p$k") ++
+      (1 to 7).map(k => s"CAST(SUM(a$k * z2) AS BIGINT) AS m$k"))
+      .mkString(",\n      |    ")
+    val unions = (((-7 to -1).map(k => s"SELECT $k AS lag, m${-k} AS num, d1, d2 FROM folded")
+      :+ "SELECT 0, num0, d1, d2 FROM folded") ++
+      (1 to 7).map(k => s"SELECT $k, p$k, d1, d2 FROM folded"))
+      .mkString("\n      |  UNION ALL ")
+    s"""WITH dd AS (
+      |  SELECT epoch_us(ts) // 86400000000 AS day,
+      |    CAST(COUNT(CASE WHEN event_type = 'click' THEN 1 END) AS BIGINT) AS x1,
+      |    CAST(COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS BIGINT) AS x2
+      |  FROM events WHERE event_type IN ('click', 'purchase')
+      |  GROUP BY 1
+      |), tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+      |  CAST(SUM(x1) AS BIGINT) AS s1, CAST(SUM(x2) AS BIGINT) AS s2 FROM dd
+      |), z AS (
+      |  SELECT day, (SELECT n FROM tot) * x1 - (SELECT s1 FROM tot) AS z1,
+      |    (SELECT n FROM tot) * x2 - (SELECT s2 FROM tot) AS z2
+      |  FROM dd
+      |), lagged AS (
+      |  SELECT z1, z2,
+      |    $leadCols
+      |  FROM z
+      |), folded AS (
+      |  SELECT CAST(SUM(z1 * z1) AS BIGINT) AS d1,
+      |    CAST(SUM(z2 * z2) AS BIGINT) AS d2,
+      |    CAST(SUM(z1 * z2) AS BIGINT) AS num0,
+      |    $aggCols
+      |  FROM lagged
+      |), u AS (
+      |  $unions
+      |)
+      |SELECT CAST(lag AS BIGINT) AS lag, num,
+      |  CASE WHEN d1 > 0 AND d2 > 0 THEN
+      |    CAST(FLOOR(CAST(num AS DOUBLE)
+      |      / (SQRT(CAST(d1 AS DOUBLE)) * SQRT(CAST(d2 AS DOUBLE)))
+      |      * 1000000) AS BIGINT) END AS ccf_fx
+      |FROM u ORDER BY lag""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q316_ccf_daily" -> (q316CcfDaily _),
     "q298_ols_trend" -> (q298OlsTrend _),
     "q299_dp_release" -> (q299DpRelease _),
     "q293_theil_sen" -> (q293TheilSen _),
@@ -1528,6 +1620,7 @@ object Stats {
 
   val oracle: Map[String, String] = Map(
     "q298_ols_trend" -> q298Sql,
+    "q316_ccf_daily" -> q316Sql,
     "q299_dp_release" -> q299Sql,
     "q293_theil_sen" -> q293Sql,
     "q294_benford" -> q294Sql,
