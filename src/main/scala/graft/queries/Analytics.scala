@@ -1046,7 +1046,52 @@ object Analytics {
       |JOIN sa b ON b.p = pb
       |ORDER BY s_ab DESC, pa, pb""".stripMargin
 
+  // -------------------------------------------------------------------
+  // q318: USER-ACTIVITY GINI per event type — q246's concentration
+  // algebra on the BEHAVIORAL axis ("is this event type organic or a
+  // few power users / bots?"): discrete Gini over per-user event
+  // counts, ranked (count asc, user asc — a total order), the same
+  // (2·Σ i·c_i − (n+1)·Σc)·1e6 div (n·Σc) int64 fixed point with the
+  // 4.6e12 envelope (users×events here sits ~10^10, far inside).
+  // Scale shape: one (type, user) partial-agged count; the rank
+  // window runs per type over the USER-domain frame (q173's bounded-
+  // window discipline), the fold is one row per type.
+  // -------------------------------------------------------------------
+  def q318UserGini(spark: SparkSession, dir: String): DataFrame = {
+    val counts = ev(spark, dir)
+      .groupBy(col("event_type"), col("user_id"))
+      .agg(count(lit(1)).as("c"))
+    val w = Window.partitionBy(col("event_type"))
+      .orderBy(asc("c"), asc("user_id"))
+    counts.withColumn("i", row_number().over(w).cast("long"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_users"), sum(col("c")).as("n_events"),
+        sum(col("i") * col("c")).as("t"))
+      .select(col("event_type"), col("n_users"), col("n_events"),
+        expr("(2L * t - (n_users + 1L) * n_events) * 1000000L div (n_users * n_events)")
+          .as("gini_fx"))
+      .orderBy(asc("event_type"))
+  }
+  val q318Sql: String =
+    """WITH counts AS (
+      |  SELECT event_type, user_id, CAST(COUNT(*) AS BIGINT) AS c
+      |  FROM events GROUP BY 1, 2
+      |), ranked AS (
+      |  SELECT event_type, c,
+      |    CAST(ROW_NUMBER() OVER (PARTITION BY event_type
+      |      ORDER BY c, user_id) AS BIGINT) AS i
+      |  FROM counts
+      |)
+      |SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_users,
+      |  CAST(SUM(c) AS BIGINT) AS n_events,
+      |  (2 * CAST(SUM(i * c) AS BIGINT)
+      |    - (CAST(COUNT(*) AS BIGINT) + 1) * CAST(SUM(c) AS BIGINT))
+      |    * 1000000 // (CAST(COUNT(*) AS BIGINT) * CAST(SUM(c) AS BIGINT))
+      |    AS gini_fx
+      |FROM ranked GROUP BY event_type ORDER BY event_type""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q318_user_gini" -> (q318UserGini _),
     "q312_markov_heldout" -> (q312MarkovHeldout _),
     "q313_assoc_rules" -> (q313AssocRules _),
     "q300_binary_seg" -> (q300BinarySeg _),
@@ -1078,6 +1123,7 @@ object Analytics {
     "q24_json_extract" -> (q24Json _))
 
   val oracle: Map[String, String] = Map(
+    "q318_user_gini" -> q318Sql,
     "q312_markov_heldout" -> q312Sql,
     "q313_assoc_rules" -> q313Sql,
     "q300_binary_seg" -> q300Sql,

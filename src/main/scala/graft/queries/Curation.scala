@@ -3369,8 +3369,59 @@ object Curation {
       |  CAST(SUM(n * term_fx) AS BIGINT) AS ll_fx
       |FROM scored GROUP BY 1 ORDER BY category""".stripMargin
 
+  // -------------------------------------------------------------------
+  // q317: HILL TAIL-INDEX of the token frequency distribution — the
+  // order-statistics power-law exponent estimator (Hill 1975),
+  // completing the heavy-tail trio (q192 fits the Zipf slope by
+  // regression, q193 measures Heaps growth; Hill reads the tail alone
+  // and is the estimator EVT practice actually uses):
+  // α̂ = (k−1) / Σ_{i<k} ln(f_i / f_k) over the top-k=64 counts
+  // (ties token asc — a total order). Per-term floor(ln·1e6) + exact
+  // int sum, α as an integer division of the fixed-point sum.
+  // -------------------------------------------------------------------
+  def q317HillAlpha(spark: SparkSession, dir: String): DataFrame = {
+    val k = 64
+    val top = docs(spark, dir)
+      .select(explode(TA.tokens(col("text"))).as("tok"))
+      .filter(col("tok") =!= "")
+      .groupBy(col("tok")).agg(count(lit(1)).as("c"))
+      .orderBy(desc("c"), asc("tok")).limit(k)
+    val fk = top.orderBy(asc("c"), asc("tok")).limit(1)
+      .select(col("c").as("f_k"))
+    top.crossJoin(broadcast(fk))
+      .filter(col("c") > col("f_k")) // the i=k term is ln(1)=0; ties with f_k drop too
+      .select(floor(log(col("c").cast("double") / col("f_k").cast("double"))
+        * 1e6).cast("long").as("t"), col("f_k"))
+      .groupBy(col("f_k"))
+      .agg(count(lit(1)).as("n_terms"), sum(col("t")).as("sum_ln_fx"))
+      .select(lit(k.toLong).as("k"), col("f_k"), col("n_terms"), col("sum_ln_fx"),
+        when(col("sum_ln_fx") > 0,
+          expr(s"(${k - 1} * 1000000000000L) div sum_ln_fx")).as("alpha_fx"))
+  }
+  val q317Sql: String =
+    raw"""WITH top AS (
+      |  SELECT tok, CAST(COUNT(*) AS BIGINT) AS c
+      |  FROM (SELECT UNNEST($toksSql) AS tok FROM documents)
+      |  WHERE tok != '' GROUP BY 1
+      |  ORDER BY c DESC, tok LIMIT 64
+      |), fk AS (
+      |  SELECT c AS f_k FROM top ORDER BY c, tok LIMIT 1
+      |), terms AS (
+      |  SELECT (SELECT f_k FROM fk) AS f_k,
+      |    CAST(FLOOR(LN(CAST(c AS DOUBLE)
+      |      / CAST((SELECT f_k FROM fk) AS DOUBLE)) * 1000000) AS BIGINT) AS t
+      |  FROM top WHERE c > (SELECT f_k FROM fk)
+      |)
+      |SELECT CAST(64 AS BIGINT) AS k, f_k,
+      |  CAST(COUNT(*) AS BIGINT) AS n_terms,
+      |  CAST(SUM(t) AS BIGINT) AS sum_ln_fx,
+      |  CASE WHEN SUM(t) > 0
+      |    THEN (63 * 1000000000000) // CAST(SUM(t) AS BIGINT) END AS alpha_fx
+      |FROM terms GROUP BY f_k""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q315_lm_interp_heldout" -> (q315LmInterpHeldout _),
+    "q317_hill_alpha" -> (q317HillAlpha _),
     "q301_source_jsd" -> (q301SourceJsd _),
     "q289_t_closeness" -> (q289TCloseness _),
     "q291_gini_stump" -> (q291GiniStump _),
@@ -3438,6 +3489,7 @@ object Curation {
     "q289_t_closeness" -> q289Sql,
     "q301_source_jsd" -> q301Sql,
     "q315_lm_interp_heldout" -> q315Sql,
+    "q317_hill_alpha" -> q317Sql,
     "q291_gini_stump" -> q291Sql,
     "q292_burstiness" -> q292Sql,
     "q270_k_anonymity" -> q270Sql,
