@@ -3867,6 +3867,105 @@ object Pipeline {
       |FROM rk WHERE rank <= 10
       |ORDER BY w_start, rank""".stripMargin
 
+  // -------------------------------------------------------------------
+  // q319: RANK-BIASED OVERLAP (Webber et al. 2010, p=0.9, truncated
+  // at depth 50) between q172's two retriever rankings — the ranking-
+  // agreement metric an IR/hybrid-retrieval change review reads
+  // (RRF fuses the lists; RBO measures how much they AGREE, weighting
+  // the top of the lists geometrically). Fully integral: a doc in
+  // both lists enters the intersection at depth m = max(ra, rb), so
+  // ov(d) folds from the 50-row m-histogram; the p^{d−1} weights are
+  // HARDCODED floor(0.9^{d−1}·1e12) literals on both sides (the q294
+  // Benford trick — no pow()); term = ov·w div d and the final
+  // (1−p) factor is div 10 — rbo_fx lands in the 1e12 fixed point.
+  // -------------------------------------------------------------------
+  private val rboW: Seq[Long] = Seq(
+    1000000000000L, 900000000000L, 810000000000L, 729000000000L, 656100000000L,
+    590490000000L, 531441000000L, 478296900000L, 430467210000L, 387420489000L,
+    348678440100L, 313810596090L, 282429536481L, 254186582832L, 228767924549L,
+    205891132094L, 185302018885L, 166771816996L, 150094635296L, 135085171767L,
+    121576654590L, 109418989131L, 98477090218L, 88629381196L, 79766443076L,
+    71789798769L, 64610818892L, 58149737003L, 52334763302L, 47101286972L,
+    42391158275L, 38152042447L, 34336838202L, 30903154382L, 27812838944L,
+    25031555049L, 22528399544L, 20275559590L, 18248003631L, 16423203268L,
+    14780882941L, 13302794647L, 11972515182L, 10775263664L, 9697737297L,
+    8727963568L, 7855167211L, 7069650490L, 6362685441L, 5726416897L)
+  def q319Rbo(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import spark.implicits._
+    val terms = Seq("spark", "hash", "scan")
+    val d = docs(spark, dir)
+    val bm = graft.operators.Curation.bm25TopK(d, "doc_id", "text", terms, 50)
+      .withColumn("ra",
+        row_number().over(Window.orderBy(desc("bm25_fx"), asc("doc_id"))).cast("long"))
+      .select(col("doc_id"), col("ra"))
+    val dens = graft.operators.Curation.tfDensityTopK(d, "doc_id", "text", terms, 50)
+      .withColumn("rb",
+        row_number().over(Window.orderBy(desc("dens_fx"), asc("doc_id"))).cast("long"))
+      .select(col("doc_id"), col("rb"))
+    val hist = bm.join(dens, "doc_id")
+      .select(greatest(col("ra"), col("rb")).as("m"))
+      .groupBy(col("m")).agg(count(lit(1)).as("c"))
+    val depths = rboW.zipWithIndex
+      .map { case (w, i) => (i + 1L, w) }.toDF("dd", "w")
+    depths.join(hist, col("m") <= col("dd"), "left_outer")
+      .groupBy(col("dd"), col("w"))
+      .agg(coalesce(sum(col("c")), lit(0L)).as("ov"))
+      .select(col("dd"), expr("(ov * w) div dd").as("term"), col("ov"))
+      .groupBy()
+      .agg(expr("sum(term) div 10").as("rbo_fx"),
+        max(when(col("dd") === 50, col("ov"))).as("n_common"),
+        max(when(col("dd") === 10, col("ov"))).as("overlap_at_10"))
+  }
+  val q319Sql: String = {
+    val wRows = rboW.zipWithIndex
+      .map { case (w, i) => s"(${i + 1}, $w)" }.mkString(", ")
+    raw"""WITH d AS (
+      |  SELECT doc_id,
+      |    ARRAY_LENGTH(string_split_regex(TRIM(text), '\s+')) AS dl,
+      |    string_split_regex(TRIM(text), '\s+') AS toks
+      |  FROM documents
+      |), toks AS (
+      |  SELECT doc_id, dl, UNNEST(toks) AS term FROM d
+      |), hits AS (
+      |  SELECT doc_id, term, COUNT(*) AS tf, MIN(dl) AS dl
+      |  FROM toks WHERE term IN ('spark', 'hash', 'scan')
+      |  GROUP BY doc_id, term
+      |), dfq AS (SELECT term, COUNT(*) AS df FROM hits GROUP BY term),
+      |tot AS (SELECT COUNT(*) AS n, CAST(SUM(dl) AS BIGINT) AS t_tok FROM d),
+      |scored AS (
+      |  SELECT h.doc_id,
+      |    (CAST(FLOOR(LN(CAST(2 * n + 2 AS DOUBLE) / CAST(2 * df + 1 AS DOUBLE))
+      |        * 1000000) AS BIGINT) * 44 * tf * t_tok)
+      |      // (20 * tf * t_tok + 6 * t_tok + 18 * dl * n) AS term_score
+      |  FROM hits h JOIN dfq USING (term) CROSS JOIN tot
+      |), bm AS (
+      |  SELECT doc_id, CAST(SUM(term_score) AS BIGINT) AS s
+      |  FROM scored GROUP BY doc_id
+      |), bmr AS (
+      |  SELECT doc_id, ROW_NUMBER() OVER (ORDER BY s DESC, doc_id) AS ra FROM bm
+      |), dens AS (
+      |  SELECT doc_id, (COUNT(*) * 1000000000) // MIN(dl) AS s
+      |  FROM toks WHERE term IN ('spark', 'hash', 'scan') GROUP BY doc_id
+      |), densr AS (
+      |  SELECT doc_id, ROW_NUMBER() OVER (ORDER BY s DESC, doc_id) AS rb FROM dens
+      |), hist AS (
+      |  SELECT GREATEST(a.ra, b.rb) AS m, CAST(COUNT(*) AS BIGINT) AS c
+      |  FROM bmr a JOIN densr b ON a.doc_id = b.doc_id
+      |  WHERE a.ra <= 50 AND b.rb <= 50
+      |  GROUP BY 1
+      |), depths(dd, w) AS (VALUES $wRows),
+      |ovd AS (
+      |  SELECT dd, w, CAST(COALESCE(SUM(hist.c), 0) AS BIGINT) AS ov
+      |  FROM depths LEFT JOIN hist ON hist.m <= depths.dd
+      |  GROUP BY 1, 2
+      |)
+      |SELECT CAST(SUM((ov * w) // dd) AS BIGINT) // 10 AS rbo_fx,
+      |  CAST(MAX(CASE WHEN dd = 50 THEN ov END) AS BIGINT) AS n_common,
+      |  CAST(MAX(CASE WHEN dd = 10 THEN ov END) AS BIGINT) AS overlap_at_10
+      |FROM ovd""".stripMargin
+  }
+
   def q185StreamDistinct(spark: SparkSession, dir: String): DataFrame =
     graft.streaming.EventStreams.streamingDistinctBatchDriven(spark, dir)
   val q185Sql: String =
@@ -5577,6 +5676,7 @@ object Pipeline {
     "q310_stream_sample" -> (q310StreamSample _),
     "q311_label_margin" -> (q311LabelMargin _),
     "q314_dbscan_core" -> (q314DbscanCore _),
+    "q319_rbo" -> (q319Rbo _),
     "q297_conformal_ood" -> (q297ConformalOod _),
     "q221_modularity" -> (q221Modularity _),
     "q272_louvain_move" -> (q272LouvainMove _),
@@ -5689,6 +5789,7 @@ object Pipeline {
     "q310_stream_sample" -> q310Sql,
     "q311_label_margin" -> q311Sql,
     "q314_dbscan_core" -> q314Sql,
+    "q319_rbo" -> q319Sql,
     "q297_conformal_ood" -> q297Sql,
     "q221_modularity" -> q221Sql,
     "q272_louvain_move" -> q272Sql,
