@@ -1588,7 +1588,83 @@ object Stats {
       |FROM u ORDER BY lag""".stripMargin
   }
 
+  // -------------------------------------------------------------------
+  // q320: WINSORIZED MEAN per event type (5% both tails) — the robust
+  // location estimate between the mean (q43) and the median (q136):
+  // clamp to the exact k-th ORDER STATISTICS (k_lo = ⌈n/20⌉,
+  // k_hi = n − k_lo + 1 — integer ranks, NOT an interpolated
+  // percentile whose 0.05 factor is not dyadic and would not replay
+  // bit-exactly) and average through the clamped values. Exact:
+  // values land in the ×1e6 decimal fixed point (rule 1), the fence
+  // lookup and the clamped sum both fold from the DISTINCT-value
+  // count frame (q153's discipline — the cum window is value-domain-
+  // bounded, no data-sized sort anywhere), mean = sum div n.
+  // -------------------------------------------------------------------
+  def q320Winsorized(spark: SparkSession, dir: String): DataFrame = {
+    val ev6 = graft.sources.Events.ev(spark, dir)
+      .select(col("event_type"),
+        (col("value").cast(DecimalType(18, 6)) * 1000000).cast("long").as("v6"))
+    val vc = ev6.groupBy(col("event_type"), col("v6"))
+      .agg(count(lit(1)).as("c"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("event_type")).orderBy(asc("v6"))
+      .rowsBetween(Long.MinValue, 0L)
+    val cum = vc.withColumn("cum", sum(col("c")).over(w))
+    val tot = ev6.groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+      .withColumn("k_lo", expr("(n + 19) div 20"))
+      .withColumn("k_hi", expr("n - (n + 19) div 20 + 1"))
+    val fences = cum.join(tot, "event_type")
+      .groupBy(col("event_type"), col("n"), col("k_lo"))
+      .agg(min(when(col("cum") >= col("k_lo"), col("v6"))).as("lo_v6"),
+        min(when(col("cum") >= col("k_hi"), col("v6"))).as("hi_v6"))
+    vc.join(fences, "event_type")
+      .select(col("event_type"), col("n"), col("k_lo"),
+        col("lo_v6"), col("hi_v6"),
+        (col("c") * greatest(least(col("v6"), col("hi_v6")), col("lo_v6")))
+          .as("cs"))
+      .groupBy(col("event_type"), col("n"), col("k_lo"),
+        col("lo_v6"), col("hi_v6"))
+      .agg(sum(col("cs")).as("wins_sum"))
+      .withColumn("wins_mean_v6", expr("wins_sum div n"))
+      .orderBy(asc("event_type"))
+  }
+  val q320Sql: String =
+    """WITH ev6 AS (
+      |  SELECT event_type,
+      |    CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS v6
+      |  FROM events
+      |), vc AS (
+      |  SELECT event_type, v6, CAST(COUNT(*) AS BIGINT) AS c
+      |  FROM ev6 GROUP BY 1, 2
+      |), cum AS (
+      |  SELECT event_type, v6, c,
+      |    CAST(SUM(c) OVER (PARTITION BY event_type ORDER BY v6
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+      |  FROM vc
+      |), tot AS (
+      |  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+      |    (CAST(COUNT(*) AS BIGINT) + 19) // 20 AS k_lo,
+      |    CAST(COUNT(*) AS BIGINT)
+      |      - (CAST(COUNT(*) AS BIGINT) + 19) // 20 + 1 AS k_hi
+      |  FROM ev6 GROUP BY 1
+      |), fences AS (
+      |  SELECT cum.event_type, tot.n, tot.k_lo,
+      |    MIN(CASE WHEN cum >= k_lo THEN v6 END) AS lo_v6,
+      |    MIN(CASE WHEN cum >= k_hi THEN v6 END) AS hi_v6
+      |  FROM cum JOIN tot USING (event_type)
+      |  GROUP BY 1, 2, 3
+      |)
+      |SELECT vc.event_type, f.n, f.k_lo, f.lo_v6, f.hi_v6,
+      |  CAST(SUM(vc.c * GREATEST(LEAST(vc.v6, f.hi_v6), f.lo_v6)) AS BIGINT)
+      |    AS wins_sum,
+      |  CAST(SUM(vc.c * GREATEST(LEAST(vc.v6, f.hi_v6), f.lo_v6)) AS BIGINT)
+      |    // f.n AS wins_mean_v6
+      |FROM vc JOIN fences f USING (event_type)
+      |GROUP BY 1, 2, 3, 4, 5
+      |ORDER BY vc.event_type""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q320_winsorized" -> (q320Winsorized _),
     "q316_ccf_daily" -> (q316CcfDaily _),
     "q298_ols_trend" -> (q298OlsTrend _),
     "q299_dp_release" -> (q299DpRelease _),
@@ -1621,6 +1697,7 @@ object Stats {
   val oracle: Map[String, String] = Map(
     "q298_ols_trend" -> q298Sql,
     "q316_ccf_daily" -> q316Sql,
+    "q320_winsorized" -> q320Sql,
     "q299_dp_release" -> q299Sql,
     "q293_theil_sen" -> q293Sql,
     "q294_benford" -> q294Sql,

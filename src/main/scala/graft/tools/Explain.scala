@@ -196,6 +196,7 @@ object Explain {
     "q306_tpch_q12", "q307_tpch_q16", "q309_tpch_q20", "q311_label_margin",
     "q312_markov_heldout", "q314_dbscan_core", "q315_lm_interp_heldout",
     "q316_ccf_daily", "q317_hill_alpha", "q318_user_gini", "q319_rbo",
+    "q320_winsorized",
     "q263_unigram_heldout", "q265_unigram_fertility", "q271_water_fill", "q275_readability",
     "q228_winnow_pairs", "q22_semi_anti_join", "q230_kcenter", "q231_stream_drift",
     "q232_ra_link_prediction", "q233_pair_alignment", "q235_bpe_fertility", "q236_audio_utterances",
