@@ -1230,7 +1230,12 @@ object Curation {
       .select(col("s"),
         when(col("in_vocab"), col("tok")).otherwise(lit(" OOV ")).as("b"))
     val sb = bucketed.groupBy(col("s"), col("b")).agg(count(lit(1)).as("c_sb"))
+    // the bucket domain is vocabN+1 by construction (top-vocabN tokens
+    // + the OOV sink) — the limit NEVER binds; it exists to encode
+    // that bound structurally so PlanLint's recursive bounded() can
+    // prove the grid's broadcast build side without an allowlist entry
     val cb = sb.groupBy(col("b")).agg(sum(col("c_sb")).as("c_b"))
+      .limit(vocabN + 1)
     val ns = sb.groupBy(col("s")).agg(sum(col("c_sb")).as("n_s"))
     val tot = cb.agg(sum(col("c_b")).as("n_tot"), count(lit(1)).as("n_b"))
     val grid = ns.crossJoin(broadcast(cb.crossJoin(broadcast(tot))))

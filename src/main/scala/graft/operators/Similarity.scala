@@ -275,8 +275,9 @@ object Similarity {
     * keep their previous centroid.
     */
   def trainCentroids(data: DataFrame, vecCol: String, numCells: Int,
-                     iters: Int, dim: Int): Array[Array[Double]] = {
-    var cents = hyperplanes(numCells, dim)
+                     iters: Int, dim: Int,
+                     seed: Long = 42L): Array[Array[Double]] = {
+    var cents = hyperplanes(numCells, dim, seed)
     val vs = data.select(normalized(col(vecCol)).as("v"))
     for (_ <- 0 until iters) {
       // FIXED-POINT vector-sum aggregate (q67's fixed-point convention
@@ -400,6 +401,89 @@ object Similarity {
       .select(col("id"),
         coalesce(col("cluster"), col("id")).as("cluster"))
       .withColumn("keep", (col("id") === col("cluster")).cast("boolean"))
+  }
+
+  /** DBSCAN core/border/noise roles over CELL-BLOCKED candidate pairs
+    * — the scale-safe twin of brute-force density auditing (q314 is
+    * the measurement baseline, this is the 100 TB path): neighbor
+    * pairs are only discovered within a trained coarse-quantizer cell
+    * (the [[semanticDedup]] blocking discipline), so each per-point
+    * neighbor count is a certified LOWER bound of the true count and
+    * the pair volume is n · E[cell] instead of n². The role labels
+    * inherit one-sided guarantees the oracle can replay exactly: an
+    * emitted CORE is a true core (approx count ≥ minPts ⇒ exact count
+    * ≥ minPts), and an emitted BORDER has a true core among its true
+    * neighbors (approx-core ⊆ exact-core, approx-neighbor ⊆
+    * exact-neighbor). Emitted NOISE is the only one-way-uncertifiable
+    * label — blocking can under-count a true core into noise, which
+    * is what the recall floors in the gate measure.
+    *
+    * Scale shape: quantizer cells follow the corpus (max(16, n/500) —
+    * E[cell] ≈ 500 ⇒ pair volume ≈ grids·500·n, corpus-linear);
+    * training is model-only driver traffic ([[trainCentroids]], one
+    * model per seeded grid — a true pair missed by one grid's split is
+    * caught by another); assignment is map-only; the pair stage is an
+    * equi-join on the cell id guarded per-grid by `maxCell` (an
+    * overfull cell is DROPPED — further undercounting, never an O(m²)
+    * reducer — the census discipline of PERF lessons 21/22); the
+    * distinct'd candidate set is scored once per pair and counts/roles
+    * are two hash aggregates plus one semi-join. Dots run codegen'd
+    * ([[dot]]) over floored 1e6 fixed-point normalized vectors —
+    * integer-exact (the q119/q314 convention) — against `thetaFx` in
+    * the 1e12 cos scale.
+    */
+  def dbscanCellRoles(data: DataFrame, idCol: String, vecCol: String,
+                      thetaFx: Long, minPts: Long, numCells: Int = 0,
+                      iters: Int = 2, dim: Int = 64, grids: Int = 3,
+                      maxCell: Int = 10000): DataFrame = {
+    val cells =
+      if (numCells > 0) numCells
+      else math.max(16L, data.count() / 500L).toInt
+    // fixed-point vectors once; each grid re-assigns cells (map-only)
+    val base = data.select(col(idCol).as("id"),
+        normalized(col(vecCol)).as("nv"))
+      .select(col("id"), col("nv"),
+        transform(col("nv"),
+          x => floor(x.cast("double") * lit(1e6)).cast("double")).as("f"))
+      .localCheckpoint(eager = true) // feeds grids×2 join sides + training
+    // `grids` independently-seeded trained quantizers: a ≥θ pair missed
+    // by one grid's cell split is caught by another (the knnGraphDescent
+    // multi-grid recall trick — measured: 1 grid keeps ~0.18 of true
+    // neighbor pairs on this corpus, 3 grids ~0.45)
+    val candPairs = (0 until grids).map { g =>
+      val cents = trainCentroids(base, "nv", cells, iters, dim,
+        seed = 42L + 7L * g)
+      val asg = base.select(col("id"),
+          graft.functions.VectorFunctions.vec_mat_argmax(col("nv"), cents).as("cell"))
+        .withColumn("cell_n", count(lit(1)).over(
+          Window.partitionBy(col("cell"))))
+        .filter(col("cell_n") <= lit(maxCell))
+        .select(col("id"), col("cell"))
+      asg.select(col("id").as("ia"), col("cell"))
+        .join(asg.select(col("id").as("ib"), col("cell")), Seq("cell"))
+        .filter(col("ia") =!= col("ib"))
+        .select(col("ia"), col("ib"))
+    }.reduce(_ union _).distinct() // one dot per unique candidate pair
+    val nbPairs = candPairs
+      .join(base.select(col("id").as("ia"), col("f").as("fa")), Seq("ia"))
+      .join(base.select(col("id").as("ib"), col("f").as("fb")), Seq("ib"))
+      .filter(dotD(col("fa"), col("fb")) >= lit(thetaFx.toDouble))
+      .select(col("ia"), col("ib"))
+      .localCheckpoint(eager = true) // feeds the count agg AND the border semi-join
+    val nb = nbPairs.groupBy(col("ia")).agg(count(lit(1)).as("n_nb"))
+    val pts = data.select(col(idCol).as("id"))
+      .join(nb, col("id") === nb("ia"), "left_outer")
+      .select(col("id"), coalesce(col("n_nb"), lit(0L)).as("n_nb"))
+      .withColumn("is_core", col("n_nb") >= lit(minPts))
+    val coreIds = pts.filter(col("is_core")).select(col("id").as("ib"))
+    val nearCore = nbPairs.join(coreIds, Seq("ib"), "left_semi")
+      .select(col("ia").as("id")).distinct()
+      .withColumn("near_core", lit(true))
+    pts.join(nearCore, Seq("id"), "left_outer")
+      .select(col("id"), col("n_nb"),
+        when(col("is_core"), "core")
+          .when(coalesce(col("near_core"), lit(false)), "border")
+          .otherwise("noise").as("role"))
   }
 
   /** Embedding-space near-duplicate pairs: all pairs above a cosine

@@ -1240,10 +1240,15 @@ object Pipeline {
   // high dimensions a few points become "hubs" that appear in
   // everyone's top-k while antihubs appear in nobody's, which skews
   // kNN-based dedup/retrieval/label-propagation long before recall
-  // metrics show it. Exact top-10 per point within the deterministic
-  // vec_id % 4 = 0 measurement subset (the ANN-gate design: a
-  // measurement term, not a scale path — full-corpus hubness at
-  // 100 TB runs on the q234 NN-descent graph instead), pre-floored
+  // metrics show it. Exact top-10 per point within a deterministic
+  // COUNT-DERIVED measurement subset — vec_id % max(4, n/500) = 0, a
+  // FIXED-SIZE (~500-row) sample whose cost is flat in corpus size
+  // (round-11 fix: the former constant-fraction % 4 subset broadcast
+  // a quarter of the corpus and paid O(n²/16) pairs — correct at
+  // sf0.1, dead at 100×; at the gate scales n ≤ 2000 so the formula
+  // still evaluates to 4 and the output is bit-identical). Full-corpus
+  // hubness at 100 TB runs on the q234 NN-descent graph instead —
+  // that twin is q323. Pre-floored
   // fixed-point dots (floor(x·1e6): products ≤1e12, 64-term sums
   // ≤6.4e13 ≪ 2^53 — the q268 argument, so the codegen'd VecDot
   // double accumulation is exact), ties by cand_id. Output: in-degree
@@ -1252,9 +1257,11 @@ object Pipeline {
   def q290Hubness(spark: SparkSession, dir: String): DataFrame = {
     import graft.functions.VectorFunctions.vec_dot
     import org.apache.spark.sql.expressions.Window
+    // count-derived subset modulus: ~500-row sample at any corpus size
+    val m = math.max(4L, emb(spark, dir).count() / 500L)
     // interpreted HOF: one map-only pass per vector, off the per-pair
     // hot path (q119/q268 precedent); floored values are exact in double
-    val fl = emb(spark, dir).filter(pmod(col("vec_id"), lit(4)) === 0)
+    val fl = emb(spark, dir).filter(pmod(col("vec_id"), lit(m)) === 0)
       .select(col("vec_id"),
         transform(col("embedding"),
           x => floor(x.cast("double") * lit(1e6)).cast("double")).as("v"))
@@ -1275,7 +1282,8 @@ object Pipeline {
     """WITH fl AS (
       |  SELECT vec_id, list_transform(embedding,
       |    x -> FLOOR(CAST(x AS DOUBLE) * 1000000)) AS v
-      |  FROM embeddings WHERE vec_id % 4 = 0
+      |  FROM embeddings
+      |  WHERE vec_id % GREATEST(4, (SELECT COUNT(*) FROM embeddings) // 500) = 0
       |), scored AS (
       |  SELECT a.vec_id AS qid, b.vec_id AS cid,
       |    ROW_NUMBER() OVER (PARTITION BY a.vec_id
@@ -1379,20 +1387,26 @@ object Pipeline {
   // q314: DBSCAN CORE/BORDER/NOISE — density-based structure audit of
   // the embedding space, the clustering family's third paradigm
   // (centroids q67, similarity-graph CC q75; density was absent):
-  // over the vec_id % 4 measurement subset, a point is CORE iff ≥
-  // minPts neighbors at cosine ≥ 0.25 (exact: normalize → floor·1e6
-  // → integer-exact dots ≈ cos·1e12, the q119 convention — the
-  // threshold compares FLOORED dots, a defined quantity), BORDER iff
-  // non-core with a core neighbor, NOISE otherwise. minPts scales
-  // with subset density (max(3, n div 40)) so the classification
-  // stays non-degenerate at every gate scale — a fixed count would be
-  // all-core at 10× (rule 14's calibration lesson, applied to a
-  // parameter instead of a sketch).
+  // over a COUNT-DERIVED measurement subset — vec_id % max(4, n/500)
+  // = 0, a fixed-size ~500-row sample whose all-pairs cost is flat in
+  // corpus size (round-11 fix: the constant-fraction % 4 subset was
+  // O(n²/16) pairs + an n/4 broadcast — dead at 100×; at gate scales
+  // the formula still evaluates to 4, output bit-identical; the
+  // full-corpus density audit is the cell-blocked twin q322) — a
+  // point is CORE iff ≥ minPts neighbors at cosine ≥ 0.25 (exact:
+  // normalize → floor·1e6 → integer-exact dots ≈ cos·1e12, the q119
+  // convention — the threshold compares FLOORED dots, a defined
+  // quantity), BORDER iff non-core with a core neighbor, NOISE
+  // otherwise. minPts scales with subset density (max(3, n div 40))
+  // so the classification stays non-degenerate at every gate scale —
+  // a fixed count would be all-core at 10× (rule 14's calibration
+  // lesson, applied to a parameter instead of a sketch).
   // -------------------------------------------------------------------
   def q314DbscanCore(spark: SparkSession, dir: String): DataFrame = {
     import graft.functions.VectorFunctions.vec_dot
     val theta = 250000000000L // 0.25 in the 1e12 dot scale
-    val fl = emb(spark, dir).filter(pmod(col("vec_id"), lit(4)) === 0)
+    val m = math.max(4L, emb(spark, dir).count() / 500L)
+    val fl = emb(spark, dir).filter(pmod(col("vec_id"), lit(m)) === 0)
       .select(col("vec_id"),
         transform(Similarity.normalized(col("embedding")),
           x => floor(x.cast("double") * lit(1e6)).cast("double")).as("v"))
@@ -1428,7 +1442,8 @@ object Pipeline {
       |  SELECT vec_id, list_transform(embedding,
       |    x -> FLOOR(CAST(x AS DOUBLE) / sqrt(list_sum(list_transform(embedding,
       |      y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE)))) * 1000000)) AS v
-      |  FROM embeddings WHERE vec_id % 4 = 0
+      |  FROM embeddings
+      |  WHERE vec_id % GREATEST(4, (SELECT COUNT(*) FROM embeddings) // 500) = 0
       |), nbp AS (
       |  SELECT a.vec_id, b.vec_id AS qid
       |  FROM nv a JOIN nv b ON a.vec_id != b.vec_id
@@ -1457,52 +1472,69 @@ object Pipeline {
   // q297: CONFORMAL OOD GATE — split-conformal novelty detection over
   // embeddings (Vovk et al.; the distribution-free acceptance gate an
   // ingest pipeline puts in front of a curated corpus): score = NN
-  // similarity to the REFERENCE corpus (vec_id % 2 = 0); the
-  // CALIBRATION split (% 4 = 1) sets q̂ = the ⌈(n+1)(1−α)⌉-th largest
-  // calibration NN-dot (α = 0.1, so ≤ ~10% of in-distribution items
-  // flag by construction — the conformal guarantee); incoming items
-  // (% 4 = 3) flag iff their NN-dot < q̂. Exact: pre-floored
-  // fixed-point dots (q268's argument), deterministic rank pick
-  // (ties by point id — tied rows emit the same q̂), pmod-bounded
-  // pair joins (PlanLint structural). At 100 TB the reference side
-  // feeds an ANN index (q52/q179); brute force here is the
-  // measurement baseline, and the conformal algebra is index-agnostic.
+  // similarity to the REFERENCE corpus; the CALIBRATION split sets
+  // q̂ = the ⌈(n+1)(1−α)⌉-th largest calibration NN-dot (α = 0.1, so
+  // ≤ ~10% of in-distribution items flag by construction — the
+  // conformal guarantee); incoming items flag iff their NN-dot < q̂.
+  // Every split is a COUNT-DERIVED fixed-size sample (round-11 fix:
+  // the former % 2 reference BROADCAST HALF THE CORPUS into a BNLJ —
+  // correct at sf0.1, over the 8 GB broadcast limit long before
+  // 100× — now ref = % max(2, n/1000) ≈ 1000 rows, cal/test =
+  // residues 1/3 of % max(4, n/500) ≈ 500 rows each, so the audit
+  // cost is flat in corpus size; at gate scales the formulas evaluate
+  // to the old 2/4 and the output is bit-identical). Exact:
+  // pre-floored fixed-point dots (q268's argument), deterministic
+  // rank pick (ties by point id — tied rows emit the same q̂). This
+  // query is the brute-force measurement BASELINE; the production
+  // 100 TB shape — corpus-scale reference served by the trained IVF
+  // index, corpus-scale test stream, bounded calibration — is its
+  // twin q321, whose conformal algebra is identical.
   // -------------------------------------------------------------------
   def q297ConformalOod(spark: SparkSession, dir: String): DataFrame = {
     import graft.functions.VectorFunctions.vec_dot
     import org.apache.spark.sql.expressions.Window
+    val nTot = emb(spark, dir).count()
+    val mRef = math.max(2L, nTot / 1000L)
+    val mCal = math.max(4L, nTot / 500L)
     val fl = emb(spark, dir).select(col("vec_id"),
       transform(col("embedding"),
         x => floor(x.cast("double") * lit(1e6)).cast("double")).as("v"))
-    val ref = fl.filter(pmod(col("vec_id"), lit(2)) === 0)
+    val ref = fl.filter(pmod(col("vec_id"), lit(mRef)) === 0)
       .select(col("vec_id").as("rid"), col("v").as("rv"))
     def nn(points: DataFrame): DataFrame = points
       .join(broadcast(ref))
       .select(col("vec_id"), vec_dot(col("v"), col("rv")).as("dot"))
       .groupBy(col("vec_id")).agg(max(col("dot")).as("nn"))
-    val cal = nn(fl.filter(pmod(col("vec_id"), lit(4)) === 1))
+    val cal = nn(fl.filter(pmod(col("vec_id"), lit(mCal)) === 1))
     val n = cal.groupBy().agg(count(lit(1)).as("n"))
     val w = Window.orderBy(desc("nn"), asc("vec_id"))
     val qhat = cal.crossJoin(broadcast(n))
       .withColumn("rn", row_number().over(w).cast("long"))
       .filter(col("rn") === expr("((n + 1) * 9 + 9) div 10"))
+      .limit(1) // provably ≤1 row (the rank filter already is; this makes it structural for PlanLint)
       .select(col("nn").as("qhat"))
-    nn(fl.filter(pmod(col("vec_id"), lit(4)) === 3))
+    nn(fl.filter(pmod(col("vec_id"), lit(mCal)) === 3))
       .crossJoin(broadcast(qhat))
       .select(col("vec_id"), col("nn").cast("long").as("nn_dot_q"),
         (col("nn") < col("qhat")).as("flagged"))
       .orderBy(asc("vec_id"))
   }
   val q297Sql: String =
-    """WITH fl AS (
+    """WITH mods AS (
+      |  SELECT GREATEST(2, COUNT(*) // 1000) AS m_ref,
+      |    GREATEST(4, COUNT(*) // 500) AS m_cal
+      |  FROM embeddings
+      |), fl AS (
       |  SELECT vec_id, list_transform(embedding,
       |    x -> FLOOR(CAST(x AS DOUBLE) * 1000000)) AS v
       |  FROM embeddings
-      |), ref AS (SELECT vec_id AS rid, v AS rv FROM fl WHERE vec_id % 2 = 0
+      |), ref AS (SELECT vec_id AS rid, v AS rv FROM fl
+      |  WHERE vec_id % (SELECT m_ref FROM mods) = 0
       |), caln AS (
       |  SELECT c.vec_id, MAX(list_sum(list_transform(list_zip(c.v, r.rv),
       |    p -> p[1] * p[2]))) AS nn
-      |  FROM fl c JOIN ref r ON c.vec_id % 4 = 1 GROUP BY 1
+      |  FROM fl c JOIN ref r ON c.vec_id % (SELECT m_cal FROM mods) = 1
+      |  GROUP BY 1
       |), k AS (
       |  SELECT ((CAST(COUNT(*) AS BIGINT) + 1) * 9 + 9) // 10 AS k FROM caln
       |), qh AS (
@@ -1513,11 +1545,288 @@ object Pipeline {
       |), testn AS (
       |  SELECT t.vec_id, MAX(list_sum(list_transform(list_zip(t.v, r.rv),
       |    p -> p[1] * p[2]))) AS nn
-      |  FROM fl t JOIN ref r ON t.vec_id % 4 = 3 GROUP BY 1
+      |  FROM fl t JOIN ref r ON t.vec_id % (SELECT m_cal FROM mods) = 3
+      |  GROUP BY 1
       |)
       |SELECT vec_id, CAST(nn AS BIGINT) AS nn_dot_q,
       |  nn < (SELECT qhat FROM qh) AS flagged
       |FROM testn ORDER BY vec_id""".stripMargin
+
+  // -------------------------------------------------------------------
+  // q321: CONFORMAL OOD GATE, IVF-ROUTED — q297's scale-safe twin and
+  // the production 100 TB shape (the verdict-r10 missing rung): the
+  // REFERENCE corpus (vec_id % 2 = 0, corpus-scale) is served by the
+  // trained IVF coarse quantizer (q52's index — trainCentroids +
+  // argmax cell assignment), so the NN score is an equi-join on the
+  // cell id (shuffle-joinable at any scale, nothing corpus-sized is
+  // ever broadcast) with each query probing its top-4 of 16 cells and
+  // exact-rescoring ONLY in-cell candidates with the same pre-floored
+  // fixed-point dots as q297. CALIBRATION is a count-derived
+  // fixed-size sample (% max(4, n/500) = 1 ≈ 500 rows — a labeled
+  // holdout is model-sized by design, which is what keeps the
+  // conformal rank window bounded); the TEST stream is a constant
+  // fraction (% 4 = 3) on purpose — incoming items are corpus-scale
+  // in production and their path is linear (probe + in-cell rescore +
+  // per-item max). The conformal algebra (q̂ = ⌈(n+1)(1−α)⌉-th
+  // largest calibration score, α = 0.1) is IDENTICAL to q297 and
+  // stays valid under approximate scores because cal and test use the
+  // SAME score function (exchangeability is all the guarantee needs).
+  // A query whose probed cells hold no reference vector scores the
+  // -1e14 sentinel (maximally novel → flagged). Oracle: containment +
+  // exact-bound (the q35/q52 discipline) — every emitted score is ≤
+  // the exact NN dot AND a member of the query's true dot set, q̂ is
+  // ≤ the exact conformal q̂ and a member of the calibration dot set,
+  // flags replay from the emitted columns, coverage is exact, and an
+  // NN-recall floor (emitted score = exact NN) certifies index
+  // quality: measured 0.600 @ sf0.01 / 0.566 @ sf0.1 → floor 0.42
+  // ≈ 0.75× the binding figure (rule 9; re-measure before changing
+  // IVF params). Flag-rate sanity ≤ 25% + 2 (α = 10%; measured
+  // 0.112 / 0.110 — approximate scores keep the guarantee because
+  // cal and test share the score function).
+  // -------------------------------------------------------------------
+  def q321ConformalIvf(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.VectorFunctions.{vec_dot, vec_mat_argmax, vec_mat_dots}
+    import org.apache.spark.sql.expressions.Window
+    val e = emb(spark, dir)
+    val nTot = e.count()
+    val mCal = math.max(4L, nTot / 500L)
+    val refRaw = e.filter(pmod(col("vec_id"), lit(2)) === 0)
+    // cells follow the reference corpus (E[cell] ≈ 500; 16 at gate
+    // scales) with nProbe FIXED at 4, so the per-query candidate set
+    // is ~2000 vectors flat in corpus size — the recall/cost dial of
+    // the IVF family, not a constant corpus fraction
+    val nCells = math.max(16L, nTot / 2L / 500L).toInt
+    val cents = Similarity.trainCentroids(refRaw, "embedding",
+      numCells = nCells, iters = 2, dim = 64)
+    def floored(c: org.apache.spark.sql.Column) =
+      transform(c, x => floor(x.cast("double") * lit(1e6)).cast("double"))
+    val ref = refRaw.select(col("vec_id").as("rid"),
+        vec_mat_argmax(Similarity.normalized(col("embedding")), cents).as("cell"),
+        floored(col("embedding")).as("rv"))
+      .localCheckpoint(eager = true) // shared by the cal and test branches (rule 16)
+    def nnIvf(points: DataFrame): DataFrame = {
+      val qb = points.select(col("vec_id"),
+        Similarity.normalized(col("embedding")).as("nvq"),
+        floored(col("embedding")).as("qv"))
+      val probes = qb.select(col("vec_id"), col("qv"),
+          posexplode(vec_mat_dots(col("nvq"), cents)).as(Seq("cell", "s")))
+        .withColumn("rk", row_number().over(
+          Window.partitionBy(col("vec_id")).orderBy(desc("s"), asc("cell"))))
+        .filter(col("rk") <= 4)
+        .select(col("vec_id"), col("qv"), col("cell"))
+      val agg = probes.join(ref, Seq("cell"))
+        .select(col("vec_id"), vec_dot(col("qv"), col("rv")).as("dot"))
+        .groupBy(col("vec_id")).agg(max(col("dot")).as("nn0"))
+      qb.select(col("vec_id")).join(agg, Seq("vec_id"), "left_outer")
+        .select(col("vec_id"), coalesce(col("nn0"), lit(-1e14)).as("nn"))
+    }
+    val cal = nnIvf(e.filter(pmod(col("vec_id"), lit(mCal)) === 1))
+    val n = cal.groupBy().agg(count(lit(1)).as("n"))
+    val w = Window.orderBy(desc("nn"), asc("vec_id"))
+    val qhat = cal.crossJoin(broadcast(n))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") === expr("((n + 1) * 9 + 9) div 10"))
+      .limit(1) // ≤1 row by the rank filter; structural for PlanLint
+      .select(col("nn").as("qhat"))
+    nnIvf(e.filter(pmod(col("vec_id"), lit(4)) === 3))
+      .crossJoin(broadcast(qhat))
+      .select(col("vec_id"), col("nn").cast("long").as("nn_dot_q"),
+        col("qhat").cast("long").as("qhat_q"),
+        (col("nn") < col("qhat")).as("flagged"))
+      .orderBy(asc("vec_id"))
+  }
+  val q321Sql: String =
+    """WITH fl AS (
+      |  SELECT vec_id, list_transform(embedding,
+      |    x -> FLOOR(CAST(x AS DOUBLE) * 1000000)) AS v
+      |  FROM embeddings
+      |), ref AS (SELECT vec_id AS rid, v AS rv FROM fl WHERE vec_id % 2 = 0
+      |), mc AS (
+      |  SELECT GREATEST(4, COUNT(*) // 500) AS m FROM embeddings
+      |), calp AS (
+      |  SELECT c.vec_id, list_sum(list_transform(list_zip(c.v, r.rv),
+      |    p -> p[1] * p[2])) AS d
+      |  FROM fl c JOIN ref r ON c.vec_id % (SELECT m FROM mc) = 1
+      |), caln AS (SELECT vec_id, MAX(d) AS nn FROM calp GROUP BY 1
+      |), exk AS (
+      |  SELECT ((CAST(COUNT(*) AS BIGINT) + 1) * 9 + 9) // 10 AS k FROM caln
+      |), exq AS (
+      |  SELECT nn AS qhat FROM (
+      |    SELECT nn, ROW_NUMBER() OVER (ORDER BY nn DESC, vec_id) AS rn
+      |    FROM caln)
+      |  WHERE rn = (SELECT k FROM exk)
+      |), tstp AS (
+      |  SELECT t.vec_id, list_sum(list_transform(list_zip(t.v, r.rv),
+      |    p -> p[1] * p[2])) AS d
+      |  FROM fl t JOIN ref r ON t.vec_id % 4 = 3
+      |), tstn AS (SELECT vec_id, MAX(d) AS nn FROM tstp GROUP BY 1
+      |), g AS (
+      |  SELECT * FROM read_parquet('__GRAFT_OUT__/q321_conformal_ivf/*.parquet')
+      |)
+      |SELECT g.vec_id, g.nn_dot_q, g.qhat_q, g.flagged
+      |FROM g JOIN tstn x ON x.vec_id = g.vec_id
+      |WHERE g.nn_dot_q <= x.nn
+      |  AND (g.nn_dot_q = -100000000000000 OR EXISTS (
+      |    SELECT 1 FROM tstp p WHERE p.vec_id = g.vec_id AND p.d = g.nn_dot_q))
+      |  AND g.flagged = (g.nn_dot_q < g.qhat_q)
+      |  AND g.qhat_q <= (SELECT qhat FROM exq)
+      |  AND (g.qhat_q = -100000000000000 OR EXISTS (
+      |    SELECT 1 FROM calp p WHERE p.d = g.qhat_q))
+      |  AND (SELECT COUNT(*) FROM g) = (SELECT COUNT(*) FROM tstn)
+      |  AND (SELECT COUNT(*) FROM g g2
+      |       JOIN tstn t2 ON t2.vec_id = g2.vec_id AND g2.nn_dot_q = t2.nn)
+      |    >= CAST(0.42 * (SELECT COUNT(*) FROM tstn) AS BIGINT)
+      |  AND (SELECT COUNT(*) FROM g g3 WHERE g3.flagged)
+      |    <= (SELECT COUNT(*) FROM g) // 4 + 2
+      |UNION ALL SELECT -1, -1, -1, false WHERE (SELECT COUNT(*)
+      |  FROM read_parquet('__GRAFT_OUT__/q321_conformal_ivf/*.parquet')) = 0
+      |ORDER BY vec_id""".stripMargin
+
+  // -------------------------------------------------------------------
+  // q322: DBSCAN ROLES, CELL-BLOCKED — q314's scale-safe twin over the
+  // FULL corpus: neighbor candidates come only from the trained
+  // coarse-quantizer cell (Similarity.dbscanCellRoles — the
+  // semanticDedup blocking discipline: cells follow the corpus at
+  // max(16, n/500), so the pair volume is ~500·n, corpus-linear, and
+  // an overfull cell is dropped by the maxCell census guard, never
+  // handed to an O(m²) reducer; 3 seeded grids union their candidate
+  // pairs — one grid keeps only ~0.18 of true ≥θ pairs on this
+  // weakly-clustered corpus, three keep ~0.45). Same eps as q314
+  // (floored-dot cosine ≥ 0.25); minPts = max(3, n/80), kept
+  // IDENTICAL between the emitted and the exact-oracle side so the
+  // one-sided theorems hold. Role mix measured non-degenerate at both
+  // gate scales (sf0.01: 210 core / 260 border / 30 noise; sf0.1:
+  // 216 / 1650 / 134). Oracle: exact full-n² ground truth in DuckDB —
+  // every emitted count ≤ the exact count, role replay
+  // (core ⟺ n_nb ≥ minPts from the emitted count), every emitted
+  // border has a true core among its TRUE neighbors (one-sided role
+  // soundness: approx-core ⊆ exact-core), coverage = n, and two
+  // recall floors: pair mass ≥ 0.31× exact (measured 0.451/0.415 at
+  // sf0.01/sf0.1 — rule 9's 0.75× on the binding scale) and emitted
+  // cores ≥ 0.08× the exact cores at the same minPts (measured
+  // 0.436/0.108 — low at sf0.1 because minPts=25 makes nearly every
+  // point an exact core there while blocked counts run ~0.42× exact;
+  // the floor still catches a collapsed-core regression).
+  // -------------------------------------------------------------------
+  def q322DbscanCells(spark: SparkSession, dir: String): DataFrame = {
+    val e = emb(spark, dir)
+    val minPts = math.max(3L, e.count() / 80L)
+    Similarity.dbscanCellRoles(e, "vec_id", "embedding",
+        thetaFx = 250000000000L, minPts = minPts)
+      .select(col("id").as("vec_id"), col("n_nb"), col("role"))
+      .orderBy(asc("vec_id"))
+  }
+  val q322Sql: String =
+    """WITH nv AS (
+      |  SELECT vec_id, list_transform(embedding,
+      |    x -> FLOOR(CAST(x AS DOUBLE) / sqrt(list_sum(list_transform(embedding,
+      |      y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE)))) * 1000000)) AS v
+      |  FROM embeddings
+      |), mp AS (
+      |  SELECT GREATEST(3, COUNT(*) // 80) AS m, COUNT(*) AS n FROM embeddings
+      |), exn AS (
+      |  SELECT a.vec_id, CAST(COUNT(*) AS BIGINT) AS c
+      |  FROM nv a JOIN nv b ON a.vec_id != b.vec_id
+      |  WHERE list_sum(list_transform(list_zip(a.v, b.v), p -> p[1] * p[2]))
+      |    >= 250000000000
+      |  GROUP BY 1
+      |), pts AS (
+      |  SELECT nv.vec_id, COALESCE(exn.c, 0) AS exc
+      |  FROM nv LEFT JOIN exn ON exn.vec_id = nv.vec_id
+      |), excore AS (
+      |  SELECT vec_id FROM pts WHERE exc >= (SELECT m FROM mp)
+      |), g AS (
+      |  SELECT * FROM read_parquet('__GRAFT_OUT__/q322_dbscan_cells/*.parquet')
+      |)
+      |SELECT g.vec_id, g.n_nb, g.role
+      |FROM g JOIN pts p ON p.vec_id = g.vec_id
+      |WHERE g.n_nb <= p.exc
+      |  AND (g.role = 'core') = (g.n_nb >= (SELECT m FROM mp))
+      |  AND (g.role != 'border' OR EXISTS (
+      |    SELECT 1 FROM nv a JOIN nv b ON a.vec_id = g.vec_id
+      |      AND b.vec_id != a.vec_id
+      |    JOIN excore c ON c.vec_id = b.vec_id
+      |    WHERE list_sum(list_transform(list_zip(a.v, b.v),
+      |      p -> p[1] * p[2])) >= 250000000000))
+      |  AND (SELECT COUNT(*) FROM g) = (SELECT n FROM mp)
+      |  AND (SELECT SUM(n_nb) FROM g)
+      |    >= CAST(0.31 * (SELECT SUM(exc) FROM pts) AS BIGINT)
+      |  AND (SELECT COUNT(*) FROM g g2 WHERE g2.role = 'core')
+      |    >= CAST(0.08 * (SELECT COUNT(*) FROM excore) AS BIGINT)
+      |UNION ALL SELECT -1, -1, 'none' WHERE (SELECT COUNT(*)
+      |  FROM read_parquet('__GRAFT_OUT__/q322_dbscan_cells/*.parquet')) = 0
+      |ORDER BY vec_id""".stripMargin
+
+  // -------------------------------------------------------------------
+  // q323: HUBNESS TOP HUBS FROM THE kNN GRAPH — q290's scale-safe twin
+  // over the FULL corpus: the reverse-kNN in-degree audit runs on the
+  // NN-descent graph the pipeline already builds (q234's exact
+  // operator and params — corpus-linear by construction: ring-paired
+  // init, k-capped reverse edges, candidate-bounded descent), so
+  // hubness costs one groupBy(dst) + a top-20 TakeOrdered on top of
+  // the graph — no all-pairs term anywhere. Output: the top-20 hub
+  // points by graph in-degree (ties by vec_id). Oracle (containment +
+  // structure + overlap floor, the q234 discipline): exactly 20
+  // distinct rows, ranks 1..20 consecutive with non-increasing
+  // in-degree, every in-degree in [1, n], and ≥ 12 of the 20 emitted
+  // hubs must lie in the EXACT TOP-DECILE-with-ties hub pool (the
+  // n/10-th largest exact in-degree, ties included) recomputed by
+  // full brute force in DuckDB. The pool is rank-PROPORTIONAL and
+  // tie-widened because the in-degree domain is narrow (max exact
+  // in-degree ≈ 20-21 at gate scales): a fixed top-60 pool measured
+  // 19/20 at sf0.01 but 7/20 at sf0.1 purely from tie-band narrowing,
+  // while the decile pool reads 16/20 at BOTH scales → floor 12 =
+  // 0.75×, rule 9.
+  // -------------------------------------------------------------------
+  def q323HubnessGraph(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val g = knnGraphOf(spark, dir) // memoized — shared with q234
+    g.groupBy(col("dst")).agg(count(lit(1)).as("indeg"))
+      .orderBy(desc("indeg"), asc("dst")).limit(20)
+      .withColumn("rank", row_number().over( // 20-row frame: bounded window
+        Window.orderBy(desc("indeg"), asc("dst"))).cast("long"))
+      .select(col("rank"), col("dst").as("vec_id"), col("indeg"))
+      .orderBy(asc("rank"))
+  }
+  val q323Sql: String =
+    """WITH nv AS (
+      |  SELECT vec_id, list_transform(embedding,
+      |    x -> CAST(x AS DOUBLE) / sqrt(list_sum(list_transform(embedding,
+      |      y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE))))) AS v
+      |  FROM embeddings
+      |), rk AS (
+      |  SELECT a.vec_id AS ia, b.vec_id AS ib,
+      |    ROW_NUMBER() OVER (PARTITION BY a.vec_id
+      |      ORDER BY list_sum(list_transform(list_zip(a.v, b.v),
+      |        p -> p[1] * p[2])) DESC, b.vec_id) AS rnk
+      |  FROM nv a JOIN nv b ON a.vec_id != b.vec_id
+      |), ind AS (
+      |  SELECT ib, CAST(COUNT(*) AS BIGINT) AS ideg
+      |  FROM rk WHERE rnk <= 10 GROUP BY 1
+      |), thr AS (
+      |  SELECT ideg FROM (
+      |    SELECT ideg, ROW_NUMBER() OVER (ORDER BY ideg DESC) AS rn FROM ind)
+      |  WHERE rn = (SELECT COUNT(*) // 10 FROM embeddings)
+      |), pool AS (
+      |  SELECT ib FROM ind WHERE ideg >= (SELECT ideg FROM thr)
+      |), g AS (
+      |  SELECT * FROM read_parquet('__GRAFT_OUT__/q323_hubness_graph/*.parquet')
+      |), chk AS (
+      |  SELECT rank, vec_id, indeg,
+      |    LAG(rank) OVER (ORDER BY rank) AS prank,
+      |    LAG(indeg) OVER (ORDER BY rank) AS pind
+      |  FROM g
+      |)
+      |SELECT c.rank, c.vec_id, c.indeg
+      |FROM chk c
+      |WHERE c.indeg >= 1 AND c.indeg <= (SELECT COUNT(*) FROM nv)
+      |  AND (c.rank = 1 OR (c.prank = c.rank - 1 AND c.pind >= c.indeg))
+      |  AND (SELECT COUNT(*) FROM g) = 20
+      |  AND (SELECT COUNT(DISTINCT vec_id) FROM g) = 20
+      |  AND (SELECT COUNT(*) FROM g gg JOIN pool ON pool.ib = gg.vec_id) >= 12
+      |UNION ALL SELECT -1, -1, -1 WHERE (SELECT COUNT(*)
+      |  FROM read_parquet('__GRAFT_OUT__/q323_hubness_graph/*.parquet')) = 0
+      |ORDER BY rank""".stripMargin
 
   // -------------------------------------------------------------------
   // q268: MATRYOSHKA / DIMENSION-TRUNCATION RECALL — the dimension-
@@ -1846,10 +2155,22 @@ object Pipeline {
   // default (8) is the 100 TB setting; re-measure before changing
   // params, rule 9/14.
   // -------------------------------------------------------------------
+  // The kNN graph is built ONCE per (session, dir) and shared by q234
+  // (edge gate) and q323 (hubness audit) — the tokenizer-chain
+  // memoization pattern (trainedMerges97Of), and the production shape:
+  // a pipeline builds its neighbor structure once and derives audits
+  // from it. Lazy localCheckpoint: the first consumer materializes.
+  private val knnCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+  private def knnGraphOf(spark: SparkSession, dir: String): DataFrame =
+    knnCache.computeIfAbsent((spark, dir), _ =>
+      Similarity.knnGraphDescent(emb(spark, dir), "vec_id", "embedding",
+          k = 10, numCells = 16, dim = 64, grids = 4, rounds = 2,
+          initWidth = 96)
+        .localCheckpoint(eager = false))
+
   def q234KnnGraph(spark: SparkSession, dir: String): DataFrame =
-    Similarity.knnGraphDescent(emb(spark, dir), "vec_id", "embedding",
-        k = 10, numCells = 16, dim = 64, grids = 4, rounds = 2,
-        initWidth = 96)
+    knnGraphOf(spark, dir)
       .select(col("src"), col("dst"), col("rank"),
         round(col("cosine"), 6).as("cosine_r"))
       .orderBy(asc("src"), asc("rank"))
@@ -5678,6 +5999,9 @@ object Pipeline {
     "q314_dbscan_core" -> (q314DbscanCore _),
     "q319_rbo" -> (q319Rbo _),
     "q297_conformal_ood" -> (q297ConformalOod _),
+    "q321_conformal_ivf" -> (q321ConformalIvf _),
+    "q322_dbscan_cells" -> (q322DbscanCells _),
+    "q323_hubness_graph" -> (q323HubnessGraph _),
     "q221_modularity" -> (q221Modularity _),
     "q272_louvain_move" -> (q272LouvainMove _),
     "q273_walk_pmi" -> (q273WalkPmi _),
@@ -5791,6 +6115,9 @@ object Pipeline {
     "q314_dbscan_core" -> q314Sql,
     "q319_rbo" -> q319Sql,
     "q297_conformal_ood" -> q297Sql,
+    "q321_conformal_ivf" -> q321Sql,
+    "q322_dbscan_cells" -> q322Sql,
+    "q323_hubness_graph" -> q323Sql,
     "q221_modularity" -> q221Sql,
     "q272_louvain_move" -> q272Sql,
     "q273_walk_pmi" -> q273Sql,

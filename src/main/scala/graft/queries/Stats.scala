@@ -1086,8 +1086,13 @@ object Stats {
       .crossJoin(broadcast(tot))
       .select(col("source"), col("n1"), (col("n") - col("n1")).as("n2"),
         (col("r1_2") - col("n1") * (col("n1") + 1L)).as("u2"))
+      // n2 > 0 guard (ADVICE r10): if one source ever comprised the
+      // whole table, Spark div would yield NULL while DuckDB // raises
+      // division-by-zero — guard BOTH sides so the oracle run matches.
+      // u2 ≥ 0 by construction (it is 2·U, U ∈ [0, n1·n2]), so the
+      // div-vs-floor hazard does not apply here.
       .withColumn("auc_fx",
-        expr("u2 * 1000000L div (2 * n1 * n2)"))
+        expr("CASE WHEN n2 > 0 THEN u2 * 1000000L div (2 * n1 * n2) END"))
       .orderBy(asc("source"))
   }
   val q284Sql: String =
@@ -1109,8 +1114,10 @@ object Stats {
       |)
       |SELECT source, n1, (SELECT n FROM tot) - n1 AS n2,
       |  r1_2 - n1 * (n1 + 1) AS u2,
-      |  ((r1_2 - n1 * (n1 + 1)) * 1000000)
-      |    // (2 * n1 * ((SELECT n FROM tot) - n1)) AS auc_fx
+      |  CASE WHEN (SELECT n FROM tot) - n1 > 0 THEN
+      |    ((r1_2 - n1 * (n1 + 1)) * 1000000)
+      |      // (2 * n1 * ((SELECT n FROM tot) - n1))
+      |  END AS auc_fx
       |FROM agg ORDER BY source""".stripMargin
 
   // -------------------------------------------------------------------
@@ -1625,7 +1632,14 @@ object Stats {
       .groupBy(col("event_type"), col("n"), col("k_lo"),
         col("lo_v6"), col("hi_v6"))
       .agg(sum(col("cs")).as("wins_sum"))
-      .withColumn("wins_mean_v6", expr("wins_sum div n"))
+      // FLOOR division, not truncation (ADVICE r10): Spark `div`
+      // truncates toward zero while the oracle's `//` floors — they
+      // diverge by 1 on negative numerators. events.value is
+      // non-negative in current data, but the correction keeps the
+      // query exact if the domain ever includes negatives, in pure
+      // int64 (the double+floor route would lose exactness past 2^53).
+      .withColumn("wins_mean_v6",
+        expr("wins_sum div n - (CASE WHEN wins_sum % n != 0 AND wins_sum < 0 THEN 1 ELSE 0 END)"))
       .orderBy(asc("event_type"))
   }
   val q320Sql: String =

@@ -159,7 +159,14 @@ object Explain {
       "q302_tpch_q2" -> "the correlated-MIN subquery decorrelated: per-(part,supplier) min-cents aggregate (partial-agged), dimension chain fully broadcast (region→nation→supplier and the filtered part list), per-part min as a second small aggregate joined back on (part, cost) — no correlated re-execution, no window over the fact table",
       "q308_tpch_q19" -> "the OR-of-ANDs classic: all three brand/size branches stay inside the broadcast part build side and the disjunct (incl. the l_quantity bounds) evaluates as ONE codegen'd filter above the broadcast hash join — the fact table streams once; the aggregate is a 1-row decimal dsum",
       "q301_source_jsd" -> "ONE corpus-sized token explode feeds the same partial-agged (s, b) counts as q245; the pairwise stage is entirely domain-sized — the source frame crossJoins its broadcast self (the q125 allowlist class) and the (pair × bucket) grid left-joins counts twice on (source, bucket); per-term fixed-point floors sum as exact integers in a partial-agged fold",
-      "q290_hubness" -> "both sides of the pair join are the deterministic vec_id % 4 = 0 measurement subset (the build side's pmod filter is what bounds the BNLJ — PlanLint's structural pmod-subset rule, no allowlist entry); dots are codegen'd VecDot over pre-floored exact fixed-point arrays, the top-10 window partitions by query id, and both in-degree folds partial-aggregate — the histogram is subset-sized, never corpus-sized",
+      "q290_hubness" -> "both sides of the pair join are the COUNT-DERIVED measurement subset (vec_id % max(4, n/500) = 0 — a fixed ~500-row sample, flat in corpus size; allowlisted in PlanLint since the ≥32 pmod floor cannot see the driver-side derivation); dots are codegen'd VecDot over pre-floored exact fixed-point arrays, the top-10 window partitions by query id, and both in-degree folds partial-aggregate — the histogram is subset-sized, never corpus-sized; the corpus-scale path is the q323 graph twin",
+      "q297_conformal_ood" -> "the brute-force conformal BASELINE, every split a COUNT-DERIVED fixed-size sample (ref % max(2, n/1000), cal/test residues of % max(4, n/500) — the round-11 bounding; formerly ref = HALF the corpus broadcast into a BNLJ): pair joins are sample × sample, the rank window runs over the ~500-row calibration frame, q̂ broadcasts as a GlobalLimit(1)-bounded 1-row frame; the corpus-scale path is the q321 IVF twin",
+      "q314_dbscan_core" -> "brute-force density BASELINE over the COUNT-DERIVED % max(4, n/500) subset (round-11 bounding — formerly a quarter of the corpus): the pair BNLJ is sample × sample with codegen'd VecDot on floored normalized vectors, neighbor counts and roles fold in two partial-agged aggregates plus one semi-join, minPts derives from the subset count broadcast as a 1-row frame; the corpus-scale path is the q322 cell-blocked twin",
+      "q321_conformal_ivf" -> "the production conformal shape: NOTHING corpus-sized is broadcast — the reference corpus is cell-assigned by the trained IVF quantizer (map-only vec_mat_argmax) and localCheckpointed once, each query explodes to its top-4 probe cells (probe-bounded window) and EQUI-JOINS the reference on the cell id, in-cell rescoring is codegen'd VecDot with a per-query partial-agged max; only the ~500-row calibration frame sees the rank window and q̂ broadcasts as a GlobalLimit(1) 1-row frame — the test stream's path is scan → probe → hash join → aggregate, linear at any corpus size",
+      "q322_dbscan_cells" -> "full-corpus density roles with the semanticDedup blocking discipline: quantizer cells follow the corpus (max(16, n/500) — pair volume ~500·n, corpus-linear), training is model-only driver traffic, assignment map-only, the pair stage an equi-join on the cell id with the maxCell census guard (an overfull cell is DROPPED, never an O(m²) reducer), counts/roles two partial-agged aggregates + one semi-join over a localCheckpointed pair frame; every count is a certified lower bound — the one-sided role guarantees the oracle replays",
+      "q323_hubness_graph" -> "hubness audit at graph cost: in-degrees come from the NN-descent kNN graph (q234's operator — ring-paired init, k-capped reverse edges, candidate-bounded descent, all corpus-linear), so the audit is ONE partial-agged groupBy(dst) + a TakeOrdered(20) on top of an already-needed structure; no all-pairs term exists in the plan",
+      "q319_rbo" -> "two retriever rankings share ONE corpus scan each (BM25 partial-agged postings vs embedding dot top-k against the broadcast query frame); the rank-biased overlap fold runs entirely on the two top-k frames (query × depth ≤ 10 rows each) — set-intersection via equi-join on (query, doc), the geometric-weight sum a bounded fold",
+      "q320_winsorized" -> "the robust-mean family's scale shape: fences and the clamped sum both fold from the DISTINCT-value count frame (the cum window is value-DOMAIN-bounded, q153 discipline — no data-sized sort anywhere); the winsorized mean is exact int64 fixed-point with floor-correct signed division",
       "q288_zone_map" -> "the data is scanned exactly THRICE, each a partial-agged aggregate (predicate-tile assignment via map-side integer arithmetic against the broadcast 1-row domain frame — no 16× fan-out — plus two block-stat groupBys); every overlap join runs on METADATA-sized block-stat frames against the bounded 16-row predicate frame, so the audit costs three scans regardless of predicate count",
       "q289_t_closeness" -> "two partial-agged record-sized groupBys (cells, classes) are the only data passes; the sensitive-value frame's rank/cum window is value-DOMAIN-bounded (q153 discipline) and broadcasts into the class×value grid (the PlanLint-allowlisted BNLJ — an audit table, QID domain × sensitive domain); the per-class cum window partitions by class with ≤ m rows each and the EMD fold partial-aggregates")
 
@@ -191,12 +198,11 @@ object Explain {
     "q281_wordpiece_heldout", "q282_wordpiece_fertility",
     "q283_katz", "q284_mann_whitney", "q286_acf_daily", "q287_shot_boundary",
     "q291_gini_stump", "q292_burstiness", "q293_theil_sen", "q294_benford",
-    "q295_mw_mixture", "q297_conformal_ood", "q298_ols_trend", "q299_dp_release",
+    "q295_mw_mixture", "q298_ols_trend", "q299_dp_release",
     "q300_binary_seg", "q303_tpch_q4", "q304_tpch_q9", "q305_tpch_q11",
     "q306_tpch_q12", "q307_tpch_q16", "q309_tpch_q20", "q311_label_margin",
-    "q312_markov_heldout", "q314_dbscan_core", "q315_lm_interp_heldout",
-    "q316_ccf_daily", "q317_hill_alpha", "q318_user_gini", "q319_rbo",
-    "q320_winsorized",
+    "q312_markov_heldout", "q315_lm_interp_heldout",
+    "q316_ccf_daily", "q317_hill_alpha", "q318_user_gini",
     "q263_unigram_heldout", "q265_unigram_fertility", "q271_water_fill", "q275_readability",
     "q228_winnow_pairs", "q22_semi_anti_join", "q230_kcenter", "q231_stream_drift",
     "q232_ra_link_prediction", "q233_pair_alignment", "q235_bpe_fertility", "q236_audio_utterances",

@@ -15,14 +15,18 @@ import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, Cartes
   *  - CartesianProduct — never acceptable (a broadcast frame plans as
   *    BroadcastNestedLoopJoin, not Cartesian).
   *  - BroadcastNestedLoopJoin — acceptable iff the BROADCAST side is
-  *    provably bounded: its subtree contains a global (no-grouping)
-  *    aggregate (≤1 row — the crossJoin(broadcast(agg)) fence/total
-  *    pattern), a GlobalLimit ≤ 20k (top-N vocab/fence frames), or a
-  *    LocalTableScan (literal frames). Everything else is flagged.
-  *  - A small per-query allowlist covers the ANN exact-certification
-  *    terms, where the broadcast side is the deterministic QUERY
-  *    SUBSET of the corpus (vec_id % 50 = 0 — corpus/50 rows, the
-  *    measurement design of the recall gates, not a scale path).
+  *    provably bounded under the RECURSIVE `bounded()` judgment: the
+  *    subtree ROOT is a bounding node (global no-grouping aggregate —
+  *    the crossJoin(broadcast(agg)) fence/total pattern — GlobalLimit
+  *    ≤ 20k, LocalTableScan, or a pmod-subset filter with divisor
+  *    ≥ 32), or a join/pass-through of bounded subtrees. A bounding
+  *    node BELOW a join no longer vouches for the join (round-11
+  *    soundness fix). Everything else is flagged.
+  *  - The ANN exact-certification terms (vec_id % 50 = 0 query
+  *    subsets) are recognized structurally by the ≥ 32 pmod floor; a
+  *    per-query allowlist covers domain-bounded dimension frames and
+  *    the count-derived small-modulus measurement subsets the floor
+  *    cannot see.
   *
   * Exits nonzero on any unallowlisted hit — wired into gate.sh.
   */
@@ -40,7 +44,11 @@ object PlanLint {
     "q204_naive_bayes" -> "build side = the class list (per-source aggregate, 20-value domain) — the score-every-class fan-out IS the NB classifier",
     "q289_t_closeness" -> "build side = the sensitive-value DOMAIN frame (distinct order counts with rank/cum — value-domain-bounded, ~50 rows); the dense class×value grid it builds is the ordered-EMD audit table (QID domain × sensitive domain), never record-sized",
     "q293_theil_sen" -> "build side = the daily volume frame (date-DOMAIN-bounded, ≤ #days rows after a partial-agged count); the all-pairs slope frame is days²/2 — metadata-sized by construction, the Theil-Sen estimator's own definition",
-    "q311_label_margin" -> "build side = the per-label centroid frame (label-domain aggregate, ~10 rows of 64 fixed-point sums) — the score-every-label fan-out IS the margin audit, q204's classifier class")
+    "q311_label_margin" -> "build side = the per-label centroid frame (label-domain aggregate, ~10 rows of 64 fixed-point sums) — the score-every-label fan-out IS the margin audit, q204's classifier class",
+    "q301_source_jsd" -> "build side = the per-source token-distribution frame joined to the top-64 vocab GlobalLimit: the limit bounds the VOCAB dimension and #sources is a 5-value domain, so the pairwise JSD grid is sources² × 64 — metadata-sized (explicit entry per ADVICE r10: the recursive bounded() no longer lets a limit below a join vouch for the whole subtree)",
+    "q290_hubness" -> "build side = the COUNT-DERIVED measurement subset (vec_id % max(4, n/500) = 0 — a fixed ~500-row sample whose modulus literal is small only because the gate corpus is small; cost is flat in corpus size). The k ≥ 32 pmod floor cannot see the driver-side count derivation; the scale path is the q323 graph twin",
+    "q314_dbscan_core" -> "build side = the COUNT-DERIVED measurement subset (vec_id % max(4, n/500) = 0, fixed ~500 rows — same class as q290); the corpus-scale density path is the cell-blocked twin q322",
+    "q297_conformal_ood" -> "build sides = the COUNT-DERIVED reference/calibration samples (% max(2, n/1000) and % max(4, n/500) — fixed ~1000/~500 rows; the modulus literals are gate-corpus-small); the corpus-scale path is the IVF-routed twin q321")
 
   private def unwrap(p: SparkPlan): Seq[SparkPlan] = p match {
     case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
@@ -51,32 +59,56 @@ object PlanLint {
     p +: unwrap(p).flatMap(nodes)
 
   /** The subtree can only ever produce a bounded (model-sized) number
-    * of rows: global aggregate (≤1), explicit small limit, a literal
-    * local relation, or a deterministic pmod-subset filter (the
-    * `vec_id % N = 0` query-subset design of the ANN recall gates —
-    * corpus/N rows by construction, a measurement term, not a scale
-    * path). */
-  private def bounded(p: SparkPlan): Boolean =
-    nodes(p).exists {
-      case h: HashAggregateExec => h.groupingExpressions.isEmpty
-      case h: ObjectHashAggregateExec => h.groupingExpressions.isEmpty
-      case h: SortAggregateExec => h.groupingExpressions.isEmpty
-      case g: GlobalLimitExec => g.limit <= 20000
-      case t: TakeOrderedAndProjectExec => t.limit <= 20000
-      case _: LocalTableScanExec => true
-      case f: FilterExec => pmodSubset(f.condition)
-      case _ => false
-    }
+    * of rows. RECURSIVE since round 11 (the r10 verdict's soundness
+    * fix: the old `nodes(p).exists` let a bounding node ANYWHERE in
+    * the subtree vouch for the whole build side — a GlobalLimit below
+    * a join bounds one join INPUT, not the join, and that loophole is
+    * exactly how a corpus-fraction frame could ride a limited vocab
+    * dimension through the gate). Now a node is bounded iff:
+    *  - it is itself a bounding node: global (no-grouping) aggregate
+    *    (≤1 row), GlobalLimit/TakeOrdered ≤ 20k, literal LocalTableScan,
+    *    or a pmod-subset filter with divisor ≥ 32 (the ANN recall
+    *    gates' `vec_id % 50 = 0` query-subset design — a ≤ 1/32
+    *    deterministic sample; smaller divisors are a constant corpus
+    *    FRACTION, i.e. a scale path, and must be consciously
+    *    allowlisted — the r10 q297/q290/q314 lesson); or
+    *  - it is a join of two bounded subtrees (model × model); or
+    *  - every child is bounded (project/filter/sort/exchange/union
+    *    pass-through). A leaf scan is never bounded. */
+  private def bounded(p: SparkPlan): Boolean = p match {
+    case h: HashAggregateExec if h.groupingExpressions.isEmpty => true
+    case h: ObjectHashAggregateExec if h.groupingExpressions.isEmpty => true
+    case h: SortAggregateExec if h.groupingExpressions.isEmpty => true
+    case g: GlobalLimitExec if g.limit <= 20000 => true
+    case t: TakeOrderedAndProjectExec if t.limit <= 20000 => true
+    case _: LocalTableScanExec => true
+    case f: FilterExec if pmodSubset(f.condition) => true
+    case j: org.apache.spark.sql.execution.joins.BaseJoinExec =>
+      bounded(j.left) && bounded(j.right)
+    case other =>
+      val kids = unwrap(other)
+      kids.nonEmpty && kids.forall(bounded)
+  }
 
   /** True iff the predicate tree contains `pmod(x, k) = literal` (or
-    * null-safe) — a deterministic 1/k sample of the input. */
+    * null-safe) with literal divisor k ≥ 32 — a deterministic ≤ 1/32
+    * sample of the input. The floor (round 11) is what makes the rule
+    * sound: `pmod(x, 2) = 0` is HALF the corpus, not a sample. */
   private def pmodSubset(cond: org.apache.spark.sql.catalyst.expressions.Expression): Boolean = {
     import org.apache.spark.sql.catalyst.expressions._
+    def smallSample(e: Expression): Boolean = e match {
+      case p: Pmod => p.right match {
+        case Literal(k: Int, _) => k >= 32
+        case Literal(k: Long, _) => k >= 32L
+        case _ => false
+      }
+      case _ => false
+    }
     cond.exists {
-      case EqualTo(_: Pmod, _: Literal) => true
-      case EqualTo(_: Literal, _: Pmod) => true
-      case EqualNullSafe(_: Pmod, _: Literal) => true
-      case EqualNullSafe(_: Literal, _: Pmod) => true
+      case EqualTo(l, _: Literal) if smallSample(l) => true
+      case EqualTo(_: Literal, r) if smallSample(r) => true
+      case EqualNullSafe(l, _: Literal) if smallSample(l) => true
+      case EqualNullSafe(_: Literal, r) if smallSample(r) => true
       case _ => false
     }
   }

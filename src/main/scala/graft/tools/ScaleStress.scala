@@ -227,7 +227,10 @@ object ScaleStress {
     // deterministic per-replica jitter (vec_id-seeded hash noise) so
     // replicas are near- but not exact-duplicates — the SemDeDup shape.
     val embBase = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
-    val embPath = "/tmp/graft_stress_emb"
+    // sf-dir layout ($dir/embeddings.parquet) so the round-11 phases
+    // can drive the Pipeline queries directly against the ×N corpus
+    val embDir = "/tmp/graft_stress_emb_dir"
+    val embPath = s"$embDir/embeddings.parquet"
     // vector stress targets ~200k vectors (100× of the 2k base) — the
     // SemDeDup pair join is quadratic in cell occupancy, so the cell
     // count below scales with the corpus, not the other way round
@@ -342,10 +345,15 @@ object ScaleStress {
     // here — the dial trades init recall for join width), each descent
     // round is ≤ (2k)² candidates per node — corpus-LINEAR; the
     // whole-graph edge count must land at nVec × k exactly (coverage).
+    // lazily checkpointed so the round-11 hubness fold below reuses the
+    // SAME materialized graph (the q323 contract: hubness costs one
+    // groupBy on an already-needed structure, never a rebuild)
+    val knnG = graft.operators.Similarity.knnGraphDescent(emb, "vec_id",
+        "embedding", k = 10, numCells = math.max(16, (nVec / 500L).toInt),
+        dim = 64, grids = 2, rounds = 1)
+      .localCheckpoint(eager = false)
     timed(s"kNN graph via NN-descent ($nVec nodes, k=10, 2 grids + 1 round)")(
-      graft.operators.Similarity.knnGraphDescent(emb, "vec_id", "embedding",
-        k = 10, numCells = math.max(16, (nVec / 500L).toInt), dim = 64,
-        grids = 2, rounds = 1).count())
+      knnG.count())
     timed(s"dsir weights ($total docs, top-512 vocab + OOV)")(
       graft.operators.Curation.dsirWeights(docs, "doc_id", "text",
           isTarget = pmod(col("doc_id"), lit(5)) === 0, vocabN = 512)
@@ -512,6 +520,55 @@ object ScaleStress {
         .agg(count(lit(1)).as("n"), expr("bit_xor(sxx)"))
         .collect()(0).getLong(0)
     }
+
+    // round-11 phases: the scale-safe embedding-audit twins (q321/q322/
+    // q323) plus the bounded brute-force baselines. The verdict-r10
+    // failure mode these certify against: the old q297/q314/q290
+    // broadcast a constant corpus FRACTION and paid O(n²/16) pairs —
+    // at ×100 that is a >8 GB broadcast and ~4×10⁸ dot pairs. Each
+    // line below must track the corpus LINEARLY (cells and subset
+    // moduli follow the count).
+    // q322 shape: cell-blocked density roles over the FULL ×N corpus —
+    // pair volume ≈ E[cell]·n (500·n), training model-only.
+    timed(s"dbscan cell roles ($nVec vectors, auto cells, full corpus)")(
+      graft.operators.Similarity.dbscanCellRoles(emb, "vec_id", "embedding",
+          thetaFx = 250000000000L, minPts = math.max(3L, nVec / 80L))
+        .groupBy(col("role")).agg(count(lit(1)).as("n"))
+        .agg(count(lit(1)).as("n"), sum(col("n")))
+        .collect()(0).getLong(0))
+    // q323 shape: hubness fold on the ALREADY-BUILT kNN graph (the
+    // checkpoint above) — one partial-agged groupBy + TakeOrdered(20);
+    // its time must be graph-read + shuffle of (dst, count) pairs only.
+    timed(s"hubness top-20 from kNN graph ($nVec nodes, reused graph)")(
+      knnG.groupBy(col("dst")).agg(count(lit(1)).as("indeg"))
+        .orderBy(desc("indeg"), asc("dst")).limit(20)
+        .agg(count(lit(1)).as("n"), expr("bit_xor(indeg)"))
+        .collect()(0).getLong(0))
+    // q321 shape: IVF-routed conformal gate — reference (n/2) is
+    // cell-assigned and EQUI-joined (never broadcast); calibration is
+    // the count-derived ~500-row sample; the test stream is a corpus
+    // fraction (n/4) whose per-item cost is ~nProbe·E[cell] dots, flat.
+    timed(s"conformal OOD gate, IVF-routed (${nVec / 2} ref, ${nVec / 4} test)")(
+      graft.queries.Pipeline.q321ConformalIvf(spark, embDir)
+        .agg(count(lit(1)).as("n"),
+          sum(col("flagged").cast("long")))
+        .collect()(0).getLong(0))
+    // bounded brute-force baselines (q290/q314/q297 after the round-11
+    // count-derived moduli): subset ≈ 500-1000 rows REGARDLESS of ×N,
+    // so these lines must be flat-cost — they certify the bounding.
+    timed(s"hubness brute baseline (q290 shape, % max(4, n/500) subset)")(
+      graft.queries.Pipeline.q290Hubness(spark, embDir)
+        .agg(count(lit(1)).as("n"), sum(col("n_points")))
+        .collect()(0).getLong(0))
+    timed(s"dbscan brute baseline (q314 shape, % max(4, n/500) subset)")(
+      graft.queries.Pipeline.q314DbscanCore(spark, embDir)
+        .groupBy(col("role")).agg(count(lit(1)).as("n"))
+        .agg(count(lit(1)).as("n"), sum(col("n")))
+        .collect()(0).getLong(0))
+    timed(s"conformal brute baseline (q297 shape, count-derived splits)")(
+      graft.queries.Pipeline.q297ConformalOod(spark, embDir)
+        .agg(count(lit(1)).as("n"), sum(col("flagged").cast("long")))
+        .collect()(0).getLong(0))
     spark.stop()
   }
 }

@@ -828,6 +828,47 @@ class OperatorsSpec extends SparkSpec {
     assert(out.count(_._3) === 3) // exactly one keeper per group
   }
 
+  // q322's blocking gate is backed here with EXACT geometry: a single
+  // cell makes the blocked operator exact DBSCAN, so the planted
+  // core/border/noise chain must come out verbatim — cluster (7 near-
+  // identical at u), side point s at cos 0.3 to u (core: sees cluster
+  // + border), border b at cos 0.286 to s but ~0 to u (1 neighbor,
+  // which is core), orthogonal z (noise).
+  test("dbscanCellRoles: planted core/border/noise chain, exact with one cell") {
+    val rnd = new scala.util.Random(7)
+    def vec(parts: (Int, Double)*): Array[Float] = {
+      val a = Array.fill(64)(0.0f)
+      parts.foreach { case (i, x) => a(i) = x.toFloat }
+      a
+    }
+    val cluster = (0L until 7L).map { i =>
+      val a = vec(0 -> 1.0)
+      a(1) = (rnd.nextDouble() * 1e-3).toFloat // tiny jitter off-axis
+      (i, a)
+    }
+    val s = (10L, vec(0 -> 0.3, 1 -> 0.9539392))
+    val b = (20L, vec(1 -> 0.3, 2 -> 0.9539392))
+    val z = (30L, vec(3 -> 1.0))
+    val df = (cluster :+ s :+ b :+ z).toDF("vec_id", "embedding")
+    val out = Similarity.dbscanCellRoles(df, "vec_id", "embedding",
+        thetaFx = 250000000000L, minPts = 5L, numCells = 1, iters = 1)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getString(2))).toMap
+    assert(out.size === 10)
+    (0L until 7L).foreach(i => assert(out(i) === ((7L, "core")), s"id $i"))
+    assert(out(10L) === ((8L, "core")))
+    assert(out(20L) === ((1L, "border")))
+    assert(out(30L) === ((0L, "noise")))
+    // census guard: an overfull cell is DROPPED (undercounts to zero,
+    // never an O(m²) reducer) — with maxCell below the cell size every
+    // point must come back as 0-neighbor noise
+    val guarded = Similarity.dbscanCellRoles(df, "vec_id", "embedding",
+        thetaFx = 250000000000L, minPts = 5L, numCells = 1, iters = 1,
+        maxCell = 5)
+      .collect().map(r => (r.getLong(1), r.getString(2)))
+    assert(guarded.length === 10)
+    assert(guarded.forall(_ === ((0L, "noise"))))
+  }
+
   // q54's rows-only gate is backed here: the GK sketch at accuracy
   // 10000 must land within one quantity unit of the exact sort-based
   // percentile on every group/percentile pair.
