@@ -425,9 +425,11 @@ object Similarity {
     * caught by another); assignment is map-only; the pair stage is an
     * equi-join on the cell id guarded per-grid by `maxCell` (an
     * overfull cell is DROPPED — further undercounting, never an O(m²)
-    * reducer — the census discipline of PERF lessons 21/22); the
-    * distinct'd candidate set is scored once per pair and counts/roles
-    * are two hash aggregates plus one semi-join. Dots run codegen'd
+    * reducer — the census discipline of PERF lessons 21/22); scoring
+    * runs IN-STREAM inside each grid's join stage so only the ≥θ
+    * survivor pairs (two longs each) shuffle for the cross-grid
+    * distinct, and counts/roles are two hash aggregates plus one
+    * semi-join. Dots run codegen'd
     * ([[dot]]) over floored 1e6 fixed-point normalized vectors —
     * integer-exact (the q119/q314 convention) — against `thetaFx` in
     * the 1e12 cos scale.
@@ -449,26 +451,33 @@ object Similarity {
     // `grids` independently-seeded trained quantizers: a ≥θ pair missed
     // by one grid's cell split is caught by another (the knnGraphDescent
     // multi-grid recall trick — measured: 1 grid keeps ~0.18 of true
-    // neighbor pairs on this corpus, 3 grids ~0.45)
-    val candPairs = (0 until grids).map { g =>
+    // neighbor pairs on this corpus, 3 grids ~0.45). The dot + θ filter
+    // runs IN-STREAM inside each grid's cell self-join — vectors ride
+    // the join sides (n rows each), candidate pair rows exist only
+    // inside the codegen'd stage, and only the tiny ≥θ SURVIVOR set
+    // (two longs per pair) is ever shuffled for the cross-grid
+    // distinct. The first formulation distinct'd 300M candidate ids
+    // and then re-joined both 1 KB vectors onto them — two 300 GB
+    // wide shuffles that filled the disk at ×100 (round-11 postmortem;
+    // the lesson-4/6 "never shuffle wide payloads you can stream"
+    // rule, re-learned on pair frames).
+    val nbPairs = (0 until grids).map { g =>
       val cents = trainCentroids(base, "nv", cells, iters, dim,
         seed = 42L + 7L * g)
       val asg = base.select(col("id"),
-          graft.functions.VectorFunctions.vec_mat_argmax(col("nv"), cents).as("cell"))
+          graft.functions.VectorFunctions.vec_mat_argmax(col("nv"), cents).as("cell"),
+          col("f"))
         .withColumn("cell_n", count(lit(1)).over(
           Window.partitionBy(col("cell"))))
         .filter(col("cell_n") <= lit(maxCell))
-        .select(col("id"), col("cell"))
-      asg.select(col("id").as("ia"), col("cell"))
-        .join(asg.select(col("id").as("ib"), col("cell")), Seq("cell"))
+        .select(col("id"), col("cell"), col("f"))
+      asg.select(col("id").as("ia"), col("f").as("fa"), col("cell"))
+        .join(asg.select(col("id").as("ib"), col("f").as("fb"),
+          col("cell")), Seq("cell"))
         .filter(col("ia") =!= col("ib"))
+        .filter(dotD(col("fa"), col("fb")) >= lit(thetaFx.toDouble))
         .select(col("ia"), col("ib"))
-    }.reduce(_ union _).distinct() // one dot per unique candidate pair
-    val nbPairs = candPairs
-      .join(base.select(col("id").as("ia"), col("f").as("fa")), Seq("ia"))
-      .join(base.select(col("id").as("ib"), col("f").as("fb")), Seq("ib"))
-      .filter(dotD(col("fa"), col("fb")) >= lit(thetaFx.toDouble))
-      .select(col("ia"), col("ib"))
+    }.reduce(_ union _).distinct() // survivors only — two longs per row
       .localCheckpoint(eager = true) // feeds the count agg AND the border semi-join
     val nb = nbPairs.groupBy(col("ia")).agg(count(lit(1)).as("n_nb"))
     val pts = data.select(col(idCol).as("id"))

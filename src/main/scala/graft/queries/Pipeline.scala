@@ -1829,6 +1829,223 @@ object Pipeline {
       |ORDER BY rank""".stripMargin
 
   // -------------------------------------------------------------------
+  // q324: BLOCKING OPERATING CURVE — pair-mass recall and role counts
+  // of the cell-blocked density audit (q322's operator) as the grid
+  // count sweeps 1 → 3: the table a pipeline reads to decide how many
+  // seeded quantizer grids the candidate-generation budget buys (the
+  // q248 recall-vs-nprobe discipline applied to blocking). Seeds are
+  // a PREFIX chain (grids=g uses seeds 42, 49, …, 42+7(g−1)), so the
+  // candidate sets are NESTED and three monotonicity claims are
+  // THEOREMS the oracle asserts with zero slack: pair mass and core
+  // count non-decreasing in grids, noise count non-increasing (more
+  // found pairs ⇒ counts only grow ⇒ cores only appear ⇒ core
+  // neighborhoods only grow). One-sided exact bounds per row (mass ≤
+  // exact total, cores ≤ exact cores — the q322 theorems), plus
+  // measured floors: single-grid mass ≥ 0.12× exact (measured
+  // 0.180/0.164 at sf0.01/sf0.1 — 0.75× the binding figure), three-
+  // grid ≥ 0.31× (q322's own floor, measured 0.451/0.415). The sf0.1
+  // single-grid row legitimately reads n_core = 0 (blocked counts top
+  // out below minPts=25) — the curve is the evidence that one grid is
+  // not enough, which is the point of publishing it.
+  // -------------------------------------------------------------------
+  def q324BlockingCurve(spark: SparkSession, dir: String): DataFrame = {
+    val e = emb(spark, dir)
+    val minPts = math.max(3L, e.count() / 80L)
+    Seq(1, 2, 3).map { g =>
+      Similarity.dbscanCellRoles(e, "vec_id", "embedding",
+          thetaFx = 250000000000L, minPts = minPts, grids = g)
+        .agg(sum(col("n_nb")).as("pair_mass"),
+          sum(when(col("role") === "core", 1L).otherwise(0L)).as("n_core"),
+          sum(when(col("role") === "noise", 1L).otherwise(0L)).as("n_noise"))
+        .select(lit(g.toLong).as("grids"), col("pair_mass"),
+          col("n_core"), col("n_noise"))
+    }.reduce(_.unionAll(_)).orderBy(asc("grids"))
+  }
+  val q324Sql: String =
+    """WITH nv AS (
+      |  SELECT vec_id, list_transform(embedding,
+      |    x -> FLOOR(CAST(x AS DOUBLE) / sqrt(list_sum(list_transform(embedding,
+      |      y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE)))) * 1000000)) AS v
+      |  FROM embeddings
+      |), mp AS (
+      |  SELECT GREATEST(3, COUNT(*) // 80) AS m FROM embeddings
+      |), exn AS (
+      |  SELECT a.vec_id, CAST(COUNT(*) AS BIGINT) AS c
+      |  FROM nv a JOIN nv b ON a.vec_id != b.vec_id
+      |  WHERE list_sum(list_transform(list_zip(a.v, b.v), p -> p[1] * p[2]))
+      |    >= 250000000000
+      |  GROUP BY 1
+      |), tot AS (
+      |  SELECT CAST(SUM(c) AS BIGINT) AS mass,
+      |    CAST(SUM(CASE WHEN c >= (SELECT m FROM mp) THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS n_core
+      |  FROM exn
+      |), g AS (
+      |  SELECT * FROM read_parquet('__GRAFT_OUT__/q324_blocking_curve/*.parquet')
+      |), chk AS (
+      |  SELECT grids, pair_mass, n_core, n_noise,
+      |    LAG(pair_mass) OVER (ORDER BY grids) AS pm_prev,
+      |    LAG(n_core) OVER (ORDER BY grids) AS nc_prev,
+      |    LAG(n_noise) OVER (ORDER BY grids) AS nn_prev
+      |  FROM g
+      |)
+      |SELECT c.grids, c.pair_mass, c.n_core, c.n_noise
+      |FROM chk c
+      |WHERE c.pair_mass <= (SELECT mass FROM tot)
+      |  AND c.n_core <= (SELECT n_core FROM tot)
+      |  AND (c.pm_prev IS NULL OR c.pm_prev <= c.pair_mass)
+      |  AND (c.nc_prev IS NULL OR c.nc_prev <= c.n_core)
+      |  AND (c.nn_prev IS NULL OR c.nn_prev >= c.n_noise)
+      |  AND (SELECT COUNT(*) FROM g) = 3
+      |  AND (SELECT pair_mass FROM g WHERE grids = 1)
+      |    >= CAST(0.12 * (SELECT mass FROM tot) AS BIGINT)
+      |  AND (SELECT pair_mass FROM g WHERE grids = 3)
+      |    >= CAST(0.31 * (SELECT mass FROM tot) AS BIGINT)
+      |UNION ALL SELECT -1, -1, -1, -1 WHERE (SELECT COUNT(*)
+      |  FROM read_parquet('__GRAFT_OUT__/q324_blocking_curve/*.parquet')) = 0
+      |ORDER BY grids""".stripMargin
+
+  // -------------------------------------------------------------------
+  // q325: CONFORMAL OPERATING CURVE — the q321 IVF-routed gate swept
+  // over α ∈ {5%, 10%, 20%} on ONE set of scores (the q248 discipline
+  // applied to the conformal dial: α is the advertised false-flag
+  // budget, and this table certifies what each budget actually flags).
+  // The calibration and test score frames are computed ONCE
+  // (localCheckpointed — rule 16, and the α sweep is pure threshold
+  // algebra on top); q̂_α = the ⌈(n+1)(1−α)⌉-th largest calibration
+  // score per α. Because all three alphas share the SAME scores, two
+  // monotonicity claims are THEOREMS asserted with zero slack:
+  // q̂ non-decreasing in α (smaller rank index = larger order
+  // statistic) and flag count non-decreasing in α. Per-row exactness
+  // is q321's oracle verbatim, per α: score ≤ exact NN AND a member
+  // of the true dot set, q̂_α ≤ the exact q̂_α, flags replay.
+  // Flag-rate budget per α: ≤ 2.5α·n + 2 (measured 0.072/0.062 at
+  // α=5%, 0.112/0.110 at 10%, 0.224/0.182 at 20% — every rate within
+  // ~1.4× its advertised α, well inside the 2.5× budget).
+  // -------------------------------------------------------------------
+  def q325ConformalCurve(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.VectorFunctions.{vec_dot, vec_mat_argmax, vec_mat_dots}
+    import org.apache.spark.sql.expressions.Window
+    val e = emb(spark, dir)
+    val nTot = e.count()
+    val mCal = math.max(4L, nTot / 500L)
+    val refRaw = e.filter(pmod(col("vec_id"), lit(2)) === 0)
+    val nCells = math.max(16L, nTot / 2L / 500L).toInt
+    val cents = Similarity.trainCentroids(refRaw, "embedding",
+      numCells = nCells, iters = 2, dim = 64)
+    def floored(c: org.apache.spark.sql.Column) =
+      transform(c, x => floor(x.cast("double") * lit(1e6)).cast("double"))
+    val ref = refRaw.select(col("vec_id").as("rid"),
+        vec_mat_argmax(Similarity.normalized(col("embedding")), cents).as("cell"),
+        floored(col("embedding")).as("rv"))
+      .localCheckpoint(eager = true)
+    def nnIvf(points: DataFrame): DataFrame = {
+      val qb = points.select(col("vec_id"),
+        Similarity.normalized(col("embedding")).as("nvq"),
+        floored(col("embedding")).as("qv"))
+      val probes = qb.select(col("vec_id"), col("qv"),
+          posexplode(vec_mat_dots(col("nvq"), cents)).as(Seq("cell", "s")))
+        .withColumn("rk", row_number().over(
+          Window.partitionBy(col("vec_id")).orderBy(desc("s"), asc("cell"))))
+        .filter(col("rk") <= 4)
+        .select(col("vec_id"), col("qv"), col("cell"))
+      val agg = probes.join(ref, Seq("cell"))
+        .select(col("vec_id"), vec_dot(col("qv"), col("rv")).as("dot"))
+        .groupBy(col("vec_id")).agg(max(col("dot")).as("nn0"))
+      qb.select(col("vec_id")).join(agg, Seq("vec_id"), "left_outer")
+        .select(col("vec_id"), coalesce(col("nn0"), lit(-1e14)).as("nn"))
+    }
+    // scores once; the α sweep reuses both frames three times
+    val cal = nnIvf(e.filter(pmod(col("vec_id"), lit(mCal)) === 1))
+      .localCheckpoint(eager = true)
+    val test = nnIvf(e.filter(pmod(col("vec_id"), lit(4)) === 3))
+      .localCheckpoint(eager = true)
+    val n = cal.groupBy().agg(count(lit(1)).as("n"))
+    val w = Window.orderBy(desc("nn"), asc("vec_id"))
+    val alphas = Seq(
+      (5L, "((n + 1) * 19 + 19) div 20"),
+      (10L, "((n + 1) * 9 + 9) div 10"),
+      (20L, "((n + 1) * 4 + 4) div 5"))
+    alphas.map { case (aPct, kExpr) =>
+      val qhat = cal.crossJoin(broadcast(n))
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .filter(col("rn") === expr(kExpr))
+        .limit(1) // ≤1 row by the rank filter; structural for PlanLint
+        .select(col("nn").as("qhat"))
+      test.crossJoin(broadcast(qhat))
+        .select(lit(aPct).as("alpha_pct"), col("vec_id"),
+          col("nn").cast("long").as("nn_dot_q"),
+          col("qhat").cast("long").as("qhat_q"),
+          (col("nn") < col("qhat")).as("flagged"))
+    }.reduce(_.unionAll(_)).orderBy(asc("alpha_pct"), asc("vec_id"))
+  }
+  val q325Sql: String =
+    """WITH fl AS (
+      |  SELECT vec_id, list_transform(embedding,
+      |    x -> FLOOR(CAST(x AS DOUBLE) * 1000000)) AS v
+      |  FROM embeddings
+      |), ref AS (SELECT vec_id AS rid, v AS rv FROM fl WHERE vec_id % 2 = 0
+      |), mc AS (
+      |  SELECT GREATEST(4, COUNT(*) // 500) AS m FROM embeddings
+      |), calp AS (
+      |  SELECT c.vec_id, list_sum(list_transform(list_zip(c.v, r.rv),
+      |    p -> p[1] * p[2])) AS d
+      |  FROM fl c JOIN ref r ON c.vec_id % (SELECT m FROM mc) = 1
+      |), caln AS (SELECT vec_id, MAX(d) AS nn FROM calp GROUP BY 1
+      |), calr AS (
+      |  SELECT nn, ROW_NUMBER() OVER (ORDER BY nn DESC, vec_id) AS rn,
+      |    (SELECT CAST(COUNT(*) AS BIGINT) FROM caln) AS n
+      |  FROM caln
+      |), exq AS (
+      |  SELECT 5 AS a, nn AS qh FROM calr WHERE rn = ((n + 1) * 19 + 19) // 20
+      |  UNION ALL
+      |  SELECT 10, nn FROM calr WHERE rn = ((n + 1) * 9 + 9) // 10
+      |  UNION ALL
+      |  SELECT 20, nn FROM calr WHERE rn = ((n + 1) * 4 + 4) // 5
+      |), tstp AS (
+      |  SELECT t.vec_id, list_sum(list_transform(list_zip(t.v, r.rv),
+      |    p -> p[1] * p[2])) AS d
+      |  FROM fl t JOIN ref r ON t.vec_id % 4 = 3
+      |), tstn AS (SELECT vec_id, MAX(d) AS nn FROM tstp GROUP BY 1
+      |), g AS (
+      |  SELECT * FROM read_parquet('__GRAFT_OUT__/q325_conformal_curve/*.parquet')
+      |), fa AS (
+      |  SELECT alpha_pct, CAST(SUM(CASE WHEN flagged THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS nf, MAX(qhat_q) AS qh
+      |  FROM g GROUP BY 1
+      |)
+      |SELECT g.alpha_pct, g.vec_id, g.nn_dot_q, g.qhat_q, g.flagged
+      |FROM g JOIN tstn x ON x.vec_id = g.vec_id
+      |JOIN exq e ON e.a = g.alpha_pct
+      |WHERE g.nn_dot_q <= x.nn
+      |  AND (g.nn_dot_q = -100000000000000 OR EXISTS (
+      |    SELECT 1 FROM tstp p WHERE p.vec_id = g.vec_id AND p.d = g.nn_dot_q))
+      |  AND g.flagged = (g.nn_dot_q < g.qhat_q)
+      |  AND g.qhat_q <= e.qh
+      |  AND (g.qhat_q = -100000000000000 OR EXISTS (
+      |    SELECT 1 FROM calp p WHERE p.d = g.qhat_q))
+      |  AND (SELECT COUNT(*) FROM g) = 3 * (SELECT COUNT(*) FROM tstn)
+      |  AND (SELECT COUNT(DISTINCT alpha_pct) FROM g) = 3
+      |  AND (SELECT qh FROM fa WHERE alpha_pct = 5)
+      |    <= (SELECT qh FROM fa WHERE alpha_pct = 10)
+      |  AND (SELECT qh FROM fa WHERE alpha_pct = 10)
+      |    <= (SELECT qh FROM fa WHERE alpha_pct = 20)
+      |  AND (SELECT nf FROM fa WHERE alpha_pct = 5)
+      |    <= (SELECT nf FROM fa WHERE alpha_pct = 10)
+      |  AND (SELECT nf FROM fa WHERE alpha_pct = 10)
+      |    <= (SELECT nf FROM fa WHERE alpha_pct = 20)
+      |  AND NOT EXISTS (
+      |    SELECT 1 FROM fa WHERE nf * 1000
+      |      > alpha_pct * 25 * (SELECT COUNT(*) FROM tstn) + 2000)
+      |  AND (SELECT COUNT(*) FROM g g2
+      |       JOIN tstn t2 ON t2.vec_id = g2.vec_id AND g2.nn_dot_q = t2.nn
+      |       WHERE g2.alpha_pct = 10)
+      |    >= CAST(0.42 * (SELECT COUNT(*) FROM tstn) AS BIGINT)
+      |UNION ALL SELECT -1, -1, -1, -1, false WHERE (SELECT COUNT(*)
+      |  FROM read_parquet('__GRAFT_OUT__/q325_conformal_curve/*.parquet')) = 0
+      |ORDER BY alpha_pct, vec_id""".stripMargin
+
+  // -------------------------------------------------------------------
   // q268: MATRYOSHKA / DIMENSION-TRUNCATION RECALL — the dimension-
   // ablation table an embedding-storage decision reads (Kusupati et
   // al. 2022: if the first k dims retain recall, store/serve k dims
@@ -6002,6 +6219,8 @@ object Pipeline {
     "q321_conformal_ivf" -> (q321ConformalIvf _),
     "q322_dbscan_cells" -> (q322DbscanCells _),
     "q323_hubness_graph" -> (q323HubnessGraph _),
+    "q324_blocking_curve" -> (q324BlockingCurve _),
+    "q325_conformal_curve" -> (q325ConformalCurve _),
     "q221_modularity" -> (q221Modularity _),
     "q272_louvain_move" -> (q272LouvainMove _),
     "q273_walk_pmi" -> (q273WalkPmi _),
@@ -6118,6 +6337,8 @@ object Pipeline {
     "q321_conformal_ivf" -> q321Sql,
     "q322_dbscan_cells" -> q322Sql,
     "q323_hubness_graph" -> q323Sql,
+    "q324_blocking_curve" -> q324Sql,
+    "q325_conformal_curve" -> q325Sql,
     "q221_modularity" -> q221Sql,
     "q272_louvain_move" -> q272Sql,
     "q273_walk_pmi" -> q273Sql,

@@ -165,6 +165,8 @@ object Explain {
       "q321_conformal_ivf" -> "the production conformal shape: NOTHING corpus-sized is broadcast — the reference corpus is cell-assigned by the trained IVF quantizer (map-only vec_mat_argmax) and localCheckpointed once, each query explodes to its top-4 probe cells (probe-bounded window) and EQUI-JOINS the reference on the cell id, in-cell rescoring is codegen'd VecDot with a per-query partial-agged max; only the ~500-row calibration frame sees the rank window and q̂ broadcasts as a GlobalLimit(1) 1-row frame — the test stream's path is scan → probe → hash join → aggregate, linear at any corpus size",
       "q322_dbscan_cells" -> "full-corpus density roles with the semanticDedup blocking discipline: quantizer cells follow the corpus (max(16, n/500) — pair volume ~500·n, corpus-linear), training is model-only driver traffic, assignment map-only, the pair stage an equi-join on the cell id with the maxCell census guard (an overfull cell is DROPPED, never an O(m²) reducer), counts/roles two partial-agged aggregates + one semi-join over a localCheckpointed pair frame; every count is a certified lower bound — the one-sided role guarantees the oracle replays",
       "q323_hubness_graph" -> "hubness audit at graph cost: in-degrees come from the NN-descent kNN graph (q234's operator — ring-paired init, k-capped reverse edges, candidate-bounded descent, all corpus-linear), so the audit is ONE partial-agged groupBy(dst) + a TakeOrdered(20) on top of an already-needed structure; no all-pairs term exists in the plan",
+      "q324_blocking_curve" -> "three dbscanCellRoles passes with NESTED seed-prefix grids (the q248 operating-curve discipline applied to blocking): each pass is the q322 shape — model-only training per grid, map-only assignment, dots scored IN-STREAM inside the cell equi-join so only ≥θ survivor pairs shuffle for the cross-grid distinct, two partial-agged folds — and the curve rows are three 1-row global aggregates unioned; monotonicity is a theorem of the nested candidate sets, asserted zero-slack by the oracle",
+      "q325_conformal_curve" -> "ONE pair of score frames (the q321 IVF-routed cal/test shape, localCheckpointed — the α sweep is pure threshold algebra): per α the q̂ pick is a rank window over the ~500-row calibration frame fenced by GlobalLimit(1), and the three flag branches re-read the checkpointed test scores against broadcast 1-row q̂ frames; q̂/flag monotonicity across α is a shared-scores theorem the oracle asserts zero-slack",
       "q319_rbo" -> "two retriever rankings share ONE corpus scan each (BM25 partial-agged postings vs embedding dot top-k against the broadcast query frame); the rank-biased overlap fold runs entirely on the two top-k frames (query × depth ≤ 10 rows each) — set-intersection via equi-join on (query, doc), the geometric-weight sum a bounded fold",
       "q320_winsorized" -> "the robust-mean family's scale shape: fences and the clamped sum both fold from the DISTINCT-value count frame (the cum window is value-DOMAIN-bounded, q153 discipline — no data-sized sort anywhere); the winsorized mean is exact int64 fixed-point with floor-correct signed division",
       "q288_zone_map" -> "the data is scanned exactly THRICE, each a partial-agged aggregate (predicate-tile assignment via map-side integer arithmetic against the broadcast 1-row domain frame — no 16× fan-out — plus two block-stat groupBys); every overlap join runs on METADATA-sized block-stat frames against the bounded 16-row predicate frame, so the audit costs three scans regardless of predicate count",
