@@ -437,7 +437,15 @@ object Similarity {
   def dbscanCellRoles(data: DataFrame, idCol: String, vecCol: String,
                       thetaFx: Long, minPts: Long, numCells: Int = 0,
                       iters: Int = 2, dim: Int = 64, grids: Int = 3,
-                      maxCell: Int = 10000): DataFrame = {
+                      maxCell: Int = 10000,
+                      // census audit hook (round-12 "no silent caps"):
+                      // called once per grid with (grid index, dropped
+                      // cell count, dropped row count); the default
+                      // logs any nonzero drop so a hot cell converting
+                      // mass to noise at corpus scale leaves a trail
+                      onCensus: (Int, Long, Long) => Unit =
+                        (g, cells, rows) => if (cells > 0L)
+                          println(s"[dbscan-census] grid=$g dropped_cells=$cells dropped_rows=$rows")): DataFrame = {
     val cells =
       if (numCells > 0) numCells
       else math.max(16L, data.count() / 500L).toInt
@@ -464,13 +472,26 @@ object Similarity {
     val nbPairs = (0 until grids).map { g =>
       val cents = trainCentroids(base, "nv", cells, iters, dim,
         seed = 42L + 7L * g)
-      val asg = base.select(col("id"),
+      // ONE argmax pass per grid: the assignment is checkpointed, the
+      // census runs as a hash AGGREGATE over it (sort-free — the former
+      // count-over-Window forced a full shuffle+sort of the n-row
+      // assignment frame per grid, rule 17's hash-beats-window applied
+      // to the guard) and both pair-join sides read the same blocks.
+      // Overfull cells are collected (≤ numCells rows — model-sized),
+      // REPORTED through onCensus (no silent caps), and dropped by a
+      // map-only isin filter — never handed to an O(m²) reducer.
+      val asg0 = base.select(col("id"),
           graft.functions.VectorFunctions.vec_mat_argmax(col("nv"), cents).as("cell"),
           col("f"))
-        .withColumn("cell_n", count(lit(1)).over(
-          Window.partitionBy(col("cell"))))
-        .filter(col("cell_n") <= lit(maxCell))
-        .select(col("id"), col("cell"), col("f"))
+        .localCheckpoint(eager = true)
+      val overfull = asg0.groupBy(col("cell"))
+        .agg(count(lit(1)).as("cell_n"))
+        .filter(col("cell_n") > lit(maxCell))
+        .collect()
+      onCensus(g, overfull.length.toLong, overfull.map(_.getLong(1)).sum)
+      val asg =
+        if (overfull.isEmpty) asg0
+        else asg0.filter(!col("cell").isin(overfull.map(_.get(0)): _*))
       asg.select(col("id").as("ia"), col("f").as("fa"), col("cell"))
         .join(asg.select(col("id").as("ib"), col("f").as("fb"),
           col("cell")), Seq("cell"))
@@ -666,7 +687,25 @@ object Similarity {
   def knnGraphDescent(data: DataFrame, idCol: String, vecCol: String,
                       k: Int, numCells: Int = 0, dim: Int = 64,
                       grids: Int = 2, rounds: Int = 2,
-                      initWidth: Int = 8): DataFrame = {
+                      initWidth: Int = 8): DataFrame =
+    knnGraphDescentCurve(data, idCol, vecCol, k, numCells, dim,
+      grids, rounds, initWidth).last
+
+  /** [[knnGraphDescent]] with every intermediate published: element r
+    * of the returned Seq is the graph after r descent rounds (r = 0 is
+    * the scored init), each a lazy localCheckpoint so one build serves
+    * every consumer. Because round r+1's candidate set CONTAINS round
+    * r's selected edges (und ⊆ cand — the descent recurrence), a true
+    * top-k edge once selected can never be displaced (at most k−1
+    * candidates outrank it in ANY candidate superset, by definition of
+    * the exact top-k under the same desc(cos), asc(dst) tie order), so
+    * per-node true-edge hits are NON-DECREASING in rounds with zero
+    * slack — the theorem q326's oracle asserts (the q324 nested-
+    * candidate discipline applied to the rounds dial). */
+  def knnGraphDescentCurve(data: DataFrame, idCol: String, vecCol: String,
+                      k: Int, numCells: Int = 0, dim: Int = 64,
+                      grids: Int = 2, rounds: Int = 2,
+                      initWidth: Int = 8): Seq[DataFrame] = {
     val cells =
       if (numCells > 0) numCells
       else math.max(16, (data.count() / 2000L).toInt)
@@ -712,13 +751,21 @@ object Similarity {
       .filter(col("src") =!= col("dst"))
       .select(col("src"), col("dst"))
     val init = gridInit.union(hashInit).distinct()
-    var scored = topK(init)
+    // ONE lazy checkpoint per round, shared by the published curve
+    // element (a cheap projection on top) and the next round's
+    // candidate generation — no round frame is materialized twice
+    def publish(sc: DataFrame): DataFrame = sc
+      .select(col("src"), col("dst"),
+        col("rank").cast("long").as("rank"), col("cos").as("cosine"))
+    val out = Seq.newBuilder[DataFrame]
+    var scored = topK(init).localCheckpoint(eager = false)
+    out += publish(scored)
     for (_ <- 1 to rounds) {
       // DESCENT round: candidates = neighbors-of-neighbors over the
       // undirected current graph, plus the current edges themselves.
       // Reversed edges are CAPPED at k per node (best cosine first) —
       // see the header: hub in-degree is unbounded without it.
-      val sc = scored.localCheckpoint(eager = false) // cut lineage
+      val sc = scored // already a lazy checkpoint — lineage is cut
       val e = sc.select(col("src"), col("dst"))
       val rev = sc.withColumn("rr", row_number().over(
           Window.partitionBy(col("dst")).orderBy(desc("cos"), asc("src"))))
@@ -731,10 +778,10 @@ object Similarity {
         .select(col("src"), col("dst"))
         .union(und)
         .distinct()
-      scored = topK(cand)
+      scored = topK(cand).localCheckpoint(eager = false)
+      out += publish(scored)
     }
-    scored.select(col("src"), col("dst"),
-      col("rank").cast("long").as("rank"), col("cos").as("cosine"))
+    out.result()
   }
 
   /** EUCLIDEAN Lloyd iterations — the per-subspace k-means behind

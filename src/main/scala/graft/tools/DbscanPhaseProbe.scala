@@ -47,16 +47,23 @@ object DbscanPhaseProbe {
       println(s"[probe] grid $g census: max=${row.get(0)} p99=${row.get(1)} " +
         s"p90=${row.get(2)} avg=${row.get(3)} sum(m^2)=${row.get(4)}")
     }
-    // pair stage alone, per grid (in-stream scoring, survivors only)
+    // pair stage alone, per grid (in-stream scoring, survivors only;
+    // round-12 shape: checkpointed assignment + aggregate census +
+    // map-only isin drop — the operator's own guard, sort-free)
     val theta = 250000000000L
     for (g <- 0 until 3) {
-      val asg = base.select(col("id"),
+      val asg0 = base.select(col("id"),
           graft.functions.VectorFunctions.vec_mat_argmax(col("nv"), cents(g)).as("cell"),
           col("f"))
-        .withColumn("cell_n", count(lit(1)).over(
-          org.apache.spark.sql.expressions.Window.partitionBy(col("cell"))))
-        .filter(col("cell_n") <= lit(10000))
-        .select(col("id"), col("cell"), col("f"))
+        .localCheckpoint(eager = true)
+      val overfull = asg0.groupBy(col("cell"))
+        .agg(count(lit(1)).as("cell_n"))
+        .filter(col("cell_n") > lit(10000)).collect()
+      println(s"[probe] grid $g dropped_cells=${overfull.length} " +
+        s"dropped_rows=${overfull.map(_.getLong(1)).sum}")
+      val asg =
+        if (overfull.isEmpty) asg0
+        else asg0.filter(!col("cell").isin(overfull.map(_.get(0)): _*))
       timed(s"pair stage grid $g (join+dot+filter, survivors count)")(
         println("  survivors: " + asg.select(col("id").as("ia"), col("f").as("fa"), col("cell"))
           .join(asg.select(col("id").as("ib"), col("f").as("fb"), col("cell")), Seq("cell"))

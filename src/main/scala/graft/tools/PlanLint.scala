@@ -23,10 +23,16 @@ import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, Cartes
   *    node BELOW a join no longer vouches for the join (round-11
   *    soundness fix). Everything else is flagged.
   *  - The ANN exact-certification terms (vec_id % 50 = 0 query
-  *    subsets) are recognized structurally by the ≥ 32 pmod floor; a
-  *    per-query allowlist covers domain-bounded dimension frames and
-  *    the count-derived small-modulus measurement subsets the floor
-  *    cannot see.
+  *    subsets) are recognized structurally by the ≥ 32 pmod floor; the
+  *    count-derived small-modulus measurement subsets carry
+  *    never-binding GlobalLimits (q245 trick) so they are provable
+  *    too; a per-query allowlist covers only domain-bounded dimension
+  *    frames (7 entries since round 12).
+  *  - Row-multiplying nodes (Generate/Expand) are NOT pass-throughs
+  *    in `bounded()` (round 12): a bound below an explode does not
+  *    bound the explode — unless the fan-out is itself a compile-time
+  *    constant (literal array / literal-bounded sequence, Expand's
+  *    projection count).
   *
   * Exits nonzero on any unallowlisted hit — wired into gate.sh.
   */
@@ -45,10 +51,13 @@ object PlanLint {
     "q289_t_closeness" -> "build side = the sensitive-value DOMAIN frame (distinct order counts with rank/cum — value-domain-bounded, ~50 rows); the dense class×value grid it builds is the ordered-EMD audit table (QID domain × sensitive domain), never record-sized",
     "q293_theil_sen" -> "build side = the daily volume frame (date-DOMAIN-bounded, ≤ #days rows after a partial-agged count); the all-pairs slope frame is days²/2 — metadata-sized by construction, the Theil-Sen estimator's own definition",
     "q311_label_margin" -> "build side = the per-label centroid frame (label-domain aggregate, ~10 rows of 64 fixed-point sums) — the score-every-label fan-out IS the margin audit, q204's classifier class",
-    "q301_source_jsd" -> "build side = the per-source token-distribution frame joined to the top-64 vocab GlobalLimit: the limit bounds the VOCAB dimension and #sources is a 5-value domain, so the pairwise JSD grid is sources² × 64 — metadata-sized (explicit entry per ADVICE r10: the recursive bounded() no longer lets a limit below a join vouch for the whole subtree)",
-    "q290_hubness" -> "build side = the COUNT-DERIVED measurement subset (vec_id % max(4, n/500) = 0 — a fixed ~500-row sample whose modulus literal is small only because the gate corpus is small; cost is flat in corpus size). The k ≥ 32 pmod floor cannot see the driver-side count derivation; the scale path is the q323 graph twin",
-    "q314_dbscan_core" -> "build side = the COUNT-DERIVED measurement subset (vec_id % max(4, n/500) = 0, fixed ~500 rows — same class as q290); the corpus-scale density path is the cell-blocked twin q322",
-    "q297_conformal_ood" -> "build sides = the COUNT-DERIVED reference/calibration samples (% max(2, n/1000) and % max(4, n/500) — fixed ~1000/~500 rows; the modulus literals are gate-corpus-small); the corpus-scale path is the IVF-routed twin q321")
+    "q301_source_jsd" -> "build side = the per-source token-distribution frame joined to the top-64 vocab GlobalLimit: the limit bounds the VOCAB dimension and #sources is a 5-value domain, so the pairwise JSD grid is sources² × 64 — metadata-sized (explicit entry per ADVICE r10: the recursive bounded() no longer lets a limit below a join vouch for the whole subtree)")
+  // The round-11 count-derived-sample entries (q290/q314/q297) are
+  // RETIRED (round 12): their measurement subsets now carry a
+  // never-binding GlobalLimit above the pmod filter (the q245 trick —
+  // the residue class is ≤ ~630/~2000 rows by construction, so the
+  // limit cannot bind, but it makes the bound PROVABLE by the
+  // recursive bounded() with zero allowlist trust).
 
   private def unwrap(p: SparkPlan): Seq[SparkPlan] = p match {
     case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
@@ -85,9 +94,49 @@ object PlanLint {
     case f: FilterExec if pmodSubset(f.condition) => true
     case j: org.apache.spark.sql.execution.joins.BaseJoinExec =>
       bounded(j.left) && bounded(j.right)
+    // row-MULTIPLYING nodes are NOT pass-throughs (ADVICE r11): a
+    // GlobalLimit(20k) under a posexplode of large arrays can produce
+    // millions of rows. A Generate counts as bounded ONLY when its
+    // fan-out is a compile-time constant (explode of a literal array /
+    // literal-bounded sequence — e.g. q288's 16-tile predicate frame)
+    // AND its child is bounded; data-dependent generators are
+    // unbounded unless something ABOVE re-bounds them. An Expand's
+    // multiplier is its projection count — a static plan property.
+    case g: GenerateExec =>
+      generateFanout(g).exists(_ <= 64L) && bounded(g.child)
+    case e: ExpandExec =>
+      e.projections.size <= 64 && bounded(e.child)
     case other =>
       val kids = unwrap(other)
       kids.nonEmpty && kids.forall(bounded)
+  }
+
+  /** Statically-known Generate fan-out: explode/posexplode of a
+    * LITERAL array (what constant folding leaves of
+    * `explode(sequence(lit, lit))`) or of a literal-bounded Sequence.
+    * Data-dependent generators (exploding a data column) return None
+    * — their fan-out is unknowable at plan time. */
+  private def generateFanout(g: GenerateExec): Option[Long] = {
+    import org.apache.spark.sql.catalyst.expressions._
+    import org.apache.spark.sql.catalyst.util.ArrayData
+    import org.apache.spark.sql.types.ArrayType
+    val arrExpr = g.generator match {
+      case e: Explode => Some(e.child)
+      case e: PosExplode => Some(e.child)
+      case _ => None
+    }
+    arrExpr.flatMap {
+      case Literal(a: ArrayData, _: ArrayType) => Some(a.numElements().toLong)
+      case s: Sequence => (s.start, s.stop) match {
+        // integer step magnitude is ≥ 1, so |hi−lo|+1 bounds the count
+        case (Literal(lo: Long, _), Literal(hi: Long, _)) =>
+          Some(math.abs(hi - lo) + 1L)
+        case (Literal(lo: Int, _), Literal(hi: Int, _)) =>
+          Some(math.abs(hi.toLong - lo.toLong) + 1L)
+        case _ => None
+      }
+      case _ => None
+    }
   }
 
   /** True iff the predicate tree contains `pmod(x, k) = literal` (or
@@ -152,19 +201,22 @@ object PlanLint {
             else Some("BroadcastNestedLoopJoin[unbounded build side]" -> j)
           case _ => None
         }
-        for ((kind, node) <- offenders) {
+        // one log line per (query, kind) — instance counts keep the
+        // gate record diffable as the allowlist shrinks (round 12)
+        for ((kind, insts) <- offenders.groupBy(_._1).toSeq.sortBy(_._1)) {
           // the allowlist only ever excuses a bounded-side judgment
           // call (BroadcastNestedLoopJoin); a CartesianProduct is never
           // acceptable, allowlisted query or not — a regression from
           // BNLJ to a true Cartesian must fail the gate
           if (kind != "CartesianProduct" && allow.contains(name)) {
-            allowed += 1
-            println(s"[planlint] allow $name: $kind — ${allow(name)}")
+            allowed += insts.size
+            println(s"[planlint] allow $name: $kind ×${insts.size} — " +
+              allow(name))
           }
           else {
-            bad += 1
-            println(s"[planlint] FLAG $name: $kind\n    " +
-              node.simpleStringWithNodeId())
+            bad += insts.size
+            println(s"[planlint] FLAG $name: $kind ×${insts.size}\n    " +
+              insts.map(_._2.simpleStringWithNodeId()).mkString("\n    "))
           }
         }
       } catch {

@@ -532,7 +532,11 @@ object ScaleStress {
     // pair volume ≈ E[cell]·n (500·n), training model-only.
     timed(s"dbscan cell roles ($nVec vectors, auto cells, full corpus)")(
       graft.operators.Similarity.dbscanCellRoles(emb, "vec_id", "embedding",
-          thetaFx = 250000000000L, minPts = math.max(3L, nVec / 80L))
+          thetaFx = 250000000000L, minPts = math.max(3L, nVec / 80L),
+          // census line printed even at zero — the ×100 harness is
+          // where a hot cell would first trip the maxCell guard
+          onCensus = (g, c, r) => println(
+            s"[dbscan-census] grid=$g dropped_cells=$c dropped_rows=$r"))
         .groupBy(col("role")).agg(count(lit(1)).as("n"))
         .agg(count(lit(1)).as("n"), sum(col("n")))
         .collect()(0).getLong(0))

@@ -860,13 +860,24 @@ class OperatorsSpec extends SparkSpec {
     assert(out(30L) === ((0L, "noise")))
     // census guard: an overfull cell is DROPPED (undercounts to zero,
     // never an O(m²) reducer) — with maxCell below the cell size every
-    // point must come back as 0-neighbor noise
+    // point must come back as 0-neighbor noise, and the drop must be
+    // REPORTED through the census hook (round-12 "no silent caps"):
+    // each of the 3 default grids drops its single 10-point cell
+    val census = scala.collection.mutable.ArrayBuffer.empty[(Int, Long, Long)]
     val guarded = Similarity.dbscanCellRoles(df, "vec_id", "embedding",
         thetaFx = 250000000000L, minPts = 5L, numCells = 1, iters = 1,
-        maxCell = 5)
+        maxCell = 5, onCensus = (g, c, r) => census += ((g, c, r)))
       .collect().map(r => (r.getLong(1), r.getString(2)))
     assert(guarded.length === 10)
     assert(guarded.forall(_ === ((0L, "noise"))))
+    assert(census.toSeq === Seq((0, 1L, 10L), (1, 1L, 10L), (2, 1L, 10L)))
+    // and the unguarded run above must have reported zero drops — the
+    // hook fires per grid either way, with a zero count
+    val clean = scala.collection.mutable.ArrayBuffer.empty[(Int, Long, Long)]
+    Similarity.dbscanCellRoles(df, "vec_id", "embedding",
+        thetaFx = 250000000000L, minPts = 5L, numCells = 1, iters = 1,
+        onCensus = (g, c, r) => clean += ((g, c, r))).count()
+    assert(clean.toSeq === Seq((0, 0L, 0L), (1, 0L, 0L), (2, 0L, 0L)))
   }
 
   // q54's rows-only gate is backed here: the GK sketch at accuracy
@@ -1490,6 +1501,82 @@ class OperatorsSpec extends SparkSpec {
       assert(byRank.map(_.getLong(2)).toSeq === Seq(1L, 2L, 3L))
       assert(byRank.sliding(2).forall(p =>
         p(0).getDouble(3) >= p(1).getDouble(3) - 1e-12))
+    }
+  }
+
+  // q326's gate is backed here: round r+1's candidate set CONTAINS
+  // round r's selected edges, so true-top-k hits are NON-DECREASING in
+  // rounds — the zero-slack theorem the oracle asserts — checked on a
+  // seeded random fixture with a deliberately weak init (1 grid,
+  // width 2) so round 0 starts well below full recall and the
+  // assertion isn't vacuous.
+  test("knnGraphDescentCurve: true-edge hits non-decreasing in rounds") {
+    val rnd = new scala.util.Random(11)
+    val rows = (0L until 60L).map(i =>
+      (i, Array.fill(16)(rnd.nextFloat() - 0.5f)))
+    val df = rows.toDF("vec_id", "embedding")
+    val curve = Similarity.knnGraphDescentCurve(df, "vec_id", "embedding",
+      k = 3, numCells = 8, dim = 16, grids = 1, rounds = 2, initWidth = 2)
+    assert(curve.length === 3)
+    // exact top-3 by brute force under the operator's own tie order
+    // (desc cosine, asc dst)
+    def norm(a: Array[Float]): Array[Double] = {
+      val s = math.sqrt(a.map(x => x.toDouble * x).sum)
+      a.map(_ / s)
+    }
+    val nv = rows.map { case (i, a) => i -> norm(a) }.toMap
+    val exact = rows.map { case (i, _) =>
+      i -> rows.filter(_._1 != i).map { case (j, _) =>
+        (j, nv(i).zip(nv(j)).map { case (x, y) => x * y }.sum)
+      }.sortBy { case (j, c) => (-c, j) }.take(3).map(_._1).toSet
+    }.toMap
+    val hits = curve.map(_.collect()
+      .count(r => exact(r.getLong(0)).contains(r.getLong(1))))
+    assert(hits(0) <= hits(1) && hits(1) <= hits(2), hits.mkString(","))
+    assert(hits(2) > 0)
+    // descent must actually buy something on this weak init (measured:
+    // 69 → 140+ of 180 true edges) — guards a no-op descent regression
+    assert(hits(2) > hits(0), hits.mkString(","))
+  }
+
+  // ADVICE r11 (medium, q297/q321/q325): the conformal split moduli
+  // must make reference/calibration/test PROVABLY disjoint at EVERY
+  // corpus size — the former count-derived formulas aligned at
+  // in-between sizes (n ∈ [3000, 3500): test ⊆ reference, so every
+  // test NN score was its own self-dot and the gate degenerated).
+  // Structural proof: mRef even ⇒ residues 1/3 are nonzero mod mRef;
+  // mCal = 2·mRef keeps cal/test apart; 4 | mCal keeps cal off the
+  // %4 = 3 test stream. Checked exhaustively on the formulas plus by
+  // witness enumeration at the adversarial sizes the advice named.
+  test("conformal split moduli are disjoint at every corpus size") {
+    var n = 1L
+    while (n <= 1000000L) {
+      val mCal = graft.queries.Pipeline.conformalCalModulus(n)
+      val mRef = 2L * math.max(1L, n / 2000L)
+      assert(mCal % 4 === 0L, s"n=$n")
+      assert(mCal === 2L * mRef, s"n=$n") // q297's mCal is the same value
+      assert(1L % mRef !== 0L, s"n=$n")   // cal residue never lands in ref
+      assert(3L % mRef !== 0L, s"n=$n")   // test residue never lands in ref
+      n += 1L
+    }
+    // witness enumeration (ids 0..n-1) at gate scales, ×100, and the
+    // previously-broken in-between sizes
+    for (nw <- Seq(500L, 1999L, 2000L, 2500L, 2750L, 3000L, 3250L,
+        3500L, 3999L, 4000L, 20000L, 200000L)) {
+      val mCal = graft.queries.Pipeline.conformalCalModulus(nw)
+      val mRef = 2L * math.max(1L, nw / 2000L)
+      val ids = 0L until math.min(nw, 20000L)
+      val ref297 = ids.filter(_ % mRef == 0).toSet
+      val cal = ids.filter(_ % mCal == 1).toSet
+      val tst297 = ids.filter(_ % mCal == 3).toSet
+      val ref321 = ids.filter(_ % 2 == 0).toSet
+      val tst321 = ids.filter(_ % 4 == 3).toSet
+      assert((ref297 & cal).isEmpty && (ref297 & tst297).isEmpty &&
+        (cal & tst297).isEmpty, s"q297 overlap at n=$nw")
+      assert((ref321 & cal).isEmpty && (ref321 & tst321).isEmpty &&
+        (cal & tst321).isEmpty, s"q321 overlap at n=$nw")
+      assert(cal.nonEmpty && tst297.nonEmpty && tst321.nonEmpty,
+        s"degenerate split at n=$nw")
     }
   }
 
