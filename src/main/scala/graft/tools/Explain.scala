@@ -159,14 +159,15 @@ object Explain {
       "q302_tpch_q2" -> "the correlated-MIN subquery decorrelated: per-(part,supplier) min-cents aggregate (partial-agged), dimension chain fully broadcast (region→nation→supplier and the filtered part list), per-part min as a second small aggregate joined back on (part, cost) — no correlated re-execution, no window over the fact table",
       "q308_tpch_q19" -> "the OR-of-ANDs classic: all three brand/size branches stay inside the broadcast part build side and the disjunct (incl. the l_quantity bounds) evaluates as ONE codegen'd filter above the broadcast hash join — the fact table streams once; the aggregate is a 1-row decimal dsum",
       "q301_source_jsd" -> "ONE corpus-sized token explode feeds the same partial-agged (s, b) counts as q245; the pairwise stage is entirely domain-sized — the source frame crossJoins its broadcast self (the q125 allowlist class) and the (pair × bucket) grid left-joins counts twice on (source, bucket); per-term fixed-point floors sum as exact integers in a partial-agged fold",
-      "q290_hubness" -> "both sides of the pair join are the COUNT-DERIVED measurement subset (vec_id % max(4, n/500) = 0 — a fixed ~500-row sample, flat in corpus size; allowlisted in PlanLint since the ≥32 pmod floor cannot see the driver-side derivation); dots are codegen'd VecDot over pre-floored exact fixed-point arrays, the top-10 window partitions by query id, and both in-degree folds partial-aggregate — the histogram is subset-sized, never corpus-sized; the corpus-scale path is the q323 graph twin",
-      "q297_conformal_ood" -> "the brute-force conformal BASELINE, every split a COUNT-DERIVED fixed-size sample (ref % max(2, n/1000), cal/test residues of % max(4, n/500) — the round-11 bounding; formerly ref = HALF the corpus broadcast into a BNLJ): pair joins are sample × sample, the rank window runs over the ~500-row calibration frame, q̂ broadcasts as a GlobalLimit(1)-bounded 1-row frame; the corpus-scale path is the q321 IVF twin",
-      "q314_dbscan_core" -> "brute-force density BASELINE over the COUNT-DERIVED % max(4, n/500) subset (round-11 bounding — formerly a quarter of the corpus): the pair BNLJ is sample × sample with codegen'd VecDot on floored normalized vectors, neighbor counts and roles fold in two partial-agged aggregates plus one semi-join, minPts derives from the subset count broadcast as a 1-row frame; the corpus-scale path is the q322 cell-blocked twin",
-      "q321_conformal_ivf" -> "the production conformal shape: NOTHING corpus-sized is broadcast — the reference corpus is cell-assigned by the trained IVF quantizer (map-only vec_mat_argmax) and localCheckpointed once, each query explodes to its top-4 probe cells (probe-bounded window) and EQUI-JOINS the reference on the cell id, in-cell rescoring is codegen'd VecDot with a per-query partial-agged max; only the ~500-row calibration frame sees the rank window and q̂ broadcasts as a GlobalLimit(1) 1-row frame — the test stream's path is scan → probe → hash join → aggregate, linear at any corpus size",
-      "q322_dbscan_cells" -> "full-corpus density roles with the semanticDedup blocking discipline: quantizer cells follow the corpus (max(16, n/500) — pair volume ~500·n, corpus-linear), training is model-only driver traffic, assignment map-only, the pair stage an equi-join on the cell id with the maxCell census guard (an overfull cell is DROPPED, never an O(m²) reducer), counts/roles two partial-agged aggregates + one semi-join over a localCheckpointed pair frame; every count is a certified lower bound — the one-sided role guarantees the oracle replays",
+      "q290_hubness" -> "both sides of the pair join are the COUNT-DERIVED measurement subset (vec_id % max(4, n/500) = 0 — a fixed ~500-row sample, flat in corpus size, carrying a never-binding GlobalLimit(2001) so the bound is STRUCTURAL for PlanLint — no allowlist entry since round 12); dots are codegen'd VecDot over pre-floored exact fixed-point arrays, the top-10 window partitions by query id, and both in-degree folds partial-aggregate — the histogram is subset-sized, never corpus-sized; the corpus-scale path is the q323 graph twin",
+      "q297_conformal_ood" -> "the brute-force conformal BASELINE, every split a COUNT-DERIVED fixed-size sample (ref % mRef = 0 with mRef = 2·max(1, n/2000) under a never-binding GlobalLimit(4001) — structural for PlanLint since round 12 — cal/test residues 1/3 of mCal = 2·mRef, provably disjoint at every n; formerly ref = HALF the corpus broadcast into a BNLJ): pair joins are sample × sample, the rank window runs over the ~500-row calibration frame, q̂ broadcasts as a GlobalLimit(1)-bounded 1-row frame; the corpus-scale path is the q321 IVF twin",
+      "q314_dbscan_core" -> "brute-force density BASELINE over the COUNT-DERIVED % max(4, n/500) subset (round-11 bounding — formerly a quarter of the corpus; a never-binding GlobalLimit(2001) makes the bound structural for PlanLint since round 12): the pair BNLJ is sample × sample with codegen'd VecDot on floored normalized vectors, neighbor counts and roles fold in two partial-agged aggregates plus one semi-join, minPts derives from the subset count broadcast as a 1-row frame; the corpus-scale path is the q322 cell-blocked twin",
+      "q321_conformal_ivf" -> "the production conformal shape: NOTHING corpus-sized is broadcast — the reference corpus is cell-assigned by the trained IVF quantizer (map-only vec_mat_argmax) and localCheckpointed once inside the memoized conformalScoresOf chain SHARED with q325 (trains once per session+dir), each query explodes to its top-4 probe cells (probe-bounded window) and EQUI-JOINS the reference on the cell id, in-cell rescoring is codegen'd VecDot with a per-query partial-agged max; only the ~500-row calibration frame sees the rank window and q̂ broadcasts as a GlobalLimit(1) 1-row frame — the test stream's path is scan → probe → hash join → aggregate, linear at any corpus size",
+      "q322_dbscan_cells" -> "full-corpus density roles with the semanticDedup blocking discipline: quantizer cells follow the corpus (max(16, n/500) — pair volume ~500·n, corpus-linear), training is model-only driver traffic, assignment map-only, the pair stage an equi-join on the cell id with the maxCell census guard (a hash-AGGREGATE census over the checkpointed assignment — sort-free, one argmax pass — whose drops are REPORTED through the onCensus hook and applied as a map-only isin filter, never an O(m²) reducer), counts/roles two partial-agged aggregates + one semi-join over a localCheckpointed pair frame; every count is a certified lower bound — the one-sided role guarantees the oracle replays",
       "q323_hubness_graph" -> "hubness audit at graph cost: in-degrees come from the NN-descent kNN graph (q234's operator — ring-paired init, k-capped reverse edges, candidate-bounded descent, all corpus-linear), so the audit is ONE partial-agged groupBy(dst) + a TakeOrdered(20) on top of an already-needed structure; no all-pairs term exists in the plan",
       "q324_blocking_curve" -> "three dbscanCellRoles passes with NESTED seed-prefix grids (the q248 operating-curve discipline applied to blocking): each pass is the q322 shape — model-only training per grid, map-only assignment, dots scored IN-STREAM inside the cell equi-join so only ≥θ survivor pairs shuffle for the cross-grid distinct, two partial-agged folds — and the curve rows are three 1-row global aggregates unioned; monotonicity is a theorem of the nested candidate sets, asserted zero-slack by the oracle",
-      "q325_conformal_curve" -> "ONE pair of score frames (the q321 IVF-routed cal/test shape, localCheckpointed — the α sweep is pure threshold algebra): per α the q̂ pick is a rank window over the ~500-row calibration frame fenced by GlobalLimit(1), and the three flag branches re-read the checkpointed test scores against broadcast 1-row q̂ frames; q̂/flag monotonicity across α is a shared-scores theorem the oracle asserts zero-slack",
+      "q325_conformal_curve" -> "ONE pair of score frames — the SAME checkpointed frames q321 reads, via the memoized conformalScoresOf chain (the α sweep is pure threshold algebra and the score function is shared by construction): per α the q̂ pick is a rank window over the ~500-row calibration frame fenced by GlobalLimit(1), and the three flag branches re-read the checkpointed test scores against broadcast 1-row q̂ frames; q̂/flag monotonicity across α is a shared-scores theorem the oracle asserts zero-slack",
+      "q326_knn_rounds_curve" -> "the whole rounds-vs-recall curve costs ONE NN-descent build: the memoized knnCurveOf chain (shared with q234/q323) lazily checkpoints each round's graph as a natural byproduct of the descent loop, and the query is three projections over those checkpoints unioned — no extra join, no extra shuffle; per-round hit monotonicity is a nested-candidate-set theorem the oracle asserts zero-slack",
       "q319_rbo" -> "two retriever rankings share ONE corpus scan each (BM25 partial-agged postings vs embedding dot top-k against the broadcast query frame); the rank-biased overlap fold runs entirely on the two top-k frames (query × depth ≤ 10 rows each) — set-intersection via equi-join on (query, doc), the geometric-weight sum a bounded fold",
       "q320_winsorized" -> "the robust-mean family's scale shape: fences and the clamped sum both fold from the DISTINCT-value count frame (the cum window is value-DOMAIN-bounded, q153 discipline — no data-sized sort anywhere); the winsorized mean is exact int64 fixed-point with floor-correct signed division",
       "q288_zone_map" -> "the data is scanned exactly THRICE, each a partial-agged aggregate (predicate-tile assignment via map-side integer arithmetic against the broadcast 1-row domain frame — no 16× fan-out — plus two block-stat groupBys); every overlap join runs on METADATA-sized block-stat frames against the bounded 16-row predicate frame, so the audit costs three scans regardless of predicate count",

@@ -56,12 +56,18 @@ object R11StressProbe {
     // the q323 contract: the graph is the cost; the hubness fold on top
     // must be one groupBy + TakeOrdered. Graph params = the ScaleStress
     // kNN line (2 grids, 1 round — the 100 TB default, not the
-    // gate-scale recall dial).
-    val knnG = graft.operators.Similarity.knnGraphDescent(emb, "vec_id",
-        "embedding", k = 10, numCells = math.max(16, (nVec / 500L).toInt),
-        dim = 64, grids = 2, rounds = 1)
-      .localCheckpoint(eager = false)
-    timed(s"kNN graph via NN-descent ($nVec nodes, k=10, 2 grids + 1 round)")(
+    // gate-scale recall dial). Round 12: built through the CURVE so the
+    // per-round marginal cost is measured separately — the ×100 answer
+    // to the question q326's operating table asks (what does one more
+    // synchronous descent round cost at corpus scale?).
+    val knnCurve = graft.operators.Similarity.knnGraphDescentCurve(emb,
+      "vec_id", "embedding", k = 10,
+      numCells = math.max(16, (nVec / 500L).toInt),
+      dim = 64, grids = 2, rounds = 1)
+    timed(s"kNN graph INIT (rounds=0) ($nVec nodes, k=10, 2 grids)")(
+      knnCurve(0).count())
+    val knnG = knnCurve.last
+    timed(s"kNN graph descent round 1 marginal ($nVec nodes)")(
       knnG.count())
     timed(s"hubness top-20 from kNN graph ($nVec nodes, reused graph)")(
       knnG.groupBy(col("dst")).agg(count(lit(1)).as("indeg"))

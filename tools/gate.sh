@@ -3,6 +3,8 @@
 # queries because nobody re-ran all of this against current testdata.
 #   tools/gate.sh            # compile, test, verify+check sf0.01, bench sf0.1
 #   tools/gate.sh --sweep    # additionally: full verify+check at sf0.1
+#   tools/gate.sh --sweep --bench3  # record the 3-run median artifact
+#                            # (BENCH3.json) instead of a single bench
 set -euo pipefail
 cd "$(dirname "$0")/.."
 
@@ -43,6 +45,13 @@ if [[ "${1:-}" == "--sweep" ]]; then
   python3 tools/check.py /root/testdata/sf0.1 /tmp/gate_sf01 | tail -2
 else
   echo "== [4/5] (skipped sf0.1 sweep — pass --sweep) =="
+fi
+
+if [[ "${1:-}" == "--bench3" || "${2:-}" == "--bench3" ]]; then
+  echo "== [5/5] bench3 @ sf0.1 (3 runs, per-query medians + ratio vs recorded tail) =="
+  tools/bench3.sh
+  echo "== gate complete (bench3 artifact: BENCH3.json) =="
+  exit 0
 fi
 
 echo "== [5/5] bench @ sf0.1 (watch the q01 canary: ~0.5s quiet) =="
