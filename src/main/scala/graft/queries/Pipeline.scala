@@ -1906,6 +1906,99 @@ object Pipeline {
       |ORDER BY rounds, src, rank""".stripMargin
 
   // -------------------------------------------------------------------
+  // q327: kNN-GRAPH INIT-WIDTH OPERATING CURVE — the LAST dial of the
+  // index family without a published cost-vs-recall table (nprobe is
+  // q248, blocking grids q324, conformal α q325, descent rounds q326):
+  // recall of the ROUND-0 graph as the ring init width sweeps
+  // 8 → 32 → 96 (grids/seeds fixed at q234's 4). Width w's candidate
+  // set per node CONTAINS width w′ < w's by construction — same grids,
+  // same hash-ordered rings, ring offsets 1..w′ ⊆ 1..w, identical hash
+  // init — so true-edge hits are NON-DECREASING in width with ZERO
+  // slack (the q326 displacement argument on nested inits), and the
+  // oracle asserts it as a theorem. Init volume is the 100 TB cost
+  // dial: candidate pairs ≈ n·(2·grids·w + 8), linear in both n and w
+  // (the operator default w = 8 is the corpus-scale setting; the gate
+  // buys recall with width at ITS scale — PERF's width-sweep lesson,
+  // now oracle-gated). Width 96 reuses the memoized knnCurveOf
+  // element 0 (q234/q326's build); widths 8/32 are init-only builds
+  // (rounds = 0 — cheap, no descent join). Measured hits/true-edges:
+  // 0.221/0.066 at w=8, 0.461/0.226 at w=32, 0.471/0.482 at w=96
+  // (sf0.01/sf0.1 — the w=8 recall DROPS with corpus size because a
+  // fixed ring width covers a shrinking fraction of the growing
+  // E[cell] = n/16; that scale sensitivity is exactly what the curve
+  // publishes, and why the operator pairs the narrow production width
+  // with descent rounds) → floors 0.045 (w=8, 0.75× the sf0.1
+  // binding figure) and 0.35 (w=96, q326's rounds-0 floor) per
+  // rule 9; re-measure before changing grids/k. The MONOTONICITY
+  // theorem is the real gate — the floors only catch collapse.
+  // Per-row exactness, rank chains, and per-width full coverage are
+  // q234's oracle discipline.
+  // -------------------------------------------------------------------
+  def q327KnnWidthCurve(spark: SparkSession, dir: String): DataFrame = {
+    val e = emb(spark, dir)
+    def pub(g: DataFrame, w: Long): DataFrame =
+      g.select(lit(w).as("width"), col("src"), col("dst"), col("rank"),
+        round(col("cosine"), 6).as("cosine_r"))
+    val small = Seq(8, 32).map { w =>
+      pub(Similarity.knnGraphDescentCurve(e, "vec_id", "embedding",
+        k = 10, numCells = 16, dim = 64, grids = 4, rounds = 0,
+        initWidth = w).head, w.toLong)
+    }
+    val w96 = pub(knnCurveOf(spark, dir).head, 96L) // memoized — q234's build
+    (small :+ w96).reduce(_.unionAll(_))
+      .orderBy(asc("width"), asc("src"), asc("rank"))
+  }
+  val q327Sql: String =
+    """WITH nv AS (
+      |  SELECT vec_id, list_transform(embedding,
+      |    x -> CAST(x AS DOUBLE) / sqrt(list_sum(list_transform(embedding,
+      |      y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE))))) AS v
+      |  FROM embeddings
+      |), g AS (
+      |  SELECT * FROM read_parquet('__GRAFT_OUT__/q327_knn_width_curve/*.parquet')
+      |), ex AS (
+      |  SELECT a.vec_id AS src, b.vec_id AS dst,
+      |    ROW_NUMBER() OVER (PARTITION BY a.vec_id
+      |      ORDER BY list_sum(list_transform(list_zip(a.v, b.v),
+      |        p -> p[1] * p[2])) DESC, b.vec_id) AS rnk
+      |  FROM nv a JOIN nv b ON a.vec_id != b.vec_id
+      |), tru AS (
+      |  SELECT CAST(COUNT(*) AS BIGINT) AS t FROM ex WHERE rnk <= 10
+      |), hit AS (
+      |  SELECT gg.width, CAST(COUNT(*) AS BIGINT) AS h
+      |  FROM g gg JOIN ex ON ex.src = gg.src AND ex.dst = gg.dst
+      |    AND ex.rnk <= 10
+      |  GROUP BY 1
+      |), chk AS (
+      |  SELECT width, src, dst, rank, cosine_r,
+      |    LAG(rank) OVER (PARTITION BY width, src ORDER BY rank) AS prnk,
+      |    LAG(cosine_r) OVER (PARTITION BY width, src ORDER BY rank) AS pc
+      |  FROM g
+      |)
+      |SELECT c.width, c.src, c.dst, c.rank, c.cosine_r
+      |FROM chk c
+      |JOIN nv a ON a.vec_id = c.src
+      |JOIN nv b ON b.vec_id = c.dst
+      |WHERE ABS(list_sum(list_transform(list_zip(a.v, b.v),
+      |        p -> p[1] * p[2])) - c.cosine_r) < 1e-5
+      |  AND c.rank BETWEEN 1 AND 10
+      |  AND (c.rank = 1 OR (c.prnk = c.rank - 1 AND c.pc >= c.cosine_r - 1e-5))
+      |  AND (SELECT COUNT(DISTINCT width) FROM g) = 3
+      |  AND (SELECT COUNT(*) FROM (SELECT DISTINCT width, src FROM g))
+      |    = 3 * (SELECT COUNT(*) FROM nv)
+      |  AND (SELECT h FROM hit WHERE width = 8)
+      |    <= (SELECT h FROM hit WHERE width = 32)
+      |  AND (SELECT h FROM hit WHERE width = 32)
+      |    <= (SELECT h FROM hit WHERE width = 96)
+      |  AND (SELECT h FROM hit WHERE width = 8)
+      |    >= CAST(0.045 * (SELECT t FROM tru) AS BIGINT)
+      |  AND (SELECT h FROM hit WHERE width = 96)
+      |    >= CAST(0.35 * (SELECT t FROM tru) AS BIGINT)
+      |UNION ALL SELECT -1, -1, -1, -1, -1.0 WHERE (SELECT COUNT(*)
+      |  FROM read_parquet('__GRAFT_OUT__/q327_knn_width_curve/*.parquet')) = 0
+      |ORDER BY width, src, rank""".stripMargin
+
+  // -------------------------------------------------------------------
   // q324: BLOCKING OPERATING CURVE — pair-mass recall and role counts
   // of the cell-blocked density audit (q322's operator) as the grid
   // count sweeps 1 → 3: the table a pipeline reads to decide how many
@@ -6365,6 +6458,7 @@ object Pipeline {
     "q324_blocking_curve" -> (q324BlockingCurve _),
     "q325_conformal_curve" -> (q325ConformalCurve _),
     "q326_knn_rounds_curve" -> (q326KnnRoundsCurve _),
+    "q327_knn_width_curve" -> (q327KnnWidthCurve _),
     "q221_modularity" -> (q221Modularity _),
     "q272_louvain_move" -> (q272LouvainMove _),
     "q273_walk_pmi" -> (q273WalkPmi _),
@@ -6484,6 +6578,7 @@ object Pipeline {
     "q324_blocking_curve" -> q324Sql,
     "q325_conformal_curve" -> q325Sql,
     "q326_knn_rounds_curve" -> q326Sql,
+    "q327_knn_width_curve" -> q327Sql,
     "q221_modularity" -> q221Sql,
     "q272_louvain_move" -> q272Sql,
     "q273_walk_pmi" -> q273Sql,

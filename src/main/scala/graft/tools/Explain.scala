@@ -168,6 +168,7 @@ object Explain {
       "q324_blocking_curve" -> "three dbscanCellRoles passes with NESTED seed-prefix grids (the q248 operating-curve discipline applied to blocking): each pass is the q322 shape — model-only training per grid, map-only assignment, dots scored IN-STREAM inside the cell equi-join so only ≥θ survivor pairs shuffle for the cross-grid distinct, two partial-agged folds — and the curve rows are three 1-row global aggregates unioned; monotonicity is a theorem of the nested candidate sets, asserted zero-slack by the oracle",
       "q325_conformal_curve" -> "ONE pair of score frames — the SAME checkpointed frames q321 reads, via the memoized conformalScoresOf chain (the α sweep is pure threshold algebra and the score function is shared by construction): per α the q̂ pick is a rank window over the ~500-row calibration frame fenced by GlobalLimit(1), and the three flag branches re-read the checkpointed test scores against broadcast 1-row q̂ frames; q̂/flag monotonicity across α is a shared-scores theorem the oracle asserts zero-slack",
       "q326_knn_rounds_curve" -> "the whole rounds-vs-recall curve costs ONE NN-descent build: the memoized knnCurveOf chain (shared with q234/q323) lazily checkpoints each round's graph as a natural byproduct of the descent loop, and the query is three projections over those checkpoints unioned — no extra join, no extra shuffle; per-round hit monotonicity is a nested-candidate-set theorem the oracle asserts zero-slack",
+      "q327_knn_width_curve" -> "the init-volume dial published: widths 8/32 are INIT-ONLY builds (ring pairs + hash init → one topK window — no descent join anywhere in their plans, candidate pairs ≈ n·(2·grids·w + 8) linear in both n and w) and width 96 reuses the memoized knnCurveOf element 0 (q234's build — zero extra cost); nested ring-offset prefixes make per-width hits a zero-slack monotone theorem, and the published w=8 recall drop at sf0.1 (0.066 vs 0.221) is the scale lesson the table exists to show",
       "q319_rbo" -> "two retriever rankings share ONE corpus scan each (BM25 partial-agged postings vs embedding dot top-k against the broadcast query frame); the rank-biased overlap fold runs entirely on the two top-k frames (query × depth ≤ 10 rows each) — set-intersection via equi-join on (query, doc), the geometric-weight sum a bounded fold",
       "q320_winsorized" -> "the robust-mean family's scale shape: fences and the clamped sum both fold from the DISTINCT-value count frame (the cum window is value-DOMAIN-bounded, q153 discipline — no data-sized sort anywhere); the winsorized mean is exact int64 fixed-point with floor-correct signed division",
       "q288_zone_map" -> "the data is scanned exactly THRICE, each a partial-agged aggregate (predicate-tile assignment via map-side integer arithmetic against the broadcast 1-row domain frame — no 16× fan-out — plus two block-stat groupBys); every overlap join runs on METADATA-sized block-stat frames against the bounded 16-row predicate frame, so the audit costs three scans regardless of predicate count",
