@@ -336,4 +336,75 @@ class PropertySpec extends Properties("graft") {
         base == dup // distinct() canonicalizes; aggregates are mergeable
       }
     }
+
+  // small random embedding fixtures for the blocking/graph properties:
+  // first component strictly positive so no vector is the zero vector
+  private val vecsGen: Gen[List[(Long, Array[Float])]] =
+    Gen.chooseNum(6, 12).flatMap { n =>
+      Gen.listOfN(n, Gen.listOfN(8, Gen.chooseNum(1, 97)))
+        .map(_.zipWithIndex.map { case (xs, i) =>
+          (i.toLong, xs.map(_.toFloat).toArray)
+        })
+    }
+  // the operators' own scoring replica: L2-normalize in double,
+  // floor(x·1e6) fixed point, integer-exact dot (the q119 convention)
+  private def flooredNorm(v: Array[Float]): Array[Double] = {
+    val d = v.map(_.toDouble)
+    val s = math.sqrt(d.map(x => x * x).sum)
+    d.map(x => math.floor(x / s * 1e6))
+  }
+
+  // q322's one-sided theorems as a property, not just the planted
+  // fixture: for ANY vectors and ANY blocking (here 2 cells, 2 grids —
+  // guaranteed to split some pairs), every emitted neighbor count is
+  // ≤ the exact count, every emitted core is an exact core, and
+  // coverage is total. The oracle replays these on the gate corpus;
+  // this checks them on arbitrary geometry.
+  property("dbscanCellRoles: counts/cores are one-sided sound under any blocking") =
+    Prop.forAll(vecsGen) { rows =>
+      val df = rows.toDF("vec_id", "embedding")
+      val theta = 250000000000L
+      val minPts = 2L
+      val fx = rows.map { case (i, v) => i -> flooredNorm(v) }.toMap
+      def exDot(a: Long, b: Long): Double =
+        fx(a).zip(fx(b)).map { case (x, y) => x * y }.sum
+      val exactNb = rows.map { case (i, _) =>
+        i -> rows.count { case (j, _) => j != i && exDot(i, j) >= theta.toDouble }
+      }.toMap
+      val got = graft.operators.Similarity.dbscanCellRoles(df, "vec_id",
+          "embedding", thetaFx = theta, minPts = minPts, numCells = 2,
+          iters = 1, dim = 8, grids = 2)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+      got.length == rows.length &&
+        got.forall { case (id, nNb, _) => nNb <= exactNb(id) } &&
+        got.forall { case (id, _, role) =>
+          role != "core" || exactNb(id) >= minPts }
+    }
+
+  // q326's zero-slack theorem as a property: under ANY geometry, the
+  // per-round graphs' true-edge hits are non-decreasing in rounds
+  // (round r+1's candidates contain round r's selections; a true
+  // top-k edge is never displaced).
+  property("knnGraphDescentCurve: true-edge hits non-decreasing in rounds") =
+    Prop.forAll(vecsGen) { rows =>
+      val df = rows.toDF("vec_id", "embedding")
+      val k = 2
+      def nrm(v: Array[Float]): Array[Double] = {
+        val d = v.map(_.toDouble)
+        val s = math.sqrt(d.map(x => x * x).sum)
+        d.map(_ / s)
+      }
+      val nv = rows.map { case (i, v) => i -> nrm(v) }.toMap
+      val exact = rows.map { case (i, _) =>
+        i -> rows.filter(_._1 != i).map { case (j, _) =>
+          (j, nv(i).zip(nv(j)).map { case (x, y) => x * y }.sum)
+        }.sortBy { case (j, c) => (-c, j) }.take(k).map(_._1).toSet
+      }.toMap
+      val curve = graft.operators.Similarity.knnGraphDescentCurve(df,
+        "vec_id", "embedding", k = k, numCells = 2, dim = 8,
+        grids = 1, rounds = 2, initWidth = 1)
+      val hits = curve.map(_.collect()
+        .count(r => exact(r.getLong(0)).contains(r.getLong(1))))
+      hits(0) <= hits(1) && hits(1) <= hits(2)
+    }
 }
