@@ -24,15 +24,19 @@ object Pipeline {
   // (session, dir) and persisted, so the two gates time the CC
   // algorithms rather than each re-running the posting self-join.
   // Narrow (two longs per pair, bounded block), so the wide-cache
-  // anti-rule (PERF.md lesson 4) does not apply.
+  // anti-rule (PERF.md lesson 4) does not apply. Evicts on session
+  // stop like every (session, dir)-keyed cache (round-12 hardening —
+  // entries must not pin persisted blocks past their session).
   private val pairCache =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
   private def boundedExactPairs(spark: SparkSession, dir: String): DataFrame =
-    pairCache.computeIfAbsent((spark, dir), _ =>
+    pairCache.computeIfAbsent((spark, dir), _ => {
+      evictOnStop(pairCache, spark)
       Dedup.ngramJaccardPairs(docs(spark, dir), "doc_id", "text",
           k = 3, threshold = 0.05, maxId = 300L)
         .select(col("id_a"), col("id_b"))
-        .persist())
+        .persist()
+    })
 
   // -------------------------------------------------------------------
   // q25: per-document token/char statistics
