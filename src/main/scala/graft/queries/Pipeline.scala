@@ -1269,7 +1269,13 @@ object Pipeline {
       // never-binding limit (the q245 trick): the residue-0 class of
       // m = max(4, n/500) holds ≤ ~630 rows at ANY n, so 2001 cannot
       // bind — it makes the sample bound STRUCTURAL for PlanLint's
-      // recursive bounded(), retiring this query's allowlist entry
+      // recursive bounded(), retiring this query's allowlist entry.
+      // ASSUMES vec_id is DENSE 0..n-1 (the testdata contract —
+      // asserted against the embeddings source in OperatorsSpec): a
+      // sparse or residue-skewed id space could overfill one residue
+      // class, the limit would bind, and the sample would become a
+      // nondeterministic subset (ADVICE r12 — the oracle would fail
+      // loudly, but the structural proof rests on this contract)
       .limit(2001)
       .select(col("vec_id"),
         transform(col("embedding"),
@@ -1419,7 +1425,13 @@ object Pipeline {
       // never-binding limit (the q245 trick): the residue-0 class of
       // m = max(4, n/500) holds ≤ ~630 rows at ANY n, so 2001 cannot
       // bind — it makes the sample bound STRUCTURAL for PlanLint's
-      // recursive bounded(), retiring this query's allowlist entry
+      // recursive bounded(), retiring this query's allowlist entry.
+      // ASSUMES vec_id is DENSE 0..n-1 (the testdata contract —
+      // asserted against the embeddings source in OperatorsSpec): a
+      // sparse or residue-skewed id space could overfill one residue
+      // class, the limit would bind, and the sample would become a
+      // nondeterministic subset (ADVICE r12 — the oracle would fail
+      // loudly, but the structural proof rests on this contract)
       .limit(2001)
       .select(col("vec_id"),
         transform(Similarity.normalized(col("embedding")),
@@ -1504,7 +1516,7 @@ object Pipeline {
   // the %6 = 3 test split was ENTIRELY inside the %3 = 0 reference, so
   // every test NN score was its own self-dot and the gate degenerated
   // to flag-rate ~0; now 1 and 3 are nonzero mod mRef by construction
-  // — asserted for all n in PipelineSpec). Exact:
+  // — asserted for all n in OperatorsSpec). Exact:
   // pre-floored fixed-point dots (q268's argument), deterministic
   // rank pick (ties by point id — tied rows emit the same q̂). This
   // query is the brute-force measurement BASELINE; the production
@@ -1526,7 +1538,10 @@ object Pipeline {
       // mRef = 2·max(1, n/2000) holds ≤ 2000 rows at ANY n (worst case
       // n = 3999, mRef = 2), so 4001 cannot bind — but it makes the
       // sample bound STRUCTURAL for PlanLint's recursive bounded(),
-      // retiring this query's allowlist entry
+      // retiring this query's allowlist entry. ASSUMES vec_id is DENSE
+      // 0..n-1 (the testdata contract — asserted against the
+      // embeddings source in OperatorsSpec; ADVICE r12: a skewed id
+      // space could overfill the class and make the limit bind)
       .limit(4001)
       .select(col("vec_id").as("rid"), col("v").as("rv"))
     def nn(points: DataFrame): DataFrame = points
@@ -2528,15 +2543,26 @@ object Pipeline {
   // them, so two driver threads can never race the first
   // materialization of a shared lazy checkpoint (rule 16's hazard
   // class).
+  // One listener per (cache, session), not per cache ENTRY (ADVICE
+  // r12: the old unconditional addSparkListener inside every
+  // computeIfAbsent miss accumulated a duplicate listener per dir a
+  // long-lived session scanned — idempotent but unbounded). The guard
+  // set itself drops the session's tickets on stop, so the maps hold
+  // nothing for dead sessions.
+  private val evictHooked =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[(AnyRef, SparkSession)]()
   private def evictOnStop[V](
       cache: java.util.concurrent.ConcurrentHashMap[(SparkSession, String), V],
       spark: SparkSession): Unit =
-    spark.sparkContext.addSparkListener(
-      new org.apache.spark.scheduler.SparkListener {
-        override def onApplicationEnd(
-            end: org.apache.spark.scheduler.SparkListenerApplicationEnd): Unit =
-          cache.keySet.removeIf(k => k._1 eq spark)
-      })
+    if (evictHooked.add((cache, spark)))
+      spark.sparkContext.addSparkListener(
+        new org.apache.spark.scheduler.SparkListener {
+          override def onApplicationEnd(
+              end: org.apache.spark.scheduler.SparkListenerApplicationEnd): Unit = {
+            cache.keySet.removeIf(k => k._1 eq spark)
+            evictHooked.removeIf(t => t._2 eq spark)
+          }
+        })
   // memoized per-round curve: element r = the graph after r descent
   // rounds (r = 0 is the scored init). q234/q323 read .last; q326
   // publishes the whole curve. ONE build serves all three.
@@ -2575,7 +2601,7 @@ object Pipeline {
   // ≤ α false-flag guarantee silently breaks). The new formula
   // evaluates to the same 4 / 4 / 400 at n = 500 / 2000 / 200k, so
   // gate and ×100 outputs are bit-identical; disjointness over ALL n
-  // is asserted in PipelineSpec.
+  // is asserted in OperatorsSpec.
   // -------------------------------------------------------------------
   private val conformalCache =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), (DataFrame, DataFrame)]()

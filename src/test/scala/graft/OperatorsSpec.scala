@@ -1580,6 +1580,32 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  // ADVICE r12: the never-binding-limit proofs (q290/q314's
+  // limit(2001), q297's limit(4001)) assume vec_id is DENSE 0..n-1 —
+  // a sparse or residue-skewed id space could overfill one residue
+  // class, the limit would bind, and the emitted sample would become
+  // a nondeterministic subset. Assert the contract against the actual
+  // embeddings source AND the actual residue-class sizes vs the
+  // limits, so a future corpus change invalidates the proofs loudly
+  // here instead of silently at the oracle.
+  test("embeddings vec_id is dense 0..n-1 and residue classes fit the never-binding limits") {
+    for (dir <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {
+      val e = spark.read.parquet(s"$dir/embeddings.parquet")
+      val r = e.agg(count(lit(1)).as("n"), countDistinct(col("vec_id")).as("d"),
+        min(col("vec_id")).as("mn"), max(col("vec_id")).as("mx")).collect()(0)
+      val n = r.getLong(0)
+      assert(r.getLong(1) === n, s"$dir: duplicate vec_ids")
+      assert(r.getAs[Number]("mn").longValue === 0L, s"$dir: min vec_id != 0")
+      assert(r.getAs[Number]("mx").longValue === n - 1, s"$dir: sparse vec_id space")
+      val m = math.max(4L, n / 500L)
+      val mRef = 2L * math.max(1L, n / 2000L)
+      val c290 = e.filter(pmod(col("vec_id"), lit(m)) === 0).count()
+      val c297 = e.filter(pmod(col("vec_id"), lit(mRef)) === 0).count()
+      assert(c290 <= 2000L, s"$dir: q290/q314 residue class $c290 would let limit(2001) bind")
+      assert(c297 <= 4000L, s"$dir: q297 residue class $c297 would let limit(4001) bind")
+    }
+  }
+
   // q222's gate is backed here: hand-computed window energies on a
   // planted byte pattern, incl. the short tail window; non-audio rows
   // excluded.

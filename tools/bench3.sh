@@ -53,14 +53,24 @@ art = {
     "errors": errors,
 }
 
-# reference tail: regex-extract per-query seconds from ANY format
-# (raw Bench line, BENCH3.json, or a driver artifact whose "tail"
-# string embeds — possibly truncated — the JSON line)
+# reference tail. If the ref parses as JSON with a "queries" dict
+# (a BENCH3.json or a fully-parsed driver artifact), read that dict
+# DIRECTLY — the old regex-over-the-whole-file scraped any
+# "qNNN_...": float pair, so a BENCH3 ref's own "worst_ratios"
+# entries (values ~0.8-1.0) OVERWROTE those queries' true median
+# seconds, corrupting the baseline for exactly the regression-tell
+# queries (ADVICE r12, medium). The regex remains only as the
+# fallback for raw/truncated driver tails that don't parse.
 try:
-    txt = open(ref_path).read().replace("\\\"", '"')
+    txt = open(ref_path).read()
     refq = {}
-    for m in re.finditer(r'"(q[0-9]+[a-z0-9_]*)"\s*:\s*([0-9]+\.[0-9]+)', txt):
-        refq[m.group(1)] = float(m.group(2))
+    try:
+        parsed = json.loads(txt)
+        refq = {q: float(v) for q, v in parsed["queries"].items()}
+    except (ValueError, KeyError, TypeError, AttributeError):
+        for m in re.finditer(r'"(q[0-9]+[a-z0-9_]*)"\s*:\s*([0-9]+\.[0-9]+)',
+                             txt.replace("\\\"", '"')):
+            refq[m.group(1)] = float(m.group(2))
     shared = [q for q in med if q in refq and refq[q] >= 0.05]
     if shared:
         ratios = sorted(med[q] / refq[q] for q in shared)
@@ -69,6 +79,18 @@ try:
         art["median_ratio_vs_ref"] = round(ratios[len(ratios) // 2], 3)
         worst = sorted(shared, key=lambda q: -(med[q] / refq[q]))[:5]
         art["worst_ratios"] = {q: round(med[q] / refq[q], 2) for q in worst}
+        # WINDOW flag (r12 verdict #6): a uniform >1.15 median ratio
+        # against the recorded reference marks a contention-inflated
+        # host window — the artifact is a valid run record but MUST NOT
+        # replace the reference tail, and its headline total needs
+        # window correction before cross-round comparison. Mechanizes
+        # the judgment call the r12 refresh made by hand in PERF.md.
+        art["window_flag"] = art["median_ratio_vs_ref"] > 1.15
+        if art["window_flag"]:
+            print(f"bench3: WINDOW FLAG — median per-query ratio "
+                  f"{art['median_ratio_vs_ref']} > 1.15 vs {ref_path}; "
+                  f"treat this artifact as window-inflated, do not "
+                  f"promote it to the reference tail", file=sys.stderr)
 except FileNotFoundError:
     art["ref"] = None
 
