@@ -1900,11 +1900,23 @@ object Curation {
       .select(col("s"),
         when(col("in_vocab"), col("tok")).otherwise(lit(" OOV ")).as("b"))
     val sb = bucketed.groupBy(col("s"), col("b")).agg(count(lit(1)).as("c_sb"))
+    // never-binding limit (r13): buckets are vocab tokens (≤ vocabN by
+    // the vocab GlobalLimit) plus the single OOV bucket, so vocabN+1
+    // distinct values is a THEOREM — the limit cannot bind, it only
+    // makes the bucket-domain bound structural for PlanLint's
+    // recursive bounded() (the q245 trick)
     val cb = sb.groupBy(col("b")).agg(count(lit(1)).as("_u")).select(col("b"))
+      .limit(vocabN + 1)
     val ns = sb.groupBy(col("s")).agg(sum(col("c_sb")).as("n_s"))
     val nb = cb.agg(count(lit(1)).as("n_b"))
-    val pairs = ns.select(col("s").as("sa"), col("n_s").as("na"))
-      .crossJoin(broadcast(ns.select(col("s").as("sb"), col("n_s").as("nb"))))
+    // the per-strata totals as a LocalRelation (r13): strata-DOMAIN-
+    // bounded — structurally bounded for PlanLint (retires q301's
+    // allowlist entry) with a loud cap guard; ONE execution of the
+    // token-count lineage now serves both pair sides
+    val nsL = DomainFrame.materialize(ns, cap = 1000,
+      s"pairwise-JSD strata domain ($strataCol)")
+    val pairs = nsL.select(col("s").as("sa"), col("n_s").as("na"))
+      .crossJoin(broadcast(nsL.select(col("s").as("sb"), col("n_s").as("nb"))))
       .filter(col("sa") < col("sb"))
     val grid = pairs.crossJoin(broadcast(cb.crossJoin(broadcast(nb))))
       .join(sb.select(col("s").as("sa"), col("b"), col("c_sb").as("ca")),
@@ -1959,9 +1971,17 @@ object Curation {
       .agg(sum(col("cc")).cast("long").as("class_n"))
     val g = cells.groupBy(col(sensCol)).agg(sum(col("cc")).cast("long").as("gc"))
     val wv = Window.orderBy(asc(sensCol)).rowsBetween(Long.MinValue, 0L)
-    val gv = g.select(col(sensCol),
-      row_number().over(Window.orderBy(asc(sensCol))).cast("long").as("gi"),
-      sum(col("gc")).over(wv).as("cum_g"))
+    // the sensitive-value DOMAIN frame as a LocalRelation (r13):
+    // value-domain-bounded by the audit's own premise (an ordered-EMD
+    // over an unbounded sensitive domain is the wrong tool) —
+    // structurally bounded for PlanLint (retires q289's allowlist
+    // entry) with a loud cap guard; `tot` then derives from the local
+    // frame for free instead of re-running the cells lineage
+    val gv = DomainFrame.materialize(
+      g.select(col(sensCol),
+        row_number().over(Window.orderBy(asc(sensCol))).cast("long").as("gi"),
+        sum(col("gc")).over(wv).as("cum_g")),
+      cap = 100000, s"t-closeness sensitive-value domain ($sensCol)")
     val tot = gv.groupBy().agg(max(col("gi")).as("m"), max(col("cum_g")).as("n_tot"))
     val wc = Window.partitionBy(qidCols.map(col): _*).orderBy(asc("gi"))
       .rowsBetween(Long.MinValue, 0L)

@@ -384,7 +384,14 @@ object Analytics {
         date_trunc("hour", max(col("ts"))).as("mx"))
       .select(explode(sequence(col("mn"), col("mx"),
         expr("INTERVAL 1 HOUR"))).as("hour"))
-    val types = e.select(col("event_type")).distinct()
+    // the event-type DOMAIN as a LocalRelation (r13): structurally
+    // bounded for PlanLint — retires this query's allowlist entry —
+    // with a loud cap guard on domain drift; also removes the third
+    // events scan from the executed plan (the build side was collected
+    // to the driver by the broadcast anyway)
+    val types = graft.operators.DomainFrame.materialize(
+      e.select(col("event_type")).distinct(), cap = 1000,
+      "q92 distinct event_type domain")
     grid.crossJoin(broadcast(types))
       .join(hourly, Seq("hour", "event_type"), "left_outer")
       .select(col("hour"), col("event_type"),

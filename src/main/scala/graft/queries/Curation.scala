@@ -1047,7 +1047,11 @@ object Curation {
         floor(log(col("n_d").cast("double") / lit(nDocs.toDouble))
           * lit(1000000.0)).cast("long").as("lp_fx"))
     val scored = toks
-      .crossJoin(broadcast(cTot.select(col("cls"))))
+      // never-binding limit (r13): nClasses ≤ 1000 is REQUIRED above,
+      // so limit(1000) cannot truncate — it only makes the class-list
+      // bound structural for PlanLint's recursive bounded(), retiring
+      // this query's allowlist entry
+      .crossJoin(broadcast(cTot.select(col("cls")).limit(1000)))
       .join(broadcast(terms), Seq("cls", "tok"), "left_outer")
       .join(broadcast(defaults), Seq("cls"))
       .select(col("doc_id"), col("source"), col("cls"),

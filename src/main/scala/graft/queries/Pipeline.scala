@@ -1337,11 +1337,17 @@ object Pipeline {
     val fl = e.select(col("vec_id"), col("label").cast("long").as("plabel"),
       transform(col("embedding"),
         x => floor(x.cast("double") * lit(1e3)).cast("double")).as("v"))
-    val cent = e.groupBy(col("label").cast("long").as("clabel"))
-      .agg(vec_fixed_sum(col("embedding"), 64, 1e3).as("cs"),
-        count(lit(1)).as("n_c"))
-      .select(col("clabel"),
-        transform(col("cs"), x => x.cast("double")).as("cs"), col("n_c"))
+    // the per-label centroid frame as a LocalRelation (r13):
+    // label-domain-bounded (~10 rows × 64 fixed-point sums) —
+    // structurally bounded for PlanLint (retires this query's
+    // allowlist entry) with a loud cap guard on label-domain drift
+    val cent = graft.operators.DomainFrame.materialize(
+      e.groupBy(col("label").cast("long").as("clabel"))
+        .agg(vec_fixed_sum(col("embedding"), 64, 1e3).as("cs"),
+          count(lit(1)).as("n_c"))
+        .select(col("clabel"),
+          transform(col("cs"), x => x.cast("double")).as("cs"), col("n_c")),
+      cap = 1000, "q311 per-label centroid frame")
     val dots = fl.crossJoin(broadcast(cent))
       .select(col("vec_id"), col("plabel"), col("clabel"),
         (vec_dot(col("v"), col("cs")) / col("n_c").cast("double")).as("md"))

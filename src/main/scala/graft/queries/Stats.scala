@@ -385,8 +385,15 @@ object Stats {
       "doc_id", "text", 3, carry = Seq("source"))
     val h = conv(substring(md5(col("gram").cast("binary")), 1, 15), 16, 10)
       .cast("long")
-    val sk = grams.groupBy(col("source"))
-      .agg(graft.functions.SketchFunctions.kmv_agg(h, k).as("s"))
+    // per-source sketch frame as a LocalRelation (r13): #sources rows
+    // × ≤2 KB — structurally bounded for PlanLint (retires this
+    // query's allowlist entry) with a loud cap guard, and ONE
+    // execution of the grams+sketch lineage now serves BOTH pair
+    // sides (previously each side recomputed it)
+    val sk = graft.operators.DomainFrame.materialize(
+      grams.groupBy(col("source"))
+        .agg(graft.functions.SketchFunctions.kmv_agg(h, k).as("s")),
+      cap = 1000, "q125 per-source KMV sketch frame")
     val a = sk.select(col("source").as("src_a"), col("s").as("sa"))
     val b = sk.select(col("source").as("src_b"), col("s").as("sb"))
     // (k-1-ish)·2^60/θ with nv = |union sample below θ|; exact when no
@@ -1302,9 +1309,16 @@ object Stats {
   // double because slopes can be negative (div-truncation vs floor).
   // -------------------------------------------------------------------
   def q293TheilSen(spark: SparkSession, dir: String): DataFrame = {
-    val daily = graft.sources.Events.ev(spark, dir)
-      .select(expr("unix_micros(ts) div 86400000000").as("day"))
-      .groupBy(col("day")).agg(count(lit(1)).as("x"))
+    // the daily volume frame as a LocalRelation (r13): date-DOMAIN-
+    // bounded (≤ #days rows) — structurally bounded for PlanLint
+    // (retires this query's allowlist entry) with a loud cap guard
+    // sized for a ~50-year span; ONE events scan now serves both
+    // self-join sides and the n_days count (previously three)
+    val daily = graft.operators.DomainFrame.materialize(
+      graft.sources.Events.ev(spark, dir)
+        .select(expr("unix_micros(ts) div 86400000000").as("day"))
+        .groupBy(col("day")).agg(count(lit(1)).as("x")),
+      cap = 20000, "q293 daily event-volume frame")
     val pairs = daily.select(col("day").as("d1"), col("x").as("x1"))
       .join(daily.select(col("day").as("d2"), col("x").as("x2")),
         col("d2") > col("d1"))

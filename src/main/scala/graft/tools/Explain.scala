@@ -39,7 +39,7 @@ object Explain {
       "q85_boilerplate" -> "distinct (doc,gram) → gram doc-count: both hash-aggregates partial-combine; the count join is a plain shuffle join (no broadcast assumption on the boilerplate set)",
       "q86_chunk_dedup" -> "keep-first = min(struct(doc,idx)) hash-aggregate — partial-combines map-side where a chunk-partitioned window would single-reducer every hot boilerplate chunk",
       "q75_semantic_dedup" -> "cell assignment via native VecMatArgmax over the trained centroid matrix (one expression node, not 16×64 literals); within-cell self-join guarded by cell-size cap; CC rounds shuffle (id,label) only",
-      "q92_resample" -> "the dense grid is GENERATED (sequence+explode over a 1-row bounds aggregate) and cross-joined with the broadcast type dimension; the event table is pre-aggregated before the fill join — two small frames join regardless of data scale",
+      "q92_resample" -> "the dense grid is GENERATED (sequence+explode over a 1-row bounds aggregate) and cross-joined with the type dimension, a capped-collect LocalRelation since r13 (structurally bounded, one events scan fewer); the event table is pre-aggregated before the fill join — two small frames join regardless of data scale",
       "q96_fuzzy_key_pairs" -> "equi-join on the 8-char prefix block (hash join), levenshtein verified as a post-join filter — never a nested-loop condition; degenerate blocks capped by a window count",
       "q98_window_topk" -> "Partial WindowGroupLimit BELOW the exchange: every map partition forwards ≤ k rows per group before the shuffle — the builtin skew bound (PERF.md lesson 11)",
       "q100_rolling_window" -> "single shuffle on user_id; RANGE frame over unix-micros order — one running-window pass, no self-join against the trailing hour",
@@ -98,7 +98,7 @@ object Explain {
       "q200_tpch_q15" -> "supplier-keyed revenue aggregate (map-side partials) feeds its own 1-row max broadcast back — the view-free Q15: exact decimal equality picks the winners, supplier dim joins broadcast",
       "q201_hits" -> "per HITS round: two long-pair hash joins + two partial-agged sums; each max-normalization is a 1-row broadcast; exchanges never carry more than (id, long) — the q123/q184 replay shape, bipartite edition",
       "q202_embedding_drift" -> "two VecFixedSum aggregates (64 longs/task per snapshot) are the ONLY data-sized stages; the 64-row drift frame is driver-assembled model output — embedding bytes are scanned once, shuffled never",
-      "q204_naive_bayes" -> "the NB model is two broadcast aggregates (class-term counts, class totals); scoring fans each exploded token across the 20-class broadcast (the allowlisted domain-bounded BNLJ), partial-aggregates per (doc, class), and picks argmax in a C-row-fan-in window",
+      "q204_naive_bayes" -> "the NB model is two broadcast aggregates (class-term counts, class totals); scoring fans each exploded token across the 20-class broadcast (a domain-bounded BNLJ, structurally proven since r13 by the never-binding limit(1000) under the existing class-count require), partial-aggregates per (doc, class), and picks argmax in a C-row-fan-in window",
       "q205_media_dedup" -> "q30's dedup shape over the binary payload: only (16-byte md5, id, type) cross the exchange — blobs stay in the scan; keeper mapping is one fingerprint-keyed min-aggregate + join",
       "q206_asof_tolerance" -> "q40's union + single window carry with ONE added predicate (gap ≤ tolerance nulls stale payloads) — the tolerance costs zero extra scans or shuffles",
       "q207_skipgram_pairs" -> "sequence pairs WITHOUT a self-join: two codegen'd lead offsets in one per-doc window emit ≤2 rows per token; pair counts partial-aggregate; top-100 is a TakeOrdered — contrast with q189's incidence-pair prune, which this shape never needs",
@@ -158,7 +158,7 @@ object Explain {
       "q310_stream_sample" -> "the sample IS a mergeable sketch: KmvAgg carries bottom-10 packed (hash, id) keys as ≤ 8k bytes of state per open window inside the watermarked append-mode aggregate — arrival-order-invariant because it is a set function, no reservoir RNG state; the drained tail explodes 10 rows per closed window and unpacks ids by mod 2^33",
       "q302_tpch_q2" -> "the correlated-MIN subquery decorrelated: per-(part,supplier) min-cents aggregate (partial-agged), dimension chain fully broadcast (region→nation→supplier and the filtered part list), per-part min as a second small aggregate joined back on (part, cost) — no correlated re-execution, no window over the fact table",
       "q308_tpch_q19" -> "the OR-of-ANDs classic: all three brand/size branches stay inside the broadcast part build side and the disjunct (incl. the l_quantity bounds) evaluates as ONE codegen'd filter above the broadcast hash join — the fact table streams once; the aggregate is a 1-row decimal dsum",
-      "q301_source_jsd" -> "ONE corpus-sized token explode feeds the same partial-agged (s, b) counts as q245; the pairwise stage is entirely domain-sized — the source frame crossJoins its broadcast self (the q125 allowlist class) and the (pair × bucket) grid left-joins counts twice on (source, bucket); per-term fixed-point floors sum as exact integers in a partial-agged fold",
+      "q301_source_jsd" -> "ONE corpus-sized token explode feeds the same partial-agged (s, b) counts as q245; the pairwise stage is entirely domain-sized — the per-source totals are a capped-collect LocalRelation (r13: one token-count pass serves both pair sides) crossJoined with the bucket domain, itself provably ≤ vocabN+1 rows via a never-binding limit, and the (pair × bucket) grid left-joins counts twice on (source, bucket); per-term fixed-point floors sum as exact integers in a partial-agged fold",
       "q290_hubness" -> "both sides of the pair join are the COUNT-DERIVED measurement subset (vec_id % max(4, n/500) = 0 — a fixed ~500-row sample, flat in corpus size, carrying a never-binding GlobalLimit(2001) so the bound is STRUCTURAL for PlanLint — no allowlist entry since round 12); dots are codegen'd VecDot over pre-floored exact fixed-point arrays, the top-10 window partitions by query id, and both in-degree folds partial-aggregate — the histogram is subset-sized, never corpus-sized; the corpus-scale path is the q323 graph twin",
       "q297_conformal_ood" -> "the brute-force conformal BASELINE, every split a COUNT-DERIVED fixed-size sample (ref % mRef = 0 with mRef = 2·max(1, n/2000) under a never-binding GlobalLimit(4001) — structural for PlanLint since round 12 — cal/test residues 1/3 of mCal = 2·mRef, provably disjoint at every n; formerly ref = HALF the corpus broadcast into a BNLJ): pair joins are sample × sample, the rank window runs over the ~500-row calibration frame, q̂ broadcasts as a GlobalLimit(1)-bounded 1-row frame; the corpus-scale path is the q321 IVF twin",
       "q314_dbscan_core" -> "brute-force density BASELINE over the COUNT-DERIVED % max(4, n/500) subset (round-11 bounding — formerly a quarter of the corpus; a never-binding GlobalLimit(2001) makes the bound structural for PlanLint since round 12): the pair BNLJ is sample × sample with codegen'd VecDot on floored normalized vectors, neighbor counts and roles fold in two partial-agged aggregates plus one semi-join, minPts derives from the subset count broadcast as a 1-row frame; the corpus-scale path is the q322 cell-blocked twin",
@@ -172,7 +172,7 @@ object Explain {
       "q319_rbo" -> "two retriever rankings share ONE corpus scan each (BM25 partial-agged postings vs embedding dot top-k against the broadcast query frame); the rank-biased overlap fold runs entirely on the two top-k frames (query × depth ≤ 10 rows each) — set-intersection via equi-join on (query, doc), the geometric-weight sum a bounded fold",
       "q320_winsorized" -> "the robust-mean family's scale shape: fences and the clamped sum both fold from the DISTINCT-value count frame (the cum window is value-DOMAIN-bounded, q153 discipline — no data-sized sort anywhere); the winsorized mean is exact int64 fixed-point with floor-correct signed division",
       "q288_zone_map" -> "the data is scanned exactly THRICE, each a partial-agged aggregate (predicate-tile assignment via map-side integer arithmetic against the broadcast 1-row domain frame — no 16× fan-out — plus two block-stat groupBys); every overlap join runs on METADATA-sized block-stat frames against the bounded 16-row predicate frame, so the audit costs three scans regardless of predicate count",
-      "q289_t_closeness" -> "two partial-agged record-sized groupBys (cells, classes) are the only data passes; the sensitive-value frame's rank/cum window is value-DOMAIN-bounded (q153 discipline) and broadcasts into the class×value grid (the PlanLint-allowlisted BNLJ — an audit table, QID domain × sensitive domain); the per-class cum window partitions by class with ≤ m rows each and the EMD fold partial-aggregates")
+      "q289_t_closeness" -> "two partial-agged record-sized groupBys (cells, classes) are the only data passes; the sensitive-value frame's rank/cum window is value-DOMAIN-bounded (q153 discipline) and, since r13, a capped-collect LocalRelation broadcast into the class×value grid (a structurally bounded BNLJ — an audit table, QID domain × sensitive domain); the per-class cum window partitions by class with ≤ m rows each and the EMD fold partial-aggregates")
 
   /** Consciously unpinned: reference-parity single-operator queries
     * whose plans are trivial (scan+filter/agg/join shapes already

@@ -25,9 +25,9 @@ import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, Cartes
   *  - The ANN exact-certification terms (vec_id % 50 = 0 query
   *    subsets) are recognized structurally by the ≥ 32 pmod floor; the
   *    count-derived small-modulus measurement subsets carry
-  *    never-binding GlobalLimits (q245 trick) so they are provable
-  *    too; a per-query allowlist covers only domain-bounded dimension
-  *    frames (7 entries since round 12).
+  *    never-binding GlobalLimits (q245 trick); domain-bounded
+  *    dimension frames are LocalRelations via DomainFrame.materialize
+  *    — the allowlist is EMPTY since round 13 (zero trust).
   *  - Row-multiplying nodes (Generate/Expand) are NOT pass-throughs
   *    in `bounded()` (round 12): a bound below an explode does not
   *    bound the explode — unless the fan-out is itself a compile-time
@@ -37,27 +37,21 @@ import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, Cartes
   * Exits nonzero on any unallowlisted hit — wired into gate.sh.
   */
 object PlanLint {
-  // Only domain-bounded grouped aggregates remain allowlisted (the
-  // linter cannot prove key cardinality; these are metadata-sized
-  // dimensions by design, and q204 now carries a runtime class-count
-  // require as well). The former ANN recall-certification entries
-  // (q34/q35/q36/q52/q119/q163/q179/q191/q195) are gone: their
-  // query-subset build sides are structurally recognized by the
-  // pmodSubset rule in `bounded`.
-  private val allow: Map[String, String] = Map(
-    "q125_kmv_overlap" -> "build side = per-SOURCE sketch frame (#sources rows × ≤2 KB); the pairwise stage runs on sketches, never data",
-    "q92_resample" -> "build side = distinct event_type (5-value domain) crossed with the hour grid — the resample frame itself",
-    "q204_naive_bayes" -> "build side = the class list (per-source aggregate, 20-value domain) — the score-every-class fan-out IS the NB classifier",
-    "q289_t_closeness" -> "build side = the sensitive-value DOMAIN frame (distinct order counts with rank/cum — value-domain-bounded, ~50 rows); the dense class×value grid it builds is the ordered-EMD audit table (QID domain × sensitive domain), never record-sized",
-    "q293_theil_sen" -> "build side = the daily volume frame (date-DOMAIN-bounded, ≤ #days rows after a partial-agged count); the all-pairs slope frame is days²/2 — metadata-sized by construction, the Theil-Sen estimator's own definition",
-    "q311_label_margin" -> "build side = the per-label centroid frame (label-domain aggregate, ~10 rows of 64 fixed-point sums) — the score-every-label fan-out IS the margin audit, q204's classifier class",
-    "q301_source_jsd" -> "build side = the per-source token-distribution frame joined to the top-64 vocab GlobalLimit: the limit bounds the VOCAB dimension and #sources is a 5-value domain, so the pairwise JSD grid is sources² × 64 — metadata-sized (explicit entry per ADVICE r10: the recursive bounded() no longer lets a limit below a join vouch for the whole subtree)")
-  // The round-11 count-derived-sample entries (q290/q314/q297) are
-  // RETIRED (round 12): their measurement subsets now carry a
-  // never-binding GlobalLimit above the pmod filter (the q245 trick —
-  // the residue class is ≤ ~630/~2000 rows by construction, so the
-  // limit cannot bind, but it makes the bound PROVABLE by the
-  // recursive bounded() with zero allowlist trust).
+  // EMPTY since round 13 — every claim the gate makes is structural,
+  // zero trust. The history of its retirement: the ANN
+  // recall-certification entries (q34/q35/q36/q52/q119/q163/q179/
+  // q191/q195) became the pmodSubset rule; the count-derived-sample
+  // entries (q290/q314/q297) got never-binding GlobalLimits above
+  // their pmod filters (the q245 trick, round 12); and the last 7
+  // domain-bounded dimension frames (q92/q125/q204/q289/q293/q301/
+  // q311) were materialized to LocalRelations via
+  // `DomainFrame.materialize` (round 13) — a LocalTableScan is
+  // provably bounded, and the capped collect doubles as the loud
+  // domain-drift guard (q204 keeps its require + a never-binding
+  // limit instead, its class count being needed anyway). The map
+  // stays as the mechanism: a future genuinely-unprovable build side
+  // must be added here CONSCIOUSLY, with its rationale.
+  private val allow: Map[String, String] = Map.empty
 
   private def unwrap(p: SparkPlan): Seq[SparkPlan] = p match {
     case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
