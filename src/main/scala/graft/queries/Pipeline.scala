@@ -1956,18 +1956,18 @@ object Pipeline {
   // binding figure) and 0.35 (w=96, q326's rounds-0 floor) per
   // rule 9; re-measure before changing grids/k. The MONOTONICITY
   // theorem is the real gate — the floors only catch collapse.
+  // r13: the 8/32 init builds are memoized per (session, dir, width)
+  // (knnInitGraphOf) — deterministic, so the memo can only skip a
+  // bit-identical rebuild.
   // Per-row exactness, rank chains, and per-width full coverage are
   // q234's oracle discipline.
   // -------------------------------------------------------------------
   def q327KnnWidthCurve(spark: SparkSession, dir: String): DataFrame = {
-    val e = emb(spark, dir)
     def pub(g: DataFrame, w: Long): DataFrame =
       g.select(lit(w).as("width"), col("src"), col("dst"), col("rank"),
         round(col("cosine"), 6).as("cosine_r"))
     val small = Seq(8, 32).map { w =>
-      pub(Similarity.knnGraphDescentCurve(e, "vec_id", "embedding",
-        k = 10, numCells = 16, dim = 64, grids = 4, rounds = 0,
-        initWidth = w).head, w.toLong)
+      pub(knnInitGraphOf(spark, dir, w), w.toLong) // memoized init-only builds
     }
     val w96 = pub(knnCurveOf(spark, dir).head, 96L) // memoized — q234's build
     (small :+ w96).reduce(_.unionAll(_))
@@ -2585,6 +2585,23 @@ object Pipeline {
     })
   private def knnGraphOf(spark: SparkSession, dir: String): DataFrame =
     knnCurveOf(spark, dir).last
+  // q327's width-8/32 INIT-ONLY graphs, memoized per (session, dir,
+  // width) — r12 verdict #3: they are deterministic in (dir, width)
+  // yet were rebuilt on every invocation while width 96 read the
+  // memoized main curve. Key encodes the width (the eviction sweep
+  // only matches on the session half of the key); the frame is
+  // materialized inside the synchronized computeIfAbsent (rule 16).
+  private val knnInitCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+  private def knnInitGraphOf(spark: SparkSession, dir: String, w: Int): DataFrame =
+    knnInitCache.computeIfAbsent((spark, s"$dir#initWidth=$w"), _ => {
+      evictOnStop(knnInitCache, spark)
+      val g = Similarity.knnGraphDescentCurve(emb(spark, dir),
+        "vec_id", "embedding", k = 10, numCells = 16, dim = 64,
+        grids = 4, rounds = 0, initWidth = w).head
+      g.count()
+      g
+    })
 
   // -------------------------------------------------------------------
   // Conformal IVF scoring chain, built ONCE per (session, dir) and
