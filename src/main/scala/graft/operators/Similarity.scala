@@ -347,6 +347,73 @@ object Similarity {
       .filter(col("rank") <= lit(k))
   }
 
+  /** INCREMENTAL IVF MAINTENANCE — the index-freshness rung of the
+    * incremental ladder (q95 dedup, q217 pHash, q226 SemDeDup, q257
+    * MinHash, q296 CC; this is the ANN index's turn): ingest a delta
+    * into a FROZEN coarse quantizer, re-center ONLY the cells whose
+    * delta-mass fraction crossed the drift threshold, and leave every
+    * other centroid BIT-IDENTICAL — the zero-slack maintenance
+    * invariant (untouched rows of the returned model are the SAME
+    * arrays as the input model's, shared by construction; asserted on
+    * a planted fixture in OperatorsSpec).
+    *
+    * One data pass: assign every current member to its frozen cell
+    * (map-only argmax), aggregate per cell (base count, delta count,
+    * fixed-point member sum — the [[trainCentroids]] exactness
+    * convention, so the refreshed centroids are bit-identical
+    * regardless of shuffle merge order); drifted cells' new centroids
+    * are their normalized current-member means (one Lloyd half-step
+    * restricted to the drifted set) computed from the SAME aggregate —
+    * no second pass. Only the numCells×dim model reaches the driver.
+    *
+    * At 100 TB this is the move that keeps an IVF index serving while
+    * a crawler ships skewed deltas: a full retrain re-clusters (and
+    * re-shuffles the posting lists of) EVERY cell on every ingest;
+    * this touches the drifted fraction only. q328 publishes the
+    * recall-vs-retrain-fraction operating curve a user reads to pick
+    * the threshold.
+    *
+    * Drift rule (exact integer arithmetic, no float thresholds):
+    * cell c is drifted iff nDelta(c)·driftDen > (nBase(c)+nDelta(c))·
+    * driftNum — strictly more than driftNum/driftDen of the cell's
+    * CURRENT mass is new. Cells with no members keep their centroid.
+    *
+    * Returns (refreshed model, per-cell audit (cell, nBase, nDelta,
+    * drifted) for all cells 0..numCells-1 in order). */
+  def incrementalRetrain(data: DataFrame, vecCol: String, newCol: String,
+                         cents: Array[Array[Double]], dim: Int,
+                         driftNum: Long, driftDen: Long)
+      : (Array[Array[Double]], Seq[(Int, Long, Long, Boolean)]) = {
+    require(driftNum >= 0 && driftDen > 0,
+      s"drift threshold $driftNum/$driftDen must be a valid fraction")
+    import graft.functions.VectorFunctions.{vec_fixed_sum, vec_mat_argmax}
+    val stats = data
+      .select(normalized(col(vecCol)).as("v"),
+        col(newCol).cast("boolean").as("is_new"))
+      .withColumn("cell", vec_mat_argmax(col("v"), cents))
+      .groupBy(col("cell"))
+      .agg(sum(when(col("is_new"), 0L).otherwise(1L)).as("n_base"),
+        sum(when(col("is_new"), 1L).otherwise(0L)).as("n_delta"),
+        vec_fixed_sum(col("v"), dim).as("s"))
+      .collect() // numCells rows of dim longs — the model, not the data
+      .map(r => r.getInt(0) -> r).toMap
+    // outer array copied, inner rows SHARED: an untouched cell's
+    // centroid is the input model's array itself — bit-identical
+    val next = cents.map(identity)
+    val audit = cents.indices.map { c =>
+      val (nBase, nDelta) = stats.get(c)
+        .map(r => (r.getLong(1), r.getLong(2))).getOrElse((0L, 0L))
+      val drifted = nDelta * driftDen > (nBase + nDelta) * driftNum
+      if (drifted) {
+        val mean = stats(c).getSeq[Long](3).map(_.toDouble).toArray
+        val n = math.sqrt(mean.map(x => x * x).sum)
+        if (n > 0) next(c) = mean.map(_ / n)
+      }
+      (c, nBase, nDelta, drifted)
+    }
+    (next, audit)
+  }
+
   /** Argmax-cell assignment against a fixed centroid model (the IVF
     * coarse quantizer's map-only step, shared by [[ivfTopK]] and
     * [[semanticDedup]]). */

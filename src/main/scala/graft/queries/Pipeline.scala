@@ -1031,6 +1031,124 @@ object Pipeline {
   }
 
   // -------------------------------------------------------------------
+  // q328: INCREMENTAL IVF INDEX MAINTENANCE — the index-freshness rung
+  // of the incremental ladder (q95 dedup, q217 pHash, q226 SemDeDup,
+  // q257 MinHash, q296 CC), and the maintenance move a 100 TB serving
+  // index actually makes: a crawler ships a SKEWED delta (here a
+  // half-space of the embedding geometry — a new mode the base
+  // quantizer never saw, ~20% of the corpus), and instead of
+  // re-clustering every cell, the frozen q52-style quantizer
+  // re-centers ONLY the cells whose current mass is
+  // > 25% new (Similarity.incrementalRetrain: one
+  // assign+aggregate pass, exact integer drift rule, untouched
+  // centroids shared BIT-IDENTICAL — the zero-slack invariant,
+  // asserted on a planted fixture in OperatorsSpec). Published as the
+  // recall-vs-retrain-fraction operating curve: variant a_stale
+  // (frozen base model, 0 cells retrained), b_partial (drifted cells
+  // only — retrained_cells published per row: 5 at sf0.01, 2 at
+  // sf0.1), c_full (scratch retrain on the combined corpus, all 16).
+  // Self-certifying like q52/q248: per-row hit re-derivation from
+  // raw embeddings (INNER join — fabricated pairs fall out),
+  // per-variant measured recall floors (rule 9 — measured at
+  // sf0.01/sf0.1 with nProbe=4: stale 0.490/0.532, partial
+  // 0.510/0.532, full 0.560/0.517 → floors 0.36/0.38/0.38 ≈ 0.75×
+  // the binding figure), structural checks (exactly 3 variants,
+  // retrained_cells 0 for stale / 16 for full / in [0, 16] for
+  // partial), and the empty-output sentinel. nProbe = 4 of 16 so
+  // quantizer quality — not probe volume — is what the curve
+  // measures. Recall is NOT monotone in retrain fraction, by
+  // construction or in fact (full reads BELOW stale at sf0.1:
+  // re-clustering moves boundary vectors both ways, and this
+  // near-isotropic corpus is init-dominated — the published lesson:
+  // on weakly-clustered data, drift-retraining buys little, so the
+  // threshold can stay high and retrains deferred; the gate asserts
+  // floors, deliberately not an ordering).
+  // -------------------------------------------------------------------
+  def q328IvfIncremental(spark: SparkSession, dir: String): DataFrame = {
+    val e = emb(spark, dir)
+    // the delta is a HALF-SPACE of the embedding geometry (first
+    // normalized component > 0.10, ~20% of the corpus) — a new MODE
+    // the base quantizer never saw, which is what makes drift
+    // detection non-degenerate: cells aligned with the ingest
+    // direction exceed the threshold, opposite cells sit near zero
+    // (IvfDriftProbe measured per-cell delta fractions 0.00-0.355 at
+    // sf0.01 / 0.10-0.29 at sf0.1; a label-keyed delta read a flat
+    // ~0.20 everywhere — labels don't cluster at 16-cell granularity)
+    val isNew = Similarity.normalized(col("embedding")).getItem(0) > lit(0.10)
+    val stale = Similarity.trainCentroids(e.filter(!isNew), "embedding",
+      numCells = 16, iters = 2, dim = 64)
+    val (partial, audit) = Similarity.incrementalRetrain(
+      e.withColumn("is_new", isNew), "embedding", "is_new", stale,
+      dim = 64, driftNum = 1L, driftDen = 4L)
+    val full = Similarity.trainCentroids(e, "embedding",
+      numCells = 16, iters = 2, dim = 64)
+    val nDrift = audit.count(_._4).toLong
+    val q = e.filter(pmod(col("vec_id"), lit(50)) === 0)
+    // variant names sort in retrain-fraction order — the curve reads
+    // top-to-bottom as "what another slice of retraining buys"
+    val runs = Seq(("a_stale", stale, 0L), ("b_partial", partial, nDrift),
+      ("c_full", full, 16L)).map { case (name, m, rc) =>
+      Similarity.ivfTopK(q, e, "vec_id", "vec_id", "embedding", "embedding",
+          k = 10, numCells = 16, nProbe = 4, dim = 64, centroids = Some(m))
+        .select(lit(name).as("variant"), lit(rc).as("retrained_cells"),
+          col("query_id"), col("cand_id"), col("rank"))
+    }
+    val exact = Similarity.bruteForceTopK(q, e, "vec_id", "vec_id",
+        "embedding", "embedding", 10)
+      .select(col("query_id"), col("cand_id"), lit(true).as("hit"))
+    runs.reduce(_.unionAll(_))
+      .join(exact, Seq("query_id", "cand_id"), "left_outer")
+      .select(col("variant"), col("retrained_cells"), col("query_id"),
+        col("cand_id"), col("rank"), coalesce(col("hit"), lit(false)).as("hit"))
+      .orderBy(asc("variant"), asc("query_id"), asc("rank"))
+  }
+
+  /** q328's oracle: the [[annOracle]] layers per variant plus the
+    * structural retrained_cells checks. Floors measured per variant
+    * (rule 9). */
+  private def ivfIncrementalSql(floors: Map[String, Double]): String = {
+    val out = "read_parquet('__GRAFT_OUT__/q328_ivf_incremental/*.parquet')"
+    def hits(v: String) =
+      s"""(SELECT COUNT(*) FROM $out e2
+         |     JOIN topk t2 ON t2.query_id = e2.query_id AND t2.cand_id = e2.cand_id
+         |     WHERE e2.variant = '$v')""".stripMargin
+    val floorsSql = floors.map { case (v, f) =>
+      s"${hits(v)} >= $f * (SELECT COUNT(DISTINCT query_id) FROM topk) * 10"
+    }.mkString("\n       |  AND ")
+    s"""WITH nv AS (
+       |  SELECT vec_id, list_transform(embedding,
+       |    x -> CAST(x AS DOUBLE) / sqrt(list_sum(list_transform(embedding,
+       |      y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE))))) AS v
+       |  FROM embeddings
+       |), ex AS (
+       |  SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+       |    list_sum(list_transform(list_zip(q.v, c.v), p -> p[1] * p[2])) AS cos,
+       |    ROW_NUMBER() OVER (PARTITION BY q.vec_id
+       |      ORDER BY list_sum(list_transform(list_zip(q.v, c.v), p -> p[1] * p[2])) DESC,
+       |        c.vec_id) AS rk
+       |  FROM nv q JOIN nv c ON q.vec_id % 50 = 0 AND q.vec_id != c.vec_id
+       |), topk AS (SELECT query_id, cand_id FROM ex WHERE rk <= 10
+       |), bnd AS (SELECT query_id, MIN(cos) AS c10 FROM ex WHERE rk <= 10 GROUP BY query_id)
+       |SELECT e.variant, e.retrained_cells, e.query_id, e.cand_id, e.rank,
+       |  CASE WHEN ABS(x.cos - bnd.c10) <= 1e-12 THEN e.hit
+       |       ELSE (x.rk <= 10) END AS hit
+       |FROM $out e
+       |JOIN ex x ON x.query_id = e.query_id AND x.cand_id = e.cand_id
+       |JOIN bnd ON bnd.query_id = e.query_id
+       |WHERE $floorsSql
+       |  AND (SELECT COUNT(DISTINCT variant) FROM $out) = 3
+       |  AND (SELECT COUNT(*) FROM $out
+       |       WHERE variant = 'a_stale' AND retrained_cells != 0) = 0
+       |  AND (SELECT COUNT(*) FROM $out
+       |       WHERE variant = 'c_full' AND retrained_cells != 16) = 0
+       |  AND (SELECT COUNT(*) FROM $out WHERE variant = 'b_partial'
+       |       AND (retrained_cells < 0 OR retrained_cells > 16)) = 0
+       |UNION ALL
+       |SELECT '', -1, -1, -1, -1, false WHERE (SELECT COUNT(*) FROM $out) = 0
+       |ORDER BY variant, query_id, rank""".stripMargin
+  }
+
+  // -------------------------------------------------------------------
   // q163: PRODUCT-QUANTIZATION top-k (ADC + exact rerank; Jégou et
   // al., TPAMI 2011) — the memory-bound ANN path the 100 TB design
   // wants next to q119's int8 (4×) compression: 8 subspaces × 64
@@ -3168,6 +3286,115 @@ object Pipeline {
       |  CAST(-1 AS BIGINT), CAST(-1 AS BIGINT), CAST(-1 AS BIGINT), FALSE
       |  WHERE (SELECT COUNT(*) FROM e) = 0
       |ORDER BY media_id""".stripMargin
+
+  // -------------------------------------------------------------------
+  // q329: CROSS-MODAL CANONICAL SELECTION (r13) — the dedup decision a
+  // MULTIMODAL corpus actually ships: a (text, media) record is
+  // duplicate only when BOTH modalities agree, so the joint cluster
+  // key is (text_cluster, media_cluster) — text near-dup alone (same
+  // caption, different image) or media near-dup alone (same image,
+  // different caption) must each survive. Text clusters come from the
+  // q55/q82-verified exact-Jaccard pair frame (the SHARED pairCache —
+  // this query re-reads the persisted pair set, it does not rebuild
+  // it); docs with no text edge are their own singleton cluster.
+  // Media groups are the identical-dHash collapse (the exact rung of
+  // q261's ladder; Hamming-≤3 clustering and dHash grid provenance
+  // are q261/q210's own gates). One canonical per joint cluster by
+  // the q261 quality order (largest payload, then smallest id).
+  // Scale shape: two partial-agged equi-joins + one window whose
+  // fan-in is the joint-cluster size; blobs never shuffle (phashTable
+  // emits id + hash); the LSH path (q31 pairs → CC) is the corpus-
+  // scale text rung, separately gated. Oracle: FULL independent
+  // replay — text closure via q55's recursive CTE over documents,
+  // media groups recomputed from the EMITTED hashes, n_bytes from
+  // strlen(text), the identical canonical window — any wrong cluster,
+  // keep or flag falls out of the acceptance join → row-count FAIL;
+  // plus the q75 invariant guards: mass conservation (one row per
+  // document) and exactly one kept doc per joint cluster, both over
+  // the emitted frame; empty-output sentinel.
+  // -------------------------------------------------------------------
+  def q329CrossModalCanonical(spark: SparkSession, dir: String): DataFrame = {
+    val tc = Dedup.connectedComponents(boundedExactPairs(spark, dir),
+        "id_a", "id_b")
+      .select(col("id").as("doc_id"), col("cluster").as("tcl"))
+    val ph = Multimodal.phashTable(Multimodal.mediaTable(spark, dir)).toDF()
+      .select(col("media_id").as("doc_id"), col("dhash"))
+    val mc = ph.groupBy(col("dhash")).agg(min(col("doc_id")).as("mcl"))
+    val sized = Multimodal.mediaTable(spark, dir).toDF()
+      .select(col("media_id").as("doc_id"),
+        length(col("payload")).cast("long").as("n_bytes"))
+    val joined = ph.join(mc, Seq("dhash"))
+      .join(tc, Seq("doc_id"), "left_outer")
+      .join(sized, Seq("doc_id"))
+      .select(col("doc_id"), col("dhash"),
+        coalesce(col("tcl"), col("doc_id")).as("text_cluster"),
+        col("mcl").as("media_cluster"), col("n_bytes"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("text_cluster"), col("media_cluster"))
+      .orderBy(desc("n_bytes"), asc("doc_id"))
+    joined.withColumn("keep_id", first(col("doc_id")).over(w))
+      .select(col("doc_id"), col("dhash"), col("text_cluster"),
+        col("media_cluster"), col("n_bytes"), col("keep_id"),
+        (col("doc_id") =!= col("keep_id")).as("is_dup"))
+      .orderBy(asc("doc_id"))
+  }
+  val q329Sql: String =
+    """WITH RECURSIVE e AS MATERIALIZED (
+      |  SELECT doc_id, dhash, text_cluster, media_cluster, n_bytes,
+      |    keep_id, is_dup
+      |  FROM read_parquet('__GRAFT_OUT__/q329_cross_modal_canonical/*.parquet')
+      |), sh AS (
+      |  SELECT doc_id, list_distinct(list_transform(
+      |    range(1, GREATEST(LEN(toks) - 2, 1) + 1),
+      |    i -> array_to_string(toks[i:i+2], ' '))) AS s
+      |  FROM (SELECT doc_id, string_split_regex(TRIM(text), '\s+') AS toks
+      |        FROM documents WHERE doc_id < 300)
+      |), pairs AS (
+      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      |  WHERE CAST(LEN(list_intersect(a.s, b.s)) AS DOUBLE)
+      |      / (LEN(a.s) + LEN(b.s) - LEN(list_intersect(a.s, b.s))) >= 0.05
+      |), edges AS (
+      |  SELECT id_a AS src, id_b AS dst FROM pairs
+      |  UNION SELECT id_b, id_a FROM pairs
+      |), reach AS (
+      |  SELECT src AS id, src AS r FROM edges
+      |  UNION
+      |  SELECT e2.src AS id, r.r FROM edges e2 JOIN reach r ON e2.dst = r.id
+      |), tcl AS (SELECT id AS doc_id, MIN(r) AS cluster FROM reach GROUP BY id
+      |), mg AS (
+      |  SELECT doc_id, MIN(doc_id) OVER (PARTITION BY dhash) AS mcl FROM e
+      |), exp AS (
+      |  SELECT d.doc_id, COALESCE(t.cluster, d.doc_id) AS tc, mg.mcl,
+      |    CAST(STRLEN(d.text) AS BIGINT) AS nb
+      |  FROM documents d
+      |  JOIN mg ON mg.doc_id = d.doc_id
+      |  LEFT JOIN tcl t ON t.doc_id = d.doc_id
+      |), expk AS (
+      |  SELECT doc_id, tc, mcl, nb,
+      |    FIRST_VALUE(doc_id) OVER (PARTITION BY tc, mcl
+      |      ORDER BY nb DESC, doc_id) AS keep
+      |  FROM exp
+      |)
+      |SELECT x.doc_id, x.dhash, x.text_cluster, x.media_cluster,
+      |  x.n_bytes, x.keep_id, x.is_dup
+      |FROM e x
+      |JOIN expk k ON k.doc_id = x.doc_id
+      |  AND k.tc = x.text_cluster AND k.mcl = x.media_cluster
+      |  AND k.nb = x.n_bytes AND k.keep = x.keep_id
+      |  AND x.is_dup = (x.doc_id != k.keep)
+      |WHERE (SELECT COUNT(*) FROM e) = (SELECT COUNT(*) FROM documents)
+      |  AND (SELECT COUNT(DISTINCT doc_id) FROM e)
+      |        = (SELECT COUNT(*) FROM documents)
+      |  AND NOT EXISTS (
+      |    SELECT 1 FROM e GROUP BY text_cluster, media_cluster
+      |    HAVING COUNT(DISTINCT keep_id) != 1
+      |        OR SUM(CASE WHEN doc_id = keep_id THEN 1 ELSE 0 END) != 1)
+      |UNION ALL SELECT CAST(-1 AS BIGINT), CAST(-1 AS BIGINT),
+      |  CAST(-1 AS BIGINT), CAST(-1 AS BIGINT), CAST(-1 AS BIGINT),
+      |  CAST(-1 AS BIGINT), FALSE
+      |  WHERE (SELECT COUNT(*) FROM e) = 0
+      |ORDER BY doc_id""".stripMargin
 
   // -------------------------------------------------------------------
   // q102: sliding-window STREAMING rollup — the streaming twin of the
@@ -6494,6 +6721,7 @@ object Pipeline {
     "q35_ann_lsh" -> (q35AnnLsh _),
     "q52_ann_ivf" -> (q52AnnIvf _),
     "q248_ivf_probe_curve" -> (q248IvfProbeCurve _),
+    "q328_ivf_incremental" -> (q328IvfIncremental _),
     "q36_cosine_neardup" -> (q36CosineNearDup _),
     "q218_semantic_decontam" -> (q218SemanticDecontam _),
     "q220_frame_sample" -> (q220FrameSample _),
@@ -6560,6 +6788,7 @@ object Pipeline {
     "q211_phash_neardup" -> (q211PhashNearDup _),
     "q217_phash_incremental" -> (q217PhashIncremental _),
     "q261_phash_canonical" -> (q261PhashCanonical _),
+    "q329_cross_modal_canonical" -> (q329CrossModalCanonical _),
     "q208_sssp" -> (q208Sssp _),
     "q203_stream_asof" -> (q203StreamAsof _),
     "q253_stream_quota" -> (q253StreamQuota _),
@@ -6650,6 +6879,8 @@ object Pipeline {
     "q35_ann_lsh" -> annOracle("q35_ann_lsh", 0.35),
     "q52_ann_ivf" -> annOracle("q52_ann_ivf", 0.55),
     "q248_ivf_probe_curve" -> probeCurveSql(Map(1 -> 0.14, 2 -> 0.25, 8 -> 0.52)),
+    "q328_ivf_incremental" -> ivfIncrementalSql(
+      Map("a_stale" -> 0.36, "b_partial" -> 0.38, "c_full" -> 0.38)),
     "q163_pq_ann" -> annOracle("q163_pq_ann", 0.6),
     // measured recall@10: 0.69 @ sf0.01, 0.66 @ sf0.1 → floor 0.52
     // ≈ 0.8× the binding figure (q35/q52 convention); re-measure
@@ -6712,6 +6943,7 @@ object Pipeline {
     "q211_phash_neardup" -> q211Sql,
     "q217_phash_incremental" -> q217Sql,
     "q261_phash_canonical" -> q261Sql,
+    "q329_cross_modal_canonical" -> q329Sql,
     "q208_sssp" -> q208Sql,
     "q202_embedding_drift" -> q202Sql,
     "q195_embedding_outliers" -> q195Sql,

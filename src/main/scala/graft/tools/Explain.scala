@@ -127,6 +127,7 @@ object Explain {
       "q245_source_kl" -> "two explode passes (vocab TakeOrdered cap, bucket counts) both partial-aggregate; the (sources × 513) grid is a BNLJ whose BUILD side subtree carries the vocab LIMIT — bounded by construction (PlanLint-recognized); per-bucket terms fold as int64 partial sums",
       "q247_length_batches" -> "the one total-order op in the round: row_number windows scoped to (bucket, hash-shard) sub-frames — 8 shards per bucket cap every sort at n/(buckets·shards); batch stats then partial-aggregate twice (batch level, bucket level)",
       "q248_ivf_probe_curve" -> "three probe settings share ONE trained centroid model (driver-side k-means on VecFixedSum partials); each IVF pass is the q52 cell equi-join shape; the union feeds a single broadcast join against the exact top-10 frame",
+      "q328_ivf_incremental" -> "the maintenance pass is ONE assign+aggregate over the corpus (argmax against the frozen model, per-cell base/delta counts + VecFixedSum — model-sized collect); three variant models then run the q52 cell equi-join shape over the same corpus and union into one broadcast join against the exact frame; untouched centroids are the frozen arrays themselves, so the only executor work the refresh adds is the single pass",
       "q249_eval_contamination" -> "q57's decontaminate shape with the aggregation flipped to the eval side: eval grams (1/97 of the corpus) broadcast, train grams stream map-side — only gram MATCHES reach the (eval, train) distinct-count aggregate",
       "q252_source_dup_matrix" -> "q164's prefix-filtered exact pair join (posting equi-join, length+prefix pruned) feeds two match-sized id-equi joins for source labels; the matrix fold is a partial-agged groupBy over ≤ sources² keys",
       "q253_stream_quota" -> "flatMapGroupsWithState keyed by user: state = two scalars + the in-flight buffer; adjudication is timeout-driven at the watermark, so emission needs no further data; the drained sink aggregates nothing — per-event rows flow straight to parquet",
@@ -138,6 +139,7 @@ object Explain {
       "q259_quantile_normalize" -> "per-doc scores partial-aggregate to the DISTINCT (source, score) frame; both CDFs are value-bounded windows; the quantile lookup is the as-of union trick — corpus rows at integer cum positions, source rows at integer ceil-ranks, ONE forward first(ignoreNulls) window; no range join, no BNLJ anywhere",
       "q260_split_balance" -> "the token head is a TakeOrdered LIMIT 64; the (token × split) grid completes via a LITERAL 3-row crossJoin (LocalTableScan — PlanLint-bounded) left-joined to the partial-agged cell counts; χ² terms floor to int64 in the project and the final fold is a 64-row aggregate",
       "q261_phash_canonical" -> "exact-hash collapse FIRST (groupBy(dhash).min(media_id) — the round-10 fix): the 16-bit-chunk equi self-join and CC run over the DISTINCT-hash representative frame (never media-level on a self-similar corpus; 41.2→6.8 s at sf0.1), hash→cluster joins back (AQE broadcast at gate scale, plain equi-join at 100 TB); canonical pick is ONE per-cluster window over (id, n_bytes) — q194's discipline at the media rung; payload bytes never leave the scan",
+      "q329_cross_modal_canonical" -> "the joint-cluster decision table is pure equi-join algebra: text clusters re-read the PERSISTED q55/q82 pair frame (pairCache — no rebuild) through CC, media groups are one groupBy(dhash).min partial aggregate joined back, and the canonical pick is one window whose fan-in is the joint-cluster size; blobs never shuffle (phashTable ships id + hash; payload length is computed in the media scan)",
       "q262_unigram_rounds" -> "the corpus collapses to the word-type frame once (the only corpus-sized shuffle); candidate substrings equi-join the BROADCAST model vocab; the greedy orbit materializes via ⌈log2 maxWordLen⌉ pointer-doubling self-joins over (w, pos) pairs — no driver loop over positions, no interpreted HOF; only the model-sized usage table is collected per EM round",
       "q264_stream_phash_nd" -> "dHash computed MAP-SIDE on the stream (mapPartitions in the scan stage — blobs never shuffle); only 24-byte (chunk, chunk_val, ts, id) rows reach the state store; batch tail = distinct candidates → two 8-byte hash joins + bit_count verify → per-media partial-agged counts → 1:1 left join back; the grid re-encode rides the already-persisted narrow phash frame",
       "q266_audio_fingerprint" -> "landmark extraction is map-only over the blob scan (audioWindows flatMap) + two window passes over the PEAK frame (3 longs/active window); the lead columns materialize BEFORE the fanout Generate (lesson 12 — nothing re-evaluates per element); matching is a df≤50-capped inverted-index equi-join on the packed int64 fp (never all-pairs), offset votes partial-aggregate, and the per-pair best offset is the lesson-17 max(struct) argmax — no data-sized sort window",

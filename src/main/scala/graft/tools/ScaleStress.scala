@@ -250,8 +250,21 @@ object ScaleStress {
     // operator's own guidance: over-full cells = quantizer too coarse)
     val cells = math.max(16, (nVec / 2000L).toInt)
     println(s"[stress] embeddings x$embFactor -> $nVec vectors, $cells cells")
+    var trained: Array[Array[Double]] = null
     timed(s"k-means training ($cells cells, 2 iters)")(
-      { graft.operators.Similarity.trainCentroids(emb, "embedding", cells, 2, 64); 0L })
+      { trained = graft.operators.Similarity.trainCentroids(emb, "embedding", cells, 2, 64); 0L })
+    // r13 (q328's operator): the maintenance pass a serving index runs
+    // per ingest — ONE assign+aggregate over the corpus, model-sized
+    // driver traffic — vs the full retrain timed above (2 passes + 2
+    // model collects). The %5 pseudo-delta is id-uniform, so drift is
+    // all-or-nothing here; the row count reports the drifted-cell
+    // count (the retrain fraction — never silent).
+    timed(s"incremental IVF refresh (delta = %5, drift > 30%, $cells cells)") {
+      val (_, audit) = graft.operators.Similarity.incrementalRetrain(
+        emb.withColumn("is_new", pmod(col("vec_id"), lit(5)) === 0),
+        "embedding", "is_new", trained, dim = 64, driftNum = 3L, driftDen = 10L)
+      audit.count(_._4).toLong
+    }
     // no explicit numCells: the operator's auto-scale default derives
     // max(16, n/2000) itself — the cells-follow-corpus contract is now
     // the default path, not a manual dial

@@ -1312,6 +1312,45 @@ class OperatorsSpec extends SparkSpec {
     assert(cents.map(_.toSeq).toSeq === repart.map(_.toSeq).toSeq)
   }
 
+  // q328's operator theorems: incrementalRetrain re-centers ONLY the
+  // drifted cells; untouched centroids are the SAME arrays (zero-slack
+  // bit-identity, not approximate equality); audit counts are exact;
+  // the integer drift rule has no float fuzz at the boundary; and the
+  // refresh is deterministic (bit-identical on re-run).
+  test("incrementalRetrain: drift detection, zero-slack untouched cells, determinism") {
+    val cents = Array(Array(1.0, 0.0, 0.0, 0.0), Array(0.0, 1.0, 0.0, 0.0))
+    // base: 4 vectors near cell 0, 4 near cell 1; delta: 3 more near
+    // cell 1 (3/7 ≈ 43% of cell 1's current mass is new, > 30%;
+    // cell 0 has 0% new)
+    def v(x: Double, y: Double) = Array(x.toFloat, y.toFloat, 0.0f, 0.0f)
+    val rows =
+      (0 until 4).map(i => (i.toLong, v(1.0, 0.05 * i), false)) ++
+      (0 until 4).map(i => ((10 + i).toLong, v(0.05 * i, 1.0), false)) ++
+      (0 until 3).map(i => ((20 + i).toLong, v(0.3 + 0.01 * i, 1.0), true))
+    val df = rows.toDF("vec_id", "embedding", "is_new")
+    val (next, audit) = Similarity.incrementalRetrain(df, "embedding",
+      "is_new", cents, dim = 4, driftNum = 3L, driftDen = 10L)
+    assert(audit === Seq((0, 4L, 0L, false), (1, 4L, 3L, true)))
+    // zero-slack: the untouched cell's centroid is the input ARRAY itself
+    assert(next(0) eq cents(0))
+    // the drifted cell re-centered: unit norm, pulled toward the delta
+    assert(math.abs(math.sqrt(next(1).map(x => x * x).sum) - 1.0) < 1e-9)
+    assert(next(1)(0) > cents(1)(0)) // delta sits at x ≈ 0.3 ⇒ x-mass grows
+    // deterministic: a second pass returns a bit-identical model
+    val (again, auditAgain) = Similarity.incrementalRetrain(df, "embedding",
+      "is_new", cents, dim = 4, driftNum = 3L, driftDen = 10L)
+    assert(auditAgain === audit)
+    assert(next.map(_.toSeq).toSeq === again.map(_.toSeq).toSeq)
+    // the drift decision is exact integer arithmetic: 3/7 new sits
+    // between thresholds 42% (drifts) and 43% (does not)
+    val (_, a43) = Similarity.incrementalRetrain(df, "embedding", "is_new",
+      cents, dim = 4, driftNum = 43L, driftDen = 100L)
+    assert(a43.map(_._4) === Seq(false, false))
+    val (_, a42) = Similarity.incrementalRetrain(df, "embedding", "is_new",
+      cents, dim = 4, driftNum = 42L, driftDen = 100L)
+    assert(a42.map(_._4) === Seq(false, true))
+  }
+
   test("vec_outer_fixed_sum matches the driver-computed outer product, merge-order invariant") {
     import graft.functions.VectorFunctions.vec_outer_fixed_sum
     val dim = 4
