@@ -562,18 +562,31 @@ object Similarity {
       asg.select(col("id").as("ia"), col("f").as("fa"), col("cell"))
         .join(asg.select(col("id").as("ib"), col("f").as("fb"),
           col("cell")), Seq("cell"))
-        .filter(col("ia") =!= col("ib"))
+        // CANONICAL orientation (r13): ia < ib halves the survivor
+        // emission, the cross-grid distinct shuffle, and the
+        // checkpoint — the DOMINANT stage of the whole operator
+        // (DbscanPhaseProbe: distinct+checkpoint 229.9 s of a ~310 s
+        // piecewise total at ×100 in a contended window, vs 3-5 s per
+        // training grid). The symmetric closure is restored AFTER the
+        // checkpoint by a map-only mirror union, so every consumer
+        // sees the identical bidirectional pair multiset and the
+        // output is bit-identical.
+        .filter(col("ia") < col("ib"))
         .filter(dotD(col("fa"), col("fb")) >= lit(thetaFx.toDouble))
         .select(col("ia"), col("ib"))
     }.reduce(_ union _).distinct() // survivors only — two longs per row
       .localCheckpoint(eager = true) // feeds the count agg AND the border semi-join
-    val nb = nbPairs.groupBy(col("ia")).agg(count(lit(1)).as("n_nb"))
+    // bidirectional view: map-only mirror of the checkpointed canonical
+    // pairs (no shuffle; the aggregates below partial-aggregate anyway)
+    val sym = nbPairs.unionAll(
+      nbPairs.select(col("ib").as("ia"), col("ia").as("ib")))
+    val nb = sym.groupBy(col("ia")).agg(count(lit(1)).as("n_nb"))
     val pts = data.select(col(idCol).as("id"))
       .join(nb, col("id") === nb("ia"), "left_outer")
       .select(col("id"), coalesce(col("n_nb"), lit(0L)).as("n_nb"))
       .withColumn("is_core", col("n_nb") >= lit(minPts))
     val coreIds = pts.filter(col("is_core")).select(col("id").as("ib"))
-    val nearCore = nbPairs.join(coreIds, Seq("ib"), "left_semi")
+    val nearCore = sym.join(coreIds, Seq("ib"), "left_semi")
       .select(col("ia").as("id")).distinct()
       .withColumn("near_core", lit(true))
     pts.join(nearCore, Seq("id"), "left_outer")
