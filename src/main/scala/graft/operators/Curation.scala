@@ -402,6 +402,16 @@ object Curation {
   def bpeFinalSymbols(df: DataFrame, textCol: String, rounds: Int): DataFrame =
     bpeTrain(df, textCol, rounds)._2
 
+  /** One training run, BOTH artifacts: the per-round stats tuples
+    * ([[bpeMergeRounds]]'s rows) and the final persisted symbol frame
+    * ([[bpeFinalSymbols]]) — so a caller serving both consumers (the
+    * merge-round table AND the final vocabulary) trains ONCE instead
+    * of twice (r13: q213+q216 ran the identical full-corpus chain
+    * back to back). */
+  def bpeTrainFull(df: DataFrame, textCol: String, rounds: Int)
+      : (Seq[(Long, String, String, Long, Long, Long, Long)], DataFrame) =
+    bpeTrain(df, textCol, rounds)
+
   /** The initial character-level (w, wc, p, s) symbol frame of a
     * corpus' word-type table — BPE round 0. Split BETWEEN characters
     * only ("(?<=.)(?=.)"): Spark's split keeps trailing empty strings
@@ -424,7 +434,8 @@ object Curation {
     * counts; the INPUT frame stays persisted — caller unpersists. A
     * pair with zero occurrences is a no-op (apply-side corpora may
     * lack a trained pair). */
-  private def bpeMergePair(syms: DataFrame, a: String, b: String)
+  private def bpeMergePair(syms: DataFrame, a: String, b: String,
+                           needCounts: Boolean = true)
       : (DataFrame, Long, Long) = {
     val wWin = Window.partitionBy(col("w")).orderBy(asc("p"))
     val paired = syms.withColumn("s2", lead(col("s"), 1).over(wWin))
@@ -435,9 +446,17 @@ object Curation {
         Window.partitionBy(col("w"), col("isl"))))
       .filter((col("off") % 2) === 0)
       .select(col("w"), col("wc"), col("p"), lit(1).as("start"))
-    val cnts = starts
-      .agg(count(lit(1)).as("n"), coalesce(sum(col("wc")), lit(0L)).as("nw"))
-      .collect().head
+    // the (type-level, corpus-weighted) merge counts are TRAINER
+    // bookkeeping — the apply side (bpeSegment) discards them, and
+    // skipping the aggregate job lets a whole frozen-merge replay
+    // chain plan as ONE job whose per-round persists materialize
+    // inline (r13, guide §1.2: don't compute what's thrown away)
+    val cnts =
+      if (needCounts)
+        starts
+          .agg(count(lit(1)).as("n"), coalesce(sum(col("wc")), lit(0L)).as("nw"))
+          .collect().head
+      else null
     val consumed = starts.select(col("w"), (col("p") + 1).as("p"),
       lit(1).as("gone"))
     val rebuilt = syms
@@ -448,7 +467,8 @@ object Curation {
       .withColumn("np", row_number().over(wWin) - 1)
       .select(col("w"), col("wc"), col("np").as("p"), col("s"))
       .persist()
-    (rebuilt, cnts.getLong(0), cnts.getLong(1))
+    if (needCounts) (rebuilt, cnts.getLong(0), cnts.getLong(1))
+    else (rebuilt, -1L, -1L)
   }
 
   private def bpeTrain(df: DataFrame, textCol: String, rounds: Int)
@@ -457,6 +477,18 @@ object Curation {
     val wWin = Window.partitionBy(col("w")).orderBy(asc("p"))
     val out = scala.collection.mutable.ArrayBuffer
       .empty[(Long, String, String, Long, Long, Long, Long)]
+    // running Σwc over the symbol frame: each executed merge start
+    // removes exactly ONE (consumed) row of weight wc, so
+    // Σwc(after) = Σwc(before) − n_merges_wt — exact int64 identity
+    // (pinned by the planted CurationSpec fixtures). Replaces a full
+    // aggregate JOB per round (r13, guide §1.2: don't compute what's
+    // derivable). The unpersist of a round's input is DEFERRED until
+    // the next round's argmax job has materialized its output (the
+    // removed aggregate used to provide exactly that ordering —
+    // unpersisting earlier would silently re-derive the whole prefix
+    // chain per round, the pre-r13 bpeSegment pathology).
+    var total = -1L
+    var prev: DataFrame = null
     var r = 1
     var done = false
     while (r <= rounds && !done) {
@@ -465,17 +497,28 @@ object Curation {
         .groupBy(col("s"), col("s2")).agg(sum(col("wc")).as("cnt"))
         .orderBy(desc("cnt"), asc("s"), asc("s2")).limit(1)
         .collect()
+      // the argmax job materialized `syms` — its parent is now free
+      if (prev != null) { prev.unpersist(); prev = null }
       if (best.isEmpty) done = true
       else {
+        if (total < 0L)
+          total = syms.agg(sum(col("wc"))).collect()(0).getLong(0)
         val (a, b, cnt) =
           (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
         val (rebuilt, nTypeMerges, nMergesWt) = bpeMergePair(syms, a, b)
-        val symsAfter = rebuilt.agg(sum(col("wc"))).collect()(0).getLong(0)
-        out += ((r.toLong, a, b, cnt, nTypeMerges, nMergesWt, symsAfter))
-        syms.unpersist()
+        total -= nMergesWt
+        out += ((r.toLong, a, b, cnt, nTypeMerges, nMergesWt, total))
+        prev = syms
         syms = rebuilt
         r += 1
       }
+    }
+    // materialize the final frame before releasing its parent: ONE
+    // cache-hit-fed job (consumers — q216's vocabulary aggregate, the
+    // checkpointing memo — read a materialized frame either way)
+    if (prev != null) {
+      syms.count()
+      prev.unpersist()
     }
     (out.toSeq, syms)
   }
@@ -524,6 +567,12 @@ object Curation {
     val wWin = Window.partitionBy(col("w")).orderBy(asc("p"))
     val out = scala.collection.mutable.ArrayBuffer
       .empty[(Long, String, String, Long, Long, Long, Long, Long)]
+    // same exact-int64 running total as bpeTrain — one aggregate job
+    // per round replaced by Σwc(after) = Σwc(before) − n_merges_wt —
+    // and the same DEFERRED unpersist (a round's input frees only
+    // after the next argmax job materializes its output)
+    var total = -1L
+    var prev: DataFrame = null
     var r = 1
     var done = false
     while (r <= rounds && !done) {
@@ -538,23 +587,32 @@ object Curation {
         .limit(1)
         .select(col("s"), col("s2"), col("cnt"), col("ca"), col("cb"))
         .collect()
+      // the argmax job materialized `syms` — its parent is now free
+      if (prev != null) { prev.unpersist(); prev = null }
       if (best.isEmpty) done = true
       else {
         val row = best(0)
         val (a, b, cnt, ca, cb) = (row.getString(0), row.getString(1),
           row.getLong(2), row.getLong(3), row.getLong(4))
-        val (rebuilt, _, _) = bpeMergePair(syms, a, b)
-        val symsAfter = rebuilt.agg(sum(col("wc"))).collect()(0).getLong(0)
+        if (total < 0L)
+          total = syms.agg(sum(col("wc"))).collect()(0).getLong(0)
+        val (rebuilt, _, nMergesWt) = bpeMergePair(syms, a, b)
+        total -= nMergesWt
+        val symsAfter = total
         // same libm ln the oracle's LN applies to the identical
         // exact-int ratio — the floor(ln·1e6) fixed-point convention
         val scoreFx = math.floor(
           math.log(cnt.toDouble / (ca.toDouble * cb.toDouble)) * 1e6).toLong
         out += ((r.toLong, a, b, cnt, ca, cb, scoreFx, symsAfter))
-        syms.unpersist()
+        prev = syms
         syms = rebuilt
         r += 1
       }
     }
+    // the trainer discards the final frame (only the merge list is
+    // the model): nothing ever materializes the last rebuilt, so both
+    // tail frames just release their cache registrations
+    if (prev != null) prev.unpersist()
     syms.unpersist()
     out.toSeq
   }
@@ -581,12 +639,27 @@ object Curation {
     */
   def bpeSegment(df: DataFrame, textCol: String,
                  merges: Seq[(String, String)]): DataFrame = {
+    // r13 rework (guide §1.2): the frozen replay needs NO per-round
+    // driver action — needCounts = false skips the merge-count
+    // aggregates (trainer bookkeeping the apply side discarded), the
+    // whole chain builds lazily with every round's persist registered,
+    // and ONE materializing job computes it end to end with each
+    // intermediate cached exactly once (block-level getOrCompute
+    // dedups the repeated subtree references). The old loop collected
+    // counts per round but unpersisted each round's input BEFORE its
+    // output ever materialized, so every later round silently
+    // re-derived the whole prefix — the apply chain was quadratic in
+    // rounds (isolated A/B: the 3-round sf0.1 apply dropped ~4.4 s →
+    // ~1.6 s; r13 plan evidence in plans/r13).
     var syms = bpeSym0(df, textCol)
+    val intermediates = scala.collection.mutable.ArrayBuffer(syms)
     merges.foreach { case (a, b) =>
-      val (rebuilt, _, _) = bpeMergePair(syms, a, b)
-      syms.unpersist()
+      val (rebuilt, _, _) = bpeMergePair(syms, a, b, needCounts = false)
+      intermediates += rebuilt
       syms = rebuilt
     }
+    syms.count() // materialize once, all rounds cache as they compute
+    intermediates.dropRight(1).foreach(_.unpersist())
     syms
   }
 
@@ -759,6 +832,35 @@ object Curation {
         }
         c.release()
         counts
+    }
+  }
+
+  /** The greedy-longest-match VALID-START frame under a frozen
+    * unigram vocabulary: one (w, wc, pos, mlen) row per piece start
+    * of every word type's segmentation — the shared kernel behind
+    * [[unigramApplyUsage]] (fold: substring piece → Σwc),
+    * [[unigramTypePieceCounts]] (fold: count per w) and
+    * [[unigramTypeBoundaries]] (fold: pos > 1 → b = pos − 1), exposed
+    * so the three held-out consumers can run their folds off ONE
+    * materialized orbit instead of three (r13: the orbit — hit join +
+    * pointer doubling — is the dominant cost of every apply-side
+    * query; the folds are cheap aggregates). Eagerly checkpointed by
+    * [[unigramOrbit]]; empty-corpus → empty frame with the same
+    * schema. */
+  def unigramStarts(df: DataFrame, textCol: String,
+      vocab: Seq[String], maxPieceLen: Int = 4): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    unigramCorpus(df, textCol) match {
+      case None =>
+        Seq.empty[(String, Long, Int, Int)].toDF("w", "wc", "pos", "mlen")
+      case Some(c) =>
+        val starts = unigramOrbit(c, vocab, maxPieceLen) { (r, ml) =>
+          r.join(ml, Seq("w", "pos"))
+            .select(col("w"), col("wc"), col("pos"), col("mlen"))
+        }
+        c.release()
+        starts
     }
   }
 

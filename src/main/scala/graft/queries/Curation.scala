@@ -1018,10 +1018,20 @@ object Curation {
     val d = docs(spark, dir)
     val toks = d.select(col("doc_id"), col("source"),
       explode(TA.tokens(col("text"))).as("tok"))
-    val ct = toks.groupBy(col("source").as("cls"), col("tok"))
-      .agg(count(lit(1)).as("n_ct"))
-    val cTot = toks.groupBy(col("source").as("cls")).agg(count(lit(1)).as("n_c"))
-    val vocabN = toks.select(col("tok")).distinct().count()
+    // r13 (guide §1.2/§2.3): ONE tokenize+explode pass, pre-aggregated
+    // to per-doc distinct-token counts — the class fan-out below then
+    // multiplies the (doc, tok)-distinct frame, not the raw token
+    // stream, and ct / cTot / vocabN all derive from dtoks instead of
+    // re-exploding the corpus (was 4 corpus-scale explode passes).
+    // Exact-int64 equivalence: Σ_occurrences ll = n · ll per distinct
+    // (doc, tok), |n·ll| ≤ 1e6·2e7 ≪ 2^63.
+    val dtoks = toks.groupBy(col("doc_id"), col("source"), col("tok"))
+      .agg(count(lit(1)).as("n"))
+      .localCheckpoint(true)
+    val ct = dtoks.groupBy(col("source").as("cls"), col("tok"))
+      .agg(sum(col("n")).as("n_ct"))
+    val cTot = ct.groupBy(col("cls")).agg(sum(col("n_ct")).as("n_c"))
+    val vocabN = ct.select(col("tok")).distinct().count()
     val nDocs = d.count()
     // Class fan-out guard: scoring multiplies the exploded-token frame
     // by the class count (the crossJoin below — that IS the NB scorer),
@@ -1046,7 +1056,7 @@ object Curation {
       .select(col("cls"),
         floor(log(col("n_d").cast("double") / lit(nDocs.toDouble))
           * lit(1000000.0)).cast("long").as("lp_fx"))
-    val scored = toks
+    val scored = dtoks
       // never-binding limit (r13): nClasses ≤ 1000 is REQUIRED above,
       // so limit(1000) cannot truncate — it only makes the class-list
       // bound structural for PlanLint's recursive bounded(), retiring
@@ -1055,7 +1065,7 @@ object Curation {
       .join(broadcast(terms), Seq("cls", "tok"), "left_outer")
       .join(broadcast(defaults), Seq("cls"))
       .select(col("doc_id"), col("source"), col("cls"),
-        coalesce(col("ll_fx"), col("ll0_fx")).as("t"))
+        (col("n") * coalesce(col("ll_fx"), col("ll0_fx"))).as("t"))
       .groupBy(col("doc_id"), col("source"), col("cls"))
       .agg(sum(col("t")).as("sum_ll"))
       .join(broadcast(priorFx), "cls")
@@ -1459,9 +1469,32 @@ object Curation {
   // scratch: any divergence in counting, tie-break, overlap handling,
   // or reindexing breaks a row → FAIL.
   // -------------------------------------------------------------------
-  def q213BpeMerges(spark: SparkSession, dir: String): DataFrame =
-    C.bpeMergeRounds(docs(spark, dir), "text", rounds = 3)
+  /** ONE full-corpus BPE training per (session, dir), serving both
+    * full-corpus consumers: q213 reads the per-round stats, q216 the
+    * final symbol frame — previously two bit-identical 3-round train
+    * chains back to back (r13; the `trainedMerges97Of` discipline at
+    * the full-corpus rung). The symbol frame is eagerly checkpointed
+    * inside the computeIfAbsent (rule 16); entries evict with the
+    * session (SessionMemo). */
+  private val bpeFullTrain = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String),
+    (Seq[(Long, String, String, Long, Long, Long, Long)], DataFrame)]()
+  private def bpeFullTrainOf(spark: SparkSession, dir: String)
+      : (Seq[(Long, String, String, Long, Long, Long, Long)], DataFrame) =
+    graft.util.SessionMemo.cached(bpeFullTrain, spark, dir) {
+      val (stats, syms) = C.bpeTrainFull(docs(spark, dir), "text", rounds = 3)
+      val cut = syms.localCheckpoint(true)
+      syms.unpersist()
+      (stats, cut)
+    }
+
+  def q213BpeMerges(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    bpeFullTrainOf(spark, dir)._1
+      .toDF("round", "lhs", "rhs", "pair_count",
+        "n_type_merges", "n_merges_wt", "n_symbols_after")
       .orderBy(asc("round"))
+  }
   // the merge-apply half of one trainer round (greedy island-parity
   // starts + rebuilt symbol frame) — criterion-independent: both the
   // BPE and the WordPiece chains append this after their own best$i
@@ -1589,10 +1622,23 @@ object Curation {
       C.wordpieceTrainedMerges(
         docs(spark, dir).filter(col("doc_id") % 97 =!= 0), "text", rounds))
 
+  /** The held-out split under the frozen WordPiece list — the
+    * [[bpeHeldoutSegs97Of]] pattern at the WordPiece rung, shared by
+    * q281 (vocabulary) and q282 (fertility). */
+  private val wpSegs97 = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), DataFrame]()
+  private def wpHeldoutSegs97Of(spark: SparkSession, dir: String): DataFrame =
+    graft.util.SessionMemo.cached(wpSegs97, spark, dir) {
+      val merges = wpTrainedMerges97Of(spark, dir, rounds = 3)
+      val segs = C.bpeSegment(
+        docs(spark, dir).filter(col("doc_id") % 97 === 0), "text", merges)
+      val cut = segs.localCheckpoint(true)
+      segs.unpersist()
+      cut
+    }
+
   def q281WordpieceHeldout(spark: SparkSession, dir: String): DataFrame = {
-    val d = docs(spark, dir)
-    val merges = wpTrainedMerges97Of(spark, dir, rounds = 3)
-    C.bpeSegment(d.filter(col("doc_id") % 97 === 0), "text", merges)
+    wpHeldoutSegs97Of(spark, dir)
       .groupBy(col("s"))
       .agg(sum(col("wc")).as("n_occ"), countDistinct(col("w")).as("n_types"))
       .orderBy(desc("n_occ"), asc("s"))
@@ -1634,9 +1680,8 @@ object Curation {
   // -------------------------------------------------------------------
   def q282WordpieceFertility(spark: SparkSession, dir: String): DataFrame = {
     val d = docs(spark, dir)
-    val merges = wpTrainedMerges97Of(spark, dir, rounds = 3)
     val heldout = d.filter(col("doc_id") % 97 === 0)
-    val nsub = C.bpeSegment(heldout, "text", merges)
+    val nsub = wpHeldoutSegs97Of(spark, dir)
       .groupBy(col("w")).agg(count(lit(1)).as("n_sub"))
     val lw = heldout
       .select(col("lang"), explode(TA.tokens(col("text"))).as("w"))
@@ -1768,15 +1813,36 @@ object Curation {
       C.unigramTrainedVocab(
         docs(spark, dir).filter(col("doc_id") % 97 =!= 0), "text", rounds))
 
+  /** The held-out greedy-longest-match VALID-START frame under the
+    * frozen unigram vocab ([[C.unigramStarts]]), memoized per
+    * (session, dir): the orbit (hit join + pointer doubling) is the
+    * dominant cost of every unigram apply query, and q263 (usage),
+    * q265 (fertility) and q267 (agreement boundaries) each rebuilt it
+    * from scratch — their folds are cheap aggregates over this one
+    * frame. Orbit output is already eagerly checkpointed inside the
+    * computeIfAbsent (unigramOrbit localCheckpoint(true)s its fold). */
+  private val uniStarts97 = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), DataFrame]()
+  private def unigramStarts97Of(spark: SparkSession, dir: String): DataFrame =
+    graft.util.SessionMemo.cached(uniStarts97, spark, dir) {
+      val vocab = unigramVocab97Of(spark, dir, rounds = 2)
+      C.unigramStarts(
+        docs(spark, dir).filter(col("doc_id") % 97 === 0), "text", vocab)
+    }
+
   def q263UnigramHeldout(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val d = docs(spark, dir)
-    val vocab = unigramVocab97Of(spark, dir, rounds = 2)
-    val usage = C.unigramApplyUsage(
-      d.filter(col("doc_id") % 97 === 0), "text", vocab)
-    usage.take(30).zipWithIndex
-      .map { case ((piece, wt), i) => ((i + 1).toLong, piece, wt) }
-      .toSeq.toDF("rank", "piece", "use_wt")
+    // the same (use_wt desc, piece asc) fold unigramApplyUsage runs,
+    // off the shared starts frame; limit(30) of the total order ≡ the
+    // old collected-Seq take(30) (ties impossible: piece is unique)
+    val usage = unigramStarts97Of(spark, dir)
+      .select(expr("substring(w, pos, mlen)").as("piece"), col("wc"))
+      .groupBy(col("piece")).agg(sum(col("wc")).as("use_wt"))
+      .orderBy(desc("use_wt"), asc("piece")).limit(30)
+      .collect()
+    usage.toSeq.zipWithIndex
+      .map { case (r, i) => ((i + 1).toLong, r.getString(0), r.getLong(1)) }
+      .toDF("rank", "piece", "use_wt")
       .orderBy(asc("rank"))
   }
   val q263Sql: String =
@@ -1845,9 +1911,10 @@ object Curation {
   // -------------------------------------------------------------------
   def q265UnigramFertility(spark: SparkSession, dir: String): DataFrame = {
     val d = docs(spark, dir)
-    val vocab = unigramVocab97Of(spark, dir, rounds = 2)
     val heldout = d.filter(col("doc_id") % 97 === 0)
-    val nsub = C.unigramTypePieceCounts(heldout, "text", vocab)
+    // unigramTypePieceCounts' fold (count per w) off the shared frame
+    val nsub = unigramStarts97Of(spark, dir)
+      .groupBy(col("w")).agg(count(lit(1)).as("n_pieces"))
     val lw = heldout
       .select(col("lang"), explode(TA.tokens(col("text"))).as("w"))
       .filter(col("w") =!= "")
@@ -1927,7 +1994,7 @@ object Curation {
   // broken rebuild shows up as a different vocabulary.
   // -------------------------------------------------------------------
   def q216BpeVocab(spark: SparkSession, dir: String): DataFrame =
-    C.bpeFinalSymbols(docs(spark, dir), "text", rounds = 3)
+    bpeFullTrainOf(spark, dir)._2
       .groupBy(col("s"))
       .agg(sum(col("wc")).as("n_occ"), countDistinct(col("w")).as("n_types"))
       .orderBy(desc("n_occ"), asc("s"))
@@ -1999,10 +2066,27 @@ object Curation {
       C.bpeTrainedMerges(
         docs(spark, dir).filter(col("doc_id") % 97 =!= 0), "text", rounds))
 
+  /** The held-out split SEGMENTED under the frozen train-split BPE
+    * merges, memoized per (session, dir) — the apply half of the
+    * chain, previously recomputed by EVERY held-out consumer (q224
+    * vocabulary, q235 fertility, q267 agreement each replayed the 3
+    * apply rounds; Q235Probe pinned the apply at ~4.4 s of the ~8.4 s
+    * composite). The frame is word-TYPE-sized (w, wc, p, s), eagerly
+    * checkpointed inside the computeIfAbsent (rule 16). */
+  private val bpeSegs97 = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), DataFrame]()
+  private def bpeHeldoutSegs97Of(spark: SparkSession, dir: String): DataFrame =
+    graft.util.SessionMemo.cached(bpeSegs97, spark, dir) {
+      val merges = trainedMerges97Of(spark, dir, rounds = 3)
+      val segs = C.bpeSegment(
+        docs(spark, dir).filter(col("doc_id") % 97 === 0), "text", merges)
+      val cut = segs.localCheckpoint(true)
+      segs.unpersist()
+      cut
+    }
+
   def q224BpeHeldout(spark: SparkSession, dir: String): DataFrame = {
-    val d = docs(spark, dir)
-    val merges = trainedMerges97Of(spark, dir, rounds = 3)
-    C.bpeSegment(d.filter(col("doc_id") % 97 === 0), "text", merges)
+    bpeHeldoutSegs97Of(spark, dir)
       .groupBy(col("s"))
       .agg(sum(col("wc")).as("n_occ"), countDistinct(col("w")).as("n_types"))
       .orderBy(desc("n_occ"), asc("s"))
@@ -2045,9 +2129,8 @@ object Curation {
   // -------------------------------------------------------------------
   def q235BpeFertility(spark: SparkSession, dir: String): DataFrame = {
     val d = docs(spark, dir)
-    val merges = trainedMerges97Of(spark, dir, rounds = 3)
     val heldout = d.filter(col("doc_id") % 97 === 0)
-    val nsub = C.bpeSegment(heldout, "text", merges)
+    val nsub = bpeHeldoutSegs97Of(spark, dir)
       .groupBy(col("w")).agg(count(lit(1)).as("n_sub"))
     val lw = heldout
       .select(col("lang"), explode(TA.tokens(col("text"))).as("w"))
@@ -2116,17 +2199,20 @@ object Curation {
   // -------------------------------------------------------------------
   def q267TokenizerAgreement(spark: SparkSession, dir: String): DataFrame = {
     val d = docs(spark, dir)
-    val merges = trainedMerges97Of(spark, dir, rounds = 3)
-    val uvocab = unigramVocab97Of(spark, dir, rounds = 2)
     val heldout = d.filter(col("doc_id") % 97 === 0)
     val wWin = Window.partitionBy(col("w")).orderBy(asc("p"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val bpeB = C.bpeSegment(heldout, "text", merges)
+    // both boundary sets read the memoized apply-side frames (the BPE
+    // segment frame shared with q224/q235, the unigram starts frame
+    // shared with q263/q265) — the folds below are the only new work
+    val bpeB = bpeHeldoutSegs97Of(spark, dir)
       .withColumn("b", sum(length(col("s")).cast("long")).over(wWin))
       .filter(col("b") < length(col("w")).cast("long"))
       .select(col("w"), col("b"), lit(1).as("pb"))
-    val uniB = C.unigramTypeBoundaries(heldout, "text", uvocab)
-      .select(col("w"), col("b"), lit(1).as("ub"))
+    val uniB = unigramStarts97Of(spark, dir)
+      .filter(col("pos") > 1)
+      .select(col("w"), (col("pos") - 1).cast("long").as("b"),
+        lit(1).as("ub"))
     val tw = bpeB.join(uniB, Seq("w", "b"), "full_outer")
       .groupBy(col("w"))
       .agg(

@@ -3550,17 +3550,11 @@ object Pipeline {
   // bit-for-bit. The graph-centrality sibling of the CC gates
   // (q55/q82): per-round (id, long) shuffles, truncated lineage.
   // -------------------------------------------------------------------
-  def q123PageRank(spark: SparkSession, dir: String): DataFrame = {
-    val o = spark.read.parquet(s"$dir/orders.parquet")
-      .select(col("o_orderkey"), col("o_custkey"))
-    val l = spark.read.parquet(s"$dir/lineitem.parquet")
-      .select(col("l_orderkey"), col("l_suppkey"))
-    val fwd = o.join(l, col("o_orderkey") === col("l_orderkey"))
-      .select((col("o_custkey") * 2).as("src"), (col("l_suppkey") * 2 + 1).as("dst"))
-    val edges = fwd.union(fwd.select(col("dst").as("src"), col("src").as("dst")))
-    Graph.pageRankFixed(edges, "src", "dst", iters = 3)
+  def q123PageRank(spark: SparkSession, dir: String): DataFrame =
+    // shared memoized trade edge build (set-identical input to the
+    // operator's internal distinct — see tradeFwdOf)
+    Graph.pageRankFixed(tradeEdges(spark, dir), "src", "dst", iters = 3)
       .orderBy(asc("id"))
-  }
   val q123Sql: String =
     """WITH fwd AS (
       |  SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
@@ -3809,13 +3803,7 @@ object Pipeline {
   // seeds → their suppliers → those suppliers' customers).
   // -------------------------------------------------------------------
   def q170BfsLevels(spark: SparkSession, dir: String): DataFrame = {
-    val o = spark.read.parquet(s"$dir/orders.parquet")
-      .select(col("o_orderkey"), col("o_custkey"))
-    val l = spark.read.parquet(s"$dir/lineitem.parquet")
-      .select(col("l_orderkey"), col("l_suppkey"))
-    val fwd = o.join(l, col("o_orderkey") === col("l_orderkey"))
-      .select((col("o_custkey") * 2).as("src"), (col("l_suppkey") * 2 + 1).as("dst"))
-    val edges = fwd.union(fwd.select(col("dst").as("src"), col("src").as("dst")))
+    val edges = tradeEdges(spark, dir) // shared memoized edge build
     val seeds = spark.read.parquet(s"$dir/customer.parquet")
       .filter(col("c_nationkey") === 7)
       .select((col("c_custkey") * 2).as("id"))
@@ -4046,13 +4034,34 @@ object Pipeline {
   // label) bit-for-bit. Per round: one edges⋈labels join, one
   // partial-agged (dst, label) count, one bounded-fan-in window.
   // -------------------------------------------------------------------
+  /** The DISTINCT forward bipartite trade frame (src = 2·custkey even,
+    * dst = 2·suppkey+1 odd), memoized + eagerly checkpointed per
+    * (session, dir) — r13: SEVEN queries (q123/q170/q177/q201/q221/
+    * q229/q272, plus q269/q273's walk corpus) each re-derived the
+    * identical orders⋈lineitem edge build before their own internal
+    * distinct; now the join + distinct shuffle runs once per session
+    * and every consumer starts from ~1 M materialized long pairs
+    * (guide §2.4: remove repeated shuffles outright). Distinctness of
+    * the symmetric closure is free: the two directions live in
+    * disjoint parity classes, so distinct(fwd) ∪ mirror(distinct(fwd))
+    * is exactly distinct(fwd ∪ mirror(fwd)) — consumers' internal
+    * `.distinct()` sees a set-identical input and emits bit-identical
+    * results. */
+  private val tradeFwdCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+  private def tradeFwdOf(spark: SparkSession, dir: String): DataFrame =
+    graft.util.SessionMemo.cached(tradeFwdCache, spark, dir) {
+      val o = spark.read.parquet(s"$dir/orders.parquet")
+        .select(col("o_orderkey"), col("o_custkey"))
+      val l = spark.read.parquet(s"$dir/lineitem.parquet")
+        .select(col("l_orderkey"), col("l_suppkey"))
+      o.join(l, col("o_orderkey") === col("l_orderkey"))
+        .select((col("o_custkey") * 2).cast("long").as("src"),
+          (col("l_suppkey") * 2 + 1).cast("long").as("dst"))
+        .distinct().localCheckpoint(true)
+    }
   private def tradeEdges(spark: SparkSession, dir: String): DataFrame = {
-    val o = spark.read.parquet(s"$dir/orders.parquet")
-      .select(col("o_orderkey"), col("o_custkey"))
-    val l = spark.read.parquet(s"$dir/lineitem.parquet")
-      .select(col("l_orderkey"), col("l_suppkey"))
-    val fwd = o.join(l, col("o_orderkey") === col("l_orderkey"))
-      .select((col("o_custkey") * 2).as("src"), (col("l_suppkey") * 2 + 1).as("dst"))
+    val fwd = tradeFwdOf(spark, dir)
     fwd.union(fwd.select(col("dst").as("src"), col("src").as("dst")))
   }
 
@@ -4100,15 +4109,9 @@ object Pipeline {
     import org.apache.spark.sql.expressions.Window
     // distinct BEFORE the symmetric union: the bipartite directions
     // (even→odd / odd→even) are disjoint by construction, so deduping
-    // the forward half once is the same set at half the shuffle
-    val o = spark.read.parquet(s"$dir/orders.parquet")
-      .select(col("o_orderkey"), col("o_custkey"))
-    val li = spark.read.parquet(s"$dir/lineitem.parquet")
-      .select(col("l_orderkey"), col("l_suppkey"))
-    val fwd = o.join(li, col("o_orderkey") === col("l_orderkey"))
-      .select((col("o_custkey") * 2).cast("long").as("src"),
-        (col("l_suppkey") * 2 + 1).cast("long").as("dst"))
-      .distinct()
+    // the forward half once is the same set at half the shuffle —
+    // r13: the forward half is the shared memoized tradeFwdOf frame
+    val fwd = tradeFwdOf(spark, dir)
     val e = fwd.union(fwd.select(col("dst").as("src"), col("src").as("dst")))
     val wAdj = Window.partitionBy(col("src")).orderBy(asc("dst"))
     val adj = e.withColumn("idx", (row_number().over(wAdj) - 1).cast("long"))
@@ -4253,9 +4256,21 @@ object Pipeline {
       |FROM pairs p JOIN mw USING (w) JOIN mc USING (c) CROSS JOIN dt
       |ORDER BY w, c""".stripMargin
 
+  /** The 2-round LPA label frame over the trade graph, memoized +
+    * eagerly checkpointed per (session, dir) — q177 emits it and q221
+    * scores its modularity: both previously ran the identical 2-round
+    * vote chain (the oracle side already shares the CTE prefix —
+    * lpaPrefixSql — for exactly this reason). Node-sized. */
+  private val lpaCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+  private def lpaLabelsOf(spark: SparkSession, dir: String): DataFrame =
+    graft.util.SessionMemo.cached(lpaCache, spark, dir) {
+      Graph.labelPropagation(tradeEdges(spark, dir), "src", "dst", rounds = 2)
+        .localCheckpoint(true)
+    }
+
   def q177LabelProp(spark: SparkSession, dir: String): DataFrame =
-    Graph.labelPropagation(tradeEdges(spark, dir), "src", "dst", rounds = 2)
-      .orderBy(asc("id"))
+    lpaLabelsOf(spark, dir).orderBy(asc("id"))
   // The unrolled 2-round LPA CTE chain — shared verbatim by q177 (the
   // labels themselves) and q221 (modularity OF those labels): one
   // drifted vote in either gate shows up in both.
@@ -4300,21 +4315,15 @@ object Pipeline {
   // with q177) and the modularity algebra on top — a drifted vote in
   // round 1 corrupts both gates.
   // -------------------------------------------------------------------
-  def q221Modularity(spark: SparkSession, dir: String): DataFrame = {
-    // the orders⋈lineitem edge build is the expensive half of this
-    // query, and BOTH consumers (LPA's internal canonicalization,
-    // modularity's distinct) re-derive it — cut it ONCE here and let
-    // each side's internal distinct run from the materialized longs;
-    // likewise cut the 2-round LPA label frame, which modularity reads
-    // three times (two endpoint joins + the node count)
-    val edges = tradeEdges(spark, dir)
-      .select(col("src").cast("long"), col("dst").cast("long"))
-      .distinct().localCheckpoint(true)
-    val labels = Graph.labelPropagation(edges, "src", "dst", rounds = 2)
-      .localCheckpoint(true)
-    Graph.modularity(edges, "src", "dst", labels)
+  def q221Modularity(spark: SparkSession, dir: String): DataFrame =
+    // r13: both expensive halves are now session-shared — the edge
+    // frame via tradeFwdOf (tradeEdges is its map-only symmetric
+    // closure, distinct by parity) and the 2-round LPA labels via
+    // lpaLabelsOf (bit-identical to q177's output). Modularity's own
+    // internal distinct canonicalizes the already-distinct closure.
+    Graph.modularity(tradeEdges(spark, dir), "src", "dst",
+        lpaLabelsOf(spark, dir))
       .orderBy(asc("lab"))
-  }
   val q221Sql: String =
     lpaPrefixSql +
       """, tagged AS (
@@ -5321,15 +5330,11 @@ object Pipeline {
   // contract, third member. Per round: two long-pair hash joins + two
   // partial-agged sums + 1-row max broadcasts.
   // -------------------------------------------------------------------
-  def q201Hits(spark: SparkSession, dir: String): DataFrame = {
-    val o = spark.read.parquet(s"$dir/orders.parquet")
-    val l = spark.read.parquet(s"$dir/lineitem.parquet")
-    val edges = o.join(l, col("o_orderkey") === col("l_orderkey"))
-      .select((col("o_custkey") * 2).as("src"),
-        (col("l_suppkey") * 2 + 1).as("dst"))
-    Graph.hitsFixed(edges, "src", "dst", rounds = 2)
+  def q201Hits(spark: SparkSession, dir: String): DataFrame =
+    // HITS is directed: the forward bipartite half alone (memoized;
+    // set-identical to the old inline build under hitsFixed's distinct)
+    Graph.hitsFixed(tradeFwdOf(spark, dir), "src", "dst", rounds = 2)
       .orderBy(asc("id"))
-  }
   val q201Sql: String =
     """WITH e AS (
       |  SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst

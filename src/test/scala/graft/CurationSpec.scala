@@ -204,6 +204,22 @@ class CurationSpec extends SparkSpec {
       (2L, "aa", "a", 2L, 1L, 2L, 2L)))
   }
 
+  test("bpeTrainFull: one training run yields bpeMergeRounds' stats AND bpeFinalSymbols' frame") {
+    // r13: q213+q216 share one memoized full-corpus chain — both
+    // halves of the pair must equal the dedicated functions' outputs
+    val docs = Seq((1L, "aa aa ab"), (2L, "aa b")).toDF("doc_id", "text")
+    val (stats, syms) = Curation.bpeTrainFull(docs, "text", rounds = 3)
+    assert(stats === Seq(
+      (1L, "a", "a", 3L, 1L, 3L, 6L),
+      (2L, "a", "b", 1L, 1L, 1L, 5L)))
+    val vocab = syms.groupBy(col("s"))
+      .agg(sum(col("wc")).as("n_occ"), countDistinct(col("w")).as("n_types"))
+      .orderBy(desc("n_occ"), asc("s"))
+      .as[(String, Long, Long)].collect().toSeq
+    assert(vocab === Seq(("aa", 3L, 1L), ("ab", 1L, 1L), ("b", 1L, 1L)))
+    syms.unpersist()
+  }
+
   test("repetitionMetrics on a fully repetitive vs a diverse doc") {
     val df = Seq(
       (1L, "spam spam spam spam spam"),  // 1 distinct token, 1 distinct bigram
@@ -785,6 +801,38 @@ class CurationSpec extends SparkSpec {
       .filter(col("b") < length(col("w")).cast("long"))
       .collect().map(r => (r.getString(0), r.getLong(4))).toSet
     assert(bpeB === Set(("ababa", 2L), ("ababa", 4L), ("abc", 2L)))
+  }
+
+  test("unigramStarts: the shared valid-start frame reproduces all three apply folds") {
+    // r13: q263/q265/q267 fold ONE memoized starts frame instead of
+    // three orbits — each fold must be bit-identical to the original
+    // dedicated function on the same corpus + frozen vocab
+    val eval = Seq("ababab cd ab ababa abc").toDF("text")
+    val vocab = Seq("abab", "ab")
+    val starts = Curation.unigramStarts(eval, "text", vocab)
+    // fold 1: usage (piece, Σwc) in (use_wt desc, piece asc) order
+    val usage = starts
+      .select(expr("substring(w, pos, mlen)").as("piece"), col("wc"))
+      .groupBy(col("piece")).agg(sum(col("wc")).as("use_wt"))
+      .orderBy(desc("use_wt"), asc("piece"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(usage === Curation.unigramApplyUsage(eval, "text", vocab))
+    // fold 2: per-type piece counts
+    val counts = starts.groupBy(col("w")).agg(count(lit(1)).as("n_pieces"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val want = Curation.unigramTypePieceCounts(eval, "text", vocab)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts === want)
+    // fold 3: internal boundaries (pos > 1 → b = pos − 1)
+    val bounds = starts.filter(col("pos") > 1)
+      .select(col("w"), (col("pos") - 1).cast("long").as("b"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    val wantB = Curation.unigramTypeBoundaries(eval, "text", vocab)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(bounds === wantB)
+    // empty corpus → empty frame, right schema
+    val empty = Seq.empty[String].toDF("text")
+    assert(Curation.unigramStarts(empty, "text", vocab).count() === 0L)
   }
 
   test("unigram ops: empty / all-empty-token corpus short-circuits, no NPE") {
