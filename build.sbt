@@ -11,6 +11,12 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Emit the forked program's stdout RAW (no `[info] ` logger prefix):
+// the driver harness runs `sbt "runMain graft.Bench"` and parses the
+// one-line JSON from stdout — two rounds of BENCH_r1x.json carried
+// "parsed": null because the sbt logger prefix + tail truncation broke
+// the line (round-13 verdict item 2).
+run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -513,6 +513,50 @@ object Similarity {
                       onCensus: (Int, Long, Long) => Unit =
                         (g, cells, rows) => if (cells > 0L)
                           println(s"[dbscan-census] grid=$g dropped_cells=$cells dropped_rows=$rows")): DataFrame = {
+    val pairs = dbscanGridPairs(data, idCol, vecCol, thetaFx, numCells,
+      iters, dim, grids, maxCell, onCensus).reduce(_ unionAll _)
+    dbscanRolesFromPairs(data, idCol, pairs, minPts)
+  }
+
+  /** Per-grid DISJOINT canonical survivor-pair frames for
+    * [[dbscanCellRoles]]: element g holds the (ia < ib, dot ≥ θ) pairs
+    * co-located by grid g's trained quantizer and NOT co-located by
+    * any earlier grid — first-finder-wins. Disjointness makes the
+    * union over any seed-PREFIX exactly the distinct survivor set of
+    * that prefix, so:
+    *
+    *  - the cross-grid `distinct()` that used to shuffle and
+    *    hash-aggregate every survivor pair — the operator's DOMINANT
+    *    stage even after the r13 canonical-orientation halving
+    *    (DbscanPhaseProbe: distinct+checkpoint 229.9 s of a ~310 s
+    *    ×100 piecewise total; r14 removes it per guide §2.4, remove
+    *    shuffles outright) — costs ZERO shuffle: the earlier-grid test
+    *    is a per-row cell-equality filter evaluated in-stream inside
+    *    grid g's join stage BEFORE the dot, and the union of the
+    *    per-grid outputs is already duplicate-free;
+    *  - a prefix union serves every grids ≤ `grids` consumer, which is
+    *    what lets the q324 grids-1/2/3 operating curve and q322 share
+    *    ONE build (the knnCurveOf discipline applied to blocking).
+    *
+    * All `grids` assignments are computed in ONE argmax pass over the
+    * checkpointed base and checkpointed ONCE (was one pass + one
+    * checkpoint per grid). An overfull cell (census guard, PERF
+    * lessons 21/22) is dropped by NULLing its assignment: a null
+    * equi-join key matches nothing — the same map-only drop as the
+    * former isin filter — and null also reads as "not co-located by
+    * this grid" in the first-finder test (`coalesce(ca===cb, false)`),
+    * which exactly matches the old semantics where a dropped cell's
+    * pairs never reached the union from that grid. Each element is an
+    * eager localCheckpoint of (ia, ib) longs, so downstream count
+    * aggregates and the border semi-join never re-run the join+dot.
+    */
+  def dbscanGridPairs(data: DataFrame, idCol: String, vecCol: String,
+                      thetaFx: Long, numCells: Int = 0,
+                      iters: Int = 2, dim: Int = 64, grids: Int = 3,
+                      maxCell: Int = 10000,
+                      onCensus: (Int, Long, Long) => Unit =
+                        (g, cells, rows) => if (cells > 0L)
+                          println(s"[dbscan-census] grid=$g dropped_cells=$cells dropped_rows=$rows")): Seq[DataFrame] = {
     val cells =
       if (numCells > 0) numCells
       else math.max(16L, data.count() / 500L).toInt
@@ -530,52 +574,67 @@ object Similarity {
     // runs IN-STREAM inside each grid's cell self-join — vectors ride
     // the join sides (n rows each), candidate pair rows exist only
     // inside the codegen'd stage, and only the tiny ≥θ SURVIVOR set
-    // (two longs per pair) is ever shuffled for the cross-grid
-    // distinct. The first formulation distinct'd 300M candidate ids
-    // and then re-joined both 1 KB vectors onto them — two 300 GB
-    // wide shuffles that filled the disk at ×100 (round-11 postmortem;
-    // the lesson-4/6 "never shuffle wide payloads you can stream"
-    // rule, re-learned on pair frames).
-    val nbPairs = (0 until grids).map { g =>
-      val cents = trainCentroids(base, "nv", cells, iters, dim,
-        seed = 42L + 7L * g)
-      // ONE argmax pass per grid: the assignment is checkpointed, the
-      // census runs as a hash AGGREGATE over it (sort-free — the former
-      // count-over-Window forced a full shuffle+sort of the n-row
-      // assignment frame per grid, rule 17's hash-beats-window applied
-      // to the guard) and both pair-join sides read the same blocks.
-      // Overfull cells are collected (≤ numCells rows — model-sized),
-      // REPORTED through onCensus (no silent caps), and dropped by a
-      // map-only isin filter — never handed to an O(m²) reducer.
-      val asg0 = base.select(col("id"),
-          graft.functions.VectorFunctions.vec_mat_argmax(col("nv"), cents).as("cell"),
-          col("f"))
-        .localCheckpoint(eager = true)
-      val overfull = asg0.groupBy(col("cell"))
+    // (two longs per pair) is ever materialized. The first formulation
+    // distinct'd 300M candidate ids and then re-joined both 1 KB
+    // vectors onto them — two 300 GB wide shuffles that filled the
+    // disk at ×100 (round-11 postmortem; the lesson-4/6 "never shuffle
+    // wide payloads you can stream" rule, re-learned on pair frames).
+    val cents = (0 until grids).map { g =>
+      trainCentroids(base, "nv", cells, iters, dim, seed = 42L + 7L * g)
+    }
+    val asgRaw = base.select(
+      col("id") +: col("f") +:
+        (0 until grids).map(g => graft.functions.VectorFunctions
+          .vec_mat_argmax(col("nv"), cents(g)).as(s"c$g")): _*)
+      .localCheckpoint(eager = true)
+    // per-grid census: a hash AGGREGATE over the checkpointed
+    // assignment (sort-free, rule 17); overfull cells are collected
+    // (≤ numCells rows — model-sized), REPORTED through onCensus (no
+    // silent caps), and dropped by nulling the assignment column.
+    val cellCols = (0 until grids).map { g =>
+      val overfull = asgRaw.groupBy(col(s"c$g"))
         .agg(count(lit(1)).as("cell_n"))
         .filter(col("cell_n") > lit(maxCell))
         .collect()
       onCensus(g, overfull.length.toLong, overfull.map(_.getLong(1)).sum)
-      val asg =
-        if (overfull.isEmpty) asg0
-        else asg0.filter(!col("cell").isin(overfull.map(_.get(0)): _*))
-      asg.select(col("id").as("ia"), col("f").as("fa"), col("cell"))
-        .join(asg.select(col("id").as("ib"), col("f").as("fb"),
-          col("cell")), Seq("cell"))
+      if (overfull.isEmpty) col(s"c$g")
+      else when(col(s"c$g").isin(overfull.map(_.get(0)): _*), lit(null))
+        .otherwise(col(s"c$g")).as(s"c$g")
+    }
+    val asg = asgRaw.select(col("id") +: col("f") +: cellCols: _*)
+    (0 until grids).map { g =>
+      val la = asg.select(col("id").as("ia") +: col("f").as("fa") +:
+        (0 to g).map(j => col(s"c$j").as(s"ca$j")): _*)
+      val rb = asg.select(col("id").as("ib") +: col("f").as("fb") +:
+        (0 to g).map(j => col(s"c$j").as(s"cb$j")): _*)
+      // first-finder-wins: grid g skips any pair an EARLIER grid
+      // co-located (null = dropped/overfull there ⇒ not co-located).
+      // Cheap int compares run before the 64-dim dot.
+      val firstFinder = (0 until g)
+        .map(j => !coalesce(col(s"ca$j") === col(s"cb$j"), lit(false)))
+        .foldLeft(lit(true))(_ && _)
+      la.filter(col(s"ca$g").isNotNull)
+        .join(rb.filter(col(s"cb$g").isNotNull),
+          col(s"ca$g") === col(s"cb$g"))
         // CANONICAL orientation (r13): ia < ib halves the survivor
-        // emission, the cross-grid distinct shuffle, and the
-        // checkpoint — the DOMINANT stage of the whole operator
-        // (DbscanPhaseProbe: distinct+checkpoint 229.9 s of a ~310 s
-        // piecewise total at ×100 in a contended window, vs 3-5 s per
-        // training grid). The symmetric closure is restored AFTER the
-        // checkpoint by a map-only mirror union, so every consumer
-        // sees the identical bidirectional pair multiset and the
-        // output is bit-identical.
+        // emission and the checkpoint; the symmetric closure is
+        // restored after the checkpoint by a map-only mirror union
+        // ([[dbscanRolesFromPairs]]), so every consumer sees the
+        // identical bidirectional pair multiset.
         .filter(col("ia") < col("ib"))
+        .filter(firstFinder)
         .filter(dotD(col("fa"), col("fb")) >= lit(thetaFx.toDouble))
         .select(col("ia"), col("ib"))
-    }.reduce(_ union _).distinct() // survivors only — two longs per row
-      .localCheckpoint(eager = true) // feeds the count agg AND the border semi-join
+        .localCheckpoint(eager = true)
+    }
+  }
+
+  /** Count + role fold over a canonical (ia < ib) duplicate-free
+    * survivor-pair frame — the consumer half of [[dbscanCellRoles]],
+    * public so query-level memoization can share one
+    * [[dbscanGridPairs]] build across parameter sweeps (q322/q324). */
+  def dbscanRolesFromPairs(data: DataFrame, idCol: String,
+                           nbPairs: DataFrame, minPts: Long): DataFrame = {
     // bidirectional view: map-only mirror of the checkpointed canonical
     // pairs (no shuffle; the aggregates below partial-aggregate anyway)
     val sym = nbPairs.unionAll(

@@ -1848,8 +1848,12 @@ object Pipeline {
   def q322DbscanCells(spark: SparkSession, dir: String): DataFrame = {
     val e = emb(spark, dir)
     val minPts = math.max(3L, e.count() / 80L)
-    Similarity.dbscanCellRoles(e, "vec_id", "embedding",
-        thetaFx = 250000000000L, minPts = minPts)
+    // r14: read the memoized 3-grid disjoint pair build (shared with
+    // q324's operating curve); the union over all three grids is
+    // bit-identical to the old full-operator run (first-finder-wins
+    // partition of the same distinct survivor set).
+    Similarity.dbscanRolesFromPairs(e, "vec_id",
+        dbscanPairsOf(spark, dir).reduce(_ unionAll _), minPts)
       .select(col("id").as("vec_id"), col("n_nb"), col("role"))
       .orderBy(asc("vec_id"))
   }
@@ -2164,9 +2168,16 @@ object Pipeline {
   def q324BlockingCurve(spark: SparkSession, dir: String): DataFrame = {
     val e = emb(spark, dir)
     val minPts = math.max(3L, e.count() / 80L)
+    // r14: the grids=g row reads the PREFIX union of the memoized
+    // per-grid disjoint pair frames (seeds are already a prefix chain,
+    // and first-finder-wins emission makes prefix unions exactly the
+    // old per-invocation distinct survivor sets) — the curve costs
+    // three count/role folds over checkpointed long pairs instead of
+    // 6 quantizer trainings + 6 pair joins + 3 distincts.
+    val pairs = dbscanPairsOf(spark, dir)
     Seq(1, 2, 3).map { g =>
-      Similarity.dbscanCellRoles(e, "vec_id", "embedding",
-          thetaFx = 250000000000L, minPts = minPts, grids = g)
+      Similarity.dbscanRolesFromPairs(e, "vec_id",
+          pairs.take(g).reduce(_ unionAll _), minPts)
         .agg(sum(col("n_nb")).as("pair_mass"),
           sum(when(col("role") === "core", 1L).otherwise(0L)).as("n_core"),
           sum(when(col("role") === "noise", 1L).otherwise(0L)).as("n_noise"))
@@ -2687,6 +2698,26 @@ object Pipeline {
             evictHooked.removeIf(t => t._2 eq spark)
           }
         })
+  // memoized per-grid DISJOINT dbscan survivor-pair frames (r14):
+  // element g = the canonical (ia < ib, dot ≥ θ) pairs grid g found
+  // FIRST (Similarity.dbscanGridPairs — first-finder-wins, so any
+  // seed-prefix union is exactly that prefix's distinct survivor
+  // set). ONE build (3 trainings, 3 in-stream pair joins, zero
+  // cross-grid dedup shuffles) serves q322 (grids=3) and all three
+  // rows of q324's grids-1/2/3 operating curve, which previously ran
+  // the full operator 4× — 9 trainings, 9 pair joins, 4 distincts.
+  // Params are the shared q322/q324 gate values; the pair frames do
+  // not depend on minPts, which each consumer applies downstream.
+  private val dbscanPairsCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), Seq[DataFrame]]()
+  private def dbscanPairsOf(spark: SparkSession, dir: String): Seq[DataFrame] =
+    dbscanPairsCache.computeIfAbsent((spark, dir), _ => {
+      evictOnStop(dbscanPairsCache, spark)
+      // eager per-grid localCheckpoints: materialized inside the
+      // synchronized computeIfAbsent (rule 16)
+      Similarity.dbscanGridPairs(emb(spark, dir), "vec_id", "embedding",
+        thetaFx = 250000000000L, grids = 3, dim = 64)
+    })
   // memoized per-round curve: element r = the graph after r descent
   // rounds (r = 0 is the scored init). q234/q323 read .last; q326
   // publishes the whole curve. ONE build serves all three.

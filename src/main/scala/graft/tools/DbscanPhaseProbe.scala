@@ -47,63 +47,25 @@ object DbscanPhaseProbe {
       println(s"[probe] grid $g census: max=${row.get(0)} p99=${row.get(1)} " +
         s"p90=${row.get(2)} avg=${row.get(3)} sum(m^2)=${row.get(4)}")
     }
-    // pair stage alone, per grid (in-stream scoring, survivors only;
-    // round-12 shape: checkpointed assignment + aggregate census +
-    // map-only isin drop — the operator's own guard, sort-free)
+    // r14 shape: per-grid DISJOINT first-finder-wins survivor frames
+    // (Similarity.dbscanGridPairs) — the cross-grid distinct that owned
+    // ~230 s of the r13 piecewise total is GONE; the build below is
+    // train(×3, timed above separately) + ONE multi-cell argmax
+    // checkpoint + 3 in-stream pair joins, each eagerly checkpointed.
     val theta = 250000000000L
-    val grids = (0 until 3).map { g =>
-      val asg0 = base.select(col("id"),
-          graft.functions.VectorFunctions.vec_mat_argmax(col("nv"), cents(g)).as("cell"),
-          col("f"))
-        .localCheckpoint(eager = true)
-      val overfull = asg0.groupBy(col("cell"))
-        .agg(count(lit(1)).as("cell_n"))
-        .filter(col("cell_n") > lit(10000)).collect()
-      println(s"[probe] grid $g dropped_cells=${overfull.length} " +
-        s"dropped_rows=${overfull.map(_.getLong(1)).sum}")
-      val asg =
-        if (overfull.isEmpty) asg0
-        else asg0.filter(!col("cell").isin(overfull.map(_.get(0)): _*))
-      def pairStage = asg.select(col("id").as("ia"), col("f").as("fa"), col("cell"))
-        .join(asg.select(col("id").as("ib"), col("f").as("fb"), col("cell")), Seq("cell"))
-        .filter(col("ia") =!= col("ib"))
-        .filter(Similarity.dot(col("fa"), col("fb")) >= lit(theta.toDouble))
-        .select(col("ia"), col("ib"))
-      timed(s"pair stage grid $g (join+dot+filter, survivors count)")(
-        println("  survivors: " + pairStage.count()))
-      pairStage
-    }
-    // the stages the first probe cut missed (r13): the cross-grid
-    // distinct + eager checkpoint materializes the ~100M survivor-pair
-    // frame (two longs per row), then the neighbor-count aggregate and
-    // the border semi-join each read it back. NOTE: the per-grid joins
-    // re-execute inside the distinct (piecewise double-count, rule 13
-    // parts-vs-fused discipline — subtract the per-grid numbers above
-    // to isolate the distinct+checkpoint increment).
-    val nbPairs = timed("union + distinct + eager checkpoint (survivor pairs)") {
-      val p = grids.reduce(_ union _).distinct().localCheckpoint(eager = true)
-      println("  distinct pairs: " + p.count())
+    val nbPairs = timed("dbscanGridPairs build (3 disjoint grids, checkpointed)") {
+      val frames = Similarity.dbscanGridPairs(emb, "vec_id", "embedding",
+        thetaFx = theta, grids = 3, dim = 64)
+      frames.zipWithIndex.foreach { case (f, g) =>
+        println(s"  grid $g first-finder survivors: " + f.count()) }
+      val p = frames.reduce(_ unionAll _)
+      println("  distinct pairs (disjoint union): " + p.count())
       p
     }
-    val pts = timed("neighbor-count aggregate + core flags") {
-      val nb = nbPairs.groupBy(col("ia")).agg(count(lit(1)).as("n_nb"))
-      val p = emb.select(col("vec_id").as("id"))
-        .join(nb, col("id") === nb("ia"), "left_outer")
-        .select(col("id"), coalesce(col("n_nb"), lit(0L)).as("n_nb"))
-        .withColumn("is_core", col("n_nb") >= lit(8L))
-        .localCheckpoint(eager = true)
-      println("  cores: " + p.filter(col("is_core")).count())
-      p
-    }
-    timed("border semi-join + role fold") {
-      val coreIds = pts.filter(col("is_core")).select(col("id").as("ib"))
-      val nearCore = nbPairs.join(coreIds, Seq("ib"), "left_semi")
-        .select(col("ia").as("id")).distinct()
-        .withColumn("near_core", lit(true))
-      println("  roles: " + pts.join(nearCore, Seq("id"), "left_outer")
-        .select(when(col("is_core"), "core")
-          .when(coalesce(col("near_core"), lit(false)), "border")
-          .otherwise("noise").as("role"))
+    timed("count + role fold (mirror union, aggregates, border semi-join)") {
+      println("  roles: " + Similarity.dbscanRolesFromPairs(
+          emb.select(col("vec_id"), col("embedding")), "vec_id",
+          nbPairs, minPts = 8L)
         .groupBy(col("role")).count().collect().toSeq)
     }
     spark.stop()
