@@ -930,18 +930,25 @@ object Curation {
       .persist()
     var n = ml.select(col("w"), col("pos"), (col("pos") + col("mlen")).as("next"))
     var r = c.types.select(col("w"), lit(1).as("pos"))
-    (0 until c.levels).foreach { _ =>
+    (0 until c.levels).foreach { lvl =>
       r = r.union(
         r.join(n, Seq("w", "pos")).select(col("w"), col("next").as("pos")))
-      n = n.as("a").join(n.as("b"),
-          col("a.w") === col("b.w") && col("a.next") === col("b.pos"))
-        .select(col("a.w").as("w"), col("a.pos").as("pos"),
-          col("b.next").as("next"))
+        .localCheckpoint()
       // both r (union tree) and n (self-join tree) double in plan
-      // size per level: on a long-word corpus (levels > 4, words >
-      // 16 chars) truncate lineage each level or Catalyst pays
-      // exponential analysis cost. Not triggered at gate scale.
-      if (c.levels > 4) { r = r.localCheckpoint(); n = n.localCheckpoint() }
+      // size per level, so truncate lineage EVERY level (r14): the
+      // frames are type-frame-sized while the untruncated plan tree
+      // costs Catalyst exponential analysis/codegen — measured at
+      // sf0.1 (levels = 4) the whole q262 train chain was
+      // plan-overhead-bound: 13.1 -> 6.1 s fused fresh (q263
+      // 10.7 -> 5.0) with per-level truncation, output hashes
+      // identical (R14UnigramProbe). The LAST level's doubled n is
+      // never read — skip it (one job per orbit).
+      if (lvl < c.levels - 1)
+        n = n.as("a").join(n.as("b"),
+            col("a.w") === col("b.w") && col("a.next") === col("b.pos"))
+          .select(col("a.w").as("w"), col("a.pos").as("pos"),
+            col("b.next").as("next"))
+          .localCheckpoint()
     }
     val out = fold(r, ml).localCheckpoint(true)
     ml.unpersist()

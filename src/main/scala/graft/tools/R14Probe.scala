@@ -204,3 +204,31 @@ object R14UnigramProbe {
     spark.stop()
   }
 }
+
+object R14Q74Probe {
+  import R14Probe._
+  def main(args: Array[String]): Unit = {
+    val cpus = args.headOption.getOrElse("32")
+    val spark = {
+      val s = org.apache.spark.sql.SparkSession.builder()
+        .master(s"local[$cpus]")
+        .config("spark.sql.shuffle.partitions", cpus)
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false").getOrCreate()
+      s.sparkContext.setLogLevel("WARN")
+      s
+    }
+    val dir = "/root/testdata/sf0.1"
+    // warm once (JIT/codegen), then 5 timed runs — the bench shape
+    graft.queries.Stats.q74HeavyHitters(spark, dir).count()
+    for (i <- 1 to 5) {
+      System.gc()
+      timed(s"q74 run $i (local[$cpus])")(
+        graft.queries.Stats.q74HeavyHitters(spark, dir).count())
+    }
+    println("[probe] scan partitions of lineitem: " +
+      spark.read.parquet(s"$dir/lineitem.parquet").rdd.getNumPartitions)
+    spark.stop()
+  }
+}
