@@ -660,7 +660,12 @@ object Graph {
       // no-vote side is the in-degree-0 slice only
       val next = labels.join(votes, Seq("id"), "left_outer")
         .select(col("id"), coalesce(col("vlab"), col("lab")).as("lab"))
-      labels = if (r % 2 == 0 && r < rounds) cut(next) else next
+      // r14: cut EVERY round, not every other — labels is referenced
+      // twice per round (votes join + the keep-label left-join), so
+      // an uncut round's vote aggregate re-executes inside the next
+      // round's plan: one full edge-sized aggregate wasted per uncut
+      // round for the price of a node-sized checkpoint write.
+      labels = if (r < rounds) cut(next) else next
     }
     labels
   }
@@ -812,9 +817,18 @@ object Graph {
     val deg = e.groupBy(col("src").as("id")).agg(count(lit(1)).as("k"))
       .localCheckpoint(true) // node-sized, probed every round
     val ddRow = e.agg(count(lit(1)).as("dd"))
+    // r14: labels is referenced FOUR times per round (tot, kic, stay,
+    // move) and kic twice (stay, move) — un-truncated, each reference
+    // re-executed the whole prior-round DAG, so work grew ~4× per
+    // round (isolated warm A/B at sf0.1: q272 8.4 → 1.5 s after
+    // cutting labels each round + lazily checkpointing kic; output
+    // bit-identical). labels is node-sized, kic ≤ edge-sized; the
+    // lazy kic cut materializes inside the round's single argmax job
+    // and lets both candidate branches share one RDD.
     var labels = e.select(col("src").as("id"))
       .union(e.select(col("dst").as("id"))).distinct()
       .select(col("id"), col("id").as("lab"))
+      .localCheckpoint(true)
     for (r <- 1 to rounds) {
       val tot = labels.join(deg, "id").groupBy(col("lab"))
         .agg(sum(col("k")).as("sigma"))
@@ -822,6 +836,7 @@ object Graph {
         .join(labels.select(col("id").as("dst"), col("lab").as("clab")), "dst")
         .groupBy(col("src").as("id"), col("clab"))
         .agg(count(lit(1)).as("kic"))
+        .localCheckpoint(false)
       // candidate rows: the current community (k_{i,cur} looked up,
       // 0 when i has no neighbor at home) ∪ every neighbor community
       val stay = labels.as("l")
@@ -846,7 +861,7 @@ object Graph {
       val next = scored.groupBy(col("id"))
         .agg(max(struct(col("score"), (-col("clab")).as("nc"))).as("m"))
         .select(col("id"), (-col("m.nc")).as("lab"))
-      labels = if (r % 2 == 0 && r < rounds) next.localCheckpoint(true) else next
+      labels = if (r < rounds) next.localCheckpoint(true) else next
     }
     labels
   }

@@ -232,3 +232,50 @@ object R14Q74Probe {
     spark.stop()
   }
 }
+
+/** Generic isolated query timer: fresh JVM, run the named queries in
+  * order, N timed repetitions each (first = fresh-plan cost, rest =
+  * warm). Usage: R14QueryProbe q272_louvain_move[,q177_label_prop...] [runs] [dir]
+  */
+object R14QueryProbe {
+  import R14Probe._
+  def main(args: Array[String]): Unit = {
+    val names = args(0).split(",").toSeq
+    val runs = if (args.length > 1) args(1).toInt else 2
+    val dir = if (args.length > 2) args(2) else "/root/testdata/sf0.1"
+    val spark = spark32()
+    names.foreach { name =>
+      val fn = graft.SparkEntry.queries(name)
+      for (i <- 1 to runs) {
+        System.gc()
+        timed(s"$name run $i")(fn(spark, dir).count())
+      }
+    }
+    spark.stop()
+  }
+}
+
+/** A/B the two CC variants on q261's actual rep-pair graph. */
+object R14CcProbe {
+  import R14Probe._
+  def main(args: Array[String]): Unit = {
+    val spark = spark32()
+    val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    import graft.operators.{Dedup, Multimodal}
+    val ph = Multimodal.phashTable(Multimodal.mediaTable(spark, dir)).toDF()
+      .select(col("media_id"), col("dhash"))
+    val reps = ph.groupBy(col("dhash")).agg(min(col("media_id")).as("rep"))
+    val pairs = Dedup.signaturePairs(
+        reps.select(col("rep").as("media_id"), col("dhash").as("sig")),
+        "media_id", maxHamming = 3, maxBucket = 4096)
+      .select(col("id_a"), col("id_b")).localCheckpoint(true)
+    println("  pairs: " + pairs.count())
+    for (i <- 1 to 2) {
+      timed(s"min-label CC run $i")(
+        println("  h: " + force(Dedup.connectedComponents(pairs, "id_a", "id_b"))))
+      timed(s"alternating CC run $i")(
+        println("  h: " + force(Dedup.connectedComponentsAlternating(pairs, "id_a", "id_b"))))
+    }
+    spark.stop()
+  }
+}
